@@ -1,13 +1,46 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.GraftQuery
+import graft.queries.{EventsQueries, PharmaQueries, Relational, StreamingQueries, TextVectorQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query registry layout:
+  *  - Relational: the reference's operator surface (SURVEY.md §2) on the
+  *    TPC-H-ish star schema, every query DuckDB-oracle-checked
+  *  - EventsQueries: JSON extraction, time windows, sessionization
+  *  - TextVectorQueries: dedup / similarity / text analysis (north star)
+  *  - StreamingQueries: Structured Streaming + multimodal plumbing
+  *  - PharmaQueries: the reference pipeline end-to-end on the embedded
+  *    fixture feed (rows-only; golden tests in the ScalaTest suites)
+  */
 object SparkEntry {
+
+  val registry: Seq[GraftQuery] =
+    Relational.all ++ EventsQueries.all ++ TextVectorQueries.all ++
+      StreamingQueries.all ++ PharmaQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01PricingSummary.run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    GraftQuery.queryMap(registry)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = GraftQuery.oracleMap(registry)
+
+  /** Headline benchmark set: one representative per operator family,
+    * weighted toward the scale-sensitive plans (joins, windows, dedup,
+    * ANN). Bench times these on sf0.1. */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_count_distinct", "q04_percentile",
+    "q09_scalar_subquery", "q10_topk", "q12_fact_join", "q13_outer_join",
+    "q16_window_running", "q22_tumbling_window", "q23_sessionize",
+    "q25_text_stats", "q27_token_topk", "q30_minhash_neardup",
+    "q33_ann_brute", "q36_embed_neardup")
 }

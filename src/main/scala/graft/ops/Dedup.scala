@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * normalized-exact, MinHash+LSH near-dup, SimHash near-dup, and exact
+  * n-gram Jaccard verification (north-star surface, SURVEY.md §7.1).
+  *
+  * Scale design: every candidate-generation step is a hash-shuffle on a
+  * bucket key (band hash / simhash band), never a cross join. The only
+  * pairwise work happens inside buckets, whose expected size is O(dups) —
+  * at 100 TB the shuffles are linear in corpus size and the verify step is
+  * linear in candidate count.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row per distinct key set — one hash shuffle. */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Normalization used before "exact-ish" text dedup: lowercase, strip
+    * punctuation, collapse whitespace. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[\\p{Punct}]", " "), "\\s+", " "))
+
+  /** Exact dedup after normalization, keyed on a 64-bit content hash so the
+    * shuffle carries 8 bytes per row instead of the document text. Keeps
+    * the lowest idCol per group (deterministic canonical row). */
+  def normalizedExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = df.withColumn("__h", xxhash64(normalizeText(col(textCol))))
+    val canonical = hashed.groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+    hashed.join(canonical, Seq("__h", idCol)).drop("__h")
+  }
+
+  /** MinHash signature: `numHashes` independent permutations approximated
+    * by seeded xxhash64 over the shingle set; element i is the min hash
+    * under seed i. Pure higher-order-function projection — codegen'd, no
+    * UDF, no shuffle. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingles, x => xxhash64(x, lit(seed))))
+    }: _*)
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
+    * hash each band to one 64-bit key. Docs sharing any band key become
+    * candidates. */
+  def bandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), concat_ws(",",
+        slice(signature, b * rowsPerBand + 1, rowsPerBand)))
+    }: _*)
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * Pipeline: shingle → signature → explode band hashes → self-join on
+    * (band hash) → distinct candidate pairs → exact Jaccard verify on the
+    * shingle sets → threshold filter.
+    *
+    * The band join is an equi-join on a high-cardinality hash key: at
+    * 100 TB it shuffle-partitions evenly (band hashes are uniform), and
+    * AQE's skew handling covers pathological bucket skew (e.g. boilerplate
+    * documents). Returns (idA, idB, jaccard) with idA < idB.
+    */
+  def minhashNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val prepared = df
+      .select(col(idCol).as("id"),
+        TextAnalysis.shingleSet(col(textCol), shingleK).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("band", explode(bandHashes(col("sig"), bands, rowsPerBand)))
+    val a = prepared.select(col("band"), col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = prepared.select(col("band"), col("id").as("id_b"), col("shingles").as("sh_b"))
+    val candidates = a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates(Seq("id_a", "id_b"))
+    candidates
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity for an explicit pair relation —
+    * the verification primitive (also usable standalone with any blocking
+    * key). Inputs carry `sh_a`/`sh_b` shingle-set columns. */
+  def jaccard(shA: Column, shB: Column): Column =
+    size(array_intersect(shA, shB)).cast("double") /
+      greatest(size(array_union(shA, shB)), lit(1))
+
+  /** 64-bit SimHash over tokens, built from per-bit majority votes of
+    * token hashes — expressed with higher-order functions (no UDF): for
+    * each of 64 bits, sum ±1 across token hashes and set the bit when the
+    * vote is positive. The 64 aggregates stay one codegen'd projection. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 16-bit bands of the simhash (docs
+    * within hamming distance ≤ 3 of a 64-bit hash share at least one of 4
+    * bands by pigeonhole), then verify hamming distance. Same
+    * shuffle-on-band-key scale shape as MinHash LSH. */
+  def simhashNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    val banded = withSim.withColumn("band",
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("i"),
+          shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("v"))
+      }: _*)))
+    val a = banded.select(col("band"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("band"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
+      .dropDuplicates(Seq("id_a", "id_b"))
+      .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold via sign-LSH blocking
+    * (see Similarity.signBits); verify with exact cosine. For corpora
+    * where recall must be exact, use Similarity.bruteForcePairs on a
+    * blocking key instead. */
+  def embeddingNearDups(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.95,
+      planes: Int = 8): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", Similarity.signBits(col("v"), planes))
+    val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata (north-star surface).
+  *
+  * The Spark-side machinery — schema, partition sizing, batch-shaped
+  * per-partition processing — is real; the codec itself is a
+  * deterministic stand-in (`FakeCodec`) because media libraries aren't in
+  * this container. Swap `FakeCodec.decodeHeader` for a real decoder (or a
+  * `mapInPandas`/`mapInArrow` stage in the Python API) and nothing else
+  * changes.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every blob. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("content", BinaryType),
+    StructField("meta", mediaMetaType)))
+
+  /** Deterministic stand-in codec: "media" blobs carry a 12-byte header
+    * (3×int32 big-endian: magic, width, height). Real decoders plug in
+    * here — the contract is bytes in, typed struct out. */
+  object FakeCodec {
+    val Magic = 0x47524654 // "GRFT"
+
+    def encode(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + payload.length)
+      bb.putInt(Magic).putInt(width).putInt(height).put(payload)
+      bb.array()
+    }
+
+    /** bytes → (width, height) or null on bad magic (dirty-data policy:
+      * NULL, never throw — same posture as try_cast). */
+    def decodeHeader(bytes: Array[Byte]): Option[(Int, Int)] = {
+      if (bytes == null || bytes.length < 12) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        if (bb.getInt() != Magic) None else Some((bb.getInt(), bb.getInt()))
+      }
+    }
+  }
+
+  /** Decode headers per partition — the batch-shaped processing pattern:
+    * one iterator pass per partition, no per-row task overhead, identical
+    * shape to an Arrow-batch UDF. Emits (media_id, width, height, n_bytes,
+    * valid). */
+  def decodeMeta(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_bytes", LongType),
+      StructField("valid", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          FakeCodec.decodeHeader(bytes) match {
+            case Some((w, h)) => Row(id, w, h, bytes.length.toLong, true)
+            case None =>
+              Row(id, null, null,
+                if (bytes == null) 0L else bytes.length.toLong, false)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** "Resize": deterministic downsample stub — halves declared dims and
+    * truncates payload, preserving the header contract. Runs as a narrow
+    * per-partition pass like a real transform would. */
+  def resizeHalf(spark: SparkSession, media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.select(col("media_id"), col("content"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          FakeCodec.decodeHeader(bytes) match {
+            case Some((w, h)) =>
+              val body = bytes.drop(12)
+              val half = FakeCodec.encode(w / 2, h / 2,
+                body.take(math.max(1, body.length / 4)))
+              Row(id, half, Row("image", w / 2, h / 2, half.length.toLong))
+            case None => Row(id, bytes, Row("unknown", null, null,
+              if (bytes == null) 0L else bytes.length.toLong))
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** Build a deterministic media table from the documents table (text
+    * bytes as payload) — gives the plumbing real data to chew on in tests
+    * and queries without shipping binaries. */
+  def syntheticMediaFromDocs(docs: DataFrame): DataFrame = {
+    val payload = encode_(col("doc_id"), col("text"))
+    docs.select(col("doc_id").as("media_id"), payload.as("content"),
+      struct(lit("image").as("media_type"),
+        (pmod(col("doc_id"), lit(1920)) + 1).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(1080)) + 1).cast("int").as("height"),
+        length(col("text")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Header || text bytes, all in codegen'd expressions: int32 big-endian
+    * fields via conv/unhex of zero-padded hex. */
+  private def encode_(id: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column) = {
+    def be32(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c.cast("int")), 8, "0"))
+    concat(be32(lit(FakeCodec.Magic)),
+      be32(pmod(id, lit(1920)) + 1),
+      be32(pmod(id, lit(1080)) + 1),
+      encode(text, "UTF-8"))
+  }
+}

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, sign-LSH bucketing and
+  * an IVF-style coarse index as the scale paths (north-star surface,
+  * SURVEY.md §7.1).
+  *
+  * All vector math is `functions` higher-order ops (zip_with/aggregate)
+  * over double-cast elements — codegen'd, deterministic, and bit-identical
+  * to a sequential dot product, which keeps the DuckDB oracle exact.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float/double array columns, accumulated in
+    * double in element order. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(ad, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(bd, lit(0.0), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(transform(a, _.cast("double")), transform(b, _.cast("double")),
+      (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Exact brute-force cosine top-k: broadcast the (small) query set
+    * against the corpus, score every pair, keep k per query.
+    *
+    * Scale shape: the corpus scan is embarrassingly parallel; the only
+    * shuffle is the per-query ranking. The window ranking here shuffles
+    * |corpus|×|queries| score rows on query_id; for huge corpora swap the
+    * final ranking for a per-partition partial top-k (mapPartitions heap)
+    * + k-row merge — same contract, bounded shuffle.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for plane `p`,
+    * dimension index `i`, in [-1, 1): seeded from xxhash64 so every
+    * executor materializes identical planes with zero driver state. */
+  private def planeWeight(p: Int, i: Column): Column =
+    pmod(xxhash64(lit(p), i), lit(2000)).cast("double") / 1000.0 - 1.0
+
+  /** Sign-LSH signature: `planes` random-hyperplane sign bits packed into
+    * a long. Nearby vectors (cosine) collide with high probability. */
+  def signBits(v: Column, planes: Int): Column = {
+    val vd = transform(v, x => x.cast("double"))
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(zip_with(vd, transform(vd, (_, i) => planeWeight(p, i)),
+        (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate top-k: score only corpus vectors sharing the
+    * query's sign signature. Trades recall for a |corpus|/2^planes
+    * candidate set; recall is measured against bruteForceTopK in the test
+    * suite. Bucket join is an equi-join on the signature — a uniform hash
+    * shuffle at any scale. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int, planes: Int = 6): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .withColumn("sig", signBits(col("cv"), planes))
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("sig", signBits(col("qv"), planes)))
+    val scored = c.join(q, Seq("sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** IVF-style coarse quantizer: pick every `stride`-th corpus vector as a
+    * centroid (deterministic), assign corpus vectors to their nearest
+    * centroid, probe `nprobe` centroids per query. The inverted lists are
+    * the partition layout at scale: repartition by centroid id and each
+    * probe touches nprobe/|centroids| of the data. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int, stride: Int = 50, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+    val centroids = broadcast(
+      c.filter(pmod(col("neighbor_id"), lit(stride)) === 0)
+        .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv")))
+    // Assign each corpus vector to its nearest centroid (argmax cosine).
+    val assignW = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val assigned = c.crossJoin(centroids)
+      .withColumn("ccos", cosine(col("cv"), col("centv")))
+      .withColumn("crnk", row_number().over(assignW))
+      .filter(col("crnk") === 1)
+      .select(col("centroid_id"), col("neighbor_id"), col("cv"))
+    // Each query probes its nprobe nearest centroids.
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("centroid_id"))
+    val probes = broadcast(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+        .crossJoin(centroids)
+        .withColumn("qcos", cosine(col("qv"), col("centv")))
+        .withColumn("prnk", row_number().over(probeW))
+        .filter(col("prnk") <= nprobe)
+        .select(col("query_id"), col("qv"), col("centroid_id")))
+    val scored = assigned.join(probes, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, n-gram language ID, and document
+  * fingerprinting (north-star surface, SURVEY.md §7.1 `ops/`).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` higher-
+  * order array functions — no UDFs — so the whole pipeline stays inside
+  * whole-stage codegen and scales to 100 TB as a single narrow
+  * (shuffle-free) projection pass over the corpus.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer. `split` on a regex; empty trailing strings are
+    * dropped by filter so blank documents count 0 tokens, not 1. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words plus intra-word boundaries at
+    * case/digit/punctuation transitions — a deterministic stand-in for a
+    * real tokenizer's token count (the usual ~1.3×words heuristic made
+    * explicit and auditable). */
+  def subwordCountEstimate(text: Column): Column = {
+    val pieces = split(text,
+      "\\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=\\d)|(?<=\\d)(?=[A-Za-z])|(?=[^\\sA-Za-z0-9])")
+    size(filter(pieces, t => length(t) > 0))
+  }
+
+  /** Character-class ratios used by the quality score. Ratios of counts,
+    * computed by regex strip — all codegen'd string ops. */
+  def digitRatio(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")) / greatest(length(text), lit(1))
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^\\p{Punct}]", "")) / greatest(length(text), lit(1))
+  def upperRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Z]", "")) / greatest(length(text), lit(1))
+  def whitespaceRatio(text: Column): Column =
+    length(regexp_replace(text, "[^\\s]", "")) / greatest(length(text), lit(1))
+
+  def meanWordLength(text: Column): Column = {
+    val ts = tokens(text)
+    aggregate(ts, lit(0L), (acc, t) => acc + length(t)) /
+      greatest(size(ts), lit(1)).cast("double")
+  }
+
+  /** English stopword coverage — fraction of tokens in a small built-in
+    * stopword set. A strong single-feature quality/language signal. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that", "from")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val ts = tokens(lower(text))
+    size(filter(ts, t => t.isInCollection(stopwords))) /
+      greatest(size(ts), lit(1)).cast("double")
+  }
+
+  /** Composite document quality score in [0,1] — the Gopher/C4-style
+    * heuristic family: penalize too-short/too-long docs, excessive
+    * digits/punctuation, missing stopwords. Weights are fixed and
+    * documented, so the score is reproducible across engine versions. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthOk = when(nTok.between(10, 100000), lit(1.0))
+      .when(nTok < 10, nTok / 10.0)
+      .otherwise(lit(0.5))
+    val digitOk = lit(1.0) - least(digitRatio(text) * 5.0, lit(1.0))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val wordLen = meanWordLength(text)
+    val wordLenOk = when(wordLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.3))
+    val stopOk = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round(lengthOk * 0.3 + digitOk * 0.2 + punctOk * 0.2 +
+      wordLenOk * 0.15 + stopOk * 0.15, 6)
+  }
+
+  /** Tiny per-language marker-word profiles for n-gram/stopword language
+    * ID. Deliberately small: language ID at corpus scale is a scoring
+    * pass, and precision comes from the margin between profiles. */
+  val LanguageProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "une", "dans", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "他", "这", "中"))
+
+  /** Language ID: score = marker-token hit ratio per language; argmax with
+    * a deterministic tie-break on language code. Returns "und" when no
+    * profile scores above zero. One narrow projection — no shuffle. */
+  def langId(text: Column): Column = {
+    val ts = tokens(lower(text))
+    val denom = greatest(size(ts), lit(1)).cast("double")
+    // Build (score, lang) structs, take max — struct comparison is
+    // lexicographic, so ties break toward the later lang; negate lang via
+    // ordering by (score, lang) then prefer lowest code on equal score.
+    val scored = LanguageProfiles.toSeq.sortBy(_._1).reverse.map { case (lang, words) =>
+      struct((size(filter(ts, t => t.isInCollection(words))) / denom).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Winnowing-style document fingerprint: hash every k-token shingle,
+    * keep the minimum — robust to small edits anywhere but the minimal
+    * shingle. 64-bit, collision-safe at corpus scale. */
+  def fingerprint(text: Column, k: Int = 3): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    val starts = sequence(lit(1), greatest(n - (k - 1), lit(1)))
+    val shingleHashes = transform(starts, i => xxhash64(concat_ws(" ", slice(ts, i, lit(k)))))
+    coalesce(array_min(shingleHashes), lit(0L))
+  }
+
+  /** Distinct hashed k-token shingles — the set representation behind
+    * MinHash and exact n-gram Jaccard (see Dedup). */
+  def shingleSet(text: Column, k: Int = 3): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    val starts = sequence(lit(1), greatest(n - (k - 1), lit(1)))
+    array_distinct(transform(starts, i => xxhash64(concat_ws(" ", slice(ts, i, lit(k))))))
+  }
+
+  /** Full per-document text-statistics projection. */
+  def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("n_tokens", tokenCount(c))
+      .withColumn("n_subwords_est", subwordCountEstimate(c))
+      .withColumn("mean_word_len", round(meanWordLength(c), 4))
+      .withColumn("digit_ratio", round(digitRatio(c), 4))
+      .withColumn("stopword_ratio", round(stopwordRatio(c), 4))
+      .withColumn("quality_score", qualityScore(c))
+      .withColumn("lang_pred", langId(c))
+      .withColumn("fingerprint", fingerprint(c))
+  }
+}

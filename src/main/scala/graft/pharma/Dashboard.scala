@@ -1,0 +1,196 @@
+package graft.pharma
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The 14-query dashboard workload re-expressed as DataFrame pipelines
+  * (reference behavior: pharmaceutical_dashboard_queries.sql:1-252; one def
+  * per query, numbered the same). Input is the cleaned `medications`
+  * DataFrame produced by Cleaning.all.
+  *
+  * All queries are single-fact-table aggregations; every one compiles to
+  * scan → partial agg → small shuffle → final agg (plus
+  * TakeOrderedAndProject for the top-k queries), which is the optimal
+  * shape at any scale. Uncorrelated totals (the reference's scalar
+  * subqueries) are expressed as 1-row aggregate cross joins, which
+  * Catalyst broadcasts.
+  */
+object Dashboard {
+
+  private val priceR0: Column = round(avg(col("price")), 0)
+
+  /** Q1 market KPIs: counts, distincts, avg/median/max price. */
+  def marketOverview(meds: DataFrame): DataFrame =
+    meds.agg(
+      count(lit(1)).as("total_medications"),
+      countDistinct(col("lab_name")).as("manufacturers"),
+      countDistinct(col("therapeutic_class")).as("disease_categories"),
+      priceR0.as("avg_price_DA"),
+      round(expr("percentile(price, 0.5)"), 0).as("median_price_DA"),
+      max(col("price")).as("most_expensive_DA"))
+
+  /** Q2 price stats per disease area, ≥30 drugs, top-12 by avg price. */
+  def priceByDiseaseArea(meds: DataFrame): DataFrame =
+    meds.filter(col("therapeutic_class").isNotNull)
+      .groupBy(col("therapeutic_class").as("disease_area"))
+      .agg(count(lit(1)).as("drug_count"), priceR0.as("avg_price_DA"),
+        round(min(col("price")), 0).as("min_price_DA"),
+        round(max(col("price")), 0).as("max_price_DA"))
+      .filter(col("drug_count") >= 30)
+      .orderBy(col("avg_price_DA").desc)
+      .limit(12)
+
+  /** Q3 top manufacturers by product count. */
+  def topManufacturers(meds: DataFrame): DataFrame =
+    meds.filter(col("lab_name").isNotNull)
+      .groupBy(col("lab_name").as("manufacturer"))
+      .agg(count(lit(1)).as("products"), priceR0.as("avg_price_DA"),
+        countDistinct(col("therapeutic_class")).as("disease_areas"))
+      .orderBy(col("products").desc)
+      .limit(10)
+
+  /** Q4 market share per price_category, custom Low/Medium/High order. */
+  def marketSegmentation(meds: DataFrame): DataFrame = {
+    val total = meds.agg(count(lit(1)).as("__total"))
+    meds.groupBy(col("price_category"))
+      .agg(count(lit(1)).as("medications_count"), priceR0.as("avg_price_DA"))
+      .crossJoin(broadcast(total))
+      .withColumn("market_pct",
+        round(col("medications_count") * 100.0 / col("__total"), 1))
+      .drop("__total")
+      .orderBy(when(col("price_category") === "Low", 1)
+        .when(col("price_category") === "Medium", 2).otherwise(3))
+  }
+
+  /** Q5 dosage-form distribution with share of non-null-form market. */
+  def formDistribution(meds: DataFrame): DataFrame = {
+    val withForm = meds.filter(col("form").isNotNull)
+    val total = withForm.agg(count(lit(1)).as("__total"))
+    withForm.groupBy(col("form"))
+      .agg(count(lit(1)).as("count"), priceR0.as("avg_price_DA"))
+      .crossJoin(broadcast(total))
+      .withColumn("market_pct", round(col("count") * 100.0 / col("__total"), 1))
+      .drop("__total")
+      .orderBy(col("count").desc)
+      .limit(8)
+  }
+
+  /** Q6 top-15 most expensive medications. */
+  def mostExpensive(meds: DataFrame): DataFrame =
+    meds.filter(col("price").isNotNull)
+      .select(col("name"), col("therapeutic_class").as("disease_area"),
+        col("lab_name").as("manufacturer"), col("price").as("price_DA"), col("form"))
+      .orderBy(col("price_DA").desc)
+      .limit(15)
+
+  /** Q7 affordability shares (conditional aggregation). */
+  def affordability(meds: DataFrame): DataFrame =
+    meds.filter(col("price").isNotNull).agg(
+      round(count(when(col("price") <= 100, 1)) * 100.0 / count(lit(1)), 1)
+        .as("affordable_drugs_pct"),
+      round(count(when(col("price") > 500, 1)) * 100.0 / count(lit(1)), 1)
+        .as("premium_drugs_pct"),
+      round(avg(when(col("price") <= 100, col("price"))), 0)
+        .as("avg_affordable_price_DA"))
+
+  /** Q8 disease coverage: re-aggregation over per-class counts. */
+  def diseaseCoverage(meds: DataFrame): DataFrame =
+    meds.filter(col("therapeutic_class").isNotNull)
+      .groupBy(col("therapeutic_class"))
+      .agg(count(lit(1)).as("drugs_per_area"))
+      .agg(count(lit(1)).as("disease_areas_covered"),
+        round(avg(col("drugs_per_area")), 0).as("avg_drugs_per_disease_area"))
+
+  /** Q9 manufacturer-size rollup over per-lab aggregates. */
+  def manufacturerSize(meds: DataFrame): DataFrame = {
+    val perLab = meds
+      .filter(col("lab_name").isNotNull && col("price").isNotNull)
+      .groupBy(col("lab_name"))
+      .agg(count(lit(1)).as("product_count"), avg(col("price")).as("avg_price"))
+    perLab
+      .withColumn("manufacturer_size",
+        when(col("product_count") >= 100, "Large (100+ products)")
+          .when(col("product_count") >= 50, "Medium (50-99 products)")
+          .otherwise("Small (<50 products)"))
+      .groupBy(col("manufacturer_size"))
+      .agg(countDistinct(col("lab_name")).as("manufacturers"),
+        round(avg(col("avg_price")), 0).as("avg_price_DA"),
+        sum(col("product_count")).as("total_products"))
+      .orderBy(col("avg_price_DA").desc)
+  }
+
+  /** Q10 top active ingredients. */
+  def topActiveIngredients(meds: DataFrame): DataFrame =
+    meds.filter(col("generic").isNotNull && col("generic") =!= "")
+      .groupBy(col("generic").as("active_ingredient"))
+      .agg(count(lit(1)).as("formulations"), priceR0.as("avg_price_DA"),
+        countDistinct(col("lab_name")).as("manufacturers"))
+      .orderBy(col("formulations").desc)
+      .limit(10)
+
+  /** Q11 price histogram, buckets ordered by their minimum price
+    * (ORDER BY aggregate not in SELECT — kept in the agg, sorted, dropped). */
+  def priceHistogram(meds: DataFrame): DataFrame = {
+    val bucket = when(col("price") <= 50, "0-50 DA")
+      .when(col("price") <= 100, "51-100 DA")
+      .when(col("price") <= 200, "101-200 DA")
+      .when(col("price") <= 500, "201-500 DA")
+      .when(col("price") <= 1000, "501-1000 DA")
+      .otherwise("1000+ DA")
+    meds.filter(col("price").isNotNull)
+      .withColumn("price_range", bucket)
+      .groupBy(col("price_range"))
+      .agg(count(lit(1)).as("medications"), min(col("price")).as("__min_price"))
+      .orderBy(col("__min_price"))
+      .drop("__min_price")
+  }
+
+  /** Q12 insurance coverage tri-state split on the RAW refundable column
+    * (NULL → 'Unknown'; the imputed variant is Q14's view). */
+  def coverageStatus(meds: DataFrame): DataFrame = {
+    val status = when(col("refundable") === true, "Covered by Insurance")
+      .when(col("refundable") === false, "Not Covered")
+      .otherwise("Unknown")
+    val total = meds.agg(count(lit(1)).as("__total"))
+    meds.withColumn("coverage_status", status)
+      .groupBy(col("coverage_status"))
+      .agg(count(lit(1)).as("medications_count"), priceR0.as("avg_price_DA"))
+      .crossJoin(broadcast(total))
+      .withColumn("percentage",
+        round(col("medications_count") * 100.0 / col("__total"), 1))
+      .drop("__total")
+      .orderBy(col("medications_count").desc)
+  }
+
+  /** Q13 ML dataset projection: feature columns, label imputed, all
+    * features non-null. */
+  def mlDataset(meds: DataFrame): DataFrame =
+    meds.filter(
+        col("price").isNotNull && col("form").isNotNull &&
+          col("therapeutic_class").isNotNull &&
+          col("pharmacological_class").isNotNull && col("lab_name").isNotNull)
+      .select(col("price"), col("form"), col("therapeutic_class"),
+        col("pharmacological_class"), col("lab_name"),
+        coalesce(col("refundable"), lit(false)).as("refundable_label"))
+
+  /** Q14 class-imbalance check (NULL counts as Not Covered here). */
+  def classBalance(meds: DataFrame): DataFrame = {
+    val total = meds.agg(count(lit(1)).as("__total"))
+    meds.withColumn("label",
+        when(col("refundable") === true, "Covered").otherwise("Not Covered"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("count"))
+      .crossJoin(broadcast(total))
+      .withColumn("percentage", round(col("count") * 100.0 / col("__total"), 1))
+      .drop("__total")
+      .orderBy(col("label"))
+  }
+
+  /** All 14, by reference query number. */
+  def all: Map[Int, DataFrame => DataFrame] = Map(
+    1 -> marketOverview, 2 -> priceByDiseaseArea, 3 -> topManufacturers,
+    4 -> marketSegmentation, 5 -> formDistribution, 6 -> mostExpensive,
+    7 -> affordability, 8 -> diseaseCoverage, 9 -> manufacturerSize,
+    10 -> topActiveIngredients, 11 -> priceHistogram, 12 -> coverageStatus,
+    13 -> mlDataset, 14 -> classBalance)
+}

@@ -1,0 +1,98 @@
+package graft.pharma
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
+import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Insurance-coverage classifier — the reference's ML stage
+  * (ML_Model_Complete 2025-12-09 16_09_45.py) rebuilt distributed:
+  * where the reference collects to pandas and fits sklearn on the driver
+  * (…py:178-201), this pipeline stays in MLlib end-to-end, so training
+  * scales with the cluster instead of driver memory.
+  *
+  * Parity mapping (SURVEY.md §2.11):
+  *  - categorical encoding: StringIndexer (scalable) as default; the
+  *    bit-exact dense_rank twin of the reference's global-window encoder
+  *    (…py:101-114) is [[denseRankEncode]] — parity tests only, since an
+  *    un-partitioned window single-partitions the data at scale
+  *  - class_weight {0:1, 1:6.1} → weightCol (MLlib has no weight dict)
+  *  - RF 100 trees, depth 10, seed 42 (…py:193-199)
+  *  - accuracy + areaUnderROC evaluators (…py:208-221)
+  */
+object InsuranceModel {
+
+  val FeatureCols: Seq[String] =
+    Seq("form", "therapeutic_class", "pharmacological_class", "lab_name")
+
+  /** Reference-parity categorical encoding: dense_rank over a GLOBAL
+    * alphabetic order, minus 1 (…py:101-114). Deliberately identical
+    * semantics including the single-partition hazard — do not use at
+    * scale; kept for bit-exact parity testing against the reference. */
+  def denseRankEncode(df: DataFrame): DataFrame =
+    FeatureCols.foldLeft(df) { (d, c) =>
+      d.withColumn(s"${c}_idx",
+        (dense_rank().over(Window.orderBy(col(c))) - 1).cast("double"))
+    }
+
+  /** Scalable encoding + assembly + weighted RF as one MLlib Pipeline.
+    * StringIndexer orders labels by frequency (different index values than
+    * dense_rank — never compare across encoders, SURVEY.md §7.4.2). */
+  def pipeline(): Pipeline = {
+    val indexers = FeatureCols.map { c =>
+      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
+        .setHandleInvalid("keep")
+    }
+    val assembler = new VectorAssembler()
+      .setInputCols(("price" +: FeatureCols.map(_ + "_idx")).toArray)
+      .setOutputCol("features")
+    val rf = new RandomForestClassifier()
+      .setNumTrees(100).setMaxDepth(10).setSeed(42)
+      .setLabelCol("label").setFeaturesCol("features").setWeightCol("w")
+    new Pipeline().setStages((indexers :+ assembler :+ rf).toArray)
+  }
+
+  /** Label + weight columns: covered → 0.0, not covered → 1.0 with the
+    * 6.1 minority weight (…py:117-120,196). */
+  def withLabelAndWeight(mlData: DataFrame): DataFrame =
+    mlData
+      .withColumn("label", when(col("refundable_label"), 0.0).otherwise(1.0))
+      .withColumn("w", when(col("label") === 1.0, 6.1).otherwise(1.0))
+      .withColumn("price", col("price").cast("double"))
+
+  final case class Metrics(
+      accuracy: Double, auc: Double, trainRows: Long, testRows: Long,
+      featureImportances: Array[Double])
+
+  /** Train/evaluate with the reference's 80/20 seed-42 split. */
+  def trainAndEvaluate(mlData: DataFrame): Metrics = {
+    val prepared = withLabelAndWeight(mlData).cache()
+    val Array(train, test) = prepared.randomSplit(Array(0.8, 0.2), seed = 42)
+    val model = pipeline().fit(train)
+    val predictions = model.transform(test).cache()
+    val accuracy = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("accuracy").evaluate(predictions)
+    val auc = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC").evaluate(predictions)
+    val rf = model.stages.last.asInstanceOf[RandomForestClassificationModel]
+    val m = Metrics(accuracy, auc, train.count(), test.count(),
+      rf.featureImportances.toArray)
+    prepared.unpersist(); predictions.unpersist()
+    m
+  }
+
+  /** Metrics as a 1-row DataFrame for the driver contract. */
+  def metricsDf(spark: SparkSession, mlData: DataFrame): DataFrame = {
+    import spark.implicits._
+    val m = trainAndEvaluate(mlData)
+    Seq((math.round(m.accuracy * 100.0) / 100.0,
+      math.round(m.auc * 100.0) / 100.0,
+      m.trainRows + m.testRows, m.featureImportances.length))
+      .toDF("accuracy_2dp", "auc_2dp", "total_rows", "n_features")
+  }
+}

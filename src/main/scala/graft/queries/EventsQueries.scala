@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{GraftQuery, Tables}
+
+/** Event-stream analytics in batch form over the `events` table (the same
+  * transforms graft.streaming.EventPipeline runs incrementally — one
+  * logical plan shared by batch and Structured Streaming, SURVEY.md §2.9).
+  *
+  * Timestamps are emitted as formatted strings so Spark-parquet and
+  * DuckDB hash identically regardless of physical timestamp precision
+  * (parquet ns vs Spark micros).
+  */
+object EventsQueries {
+
+  /** Semi-structured extraction: pull an int out of the JSON `props`
+    * column (extension surface, SURVEY.md §2.8 note). At scale this stays
+    * in whole-stage codegen — no UDF. */
+  val q21JsonExtract = GraftQuery(
+    "q21_json_extract",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(avg(col("k")), 3).as("avg_k"),
+          max(col("k")).as("max_k"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n_events,
+      round(avg(CAST(json_extract_string(props,'$.k') AS INT)),3) AS avg_k,
+      max(CAST(json_extract_string(props,'$.k') AS INT)) AS max_k,
+      round(sum(value),2) AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Tumbling event-time window (1 day) — the batch twin of the streaming
+    * groupBy(window($"ts","1 day")) aggregation. date_trunc is the
+    * deterministic batch spelling; the streaming path in
+    * graft.streaming.EventPipeline uses window() + watermark. */
+  val q22TumblingWindow = GraftQuery(
+    "q22_tumbling_window",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"),
+          countDistinct(col("user_id")).as("unique_users"))
+        .orderBy(col("day"), col("event_type")),
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      event_type, count(*) AS n_events,
+      round(sum(value),2) AS total_value,
+      count(DISTINCT user_id) AS unique_users
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
+
+  /** Sessionization via gap detection (30-min inactivity) — the batch twin
+    * of session_window(). lag() over (user, ts) marks session starts; one
+    * shuffle on user_id, every window bounded by a user's own events —
+    * scales horizontally. Epoch seconds compared as double on both engines
+    * (events carry microsecond precision). */
+  val q23Sessionize = GraftQuery(
+    "q23_sessionize", { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sessions = Tables.load(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull, 0)
+            .when(col("ts").cast("double") - col("prev_ts").cast("double") > 1800d, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg((sum(col("new_session")) + lit(1)).as("sessions"),
+          count(lit(1)).as("events"))
+      sessions.agg(
+        count(lit(1)).as("users"),
+        sum(col("sessions")).as("total_sessions"),
+        round(avg(col("sessions")), 4).as("avg_sessions_per_user"),
+        max(col("sessions")).as("max_sessions"))
+    },
+    Some("""WITH marked AS (
+        SELECT user_id,
+          CASE WHEN lag(ts) OVER w IS NULL THEN 0
+               WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1
+               ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      per_user AS (
+        SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS sessions,
+          count(*) AS events
+        FROM marked GROUP BY user_id)
+      SELECT count(*) AS users, CAST(sum(sessions) AS BIGINT) AS total_sessions,
+        round(avg(sessions),4) AS avg_sessions_per_user,
+        max(sessions) AS max_sessions
+      FROM per_user"""))
+
+  /** Top-k users by spend inside one event type — window row_number topk
+    * per group, then global order (§2.6 O6 generalized per-group). */
+  val q24TopUsersPerType = GraftQuery(
+    "q24_top_users_per_type", { (s, dir) =>
+      val perUser = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(round(sum(col("value")), 2).as("spend"), count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("spend").desc, col("user_id"))
+      perUser.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("event_type"), col("rnk"), col("user_id"), col("spend"), col("n"))
+        .orderBy(col("event_type"), col("rnk"))
+    },
+    Some("""SELECT event_type, rnk, user_id, spend, n
+      FROM (SELECT event_type, user_id, spend, n,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY spend DESC, user_id) AS rnk
+            FROM (SELECT event_type, user_id,
+                    round(sum(value),2) AS spend, count(*) AS n
+                  FROM events GROUP BY event_type, user_id) per_user) ranked
+      WHERE rnk <= 5 ORDER BY event_type, rnk"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(q21JsonExtract, q22TumblingWindow, q23Sessionize, q24TopUsersPerType)
+}

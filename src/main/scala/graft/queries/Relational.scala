@@ -1,0 +1,434 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{GraftQuery, Tables}
+
+/** Relational operator suite over the TPC-H-ish star schema.
+  *
+  * Each query re-expresses an operator family from SURVEY.md §2 (the
+  * reference's single-table dashboard workload — aggregation, CASE
+  * bucketing, HAVING, scalar subqueries, top-k, window encoding — observed
+  * in /root/reference/pharmaceutical_dashboard_queries.sql and the two
+  * notebooks) as idiomatic Spark DataFrame code on the driver's test
+  * tables, with a DuckDB oracle per query.
+  *
+  * Scale notes are inline: which side broadcasts, where the shuffles are,
+  * and why each plan survives 100 TB.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** TPC-H Q1 shape: scan → partial agg → 1 shuffle on tiny key space →
+    * final agg. Mirrors reference §2.4 A3/A5 (groupBy + multi-agg).
+    * At 100 TB: only the ~6-row aggregate shuffles; filter and projection
+    * push into the parquet scan. */
+  val q01PricingSummary = GraftQuery(
+    "q01_pricing_summary",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity),2) AS sum_qty,
+      round(sum(l_extendedprice),2) AS sum_base_price,
+      round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      round(avg(l_quantity),2) AS avg_qty,
+      round(avg(l_discount),4) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Global (grouping-free) aggregate — reference §2.4 A1
+    * (min/avg/max price audit, Pharma_Ingestion_Cleaning.py:94). */
+  val q02GlobalStats = GraftQuery(
+    "q02_global_stats",
+    (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        count(lit(1)).as("n")),
+    Some("""SELECT round(min(l_extendedprice),2) AS min_price,
+      round(max(l_extendedprice),2) AS max_price,
+      round(avg(l_extendedprice),2) AS avg_price,
+      count(*) AS n FROM lineitem"""))
+
+  /** COUNT(*) + COUNT(DISTINCT) KPI row — reference §2.4 A4 (the dashboard
+    * KPI query, pharmaceutical_dashboard_queries.sql:8-15). Exact distinct
+    * costs an Expand + 2-phase agg; the HLL variant for 100 TB dashboards
+    * is q03b. */
+  val q03CountDistinct = GraftQuery(
+    "q03_count_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("total_rows"),
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        countDistinct(col("l_orderkey")).as("distinct_orders")),
+    Some("""SELECT count(*) AS total_rows,
+      count(DISTINCT l_partkey) AS distinct_parts,
+      count(DISTINCT l_suppkey) AS distinct_supps,
+      count(DISTINCT l_orderkey) AS distinct_orders FROM lineitem"""))
+
+  /** Exact percentiles — reference §2.4 A6 (PERCENTILE(price,0.5),
+    * pharmaceutical_dashboard_queries.sql:13). Exact percentile is a
+    * sort-based aggregate; at 100 TB prefer approx_percentile (t-digest) —
+    * exposed in graft.functions. Oracle uses ANSI percentile_cont, which
+    * matches Spark's linear-interpolating exact percentile. */
+  val q04Percentile = GraftQuery(
+    "q04_percentile",
+    (s, dir) =>
+      t(s, dir, "orders").agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95")),
+    Some("""SELECT
+      round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice),2) AS p25,
+      round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY o_totalprice),2) AS median,
+      round(percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice),2) AS p75,
+      round(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice),2) AS p95
+      FROM orders"""))
+
+  /** Conditional (CASE-filtered) aggregation — reference §2.4 A7
+    * (affordability bands, pharmaceutical_dashboard_queries.sql:96-98).
+    * Null-skipping agg over CaseWhen keeps one scan for all bands. */
+  val q05ConditionalAgg = GraftQuery(
+    "q05_conditional_agg",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(when(col("o_totalprice") <= 50000, 1)).as("cheap_orders"),
+          count(when(col("o_totalprice") > 200000, 1)).as("premium_orders"),
+          round(avg(when(col("o_totalprice") <= 50000, col("o_totalprice"))), 2).as("avg_cheap"),
+          round(avg(when(col("o_totalprice") > 200000, col("o_totalprice"))), 2).as("avg_premium"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+      count(CASE WHEN o_totalprice <= 50000 THEN 1 END) AS cheap_orders,
+      count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS premium_orders,
+      round(avg(CASE WHEN o_totalprice <= 50000 THEN o_totalprice END),2) AS avg_cheap,
+      round(avg(CASE WHEN o_totalprice > 200000 THEN o_totalprice END),2) AS avg_premium
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** HAVING (post-aggregation filter) — reference §2.4 A8
+    * (HAVING COUNT(*) >= 30, pharmaceutical_dashboard_queries.sql:29). */
+  val q06Having = GraftQuery(
+    "q06_having",
+    (s, dir) =>
+      t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("products"),
+          round(avg(col("p_retailprice")), 2).as("avg_retail"))
+        .filter(col("products") >= 5)
+        .orderBy(col("products").desc, col("p_brand")),
+    Some("""SELECT p_brand, count(*) AS products,
+      round(avg(p_retailprice),2) AS avg_retail
+      FROM part GROUP BY p_brand HAVING count(*) >= 5
+      ORDER BY products DESC, p_brand"""))
+
+  /** GROUP BY CASE bucketing + ORDER BY CASE custom collation — reference
+    * §2.4 A9 + §2.6 O4 (price_category histogram,
+    * pharmaceutical_dashboard_queries.sql:50-62,163-181). Bucket column is
+    * projected once, grouped, then ordered by its rank expression. */
+  val q07CaseBucket = GraftQuery(
+    "q07_case_bucket", { (s, dir) =>
+      val bucket = when(col("o_totalprice") <= 100000, "Low")
+        .when(col("o_totalprice") <= 300000, "Medium")
+        .otherwise("High")
+      t(s, dir, "orders")
+        .withColumn("price_category", bucket)
+        .groupBy(col("price_category"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy(when(col("price_category") === "Low", 1)
+          .when(col("price_category") === "Medium", 2).otherwise(3))
+    },
+    Some("""SELECT CASE WHEN o_totalprice <= 100000 THEN 'Low'
+        WHEN o_totalprice <= 300000 THEN 'Medium' ELSE 'High' END AS price_category,
+      count(*) AS n_orders, round(avg(o_totalprice),2) AS avg_price
+      FROM orders GROUP BY 1
+      ORDER BY CASE price_category WHEN 'Low' THEN 1 WHEN 'Medium' THEN 2 ELSE 3 END"""))
+
+  /** Two-level re-aggregation — reference §2.4 A10 (AVG of per-class
+    * counts, pharmaceutical_dashboard_queries.sql:105-113). Two chained
+    * shuffles; the second input is already small (one row per group). */
+  val q08TwoLevelAgg = GraftQuery(
+    "q08_two_level_agg", { (s, dir) =>
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("spend"))
+      perCust.agg(
+        round(avg(col("n_orders")), 4).as("avg_orders_per_cust"),
+        max(col("n_orders")).as("max_orders"),
+        round(avg(col("spend")), 2).as("avg_spend"))
+    },
+    Some("""SELECT round(avg(n_orders),4) AS avg_orders_per_cust,
+      max(n_orders) AS max_orders, round(avg(spend),2) AS avg_spend
+      FROM (SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+            FROM orders GROUP BY o_custkey) per_cust"""))
+
+  /** Uncorrelated scalar subquery (market-share %) — reference §2.4 A11
+    * (COUNT(*)*100.0/(SELECT COUNT(*)…),
+    * pharmaceutical_dashboard_queries.sql:54,71,195,239). Run through
+    * spark.sql to exercise the SQL front door; Catalyst plans the subquery
+    * once and broadcasts the single value. */
+  val q09ScalarSubquery = GraftQuery(
+    "q09_scalar_subquery", { (s, dir) =>
+      Tables.registerAll(s, dir)
+      // 100.0 is DECIMAL in Spark SQL but DOUBLE in DuckDB — cast the
+      // ratio to double before rounding so result types hash-match.
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+        round(cast(count(*) * 100.0 / (SELECT count(*) FROM orders) AS DOUBLE), 2) AS pct_share
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_orders,
+      round(count(*) * 100.0 / (SELECT count(*) FROM orders), 2) AS pct_share
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** ORDER BY + LIMIT top-k — reference §2.6 O6. Spark plans
+    * TakeOrderedAndProject: per-partition top-k then a k-row merge on the
+    * driver — no global sort, which is the only top-k that works at 100 TB.
+    * o_orderkey tiebreak keeps the k-row frontier deterministic. */
+  val q10TopK = GraftQuery(
+    "q10_topk",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total_price"))
+        .orderBy(col("total_price").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS total_price
+      FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 10"""))
+
+  /** Star-schema dimension join — broadcast both dims (§2.3). nation and
+    * region stay tiny at any scale factor, so the fact side never
+    * shuffles: BroadcastHashJoin × 2, then a 5-key aggregate. */
+  val q11StarJoin = GraftQuery(
+    "q11_star_join", { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      cust
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("customers"),
+          round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+        .orderBy(col("r_name"))
+    },
+    Some("""SELECT r_name, count(*) AS customers,
+      round(sum(c_acctbal),2) AS total_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
+  /** Fact-to-fact equi-join — orders ⋈ lineitem on the natural key. Both
+    * sides shuffle-partition on l_orderkey/o_orderkey (sort-merge or
+    * shuffled-hash under AQE); at 100 TB this is the bucketing candidate:
+    * co-bucket both tables on orderkey and the exchange disappears. */
+  val q12FactJoin = GraftQuery(
+    "q12_fact_join", { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("line_items"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+      round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      count(*) AS line_items
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Left outer join + re-aggregation (TPC-H Q13 shape): customer
+    * distribution by order count, keeping zero-order customers. */
+  val q13OuterJoin = GraftQuery(
+    "q13_outer_join", { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      cust.join(orders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("n_orders").desc)
+    },
+    Some("""SELECT n_orders, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey) per_cust
+      GROUP BY n_orders ORDER BY custdist DESC, n_orders DESC"""))
+
+  /** Semi/anti join — EXISTS / NOT EXISTS without materializing the right
+    * side (§2.3): customers with vs without orders in one row. */
+  val q14SemiAnti = GraftQuery(
+    "q14_semi_anti", { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders").select(col("o_custkey"))
+      val withOrders = cust
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("with_orders"))
+      val withoutOrders = cust
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("without_orders"))
+      withOrders.crossJoin(withoutOrders)
+    },
+    Some("""SELECT
+      (SELECT count(*) FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders"""))
+
+  /** Partitioned ranking window — the scale-safe twin of the reference's
+    * global dense_rank encoder (§2.5 W1, ML_Model_Complete…py:101-114).
+    * PARTITION BY bounds every window to one nation — no single-partition
+    * collapse at 100 TB. Top-3 suppliers per nation by balance. */
+  val q15WindowRank = GraftQuery(
+    "q15_window_rank", { (s, dir) =>
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      t(s, dir, "supplier")
+        .withColumn("rnk", dense_rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("s_nationkey"), col("rnk"), col("s_suppkey"),
+          round(col("s_acctbal"), 2).as("acctbal"))
+        .orderBy(col("s_nationkey"), col("rnk"), col("s_suppkey"))
+    },
+    Some("""SELECT s_nationkey, rnk, s_suppkey, round(s_acctbal,2) AS acctbal
+      FROM (SELECT s_nationkey, s_suppkey, s_acctbal,
+              dense_rank() OVER (PARTITION BY s_nationkey
+                ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+            FROM supplier) ranked
+      WHERE rnk <= 3 ORDER BY s_nationkey, rnk, s_suppkey"""))
+
+  /** Analytic window functions over frames — running sum + lag delta per
+    * customer ordered by order date (§2.5 full-surface commitment). */
+  val q16WindowRunning = GraftQuery(
+    "q16_window_running", { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("running_spend",
+          round(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .withColumn("prev_price", round(lag(col("o_totalprice"), 1).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"), col("prev_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend,
+      round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey),2) AS prev_price
+      FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  /** Set operations — UNION (distinct), INTERSECT, EXCEPT (§2.7). */
+  val q17SetOps = GraftQuery(
+    "q17_set_ops", { (s, dir) =>
+      val orderCust = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val custKeys = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val unionN = orderCust.union(custKeys).distinct()
+        .agg(count(lit(1)).as("union_keys"))
+      val interN = orderCust.intersect(custKeys)
+        .agg(count(lit(1)).as("both_keys"))
+      val exceptN = custKeys.except(orderCust)
+        .agg(count(lit(1)).as("cust_only_keys"))
+      unionN.crossJoin(interN).crossJoin(exceptN)
+    },
+    Some("""SELECT
+      (SELECT count(*) FROM (SELECT o_custkey AS k FROM orders
+        UNION SELECT c_custkey FROM customer) u) AS union_keys,
+      (SELECT count(*) FROM (SELECT o_custkey AS k FROM orders
+        INTERSECT SELECT c_custkey FROM customer) i) AS both_keys,
+      (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer
+        EXCEPT SELECT o_custkey FROM orders) e) AS cust_only_keys"""))
+
+  /** Theta/range (non-equi) join — parts priced inside a band derived from
+    * another relation (§2.3 "theta / range"). The band table is 1 row →
+    * broadcast nested loop, the only sane physical plan for non-equi. */
+  val q18RangeJoin = GraftQuery(
+    "q18_range_join", { (s, dir) =>
+      val part = t(s, dir, "part")
+      val band = t(s, dir, "part").agg(
+        round(avg(col("p_retailprice")) * 0.9, 6).as("lo"),
+        round(avg(col("p_retailprice")) * 1.1, 6).as("hi"))
+      part.join(broadcast(band),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") <= col("hi"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("mid_band_parts"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""WITH band AS (SELECT round(avg(p_retailprice)*0.9,6) AS lo,
+                round(avg(p_retailprice)*1.1,6) AS hi FROM part)
+      SELECT p_brand, count(*) AS mid_band_parts
+      FROM part, band
+      WHERE p_retailprice >= lo AND p_retailprice <= hi
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** Grouping sets / rollup — free via Catalyst (§2.4 note). Rollup over
+    * (region, nation) customer counts; grouping_id disambiguates levels. */
+  val q19Rollup = GraftQuery(
+    "q19_rollup", { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      cust
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("customers"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+    Some("""SELECT r_name, n_name, count(*) AS customers
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""))
+
+  /** Exact deduplication on a constructed duplicate-heavy corpus (§2.7 +
+    * README.md:17 "handling … duplicates"). UNION ALL of orders with
+    * itself → dropDuplicates on the full row key. At 100 TB exact dedup is
+    * one hash-shuffle on the dedup key — the baseline the MinHash path
+    * (graft.ops.Dedup) improves on for *near*-dups. */
+  val q20DedupExact = GraftQuery(
+    "q20_dedup_exact", { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val doubled = o.union(o)
+      val total = doubled.agg(count(lit(1)).as("total_rows"))
+      val deduped = doubled.dropDuplicates(Seq("o_orderkey", "o_custkey"))
+        .agg(count(lit(1)).as("distinct_rows"))
+      total.crossJoin(deduped)
+    },
+    Some("""SELECT
+      (SELECT count(*) FROM (SELECT o_orderkey, o_custkey FROM orders
+        UNION ALL SELECT o_orderkey, o_custkey FROM orders) d) AS total_rows,
+      (SELECT count(*) FROM (SELECT DISTINCT o_orderkey, o_custkey
+        FROM (SELECT o_orderkey, o_custkey FROM orders
+          UNION ALL SELECT o_orderkey, o_custkey FROM orders) d) dd) AS distinct_rows"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    q01PricingSummary, q02GlobalStats, q03CountDistinct, q04Percentile,
+    q05ConditionalAgg, q06Having, q07CaseBucket, q08TwoLevelAgg,
+    q09ScalarSubquery, q10TopK, q11StarJoin, q12FactJoin, q13OuterJoin,
+    q14SemiAnti, q15WindowRank, q16WindowRunning, q17SetOps, q18RangeJoin,
+    q19Rollup, q20DedupExact)
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftQuery, Tables}
+import graft.ops.Multimodal
+import graft.streaming.EventPipeline
+
+/** Structured Streaming + multimodal surfaces wired to the driver
+  * contract. The streaming query runs the real incremental engine (file
+  * stream → watermark → windowed state → memory sink) over the static
+  * events table and must produce exactly the batch answer — which is why
+  * it can carry a DuckDB oracle.
+  */
+object StreamingQueries {
+
+  /** Tumbling-window aggregation executed BY THE STREAMING ENGINE,
+    * oracle-checked against the batch semantics. */
+  val q37StreamTumbling = GraftQuery(
+    "q37_stream_tumbling", { (s, dir) =>
+      val sink = s"stream_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      EventPipeline
+        .runToMemorySink(s, dir, sink, EventPipeline.tumblingCounts)
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      event_type, count(*) AS n_events, round(sum(value),2) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
+
+  /** Session windows from the streaming engine (rows-only; gap semantics
+    * asserted against the batch sessionizer in StreamingSpec). */
+  val q38StreamSessions = GraftQuery(
+    "q38_stream_sessions", { (s, dir) =>
+      val sink = s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      EventPipeline
+        .runToMemorySink(s, dir, sink, EventPipeline.sessionCounts)
+        .agg(count(lit(1)).as("sessions"),
+          sum(col("n_events")).as("events_in_sessions"),
+          countDistinct(col("user_id")).as("users"))
+    })
+
+  /** Multimodal plumbing: synthesize binary media from documents, decode
+    * headers per partition, audit validity (rows-only; byte-level checks
+    * in MultimodalSpec). */
+  val q39MultimodalDecode = GraftQuery(
+    "q39_multimodal_decode", { (s, dir) =>
+      val media = Multimodal.syntheticMediaFromDocs(Tables.load(s, dir, "documents"))
+      Multimodal.decodeMeta(s, media)
+        .agg(count(lit(1)).as("blobs"),
+          count(when(col("valid"), 1)).as("valid_blobs"),
+          sum(col("n_bytes")).as("total_bytes"),
+          max(col("width")).as("max_width"))
+    })
+
+  val all: Seq[GraftQuery] = Seq(q37StreamTumbling, q38StreamSessions, q39MultimodalDecode)
+}

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftQuery, Tables}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators wired to the driver contract:
+  * text statistics, quality scoring, language ID, fingerprinting,
+  * near-duplicate detection (MinHash / SimHash / n-gram Jaccard /
+  * embedding cosine) and ANN search over `documents` / `embeddings`.
+  *
+  * SQL-expressible queries carry DuckDB oracles; the sketch-based
+  * operators (MinHash/SimHash/LSH) are verified in the ScalaTest suite
+  * against exact recomputation instead (driver records rows-only).
+  */
+object TextVectorQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embeds(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Deterministic near-duplicate corpus: every document plus a copy with
+    * the first word dropped, ids offset by 1,000,000. Gives the dedup
+    * operators a known ground truth (pair (id, id+1e6) per doc). */
+  private[queries] def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val perturbed = d
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
+    d.union(perturbed)
+  }
+
+  /** Token counting + corpus stats per language (oracle-checked). */
+  val q25TextStats = GraftQuery(
+    "q25_text_stats",
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("docs"),
+          round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          max(TextAnalysis.tokenCount(col("text"))).as("max_tokens"))
+        .orderBy(col("lang")),
+    Some("""SELECT lang, count(*) AS docs,
+      round(avg(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))),4) AS avg_tokens,
+      round(avg(n_chars),4) AS avg_chars,
+      max(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) AS max_tokens
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Quality heuristics by source (oracle-checked): mean word length and
+    * short-doc share — the portable slice of the quality score. */
+  val q26QualityBySource = GraftQuery(
+    "q26_quality_by_source",
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("docs"),
+          round(avg(TextAnalysis.meanWordLength(col("text"))), 4).as("avg_word_len"),
+          round(count(when(col("n_chars") < 200, 1)) * 100.0 / count(lit(1)), 2)
+            .as("pct_short"))
+        .orderBy(col("source")),
+    Some("""SELECT source, count(*) AS docs,
+      round(avg(len(replace(text, ' ', '')) * 1.0 /
+        len(list_filter(string_split(text, ' '), x -> len(x) > 0))),4) AS avg_word_len,
+      round(count(CASE WHEN n_chars < 200 THEN 1 END) * 100.0 / count(*),2) AS pct_short
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  /** Vocabulary top-k via explode (generator surface, §2.10) —
+    * oracle-checked against DuckDB unnest. */
+  val q27TokenTopK = GraftQuery(
+    "q27_token_topk",
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("occurrences"))
+        .orderBy(col("occurrences").desc, col("token"))
+        .limit(20),
+    Some("""SELECT token, count(*) AS occurrences
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+              x -> len(x) > 0)) AS token FROM documents) t
+      GROUP BY token ORDER BY occurrences DESC, token LIMIT 20"""))
+
+  /** Language-ID confusion matrix (rows-only; the classifier itself is
+    * verified in LangIdSpec). */
+  val q28LangId = GraftQuery(
+    "q28_lang_id",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("docs"))
+        .orderBy(col("lang"), col("lang_pred")))
+
+  /** Winnowing fingerprint collision audit (rows-only): identical
+    * fingerprints on the doubled corpus = near-dup detection via a single
+    * 8-byte key — the cheapest dedup signal that survives small edits. */
+  val q29Fingerprint = GraftQuery(
+    "q29_fingerprint", { (s, dir) =>
+      val fp = nearDupCorpus(s, dir)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      fp.agg(
+        count(lit(1)).as("docs"),
+        countDistinct(col("fp")).as("distinct_fingerprints"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("collisions"))
+    })
+
+  /** MinHash+LSH near-dup detection on the constructed corpus (rows-only;
+    * recall vs ground truth asserted in DedupSpec). */
+  val q30MinhashNearDup = GraftQuery(
+    "q30_minhash_neardup", { (s, dir) =>
+      val pairs = Dedup.minhashNearDups(nearDupCorpus(s, dir), "text", "doc_id",
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      pairs.agg(
+        count(lit(1)).as("pairs_found"),
+        count(when(col("id_b") === col("id_a") + 1000000L, 1)).as("true_pairs"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+    })
+
+  /** SimHash near-dup detection on the same corpus (rows-only). */
+  val q31SimhashNearDup = GraftQuery(
+    "q31_simhash_neardup", { (s, dir) =>
+      val pairs = Dedup.simhashNearDups(nearDupCorpus(s, dir), "text", "doc_id",
+        maxHamming = 3)
+      pairs.agg(
+        count(lit(1)).as("pairs_found"),
+        count(when(col("id_b") === col("id_a") + 1000000L, 1)).as("true_pairs"),
+        round(avg(col("hamming")), 4).as("avg_hamming"))
+    })
+
+  /** Exact n-gram Jaccard over the known dup pairs (rows-only): the
+    * verification primitive measured on ground truth. */
+  val q32NgramJaccard = GraftQuery(
+    "q32_ngram_jaccard", { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.shingleSet(col("text"), 3).as("sh_a"))
+      val pert = nearDupCorpus(s, dir).filter(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("doc_id"),
+          TextAnalysis.shingleSet(col("text"), 3).as("sh_b"))
+      base.join(pert, Seq("doc_id"))
+        .withColumn("jaccard", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
+        .agg(
+          count(lit(1)).as("pairs"),
+          round(avg(col("jaccard")), 4).as("avg_jaccard"),
+          round(min(col("jaccard")), 4).as("min_jaccard"))
+    })
+
+  /** Exact brute-force ANN top-10 for 5 query vectors (oracle-checked —
+    * the cosine accumulation is element-ordered double math on both
+    * engines, so scores hash-match at 6 decimals). */
+  val q33AnnBrute = GraftQuery(
+    "q33_ann_brute", { (s, dir) =>
+      val e = embeds(s, dir)
+      Similarity.bruteForceTopK(
+          e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""SELECT query_id, rnk, neighbor_id, cosine FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+          round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]),6) AS cosine,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+              n.vec_id) AS rnk
+        FROM embeddings q, embeddings n
+        WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id) t
+      WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+
+  /** Sign-LSH bucketed ANN (rows-only; recall vs brute force asserted in
+    * SimilaritySpec). */
+  val q34AnnLsh = GraftQuery(
+    "q34_ann_lsh", { (s, dir) =>
+      val e = embeds(s, dir)
+      Similarity.lshTopK(
+          e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10, planes = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    })
+
+  /** IVF-style coarse-quantized ANN (rows-only). */
+  val q35AnnIvf = GraftQuery(
+    "q35_ann_ivf", { (s, dir) =>
+      val e = embeds(s, dir)
+      Similarity.ivfTopK(
+          e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, stride = 25, nprobe = 6)
+        .orderBy(col("query_id"), col("rnk"))
+    })
+
+  /** Exact embedding near-dup pairs above a cosine threshold
+    * (oracle-checked); the LSH-blocked variant is Dedup.embeddingNearDups,
+    * exercised in DedupSpec. */
+  val q36EmbedNearDup = GraftQuery(
+    "q36_embed_neardup", { (s, dir) =>
+      val a = embeds(s, dir).select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val b = embeds(s, dir).select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+        .filter(col("cosine") >= 0.45)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),6) AS cosine
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),6) >= 0.45
+      ORDER BY id_a, id_b"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    q25TextStats, q26QualityBySource, q27TokenTopK, q28LangId, q29Fingerprint,
+    q30MinhashNearDup, q31SimhashNearDup, q32NgramJaccard, q33AnnBrute,
+    q34AnnLsh, q35AnnIvf, q36EmbedNearDup)
+}

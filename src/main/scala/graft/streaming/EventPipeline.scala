@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2.9):
+  * file-stream ingestion, watermarked tumbling windows, session windows,
+  * watermarked streaming dedup, and arbitrary state via
+  * flatMapGroupsWithState.
+  *
+  * Transforms are defined on unbounded DataFrames, so the identical
+  * logical plan runs in batch (EventsQueries) and incrementally — the
+  * shared-plan design the cleaning pass uses too. State stores are keyed
+  * by (window/user), so state scales horizontally with the key space and
+  * watermarks bound its size.
+  */
+object EventPipeline {
+
+  /** Explicit schema — streaming sources must never infer. `ts` arrives as
+    * raw nanos (TIMESTAMP(NANOS) parquet → long under the nanosAsLong
+    * flag) and is converted to TimestampType in [[readEventStream]]. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream over a directory of event parquet files — the
+    * local stand-in for a Kafka topic; swap `.format`/`.option` to go to
+    * Kafka, the plan downstream is unchanged. `glob` narrows to the event
+    * files when the directory holds other tables. Integer `div` for the
+    * nanos→micros conversion: nanos-since-epoch overflows double math. */
+  def readEventStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation (1 day, 1 hour late data). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Session windows: 30-minute inactivity gap per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Streaming dedup on event_id bounded by the watermark — the streaming
+    * twin of Dedup.exact. */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  final case class UserRunning(userId: Long, events: Long, totalValue: Double)
+
+  /** Arbitrary stateful processing: running per-user totals via
+    * flatMapGroupsWithState (emits an update per batch per active user). */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events.selectExpr("user_id", "value").as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.events
+          var total = prev.totalValue
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = UserRunning(userId, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+      .toDF()
+  }
+
+  /** Run any of the streaming transforms to completion against a static
+    * directory through a named memory sink; returns the materialized
+    * result. This is how the test suite (and Verify) exercises the
+    * streaming path deterministically with no wall-clock dependence. */
+  def runToMemorySink(
+      spark: SparkSession, dir: String, queryName: String,
+      transform: DataFrame => DataFrame,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q: StreamingQuery = transform(readEventStream(spark, dir))
+      .writeStream.outputMode(mode)
+      .format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}
