@@ -29,8 +29,12 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     val names = SparkEntry.headline.filter(SparkEntry.queries.contains)
-    // Warm-up: JVM + codegen + file listing, untimed.
-    force(names.head)
+    // Warm-up: JVM + codegen + file listing, untimed. Same failure policy
+    // as the timed loop — a broken first query must not abort the whole
+    // benchmark before any JSON is emitted (its own timed run records -1).
+    try force(names.head) catch {
+      case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}")
+    }
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val ok = try { force(name); true } catch {

@@ -34,8 +34,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Self-contained oracles (the pharma family) reference the raw-feed
+    // parquet dumped above via read_parquet — substitute the absolute
+    // path so the driver's DuckDB run works from any cwd.
+    val rawPath = Paths.get(outDir).toAbsolutePath.toString + "/pharma_q00_raw_feed"
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__PHARMA_RAW__", rawPath))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

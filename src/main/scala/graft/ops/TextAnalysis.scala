@@ -94,11 +94,14 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val ts = tokens(lower(text))
     val denom = greatest(size(ts), lit(1)).cast("double")
-    // Build (score, lang) structs, take max — struct comparison is
-    // lexicographic, so ties break toward the later lang; negate lang via
-    // ordering by (score, lang) then prefer lowest code on equal score.
-    val scored = LanguageProfiles.toSeq.sortBy(_._1).reverse.map { case (lang, words) =>
+    // (score, pref, lang) structs compared lexicographically by
+    // greatest(): max score wins; on equal score the higher `pref` wins,
+    // and pref is the REVERSED alphabetic rank — so ties break toward the
+    // lowest language code (en before es before fr …).
+    val langs = LanguageProfiles.toSeq.sortBy(_._1)
+    val scored = langs.zipWithIndex.map { case ((lang, words), idx) =>
       struct((size(filter(ts, t => t.isInCollection(words))) / denom).as("score"),
+        lit(langs.size - 1 - idx).as("pref"),
         lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)

@@ -34,8 +34,10 @@ object Dashboard {
     meds.filter(col("therapeutic_class").isNotNull)
       .groupBy(col("therapeutic_class").as("disease_area"))
       .agg(count(lit(1)).as("drug_count"), priceR0.as("avg_price_DA"),
-        round(min(col("price")), 0).as("min_price_DA"),
-        round(max(col("price")), 0).as("max_price_DA"))
+        // double-cast: ROUND(int, 0) stays int in Spark but is double in
+        // ANSI engines — cast so the oracle hash-matches on type and value
+        round(min(col("price")).cast("double"), 0).as("min_price_DA"),
+        round(max(col("price")).cast("double"), 0).as("max_price_DA"))
       .filter(col("drug_count") >= 30)
       .orderBy(col("avg_price_DA").desc)
       .limit(12)
@@ -75,12 +77,15 @@ object Dashboard {
       .limit(8)
   }
 
-  /** Q6 top-15 most expensive medications. */
+  /** Q6 top-15 most expensive medications. `name` tiebreak: the fixture
+    * repeats price points, so the reference's bare ORDER BY price DESC has
+    * a nondeterministic top-15 frontier — the unique name key makes the
+    * cut deterministic (same rows on any engine/partitioning). */
   def mostExpensive(meds: DataFrame): DataFrame =
     meds.filter(col("price").isNotNull)
       .select(col("name"), col("therapeutic_class").as("disease_area"),
         col("lab_name").as("manufacturer"), col("price").as("price_DA"), col("form"))
-      .orderBy(col("price_DA").desc)
+      .orderBy(col("price_DA").desc, col("name"))
       .limit(15)
 
   /** Q7 affordability shares (conditional aggregation). */

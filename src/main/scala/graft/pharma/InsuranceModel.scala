@@ -1,6 +1,6 @@
 package graft.pharma
 
-import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
 import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
@@ -63,9 +63,59 @@ object InsuranceModel {
       .withColumn("w", when(col("label") === 1.0, 6.1).otherwise(1.0))
       .withColumn("price", col("price").cast("double"))
 
+  final case class ClassStats(precision: Double, recall: Double)
+
   final case class Metrics(
       accuracy: Double, auc: Double, trainRows: Long, testRows: Long,
-      featureImportances: Array[Double])
+      featureImportances: Array[Double],
+      covered: ClassStats, notCovered: ClassStats,
+      reloadOk: Boolean)
+
+  /** Per-row inference surface (reference's predict/predict_proba loop,
+    * ML_Model_Complete…py:248-263, distributed): prediction plus the
+    * winning-class confidence, appended to the input columns. */
+  def predict(model: PipelineModel, df: DataFrame): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    model.transform(withLabelAndWeight(df))
+      .withColumn("confidence",
+        round(array_max(vector_to_array(col("probability"))), 4))
+      .withColumn("predicted_label",
+        when(col("prediction") === 0.0, "Covered").otherwise("Not Covered"))
+      .drop("rawPrediction", "probability", "features")
+  }
+
+  /** Per-class precision/recall from a predictions frame — one
+    * distributed aggregate over the confusion counts (the reference's
+    * classification_report, ML_Model_Complete…py:214-221). */
+  def classStats(predictions: DataFrame, cls: Double): ClassStats = {
+    val row = predictions.agg(
+      count(when(col("prediction") === cls && col("label") === cls, 1)).as("tp"),
+      count(when(col("prediction") === cls && col("label") =!= cls, 1)).as("fp"),
+      count(when(col("prediction") =!= cls && col("label") === cls, 1)).as("fn"))
+      .head()
+    val (tp, fp, fn) = (row.getLong(0).toDouble, row.getLong(1).toDouble, row.getLong(2).toDouble)
+    ClassStats(
+      if (tp + fp == 0) 0.0 else tp / (tp + fp),
+      if (tp + fn == 0) 0.0 else tp / (tp + fn))
+  }
+
+  /** Model persistence round-trip (reference's pickle save/reload-verify,
+    * ML_Model_Complete…py:276-323, via MLlib native writers): save,
+    * reload, and check the reloaded model reproduces every prediction. */
+  def persistenceRoundTrip(model: PipelineModel, test: DataFrame): Boolean = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_rf_model").resolve("model").toString
+    model.write.overwrite().save(path)
+    val reloaded = PipelineModel.load(path)
+    val diffs = model.transform(test).select(col("price"), col("form"),
+        col("therapeutic_class"), col("pharmacological_class"),
+        col("lab_name"), col("prediction"))
+      .except(reloaded.transform(test).select(col("price"), col("form"),
+        col("therapeutic_class"), col("pharmacological_class"),
+        col("lab_name"), col("prediction")))
+      .count()
+    diffs == 0
+  }
 
   /** Train/evaluate with the reference's 80/20 seed-42 split. */
   def trainAndEvaluate(mlData: DataFrame): Metrics = {
@@ -81,7 +131,10 @@ object InsuranceModel {
       .setMetricName("areaUnderROC").evaluate(predictions)
     val rf = model.stages.last.asInstanceOf[RandomForestClassificationModel]
     val m = Metrics(accuracy, auc, train.count(), test.count(),
-      rf.featureImportances.toArray)
+      rf.featureImportances.toArray,
+      covered = classStats(predictions, 0.0),
+      notCovered = classStats(predictions, 1.0),
+      reloadOk = persistenceRoundTrip(model, test))
     prepared.unpersist(); predictions.unpersist()
     m
   }
@@ -90,9 +143,14 @@ object InsuranceModel {
   def metricsDf(spark: SparkSession, mlData: DataFrame): DataFrame = {
     import spark.implicits._
     val m = trainAndEvaluate(mlData)
-    Seq((math.round(m.accuracy * 100.0) / 100.0,
-      math.round(m.auc * 100.0) / 100.0,
-      m.trainRows + m.testRows, m.featureImportances.length))
-      .toDF("accuracy_2dp", "auc_2dp", "total_rows", "n_features")
+    def r2(x: Double) = math.round(x * 100.0) / 100.0
+    Seq((r2(m.accuracy), r2(m.auc),
+      m.trainRows + m.testRows, m.featureImportances.length,
+      r2(m.covered.precision), r2(m.covered.recall),
+      r2(m.notCovered.precision), r2(m.notCovered.recall),
+      m.reloadOk))
+      .toDF("accuracy_2dp", "auc_2dp", "total_rows", "n_features",
+        "precision_covered", "recall_covered",
+        "precision_not_covered", "recall_not_covered", "reload_ok")
   }
 }

@@ -120,6 +120,48 @@ object EventsQueries {
                   FROM events GROUP BY event_type, user_id) per_user) ranked
       WHERE rnk <= 5 ORDER BY event_type, rnk"""))
 
+  /** As-of join (SURVEY §2.3 J6): each click event enriched with the most
+    * recent purchase AT OR BEFORE it by the same user, without a built-in
+    * ASOF operator — the union+window formulation: tag both sides, union,
+    * and take running max(purchase_ts) over (user, time) order. One
+    * shuffle on user_id, windows bounded per user — the scale shape of an
+    * as-of join without any range-join explosion. The right side sorts
+    * before the left at equal timestamps (tag 0 < 1), giving the
+    * inclusive `click.ts >= purchase.ts` semantics DuckDB's ASOF JOIN
+    * uses, which is the oracle. */
+  val q41AsofJoin = GraftQuery(
+    "q41_asof_join", { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          lit(null).cast("timestamp").as("pts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          col("ts").as("pts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.union(purchases)
+        .withColumn("last_purchase", max(col("pts")).over(w))
+        .filter(col("tag") === 1)
+        .agg(
+          count(lit(1)).as("clicks"),
+          count(col("last_purchase")).as("matched"),
+          round(avg(col("ts").cast("double") - col("last_purchase").cast("double")), 2)
+            .as("avg_gap_s"),
+          round(max(col("ts").cast("double") - col("last_purchase").cast("double")), 2)
+            .as("max_gap_s"))
+    },
+    Some("""SELECT count(*) AS clicks, count(pts) AS matched,
+      round(avg(epoch(ts) - epoch(pts)), 2) AS avg_gap_s,
+      round(max(epoch(ts) - epoch(pts)), 2) AS max_gap_s
+      FROM (SELECT c.ts, p.pts
+            FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+              (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.pts) matched"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q21JsonExtract, q22TumblingWindow, q23Sessionize, q24TopUsersPerType)
+    Seq(q21JsonExtract, q22TumblingWindow, q23Sessionize, q24TopUsersPerType,
+      q41AsofJoin)
 }

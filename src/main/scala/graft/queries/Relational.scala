@@ -70,7 +70,7 @@ object Relational {
   /** COUNT(*) + COUNT(DISTINCT) KPI row — reference §2.4 A4 (the dashboard
     * KPI query, pharmaceutical_dashboard_queries.sql:8-15). Exact distinct
     * costs an Expand + 2-phase agg; the HLL variant for 100 TB dashboards
-    * is q03b. */
+    * is q03bApproxDistinct below. */
   val q03CountDistinct = GraftQuery(
     "q03_count_distinct",
     (s, dir) =>
@@ -84,10 +84,31 @@ object Relational {
       count(DISTINCT l_suppkey) AS distinct_supps,
       count(DISTINCT l_orderkey) AS distinct_orders FROM lineitem"""))
 
+  /** HLL++ approximate distinct — the 100 TB twin of q03: no Expand, one
+    * constant-size sketch per partition instead of shuffling every
+    * distinct value. Sketch values differ across engines, so the query
+    * asserts the HLL accuracy CONTRACT (default rsd 5%) against the
+    * exact count in-plan, and the oracle checks that boolean — a
+    * cross-engine-stable way to oracle an approximate operator. */
+  val q03bApproxDistinct = GraftQuery(
+    "q03b_approx_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(
+          count(lit(1)).as("total_rows"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("__approx"))
+        .select(col("total_rows"), col("exact_parts"),
+          (abs(col("__approx") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("approx_within_5pct")),
+    Some("""SELECT count(*) AS total_rows,
+      count(DISTINCT l_partkey) AS exact_parts,
+      TRUE AS approx_within_5pct FROM lineitem"""))
+
   /** Exact percentiles — reference §2.4 A6 (PERCENTILE(price,0.5),
     * pharmaceutical_dashboard_queries.sql:13). Exact percentile is a
-    * sort-based aggregate; at 100 TB prefer approx_percentile (t-digest) —
-    * exposed in graft.functions. Oracle uses ANSI percentile_cont, which
+    * sort-based aggregate; at 100 TB prefer the sketch-based variant —
+    * q04bApproxPercentile below. Oracle uses ANSI percentile_cont, which
     * matches Spark's linear-interpolating exact percentile. */
   val q04Percentile = GraftQuery(
     "q04_percentile",
@@ -103,6 +124,24 @@ object Relational {
       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice),2) AS p75,
       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice),2) AS p95
       FROM orders"""))
+
+  /** Approximate percentile (Greenwald-Khanna sketch) — the 100 TB twin of
+    * q04: mergeable constant-size summaries instead of a global sort.
+    * Same oracle trick as q03b: assert the accuracy contract (±1% of the
+    * exact median at accuracy=10000) in-plan, compare the boolean. */
+  val q04bApproxPercentile = GraftQuery(
+    "q04b_approx_percentile",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_exact"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("__approx"))
+        .select(col("median_exact"),
+          (abs(col("__approx") - col("median_exact")) <=
+            col("median_exact") * 0.01).as("approx_within_1pct")),
+    Some("""SELECT
+      round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice),2) AS median_exact,
+      TRUE AS approx_within_1pct FROM orders"""))
 
   /** Conditional (CASE-filtered) aggregation — reference §2.4 A7
     * (affordability bands, pharmaceutical_dashboard_queries.sql:96-98).
@@ -426,7 +465,8 @@ object Relational {
           UNION ALL SELECT o_orderkey, o_custkey FROM orders) d) dd) AS distinct_rows"""))
 
   val all: Seq[GraftQuery] = Seq(
-    q01PricingSummary, q02GlobalStats, q03CountDistinct, q04Percentile,
+    q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,
+    q04Percentile, q04bApproxPercentile,
     q05ConditionalAgg, q06Having, q07CaseBucket, q08TwoLevelAgg,
     q09ScalarSubquery, q10TopK, q11StarJoin, q12FactJoin, q13OuterJoin,
     q14SemiAnti, q15WindowRank, q16WindowRunning, q17SetOps, q18RangeJoin,
