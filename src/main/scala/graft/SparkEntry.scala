@@ -14,7 +14,8 @@ import graft.queries.{EventsQueries, PharmaQueries, Relational, StreamingQueries
   *  - TextVectorQueries: dedup / similarity / text analysis (north star)
   *  - StreamingQueries: Structured Streaming + multimodal plumbing
   *  - PharmaQueries: the reference pipeline end-to-end on the embedded
-  *    fixture feed (rows-only; golden tests in the ScalaTest suites)
+  *    fixture feed, DuckDB-oracle-checked via the self-contained raw-feed
+  *    dump (plus golden tests in PharmaSpec/PharmaMlSpec)
   */
 object SparkEntry {
 

@@ -25,12 +25,20 @@ object TextVectorQueries {
   /** Deterministic near-duplicate corpus: every document plus a copy with
     * the first word dropped, ids offset by 1,000,000. Gives the dedup
     * operators a known ground truth (pair (id, id+1e6) per doc). */
-  private[queries] def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
     val perturbed = d
       .select((col("doc_id") + 1000000L).as("doc_id"),
         regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
-    d.union(perturbed)
+    // The local table is ONE small parquet file (one row group → one scan
+    // partition), which would serialize the downstream shingling/minhash
+    // work onto a single core. One explicit shuffle spreads the corpus
+    // across the cores; the EXPLICIT count keeps AQE from coalescing it
+    // back down (AQE sizes partitions by bytes, and this corpus is tiny
+    // in bytes but heavy in per-row compute). A production corpus
+    // arrives as many files and skips this.
+    val n = s.sessionState.conf.numShufflePartitions
+    d.union(perturbed).repartition(n, col("doc_id"))
   }
 
   /** Token counting + corpus stats per language (oracle-checked). */
@@ -231,13 +239,15 @@ object TextVectorQueries {
     * index — multiplicative AND index-dependent, so the copy is not a
     * trivial rescale; cosine(original, copy) ≈ 0.9996). Ground truth:
     * pair (id, id+1e6) per vector. */
-  private[queries] def embedNearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def embedNearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val e = embeds(s, dir).select(col("vec_id"), col("embedding"))
     val perturbed = e.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(col("embedding"), (x, i) =>
         (x * (lit(1.0) + lit(0.02) * (pmod(i, lit(5)) - lit(2)))).cast("float"))
         .as("embedding"))
+    // same single-file parallelism fix as nearDupCorpus
     e.union(perturbed)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
   }
 
   /** Multi-table sign-LSH embedding near-dup on the doubled corpus — the

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+import graft.queries.TextVectorQueries
+
+/** Near-duplicate detection against constructed ground truth: the doubled
+  * corpora (doc + first-word-dropped copy; vector + per-element-perturbed
+  * copy) carry known (id, id+1e6) dup pairs, so recall is measurable
+  * without an external oracle. */
+class DedupSpec extends SparkTestBase {
+
+  private lazy val corpus = TextVectorQueries.nearDupCorpus(spark, sfDir).cache()
+  private lazy val nDocs = corpus.count() / 2
+
+  private def truePairs(pairs: org.apache.spark.sql.DataFrame): Long =
+    pairs.filter(col("id_b") === col("id_a") + 1000000L).count()
+
+  test("minhash LSH finds >= 90% of true near-dup pairs") {
+    val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",
+      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5).cache()
+    assert(truePairs(pairs) >= (0.9 * nDocs).toLong)
+    // every reported pair passed the exact-Jaccard verify
+    val badJ = pairs.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count()
+    assert(badJ === 0L)
+  }
+
+  test("simhash banding finds the majority of true near-dup pairs") {
+    val pairs = Dedup.simhashNearDups(corpus, "text", "doc_id", maxHamming = 3)
+    assert(truePairs(pairs) >= (0.5 * nDocs).toLong)
+  }
+
+  test("normalized-exact dedup collapses case/punctuation variants, keeps min id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello, World!"), (2L, "hello  world"), (3L, "HELLO WORLD"),
+      (4L, "different entirely")).toDF("id", "text")
+    val kept = Dedup.normalizedExact(df, "text", "id")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 4L))
+  }
+
+  test("embedding LSH near-dup matches the exact all-pairs result") {
+    val vecs = TextVectorQueries.embedNearDupCorpus(spark, sfDir).cache()
+    val n = vecs.count() / 2
+    val lsh = Dedup.embeddingNearDups(vecs, "embedding", "vec_id",
+      threshold = 0.98, planes = 8, tables = 8).cache()
+    // exact reference: brute-force all pairs at the same threshold
+    val a = vecs.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = vecs.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= 0.98)
+      .select("id_a", "id_b").cache()
+    val nExact = exact.count()
+    val missed = exact.join(lsh, Seq("id_a", "id_b"), "left_anti").count()
+    val spurious = lsh.join(exact, Seq("id_a", "id_b"), "left_anti").count()
+    assert(nExact >= n, "every perturbed copy must be an exact-path pair")
+    assert(missed === 0L, s"LSH missed $missed of $nExact exact pairs")
+    assert(spurious === 0L, "cosine verify must kill every false candidate")
+  }
+
+  test("fingerprint collides for identical text, is order-of-magnitude stable") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally unrelated words here")).toDF("id", "text")
+    val fps = df.select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Multimodal
+
+/** Multimodal column plumbing: byte-level codec round-trip, the
+  * per-partition decode pass, dirty-data policy (NULL, never throw), and
+  * the resize transform's header contract. */
+class MultimodalSpec extends SparkTestBase {
+
+  private lazy val media = Multimodal.syntheticMediaFromDocs(
+    Tables.load(spark, sfDir, "documents")).cache()
+
+  test("codec round-trip: encode → decodeHeader recovers dimensions") {
+    val bytes = Multimodal.FakeCodec.encode(640, 480, "payload".getBytes("UTF-8"))
+    assert(Multimodal.FakeCodec.decodeHeader(bytes) === Some((640, 480)))
+    assert(Multimodal.FakeCodec.decodeHeader(Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.FakeCodec.decodeHeader(null) === None)
+  }
+
+  test("decodeMeta: every synthesized blob decodes valid with the declared dims") {
+    val decoded = Multimodal.decodeMeta(spark, media).cache()
+    assert(decoded.count() === media.count())
+    assert(decoded.filter(!col("valid")).count() === 0L)
+    // decoded dims must equal the declared metadata (expression-encoded
+    // header vs JVM-decoded header — two independent implementations)
+    val mismatches = decoded.join(media, Seq("media_id"))
+      .filter(col("width") =!= col("meta.width") ||
+        col("height") =!= col("meta.height")).count()
+    assert(mismatches === 0L)
+    // n_bytes = 12-byte header + text payload
+    val badLen = decoded.join(media, Seq("media_id"))
+      .filter(col("n_bytes") =!= col("meta.n_bytes") + 12L).count()
+    assert(badLen === 0L)
+  }
+
+  test("corrupt blobs decode as invalid, never throw") {
+    val corrupted = media.withColumn("content",
+      expr("substring(content, 1, 8)")) // truncated below header size
+    val decoded = Multimodal.decodeMeta(spark, corrupted)
+    assert(decoded.filter(col("valid")).count() === 0L)
+    assert(decoded.filter(col("width").isNotNull).count() === 0L)
+  }
+
+  test("resizeHalf halves declared dimensions and keeps blobs decodable") {
+    val resized = Multimodal.resizeHalf(spark, media)
+    val redecoded = Multimodal.decodeMeta(spark, resized)
+    assert(redecoded.filter(!col("valid")).count() === 0L)
+    val bad = redecoded.join(media, Seq("media_id"))
+      .filter(col("width") =!= (col("meta.width") / 2).cast("int") ||
+        col("height") =!= (col("meta.height") / 2).cast("int")).count()
+    assert(bad === 0L)
+  }
+}

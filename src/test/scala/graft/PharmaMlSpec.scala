@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pharma.{Cleaning, Dashboard, InsuranceModel, MedsFeed, PharmaFixture}
+
+/** The distributed ML stage: metric sanity on the deterministic fixture,
+  * per-class evaluation, the per-row predict surface, and the
+  * save/reload verification the reference performs manually
+  * (ML_Model_Complete…py:208-323). sklearn→MLlib parity is statistical,
+  * not bit-exact (SURVEY.md §7.4.3), so floors, not exact values. */
+class PharmaMlSpec extends SparkTestBase {
+
+  private lazy val mlData = Dashboard.mlDataset(Cleaning.all(
+    MedsFeed.fromJsonString(spark, PharmaFixture.feedJson()))).cache()
+
+  test("train/evaluate: split sizes, importances, per-class stats, reload") {
+    val m = InsuranceModel.trainAndEvaluate(mlData)
+    assert(m.trainRows + m.testRows === 161L)
+    assert(m.trainRows > m.testRows) // 80/20
+    assert(m.featureImportances.length === 5)
+    assert(math.abs(m.featureImportances.sum - 1.0) <= 1e-6)
+    assert(m.auc >= 0.6) // weighted RF must beat chance on the fixture signal
+    Seq(m.covered, m.notCovered).foreach { cs =>
+      assert(cs.precision >= 0.0 && cs.precision <= 1.0)
+      assert(cs.recall >= 0.0 && cs.recall <= 1.0)
+    }
+    assert(m.reloadOk, "reloaded model must reproduce every prediction")
+  }
+
+  test("predict surface: label + confidence per row, fully distributed") {
+    val model = InsuranceModel.pipeline()
+      .fit(InsuranceModel.withLabelAndWeight(mlData))
+    val out = InsuranceModel.predict(model, mlData).cache()
+    assert(out.count() === 161L)
+    assert(out.columns.contains("predicted_label"))
+    val bad = out.filter(
+      !col("predicted_label").isin("Covered", "Not Covered") ||
+        col("confidence") <= 0.0 || col("confidence") > 1.0).count()
+    assert(bad === 0L)
+    // binary argmax: winning-class confidence can never be below 0.5
+    assert(out.agg(min(col("confidence"))).head().getDouble(0) >= 0.5)
+  }
+}

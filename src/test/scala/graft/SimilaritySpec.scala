@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Similarity
+
+/** ANN quality: the approximate paths (multi-table sign-LSH, IVF) are
+  * measured against the exact brute-force ranking on the same data —
+  * recall floors, plus structural invariants of the top-k contract. */
+class SimilaritySpec extends SparkTestBase {
+
+  private lazy val embeds = Tables.load(spark, sfDir, "embeddings").cache()
+  private lazy val queries = embeds.filter(col("vec_id") < 5)
+  private val K = 10
+
+  private lazy val brute = Similarity.bruteForceTopK(
+    embeds, queries, "vec_id", "embedding", "vec_id", "embedding", K).cache()
+
+  private def recallVsBrute(approx: DataFrame): Double = {
+    val hits = brute.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .count()
+    hits.toDouble / brute.count()
+  }
+
+  test("brute force: ranks are 1..k, scores non-increasing, self excluded") {
+    assert(brute.filter(col("query_id") === col("neighbor_id")).count() === 0L)
+    val perQuery = brute.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"))
+      .collect()
+    perQuery.foreach { r =>
+      assert(r.getAs[Long]("n") === K.toLong)
+      assert(r.getAs[Int]("lo") === 1 && r.getAs[Int]("hi") === K)
+    }
+    // cosine non-increasing in rank within each query
+    val inversions = brute.as("x").join(brute.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          (col("x.rnk") + 1) === col("y.rnk"))
+      .filter(col("y.cosine") > col("x.cosine") + 1e-9).count()
+    assert(inversions === 0L)
+  }
+
+  test("multi-table sign-LSH reaches recall >= 0.6 vs brute force") {
+    val lsh = Similarity.lshTopK(embeds, queries,
+      "vec_id", "embedding", "vec_id", "embedding", K, planes = 4, tables = 8)
+    val r = recallVsBrute(lsh)
+    assert(r >= 0.6, f"LSH recall $r%.3f below floor")
+  }
+
+  test("IVF coarse quantizer reaches recall >= 0.7 vs brute force") {
+    // 500 vectors / stride 50 → 10 cells, matching the corpus's 10 label
+    // clusters; probing 4 cells must capture most same-cluster neighbors.
+    // (With cells ≪ clusters the recall of ANY ivf degrades toward the
+    // probed fraction — that is inherent to coarse quantization, not a
+    // plan property.)
+    val ivf = Similarity.ivfTopK(embeds, queries,
+      "vec_id", "embedding", "vec_id", "embedding", K, stride = 50, nprobe = 6)
+    val r = recallVsBrute(ivf)
+    assert(r >= 0.7, f"IVF recall $r%.3f below floor")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val selfCos = embeds.limit(20)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(math.abs(selfCos.getDouble(0) - 1.0) <= 1e-9)
+    assert(math.abs(selfCos.getDouble(1) - 1.0) <= 1e-9)
+  }
+}

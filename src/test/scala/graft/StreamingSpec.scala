@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.streaming.EventPipeline
+
+/** Structured Streaming semantics against their batch twins on the same
+  * static data: the incremental engine must produce exactly the batch
+  * answer (same gap rule, same dedup, same running totals). */
+class StreamingSpec extends SparkTestBase {
+
+  test("streaming session windows match the batch gap-sessionizer per user") {
+    val sink = s"t_sessions_${System.nanoTime()}"
+    val streamed = EventPipeline
+      .runToMemorySink(spark, sfDir, sink, EventPipeline.sessionCounts)
+      .groupBy("user_id").agg(count(lit(1)).as("sessions"))
+    // batch twin: 30-min-gap counting via lag(), as in q23_sessionize
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = Tables.load(spark, sfDir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, 0)
+          .when(col("ts").cast("double") - col("prev_ts").cast("double") > 1800d, 1)
+          .otherwise(0))
+      .groupBy("user_id")
+      .agg((sum(col("new_session")) + lit(1)).as("sessions"))
+    val diffs = streamed.join(batch, Seq("user_id"))
+      .filter(streamed("sessions") =!= batch("sessions")).count()
+    val onlyOne = streamed.join(batch, Seq("user_id"), "full_outer")
+      .filter(streamed("sessions").isNull || batch("sessions").isNull).count()
+    assert(diffs === 0L, s"$diffs users disagree on session count")
+    assert(onlyOne === 0L)
+  }
+
+  test("dropDuplicatesWithinWatermark removes a replayed copy of the stream") {
+    val ev = Tables.load(spark, sfDir, "events")
+    // readEventStream's pathGlobFilter matches LEAF file names, so the
+    // doubled copy must be a single parquet FILE named events.parquet
+    // (like the driver tables), not a Spark output directory.
+    val doubledDir = java.nio.file.Files.createTempDirectory("graft_dup")
+    val stage = doubledDir.resolve("stage")
+    // The stream schema reads ts as raw int64 nanos (like the driver
+    // tables); Spark would otherwise write INT96 timestamps.
+    ev.union(ev).withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .coalesce(1).write.parquet(stage.toString)
+    val part = java.nio.file.Files.list(stage).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.move(part, doubledDir.resolve("events.parquet"))
+    val sink = s"t_dedup_${System.nanoTime()}"
+    val out = EventPipeline.runToMemorySink(spark, doubledDir.toString, sink,
+      EventPipeline.dedupedStream, OutputMode.Append())
+    assert(out.count() === ev.count())
+    assert(out.select("event_id").distinct().count() === ev.count())
+  }
+
+  test("flatMapGroupsWithState running totals equal the batch per-user totals") {
+    val sink = s"t_state_${System.nanoTime()}"
+    val streamed = EventPipeline.runToMemorySink(spark, sfDir, sink,
+      df => EventPipeline.runningUserTotals(spark, df), OutputMode.Append())
+    // one update per user per micro-batch; the LAST update per user is the
+    // final running state — compare it to the batch aggregate
+    val w = Window.partitionBy(col("userId")).orderBy(col("events").desc)
+    val finalState = streamed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id").as("userId"))
+      .agg(count(lit(1)).as("b_events"), sum(col("value")).as("b_total"))
+    val joined = finalState.join(batch, Seq("userId")).cache()
+    assert(joined.filter(col("events") =!= col("b_events")).count() === 0L)
+    assert(joined.filter(
+      abs(col("totalValue") - col("b_total")) > lit(1e-6)).count() === 0L)
+  }
+}
