@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions (with doGenCode) for the sketch hot loops.
+  *
+  * Why custom expressions at all: Spark's higher-order array functions
+  * (transform/aggregate) evaluate their lambdas INTERPRETED — they do not
+  * participate in whole-stage codegen — so a 32-permutation MinHash over
+  * every shingle of every document costs ~100M boxed lambda evaluations
+  * per 10k docs. These expressions compile the same arithmetic into tight
+  * generated-Java loops (and a matching interpreted eval for codegen
+  * fallback), the preference order SURVEY.md §2.10 sets out: built-in
+  * expression > custom codegen Expression > UDF. Hash values are
+  * bit-identical to the HOF formulations they replace (asserted in
+  * DedupSpec), so operator semantics are unchanged.
+  */
+object SketchExpressions {
+
+  /** Column wrapper: element-wise min over `numHashes` seeded xxhash64
+    * permutations of a 64-bit shingle-hash array — identical values to
+    * array(min(xxhash64(x, seed)) for seed in 0..numHashes). */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(
+      MinHashSignatureExpr(GraftColumnBridge.expression(shingleHashes), numHashes))
+
+  /** Column wrapper: 64-bit SimHash from per-token 64-bit hashes —
+    * identical values to the per-bit majority-vote HOF formulation. */
+  def simhash64(tokenHashes: Column): Column =
+    GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(tokenHashes)))
+}
+
+/** MinHash signature of a hashed-shingle set: out[s] = min over shingles
+  * of xxhash64(shingle, seed = s), replicating the two-step seeding of the
+  * built-in xxhash64(x, lit(s)) call chain (h = xxh(x, 42); xxh(s, h)). */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h0 = XXH64.hashLong(arr.getLong(i), 42L)
+      var s = 0
+      while (s < numHashes) {
+        // hashInt, not hashLong: the HOF twin xxhash64(x, lit(seed))
+        // carries the seed as an INT literal, and bit-identity with it is
+        // part of this expression's contract (asserted in DedupSpec)
+        val v = XXH64.hashInt(s, h0)
+        if (v < out(s)) out(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = classOf[XXH64].getName
+      val out = ctx.freshName("mhOut")
+      val n = ctx.freshName("mhN")
+      val i = ctx.freshName("mhI")
+      val s = ctx.freshName("mhS")
+      val h0 = ctx.freshName("mhH0")
+      val v = ctx.freshName("mhV")
+      s"""
+         |long[] $out = new long[$numHashes];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |final int $n = $c.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h0 = $xxh.hashLong($c.getLong($i), 42L);
+         |  for (int $s = 0; $s < $numHashes; $s++) {
+         |    final long $v = $xxh.hashInt($s, $h0);
+         |    if ($v < $out[$s]) $out[$s] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash from per-token hashes: per bit, majority vote of ±1
+  * across tokens (bit set when the vote is strictly positive) — the
+  * standard Charikar construction. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("shVotes")
+      val n = ctx.freshName("shN")
+      val i = ctx.freshName("shI")
+      val b = ctx.freshName("shB")
+      val h = ctx.freshName("shH")
+      s"""
+         |int[] $votes = new int[64];
+         |final int $n = $c.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $c.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) ${ev.value} |= (1L << $b);
+         |}
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -35,12 +35,14 @@ object Dedup {
 
   /** MinHash signature: `numHashes` independent permutations approximated
     * by seeded xxhash64 over the shingle set; element i is the min hash
-    * under seed i. Pure higher-order-function projection — codegen'd, no
-    * UDF, no shuffle. */
+    * under seed i. Backed by a custom codegen Expression — the equivalent
+    * higher-order-function formulation
+    * (array(array_min(transform(shingles, xxhash64(_, seed))) ...)) runs
+    * its lambdas interpreted and allocates one array per seed per row,
+    * which dominated the q30 profile; the expression is bit-identical and
+    * one tight generated loop (graft.functions.MinHashSignatureExpr). */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingles, x => xxhash64(x, lit(seed))))
-    }: _*)
+    graft.functions.SketchExpressions.minhashSignature(shingles, numHashes)
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
     * hash each band to one 64-bit key. Docs sharing any band key become
@@ -106,19 +108,14 @@ object Dedup {
     size(array_intersect(shA, shB)).cast("double") /
       greatest(size(array_union(shA, shB)), lit(1))
 
-  /** 64-bit SimHash over tokens, built from per-bit majority votes of
-    * token hashes — expressed with higher-order functions (no UDF): for
-    * each of 64 bits, sum ±1 across token hashes and set the bit when the
-    * vote is positive. The 64 aggregates stay one codegen'd projection. */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
-  }
+  /** 64-bit SimHash over tokens: per-bit majority vote of ±1 across token
+    * hashes, bit set when the vote is positive (Charikar). The vote loops
+    * run in a custom codegen Expression (graft.functions.SimHash64Expr) —
+    * the 64-aggregate HOF formulation evaluates 64 interpreted passes
+    * over every token array; the expression is bit-identical in one. */
+  def simhash64(text: Column): Column =
+    graft.functions.SketchExpressions.simhash64(
+      transform(TextAnalysis.tokens(text), t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -79,6 +79,25 @@ object Multimodal {
       .toDF()
   }
 
+  /** Header decode in PURE Catalyst expressions (no mapPartitions): the
+    * 12-byte header is three big-endian int32 fields, readable with
+    * substring/hex/conv — fully codegen'd and column-prunable, so a
+    * metadata-only audit never leaves whole-stage codegen. Real codecs
+    * (JPEG/audio frames) need [[decodeMeta]]'s per-partition shape; this
+    * is the fast path for header-level work. Output-identical to
+    * decodeMeta (asserted in MultimodalSpec). */
+  def decodeMetaExpr(media: DataFrame): DataFrame = {
+    def be32(from: Int) =
+      conv(hex(substring(col("content"), from, 4)), 16, 10).cast("long").cast("int")
+    val valid = length(col("content")) >= 12 && be32(1) === FakeCodec.Magic
+    media.select(
+      col("media_id"),
+      when(valid, be32(5)).as("width"),
+      when(valid, be32(9)).as("height"),
+      coalesce(length(col("content")).cast("long"), lit(0L)).as("n_bytes"),
+      coalesce(valid, lit(false)).as("valid"))
+  }
+
   /** "Resize": deterministic downsample stub — halves declared dims and
     * truncates payload, preserving the header contract. Runs as a narrow
     * per-partition pass like a real transform would. */

@@ -464,11 +464,30 @@ object Relational {
         FROM (SELECT o_orderkey, o_custkey FROM orders
           UNION ALL SELECT o_orderkey, o_custkey FROM orders) d) dd) AS distinct_rows"""))
 
+  /** Typed Aggregator surface (§2.10 U1): geometric mean as a custom
+    * merge-able aggregate, grouped per priority. The Aggregator shuffles
+    * one (Σln, n) buffer per group per partition — identical exchange
+    * volume to a built-in AVG. Oracle recomputes exp(avg(ln x)). */
+  val q42TypedAggregator = GraftQuery(
+    "q42_typed_aggregator",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(graft.functions.TypedAggregators.geoMean(col("o_totalprice")), 2)
+            .as("geo_mean_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+      round(exp(avg(ln(o_totalprice))), 2) AS geo_mean_price,
+      count(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,
     q04Percentile, q04bApproxPercentile,
     q05ConditionalAgg, q06Having, q07CaseBucket, q08TwoLevelAgg,
     q09ScalarSubquery, q10TopK, q11StarJoin, q12FactJoin, q13OuterJoin,
     q14SemiAnti, q15WindowRank, q16WindowRunning, q17SetOps, q18RangeJoin,
-    q19Rollup, q20DedupExact)
+    q19Rollup, q20DedupExact, q42TypedAggregator)
 }

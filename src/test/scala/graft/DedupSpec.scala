@@ -31,6 +31,18 @@ class DedupSpec extends SparkTestBase {
     assert(truePairs(pairs) >= (0.5 * nDocs).toLong)
   }
 
+  test("n-gram Jaccard matches a hand-computed value") {
+    import spark.implicits._
+    // "a b c d" → 3-shingles {abc, bcd}; "a b c e" → {abc, bce}
+    // intersection 1, union 3 → jaccard 1/3
+    val df = Seq(("a b c d", "a b c e")).toDF("t1", "t2")
+    val j = df.select(Dedup.jaccard(
+        graft.ops.TextAnalysis.shingleSet(col("t1"), 3),
+        graft.ops.TextAnalysis.shingleSet(col("t2"), 3)).as("j"))
+      .head().getDouble(0)
+    assert(math.abs(j - 1.0 / 3.0) <= 1e-9)
+  }
+
   test("normalized-exact dedup collapses case/punctuation variants, keeps min id") {
     import spark.implicits._
     val df = Seq(
@@ -59,6 +71,35 @@ class DedupSpec extends SparkTestBase {
     assert(nExact >= n, "every perturbed copy must be an exact-path pair")
     assert(missed === 0L, s"LSH missed $missed of $nExact exact pairs")
     assert(spurious === 0L, "cosine verify must kill every false candidate")
+  }
+
+  test("codegen MinHash expression is bit-identical to the HOF formulation") {
+    val sh = corpus.limit(100).select(
+      graft.ops.TextAnalysis.shingleSet(col("text"), 3).as("shingles"))
+    // independent reference: the interpreted higher-order-function twin
+    val hof = array((0 until 32).map { seed =>
+      array_min(transform(col("shingles"), x => xxhash64(x, lit(seed))))
+    }: _*)
+    val diffs = sh.select(
+        graft.functions.SketchExpressions.minhashSignature(col("shingles"), 32).as("fast"),
+        hof.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diffs === 0L)
+  }
+
+  test("codegen SimHash expression is bit-identical to the HOF formulation") {
+    val th = corpus.limit(100).select(
+      transform(graft.ops.TextAnalysis.tokens(col("text")), t => xxhash64(t)).as("th"))
+    val hofBits = (0 until 64).map { b =>
+      val vote = aggregate(col("th"), lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    val diffs = th.select(
+        graft.functions.SketchExpressions.simhash64(col("th")).as("fast"),
+        hofBits.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diffs === 0L)
   }
 
   test("fingerprint collides for identical text, is order-of-magnitude stable") {

@@ -44,6 +44,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(decoded.filter(col("width").isNotNull).count() === 0L)
   }
 
+  test("expression-based header decode is output-identical to the mapPartitions path") {
+    val corrupted = media.withColumn("content",
+      when(col("media_id") % 3 === 0, expr("substring(content, 1, 8)"))
+        .otherwise(col("content")))
+    Seq(media, corrupted).foreach { input =>
+      val viaPartitions = Multimodal.decodeMeta(spark, input)
+      val viaExpr = Multimodal.decodeMetaExpr(input)
+      // compare names+types; the expression path proves tighter
+      // nullability than the opaque mapPartitions encoder can declare
+      assert(viaExpr.schema.map(f => (f.name, f.dataType)) ===
+        viaPartitions.schema.map(f => (f.name, f.dataType)))
+      assert(viaPartitions.exceptAll(viaExpr).count() === 0L)
+      assert(viaExpr.exceptAll(viaPartitions).count() === 0L)
+    }
+  }
+
   test("resizeHalf halves declared dimensions and keeps blobs decodable") {
     val resized = Multimodal.resizeHalf(spark, media)
     val redecoded = Multimodal.decodeMeta(spark, resized)
