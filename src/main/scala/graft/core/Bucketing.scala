@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed (co-located) joins — the "100× lever" for repeated fact-fact
+  * joins (q12's inline note): write both sides bucketBy the join key and
+  * the join reads matching bucket files directly, eliminating BOTH
+  * shuffle exchanges. At 100 TB the exchange is the dominant cost of an
+  * orders⋈lineitem join; bucket layout amortizes it across every future
+  * join on that key. The overwrite + read-back-by-name semantics match
+  * the engine's managed-table contract (S4/S5). */
+object Bucketing {
+
+  /** Persist as a bucketed, per-bucket-sorted managed table. */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $table")
+    df.write.format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(table)
+  }
+
+  /** Inner equi-join of two bucketed tables on their bucket key. With
+    * matching bucket counts Spark plans scan → (sort) → SortMergeJoin
+    * with NO Exchange on either side (asserted in PlanSpec). */
+  def bucketedEquiJoin(
+      spark: SparkSession, leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable)
+      .join(spark.table(rightTable),
+        spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling primitives for hot-key workloads (SURVEY.md §7 scale
+  * posture: "Skewed keys → salting or AQE skew-join").
+  *
+  * AQE's skew handling covers sort-merge JOINS at runtime; hot-key
+  * AGGREGATION skew is a plan-shape problem — when a groupBy key has a
+  * handful of giant groups, every row of a hot key lands on one reducer.
+  * Salting splits each group into `salts` subgroups for the first
+  * (heavy) aggregation and merges the constant-size partials in a second
+  * (tiny) one. Works for any algebraic aggregate (sum/count/min/max, and
+  * avg via sum+count). */
+object Skew {
+
+  /** Deterministic row salt in [0, salts): hash of the whole row's
+    * monotonically increasing id is NOT deterministic across runs, so the
+    * salt must derive from data columns — callers pass the columns that
+    * identify a row (any stable, roughly-uniform tuple works; residual
+    * salt skew only costs balance, never correctness). */
+  def salt(salts: Int, cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(salts))
+
+  /** Salted sum/count aggregation: groupBy(key) with hot keys spread over
+    * `salts` reducers. Returns one row per key with `sum_<c>` and
+    * `count_rows` columns — the same result as a direct
+    * groupBy(key).agg(sum, count), with the first shuffle's per-reducer
+    * load bounded by |hot key| / salts. */
+  def saltedSumCount(
+      df: DataFrame,
+      keyCols: Seq[String],
+      sumCol: String,
+      saltFrom: Seq[String],
+      salts: Int = 16): DataFrame = {
+    val keyed = df.withColumn("__salt", salt(salts, saltFrom.map(col): _*))
+    val partial = keyed
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(sum(col(sumCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__psum")).as(s"sum_$sumCol"),
+        sum(col("__pcnt")).cast("long").as("count_rows"))
+  }
+}

@@ -161,7 +161,27 @@ object EventsQueries {
               (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase') p
               ON c.user_id = p.user_id AND c.ts >= p.pts) matched"""))
 
+  /** Salted aggregation for hot-key skew (§7 scale posture): event_type
+    * has 5 giant groups — the worst aggregation-skew shape, where a plain
+    * groupBy lands each key's full volume on one reducer. The salted
+    * two-phase plan bounds per-reducer load at |key|/16; the oracle is
+    * the direct single-phase aggregate, proving the rewrite is
+    * result-identical. */
+  val q43SaltedAgg = GraftQuery(
+    "q43_salted_agg",
+    (s, dir) =>
+      graft.ops.Skew.saltedSumCount(
+          Tables.load(s, dir, "events"),
+          keyCols = Seq("event_type"), sumCol = "value",
+          saltFrom = Seq("event_id"), salts = 16)
+        .select(col("event_type"),
+          round(col("sum_value"), 2).as("total_value"), col("count_rows"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, round(sum(value),2) AS total_value,
+      count(*) AS count_rows
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] =
     Seq(q21JsonExtract, q22TumblingWindow, q23Sessionize, q24TopUsersPerType,
-      q41AsofJoin)
+      q41AsofJoin, q43SaltedAgg)
 }

@@ -52,5 +52,31 @@ object StreamingQueries {
           max(col("width")).as("max_width"))
     })
 
-  val all: Seq[GraftQuery] = Seq(q37StreamTumbling, q38StreamSessions, q39MultimodalDecode)
+  /** Stream-static enrichment join executed by the streaming engine: the
+    * event stream joins a STATIC per-user dimension (order counts) that
+    * broadcasts to every micro-batch — the standard streaming enrichment
+    * shape — then aggregates per event type. Oracle-checked against the
+    * equivalent batch join. */
+  val q44StreamStaticJoin = GraftQuery(
+    "q44_stream_static_join", { (s, dir) =>
+      val userOrders = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"))
+        .agg(count(lit(1)).as("user_orders"))
+      val sink = s"stream_static_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      EventPipeline.runToMemorySink(s, dir, sink, ev =>
+          ev.join(broadcast(userOrders), Seq("user_id"))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("user_orders")).as("total_user_orders")))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT e.event_type, count(*) AS n_events,
+      CAST(sum(u.user_orders) AS BIGINT) AS total_user_orders
+      FROM events e JOIN (SELECT o_custkey AS user_id, count(*) AS user_orders
+                          FROM orders GROUP BY o_custkey) u USING (user_id)
+      GROUP BY e.event_type ORDER BY event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    q37StreamTumbling, q38StreamSessions, q39MultimodalDecode,
+    q44StreamStaticJoin)
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{Bucketing, Tables}
+import graft.ops.Skew
+import graft.queries.Relational
+
+/** Physical-plan shape assertions: the scale claims made in the query
+  * Scaladoc (pushdown, broadcast, top-k, co-located bucket joins, salted
+  * rewrites) asserted against the actual planned operators, so a plan
+  * regression fails CI instead of silently costing a shuffle at 100 TB. */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01 pushes the shipdate filter and prunes columns at the parquet scan") {
+    val p = planOf(Relational.q01PricingSummary.run(spark, sfDir))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("l_shipdate"), p)
+    // pruned read schema must not include unreferenced wide columns
+    assert(!p.contains("l_comment"))
+  }
+
+  test("q11 star join broadcasts both dimension tables") {
+    val p = planOf(Relational.q11StarJoin.run(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q10 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf(Relational.q10TopK.run(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("bucketed fact-fact join eliminates both exchanges") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the small test tables take the same
+      // sort-merge path the full-scale join would
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Bucketing.writeBucketed(orders, "orders_b", "o_orderkey", 4)
+      Bucketing.writeBucketed(li, "lineitem_b", "l_orderkey", 4)
+      val joined = Bucketing.bucketedEquiJoin(
+        spark, "orders_b", "lineitem_b", "o_orderkey", "l_orderkey")
+      val p = planOf(joined)
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("SelectedBucketsCount"), p)
+      // and it is the same relation the shuffled join produces
+      val direct = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      assert(joined.count() === direct.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("salted aggregation equals the direct aggregate") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value",
+      saltFrom = Seq("event_id"), salts = 16)
+    val direct = ev.groupBy(col("event_type"))
+      .agg(sum(col("value")).as("d_sum"), count(lit(1)).as("d_cnt"))
+    val joined = salted.join(direct, Seq("event_type")).cache()
+    assert(joined.count() === direct.count())
+    assert(joined.filter(col("count_rows") =!= col("d_cnt")).count() === 0L)
+    assert(joined.filter(
+      abs(col("sum_value") - col("d_sum")) > lit(1e-6)).count() === 0L)
+  }
+}
