@@ -34,6 +34,13 @@ object SketchExpressions {
     * identical values to the per-bit majority-vote HOF formulation. */
   def simhash64(tokenHashes: Column): Column =
     GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(tokenHashes)))
+
+  /** Column wrapper: distinct hashes of every k-token window, from
+    * per-token 64-bit hashes — the shingle-set primitive behind MinHash,
+    * exact Jaccard, and fingerprinting. */
+  def shingleHashes(tokenHashes: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      ShingleHashesExpr(GraftColumnBridge.expression(tokenHashes), k))
 }
 
 /** MinHash signature of a hashed-shingle set: out[s] = min over shingles
@@ -92,6 +99,85 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
          |    final long $v = $xxh.hashInt($s, $h0);
          |    if ($v < $out[$s]) $out[$s] = $v;
          |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct k-token-window hashes from per-token hashes: window hash is
+  * the XXH64 chain of its token hashes (seed 42), first-occurrence order
+  * preserved — set-equivalent to hashing the joined window text, with no
+  * per-window string building. Short inputs (fewer than k tokens, even
+  * zero) produce ONE window over what exists, so blank docs still carry a
+  * sentinel hash rather than vanishing. */
+case class ShingleHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k > 0, "k must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val windows = math.max(n - (k - 1), 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](windows)
+    var i = 0
+    while (i < windows) {
+      var h = 42L
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) { h = XXH64.hashLong(arr.getLong(j), h); j += 1 }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = classOf[XXH64].getName
+      val n = ctx.freshName("sgN")
+      val windows = ctx.freshName("sgW")
+      val seen = ctx.freshName("sgSeen")
+      val i = ctx.freshName("sgI")
+      val j = ctx.freshName("sgJ")
+      val end = ctx.freshName("sgEnd")
+      val h = ctx.freshName("sgH")
+      val out = ctx.freshName("sgOut")
+      val it = ctx.freshName("sgIt")
+      val o = ctx.freshName("sgO")
+      s"""
+         |final int $n = $c.numElements();
+         |final int $windows = java.lang.Math.max($n - ${k - 1}, 1);
+         |java.util.LinkedHashSet<Long> $seen = new java.util.LinkedHashSet<Long>($windows);
+         |for (int $i = 0; $i < $windows; $i++) {
+         |  long $h = 42L;
+         |  final int $end = java.lang.Math.min($i + $k, $n);
+         |  for (int $j = $i; $j < $end; $j++) {
+         |    $h = $xxh.hashLong($c.getLong($j), $h);
+         |  }
+         |  $seen.add($h);
+         |}
+         |long[] $out = new long[$seen.size()];
+         |int $o = 0;
+         |for (java.util.Iterator<Long> $it = $seen.iterator(); $it.hasNext(); ) {
+         |  $out[$o++] = ((Long) $it.next()).longValue();
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |  .fromPrimitiveArray($out);

@@ -111,22 +111,19 @@ object TextAnalysis {
   /** Winnowing-style document fingerprint: hash every k-token shingle,
     * keep the minimum — robust to small edits anywhere but the minimal
     * shingle. 64-bit, collision-safe at corpus scale. */
-  def fingerprint(text: Column, k: Int = 3): Column = {
-    val ts = tokens(text)
-    val n = size(ts)
-    val starts = sequence(lit(1), greatest(n - (k - 1), lit(1)))
-    val shingleHashes = transform(starts, i => xxhash64(concat_ws(" ", slice(ts, i, lit(k)))))
-    coalesce(array_min(shingleHashes), lit(0L))
-  }
+  def fingerprint(text: Column, k: Int = 3): Column =
+    coalesce(array_min(shingleSet(text, k)), lit(0L))
 
   /** Distinct hashed k-token shingles — the set representation behind
-    * MinHash and exact n-gram Jaccard (see Dedup). */
-  def shingleSet(text: Column, k: Int = 3): Column = {
-    val ts = tokens(text)
-    val n = size(ts)
-    val starts = sequence(lit(1), greatest(n - (k - 1), lit(1)))
-    array_distinct(transform(starts, i => xxhash64(concat_ws(" ", slice(ts, i, lit(k))))))
-  }
+    * MinHash and exact n-gram Jaccard (see Dedup). Backed by a custom
+    * codegen Expression (graft.functions.ShingleHashesExpr): the HOF
+    * formulation (transform over sequence + concat_ws + slice) builds a
+    * window STRING per shingle in interpreted eval, which was the
+    * dominant remaining cost of the near-dup pipeline; the expression
+    * chains the token hashes instead — same set semantics, no strings. */
+  def shingleSet(text: Column, k: Int = 3): Column =
+    graft.functions.SketchExpressions.shingleHashes(
+      transform(tokens(text), t => xxhash64(t)), k)
 
   /** Full per-document text-statistics projection. */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
