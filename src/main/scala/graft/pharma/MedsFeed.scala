@@ -52,4 +52,15 @@ object MedsFeed {
     import spark.implicits._
     flatten(Seq(json).toDF("json"))
   }
+
+  /** Streaming twin of [[fromJsonString]]: watch a directory for feed
+    * documents (one whole JSON document per file — the shape a periodic
+    * fetch job lands in object storage) and flatten each incrementally.
+    * Because [[flatten]] and the Cleaning stages are pure
+    * DataFrame => DataFrame transforms, the IDENTICAL logical plan runs
+    * batch and incremental (SURVEY.md §2.9 "incremental re-ingestion"). */
+  def streamFromDirectory(spark: SparkSession, dir: String): DataFrame =
+    flatten(
+      spark.readStream.option("wholetext", "true").text(dir)
+        .withColumnRenamed("value", "json"))
 }

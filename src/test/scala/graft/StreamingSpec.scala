@@ -56,6 +56,24 @@ class StreamingSpec extends SparkTestBase {
     assert(out.select("event_id").distinct().count() === ev.count())
   }
 
+  test("feed re-ingestion: the shared cleaning plan runs incrementally") {
+    import graft.pharma.{Cleaning, MedsFeed, PharmaFixture}
+    val feedDir = java.nio.file.Files.createTempDirectory("graft_feed")
+    java.nio.file.Files.writeString(
+      feedDir.resolve("feed.json"), PharmaFixture.feedJson())
+    val sink = s"t_feed_${System.nanoTime()}"
+    val q = Cleaning.all(MedsFeed.streamFromDirectory(spark, feedDir.toString))
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table(sink)
+    val batch = Cleaning.all(
+      MedsFeed.fromJsonString(spark, PharmaFixture.feedJson()))
+    assert(streamed.count() === 195L)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("flatMapGroupsWithState running totals equal the batch per-user totals") {
     val sink = s"t_state_${System.nanoTime()}"
     val streamed = EventPipeline.runToMemorySink(spark, sfDir, sink,
