@@ -144,12 +144,18 @@ object InsuranceModel {
     import spark.implicits._
     val m = trainAndEvaluate(mlData)
     def r2(x: Double) = math.round(x * 100.0) / 100.0
+    // importances ordered as the assembler input: price, then the
+    // four categorical indexes (reference's sorted importance print,
+    // ML_Model_Complete…py:227-237)
+    val importances = m.featureImportances
+      .map(x => math.round(x * 10000.0) / 10000.0).toSeq
     Seq((r2(m.accuracy), r2(m.auc),
-      m.trainRows + m.testRows, m.featureImportances.length,
+      m.trainRows + m.testRows, m.featureImportances.length, importances,
       r2(m.covered.precision), r2(m.covered.recall),
       r2(m.notCovered.precision), r2(m.notCovered.recall),
       m.reloadOk))
       .toDF("accuracy_2dp", "auc_2dp", "total_rows", "n_features",
+        "feature_importances_4dp",
         "precision_covered", "recall_covered",
         "precision_not_covered", "recall_not_covered", "reload_ok")
   }

@@ -18,8 +18,9 @@ class PharmaMlSpec extends SparkTestBase {
     val m = InsuranceModel.trainAndEvaluate(mlData)
     assert(m.trainRows + m.testRows === 161L)
     assert(m.trainRows > m.testRows) // 80/20
-    assert(m.featureImportances.length === 5)
+    assert(m.featureImportances.length === 5) // price + 4 categorical idx
     assert(math.abs(m.featureImportances.sum - 1.0) <= 1e-6)
+    assert(m.featureImportances.forall(x => x >= 0.0 && x <= 1.0))
     assert(m.auc >= 0.6) // weighted RF must beat chance on the fixture signal
     Seq(m.covered, m.notCovered).foreach { cs =>
       assert(cs.precision >= 0.0 && cs.precision <= 1.0)
