@@ -30,4 +30,19 @@ object Bucketing {
     spark.table(leftTable)
       .join(spark.table(rightTable),
         spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+
+  /** Persist as a Hive-style partitioned managed table (one directory per
+    * partition value). At 100 TB, time/tenant partition columns are what
+    * make selective scans cheap: a filter on the partition column prunes
+    * directories at PLANNING time (PartitionFilters), and a join against
+    * a filtered dimension prunes them at RUNTIME via dynamic partition
+    * pruning — both asserted in PlanSpec. */
+  def writePartitioned(
+      df: DataFrame, table: String, partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $table")
+    df.write.format("parquet")
+      .partitionBy(partitionCol)
+      .mode("overwrite").saveAsTable(table)
+  }
 }

@@ -58,6 +58,37 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("static partition pruning: a partition-column filter reaches PartitionFilters") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Bucketing.writePartitioned(ev, "events_p", "day")
+    val oneDay = spark.table("events_p").filter(col("day") === "2024-01-05")
+    val p = planOf(oneDay)
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("2024-01-05"), p)
+    // pruned scan must agree with the unpartitioned filter
+    assert(oneDay.count() ===
+      ev.filter(col("day") === "2024-01-05").count())
+  }
+
+  test("dynamic partition pruning fires for a join against a filtered dimension") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    if (!spark.catalog.tableExists("events_p")) {
+      Bucketing.writePartitioned(ev, "events_p", "day")
+    }
+    // tiny dimension with an explicit FILTER predicate — DPP only plans a
+    // pruning subquery when the build side is selectively filtered
+    val dim = ev.select(col("day")).distinct()
+      .filter(col("day").isin("2024-01-05", "2024-01-11"))
+    val joined = spark.table("events_p")
+      .join(broadcast(dim), Seq("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val p = planOf(joined)
+    assert(p.contains("dynamicpruning"), p)
+    assert(joined.count() === 2L)
+  }
+
   test("salted aggregation equals the direct aggregate") {
     val ev = Tables.load(spark, sfDir, "events")
     val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value",
