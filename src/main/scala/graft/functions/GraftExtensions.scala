@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+
+/** SparkSessionExtensions entry point: registers the custom sketch
+  * expressions as SQL functions, so `spark.sql` users get them too —
+  * activate with `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `builder.withExtensions(new GraftExtensions)`).
+  *
+  *   SELECT minhash_signature(shingle_hashes(token_hashes, 3), 32)
+  *
+  * Sizing arguments (numHashes, k) must be integer literals — they fix
+  * the generated code shape, exactly like a window frame spec. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case IntegerLiteral(v) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "minhash_signature(hashes, numHashes)")
+        MinHashSignatureExpr(children.head,
+          intLit(children(1), "minhash_signature", "numHashes"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash64(tokenHashes)")
+        SimHash64Expr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "shingle_hashes(tokenHashes, k)")
+        ShingleHashesExpr(children.head,
+          intLit(children(1), "shingle_hashes", "k"))
+      }))
+  }
+}

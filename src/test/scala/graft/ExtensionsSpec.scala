@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExtensions, SketchExpressions}
+
+/** The SparkSessionExtensions registration path: a session built with
+  * GraftExtensions can call the custom sketch expressions from pure SQL,
+  * and the SQL results equal the Column-API results. The extension
+  * session is created (and its default-session slot restored) explicitly
+  * — getOrCreate would silently reuse the shared test session and skip
+  * extension wiring. */
+class ExtensionsSpec extends SparkTestBase {
+
+  private def withExtensionSession[T](f: SparkSession => T): T = {
+    val base = spark // force shared session creation first
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val extended = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try f(extended)
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("custom sketch functions resolve and compute through spark.sql") {
+    withExtensionSession { s =>
+      val row = s.sql(
+        """SELECT
+          |  minhash_signature(array(xxhash64('a'), xxhash64('b')), 4) AS mh,
+          |  simhash64(array(xxhash64('a'), xxhash64('b'))) AS sh,
+          |  shingle_hashes(array(xxhash64('a'), xxhash64('b'), xxhash64('c')), 2) AS sg
+          |""".stripMargin).head()
+      // same values through the Column API on the shared session
+      val viaApi = spark.range(1).select(
+        SketchExpressions.minhashSignature(
+          array(xxhash64(lit("a")), xxhash64(lit("b"))), 4).as("mh"),
+        SketchExpressions.simhash64(
+          array(xxhash64(lit("a")), xxhash64(lit("b")))).as("sh"),
+        SketchExpressions.shingleHashes(
+          array(xxhash64(lit("a")), xxhash64(lit("b")), xxhash64(lit("c"))), 2).as("sg"))
+        .head()
+      assert(row.getSeq[Long](0) === viaApi.getSeq[Long](0))
+      assert(row.getLong(1) === viaApi.getLong(1))
+      assert(row.getSeq[Long](2) === viaApi.getSeq[Long](2))
+    }
+  }
+
+  test("non-literal sizing argument is rejected with a clear error") {
+    withExtensionSession { s =>
+      val e = intercept[Exception] {
+        s.sql("SELECT minhash_signature(array(1L), cast(rand()*4 AS INT))").collect()
+      }
+      assert(e.getMessage.contains("integer literal"))
+    }
+  }
+}
