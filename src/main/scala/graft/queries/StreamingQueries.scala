@@ -76,7 +76,46 @@ object StreamingQueries {
                           FROM orders GROUP BY o_custkey) u USING (user_id)
       GROUP BY e.event_type ORDER BY event_type"""))
 
+  /** Watermark-bounded streaming dedup (ST4) through the real engine: the
+    * event stream is replayed TWICE (duplicate injection) and
+    * dropDuplicatesWithinWatermark must restore exactly the original —
+    * oracle-checked against the batch distinct counts. */
+  val q45StreamDedup = GraftQuery(
+    "q45_stream_dedup", { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val doubled = EventPipeline.stageAsStreamDir(ev.union(ev))
+      val sink = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      EventPipeline.runToMemorySink(s, doubled, sink,
+          EventPipeline.dedupedStream,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .agg(count(lit(1)).as("events_after_dedup"),
+          countDistinct(col("event_id")).as("distinct_ids"))
+    },
+    Some("""SELECT count(*) AS events_after_dedup,
+      count(DISTINCT event_id) AS distinct_ids FROM events"""))
+
+  /** Arbitrary stateful processing (ST5): flatMapGroupsWithState running
+    * per-user totals; the final state per user must equal the batch
+    * aggregate, summarized and oracle-checked. */
+  val q46StreamState = GraftQuery(
+    "q46_stream_state", { (s, dir) =>
+      val sink = s"stream_state_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val updates = EventPipeline.runToMemorySink(s, dir, sink,
+        df => EventPipeline.runningUserTotals(s, df),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      // one update per user per micro-batch: keep the final state
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("userId")).orderBy(col("events").desc)
+      updates.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .agg(count(lit(1)).as("users"),
+          sum(col("events")).as("total_events"),
+          round(sum(col("totalValue")), 2).as("total_value"))
+    },
+    Some("""SELECT count(DISTINCT user_id) AS users,
+      count(*) AS total_events,
+      round(sum(value), 2) AS total_value FROM events"""))
+
   val all: Seq[GraftQuery] = Seq(
     q37StreamTumbling, q38StreamSessions, q39MultimodalDecode,
-    q44StreamStaticJoin)
+    q44StreamStaticJoin, q45StreamDedup, q46StreamState)
 }

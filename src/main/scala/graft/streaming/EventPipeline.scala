@@ -88,6 +88,23 @@ object EventPipeline {
       .toDF()
   }
 
+  /** Stage an events frame as a single raw-nanos parquet FILE named
+    * events.parquet under a fresh temp dir, readable by
+    * [[readEventStream]] — the stream schema expects int64 nano
+    * timestamps (like the driver tables), and Spark would otherwise
+    * write INT96. Used to replay constructed streams (duplicate
+    * injection, etc.) through the real engine. */
+  def stageAsStreamDir(events: DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    val stage = dir.resolve("stage")
+    events.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .coalesce(1).write.parquet(stage.toString)
+    val part = java.nio.file.Files.list(stage)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(part, dir.resolve("events.parquet"))
+    dir.toString
+  }
+
   /** Run any of the streaming transforms to completion against a static
     * directory through a named memory sink; returns the materialized
     * result. This is how the test suite (and Verify) exercises the

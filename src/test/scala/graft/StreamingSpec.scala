@@ -37,20 +37,9 @@ class StreamingSpec extends SparkTestBase {
 
   test("dropDuplicatesWithinWatermark removes a replayed copy of the stream") {
     val ev = Tables.load(spark, sfDir, "events")
-    // readEventStream's pathGlobFilter matches LEAF file names, so the
-    // doubled copy must be a single parquet FILE named events.parquet
-    // (like the driver tables), not a Spark output directory.
-    val doubledDir = java.nio.file.Files.createTempDirectory("graft_dup")
-    val stage = doubledDir.resolve("stage")
-    // The stream schema reads ts as raw int64 nanos (like the driver
-    // tables); Spark would otherwise write INT96 timestamps.
-    ev.union(ev).withColumn("ts", expr("unix_micros(ts) * 1000"))
-      .coalesce(1).write.parquet(stage.toString)
-    val part = java.nio.file.Files.list(stage).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
-    java.nio.file.Files.move(part, doubledDir.resolve("events.parquet"))
+    val doubledDir = EventPipeline.stageAsStreamDir(ev.union(ev))
     val sink = s"t_dedup_${System.nanoTime()}"
-    val out = EventPipeline.runToMemorySink(spark, doubledDir.toString, sink,
+    val out = EventPipeline.runToMemorySink(spark, doubledDir, sink,
       EventPipeline.dedupedStream, OutputMode.Append())
     assert(out.count() === ev.count())
     assert(out.select("event_id").distinct().count() === ev.count())
