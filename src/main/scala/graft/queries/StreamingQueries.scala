@@ -27,8 +27,11 @@ object StreamingQueries {
       event_type, count(*) AS n_events, round(sum(value),2) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
 
-  /** Session windows from the streaming engine (rows-only; gap semantics
-    * asserted against the batch sessionizer in StreamingSpec). */
+  /** Session windows from the streaming engine, oracle-checked:
+    * session_window(ts, 30 min) per user is definitionally the 30-minute
+    * gap sessionization, so the oracle recomputes it with lag() in
+    * DuckDB (streaming-vs-batch parity is ALSO asserted per user in
+    * StreamingSpec). */
   val q38StreamSessions = GraftQuery(
     "q38_stream_sessions", { (s, dir) =>
       val sink = s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -37,7 +40,21 @@ object StreamingQueries {
         .agg(count(lit(1)).as("sessions"),
           sum(col("n_events")).as("events_in_sessions"),
           countDistinct(col("user_id")).as("users"))
-    })
+    },
+    Some("""WITH marked AS (
+        SELECT user_id,
+          CASE WHEN lag(ts) OVER w IS NULL THEN 0
+               WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1
+               ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      per_user AS (
+        SELECT user_id, sum(new_session) + 1 AS sessions, count(*) AS events
+        FROM marked GROUP BY user_id)
+      SELECT CAST(sum(sessions) AS BIGINT) AS sessions,
+        CAST(sum(events) AS BIGINT) AS events_in_sessions,
+        count(*) AS users
+      FROM per_user"""))
 
   /** Multimodal plumbing: synthesize binary media from documents, decode
     * headers per partition, audit validity (rows-only; byte-level checks

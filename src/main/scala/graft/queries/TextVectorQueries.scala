@@ -97,8 +97,11 @@ object TextVectorQueries {
               x -> len(x) > 0)) AS token FROM documents) t
       GROUP BY token ORDER BY occurrences DESC, token LIMIT 20"""))
 
-  /** Language-ID confusion matrix (rows-only; the classifier itself is
-    * verified in LangIdSpec). */
+  /** Language-ID confusion matrix, oracle-checked: the marker-ratio
+    * argmax is plain arithmetic, so the oracle recomputes every score in
+    * DuckDB with the same profiles and the same lowest-code tie-break
+    * (the alphabetical CASE chain with >= encodes exactly that: an
+    * earlier code keeps ties against every later one). */
   val q28LangId = GraftQuery(
     "q28_lang_id",
     (s, dir) =>
@@ -106,7 +109,33 @@ object TextVectorQueries {
         .withColumn("lang_pred", TextAnalysis.langId(col("text")))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("docs"))
-        .orderBy(col("lang"), col("lang_pred")))
+        .orderBy(col("lang"), col("lang_pred")),
+    Some {
+      val profiles = TextAnalysis.LanguageProfiles.toSeq.sortBy(_._1)
+      val scoreCols = profiles.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, t -> list_contains($list, t))) * 1.0 / greatest(len(toks), 1) AS s_$lang"
+      }.mkString(",\n          ")
+      val langs = profiles.map(_._1)
+      val tieChain = langs.init.zipWithIndex.map { case (lang, i) =>
+        val laterGte = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+        s"WHEN $laterGte THEN '$lang'"
+      }.mkString("\n               ")
+      s"""WITH scored AS (
+        SELECT lang,
+          $scoreCols
+        FROM (SELECT lang,
+                list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+              FROM documents)),
+      pred AS (
+        SELECT lang,
+          CASE WHEN greatest(${langs.map("s_" + _).mkString(", ")}) = 0 THEN 'und'
+               $tieChain
+               ELSE '${langs.last}' END AS lang_pred
+        FROM scored)
+      SELECT lang, lang_pred, count(*) AS docs
+      FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""
+    })
 
   /** Winnowing fingerprint collision audit (rows-only): identical
     * fingerprints on the doubled corpus = near-dup detection via a single
@@ -144,8 +173,10 @@ object TextVectorQueries {
         round(avg(col("hamming")), 4).as("avg_hamming"))
     })
 
-  /** Exact n-gram Jaccard over the known dup pairs (rows-only): the
-    * verification primitive measured on ground truth. */
+  /** Exact n-gram Jaccard over the known dup pairs, oracle-checked:
+    * Jaccard over hashed shingles equals Jaccard over the shingle STRINGS
+    * (64-bit collisions aside), so the oracle rebuilds the string shingle
+    * sets in DuckDB and recomputes every pair. */
   val q32NgramJaccard = GraftQuery(
     "q32_ngram_jaccard", { (s, dir) =>
       val base = docs(s, dir).select(col("doc_id"),
@@ -159,7 +190,31 @@ object TextVectorQueries {
           count(lit(1)).as("pairs"),
           round(avg(col("jaccard")), 4).as("avg_jaccard"),
           round(min(col("jaccard")), 4).as("min_jaccard"))
-    })
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+              FROM documents)),
+      shp AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(
+                  regexp_replace(text, '^\S+\s*', ''), '\s+'), x -> len(x) > 0) AS toks
+              FROM documents)),
+      pairs AS (
+        SELECT round(len(list_intersect(a.s, b.s)) * 1.0 /
+          greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS j
+        FROM sh a JOIN shp b USING (doc_id))
+      SELECT count(*) AS pairs, round(avg(j), 4) AS avg_jaccard,
+        round(min(j), 4) AS min_jaccard
+      FROM pairs"""))
 
   /** Exact brute-force ANN top-10 for 5 query vectors (oracle-checked —
     * the cosine accumulation is element-ordered double math on both
