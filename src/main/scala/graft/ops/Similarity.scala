@@ -35,9 +35,9 @@ object Similarity {
     *
     * Scale shape: the corpus scan is embarrassingly parallel; the only
     * shuffle is the per-query ranking. The window ranking here shuffles
-    * |corpus|×|queries| score rows on query_id; for huge corpora swap the
-    * final ranking for a per-partition partial top-k (mapPartitions heap)
-    * + k-row merge — same contract, bounded shuffle.
+    * |corpus|×|queries| score rows on query_id; [[bruteForceTopKPartial]]
+    * is the same contract with the shuffle bounded to
+    * k×partitions×queries rows via per-partition heaps.
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
@@ -52,6 +52,58 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Exact top-k with a BOUNDED ranking shuffle: each partition keeps only
+    * its k best (cosine, neighbor) per query in a bounded heap, so the
+    * exchange carries ≤ k×partitions rows per query instead of the full
+    * |corpus|×|queries| score relation — the shape that survives a 100×
+    * corpus. Same results as [[bruteForceTopK]] (asserted in
+    * SimilaritySpec); ties resolve identically via the (cosine desc,
+    * neighbor_id asc) order. */
+  def bruteForceTopKPartial(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .toDF("query_id", "neighbor_id", "cos")
+    // per-partition bounded heaps: worst (lowest cosine, then HIGHEST
+    // neighbor id) on top so the kept set matches the global order's
+    // tie-break exactly
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val candidates = scored.mapPartitions { rows =>
+      val heapOrd = Ordering.by[(Long, Long, Double), (Double, Long)] {
+        case (_, nId, cos) => (-cos, nId)
+      } // max-heap head = worst kept entry
+      val heaps = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+      rows.foreach { r =>
+        val entry = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        val h = heaps.getOrElseUpdate(entry._1,
+          scala.collection.mutable.PriorityQueue.empty[(Long, Long, Double)](heapOrd))
+        if (h.size < k) h.enqueue(entry)
+        else if (heapOrd.lt(entry, h.head)) { h.dequeue(); h.enqueue(entry) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+        .map { case (qId, nId, cos) => org.apache.spark.sql.Row(qId, nId, cos) }
+    }(enc)
+    // global merge over ≤ k×partitions rows per query
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))

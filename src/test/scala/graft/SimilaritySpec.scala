@@ -42,6 +42,13 @@ class SimilaritySpec extends SparkTestBase {
     assert(inversions === 0L)
   }
 
+  test("bounded-shuffle partial top-k equals the window-ranked brute force") {
+    val partial = Similarity.bruteForceTopKPartial(
+      embeds, queries, "vec_id", "embedding", "vec_id", "embedding", K)
+    assert(partial.exceptAll(brute).count() === 0L)
+    assert(brute.exceptAll(partial).count() === 0L)
+  }
+
   test("multi-table sign-LSH reaches recall >= 0.6 vs brute force") {
     val lsh = Similarity.lshTopK(embeds, queries,
       "vec_id", "embedding", "vec_id", "embedding", K, planes = 4, tables = 8)
