@@ -48,5 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHashesExpr(children.head,
           intLit(children(1), "shingle_hashes", "k"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("all_sign_bits"),
+      info("all_sign_bits"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "all_sign_bits(vec, planes, tables)")
+        SignBitsExpr(children.head,
+          intLit(children(1), "all_sign_bits", "planes"),
+          intLit(children(2), "all_sign_bits", "tables"))
+      }))
   }
 }

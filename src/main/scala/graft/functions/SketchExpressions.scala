@@ -41,6 +41,14 @@ object SketchExpressions {
   def shingleHashes(tokenHashes: Column, k: Int): Column =
     GraftColumnBridge.column(
       ShingleHashesExpr(GraftColumnBridge.expression(tokenHashes), k))
+
+  /** Column wrapper: sign-LSH signatures for ALL hash tables in one pass
+    * over a double vector — element t is the `planes`-bit signature under
+    * table t's hyperplane set, bit-identical to
+    * Similarity.signBitsTable(v, planes, lit(t)). */
+  def allSignBits(vec: Column, planes: Int, tables: Int): Column =
+    GraftColumnBridge.column(
+      SignBitsExpr(GraftColumnBridge.expression(vec), planes, tables))
 }
 
 /** MinHash signature of a hashed-shingle set: out[s] = min over shingles
@@ -178,6 +186,92 @@ case class ShingleHashesExpr(child: Expression, k: Int)
          |int $o = 0;
          |for (java.util.Iterator<Long> $it = $seen.iterator(); $it.hasNext(); ) {
          |  $out[$o++] = ((Long) $it.next()).longValue();
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sign-LSH signatures for `tables` independent hyperplane sets in one
+  * pass: out[t] packs `planes` sign bits of random-hyperplane projections
+  * of the input vector. Hyperplane weight for global plane p, dimension i
+  * replicates the HOF formulation bit for bit:
+  * pmod(xxhash64(p, i), 2000)/1000 - 1 with INT-typed hashing (both
+  * arguments arrive as int literals/indexes there). */
+case class SignBitsExpr(child: Expression, planes: Int, tables: Int)
+    extends UnaryExpression {
+
+  require(planes > 0 && planes <= 63, "planes must be in 1..63")
+  require(tables > 0, "tables must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "all_sign_bits"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        val gp = t * planes + p
+        var proj = 0.0
+        var i = 0
+        while (i < n) {
+          val h = XXH64.hashInt(i, XXH64.hashInt(gp, 42L))
+          val w = (((h % 2000L) + 2000L) % 2000L).toDouble / 1000.0 - 1.0
+          proj += arr.getDouble(i) * w
+          i += 1
+        }
+        if (proj > 0) sig |= (1L << p)
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = classOf[XXH64].getName
+      val n = ctx.freshName("sbN")
+      val out = ctx.freshName("sbOut")
+      val t = ctx.freshName("sbT")
+      val p = ctx.freshName("sbP")
+      val gp = ctx.freshName("sbGp")
+      val proj = ctx.freshName("sbProj")
+      val i = ctx.freshName("sbI")
+      val h = ctx.freshName("sbH")
+      val w = ctx.freshName("sbW")
+      val sig = ctx.freshName("sbSig")
+      s"""
+         |final int $n = $c.numElements();
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $sig = 0L;
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    final int $gp = $t * $planes + $p;
+         |    double $proj = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      final long $h = $xxh.hashInt($i, $xxh.hashInt($gp, 42L));
+         |      final double $w = ((($h % 2000L) + 2000L) % 2000L) / 1000.0 - 1.0;
+         |      $proj += $c.getDouble($i) * $w;
+         |    }
+         |    if ($proj > 0) $sig |= (1L << $p);
+         |  }
+         |  $out[$t] = $sig;
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |  .fromPrimitiveArray($out);

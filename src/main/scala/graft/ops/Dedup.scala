@@ -174,9 +174,9 @@ object Dedup {
       .withColumn("vn", transform(col("vd"), x => x / col("norm")))
       .select(col("id"), col("vn"))
     val sigs = base
-      .withColumn("t", explode(array((0 until tables).map(lit(_)): _*)))
-      .withColumn("sig", Similarity.signBitsTable(col("vn"), planes, col("t")))
-      .select(col("t"), col("sig"), col("id"))
+      .select(col("id"), posexplode(
+        graft.functions.SketchExpressions.allSignBits(col("vn"), planes, tables)))
+      .select(col("pos").as("t"), col("col").as("sig"), col("id"))
     val candidates = sigs.select(col("t"), col("sig"), col("id").as("id_a"))
       .join(sigs.select(col("t"), col("sig"), col("id").as("id_b")), Seq("t", "sig"))
       .filter(col("id_a") < col("id_b"))

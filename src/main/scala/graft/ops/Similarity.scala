@@ -152,9 +152,10 @@ object Similarity {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
     def sigs(df: DataFrame, idAlias: String, vec: String) = df
-      .withColumn("t", explode(array((0 until tables).map(lit(_)): _*)))
-      .select(col("t"), signBitsTable(col(vec), planes, col("t")).as("sig"),
-        col(idAlias))
+      .select(col(idAlias), posexplode(
+        graft.functions.SketchExpressions.allSignBits(
+          transform(col(vec), x => x.cast("double")), planes, tables)))
+      .select(col("pos").as("t"), col("col").as("sig"), col(idAlias))
     val candidates = sigs(c, "neighbor_id", "cv")
       .join(broadcast(sigs(q, "query_id", "qv")), Seq("t", "sig"))
       .filter(col("neighbor_id") =!= col("query_id"))

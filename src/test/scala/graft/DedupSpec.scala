@@ -102,6 +102,19 @@ class DedupSpec extends SparkTestBase {
     assert(diffs === 0L)
   }
 
+  test("codegen sign-LSH expression is bit-identical to the HOF formulation") {
+    val vecs = TextVectorQueries.embedNearDupCorpus(spark, sfDir).limit(100)
+      .select(transform(col("embedding"), x => x.cast("double")).as("vn"))
+    val planes = 8
+    val hof = array((0 until 4).map(t =>
+      Similarity.signBitsTable(col("vn"), planes, lit(t))): _*)
+    val diffs = vecs.select(
+        graft.functions.SketchExpressions.allSignBits(col("vn"), planes, 4).as("fast"),
+        hof.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diffs === 0L)
+  }
+
   test("fingerprint collides for identical text, is order-of-magnitude stable") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
