@@ -1,6 +1,6 @@
 package graft.pharma
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,6 +13,22 @@ import org.apache.spark.sql.types._
   * Schemas are explicit (never inferred): at 100 TB schema inference is a
   * full extra pass and nondeterministic under dirty data (SURVEY.md §7.4.4).
   */
+/** Typed view of a raw medication record (SURVEY.md §1.5: case-class
+  * Dataset for the type-safe core, DataFrame at API edges). Nullable
+  * fields are Options; the nested structs mirror the feed shape. */
+final case class LabInfo(
+    name: Option[String], address: Option[String],
+    tel: Option[String], web: Option[String])
+final case class ClassInfo(
+    therapeutic: Option[String], pharmacological: Option[String])
+final case class Medication(
+    first_letter: String, name: Option[String], generic: Option[String],
+    form: Option[String], reference_rate: Option[String],
+    refundable: Option[Boolean], lab: Option[LabInfo],
+    // the feed column is `class`, which Java identifiers (and therefore
+    // Dataset encoders) cannot carry — typed() renames it
+    med_class: Option[ClassInfo])
+
 object MedsFeed {
 
   /** One raw medication record as it appears in the feed. */
@@ -51,6 +67,14 @@ object MedsFeed {
   def fromJsonString(spark: SparkSession, json: String): DataFrame = {
     import spark.implicits._
     flatten(Seq(json).toDF("json"))
+  }
+
+  /** Typed view over the flattened feed — Dataset[Medication] for
+    * callers that want compile-time field checking; the engine's own
+    * pipeline stays on DataFrames (dynamic schema at the edges). */
+  def typed(flattened: DataFrame): Dataset[Medication] = {
+    import flattened.sparkSession.implicits._
+    flattened.withColumnRenamed("class", "med_class").as[Medication]
   }
 
   /** Streaming twin of [[fromJsonString]]: watch a directory for feed

@@ -86,6 +86,15 @@ class PharmaSpec extends SparkTestBase {
     ds.columns.indices.foreach(i => assert(nullCounts.getLong(i) === 0L))
   }
 
+  test("typed Dataset[Medication] view round-trips the feed") {
+    val typed = graft.pharma.MedsFeed.typed(raw)
+    assert(typed.count() === 300L)
+    // compile-time field access through the case class
+    val withLab = typed.filter(m => m.lab.exists(_.name.isDefined)).count()
+    val withLabDf = raw.filter(col("lab.name").isNotNull).count()
+    assert(withLab === withLabDf)
+  }
+
   test("coverage tri-state percentages sum to ~100 (query 12)") {
     val pctSum = Dashboard.coverageStatus(meds)
       .agg(sum(col("percentage"))).head().getDouble(0)
