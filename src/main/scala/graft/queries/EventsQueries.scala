@@ -181,7 +181,74 @@ object EventsQueries {
       count(*) AS count_rows
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Funnel analysis: per user, does the first view precede the first
+    * click precede the first purchase? One groupBy(user) with min(CASE)
+    * per stage — a single shuffle regardless of funnel depth, the shape
+    * that beats per-stage self-joins at scale. */
+  val q47Funnel = GraftQuery(
+    "q47_funnel", { (s, dir) =>
+      val perUser = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      perUser.agg(
+        count(lit(1)).as("users"),
+        count(when(col("first_view").isNotNull, 1)).as("viewed"),
+        count(when(col("first_view") < col("first_click"), 1)).as("view_then_click"),
+        count(when(col("first_view") < col("first_click") &&
+          col("first_click") < col("first_purchase"), 1)).as("full_funnel"))
+    },
+    Some("""SELECT count(*) AS users,
+      count(CASE WHEN first_view IS NOT NULL THEN 1 END) AS viewed,
+      count(CASE WHEN first_view < first_click THEN 1 END) AS view_then_click,
+      count(CASE WHEN first_view < first_click AND first_click < first_purchase
+            THEN 1 END) AS full_funnel
+      FROM (SELECT user_id,
+              min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+              min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+              min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+            FROM events GROUP BY user_id) per_user"""))
+
+  /** Retention cohorts: users grouped by their first-activity day, with
+    * day-7 and day-14 return rates — first-touch attribution via a
+    * per-user min(ts), then one semi-join-free conditional re-aggregation
+    * (the cohort table stays one row per user; no event-level self-join). */
+  val q48Retention = GraftQuery(
+    "q48_retention", { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val firstDay = ev.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+      val activity = ev.select(col("user_id"),
+        date_trunc("day", col("ts")).as("act_day")).distinct()
+      firstDay.join(activity, Seq("user_id"))
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"))
+        .agg(
+          countDistinct(col("user_id")).as("cohort_users"),
+          countDistinct(when(
+            col("act_day").cast("double") - col("cohort_day").cast("double") >= 7 * 86400d,
+            col("user_id"))).as("returned_7d"),
+          countDistinct(when(
+            col("act_day").cast("double") - col("cohort_day").cast("double") >= 14 * 86400d,
+            col("user_id"))).as("returned_14d"))
+        .orderBy(col("cohort"))
+    },
+    Some("""WITH first_day AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        FROM events GROUP BY user_id),
+      activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day FROM events)
+      SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+        count(DISTINCT user_id) AS cohort_users,
+        count(DISTINCT CASE WHEN epoch(act_day) - epoch(cohort_day) >= 604800.0
+          THEN user_id END) AS returned_7d,
+        count(DISTINCT CASE WHEN epoch(act_day) - epoch(cohort_day) >= 1209600.0
+          THEN user_id END) AS returned_14d
+      FROM first_day JOIN activity USING (user_id)
+      GROUP BY cohort_day ORDER BY cohort"""))
+
   val all: Seq[GraftQuery] =
     Seq(q21JsonExtract, q22TumblingWindow, q23Sessionize, q24TopUsersPerType,
-      q41AsofJoin, q43SaltedAgg)
+      q41AsofJoin, q43SaltedAgg, q47Funnel, q48Retention)
 }
