@@ -185,9 +185,10 @@ object Dedup {
     candidates
       .join(base.select(col("id").as("id_a"), col("vn").as("vn_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("vn").as("vn_b")), Seq("id_b"))
-      .withColumn("cosine", round(
-        aggregate(zip_with(col("vn_a"), col("vn_b"), (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v), 6))
+      // vectors are unit-normalized, so the verify cosine is one shared
+      // dot-product fold (same code path as every other caller)
+      .withColumn("cosine",
+        round(Similarity.dotProduct(col("vn_a"), col("vn_b")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

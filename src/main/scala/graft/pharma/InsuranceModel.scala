@@ -103,18 +103,25 @@ object InsuranceModel {
     * ML_Model_Complete…py:276-323, via MLlib native writers): save,
     * reload, and check the reloaded model reproduces every prediction. */
   def persistenceRoundTrip(model: PipelineModel, test: DataFrame): Boolean = {
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_rf_model").resolve("model").toString
-    model.write.overwrite().save(path)
-    val reloaded = PipelineModel.load(path)
-    val diffs = model.transform(test).select(col("price"), col("form"),
-        col("therapeutic_class"), col("pharmacological_class"),
-        col("lab_name"), col("prediction"))
-      .except(reloaded.transform(test).select(col("price"), col("form"),
-        col("therapeutic_class"), col("pharmacological_class"),
-        col("lab_name"), col("prediction")))
-      .count()
-    diffs == 0
+    val dir = java.nio.file.Files.createTempDirectory("graft_rf_model")
+    try {
+      val path = dir.resolve("model").toString
+      model.write.overwrite().save(path)
+      val reloaded = PipelineModel.load(path)
+      def preds(m: PipelineModel) = m.transform(test).select(
+        col("price"), col("form"), col("therapeutic_class"),
+        col("pharmacological_class"), col("lab_name"), col("prediction"))
+      // multiset compare (exceptAll, both directions): plain except() is
+      // set-based and would miss a flipped prediction on one of two rows
+      // sharing a feature tuple
+      preds(model).exceptAll(preds(reloaded)).isEmpty &&
+        preds(reloaded).exceptAll(preds(model)).isEmpty
+    } finally {
+      // the saved PipelineModel is scratch — don't accumulate one per run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** Train/evaluate with the reference's 80/20 seed-42 split. */

@@ -32,7 +32,11 @@ object PharmaQueries {
     * SURVEY.md §2.1 (Delta on Databricks; parquet saveAsTable has the
     * identical overwrite + read-back-by-name semantics here). */
   private[graft] def medications(s: SparkSession): DataFrame = {
-    if (!s.catalog.tableExists("medications")) {
+    // Qualified name throughout: an unqualified "medications" can be
+    // shadowed by a temp view (DashboardSql registers one on the same
+    // session), which would satisfy tableExists AND win name resolution —
+    // silently skipping the managed-table round-trip.
+    if (!s.catalog.tableExists("default.medications")) {
       // A managed-table location left by a PREVIOUS session is an orphan
       // to this session's in-memory catalog, and Spark refuses to reuse
       // it (LOCATION_ALREADY_EXISTS) — remove it before the first save.
@@ -41,9 +45,10 @@ object PharmaQueries {
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
       Cleaning.all(MedsFeed.fromJsonString(s, PharmaFixture.feedJson()))
-        .write.mode("overwrite").format("parquet").saveAsTable("medications")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable("default.medications")
     }
-    s.table("medications")
+    s.table("default.medications")
   }
 
   /** Raw flattened feed (S2 JSON map-of-lists flatten + struct pull-up,

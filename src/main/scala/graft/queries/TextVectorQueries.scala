@@ -73,9 +73,9 @@ object TextVectorQueries {
             .as("pct_short"))
         .orderBy(col("source")),
     Some("""SELECT source, count(*) AS docs,
-      round(avg(list_sum(list_transform(
+      round(avg(coalesce(list_sum(list_transform(
           list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0),
-          x -> len(x))) * 1.0 /
+          x -> len(x))), 0) * 1.0 /
         greatest(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)), 1)),4)
         AS avg_word_len,
       round(count(CASE WHEN n_chars < 200 THEN 1 END) * 100.0 / count(*),2) AS pct_short
@@ -106,9 +106,9 @@ object TextVectorQueries {
             greatest(len(text), 1) AS digit_ratio,
           len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 /
             greatest(len(text), 1) AS punct_ratio,
-          list_sum(list_transform(
+          coalesce(list_sum(list_transform(
             list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0),
-            x -> len(x))) * 1.0 /
+            x -> len(x))), 0) * 1.0 /
             greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)), 1)
             AS word_len,
           len(list_filter(string_split_regex(lower(text), '\\s+'),
@@ -324,9 +324,8 @@ object TextVectorQueries {
           .select(col(idAlias), transform(col("vd"), x => x / col("norm")).as(vecAlias))
       normalized("id_a", "vn_a").crossJoin(normalized("id_b", "vn_b"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("cosine", round(
-          aggregate(zip_with(col("vn_a"), col("vn_b"), (x, y) => x * y),
-            lit(0.0), (acc, v) => acc + v), 6))
+        .withColumn("cosine",
+          round(Similarity.dotProduct(col("vn_a"), col("vn_b")), 6))
         .filter(col("cosine") >= 0.45)
         .select(col("id_a"), col("id_b"), col("cosine"))
         .orderBy(col("id_a"), col("id_b"))

@@ -99,9 +99,17 @@ object EventPipeline {
     val stage = dir.resolve("stage")
     events.withColumn("ts", expr("unix_micros(ts) * 1000"))
       .coalesce(1).write.parquet(stage.toString)
-    val part = java.nio.file.Files.list(stage)
-      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val listing = java.nio.file.Files.list(stage)
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
     java.nio.file.Files.move(part, dir.resolve("events.parquet"))
+    // scratch data — reclaim at JVM exit (deleteOnExit runs LIFO, so
+    // register parents before children)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.iterator().asScala.foreach(_.toFile.deleteOnExit())
+    finally walk.close()
     dir.toString
   }
 
