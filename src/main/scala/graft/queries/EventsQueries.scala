@@ -248,7 +248,55 @@ object EventsQueries {
       FROM first_day JOIN activity USING (user_id)
       GROUP BY cohort_day ORDER BY cohort"""))
 
+  /** Pivot (long→wide reshape): daily event counts, one column per event
+    * type. The value list is EXPLICIT — pivot without one needs an extra
+    * distinct pass over the data to discover the columns, and an
+    * unbounded column space is a driver-memory hazard at scale. */
+  val q49Pivot = GraftQuery(
+    "q49_pivot",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("day")),
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      FROM events GROUP BY 1 ORDER BY day"""))
+
+  /** RANGE window frame (value-based, not row-based): 7-day trailing
+    * average of daily revenue. The un-partitioned window is safe HERE
+    * because it runs on the per-day aggregate, whose row count is bounded
+    * by the calendar, not the event volume — aggregate first, window the
+    * small relation. */
+  val q50RangeFrame = GraftQuery(
+    "q50_range_frame", { (s, dir) =>
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("rev"))
+      val w = Window.orderBy(col("day_sec"))
+        .rangeBetween(-6 * 86400L, Window.currentRow)
+      daily.withColumn("day_sec", col("d").cast("long"))
+        .withColumn("ma7_revenue", round(avg(col("rev")).over(w), 2))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          round(col("rev"), 2).as("revenue"), col("ma7_revenue"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, sum(value) AS rev
+        FROM events GROUP BY 1)
+      SELECT strftime(d, '%Y-%m-%d') AS day, round(rev, 2) AS revenue,
+        round(avg(rev) OVER (ORDER BY epoch(d)
+          RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW), 2) AS ma7_revenue
+      FROM daily ORDER BY day"""))
+
   val all: Seq[GraftQuery] =
     Seq(q21JsonExtract, q22TumblingWindow, q23Sessionize, q24TopUsersPerType,
-      q41AsofJoin, q43SaltedAgg, q47Funnel, q48Retention)
+      q41AsofJoin, q43SaltedAgg, q47Funnel, q48Retention, q49Pivot,
+      q50RangeFrame)
 }

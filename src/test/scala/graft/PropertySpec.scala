@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.ops.{Dedup, TextAnalysis}
+import graft.pharma.Cleaning
+
+/** Property-based invariants (SURVEY.md §5 test plan #4): totality of the
+  * bucketing expressions, idempotence of the cleaning filters and text
+  * normalization, and algebraic laws of the similarity primitives —
+  * checked over generated inputs rather than fixtures. Spark evaluation
+  * per generated case is expensive, so each property batches its samples
+  * into ONE DataFrame and asserts over the whole batch. */
+class PropertySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val priceGen: Gen[Int] = Gen.oneOf(
+    Gen.choose(1, 2000),
+    Gen.oneOf(50, 100, 101, 200, 500, 501, 1000, 1001)) // weight the edges
+
+  test("property: every valid price lands in exactly one price_category") {
+    val prices = Gen.listOfN(300, priceGen).sample.get
+    val cats = Cleaning.priceCategory(prices.toDF("price"))
+      .groupBy("price_category").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cats.keySet.subsetOf(Set("Low", "Medium", "High")))
+    assert(cats.values.sum === prices.size.toLong)
+  }
+
+  test("property: cleaning filter and imputation are idempotent") {
+    val rates = Gen.listOfN(200, Gen.oneOf(
+      Gen.const(null: String), Gen.const(""), Gen.const("gratuit"),
+      Gen.const("0 DA"), priceGen.map(p => s"$p.00 DA"))).sample.get
+    val df = rates.toDF("reference_rate")
+      .withColumn("refundable", lit(null).cast("boolean"))
+    val once = Cleaning.refundableImpute(
+      Cleaning.validPriceFilter(Cleaning.priceExtract(df)))
+    val twice = Cleaning.refundableImpute(Cleaning.validPriceFilter(once))
+    assert(once.count() === twice.count())
+    assert(once.exceptAll(twice).count() === 0L)
+  }
+
+  test("property: normalizeText is idempotent and case/punct-insensitive") {
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val textGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    val texts = Gen.listOfN(150, textGen).sample.get
+    val df = texts.toDF("t")
+      .withColumn("dirty", concat(upper(col("t")), lit("!!  ")))
+    val out = df.select(
+      Dedup.normalizeText(Dedup.normalizeText(col("t"))).as("twice"),
+      Dedup.normalizeText(col("t")).as("once"),
+      Dedup.normalizeText(lower(col("dirty"))).as("via_dirty"),
+      Dedup.normalizeText(lower(col("t"))).as("via_lower"))
+    assert(out.filter(col("twice") =!= col("once")).count() === 0L)
+    assert(out.filter(col("via_dirty") =!= col("via_lower")).count() === 0L)
+  }
+
+  test("property: jaccard is symmetric, bounded, and 1 on self") {
+    val tokGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+      .map(_.mkString(" "))
+    val pairs = Gen.listOfN(120, Gen.zip(tokGen, tokGen)).sample.get
+    val df = pairs.toDF("t1", "t2").select(
+      TextAnalysis.shingleSet(col("t1"), 2).as("s1"),
+      TextAnalysis.shingleSet(col("t2"), 2).as("s2"))
+    val checked = df.select(
+      Dedup.jaccard(col("s1"), col("s2")).as("ab"),
+      Dedup.jaccard(col("s2"), col("s1")).as("ba"),
+      Dedup.jaccard(col("s1"), col("s1")).as("self"))
+    assert(checked.filter(col("ab") =!= col("ba")).count() === 0L)
+    assert(checked.filter(col("ab") < 0 || col("ab") > 1).count() === 0L)
+    assert(checked.filter(abs(col("self") - 1.0) > 1e-9).count() === 0L)
+  }
+
+  test("property: quality score stays in [0,1] on arbitrary printable text") {
+    val junkGen = Gen.listOfN(40,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '!', '.', '?', '9', '\t')))
+      .map(_.mkString)
+    val texts = Gen.listOfN(200, junkGen).sample.get
+    val bad = texts.toDF("text")
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .filter(col("q") < 0 || col("q") > 1).count()
+    assert(bad === 0L)
+  }
+
+  test("property: minhash signature entries are element-wise <= any single shingle's hashes") {
+    // the signature is a min over per-seed hashes: adding MORE shingles
+    // can only lower (or keep) each signature element
+    val tokGen = Gen.listOfN(10, Gen.identifier).map(_.mkString(" "))
+    val texts = Gen.listOfN(80, tokGen).sample.get
+    val df = texts.toDF("t")
+      .withColumn("extended", concat(col("t"), lit(" zzz extra tail")))
+    val sigs = df.select(
+      Dedup.minhashSignature(TextAnalysis.shingleSet(col("t"), 3), 16).as("base"),
+      Dedup.minhashSignature(TextAnalysis.shingleSet(col("extended"), 3), 16).as("ext"))
+    // not strictly monotone per element (extended text has different
+    // shingles), but the min over the UNION of shingles is:
+    val monotone = df.select(
+      Dedup.minhashSignature(
+        array_union(
+          TextAnalysis.shingleSet(col("t"), 3),
+          TextAnalysis.shingleSet(col("extended"), 3)), 16).as("u"),
+      Dedup.minhashSignature(TextAnalysis.shingleSet(col("t"), 3), 16).as("base"))
+    val violations = monotone.filter(
+      exists(zip_with(col("u"), col("base"), (u, b) => u > b), x => x)).count()
+    assert(violations === 0L)
+    assert(sigs.count() === 80L)
+  }
+}
