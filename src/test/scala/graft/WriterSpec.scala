@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pharma.{Cleaning, MedsFeed, PharmaFixture}
+
+/** Interchange sinks round-trip: the cleaned relation must survive
+  * CSV (flat columns, header, explicit read schema — inference would be
+  * a second pass and nondeterministic on dirty data) and JSON (nested
+  * structs included) without value drift. Parquet round-trips are
+  * exercised by every other suite; these are the export formats a
+  * downstream non-Spark consumer reads. */
+class WriterSpec extends SparkTestBase {
+
+  private lazy val meds = Cleaning.all(
+    MedsFeed.fromJsonString(spark, PharmaFixture.feedJson())).cache()
+
+  test("CSV round-trip preserves the flat projection") {
+    val flat = meds.drop("lab", "class") // CSV cannot carry structs
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    // explicit NULL sentinel: by default CSV writes both NULL and "" as
+    // an empty field and reads them ALL back as NULL — the feed's empty
+    // `generic` values would silently become nulls
+    flat.write.mode("overwrite")
+      .option("header", "true").option("nullValue", "\\N").csv(dir)
+    val back = spark.read.schema(flat.schema)
+      .option("header", "true").option("nullValue", "\\N").csv(dir)
+    assert(back.count() === flat.count())
+    assert(back.exceptAll(flat).count() === 0L)
+    assert(flat.exceptAll(back).count() === 0L)
+  }
+
+  test("JSON round-trip preserves nested structs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    meds.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(meds.schema).json(dir)
+    assert(back.count() === meds.count())
+    // struct fields survive: spot-check the nested lab name column
+    assert(back.filter(col("lab.name").isNotNull).count() ===
+      meds.filter(col("lab.name").isNotNull).count())
+    assert(back.exceptAll(meds).count() === 0L)
+  }
+}
