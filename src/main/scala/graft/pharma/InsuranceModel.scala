@@ -111,16 +111,21 @@ object InsuranceModel {
       def preds(m: PipelineModel) = m.transform(test).select(
         col("price"), col("form"), col("therapeutic_class"),
         col("pharmacological_class"), col("lab_name"), col("prediction"))
-      // multiset compare (exceptAll, both directions): plain except() is
-      // set-based and would miss a flipped prediction on one of two rows
-      // sharing a feature tuple
-      preds(model).exceptAll(preds(reloaded)).isEmpty &&
-        preds(reloaded).exceptAll(preds(model)).isEmpty
+      // multiset compare: equal counts + one-directional exceptAll is
+      // multiset equality (plain except() is set-based and would miss a
+      // flipped prediction on one of two rows sharing a feature tuple);
+      // cache so each scoring pipeline runs once
+      val a = preds(model).cache()
+      val b = preds(reloaded).cache()
+      try a.count() == b.count() && a.exceptAll(b).isEmpty
+      finally { a.unpersist(); b.unpersist() }
     } finally {
       // the saved PipelineModel is scratch — don't accumulate one per run
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 

@@ -44,10 +44,11 @@ object StreamingQueries {
     Some("""WITH marked AS (
         SELECT user_id,
           CASE WHEN lag(ts) OVER w IS NULL THEN 0
-               -- >= : session_window intervals are half-open
-               -- [start, last+gap), so an EXACTLY-30-minute gap starts a
-               -- new session in the streaming engine
-               WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0 THEN 1
+               -- strict > : session_window MERGES events exactly gap
+               -- apart (verified empirically on Spark 4.1.2 — an event at
+               -- last+gap lands in the same session), matching the batch
+               -- sessionizer in q23
+               WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1
                ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

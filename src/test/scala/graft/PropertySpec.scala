@@ -16,12 +16,17 @@ class PropertySpec extends SparkTestBase {
 
   import spark.implicits._
 
+  /** Seeded draw: failures replay exactly, and pureApply retries instead
+    * of Gen.sample's occasional None. */
+  private def draw[T](g: Gen[T]): T =
+    g.pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(42L))
+
   private val priceGen: Gen[Int] = Gen.oneOf(
     Gen.choose(1, 2000),
     Gen.oneOf(50, 100, 101, 200, 500, 501, 1000, 1001)) // weight the edges
 
   test("property: every valid price lands in exactly one price_category") {
-    val prices = Gen.listOfN(300, priceGen).sample.get
+    val prices = draw(Gen.listOfN(300, priceGen))
     val cats = Cleaning.priceCategory(prices.toDF("price"))
       .groupBy("price_category").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -30,9 +35,9 @@ class PropertySpec extends SparkTestBase {
   }
 
   test("property: cleaning filter and imputation are idempotent") {
-    val rates = Gen.listOfN(200, Gen.oneOf(
+    val rates = draw(Gen.listOfN(200, Gen.oneOf(
       Gen.const(null: String), Gen.const(""), Gen.const("gratuit"),
-      Gen.const("0 DA"), priceGen.map(p => s"$p.00 DA"))).sample.get
+      Gen.const("0 DA"), priceGen.map(p => s"$p.00 DA"))))
     val df = rates.toDF("reference_rate")
       .withColumn("refundable", lit(null).cast("boolean"))
     val once = Cleaning.refundableImpute(
@@ -45,7 +50,7 @@ class PropertySpec extends SparkTestBase {
   test("property: normalizeText is idempotent and case/punct-insensitive") {
     val wordGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
     val textGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
-    val texts = Gen.listOfN(150, textGen).sample.get
+    val texts = draw(Gen.listOfN(150, textGen))
     val df = texts.toDF("t")
       .withColumn("dirty", concat(upper(col("t")), lit("!!  ")))
     val out = df.select(
@@ -60,7 +65,7 @@ class PropertySpec extends SparkTestBase {
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val tokGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f"))
       .map(_.mkString(" "))
-    val pairs = Gen.listOfN(120, Gen.zip(tokGen, tokGen)).sample.get
+    val pairs = draw(Gen.listOfN(120, Gen.zip(tokGen, tokGen)))
     val df = pairs.toDF("t1", "t2").select(
       TextAnalysis.shingleSet(col("t1"), 2).as("s1"),
       TextAnalysis.shingleSet(col("t2"), 2).as("s2"))
@@ -77,7 +82,7 @@ class PropertySpec extends SparkTestBase {
     val junkGen = Gen.listOfN(40,
       Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '!', '.', '?', '9', '\t')))
       .map(_.mkString)
-    val texts = Gen.listOfN(200, junkGen).sample.get
+    val texts = draw(Gen.listOfN(200, junkGen))
     val bad = texts.toDF("text")
       .select(TextAnalysis.qualityScore(col("text")).as("q"))
       .filter(col("q") < 0 || col("q") > 1).count()
@@ -88,14 +93,10 @@ class PropertySpec extends SparkTestBase {
     // the signature is a min over per-seed hashes: adding MORE shingles
     // can only lower (or keep) each signature element
     val tokGen = Gen.listOfN(10, Gen.identifier).map(_.mkString(" "))
-    val texts = Gen.listOfN(80, tokGen).sample.get
+    val texts = draw(Gen.listOfN(80, tokGen))
     val df = texts.toDF("t")
       .withColumn("extended", concat(col("t"), lit(" zzz extra tail")))
-    val sigs = df.select(
-      Dedup.minhashSignature(TextAnalysis.shingleSet(col("t"), 3), 16).as("base"),
-      Dedup.minhashSignature(TextAnalysis.shingleSet(col("extended"), 3), 16).as("ext"))
-    // not strictly monotone per element (extended text has different
-    // shingles), but the min over the UNION of shingles is:
+    // per-element monotonicity holds for the min over a shingle-set UNION
     val monotone = df.select(
       Dedup.minhashSignature(
         array_union(
@@ -105,6 +106,6 @@ class PropertySpec extends SparkTestBase {
     val violations = monotone.filter(
       exists(zip_with(col("u"), col("base"), (u, b) => u > b), x => x)).count()
     assert(violations === 0L)
-    assert(sigs.count() === 80L)
+    assert(monotone.count() === 80L)
   }
 }

@@ -23,9 +23,9 @@ class StreamingSpec extends SparkTestBase {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull, 0)
-          // >= : session_window is half-open [start, last+gap), so an
-          // exactly-30-minute gap is a NEW session in the streaming engine
-          .when(col("ts").cast("double") - col("prev_ts").cast("double") >= 1800d, 1)
+          // strict > : session_window MERGES events exactly gap apart
+          // (verified on Spark 4.1.2), same rule as q23's sessionizer
+          .when(col("ts").cast("double") - col("prev_ts").cast("double") > 1800d, 1)
           .otherwise(0))
       .groupBy("user_id")
       .agg((sum(col("new_session")) + lit(1)).as("sessions"))
