@@ -56,6 +56,22 @@ object Cleaning {
   def all(df: DataFrame): DataFrame =
     priceCategory(refundableImpute(validPriceFilter(priceExtract(structFlatten(df)))))
 
+  /** Cleaning with the triage accounting attached as an Observation:
+    * the reference audits the feed with FOUR separate count() actions
+    * (Pharma_Ingestion_Cleaning.py:100-112) — four full scans at 100 TB.
+    * observe() computes the same metrics as a side effect of whatever
+    * single action the caller runs on the cleaned frame, so the audit is
+    * free: clean once, read the counts off the observation. */
+  def observedClean(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val priced = priceExtract(structFlatten(df)).observe(obs,
+      count(lit(1)).as("total"),
+      count(when(col("price").isNull, 1)).as("null_price"),
+      count(when(col("price") === 0, 1)).as("zero_price"),
+      count(when(col("price") > 0, 1)).as("valid_price"))
+    (priceCategory(refundableImpute(validPriceFilter(priced))), obs)
+  }
+
   /** Triage accounting the reference performs manually
     * (Pharma_Ingestion_Cleaning.py:100-112): partition rows by price
     * validity; the three buckets must sum to the total. */

@@ -27,6 +27,18 @@ class PharmaSpec extends SparkTestBase {
       r.getAs[Long]("null_price") + r.getAs[Long]("zero_price") + r.getAs[Long]("valid_price"))
   }
 
+  test("observed clean: triage metrics ride the single cleaning pass") {
+    val (cleaned, obs) = Cleaning.observedClean(
+      MedsFeed.fromJsonString(spark, PharmaFixture.feedJson()))
+    // ONE action drives both the cleaned result and the audit metrics
+    assert(cleaned.count() === 195L)
+    val m = obs.get
+    assert(m("total") === 300L)
+    assert(m("null_price") === 90L)
+    assert(m("zero_price") === 15L)
+    assert(m("valid_price") === 195L)
+  }
+
   test("KPI golden row (dashboard query 1)") {
     val r = Dashboard.marketOverview(meds).head()
     assert(r.getAs[Long]("total_medications") === 195L)
