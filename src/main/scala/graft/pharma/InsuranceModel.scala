@@ -158,9 +158,12 @@ object InsuranceModel {
     def r2(x: Double) = math.round(x * 100.0) / 100.0
     // importances ordered as the assembler input: price, then the
     // four categorical indexes (reference's sorted importance print,
-    // ML_Model_Complete…py:227-237)
+    // ML_Model_Complete…py:227-237). Serialized as a JSON string, not an
+    // array column: the driver's result compare sorts rows with pandas,
+    // which cannot order array cells (r2 CORRECTNESS err on this query).
     val importances = m.featureImportances
-      .map(x => math.round(x * 10000.0) / 10000.0).toSeq
+      .map(x => math.round(x * 10000.0) / 10000.0)
+      .mkString("[", ",", "]")
     Seq((r2(m.accuracy), r2(m.auc),
       m.trainRows + m.testRows, m.featureImportances.length, importances,
       r2(m.covered.precision), r2(m.covered.recall),
