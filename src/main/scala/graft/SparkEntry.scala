@@ -44,5 +44,5 @@ object SparkEntry {
     "q16_window_running", "q22_tumbling_window", "q23_sessionize",
     "q25_text_stats", "q27_token_topk", "q30_minhash_neardup",
     "q31_simhash_neardup", "q33_ann_brute", "q36b_embed_neardup_lsh",
-    "q41_asof_join")
+    "q41_asof_join", "q51_dedup_clusters")
 }

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transitive dedup clustering: near-duplicate PAIRS (Dedup.scala) only
+  * say "a matches b"; picking one survivor per duplicate GROUP needs the
+  * connected components of the match graph (a≈b, b≈c ⇒ {a,b,c} is one
+  * cluster even when a and c never matched directly). This is the last
+  * stage of every production dedup pipeline — the reference's README
+  * claims dedup (README.md:17) without code; at 100 TB the component
+  * structure is what decides which rows survive.
+  *
+  * Both stages are pure DataFrame programs: candidate edges come from a
+  * shared-shingle equi-join (never a cross join), and components come
+  * from the alternating large-star/small-star algorithm (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014), which
+  * converges in O(log²) rounds of hash shuffles on the EDGE list — the
+  * only data that moves is (node, node) pairs, never document payloads.
+  */
+object DedupCluster {
+
+  /** Candidate duplicate edges by shared-shingle blocking: documents
+    * sharing at least `minShared` distinct k-gram shingles. One explode +
+    * one equi-join on the shingle hash + one pair aggregate — linear
+    * shuffles in corpus size, with the pair join keyed on a uniform
+    * 64-bit hash.
+    *
+    * `maxDf` is the hot-key guard: a shingle occurring in more than
+    * `maxDf` documents (boilerplate headers, licence blocks) contributes
+    * O(df²) candidate pairs while carrying almost no dup signal, so its
+    * postings are dropped before the self-join — the standard stop-
+    * shingle trick that keeps the join linear at corpus scale.
+    */
+  def sharedShingleEdges(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3,
+      minShared: Int = 10,
+      maxDf: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingleSet(col(textCol), shingleK)).as("s"))
+    val keep = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDf)
+      .select(col("s"))
+    val postings = sh.join(keep, Seq("s"))
+    postings.select(col("s"), col("id").as("u"))
+      .join(postings.select(col("s"), col("id").as("v")), Seq("s"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("u"), col("v"))
+  }
+
+  /** Large-star round: every node a links each HIGHER neighbor b to
+    * m(a) = min(neighbors(a) ∪ {a}). Keeps the graph connected while
+    * strictly pulling high nodes toward component minima. */
+  private[ops] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+    val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+      .select(col("a"), least(col("a"), col("mb")).as("m"))
+    sym.join(mins, Seq("a"))
+      .filter(col("b") > col("a"))
+      .select(least(col("b"), col("m")).as("u"),
+        greatest(col("b"), col("m")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star round: every node links its LOWER neighbors (and itself)
+    * to the minimum of that set — flattens local chains into stars. */
+  private[ops] def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("hi"),
+      least(col("u"), col("v")).as("lo"))
+    val mins = dir.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+    val relinked = dir.join(mins, Seq("hi"))
+      .select(col("lo").as("x"), col("m"))
+      .union(mins.select(col("hi").as("x"), col("m")))
+    relinked.filter(col("x") =!= col("m"))
+      .select(least(col("x"), col("m")).as("u"),
+        greatest(col("x"), col("m")).as("v"))
+      .distinct()
+  }
+
+  /** Connected components of an undirected edge list (columns `u`, `v`).
+    * Returns one (node, root) row per node that appears in any edge, with
+    * `root` = the minimum node id of its component.
+    *
+    * Alternates large-star/small-star until the edge set reaches its
+    * fixpoint (a forest of stars centered at component minima) — O(log²)
+    * rounds, each a constant number of hash shuffles over the edge list.
+    * `localCheckpoint` truncates the plan every round: without it the
+    * lineage doubles per iteration and analysis time, not data movement,
+    * becomes the bottleneck.
+    *
+    * Fixpoint detection is two-tier to keep the driver loop cheap: a
+    * one-pass (count, hash-sum) signature per round — one aggregate job —
+    * and only when two consecutive signatures agree, one exact
+    * set-equality confirm (empty `except`). The signature alone would be
+    * a collision gamble; the confirm makes termination exact while
+    * costing one extra job across the whole run instead of per round.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    def signature(df: DataFrame): (Long, Long) = {
+      // xor-fold, not sum: order-independent over the set and cannot
+      // overflow under ANSI arithmetic
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = edges
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(e)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig && next.except(e).isEmpty
+      e = next
+      sig = nextSig
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // At the fixpoint every edge is (component-min, member): u IS the root.
+    e.select(col("v").as("node"), col("u").as("root"))
+      .union(e.select(col("u").as("node"), col("u").as("root")).distinct())
+  }
+}

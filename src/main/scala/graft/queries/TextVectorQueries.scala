@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{GraftQuery, Tables}
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, DedupCluster, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators wired to the driver contract:
   * text statistics, quality scoring, language ID, fingerprinting,
@@ -369,9 +369,66 @@ object TextVectorQueries {
         round(avg(col("cosine")), 4).as("avg_cosine"))
     })
 
+  /** Transitive dedup clustering over the doubled corpus, fully
+    * oracle-checked: shared-shingle candidate edges (≥ 10 common 3-gram
+    * shingles, stop-shingle guard at df ≤ 1000) → connected components
+    * (large-star/small-star) → survivor accounting. The DuckDB oracle
+    * re-derives the SAME edge relation from string shingles and computes
+    * components by recursive-CTE transitive closure — an independent
+    * algorithm, so the component structure itself is cross-checked, not
+    * just recomputed. Survivors = total − clustered + clusters (one
+    * canonical doc kept per cluster). */
+  val q51DedupClusters = GraftQuery(
+    "q51_dedup_clusters", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val edges = DedupCluster.sharedShingleEdges(
+        corpus, "text", "doc_id", shingleK = 3, minShared = 10, maxDf = 1000)
+      val comp = DedupCluster.connectedComponents(edges)
+      val sizes = comp.groupBy(col("root")).agg(count(lit(1)).as("n"))
+      // total corpus size stays in-plan (1-row agg cross join), no
+      // driver-side count
+      sizes.agg(
+          count(lit(1)).as("clusters"),
+          sum(col("n")).as("clustered_docs"),
+          max(col("n")).as("largest_cluster"))
+        .crossJoin(corpus.agg(count(lit(1)).as("total")))
+        .select(col("clusters"), col("clustered_docs"), col("largest_cluster"),
+          (col("total") - col("clustered_docs") + col("clusters")).as("survivors"))
+    },
+    Some("""WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '') FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(toks)-2, 1)),
+          i -> array_to_string(list_slice(toks, i, i+2), ' ')))) AS s
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+              FROM corpus)),
+      keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+      shf AS (SELECT doc_id, s FROM sh JOIN keep USING (s)),
+      edges AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 10),
+      sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+      walk(node, front) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT w.node, s.v FROM walk w JOIN sym s ON s.u = w.front),
+      comp AS (SELECT node, min(front) AS root FROM walk GROUP BY node),
+      sizes AS (SELECT root, count(*) AS n FROM comp GROUP BY root)
+      SELECT count(*) AS clusters,
+        CAST(sum(n) AS BIGINT) AS clustered_docs,
+        max(n) AS largest_cluster,
+        (SELECT count(*) FROM corpus) - CAST(sum(n) AS BIGINT) + count(*) AS survivors
+      FROM sizes"""))
+
   val all: Seq[GraftQuery] = Seq(
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q29Fingerprint,
     q30MinhashNearDup, q31SimhashNearDup, q32NgramJaccard, q33AnnBrute,
-    q34AnnLsh, q35AnnIvf, q36EmbedNearDup, q36bEmbedNearDupLsh)
+    q34AnnLsh, q35AnnIvf, q36EmbedNearDup, q36bEmbedNearDupLsh,
+    q51DedupClusters)
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalacheck.Gen
+
+import graft.ops.DedupCluster
+
+/** Connected-components clustering: the distributed large-star/small-star
+  * result is cross-checked against a driver-side union-find on the same
+  * edges — an independent sequential algorithm, so agreement validates
+  * the component structure itself. */
+class ClusterSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Sequential union-find with path compression — the oracle. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupCluster.connectedComponents(edges.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+
+  test("a shuffled long chain collapses to one component rooted at the min") {
+    // ids are permuted so the minimum sits mid-chain — forces label
+    // propagation across many hops (multiple star rounds, not one)
+    val perm = new scala.util.Random(7).shuffle((0L until 64L).toList)
+    val edges = perm.sliding(2).map(p => (p.head, p(1))).toSeq
+    val comp = ccMap(edges)
+    assert(comp.values.toSet === Set(0L))
+    assert(comp.keySet === (0L until 64L).toSet)
+  }
+
+  test("disjoint components keep distinct minimal roots") {
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 32L), (30L, 32L))
+    val comp = ccMap(edges)
+    assert(comp === Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
+  test("random graphs match a driver-side union-find") {
+    val genEdges = for {
+      n <- Gen.choose(2, 50)
+      m <- Gen.choose(1, 80)
+      edges <- Gen.listOfN(m, for {
+        u <- Gen.choose(0L, n.toLong - 1)
+        v <- Gen.choose(0L, n.toLong - 1)
+      } yield (u, v))
+    } yield edges
+    // seeded draws: failures replay exactly (PropertySpec convention)
+    (1L to 6L).foreach { seed =>
+      val edges = genEdges
+        .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty)
+        assert(ccMap(edges) === unionFind(edges), s"seed=$seed edges=$edges")
+    }
+  }
+
+  test("shared-shingle edges link copies, not unrelated docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (2L, "beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"))
+      .toDF("doc_id", "text")
+    val edges = DedupCluster.sharedShingleEdges(docs, "text", "doc_id",
+      shingleK = 3, minShared = 5, maxDf = 1000)
+      .as[(Long, Long)].collect().toSet
+    assert(edges === Set((1L, 2L)))
+  }
+
+  test("stop-shingle guard drops hot postings") {
+    // ten docs all sharing one boilerplate sentence: maxDf below 10
+    // removes those shingles, so no edges survive
+    val docs = (1L to 10L)
+      .map(i => (i, s"common boiler plate sentence here now w$i x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    val edges = DedupCluster.sharedShingleEdges(docs, "text", "doc_id",
+      shingleK = 3, minShared = 3, maxDf = 5)
+    assert(edges.count() === 0L)
+  }
+}
