@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{GraftQuery, Tables}
+import graft.ops.TextAnalysis
+
+/** Training-data curation operators a large-scale pipeline runs AFTER
+  * cleaning/dedup and BEFORE training: deterministic split assignment,
+  * weighted source mixing, sequence packing, and positional token
+  * analysis. Every query is DuckDB-oracle-checked — the split/mixing
+  * hash is plain modular arithmetic precisely so an independent engine
+  * can recompute it bit-for-bit (at production scale the same shape runs
+  * on xxhash64; the arithmetic hash keeps the oracle exact while the
+  * partition/filter structure is identical).
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Knuth multiplicative hash → [0, 100): deterministic, uniform-ish,
+    * and reproducible in any engine with 64-bit integer arithmetic.
+    * Never use random() for split assignment — re-runs must route every
+    * document to the same split or eval sets leak into training. */
+  private def hashBucket(id: org.apache.spark.sql.Column, mult: Long) =
+    ((id * mult) % 4294967296L) % 100
+
+  /** Deterministic train/val/test split (80/10/10) by hashed doc id —
+    * stateless, no shuffle at all: the split column is a narrow
+    * projection, so at 100 TB this is a zero-exchange map stage. */
+  val q55HashSplit = GraftQuery(
+    "q55_hash_split",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("bucket", hashBucket(col("doc_id"), 2654435761L))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("tokens"))
+        .orderBy(col("lang"), col("split")),
+    Some("""SELECT lang, split, count(*) AS docs,
+      CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) AS BIGINT) AS tokens
+      FROM (SELECT *, CASE WHEN bucket < 80 THEN 'train'
+                           WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT *, ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+                  FROM documents) b) s
+      GROUP BY lang, split ORDER BY lang, split"""))
+
+  /** Weighted source mixing: each source keeps a deterministic fraction
+    * of its documents (the data-mixture knob of LLM training runs). The
+    * keep decision is per-row hash arithmetic — no shuffle, no sampling
+    * nondeterminism; the per-source weight here is a deterministic
+    * function of the source name so the oracle needs no side table. */
+  val q56SourceMixing = GraftQuery(
+    "q56_source_mixing",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("weight_pct", lit(30) + (length(col("source")) * 7) % 50)
+        .withColumn("keep",
+          hashBucket(col("doc_id"), 1099511628211L) < col("weight_pct"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("total_docs"),
+          count(when(col("keep"), 1)).as("kept_docs"),
+          first(col("weight_pct")).as("target_pct"),
+          round(count(when(col("keep"), 1)) * 100.0 / count(lit(1)), 2)
+            .as("achieved_pct"))
+        .orderBy(col("source")),
+    Some("""SELECT source, count(*) AS total_docs,
+      count(CASE WHEN keep THEN 1 END) AS kept_docs,
+      first(weight_pct) AS target_pct,
+      round(count(CASE WHEN keep THEN 1 END) * 100.0 / count(*), 2) AS achieved_pct
+      FROM (SELECT source, 30 + (len(source) * 7) % 50 AS weight_pct,
+              ((doc_id * 1099511628211) % 4294967296) % 100 <
+                30 + (len(source) * 7) % 50 AS keep
+            FROM documents) m
+      GROUP BY source ORDER BY source"""))
+
+  /** Sequence packing: concatenate documents per language in a stable
+    * order and cut at a fixed token budget — each document lands in the
+    * bin where its first token falls. One running-sum window per
+    * language partition (the partition key bounds window state); bins
+    * and fill-rate fall out arithmetically. This is the standard
+    * "greedy pack in corpus order" used to batch LLM pretraining data. */
+  val q57SequencePacking = GraftQuery(
+    "q57_sequence_packing", { (s, dir) =>
+      val budget = 2048.0
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("lang"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+        .withColumn("cum", sum(col("ntok")).over(w))
+        .withColumn("bin",
+          floor((col("cum") - col("ntok")) / lit(budget)).cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          countDistinct(col("bin")).as("bins"),
+          sum(col("ntok")).as("total_tokens"),
+          round(sum(col("ntok")) / (countDistinct(col("bin")) * budget), 4)
+            .as("fill_rate"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(DISTINCT bin) AS bins,
+      CAST(sum(ntok) AS BIGINT) AS total_tokens,
+      round(sum(ntok) / (count(DISTINCT bin) * 2048.0), 4) AS fill_rate
+      FROM (SELECT lang, ntok,
+              CAST(floor((sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok)
+                / 2048.0) AS BIGINT) AS bin
+            FROM (SELECT lang, doc_id,
+                    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS ntok
+                  FROM documents) t) p
+      GROUP BY lang ORDER BY lang"""))
+
+  /** posexplode generator surface (§2.10): token + position in one
+    * generate step; positional stats per token. The oracle zips DuckDB's
+    * parallel unnests (list + generate_series) to reproduce (pos, token)
+    * pairs. 1-based positions on both sides. */
+  val q58Posexplode = GraftQuery(
+    "q58_posexplode",
+    (s, dir) =>
+      docs(s, dir)
+        .select(posexplode(TextAnalysis.tokens(col("text"))))
+        .select((col("pos") + 1).as("pos"), col("col").as("token"))
+        .groupBy(col("token"))
+        .agg(
+          count(lit(1)).as("occurrences"),
+          round(avg(col("pos")), 4).as("avg_pos"),
+          min(col("pos")).as("min_pos"))
+        .orderBy(col("occurrences").desc, col("token"))
+        .limit(15),
+    Some("""SELECT token, count(*) AS occurrences,
+      round(avg(pos), 4) AS avg_pos, min(pos) AS min_pos
+      FROM (SELECT unnest(toks) AS token,
+              unnest(generate_series(1, len(toks))) AS pos
+            FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+                  FROM documents) t) u
+      GROUP BY token ORDER BY occurrences DESC, token LIMIT 15"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode)
+}

@@ -483,11 +483,126 @@ object Relational {
       count(*) AS n_orders
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Explicit GROUPING SETS with grouping() level markers — the general
+    * form of q19's rollup (§2.4 note: ships free via Catalyst's Expand).
+    * One Expand multiplies each input row by the number of sets BEFORE the
+    * shuffle, so at 100 TB the exchange is |sets| × rows — prune sets, not
+    * post-filter. */
+  val q52GroupingSets = GraftQuery(
+    "q52_grouping_sets",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_priority"))
+        .orderBy(col("g_status"), col("g_priority"),
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+      count(*) AS orders, round(sum(o_totalprice),2) AS revenue,
+      CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+      CAST(grouping(o_orderpriority) AS TINYINT) AS g_priority
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY g_status, g_priority,
+        o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  /** Distribution-rank window family — ntile / percent_rank / cume_dist
+    * (§2.5 full window surface). The window order carries a unique
+    * tie-break (acctbal, custkey): ntile splits TIED values by physical
+    * row order, so without the tie-break bucket membership is
+    * nondeterministic across engines and runs. */
+  val q53NtileFamily = GraftQuery(
+    "q53_ntile_family",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .groupBy(col("c_mktsegment"), col("quartile"))
+        .agg(
+          count(lit(1)).as("customers"),
+          round(avg(col("pr")), 6).as("avg_percent_rank"),
+          round(max(col("cd")), 6).as("max_cume_dist"))
+        .orderBy(col("c_mktsegment"), col("quartile"))
+    },
+    Some("""SELECT c_mktsegment, quartile, count(*) AS customers,
+      round(avg(pr),6) AS avg_percent_rank,
+      round(max(cd),6) AS max_cume_dist
+      FROM (SELECT c_mktsegment,
+        ntile(4) OVER w AS quartile,
+        percent_rank() OVER w AS pr,
+        cume_dist() OVER w AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)) t
+      GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile"""))
+
+  /** Bivariate statistical aggregates — corr / covar_samp / stddev_samp /
+    * var_samp (§2.4 A5's heavy cousins). All are single-pass mergeable
+    * moment sketches: one partial state per partition, one tiny shuffle —
+    * the same scale shape as AVG. */
+  val q54StatAggs = GraftQuery(
+    "q54_stat_aggs",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+          round(stddev_samp(col("l_discount")), 6).as("stddev_discount"),
+          round(var_samp(col("l_tax")), 6).as("var_tax"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      round(corr(l_quantity, l_extendedprice),6) AS corr_qty_price,
+      round(covar_samp(l_quantity, l_extendedprice),2) AS covar_qty_price,
+      round(stddev_samp(l_discount),6) AS stddev_discount,
+      round(var_samp(l_tax),6) AS var_tax
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM) — completes the
+    * join predicate surface (§2.3): NULL keys pair with NULL keys instead
+    * of dropping out, still a hash-partitionable equi-join (NULL hashes
+    * like any key under null-safe semantics). */
+  val q59NullsafeJoin = GraftQuery(
+    "q59_nullsafe_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // nullif folds one flag value to NULL on both sides, so the
+      // null-safe match set is observable in the output
+      val lo = li.filter(col("l_quantity") < 10)
+        .groupBy(nullif(col("l_returnflag"), lit("R")).as("k"))
+        .agg(count(lit(1)).as("n_small"))
+      val hi = li.filter(col("l_quantity") >= 40)
+        .groupBy(nullif(col("l_returnflag"), lit("R")).as("k2"))
+        .agg(count(lit(1)).as("n_large"))
+      lo.join(hi, col("k") <=> col("k2"))
+        .select(col("k"), col("n_small"), col("n_large"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+    Some("""SELECT a.k, n_small, n_large
+      FROM (SELECT nullif(l_returnflag, 'R') AS k, count(*) AS n_small
+            FROM lineitem WHERE l_quantity < 10 GROUP BY 1) a
+      JOIN (SELECT nullif(l_returnflag, 'R') AS k, count(*) AS n_large
+            FROM lineitem WHERE l_quantity >= 40 GROUP BY 1) b
+        ON a.k IS NOT DISTINCT FROM b.k
+      ORDER BY a.k ASC NULLS FIRST"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,
     q04Percentile, q04bApproxPercentile,
     q05ConditionalAgg, q06Having, q07CaseBucket, q08TwoLevelAgg,
     q09ScalarSubquery, q10TopK, q11StarJoin, q12FactJoin, q13OuterJoin,
     q14SemiAnti, q15WindowRank, q16WindowRunning, q17SetOps, q18RangeJoin,
-    q19Rollup, q20DedupExact, q42TypedAggregator)
+    q19Rollup, q20DedupExact, q42TypedAggregator,
+    q52GroupingSets, q53NtileFamily, q54StatAggs, q59NullsafeJoin)
 }
