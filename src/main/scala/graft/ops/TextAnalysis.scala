@@ -125,6 +125,55 @@ object TextAnalysis {
     graft.functions.SketchExpressions.shingleHashes(
       transform(tokens(text), t => xxhash64(t)), k)
 
+  /** Token bigrams as strings; empty array below 2 tokens (sequence()
+    * would count DOWN for stop < start, so the guard is mandatory). */
+  def bigrams(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1),
+        i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signal: fraction of tokens that are repeats
+    * of an earlier token in the same document. */
+  def duplicateTokenFraction(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts))
+      .otherwise(lit(0.0))
+  }
+
+  /** Gopher-style repetition signal: share of all bigrams taken by the
+    * single most frequent bigram. Computed WITHOUT a shuffle: sort the
+    * per-document bigram array, then one linear fold finds the longest
+    * equal run — per-row compute only, so at 100 TB this stays a narrow
+    * projection (the explode + double-groupBy alternative shuffles
+    * corpus × bigram rows twice). */
+  def topBigramFraction(text: Column): Column = {
+    val bgs = array_sort(bigrams(text))
+    val best = aggregate(bgs,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(bgs) > 0, best.cast("double") / size(bgs)).otherwise(lit(0.0))
+  }
+
+  /** PII regexes kept deliberately RE2-compatible (no lookarounds) so the
+    * same patterns run in Spark (Java regex) and any RE2-based engine. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction: emails then phone numbers to typed placeholders —
+    * one codegen'd regexp pass each, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   /** Full per-document text-statistics projection. */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -144,6 +144,147 @@ object CurationQueries {
                   FROM documents) t) u
       GROUP BY token ORDER BY occurrences DESC, token LIMIT 15"""))
 
+  /** Gopher-style repetition filters: duplicate-token fraction and
+    * top-bigram share per document, aggregated per source. The Spark side
+    * computes both WITHOUT a shuffle (sorted-array fold per row,
+    * TextAnalysis.topBigramFraction); the oracle recomputes the same
+    * numbers via the orthodox unnest + double-group route — independent
+    * algorithms agreeing on every value. */
+  val q60RepetitionFilters = GraftQuery(
+    "q60_repetition_filters",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          TextAnalysis.duplicateTokenFraction(col("text")).as("dupfrac"),
+          TextAnalysis.topBigramFraction(col("text")).as("topfrac"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("docs"),
+          round(avg(col("dupfrac")), 4).as("avg_dup_token_frac"),
+          round(avg(col("topfrac")), 4).as("avg_top_bigram_frac"),
+          count(when(col("topfrac") > 0.1, 1)).as("flagged_repetitive"))
+        .orderBy(col("source")),
+    Some("""WITH t AS (
+        SELECT doc_id, source,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      d AS (
+        SELECT doc_id, source, len(toks) AS ntok, len(list_distinct(toks)) AS ndis,
+          CASE WHEN len(toks) >= 2 THEN
+            list_transform(generate_series(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i + 1])
+          ELSE CAST([] AS VARCHAR[]) END AS bgs
+        FROM t),
+      b AS (
+        SELECT doc_id, max(c) AS top FROM (
+          SELECT doc_id, bg, count(*) AS c
+          FROM (SELECT doc_id, unnest(bgs) AS bg FROM d) u
+          GROUP BY doc_id, bg) g
+        GROUP BY doc_id),
+      m AS (
+        SELECT d.source,
+          CASE WHEN ntok > 0 THEN 1.0 - ndis * 1.0 / ntok ELSE 0.0 END AS dupfrac,
+          coalesce(top, 0) * 1.0 / greatest(len(bgs), 1) AS topfrac
+        FROM d LEFT JOIN b USING (doc_id))
+      SELECT source, count(*) AS docs,
+        round(avg(dupfrac), 4) AS avg_dup_token_frac,
+        round(avg(topfrac), 4) AS avg_top_bigram_frac,
+        count(CASE WHEN topfrac > 0.1 THEN 1 END) AS flagged_repetitive
+      FROM m GROUP BY source ORDER BY source"""))
+
+  /** PII redaction audit. The corpus carries no PII, so a deterministic
+    * injection (email on doc_id%10=0, phone on doc_id%10=5) makes the
+    * redaction measurable; both engines inject identically, redact with
+    * the same RE2-compatible patterns, and assert zero residual matches
+    * after redaction. */
+  val q61PiiRedaction = GraftQuery(
+    "q61_pii_redaction", { (s, dir) =>
+      val injected = docs(s, dir).withColumn("t2",
+        concat(col("text"),
+          when(col("doc_id") % 10 === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"), lit("@example.com")))
+            .when(col("doc_id") % 10 === 5, lit(" call 555-123-4567"))
+            .otherwise(lit(""))))
+      val anyPii = s"${TextAnalysis.EmailRe}|${TextAnalysis.PhoneRe}"
+      injected
+        .withColumn("redacted", TextAnalysis.redactPii(col("t2")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(regexp_count(col("t2"), lit(TextAnalysis.EmailRe))).as("emails_found"),
+          sum(regexp_count(col("t2"), lit(TextAnalysis.PhoneRe))).as("phones_found"),
+          count(when(col("redacted") =!= col("t2"), 1)).as("docs_redacted"),
+          sum(regexp_count(col("redacted"), lit(anyPii))).as("residual_pii"))
+        .orderBy(col("source"))
+    }, {
+      // both regexes are RE2-compatible and pass through a DuckDB
+      // single-quoted literal unmodified (no escape processing there)
+      val email = TextAnalysis.EmailRe
+      val phone = TextAnalysis.PhoneRe
+      Some(s"""WITH inj AS (
+        SELECT source, text || CASE WHEN doc_id % 10 = 0
+            THEN ' contact u' || doc_id || '@example.com'
+          WHEN doc_id % 10 = 5 THEN ' call 555-123-4567'
+          ELSE '' END AS t2
+        FROM documents),
+      red AS (
+        SELECT source, t2,
+          regexp_replace(regexp_replace(t2, '$email', '<EMAIL>', 'g'),
+            '$phone', '<PHONE>', 'g') AS redacted
+        FROM inj)
+      SELECT source, count(*) AS docs,
+        CAST(sum(len(regexp_extract_all(t2, '$email'))) AS BIGINT) AS emails_found,
+        CAST(sum(len(regexp_extract_all(t2, '$phone'))) AS BIGINT) AS phones_found,
+        count(CASE WHEN redacted <> t2 THEN 1 END) AS docs_redacted,
+        CAST(sum(len(regexp_extract_all(redacted, '$email|$phone'))) AS BIGINT) AS residual_pii
+      FROM red GROUP BY source ORDER BY source""")
+    })
+
+  /** End-to-end curation pipeline: quality gate → normalized exact dedup
+    * → deterministic split assignment → per-split accounting. Composes
+    * the operators above the way a production run chains them; the oracle
+    * replays the whole chain in SQL (quality CTE shared with q26b, dedup
+    * via QUALIFY row_number, same split arithmetic), so the COMPOSITION
+    * is verified, not just each stage. */
+  val q62CurationPipeline = GraftQuery(
+    "q62_curation_pipeline", { (s, dir) =>
+      val kept = docs(s, dir)
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .filter(col("q") >= 0.88)
+      val deduped = graft.ops.Dedup.normalizedExact(kept, "text", "doc_id")
+      deduped
+        .withColumn("bucket", hashBucket(col("doc_id"), 2654435761L))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("tokens"),
+          round(avg(col("q")), 4).as("avg_quality"))
+        .orderBy(col("split"))
+    },
+    Some(s"""WITH scored AS (${TextVectorQueries.qualityScoredDocsSql}),
+      kept AS (SELECT * FROM scored WHERE q >= 0.88),
+      norm AS (
+        SELECT *, trim(regexp_replace(regexp_replace(lower(text),
+          '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g')) AS ntext
+        FROM kept),
+      dedup AS (
+        SELECT * FROM norm
+        QUALIFY row_number() OVER (PARTITION BY ntext ORDER BY doc_id) = 1),
+      assigned AS (
+        SELECT *, CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+          WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+          ELSE 'test' END AS split
+        FROM dedup)
+      SELECT split, count(*) AS docs,
+        CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS BIGINT) AS tokens,
+        round(avg(q), 4) AS avg_quality
+      FROM assigned GROUP BY split ORDER BY split"""))
+
   val all: Seq[GraftQuery] = Seq(
-    q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode)
+    q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
+    q60RepetitionFilters, q61PiiRedaction, q62CurationPipeline)
 }

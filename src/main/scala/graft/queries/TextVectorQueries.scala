@@ -81,26 +81,25 @@ object TextVectorQueries {
       round(count(CASE WHEN n_chars < 200 THEN 1 END) * 100.0 / count(*),2) AS pct_short
       FROM documents GROUP BY source ORDER BY source"""))
 
-  /** Composite Gopher/C4-style quality score per source, oracle-checked:
+  /** DuckDB re-derivation of TextAnalysis.qualityScore per document —
+    * shared by q26b and the curation-pipeline oracle (CurationQueries):
     * every term of the score (length band, digit/punct penalties, mean
-    * word length band, stopword coverage) is recomputed in DuckDB with
-    * the identical weights and term order. DuckDB regexp_replace needs
-    * the explicit 'g' flag to strip ALL matches like Spark does. */
-  val q26bQualityScore = GraftQuery(
-    "q26b_quality_score",
-    (s, dir) =>
-      docs(s, dir)
-        .withColumn("q", TextAnalysis.qualityScore(col("text")))
-        .groupBy(col("source"))
-        .agg(
-          round(avg(col("q")), 4).as("avg_quality"),
-          round(min(col("q")), 4).as("min_quality"),
-          round(max(col("q")), 4).as("max_quality"))
-        .orderBy(col("source")), {
-      val stopList = TextAnalysis.EnglishStopwords.map(w => s"'$w'")
-        .mkString("[", ", ", "]")
-      Some(s"""WITH feat AS (
-        SELECT source,
+    * word length band, stopword coverage) recomputed with the identical
+    * weights and term order. DuckDB regexp_replace needs the explicit 'g'
+    * flag to strip ALL matches like Spark does. Yields
+    * (doc_id, lang, source, text, q). */
+  private[queries] val qualityScoredDocsSql: String = {
+    val stopList = TextAnalysis.EnglishStopwords.map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    s"""SELECT doc_id, lang, source, text, round(
+          (CASE WHEN ntok BETWEEN 10 AND 100000 THEN 1.0
+                WHEN ntok < 10 THEN ntok / 10.0 ELSE 0.5 END) * 0.3 +
+          (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.2 +
+          (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 +
+          (CASE WHEN word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.15 +
+          least(stop_ratio * 4.0, 1.0) * 0.15, 6) AS q
+      FROM (
+        SELECT doc_id, lang, source, text,
           len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) * 1.0 AS ntok,
           len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 /
             greatest(len(text), 1) AS digit_ratio,
@@ -115,20 +114,26 @@ object TextVectorQueries {
             t -> list_contains($stopList, t))) * 1.0 /
             greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)), 1)
             AS stop_ratio
-        FROM documents),
-      scored AS (
-        SELECT source, round(
-          (CASE WHEN ntok BETWEEN 10 AND 100000 THEN 1.0
-                WHEN ntok < 10 THEN ntok / 10.0 ELSE 0.5 END) * 0.3 +
-          (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.2 +
-          (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 +
-          (CASE WHEN word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.15 +
-          least(stop_ratio * 4.0, 1.0) * 0.15, 6) AS q
-        FROM feat)
+        FROM documents) feat"""
+  }
+
+  /** Composite Gopher/C4-style quality score per source, oracle-checked
+    * via the shared per-document re-derivation above. */
+  val q26bQualityScore = GraftQuery(
+    "q26b_quality_score",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .groupBy(col("source"))
+        .agg(
+          round(avg(col("q")), 4).as("avg_quality"),
+          round(min(col("q")), 4).as("min_quality"),
+          round(max(col("q")), 4).as("max_quality"))
+        .orderBy(col("source")),
+    Some(s"""WITH scored AS ($qualityScoredDocsSql)
       SELECT source, round(avg(q), 4) AS avg_quality,
         round(min(q), 4) AS min_quality, round(max(q), 4) AS max_quality
-      FROM scored GROUP BY source ORDER BY source""")
-    })
+      FROM scored GROUP BY source ORDER BY source"""))
 
   /** Vocabulary top-k via explode (generator surface, §2.10) —
     * oracle-checked against DuckDB unnest. */
