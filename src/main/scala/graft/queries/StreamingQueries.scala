@@ -136,7 +136,42 @@ object StreamingQueries {
       count(*) AS total_events,
       round(sum(value), 2) AS total_value FROM events"""))
 
+  /** Stream-stream interval join executed by the streaming engine
+    * (ST surface: the join-state shape Spark manages with two watermarked
+    * buffers): clicks join purchases of the same user within 30 minutes.
+    * The time-range condition is what lets the engine EVICT join state —
+    * without it both buffers grow unboundedly at 100 TB/day; with it,
+    * state is bounded by watermark + interval. Inner joins emit on
+    * arrival, so the memory-sink result after processAllAvailable is the
+    * complete answer and carries a plain batch oracle. */
+  val q63StreamStreamJoin = GraftQuery(
+    "q63_stream_stream_join", { (s, dir) =>
+      val sink = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      EventPipeline.runToMemorySink(s, dir, sink, ev => {
+          val wm = ev.withWatermark("ts", "1 hour")
+          val clicks = wm.filter(col("event_type") === "click")
+            .select(col("user_id").as("u"), col("ts").as("click_ts"))
+          val purchases = wm.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("u2"), col("ts").as("purchase_ts"))
+          clicks.join(purchases,
+            col("u") === col("u2") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        },
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .agg(
+          count(lit(1)).as("pairs"),
+          countDistinct(col("u")).as("users"),
+          round(avg(unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))) / 1e6, 2)
+            .as("avg_lag_sec"))
+    },
+    Some("""SELECT count(*) AS pairs, count(DISTINCT l.user_id) AS users,
+      round(avg(epoch(r.ts) - epoch(l.ts)), 2) AS avg_lag_sec
+      FROM events l JOIN events r ON l.user_id = r.user_id
+        AND l.event_type = 'click' AND r.event_type = 'purchase'
+        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE"""))
+
   val all: Seq[GraftQuery] = Seq(
     q37StreamTumbling, q38StreamSessions, q39MultimodalDecode,
-    q44StreamStaticJoin, q45StreamDedup, q46StreamState)
+    q44StreamStaticJoin, q45StreamDedup, q46StreamState, q63StreamStreamJoin)
 }

@@ -65,6 +65,32 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("stream-stream interval join emits exactly the batch join's pairs") {
+    val sink = s"t_ssjoin_${System.nanoTime()}"
+    val streamed = EventPipeline.runToMemorySink(spark, sfDir, sink, ev => {
+      val wm = ev.withWatermark("ts", "1 hour")
+      val l = wm.filter(col("event_type") === "click")
+        .select(col("user_id").as("u"), col("ts").as("click_ts"))
+      val r = wm.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u2"), col("ts").as("purchase_ts"))
+      l.join(r, col("u") === col("u2") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    }, OutputMode.Append()).select("u", "click_ts", "purchase_ts")
+    val ev = Tables.load(spark, sfDir, "events")
+    val batch = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts").as("click_ts"))
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u2"), col("ts").as("purchase_ts")),
+        col("u") === col("u2") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("u", "click_ts", "purchase_ts")
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+    assert(streamed.count() === batch.count())
+  }
+
   test("flatMapGroupsWithState running totals equal the batch per-user totals") {
     val sink = s"t_state_${System.nanoTime()}"
     val streamed = EventPipeline.runToMemorySink(spark, sfDir, sink,
