@@ -89,6 +89,42 @@ class PlanSpec extends SparkTestBase {
     assert(joined.count() === 2L)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB the runtime bloom filter drops non-joining fact rows
+    // BEFORE the exchange. Production thresholds (10 MB build / 10 GB
+    // probe scan) are far above test data, so lower them to observe the
+    // rewrite; assert the might_contain probe lands in the fact scan side.
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // applicationSideScanSizeThreshold is a MINIMUM probe size (10 GB
+      // default); creationSideThreshold is a MAXIMUM build size and the
+      // tiny test dimension is already under it — only the former needs
+      // lowering here
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val o = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), p)
+      // and the rewrite must not change the answer
+      val expected = Tables.load(spark, sfDir, "lineitem")
+        .join(Tables.load(spark, sfDir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n2"))
+      assert(joined.join(expected, Seq("l_returnflag"))
+        .filter(col("n") =!= col("n2")).count() === 0L)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("salted aggregation equals the direct aggregate") {
     val ev = Tables.load(spark, sfDir, "events")
     val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value",

@@ -30,6 +30,21 @@ class WriterSpec extends SparkTestBase {
     assert(flat.exceptAll(back).count() === 0L)
   }
 
+  test("ORC round-trip preserves nested structs and values") {
+    // the columnar interchange format besides parquet (avro has no
+    // datasource jar in this runtime); structs are first-class in ORC
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    meds.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === meds.count())
+    // names + types survive; nullability flags do not round-trip through
+    // ORC (every read column comes back nullable) — values are the check
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      meds.schema.map(f => (f.name, f.dataType)))
+    assert(back.exceptAll(meds).count() === 0L)
+    assert(meds.exceptAll(back).count() === 0L)
+  }
+
   test("JSON round-trip preserves nested structs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
     meds.write.mode("overwrite").json(dir)
