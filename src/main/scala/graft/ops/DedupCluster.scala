@@ -112,17 +112,21 @@ object DedupCluster {
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
+    // LAZY checkpoints: the per-round signature aggregate is the action
+    // that materializes the round's edges into block storage, so each
+    // round costs ONE job (plus the one-off except confirm) instead of a
+    // separate checkpoint job followed by the aggregate.
     var e = edges
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var sig = signature(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val nextSig = signature(next)
       converged = nextSig == sig && next.except(e).isEmpty
       e = next
