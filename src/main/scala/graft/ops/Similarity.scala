@@ -184,9 +184,25 @@ object Similarity {
       queryId: String, queryVec: String,
       k: Int, stride: Int = 50, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
-    val centroids = broadcast(
+    val centroids =
       c.filter(pmod(col("neighbor_id"), lit(stride)) === 0)
-        .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv")))
+        .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"))
+    ivfTopKWithCentroids(corpus, queries, corpusId, corpusVec,
+      queryId, queryVec, centroids, k, nprobe)
+  }
+
+  /** IVF probe against an EXPLICIT centroid relation
+    * (centroid_id, centv) — e.g. one trained by [[kmeansCentroids]].
+    * Same inverted-list shape as [[ivfTopK]]; better-placed centroids
+    * raise recall at the same nprobe. */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      centroidRel: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+    val centroids = broadcast(
+      centroidRel.select(col("centroid_id"), col("centv")))
     // Assign each corpus vector to its nearest centroid (argmax cosine).
     val assignW = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("ccos").desc, col("centroid_id"))
@@ -214,5 +230,51 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
+  }
+
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Lloyd's k-means over the embedding corpus, entirely in DataFrame
+    * ops: assignment is a broadcast cross join + per-vector argmin
+    * (narrow over the corpus — the only exchange is the elementwise-mean
+    * groupBy over (cluster, dim), k·d keys), and the new centroids are
+    * reassembled from sorted (dim, mean) structs. A FIXED iteration count
+    * with deterministic lowest-id initialization keeps the result
+    * reproducible run-to-run — at scale this is the centroid trainer for
+    * the IVF index, and the centroid relation stays k rows (model-sized)
+    * end to end, never collected to the driver.
+    *
+    * A cluster that loses all members drops out (standard Lloyd
+    * degeneracy); callers get ≤ k centroids. */
+  def kmeansCentroids(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val initW = Window.orderBy(col("vid"))
+    var centroids = c.orderBy(col("vid")).limit(k)
+      .select((row_number().over(initW) - 1).as("centroid_id"),
+        col("v").as("centv"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val aw = Window.partitionBy(col("vid"))
+        .orderBy(col("dist").asc, col("centroid_id"))
+      val assigned = c.crossJoin(broadcast(centroids))
+        .withColumn("dist", l2sq(col("v"), col("centv")))
+        .withColumn("rnk", row_number().over(aw))
+        .filter(col("rnk") === 1)
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("s"))
+        .select(col("centroid_id"),
+          transform(col("s"), x => x.getField("m")).as("centv"))
+        .localCheckpoint(eager = false)
+    }
+    centroids
   }
 }

@@ -430,10 +430,79 @@ object TextVectorQueries {
         (SELECT count(*) FROM corpus) - CAST(sum(n) AS BIGINT) + count(*) AS survivors
       FROM sizes"""))
 
+  /** Int8 scalar quantization of the embedding corpus, oracle-checked:
+    * the oracle recomputes the identical quantize/dequantize arithmetic
+    * per element AND asserts the construction guarantee (every
+    * reconstruction error ≤ half a quantization step) — so both the
+    * values and the contract are verified. avg_rel_err is the mean
+    * relative L2 reconstruction error. */
+  val q64QuantizeInt8 = GraftQuery(
+    "q64_quantize_int8", { (s, dir) =>
+      val q = graft.ops.Quantize.withInt8(embeds(s, dir), "embedding")
+        .withColumn("vd", transform(col("embedding"), _.cast("double")))
+        .withColumn("xr", graft.ops.Quantize.dequantized)
+        .withColumn("st",
+          zip_with(col("maxs"), col("mins"), (a, b) => (a - b) / 255.0))
+      val diffSq = aggregate(
+        zip_with(col("vd"), col("xr"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v)
+      val normSq = aggregate(col("vd"), lit(0.0), (acc, v) => acc + v * v)
+      val ok = forall(
+        arrays_zip(col("vd"), col("xr"), col("st")),
+        t => abs(t.getField("vd") - t.getField("xr")) <=
+          t.getField("st") / 2.0 * 1.000000001)
+      q.select(
+          when(normSq > 0, sqrt(diffSq) / sqrt(normSq)).as("rel_err"),
+          ok.as("ok"), size(col("qvec")).as("d"))
+        .agg(
+          count(lit(1)).as("vectors"),
+          first(col("d")).as("dims"),
+          round(avg(col("rel_err")), 4).as("avg_rel_err"),
+          expr("bool_and(ok)").as("within_half_step"))
+    },
+    Some("""WITH dims AS (
+        SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+          unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings),
+      stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM dims GROUP BY i),
+      recon AS (
+        SELECT vec_id, x, (mx - mn) / 255.0 AS st,
+          CASE WHEN mx > mn
+            THEN mn + round((x - mn) / ((mx - mn) / 255.0)) * ((mx - mn) / 255.0)
+            ELSE mn END AS xr
+        FROM dims JOIN stats USING (i)),
+      per_vec AS (
+        SELECT vec_id,
+          CASE WHEN sum(x * x) > 0
+            THEN sqrt(sum((x - xr) * (x - xr))) / sqrt(sum(x * x)) END AS rel_err,
+          bool_and(abs(x - xr) <= st / 2.0 * 1.000000001) AS ok,
+          count(*) AS d
+        FROM recon GROUP BY vec_id)
+      SELECT count(*) AS vectors, first(d) AS dims,
+        round(avg(rel_err), 4) AS avg_rel_err,
+        bool_and(ok) AS within_half_step
+      FROM per_vec"""))
+
+  /** IVF ANN probing k-means-TRAINED centroids instead of q35's strided
+    * sample (rows-only; recall floor + Lloyd-descent invariants in
+    * SimilaritySpec). Trained cells tighten the inverted lists, which is
+    * what keeps nprobe (and thus scan fraction) low at corpus scale. */
+  val q65AnnIvfTrained = GraftQuery(
+    "q65_ann_ivf_trained", { (s, dir) =>
+      val e = embeds(s, dir)
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+        k = 10, iters = 4)
+      Similarity.ivfTopKWithCentroids(
+          e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          cents, k = 10, nprobe = 6)
+        .orderBy(col("query_id"), col("rnk"))
+    })
+
   val all: Seq[GraftQuery] = Seq(
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q29Fingerprint,
     q30MinhashNearDup, q31SimhashNearDup, q32NgramJaccard, q33AnnBrute,
     q34AnnLsh, q35AnnIvf, q36EmbedNearDup, q36bEmbedNearDupLsh,
-    q51DedupClusters)
+    q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained)
 }

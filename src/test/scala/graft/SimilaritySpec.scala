@@ -68,6 +68,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(r >= 0.7, f"IVF recall $r%.3f below floor")
   }
 
+  test("k-means centroids: <= k rows, right dims, and iterating reduces inertia") {
+    def inertia(cents: DataFrame): Double = {
+      val c = embeds.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val aw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d").asc, col("centroid_id"))
+      c.crossJoin(broadcast(cents))
+        .withColumn("d", aggregate(
+          zip_with(col("v"), col("centv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v))
+        .withColumn("rnk", row_number().over(aw)).filter(col("rnk") === 1)
+        .agg(sum(col("d"))).head().getDouble(0)
+    }
+    val c1 = Similarity.kmeansCentroids(embeds, "embedding", "vec_id", k = 8, iters = 1)
+    val c5 = Similarity.kmeansCentroids(embeds, "embedding", "vec_id", k = 8, iters = 5)
+    assert(c5.count() <= 8L)
+    val dims = embeds.select(size(col("embedding"))).head().getInt(0)
+    assert(c5.select(size(col("centv"))).head().getInt(0) === dims)
+    // Lloyd iterations never increase total within-cluster distance
+    assert(inertia(c5) <= inertia(c1) + 1e-9)
+  }
+
+  test("IVF with k-means-trained centroids reaches recall >= 0.7 vs brute force") {
+    val cents = Similarity.kmeansCentroids(embeds, "embedding", "vec_id",
+      k = 10, iters = 4)
+    val ivf = Similarity.ivfTopKWithCentroids(embeds, queries,
+      "vec_id", "embedding", "vec_id", "embedding", cents, K, nprobe = 6)
+    val r = recallVsBrute(ivf)
+    assert(r >= 0.7, f"trained-IVF recall $r%.3f below floor")
+  }
+
   test("cosine of a vector with itself is 1") {
     val selfCos = embeds.limit(20)
       .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
