@@ -597,6 +597,85 @@ object Relational {
         ON a.k IS NOT DISTINCT FROM b.k
       ORDER BY a.k ASC NULLS FIRST"""))
 
+  /** Approximate heavy hitters (df.stat.freqItems — single-pass
+    * Karp/Papadimitriou/Shenker) checked by CONTRACT, like q03b: the
+    * algorithm guarantees every item with frequency > support·n appears
+    * in the result, so the oracle asserts the exact heavy-hitter count
+    * and that containment boolean — stable across engines even though
+    * the sketch's false positives are not. */
+  val q66FreqItems = GraftQuery(
+    "q66_freq_items", { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val fi = li.stat.freqItems(Seq("l_returnflag"), 0.1)
+        .select(col("l_returnflag_freqItems").as("fi"))
+      val total = li.agg(count(lit(1)).as("total"))
+      li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .crossJoin(total).crossJoin(fi)
+        .filter(col("n") > col("total") * 0.1)
+        .agg(
+          count(lit(1)).as("heavy_hitters"),
+          expr("bool_and(array_contains(fi, l_returnflag))").as("all_found"))
+    },
+    Some("""SELECT count(*) AS heavy_hitters, TRUE AS all_found
+      FROM (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1) g
+      WHERE n > (SELECT count(*) FROM lineitem) * 0.1"""))
+
+  /** Seeded sampling by CONTRACT: Bernoulli sample counts concentrate
+    * around fraction·n (bound here is ±5σ-wide), and stratified sampleBy
+    * must respect per-stratum fractions. The sampled row SETS are
+    * engine-specific (seeded PRNG), so — as with every sketch — the
+    * oracle checks the statistical contract plus the exact input-side
+    * numbers, not the sampled identities. */
+  val q67SamplingContract = GraftQuery(
+    "q67_sampling_contract", { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val sample = li.sample(withReplacement = false, fraction = 0.1, seed = 42)
+      val strata = li.stat.sampleBy("l_returnflag",
+        Map("A" -> 0.05, "N" -> 0.2, "R" -> 0.1), seed = 42)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("s_n"))
+      val perFlag = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val fractions = typedLit(Map("A" -> 0.05, "N" -> 0.2, "R" -> 0.1))
+      val strataOk = perFlag.join(strata, Seq("l_returnflag"))
+        .withColumn("f", element_at(fractions, col("l_returnflag")))
+        // ±5 binomial standard deviations around f·n
+        .withColumn("tol", lit(5.0) * sqrt(col("n") * col("f") * (lit(1.0) - col("f"))))
+        .agg(expr("bool_and(abs(s_n - n * f) <= tol)").as("strata_ok"))
+      li.agg(count(lit(1)).as("total_rows"))
+        .crossJoin(sample.agg(count(lit(1)).as("sn")))
+        .crossJoin(strataOk)
+        .select(col("total_rows"),
+          (abs(col("sn") - col("total_rows") * 0.1) <=
+            lit(5.0) * sqrt(col("total_rows") * 0.1 * 0.9)).as("sample_within_5sigma"),
+          col("strata_ok"))
+    },
+    Some("""SELECT count(*) AS total_rows, TRUE AS sample_within_5sigma,
+      TRUE AS strata_ok FROM lineitem"""))
+
+  /** Calendar time series: monthly revenue with LAG month-over-month
+    * growth — date_trunc bucketing + an analytic window ordered by time
+    * (the reference has no date math; the events/orders surface does). */
+  val q68MonthOverMonth = GraftQuery(
+    "q68_month_over_month",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+          .as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("orders"))
+        .withColumn("prev_revenue",
+          lag(col("revenue"), 1).over(Window.orderBy(col("month"))))
+        .withColumn("mom_growth_pct",
+          round((col("revenue") - col("prev_revenue")) * 100.0 / col("prev_revenue"), 2))
+        .orderBy(col("month")),
+    Some("""SELECT month, revenue, orders,
+      lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+      round((revenue - lag(revenue) OVER (ORDER BY month)) * 100.0 /
+        lag(revenue) OVER (ORDER BY month), 2) AS mom_growth_pct
+      FROM (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+              round(sum(o_totalprice), 2) AS revenue, count(*) AS orders
+            FROM orders GROUP BY 1) m
+      ORDER BY month"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,
     q04Percentile, q04bApproxPercentile,
@@ -604,5 +683,6 @@ object Relational {
     q09ScalarSubquery, q10TopK, q11StarJoin, q12FactJoin, q13OuterJoin,
     q14SemiAnti, q15WindowRank, q16WindowRunning, q17SetOps, q18RangeJoin,
     q19Rollup, q20DedupExact, q42TypedAggregator,
-    q52GroupingSets, q53NtileFamily, q54StatAggs, q59NullsafeJoin)
+    q52GroupingSets, q53NtileFamily, q54StatAggs, q59NullsafeJoin,
+    q66FreqItems, q67SamplingContract, q68MonthOverMonth)
 }
