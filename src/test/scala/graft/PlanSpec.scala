@@ -125,6 +125,49 @@ class PlanSpec extends SparkTestBase {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // 90% of fact rows share key 0 — the shape AQE's skew-join handling
+    // exists for. Production thresholds are MB-scale; lower them so the
+    // splitter observes the test-sized shuffle. Assert on the FINAL
+    // adaptive plan (after an action), which marks split joins skew=true.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2048",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.load(spark, sfDir, "lineitem")
+      // the skewed reduce partition is split by MAPPER ranges — a
+      // single-file scan is one map task and thus unsplittable, so fan
+      // the fact side out over several mappers first
+      val fact = li.repartition(8, col("l_orderkey")).select(
+        when(col("l_orderkey") % 100 < 90, 0L)
+          .otherwise(col("l_orderkey") % 100).as("k"),
+        col("l_extendedprice"))
+      // plain range dimension: the skew rule only matches when BOTH join
+      // inputs are Sort-over-shuffle-stage, so the dim side must not
+      // carry an aggregate between its exchange and the join
+      val dim = spark.range(0, 100).select(col("id").as("k"))
+      val joined = fact.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
+      val expectedN = li.count()
+      // collect(), not head(): head() builds a separate limited plan, so
+      // THIS queryExecution would never run and the adaptive plan would
+      // stay isFinalPlan=false
+      val rows = joined.collect()
+      assert(rows.head.getLong(0) === expectedN)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation equals the direct aggregate") {
     val ev = Tables.load(spark, sfDir, "events")
     val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value",
