@@ -174,6 +174,42 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
+  /** Per-document TF-IDF term weights: (id, token, w) with
+    * w = tf · ln(N/df). Two linear shuffles — term counts per doc, then
+    * document frequency per term joined back — the standard inverted-
+    * index build, linear in corpus size. `N` rides along in-plan (1-row
+    * aggregate broadcast), so no driver-side count. */
+  def tfidfWeights(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val terms = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val docFreq = terms.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("df_count"))
+    val n = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    terms.join(docFreq, Seq("tok")).crossJoin(broadcast(n))
+      .select(col("id"), col("tok"),
+        (col("tf") * log(col("n_docs") / col("df_count"))).as("w"))
+  }
+
+  /** TF-IDF cosine for an explicit candidate-pair relation (u, v): the
+    * rerank stage of a block-then-score pipeline. Scoring joins weights
+    * through the pair list on the term — work is |pairs| × shared terms,
+    * never all-pairs. */
+  def tfidfCosine(pairs: DataFrame, weights: DataFrame): DataFrame = {
+    val norms = weights.groupBy(col("id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val wa = weights.select(col("id").as("u"), col("tok"), col("w").as("wa"))
+    val wb = weights.select(col("id").as("v"), col("tok"), col("w").as("wb"))
+    pairs.join(wa, Seq("u")).join(wb, Seq("v", "tok"))
+      .groupBy(col("u"), col("v"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("id").as("u"), col("norm").as("na")), Seq("u"))
+      .join(norms.select(col("id").as("v"), col("norm").as("nb")), Seq("v"))
+      .select(col("u"), col("v"),
+        (col("dot") / (col("na") * col("nb"))).as("tfidf_cos"))
+  }
+
   /** Full per-document text-statistics projection. */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

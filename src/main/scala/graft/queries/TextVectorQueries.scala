@@ -499,10 +499,71 @@ object TextVectorQueries {
         .orderBy(col("query_id"), col("rnk"))
     })
 
+  /** TF-IDF cosine rerank of the blocked candidate pairs — the classic
+    * block-then-score IR pipeline (shared-shingle blocking bounds the
+    * pair count; TF-IDF weighting downranks pairs that only share
+    * corpus-common terms). Fully oracle-checked: DuckDB rebuilds the
+    * inverted index, the idf weights, and every pair score. */
+  val q69TfidfRerank = GraftQuery(
+    "q69_tfidf_rerank", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val pairs = DedupCluster.sharedShingleEdges(
+        corpus, "text", "doc_id", shingleK = 3, minShared = 10, maxDf = 1000)
+      val weights = TextAnalysis.tfidfWeights(corpus, "text", "doc_id")
+      TextAnalysis.tfidfCosine(pairs, weights)
+        .agg(
+          count(lit(1)).as("pairs"),
+          round(avg(col("tfidf_cos")), 4).as("avg_tfidf_cos"),
+          round(min(col("tfidf_cos")), 4).as("min_tfidf_cos"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '') FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(toks)-2, 1)),
+          i -> array_to_string(list_slice(toks, i, i+2), ' ')))) AS s
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+              FROM corpus)),
+      keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+      shf AS (SELECT doc_id, s FROM sh JOIN keep USING (s)),
+      edges AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 10),
+      terms AS (
+        SELECT doc_id, tok, count(*) * 1.0 AS tf
+        FROM (SELECT doc_id,
+                unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+              FROM corpus) t
+        GROUP BY doc_id, tok),
+      docfreq AS (SELECT tok, count(*) * 1.0 AS dfc FROM terms GROUP BY tok),
+      w AS (
+        SELECT doc_id, tok,
+          tf * ln((SELECT count(*) * 1.0 FROM corpus) / dfc) AS w
+        FROM terms JOIN docfreq USING (tok)),
+      norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
+      dots AS (
+        SELECT e.u, e.v, sum(wa.w * wb.w) AS dot
+        FROM edges e
+        JOIN w wa ON wa.doc_id = e.u
+        JOIN w wb ON wb.doc_id = e.v AND wb.tok = wa.tok
+        GROUP BY e.u, e.v),
+      scored AS (
+        SELECT dot / (na.norm * nb.norm) AS c
+        FROM dots
+        JOIN norms na ON na.doc_id = u
+        JOIN norms nb ON nb.doc_id = v)
+      SELECT count(*) AS pairs, round(avg(c), 4) AS avg_tfidf_cos,
+        round(min(c), 4) AS min_tfidf_cos
+      FROM scored"""))
+
   val all: Seq[GraftQuery] = Seq(
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q29Fingerprint,
     q30MinhashNearDup, q31SimhashNearDup, q32NgramJaccard, q33AnnBrute,
     q34AnnLsh, q35AnnIvf, q36EmbedNearDup, q36bEmbedNearDupLsh,
-    q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained)
+    q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank)
 }
