@@ -284,7 +284,51 @@ object CurationQueries {
         round(avg(q), 4) AS avg_quality
       FROM assigned GROUP BY split ORDER BY split"""))
 
+  /** Incremental ingestion dedup: an arriving batch is screened against
+    * the seen corpus with semi/anti joins on the normalized 64-bit
+    * content key — the join carries 8-byte keys, never documents, so at
+    * 100 TB the screen is one hash shuffle of key columns. The incoming
+    * batch is constructed as 1/5 replayed duplicates plus 1/5 genuinely
+    * new docs; the oracle rebuilds the same batch and screens on the
+    * normalized STRING (an independent key representation — agreement
+    * also guards the hash-key shortcut against collisions/drift). */
+  val q70IncrementalDedup = GraftQuery(
+    "q70_incremental_dedup", { (s, dir) =>
+      val seen = docs(s, dir)
+      val normKey = xxhash64(graft.ops.Dedup.normalizeText(col("text")))
+      val replayed = seen.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val fresh = seen.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("new: "), col("text")).as("text"))
+      val incoming = replayed.union(fresh).withColumn("k", normKey)
+      val seenKeys = seen.select(normKey.as("k"))
+      incoming.agg(count(lit(1)).as("incoming_total"))
+        .crossJoin(incoming.join(seenKeys, Seq("k"), "left_semi")
+          .agg(count(lit(1)).as("already_seen")))
+        .crossJoin(incoming.join(seenKeys, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("genuinely_new")))
+    },
+    Some("""WITH norm AS (
+        SELECT trim(regexp_replace(regexp_replace(lower(text),
+          '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS nk, doc_id, text
+        FROM documents),
+      incoming AS (
+        SELECT nk FROM norm WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT trim(regexp_replace(regexp_replace(lower('new: ' || text),
+          '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS nk
+        FROM norm WHERE doc_id % 5 = 1),
+      seen AS (SELECT DISTINCT nk FROM norm)
+      SELECT
+        (SELECT count(*) FROM incoming) AS incoming_total,
+        (SELECT count(*) FROM incoming i WHERE EXISTS
+          (SELECT 1 FROM seen s WHERE s.nk = i.nk)) AS already_seen,
+        (SELECT count(*) FROM incoming i WHERE NOT EXISTS
+          (SELECT 1 FROM seen s WHERE s.nk = i.nk)) AS genuinely_new"""))
+
   val all: Seq[GraftQuery] = Seq(
     q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
-    q60RepetitionFilters, q61PiiRedaction, q62CurationPipeline)
+    q60RepetitionFilters, q61PiiRedaction, q62CurationPipeline,
+    q70IncrementalDedup)
 }

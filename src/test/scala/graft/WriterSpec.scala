@@ -67,4 +67,40 @@ class WriterSpec extends SparkTestBase {
       meds.filter(col("lab.name").isNotNull).count())
     assert(back.exceptAll(meds).count() === 0L)
   }
+
+  test("PERMISSIVE JSON ingestion quarantines corrupt records instead of failing") {
+    // dead-letter handling for a dirty feed: good rows parse, bad rows
+    // land whole in the corrupt-record column for a quarantine sink
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirty")
+    java.nio.file.Files.writeString(dir.resolve("feed.jsonl"),
+      """{"name": "ok-1", "price": 10}
+        |this is not json at all
+        |{"name": "ok-2", "price": 20}
+        |{"name": "bad-type", "price": "NaN-ish"
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("price", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("_bad", org.apache.spark.sql.types.StringType)))
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(dir.toString).cache()
+    assert(parsed.filter(col("_bad").isNull).count() === 2L)
+    assert(parsed.filter(col("_bad").isNotNull).count() === 2L)
+    // quarantined rows carry the raw line for replay
+    assert(parsed.filter(col("_bad").contains("not json")).count() === 1L)
+  }
+
+  test("mergeSchema unions parquet files written with evolved schemas") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/p=1")
+    Seq((2L, "b", 3.5)).toDF("id", "v1", "v2_added").write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "v1", "v2_added", "p"))
+    assert(merged.count() === 2L)
+    // the pre-evolution file reads the new column as NULL
+    assert(merged.filter(col("id") === 1L && col("v2_added").isNull).count() === 1L)
+  }
 }
