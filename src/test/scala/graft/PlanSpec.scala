@@ -168,6 +168,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q68 time-series scan reads only the two referenced order columns") {
+    val p = planOf(Relational.q68MonthOverMonth.run(spark, sfDir))
+    assert(p.contains("o_orderdate") && p.contains("o_totalprice"), p)
+    // pruning: the wide columns never reach the scan
+    assert(!p.contains("o_custkey") && !p.contains("o_orderpriority"), p)
+  }
+
+  test("q55 hash split is a single-exchange aggregation") {
+    // split assignment is pure projection arithmetic — the only DATA
+    // shuffle in the plan is the final (lang, split) aggregate (the
+    // presentation orderBy adds a range exchange over ~15 rows)
+    val p = planOf(graft.queries.CurationQueries.q55HashSplit.run(spark, sfDir))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1, s"expected 1 hash exchange, got $hashExchanges:\n$p")
+  }
+
   test("salted aggregation equals the direct aggregate") {
     val ev = Tables.load(spark, sfDir, "events")
     val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value",
