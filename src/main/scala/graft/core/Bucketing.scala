@@ -45,4 +45,22 @@ object Bucketing {
       .partitionBy(partitionCol)
       .mode("overwrite").saveAsTable(table)
   }
+
+  /** Overwrite ONLY the partitions present in `df`, leaving every other
+    * partition untouched — dynamic partition overwrite, the idempotent
+    * daily-reprocess primitive (re-running one day's pipeline must not
+    * clobber the rest of the table). Static overwrite mode would replace
+    * the WHOLE table; the session conf scopes the dynamic behavior to
+    * this write. */
+  def overwritePartitions(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

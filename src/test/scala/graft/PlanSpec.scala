@@ -71,6 +71,34 @@ class PlanSpec extends SparkTestBase {
       ev.filter(col("day") === "2024-01-05").count())
   }
 
+  test("dynamic partition overwrite reprocesses one day without touching others") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Bucketing.writePartitioned(ev, "events_dpo", "day")
+    val day = "2024-01-05"
+    val before = spark.table("events_dpo")
+    val otherDaysBefore = before.filter(col("day") =!= day).count()
+    val dayBefore = before.filter(col("day") === day).count()
+    assert(dayBefore > 0L)
+    // reprocess the day: same rows with value doubled, derived from the
+    // SOURCE (reading the target table during its own overwrite is
+    // illegal); insertInto is position-based — keep the table's column
+    // order, partition column last
+    val cols = spark.table("events_dpo").columns.map(col)
+    val reprocessed = ev.filter(col("day") === day)
+      .withColumn("value", col("value") * 2)
+      .select(cols.toIndexedSeq: _*)
+    Bucketing.overwritePartitions(reprocessed, "events_dpo")
+    val after = spark.table("events_dpo")
+    assert(after.filter(col("day") =!= day).count() === otherDaysBefore)
+    assert(after.filter(col("day") === day).count() === dayBefore)
+    // the day's data really was replaced
+    val expectedSum = reprocessed.agg(sum(col("value"))).head().getDouble(0)
+    val actualSum = after.filter(col("day") === day)
+      .agg(sum(col("value"))).head().getDouble(0)
+    assert(math.abs(actualSum - expectedSum) < 1e-6)
+  }
+
   test("dynamic partition pruning fires for a join against a filtered dimension") {
     val ev = Tables.load(spark, sfDir, "events")
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
