@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -49,6 +49,96 @@ object SketchExpressions {
   def allSignBits(vec: Column, planes: Int, tables: Int): Column =
     GraftColumnBridge.column(
       SignBitsExpr(GraftColumnBridge.expression(vec), planes, tables))
+
+  /** Column wrapper: element-ordered dot product of two double vectors —
+    * bit-identical to aggregate(zip_with(a, b, _*_), 0.0, _+_). */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      VectorKernelExpr(GraftColumnBridge.expression(a),
+        GraftColumnBridge.expression(b), cosine = false))
+
+  /** Column wrapper: cosine similarity with dot and both norms fused in
+    * one loop — bit-identical to the three-fold HOF formulation. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      VectorKernelExpr(GraftColumnBridge.expression(a),
+        GraftColumnBridge.expression(b), cosine = true))
+}
+
+/** Fused vector kernel: dot product (and, for cosine, both squared norms)
+  * in ONE pass over two double arrays. The HOF formulation evaluates
+  * three interpreted folds with a materialized zip array per row pair —
+  * this is the ANN verify/scoring hot loop, so it compiles instead.
+  * Element order and accumulation order match the HOF twin exactly, so
+  * results are bit-identical (asserted in SimilaritySpec) and the DuckDB
+  * oracles built on element-ordered math keep hash-matching. Dot runs
+  * over the common prefix (equal lengths in practice); norms cover each
+  * full array, exactly like aggregate() over the unzipped inputs. */
+case class VectorKernelExpr(left: Expression, right: Expression, cosine: Boolean)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double>, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = if (cosine) "cosine_similarity" else "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    if (!cosine) dot
+    else {
+      var na = 0.0
+      var nb = 0.0
+      var j = 0
+      while (j < x.numElements()) { val v = x.getDouble(j); na += v * v; j += 1 }
+      j = 0
+      while (j < y.numElements()) { val v = y.getDouble(j); nb += v * v; j += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c1, c2) => {
+      val n = ctx.freshName("vkN")
+      val i = ctx.freshName("vkI")
+      val dot = ctx.freshName("vkDot")
+      val na = ctx.freshName("vkNa")
+      val nb = ctx.freshName("vkNb")
+      val v = ctx.freshName("vkV")
+      val tail = if (!cosine) s"${ev.value} = $dot;" else {
+        s"""
+           |double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $c1.numElements(); $i++) {
+           |  final double $v = $c1.getDouble($i); $na += $v * $v;
+           |}
+           |for (int $i = 0; $i < $c2.numElements(); $i++) {
+           |  final double $v = $c2.getDouble($i); $nb += $v * $v;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |""".stripMargin
+      }
+      s"""
+         |final int $n = java.lang.Math.min($c1.numElements(), $c2.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $c1.getDouble($i) * $c2.getDouble($i);
+         |}
+         |$tail
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** MinHash signature of a hashed-shingle set: out[s] = min over shingles

@@ -16,8 +16,22 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** Cosine similarity of two float/double array columns, accumulated in
-    * double in element order. */
-  def cosine(a: Column, b: Column): Column = {
+    * double in element order. Backed by the fused codegen kernel
+    * (graft.functions.VectorKernelExpr) — the three-fold HOF formulation
+    * runs interpreted with a materialized zip array per pair, and this is
+    * the scoring/verify hot loop of every ANN path; values are
+    * bit-identical (asserted in SimilaritySpec). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.SketchExpressions.cosineSimilarity(
+      transform(a, x => x.cast("double")), transform(b, x => x.cast("double")))
+
+  def dotProduct(a: Column, b: Column): Column =
+    graft.functions.SketchExpressions.dotProduct(
+      transform(a, _.cast("double")), transform(b, _.cast("double")))
+
+  /** The interpreted HOF twin of [[cosine]], kept as the bit-identity
+    * reference for SimilaritySpec. */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
     val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
@@ -25,10 +39,6 @@ object Similarity {
     val nb = sqrt(aggregate(bd, lit(0.0), (acc, v) => acc + v * v))
     dot / (na * nb)
   }
-
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(transform(a, _.cast("double")), transform(b, _.cast("double")),
-      (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Exact brute-force cosine top-k: broadcast the (small) query set
     * against the corpus, score every pair, keep k per query.

@@ -676,7 +676,40 @@ object Relational {
             FROM orders GROUP BY 1) m
       ORDER BY month"""))
 
+  /** Unpivot/melt — the inverse of q49's pivot (wide metric columns →
+    * long (metric, value) rows). Catalyst plans Expand: rows × |values|
+    * BEFORE the shuffle, same scale note as GROUPING SETS. */
+  val q71Unpivot = GraftQuery(
+    "q71_unpivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("quantity"),
+          round(sum(col("l_discount")), 2).as("discount"),
+          round(sum(col("l_tax")), 2).as("tax"))
+        .unpivot(
+          ids = Array(col("l_returnflag")),
+          values = Array(col("quantity"), col("discount"), col("tax")),
+          variableColumnName = "metric",
+          valueColumnName = "total")
+        .orderBy(col("l_returnflag"), col("metric")),
+    Some("""WITH agg AS (
+        SELECT l_returnflag,
+          round(sum(l_quantity), 2) AS quantity,
+          round(sum(l_discount), 2) AS discount,
+          round(sum(l_tax), 2) AS tax
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, metric, total FROM (
+        SELECT l_returnflag, 'quantity' AS metric, quantity AS total FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'discount', discount FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'tax', tax FROM agg) u
+      ORDER BY l_returnflag, metric"""))
+
   val all: Seq[GraftQuery] = Seq(
+    q71Unpivot,
     q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,
     q04Percentile, q04bApproxPercentile,
     q05ConditionalAgg, q06Having, q07CaseBucket, q08TwoLevelAgg,

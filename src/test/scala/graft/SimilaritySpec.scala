@@ -99,6 +99,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(r >= 0.7, f"trained-IVF recall $r%.3f below floor")
   }
 
+  test("fused cosine kernel is bit-identical to the HOF formulation") {
+    val pairs = embeds.limit(50).crossJoin(
+      embeds.limit(50).select(col("vec_id").as("v2"), col("embedding").as("e2")))
+      .filter(col("vec_id") < col("v2"))
+    val diff = pairs.select(
+        Similarity.cosine(col("embedding"), col("e2")).as("fused"),
+        Similarity.cosineHof(col("embedding"), col("e2")).as("hof"))
+      .filter(col("fused") =!= col("hof")).count()
+    assert(diff === 0L)
+  }
+
   test("cosine of a vector with itself is 1") {
     val selfCos = embeds.limit(20)
       .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
