@@ -57,5 +57,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(1), "all_sign_bits", "planes"),
           intLit(children(2), "all_sign_bits", "tables"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_product(a, b)")
+        VectorKernelExpr(children.head, children(1), cosine = false)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_similarity(a, b)")
+        VectorKernelExpr(children.head, children(1), cosine = true)
+      }))
   }
 }

@@ -52,6 +52,18 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("vector kernels resolve through spark.sql with exact values") {
+    withExtensionSession { s =>
+      val row = s.sql(
+        """SELECT
+          |  dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS dp,
+          |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs
+          |""".stripMargin).head()
+      assert(row.getDouble(0) === 32.0)
+      assert(row.getDouble(1) === 1.0)
+    }
+  }
+
   test("non-literal sizing argument is rejected with a clear error") {
     withExtensionSession { s =>
       val e = intercept[Exception] {
