@@ -45,6 +45,10 @@ object DedupCluster {
       .agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDf)
       .select(col("s"))
+    // the self-join references the postings twice, but both branches
+    // canonicalize to the same exchange — Spark's ReusedExchange covers
+    // the duplication (checkpointing here measured ~2x SLOWER: it breaks
+    // that reuse and pays a materialization instead)
     val postings = sh.join(keep, Seq("s"))
     postings.select(col("s"), col("id").as("u"))
       .join(postings.select(col("s"), col("id").as("v")), Seq("s"))
