@@ -708,8 +708,32 @@ object Relational {
         SELECT l_returnflag, 'tax', tax FROM agg) u
       ORDER BY l_returnflag, metric"""))
 
+  /** Grouped approximate percentile — the per-key form of q04b: one
+    * constant-size sketch per (group, partition) instead of a per-group
+    * sort, the only viable grouped-percentile shape at 100 TB. Oracle =
+    * the accuracy contract per group against DuckDB's exact
+    * percentile (approx_percentile's rank error is bounded by
+    * 1/accuracy; with accuracy 10000 on ~150k-row groups the value lands
+    * within a tight rank band — asserted at 1% relative). */
+  val q04cGroupedApproxPercentile = GraftQuery(
+    "q04c_grouped_approx_pct", { (s, dir) =>
+      val exact = expr("percentile(o_totalprice, 0.5)")
+      val approx = expr("approx_percentile(o_totalprice, 0.5, 10000)")
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(exact, 2).as("exact_median"),
+          (abs(approx - exact) <= exact * 0.01).as("approx_within_1pct"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+      round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)
+        AS exact_median,
+      TRUE AS approx_within_1pct
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[GraftQuery] = Seq(
-    q71Unpivot,
+    q71Unpivot, q04cGroupedApproxPercentile,
     q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,
     q04Percentile, q04bApproxPercentile,
     q05ConditionalAgg, q06Having, q07CaseBucket, q08TwoLevelAgg,

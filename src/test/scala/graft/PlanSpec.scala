@@ -153,6 +153,21 @@ class PlanSpec extends SparkTestBase {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("join strategy hints steer the physical join selection") {
+    val o = Tables.load(spark, sfDir, "orders")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val cond = col("o_orderkey") === col("l_orderkey")
+    // broadcast hint beats size estimation
+    assert(planOf(li.join(o.hint("broadcast"), cond))
+      .contains("BroadcastHashJoin"))
+    // merge hint forces sort-merge even under the broadcast threshold
+    assert(planOf(li.join(o.hint("merge"), cond))
+      .contains("SortMergeJoin"))
+    // shuffle_hash builds a hash map per partition, no sort
+    assert(planOf(li.join(o.hint("shuffle_hash"), cond))
+      .contains("ShuffledHashJoin"))
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     // 90% of fact rows share key 0 — the shape AQE's skew-join handling
     // exists for. Production thresholds are MB-scale; lower them so the

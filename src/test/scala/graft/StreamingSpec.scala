@@ -91,6 +91,33 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() === batch.count())
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch to one file") {
+    // ingestion rate limiting: at 100 TB/day the per-trigger file cap is
+    // what keeps micro-batch state and memory bounded
+    val ev = Tables.load(spark, sfDir, "events")
+    val parts = (0 until 3).map(i => ev.filter(col("event_id") % 3 === i))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rate")
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val staged = EventPipeline.stageAsStreamDir(p)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(staged, "events.parquet"),
+        dir.resolve(s"events$i.parquet"))
+    }
+    val sink = s"t_rate_${System.nanoTime()}"
+    val q = spark.readStream.schema(EventPipeline.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .select("event_id")
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(spark.table(sink).count() === ev.count())
+    // one batch per file (plus possibly an empty finishing batch)
+    val batchesWithData = q.recentProgress.count(_.numInputRows > 0)
+    assert(batchesWithData === 3, q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
   test("checkpointed file-sink query restarts without reprocessing") {
     // Restart semantics: a stopped query resumed with the SAME checkpoint
     // must pick up only NEW files — the exactly-once file-sink contract.
