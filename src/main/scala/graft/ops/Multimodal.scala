@@ -122,6 +122,41 @@ object Multimodal {
       .toDF()
   }
 
+  /** Frame sampling — the video path's explode-shaped transform: the
+    * payload after the header is treated as fixed-size frames and every
+    * `stride`-th frame becomes its own row (media_id, frame_idx, frame).
+    * One iterator pass per partition with a flatMap, so a blob fans out
+    * to rows without materializing all frames per row first; a real
+    * video demuxer slots into the frame extraction. Invalid blobs emit
+    * nothing (NULL-policy consistent with decodeMeta). */
+  def sampleFrames(
+      spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 16, stride: Int = 4): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          FakeCodec.decodeHeader(bytes) match {
+            case Some(_) =>
+              val body = bytes.drop(12)
+              Iterator.range(0, body.length, frameBytes * stride).map { off =>
+                Row(id, off / frameBytes,
+                  body.slice(off, math.min(off + frameBytes, body.length)))
+              }
+            case None => Iterator.empty
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Build a deterministic media table from the documents table (text
     * bytes as payload) — gives the plumbing real data to chew on in tests
     * and queries without shipping binaries. */

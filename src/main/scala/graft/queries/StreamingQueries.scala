@@ -71,6 +71,8 @@ object StreamingQueries {
           count(when(col("valid"), 1)).as("valid_blobs"),
           sum(col("n_bytes")).as("total_bytes"),
           max(col("width")).as("max_width"))
+        .crossJoin(Multimodal.sampleFrames(s, media, frameBytes = 16, stride = 4)
+          .agg(count(lit(1)).as("sampled_frames")))
     })
 
   /** Stream-static enrichment join executed by the streaming engine: the

@@ -60,6 +60,31 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("sampleFrames emits every stride-th fixed-size frame, skips corrupt blobs") {
+    import spark.implicits._
+    // 40-byte payload, 8-byte frames, stride 2 → frames 0, 2, 4 of 5
+    val payload = Array.tabulate(40)(_.toByte)
+    val blob = Multimodal.FakeCodec.encode(64, 48, payload)
+    val one = Seq((7L, blob), (8L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "content")
+    val frames = Multimodal.sampleFrames(spark, one, frameBytes = 8, stride = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(frames.map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((7L, 0), (7L, 2), (7L, 4)))
+    // frame content is the right byte slice
+    assert(frames.head.getAs[Array[Byte]]("frame").toSeq === payload.slice(0, 8).toSeq)
+    assert(frames.last.getAs[Array[Byte]]("frame").toSeq === payload.slice(32, 40).toSeq)
+    // whole corpus: every valid blob contributes ceil(nframes/stride) rows
+    val total = Multimodal.sampleFrames(spark, media, 16, 4)
+      .groupBy("media_id").agg(count(lit(1)).as("n"))
+    val expected = Multimodal.decodeMeta(spark, media)
+      .select(col("media_id"),
+        ceil((ceil((col("n_bytes") - 12) / 16.0)) / 4.0).cast("long").as("e"))
+    val bad = total.join(expected, Seq("media_id"))
+      .filter(col("n") =!= col("e")).count()
+    assert(bad === 0L)
+  }
+
   test("resizeHalf halves declared dimensions and keeps blobs decodable") {
     val resized = Multimodal.resizeHalf(spark, media)
     val redecoded = Multimodal.decodeMeta(spark, resized)
