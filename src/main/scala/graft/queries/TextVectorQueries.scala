@@ -560,10 +560,71 @@ object TextVectorQueries {
         round(min(c), 4) AS min_tfidf_cos
       FROM scored"""))
 
+  /** PageRank over the near-dup edge graph, oracle-checked: the oracle
+    * UNROLLS the same five join+aggregate iterations as chained CTEs, so
+    * the whole iterative computation — not just the final aggregate — is
+    * independently recomputed. Rank mass is conserved (sum = 1) and hubs
+    * are nodes holding > 1.5× the uniform share. */
+  val q73PageRank = GraftQuery(
+    "q73_pagerank", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val edges = DedupCluster.sharedShingleEdges(
+        corpus, "text", "doc_id", shingleK = 3, minShared = 10, maxDf = 1000)
+      val ranks = graft.ops.Graph.pageRank(edges, iters = 5, damping = 0.85)
+      val n = ranks.count().toDouble
+      ranks.agg(
+        count(lit(1)).as("nodes"),
+        round(sum(col("rank")), 4).as("rank_mass"),
+        round(max(col("rank")), 6).as("max_rank"),
+        count(when(col("rank") > 1.5 / n, 1)).as("hubs"))
+    }, {
+      val iterate = (1 to 5).map { k =>
+        s"""r$k AS (
+          SELECT n.node,
+            (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT count(*) FROM nodes) +
+            0.85::DOUBLE * coalesce(s.inflow, 0.0::DOUBLE) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / d.deg) AS inflow
+            FROM sym e JOIN r${k - 1} r ON r.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) s ON s.node = n.node)"""
+      }.mkString(",\n      ")
+      Some(s"""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s*', '') FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(toks)-2, 1)),
+          i -> array_to_string(list_slice(toks, i, i+2), ' ')))) AS s
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+              FROM corpus)),
+      keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+      shf AS (SELECT doc_id, s FROM sh JOIN keep USING (s)),
+      edges AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 10),
+      sym AS (SELECT u AS src, v AS dst FROM edges
+        UNION SELECT v, u FROM edges),
+      deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+      nodes AS (SELECT src AS node FROM deg),
+      r0 AS (SELECT node,
+        1.0::DOUBLE / (SELECT count(*) FROM nodes) AS rank FROM nodes),
+      $iterate
+      SELECT count(*) AS nodes, round(sum(rank), 4) AS rank_mass,
+        round(max(rank), 6) AS max_rank,
+        count(CASE WHEN rank > 1.5::DOUBLE / (SELECT count(*) FROM nodes)
+          THEN 1 END) AS hubs
+      FROM r5""")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q29Fingerprint,
     q30MinhashNearDup, q31SimhashNearDup, q32NgramJaccard, q33AnnBrute,
     q34AnnLsh, q35AnnIvf, q36EmbedNearDup, q36bEmbedNearDupLsh,
-    q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank)
+    q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank,
+    q73PageRank)
 }
