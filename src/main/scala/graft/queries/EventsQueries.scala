@@ -295,8 +295,109 @@ object EventsQueries {
           RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW), 2) AS ma7_revenue
       FROM daily ORDER BY day"""))
 
+  /** Last-observation-carried-forward gap fill (LOCF) — the time-series
+    * imputation primitive: nulls take the most recent non-null value in
+    * their user's timeline via last(IGNORE NULLS) over a running frame.
+    * One partitioned window, no shuffle beyond it; gaps are injected
+    * deterministically (event_id % 7) so both engines fill the same
+    * holes. */
+  val q74ForwardFill = GraftQuery(
+    "q74_forward_fill", { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("gappy",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+        .withColumn("filled", last(col("gappy"), ignoreNulls = true).over(w))
+        .agg(
+          count(lit(1)).as("events"),
+          count(when(col("gappy").isNull, 1)).as("gaps"),
+          count(when(col("filled").isNull, 1)).as("unfillable"),
+          round(sum(col("filled")), 2).as("sum_filled"))
+    },
+    Some("""SELECT count(*) AS events,
+      count(CASE WHEN gappy IS NULL THEN 1 END) AS gaps,
+      count(CASE WHEN filled IS NULL THEN 1 END) AS unfillable,
+      round(sum(filled), 2) AS sum_filled
+      FROM (SELECT gappy,
+        last_value(gappy IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM (SELECT *, CASE WHEN event_id % 7 = 0 THEN NULL
+                             ELSE value END AS gappy
+              FROM events) g) f"""))
+
+  /** Robust outlier detection via median absolute deviation — the
+    * data-quality screen that survives heavy tails where z-scores
+    * saturate. Two exact-percentile passes (both one sort-based
+    * aggregate; the approx_percentile twin applies at scale per q04b),
+    * threshold broadcast as a 1-row aggregate. */
+  val q75MadOutliers = GraftQuery(
+    "q75_mad_outliers", { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val med = o.agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+      val mad = o.crossJoin(med)
+        .agg(first(col("med")).as("med"),
+          expr("percentile(abs(o_totalprice - med), 0.5)").as("mad"))
+      o.crossJoin(broadcast(mad))
+        .agg(
+          count(lit(1)).as("orders"),
+          round(first(col("med")), 2).as("median"),
+          round(first(col("mad")), 2).as("mad"),
+          count(when(abs(col("o_totalprice") - col("med")) >
+            col("mad") * 3, 1)).as("outliers"))
+    },
+    Some("""WITH med AS (
+        SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med
+        FROM orders),
+      mad AS (
+        SELECT med.med,
+          percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(o_totalprice - med.med)) AS mad
+        FROM orders, med GROUP BY med.med)
+      SELECT count(*) AS orders, round(mad.med, 2) AS median,
+        round(mad.mad, 2) AS mad,
+        count(CASE WHEN abs(o_totalprice - mad.med) > mad.mad * 3 THEN 1 END)
+          AS outliers
+      FROM orders, mad GROUP BY mad.med, mad.mad"""))
+
+  /** SCD2-style interval collapse: consecutive same-type runs in each
+    * user's event timeline become (valid_from, valid_to) dimension rows —
+    * the slowly-changing-dimension build, expressed with lag (run
+    * boundary detection) + lead (interval close) windows. */
+  val q76Scd2Intervals = GraftQuery(
+    "q76_scd2_intervals", { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val starts = Tables.load(s, dir, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      starts.agg(
+        count(lit(1)).as("intervals"),
+        countDistinct(col("user_id")).as("users"),
+        count(when(col("valid_to").isNull, 1)).as("open_intervals"),
+        round(sum(unix_micros(col("valid_to")) - unix_micros(col("ts"))) / 1e6 / 3600.0, 2)
+          .as("closed_hours"))
+    },
+    Some("""WITH starts AS (
+        SELECT user_id, ts, event_id,
+          lag(event_type) OVER w AS prev_type, event_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      runs AS (
+        SELECT user_id, ts,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM starts
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+      SELECT count(*) AS intervals,
+        count(DISTINCT user_id) AS users,
+        count(CASE WHEN valid_to IS NULL THEN 1 END) AS open_intervals,
+        round(sum(epoch(valid_to) - epoch(ts)) / 3600.0, 2) AS closed_hours
+      FROM runs"""))
+
   val all: Seq[GraftQuery] =
     Seq(q21JsonExtract, q22TumblingWindow, q23Sessionize, q24TopUsersPerType,
       q41AsofJoin, q43SaltedAgg, q47Funnel, q48Retention, q49Pivot,
-      q50RangeFrame)
+      q50RangeFrame, q74ForwardFill, q75MadOutliers, q76Scd2Intervals)
 }
