@@ -766,8 +766,62 @@ object Relational {
       WHERE levenshtein(a.n, b.n) <= 3
       ORDER BY name_a, name_b"""))
 
+  /** Percent-of-parent over a hierarchy: each nation's share of its
+    * region's customers, computed with a window OVER the joined base (no
+    * second scan, no self-join — the share divisor is a partitioned
+    * window sum). */
+  val q77PercentOfParent = GraftQuery(
+    "q77_percent_of_parent",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      val base = cust
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("customers"))
+      base
+        .withColumn("region_total",
+          sum(col("customers")).over(Window.partitionBy(col("r_name"))))
+        .select(col("r_name"), col("n_name"), col("customers"),
+          round(col("customers") * 100.0 / col("region_total"), 2)
+            .as("pct_of_region"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""SELECT r_name, n_name, customers,
+      round(customers * 100.0 / sum(customers) OVER (PARTITION BY r_name), 2)
+        AS pct_of_region
+      FROM (SELECT r_name, n_name, count(*) AS customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name) b
+      ORDER BY r_name, n_name"""))
+
+  /** Array aggregation with a deterministic serialization: the distinct
+    * order statuses per priority as a sorted, comma-joined string.
+    * collect_set order is nondeterministic by contract — sort_array +
+    * concat_ws is what makes an array aggregate comparable across runs
+    * AND engines (an array CELL would also break hash-based result
+    * comparison; the r2 ML-metrics row taught that lesson). */
+  val q78ArrayAgg = GraftQuery(
+    "q78_array_agg",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+            .as("statuses"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+      array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+      count(DISTINCT o_orderstatus) AS n_statuses
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin,
+    q77PercentOfParent, q78ArrayAgg,
     q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,
     q04Percentile, q04bApproxPercentile,
     q05ConditionalAgg, q06Having, q07CaseBucket, q08TwoLevelAgg,
