@@ -819,9 +819,107 @@ object Relational {
       count(DISTINCT o_orderstatus) AS n_statuses
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** MERGE/upsert semantics without a transactional table format: the
+    * relational result of MERGE (update matched, insert unmatched) is a
+    * full-outer join + coalesce — the pattern a foreachBatch sink or a
+    * dynamic-partition overwrite applies physically. Updates here bump
+    * matched customers' balances; inserts arrive with fresh keys. */
+  val q79MergeUpsert = GraftQuery(
+    "q79_merge_upsert",
+    (s, dir) => {
+      val target = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      // deterministic change batch: +100 for every 10th customer
+      // (updates) plus re-keyed copies beyond the key space (inserts)
+      val updates = target.filter(col("k") % 10 === 0)
+        .select(col("k"), (col("bal") + 100.0).as("new_bal"))
+      val inserts = target.filter(col("k") % 10 === 1)
+        .select((col("k") + 10000000L).as("k"), col("bal").as("new_bal"))
+      val batch = updates.union(inserts)
+      val merged = target.join(batch, Seq("k"), "full_outer")
+        .select(col("k"), coalesce(col("new_bal"), col("bal")).as("bal"))
+      merged.agg(
+        count(lit(1)).as("rows_after_merge"),
+        round(sum(col("bal")), 2).as("total_balance"),
+        count(when(col("k") >= 10000000L, 1)).as("inserted"))
+    },
+    Some("""WITH target AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+      batch AS (
+        SELECT k, bal + 100.0 AS new_bal FROM target WHERE k % 10 = 0
+        UNION ALL
+        SELECT k + 10000000, bal FROM target WHERE k % 10 = 1),
+      merged AS (
+        SELECT coalesce(t.k, b.k) AS k, coalesce(b.new_bal, t.bal) AS bal
+        FROM target t FULL OUTER JOIN batch b ON t.k = b.k)
+      SELECT count(*) AS rows_after_merge,
+        round(sum(bal), 2) AS total_balance,
+        count(CASE WHEN k >= 10000000 THEN 1 END) AS inserted
+      FROM merged"""))
+
+  /** Latest-record-per-key compaction — the upsert-log collapse every
+    * CDC pipeline runs: row_number() DESC over (key, time) keeps exactly
+    * the newest version. Demonstrated on the doubled order stream where
+    * the later copy carries a bumped price. */
+  val q80LatestPerKey = GraftQuery(
+    "q80_latest_per_key",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"),
+          col("o_orderdate").as("ver_ts"))
+      val versions = o.union(
+        o.select(col("k"), (col("p") + 1.0).as("p"),
+          (col("ver_ts") + expr("INTERVAL 1 DAY")).as("ver_ts")))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("ver_ts").desc, col("p").desc)
+      versions.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .agg(count(lit(1)).as("live_rows"),
+          round(sum(col("p")), 2).as("live_total"),
+          round(avg(col("p")), 2).as("live_avg"))
+    },
+    Some("""WITH versions AS (
+        SELECT o_orderkey AS k, o_totalprice AS p, o_orderdate AS ver_ts FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 1.0, o_orderdate + INTERVAL 1 DAY FROM orders),
+      latest AS (
+        SELECT * FROM versions
+        QUALIFY row_number() OVER (PARTITION BY k ORDER BY ver_ts DESC, p DESC) = 1)
+      SELECT count(*) AS live_rows, round(sum(p), 2) AS live_total,
+        round(avg(p), 2) AS live_avg
+      FROM latest"""))
+
+  /** max_by / min_by — the arg-max aggregate surface (per group, the
+    * VALUE of one column at the extremum of another): each priority's
+    * most and least expensive order ids, with a totalprice+orderkey
+    * tie-break encoded in a struct so both engines resolve identically. */
+  val q81ArgMax = GraftQuery(
+    "q81_argmax",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))")
+            .as("priciest_order"),
+          expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))")
+            .as("cheapest_order"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+      max(CASE WHEN rn_hi = 1 THEN o_orderkey END) AS priciest_order,
+      max(CASE WHEN rn_lo = 1 THEN o_orderkey END) AS cheapest_order,
+      round(max(o_totalprice), 2) AS max_price
+      FROM (SELECT *,
+        row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_hi,
+        row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_lo
+        FROM orders) r
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin,
-    q77PercentOfParent, q78ArrayAgg,
+    q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q80LatestPerKey,
+    q81ArgMax,
     q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,
     q04Percentile, q04bApproxPercentile,
     q05ConditionalAgg, q06Having, q07CaseBucket, q08TwoLevelAgg,
