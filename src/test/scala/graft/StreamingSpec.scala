@@ -118,6 +118,40 @@ class StreamingSpec extends SparkTestBase {
     assert(batchesWithData === 3, q.recentProgress.map(_.numInputRows).mkString(","))
   }
 
+  test("update output mode: latest update per key equals the batch aggregate") {
+    // Update mode emits only keys whose aggregate CHANGED in a batch —
+    // the changelog contract. Split the source over three files with
+    // maxFilesPerTrigger=1 so several batches actually run; the final
+    // update per key must equal the batch answer.
+    val ev = Tables.load(spark, sfDir, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_upd")
+    (0 until 3).foreach { i =>
+      val staged = EventPipeline.stageAsStreamDir(ev.filter(col("event_id") % 3 === i))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(staged, "events.parquet"),
+        dir.resolve(s"events$i.parquet"))
+    }
+    val sink = s"t_update_${System.nanoTime()}"
+    val q = spark.readStream.schema(EventPipeline.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(sink)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val updates = spark.table(sink)
+    // multiple updates per key prove incremental emission...
+    assert(updates.count() > updates.select("event_type").distinct().count())
+    // ...and the LAST (largest — counts grow monotonically) equals batch
+    val finalPerKey = updates.groupBy(col("event_type")).agg(max(col("n")).as("n"))
+    val batch = ev.groupBy(col("event_type")).agg(count(lit(1)).as("b"))
+    val bad = finalPerKey.join(batch, Seq("event_type"))
+      .filter(col("n") =!= col("b")).count()
+    assert(bad === 0L)
+  }
+
   test("foreachBatch writes per-batch partitions; batch overwrite is retry-idempotent") {
     // foreachBatch is the custom-sink surface: route each micro-batch to
     // batch=<id> with overwrite, so a RETRIED batch replaces its own
