@@ -153,6 +153,20 @@ class PlanSpec extends SparkTestBase {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("sortWithinPartitions avoids the global range exchange orderBy pays") {
+    // write-layout control: per-file sorted order (for rowgroup
+    // statistics / data skipping) needs only a local sort; a global
+    // orderBy adds a rangepartitioning exchange that a layout job
+    // does not want
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val local = planOf(li.repartition(4, col("l_orderkey"))
+      .sortWithinPartitions(col("l_shipdate")))
+    assert(!local.contains("rangepartitioning"), local)
+    assert(local.contains("Sort") && local.contains("false, 0"), local) // global=false
+    val global = planOf(li.orderBy(col("l_shipdate")))
+    assert(global.contains("rangepartitioning"), global)
+  }
+
   test("join strategy hints steer the physical join selection") {
     val o = Tables.load(spark, sfDir, "orders")
     val li = Tables.load(spark, sfDir, "lineitem")
