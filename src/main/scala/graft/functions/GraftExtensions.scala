@@ -71,5 +71,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_similarity(a, b)")
         VectorKernelExpr(children.head, children(1), cosine = true)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "jaro_winkler(a, b)")
+        JaroWinklerExpr(children.head, children(1))
+      }))
   }
 }
