@@ -168,8 +168,10 @@ object Dedup {
     val base = df
       .select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vd"))
+      // ‖v‖² = v·v through the fused codegen kernel (the aggregate-HOF
+      // fold runs interpreted), same element-ordered accumulation
       .withColumn("norm",
-        sqrt(aggregate(col("vd"), lit(0.0), (a, v) => a + v * v)))
+        sqrt(graft.functions.SketchExpressions.dotProduct(col("vd"), col("vd"))))
       .filter(col("norm") > 0)
       .withColumn("vn", transform(col("vd"), x => x / col("norm")))
       .select(col("id"), col("vn"))

@@ -325,7 +325,8 @@ object TextVectorQueries {
         embeds(s, dir)
           .select(col("vec_id").as(idAlias),
             transform(col("embedding"), x => x.cast("double")).as("vd"))
-          .withColumn("norm", sqrt(aggregate(col("vd"), lit(0.0), (a, v) => a + v * v)))
+          .withColumn("norm",
+            sqrt(graft.functions.SketchExpressions.dotProduct(col("vd"), col("vd"))))
           .select(col(idAlias), transform(col("vd"), x => x / col("norm")).as(vecAlias))
       normalized("id_a", "vn_a").crossJoin(normalized("id_b", "vn_b"))
         .filter(col("id_a") < col("id_b"))
