@@ -916,10 +916,48 @@ object Relational {
         FROM orders) r
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** rank vs dense_rank vs row_number tie semantics in one query: the
+    * balance BAND (coarsened to force ties) ranks customers per segment;
+    * rank=1 keeps every tied leader, row_number picks exactly one,
+    * dense_rank compresses the gap — the distinction that decides
+    * whether a "top" query returns co-leaders or an arbitrary winner. */
+  val q82RankTies = GraftQuery(
+    "q82_rank_ties",
+    (s, dir) => {
+      val banded = t(s, dir, "customer")
+        .withColumn("band", floor(col("c_acctbal") / 1000.0))
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("band").desc)
+      val wStable = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("band").desc, col("c_custkey"))
+      banded
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("rn", row_number().over(wStable))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(when(col("rnk") === 1, 1)).as("tied_leaders"),
+          count(when(col("rn") === 1, 1)).as("row_number_picks"),
+          max(col("drnk")).as("distinct_bands"),
+          max(col("band")).as("top_band"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment,
+      count(CASE WHEN rnk = 1 THEN 1 END) AS tied_leaders,
+      count(CASE WHEN rn = 1 THEN 1 END) AS row_number_picks,
+      max(drnk) AS distinct_bands,
+      CAST(max(band) AS BIGINT) AS top_band
+      FROM (SELECT c_mktsegment, band,
+        rank() OVER (PARTITION BY c_mktsegment ORDER BY band DESC) AS rnk,
+        dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY band DESC) AS drnk,
+        row_number() OVER (PARTITION BY c_mktsegment
+          ORDER BY band DESC, c_custkey) AS rn
+        FROM (SELECT *, floor(c_acctbal / 1000.0) AS band FROM customer) b) r
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q80LatestPerKey,
-    q81ArgMax,
+    q81ArgMax, q82RankTies,
     q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,
     q04Percentile, q04bApproxPercentile,
     q05ConditionalAgg, q06Having, q07CaseBucket, q08TwoLevelAgg,
