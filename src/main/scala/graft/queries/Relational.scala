@@ -954,10 +954,39 @@ object Relational {
         FROM (SELECT *, floor(c_acctbal / 1000.0) AS band FROM customer) b) r
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Correlated EXISTS / NOT EXISTS through the SQL front door —
+    * Catalyst decorrelates both into semi/anti joins (no per-row
+    * subquery execution), the rewrite that makes correlated predicates
+    * viable at scale. Per segment: customers with an urgent order but no
+    * F-status order. */
+  val q83CorrelatedExists = GraftQuery(
+    "q83_correlated_exists", { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_mktsegment,
+        count(*) AS urgent_only_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS urgent_only_customers
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q80LatestPerKey,
-    q81ArgMax, q82RankTies,
+    q81ArgMax, q82RankTies, q83CorrelatedExists,
     q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,
     q04Percentile, q04bApproxPercentile,
     q05ConditionalAgg, q06Having, q07CaseBucket, q08TwoLevelAgg,
