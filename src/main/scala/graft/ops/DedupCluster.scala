@@ -96,17 +96,26 @@ object DedupCluster {
     *
     * Alternates large-star/small-star until the edge set reaches its
     * fixpoint (a forest of stars centered at component minima) — O(log²)
-    * rounds, each a constant number of hash shuffles over the edge list.
-    * `localCheckpoint` truncates the plan every round: without it the
-    * lineage doubles per iteration and analysis time, not data movement,
-    * becomes the bottleneck.
+    * star rounds, each a constant number of hash shuffles over the edge
+    * list. TWO large∘small pairs run FUSED per materialization:
+    * `localCheckpoint` + the driver-side plan analysis it truncates are a
+    * constant per-materialization cost (~37 % of q51's wall time in r3),
+    * so halving the materializations halves that overhead while the data
+    * path is unchanged (the fused pair is a no-op once the edge set is a
+    * star forest).
     *
     * Fixpoint detection is two-tier to keep the driver loop cheap: a
-    * one-pass (count, hash-sum) signature per round — one aggregate job —
-    * and only when two consecutive signatures agree, one exact
+    * one-pass (count, xor-hash) signature per materialization — one
+    * aggregate job, which is also the action that materializes the lazy
+    * checkpoint — and only when the signature repeats, ONE exact
     * set-equality confirm (empty `except`). The signature alone would be
-    * a collision gamble; the confirm makes termination exact while
-    * costing one extra job across the whole run instead of per round.
+    * a collision gamble; the single confirm makes termination exact.
+    *
+    * At 100 TB: swap `localCheckpoint` for reliable `checkpoint(dir)` —
+    * the local variant stores blocks in executor memory/disk, so an
+    * executor loss mid-iteration is unrecoverable (lineage was truncated);
+    * reliable checkpointing pays one distributed write per round for
+    * fault tolerance (see SCALING.md).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     def signature(df: DataFrame): (Long, Long) = {
@@ -116,10 +125,6 @@ object DedupCluster {
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    // LAZY checkpoints: the per-round signature aggregate is the action
-    // that materializes the round's edges into block storage, so each
-    // round costs ONE job (plus the one-off except confirm) instead of a
-    // separate checkpoint job followed by the aggregate.
     var e = edges
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
@@ -130,7 +135,8 @@ object DedupCluster {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val next = smallStar(largeStar(smallStar(largeStar(e))))
+        .localCheckpoint(eager = false)
       val nextSig = signature(next)
       converged = nextSig == sig && next.except(e).isEmpty
       e = next

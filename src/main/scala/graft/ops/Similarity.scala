@@ -201,6 +201,38 @@ object Similarity {
       queryId, queryVec, centroids, k, nprobe)
   }
 
+  /** ALL centroids collapsed to ONE broadcastable row of parallel arrays
+    * (cent_ids, cent_vecs), ordered by centroid_id so the argbest
+    * kernel's lowest-index tie-break equals the (score, centroid_id asc)
+    * window tie-break it replaces. A centroid relation is model-sized
+    * (k ≤ ~√n rows) — collapsing it is one tiny single-partition
+    * aggregate, never a data-sized job. */
+  private def centroidArrays(centroidRel: DataFrame): DataFrame =
+    centroidRel
+      .agg(array_sort(collect_list(struct(
+        col("centroid_id").as("cid"),
+        transform(col("centv"), _.cast("double")).as("cd")))).as("cents"))
+      .select(transform(col("cents"), _.getField("cid")).as("cent_ids"),
+        transform(col("cents"), _.getField("cd")).as("cent_vecs"))
+
+  /** NARROW nearest-centroid assignment: appends `centroid_id` to every
+    * corpus row by folding over the broadcast centroid arrays with the
+    * codegen argbest kernel — O(k·d) arithmetic per row, zero shuffles,
+    * zero windows (asserted in PlanSpec). The window-argmin formulation
+    * this replaces materialized a |corpus|×k relation and shuffled it on
+    * a unique key just to take the per-row best — invisible at test k,
+    * thousands× the corpus at a production IVF cell count (VERDICT r3).
+    * Assignment (incl. ties) is identical to that formulation. */
+  private[graft] def assignToCentroids(
+      corpus: DataFrame, vecColName: String,
+      centroidRel: DataFrame, byCosine: Boolean): DataFrame =
+    corpus.crossJoin(broadcast(centroidArrays(centroidRel)))
+      .withColumn("__nearest", graft.functions.SketchExpressions.nearestIndex(
+        transform(col(vecColName), _.cast("double")), col("cent_vecs"), byCosine))
+      .withColumn("centroid_id",
+        when(col("__nearest") >= 0, element_at(col("cent_ids"), col("__nearest") + 1)))
+      .drop("cent_ids", "cent_vecs", "__nearest")
+
   /** IVF probe against an EXPLICIT centroid relation
     * (centroid_id, centv) — e.g. one trained by [[kmeansCentroids]].
     * Same inverted-list shape as [[ivfTopK]]; better-placed centroids
@@ -213,13 +245,9 @@ object Similarity {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
     val centroids = broadcast(
       centroidRel.select(col("centroid_id"), col("centv")))
-    // Assign each corpus vector to its nearest centroid (argmax cosine).
-    val assignW = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    val assigned = c.crossJoin(centroids)
-      .withColumn("ccos", cosine(col("cv"), col("centv")))
-      .withColumn("crnk", row_number().over(assignW))
-      .filter(col("crnk") === 1)
+    // Assign each corpus vector to its nearest centroid (argmax cosine)
+    // — narrow kernel fold, no corpus×k relation, no shuffle.
+    val assigned = assignToCentroids(c, "cv", centroidRel, byCosine = true)
       .select(col("centroid_id"), col("neighbor_id"), col("cv"))
     // Each query probes its nprobe nearest centroids.
     val probeW = Window.partitionBy(col("query_id"))
@@ -242,19 +270,15 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
-
   /** Lloyd's k-means over the embedding corpus, entirely in DataFrame
-    * ops: assignment is a broadcast cross join + per-vector argmin
-    * (narrow over the corpus — the only exchange is the elementwise-mean
-    * groupBy over (cluster, dim), k·d keys), and the new centroids are
-    * reassembled from sorted (dim, mean) structs. A FIXED iteration count
-    * with deterministic lowest-id initialization keeps the result
-    * reproducible run-to-run — at scale this is the centroid trainer for
-    * the IVF index, and the centroid relation stays k rows (model-sized)
-    * end to end, never collected to the driver.
+    * ops: assignment is the NARROW argbest-kernel fold over the broadcast
+    * centroid arrays (zero shuffle over the corpus — the only exchange is
+    * the elementwise-mean groupBy over (cluster, dim), k·d keys), and the
+    * new centroids are reassembled from sorted (dim, mean) structs. A
+    * FIXED iteration count with deterministic lowest-id initialization
+    * keeps the result reproducible run-to-run — at scale this is the
+    * centroid trainer for the IVF index, and the centroid relation stays
+    * k rows (model-sized) end to end, never collected to the driver.
     *
     * A cluster that loses all members drops out (standard Lloyd
     * degeneracy); callers get ≤ k centroids. */
@@ -269,12 +293,7 @@ object Similarity {
         col("v").as("centv"))
       .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
-      val aw = Window.partitionBy(col("vid"))
-        .orderBy(col("dist").asc, col("centroid_id"))
-      val assigned = c.crossJoin(broadcast(centroids))
-        .withColumn("dist", l2sq(col("v"), col("centv")))
-        .withColumn("rnk", row_number().over(aw))
-        .filter(col("rnk") === 1)
+      val assigned = assignToCentroids(c, "v", centroids, byCosine = false)
       centroids = assigned
         .select(col("centroid_id"), posexplode(col("v")))
         .groupBy(col("centroid_id"), col("pos"))

@@ -24,9 +24,18 @@ object CurationQueries {
   /** Knuth multiplicative hash → [0, 100): deterministic, uniform-ish,
     * and reproducible in any engine with 64-bit integer arithmetic.
     * Never use random() for split assignment — re-runs must route every
-    * document to the same split or eval sets leak into training. */
+    * document to the same split or eval sets leak into training.
+    *
+    * Overflow-safe by construction: the id is folded mod 2³¹ and the
+    * multiplier mod 2³² BEFORE the product, so the intermediate stays
+    * < 2⁶³ for ANY long id — the unmasked (id·mult) silently wraps in
+    * non-ANSI Spark but raises OUT_OF_RANGE in DuckDB/ANSI once ids
+    * leave the small-fixture range, which would split engines. For
+    * ids < 2³¹ the masked form is bit-identical to the plain product
+    * mod 2³². (xxhash64 is still the production-path hash; this
+    * arithmetic form exists so the oracle recomputes it exactly.) */
   private def hashBucket(id: org.apache.spark.sql.Column, mult: Long) =
-    ((id * mult) % 4294967296L) % 100
+    ((pmod(id, lit(2147483648L)) * (mult % 4294967296L)) % 4294967296L) % 100
 
   /** Deterministic train/val/test split (80/10/10) by hashed doc id —
     * stateless, no shuffle at all: the split column is a narrow
@@ -48,7 +57,8 @@ object CurationQueries {
       CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) AS BIGINT) AS tokens
       FROM (SELECT *, CASE WHEN bucket < 80 THEN 'train'
                            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
-            FROM (SELECT *, ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+            FROM (SELECT *, (((doc_id % 2147483648) * (2654435761 % 4294967296))
+                    % 4294967296) % 100 AS bucket
                   FROM documents) b) s
       GROUP BY lang, split ORDER BY lang, split"""))
 
@@ -77,7 +87,8 @@ object CurationQueries {
       first(weight_pct) AS target_pct,
       round(count(CASE WHEN keep THEN 1 END) * 100.0 / count(*), 2) AS achieved_pct
       FROM (SELECT source, 30 + (len(source) * 7) % 50 AS weight_pct,
-              ((doc_id * 1099511628211) % 4294967296) % 100 <
+              (((doc_id % 2147483648) * (1099511628211 % 4294967296))
+                % 4294967296) % 100 <
                 30 + (len(source) * 7) % 50 AS keep
             FROM documents) m
       GROUP BY source ORDER BY source"""))
@@ -275,8 +286,11 @@ object CurationQueries {
         SELECT * FROM norm
         QUALIFY row_number() OVER (PARTITION BY ntext ORDER BY doc_id) = 1),
       assigned AS (
-        SELECT *, CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
-          WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+        SELECT *, CASE
+          WHEN (((doc_id % 2147483648) * (2654435761 % 4294967296))
+            % 4294967296) % 100 < 80 THEN 'train'
+          WHEN (((doc_id % 2147483648) * (2654435761 % 4294967296))
+            % 4294967296) % 100 < 90 THEN 'val'
           ELSE 'test' END AS split
         FROM dedup)
       SELECT split, count(*) AS docs,

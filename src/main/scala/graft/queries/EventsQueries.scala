@@ -57,6 +57,34 @@ object EventsQueries {
       count(DISTINCT user_id) AS unique_users
       FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
 
+  /** SLIDING event-time window (1 day long, sliding every 6 hours) — the
+    * batch twin of the streaming window(ts, dur, slide) aggregation
+    * (§2.9 mapping; streaming twin is q86). Each event lands in
+    * duration/slide = 4 overlapping windows: Spark plans ONE Expand
+    * (×4 rows) before the single aggregate shuffle — same scale posture
+    * as GROUPING SETS, the fan-out happens map-side and combines
+    * partially. The oracle recomputes the epoch-aligned 6-hour grid
+    * explicitly: the 4 containing windows of t start at
+    * (floor(t/21600)−i)·21600, i ∈ 0..3 (make_timestamp keeps the oracle
+    * timezone-free). */
+  val q85SlidingWindow = GraftQuery(
+    "q85_sliding_window",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy(col("win_start"), col("event_type")),
+    Some("""SELECT strftime(make_timestamp(
+        ((CAST(floor(epoch(ts) / 21600) AS BIGINT) - i) * 21600) * 1000000),
+        '%Y-%m-%d %H:%M') AS win_start,
+      event_type, count(*) AS n_events, round(sum(value),2) AS total_value
+      FROM events, (SELECT unnest([0,1,2,3]) AS i) shifts
+      GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+
   /** Sessionization via gap detection (30-min inactivity) — the batch twin
     * of session_window(). lag() over (user, ts) marks session starts; one
     * shuffle on user_id, every window bounded by a user's own events —
@@ -399,5 +427,6 @@ object EventsQueries {
   val all: Seq[GraftQuery] =
     Seq(q21JsonExtract, q22TumblingWindow, q23Sessionize, q24TopUsersPerType,
       q41AsofJoin, q43SaltedAgg, q47Funnel, q48Retention, q49Pivot,
-      q50RangeFrame, q74ForwardFill, q75MadOutliers, q76Scd2Intervals)
+      q50RangeFrame, q74ForwardFill, q75MadOutliers, q76Scd2Intervals,
+      q85SlidingWindow)
 }

@@ -614,7 +614,11 @@ object Relational {
         .filter(col("n") > col("total") * 0.1)
         .agg(
           count(lit(1)).as("heavy_hitters"),
-          expr("bool_and(array_contains(fi, l_returnflag))").as("all_found"))
+          // coalesce: bool_and over ZERO heavy hitters is NULL, while the
+          // oracle's vacuous-truth TRUE is the right answer for "every
+          // heavy hitter was found"
+          coalesce(expr("bool_and(array_contains(fi, l_returnflag))"), lit(true))
+            .as("all_found"))
     },
     Some("""SELECT count(*) AS heavy_hitters, TRUE AS all_found
       FROM (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1) g
@@ -738,7 +742,7 @@ object Relational {
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
   /** Blocked fuzzy string join — the record-linkage / data-cleaning
-    * primitive: DISTINCT part names pair when edit distance ≤ 2, with a
+    * primitive: DISTINCT part names pair when edit distance ≤ 3, with a
     * first-character blocking key so the pair space is per-block, never
     * all-pairs (the same block-then-verify shape as every dedup
     * operator; at scale the block key would be a phonetic/prefix bucket).
@@ -983,10 +987,40 @@ object Relational {
                           AND o.o_orderstatus = 'F')
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** CUBE over (status, priority) — completes the multi-dimensional
+    * aggregate family beside rollup (q19) and explicit GROUPING SETS
+    * (q52): cube emits all 2^d subtotal combinations through the same
+    * single Expand + one shuffle (§2.4 note "engine ships cube/rollup/
+    * GROUPING SETS"). Same scale posture as q52: the Expand multiplies
+    * input rows by 2^d BEFORE the exchange, so prune dimensions, not
+    * output rows. grouping() markers disambiguate a NULL data value from
+    * a subtotal row. */
+  val q84Cube = GraftQuery(
+    "q84_cube",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_priority"))
+        .orderBy(col("g_status"), col("g_priority"),
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+      count(*) AS orders, round(sum(o_totalprice),2) AS revenue,
+      CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+      CAST(grouping(o_orderpriority) AS TINYINT) AS g_priority
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY g_status, g_priority,
+        o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q80LatestPerKey,
-    q81ArgMax, q82RankTies, q83CorrelatedExists,
+    q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube,
     q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,
     q04Percentile, q04bApproxPercentile,
     q05ConditionalAgg, q06Having, q07CaseBucket, q08TwoLevelAgg,

@@ -27,6 +27,23 @@ object StreamingQueries {
       event_type, count(*) AS n_events, round(sum(value),2) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
 
+  /** SLIDING-window aggregation executed BY THE STREAMING ENGINE (the
+    * §2.9 window(ts, dur, slide) mapping), oracle-checked against the
+    * same epoch-grid recomputation as its batch twin q85. */
+  val q86StreamSliding = GraftQuery(
+    "q86_stream_sliding", { (s, dir) =>
+      val sink = s"stream_sliding_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      EventPipeline
+        .runToMemorySink(s, dir, sink, EventPipeline.slidingCounts)
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    Some("""SELECT strftime(make_timestamp(
+        ((CAST(floor(epoch(ts) / 21600) AS BIGINT) - i) * 21600) * 1000000),
+        '%Y-%m-%d %H:%M') AS win_start,
+      event_type, count(*) AS n_events, round(sum(value),2) AS total_value
+      FROM events, (SELECT unnest([0,1,2,3]) AS i) shifts
+      GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+
   /** Session windows from the streaming engine, oracle-checked:
     * session_window(ts, 30 min) per user is definitionally the 30-minute
     * gap sessionization, so the oracle recomputes it with lag() in
@@ -175,5 +192,6 @@ object StreamingQueries {
 
   val all: Seq[GraftQuery] = Seq(
     q37StreamTumbling, q38StreamSessions, q39MultimodalDecode,
-    q44StreamStaticJoin, q45StreamDedup, q46StreamState, q63StreamStreamJoin)
+    q44StreamStaticJoin, q45StreamDedup, q46StreamState, q63StreamStreamJoin,
+    q86StreamSliding)
 }

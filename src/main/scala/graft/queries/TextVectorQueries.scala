@@ -291,6 +291,30 @@ object TextVectorQueries {
         WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id) t
       WHERE rnk <= 10 ORDER BY query_id, rnk"""))
 
+  /** The SAME exact top-k contract as q33, through the BOUNDED-shuffle
+    * per-partition-heap path — the 100 TB shape: the ranking exchange
+    * carries ≤ k×partitions rows per query instead of the full
+    * |corpus|×|queries| score relation. Result-identical to q33
+    * (asserted in SimilaritySpec), so it shares q33's oracle; this is
+    * the benchmark headline for exact ANN (VERDICT r3 §wrong#2). */
+  val q33bAnnBrutePartial = GraftQuery(
+    "q33b_ann_brute_partial", { (s, dir) =>
+      val e = embeds(s, dir)
+      Similarity.bruteForceTopKPartial(
+          e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""SELECT query_id, rnk, neighbor_id, cosine FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+          round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]),6) AS cosine,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+              n.vec_id) AS rnk
+        FROM embeddings q, embeddings n
+        WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id) t
+      WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+
   /** Sign-LSH bucketed ANN (rows-only; recall vs brute force asserted in
     * SimilaritySpec). */
   val q34AnnLsh = GraftQuery(
@@ -369,6 +393,26 @@ object TextVectorQueries {
     "q36b_embed_neardup_lsh", { (s, dir) =>
       val pairs = Dedup.embeddingNearDups(embedNearDupCorpus(s, dir),
         "embedding", "vec_id", threshold = 0.98, planes = 8, tables = 8)
+      pairs.agg(
+        count(lit(1)).as("pairs_found"),
+        count(when(col("id_b") === col("id_a") + 1000000L, 1)).as("true_pairs"),
+        round(avg(col("cosine")), 4).as("avg_cosine"))
+    })
+
+  /** Lower-threshold (0.8) twin of q36b, exercising the LSH recall
+    * formula's threshold sensitivity: per-plane collision probability is
+    * p = 1 − arccos(cos)/π, so at the 0.98 operating point p ≈ 0.936 and
+    * 8 planes × 8 tables is effectively exact — but at a 0.8 threshold
+    * boundary p drops to ≈ 0.795 and the SAME geometry would miss ~25 %
+    * of boundary pairs (1−(1−p⁸)⁸ ≈ 0.76). The plane/table budget must
+    * move with the threshold: 6 planes × 16 tables restores
+    * 1−(1−p⁶)¹⁶ ≈ 0.99 at the boundary while still pruning ~n²/2⁶ of the
+    * pair work per table. Rows-only here; recall vs the exact all-pairs
+    * result at this threshold is asserted in DedupSpec. */
+  val q36cEmbedNearDupLsh08 = GraftQuery(
+    "q36c_embed_neardup_lsh08", { (s, dir) =>
+      val pairs = Dedup.embeddingNearDups(embedNearDupCorpus(s, dir),
+        "embedding", "vec_id", threshold = 0.8, planes = 6, tables = 16)
       pairs.agg(
         count(lit(1)).as("pairs_found"),
         count(when(col("id_b") === col("id_a") + 1000000L, 1)).as("true_pairs"),
@@ -625,7 +669,8 @@ object TextVectorQueries {
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q29Fingerprint,
     q30MinhashNearDup, q31SimhashNearDup, q32NgramJaccard, q33AnnBrute,
-    q34AnnLsh, q35AnnIvf, q36EmbedNearDup, q36bEmbedNearDupLsh,
+    q33bAnnBrutePartial, q34AnnLsh, q35AnnIvf, q36EmbedNearDup,
+    q36bEmbedNearDupLsh, q36cEmbedNearDupLsh08,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank,
     q73PageRank)
 }

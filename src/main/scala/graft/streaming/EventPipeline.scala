@@ -52,6 +52,19 @@ object EventPipeline {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Watermarked SLIDING-window aggregation (1 day window, 6 hour slide,
+    * 1 hour late data): each event updates 4 overlapping windows' state;
+    * the watermark bounds live state at (window + lateness)/slide
+    * entries per (grid slot, event_type). Batch twin: q85. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Session windows: 30-minute inactivity gap per user. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -73,6 +73,29 @@ class DedupSpec extends SparkTestBase {
     assert(spurious === 0L, "cosine verify must kill every false candidate")
   }
 
+  test("embedding LSH at threshold 0.8 with rescaled geometry keeps recall high") {
+    // q36c's point: at a 0.8 boundary the per-plane collision probability
+    // drops to ~0.795, so the 8×8 geometry that is exact at 0.98 would
+    // miss ~25% of boundary pairs; 6 planes × 16 tables restores ~0.99
+    // per-pair recall. Verified against the exact all-pairs set.
+    val vecs = TextVectorQueries.embedNearDupCorpus(spark, sfDir).cache()
+    val lsh = Dedup.embeddingNearDups(vecs, "embedding", "vec_id",
+      threshold = 0.8, planes = 6, tables = 16).cache()
+    val a = vecs.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = vecs.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= 0.8)
+      .select("id_a", "id_b").cache()
+    val nExact = exact.count()
+    val missed = exact.join(lsh, Seq("id_a", "id_b"), "left_anti").count()
+    val spurious = lsh.join(exact, Seq("id_a", "id_b"), "left_anti").count()
+    assert(nExact > 0L)
+    assert(missed.toDouble / nExact <= 0.05,
+      s"LSH missed $missed of $nExact exact pairs at threshold 0.8")
+    assert(spurious === 0L, "cosine verify must kill every false candidate")
+  }
+
   test("codegen MinHash expression is bit-identical to the HOF formulation") {
     val sh = corpus.limit(100).select(
       graft.ops.TextAnalysis.shingleSet(col("text"), 3).as("shingles"))

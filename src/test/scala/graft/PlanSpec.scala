@@ -241,6 +241,33 @@ class PlanSpec extends SparkTestBase {
     assert(hashExchanges === 1, s"expected 1 hash exchange, got $hashExchanges:\n$p")
   }
 
+  test("IVF/k-means centroid assignment is narrow: no window, no corpus shuffle") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      corpus, "cv", cents, byCosine = true)
+    val p = planOf(assigned)
+    // the corpus-side argbest must be a projection: no window operator,
+    // no hash exchange anywhere (the only exchanges are the
+    // single-partition centroid collect + its broadcast)
+    assert(!p.contains("Window"), p)
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined, p)
+    // and it must agree with the window-argmin formulation it replaced
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("neighbor_id")).orderBy(col("ccos").desc, col("centroid_id"))
+    val windowed = corpus.crossJoin(broadcast(cents))
+      .withColumn("ccos", graft.ops.Similarity.cosine(col("cv"), col("centv")))
+      .withColumn("rnk", row_number().over(aw)).filter(col("rnk") === 1)
+      .select(col("neighbor_id"), col("centroid_id"))
+    val disagree = assigned.select(col("neighbor_id"), col("centroid_id"))
+      .join(windowed.withColumnRenamed("centroid_id", "w_centroid_id"),
+        Seq("neighbor_id"))
+      .filter(col("centroid_id") =!= col("w_centroid_id")).count()
+    assert(disagree === 0L)
+  }
+
   test("salted aggregation equals the direct aggregate") {
     val ev = Tables.load(spark, sfDir, "events")
     val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value",
