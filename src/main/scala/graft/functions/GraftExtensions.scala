@@ -78,5 +78,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "jaro_winkler(a, b)")
         JaroWinklerExpr(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_cosine_index"),
+      info("nearest_cosine_index"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "nearest_cosine_index(vec, candidates)")
+        NearestIndexExpr(children.head, children(1), cosine = true)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_l2_index"),
+      info("nearest_l2_index"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "nearest_l2_index(vec, candidates)")
+        NearestIndexExpr(children.head, children(1), cosine = false)
+      }))
   }
 }

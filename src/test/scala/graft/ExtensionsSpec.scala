@@ -64,6 +64,23 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("jaro_winkler and nearest-index kernels resolve through spark.sql") {
+    withExtensionSession { s =>
+      val row = s.sql(
+        """SELECT
+          |  jaro_winkler('MARTHA', 'MARHTA') AS jw,
+          |  nearest_cosine_index(array(1.0D, 0.0D),
+          |    array(array(0.0D, 1.0D), array(1.0D, 0.1D))) AS nc,
+          |  nearest_l2_index(array(1.0D, 0.0D),
+          |    array(array(0.9D, 0.0D), array(5.0D, 5.0D))) AS nl
+          |""".stripMargin).head()
+      // published Winkler value for MARTHA/MARHTA
+      assert(math.abs(row.getDouble(0) - 0.9611) < 1e-3)
+      assert(row.getInt(1) === 1)
+      assert(row.getInt(2) === 0)
+    }
+  }
+
   test("non-literal sizing argument is rejected with a clear error") {
     withExtensionSession { s =>
       val e = intercept[Exception] {
