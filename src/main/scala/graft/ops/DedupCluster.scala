@@ -61,10 +61,20 @@ object DedupCluster {
 
   /** Large-star round: every node a links each HIGHER neighbor b to
     * m(a) = min(neighbors(a) ∪ {a}). Keeps the graph connected while
-    * strictly pulling high nodes toward component minima. */
+    * strictly pulling high nodes toward component minima.
+    *
+    * The symmetrized edge list is built with ONE explode over the input
+    * instead of a self-union: identical rows, but the input subtree
+    * appears once, not twice, in the logical plan. That matters because
+    * the driver loop composes star rounds — every duplicated reference
+    * MULTIPLIES across rounds (k composed rounds with per-round input
+    * duplication d reference the leaf d^k times), and ANALYSIS of that
+    * tree, not data movement, becomes the iteration cost. */
   private[ops] def largeStar(e: DataFrame): DataFrame = {
-    val sym = e.select(col("u").as("a"), col("v").as("b"))
-      .union(e.select(col("v").as("a"), col("u").as("b")))
+    val sym = e.select(explode(array(
+        struct(col("u").as("a"), col("v").as("b")),
+        struct(col("v").as("a"), col("u").as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
     val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
       .select(col("a"), least(col("a"), col("mb")).as("m"))
     sym.join(mins, Seq("a"))
@@ -76,14 +86,22 @@ object DedupCluster {
   }
 
   /** Small-star round: every node links its LOWER neighbors (and itself)
-    * to the minimum of that set — flattens local chains into stars. */
+    * to the minimum of that set — flattens local chains into stars.
+    *
+    * Same plan-size discipline as [[largeStar]]: the (lo, m) ∪ (hi, m)
+    * relink is one explode after the join instead of a union with a
+    * second `mins` reference — (hi, m) is emitted once per (hi, lo) pair
+    * instead of once, but the trailing distinct makes the SETS identical
+    * while the input subtree appears half as often in the plan. */
   private[ops] def smallStar(e: DataFrame): DataFrame = {
     val dir = e.select(greatest(col("u"), col("v")).as("hi"),
       least(col("u"), col("v")).as("lo"))
     val mins = dir.groupBy(col("hi")).agg(min(col("lo")).as("m"))
     val relinked = dir.join(mins, Seq("hi"))
-      .select(col("lo").as("x"), col("m"))
-      .union(mins.select(col("hi").as("x"), col("m")))
+      .select(explode(array(
+        struct(col("lo").as("x"), col("m")),
+        struct(col("hi").as("x"), col("m")))).as("p"))
+      .select(col("p.x").as("x"), col("p.m").as("m"))
     relinked.filter(col("x") =!= col("m"))
       .select(least(col("x"), col("m")).as("u"),
         greatest(col("x"), col("m")).as("v"))
@@ -118,6 +136,12 @@ object DedupCluster {
     * fault tolerance (see SCALING.md).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val trace = sys.env.contains("GRAFT_CC_TRACE")
+    def traced[T](label: String)(f: => T): T =
+      if (!trace) f else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[cc] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
     def signature(df: DataFrame): (Long, Long) = {
       // xor-fold, not sum: order-independent over the set and cannot
       // overflow under ANSI arithmetic
@@ -131,14 +155,20 @@ object DedupCluster {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(eager = false)
-    var sig = signature(e)
+    var sig = traced("init-sig") { signature(e) }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(smallStar(largeStar(e))))
-        .localCheckpoint(eager = false)
-      val nextSig = signature(next)
-      converged = nextSig == sig && next.except(e).isEmpty
+      // Each star PAIR is lazily checkpointed so the analyzed plan per
+      // pair stays constant-size (composing both pairs into one plan
+      // squares the leaf-duplication factor — measured as seconds of
+      // driver-side analysis per iteration at sf0.1); the single
+      // signature job per iteration still materializes both checkpoints
+      // in one pass, so fusion keeps its halved job/driver-round count.
+      val mid = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val next = smallStar(largeStar(mid)).localCheckpoint(eager = false)
+      val nextSig = traced(s"iter$i-sig") { signature(next) }
+      converged = nextSig == sig && traced(s"iter$i-except") { next.except(e).isEmpty }
       e = next
       sig = nextSig
       i += 1
