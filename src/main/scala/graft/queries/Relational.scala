@@ -624,6 +624,38 @@ object Relational {
       FROM (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1) g
       WHERE n > (SELECT count(*) FROM lineitem) * 0.1"""))
 
+  /** Count-min sketch frequency estimation, checked by CONTRACT like
+    * q03b/q66: a CMS never under-counts, and its overestimate stays
+    * within eps·n with probability ≥ confidence (seed fixed, so the
+    * realized sketch is deterministic and the booleans are stable).
+    * The sketch itself is MODEL-sized driver state — width 2e/eps ×
+    * depth ln(1/(1-conf)) counters regardless of data volume — built by
+    * merging per-partition sketches, which is exactly how a 100 TB
+    * frequency pass runs: one narrow scan, counters merged at the
+    * driver, no per-key shuffle at all. The exact per-key counts the
+    * contract compares against are the same single-shuffle aggregate
+    * the oracle recomputes. */
+  val q88CountMin = GraftQuery(
+    "q88_count_min", { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val sketch = li.stat.countMinSketch(
+        col("l_returnflag"), eps = 0.01, confidence = 0.999, seed = 42)
+      val est = typedLit(Seq("A", "N", "R")
+        .map(f => f -> sketch.estimateCount(f)).toMap)
+      li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_exact"))
+        .withColumn("est", element_at(est, col("l_returnflag")))
+        .crossJoin(li.agg(count(lit(1)).as("total")))
+        .agg(
+          count(lit(1)).as("keys"),
+          coalesce(expr("bool_and(est >= n_exact)"), lit(true))
+            .as("never_undercounts"),
+          coalesce(expr("bool_and(est <= n_exact + 0.01 * total)"), lit(true))
+            .as("within_eps_bound"))
+    },
+    Some("""SELECT count(*) AS keys, TRUE AS never_undercounts,
+      TRUE AS within_eps_bound
+      FROM (SELECT l_returnflag FROM lineitem GROUP BY 1) g"""))
+
   /** Seeded sampling by CONTRACT: Bernoulli sample counts concentrate
     * around fraction·n (bound here is ±5σ-wide), and stratified sampleBy
     * must respect per-stratum fractions. The sampled row SETS are
@@ -1028,5 +1060,5 @@ object Relational {
     q14SemiAnti, q15WindowRank, q16WindowRunning, q17SetOps, q18RangeJoin,
     q19Rollup, q20DedupExact, q42TypedAggregator,
     q52GroupingSets, q53NtileFamily, q54StatAggs, q59NullsafeJoin,
-    q66FreqItems, q67SamplingContract, q68MonthOverMonth)
+    q66FreqItems, q67SamplingContract, q68MonthOverMonth, q88CountMin)
 }

@@ -190,8 +190,36 @@ object StreamingQueries {
         AND l.event_type = 'click' AND r.event_type = 'purchase'
         AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE"""))
 
+  /** Streaming MERGE/upsert sink through foreachBatch: the event stream
+    * is consumed one staged file per micro-batch and upserted into a
+    * catalog table keyed by user (latest event wins, total tie-break) —
+    * the streaming-MERGE pattern a Delta sink gives transactionally,
+    * emulated on parquet (README "Delta Lake stand-in"). The final table
+    * state is independent of the micro-batch split, so the oracle is the
+    * plain batch latest-per-user window; multiset table parity and the
+    * multi-batch execution itself are asserted in StreamingSpec. */
+  val q87StreamUpsertSink = GraftQuery(
+    "q87_stream_upsert_sink", { (s, dir) =>
+      val table = s"upsert_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      EventPipeline.runUpsertSink(s, Tables.load(s, dir, "events"), table, parts = 4)
+      s.table(table).agg(
+        count(lit(1)).as("rows_in_table"),
+        countDistinct(col("user_id")).as("distinct_users"),
+        round(sum(col("value")), 2).as("sum_latest_value"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_ts"))
+    },
+    Some("""SELECT count(*) AS rows_in_table,
+      count(DISTINCT user_id) AS distinct_users,
+      round(sum(value),2) AS sum_latest_value,
+      strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts
+      FROM (SELECT user_id, value, ts,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+      WHERE rn = 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     q37StreamTumbling, q38StreamSessions, q39MultimodalDecode,
     q44StreamStaticJoin, q45StreamDedup, q46StreamState, q63StreamStreamJoin,
-    q86StreamSliding)
+    q86StreamSliding, q87StreamUpsertSink)
 }

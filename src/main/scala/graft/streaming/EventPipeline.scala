@@ -101,22 +101,79 @@ object EventPipeline {
       .toDF()
   }
 
-  /** Stage an events frame as a single raw-nanos parquet FILE named
-    * events.parquet under a fresh temp dir, readable by
-    * [[readEventStream]] — the stream schema expects int64 nano
-    * timestamps (like the driver tables), and Spark would otherwise
-    * write INT96. Used to replay constructed streams (duplicate
-    * injection, etc.) through the real engine. */
-  def stageAsStreamDir(events: DataFrame): String = {
+  /** Streaming MERGE/upsert sink via foreachBatch — the pattern that
+    * stands in for Delta's streaming MERGE on a parquet catalog (see
+    * README "Delta Lake stand-in"): each micro-batch collapses to its
+    * latest row per user, unions with the current table state, and
+    * re-collapses, so the table always holds exactly the latest event
+    * per user with a total (ts desc, event_id desc) tie-break — the
+    * result is independent of how the stream was micro-batched.
+    *
+    * The merged snapshot is EAGERLY localCheckpoint'ed before the
+    * overwrite: the merge READS the table it is about to overwrite, and
+    * without the materialization the lazy plan would scan a table that
+    * no longer exists mid-write (the classic self-overwrite hazard;
+    * Delta's MERGE hides this behind the transaction log).
+    *
+    * The input is staged as `parts` separate files consumed one per
+    * trigger (maxFilesPerTrigger=1), so the upsert path is genuinely
+    * exercised across multiple micro-batches, not one bulk load. */
+  def runUpsertSink(
+      spark: SparkSession, events: DataFrame, table: String,
+      parts: Int = 4): Unit = {
+    val dir = stageAsStreamDir(events, parts)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    def latestPerUser(df: DataFrame): DataFrame = df
+      .withColumn("__rn", row_number().over(byUser))
+      .filter(col("__rn") === 1).drop("__rn")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "events*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val incoming = latestPerUser(batch)
+        val merged =
+          if (spark.catalog.tableExists(table))
+            latestPerUser(spark.table(table).unionByName(incoming))
+          else incoming
+        // materialize BEFORE overwriting the table the plan reads
+        merged.localCheckpoint(eager = true)
+          .write.mode("overwrite").saveAsTable(table)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  /** Stage an events frame as `parts` raw-nanos parquet FILEs named
+    * events_N.parquet under a fresh temp dir, readable by
+    * [[readEventStream]] (glob `events*.parquet`) — the stream schema
+    * expects int64 nano timestamps (like the driver tables), and Spark
+    * would otherwise write INT96. Used to replay constructed streams
+    * (duplicate injection, multi-micro-batch upserts) through the real
+    * engine. */
+  def stageAsStreamDir(events: DataFrame, parts: Int = 1): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     val stage = dir.resolve("stage")
     events.withColumn("ts", expr("unix_micros(ts) * 1000"))
-      .coalesce(1).write.parquet(stage.toString)
+      .repartition(parts).write.parquet(stage.toString)
     val listing = java.nio.file.Files.list(stage)
-    val part =
-      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
-      finally listing.close()
-    java.nio.file.Files.move(part, dir.resolve("events.parquet"))
+    try {
+      val files = listing.filter(_.toString.endsWith(".parquet"))
+        .sorted().iterator()
+      var i = 0
+      while (files.hasNext) {
+        val name = if (parts == 1) "events.parquet" else s"events_$i.parquet"
+        java.nio.file.Files.move(files.next(), dir.resolve(name))
+        i += 1
+      }
+    } finally listing.close()
     // scratch data — reclaim at JVM exit (deleteOnExit runs LIFO, so
     // register parents before children)
     import scala.jdk.CollectionConverters._

@@ -179,6 +179,26 @@ class StreamingSpec extends SparkTestBase {
     batch0.unpersist()
   }
 
+  test("foreachBatch upsert sink converges to the batch latest-per-user state") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val table = s"upsert_spec_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    EventPipeline.runUpsertSink(spark, ev, table, parts = 4)
+    val got = spark.table(table)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expected = ev
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    // exact multiset equality of the final table vs the batch collapse
+    assert(got.exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(got).count() === 0L)
+    // and the upsert path genuinely merged across micro-batches: with 4
+    // staged files at one per trigger, later batches must have updated
+    // rows written by earlier ones (users span all event files)
+    assert(got.count() === ev.select(col("user_id")).distinct().count())
+  }
+
   test("checkpointed file-sink query restarts without reprocessing") {
     // Restart semantics: a stopped query resumed with the SAME checkpoint
     // must pick up only NEW files — the exactly-once file-sink contract.
