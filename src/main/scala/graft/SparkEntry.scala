@@ -42,6 +42,7 @@ object SparkEntry {
     "q01_pricing_summary", "q03_count_distinct", "q04_percentile",
     "q09_scalar_subquery", "q10_topk", "q12_fact_join", "q13_outer_join",
     "q16_window_running", "q22_tumbling_window", "q23_sessionize",
+    "q85_sliding_window",
     "q25_text_stats", "q27_token_topk", "q30_minhash_neardup",
     "q31_simhash_neardup", "q33_ann_brute", "q33b_ann_brute_partial",
     "q36b_embed_neardup_lsh", "q41_asof_join", "q51_dedup_clusters")
