@@ -47,6 +47,48 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(cents.count() <= 2L)
   }
 
+  test("nearest-index kernel: ties keep lowest index, empty candidates yield -1") {
+    import graft.functions.SketchExpressions.nearestIndex
+    val v = array(lit(1.0), lit(0.0))
+    // two identical candidates: strict comparison keeps the FIRST
+    val tied = spark.range(1).select(nearestIndex(v,
+      array(array(lit(1.0), lit(0.0)), array(lit(1.0), lit(0.0))),
+      byCosine = true).as("i")).head().getInt(0)
+    assert(tied === 0)
+    val tiedL2 = spark.range(1).select(nearestIndex(v,
+      array(array(lit(1.0), lit(0.0)), array(lit(1.0), lit(0.0))),
+      byCosine = false).as("i")).head().getInt(0)
+    assert(tiedL2 === 0)
+    // empty candidate list: -1 sentinel (assignToCentroids maps it to
+    // a null centroid_id via the when() guard)
+    val none = spark.range(1).select(nearestIndex(v,
+      typedLit(Array.empty[Array[Double]]), byCosine = true).as("i"))
+      .head().getInt(0)
+    assert(none === -1)
+  }
+
+  test("nearest-index kernel: interpreted eval matches codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val vec = Array.tabulate(8)(d => (d * 7 % 13 - 6).toDouble)
+    val cands = Array.tabulate(5, 8)((c, d) => ((c * 17 + d * 3) % 11 - 5).toDouble)
+    val vecLit = Literal.create(vec, ArrayType(DoubleType))
+    val candsLit = Literal.create(cands, ArrayType(ArrayType(DoubleType)))
+    for (byCos <- Seq(true, false)) {
+      // interpreted: direct nullSafeEval through Expression.eval
+      val interpreted = graft.functions.NearestIndexExpr(vecLit, candsLit, byCos)
+        .eval(null).asInstanceOf[Int]
+      // codegen: the same literals through a projected DataFrame
+      val compiled = spark.range(1).select(
+          graft.functions.SketchExpressions.nearestIndex(
+            array(vec.map(lit): _*),
+            array(cands.map(cv => array(cv.map(lit): _*)): _*),
+            byCos).as("i"))
+        .head().getInt(0)
+      assert(interpreted === compiled, s"byCosine=$byCos")
+    }
+  }
+
   test("text metrics on blank and single-token documents are defined") {
     val odd = Seq((1L, ""), (2L, "   "), (3L, "solo")).toDF("doc_id", "text")
     val m = odd.select(
