@@ -403,7 +403,17 @@ case class SignBitsExpr(child: Expression, planes: Int, tables: Int)
   * receives is identical to crossJoin + cosine/l2 + row_number argmin —
   * WITHOUT materializing |corpus|×k rows or shuffling them on a unique
   * key. This is the IVF/k-means assignment hot loop: O(k·d) arithmetic
-  * per row, zero exchanges (asserted in PlanSpec). */
+  * per row, zero exchanges (asserted in PlanSpec).
+  *
+  * NaN scores (zero-norm vector or centroid under cosine) follow the
+  * window formulation's ordering exactly: Spark sorts NaN as the
+  * LARGEST double, so under (cosine DESC) a NaN score wins over every
+  * finite one (first NaN candidate kept), while under (l2 ASC) NaN
+  * loses to every finite score and only wins when no finite candidate
+  * exists. Null candidate ELEMENTS (reachable via the SQL registration;
+  * the library's own centroid relations never produce them) are skipped
+  * — a null can never be anyone's nearest — rather than NPE-ing the
+  * task. */
 case class NearestIndexExpr(left: Expression, right: Expression, cosine: Boolean)
     extends BinaryExpression {
 
@@ -429,31 +439,42 @@ case class NearestIndexExpr(left: Expression, right: Expression, cosine: Boolean
       while (i < vn) { val x = v.getDouble(i); vNormSq += x * x; i += 1 }
     }
     var best = -1
+    var bestNaN = false
+    var firstValid = -1
     var bestScore = if (cosine) Double.NegativeInfinity else Double.PositiveInfinity
     var c = 0
     val k = cands.numElements()
     while (c < k) {
-      val cv = cands.getArray(c)
-      val cn = cv.numElements()
-      val n = math.min(vn, cn)
-      var dot = 0.0
-      var i = 0
-      if (cosine) {
-        while (i < n) { dot += v.getDouble(i) * cv.getDouble(i); i += 1 }
-        var cNormSq = 0.0
-        i = 0
-        while (i < cn) { val x = cv.getDouble(i); cNormSq += x * x; i += 1 }
-        val score = dot / (math.sqrt(vNormSq) * math.sqrt(cNormSq))
-        if (score > bestScore) { bestScore = score; best = c }
-      } else {
-        var l2 = 0.0
-        while (i < n) {
-          val d = v.getDouble(i) - cv.getDouble(i); l2 += d * d; i += 1
+      if (!cands.isNullAt(c)) {
+        val cv = cands.getArray(c)
+        if (firstValid == -1) firstValid = c
+        val cn = cv.numElements()
+        val n = math.min(vn, cn)
+        var dot = 0.0
+        var i = 0
+        if (cosine) {
+          while (i < n) { dot += v.getDouble(i) * cv.getDouble(i); i += 1 }
+          var cNormSq = 0.0
+          i = 0
+          while (i < cn) { val x = cv.getDouble(i); cNormSq += x * x; i += 1 }
+          val score = dot / (math.sqrt(vNormSq) * math.sqrt(cNormSq))
+          // NaN sorts LARGEST: under cosine DESC the first NaN wins
+          if (score.isNaN) { if (!bestNaN) { bestNaN = true; best = c } }
+          else if (!bestNaN && score > bestScore) { bestScore = score; best = c }
+        } else {
+          var l2 = 0.0
+          while (i < n) {
+            val d = v.getDouble(i) - cv.getDouble(i); l2 += d * d; i += 1
+          }
+          // NaN sorts LARGEST: under l2 ASC it loses to every finite score
+          if (!l2.isNaN && l2 < bestScore) { bestScore = l2; best = c }
         }
-        if (l2 < bestScore) { bestScore = l2; best = c }
       }
       c += 1
     }
+    // l2 with only-NaN scores: the window formulation's tie-break picks
+    // the first candidate; cosine's NaN case is already handled above
+    if (best == -1 && !cosine) best = firstValid
     best
   }
 
@@ -482,6 +503,8 @@ case class NearestIndexExpr(left: Expression, right: Expression, cosine: Boolean
            |}
            |""".stripMargin
       } else ""
+      val bestNaN = ctx.freshName("niBestNaN")
+      val firstValid = ctx.freshName("niFirstValid")
       val scoreAndCompare = if (cosine) {
         s"""
            |for (int $i = 0; $i < $n; $i++) {
@@ -493,7 +516,11 @@ case class NearestIndexExpr(left: Expression, right: Expression, cosine: Boolean
            |}
            |final double $score = $dot /
            |  (java.lang.Math.sqrt($vNormSq) * java.lang.Math.sqrt($cNormSq));
-           |if ($score > $bestScore) { $bestScore = $score; $best = $c; }
+           |if (Double.isNaN($score)) {
+           |  if (!$bestNaN) { $bestNaN = true; $best = $c; }
+           |} else if (!$bestNaN && $score > $bestScore) {
+           |  $bestScore = $score; $best = $c;
+           |}
            |""".stripMargin
       } else {
         s"""
@@ -501,22 +528,31 @@ case class NearestIndexExpr(left: Expression, right: Expression, cosine: Boolean
            |  final double $x = $c1.getDouble($i) - $cv.getDouble($i);
            |  $dot += $x * $x;
            |}
-           |if ($dot < $bestScore) { $bestScore = $dot; $best = $c; }
+           |if (!Double.isNaN($dot) && $dot < $bestScore) {
+           |  $bestScore = $dot; $best = $c;
+           |}
            |""".stripMargin
       }
+      val l2Fallback =
+        if (cosine) "" else s"if ($best == -1) { $best = $firstValid; }"
       s"""
          |final int $vn = $c1.numElements();
          |$preamble
          |int $best = -1;
+         |boolean $bestNaN = false;
+         |int $firstValid = -1;
          |double $bestScore = ${if (cosine) "Double.NEGATIVE_INFINITY" else "Double.POSITIVE_INFINITY"};
          |final int $k = $c2.numElements();
          |for (int $c = 0; $c < $k; $c++) {
+         |  if ($c2.isNullAt($c)) continue;
          |  final $arrCls $cv = $c2.getArray($c);
+         |  if ($firstValid == -1) { $firstValid = $c; }
          |  final int $cn = $cv.numElements();
          |  final int $n = java.lang.Math.min($vn, $cn);
          |  double $dot = 0.0;
          |  $scoreAndCompare
          |}
+         |$l2Fallback
          |${ev.value} = $best;
          |""".stripMargin
     })

@@ -28,12 +28,15 @@ object CurationQueries {
     *
     * Overflow-safe by construction: the id is folded mod 2³¹ and the
     * multiplier mod 2³² BEFORE the product, so the intermediate stays
-    * < 2⁶³ for ANY long id — the unmasked (id·mult) silently wraps in
-    * non-ANSI Spark but raises OUT_OF_RANGE in DuckDB/ANSI once ids
-    * leave the small-fixture range, which would split engines. For
-    * ids < 2³¹ the masked form is bit-identical to the plain product
-    * mod 2³². (xxhash64 is still the production-path hash; this
-    * arithmetic form exists so the oracle recomputes it exactly.) */
+    * < 2⁶³ for any NON-NEGATIVE long id (the only shape a surrogate key
+    * takes here; for negative ids Spark's pmod and SQL's % disagree on
+    * sign, so the oracle pairing is scoped to ids ≥ 0) — the unmasked
+    * (id·mult) silently wraps in non-ANSI Spark but raises OUT_OF_RANGE
+    * in DuckDB/ANSI once ids leave the small-fixture range, which would
+    * split engines. For ids in [0, 2³¹) the masked form is bit-identical
+    * to the plain product mod 2³². (xxhash64 is still the
+    * production-path hash; this arithmetic form exists so the oracle
+    * recomputes it exactly.) */
   private def hashBucket(id: org.apache.spark.sql.Column, mult: Long) =
     ((pmod(id, lit(2147483648L)) * (mult % 4294967296L)) % 4294967296L) % 100
 

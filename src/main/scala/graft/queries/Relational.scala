@@ -645,12 +645,15 @@ object Relational {
       li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_exact"))
         .withColumn("est", element_at(est, col("l_returnflag")))
         .crossJoin(li.agg(count(lit(1)).as("total")))
+        // inner coalesce(..., false): a key OUTSIDE the probed list maps
+        // to a NULL estimate, and bool_and would silently SKIP it —
+        // fail the contract loudly instead of vacuously passing
         .agg(
           count(lit(1)).as("keys"),
-          coalesce(expr("bool_and(est >= n_exact)"), lit(true))
+          coalesce(expr("bool_and(coalesce(est >= n_exact, false))"), lit(true))
             .as("never_undercounts"),
-          coalesce(expr("bool_and(est <= n_exact + 0.01 * total)"), lit(true))
-            .as("within_eps_bound"))
+          coalesce(expr("bool_and(coalesce(est <= n_exact + 0.01 * total, false))"),
+            lit(true)).as("within_eps_bound"))
     },
     Some("""SELECT count(*) AS keys, TRUE AS never_undercounts,
       TRUE AS within_eps_bound

@@ -202,11 +202,16 @@ object StreamingQueries {
     "q87_stream_upsert_sink", { (s, dir) =>
       val table = s"upsert_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       EventPipeline.runUpsertSink(s, Tables.load(s, dir, "events"), table, parts = 4)
-      s.table(table).agg(
-        count(lit(1)).as("rows_in_table"),
-        countDistinct(col("user_id")).as("distinct_users"),
-        round(sum(col("value")), 2).as("sum_latest_value"),
-        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_ts"))
+      // snapshot the aggregate BEFORE dropping the scratch table — the
+      // returned frame must not reference a table that no longer exists
+      val summary = s.table(table).agg(
+          count(lit(1)).as("rows_in_table"),
+          countDistinct(col("user_id")).as("distinct_users"),
+          round(sum(col("value")), 2).as("sum_latest_value"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_ts"))
+        .localCheckpoint(eager = true)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      summary
     },
     Some("""SELECT count(*) AS rows_in_table,
       count(DISTINCT user_id) AS distinct_users,

@@ -35,10 +35,13 @@ object EventPipeline {
     * files when the directory holds other tables. Integer `div` for the
     * nanos→micros conversion: nanos-since-epoch overflows double math. */
   def readEventStream(spark: SparkSession, dir: String,
-      glob: String = "events.parquet"): DataFrame = {
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema)
-      .option("pathGlobFilter", glob).parquet(dir)
+    val reader = spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -128,12 +131,8 @@ object EventPipeline {
     def latestPerUser(df: DataFrame): DataFrame = df
       .withColumn("__rn", row_number().over(byUser))
       .filter(col("__rn") === 1).drop("__rn")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(eventSchema)
-      .option("pathGlobFilter", "events*.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = readEventStream(spark, dir,
+      glob = "events*.parquet", maxFilesPerTrigger = Some(1))
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -161,8 +160,11 @@ object EventPipeline {
   def stageAsStreamDir(events: DataFrame, parts: Int = 1): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     val stage = dir.resolve("stage")
-    events.withColumn("ts", expr("unix_micros(ts) * 1000"))
-      .repartition(parts).write.parquet(stage.toString)
+    val shaped = events.withColumn("ts", expr("unix_micros(ts) * 1000"))
+    // coalesce for the single-file common case (narrow); a genuine
+    // round-robin shuffle only when multiple micro-batch files are wanted
+    (if (parts == 1) shaped.coalesce(1) else shaped.repartition(parts))
+      .write.parquet(stage.toString)
     val listing = java.nio.file.Files.list(stage)
     try {
       val files = listing.filter(_.toString.endsWith(".parquet"))

@@ -67,6 +67,32 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(none === -1)
   }
 
+  test("nearest-index kernel: NaN and null-candidate ordering matches the window argmin") {
+    import graft.functions.SketchExpressions.nearestIndex
+    val cands = array(
+      array(lit(0.0), lit(1.0)),  // finite score
+      array(lit(1.0), lit(0.0)))  // finite, cosine=1 vs query
+    // zero-norm query → every cosine is NaN; window DESC sorts NaN first
+    // with the lowest-id tie-break, i.e. index 0 — the kernel must agree
+    val zeroQ = array(lit(0.0), lit(0.0))
+    assert(spark.range(1).select(
+      nearestIndex(zeroQ, cands, byCosine = true).as("i")).head().getInt(0) === 0)
+    // under l2 ASC a NaN loses to any finite distance; with only NaN
+    // scores the first candidate wins (window tie-break)
+    val nanCands = array(
+      array(lit(Double.NaN), lit(0.0)), array(lit(Double.NaN), lit(1.0)))
+    val q = array(lit(1.0), lit(0.0))
+    assert(spark.range(1).select(
+      nearestIndex(q, nanCands, byCosine = false).as("i")).head().getInt(0) === 0)
+    // a null candidate element is skipped, not an NPE, and never wins
+    val withNull = array(
+      lit(null).cast("array<double>"), array(lit(1.0), lit(0.0)))
+    assert(spark.range(1).select(
+      nearestIndex(q, withNull, byCosine = true).as("i")).head().getInt(0) === 1)
+    assert(spark.range(1).select(
+      nearestIndex(q, withNull, byCosine = false).as("i")).head().getInt(0) === 1)
+  }
+
   test("nearest-index kernel: interpreted eval matches codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}

@@ -183,20 +183,22 @@ class StreamingSpec extends SparkTestBase {
     val ev = Tables.load(spark, sfDir, "events")
     val table = s"upsert_spec_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     EventPipeline.runUpsertSink(spark, ev, table, parts = 4)
-    val got = spark.table(table)
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val expected = ev
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-    // exact multiset equality of the final table vs the batch collapse
-    assert(got.exceptAll(expected).count() === 0L)
-    assert(expected.exceptAll(got).count() === 0L)
-    // and the upsert path genuinely merged across micro-batches: with 4
-    // staged files at one per trigger, later batches must have updated
-    // rows written by earlier ones (users span all event files)
-    assert(got.count() === ev.select(col("user_id")).distinct().count())
+    try {
+      val got = spark.table(table)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val expected = ev
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      // exact multiset equality of the final table vs the batch collapse
+      assert(got.exceptAll(expected).count() === 0L)
+      assert(expected.exceptAll(got).count() === 0L)
+      // and the upsert path genuinely merged across micro-batches: with 4
+      // staged files at one per trigger, later batches must have updated
+      // rows written by earlier ones (users span all event files)
+      assert(got.count() === ev.select(col("user_id")).distinct().count())
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
   test("checkpointed file-sink query restarts without reprocessing") {
