@@ -133,6 +133,52 @@ object CurationQueries {
                   FROM documents) t) p
       GROUP BY lang ORDER BY lang"""))
 
+  /** Document chunking with stride — splitting long documents into
+    * overlapping context windows (chunk 64 tokens, stride 48 → 16-token
+    * overlap), the other half of the packing story: q57 packs SHORT
+    * documents up to a budget, this splits LONG ones down to it. One
+    * narrow projection computes the stride grid per document
+    * (sequence), one explode emits the chunks — rows × n/stride before
+    * the single aggregate shuffle, the same Expand-then-combine posture
+    * as the sliding window. Chunk token counts and boundaries are plain
+    * arithmetic, so the oracle recomputes every chunk in SQL. */
+  val q90ChunkingStride = GraftQuery(
+    "q90_chunking_stride", { (s, dir) =>
+      val chunk = 64
+      val stride = 48
+      val chunks = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("start",
+          explode(sequence(lit(1), greatest(col("n"), lit(1)), lit(stride))))
+        .withColumn("chunk_len",
+          least(lit(chunk), col("n") - col("start") + lit(1)))
+        // only the n=0 degenerate grid ([1]) produces a non-positive
+        // length; real starts satisfy start ≤ n → chunk_len ≥ 1
+        .filter(col("chunk_len") > 0)
+      chunks.agg(
+        countDistinct(col("doc_id")).as("docs"),
+        count(lit(1)).as("chunks"),
+        round(avg(col("chunk_len")), 4).as("avg_chunk_len"),
+        max(col("chunk_len")).as("max_chunk_len"),
+        count(when(col("chunk_len") < chunk, 1)).as("partial_chunks"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id,
+          len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, least(64, n - start + 1) AS chunk_len
+        FROM (SELECT doc_id, n,
+                unnest(generate_series(1, greatest(n, 1), 48)) AS start
+              FROM base) g
+        WHERE least(64, n - start + 1) > 0)
+      SELECT count(DISTINCT doc_id) AS docs, count(*) AS chunks,
+        round(avg(chunk_len), 4) AS avg_chunk_len,
+        max(chunk_len) AS max_chunk_len,
+        count(CASE WHEN chunk_len < 64 THEN 1 END) AS partial_chunks
+      FROM chunks"""))
+
   /** posexplode generator surface (§2.10): token + position in one
     * generate step; positional stats per token. The oracle zips DuckDB's
     * parallel unnests (list + generate_series) to reproduce (pos, token)
@@ -347,5 +393,5 @@ object CurationQueries {
   val all: Seq[GraftQuery] = Seq(
     q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
     q60RepetitionFilters, q61PiiRedaction, q62CurationPipeline,
-    q70IncrementalDedup)
+    q70IncrementalDedup, q90ChunkingStride)
 }

@@ -544,6 +544,47 @@ object TextVectorQueries {
         .orderBy(col("query_id"), col("rnk"))
     })
 
+  /** Unigram log-probability scoring — the statistical quality filter
+    * (CCNet/C4-style): each document scores the mean ln-probability of
+    * its tokens under the corpus unigram distribution; gibberish and
+    * rare-token-heavy documents score low and get flagged. Two linear
+    * shuffles build the language model (token counts + join back), the
+    * normalizer rides in-plan as a broadcast 1-row aggregate — the
+    * standard perplexity-filter shape minus the n-gram backoff, fully
+    * recomputable in SQL, which is why it is exactly oracle-checked. */
+  val q89UnigramLogprob = GraftQuery(
+    "q89_unigram_logprob", { (s, dir) =>
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val total = counts.agg(sum(col("tf")).cast("double").as("n_tokens"))
+      val probs = counts.crossJoin(broadcast(total))
+        .select(col("tok"), log(col("tf") / col("n_tokens")).as("logp"))
+      val perDoc = tok.join(probs, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(avg(col("logp")).as("mean_logp"))
+      perDoc.agg(
+        count(lit(1)).as("docs"),
+        round(avg(col("mean_logp")), 4).as("avg_mean_logp"),
+        round(min(col("mean_logp")), 4).as("worst_mean_logp"),
+        count(when(col("mean_logp") < -9.0, 1)).as("flagged_docs"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+        FROM documents),
+      counts AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+      total AS (SELECT CAST(sum(tf) AS DOUBLE) AS n_tokens FROM counts),
+      probs AS (SELECT tok, ln(tf / n_tokens) AS logp FROM counts, total),
+      per_doc AS (
+        SELECT doc_id, avg(logp) AS mean_logp
+        FROM tok JOIN probs USING (tok) GROUP BY doc_id)
+      SELECT count(*) AS docs,
+        round(avg(mean_logp), 4) AS avg_mean_logp,
+        round(min(mean_logp), 4) AS worst_mean_logp,
+        count(CASE WHEN mean_logp < -9.0 THEN 1 END) AS flagged_docs
+      FROM per_doc"""))
+
   /** TF-IDF cosine rerank of the blocked candidate pairs — the classic
     * block-then-score IR pipeline (shared-shingle blocking bounds the
     * pair count; TF-IDF weighting downranks pairs that only share
@@ -672,5 +713,5 @@ object TextVectorQueries {
     q33bAnnBrutePartial, q34AnnLsh, q35AnnIvf, q36EmbedNearDup,
     q36bEmbedNearDupLsh, q36cEmbedNearDupLsh08,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank,
-    q73PageRank)
+    q73PageRank, q89UnigramLogprob)
 }
