@@ -241,6 +241,18 @@ class PlanSpec extends SparkTestBase {
     assert(hashExchanges === 1, s"expected 1 hash exchange, got $hashExchanges:\n$p")
   }
 
+  test("sliding window plans one Expand and one aggregate exchange") {
+    // window(ts, 1d, 6h) fans each row into duration/slide = 4 windows
+    // via a single map-side Expand with partial aggregation — NOT four
+    // scans or a join against a window grid; the only data shuffle is
+    // the final (window, event_type) aggregate (orderBy adds a range
+    // exchange over the small result)
+    val p = planOf(graft.queries.EventsQueries.q85SlidingWindow.run(spark, sfDir))
+    assert(p.contains("Expand"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1, s"expected 1 hash exchange, got $hashExchanges:\n$p")
+  }
+
   test("IVF/k-means centroid assignment is narrow: no window, no corpus shuffle") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val cents = e.filter(col("vec_id") % 50 === 0)
