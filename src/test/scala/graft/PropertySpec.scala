@@ -89,6 +89,42 @@ class PropertySpec extends SparkTestBase {
     assert(bad === 0L)
   }
 
+  test("property: nearest-index kernel equals the window argmin on random vectors") {
+    // the replacement claim of the narrow assignment (no corpus×k window)
+    // checked over GENERATED data, including negatives and magnitudes the
+    // fixture embeddings never produce
+    val dims = 6
+    val vecGen = Gen.listOfN(dims, Gen.choose(-100.0, 100.0))
+    val rows = draw(Gen.listOfN(120, vecGen)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    val cands = draw(Gen.listOfN(7, vecGen)).map(_.toArray)
+    val corpus = rows.toDF("id", "v").cache()
+    val candArr = array(cands.map(cv => array(cv.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    for (byCos <- Seq(true, false)) {
+      val kernel = corpus.select(col("id"),
+        graft.functions.SketchExpressions.nearestIndex(col("v"), candArr, byCos).as("k"))
+      // reference: explicit score per candidate + row_number argbest with
+      // the same (score, index) ordering
+      val scored = cands.zipWithIndex.map { case (cv, ci) =>
+        val c = array(cv.map(lit).toIndexedSeq: _*)
+        val score =
+          if (byCos) graft.ops.Similarity.cosine(col("v"), c)
+          else aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x)
+        struct(score.as("s"), lit(ci).as("ci"))
+      }
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+        .orderBy(if (byCos) col("p.s").desc else col("p.s").asc, col("p.ci"))
+      val windowed = corpus
+        .select(col("id"), explode(array(scored.toIndexedSeq: _*)).as("p"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id"), col("p.ci").as("ref"))
+      val disagree = kernel.join(windowed, Seq("id"))
+        .filter(col("k") =!= col("ref")).count()
+      assert(disagree === 0L, s"byCosine=$byCos")
+    }
+  }
+
   test("property: minhash signature entries are element-wise <= any single shingle's hashes") {
     // the signature is a min over per-seed hashes: adding MORE shingles
     // can only lower (or keep) each signature element
