@@ -179,6 +179,32 @@ class StreamingSpec extends SparkTestBase {
     batch0.unpersist()
   }
 
+  test("session windows run identically on the RocksDB state store") {
+    // At 100 TB streaming state outgrows executor heap; RocksDB is the
+    // store that keeps it on local disk with incremental checkpointing.
+    // Same transform, both providers, multiset-identical results — the
+    // swap is pure configuration, no plan change.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def run(tag: String) = EventPipeline.runToMemorySink(spark, sfDir,
+        s"rocks_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+        EventPipeline.sessionCounts)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .localCheckpoint(eager = true)
+    try {
+      val default = run("hdfs")
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocks = run("rocksdb")
+      assert(rocks.count() > 0L)
+      assert(rocks.exceptAll(default).count() === 0L)
+      assert(default.exceptAll(rocks).count() === 0L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("foreachBatch upsert sink converges to the batch latest-per-user state") {
     val ev = Tables.load(spark, sfDir, "events")
     val table = s"upsert_spec_${java.util.UUID.randomUUID().toString.replace("-", "")}"
