@@ -410,10 +410,12 @@ case class SignBitsExpr(child: Expression, planes: Int, tables: Int)
   * LARGEST double, so under (cosine DESC) a NaN score wins over every
   * finite one (first NaN candidate kept), while under (l2 ASC) NaN
   * loses to every finite score and only wins when no finite candidate
-  * exists. Null candidate ELEMENTS (reachable via the SQL registration;
-  * the library's own centroid relations never produce them) are skipped
-  * — a null can never be anyone's nearest — rather than NPE-ing the
-  * task. */
+  * exists. Null candidate ELEMENTS (reachable only via the SQL
+  * registration; the library's own centroid relations never produce
+  * them) are SKIPPED rather than NPE-ing the task — a deliberate
+  * deviation from the window formulation there, whose null-score rows
+  * would sort NULLS FIRST under l2 ASC and "win": a null candidate can
+  * never meaningfully be anyone's nearest. */
 case class NearestIndexExpr(left: Expression, right: Expression, cosine: Boolean)
     extends BinaryExpression {
 

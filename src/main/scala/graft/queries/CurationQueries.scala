@@ -146,9 +146,13 @@ object CurationQueries {
     "q90_chunking_stride", { (s, dir) =>
       val chunk = 64
       val stride = 48
+      // coalesce: a null text must count as an EMPTY document on both
+      // engines — without it Spark's null-skipping least() would
+      // fabricate a phantom full-length chunk for null docs while
+      // DuckDB dropped them, splitting the oracle
       val chunks = docs(s, dir)
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"),
+          coalesce(TextAnalysis.tokenCount(col("text")), lit(0)).as("n"))
         .withColumn("start",
           explode(sequence(lit(1), greatest(col("n"), lit(1)), lit(stride))))
         .withColumn("chunk_len",
@@ -165,7 +169,7 @@ object CurationQueries {
     },
     Some("""WITH base AS (
         SELECT doc_id,
-          len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n
+          coalesce(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)), 0) AS n
         FROM documents),
       chunks AS (
         SELECT doc_id, least(64, n - start + 1) AS chunk_len

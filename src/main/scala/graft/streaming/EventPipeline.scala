@@ -162,9 +162,17 @@ object EventPipeline {
     val stage = dir.resolve("stage")
     val shaped = events.withColumn("ts", expr("unix_micros(ts) * 1000"))
     // coalesce for the single-file common case (narrow); a genuine
-    // round-robin shuffle only when multiple micro-batch files are wanted
-    (if (parts == 1) shaped.coalesce(1) else shaped.repartition(parts))
-      .write.parquet(stage.toString)
+    // round-robin shuffle only when multiple micro-batch files are
+    // wanted. coalesce(1) cannot RAISE a zero-partition frame to one —
+    // it would write no part file at all — so the empty-input edge
+    // falls back to repartition to keep the "stages ≥ 1 parquet file"
+    // contract the rename loop and downstream glob rely on.
+    val out =
+      if (parts == 1) {
+        if (shaped.rdd.getNumPartitions == 0) shaped.repartition(1)
+        else shaped.coalesce(1)
+      } else shaped.repartition(parts)
+    out.write.parquet(stage.toString)
     val listing = java.nio.file.Files.list(stage)
     try {
       val files = listing.filter(_.toString.endsWith(".parquet"))

@@ -67,7 +67,7 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(none === -1)
   }
 
-  test("nearest-index kernel: NaN and null-candidate ordering matches the window argmin") {
+  test("nearest-index kernel: NaN ordering matches the window argmin; null candidates are skipped") {
     import graft.functions.SketchExpressions.nearestIndex
     val cands = array(
       array(lit(0.0), lit(1.0)),  // finite score
@@ -84,7 +84,9 @@ class EdgeCaseSpec extends SparkTestBase {
     val q = array(lit(1.0), lit(0.0))
     assert(spark.range(1).select(
       nearestIndex(q, nanCands, byCosine = false).as("i")).head().getInt(0) === 0)
-    // a null candidate element is skipped, not an NPE, and never wins
+    // a null candidate element is skipped, not an NPE, and never wins —
+    // a deliberate deviation from the window form, whose null scores
+    // would sort NULLS FIRST under l2 asc
     val withNull = array(
       lit(null).cast("array<double>"), array(lit(1.0), lit(0.0)))
     assert(spark.range(1).select(

@@ -95,9 +95,13 @@ class PropertySpec extends SparkTestBase {
     // fixture embeddings never produce
     val dims = 6
     val vecGen = Gen.listOfN(dims, Gen.choose(-100.0, 100.0))
-    val rows = draw(Gen.listOfN(120, vecGen)).zipWithIndex
+    // ONE draw, sliced: two separate draw() calls replay the same fixed
+    // seed and would make the candidates an exact copy of the first
+    // corpus rows — disjoint slices keep the sets independent
+    val all = draw(Gen.listOfN(127, vecGen))
+    val rows = all.take(120).zipWithIndex
       .map { case (v, i) => (i.toLong, v.toArray) }
-    val cands = draw(Gen.listOfN(7, vecGen)).map(_.toArray)
+    val cands = all.drop(120).map(_.toArray)
     val corpus = rows.toDF("id", "v").cache()
     val candArr = array(cands.map(cv => array(cv.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
     for (byCos <- Seq(true, false)) {
@@ -123,6 +127,7 @@ class PropertySpec extends SparkTestBase {
         .filter(col("k") =!= col("ref")).count()
       assert(disagree === 0L, s"byCosine=$byCos")
     }
+    corpus.unpersist()
   }
 
   test("property: minhash signature entries are element-wise <= any single shingle's hashes") {
