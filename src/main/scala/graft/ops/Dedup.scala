@@ -146,6 +146,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Bloom-filter dedup PRE-SCREEN: build a bloom over the seen corpus's
+    * normalized 64-bit content keys (one distributed aggregate — the
+    * filter is MODEL-sized: numBits/8 bytes regardless of corpus size)
+    * and stamp every arriving row with `maybe_seen`. Rows where the
+    * bloom says "definitely new" skip the exact anti-join entirely; only
+    * the maybe-seen remainder (true dups + ~fpp false positives) pays
+    * the join against the seen keys. At 100 TB this is what keeps
+    * incremental ingestion from re-shuffling the seen-corpus keys for
+    * every batch — the screen is a broadcast-constant probe, zero
+    * shuffles over the batch. Bloom construction guarantees NO false
+    * negatives (a seen key always probes true), so the screen never
+    * loses a duplicate; construction is deterministic (fixed hash
+    * seeds), so q91's contract row is stable.
+    *
+    * Built on Catalyst's own BloomFilterAggregate/BloomFilterMightContain
+    * (the runtime join-pruning machinery, reused as a first-class
+    * operator); might_contain requires a CONSTANT filter, so the 1-row
+    * binary is collected and inlined as a literal — sketch-sized driver
+    * state, same class as freqItems/count-min. */
+  def bloomScreen(
+      seen: DataFrame, batch: DataFrame, textCol: String,
+      expectedItems: Long = 1000000L, bitsPerItem: Long = 8L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    def key(c: Column) = xxhash64(normalizeText(c))
+    val bloomBytes = seen
+      .agg(GraftColumnBridge.column(new BloomFilterAggregate(
+          GraftColumnBridge.expression(key(col(textCol))),
+          Literal(expectedItems), Literal(expectedItems * bitsPerItem))
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    batch.withColumn("maybe_seen",
+      GraftColumnBridge.column(BloomFilterMightContain(
+        Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        GraftColumnBridge.expression(key(col(textCol))))))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold via multi-table sign-LSH
     * blocking, verified with exact cosine on PRE-NORMALIZED vectors.
     *

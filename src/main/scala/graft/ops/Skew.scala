@@ -43,4 +43,33 @@ object Skew {
       .agg(sum(col("__psum")).as(s"sum_$sumCol"),
         sum(col("__pcnt")).cast("long").as("count_rows"))
   }
+
+  /** Salted shuffle EQUI-JOIN for hot probe keys that AQE cannot save:
+    * AQE's skew-join split only fires for sort-merge joins whose skewed
+    * side materialized as multiple map outputs, and never for the
+    * build-side replication a broadcast would need when the DIM is too
+    * big to broadcast. The manual rewrite: the fact side salts each row
+    * into [0, salts) and the dim side replicates each row `salts` times,
+    * so the join key becomes (key, salt) and a hot key's rows spread
+    * over `salts` reducers — exchange volume grows by |dim|·salts
+    * (bounded: the dim is the SMALL side), per-reducer load drops by
+    * salts. Result-identical to the plain equi-join (asserted in
+    * PlanSpec alongside the (key, salt) partitioning). */
+  def saltedEquiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      saltFrom: Seq[String],
+      salts: Int = 16): DataFrame = {
+    val saltedFact = fact
+      .withColumn("__fsalt", salt(salts, saltFrom.map(fact(_)): _*))
+    val saltedDim = dim
+      .withColumn("__dsalt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact
+      .join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) &&
+          col("__fsalt") === col("__dsalt").cast("long"))
+      .drop("__fsalt", "__dsalt")
+  }
 }

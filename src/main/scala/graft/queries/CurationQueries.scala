@@ -394,8 +394,48 @@ object CurationQueries {
         (SELECT count(*) FROM incoming i WHERE NOT EXISTS
           (SELECT 1 FROM seen s WHERE s.nk = i.nk)) AS genuinely_new"""))
 
+  /** Bloom-filter dedup pre-screen on q70's arriving batch — the stage
+    * that runs BEFORE the exact anti-join at 100 TB (only maybe-seen
+    * rows pay the join; definitely-new rows skip it). Contract-checked
+    * like the other sketches: the bloom guarantees ZERO false negatives
+    * (every replayed duplicate must probe maybe_seen = true — an exact
+    * oracle value), while the false-positive rate on genuinely-new docs
+    * is bounded well under the 8-bits-per-item design point (~2 %
+    * expected; asserted ≤ 10 % as a boolean, stable because the bloom's
+    * hash seeds are fixed). */
+  val q91BloomScreen = GraftQuery(
+    "q91_bloom_screen", { (s, dir) =>
+      val seen = docs(s, dir)
+      val replayed = seen.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val fresh = seen.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("new: "), col("text")).as("text"))
+      val screened = graft.ops.Dedup.bloomScreen(
+        seen, replayed.union(fresh), "text")
+      screened
+        .withColumn("is_replay", col("doc_id") < 2000000L)
+        .agg(
+          count(lit(1)).as("batch_size"),
+          count(when(col("is_replay"), 1)).as("replayed_rows"),
+          count(when(!col("is_replay"), 1)).as("fresh_rows"),
+          count(when(col("is_replay") && !col("maybe_seen"), 1))
+            .as("false_negatives"),
+          coalesce(
+            count(when(!col("is_replay") && col("maybe_seen"), 1)) <=
+              count(when(!col("is_replay"), 1)) * 0.1,
+            lit(true)).as("fp_rate_ok"))
+    },
+    Some("""SELECT
+        (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) +
+        (SELECT count(*) FROM documents WHERE doc_id % 5 = 1) AS batch_size,
+        (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS replayed_rows,
+        (SELECT count(*) FROM documents WHERE doc_id % 5 = 1) AS fresh_rows,
+        0 AS false_negatives,
+        TRUE AS fp_rate_ok"""))
+
   val all: Seq[GraftQuery] = Seq(
     q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
     q60RepetitionFilters, q61PiiRedaction, q62CurationPipeline,
-    q70IncrementalDedup, q90ChunkingStride)
+    q70IncrementalDedup, q90ChunkingStride, q91BloomScreen)
 }

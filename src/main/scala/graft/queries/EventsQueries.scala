@@ -209,6 +209,36 @@ object EventsQueries {
       count(*) AS count_rows
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Salted shuffle JOIN for the same hot-key shape as q43 but on the
+    * JOIN side: event_type has 5 giant key groups, so a plain shuffle
+    * join lands each type's full volume on one reducer, and AQE's skew
+    * split cannot help when the skewed side isn't a splittable
+    * sort-merge input (or the dim is too big to broadcast at real
+    * scale). The manual rewrite joins on (key, salt): fact rows salt
+    * into 16 subkeys, dim rows replicate ×16 — per-reducer load drops
+    * 16×, exchange grows only by |dim|×16. The oracle is the direct
+    * join, proving the rewrite result-identical; the (key, salt)
+    * exchange shape is asserted in PlanSpec. */
+  val q92SaltedJoin = GraftQuery(
+    "q92_salted_join", { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val dim = ev.groupBy(col("event_type"))
+        .agg(round(avg(col("value")), 6).as("type_avg"))
+        .withColumnRenamed("event_type", "t")
+      graft.ops.Skew.saltedEquiJoin(ev, dim, "event_type", "t",
+          saltFrom = Seq("event_id"), salts = 16)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("value") > col("type_avg"), 1)).as("above_type_avg"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT e.event_type, count(*) AS n_events,
+      count(CASE WHEN e.value > d.type_avg THEN 1 END) AS above_type_avg
+      FROM events e JOIN (SELECT event_type AS t, round(avg(value),6) AS type_avg
+                          FROM events GROUP BY event_type) d
+        ON e.event_type = d.t
+      GROUP BY e.event_type ORDER BY e.event_type"""))
+
   /** Funnel analysis: per user, does the first view precede the first
     * click precede the first purchase? One groupBy(user) with min(CASE)
     * per stage — a single shuffle regardless of funnel depth, the shape
@@ -428,5 +458,5 @@ object EventsQueries {
     Seq(q21JsonExtract, q22TumblingWindow, q23Sessionize, q24TopUsersPerType,
       q41AsofJoin, q43SaltedAgg, q47Funnel, q48Retention, q49Pivot,
       q50RangeFrame, q74ForwardFill, q75MadOutliers, q76Scd2Intervals,
-      q85SlidingWindow)
+      q85SlidingWindow, q92SaltedJoin)
 }

@@ -280,6 +280,29 @@ class PlanSpec extends SparkTestBase {
     assert(disagree === 0L)
   }
 
+  test("salted join shuffles on (key, salt) and equals the direct join") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val dim = ev.groupBy(col("event_type"))
+      .agg(round(avg(col("value")), 6).as("type_avg"))
+      .withColumnRenamed("event_type", "t")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the tiny test dim takes the same shuffle
+      // path a too-big-to-broadcast dim takes at scale
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val salted = Skew.saltedEquiJoin(ev, dim, "event_type", "t",
+        saltFrom = Seq("event_id"), salts = 16)
+      val p = planOf(salted)
+      // the join's exchange must carry the salt — that IS the skew
+      // spread: each hot key occupies 16 reducer subkeys, not one
+      assert(p.contains("__fsalt") && p.contains("hashpartitioning"), p)
+      val direct = ev.join(dim, col("event_type") === col("t"))
+      assert(salted.count() === direct.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("salted aggregation equals the direct aggregate") {
     val ev = Tables.load(spark, sfDir, "events")
     val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value",
