@@ -184,6 +184,34 @@ object Dedup {
         GraftColumnBridge.expression(key(col(textCol))))))
   }
 
+  /** Test-set decontamination screen (the GPT-3 appendix-C pattern): ids
+    * of `corpus` documents sharing at least one n-token n-gram with any
+    * `bench` (held-out eval) document. Tokenization is the library-wide
+    * whitespace split (TextAnalysis.tokens); documents shorter than n
+    * tokens can never collide and are filtered before the explode.
+    *
+    * Scale shape: the bench side (eval suites, ≪ corpus) distills to a
+    * distinct n-gram set and BROADCASTS into a left-semi join, so the
+    * corpus-side explode is pipelined — corpus n-grams never hit a
+    * shuffle; the only exchange carries the distinct contaminated ids.
+    * Were the bench too big to broadcast, the same plan shuffles on
+    * xxhash64(gram) — 8-byte keys instead of gram strings; the literal
+    * string join here keeps the DuckDB oracle (q93) exact. */
+  def ngramScreen(
+      corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    def grams(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.withColumn("__t", TextAnalysis.tokens(col(textCol)))
+        .filter(size(col("__t")) >= n)
+        .select(keep :+ explode(
+          transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+            i => concat_ws(" ", slice(col("__t"), i, lit(n))))).as("__g"): _*)
+    val benchGrams = grams(bench, Nil).distinct()
+    grams(corpus, Seq(col(idCol)))
+      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .select(idCol).distinct()
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold via multi-table sign-LSH
     * blocking, verified with exact cosine on PRE-NORMALIZED vectors.
     *

@@ -434,8 +434,55 @@ object CurationQueries {
         0 AS false_negatives,
         TRUE AS fp_rate_ok"""))
 
+  /** Test-set decontamination (the GPT-3 appendix-C / PaLM pattern):
+    * flag every training-split document that shares a 5-token n-gram
+    * with the held-out test split, so eval answers never leak into
+    * training data. Splits reuse q55's deterministic hash buckets
+    * (train = bucket < 80, test = bucket >= 90) — the screen composes
+    * with the split operator instead of inventing its own sampling.
+    * Plan shape and 100 TB notes live on `Dedup.ngramScreen`. */
+  val q93Decontaminate = GraftQuery(
+    "q93_decontaminate", { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("bucket", hashBucket(col("doc_id"), 2654435761L))
+      val corpus = d.filter(col("bucket") < 80)
+      val hits = graft.ops.Dedup
+        .ngramScreen(corpus, d.filter(col("bucket") >= 90),
+          "doc_id", "text", n = 5)
+        .withColumn("hit", lit(1L))
+      corpus.select(col("doc_id"), col("source"))
+        .join(hits, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(coalesce(col("hit"), lit(0L))).as("contaminated"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, source,
+          (((doc_id % 2147483648) * (2654435761 % 4294967296))
+            % 4294967296) % 100 AS bucket,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      bench AS (
+        SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 4),
+          i -> array_to_string(t[i:i+4], ' '))) AS g
+        FROM toks WHERE bucket >= 90),
+      corpus AS (SELECT doc_id, source, t FROM toks WHERE bucket < 80),
+      hits AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 4),
+            i -> array_to_string(t[i:i+4], ' '))) AS g
+          FROM corpus) cg
+        WHERE g IN (SELECT g FROM bench))
+      SELECT source, count(*) AS docs,
+        CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS contaminated
+      FROM corpus c LEFT JOIN hits h USING (doc_id)
+      GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(
     q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
     q60RepetitionFilters, q61PiiRedaction, q62CurationPipeline,
-    q70IncrementalDedup, q90ChunkingStride, q91BloomScreen)
+    q70IncrementalDedup, q90ChunkingStride, q91BloomScreen,
+    q93Decontaminate)
 }

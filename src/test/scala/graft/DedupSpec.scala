@@ -138,6 +138,25 @@ class DedupSpec extends SparkTestBase {
     assert(diffs === 0L)
   }
 
+  test("ngramScreen flags exactly the documents sharing a 5-gram with the bench set") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "tiny doc")).toDF("doc_id", "text")
+    val corpusDf = Seq(
+      // shares the 5-gram "quick brown fox jumps over" → flagged
+      (1L, "he saw a quick brown fox jumps over and ran"),
+      // shares only a 4-token run ("brown fox jumps over" then diverges) → clean
+      (2L, "a brown fox jumps over nothing at all today"),
+      // identical to bench 101 but < 5 tokens → can never collide → clean
+      (3L, "tiny doc"),
+      // no overlap at all → clean
+      (4L, "completely different words in this sentence entirely")).toDF("doc_id", "text")
+    val flagged = Dedup.ngramScreen(corpusDf, bench, "doc_id", "text", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(1L))
+  }
+
   test("fingerprint collides for identical text, is order-of-magnitude stable") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),

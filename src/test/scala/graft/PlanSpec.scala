@@ -280,6 +280,21 @@ class PlanSpec extends SparkTestBase {
     assert(disagree === 0L)
   }
 
+  test("ngram decontamination screen is a broadcast semi-join, corpus side unshuffled") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val flagged = graft.ops.Dedup.ngramScreen(
+      d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 5)
+    val p = planOf(flagged)
+    // bench gram set broadcasts into a left-semi probe — the corpus-side
+    // explode is pipelined into it, never shuffled on the gram string
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only hash exchanges are the bench-gram distinct and the final
+    // contaminated-id distinct; a third would mean corpus grams shuffled
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+  }
+
   test("salted join shuffles on (key, salt) and equals the direct join") {
     val ev = Tables.load(spark, sfDir, "events")
     val dim = ev.groupBy(col("event_type"))
