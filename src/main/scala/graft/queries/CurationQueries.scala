@@ -480,9 +480,53 @@ object CurationQueries {
       FROM corpus c LEFT JOIN hits h USING (doc_id)
       GROUP BY source ORDER BY source"""))
 
+  /** Deterministic epoch shuffle: the training-order randomization every
+    * LLM run needs — each epoch visits documents in a different but
+    * REPRODUCIBLE pseudo-random order (never `rand()`: re-runs and
+    * restarted jobs must agree on the order). The sort key is the q55
+    * overflow-safe multiplicative hash at full 2³² resolution with a
+    * per-epoch multiplier, so permutations differ across epochs yet any
+    * engine recomputes them bit-for-bit.
+    *
+    * Scale shape: ordering is per source shard (one hash exchange on
+    * source, the window sorts within shards) — exactly how shuffled
+    * training shards are serialized; a corpus-wide order would instead
+    * be repartitionByRange(key) + sortWithinPartitions, never a global
+    * single-partition sort. The query surfaces the first 3 docs per
+    * (epoch, source) so the oracle observes the head of every shard's
+    * permutation without dumping the corpus. */
+  val q94EpochShuffle = GraftQuery(
+    "q94_epoch_shuffle", { (s, dir) =>
+      val epochMults = Seq(1 -> 2654435761L, 2 -> 2246822519L)
+      val perEpoch = epochMults.map { case (epoch, mult) =>
+        // epoch folds into the hashed id (not just the multiplier) so
+        // id 0 is not a fixed point of every epoch's permutation
+        val key =
+          (pmod(col("doc_id") + epoch, lit(2147483648L)) * (mult % 4294967296L)) %
+            4294967296L
+        val w = Window.partitionBy(col("source")).orderBy(key.asc, col("doc_id").asc)
+        docs(s, dir)
+          .select(lit(epoch).as("epoch"), col("source"), col("doc_id"),
+            row_number().over(w).cast("long").as("rn"))
+          .filter(col("rn") <= 3)
+      }
+      perEpoch.reduce(_.union(_))
+        .orderBy(col("epoch"), col("source"), col("rn"))
+    },
+    Some("""WITH keyed AS (
+        SELECT e.epoch, d.source, d.doc_id,
+          row_number() OVER (
+            PARTITION BY e.epoch, d.source
+            ORDER BY (((d.doc_id + e.epoch) % 2147483648) * (e.mult % 4294967296))
+                       % 4294967296 ASC, d.doc_id ASC) AS rn
+        FROM documents d
+        CROSS JOIN (VALUES (1, 2654435761), (2, 2246822519)) AS e(epoch, mult))
+      SELECT epoch, source, doc_id, rn FROM keyed
+      WHERE rn <= 3 ORDER BY epoch, source, rn"""))
+
   val all: Seq[GraftQuery] = Seq(
     q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
     q60RepetitionFilters, q61PiiRedaction, q62CurationPipeline,
     q70IncrementalDedup, q90ChunkingStride, q91BloomScreen,
-    q93Decontaminate)
+    q93Decontaminate, q94EpochShuffle)
 }
