@@ -1022,6 +1022,30 @@ object Relational {
                           AND o.o_orderstatus = 'F')
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Correlated LATERAL subquery with per-row top-k (SQL front door):
+    * the two highest-balance customers of every nation. Catalyst
+    * DECORRELATES the lateral limit into a partitioned rank filter —
+    * one hash exchange on the correlation key and a window top-k, not a
+    * nested-loop per outer row — which is the only execution that
+    * survives a 100 TB outer side. c_custkey tie-breaks both the LIMIT
+    * frontier and the final order so the result is deterministic. */
+  val q95LateralTopK = GraftQuery(
+    "q95_lateral_topk", { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT n.n_name, c.c_custkey, c.c_name, c.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_custkey, c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""")
+    },
+    Some("""SELECT n.n_name, c.c_custkey, c.c_name, c.c_acctbal
+      FROM nation n,
+      LATERAL (SELECT c_custkey, c_name, c_acctbal FROM customer
+               WHERE c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+      ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey"""))
+
   /** CUBE over (status, priority) — completes the multi-dimensional
     * aggregate family beside rollup (q19) and explicit GROUPING SETS
     * (q52): cube emits all 2^d subtotal combinations through the same
@@ -1055,7 +1079,7 @@ object Relational {
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q80LatestPerKey,
-    q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube,
+    q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,
     q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,
     q04Percentile, q04bApproxPercentile,
     q05ConditionalAgg, q06Having, q07CaseBucket, q08TwoLevelAgg,

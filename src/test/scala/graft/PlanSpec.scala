@@ -280,6 +280,14 @@ class PlanSpec extends SparkTestBase {
     assert(disagree === 0L)
   }
 
+  test("correlated LATERAL top-k decorrelates to a group-limit window, no nested loop") {
+    val p = planOf(Relational.q95LateralTopK.run(spark, sfDir))
+    // the per-outer-row LIMIT must become a rank filter with a PARTIAL
+    // group-limit before the exchange — never a per-row nested loop
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("ngram decontamination screen is a broadcast semi-join, corpus side unshuffled") {
     val d = Tables.load(spark, sfDir, "documents")
     val flagged = graft.ops.Dedup.ngramScreen(
