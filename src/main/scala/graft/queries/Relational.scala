@@ -1046,6 +1046,40 @@ object Relational {
                ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
       ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey"""))
 
+  /** Recursive CTE (WITH RECURSIVE, new engine surface in Spark 4):
+    * generate a 60-day calendar scaffold from the first order date and
+    * left-join daily order counts onto it — the standard gap-filling
+    * shape for time series, where missing days must surface as explicit
+    * zero rows, which no plain GROUP BY can produce. The recursion
+    * carries a bounded step counter (no subquery in the recursive term,
+    * guaranteed termination); Spark executes it as an iterative
+    * UnionLoop whose result is a 60-row dimension — broadcast-sized by
+    * construction, so the scaffold join is never the scale risk; the
+    * fact side aggregates before the join. */
+  val q96RecursiveCalendar = GraftQuery(
+    "q96_recursive_calendar", { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""WITH RECURSIVE days(d, i) AS (
+        SELECT min(o_orderdate), 0 FROM orders
+        UNION ALL
+        SELECT d + INTERVAL '1' DAY, i + 1 FROM days WHERE i < 59)
+      SELECT date_format(d.d, 'yyyy-MM-dd') AS day,
+        coalesce(o.n, 0L) AS n_orders
+      FROM days d LEFT JOIN (
+        SELECT o_orderdate, count(*) AS n FROM orders GROUP BY 1) o
+      ON o.o_orderdate = d.d
+      ORDER BY day""")
+    },
+    Some("""WITH RECURSIVE days(d, i) AS (
+        SELECT min(o_orderdate), 0 FROM orders
+        UNION ALL
+        SELECT d + INTERVAL 1 DAY, i + 1 FROM days WHERE i < 59)
+      SELECT strftime(d.d, '%Y-%m-%d') AS day, coalesce(o.n, 0) AS n_orders
+      FROM days d LEFT JOIN (
+        SELECT o_orderdate, count(*) AS n FROM orders GROUP BY 1) o
+      ON o.o_orderdate = d.d
+      ORDER BY day"""))
+
   /** CUBE over (status, priority) — completes the multi-dimensional
     * aggregate family beside rollup (q19) and explicit GROUPING SETS
     * (q52): cube emits all 2^d subtotal combinations through the same
@@ -1080,6 +1114,7 @@ object Relational {
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q80LatestPerKey,
     q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,
+    q96RecursiveCalendar,
     q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,
     q04Percentile, q04bApproxPercentile,
     q05ConditionalAgg, q06Having, q07CaseBucket, q08TwoLevelAgg,
