@@ -401,6 +401,28 @@ object Relational {
       (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer
         EXCEPT SELECT o_custkey FROM orders) e) AS cust_only_keys"""))
 
+  /** Multiset set-ops (ALL variants) beside q17's distinct forms:
+    * intersectAll/exceptAll keep DUPLICITY — each key survives
+    * min(m, n) / max(m − n, 0) times — which distinct INTERSECT/EXCEPT
+    * destroy. Same physical posture as q17: both rewrite to aggregates
+    * on the key (count per side), one hash exchange each, no pairwise
+    * comparison. */
+  val q17bSetOpsAll = GraftQuery(
+    "q17b_set_ops_all", { (s, dir) =>
+      val orderCust = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val custKeys = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val interN = orderCust.intersectAll(custKeys)
+        .agg(count(lit(1)).as("both_rows"))
+      val exceptN = orderCust.exceptAll(custKeys)
+        .agg(count(lit(1)).as("order_surplus_rows"))
+      interN.crossJoin(exceptN)
+    },
+    Some("""SELECT
+      (SELECT count(*) FROM (SELECT o_custkey AS k FROM orders
+        INTERSECT ALL SELECT c_custkey FROM customer) i) AS both_rows,
+      (SELECT count(*) FROM (SELECT o_custkey AS k FROM orders
+        EXCEPT ALL SELECT c_custkey FROM customer) e) AS order_surplus_rows"""))
+
   /** Theta/range (non-equi) join — parts priced inside a band derived from
     * another relation (§2.3 "theta / range"). The band table is 1 row →
     * broadcast nested loop, the only sane physical plan for non-equi. */
@@ -1080,6 +1102,34 @@ object Relational {
       ON o.o_orderdate = d.d
       ORDER BY day"""))
 
+  /** MapType surface: per-customer status→count maps built with
+    * map_from_entries over a SORTED entry list (collect_list order is
+    * nondeterministic under parallel merge; sort_array restores a
+    * canonical entry order), then inverted with explode(map) and
+    * re-aggregated. The final aggregate equals the direct flat GROUP BY,
+    * which is exactly what the oracle checks — the map construct/explode
+    * round trip must be lossless. Maps stay bounded (≤ #statuses entries
+    * per key), so no per-key state grows with data size. */
+  val q97MapRoundtrip = GraftQuery(
+    "q97_map_roundtrip", { (s, dir) =>
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val mapped = perCust.groupBy(col("o_custkey"))
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("o_orderstatus"), col("n"))))).as("m"))
+      mapped
+        .select(col("o_custkey"), explode(col("m")).as(Seq("status", "n")))
+        .groupBy(col("status"))
+        .agg(
+          countDistinct(col("o_custkey")).as("customers"),
+          sum(col("n")).as("orders"))
+        .orderBy(col("status"))
+    },
+    Some("""SELECT o_orderstatus AS status,
+      count(DISTINCT o_custkey) AS customers, count(*) AS orders
+      FROM orders GROUP BY 1 ORDER BY status"""))
+
   /** CUBE over (status, priority) — completes the multi-dimensional
     * aggregate family beside rollup (q19) and explicit GROUPING SETS
     * (q52): cube emits all 2^d subtotal combinations through the same
@@ -1114,12 +1164,13 @@ object Relational {
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q80LatestPerKey,
     q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,
-    q96RecursiveCalendar,
+    q96RecursiveCalendar, q97MapRoundtrip,
     q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,
     q04Percentile, q04bApproxPercentile,
     q05ConditionalAgg, q06Having, q07CaseBucket, q08TwoLevelAgg,
     q09ScalarSubquery, q10TopK, q11StarJoin, q12FactJoin, q13OuterJoin,
-    q14SemiAnti, q15WindowRank, q16WindowRunning, q17SetOps, q18RangeJoin,
+    q14SemiAnti, q15WindowRank, q16WindowRunning, q17SetOps, q17bSetOpsAll,
+    q18RangeJoin,
     q19Rollup, q20DedupExact, q42TypedAggregator,
     q52GroupingSets, q53NtileFamily, q54StatAggs, q59NullsafeJoin,
     q66FreqItems, q67SamplingContract, q68MonthOverMonth, q88CountMin)
