@@ -1,0 +1,74 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering — the multi-column file-skipping
+  * layout Delta ships as OPTIMIZE ZORDER BY, rebuilt on plain parquet.
+  *
+  * A range sort on column A gives perfect min/max pruning on A and NONE
+  * on B: every file spans B's whole domain. Interleaving the bit codes
+  * of both columns into one sort key makes each output file a small
+  * hyper-rectangle of the (A, B) space, so footer min/max statistics
+  * prune on EVERY clustered column at once — a point/band query on B
+  * alone now skips most files instead of reading all of them. At 100 TB
+  * that is the difference between a scan and a seek; WriterSpec measures
+  * the effect on real parquet footers rather than trusting the theory.
+  *
+  * Everything stays in-plan: per-column min/max come from a 1-row
+  * aggregate cross-joined back (no driver collect), the cell code is a
+  * codegen'd width_bucket, and the interleave is a static fold of
+  * shift/mask expressions built at plan time.
+  */
+object Zorder {
+
+  /** Add a z-order key column interleaving `cols` at `bits` bits each
+    * (cols.size * bits must fit a signed long). Columns are mapped to
+    * [0, 2^bits) cells by equal-width bucketing between their own
+    * min/max; constant columns collapse to cell 0. */
+  def withKey(
+      df: DataFrame, cols: Seq[String], bits: Int = 8,
+      keyName: String = "__z"): DataFrame = {
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"${cols.size} cols x $bits bits must fit a signed long")
+    val k = cols.size
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).cast("double").as(s"__mn$i"),
+        max(col(c)).cast("double").as(s"__mx$i"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val withStats = df.crossJoin(broadcast(stats))
+    val cells = 1L << bits
+    val codes = cols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (col(s"__mn$i"), col(s"__mx$i"))
+      // width_bucket yields 1..cells in range and cells+1 at v = mx;
+      // shift to 0-based and clamp the max edge into the top cell
+      when(mx > mn,
+        least(width_bucket(col(c).cast("double"), mn, mx, lit(cells)) - 1,
+          lit(cells - 1)))
+        .otherwise(lit(0L))
+    }
+    val zkey = (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
+      codes.indices.foldLeft(acc) { (a, i) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(codes(i), j).bitwiseAND(lit(1L)), j * k + i))
+      }
+    }
+    withStats
+      .withColumn(keyName, zkey)
+      .drop(cols.indices.flatMap(i => Seq(s"__mn$i", s"__mx$i")): _*)
+  }
+
+  /** Write `df` as parquet clustered on the z-order of `cols`: range
+    * partition on the key (each output file owns a contiguous z-range =
+    * a hyper-rectangle of the column space) and sort within partitions
+    * so row groups inside a file stay tight too. */
+  def clusteredWrite(
+      df: DataFrame, path: String, cols: Seq[String], bits: Int = 8,
+      files: Int = 8): Unit =
+    withKey(df, cols, bits)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

@@ -92,6 +92,40 @@ class WriterSpec extends SparkTestBase {
     assert(parsed.filter(col("_bad").contains("not json")).count() === 1L)
   }
 
+  test("z-order clustering skips files on the non-sort dimension, linear sort cannot") {
+    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val linDir = java.nio.file.Files.createTempDirectory("graft_linear").toString
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // linear layout: range-sorted by quantity only
+    li.repartitionByRange(8, col("l_quantity"))
+      .sortWithinPartitions(col("l_quantity"))
+      .write.mode("overwrite").parquet(linDir)
+    graft.core.Zorder.clusteredWrite(
+      li, zDir, Seq("l_quantity", "l_extendedprice"), bits = 8, files = 8)
+    // candidate files for a 10%-band predicate on extendedprice, judged
+    // from the same footer min/max stats the parquet reader prunes with
+    def candidates(dir: String): Long = {
+      val bounds = li.agg(
+        min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+        .head()
+      val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+      val (qLo, qHi) = (lo + 0.45 * (hi - lo), lo + 0.55 * (hi - lo))
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"))
+        .filter(col("mx") >= qLo && col("mn") <= qHi)
+        .count()
+    }
+    val (linHit, zHit) = (candidates(linDir), candidates(zDir))
+    // quantity-sorted files each span extendedprice's whole domain —
+    // nothing skips; z-order must cut the candidate set at least in half
+    assert(linHit === 8L, s"linear layout unexpectedly pruned: $linHit")
+    assert(zHit * 2 <= linHit, s"zorder=$zHit linear=$linHit")
+    // clustering must not lose or duplicate rows
+    assert(spark.read.parquet(zDir).count() === li.count())
+  }
+
   test("mergeSchema unions parquet files written with evolved schemas") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
