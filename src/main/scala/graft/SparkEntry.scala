@@ -46,5 +46,5 @@ object SparkEntry {
     "q25_text_stats", "q27_token_topk", "q30_minhash_neardup",
     "q31_simhash_neardup", "q33_ann_brute", "q33b_ann_brute_partial",
     "q35_ann_ivf", "q36b_embed_neardup_lsh", "q41_asof_join",
-    "q51_dedup_clusters")
+    "q51_dedup_clusters", "q93_decontaminate")
 }
