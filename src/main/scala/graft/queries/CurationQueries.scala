@@ -37,7 +37,7 @@ object CurationQueries {
     * to the plain product mod 2³². (xxhash64 is still the
     * production-path hash; this arithmetic form exists so the oracle
     * recomputes it exactly.) */
-  private def hashBucket(id: org.apache.spark.sql.Column, mult: Long) =
+  private[queries] def hashBucket(id: org.apache.spark.sql.Column, mult: Long) =
     ((pmod(id, lit(2147483648L)) * (mult % 4294967296L)) % 4294967296L) % 100
 
   /** Deterministic train/val/test split (80/10/10) by hashed doc id —

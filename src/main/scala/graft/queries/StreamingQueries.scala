@@ -223,8 +223,55 @@ object StreamingQueries {
             FROM events) t
       WHERE rn = 1"""))
 
+  /** Streaming twin of q93's decontamination screen: corpus documents
+    * arrive as a file stream (replayed TWICE across four files so
+    * micro-batch boundaries and cross-batch state both matter), each
+    * batch explodes to 5-gram keys and left-semi probes the BROADCAST
+    * static benchmark gram set, and `Dedup.ngramScreen`'s trailing
+    * distinct becomes the engine's stateful streaming dedup — the
+    * replayed duplicates must collapse across batches. Same final
+    * accounting and same oracle as batch q93: the streaming engine must
+    * reproduce the batch answer exactly. */
+  val q98StreamDecontaminate = GraftQuery(
+    "q98_stream_decontaminate", { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("bucket", CurationQueries.hashBucket(col("doc_id"), 2654435761L))
+      val corpus = d.filter(col("bucket") < 80)
+        .select(col("doc_id"), col("source"), col("text"))
+      val bench = d.filter(col("bucket") >= 90)
+        .select(col("doc_id"), col("text"))
+      val stageDir =
+        java.nio.file.Files.createTempDirectory("graft_decon_stream").toString
+      corpus.union(corpus).repartition(4).write.mode("overwrite").parquet(stageDir)
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1).parquet(stageDir)
+      val flagged = graft.ops.Dedup.ngramScreen(stream, bench, "doc_id", "text", 5)
+      val sink =
+        s"stream_decon_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = flagged.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val hits = s.table(sink).withColumn("hit", lit(1L))
+      corpus.select(col("doc_id"), col("source"))
+        .join(hits, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(coalesce(col("hit"), lit(0L))).as("contaminated"))
+        .orderBy(col("source"))
+    },
+    CurationQueries.q93Decontaminate.oracle)
+
   val all: Seq[GraftQuery] = Seq(
     q37StreamTumbling, q38StreamSessions, q39MultimodalDecode,
     q44StreamStaticJoin, q45StreamDedup, q46StreamState, q63StreamStreamJoin,
-    q86StreamSliding, q87StreamUpsertSink)
+    q86StreamSliding, q87StreamUpsertSink, q98StreamDecontaminate)
 }

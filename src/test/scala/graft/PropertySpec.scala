@@ -149,4 +149,25 @@ class PropertySpec extends SparkTestBase {
     assert(violations === 0L)
     assert(monotone.count() === 80L)
   }
+
+  test("property: z-order key is bounded and equal cells share a key") {
+    val ptGen = for {
+      x <- Gen.choose(-1000.0, 1000.0)
+      y <- Gen.choose(0.0, 5.0)
+    } yield (x, y)
+    val pts = draw(Gen.listOfN(300, ptGen)) ++
+      // pin the corners so min/max are stable for the duplicate check
+      Seq((-1000.0, 0.0), (1000.0, 5.0))
+    // duplicate every point: identical (x, y) must get identical keys
+    val df = (pts ++ pts).toDF("x", "y")
+    val keyed = graft.core.Zorder.withKey(df, Seq("x", "y"), bits = 8)
+    val bad = keyed.filter(col("__z") < 0 || col("__z") >= (1L << 16)).count()
+    assert(bad === 0L)
+    val keysPerPoint = keyed.groupBy(col("x"), col("y"))
+      .agg(countDistinct(col("__z")).as("nk"))
+      .filter(col("nk") =!= 1L).count()
+    assert(keysPerPoint === 0L)
+    // the key must actually vary — a constant key would "pass" above
+    assert(keyed.select(countDistinct(col("__z"))).head().getLong(0) > 50L)
+  }
 }
