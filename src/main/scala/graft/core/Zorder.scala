@@ -25,11 +25,12 @@ object Zorder {
   /** Add a z-order key column interleaving `cols` at `bits` bits each
     * (cols.size * bits must fit a signed long). Columns are mapped to
     * [0, 2^bits) cells by equal-width bucketing between their own
-    * min/max; constant columns collapse to cell 0. */
+    * min/max; constant columns and NULL values collapse to cell 0. */
   def withKey(
       df: DataFrame, cols: Seq[String], bits: Int = 8,
       keyName: String = "__z"): DataFrame = {
-    require(cols.nonEmpty && cols.size * bits <= 63,
+    // <= 62, not 63: cells = 1L << bits must itself stay positive
+    require(cols.nonEmpty && cols.size * bits <= 62,
       s"${cols.size} cols x $bits bits must fit a signed long")
     val k = cols.size
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
@@ -42,8 +43,10 @@ object Zorder {
     val codes = cols.zipWithIndex.map { case (c, i) =>
       val (mn, mx) = (col(s"__mn$i"), col(s"__mx$i"))
       // width_bucket yields 1..cells in range and cells+1 at v = mx;
-      // shift to 0-based and clamp the max edge into the top cell
-      when(mx > mn,
+      // shift to 0-based and clamp the max edge into the top cell.
+      // NULLs go to cell 0 explicitly — least() skips null arguments,
+      // which would otherwise silently co-cluster nulls with the max
+      when(col(c).isNotNull && mx > mn,
         least(width_bucket(col(c).cast("double"), mn, mx, lit(cells)) - 1,
           lit(cells - 1)))
         .otherwise(lit(0L))

@@ -193,7 +193,8 @@ object Dedup {
     * Scale shape: the bench side (eval suites, ≪ corpus) distills to a
     * distinct n-gram set and BROADCASTS into a left-semi join, so the
     * corpus-side explode is pipelined — corpus n-grams never hit a
-    * shuffle; the only exchange carries the distinct contaminated ids.
+    * shuffle; the only exchanges are the (small) bench-gram distinct
+    * and the distinct contaminated ids.
     * Were the bench too big to broadcast, the same plan shuffles on
     * xxhash64(gram) — 8-byte keys instead of gram strings; the literal
     * string join here keeps the DuckDB oracle (q93) exact. */

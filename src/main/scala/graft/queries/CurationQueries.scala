@@ -488,8 +488,9 @@ object CurationQueries {
     * per-epoch multiplier, so permutations differ across epochs yet any
     * engine recomputes them bit-for-bit.
     *
-    * Scale shape: ordering is per source shard (one hash exchange on
-    * source, the window sorts within shards) — exactly how shuffled
+    * Scale shape: ordering is per (epoch, source) shard — one corpus
+    * scan exploded against the epoch dimension, one hash exchange, the
+    * window sorts within shards — exactly how shuffled
     * training shards are serialized; a corpus-wide order would instead
     * be repartitionByRange(key) + sortWithinPartitions, never a global
     * single-partition sort. The query surfaces the first 3 docs per
@@ -497,20 +498,28 @@ object CurationQueries {
     * permutation without dumping the corpus. */
   val q94EpochShuffle = GraftQuery(
     "q94_epoch_shuffle", { (s, dir) =>
+      // ONE corpus scan exploded against the tiny (epoch, mult)
+      // dimension and ONE window exchange on (epoch, source) — not a
+      // scan + exchange per epoch, which would multiply the 100 TB read
+      // by the epoch count
       val epochMults = Seq(1 -> 2654435761L, 2 -> 2246822519L)
-      val perEpoch = epochMults.map { case (epoch, mult) =>
-        // epoch folds into the hashed id (not just the multiplier) so
-        // id 0 is not a fixed point of every epoch's permutation
-        val key =
-          (pmod(col("doc_id") + epoch, lit(2147483648L)) * (mult % 4294967296L)) %
-            4294967296L
-        val w = Window.partitionBy(col("source")).orderBy(key.asc, col("doc_id").asc)
-        docs(s, dir)
-          .select(lit(epoch).as("epoch"), col("source"), col("doc_id"),
-            row_number().over(w).cast("long").as("rn"))
-          .filter(col("rn") <= 3)
-      }
-      perEpoch.reduce(_.union(_))
+      val epochDim = explode(array(epochMults.map { case (e, m) =>
+        struct(lit(e).as("epoch"), lit(m).as("mult"))
+      }: _*)).as("em")
+      // epoch folds into the hashed id (not just the multiplier) so
+      // id 0 is not a fixed point of every epoch's permutation
+      val key =
+        (pmod(col("doc_id") + col("epoch"), lit(2147483648L)) *
+          (col("mult") % 4294967296L)) % 4294967296L
+      val w = Window.partitionBy(col("epoch"), col("source"))
+        .orderBy(key.asc, col("doc_id").asc)
+      docs(s, dir)
+        .select(col("source"), col("doc_id"), epochDim)
+        .select(col("em.epoch").as("epoch"), col("em.mult").as("mult"),
+          col("source"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("epoch"), col("source"), col("doc_id"), col("rn"))
         .orderBy(col("epoch"), col("source"), col("rn"))
     },
     Some("""WITH keyed AS (

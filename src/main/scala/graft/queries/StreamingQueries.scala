@@ -243,14 +243,9 @@ object StreamingQueries {
       val stageDir =
         java.nio.file.Files.createTempDirectory("graft_decon_stream").toString
       corpus.union(corpus).repartition(4).write.mode("overwrite").parquet(stageDir)
-      val docSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("source",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType)))
-      val stream = s.readStream.schema(docSchema)
+      // stream schema comes from the staged frame itself (streaming
+      // sources must never infer) — it cannot drift from corpus's select
+      val stream = s.readStream.schema(corpus.schema)
         .option("maxFilesPerTrigger", 1).parquet(stageDir)
       val flagged = graft.ops.Dedup.ngramScreen(stream, bench, "doc_id", "text", 5)
       val sink =
