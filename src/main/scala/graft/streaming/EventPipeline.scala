@@ -30,8 +30,8 @@ object EventPipeline {
     StructField("props", StringType)))
 
   /** File-based stream over a directory of event parquet files — the
-    * local stand-in for a Kafka topic; swap `.format`/`.option` to go to
-    * Kafka, the plan downstream is unchanged. `glob` narrows to the event
+    * local stand-in for a Kafka topic; [[readKafkaStream]] is the
+    * production twin, the plan downstream is unchanged. `glob` narrows to the event
     * files when the directory holds other tables. Integer `div` for the
     * nanos→micros conversion: nanos-since-epoch overflows double math. */
   def readEventStream(spark: SparkSession, dir: String,
@@ -44,6 +44,32 @@ object EventPipeline {
     reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Parse one Kafka-style JSON event payload into the event schema.
+    * Shared by [[readKafkaStream]] and batch tests, so the payload
+    * contract is verified without a broker: `ts` rides as int64 nanos
+    * exactly like the parquet files, and malformed payloads surface as
+    * an all-null struct (from_json PERMISSIVE) rather than killing the
+    * stream. */
+  def parseEventJson(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    from_json(raw, eventSchema)
+
+  /** Kafka twin of [[readEventStream]] — the production ingestion edge
+    * the file source stands in for (the container ships no Kafka
+    * connector or broker, so this builder is exercised only up to its
+    * parse step; the downstream plan is identical either way). Offsets
+    * resume from the checkpoint, so exactly-once flows from the same
+    * sink/checkpoint contract the file-source queries already test. */
+  def readKafkaStream(
+      spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(parseEventJson(col("value").cast("string")).as("e"))
+      .select("e.*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Watermarked tumbling-window aggregation (1 day, 1 hour late data). */
   def tumblingCounts(events: DataFrame): DataFrame =

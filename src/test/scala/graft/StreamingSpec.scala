@@ -280,4 +280,24 @@ class StreamingSpec extends SparkTestBase {
     assert(joined.filter(
       abs(col("totalValue") - col("b_total")) > lit(1e-6)).count() === 0L)
   }
+
+  test("Kafka payload parser decodes the event contract and quarantines bad JSON") {
+    import spark.implicits._
+    val good =
+      """{"event_id":7,"ts":820454400000000000,"user_id":42,""" +
+        """"event_type":"click","value":1.5,"props":"{}"}"""
+    val rows = Seq(good, "not json at all").toDF("value")
+      .select(EventPipeline.parseEventJson(col("value")).as("e"))
+      .select(col("e.*"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .collect()
+    val ok = rows.find(r => !r.isNullAt(0)).get
+    assert(ok.getLong(0) === 7L)
+    assert(ok.getLong(2) === 42L)
+    assert(ok.getString(3) === "click")
+    assert(ok.getAs[java.sql.Timestamp]("ts").toInstant ===
+      java.time.Instant.parse("1996-01-01T00:00:00Z"))
+    // malformed payload → all-null struct, stream survives
+    assert(rows.count(r => r.isNullAt(0)) === 1)
+  }
 }
