@@ -533,9 +533,80 @@ object CurationQueries {
       SELECT epoch, source, doc_id, rn FROM keyed
       WHERE rn <= 3 ORDER BY epoch, source, rn"""))
 
+  /** Graded contamination score — the thresholded form of q93's binary
+    * screen: per training document, the FRACTION of its 5-grams found in
+    * the held-out split, banded into clean (no hit) / light (< 20 %) /
+    * heavy. Real pipelines drop heavy overlaps and keep-but-log light
+    * ones; the binary flag can't make that distinction. Same plan shape
+    * as q93 (broadcast gram set), except the probe is a left OUTER join
+    * because the miss count is part of the answer; the per-doc aggregate
+    * map-side-combines the exploded grams back to one row per document
+    * before the exchange. Documents shorter than 5 tokens have no grams
+    * and land in `clean` by construction. */
+  val q99ContaminationScore = GraftQuery(
+    "q99_contamination_score", { (s, dir) =>
+      val n = 5
+      val d = docs(s, dir)
+        .withColumn("bucket", hashBucket(col("doc_id"), 2654435761L))
+        .withColumn("t", TextAnalysis.tokens(col("text")))
+      def grams(df: DataFrame) =
+        df.filter(size(col("t")) >= n)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("t")) - (n - 1)),
+              i => concat_ws(" ", slice(col("t"), i, lit(n))))).as("g"))
+      val bench = grams(d.filter(col("bucket") >= 90))
+        .select("g").distinct().withColumn("hit", lit(1L))
+      val scores = grams(d.filter(col("bucket") < 80))
+        .join(broadcast(bench), Seq("g"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("matched"))
+        .withColumn("score", col("matched") / col("grams"))
+      d.filter(col("bucket") < 80).select(col("doc_id"))
+        .join(scores, Seq("doc_id"), "left_outer")
+        .withColumn("band",
+          when(coalesce(col("matched"), lit(0L)) === 0L, "clean")
+            .when(col("score") < 0.2, "light")
+            .otherwise("heavy"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("docs"),
+          round(avg(coalesce(col("score"), lit(0.0))), 4).as("avg_score"))
+        .orderBy(col("band"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          (((doc_id % 2147483648) * (2654435761 % 4294967296))
+            % 4294967296) % 100 AS bucket,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      bench AS (
+        SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 4),
+          i -> array_to_string(t[i:i+4], ' '))) AS g
+        FROM toks WHERE bucket >= 90),
+      cg AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 4),
+          i -> array_to_string(t[i:i+4], ' '))) AS g
+        FROM toks WHERE bucket < 80),
+      scores AS (
+        SELECT cg.doc_id, count(*) AS grams,
+          CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS matched
+        FROM cg LEFT JOIN bench b USING (g) GROUP BY cg.doc_id),
+      banded AS (
+        SELECT c.doc_id,
+          coalesce(s.matched, 0) AS matched,
+          coalesce(s.matched * 1.0 / s.grams, 0.0) AS score,
+          CASE WHEN coalesce(s.matched, 0) = 0 THEN 'clean'
+               WHEN s.matched * 1.0 / s.grams < 0.2 THEN 'light'
+               ELSE 'heavy' END AS band
+        FROM (SELECT doc_id FROM toks WHERE bucket < 80) c
+        LEFT JOIN scores s USING (doc_id))
+      SELECT band, count(*) AS docs, round(avg(score), 4) AS avg_score
+      FROM banded GROUP BY band ORDER BY band"""))
+
   val all: Seq[GraftQuery] = Seq(
     q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
     q60RepetitionFilters, q61PiiRedaction, q62CurationPipeline,
     q70IncrementalDedup, q90ChunkingStride, q91BloomScreen,
-    q93Decontaminate, q94EpochShuffle)
+    q93Decontaminate, q94EpochShuffle, q99ContaminationScore)
 }
