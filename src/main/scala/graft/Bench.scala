@@ -58,7 +58,20 @@ object Bench {
       }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // Machine 1-min load average, sampled before and after the timed
+    // passes. Min-of-3 interleaved reps suppress TRANSIENT spikes, but
+    // SUSTAINED background load inflates all three reps alike (the r4
+    // artifact recorded q31 at 2.04 s where a fresh unloaded JVM runs
+    // 0.67 s steady-state — see BASELINE.md r5 note). Recording the load
+    // makes each artifact self-documenting: a high loadavg says "discount
+    // this run", no cross-round archaeology needed.
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
+    val loadBefore = loadAvg()
     val passes = (1 to 3).map(_ => names.map(n => n -> timeOnce(n)).toMap)
+    val loadAfter = loadAvg()
     val results = names.map { name =>
       val reps = passes.map(_(name)).filter(_ >= 0)
       name -> (if (reps.nonEmpty) reps.min else -1.0)
@@ -66,7 +79,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f}""")
     spark.stop()
   }
 }
