@@ -195,12 +195,20 @@ object Dedup {
     * corpus-side explode is pipelined — corpus n-grams never hit a
     * shuffle; the only exchanges are the (small) bench-gram distinct
     * and the distinct contaminated ids.
-    * Were the bench too big to broadcast, the same plan shuffles on
-    * xxhash64(gram) — 8-byte keys instead of gram strings; the literal
-    * string join here keeps the DuckDB oracle (q93) exact. */
+    *
+    * When the bench side is too big to broadcast (`broadcastBench =
+    * false`), the SAME logical screen runs as a shuffle semi-join on
+    * `xxhash64(gram)` — both sides reduce to 8-byte keys before the
+    * exchange, so the corpus shuffle carries (id, hash) instead of
+    * (id, gram-string). Hashing preserves the no-false-negative
+    * guarantee (equal grams hash equal); the cost is a ~m·n/2⁶⁴
+    * hash-collision false-positive chance — the same class of risk the
+    * bloom pre-screen already accepts, and harmless for a screen whose
+    * positives are re-checkable. The default literal-string broadcast
+    * path keeps the DuckDB oracle (q93) exact. */
   def ngramScreen(
       corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int, broadcastBench: Boolean = true): DataFrame = {
     def grams(df: DataFrame, keep: Seq[Column]): DataFrame =
       df.withColumn("__t", TextAnalysis.tokens(col(textCol)))
         .filter(size(col("__t")) >= n)
@@ -208,9 +216,15 @@ object Dedup {
           transform(sequence(lit(1), size(col("__t")) - (n - 1)),
             i => concat_ws(" ", slice(col("__t"), i, lit(n))))).as("__g"): _*)
     val benchGrams = grams(bench, Nil).distinct()
-    grams(corpus, Seq(col(idCol)))
-      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
-      .select(idCol).distinct()
+    val corpusGrams = grams(corpus, Seq(col(idCol)))
+    val screened =
+      if (broadcastBench)
+        corpusGrams.join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      else
+        corpusGrams.select(col(idCol), xxhash64(col("__g")).as("__h"))
+          .join(benchGrams.select(xxhash64(col("__g")).as("__h")),
+            Seq("__h"), "left_semi")
+    screened.select(idCol).distinct()
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold via multi-table sign-LSH

@@ -157,6 +157,31 @@ class DedupSpec extends SparkTestBase {
     assert(flagged === Set(1L))
   }
 
+  test("ngramScreen hash-shuffle fallback matches the broadcast path") {
+    // The too-big-to-broadcast path joins on xxhash64(gram) 8-byte keys
+    // instead of gram strings. Same contaminated-id set on the real
+    // documents corpus (bench = the q93-style top decile), both on the
+    // doubled corpus so near-dup structure exercises the gram explode.
+    val docs = corpus.select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .withColumnRenamed("doc_id", "bench_id")
+    def ids(broadcastBench: Boolean): Set[Long] =
+      Dedup.ngramScreen(docs, bench, "doc_id", "text", n = 8,
+          broadcastBench = broadcastBench)
+        .collect().map(_.getLong(0)).toSet
+    val viaBroadcast = ids(broadcastBench = true)
+    // Force the planner away from auto-broadcasting the (small, in-test)
+    // hashed bench side so the fallback is exercised as the genuine
+    // shuffle semi-join it becomes at scale.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    val viaHashShuffle =
+      try { spark.conf.set(thresholdKey, "-1"); ids(broadcastBench = false) }
+      finally spark.conf.set(thresholdKey, saved)
+    assert(viaBroadcast.nonEmpty)
+    assert(viaHashShuffle === viaBroadcast)
+  }
+
   test("fingerprint collides for identical text, is order-of-magnitude stable") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
