@@ -29,9 +29,11 @@ object Zorder {
   def withKey(
       df: DataFrame, cols: Seq[String], bits: Int = 8,
       keyName: String = "__z"): DataFrame = {
-    // <= 62, not 63: cells = 1L << bits must itself stay positive
-    require(cols.nonEmpty && cols.size * bits <= 62,
-      s"${cols.size} cols x $bits bits must fit a signed long")
+    // <= 62, not 63: cells = 1L << bits must itself stay positive;
+    // bits >= 1 because a 0- or negative-bit shift wraps mod 64 and
+    // yields garbage cells
+    require(cols.nonEmpty && bits >= 1 && cols.size * bits <= 62,
+      s"${cols.size} cols x $bits bits must each be >= 1 bit and fit a signed long")
     val k = cols.size
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c)).cast("double").as(s"__mn$i"),

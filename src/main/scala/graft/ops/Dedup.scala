@@ -178,7 +178,12 @@ object Dedup {
           Literal(expectedItems), Literal(expectedItems * bitsPerItem))
         .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
-    batch.withColumn("maybe_seen",
+    // BloomFilterAggregate over ZERO rows yields a null binary; inlining
+    // that null would make might_contain return NULL and poison every
+    // downstream boolean filter. An empty seen set means nothing was
+    // seen — every batch row is definitely new.
+    if (bloomBytes == null) batch.withColumn("maybe_seen", lit(false))
+    else batch.withColumn("maybe_seen",
       GraftColumnBridge.column(BloomFilterMightContain(
         Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
         GraftColumnBridge.expression(key(col(textCol))))))

@@ -406,15 +406,20 @@ object CurationQueries {
   val q91BloomScreen = GraftQuery(
     "q91_bloom_screen", { (s, dir) =>
       val seen = docs(s, dir)
+      // is_replay travels as an explicit column through the screen
+      // (bloomScreen preserves batch columns) rather than being decoded
+      // back from the doc_id offsets — no assumption on the fixture's
+      // id range, which only has to keep the union's ids disjoint
       val replayed = seen.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit(true).as("is_replay"))
       val fresh = seen.filter(col("doc_id") % 5 === 1)
         .select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(lit("new: "), col("text")).as("text"))
+          concat(lit("new: "), col("text")).as("text"),
+          lit(false).as("is_replay"))
       val screened = graft.ops.Dedup.bloomScreen(
         seen, replayed.union(fresh), "text")
       screened
-        .withColumn("is_replay", col("doc_id") < 2000000L)
         .agg(
           count(lit(1)).as("batch_size"),
           count(when(col("is_replay"), 1)).as("replayed_rows"),

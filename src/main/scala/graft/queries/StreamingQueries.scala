@@ -240,9 +240,10 @@ object StreamingQueries {
         .select(col("doc_id"), col("source"), col("text"))
       val bench = d.filter(col("bucket") >= 90)
         .select(col("doc_id"), col("text"))
-      val stageDir =
-        java.nio.file.Files.createTempDirectory("graft_decon_stream").toString
+      val stagePath = java.nio.file.Files.createTempDirectory("graft_decon_stream")
+      val stageDir = stagePath.toString
       corpus.union(corpus).repartition(4).write.mode("overwrite").parquet(stageDir)
+      EventPipeline.registerTempCleanup(stagePath)
       // stream schema comes from the staged frame itself (streaming
       // sources must never infer) — it cannot drift from corpus's select
       val stream = s.readStream.schema(corpus.schema)
@@ -256,12 +257,18 @@ object StreamingQueries {
       try q.processAllAvailable()
       finally q.stop()
       val hits = s.table(sink).withColumn("hit", lit(1L))
-      corpus.select(col("doc_id"), col("source"))
+      // snapshot before dropping the memory sink (as q87 does) so the
+      // returned frame doesn't reference a dropped table and repeated
+      // runs in one JVM don't accumulate catalog state
+      val summary = corpus.select(col("doc_id"), col("source"))
         .join(hits, Seq("doc_id"), "left_outer")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("docs"),
           sum(coalesce(col("hit"), lit(0L))).as("contaminated"))
         .orderBy(col("source"))
+        .localCheckpoint(eager = true)
+      s.catalog.dropTempView(sink)
+      summary
     },
     CurationQueries.q93Decontaminate.oracle)
 

@@ -210,13 +210,19 @@ object EventPipeline {
         i += 1
       }
     } finally listing.close()
-    // scratch data — reclaim at JVM exit (deleteOnExit runs LIFO, so
-    // register parents before children)
+    registerTempCleanup(dir)
+    dir.toString
+  }
+
+  /** Register a scratch directory tree for reclaim at JVM exit
+    * (deleteOnExit runs LIFO, so parents are registered before
+    * children). Shared by every query that stages a temp dir for a
+    * file-source stream, so repeated runs in one JVM don't leak disk. */
+  def registerTempCleanup(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(dir)
     try walk.iterator().asScala.foreach(_.toFile.deleteOnExit())
     finally walk.close()
-    dir.toString
   }
 
   /** Run any of the streaming transforms to completion against a static
