@@ -475,6 +475,97 @@ object TextVectorQueries {
         (SELECT count(*) FROM corpus) - CAST(sum(n) AS BIGINT) + count(*) AS survivors
       FROM sizes"""))
 
+  /** Data-dependent recursive CTE: transitive closure of the REAL
+    * shared-shingle candidate-edge relation through the SQL front door
+    * (WITH RECURSIVE over a data relation — q96's calendar scaffold
+    * exercises the UnionLoop engine only at trivial generated
+    * cardinality). Spark 4.1's UnionLoop executes UNION ALL recursion
+    * only (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), which cannot express
+    * set-convergence on a cyclic graph — so the closure runs as
+    * depth-bounded BFS: each iteration's frontier is the previous
+    * step's DISTINCT (node, reached) pairs, and a step counter bounds
+    * termination at depth 30 ≫ any observed component diameter
+    * (largest fixture cluster: 6 docs). An insufficient bound cannot
+    * pass silently — the parity check below goes false and the oracle
+    * row fails. The edge relation is materialized ONCE (localCheckpoint)
+    * before the loop so each UnionLoop iteration re-reads checkpoint
+    * blocks, not the shingle self-join lineage.
+    *
+    * The result is cross-checked IN-PLAN against the iterative
+    * DataFrame engine: `cc_parity` is bool_and over a full-outer join
+    * of the SQL closure's (node, min-reachable) labels against
+    * `DedupCluster.connectedComponents` — two independent algorithms
+    * (frontier closure vs large-star/small-star) must produce identical
+    * component labelings, and the DuckDB oracle recomputes the closure a
+    * third way. Scale boundary, documented: the closure materializes
+    * every (node, reachable) pair — O(Σ|C|²) over component sizes — so
+    * the SQL front door serves moderate cluster masses; the
+    * star-contraction loop (q51) IS the 100 TB path, which is exactly
+    * why both must agree. */
+  val q100RecursiveClosure = GraftQuery(
+    "q100_recursive_closure", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val edges = DedupCluster.sharedShingleEdges(
+          corpus, "text", "doc_id", shingleK = 3, minShared = 10, maxDf = 1000)
+        .localCheckpoint(eager = true)
+      edges.createOrReplaceTempView("q100_edges")
+      val sqlComp = s.sql("""WITH RECURSIVE sym AS (
+          SELECT u, v FROM q100_edges
+          UNION SELECT v AS u, u AS v FROM q100_edges),
+        walk(node, front, depth) AS (
+          SELECT DISTINCT u, u, 0 FROM sym
+          UNION ALL
+          SELECT DISTINCT w.node, s.v, w.depth + 1
+          FROM walk w JOIN sym s ON s.u = w.front
+          WHERE w.depth < 30)
+        SELECT node, min(front) AS sql_root FROM walk GROUP BY node""")
+      val dfComp = DedupCluster.connectedComponents(edges)
+        .withColumnRenamed("root", "df_root")
+      val parity = sqlComp.join(dfComp, Seq("node"), "full_outer")
+        .agg(coalesce(expr("bool_and(sql_root <=> df_root)"), lit(true))
+          .as("cc_parity"))
+      val sizes = sqlComp.groupBy(col("sql_root")).agg(count(lit(1)).as("n"))
+      sizes.agg(
+          count(lit(1)).as("clusters"),
+          sum(col("n")).as("clustered_docs"),
+          max(col("n")).as("largest_cluster"))
+        .crossJoin(corpus.agg(count(lit(1)).as("total")))
+        .crossJoin(parity)
+        .select(col("clusters"), col("clustered_docs"), col("largest_cluster"),
+          (col("total") - col("clustered_docs") + col("clusters")).as("survivors"),
+          col("cc_parity"))
+    },
+    Some("""WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '') FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(toks)-2, 1)),
+          i -> array_to_string(list_slice(toks, i, i+2), ' ')))) AS s
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+              FROM corpus)),
+      keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+      shf AS (SELECT doc_id, s FROM sh JOIN keep USING (s)),
+      edges AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 10),
+      sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+      walk(node, front) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT w.node, s.v FROM walk w JOIN sym s ON s.u = w.front),
+      comp AS (SELECT node, min(front) AS root FROM walk GROUP BY node),
+      sizes AS (SELECT root, count(*) AS n FROM comp GROUP BY root)
+      SELECT count(*) AS clusters,
+        CAST(sum(n) AS BIGINT) AS clustered_docs,
+        max(n) AS largest_cluster,
+        (SELECT count(*) FROM corpus) - CAST(sum(n) AS BIGINT) + count(*) AS survivors,
+        true AS cc_parity
+      FROM sizes"""))
+
   /** Int8 scalar quantization of the embedding corpus, oracle-checked:
     * the oracle recomputes the identical quantize/dequantize arithmetic
     * per element AND asserts the construction guarantee (every
@@ -713,5 +804,5 @@ object TextVectorQueries {
     q33bAnnBrutePartial, q34AnnLsh, q35AnnIvf, q36EmbedNearDup,
     q36bEmbedNearDupLsh, q36cEmbedNearDupLsh08,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank,
-    q73PageRank, q89UnigramLogprob)
+    q73PageRank, q89UnigramLogprob, q100RecursiveClosure)
 }
