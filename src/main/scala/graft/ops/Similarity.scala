@@ -153,19 +153,25 @@ object Similarity {
     * exact cosine — the bucket join and the pair dedup never carry vector
     * payloads. Bucket join is an equi-join on (table, signature) — a
     * uniform hash shuffle at any scale; recall vs bruteForceTopK is
-    * asserted in SimilaritySpec (floor 0.85; measured 1.0 at both the
-    * 500- and 2000-vector fixtures with these defaults, tuned r7).
+    * asserted in SimilaritySpec at floor 0.85 with THESE defaults
+    * (measured r8 grid: 0.90 at the 500-vector fixture, 0.88 at the
+    * 2000-vector fixture — RecallProbe in the test sourceset reproduces
+    * the grid).
     *
     * Parameter posture: recall ≈ 1-(1-p^planes)^tables, candidate mass
-    * ≈ n·tables/2^planes per query. `planes` should grow ~log2(n) to
+    * ≈ n·tables/2^planes per query pre-dedup. planes=3 was rejected
+    * (ADVICE r7): mass ≈ 2n means the "approximate" path scores MORE
+    * pairs than brute force — recall 1.0 bought by a near-exhaustive
+    * scan. planes=4/tables=16 is the smallest grid point holding ≥0.85
+    * on both fixtures at mass ≈ 1n. `planes` should grow ~log2(n) to
     * hold the candidate fraction constant as the corpus grows; `tables`
-    * buys recall back linearly in cost. The defaults fit the 10-cluster
-    * test corpora; a 100 TB corpus wants planes≈16–20, tables 8–32. */
+    * buys recall back linearly in cost. A 100 TB corpus wants
+    * planes≈16–20, tables 8–32. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String,
-      k: Int, planes: Int = 3, tables: Int = 16): DataFrame = {
+      k: Int, planes: Int = 4, tables: Int = 16): DataFrame = {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
     def sigs(df: DataFrame, idAlias: String, vec: String) = df
@@ -199,7 +205,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String,
-      k: Int, stride: Int = 50, nprobe: Int = 4): DataFrame = {
+      k: Int, stride: Long = 50, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
     val centroids =
       c.filter(pmod(col("neighbor_id"), lit(stride)) === 0)
@@ -212,16 +218,18 @@ object Similarity {
     * stride = n/cells, so the index keeps ~`cells` inverted lists as the
     * corpus grows and recall@nprobe stays comparable across scales
     * (a fixed stride means cells ∝ n — at 4× the corpus the same nprobe
-    * probes 1/4 the fraction and recall collapses; measured r7:
-    * stride=25 recall 0.60 at n=500 vs 0.42 at n=2000, while cells=10
-    * nprobe=8 holds 0.96 at both). The one `count()` here is index-BUILD
-    * cost (like the k-means trainer), not per-query cost. */
+    * probes 1/4 the fraction and recall collapses; measured r8 grid:
+    * cells=10 nprobe=8 holds 0.96 at BOTH the 500- and 2000-vector
+    * fixtures, asserted in SimilaritySpec at floor 0.85). The one
+    * `count()` here is index-BUILD cost (like the k-means trainer), not
+    * per-query cost. stride stays Long end to end — an Int stride would
+    * silently overflow above ~cells·2^31 corpus rows (ADVICE r7). */
   def ivfTopKCells(
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String,
       k: Int, cells: Int = 10, nprobe: Int = 8): DataFrame = {
-    val stride = math.max(1L, corpus.count() / cells).toInt
+    val stride = math.max(1L, corpus.count() / cells)
     ivfTopK(corpus, queries, corpusId, corpusVec, queryId, queryVec,
       k, stride, nprobe)
   }

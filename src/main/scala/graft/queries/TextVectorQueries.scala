@@ -316,24 +316,34 @@ object TextVectorQueries {
       WHERE rnk <= 10 ORDER BY query_id, rnk"""))
 
   /** Sign-LSH bucketed ANN (rows-only; recall vs brute force asserted in
-    * SimilaritySpec). */
+    * SimilaritySpec, and emitted per round in the bench JSON). BOTH
+    * parameters pinned explicitly so the bench query's candidate-
+    * generation cost and output are independent of library default
+    * tuning (ADVICE r7: a tables default change silently doubled this
+    * query's work between rounds). */
   val q34AnnLsh = GraftQuery(
     "q34_ann_lsh", { (s, dir) =>
       val e = embeds(s, dir)
       Similarity.lshTopK(
           e, e.filter(col("vec_id") < 5),
-          "vec_id", "embedding", "vec_id", "embedding", k = 10, planes = 4)
+          "vec_id", "embedding", "vec_id", "embedding", k = 10,
+          planes = 4, tables = 16)
         .orderBy(col("query_id"), col("rnk"))
     })
 
-  /** IVF-style coarse-quantized ANN (rows-only). */
+  /** IVF-style coarse-quantized ANN (rows-only; recall emitted per round
+    * in the bench JSON). Switched r8 from the fixed-stride knob
+    * (stride=25: recall 0.60 at sf0.001 degrading to 0.42 at sf0.1 —
+    * cells ∝ n, so the same nprobe probes an ever-smaller fraction) to
+    * the scale-stable cells variant, which holds recall 0.96 at both
+    * fixtures; parameters pinned explicitly like q34. */
   val q35AnnIvf = GraftQuery(
     "q35_ann_ivf", { (s, dir) =>
       val e = embeds(s, dir)
-      Similarity.ivfTopK(
+      Similarity.ivfTopKCells(
           e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", "vec_id", "embedding",
-          k = 10, stride = 25, nprobe = 6)
+          k = 10, cells = 10, nprobe = 8)
         .orderBy(col("query_id"), col("rnk"))
     })
 

@@ -49,23 +49,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(brute.exceptAll(partial).count() === 0L)
   }
 
-  test("multi-table sign-LSH reaches recall >= 0.6 vs brute force") {
+  test("multi-table sign-LSH reaches recall >= 0.85 vs brute force at SHIPPED defaults") {
+    // No explicit planes/tables: this pins the library defaults
+    // (planes=4, tables=16 — measured 0.90 here, 0.88 at the 2000-vector
+    // fixture, r8 RecallProbe grid). A default change that degrades
+    // recall fails HERE, not only in the bench JSON.
     val lsh = Similarity.lshTopK(embeds, queries,
-      "vec_id", "embedding", "vec_id", "embedding", K, planes = 4, tables = 8)
+      "vec_id", "embedding", "vec_id", "embedding", K)
     val r = recallVsBrute(lsh)
-    assert(r >= 0.6, f"LSH recall $r%.3f below floor")
+    assert(r >= 0.85, f"LSH recall $r%.3f below floor")
   }
 
-  test("IVF coarse quantizer reaches recall >= 0.7 vs brute force") {
+  test("IVF coarse quantizer reaches recall >= 0.85 vs brute force") {
     // 500 vectors / stride 50 → 10 cells, matching the corpus's 10 label
-    // clusters; probing 4 cells must capture most same-cluster neighbors.
-    // (With cells ≪ clusters the recall of ANY ivf degrades toward the
-    // probed fraction — that is inherent to coarse quantization, not a
-    // plan property.)
+    // clusters; probing 8 cells must capture most same-cluster neighbors
+    // (measured 0.96, r8 grid). (With cells ≪ clusters the recall of ANY
+    // ivf degrades toward the probed fraction — that is inherent to
+    // coarse quantization, not a plan property.)
     val ivf = Similarity.ivfTopK(embeds, queries,
-      "vec_id", "embedding", "vec_id", "embedding", K, stride = 50, nprobe = 6)
+      "vec_id", "embedding", "vec_id", "embedding", K, stride = 50, nprobe = 8)
     val r = recallVsBrute(ivf)
-    assert(r >= 0.7, f"IVF recall $r%.3f below floor")
+    assert(r >= 0.85, f"IVF recall $r%.3f below floor")
+  }
+
+  test("scale-stable ivfTopKCells reaches recall >= 0.85 at SHIPPED defaults") {
+    // cells=10, nprobe=8 holds 0.96 at BOTH the 500- and 2000-vector
+    // fixtures (a fixed STRIDE instead collapses 0.60→0.42 across the
+    // same scales — the point of the cells variant). Long-stride path:
+    // no Int overflow at production corpus sizes (ADVICE r7).
+    val ivf = Similarity.ivfTopKCells(embeds, queries,
+      "vec_id", "embedding", "vec_id", "embedding", K)
+    val r = recallVsBrute(ivf)
+    assert(r >= 0.85, f"ivfTopKCells recall $r%.3f below floor")
   }
 
   test("k-means centroids: <= k rows, right dims, and iterating reduces inertia") {
@@ -90,13 +105,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(inertia(c5) <= inertia(c1) + 1e-9)
   }
 
-  test("IVF with k-means-trained centroids reaches recall >= 0.7 vs brute force") {
+  test("IVF with k-means-trained centroids reaches recall >= 0.85 vs brute force") {
+    // measured 0.98 here / 1.00 at the 2000-vector fixture (r8 grid) —
+    // trained centroids beat the every-stride-th quantizer at equal nprobe
     val cents = Similarity.kmeansCentroids(embeds, "embedding", "vec_id",
       k = 10, iters = 4)
     val ivf = Similarity.ivfTopKWithCentroids(embeds, queries,
       "vec_id", "embedding", "vec_id", "embedding", cents, K, nprobe = 6)
     val r = recallVsBrute(ivf)
-    assert(r >= 0.7, f"trained-IVF recall $r%.3f below floor")
+    assert(r >= 0.85, f"trained-IVF recall $r%.3f below floor")
   }
 
   test("fused cosine kernel is bit-identical to the HOF formulation") {
