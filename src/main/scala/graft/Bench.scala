@@ -69,6 +69,19 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
 
+    // Load DISCIPLINE, not just load recording (VERDICT r6 item 3): three
+    // of the first six round artifacts were loaded-machine measurements
+    // whose +40..60% rows read as phantom regressions. Wait (bounded) for
+    // the machine to go idle before the timed passes; if it never does,
+    // run anyway and stamp "loaded": true so the artifact self-identifies
+    // as a hot run. Threshold 2.0 on a 32-cpu box ≈ background noise.
+    val idleThreshold = 2.0
+    var waitedSec = 0
+    while (loadAvg() > idleThreshold && waitedSec < 300) {
+      System.err.println(f"[bench] loadavg ${loadAvg()}%.2f > $idleThreshold%.1f, waiting (${waitedSec}s)")
+      Thread.sleep(15000); waitedSec += 15
+    }
+
     val loadBefore = loadAvg()
     val passes = (1 to 3).map(_ => names.map(n => n -> timeOnce(n)).toMap)
     val loadAfter = loadAvg()
@@ -79,7 +92,46 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f}""")
+
+    // ---- quality fields (untimed; VERDICT r6 items 1 and 5) ----
+    // ANN recall@10 vs the exact brute-force ranking, per round: a
+    // recall regression in the approximate paths is a quality bug the
+    // wall-times cannot see. Computed on the SAME sf dir the timings ran.
+    import org.apache.spark.sql.functions.col
+    val recalls: Seq[(String, Double)] =
+      try {
+        val brute = SparkEntry.queries("q33_ann_brute")(spark, sfDir)
+          .select(col("query_id"), col("neighbor_id")).cache()
+        val bruteN = brute.count().toDouble
+        Seq("q34_ann_lsh", "q35_ann_ivf", "q65_ann_ivf_trained").map { n =>
+          val hits = SparkEntry.queries(n)(spark, sfDir)
+            .select(col("query_id"), col("neighbor_id"))
+            .join(brute, Seq("query_id", "neighbor_id")).count()
+          n -> hits / bruteN
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] recall: ${e.getMessage}"); Seq.empty
+      }
+    // Z-order file-skipping ratio on real parquet footers (same probe
+    // WriterSpec asserts as a >=2x boolean): linear-candidates /
+    // z-candidates for the quadrant-interior band predicate, tracked per
+    // round like latency.
+    val zratio: Double =
+      try {
+        val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        val p = graft.core.Zorder.skipProbe(
+          li, Seq("l_quantity", "l_extendedprice"), "l_extendedprice",
+          loFrac = 0.32, hiFrac = 0.42, bits = 8, files = 8)
+        if (p.zorderCandidates > 0) p.linearCandidates.toDouble / p.zorderCandidates
+        else -1.0
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] zorder: ${e.getMessage}"); -1.0
+      }
+
+    val recallJson = recalls.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"loaded":${loadBefore > idleThreshold},"recall":$recallJson,"zorder_skip_ratio":$zratio%.2f}""")
     spark.stop()
   }
 }

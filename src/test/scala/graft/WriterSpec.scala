@@ -95,40 +95,25 @@ class WriterSpec extends SparkTestBase {
   test("z-order clustering skips files on the non-sort dimension, linear sort cannot") {
     val li = graft.core.Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-    val linDir = java.nio.file.Files.createTempDirectory("graft_linear").toString
-    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
-    // linear layout: range-sorted by quantity only
-    li.repartitionByRange(8, col("l_quantity"))
-      .sortWithinPartitions(col("l_quantity"))
-      .write.mode("overwrite").parquet(linDir)
-    graft.core.Zorder.clusteredWrite(
-      li, zDir, Seq("l_quantity", "l_extendedprice"), bits = 8, files = 8)
-    // candidate files for a 10%-band predicate on extendedprice, judged
-    // from the same footer min/max stats the parquet reader prunes with
-    def candidates(dir: String): Long = {
-      val bounds = li.agg(
-        min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
-        .head()
-      val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
-      // band sits INSIDE one z-quadrant of extendedprice (0.25..0.5),
-      // clear of the 0.25/0.5 prefix boundaries: straddling a boundary
-      // doubles the quadrants touched and halves the measured skipping
-      val (qLo, qHi) = (lo + 0.32 * (hi - lo), lo + 0.42 * (hi - lo))
-      spark.read.parquet(dir)
-        .groupBy(input_file_name().as("f"))
-        .agg(min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"))
-        .filter(col("mx") >= qLo && col("mn") <= qHi)
-        .count()
-    }
-    val (linHit, zHit) = (candidates(linDir), candidates(zDir))
+    // 10%-band predicate on extendedprice sits INSIDE one z-quadrant
+    // (0.25..0.5), clear of the 0.25/0.5 prefix boundaries: straddling a
+    // boundary doubles the quadrants touched and halves the measured
+    // skipping. Candidate files judged from the same footer min/max
+    // stats the parquet reader prunes with (shared probe: Zorder.skipProbe,
+    // also emitted per round by Bench as zorder_skip_ratio).
+    val probe = graft.core.Zorder.skipProbe(
+      li, Seq("l_quantity", "l_extendedprice"), "l_extendedprice",
+      loFrac = 0.32, hiFrac = 0.42, bits = 8, files = 8)
     // quantity-sorted files each span (nearly) all of extendedprice, so
     // the linear layout prunes little or nothing; z-order must cut the
     // candidate set at least in half. Not pinned to exactly 8 files —
     // range-partitioner sampling may emit an empty partition.
-    assert(linHit >= 6L, s"linear layout unexpectedly pruned: $linHit")
-    assert(zHit * 2 <= linHit, s"zorder=$zHit linear=$linHit")
+    assert(probe.linearCandidates >= 6L,
+      s"linear layout unexpectedly pruned: ${probe.linearCandidates}")
+    assert(probe.zorderCandidates * 2 <= probe.linearCandidates,
+      s"zorder=${probe.zorderCandidates} linear=${probe.linearCandidates}")
     // clustering must not lose or duplicate rows
-    assert(spark.read.parquet(zDir).count() === li.count())
+    assert(spark.read.parquet(probe.zorderDir).count() === li.count())
   }
 
   test("mergeSchema unions parquet files written with evolved schemas") {
