@@ -45,9 +45,12 @@ object Verify {
     // parquet dumped above via read_parquet — substitute the absolute
     // path so the driver's DuckDB run works from any cwd.
     val rawPath = Paths.get(outDir).toAbsolutePath.toString + "/pharma_q00_raw_feed"
+    val labsPath = Paths.get(outDir).toAbsolutePath.toString + "/pharma_labs_raw"
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => selected.contains(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__PHARMA_RAW__", rawPath))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v
+        .replace("__PHARMA_RAW__", rawPath)
+        .replace("__LABS_RAW__", labsPath))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -135,6 +135,12 @@ object DedupCluster {
     * reliable checkpointing pays one distributed write per round for
     * fault tolerance (see SCALING.md).
     */
+  // maxIter = 30 is the same ≤30-hop component-diameter assumption as
+  // q100's recursive-CTE walk (TextVectorQueries, `w.depth < 30`); both
+  // fail loudly beyond it (require below, parity-false there) rather
+  // than silently truncating — change the two bounds together. Star
+  // contraction roughly halves diameter per round, so 30 rounds cover
+  // diameters far beyond any near-dup cluster seen in practice.
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val trace = sys.env.contains("GRAFT_CC_TRACE")
     def traced[T](label: String)(f: => T): T =

@@ -36,4 +36,10 @@ object HttpFetch {
     * end-to-end ingestion entry point (S1 + S2 + S3). */
   def loadFeed(spark: SparkSession, url: String): DataFrame =
     MedsFeed.fromJsonString(spark, fetchString(url))
+
+  /** Fetch the labs directory feed — the reference's second declared
+    * source (`url_labs`, Pharma_Ingestion_Cleaning.py:16; SURVEY.md §2.1
+    * S8) — through the same driver-side seam. */
+  def loadLabs(spark: SparkSession, url: String): DataFrame =
+    LabsFeed.fromJsonString(spark, fetchString(url))
 }

@@ -57,4 +57,21 @@ object PharmaFixture {
       val recs = (0 until n).filter(_ % letters.length == li).map(recordJson)
       s""""$letter": [${recs.mkString(",")}]"""
     }.mkString("{", ",", "}")
+
+  /** Deterministic labs directory feed shaped like the upstream
+    * `labs.json` (the reference's declared-but-unused second source,
+    * Pharma_Ingestion_Cleaning.py:16): a JSON array of lab records.
+    * Covers every lab name the meds feed references (join hits), two
+    * labs with no medications (left-join misses: SAIDAL, GENERIS), and
+    * null directory fields (web, wilaya). */
+  def labsJson(): String = {
+    val wilayas = Seq("Alger", "Oran", "Constantine", "Annaba",
+      "Blida", "Setif", "Tizi Ouzou", "Bejaia")
+    (labs ++ Seq("SAIDAL", "GENERIS")).zipWithIndex.map { case (name, i) =>
+      val web = if (i % 4 == 3) "null" else s""""www.${name.toLowerCase}.dz""""
+      val wilaya = if (i == 6) "null" else s""""${wilayas(i % wilayas.length)}""""
+      s"""{"name": "$name", "address": "Zone industrielle ${i + 1}",
+         |"tel": "021-9${100 + i}", "web": $web, "wilaya": $wilaya}""".stripMargin
+    }.mkString("[", ",", "]")
+  }
 }

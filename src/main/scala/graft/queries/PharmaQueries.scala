@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.GraftQuery
-import graft.pharma.{Cleaning, Dashboard, InsuranceModel, MedsFeed, PharmaFixture}
+import graft.pharma.{Cleaning, Dashboard, InsuranceModel, LabsFeed, MedsFeed, PharmaFixture}
 
 /** The reference pipeline end-to-end on the embedded deterministic fixture
   * feed, every dashboard query DuckDB-oracle-checked.
@@ -59,6 +59,23 @@ object PharmaQueries {
     (s, _) => Cleaning.structFlatten(
       MedsFeed.fromJsonString(s, PharmaFixture.feedJson()))
       .drop("lab", "class"))
+
+  /** Labs directory via the catalog — the reference's SECOND source
+    * (S8, `url_labs` declared Pharma_Ingestion_Cleaning.py:16 and never
+    * ingested there; SURVEY.md §2.1). Same managed-table round-trip as
+    * `medications`. */
+  private[graft] def labs(s: SparkSession): DataFrame = {
+    if (!s.catalog.tableExists("default.labs")) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "labs")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      LabsFeed.fromJsonString(s, PharmaFixture.labsJson())
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable("default.labs")
+    }
+    s.table("default.labs")
+  }
 
   /** Shared DuckDB re-derivation of the cleaned medications relation from
     * the raw dump — mirrors Cleaning.priceExtract/validPriceFilter/
@@ -201,6 +218,47 @@ object PharmaQueries {
       round(count(*) * 100.0 / (SELECT count(*) FROM medications), 1) AS percentage
       FROM medications GROUP BY 1""")
 
+  /** Raw labs directory, dumped by Verify so the lab-join oracle can
+    * read it back in DuckDB (`__LABS_RAW__` substitution) — the same
+    * self-contained-oracle pattern as pharma_q00_raw_feed. Rows-only
+    * itself. (Declared AFTER MedsCte: object vals initialize in
+    * declaration order, and the directory oracle interpolates MedsCte.) */
+  val pharmaLabsRaw = GraftQuery(
+    "pharma_labs_raw", (s, _) => labs(s))
+
+  /** medications ⋈ labs — the two-source join S8 enables: per-lab
+    * product stats decorated with the directory fields. Plan shape:
+    * aggregate the fact side FIRST (one shuffle on lab_name, output =
+    * |labs| rows), then left-join the model-sized directory — the
+    * pre-aggregation keeps the join input tiny at any corpus scale, and
+    * labs with no medications survive with products = 0 (left join from
+    * the directory side). */
+  val pharmaLabDirectory = GraftQuery(
+    "pharma_q15_lab_directory",
+    { (s, _) =>
+      val perLab = medications(s).filter(col("lab_name").isNotNull)
+        .groupBy(col("lab_name"))
+        .agg(count(lit(1)).as("products"),
+          round(avg(col("price")), 0).as("avg_price_DA"))
+      labs(s).select(col("name").as("lab_name"), col("wilaya"), col("web"))
+        .join(perLab, Seq("lab_name"), "left")
+        .select(col("lab_name"), col("wilaya"), col("web"),
+          coalesce(col("products"), lit(0L)).as("products"),
+          col("avg_price_DA"))
+        .orderBy(col("products").desc, col("lab_name"))
+    },
+    Some(s"""$MedsCte,
+      labs AS (SELECT * FROM read_parquet('__LABS_RAW__/*.parquet'))
+      SELECT l.name AS lab_name, l.wilaya, l.web,
+        coalesce(p.products, 0) AS products, p.avg_price_DA
+      FROM labs l LEFT JOIN (
+        SELECT lab_name, count(*) AS products,
+          round(avg(price), 0) AS avg_price_DA
+        FROM medications WHERE lab_name IS NOT NULL
+        GROUP BY lab_name) p
+      ON p.lab_name = l.name
+      ORDER BY products DESC, lab_name"""))
+
   /** Distributed MLlib replacement for the reference's sklearn stage —
     * not SQL-expressible (RF training); metric floors, per-class P/R, and
     * the persistence round-trip are asserted in PharmaMlSpec. */
@@ -209,9 +267,9 @@ object PharmaQueries {
     (s, _) => InsuranceModel.metricsDf(s, Dashboard.mlDataset(medications(s))))
 
   val all: Seq[GraftQuery] = Seq(
-    pharmaRawFeed, pharmaTriage, pharmaKpi, pharmaDiseaseArea,
+    pharmaRawFeed, pharmaLabsRaw, pharmaTriage, pharmaKpi, pharmaDiseaseArea,
     pharmaManufacturers, pharmaSegmentation, pharmaForms, pharmaExpensive,
     pharmaAffordability, pharmaCoverage, pharmaMfrSize, pharmaIngredients,
     pharmaHistogram, pharmaInsurance, pharmaMlDataset, pharmaBalance,
-    pharmaMlMetrics)
+    pharmaLabDirectory, pharmaMlMetrics)
 }

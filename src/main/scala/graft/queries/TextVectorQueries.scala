@@ -527,6 +527,10 @@ object TextVectorQueries {
           UNION ALL
           SELECT DISTINCT w.node, s.v, w.depth + 1
           FROM walk w JOIN sym s ON s.u = w.front
+          -- depth < 30 is the SAME component-diameter assumption as
+          -- DedupCluster.connectedComponents(maxIter = 30); both fail
+          -- LOUDLY beyond it (parity-false here, require there) rather
+          -- than silently truncating — change them together
           WHERE w.depth < 30)
         SELECT node, min(front) AS sql_root FROM walk GROUP BY node""")
       val dfComp = DedupCluster.connectedComponents(edges)

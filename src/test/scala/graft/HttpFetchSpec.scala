@@ -35,6 +35,17 @@ class HttpFetchSpec extends SparkTestBase {
     }
   }
 
+  test("labs directory fetch → flatten yields one row per lab (S8 second source)") {
+    withServer(Map("/labs.json" -> (200, PharmaFixture.labsJson()))) { base =>
+      val labs = HttpFetch.loadLabs(spark, s"$base/labs.json")
+      assert(labs.count() === 8L)
+      assert(labs.columns.toSeq === Seq("name", "address", "tel", "web", "wilaya"))
+      // edge rows survive the flatten: null web, null wilaya
+      assert(labs.filter(org.apache.spark.sql.functions.col("web").isNull).count() >= 1L)
+      assert(labs.filter(org.apache.spark.sql.functions.col("wilaya").isNull).count() >= 1L)
+    }
+  }
+
   test("non-200 responses raise instead of producing an empty frame") {
     withServer(Map("/gone.json" -> (404, "not here"))) { base =>
       val e = intercept[IllegalArgumentException] {

@@ -90,6 +90,20 @@ class PharmaSpec extends SparkTestBase {
     assert(PharmaQueries.medications(spark).count() === 195L)
   }
 
+  test("lab directory join (S8): every lab kept, product totals reconcile") {
+    val dir = PharmaQueries.pharmaLabDirectory.run(spark, sfDir).cache()
+    // left join from the directory: all 8 labs survive, the two with no
+    // medications at products = 0 with NULL avg price
+    assert(dir.count() === 8L)
+    val misses = dir.filter(col("products") === 0L)
+    assert(misses.select("lab_name").collect().map(_.getString(0)).toSet ===
+      Set("SAIDAL", "GENERIS"))
+    assert(misses.filter(col("avg_price_DA").isNotNull).count() === 0L)
+    // per-lab products sum back to the cleaned feed's lab_name rows
+    val total = dir.agg(sum("products")).head().getLong(0)
+    assert(total === meds.filter(col("lab_name").isNotNull).count())
+  }
+
   test("ML dataset projection has no nulls in any feature column (query 13)") {
     val ds = Dashboard.mlDataset(meds)
     assert(ds.count() === 161L)

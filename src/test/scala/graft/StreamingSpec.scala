@@ -227,6 +227,50 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("upsert sink killed mid-stream and restarted from its checkpoint equals the uninterrupted run") {
+    // The exactly-once claim for the MERGE sink specifically: stop after
+    // micro-batch k < total, resume from the SAME checkpoint, and the
+    // final table must equal the uninterrupted run's — with the resumed
+    // query provably processing ONLY the unseen files (batch count), so
+    // equality is not just the merge's idempotence masking a reprocess.
+    val ev = Tables.load(spark, sfDir, "events")
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tableFull = s"upsert_full_$uuid"
+    val tableResumed = s"upsert_resumed_$uuid"
+    try {
+      // uninterrupted reference run: all 4 staged files in one query
+      EventPipeline.runUpsertSink(spark, ev, tableFull, parts = 4)
+      // interrupted run: stage the same 4 files, hide the last 2, run to
+      // exhaustion (= "killed" after batch 2 of 4), then restore the
+      // hidden files and resume from the same checkpoint
+      val dir = EventPipeline.stageAsStreamDir(ev, parts = 4)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt").toString
+      val hidden = java.nio.file.Files.createTempDirectory("graft_upsert_hide")
+      Seq("events_2.parquet", "events_3.parquet").foreach { f =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(dir, f), hidden.resolve(f))
+      }
+      val batches1 = EventPipeline.runUpsertSinkFromDir(
+        spark, dir, tableResumed, Some(ckpt))
+      assert(batches1 === 2L, s"first run saw $batches1 micro-batches, expected 2")
+      Seq("events_2.parquet", "events_3.parquet").foreach { f =>
+        java.nio.file.Files.move(
+          hidden.resolve(f), java.nio.file.Paths.get(dir, f))
+      }
+      val batches2 = EventPipeline.runUpsertSinkFromDir(
+        spark, dir, tableResumed, Some(ckpt))
+      // only the two NEW files — a reprocess of batches 1-2 would show 4
+      assert(batches2 === 2L, s"resumed run saw $batches2 micro-batches, expected 2")
+      val full = spark.table(tableFull)
+      val resumed = spark.table(tableResumed)
+      assert(resumed.exceptAll(full).count() === 0L)
+      assert(full.exceptAll(resumed).count() === 0L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tableFull")
+      spark.sql(s"DROP TABLE IF EXISTS $tableResumed")
+    }
+  }
+
   test("checkpointed file-sink query restarts without reprocessing") {
     // Restart semantics: a stopped query resumed with the SAME checkpoint
     // must pick up only NEW files — the exactly-once file-sink contract.
