@@ -37,6 +37,62 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     val names = SparkEntry.headline.filter(SparkEntry.queries.contains)
+
+    // Machine 1-min load average — recorded for cross-round continuity
+    // (load_before/load_after have been in the artifact since r5), but no
+    // longer the GATE: loadavg counts this JVM's own just-finished work,
+    // so gating on it mid-run waits for our own burst to decay (ADVICE
+    // r8 — the r8 warm-up pushed loadavg over the threshold and
+    // self-inflicted a ~90 s wait on an idle machine).
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
+    // EXTERNAL busy CPUs, self-discounting: (total busy jiffies − this
+    // process's jiffies) over a 1 s window, in units of "cpus busy with
+    // someone else's work". Unlike loadavg this is instantaneous AND
+    // blind to our own threads, so it can gate between passes without
+    // waiting for our own 1-min average to decay. /proc/stat busy = all
+    // fields except idle+iowait; /proc/self/stat utime+stime are fields
+    // 14/15 (after the parenthesized comm). USER_HZ = 100 on Linux.
+    def totalBusyJiffies(): Long = {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+    }
+    def ownJiffies(): Long = {
+      val s = scala.io.Source.fromFile("/proc/self/stat").mkString
+      val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+      rest(11).toLong + rest(12).toLong // utime + stime
+    }
+    def externalBusyCpus(sampleMs: Int = 1000): Double =
+      try {
+        val (t0, o0) = (totalBusyJiffies(), ownJiffies())
+        Thread.sleep(sampleMs)
+        val (t1, o1) = (totalBusyJiffies(), ownJiffies())
+        ((t1 - t0) - (o1 - o0)).toDouble / 100.0 / (sampleMs / 1000.0)
+      } catch { case _: Throwable => -1.0 }
+
+    // Load DISCIPLINE (VERDICT r6 item 3, hardened r9 per VERDICT r8
+    // wrong#1): wait (bounded) for the machine to be externally idle
+    // BEFORE the warm-up, and re-check before EVERY timed pass — the r8
+    // artifact went hot DURING the passes (loadavg 1.95 → 4.85) and the
+    // single before-gate could not see it, so three untouched queries
+    // read as phantom regressions. If a pass must start hot anyway, the
+    // artifact stamps loaded:true and the per-pass samples say which.
+    val idleThreshold = 2.0 // external busy cpus on a 32-cpu box ≈ noise
+    def waitForIdle(maxWaitSec: Int): Double = {
+      var waited = 0
+      var ext = externalBusyCpus()
+      while (ext > idleThreshold && waited < maxWaitSec) {
+        System.err.println(f"[bench] external busy cpus $ext%.2f > $idleThreshold%.1f, waiting (${waited}s)")
+        Thread.sleep(14000); waited += 15
+        ext = externalBusyCpus()
+      }
+      ext
+    }
+
+    waitForIdle(300)
     // Warm-up: JVM + codegen + file listing, untimed. Same failure policy
     // as the timed loop — a broken first query must not abort the whole
     // benchmark before any JSON is emitted (its own timed run records -1).
@@ -58,33 +114,17 @@ object Bench {
       }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    // Machine 1-min load average, sampled before and after the timed
-    // passes. Min-of-3 interleaved reps suppress TRANSIENT spikes, but
-    // SUSTAINED background load inflates all three reps alike (the r4
-    // artifact recorded q31 at 2.04 s where a fresh unloaded JVM runs
-    // 0.67 s steady-state — see BASELINE.md r5 note). Recording the load
-    // makes each artifact self-documenting: a high loadavg says "discount
-    // this run", no cross-round archaeology needed.
-    def loadAvg(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-
-    // Load DISCIPLINE, not just load recording (VERDICT r6 item 3): three
-    // of the first six round artifacts were loaded-machine measurements
-    // whose +40..60% rows read as phantom regressions. Wait (bounded) for
-    // the machine to go idle before the timed passes; if it never does,
-    // run anyway and stamp "loaded": true so the artifact self-identifies
-    // as a hot run. Threshold 2.0 on a 32-cpu box ≈ background noise.
-    val idleThreshold = 2.0
-    var waitedSec = 0
-    while (loadAvg() > idleThreshold && waitedSec < 300) {
-      System.err.println(f"[bench] loadavg ${loadAvg()}%.2f > $idleThreshold%.1f, waiting (${waitedSec}s)")
-      Thread.sleep(15000); waitedSec += 15
-    }
 
     val loadBefore = loadAvg()
-    val passes = (1 to 3).map(_ => names.map(n => n -> timeOnce(n)).toMap)
+    val passExt = new scala.collection.mutable.ArrayBuffer[Double]
+    val passes = (1 to 3).map { p =>
+      // between-pass gate: shorter bound than the entry gate (a genuinely
+      // busy machine should still produce an artifact, just a labeled one)
+      passExt += (if (p == 1) externalBusyCpus() else waitForIdle(120))
+      names.map(n => n -> timeOnce(n)).toMap
+    }
     val loadAfter = loadAvg()
+    val loaded = passExt.exists(_ > idleThreshold)
     val results = names.map { name =>
       val reps = passes.map(_(name)).filter(_ >= 0)
       name -> (if (reps.nonEmpty) reps.min else -1.0)
@@ -98,7 +138,7 @@ object Bench {
     // recall regression in the approximate paths is a quality bug the
     // wall-times cannot see. Computed on the SAME sf dir the timings ran.
     import org.apache.spark.sql.functions.col
-    val recalls: Seq[(String, Double)] =
+    val annRecalls: Seq[(String, Double)] =
       try {
         val brute = SparkEntry.queries("q33_ann_brute")(spark, sfDir)
           .select(col("query_id"), col("neighbor_id")).cache()
@@ -111,6 +151,36 @@ object Bench {
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] recall: ${e.getMessage}"); Seq.empty
+      }
+    // Pair recall for the embedding near-dup LSH paths (q36b/q36c) vs
+    // the exact all-pairs reference at the SAME threshold on the SAME
+    // doubled corpus (VERDICT r8 item 2): the pair-set-equality contract
+    // lives in DedupSpec at fixture scale — this emits
+    // |lsh ∩ exact| / |exact| at sf0.1 per round beside the wall-times.
+    // Parameters mirror the registered queries exactly.
+    val pairRecalls: Seq[(String, Double)] =
+      try {
+        val corpus = graft.queries.TextVectorQueries
+          .embedNearDupCorpus(spark, sfDir).cache()
+        val out = Seq(
+          ("q36b_embed_neardup_lsh", 0.98, 8, 8),
+          ("q36c_embed_neardup_lsh08", 0.80, 6, 16)).map {
+          case (n, threshold, planes, tables) =>
+            val exact = graft.ops.Dedup.exactEmbeddingPairs(
+              corpus, "embedding", "vec_id", threshold)
+              .select("id_a", "id_b").cache()
+            val nExact = exact.count().toDouble
+            val hits = graft.ops.Dedup.embeddingNearDups(
+              corpus, "embedding", "vec_id", threshold, planes, tables)
+              .select("id_a", "id_b")
+              .join(exact, Seq("id_a", "id_b")).count()
+            exact.unpersist()
+            n -> (if (nExact > 0) hits / nExact else -1.0)
+        }
+        corpus.unpersist()
+        out
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pair recall: ${e.getMessage}"); Seq.empty
       }
     // Z-order file-skipping ratio on real parquet footers (same probe
     // WriterSpec asserts as a >=2x boolean): linear-candidates /
@@ -129,9 +199,11 @@ object Bench {
         System.err.println(s"[bench] zorder: ${e.getMessage}"); -1.0
       }
 
-    val recallJson = recalls.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val recallJson = (annRecalls ++ pairRecalls)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"loaded":${loadBefore > idleThreshold},"recall":$recallJson,"zorder_skip_ratio":$zratio%.2f}""")
+    val extJson = passExt.map(v => f"$v%.2f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"ext_cpu_passes":$extJson,"loaded":$loaded,"recall":$recallJson,"zorder_skip_ratio":$zratio%.2f}""")
     spark.stop()
   }
 }

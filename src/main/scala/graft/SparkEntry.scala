@@ -46,5 +46,9 @@ object SparkEntry {
     "q25_text_stats", "q27_token_topk", "q30_minhash_neardup",
     "q31_simhash_neardup", "q33_ann_brute", "q33b_ann_brute_partial",
     "q35_ann_ivf", "q36b_embed_neardup_lsh", "q41_asof_join",
-    "q51_dedup_clusters", "q93_decontaminate")
+    "q51_dedup_clusters", "q93_decontaminate",
+    // the one two-source join in the pharma family (meds ⋈ labs via the
+    // managed catalog) — cheap, but it keeps the S8 ingestion edge and
+    // the catalog round-trip inside the per-round timing surface
+    "pharma_q15_lab_directory")
 }

@@ -20,8 +20,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val selected = SparkEntry.queries.filter { case (name, _) =>
+    val matched = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.contains)) }
+    // Drill-down coupling (ADVICE r8): the pharma oracles read raw-dump
+    // parquet that OTHER queries produce (__PHARMA_RAW__/__LABS_RAW__
+    // below). A drill-down that selects a dependent query but filters
+    // out its raw dump would hand DuckDB a path to a directory that was
+    // never written — force-include the dump whenever any selected
+    // oracle references its placeholder.
+    val rawDeps = Seq("__PHARMA_RAW__" -> "pharma_q00_raw_feed",
+      "__LABS_RAW__" -> "pharma_labs_raw")
+    val forced = rawDeps.collect {
+      case (placeholder, dump) if matched.keys.exists(k =>
+        SparkEntry.oracleSql.get(k).exists(_.contains(placeholder))) => dump
+    }
+    val selected = matched ++
+      SparkEntry.queries.filter { case (name, _) => forced.contains(name) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -78,11 +78,13 @@ object Zorder {
       .write.mode("overwrite").parquet(path)
 
   /** Outcome of [[skipProbe]]: candidate-file counts for the same band
-    * predicate under the two layouts, plus the written dirs so callers
-    * can make further assertions (row preservation etc.). */
+    * predicate under the two layouts, plus the z-layout's row count so
+    * callers can assert the clustering rewrite lost nothing. The probe
+    * dirs themselves are deleted before returning — Bench runs this
+    * every round on the sf lineitem, and two full table copies per run
+    * would accumulate in /tmp (ADVICE r8). */
   final case class SkipProbe(
-      linearDir: String, zorderDir: String,
-      linearCandidates: Long, zorderCandidates: Long)
+      linearCandidates: Long, zorderCandidates: Long, zorderRows: Long)
 
   /** Measure file-skipping on REAL parquet footers instead of trusting
     * the Morton-curve theory: write `df` twice — linear range-sort on
@@ -117,6 +119,11 @@ object Zorder {
           max(col(probeCol)).cast("double").as("mx"))
         .filter(col("mx") >= qLo && col("mn") <= qHi)
         .count()
-    SkipProbe(linDir, zDir, candidates(linDir), candidates(zDir))
+    val probe = SkipProbe(candidates(linDir), candidates(zDir),
+      spark.read.parquet(zDir).count())
+    Seq(linDir, zDir).foreach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    }
+    probe
   }
 }

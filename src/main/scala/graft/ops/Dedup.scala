@@ -244,6 +244,22 @@ object Dedup {
     * candidate set stays ~n²/2^planes per table instead of all pairs.
     * Candidates travel id-only; normalized vectors re-join once for the
     * verify dot product. */
+  /** (id, vn) with `vn` unit-normalized ONCE per row: norms are O(n), not
+    * O(pairs) as in a naive pairwise cosine. ‖v‖² = v·v through the fused
+    * codegen kernel (the aggregate-HOF fold runs interpreted), same
+    * element-ordered accumulation. Shared by the LSH path and the exact
+    * all-pairs reference so their verify cosines are bit-identical. */
+  private def unitNormalized(
+      df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vd"))
+      .withColumn("norm",
+        sqrt(graft.functions.SketchExpressions.dotProduct(col("vd"), col("vd"))))
+      .filter(col("norm") > 0)
+      .withColumn("vn", transform(col("vd"), x => x / col("norm")))
+      .select(col("id"), col("vn"))
+
   def embeddingNearDups(
       df: DataFrame,
       vecCol: String,
@@ -251,16 +267,7 @@ object Dedup {
       threshold: Double = 0.95,
       planes: Int = 8,
       tables: Int = 8): DataFrame = {
-    val base = df
-      .select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("vd"))
-      // ‖v‖² = v·v through the fused codegen kernel (the aggregate-HOF
-      // fold runs interpreted), same element-ordered accumulation
-      .withColumn("norm",
-        sqrt(graft.functions.SketchExpressions.dotProduct(col("vd"), col("vd"))))
-      .filter(col("norm") > 0)
-      .withColumn("vn", transform(col("vd"), x => x / col("norm")))
-      .select(col("id"), col("vn"))
+    val base = unitNormalized(df, vecCol, idCol)
     val sigs = base
       .select(col("id"), posexplode(
         graft.functions.SketchExpressions.allSignBits(col("vn"), planes, tables)))
@@ -275,6 +282,27 @@ object Dedup {
       .join(base.select(col("id").as("id_b"), col("vn").as("vn_b")), Seq("id_b"))
       // vectors are unit-normalized, so the verify cosine is one shared
       // dot-product fold (same code path as every other caller)
+      .withColumn("cosine",
+        round(Similarity.dotProduct(col("vn_a"), col("vn_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Exact all-pairs twin of [[embeddingNearDups]]: the same
+    * normalize-once base and round(dot, 6) threshold (bit-identical
+    * verify values), but candidate generation is the full crossJoin —
+    * O(n²), deliberately an ORACLE/recall baseline only, never a scale
+    * path. Bench runs it per round at sf0.1 to emit pair recall for the
+    * LSH paths (q36b/q36c) beside their wall-times, the same
+    * silent-quality-regression telemetry the ANN family carries
+    * (VERDICT r8 item 2). */
+  def exactEmbeddingPairs(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val base = unitNormalized(df, vecCol, idCol)
+    base.select(col("id").as("id_a"), col("vn").as("vn_a"))
+      .crossJoin(base.select(col("id").as("id_b"), col("vn").as("vn_b")))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         round(Similarity.dotProduct(col("vn_a"), col("vn_b")), 6))
       .filter(col("cosine") >= threshold)

@@ -32,11 +32,23 @@ object LabsFeed {
   val feedType: ArrayType = ArrayType(labStruct)
 
   /** Flatten a DataFrame holding raw feed documents (one JSON string per
-    * row in `jsonCol`) into one row per lab. */
+    * row in `jsonCol`) into one row per lab. Malformed documents parse to
+    * NULL (from_json PERMISSIVE) and explode drops them — a dirty feed
+    * degrades to fewer rows, never an abort; [[corrupt]] is the matching
+    * dead-letter relation. */
   def flatten(raw: DataFrame, jsonCol: String = "json"): DataFrame =
     raw
       .select(explode(from_json(col(jsonCol), feedType)).as("lab"))
       .select(col("lab.*"))
+
+  /** Documents [[flatten]] silently contributes zero rows for — the
+    * quarantine/dead-letter relation a production ingest routes to a
+    * replay sink, same discipline as the meds feed's corrupt-record
+    * handling (WriterSpec). Carries the raw document so a fixed parser
+    * can replay it. */
+  def corrupt(raw: DataFrame, jsonCol: String = "json"): DataFrame =
+    raw.filter(
+      from_json(col(jsonCol), feedType).isNull && col(jsonCol).isNotNull)
 
   /** Load a labs directory from JSON text already in memory (tests /
     * driver-fetched HTTP payloads) — the same seam as

@@ -37,16 +37,10 @@ object PharmaQueries {
     // session), which would satisfy tableExists AND win name resolution —
     // silently skipping the managed-table round-trip.
     if (!s.catalog.tableExists("default.medications")) {
-      // A managed-table location left by a PREVIOUS session is an orphan
-      // to this session's in-memory catalog, and Spark refuses to reuse
-      // it (LOCATION_ALREADY_EXISTS) — remove it before the first save.
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), "medications")
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      Cleaning.all(MedsFeed.fromJsonString(s, PharmaFixture.feedJson()))
-        .write.mode("overwrite").format("parquet")
-        .saveAsTable("default.medications")
+      // orphan-location cleanup (previous-session leftovers) lives in the
+      // shared helper — see TableStore.clearOrphanLocation
+      graft.core.TableStore.overwriteTable(s, "default.medications",
+        Cleaning.all(MedsFeed.fromJsonString(s, PharmaFixture.feedJson())))
     }
     s.table("default.medications")
   }
@@ -66,13 +60,8 @@ object PharmaQueries {
     * `medications`. */
   private[graft] def labs(s: SparkSession): DataFrame = {
     if (!s.catalog.tableExists("default.labs")) {
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), "labs")
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      LabsFeed.fromJsonString(s, PharmaFixture.labsJson())
-        .write.mode("overwrite").format("parquet")
-        .saveAsTable("default.labs")
+      graft.core.TableStore.overwriteTable(s, "default.labs",
+        LabsFeed.fromJsonString(s, PharmaFixture.labsJson()))
     }
     s.table("default.labs")
   }

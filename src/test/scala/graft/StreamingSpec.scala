@@ -344,4 +344,73 @@ class StreamingSpec extends SparkTestBase {
     // malformed payload → all-null struct, stream survives
     assert(rows.count(r => r.isNullAt(0)) === 1)
   }
+
+  test("Kafka builder options are pinned exactly (no broker needed to verify the map)") {
+    // The option map IS the builder's contract with the kafka source —
+    // this pins trigger rate (maxOffsetsPerTrigger), offset resume
+    // (startingOffsets), data-loss policy, and subscription. What stays
+    // unverifiable in-sandbox is only the connector's own behavior
+    // behind these options (no kafka jar/broker in the container).
+    val full = EventPipeline.kafkaSourceOptions(
+      "broker1:9092,broker2:9092", "events",
+      startingOffsets = """{"events":{"0":42}}""",
+      maxOffsetsPerTrigger = Some(10000L), failOnDataLoss = false)
+    assert(full === Map(
+      "kafka.bootstrap.servers" -> "broker1:9092,broker2:9092",
+      "subscribe" -> "events",
+      "startingOffsets" -> """{"events":{"0":42}}""",
+      "failOnDataLoss" -> "false",
+      "maxOffsetsPerTrigger" -> "10000"))
+    // defaults: earliest offsets, fail on data loss, no trigger cap
+    assert(EventPipeline.kafkaSourceOptions("b:9092", "t") === Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "subscribe" -> "t",
+      "startingOffsets" -> "earliest",
+      "failOnDataLoss" -> "true"))
+  }
+
+  test("kafka-shaped binary stream drives the production decode incrementally") {
+    // File-backed stub for the kafka source: the same binary `value`
+    // column the connector yields, streamed from parquet through the
+    // SAME decodeKafkaPayload plan readKafkaStream applies — so the full
+    // downstream path (payload parse, nanos→timestamp, quarantine) is
+    // verified incrementally without a broker.
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val ev = Tables.load(spark, sfDir, "events")
+    val payloads = ev.select(encode(to_json(struct(
+      col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"))),
+      "UTF-8").as("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kafka_stub")
+    def stageOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = dir.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(s"$name.parquet"))
+    }
+    stageOne(payloads, "payload0")
+    // one malformed payload: must quarantine (all-null row), not abort
+    import spark.implicits._
+    stageOne(Seq("definitely not json").toDF("s")
+      .select(encode(col("s"), "UTF-8").as("value")), "payload1")
+    val sink = s"t_kafka_${System.nanoTime()}"
+    val q = EventPipeline.decodeKafkaPayload(
+        spark.readStream
+          .schema(StructType(Seq(StructField("value", BinaryType))))
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(dir.toString))
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table(sink)
+    assert(got.filter(col("event_id").isNull).count() === 1L)
+    val decoded = got.filter(col("event_id").isNotNull)
+    val expected = ev.select("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    assert(decoded.count() === expected.count())
+    assert(decoded.exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(decoded).count() === 0L)
+  }
 }

@@ -92,6 +92,25 @@ class WriterSpec extends SparkTestBase {
     assert(parsed.filter(col("_bad").contains("not json")).count() === 1L)
   }
 
+  test("PERMISSIVE labs-feed ingestion quarantines corrupt documents instead of failing") {
+    // the labs directory arrives as whole JSON documents (one array per
+    // fetch); a malformed document must contribute zero rows to the
+    // flatten and land in the dead-letter relation for replay — the same
+    // discipline as the meds feed's corrupt-record handling above
+    import spark.implicits._
+    val raw = Seq(
+      graft.pharma.PharmaFixture.labsJson(),
+      "this is { not a labs feed").toDF("json")
+    val flat = graft.pharma.LabsFeed.flatten(raw)
+    assert(flat.count() ===
+      graft.pharma.LabsFeed.fromJsonString(
+        spark, graft.pharma.PharmaFixture.labsJson()).count())
+    val quarantined = graft.pharma.LabsFeed.corrupt(raw)
+    assert(quarantined.count() === 1L)
+    // the raw document survives whole for replay
+    assert(quarantined.head().getString(0).contains("not a labs feed"))
+  }
+
   test("z-order clustering skips files on the non-sort dimension, linear sort cannot") {
     val li = graft.core.Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
@@ -112,8 +131,9 @@ class WriterSpec extends SparkTestBase {
       s"linear layout unexpectedly pruned: ${probe.linearCandidates}")
     assert(probe.zorderCandidates * 2 <= probe.linearCandidates,
       s"zorder=${probe.zorderCandidates} linear=${probe.linearCandidates}")
-    // clustering must not lose or duplicate rows
-    assert(spark.read.parquet(probe.zorderDir).count() === li.count())
+    // clustering must not lose or duplicate rows (counted inside the
+    // probe — the probe dirs are cleaned up before it returns)
+    assert(probe.zorderRows === li.count())
   }
 
   test("mergeSchema unions parquet files written with evolved schemas") {
