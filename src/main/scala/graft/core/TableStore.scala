@@ -56,4 +56,50 @@ object TableStore {
     clearOrphanLocation(spark, table)
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
   }
+
+  /** Recover from a crash inside [[publishTable]]: restore or discard
+    * whatever the interrupted swap left, so a restarting writer (the
+    * upsert sink calls this before its stream starts) finds the table in
+    * a consistent state. Three cases:
+    *
+    *  - target intact → any staging residue is STALE (the writer died
+    *    before the drop): discard it. The interrupted batch was never
+    *    committed to the writer's checkpoint, so it replays and
+    *    re-merges idempotently.
+    *  - target missing, staging table in the catalog (same-session
+    *    crash between drop and rename) → finish the swap with the
+    *    rename that was about to run.
+    *  - target missing, only the staging DIRECTORY on disk (the crash
+    *    killed the session; the in-memory catalog lost both entries) →
+    *    re-publish the complete parquet snapshot from that directory.
+    *
+    * In every case a subsequent checkpoint-resumed batch replays over
+    * the restored snapshot; the latest-per-key merge is idempotent
+    * under replay of the same batch, so recovery + replay converges to
+    * the uninterrupted result. Returns true iff a snapshot was
+    * restored. */
+  def recoverStaging(spark: SparkSession, table: String): Boolean = {
+    val staging = table + "__staging"
+    if (spark.catalog.tableExists(table)) {
+      if (spark.catalog.tableExists(staging)) spark.sql(s"DROP TABLE $staging")
+      clearOrphanLocation(spark, staging)
+      false
+    } else if (spark.catalog.tableExists(staging)) {
+      clearOrphanLocation(spark, table)
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      true
+    } else {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), simpleName(staging))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) {
+        // distinct locations (staging dir → target dir), so the write can
+        // read the snapshot lazily; delete the staging dir only after the
+        // republish has fully materialized the target
+        overwriteTable(spark, table, spark.read.parquet(loc.toString))
+        fs.delete(loc, true)
+        true
+      } else false
+    }
+  }
 }

@@ -208,12 +208,15 @@ object EventPipeline {
     * BETWEEN batches, and parquet + an in-memory catalog give no
     * transactional commit — so the claim is exactly-once under graceful
     * stop. The stage-then-swap publish narrows the mid-batch-crash
-    * window to the two catalog ops of the swap (the complete new
-    * snapshot already exists in `<table>__staging` at that point, so a
-    * crash there is recoverable by hand, unlike a torn in-place
-    * overwrite — but it is not atomic). A lakehouse table format
-    * (Delta/Iceberg) closes the window by making the swap one
-    * transaction-log commit.
+    * window to the two catalog ops of the swap — the complete new
+    * snapshot already exists in `<table>__staging` at that point, and
+    * this method calls TableStore.recoverStaging on entry, so a
+    * restarted writer finishes (or discards) an interrupted swap before
+    * its first batch; the replayed batch then re-merges idempotently
+    * over the restored snapshot (TableStoreSpec + the resume-after-swap
+    * StreamingSpec case). Still not atomic for a concurrent READER in
+    * the swap window; a lakehouse table format (Delta/Iceberg) closes
+    * that by making the swap one transaction-log commit.
     *
     * 100 TB caveat (same class as the CC loop's
     * localCheckpoint→checkpoint note): this merge is O(table) PER
@@ -235,6 +238,9 @@ object EventPipeline {
   def runUpsertSinkFromDir(
       spark: SparkSession, dir: String, table: String,
       checkpoint: Option[String] = None): Long = {
+    // restart path: finish (or discard) any swap a previous run died
+    // inside, BEFORE the stream's first batch reads the table
+    graft.core.TableStore.recoverStaging(spark, table)
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)

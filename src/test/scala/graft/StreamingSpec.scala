@@ -271,6 +271,47 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("upsert sink resumed over a mid-swap crash state recovers and converges") {
+    // Complement to the graceful kill-and-restart case: fake the WORST
+    // crash point — target dropped, complete snapshot stranded in the
+    // staging table (publishTable died between its two catalog ops) —
+    // then resume with new files. runUpsertSinkFromDir must recover the
+    // snapshot before its first batch and converge to the uninterrupted
+    // answer.
+    val ev = Tables.load(spark, sfDir, "events")
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tableFull = s"upsert_swapfull_$uuid"
+    val table = s"upsert_swapcrash_$uuid"
+    try {
+      EventPipeline.runUpsertSink(spark, ev, tableFull, parts = 4)
+      val dir = EventPipeline.stageAsStreamDir(ev, parts = 4)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_swap_ckpt").toString
+      val hidden = java.nio.file.Files.createTempDirectory("graft_swap_hide")
+      Seq("events_2.parquet", "events_3.parquet").foreach { f =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(dir, f), hidden.resolve(f))
+      }
+      assert(EventPipeline.runUpsertSinkFromDir(spark, dir, table, Some(ckpt)) === 2L)
+      // forge the mid-swap crash state from the current published table
+      val snap = spark.table(table).localCheckpoint(eager = true)
+      spark.sql(s"DROP TABLE $table")
+      graft.core.TableStore.overwriteTable(spark, table + "__staging", snap)
+      Seq("events_2.parquet", "events_3.parquet").foreach { f =>
+        java.nio.file.Files.move(
+          hidden.resolve(f), java.nio.file.Paths.get(dir, f))
+      }
+      assert(EventPipeline.runUpsertSinkFromDir(spark, dir, table, Some(ckpt)) === 2L)
+      assert(!spark.catalog.tableExists(table + "__staging"))
+      val full = spark.table(tableFull)
+      val resumed = spark.table(table)
+      assert(resumed.exceptAll(full).count() === 0L)
+      assert(full.exceptAll(resumed).count() === 0L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tableFull")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("checkpointed file-sink query restarts without reprocessing") {
     // Restart semantics: a stopped query resumed with the SAME checkpoint
     // must pick up only NEW files — the exactly-once file-sink contract.

@@ -67,4 +67,51 @@ class TableStoreSpec extends SparkTestBase {
       assert(spark.table(table).agg(sum(col("x"))).head().getDouble(0) === 30.0)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("recoverStaging finishes a same-session swap interrupted between drop and rename") {
+    import spark.implicits._
+    val table = uniq("ts_midswap")
+    try {
+      // the exact crash state: complete snapshot in the staging table,
+      // target already dropped, rename never ran
+      TableStore.overwriteTable(spark, table + "__staging",
+        Seq((1L, "recovered")).toDF("id", "v"))
+      assert(!spark.catalog.tableExists(table))
+      assert(TableStore.recoverStaging(spark, table))
+      assert(spark.table(table).head().getString(1) === "recovered")
+      assert(!spark.catalog.tableExists(table + "__staging"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("recoverStaging re-publishes from a cross-session orphan staging directory") {
+    import spark.implicits._
+    val table = uniq("ts_crashdir")
+    // a crash that killed the session leaves ONLY the staging directory:
+    // the in-memory catalog lost both entries
+    val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    val stagingDir = java.nio.file.Paths.get(wh, table + "__staging")
+    try {
+      Seq((7L, "survived")).toDF("id", "v")
+        .write.parquet(stagingDir.toString)
+      assert(TableStore.recoverStaging(spark, table))
+      assert(spark.table(table).head().getString(1) === "survived")
+      assert(!java.nio.file.Files.exists(stagingDir))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("recoverStaging discards stale staging when the target is intact") {
+    import spark.implicits._
+    val table = uniq("ts_stale")
+    try {
+      // writer died BEFORE the drop: published table intact, staging
+      // residue present — the interrupted batch replays from its
+      // checkpoint, so the residue must be discarded, not swapped in
+      TableStore.publishTable(spark, table, Seq((1L, "live")).toDF("id", "v"))
+      TableStore.overwriteTable(spark, table + "__staging",
+        Seq((2L, "stale")).toDF("id", "v"))
+      assert(!TableStore.recoverStaging(spark, table))
+      assert(spark.table(table).head().getString(1) === "live")
+      assert(!spark.catalog.tableExists(table + "__staging"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
