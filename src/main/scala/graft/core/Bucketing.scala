@@ -41,6 +41,9 @@ object Bucketing {
       df: DataFrame, table: String, partitionCol: String): Unit = {
     val spark = df.sparkSession
     if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $table")
+    // a previous SESSION's managed directory survives the in-memory
+    // catalog; creating over it raises LOCATION_ALREADY_EXISTS
+    TableStore.clearOrphanLocation(spark, table)
     df.write.format("parquet")
       .partitionBy(partitionCol)
       .mode("overwrite").saveAsTable(table)

@@ -223,6 +223,31 @@ object StreamingQueries {
             FROM events) t
       WHERE rn = 1"""))
 
+  /** Partition-scoped twin of q87: same streaming upsert contract
+    * (latest event per user, total tie-break, independent of the
+    * micro-batch split) through the SCALE-PATH sink — the table is
+    * hash-partitioned on the key and each micro-batch merges and
+    * rewrites only the partitions it touches (dynamic partition
+    * overwrite) instead of snapshotting the whole table. Identical
+    * final state, so the oracle is q87's; the partition-scoping itself
+    * (untouched partitions byte-identical across a batch) is asserted
+    * in StreamingSpec. */
+  val q87bStreamUpsertPartitioned = GraftQuery(
+    "q87b_stream_upsert_partitioned", { (s, dir) =>
+      val table = s"upsert_part_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      EventPipeline.runPartitionedUpsertSink(
+        s, Tables.load(s, dir, "events"), table, buckets = 16, parts = 4)
+      val summary = s.table(table).agg(
+          count(lit(1)).as("rows_in_table"),
+          countDistinct(col("user_id")).as("distinct_users"),
+          round(sum(col("value")), 2).as("sum_latest_value"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_ts"))
+        .localCheckpoint(eager = true)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      summary
+    },
+    q87StreamUpsertSink.oracle)
+
   /** Streaming twin of q93's decontamination screen: corpus documents
     * arrive as a file stream (replayed TWICE across four files so
     * micro-batch boundaries and cross-batch state both matter), each
@@ -275,5 +300,6 @@ object StreamingQueries {
   val all: Seq[GraftQuery] = Seq(
     q37StreamTumbling, q38StreamSessions, q39MultimodalDecode,
     q44StreamStaticJoin, q45StreamDedup, q46StreamState, q63StreamStreamJoin,
-    q86StreamSliding, q87StreamUpsertSink, q98StreamDecontaminate)
+    q86StreamSliding, q87StreamUpsertSink, q87bStreamUpsertPartitioned,
+    q98StreamDecontaminate)
 }

@@ -99,6 +99,43 @@ class PlanSpec extends SparkTestBase {
     assert(math.abs(actualSum - expectedSum) < 1e-6)
   }
 
+  test("partitioned-upsert merge plan prunes to the touched buckets at planning time") {
+    // The read-side half of the partition-scoped upsert sink's O(touched)
+    // claim (StreamingSpec proves the write side by file mtimes): the
+    // batch's bucket ids must land in the scan's PartitionFilters as a
+    // literal IN — a post-scan Filter would still list and read every
+    // partition's files.
+    import graft.streaming.EventPipeline
+    val buckets = 8L
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("__bucket", pmod(xxhash64(col("user_id")), lit(buckets)))
+    Bucketing.writePartitioned(ev, "events_upsert_plan", "__bucket")
+    // a batch touching a strict subset of buckets, with no helpful
+    // lineage: re-read from a staged file like a real micro-batch
+    val stage = java.nio.file.Files.createTempDirectory("graft_plan_batch")
+    ev.limit(3).write.mode("overwrite").parquet(stage.toString)
+    EventPipeline.registerTempCleanup(stage)
+    val incoming = spark.read.parquet(stage.toString)
+    val merged = EventPipeline.partitionedMergeFrame(
+      spark, "events_upsert_plan", incoming)
+    val p = planOf(merged)
+    val touched = incoming.select("__bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(touched.nonEmpty && touched.length < buckets,
+      s"fixture batch must touch a strict subset of buckets, got ${touched.length}")
+    // the table scan's PartitionFilters must carry the touched ids as a
+    // planning-time predicate (Catalyst renders a 1-element IN as `=`)
+    val pf = """events_upsert_plan.*?PartitionFilters: \[([^\]]*)\]""".r
+      .findFirstMatchIn(p).map(_.group(1))
+      .getOrElse(fail(s"no PartitionFilters on the table scan:\n$p"))
+    assert(pf.contains("__bucket"), pf)
+    assert(pf.contains(" IN (") || pf.contains(" = "),
+      s"expected a literal bucket predicate, got: $pf")
+    touched.foreach(b => assert(pf.contains(b.toString),
+      s"bucket $b missing from PartitionFilters: $pf"))
+    spark.sql("DROP TABLE IF EXISTS events_upsert_plan")
+  }
+
   test("dynamic partition pruning fires for a join against a filtered dimension") {
     val ev = Tables.load(spark, sfDir, "events")
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))

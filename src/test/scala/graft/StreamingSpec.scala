@@ -312,6 +312,89 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned upsert sink converges to the batch latest-per-user state") {
+    // Scale-path twin of the snapshot-sink convergence test: same final
+    // state contract, through the hash-partitioned dynamic-overwrite
+    // merge instead of the whole-table snapshot.
+    val ev = Tables.load(spark, sfDir, "events")
+    val table = s"upsert_part_spec_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    EventPipeline.runPartitionedUpsertSink(spark, ev, table, buckets = 8, parts = 4)
+    try {
+      val got = spark.table(table)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val expected = ev
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      assert(got.exceptAll(expected).count() === 0L)
+      assert(expected.exceptAll(got).count() === 0L)
+      assert(got.count() === ev.select(col("user_id")).distinct().count())
+      // and the table is genuinely hash-partitioned: keys spread over
+      // more than one __bucket partition
+      assert(spark.table(table).select("__bucket").distinct().count() > 1L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("partitioned upsert batch rewrites ONLY the partitions it touches") {
+    // The claim that makes this sink the scale path: a micro-batch whose
+    // keys land in one bucket must leave every other bucket's partition
+    // directory byte-identical (same files, same mtimes) — per-batch
+    // cost O(touched partitions), not O(table).
+    val ev = Tables.load(spark, sfDir, "events")
+    val table = s"upsert_scope_spec_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val buckets = 8
+    try {
+      val dir = EventPipeline.stageAsStreamDir(ev, parts = 2)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_part_ckpt").toString
+      assert(EventPipeline.runPartitionedUpsertSinkFromDir(
+        spark, dir, table, buckets, Some(ckpt)) === 2L)
+      // per-partition file fingerprint (name, length, mtime) from the
+      // managed table's warehouse location
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def partitionFiles(): Map[String, Set[(String, Long, Long)]] =
+        fs.listStatus(loc).filter(_.isDirectory).map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath)
+            .filter(_.isFile)
+            .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+            .toSet
+        }.toMap
+      val before = partitionFiles()
+      assert(before.size > 1, "fixture keys must span multiple buckets")
+      // a strictly-newer event for ONE existing user, staged as a third
+      // file and consumed by a checkpoint-resumed run (1 new batch only)
+      val one = ev.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+        .withColumn("event_id", lit(10000000L))
+        .withColumn("value", lit(42.5))
+        .localCheckpoint(eager = true)
+      val oneDir = EventPipeline.stageAsStreamDir(one, parts = 1)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(oneDir, "events.parquet"),
+        java.nio.file.Paths.get(dir, "events_2.parquet"))
+      assert(EventPipeline.runPartitionedUpsertSinkFromDir(
+        spark, dir, table, buckets, Some(ckpt)) === 1L)
+      val after = partitionFiles()
+      val userId = one.select("user_id").head().getLong(0)
+      val touched = spark.range(1)
+        .select(pmod(xxhash64(lit(userId)), lit(buckets.toLong)))
+        .head().getLong(0)
+      val touchedDir = s"__bucket=$touched"
+      assert(after(touchedDir) !== before(touchedDir),
+        "the touched bucket must be rewritten")
+      (before.keySet - touchedDir).foreach { p =>
+        assert(after(p) === before(p), s"untouched partition $p was rewritten")
+      }
+      // and the merge took: the new event is the user's published row
+      val published = spark.table(table)
+        .filter(col("user_id") === userId).select("event_id", "value").head()
+      assert(published.getLong(0) === 10000000L)
+      assert(published.getDouble(1) === 42.5)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("checkpointed file-sink query restarts without reprocessing") {
     // Restart semantics: a stopped query resumed with the SAME checkpoint
     // must pick up only NEW files — the exactly-once file-sink contract.
