@@ -57,6 +57,89 @@ object TableStore {
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
   }
 
+  // ---- versioned publish: reader-atomic swap + time travel ----------
+  //
+  // publishTable's drop+rename swap has a two-catalog-op window in which
+  // a concurrent reader resolves nothing, and an overwrite deletes files
+  // under any in-flight scan. The versioned publish closes both: data
+  // lands in an immutable per-version table `<table>__v{k}` and ONE
+  // catalog operation (CREATE OR REPLACE VIEW) repoints `table` at it.
+  // Readers therefore always resolve a complete snapshot, and a reader
+  // that resolved version k-1 before the swap keeps scanning k-1's
+  // files untouched until vacuumVersions reclaims them — snapshot
+  // isolation, the same reader contract a lakehouse transaction log
+  // provides, emulated on the catalog (versions = immutable snapshots,
+  // the view = the log's head pointer, vacuum = retention). Single
+  // writer assumed, exactly like every other sink here: multi-writer
+  // conflict detection is the part that genuinely needs a real log.
+
+  /** Publish `df` as the next version of `table` and atomically repoint
+    * the `table` view at it. Returns the new version number. The name
+    * must be free or already a versioned-publish view — a plain table
+    * under this name fails with a named cause rather than being
+    * silently shadowed. Crash between the data write and the view swap
+    * leaves an orphan `__v{k}` table: readers still resolve the previous
+    * complete version, and [[vacuumVersions]] reclaims orphans above the
+    * published head. */
+  def publishVersioned(spark: SparkSession, table: String, df: DataFrame): Long = {
+    if (spark.catalog.tableExists(table) &&
+        spark.catalog.getTable(table).tableType != "VIEW")
+      throw new IllegalStateException(
+        s"$table exists as a ${spark.catalog.getTable(table).tableType} table — " +
+          "versioned publish needs the name free or a graft version view")
+    val next = listVersions(spark, table).lastOption.getOrElse(0L) + 1
+    overwriteTable(spark, s"${table}__v$next", df)
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $table
+         |TBLPROPERTIES ('graft.version' = '$next')
+         |AS SELECT * FROM ${table}__v$next""".stripMargin)
+    next
+  }
+
+  /** All version numbers of `table` present in the catalog, ascending
+    * (catalog METADATA — bounded by the retention policy, not data). */
+  def listVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val prefix = simpleName(table).toLowerCase + "__v"
+    spark.catalog.listTables().collect().toSeq.map(_.name)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
+      .sorted
+  }
+
+  /** The version the `table` view currently serves, if any. */
+  def currentVersion(spark: SparkSession, table: String): Option[Long] =
+    if (!spark.catalog.tableExists(table)) None
+    else scala.util.Try(
+      spark.sql(s"SHOW TBLPROPERTIES $table ('graft.version')")
+        .head().getString(1).toLong).toOption
+
+  /** Time travel: read version `version` of `table` regardless of what
+    * the head view serves. Fails (table not found) once the version has
+    * been vacuumed. */
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
+    spark.table(s"${table}__v$version")
+
+  /** Reclaim old snapshots: keep the current head plus the latest `keep`
+    * published versions, drop everything else — including orphan
+    * versions ABOVE the head, which a crash between data write and view
+    * swap leaves behind (they were never visible to any reader). The
+    * retention window is the time-travel horizon: a reader still
+    * scanning a version older than `keep` publishes loses its files,
+    * exactly Delta's VACUUM tradeoff. Returns the dropped versions. */
+  def vacuumVersions(
+      spark: SparkSession, table: String, keep: Int = 2): Seq[Long] = {
+    val cur = currentVersion(spark, table)
+    val published = listVersions(spark, table)
+      .filter(v => cur.forall(_ >= v))
+    val retain = published.takeRight(keep).toSet ++ cur
+    val dropped = listVersions(spark, table).filterNot(retain)
+    dropped.foreach { v =>
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v")
+      clearOrphanLocation(spark, s"${table}__v$v")
+    }
+    dropped
+  }
+
   /** Recover from a crash inside [[publishTable]]: restore or discard
     * whatever the interrupted swap left, so a restarting writer (the
     * upsert sink calls this before its stream starts) finds the table in

@@ -917,6 +917,58 @@ object Relational {
         count(CASE WHEN k >= 10000000 THEN 1 END) AS inserted
       FROM merged"""))
 
+  /** Partition-scoped twin of q79 — the batch MERGE run against REAL
+    * storage with the scale-path write: the target is materialized as a
+    * hash-partitioned managed table, the change batch's bucket ids
+    * become a planning-time partition predicate (same pruning contract
+    * PlanSpec asserts for the streaming sink's merge), the full-outer
+    * coalesce-MERGE runs only over the touched buckets, and dynamic
+    * partition overwrite rewrites exactly those buckets. The read-back
+    * aggregate equals q79's pure-plan answer, so the oracle is q79's —
+    * which checks the END STATE ON DISK, not just the merge expression.
+    * Per-batch cost O(touched partitions), not O(table): the batch form
+    * of the q87b argument (EventPipeline.runPartitionedUpsertSinkFromDir
+    * carries the full 100 TB rationale). */
+  val q79bMergePartitioned = GraftQuery(
+    "q79b_merge_upsert_partitioned", { (s, dir) =>
+      val buckets = 16L
+      val table =
+        s"merge_part_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      def bucketed(df: DataFrame): DataFrame =
+        df.withColumn("__bucket", pmod(xxhash64(col("k")), lit(buckets)))
+      val target = bucketed(t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal")))
+      graft.core.Bucketing.writePartitioned(target, table, "__bucket")
+      try {
+        val base = t(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+        val updates = base.filter(col("k") % 10 === 0)
+          .select(col("k"), (col("bal") + 100.0).as("new_bal"))
+        val inserts = base.filter(col("k") % 10 === 1)
+          .select((col("k") + 10000000L).as("k"), col("bal").as("new_bal"))
+        val batch = bucketed(updates.union(inserts))
+        // partition METADATA, not data: ≤ buckets ids (see
+        // EventPipeline.partitionedMergeFrame for why a literal IN, not
+        // a semi-join, is what actually prunes the scan)
+        val touched = batch.select(col("__bucket")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        val current = s.table(table).filter(col("__bucket").isin(touched: _*))
+        // joining on (__bucket, k) keeps one partition column through the
+        // full outer; __bucket is a function of k so the pairs agree
+        val merged = current.join(batch, Seq("__bucket", "k"), "full_outer")
+          .select(col("k"), coalesce(col("new_bal"), col("bal")).as("bal"),
+            col("__bucket"))
+          .localCheckpoint(eager = true) // insertInto must not read its target
+        graft.core.Bucketing.overwritePartitions(merged, table)
+        s.table(table).agg(
+            count(lit(1)).as("rows_after_merge"),
+            round(sum(col("bal")), 2).as("total_balance"),
+            count(when(col("k") >= 10000000L, 1)).as("inserted"))
+          .localCheckpoint(eager = true)
+      } finally s.sql(s"DROP TABLE IF EXISTS $table")
+    },
+    q79MergeUpsert.oracle)
+
   /** Latest-record-per-key compaction — the upsert-log collapse every
     * CDC pipeline runs: row_number() DESC over (key, time) keeps exactly
     * the newest version. Demonstrated on the doubled order stream where
@@ -1162,7 +1214,8 @@ object Relational {
 
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin,
-    q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q80LatestPerKey,
+    q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q79bMergePartitioned,
+    q80LatestPerKey,
     q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,
     q96RecursiveCalendar, q97MapRoundtrip,
     q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,

@@ -88,6 +88,34 @@ object EventPipeline {
       .select("e.*")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Encode an event frame into Kafka-wire shape — binary `value` (JSON
+    * payload, `ts` as int64 nanos exactly like the parquet files and
+    * [[decodeKafkaPayload]]'s expectation) and `key` (user_id bytes, so
+    * a topic partitions by user and per-user ordering survives the
+    * round-trip). The write-side twin of [[decodeKafkaPayload]]:
+    * StreamingSpec asserts decode ∘ encode = identity on the event
+    * schema, which pins the payload contract from BOTH directions
+    * without a broker. Production emit is then
+    * `encodeKafkaPayload(df).writeStream.format("kafka")
+    * .options(kafkaSinkOptions(...)).start()` — only that final
+    * connector hop needs the jar absent from this container. */
+  def encodeKafkaPayload(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").cast("string").cast("binary").as("key"),
+      to_json(struct(
+        col("event_id"),
+        expr("unix_micros(ts) * 1000").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props")))
+        .cast("binary").as("value"))
+
+  /** Option map for the Kafka SINK — write-side twin of
+    * [[kafkaSourceOptions]], test-pinned for the same reason (the
+    * connector jar is absent in-sandbox; the option contract is not). */
+  def kafkaSinkOptions(bootstrapServers: String, topic: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "topic" -> topic)
+
   /** Kafka twin of [[readEventStream]] — the production ingestion edge
     * the file source stands in for. The builder is
     * [[kafkaSourceOptions]] (option map, test-pinned) feeding
@@ -331,6 +359,12 @@ object EventPipeline {
           // lands last in the table schema, as insertInto expects)
           graft.core.Bucketing.writePartitioned(incoming, table, "__bucket")
         else {
+          // fail with a named cause, not insertInto's positional-schema
+          // confusion, when the name collides with a non-bucketed table
+          // (e.g. one the SNAPSHOT sink published)
+          require(spark.table(table).columns.contains("__bucket"),
+            s"table $table exists but has no __bucket partition column — " +
+              "it was not created by the partition-scoped upsert sink")
           val merged = partitionedMergeFrame(spark, table, incoming)
             // break lineage: insertInto rejects a plan that reads its own
             // target; materialized size is bounded by the TOUCHED

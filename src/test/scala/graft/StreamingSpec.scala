@@ -493,6 +493,48 @@ class StreamingSpec extends SparkTestBase {
       "failOnDataLoss" -> "true"))
   }
 
+  test("Kafka encode/decode round-trips the event schema; key carries the user") {
+    // Write-side half of the payload contract: decode ∘ encode must be
+    // identity on the event schema, so an event emitted by this engine's
+    // sink is bit-identical after another instance's source decodes it.
+    val ev = Tables.load(spark, sfDir, "events")
+    val wire = EventPipeline.encodeKafkaPayload(ev)
+    assert(wire.columns.toSeq === Seq("key", "value"))
+    val back = EventPipeline.decodeKafkaPayload(wire.select("value"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val expected = ev.select(cols.map(col).toIndexedSeq: _*)
+    val got = back.select(cols.map(col).toIndexedSeq: _*)
+    assert(got.exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(got).count() === 0L)
+    // key = user_id bytes: per-user ordering survives topic partitioning
+    val keyed = wire.select(decode(col("key"), "UTF-8").cast("long").as("k"))
+    assert(keyed.filter(col("k").isNull).count() === 0L)
+    assert(keyed.distinct().count() ===
+      ev.select(col("user_id")).distinct().count())
+    // sink option map pinned like the source's
+    assert(EventPipeline.kafkaSinkOptions("b:9092", "events_out") === Map(
+      "kafka.bootstrap.servers" -> "b:9092", "topic" -> "events_out"))
+  }
+
+  test("partitioned upsert sink refuses a table the snapshot sink owns") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val table = s"upsert_clash_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      // a non-bucketed table published under the target name
+      graft.core.TableStore.overwriteTable(spark, table, ev.limit(5))
+      val dir = EventPipeline.stageAsStreamDir(ev, parts = 1)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        EventPipeline.runPartitionedUpsertSinkFromDir(spark, dir, table)
+      }
+      // foreachBatch wraps the require; the named cause must surface
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c =>
+        c.getMessage != null && c.getMessage.contains("__bucket partition column")),
+        s"expected the named guard, got: ${e.getMessage}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("kafka-shaped binary stream drives the production decode incrementally") {
     // File-backed stub for the kafka source: the same binary `value`
     // column the connector yields, streamed from parquet through the

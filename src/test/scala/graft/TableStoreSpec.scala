@@ -99,6 +99,79 @@ class TableStoreSpec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("versioned publish: one-op view swap, time travel, snapshot isolation for in-flight readers") {
+    import spark.implicits._
+    val table = uniq("ts_ver")
+    try {
+      assert(TableStore.publishVersioned(spark, table,
+        Seq((1L, "first")).toDF("id", "v")) === 1L)
+      assert(spark.table(table).head().getString(1) === "first")
+      // resolve the head BEFORE the next publish: this plan is bound to
+      // version 1's files, which the publish must not disturb
+      val inFlight = spark.table(table)
+      assert(TableStore.publishVersioned(spark, table,
+        Seq((2L, "second"), (3L, "second")).toDF("id", "v")) === 2L)
+      // head serves v2; the in-flight reader still sees v1 intact
+      assert(spark.table(table).count() === 2L)
+      assert(spark.table(table).filter(col("v") === "first").count() === 0L)
+      assert(inFlight.collect().map(_.getString(1)).toSeq === Seq("first"))
+      // time travel + catalog state
+      assert(TableStore.readVersion(spark, table, 1L)
+        .head().getString(1) === "first")
+      assert(TableStore.listVersions(spark, table) === Seq(1L, 2L))
+      assert(TableStore.currentVersion(spark, table) === Some(2L))
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $table")
+      TableStore.listVersions(spark, table)
+        .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
+    }
+  }
+
+  test("vacuumVersions keeps the head and retention window, reclaims old and orphan versions") {
+    import spark.implicits._
+    val table = uniq("ts_vac")
+    try {
+      (1 to 3).foreach(i => TableStore.publishVersioned(spark, table,
+        Seq((i.toLong, s"v$i")).toDF("id", "v")))
+      // crash residue: a version table ABOVE the head with no view swap
+      TableStore.overwriteTable(spark, s"${table}__v9",
+        Seq((9L, "orphan")).toDF("id", "v"))
+      assert(TableStore.listVersions(spark, table) === Seq(1L, 2L, 3L, 9L))
+      val dropped = TableStore.vacuumVersions(spark, table, keep = 2)
+      // v1 aged out; v9 was never published; v2 (retention) + v3 (head) stay
+      assert(dropped === Seq(1L, 9L))
+      assert(TableStore.listVersions(spark, table) === Seq(2L, 3L))
+      assert(spark.table(table).head().getString(1) === "v3")
+      assert(TableStore.readVersion(spark, table, 2L).head().getString(1) === "v2")
+      intercept[Exception](TableStore.readVersion(spark, table, 1L).collect())
+      // the vacuumed version's warehouse directory is reclaimed too
+      val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(wh, s"${table}__v1".toLowerCase)))
+      // a publish after vacuum continues the numbering past the head
+      assert(TableStore.publishVersioned(spark, table,
+        Seq((4L, "v4")).toDF("id", "v")) === 4L)
+      assert(spark.table(table).head().getString(1) === "v4")
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $table")
+      TableStore.listVersions(spark, table)
+        .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
+    }
+  }
+
+  test("versioned publish refuses a name owned by a plain table") {
+    import spark.implicits._
+    val table = uniq("ts_verclash")
+    try {
+      TableStore.overwriteTable(spark, table, Seq((1L, "plain")).toDF("id", "v"))
+      val e = intercept[IllegalStateException](
+        TableStore.publishVersioned(spark, table, Seq((2L, "x")).toDF("id", "v")))
+      assert(e.getMessage.contains("versioned publish"))
+      // the plain table is untouched
+      assert(spark.table(table).head().getString(1) === "plain")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("recoverStaging discards stale staging when the target is intact") {
     import spark.implicits._
     val table = uniq("ts_stale")
