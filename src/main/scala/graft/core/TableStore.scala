@@ -140,6 +140,44 @@ object TableStore {
     dropped
   }
 
+  /** OPTIMIZE-style compaction for an UNPARTITIONED managed table: the
+    * many small files accumulated by incremental writes are rewritten as
+    * `files` large ones (coalesce — narrow, no shuffle) and published
+    * stage-then-swap so a reader never sees a half-compacted table.
+    * Pure layout change: same rows, same schema. At 100 TB this is the
+    * maintenance op that keeps scan task counts and footer overhead
+    * sane after many small appends; `files` should target ~128 MB-1 GB
+    * per file on a real cluster. */
+  def compactTable(spark: SparkSession, table: String, files: Int = 1): Unit =
+    publishTable(spark, table, spark.table(table).coalesce(files))
+
+  /** OPTIMIZE for a Hive-partitioned managed table: rewrite each
+    * partition's content as a single file (repartition by the partition
+    * column co-locates each value in one task, so each partition
+    * directory receives exactly one file), committed with dynamic
+    * partition overwrite so untouched partitions keep their files. Use
+    * after many partition-scoped upserts when per-partition file counts
+    * grow.
+    *
+    * `values` scopes the pass to those partition values; empty = all.
+    * The materialization (insertInto must not read its own target) is
+    * bounded by the scoped partitions, so the 100 TB pattern is to ROLL
+    * the compaction over the partition space in bounded batches rather
+    * than one whole-table pass — same touched-partition discipline as
+    * the partition-scoped upsert itself. */
+  def compactPartitions(
+      spark: SparkSession, table: String, partitionCol: String,
+      values: Seq[Any] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val base = spark.table(table)
+    val scoped =
+      if (values.isEmpty) base
+      else base.filter(col(partitionCol).isin(values: _*))
+    val compacted = scoped.repartition(col(partitionCol))
+      .localCheckpoint(eager = true)
+    Bucketing.overwritePartitions(compacted, table)
+  }
+
   /** Recover from a crash inside [[publishTable]]: restore or discard
     * whatever the interrupted swap left, so a restarting writer (the
     * upsert sink calls this before its stream starts) finds the table in

@@ -266,10 +266,14 @@ object EventPipeline {
     * reprocess. */
   def runUpsertSinkFromDir(
       spark: SparkSession, dir: String, table: String,
-      checkpoint: Option[String] = None): Long = {
+      checkpoint: Option[String] = None,
+      versioned: Boolean = false): Long = {
     // restart path: finish (or discard) any swap a previous run died
-    // inside, BEFORE the stream's first batch reads the table
-    graft.core.TableStore.recoverStaging(spark, table)
+    // inside, BEFORE the stream's first batch reads the table. The
+    // versioned mode has no swap to recover: the head view always
+    // points at a complete snapshot, and crash residue is an orphan
+    // __v{k} table the per-batch vacuum reclaims.
+    if (!versioned) graft.core.TableStore.recoverStaging(spark, table)
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val stream = readEventStream(spark, dir,
       glob = "events*.parquet", maxFilesPerTrigger = Some(1))
@@ -282,11 +286,23 @@ object EventPipeline {
           if (spark.catalog.tableExists(table))
             latestPerUser(spark.table(table).unionByName(incoming))
           else incoming
-        // stage-then-swap: the plan reads `table` while writing to the
-        // staging table, then two catalog ops publish it — no eager
-        // materialization, no self-overwrite (see docstring for the
-        // crash-window bounds)
-        graft.core.TableStore.publishTable(spark, table, merged)
+        if (versioned) {
+          // reader-atomic mode: each batch's snapshot becomes the next
+          // immutable version and ONE catalog op repoints the head, so
+          // a concurrent dashboard reader NEVER hits the swap window
+          // (and an in-flight scan keeps its version's files). The
+          // merge plan reads the head view (previous version's table) —
+          // distinct location from the new version being written, so no
+          // self-overwrite. Retention of 2 bounds disk at ~3 snapshots.
+          graft.core.TableStore.publishVersioned(spark, table, merged)
+          graft.core.TableStore.vacuumVersions(spark, table, keep = 2)
+          ()
+        } else
+          // stage-then-swap: the plan reads `table` while writing to the
+          // staging table, then two catalog ops publish it — no eager
+          // materialization, no self-overwrite (see docstring for the
+          // crash-window bounds)
+          graft.core.TableStore.publishTable(spark, table, merged)
       }
     checkpoint.foreach(writer.option("checkpointLocation", _))
     val q = writer.start()

@@ -312,6 +312,42 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("versioned upsert sink: head always readable, converges, retention bounds versions") {
+    // The reader-atomic mode: every micro-batch publishes an immutable
+    // version and repoints the head view in one catalog op, so a
+    // concurrent dashboard never hits the drop+rename swap window. Same
+    // final state as the snapshot sink; per-batch vacuum keeps the
+    // version count bounded.
+    import graft.core.TableStore
+    val ev = Tables.load(spark, sfDir, "events")
+    val table = s"upsert_ver_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      val dir = EventPipeline.stageAsStreamDir(ev, parts = 4)
+      assert(EventPipeline.runUpsertSinkFromDir(
+        spark, dir, table, versioned = true) === 4L)
+      val got = spark.table(table)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val expected = ev
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      assert(got.exceptAll(expected).count() === 0L)
+      assert(expected.exceptAll(got).count() === 0L)
+      // 4 batches published versions 1..4; vacuum(keep=2) after each
+      // batch leaves the head + 2 — version count is bounded, not ∝ batches
+      assert(TableStore.currentVersion(spark, table) === Some(4L))
+      val vs = TableStore.listVersions(spark, table)
+      assert(vs.size <= 3, s"retention must bound versions, got $vs")
+      // time travel to the previous retained version still works
+      assert(TableStore.readVersion(spark, table, vs.head).count() > 0L)
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $table")
+      graft.core.TableStore.listVersions(spark, table)
+        .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
+    }
+  }
+
   test("partitioned upsert sink converges to the batch latest-per-user state") {
     // Scale-path twin of the snapshot-sink convergence test: same final
     // state contract, through the hash-partitioned dynamic-overwrite

@@ -172,6 +172,65 @@ class TableStoreSpec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("compactTable rewrites many small files as one, same rows") {
+    import spark.implicits._
+    val table = uniq("ts_compact")
+    try {
+      val df = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+      TableStore.overwriteTable(spark, table, df.repartition(8))
+      val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+      def files(): Seq[String] = {
+        val d = java.nio.file.Paths.get(wh, table.toLowerCase)
+        val s = java.nio.file.Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSeq
+        } finally s.close()
+      }
+      assert(files().size === 8)
+      TableStore.compactTable(spark, table)
+      assert(files().size === 1)
+      val got = spark.table(table)
+      assert(got.count() === 100L)
+      assert(got.exceptAll(df).count() === 0L)
+      assert(df.exceptAll(got).count() === 0L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("compactPartitions collapses each scoped partition to one file, untouched partitions keep theirs") {
+    import spark.implicits._
+    val table = uniq("ts_compactp")
+    try {
+      val df = (1 to 90).map(i => (i.toLong, i.toLong % 3, s"r$i"))
+        .toDF("id", "b", "v")
+      // 4 files per partition directory
+      df.repartition(4).write.partitionBy("b").format("parquet")
+        .mode("overwrite").saveAsTable(table)
+      val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+      def files(part: Long): Set[String] = {
+        val d = java.nio.file.Paths.get(wh, table.toLowerCase, s"b=$part")
+        val s = java.nio.file.Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSet
+        } finally s.close()
+      }
+      assert(files(0L).size > 1)
+      val p2Before = files(2L)
+      // scoped pass: compact partitions 0 and 1 only
+      TableStore.compactPartitions(spark, table, "b", Seq(0L, 1L))
+      assert(files(0L).size === 1)
+      assert(files(1L).size === 1)
+      assert(files(2L) === p2Before, "unscoped partition must keep its files")
+      // layout-only: full multiset preserved
+      val got = spark.table(table).select("id", "b", "v")
+      assert(got.exceptAll(df).count() === 0L)
+      assert(df.exceptAll(got).count() === 0L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("recoverStaging discards stale staging when the target is intact") {
     import spark.implicits._
     val table = uniq("ts_stale")
