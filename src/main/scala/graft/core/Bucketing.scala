@@ -11,11 +11,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the engine's managed-table contract (S4/S5). */
 object Bucketing {
 
+  /** The canonical key→bucket assignment shared by every hash-partition
+    * consumer (the partition-scoped upsert sink, the batch MERGE twin,
+    * and the specs that derive a key's partition directory): one
+    * definition, so a test computing a bucket can never silently drift
+    * from the sink that wrote it. */
+  def bucketExpr(key: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    pmod(xxhash64(key), lit(buckets.toLong))
+  }
+
   /** Persist as a bucketed, per-bucket-sorted managed table. */
   def writeBucketed(
       df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $table")
+    // same cross-session orphan-directory hazard as writePartitioned
+    TableStore.clearOrphanLocation(spark, table)
     df.write.format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").saveAsTable(table)

@@ -119,20 +119,24 @@ object TableStore {
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
     spark.table(s"${table}__v$version")
 
-  /** Reclaim old snapshots: keep the current head plus the latest `keep`
-    * published versions, drop everything else — including orphan
+  /** Reclaim old snapshots: retain the newest `keep` published versions
+    * — the head COUNTS toward `keep`, so `keep = 2` holds the head plus
+    * one previous version — and drop everything else, including orphan
     * versions ABOVE the head, which a crash between data write and view
     * swap leaves behind (they were never visible to any reader). The
-    * retention window is the time-travel horizon: a reader still
-    * scanning a version older than `keep` publishes loses its files,
-    * exactly Delta's VACUUM tradeoff. Returns the dropped versions. */
+    * retention window is the time-travel horizon AND the in-flight
+    * reader grace: a reader still scanning a version that falls out of
+    * the newest `keep` loses its files, exactly Delta's VACUUM
+    * tradeoff — use `keep >= 2` whenever concurrent readers exist
+    * (`keep = 1` reclaims the previous version at the instant the next
+    * head publishes). Returns the dropped versions. */
   def vacuumVersions(
       spark: SparkSession, table: String, keep: Int = 2): Seq[Long] = {
+    val all = listVersions(spark, table)
     val cur = currentVersion(spark, table)
-    val published = listVersions(spark, table)
-      .filter(v => cur.forall(_ >= v))
+    val published = all.filter(v => cur.forall(_ >= v))
     val retain = published.takeRight(keep).toSet ++ cur
-    val dropped = listVersions(spark, table).filterNot(retain)
+    val dropped = all.filterNot(retain)
     dropped.foreach { v =>
       spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v")
       clearOrphanLocation(spark, s"${table}__v$v")
@@ -148,8 +152,19 @@ object TableStore {
     * maintenance op that keeps scan task counts and footer overhead
     * sane after many small appends; `files` should target ~128 MB-1 GB
     * per file on a real cluster. */
-  def compactTable(spark: SparkSession, table: String, files: Int = 1): Unit =
+  def compactTable(spark: SparkSession, table: String, files: Int = 1): Unit = {
+    // a partitioned table would be silently REWRITTEN UNPARTITIONED here
+    // (saveAsTable carries no partitioning), losing pruning and breaking
+    // the partition-scoped upsert's dynamic overwrite — refuse with the
+    // sibling to use instead
+    import scala.jdk.CollectionConverters._
+    val partCols = spark.catalog.listColumns(table)
+      .collectAsList().asScala.filter(_.isPartition).map(_.name)
+    require(partCols.isEmpty,
+      s"$table is partitioned by ${partCols.mkString(",")} — use " +
+        "compactPartitions, compactTable would flatten the partitioning")
     publishTable(spark, table, spark.table(table).coalesce(files))
+  }
 
   /** OPTIMIZE for a Hive-partitioned managed table: rewrite each
     * partition's content as a single file (repartition by the partition
@@ -181,7 +196,7 @@ object TableStore {
   /** Recover from a crash inside [[publishTable]]: restore or discard
     * whatever the interrupted swap left, so a restarting writer (the
     * upsert sink calls this before its stream starts) finds the table in
-    * a consistent state. Three cases:
+    * a consistent state. Cases:
     *
     *  - target intact → any staging residue is STALE (the writer died
     *    before the drop): discard it. The interrupted batch was never
@@ -190,9 +205,19 @@ object TableStore {
     *  - target missing, staging table in the catalog (same-session
     *    crash between drop and rename) → finish the swap with the
     *    rename that was about to run.
-    *  - target missing, only the staging DIRECTORY on disk (the crash
-    *    killed the session; the in-memory catalog lost both entries) →
-    *    re-publish the complete parquet snapshot from that directory.
+    *  - target missing from the catalog, COMPLETE staging directory on
+    *    disk (`_SUCCESS` present; the crash killed the session between
+    *    the staging write and the swap) → re-publish the snapshot from
+    *    that directory.
+    *  - target missing from the catalog, staging absent or TORN (no
+    *    `_SUCCESS` — the crash hit mid-data-write): discard the torn
+    *    residue and re-adopt the target DIRECTORY if one survives — it
+    *    is the complete previous snapshot, and trusting a torn staging
+    *    dir instead would truncate the table in a way batch replay can
+    *    never repair (the lost rows are old keys absent from the
+    *    replayed batch). This branch also restores the published state
+    *    after a clean session exit, where the in-memory catalog forgot
+    *    the table but its directory persists.
     *
     * In every case a subsequent checkpoint-resumed batch replays over
     * the restored snapshot; the latest-per-key merge is idempotent
@@ -210,17 +235,38 @@ object TableStore {
       spark.sql(s"ALTER TABLE $staging RENAME TO $table")
       true
     } else {
-      val loc = new org.apache.hadoop.fs.Path(
+      val stagingLoc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), simpleName(staging))
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) {
+      val targetLoc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), simpleName(table))
+      val fs = stagingLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // COMPLETENESS check before trusting on-disk residue: a crash
+      // DURING the staging data write leaves a torn directory (no
+      // _SUCCESS marker). Republishing a torn snapshot would destroy
+      // the intact previous target directory and truncate the table —
+      // lost old keys are absent from the replayed batch, so replay
+      // could never repair it. Torn staging is discarded; the previous
+      // snapshot (the target DIRECTORY, complete — it was the live
+      // table when the crash happened) is re-adopted instead.
+      def complete(p: org.apache.hadoop.fs.Path): Boolean =
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      if (fs.exists(stagingLoc) && complete(stagingLoc)) {
         // distinct locations (staging dir → target dir), so the write can
         // read the snapshot lazily; delete the staging dir only after the
         // republish has fully materialized the target
-        overwriteTable(spark, table, spark.read.parquet(loc.toString))
-        fs.delete(loc, true)
+        overwriteTable(spark, table, spark.read.parquet(stagingLoc.toString))
+        fs.delete(stagingLoc, true)
         true
-      } else false
+      } else if (fs.exists(targetLoc) && complete(targetLoc)) {
+        if (fs.exists(stagingLoc)) fs.delete(stagingLoc, true)
+        // publishTable stages the re-read first, so the target directory
+        // being read is not cleared until the new copy is complete
+        publishTable(spark, table, spark.read.parquet(targetLoc.toString))
+        true
+      } else {
+        if (fs.exists(stagingLoc)) fs.delete(stagingLoc, true)
+        false
+      }
     }
   }
 }

@@ -931,11 +931,12 @@ object Relational {
     * carries the full 100 TB rationale). */
   val q79bMergePartitioned = GraftQuery(
     "q79b_merge_upsert_partitioned", { (s, dir) =>
-      val buckets = 16L
+      val buckets = 16
       val table =
         s"merge_part_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       def bucketed(df: DataFrame): DataFrame =
-        df.withColumn("__bucket", pmod(xxhash64(col("k")), lit(buckets)))
+        df.withColumn("__bucket",
+          graft.core.Bucketing.bucketExpr(col("k"), buckets))
       val target = bucketed(t(s, dir, "customer")
         .select(col("c_custkey").as("k"), col("c_acctbal").as("bal")))
       graft.core.Bucketing.writePartitioned(target, table, "__bucket")

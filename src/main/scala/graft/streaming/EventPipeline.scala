@@ -293,7 +293,10 @@ object EventPipeline {
           // (and an in-flight scan keeps its version's files). The
           // merge plan reads the head view (previous version's table) —
           // distinct location from the new version being written, so no
-          // self-overwrite. Retention of 2 bounds disk at ~3 snapshots.
+          // self-overwrite. keep=2 retains the head plus ONE previous
+          // version (~2 snapshots of disk): the minimum giving an
+          // in-flight reader its resolved version's files through the
+          // next publish.
           graft.core.TableStore.publishVersioned(spark, table, merged)
           graft.core.TableStore.vacuumVersions(spark, table, keep = 2)
           ()
@@ -369,17 +372,25 @@ object EventPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batches.incrementAndGet()
         val incoming = latestPerUser(batch).withColumn("__bucket",
-          pmod(xxhash64(col("user_id")), lit(buckets.toLong)))
+          graft.core.Bucketing.bucketExpr(col("user_id"), buckets))
         if (!spark.catalog.tableExists(table))
           // seed batch: create the hash-partitioned table (partition col
           // lands last in the table schema, as insertInto expects)
           graft.core.Bucketing.writePartitioned(incoming, table, "__bucket")
         else {
-          // fail with a named cause, not insertInto's positional-schema
-          // confusion, when the name collides with a non-bucketed table
-          // (e.g. one the SNAPSHOT sink published)
-          require(spark.table(table).columns.contains("__bucket"),
-            s"table $table exists but has no __bucket partition column — " +
+          // fail with a named cause when the name collides with a table
+          // that is not PARTITIONED by __bucket (e.g. one the SNAPSHOT
+          // sink published, or an unpartitioned table that merely
+          // CARRIES a __bucket data column — on which dynamic overwrite
+          // silently degrades to a FULL-table overwrite and every row
+          // outside the touched buckets would be deleted)
+          val isPartitionCol = {
+            import scala.jdk.CollectionConverters._
+            spark.catalog.listColumns(table).collectAsList().asScala
+              .exists(c => c.name == "__bucket" && c.isPartition)
+          }
+          require(isPartitionCol,
+            s"table $table exists but is not partitioned by __bucket — " +
               "it was not created by the partition-scoped upsert sink")
           val merged = partitionedMergeFrame(spark, table, incoming)
             // break lineage: insertInto rejects a plan that reads its own

@@ -106,9 +106,9 @@ class PlanSpec extends SparkTestBase {
     // literal IN — a post-scan Filter would still list and read every
     // partition's files.
     import graft.streaming.EventPipeline
-    val buckets = 8L
+    val buckets = 8
     val ev = Tables.load(spark, sfDir, "events")
-      .withColumn("__bucket", pmod(xxhash64(col("user_id")), lit(buckets)))
+      .withColumn("__bucket", Bucketing.bucketExpr(col("user_id"), buckets))
     Bucketing.writePartitioned(ev, "events_upsert_plan", "__bucket")
     // a batch touching a strict subset of buckets, with no helpful
     // lineage: re-read from a staged file like a real micro-batch

@@ -415,7 +415,7 @@ class StreamingSpec extends SparkTestBase {
       val after = partitionFiles()
       val userId = one.select("user_id").head().getLong(0)
       val touched = spark.range(1)
-        .select(pmod(xxhash64(lit(userId)), lit(buckets.toLong)))
+        .select(graft.core.Bucketing.bucketExpr(lit(userId), buckets))
         .head().getLong(0)
       val touchedDir = s"__bucket=$touched"
       assert(after(touchedDir) !== before(touchedDir),
@@ -552,23 +552,38 @@ class StreamingSpec extends SparkTestBase {
       "kafka.bootstrap.servers" -> "b:9092", "topic" -> "events_out"))
   }
 
-  test("partitioned upsert sink refuses a table the snapshot sink owns") {
+  test("partitioned upsert sink refuses a table not PARTITIONED by __bucket") {
     val ev = Tables.load(spark, sfDir, "events")
-    val table = s"upsert_clash_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    try {
-      // a non-bucketed table published under the target name
-      graft.core.TableStore.overwriteTable(spark, table, ev.limit(5))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    def expectGuard(table: String): Unit = {
       val dir = EventPipeline.stageAsStreamDir(ev, parts = 1)
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
         EventPipeline.runPartitionedUpsertSinkFromDir(spark, dir, table)
       }
       // foreachBatch wraps the require; the named cause must surface
-      def causes(t: Throwable): Seq[Throwable] =
-        if (t == null) Nil else t +: causes(t.getCause)
       assert(causes(e).exists(c =>
-        c.getMessage != null && c.getMessage.contains("__bucket partition column")),
+        c.getMessage != null && c.getMessage.contains("not partitioned by __bucket")),
         s"expected the named guard, got: ${e.getMessage}")
-    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val plain = s"upsert_clash_$uuid"
+    val carrier = s"upsert_clash_col_$uuid"
+    try {
+      // a non-bucketed table published under the target name
+      graft.core.TableStore.overwriteTable(spark, plain, ev.limit(5))
+      expectGuard(plain)
+      // the sharper trap: an UNPARTITIONED table that merely CARRIES a
+      // __bucket data column — dynamic overwrite on it would silently
+      // truncate to the batch's rows, so a column-presence check is not
+      // enough; the guard must require a real partition column
+      graft.core.TableStore.overwriteTable(spark, carrier, ev.limit(5)
+        .withColumn("__bucket", graft.core.Bucketing.bucketExpr(col("user_id"), 8)))
+      expectGuard(carrier)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $plain")
+      spark.sql(s"DROP TABLE IF EXISTS $carrier")
+    }
   }
 
   test("kafka-shaped binary stream drives the production decode incrementally") {

@@ -231,6 +231,42 @@ class TableStoreSpec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("recoverStaging refuses a TORN staging directory and re-adopts the intact previous snapshot") {
+    import spark.implicits._
+    val table = uniq("ts_torn")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    try {
+      // cross-session state: complete previous snapshot at the target
+      // LOCATION (catalog forgot it), staging dir whose data write was
+      // interrupted mid-flight — parquet parts present, no _SUCCESS
+      Seq((1L, "live")).toDF("id", "v")
+        .write.parquet(java.nio.file.Paths.get(wh, table).toString)
+      val stagingDir = java.nio.file.Paths.get(wh, table + "__staging")
+      Seq((2L, "torn")).toDF("id", "v").write.parquet(stagingDir.toString)
+      java.nio.file.Files.delete(stagingDir.resolve("_SUCCESS"))
+      assert(TableStore.recoverStaging(spark, table))
+      // the torn snapshot must NOT win — republishing it would truncate
+      // the table in a way batch replay can never repair
+      assert(spark.table(table).head().getString(1) === "live")
+      assert(!java.nio.file.Files.exists(stagingDir))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("compactTable refuses a partitioned table instead of flattening it") {
+    import spark.implicits._
+    val table = uniq("ts_compactguard")
+    try {
+      val df = (1 to 20).map(i => (i.toLong, i.toLong % 2)).toDF("id", "b")
+      df.write.partitionBy("b").format("parquet")
+        .mode("overwrite").saveAsTable(table)
+      val e = intercept[IllegalArgumentException](
+        TableStore.compactTable(spark, table))
+      assert(e.getMessage.contains("compactPartitions"))
+      // untouched: still partitioned, all rows present
+      assert(spark.table(table).count() === 20L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("recoverStaging discards stale staging when the target is intact") {
     import spark.implicits._
     val table = uniq("ts_stale")
