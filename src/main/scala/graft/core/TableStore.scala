@@ -144,6 +144,39 @@ object TableStore {
     dropped
   }
 
+  /** Re-adopt a partitioned table whose catalog entry a session restart
+    * lost but whose warehouse directory survives — the partitioned twin
+    * of [[recoverStaging]]'s last branch (the partition-scoped upsert
+    * sink calls this before its stream starts; without it, the seed
+    * branch's orphan cleanup would silently DELETE the published state
+    * on a cross-session checkpoint resume). Registers the existing
+    * directory in place (CREATE TABLE ... LOCATION + RECOVER
+    * PARTITIONS) — no data is read or moved, only parquet footers for
+    * the schema. The partition column is declared BIGINT explicitly:
+    * partition-value inference would otherwise guess INT from small
+    * directory names and break positional inserts. The adopted table is
+    * external (location-pinned), so a later DROP TABLE leaves the files
+    * — the right bias for recovery. Returns true iff adopted. */
+  def adoptPartitionedTable(
+      spark: SparkSession, table: String, partitionCol: String): Boolean = {
+    if (spark.catalog.tableExists(table)) return false
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), simpleName(table))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) return false
+    val schema = spark.read.parquet(loc.toString).schema
+    if (!schema.fieldNames.contains(partitionCol)) return false
+    val ddlCols = (schema.fields.filterNot(_.name == partitionCol)
+      .map(f => s"`${f.name}` ${f.dataType.sql}") :+
+      s"`$partitionCol` BIGINT").mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE $table ($ddlCols) USING parquet
+         |PARTITIONED BY ($partitionCol)
+         |LOCATION '${loc.toString}'""".stripMargin)
+    spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+    true
+  }
+
   /** OPTIMIZE-style compaction for an UNPARTITIONED managed table: the
     * many small files accumulated by incremental writes are rewritten as
     * `files` large ones (coalesce — narrow, no shuffle) and published

@@ -364,6 +364,11 @@ object EventPipeline {
       spark: SparkSession, dir: String, table: String,
       buckets: Int = 16, checkpoint: Option[String] = None): Long = {
     require(buckets > 0, "buckets must be positive")
+    // cross-session restart: the in-memory catalog forgot the table but
+    // its partitioned directory survives — re-register it in place so
+    // the seed branch's orphan cleanup cannot delete the published
+    // state a checkpoint resume is about to merge into
+    graft.core.TableStore.adoptPartitionedTable(spark, table, "__bucket")
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val stream = readEventStream(spark, dir,
       glob = "events*.parquet", maxFilesPerTrigger = Some(1))

@@ -552,6 +552,56 @@ class StreamingSpec extends SparkTestBase {
       "kafka.bootstrap.servers" -> "b:9092", "topic" -> "events_out"))
   }
 
+  test("partitioned upsert sink survives a cross-session restart: orphan directory re-adopted, state kept") {
+    // The in-memory catalog forgets tables when a session dies; the
+    // warehouse directory persists. A checkpoint-resumed run must
+    // re-adopt the partitioned directory and merge INTO the published
+    // state — not let the seed branch's orphan cleanup delete it and
+    // restart from one batch's worth of users.
+    val ev = Tables.load(spark, sfDir, "events")
+    val table = s"upsert_xsession_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    val locDir = java.nio.file.Paths.get(wh, table)
+    try {
+      val dir = EventPipeline.stageAsStreamDir(ev, parts = 2)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_xsession_ckpt").toString
+      assert(EventPipeline.runPartitionedUpsertSinkFromDir(
+        spark, dir, table, buckets = 8, Some(ckpt)) === 2L)
+      // simulate the session loss: stash the table directory, DROP TABLE
+      // (which deletes the managed location), restore the directory —
+      // leaving exactly the cross-session state: dir on disk, no catalog
+      // entry, checkpoint pointing past the consumed files
+      val stash = java.nio.file.Files.createTempDirectory("graft_xsession_stash")
+        .resolve("t")
+      org.apache.commons.io.FileUtils.copyDirectory(
+        locDir.toFile, stash.toFile)
+      spark.sql(s"DROP TABLE $table")
+      org.apache.commons.io.FileUtils.copyDirectory(
+        stash.toFile, locDir.toFile)
+      // one new event for one existing user, then resume
+      val one = ev.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+        .withColumn("event_id", lit(20000000L))
+        .localCheckpoint(eager = true)
+      val oneDir = EventPipeline.stageAsStreamDir(one, parts = 1)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(oneDir, "events.parquet"),
+        java.nio.file.Paths.get(dir, "events_2.parquet"))
+      assert(EventPipeline.runPartitionedUpsertSinkFromDir(
+        spark, dir, table, buckets = 8, Some(ckpt)) === 1L)
+      // full published state kept: every user present, update applied
+      val got = spark.table(table)
+      assert(got.count() === ev.select(col("user_id")).distinct().count())
+      val userId = one.select("user_id").head().getLong(0)
+      assert(got.filter(col("user_id") === userId)
+        .head().getAs[Long]("event_id") === 20000000L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // the adopted table is external: reclaim its location by hand
+      org.apache.commons.io.FileUtils.deleteQuietly(locDir.toFile)
+    }
+  }
+
   test("partitioned upsert sink refuses a table not PARTITIONED by __bucket") {
     val ev = Tables.load(spark, sfDir, "events")
     def causes(t: Throwable): Seq[Throwable] =
