@@ -12,6 +12,27 @@ object TableStore {
 
   private def simpleName(table: String): String = table.split('.').last
 
+  /** The ONE place the table-name → warehouse-directory rule lives: the
+    * recovery and cleanup paths below must agree on where a table's
+    * data is, or one of them deletes/adopts the wrong directory. */
+  private def tableLocation(
+      spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), simpleName(table))
+
+  private def fsOf(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Names of `table`'s PARTITION columns (catalog metadata). Shared by
+    * every guard that must distinguish a real partition column from a
+    * mere data column of the same name. */
+  def partitionColumns(spark: SparkSession, table: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    spark.catalog.listColumns(table).collectAsList().asScala.toSeq
+      .filter(_.isPartition).map(_.name)
+  }
+
   /** Delete a managed-table LOCATION left behind by a previous session:
     * the in-memory catalog forgets tables across sessions but the
     * warehouse directory persists, and Spark refuses to create a managed
@@ -20,9 +41,8 @@ object TableStore {
     * then legitimately owned and `mode("overwrite")` handles it. */
   def clearOrphanLocation(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(table)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), simpleName(table))
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val loc = tableLocation(spark, table)
+      val fs = fsOf(spark, loc)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
 
@@ -144,27 +164,64 @@ object TableStore {
     dropped
   }
 
-  /** Re-adopt a partitioned table whose catalog entry a session restart
-    * lost but whose warehouse directory survives — the partitioned twin
-    * of [[recoverStaging]]'s last branch (the partition-scoped upsert
-    * sink calls this before its stream starts; without it, the seed
-    * branch's orphan cleanup would silently DELETE the published state
-    * on a cross-session checkpoint resume). Registers the existing
-    * directory in place (CREATE TABLE ... LOCATION + RECOVER
-    * PARTITIONS) — no data is read or moved, only parquet footers for
-    * the schema. The partition column is declared BIGINT explicitly:
-    * partition-value inference would otherwise guess INT from small
-    * directory names and break positional inserts. The adopted table is
-    * external (location-pinned), so a later DROP TABLE leaves the files
-    * — the right bias for recovery. Returns true iff adopted. */
+  // ---- in-place adoption of surviving directories -------------------
+  //
+  // The in-memory catalog forgets every table when a session dies; the
+  // warehouse directories persist. The adopt* helpers re-REGISTER a
+  // surviving directory (CREATE TABLE ... LOCATION — metadata only, no
+  // data read or moved beyond parquet footers for the schema), so a
+  // checkpoint-resumed sink merges into its published state instead of
+  // losing it to orphan cleanup. Adopted tables are external
+  // (location-pinned): a later DROP TABLE leaves the files — the right
+  // bias for recovery paths. Adoption deliberately does NOT require a
+  // _SUCCESS marker: locally the marker cannot prove completeness of
+  // every file, and the failure modes are asymmetric — adopting a torn
+  // directory surfaces as a LOUD read error (recoverable by deleting
+  // the torn file), while refusing to adopt hands the directory to
+  // orphan cleanup, which deletes good state unrecoverably.
+
+  /** Register a surviving UNPARTITIONED parquet directory as `table` in
+    * place. Returns true iff adopted; false when the name is taken, no
+    * directory survives, or the residue is not readable parquet (that
+    * case is left to normal orphan cleanup). */
+  def adoptTable(spark: SparkSession, table: String): Boolean = {
+    if (spark.catalog.tableExists(table)) return false
+    val loc = tableLocation(spark, table)
+    if (!fsOf(spark, loc).exists(loc)) return false
+    val schema = scala.util.Try(spark.read.parquet(loc.toString).schema)
+      .getOrElse(return false)
+    val ddlCols =
+      schema.fields.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(
+      s"CREATE TABLE $table ($ddlCols) USING parquet LOCATION '${loc.toString}'")
+    true
+  }
+
+  /** Partitioned twin of [[adoptTable]] for the partition-scoped upsert
+    * sink: registers the directory and recovers its partitions. The
+    * partition column is declared BIGINT explicitly — partition-value
+    * inference would otherwise guess INT from small directory names and
+    * break positional inserts. Refuses a FLAT directory that merely
+    * carries `partitionCol` as a data column (no `partitionCol=` child
+    * directories): adopting it would register a zero-partition table
+    * whose scans read empty — the same silent-truncation trap the
+    * sink's partition-column guard blocks in-catalog. */
   def adoptPartitionedTable(
       spark: SparkSession, table: String, partitionCol: String): Boolean = {
     if (spark.catalog.tableExists(table)) return false
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), simpleName(table))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loc = tableLocation(spark, table)
+    val fs = fsOf(spark, loc)
     if (!fs.exists(loc)) return false
-    val schema = spark.read.parquet(loc.toString).schema
+    // a directory PARTITIONED by the column has partitionCol=... children;
+    // a flat one does not, however its file schema reads
+    if (!fs.listStatus(loc).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith(partitionCol + "=")))
+      return false
+    // an empty or non-parquet residue directory is not a table — leave
+    // it to the seed branch's normal orphan cleanup rather than failing
+    // the sink's start on schema inference
+    val schema = scala.util.Try(spark.read.parquet(loc.toString).schema)
+      .getOrElse(return false)
     if (!schema.fieldNames.contains(partitionCol)) return false
     val ddlCols = (schema.fields.filterNot(_.name == partitionCol)
       .map(f => s"`${f.name}` ${f.dataType.sql}") :+
@@ -175,6 +232,36 @@ object TableStore {
          |LOCATION '${loc.toString}'""".stripMargin)
     spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
     true
+  }
+
+  /** Versioned twin of [[adoptTable]] for the versioned upsert sink: a
+    * session restart forgets the head view AND every `__v{k}` version
+    * table, so a resumed versioned publish would restart numbering at
+    * v1 — and, reaching an old number, orphan-clean the surviving
+    * snapshot directory it is about to reuse. This re-registers every
+    * surviving version directory in place and repoints the head view at
+    * the newest, so publishing continues above it. Returns the restored
+    * head version, if any. */
+  def adoptVersioned(spark: SparkSession, table: String): Option[Long] = {
+    if (spark.catalog.tableExists(table)) return None
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = fsOf(spark, wh)
+    if (!fs.exists(wh)) return None
+    val prefix = simpleName(table).toLowerCase + "__v"
+    val survivors = fs.listStatus(wh).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
+      .sorted
+    val adopted = survivors.filter(v => adoptTable(spark, s"${table}__v$v"))
+    adopted.lastOption.map { head =>
+      spark.sql(
+        s"""CREATE OR REPLACE VIEW $table
+           |TBLPROPERTIES ('graft.version' = '$head')
+           |AS SELECT * FROM ${table}__v$head""".stripMargin)
+      head
+    }
   }
 
   /** OPTIMIZE-style compaction for an UNPARTITIONED managed table: the
@@ -190,9 +277,7 @@ object TableStore {
     // (saveAsTable carries no partitioning), losing pruning and breaking
     // the partition-scoped upsert's dynamic overwrite — refuse with the
     // sibling to use instead
-    import scala.jdk.CollectionConverters._
-    val partCols = spark.catalog.listColumns(table)
-      .collectAsList().asScala.filter(_.isPartition).map(_.name)
+    val partCols = partitionColumns(spark, table)
     require(partCols.isEmpty,
       s"$table is partitioned by ${partCols.mkString(",")} — use " +
         "compactPartitions, compactTable would flatten the partitioning")
@@ -241,23 +326,34 @@ object TableStore {
     *  - target missing from the catalog, COMPLETE staging directory on
     *    disk (`_SUCCESS` present; the crash killed the session between
     *    the staging write and the swap) → re-publish the snapshot from
-    *    that directory.
+    *    that directory. Staging must PROVE completeness (the marker —
+    *    present whenever success markers are enabled, the default)
+    *    because choosing it discards the previous snapshot; with
+    *    markers disabled the branch conservatively falls through to
+    *    target re-adoption and the interrupted batch replays.
     *  - target missing from the catalog, staging absent or TORN (no
     *    `_SUCCESS` — the crash hit mid-data-write): discard the torn
-    *    residue and re-adopt the target DIRECTORY if one survives — it
-    *    is the complete previous snapshot, and trusting a torn staging
-    *    dir instead would truncate the table in a way batch replay can
-    *    never repair (the lost rows are old keys absent from the
-    *    replayed batch). This branch also restores the published state
-    *    after a clean session exit, where the in-memory catalog forgot
-    *    the table but its directory persists.
+    *    residue and re-adopt the target DIRECTORY in place
+    *    ([[adoptTable]] — metadata-only, no table copy) if
+    *    `adoptOrphanTarget` — it is the previous snapshot, and trusting
+    *    a torn staging dir instead would truncate the table in a way
+    *    batch replay can never repair (the lost rows are old keys
+    *    absent from the replayed batch). This branch also restores the
+    *    published state after a clean session exit, where the
+    *    in-memory catalog forgot the table but its directory persists.
+    *
+    * `adoptOrphanTarget` should be true only for a CHECKPOINT-RESUMED
+    * writer: a fresh run (new or empty checkpoint) must start clean —
+    * adopting residue from an unrelated earlier run would silently
+    * contaminate its output with that run's keys forever.
     *
     * In every case a subsequent checkpoint-resumed batch replays over
     * the restored snapshot; the latest-per-key merge is idempotent
     * under replay of the same batch, so recovery + replay converges to
     * the uninterrupted result. Returns true iff a snapshot was
     * restored. */
-  def recoverStaging(spark: SparkSession, table: String): Boolean = {
+  def recoverStaging(spark: SparkSession, table: String,
+      adoptOrphanTarget: Boolean = true): Boolean = {
     val staging = table + "__staging"
     if (spark.catalog.tableExists(table)) {
       if (spark.catalog.tableExists(staging)) spark.sql(s"DROP TABLE $staging")
@@ -268,37 +364,26 @@ object TableStore {
       spark.sql(s"ALTER TABLE $staging RENAME TO $table")
       true
     } else {
-      val stagingLoc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), simpleName(staging))
-      val targetLoc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), simpleName(table))
-      val fs = stagingLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // COMPLETENESS check before trusting on-disk residue: a crash
+      val stagingLoc = tableLocation(spark, staging)
+      val fs = fsOf(spark, stagingLoc)
+      // COMPLETENESS check before trusting staging residue: a crash
       // DURING the staging data write leaves a torn directory (no
       // _SUCCESS marker). Republishing a torn snapshot would destroy
-      // the intact previous target directory and truncate the table —
-      // lost old keys are absent from the replayed batch, so replay
-      // could never repair it. Torn staging is discarded; the previous
-      // snapshot (the target DIRECTORY, complete — it was the live
-      // table when the crash happened) is re-adopted instead.
-      def complete(p: org.apache.hadoop.fs.Path): Boolean =
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-      if (fs.exists(stagingLoc) && complete(stagingLoc)) {
+      // the intact previous target directory and truncate the table.
+      val stagingComplete = fs.exists(stagingLoc) &&
+        fs.exists(new org.apache.hadoop.fs.Path(stagingLoc, "_SUCCESS"))
+      if (stagingComplete) {
         // distinct locations (staging dir → target dir), so the write can
         // read the snapshot lazily; delete the staging dir only after the
         // republish has fully materialized the target
         overwriteTable(spark, table, spark.read.parquet(stagingLoc.toString))
         fs.delete(stagingLoc, true)
         true
-      } else if (fs.exists(targetLoc) && complete(targetLoc)) {
-        if (fs.exists(stagingLoc)) fs.delete(stagingLoc, true)
-        // publishTable stages the re-read first, so the target directory
-        // being read is not cleared until the new copy is complete
-        publishTable(spark, table, spark.read.parquet(targetLoc.toString))
-        true
       } else {
         if (fs.exists(stagingLoc)) fs.delete(stagingLoc, true)
-        false
+        // in-place re-adoption of the surviving previous snapshot —
+        // metadata only (no O(table) copy on the common clean-exit path)
+        adoptOrphanTarget && adoptTable(spark, table)
       }
     }
   }

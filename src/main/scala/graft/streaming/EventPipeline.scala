@@ -268,12 +268,22 @@ object EventPipeline {
       spark: SparkSession, dir: String, table: String,
       checkpoint: Option[String] = None,
       versioned: Boolean = false): Long = {
-    // restart path: finish (or discard) any swap a previous run died
-    // inside, BEFORE the stream's first batch reads the table. The
-    // versioned mode has no swap to recover: the head view always
-    // points at a complete snapshot, and crash residue is an orphan
-    // __v{k} table the per-batch vacuum reclaims.
-    if (!versioned) graft.core.TableStore.recoverStaging(spark, table)
+    // restart path, BEFORE the stream's first batch reads the table:
+    // finish (or discard) any swap a previous run died inside, and — on
+    // a genuine checkpoint RESUME only — re-adopt published state whose
+    // catalog entry a session restart lost (a fresh run must start
+    // clean; adopting an unrelated earlier run's residue would
+    // contaminate its output forever). The versioned mode has no swap
+    // to recover, but a restarted session forgot its version tables:
+    // without re-adoption the numbering would restart at v1 over the
+    // surviving snapshots.
+    val resuming = hasCommittedOffsets(checkpoint)
+    if (versioned) {
+      if (resuming) graft.core.TableStore.adoptVersioned(spark, table)
+      ()
+    } else
+      graft.core.TableStore.recoverStaging(spark, table,
+        adoptOrphanTarget = resuming)
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val stream = readEventStream(spark, dir,
       glob = "events*.parquet", maxFilesPerTrigger = Some(1))
@@ -364,11 +374,14 @@ object EventPipeline {
       spark: SparkSession, dir: String, table: String,
       buckets: Int = 16, checkpoint: Option[String] = None): Long = {
     require(buckets > 0, "buckets must be positive")
-    // cross-session restart: the in-memory catalog forgot the table but
-    // its partitioned directory survives — re-register it in place so
-    // the seed branch's orphan cleanup cannot delete the published
-    // state a checkpoint resume is about to merge into
-    graft.core.TableStore.adoptPartitionedTable(spark, table, "__bucket")
+    // cross-session RESTART (committed offsets in the checkpoint): the
+    // in-memory catalog forgot the table but its partitioned directory
+    // survives — re-register it in place so the seed branch's orphan
+    // cleanup cannot delete the published state the resume is about to
+    // merge into. A fresh run (new/no checkpoint) skips adoption and
+    // starts clean, exactly as before.
+    if (hasCommittedOffsets(checkpoint))
+      graft.core.TableStore.adoptPartitionedTable(spark, table, "__bucket")
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val stream = readEventStream(spark, dir,
       glob = "events*.parquet", maxFilesPerTrigger = Some(1))
@@ -411,6 +424,22 @@ object EventPipeline {
     finally q.stop()
     batches.get()
   }
+
+  /** True iff `checkpoint` names a checkpoint a previous query actually
+    * committed offsets into — the distinction between a RESUME (merge
+    * into surviving published state) and a FRESH run (start clean): a
+    * new or empty checkpoint directory means no batch was ever
+    * processed under it, so any on-disk table residue belongs to some
+    * other run and must not be adopted. */
+  private def hasCommittedOffsets(checkpoint: Option[String]): Boolean =
+    checkpoint.exists { c =>
+      val offsets = java.nio.file.Paths.get(c, "offsets")
+      java.nio.file.Files.isDirectory(offsets) && {
+        val s = java.nio.file.Files.list(offsets)
+        try s.findFirst().isPresent
+        finally s.close()
+      }
+    }
 
   /** Latest event per user with a total (ts desc, event_id desc)
     * tie-break — the collapse both upsert sinks merge with. */

@@ -602,6 +602,101 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned upsert sink with a FRESH checkpoint starts clean over unrelated residue") {
+    // The converse of the cross-session adoption: adoption happens only
+    // on a genuine resume (committed offsets). A brand-new checkpoint
+    // means this is a NEW run — surviving residue from some earlier run
+    // must be cleared, not merged, or its keys contaminate the output
+    // forever.
+    val ev = Tables.load(spark, sfDir, "events")
+    val table = s"upsert_fresh_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    val locDir = java.nio.file.Paths.get(wh, table)
+    try {
+      // earlier run over the FULL events set, then its session "dies"
+      // (catalog entry dropped, directory survives)
+      val dir1 = EventPipeline.stageAsStreamDir(ev, parts = 1)
+      val ckpt1 = java.nio.file.Files.createTempDirectory("graft_fresh_ck1").toString
+      EventPipeline.runPartitionedUpsertSinkFromDir(
+        spark, dir1, table, buckets = 8, Some(ckpt1))
+      val stash = java.nio.file.Files.createTempDirectory("graft_fresh_stash")
+        .resolve("t")
+      org.apache.commons.io.FileUtils.copyDirectory(locDir.toFile, stash.toFile)
+      spark.sql(s"DROP TABLE $table")
+      org.apache.commons.io.FileUtils.copyDirectory(stash.toFile, locDir.toFile)
+      // NEW run over a small subset with a NEW checkpoint
+      val subset = ev.filter(col("user_id") % 5 === 0)
+      val dir2 = EventPipeline.stageAsStreamDir(subset, parts = 1)
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft_fresh_ck2").toString
+      EventPipeline.runPartitionedUpsertSinkFromDir(
+        spark, dir2, table, buckets = 8, Some(ckpt2))
+      // exactly the subset's users — no contamination from the old run
+      assert(spark.table(table).count() ===
+        subset.select(col("user_id")).distinct().count())
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(locDir.toFile)
+    }
+  }
+
+  test("versioned upsert sink survives a cross-session restart: versions re-adopted, numbering continues") {
+    // Without adoption a resumed versioned publish restarts at v1 over
+    // the surviving snapshots — and on reaching an old number would
+    // orphan-clean the very directory it is about to reuse.
+    import graft.core.TableStore
+    val ev = Tables.load(spark, sfDir, "events")
+    val table = s"upsert_verx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    try {
+      val dir = EventPipeline.stageAsStreamDir(ev, parts = 2)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_verx_ckpt").toString
+      assert(EventPipeline.runUpsertSinkFromDir(
+        spark, dir, table, Some(ckpt), versioned = true) === 2L)
+      val headBefore = TableStore.currentVersion(spark, table).get
+      val retained = TableStore.listVersions(spark, table)
+      // session loss: stash every retained version dir, drop the view
+      // and version tables (managed drops delete their dirs), restore
+      val stash = java.nio.file.Files.createTempDirectory("graft_verx_stash")
+      retained.foreach { v =>
+        org.apache.commons.io.FileUtils.copyDirectory(
+          java.nio.file.Paths.get(wh, s"${table}__v$v").toFile,
+          stash.resolve(s"v$v").toFile)
+      }
+      spark.sql(s"DROP VIEW $table")
+      retained.foreach(v => spark.sql(s"DROP TABLE ${table}__v$v"))
+      retained.foreach { v =>
+        org.apache.commons.io.FileUtils.copyDirectory(
+          stash.resolve(s"v$v").toFile,
+          java.nio.file.Paths.get(wh, s"${table}__v$v").toFile)
+      }
+      // resume with one strictly-newer event for one user
+      val one = ev.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+        .withColumn("event_id", lit(30000000L))
+        .localCheckpoint(eager = true)
+      val oneDir = EventPipeline.stageAsStreamDir(one, parts = 1)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(oneDir, "events.parquet"),
+        java.nio.file.Paths.get(dir, "events_2.parquet"))
+      assert(EventPipeline.runUpsertSinkFromDir(
+        spark, dir, table, Some(ckpt), versioned = true) === 1L)
+      // numbering continued above the restored head; full state kept
+      assert(TableStore.currentVersion(spark, table).get === headBefore + 1)
+      val got = spark.table(table)
+      assert(got.count() === ev.select(col("user_id")).distinct().count())
+      val userId = one.select("user_id").head().getLong(0)
+      assert(got.filter(col("user_id") === userId)
+        .head().getAs[Long]("event_id") === 30000000L)
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $table")
+      graft.core.TableStore.listVersions(spark, table).foreach { v =>
+        spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          java.nio.file.Paths.get(wh, s"${table}__v$v").toFile)
+      }
+    }
+  }
+
   test("partitioned upsert sink refuses a table not PARTITIONED by __bucket") {
     val ev = Tables.load(spark, sfDir, "events")
     def causes(t: Throwable): Seq[Throwable] =

@@ -249,7 +249,29 @@ class TableStoreSpec extends SparkTestBase {
       // the table in a way batch replay can never repair
       assert(spark.table(table).head().getString(1) === "live")
       assert(!java.nio.file.Files.exists(stagingDir))
-    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // re-adoption registers the table external: reclaim its files too
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(wh, table).toFile)
+    }
+  }
+
+  test("adoptPartitionedTable refuses a FLAT directory that merely carries the partition column") {
+    import spark.implicits._
+    val table = uniq("ts_flatadopt")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    val loc = java.nio.file.Paths.get(wh, table)
+    try {
+      // unpartitioned parquet with __bucket as a DATA column — adopting
+      // it as a partitioned table would register zero partitions and
+      // every scan would read empty (silent truncation on next merge)
+      Seq((1L, 0L), (2L, 1L)).toDF("id", "__bucket")
+        .write.parquet(loc.toString)
+      assert(!TableStore.adoptPartitionedTable(spark, table, "__bucket"))
+      assert(!spark.catalog.tableExists(table))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(loc.toFile)
   }
 
   test("compactTable refuses a partitioned table instead of flattening it") {
