@@ -260,6 +260,12 @@ object EventPipeline {
     * refines that to file granularity. SCALING.md §streaming-upsert
     * carries the full argument.
     *
+    * `versioned = true` publishes each batch through
+    * TableStore.publishVersioned instead: reader-atomic head swap,
+    * snapshot isolation for in-flight scans, per-batch vacuum
+    * (retention 2), and its own cross-session recovery
+    * (TableStore.adoptVersioned on a checkpoint resume).
+    *
     * Returns the number of micro-batches THIS run processed, so restart
     * tests can prove the resumed query skipped the already-consumed
     * files rather than relying on the merge's idempotence to mask a
