@@ -14,11 +14,14 @@ object TableStore {
 
   /** The ONE place the table-name → warehouse-directory rule lives: the
     * recovery and cleanup paths below must agree on where a table's
-    * data is, or one of them deletes/adopts the wrong directory. */
+    * data is, or one of them deletes/adopts the wrong directory. The
+    * catalog lowercases identifiers, so managed directories are
+    * lowercase regardless of how the caller spells the name. */
   private def tableLocation(
       spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), simpleName(table))
+      spark.conf.get("spark.sql.warehouse.dir"),
+      simpleName(table).toLowerCase)
 
   private def fsOf(spark: SparkSession,
       p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
@@ -173,12 +176,17 @@ object TableStore {
   // checkpoint-resumed sink merges into its published state instead of
   // losing it to orphan cleanup. Adopted tables are external
   // (location-pinned): a later DROP TABLE leaves the files — the right
-  // bias for recovery paths. Adoption deliberately does NOT require a
-  // _SUCCESS marker: locally the marker cannot prove completeness of
-  // every file, and the failure modes are asymmetric — adopting a torn
-  // directory surfaces as a LOUD read error (recoverable by deleting
-  // the torn file), while refusing to adopt hands the directory to
-  // orphan cleanup, which deletes good state unrecoverably.
+  // bias for recovery paths. adoptTable/adoptPartitionedTable
+  // deliberately do NOT require a _SUCCESS marker: they adopt the ONLY
+  // surviving copy, and the failure modes are asymmetric — adopting a
+  // torn directory surfaces as a LOUD read error (recoverable by
+  // deleting the torn file), while refusing to adopt hands the
+  // directory to orphan cleanup, which deletes good state
+  // unrecoverably. adoptVersioned is the exception: it chooses among
+  // SEVERAL surviving snapshots, so a torn never-published newest
+  // version must be skipped (marker required) — otherwise the head
+  // would silently serve truncated data while a complete older version
+  // sits right next to it.
 
   /** Register a surviving UNPARTITIONED parquet directory as `table` in
     * place. Returns true iff adopted; false when the name is taken, no
@@ -250,7 +258,14 @@ object TableStore {
     if (!fs.exists(wh)) return None
     val prefix = simpleName(table).toLowerCase + "__v"
     val survivors = fs.listStatus(wh).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.isDirectory)
+      // marker REQUIRED here (see module comment): a torn, never-
+      // published newest version must not become the head when a
+      // complete older version survives beside it; the torn dir is
+      // reclaimed by clearOrphanLocation when its number is reused
+      .filter(s => fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName)
       .filter(_.startsWith(prefix))
       .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
       .sorted
@@ -345,7 +360,12 @@ object TableStore {
     * `adoptOrphanTarget` should be true only for a CHECKPOINT-RESUMED
     * writer: a fresh run (new or empty checkpoint) must start clean —
     * adopting residue from an unrelated earlier run would silently
-    * contaminate its output with that run's keys forever.
+    * contaminate its output with that run's keys forever. The flag
+    * gates EVERY branch that would turn residue into published state,
+    * including a complete staging snapshot: on a fresh run that
+    * snapshot belongs to some abandoned earlier run and is discarded.
+    * Only the stale-staging cleanup beside an intact target runs
+    * unconditionally.
     *
     * In every case a subsequent checkpoint-resumed batch replays over
     * the restored snapshot; the latest-per-key merge is idempotent
@@ -360,9 +380,17 @@ object TableStore {
       clearOrphanLocation(spark, staging)
       false
     } else if (spark.catalog.tableExists(staging)) {
-      clearOrphanLocation(spark, table)
-      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
-      true
+      if (adoptOrphanTarget) {
+        clearOrphanLocation(spark, table)
+        spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+        true
+      } else {
+        // fresh run: the crashed swap belongs to an earlier query —
+        // discard its staging rather than publish it under the new run
+        spark.sql(s"DROP TABLE $staging")
+        clearOrphanLocation(spark, staging)
+        false
+      }
     } else {
       val stagingLoc = tableLocation(spark, staging)
       val fs = fsOf(spark, stagingLoc)
@@ -372,7 +400,7 @@ object TableStore {
       // the intact previous target directory and truncate the table.
       val stagingComplete = fs.exists(stagingLoc) &&
         fs.exists(new org.apache.hadoop.fs.Path(stagingLoc, "_SUCCESS"))
-      if (stagingComplete) {
+      if (stagingComplete && adoptOrphanTarget) {
         // distinct locations (staging dir → target dir), so the write can
         // read the snapshot lazily; delete the staging dir only after the
         // republish has fully materialized the target

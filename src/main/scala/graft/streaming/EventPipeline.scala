@@ -283,7 +283,7 @@ object EventPipeline {
     // to recover, but a restarted session forgot its version tables:
     // without re-adoption the numbering would restart at v1 over the
     // surviving snapshots.
-    val resuming = hasCommittedOffsets(checkpoint)
+    val resuming = hasCommittedBatch(spark, checkpoint)
     if (versioned) {
       if (resuming) graft.core.TableStore.adoptVersioned(spark, table)
       ()
@@ -386,7 +386,7 @@ object EventPipeline {
     // cleanup cannot delete the published state the resume is about to
     // merge into. A fresh run (new/no checkpoint) skips adoption and
     // starts clean, exactly as before.
-    if (hasCommittedOffsets(checkpoint))
+    if (hasCommittedBatch(spark, checkpoint))
       graft.core.TableStore.adoptPartitionedTable(spark, table, "__bucket")
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val stream = readEventStream(spark, dir,
@@ -408,12 +408,8 @@ object EventPipeline {
           // CARRIES a __bucket data column — on which dynamic overwrite
           // silently degrades to a FULL-table overwrite and every row
           // outside the touched buckets would be deleted)
-          val isPartitionCol = {
-            import scala.jdk.CollectionConverters._
-            spark.catalog.listColumns(table).collectAsList().asScala
-              .exists(c => c.name == "__bucket" && c.isPartition)
-          }
-          require(isPartitionCol,
+          require(graft.core.TableStore.partitionColumns(spark, table)
+              .contains("__bucket"),
             s"table $table exists but is not partitioned by __bucket — " +
               "it was not created by the partition-scoped upsert sink")
           val merged = partitionedMergeFrame(spark, table, incoming)
@@ -432,19 +428,25 @@ object EventPipeline {
   }
 
   /** True iff `checkpoint` names a checkpoint a previous query actually
-    * committed offsets into — the distinction between a RESUME (merge
-    * into surviving published state) and a FRESH run (start clean): a
-    * new or empty checkpoint directory means no batch was ever
-    * processed under it, so any on-disk table residue belongs to some
-    * other run and must not be adopted. */
-  private def hasCommittedOffsets(checkpoint: Option[String]): Boolean =
+    * COMMITTED a batch into — the distinction between a RESUME (merge
+    * into surviving published state) and a FRESH run (start clean): an
+    * absent or never-committed checkpoint means no batch ever finished
+    * under it, so any on-disk table residue belongs to some other run
+    * and must not be adopted. Two deliberate choices:
+    *  - the `commits` log, NOT the `offsets` WAL: offsets/0 is written
+    *    when a batch STARTS, so a fresh run whose very first batch
+    *    crashed mid-write would read as a resume and adopt unrelated
+    *    residue — commits/0 exists only after a batch completed;
+    *  - the Hadoop filesystem API, NOT java.nio: checkpoint locations
+    *    are scheme-qualified URIs in production (hdfs://, s3a://,
+    *    file:) and java.nio would misread every one of them as a
+    *    relative local path and classify all resumes as fresh. */
+  private[graft] def hasCommittedBatch(
+      spark: SparkSession, checkpoint: Option[String]): Boolean =
     checkpoint.exists { c =>
-      val offsets = java.nio.file.Paths.get(c, "offsets")
-      java.nio.file.Files.isDirectory(offsets) && {
-        val s = java.nio.file.Files.list(offsets)
-        try s.findFirst().isPresent
-        finally s.close()
-      }
+      val commits = new org.apache.hadoop.fs.Path(c, "commits")
+      val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(commits) && fs.listStatus(commits).nonEmpty
     }
 
   /** Latest event per user with a total (ts desc, event_id desc)

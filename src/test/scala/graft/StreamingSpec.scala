@@ -602,6 +602,25 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("resume detection reads the commits log, not the offsets WAL, via the Hadoop filesystem") {
+    // offsets/0 is written when a batch STARTS; commits/0 only when it
+    // completes. A fresh run whose first batch crashed mid-write must
+    // still read as FRESH, or the restart adopts unrelated residue.
+    val base = java.nio.file.Files.createTempDirectory("graft_resume_probe")
+    assert(!EventPipeline.hasCommittedBatch(spark, None))
+    assert(!EventPipeline.hasCommittedBatch(spark, Some(base.toString)))
+    java.nio.file.Files.createDirectories(base.resolve("offsets"))
+    java.nio.file.Files.writeString(base.resolve("offsets").resolve("0"), "{}")
+    assert(!EventPipeline.hasCommittedBatch(spark, Some(base.toString)),
+      "a started-but-never-committed batch is not a resume")
+    java.nio.file.Files.createDirectories(base.resolve("commits"))
+    java.nio.file.Files.writeString(base.resolve("commits").resolve("0"), "{}")
+    assert(EventPipeline.hasCommittedBatch(spark, Some(base.toString)))
+    // production checkpoints are scheme-qualified URIs — java.nio would
+    // misread them as relative local paths and call every resume fresh
+    assert(EventPipeline.hasCommittedBatch(spark, Some("file:" + base.toString)))
+  }
+
   test("partitioned upsert sink with a FRESH checkpoint starts clean over unrelated residue") {
     // The converse of the cross-session adoption: adoption happens only
     // on a genuine resume (committed offsets). A brand-new checkpoint

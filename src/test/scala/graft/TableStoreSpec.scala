@@ -289,6 +289,73 @@ class TableStoreSpec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("adoptVersioned skips a torn never-published newest version, restores the complete head") {
+    import spark.implicits._
+    val table = uniq("ts_vertorn")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    try {
+      Seq((1L, "v1")).toDF("id", "v")
+        .write.parquet(java.nio.file.Paths.get(wh, s"${table}__v1").toString)
+      // v2's data write was interrupted: parts present, no _SUCCESS
+      val v2 = java.nio.file.Paths.get(wh, s"${table}__v2")
+      Seq((2L, "v2")).toDF("id", "v").write.parquet(v2.toString)
+      java.nio.file.Files.delete(v2.resolve("_SUCCESS"))
+      assert(TableStore.adoptVersioned(spark, table) === Some(1L))
+      // head serves the complete v1, not the torn v2 beside it
+      assert(spark.table(table).head().getString(1) === "v1")
+      assert(TableStore.listVersions(spark, table) === Seq(1L))
+      // the next publish reuses number 2 and reclaims the torn residue
+      assert(TableStore.publishVersioned(spark, table,
+        Seq((3L, "fresh2")).toDF("id", "v")) === 2L)
+      assert(spark.table(table).head().getString(1) === "fresh2")
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $table")
+      Seq(1L, 2L).foreach { v =>
+        spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          java.nio.file.Paths.get(wh, s"${table}__v$v").toFile)
+      }
+    }
+  }
+
+  test("recoverStaging on a FRESH run discards even a complete staging snapshot") {
+    import spark.implicits._
+    val table = uniq("ts_freshstaging")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    val stagingDir = java.nio.file.Paths.get(wh, table + "__staging")
+    // run A died between its complete staging write and the swap; a NEW
+    // run (adoptOrphanTarget = false) reuses the name — run A's
+    // snapshot must be discarded, not published under the new run
+    Seq((1L, "stale")).toDF("id", "v").write.parquet(stagingDir.toString)
+    assert(!TableStore.recoverStaging(spark, table, adoptOrphanTarget = false))
+    assert(!spark.catalog.tableExists(table))
+    assert(!java.nio.file.Files.exists(stagingDir))
+  }
+
+  test("adoption agrees with the catalog's lowercase directory naming for mixed-case names") {
+    import spark.implicits._
+    val table = s"TsMixedCase_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    val lcDir = java.nio.file.Paths.get(wh, table.toLowerCase)
+    try {
+      TableStore.overwriteTable(spark, table, Seq((1L, "cased")).toDF("id", "v"))
+      // the catalog lowercases identifiers: the managed dir is lowercase
+      assert(java.nio.file.Files.isDirectory(lcDir))
+      // session-loss dance, then adoption spelled with the ORIGINAL case
+      val stash = java.nio.file.Files.createTempDirectory("graft_case_stash")
+        .resolve("t")
+      org.apache.commons.io.FileUtils.copyDirectory(lcDir.toFile, stash.toFile)
+      spark.sql(s"DROP TABLE $table")
+      org.apache.commons.io.FileUtils.copyDirectory(stash.toFile, lcDir.toFile)
+      assert(TableStore.adoptTable(spark, table),
+        "adoption must find the lowercase directory the catalog wrote")
+      assert(spark.table(table).head().getString(1) === "cased")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(lcDir.toFile)
+    }
+  }
+
   test("recoverStaging discards stale staging when the target is intact") {
     import spark.implicits._
     val table = uniq("ts_stale")
