@@ -248,6 +248,32 @@ object StreamingQueries {
     },
     q87StreamUpsertSink.oracle)
 
+  /** Versioned twin of q87: the same upsert contract through the
+    * READER-ATOMIC publish — every micro-batch lands as an immutable
+    * `__v{k}` snapshot and one catalog op repoints the head view, with
+    * per-batch retention vacuum. Identical final state, so the oracle
+    * is q87's; head-swap atomicity, snapshot isolation, retention
+    * bounds, and cross-session recovery are asserted in
+    * StreamingSpec/TableStoreSpec. */
+  val q87cStreamUpsertVersioned = GraftQuery(
+    "q87c_stream_upsert_versioned", { (s, dir) =>
+      val table = s"upsert_vq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val staged = EventPipeline.stageAsStreamDir(
+        Tables.load(s, dir, "events"), parts = 4)
+      EventPipeline.runUpsertSinkFromDir(s, staged, table, None, versioned = true)
+      val summary = s.table(table).agg(
+          count(lit(1)).as("rows_in_table"),
+          countDistinct(col("user_id")).as("distinct_users"),
+          round(sum(col("value")), 2).as("sum_latest_value"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_ts"))
+        .localCheckpoint(eager = true)
+      s.sql(s"DROP VIEW IF EXISTS $table")
+      graft.core.TableStore.listVersions(s, table)
+        .foreach(v => s.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
+      summary
+    },
+    q87StreamUpsertSink.oracle)
+
   /** Streaming twin of q93's decontamination screen: corpus documents
     * arrive as a file stream (replayed TWICE across four files so
     * micro-batch boundaries and cross-batch state both matter), each
@@ -301,5 +327,5 @@ object StreamingQueries {
     q37StreamTumbling, q38StreamSessions, q39MultimodalDecode,
     q44StreamStaticJoin, q45StreamDedup, q46StreamState, q63StreamStreamJoin,
     q86StreamSliding, q87StreamUpsertSink, q87bStreamUpsertPartitioned,
-    q98StreamDecontaminate)
+    q87cStreamUpsertVersioned, q98StreamDecontaminate)
 }
