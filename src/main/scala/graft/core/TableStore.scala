@@ -257,16 +257,28 @@ object TableStore {
     val fs = fsOf(spark, wh)
     if (!fs.exists(wh)) return None
     val prefix = simpleName(table).toLowerCase + "__v"
-    val survivors = fs.listStatus(wh).toSeq
+    // name-filter BEFORE the marker probe: the probe is a filesystem
+    // round-trip per entry, and the warehouse may hold thousands of
+    // unrelated tables
+    val candidates = fs.listStatus(wh).toSeq
       .filter(_.isDirectory)
-      // marker REQUIRED here (see module comment): a torn, never-
-      // published newest version must not become the head when a
-      // complete older version survives beside it; the torn dir is
-      // reclaimed by clearOrphanLocation when its number is reused
-      .filter(s => fs.exists(
-        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .filter(_.getPath.getName.startsWith(prefix))
+    // marker preferred here (see module comment): a torn, never-
+    // published newest version must not become the head when a
+    // complete older version survives beside it; the torn dir is
+    // reclaimed by clearOrphanLocation when its number is reused.
+    // CONSERVATIVE FALLBACK (mirroring recoverStaging's): when NO
+    // candidate carries a marker — success markers disabled cluster-
+    // wide — refusing all of them would let the restarted numbering
+    // orphan-clean every surviving snapshot, so all readable
+    // candidates are adopted instead; the torn-newest protection is
+    // then only as good as schema readability, which is the documented
+    // markers-disabled tradeoff.
+    val marked = candidates.filter(s => fs.exists(
+      new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+    val trusted = if (marked.nonEmpty) marked else candidates
+    val survivors = trusted
       .map(_.getPath.getName)
-      .filter(_.startsWith(prefix))
       .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
       .sorted
     val adopted = survivors.filter(v => adoptTable(spark, s"${table}__v$v"))
@@ -277,6 +289,30 @@ object TableStore {
            |AS SELECT * FROM ${table}__v$head""".stripMargin)
       head
     }
+  }
+
+  /** Delete warehouse version-directory residue of `table` that has NO
+    * catalog entry — the fresh-run isolation step for the versioned
+    * sink. An abandoned earlier run's `__v{k}` directories are
+    * invisible to [[vacuumVersions]] (catalog-driven) and would
+    * otherwise persist forever — unbounded disk, and stale snapshots
+    * that retention policies can no longer reach — or, worse, be
+    * adopted into a later resume. Cataloged versions (live state owned
+    * by this session) are untouched. */
+  def clearVersionResidue(spark: SparkSession, table: String): Unit = {
+    val cataloged = listVersions(spark, table).toSet
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = fsOf(spark, wh)
+    if (!fs.exists(wh)) return
+    val prefix = simpleName(table).toLowerCase + "__v"
+    fs.listStatus(wh).toSeq
+      .filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith(prefix))
+      .filter(s => scala.util.Try(
+        s.getPath.getName.stripPrefix(prefix).toLong).toOption
+        .exists(!cataloged.contains(_)))
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** OPTIMIZE-style compaction for an UNPARTITIONED managed table: the

@@ -14,6 +14,21 @@ import graft.streaming.EventPipeline
   */
 object StreamingQueries {
 
+  /** The q87-family summary: one oracle-facing aggregate over a
+    * latest-per-user table, shared by all three sink modes so a change
+    * to the oracle's columns cannot desynchronize one of them.
+    * Snapshotted (localCheckpoint) so the caller can drop the scratch
+    * table before returning the frame. */
+  private def upsertSummary(
+      s: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.spark.sql.DataFrame =
+    s.table(table).agg(
+        count(lit(1)).as("rows_in_table"),
+        countDistinct(col("user_id")).as("distinct_users"),
+        round(sum(col("value")), 2).as("sum_latest_value"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_ts"))
+      .localCheckpoint(eager = true)
+
   /** Tumbling-window aggregation executed BY THE STREAMING ENGINE,
     * oracle-checked against the batch semantics. */
   val q37StreamTumbling = GraftQuery(
@@ -202,14 +217,7 @@ object StreamingQueries {
     "q87_stream_upsert_sink", { (s, dir) =>
       val table = s"upsert_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       EventPipeline.runUpsertSink(s, Tables.load(s, dir, "events"), table, parts = 4)
-      // snapshot the aggregate BEFORE dropping the scratch table — the
-      // returned frame must not reference a table that no longer exists
-      val summary = s.table(table).agg(
-          count(lit(1)).as("rows_in_table"),
-          countDistinct(col("user_id")).as("distinct_users"),
-          round(sum(col("value")), 2).as("sum_latest_value"),
-          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_ts"))
-        .localCheckpoint(eager = true)
+      val summary = upsertSummary(s, table)
       s.sql(s"DROP TABLE IF EXISTS $table")
       summary
     },
@@ -237,12 +245,7 @@ object StreamingQueries {
       val table = s"upsert_part_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       EventPipeline.runPartitionedUpsertSink(
         s, Tables.load(s, dir, "events"), table, buckets = 16, parts = 4)
-      val summary = s.table(table).agg(
-          count(lit(1)).as("rows_in_table"),
-          countDistinct(col("user_id")).as("distinct_users"),
-          round(sum(col("value")), 2).as("sum_latest_value"),
-          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_ts"))
-        .localCheckpoint(eager = true)
+      val summary = upsertSummary(s, table)
       s.sql(s"DROP TABLE IF EXISTS $table")
       summary
     },
@@ -261,12 +264,7 @@ object StreamingQueries {
       val staged = EventPipeline.stageAsStreamDir(
         Tables.load(s, dir, "events"), parts = 4)
       EventPipeline.runUpsertSinkFromDir(s, staged, table, None, versioned = true)
-      val summary = s.table(table).agg(
-          count(lit(1)).as("rows_in_table"),
-          countDistinct(col("user_id")).as("distinct_users"),
-          round(sum(col("value")), 2).as("sum_latest_value"),
-          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_ts"))
-        .localCheckpoint(eager = true)
+      val summary = upsertSummary(s, table)
       s.sql(s"DROP VIEW IF EXISTS $table")
       graft.core.TableStore.listVersions(s, table)
         .foreach(v => s.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))

@@ -286,6 +286,11 @@ object EventPipeline {
     val resuming = hasCommittedBatch(spark, checkpoint)
     if (versioned) {
       if (resuming) graft.core.TableStore.adoptVersioned(spark, table)
+      // fresh run: an abandoned earlier run's un-cataloged version
+      // directories are invisible to the catalog-driven vacuum and
+      // would persist forever (or contaminate a later resume) — clear
+      // them now, the versioned twin of the other sinks' orphan cleanup
+      else graft.core.TableStore.clearVersionResidue(spark, table)
       ()
     } else
       graft.core.TableStore.recoverStaging(spark, table,
@@ -380,7 +385,7 @@ object EventPipeline {
       spark: SparkSession, dir: String, table: String,
       buckets: Int = 16, checkpoint: Option[String] = None): Long = {
     require(buckets > 0, "buckets must be positive")
-    // cross-session RESTART (committed offsets in the checkpoint): the
+    // cross-session RESTART (a committed batch in the checkpoint): the
     // in-memory catalog forgot the table but its partitioned directory
     // survives — re-register it in place so the seed branch's orphan
     // cleanup cannot delete the published state the resume is about to

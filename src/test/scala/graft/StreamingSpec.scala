@@ -623,7 +623,8 @@ class StreamingSpec extends SparkTestBase {
 
   test("partitioned upsert sink with a FRESH checkpoint starts clean over unrelated residue") {
     // The converse of the cross-session adoption: adoption happens only
-    // on a genuine resume (committed offsets). A brand-new checkpoint
+    // on a genuine resume (a committed batch in the commits log). A
+    // brand-new checkpoint
     // means this is a NEW run — surviving residue from some earlier run
     // must be cleared, not merged, or its keys contaminate the output
     // forever.

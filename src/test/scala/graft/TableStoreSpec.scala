@@ -318,6 +318,52 @@ class TableStoreSpec extends SparkTestBase {
     }
   }
 
+  test("adoptVersioned falls back to adopting all readable versions when NO marker exists (markers disabled)") {
+    import spark.implicits._
+    val table = uniq("ts_vernomark")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    try {
+      // markers-disabled cluster: every version dir is complete but
+      // carries no _SUCCESS — refusing them all would let the restarted
+      // numbering orphan-clean the surviving snapshots
+      Seq(1L, 2L).foreach { v =>
+        val d = java.nio.file.Paths.get(wh, s"${table}__v$v")
+        Seq((v, s"v$v")).toDF("id", "v").write.parquet(d.toString)
+        java.nio.file.Files.delete(d.resolve("_SUCCESS"))
+      }
+      assert(TableStore.adoptVersioned(spark, table) === Some(2L))
+      assert(spark.table(table).head().getString(1) === "v2")
+      assert(TableStore.listVersions(spark, table) === Seq(1L, 2L))
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $table")
+      Seq(1L, 2L).foreach { v =>
+        spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          java.nio.file.Paths.get(wh, s"${table}__v$v").toFile)
+      }
+    }
+  }
+
+  test("clearVersionResidue deletes un-cataloged version directories, keeps cataloged ones") {
+    import spark.implicits._
+    val table = uniq("ts_verresidue")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    try {
+      // live cataloged version + stale residue from an abandoned run
+      TableStore.publishVersioned(spark, table, Seq((1L, "live")).toDF("id", "v"))
+      val stale = java.nio.file.Paths.get(wh, s"${table}__v9")
+      Seq((9L, "stale")).toDF("id", "v").write.parquet(stale.toString)
+      TableStore.clearVersionResidue(spark, table)
+      assert(!java.nio.file.Files.exists(stale))
+      assert(spark.table(table).head().getString(1) === "live")
+      assert(TableStore.listVersions(spark, table) === Seq(1L))
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $table")
+      TableStore.listVersions(spark, table)
+        .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
+    }
+  }
+
   test("recoverStaging on a FRESH run discards even a complete staging snapshot") {
     import spark.implicits._
     val table = uniq("ts_freshstaging")
