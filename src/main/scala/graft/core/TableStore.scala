@@ -252,35 +252,29 @@ object TableStore {
     * head version, if any. */
   def adoptVersioned(spark: SparkSession, table: String): Option[Long] = {
     if (spark.catalog.tableExists(table)) return None
-    val wh = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"))
-    val fs = fsOf(spark, wh)
-    if (!fs.exists(wh)) return None
-    val prefix = simpleName(table).toLowerCase + "__v"
-    // name-filter BEFORE the marker probe: the probe is a filesystem
-    // round-trip per entry, and the warehouse may hold thousands of
-    // unrelated tables
-    val candidates = fs.listStatus(wh).toSeq
-      .filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith(prefix))
-    // marker preferred here (see module comment): a torn, never-
-    // published newest version must not become the head when a
-    // complete older version survives beside it; the torn dir is
-    // reclaimed by clearOrphanLocation when its number is reused.
-    // CONSERVATIVE FALLBACK (mirroring recoverStaging's): when NO
-    // candidate carries a marker — success markers disabled cluster-
-    // wide — refusing all of them would let the restarted numbering
-    // orphan-clean every surviving snapshot, so all readable
-    // candidates are adopted instead; the torn-newest protection is
-    // then only as good as schema readability, which is the documented
-    // markers-disabled tradeoff.
-    val marked = candidates.filter(s => fs.exists(
-      new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-    val trusted = if (marked.nonEmpty) marked else candidates
-    val survivors = trusted
-      .map(_.getPath.getName)
-      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
-      .sorted
+    val candidates = versionDirs(spark, table)
+    if (candidates.isEmpty) return None
+    val fs = fsOf(spark, candidates.head._1)
+    // Marker gate, decided by CONFIGURATION rather than observed
+    // absence (see module comment): with success markers enabled (the
+    // default), every genuinely published version carries _SUCCESS, so
+    // an unmarked survivor is torn or foreign and must not become the
+    // head — it is reclaimed by clearOrphanLocation when its number is
+    // reused. With markers DISABLED by config, marker absence proves
+    // nothing; refusing every survivor would let the restarted
+    // numbering orphan-clean the published state, so all readable
+    // candidates are adopted — torn-newest protection is then only as
+    // good as schema readability, the documented markers-disabled
+    // tradeoff. Observed-absence gating would conflate the two cases:
+    // on a markers-ENABLED cluster whose markers were stripped by
+    // external tooling it would adopt a torn newest permanently.
+    val markersEnabled = spark.sparkContext.hadoopConfiguration.getBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+    val trusted =
+      if (!markersEnabled) candidates
+      else candidates.filter { case (p, _) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+    val survivors = trusted.map(_._2).sorted
     val adopted = survivors.filter(v => adoptTable(spark, s"${table}__v$v"))
     adopted.lastOption.map { head =>
       spark.sql(
@@ -300,19 +294,34 @@ object TableStore {
     * adopted into a later resume. Cataloged versions (live state owned
     * by this session) are untouched. */
   def clearVersionResidue(spark: SparkSession, table: String): Unit = {
+    val onDisk = versionDirs(spark, table)
+    if (onDisk.isEmpty) return
     val cataloged = listVersions(spark, table).toSet
+    val fs = fsOf(spark, onDisk.head._1)
+    onDisk.filter { case (_, v) => !cataloged.contains(v) }
+      .foreach { case (p, _) => fs.delete(p, true) }
+  }
+
+  /** Every on-disk version DIRECTORY of `table` as (path, number) —
+    * the one shared enumeration behind [[adoptVersioned]] and
+    * [[clearVersionResidue]], so the adoption and cleanup paths can
+    * never disagree about which directories are `table`'s versions.
+    * Uses a glob so the filesystem lists only matching entries (the
+    * warehouse may hold thousands of unrelated tables; on an object
+    * store a full root listing is a paginated scan). */
+  private def versionDirs(spark: SparkSession,
+      table: String): Seq[(org.apache.hadoop.fs.Path, Long)] = {
     val wh = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"))
     val fs = fsOf(spark, wh)
-    if (!fs.exists(wh)) return
+    if (!fs.exists(wh)) return Nil
     val prefix = simpleName(table).toLowerCase + "__v"
-    fs.listStatus(wh).toSeq
+    fs.globStatus(new org.apache.hadoop.fs.Path(wh, prefix + "*")).toSeq
       .filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith(prefix))
-      .filter(s => scala.util.Try(
-        s.getPath.getName.stripPrefix(prefix).toLong).toOption
-        .exists(!cataloged.contains(_)))
-      .foreach(s => fs.delete(s.getPath, true))
+      .flatMap { s =>
+        scala.util.Try(s.getPath.getName.stripPrefix(prefix).toLong)
+          .toOption.map(v => (s.getPath, v))
+      }
   }
 
   /** OPTIMIZE-style compaction for an UNPARTITIONED managed table: the

@@ -318,23 +318,33 @@ class TableStoreSpec extends SparkTestBase {
     }
   }
 
-  test("adoptVersioned falls back to adopting all readable versions when NO marker exists (markers disabled)") {
+  test("adoptVersioned marker gate is config-based: disabled → adopt all; enabled + stripped markers → refuse") {
     import spark.implicits._
     val table = uniq("ts_vernomark")
     val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    val markersKey = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     try {
-      // markers-disabled cluster: every version dir is complete but
-      // carries no _SUCCESS — refusing them all would let the restarted
-      // numbering orphan-clean the surviving snapshots
+      // complete version dirs with no _SUCCESS markers
       Seq(1L, 2L).foreach { v =>
         val d = java.nio.file.Paths.get(wh, s"${table}__v$v")
         Seq((v, s"v$v")).toDF("id", "v").write.parquet(d.toString)
         java.nio.file.Files.delete(d.resolve("_SUCCESS"))
       }
+      // markers ENABLED (default): unmarked survivors are torn-or-foreign
+      // and must be refused — adopting them could make a truncated
+      // snapshot the permanent head
+      assert(TableStore.adoptVersioned(spark, table) === None)
+      assert(!spark.catalog.tableExists(table))
+      // markers DISABLED by config: absence proves nothing; refusing
+      // every survivor would orphan-clean the published state, so all
+      // readable candidates are adopted
+      hadoopConf.setBoolean(markersKey, false)
       assert(TableStore.adoptVersioned(spark, table) === Some(2L))
       assert(spark.table(table).head().getString(1) === "v2")
       assert(TableStore.listVersions(spark, table) === Seq(1L, 2L))
     } finally {
+      hadoopConf.unset(markersKey)
       spark.sql(s"DROP VIEW IF EXISTS $table")
       Seq(1L, 2L).foreach { v =>
         spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v")
