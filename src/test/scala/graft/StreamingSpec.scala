@@ -717,6 +717,30 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("compactPartitions after the partitioned sink: one file per bucket, state unchanged") {
+    // The maintenance op and the sink it exists for, composed: four
+    // micro-batches of dynamic overwrites leave multiple files per
+    // touched partition; OPTIMIZE collapses each to one without
+    // changing a row.
+    import graft.core.TableStore
+    val ev = Tables.load(spark, sfDir, "events")
+    val table = s"upsert_opt_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      EventPipeline.runPartitionedUpsertSink(spark, ev, table, buckets = 4, parts = 4)
+      val before = spark.table(table).orderBy("user_id").collect().toSeq
+      TableStore.compactPartitions(spark, table, "__bucket")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).filter(_.isDirectory).foreach { d =>
+        val n = fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        assert(n === 1, s"${d.getPath.getName} holds $n files after compaction")
+      }
+      assert(spark.table(table).orderBy("user_id").collect().toSeq === before)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("partitioned upsert sink refuses a table not PARTITIONED by __bucket") {
     val ev = Tables.load(spark, sfDir, "events")
     def causes(t: Throwable): Seq[Throwable] =
