@@ -2,6 +2,15 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Thrown when a versioned publish loses its compare-and-set check:
+  * another writer moved the head between this publish computing its
+  * version number and the view swap. The loser's staged version table
+  * is dropped and the head keeps serving the winner's complete
+  * snapshot — a silent last-writer-wins clobber becomes a loud,
+  * retriable error. */
+final class ConcurrentPublishException(msg: String)
+  extends IllegalStateException(msg)
+
 /** Managed-table persistence shared by every sink that writes through the
   * catalog (the pharma round-trips, the streaming upsert sink): the
   * orphan-location cleanup that each call site used to copy by hand, and
@@ -14,14 +23,38 @@ object TableStore {
 
   /** The ONE place the table-name → warehouse-directory rule lives: the
     * recovery and cleanup paths below must agree on where a table's
-    * data is, or one of them deletes/adopts the wrong directory. The
-    * catalog lowercases identifiers, so managed directories are
-    * lowercase regardless of how the caller spells the name. */
+    * data is, or one of them deletes/adopts the wrong directory. A
+    * table the catalog knows resolves to its REAL location (managed
+    * tables in a non-default database live under `<db>.db/<table>`,
+    * not `<table>`); for names the catalog has forgotten — the whole
+    * point of the recovery paths — the fallback applies the same
+    * layout rule from the name's qualifier or the session's current
+    * database. The catalog lowercases identifiers, so managed
+    * directories are lowercase regardless of how the caller spells
+    * the name. */
   private def tableLocation(
-      spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      simpleName(table).toLowerCase)
+      spark: SparkSession, table: String): org.apache.hadoop.fs.Path = {
+    val fromCatalog =
+      if (!spark.catalog.tableExists(table)) None
+      else scala.util.Try {
+        import org.apache.spark.sql.functions.col
+        spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+          .filter(col("col_name") === "Location")
+          .head().getString(1)
+      }.toOption
+    fromCatalog.map(new org.apache.hadoop.fs.Path(_)).getOrElse {
+      val parts = table.split('.')
+      val db =
+        if (parts.length >= 2) parts(parts.length - 2).toLowerCase
+        else spark.catalog.currentDatabase.toLowerCase
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val base =
+        if (db == "default") wh
+        else new org.apache.hadoop.fs.Path(wh, db + ".db")
+      new org.apache.hadoop.fs.Path(base, simpleName(table).toLowerCase)
+    }
+  }
 
   private def fsOf(spark: SparkSession,
       p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
@@ -92,26 +125,63 @@ object TableStore {
   // files untouched until vacuumVersions reclaims them — snapshot
   // isolation, the same reader contract a lakehouse transaction log
   // provides, emulated on the catalog (versions = immutable snapshots,
-  // the view = the log's head pointer, vacuum = retention). Single
-  // writer assumed, exactly like every other sink here: multi-writer
-  // conflict detection is the part that genuinely needs a real log.
+  // the view = the log's head pointer, vacuum = retention). Writer
+  // concurrency: a compare-and-set check re-reads the head immediately
+  // before the view swap and fails the publish loudly
+  // (ConcurrentPublishException) if another writer moved it while this
+  // one staged its data — silent clobber becomes a retriable error.
+  // The check-then-swap pair is still two operations, so a conflict
+  // landing INSIDE that metadata-only window can slip through; closing
+  // it for good is what genuinely needs a real transaction log's
+  // atomic commit (Delta/Iceberg). The window this narrows is the
+  // expensive one: the whole data write.
 
   /** Publish `df` as the next version of `table` and atomically repoint
     * the `table` view at it. Returns the new version number. The name
-    * must be free or already a versioned-publish view — a plain table
+    * must be free or already a versioned-publish view (it carries the
+    * `graft.version` property) — a plain table OR a user's own view
     * under this name fails with a named cause rather than being
-    * silently shadowed. Crash between the data write and the view swap
-    * leaves an orphan `__v{k}` table: readers still resolve the previous
-    * complete version, and [[vacuumVersions]] reclaims orphans above the
-    * published head. */
-  def publishVersioned(spark: SparkSession, table: String, df: DataFrame): Long = {
-    if (spark.catalog.tableExists(table) &&
-        spark.catalog.getTable(table).tableType != "VIEW")
-      throw new IllegalStateException(
-        s"$table exists as a ${spark.catalog.getTable(table).tableType} table — " +
-          "versioned publish needs the name free or a graft version view")
+    * silently clobbered by the CREATE OR REPLACE. Crash between the
+    * data write and the view swap leaves an orphan `__v{k}` table:
+    * readers still resolve the previous complete version, and
+    * [[vacuumVersions]] reclaims orphans above the published head.
+    * Throws [[ConcurrentPublishException]] when another writer
+    * published between this call computing its version number and the
+    * swap; the staged version table is dropped first, so retrying
+    * merges against the winner's head. `beforeSwap` is a test seam —
+    * the conflict-injection point between the data write and the
+    * compare-and-set. */
+  def publishVersioned(spark: SparkSession, table: String, df: DataFrame,
+      beforeSwap: () => Unit = () => ()): Long = {
+    if (spark.catalog.tableExists(table)) {
+      val tpe = spark.catalog.getTable(table).tableType
+      if (tpe != "VIEW")
+        throw new IllegalStateException(
+          s"$table exists as a $tpe table — " +
+            "versioned publish needs the name free or a graft version view")
+      if (currentVersion(spark, table).isEmpty)
+        throw new IllegalStateException(
+          s"$table exists as a view without the graft.version property — " +
+            "refusing to replace a view this publish path did not create")
+    }
+    val observed = currentVersion(spark, table)
     val next = listVersions(spark, table).lastOption.getOrElse(0L) + 1
     overwriteTable(spark, s"${table}__v$next", df)
+    beforeSwap()
+    // compare-and-set: the head this publish numbered against must not
+    // have moved during the data write — two interleaved writers would
+    // otherwise both swap and the earlier one's snapshot would vanish
+    // without any error (see module comment for the residual window)
+    val head = currentVersion(spark, table)
+    if (head != observed) {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__v$next")
+      clearOrphanLocation(spark, s"${table}__v$next")
+      throw new ConcurrentPublishException(
+        s"concurrent publish on $table: head moved from " +
+          s"${observed.getOrElse("none")} to ${head.getOrElse("none")} while " +
+          s"this publish staged __v$next — staged version dropped, retry " +
+          "merges against the new head")
+    }
     spark.sql(
       s"""CREATE OR REPLACE VIEW $table
          |TBLPROPERTIES ('graft.version' = '$next')
@@ -191,7 +261,12 @@ object TableStore {
   /** Register a surviving UNPARTITIONED parquet directory as `table` in
     * place. Returns true iff adopted; false when the name is taken, no
     * directory survives, or the residue is not readable parquet (that
-    * case is left to normal orphan cleanup). */
+    * case is left to normal orphan cleanup). Adoption FREEZES the DDL
+    * at the schema the directory holds: a stream whose source schema
+    * widened across the restart fails its first merge loudly
+    * (unionByName AnalysisException — the sinks' schema-evolution
+    * contract) rather than silently dropping the new column; widening
+    * is an explicit migration, not an adoption side effect. */
   def adoptTable(spark: SparkSession, table: String): Boolean = {
     if (spark.catalog.tableExists(table)) return false
     val loc = tableLocation(spark, table)
@@ -207,13 +282,21 @@ object TableStore {
 
   /** Partitioned twin of [[adoptTable]] for the partition-scoped upsert
     * sink: registers the directory and recovers its partitions. The
-    * partition column is declared BIGINT explicitly — partition-value
-    * inference would otherwise guess INT from small directory names and
-    * break positional inserts. Refuses a FLAT directory that merely
+    * partition column's TYPE comes from partition-value inference on
+    * the directory names (the schema read below folds it in, so a
+    * date- or string-partitioned directory registers its real type) —
+    * EXCEPT that integral inference is widened to BIGINT: small
+    * directory names infer INT where the bucket writer wrote BIGINT,
+    * an INT registration breaks the sink's positional inserts, and
+    * the widening is lossless. Refuses a FLAT directory that merely
     * carries `partitionCol` as a data column (no `partitionCol=` child
     * directories): adopting it would register a zero-partition table
     * whose scans read empty — the same silent-truncation trap the
-    * sink's partition-column guard blocks in-catalog. */
+    * sink's partition-column guard blocks in-catalog. Restores the
+    * `graft.buckets` property from the directory's marker file when
+    * present, so the sink's bucket-count guard survives the adoption
+    * (the catalog entry is rebuilt from scratch here and would
+    * otherwise lose it). */
   def adoptPartitionedTable(
       spark: SparkSession, table: String, partitionCol: String): Boolean = {
     if (spark.catalog.tableExists(table)) return false
@@ -231,15 +314,68 @@ object TableStore {
     val schema = scala.util.Try(spark.read.parquet(loc.toString).schema)
       .getOrElse(return false)
     if (!schema.fieldNames.contains(partitionCol)) return false
+    val partType = schema(partitionCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => "BIGINT"
+      case dt => dt.sql
+    }
     val ddlCols = (schema.fields.filterNot(_.name == partitionCol)
       .map(f => s"`${f.name}` ${f.dataType.sql}") :+
-      s"`$partitionCol` BIGINT").mkString(", ")
+      s"`$partitionCol` $partType").mkString(", ")
     spark.sql(
       s"""CREATE TABLE $table ($ddlCols) USING parquet
          |PARTITIONED BY ($partitionCol)
          |LOCATION '${loc.toString}'""".stripMargin)
     spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+    storedBucketMarker(spark, loc).foreach(b =>
+      spark.sql(
+        s"ALTER TABLE $table SET TBLPROPERTIES ('graft.buckets' = '$b')"))
     true
+  }
+
+  // ---- bucket-count contract for hash-partitioned tables ------------
+  //
+  // The partition-scoped upsert sink computes __bucket =
+  // pmod(xxhash64(key), buckets). The modulus is part of the TABLE's
+  // identity, not the job's: resuming with a different value computes
+  // new buckets for old keys, so a key's old row sits in a partition
+  // the touched-bucket merge never reads while its new row lands in
+  // another — duplicate keys, silently. The count is therefore
+  // recorded at seed time in TWO places: a TBLPROPERTY (what the
+  // in-session guard reads) and an `_graft_buckets` marker file beside
+  // the data (what a cross-session adoption — which rebuilds the
+  // catalog entry from the directory — restores the property from;
+  // underscore-prefixed, so parquet readers ignore it like _SUCCESS).
+
+  /** Record `buckets` as `table`'s immutable bucket-count contract:
+    * TBLPROPERTY + directory marker (see section comment). */
+  def setBucketCount(spark: SparkSession, table: String, buckets: Int): Unit = {
+    spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES ('graft.buckets' = '$buckets')")
+    val loc = tableLocation(spark, table)
+    val fs = fsOf(spark, loc)
+    val out = fs.create(new org.apache.hadoop.fs.Path(loc, "_graft_buckets"), true)
+    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The bucket count `table` was seeded with, if recorded. */
+  def bucketCount(spark: SparkSession, table: String): Option[Int] =
+    scala.util.Try(
+      spark.sql(s"SHOW TBLPROPERTIES $table ('graft.buckets')")
+        .head().getString(1).toInt).toOption
+
+  private def storedBucketMarker(spark: SparkSession,
+      loc: org.apache.hadoop.fs.Path): Option[Int] = {
+    val fs = fsOf(spark, loc)
+    val marker = new org.apache.hadoop.fs.Path(loc, "_graft_buckets")
+    if (!fs.exists(marker)) None
+    else scala.util.Try {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }.toOption
   }
 
   /** Versioned twin of [[adoptTable]] for the versioned upsert sink: a
@@ -352,16 +488,33 @@ object TableStore {
     * after many partition-scoped upserts when per-partition file counts
     * grow.
     *
-    * `values` scopes the pass to those partition values; empty = all.
-    * The materialization (insertInto must not read its own target) is
+    * `values` scopes the pass to those partition values. The
+    * materialization (insertInto must not read its own target) is
     * bounded by the scoped partitions, so the 100 TB pattern is to ROLL
     * the compaction over the partition space in bounded batches rather
     * than one whole-table pass — same touched-partition discipline as
-    * the partition-scoped upsert itself. */
+    * the partition-scoped upsert itself. That discipline is structural,
+    * not advisory: an unscoped pass (which materializes the WHOLE table
+    * in one localCheckpoint and OOMs a real cluster on a big table)
+    * must be confirmed with `allPartitions = true`. */
   def compactPartitions(
       spark: SparkSession, table: String, partitionCol: String,
-      values: Seq[Any] = Nil): Unit = {
+      values: Seq[Any] = Nil, allPartitions: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.col
+    // scoping by a DATA column would be silent data loss, not a layout
+    // op: `scoped` keeps only rows matching it, and the dynamic
+    // overwrite then replaces every real partition containing a scoped
+    // row with ONLY those rows — same guard class as compactTable's
+    // partitioned-table refusal
+    val partCols = partitionColumns(spark, table)
+    require(partCols.contains(partitionCol),
+      s"$partitionCol is not a partition column of $table (partitioned by " +
+        s"${partCols.mkString(",")}) — a data-column scope would " +
+        "dynamic-overwrite whole partitions with only the scoped rows")
+    require(values.nonEmpty || allPartitions,
+      s"no partition values given — an unscoped pass materializes ALL of " +
+        s"$table in one localCheckpoint; pass allPartitions = true to " +
+        "confirm, or roll bounded value batches")
     val base = spark.table(table)
     val scoped =
       if (values.isEmpty) base

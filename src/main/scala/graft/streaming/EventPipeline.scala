@@ -36,9 +36,10 @@ object EventPipeline {
     * nanos→micros conversion: nanos-since-epoch overflows double math. */
   def readEventStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      schema: StructType = eventSchema): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(eventSchema)
+    val reader = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(dir)
@@ -262,9 +263,22 @@ object EventPipeline {
     *
     * `versioned = true` publishes each batch through
     * TableStore.publishVersioned instead: reader-atomic head swap,
-    * snapshot isolation for in-flight scans, per-batch vacuum
-    * (retention 2), and its own cross-session recovery
-    * (TableStore.adoptVersioned on a checkpoint resume).
+    * snapshot isolation for in-flight scans, vacuum every
+    * `vacuumEvery` micro-batches (retention 2; the vacuum is a catalog
+    * listing + up to two DROPs per call — per-trigger metadata churn a
+    * slow metastore notices at high trigger rates, so the cadence is a
+    * knob; retained versions are bounded by keep + vacuumEvery − 1).
+    *
+    * Schema-evolution contract: the table's schema is frozen by its
+    * seed batch. A source that GAINS a column across a checkpoint
+    * restart (widened `sourceSchema`) fails the first merge loudly —
+    * unionByName raises an AnalysisException before anything is
+    * written, and the published table keeps serving its pre-restart
+    * state (StreamingSpec "widened schema" cases). There is no silent
+    * column drop and no implicit mergeSchema; widening a live table is
+    * an explicit migration (republish the table with the new schema,
+    * then restart the stream), exactly as with a lakehouse table
+    * without autoMerge enabled.
     *
     * Returns the number of micro-batches THIS run processed, so restart
     * tests can prove the resumed query skipped the already-consumed
@@ -273,7 +287,10 @@ object EventPipeline {
   def runUpsertSinkFromDir(
       spark: SparkSession, dir: String, table: String,
       checkpoint: Option[String] = None,
-      versioned: Boolean = false): Long = {
+      versioned: Boolean = false,
+      vacuumEvery: Int = 1,
+      sourceSchema: StructType = eventSchema): Long = {
+    require(vacuumEvery >= 1, "vacuumEvery must be >= 1")
     // restart path, BEFORE the stream's first batch reads the table:
     // finish (or discard) any swap a previous run died inside, and — on
     // a genuine checkpoint RESUME only — re-adopt published state whose
@@ -297,7 +314,8 @@ object EventPipeline {
         adoptOrphanTarget = resuming)
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val stream = readEventStream(spark, dir,
-      glob = "events*.parquet", maxFilesPerTrigger = Some(1))
+      glob = "events*.parquet", maxFilesPerTrigger = Some(1),
+      schema = sourceSchema)
     val writer = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -319,7 +337,8 @@ object EventPipeline {
           // in-flight reader its resolved version's files through the
           // next publish.
           graft.core.TableStore.publishVersioned(spark, table, merged)
-          graft.core.TableStore.vacuumVersions(spark, table, keep = 2)
+          if (batches.get() % vacuumEvery == 0)
+            graft.core.TableStore.vacuumVersions(spark, table, keep = 2)
           ()
         } else
           // stage-then-swap: the plan reads `table` while writing to the
@@ -380,10 +399,35 @@ object EventPipeline {
     * recovery + replay converges to the uninterrupted result (same
     * argument, and same graceful-stop exactly-once bound, as the
     * snapshot sink — see [[runUpsertSinkFromDir]]). No staging-table
-    * recovery is needed on restart: there is no swap to finish. */
+    * recovery is needed on restart: there is no swap to finish.
+    *
+    * `buckets` is part of the TABLE's identity, not the job's: the
+    * count is recorded at seed time (`graft.buckets` TBLPROPERTY + a
+    * directory marker that survives cross-session adoption), and a
+    * resume started with a different value fails loudly — under a new
+    * modulus a key's old row sits in a partition the touched-bucket
+    * merge never reads while its new row lands in another, silently
+    * violating the latest-per-key contract.
+    *
+    * `onBatchComplete` is the supported MAINTENANCE seam: it runs on
+    * the stream-execution thread strictly between this batch's commit
+    * and the next batch's read, so a
+    * [[graft.core.TableStore.compactPartitions]] called from it can
+    * never interleave with one of the sink's own dynamic overwrites on
+    * the same partitions (StreamingSpec's interleaved-maintenance case
+    * drives compaction every other batch this way). It receives the
+    * 1-based ordinal of the batch that just committed.
+    *
+    * Schema-evolution contract: identical to the snapshot sink's —
+    * the seed batch freezes the schema (and a cross-session adoption
+    * freezes the DDL it finds on disk); a widened `sourceSchema` after
+    * a restart fails the first merge loudly in unionByName with the
+    * table unchanged, never a silent column drop. */
   def runPartitionedUpsertSinkFromDir(
       spark: SparkSession, dir: String, table: String,
-      buckets: Int = 16, checkpoint: Option[String] = None): Long = {
+      buckets: Int = 16, checkpoint: Option[String] = None,
+      onBatchComplete: Long => Unit = _ => (),
+      sourceSchema: StructType = eventSchema): Long = {
     require(buckets > 0, "buckets must be positive")
     // cross-session RESTART (a committed batch in the checkpoint): the
     // in-memory catalog forgot the table but its partitioned directory
@@ -395,18 +439,21 @@ object EventPipeline {
       graft.core.TableStore.adoptPartitionedTable(spark, table, "__bucket")
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val stream = readEventStream(spark, dir,
-      glob = "events*.parquet", maxFilesPerTrigger = Some(1))
+      glob = "events*.parquet", maxFilesPerTrigger = Some(1),
+      schema = sourceSchema)
     val writer = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batches.incrementAndGet()
         val incoming = latestPerUser(batch).withColumn("__bucket",
           graft.core.Bucketing.bucketExpr(col("user_id"), buckets))
-        if (!spark.catalog.tableExists(table))
+        if (!spark.catalog.tableExists(table)) {
           // seed batch: create the hash-partitioned table (partition col
-          // lands last in the table schema, as insertInto expects)
+          // lands last in the table schema, as insertInto expects) and
+          // record the bucket-count contract beside it
           graft.core.Bucketing.writePartitioned(incoming, table, "__bucket")
-        else {
+          graft.core.TableStore.setBucketCount(spark, table, buckets)
+        } else {
           // fail with a named cause when the name collides with a table
           // that is not PARTITIONED by __bucket (e.g. one the SNAPSHOT
           // sink published, or an unpartitioned table that merely
@@ -417,6 +464,19 @@ object EventPipeline {
               .contains("__bucket"),
             s"table $table exists but is not partitioned by __bucket — " +
               "it was not created by the partition-scoped upsert sink")
+          graft.core.TableStore.bucketCount(spark, table) match {
+            case Some(seeded) =>
+              require(seeded == buckets,
+                s"table $table was seeded with graft.buckets=$seeded but " +
+                  s"this sink was started with buckets=$buckets — a " +
+                  "different modulus strands old rows in partitions the " +
+                  "touched-bucket merge never reads")
+            case None =>
+              // legacy or externally-created table: no recorded contract
+              // to check — stamp the resumed value so every LATER resume
+              // is guarded
+              graft.core.TableStore.setBucketCount(spark, table, buckets)
+          }
           val merged = partitionedMergeFrame(spark, table, incoming)
             // break lineage: insertInto rejects a plan that reads its own
             // target; materialized size is bounded by the TOUCHED
@@ -424,6 +484,7 @@ object EventPipeline {
             .localCheckpoint(eager = true)
           graft.core.Bucketing.overwritePartitions(merged, table)
         }
+        onBatchComplete(batches.get())
       }
     checkpoint.foreach(writer.option("checkpointLocation", _))
     val q = writer.start()

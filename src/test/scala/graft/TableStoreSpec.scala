@@ -412,6 +412,155 @@ class TableStoreSpec extends SparkTestBase {
     }
   }
 
+  test("versioned publish compare-and-set: the losing interleaved publisher fails loudly, head serves the winner") {
+    import spark.implicits._
+    val table = uniq("ts_cas")
+    try {
+      TableStore.publishVersioned(spark, table, Seq((1L, "base")).toDF("id", "v"))
+      // publisher A stages its data; between its write and its swap,
+      // publisher B runs a COMPLETE publish (the beforeSwap seam is
+      // exactly that window). A's compare-and-set must then see the
+      // moved head and fail instead of silently clobbering B.
+      val e = intercept[graft.core.ConcurrentPublishException] {
+        TableStore.publishVersioned(spark, table,
+          Seq((2L, "loser")).toDF("id", "v"),
+          beforeSwap = () =>
+            TableStore.publishVersioned(spark, table,
+              Seq((3L, "winner"), (4L, "winner")).toDF("id", "v")))
+      }
+      assert(e.getMessage.contains("concurrent publish"))
+      // the head serves B's COMPLETE snapshot — never A's, never a mix
+      assert(spark.table(table).count() === 2L)
+      assert(spark.table(table).select("v").distinct().head().getString(0)
+        === "winner")
+      // A's staged version table was dropped, not left as an orphan the
+      // vacuum would misread as published
+      assert(TableStore.listVersions(spark, table)
+        === Seq(1L, TableStore.currentVersion(spark, table).get))
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $table")
+      TableStore.listVersions(spark, table)
+        .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
+    }
+  }
+
+  test("versioned publish refuses to clobber a pre-existing USER view") {
+    import spark.implicits._
+    val table = uniq("ts_userview")
+    try {
+      spark.sql(s"CREATE VIEW $table AS SELECT 1 AS one")
+      val e = intercept[IllegalStateException](
+        TableStore.publishVersioned(spark, table, Seq((1L, "x")).toDF("id", "v")))
+      assert(e.getMessage.contains("graft.version"))
+      // the user's view is untouched
+      assert(spark.table(table).head().getInt(0) === 1)
+    } finally spark.sql(s"DROP VIEW IF EXISTS $table")
+  }
+
+  test("time travel is reachable from pure SQL via the t__v{k} naming contract") {
+    import spark.implicits._
+    val table = uniq("ts_sqltt")
+    try {
+      TableStore.publishVersioned(spark, table, Seq((1L, "old")).toDF("id", "v"))
+      TableStore.publishVersioned(spark, table, Seq((2L, "new")).toDF("id", "v"))
+      // README §versioned-tables: version k of table t is the catalog
+      // table `t__vk` — a SQL-only reader time-travels with FROM alone,
+      // no Scala API needed. This test pins that naming as a contract.
+      assert(spark.sql(s"SELECT v FROM ${table}__v1").head().getString(0)
+        === "old")
+      assert(spark.sql(s"SELECT v FROM $table").head().getString(0) === "new")
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $table")
+      TableStore.listVersions(spark, table)
+        .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
+    }
+  }
+
+  test("compactPartitions refuses a DATA column and an unconfirmed whole-table pass") {
+    import spark.implicits._
+    val table = uniq("ts_compactscope")
+    try {
+      val df = (1 to 30).map(i => (i.toLong, i.toLong % 3, s"r$i"))
+        .toDF("id", "b", "v")
+      df.write.partitionBy("b").format("parquet")
+        .mode("overwrite").saveAsTable(table)
+      // scoping by a data column would dynamic-overwrite every partition
+      // containing a scoped row with ONLY the scoped rows — named refusal
+      val e1 = intercept[IllegalArgumentException](
+        TableStore.compactPartitions(spark, table, "id", Seq(1L)))
+      assert(e1.getMessage.contains("not a partition column"))
+      // an unscoped pass materializes the whole table in one
+      // localCheckpoint — the rolling discipline is enforced, not advised
+      val e2 = intercept[IllegalArgumentException](
+        TableStore.compactPartitions(spark, table, "b"))
+      assert(e2.getMessage.contains("allPartitions"))
+      // both refusals left the table untouched
+      assert(spark.table(table).count() === 30L)
+      // the confirmed whole-table pass still works
+      TableStore.compactPartitions(spark, table, "b", allPartitions = true)
+      assert(spark.table(table).count() === 30L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("db-qualified names resolve to the <db>.db/<table> warehouse layout in cleanup and adoption") {
+    import spark.implicits._
+    val db = "graft_dbq"
+    val table = uniq("ts_dbq")
+    val qualified = s"$db.$table"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    val loc = java.nio.file.Paths.get(wh, s"$db.db", table)
+    try {
+      // orphan residue at the DB-qualified location (a previous session's
+      // managed table): overwriteTable must clear THIS directory, not
+      // <warehouse>/<table> — saveAsTable would otherwise refuse with
+      // LOCATION_ALREADY_EXISTS
+      java.nio.file.Files.createDirectories(loc)
+      java.nio.file.Files.writeString(loc.resolve("junk.txt"), "stale")
+      TableStore.overwriteTable(spark, qualified,
+        Seq((1L, "indb")).toDF("id", "v"))
+      assert(spark.table(qualified).head().getString(1) === "indb")
+      assert(!java.nio.file.Files.exists(loc.resolve("junk.txt")))
+      assert(java.nio.file.Files.isDirectory(loc),
+        "the managed table must live under <db>.db/")
+      // session-loss dance, then adoption by the QUALIFIED name must
+      // find the db-layout directory
+      val stash = java.nio.file.Files.createTempDirectory("graft_dbq_stash")
+        .resolve("t")
+      org.apache.commons.io.FileUtils.copyDirectory(loc.toFile, stash.toFile)
+      spark.sql(s"DROP TABLE $qualified")
+      org.apache.commons.io.FileUtils.copyDirectory(stash.toFile, loc.toFile)
+      assert(TableStore.adoptTable(spark, qualified),
+        "adoption must look under <db>.db/, not the warehouse root")
+      assert(spark.table(qualified).head().getString(1) === "indb")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $qualified")
+      org.apache.commons.io.FileUtils.deleteQuietly(loc.toFile)
+    }
+  }
+
+  test("adoptPartitionedTable derives the partition column's real type (string stays string, integral widens to bigint)") {
+    import spark.implicits._
+    val table = uniq("ts_adopttype")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    val loc = java.nio.file.Paths.get(wh, table)
+    try {
+      // a STRING-partitioned directory (cat=a/, cat=b/) — the old
+      // hardcoded BIGINT registration would record wrong partition types
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "cat")
+        .write.partitionBy("cat").parquet(loc.toString)
+      assert(TableStore.adoptPartitionedTable(spark, table, "cat"))
+      val catType = spark.table(table).schema("cat").dataType
+      assert(catType === org.apache.spark.sql.types.StringType)
+      assert(spark.table(table).count() === 3L)
+      assert(spark.table(table).filter(col("cat") === "b")
+        .head().getLong(0) === 3L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(loc.toFile)
+    }
+  }
+
   test("recoverStaging discards stale staging when the target is intact") {
     import spark.implicits._
     val table = uniq("ts_stale")
