@@ -199,11 +199,29 @@ object Bench {
         System.err.println(s"[bench] zorder: ${e.getMessage}"); -1.0
       }
 
+    // ---- machine-readable environmental control (VERDICT r9 #1) ----
+    // Four rounds (r4/r5/r8/r9) each re-adjudicated bench noise in prose
+    // because host-capacity windows (hypervisor contention invisible to
+    // guest /proc) shift every row uniformly. The control makes the
+    // discount a field instead of a paragraph: q12_fact_join — a plain
+    // bucketed join untouched since r3 — is timed in the same
+    // interleaved min-of-3 passes as everything else, and its ratio to
+    // the steady band midpoint declared ONCE in BASELINE.md §control
+    // band (0.52 s, the r5–r9 recorded range 0.478–0.565) is emitted
+    // beside it. Reading rule: control_ratio ≈ 1 → rows are comparable
+    // raw; control_ratio ≫ 1 → the host was slow by that factor, divide
+    // every row by it before calling anything a regression; rows moving
+    // AGAINST the shift carry real signal.
+    val controlName = "q12_fact_join"
+    val controlBandMid = 0.52
+    val controlSec = results.toMap.getOrElse(controlName, -1.0)
+    val controlRatio = if (controlSec > 0) controlSec / controlBandMid else -1.0
+
     val recallJson = (annRecalls ++ pairRecalls)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val extJson = passExt.map(v => f"$v%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"ext_cpu_passes":$extJson,"loaded":$loaded,"recall":$recallJson,"zorder_skip_ratio":$zratio%.2f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"ext_cpu_passes":$extJson,"loaded":$loaded,"control":"$controlName","control_sec":$controlSec%.3f,"control_band_mid":$controlBandMid%.2f,"control_ratio":$controlRatio%.3f,"recall":$recallJson,"zorder_skip_ratio":$zratio%.2f}""")
     spark.stop()
   }
 }
