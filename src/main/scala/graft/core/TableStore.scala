@@ -21,6 +21,29 @@ object TableStore {
 
   private def simpleName(table: String): String = table.split('.').last
 
+  /** The database a (possibly qualified) name resolves to — the shared
+    * rule behind every path that must agree on WHERE a table lives:
+    * [[tableLocation]] (directory layout), [[listVersions]] (which
+    * database to enumerate), [[versionDirs]] (which directory to
+    * glob). Qualified names read their own qualifier; bare names read
+    * the session's current database. */
+  private def databaseOf(spark: SparkSession, table: String): String = {
+    val parts = table.split('.')
+    if (parts.length >= 2) parts(parts.length - 2).toLowerCase
+    else spark.catalog.currentDatabase.toLowerCase
+  }
+
+  /** Warehouse directory that holds `table`'s database: the root for
+    * `default`, `<root>/<db>.db` otherwise — the catalog's managed
+    * layout. */
+  private def databaseDir(
+      spark: SparkSession, table: String): org.apache.hadoop.fs.Path = {
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val db = databaseOf(spark, table)
+    if (db == "default") wh else new org.apache.hadoop.fs.Path(wh, db + ".db")
+  }
+
   /** The ONE place the table-name → warehouse-directory rule lives: the
     * recovery and cleanup paths below must agree on where a table's
     * data is, or one of them deletes/adopts the wrong directory. A
@@ -42,18 +65,9 @@ object TableStore {
           .filter(col("col_name") === "Location")
           .head().getString(1)
       }.toOption
-    fromCatalog.map(new org.apache.hadoop.fs.Path(_)).getOrElse {
-      val parts = table.split('.')
-      val db =
-        if (parts.length >= 2) parts(parts.length - 2).toLowerCase
-        else spark.catalog.currentDatabase.toLowerCase
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"))
-      val base =
-        if (db == "default") wh
-        else new org.apache.hadoop.fs.Path(wh, db + ".db")
-      new org.apache.hadoop.fs.Path(base, simpleName(table).toLowerCase)
-    }
+    fromCatalog.map(new org.apache.hadoop.fs.Path(_)).getOrElse(
+      new org.apache.hadoop.fs.Path(
+        databaseDir(spark, table), simpleName(table).toLowerCase))
   }
 
   private def fsOf(spark: SparkSession,
@@ -190,10 +204,14 @@ object TableStore {
   }
 
   /** All version numbers of `table` present in the catalog, ascending
-    * (catalog METADATA — bounded by the retention policy, not data). */
+    * (catalog METADATA — bounded by the retention policy, not data).
+    * Enumerates the database the name RESOLVES to, so a db-qualified
+    * versioned table's versions are found regardless of the session's
+    * current database. */
   def listVersions(spark: SparkSession, table: String): Seq[Long] = {
     val prefix = simpleName(table).toLowerCase + "__v"
-    spark.catalog.listTables().collect().toSeq.map(_.name)
+    spark.catalog.listTables(databaseOf(spark, table)).collect().toSeq
+      .map(_.name)
       .filter(_.startsWith(prefix))
       .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
       .sorted
@@ -444,15 +462,17 @@ object TableStore {
     * never disagree about which directories are `table`'s versions.
     * Uses a glob so the filesystem lists only matching entries (the
     * warehouse may hold thousands of unrelated tables; on an object
-    * store a full root listing is a paginated scan). */
+    * store a full root listing is a paginated scan). Globs the
+    * DATABASE's directory (`<db>.db/` for non-default), the same
+    * layout rule as [[tableLocation]] — globbing the warehouse root
+    * for a db-qualified table would silently see no versions. */
   private def versionDirs(spark: SparkSession,
       table: String): Seq[(org.apache.hadoop.fs.Path, Long)] = {
-    val wh = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"))
-    val fs = fsOf(spark, wh)
-    if (!fs.exists(wh)) return Nil
+    val base = databaseDir(spark, table)
+    val fs = fsOf(spark, base)
+    if (!fs.exists(base)) return Nil
     val prefix = simpleName(table).toLowerCase + "__v"
-    fs.globStatus(new org.apache.hadoop.fs.Path(wh, prefix + "*")).toSeq
+    fs.globStatus(new org.apache.hadoop.fs.Path(base, prefix + "*")).toSeq
       .filter(_.isDirectory)
       .flatMap { s =>
         scala.util.Try(s.getPath.getName.stripPrefix(prefix).toLong)
@@ -522,6 +542,34 @@ object TableStore {
     val compacted = scoped.repartition(col(partitionCol))
       .localCheckpoint(eager = true)
     Bucketing.overwritePartitions(compacted, table)
+  }
+
+  /** Explicit schema-widening migration — the supported path out of
+    * the sinks' loud widened-schema failure (their contract: a source
+    * that gains a column fails its first merge, it never silently
+    * drops data). `cols` are (name, SQL type) pairs. For a plain or
+    * partitioned TABLE this is `ALTER TABLE ADD COLUMNS` — metadata
+    * only, existing parquet files read NULL for the new columns, and
+    * on a partitioned table the catalog keeps the partition columns
+    * LAST so positional inserts (the partitioned sink's write path)
+    * stay aligned. For a versioned-publish VIEW (which cannot ALTER)
+    * the head is republished null-padded as the next version — one
+    * more snapshot + head swap, preserving time travel to the
+    * narrower versions. Run it between stopping a stream and
+    * restarting it with the widened sourceSchema; the restarted merge
+    * then unions cleanly. */
+  def addColumns(spark: SparkSession, table: String,
+      cols: Seq[(String, String)]): Unit = {
+    require(cols.nonEmpty, "no columns to add")
+    if (currentVersion(spark, table).isDefined) {
+      val pad = cols.map { case (n, t) => s"CAST(NULL AS $t) AS `$n`" }
+      publishVersioned(spark, table,
+        spark.sql(s"SELECT *, ${pad.mkString(", ")} FROM $table"))
+      ()
+    } else {
+      val ddl = cols.map { case (n, t) => s"`$n` $t" }.mkString(", ")
+      spark.sql(s"ALTER TABLE $table ADD COLUMNS ($ddl)")
+    }
   }
 
   /** Recover from a crash inside [[publishTable]]: restore or discard

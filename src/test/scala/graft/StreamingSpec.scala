@@ -967,8 +967,12 @@ class StreamingSpec extends SparkTestBase {
         spark, dir, table, Some(ckpt)) === 2L)
       val before = spark.table(table).orderBy("user_id").collect().toSeq
       // the source gains a column; the restart reads it with the
-      // widened schema
-      val widened = ev.limit(3).withColumn("extra", lit(1.5))
+      // widened schema (strictly-newest event, so its row must win)
+      val widened = ev.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+        .withColumn("event_id", lit(50000000L))
+        .withColumn("extra", lit(1.5))
+        .localCheckpoint(eager = true)
       val wDir = EventPipeline.stageAsStreamDir(widened, parts = 1)
       java.nio.file.Files.move(
         java.nio.file.Paths.get(wDir, "events.parquet"),
@@ -982,6 +986,17 @@ class StreamingSpec extends SparkTestBase {
         s"expected a loud analysis error, got: ${e.getMessage}")
       // loud fail, not silent drop: the published state is untouched
       assert(spark.table(table).orderBy("user_id").collect().toSeq === before)
+      // the supported path out: EXPLICIT migration, then the SAME
+      // restart succeeds and merges the new column
+      graft.core.TableStore.addColumns(spark, table, Seq("extra" -> "DOUBLE"))
+      assert(EventPipeline.runUpsertSinkFromDir(
+        spark, dir, table, Some(ckpt), sourceSchema = widenedSchema) === 1L)
+      val userId = widened.select("user_id").head().getLong(0)
+      val after = spark.table(table)
+      assert(after.filter(col("user_id") === userId)
+        .head().getAs[Double]("extra") === 1.5)
+      // pre-migration rows read NULL for the added column
+      assert(after.filter(col("extra").isNull).count() === after.count() - 1)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
@@ -1000,7 +1015,11 @@ class StreamingSpec extends SparkTestBase {
       assert(EventPipeline.runPartitionedUpsertSinkFromDir(
         spark, dir, table, buckets = 8, Some(ckpt)) === 2L)
       val before = spark.table(table).orderBy("user_id").collect().toSeq
-      val widened = ev.limit(3).withColumn("extra", lit(1.5))
+      val widened = ev.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+        .withColumn("event_id", lit(51000000L))
+        .withColumn("extra", lit(1.5))
+        .localCheckpoint(eager = true)
       val wDir = EventPipeline.stageAsStreamDir(widened, parts = 1)
       java.nio.file.Files.move(
         java.nio.file.Paths.get(wDir, "events.parquet"),
@@ -1014,6 +1033,19 @@ class StreamingSpec extends SparkTestBase {
         _.isInstanceOf[org.apache.spark.sql.AnalysisException]),
         s"expected a loud analysis error, got: ${e.getMessage}")
       assert(spark.table(table).orderBy("user_id").collect().toSeq === before)
+      // explicit migration: ADD COLUMNS keeps __bucket LAST in the
+      // catalog schema, so the sink's positional insert stays aligned —
+      // the same restart then succeeds
+      graft.core.TableStore.addColumns(spark, table, Seq("extra" -> "DOUBLE"))
+      assert(spark.table(table).columns.last === "__bucket")
+      assert(EventPipeline.runPartitionedUpsertSinkFromDir(
+        spark, dir, table, buckets = 8, Some(ckpt),
+        sourceSchema = widenedSchema) === 1L)
+      val userId = widened.select("user_id").head().getLong(0)
+      val after = spark.table(table)
+      assert(after.filter(col("user_id") === userId)
+        .head().getAs[Double]("extra") === 1.5)
+      assert(after.filter(col("extra").isNull).count() === after.count() - 1)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
@@ -1034,7 +1066,11 @@ class StreamingSpec extends SparkTestBase {
         spark, dir, table, Some(ckpt), versioned = true) === 2L)
       val headBefore = TableStore.currentVersion(spark, table)
       val before = spark.table(table).orderBy("user_id").collect().toSeq
-      val widened = ev.limit(3).withColumn("extra", lit(1.5))
+      val widened = ev.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+        .withColumn("event_id", lit(52000000L))
+        .withColumn("extra", lit(1.5))
+        .localCheckpoint(eager = true)
       val wDir = EventPipeline.stageAsStreamDir(widened, parts = 1)
       java.nio.file.Files.move(
         java.nio.file.Paths.get(wDir, "events.parquet"),
@@ -1050,6 +1086,20 @@ class StreamingSpec extends SparkTestBase {
       // no phantom version published, head and state untouched
       assert(TableStore.currentVersion(spark, table) === headBefore)
       assert(spark.table(table).orderBy("user_id").collect().toSeq === before)
+      // explicit migration: a VIEW cannot ALTER, so the head is
+      // republished null-padded as the next version; the same restart
+      // then succeeds one version above that
+      TableStore.addColumns(spark, table, Seq("extra" -> "DOUBLE"))
+      assert(TableStore.currentVersion(spark, table) === headBefore.map(_ + 1))
+      assert(EventPipeline.runUpsertSinkFromDir(
+        spark, dir, table, Some(ckpt), versioned = true,
+        sourceSchema = widenedSchema) === 1L)
+      assert(TableStore.currentVersion(spark, table) === headBefore.map(_ + 2))
+      val userId = widened.select("user_id").head().getLong(0)
+      val after = spark.table(table)
+      assert(after.filter(col("user_id") === userId)
+        .head().getAs[Double]("extra") === 1.5)
+      assert(after.filter(col("extra").isNull).count() === after.count() - 1)
     } finally {
       spark.sql(s"DROP VIEW IF EXISTS $table")
       graft.core.TableStore.listVersions(spark, table)

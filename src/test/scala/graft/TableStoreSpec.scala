@@ -539,6 +539,44 @@ class TableStoreSpec extends SparkTestBase {
     }
   }
 
+  test("versioned publish works end-to-end on a db-qualified name") {
+    // listVersions must enumerate the name's OWN database (not the
+    // session's current one) and residue cleanup must glob <db>.db/ —
+    // otherwise a db-qualified versioned table restarts numbering at v1
+    // and its residue is never reclaimed.
+    import spark.implicits._
+    val db = "graft_dbv"
+    val table = uniq("ts_dbver")
+    val qualified = s"$db.$table"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    try {
+      assert(TableStore.publishVersioned(spark, qualified,
+        Seq((1L, "v1")).toDF("id", "v")) === 1L)
+      assert(TableStore.publishVersioned(spark, qualified,
+        Seq((2L, "v2")).toDF("id", "v")) === 2L)
+      assert(TableStore.listVersions(spark, qualified) === Seq(1L, 2L))
+      assert(TableStore.currentVersion(spark, qualified) === Some(2L))
+      assert(spark.table(qualified).head().getString(1) === "v2")
+      assert(TableStore.readVersion(spark, qualified, 1L)
+        .head().getString(1) === "v1")
+      // version tables live under <db>.db/, and residue cleanup finds
+      // them there
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(wh, s"$db.db", s"${table}__v1")))
+      val stale = java.nio.file.Paths.get(wh, s"$db.db", s"${table}__v9")
+      Seq((9L, "stale")).toDF("id", "v").write.parquet(stale.toString)
+      TableStore.clearVersionResidue(spark, qualified)
+      assert(!java.nio.file.Files.exists(stale))
+      assert(TableStore.vacuumVersions(spark, qualified, keep = 1) === Seq(1L))
+      assert(TableStore.listVersions(spark, qualified) === Seq(2L))
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $qualified")
+      TableStore.listVersions(spark, qualified)
+        .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${qualified}__v$v"))
+    }
+  }
+
   test("adoptPartitionedTable derives the partition column's real type (string stays string, integral widens to bigint)") {
     import spark.implicits._
     val table = uniq("ts_adopttype")
