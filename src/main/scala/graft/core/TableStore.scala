@@ -33,6 +33,18 @@ object TableStore {
     else spark.catalog.currentDatabase.toLowerCase
   }
 
+  /** Re-create `table`'s database if the catalog forgot it — the
+    * recovery paths' prerequisite: a session restart forgets DATABASES
+    * exactly like it forgets tables (the same in-memory-catalog model
+    * the adopt* helpers exist for), and a CREATE TABLE into a
+    * forgotten database fails with SCHEMA_NOT_FOUND instead of
+    * recovering. The database directory on disk is reused as-is. */
+  private def ensureDatabase(spark: SparkSession, table: String): Unit = {
+    val db = databaseOf(spark, table)
+    if (!spark.catalog.databaseExists(db))
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+  }
+
   /** Warehouse directory that holds `table`'s database: the root for
     * `default`, `<root>/<db>.db` otherwise — the catalog's managed
     * layout. */
@@ -167,19 +179,24 @@ object TableStore {
     * compare-and-set. */
   def publishVersioned(spark: SparkSession, table: String, df: DataFrame,
       beforeSwap: () => Unit = () => ()): Long = {
+    // ONE head read serves both the view-ownership guard and the CAS
+    // baseline — a second identical catalog round-trip per publish (one
+    // per micro-batch in the versioned sink) would be exactly the
+    // metastore churn the vacuum cadence knob exists to avoid
+    val observed = currentVersion(spark, table)
     if (spark.catalog.tableExists(table)) {
       val tpe = spark.catalog.getTable(table).tableType
       if (tpe != "VIEW")
         throw new IllegalStateException(
           s"$table exists as a $tpe table — " +
             "versioned publish needs the name free or a graft version view")
-      if (currentVersion(spark, table).isEmpty)
+      if (observed.isEmpty)
         throw new IllegalStateException(
           s"$table exists as a view without the graft.version property — " +
             "refusing to replace a view this publish path did not create")
     }
-    val observed = currentVersion(spark, table)
-    val next = listVersions(spark, table).lastOption.getOrElse(0L) + 1
+    val next = claimNextVersion(spark, table,
+      listVersions(spark, table).lastOption.getOrElse(0L) + 1)
     overwriteTable(spark, s"${table}__v$next", df)
     beforeSwap()
     // compare-and-set: the head this publish numbered against must not
@@ -188,8 +205,14 @@ object TableStore {
     // without any error (see module comment for the residual window)
     val head = currentVersion(spark, table)
     if (head != observed) {
-      spark.sql(s"DROP TABLE IF EXISTS ${table}__v$next")
-      clearOrphanLocation(spark, s"${table}__v$next")
+      // the claim guarantees __v{next} is OURS alone (never the head the
+      // winner published — same-number staging is impossible), so the
+      // drop destroys only this loser's staged data; the head check is
+      // defense in depth against a manually forged claim
+      if (head != Some(next)) {
+        spark.sql(s"DROP TABLE IF EXISTS ${table}__v$next")
+        clearOrphanLocation(spark, s"${table}__v$next")
+      }
       throw new ConcurrentPublishException(
         s"concurrent publish on $table: head moved from " +
           s"${observed.getOrElse("none")} to ${head.getOrElse("none")} while " +
@@ -203,12 +226,45 @@ object TableStore {
     next
   }
 
+  /** Claim a version NUMBER by creating the (empty) version table
+    * before any data is written: catalog CREATE TABLE is atomic on a
+    * name, so two racing writers can never stage under the same
+    * number — without the claim, both would compute the same `next`
+    * (the staged table only registers at the END of its data write),
+    * the slower writer would rewrite the winner's published files and
+    * its CAS-failure cleanup would then DROP the live head. A claimed
+    * number whose writer crashes before the data write is ordinary
+    * above-head residue: [[vacuumVersions]] reclaims it, and
+    * [[adoptVersioned]]'s marker gate refuses it. Returns the claimed
+    * number (≥ `from`). */
+  private[graft] def claimNextVersion(
+      spark: SparkSession, table: String, from: Long): Long = {
+    var next = from
+    var claimed = false
+    while (!claimed) {
+      // an abandoned run's orphan DIRECTORY under this number would
+      // fail the claim's CREATE TABLE on location, not on the name
+      clearOrphanLocation(spark, s"${table}__v$next")
+      try {
+        spark.sql(
+          s"CREATE TABLE ${table}__v$next (__graft_claim INT) USING parquet")
+        claimed = true
+      } catch {
+        case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+          next += 1
+      }
+    }
+    next
+  }
+
   /** All version numbers of `table` present in the catalog, ascending
     * (catalog METADATA — bounded by the retention policy, not data).
     * Enumerates the database the name RESOLVES to, so a db-qualified
     * versioned table's versions are found regardless of the session's
-    * current database. */
+    * current database; a database the catalog no longer knows (session
+    * restart) holds no cataloged versions by definition. */
   def listVersions(spark: SparkSession, table: String): Seq[Long] = {
+    if (!spark.catalog.databaseExists(databaseOf(spark, table))) return Nil
     val prefix = simpleName(table).toLowerCase + "__v"
     spark.catalog.listTables(databaseOf(spark, table)).collect().toSeq
       .map(_.name)
@@ -286,6 +342,7 @@ object TableStore {
     * contract) rather than silently dropping the new column; widening
     * is an explicit migration, not an adoption side effect. */
   def adoptTable(spark: SparkSession, table: String): Boolean = {
+    ensureDatabase(spark, table)
     if (spark.catalog.tableExists(table)) return false
     val loc = tableLocation(spark, table)
     if (!fsOf(spark, loc).exists(loc)) return false
@@ -317,6 +374,7 @@ object TableStore {
     * otherwise lose it). */
   def adoptPartitionedTable(
       spark: SparkSession, table: String, partitionCol: String): Boolean = {
+    ensureDatabase(spark, table)
     if (spark.catalog.tableExists(table)) return false
     val loc = tableLocation(spark, table)
     val fs = fsOf(spark, loc)

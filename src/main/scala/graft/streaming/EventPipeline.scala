@@ -267,7 +267,12 @@ object EventPipeline {
     * `vacuumEvery` micro-batches (retention 2; the vacuum is a catalog
     * listing + up to two DROPs per call — per-trigger metadata churn a
     * slow metastore notices at high trigger rates, so the cadence is a
-    * knob; retained versions are bounded by keep + vacuumEvery − 1).
+    * knob). The cadence counts the engine's PERSISTENT batchId, not a
+    * run-local counter — a run-local counter resets on every restart,
+    * so a restart-heavy deployment (each run shorter than the cadence)
+    * would never vacuum and grow versions unboundedly; on the
+    * persistent id the retained-version bound keep + vacuumEvery − 1
+    * holds across restarts.
     *
     * Schema-evolution contract: the table's schema is frozen by its
     * seed batch. A source that GAINS a column across a checkpoint
@@ -318,7 +323,7 @@ object EventPipeline {
       schema = sourceSchema)
     val writer = stream.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batches.incrementAndGet()
         val incoming = latestPerUser(batch)
         val merged =
@@ -337,7 +342,10 @@ object EventPipeline {
           // in-flight reader its resolved version's files through the
           // next publish.
           graft.core.TableStore.publishVersioned(spark, table, merged)
-          if (batches.get() % vacuumEvery == 0)
+          // cadence on the engine's 0-based persistent batchId (+1 so
+          // vacuumEvery=1 fires every batch) — restart-stable, unlike
+          // the run-local counter above
+          if ((batchId + 1) % vacuumEvery == 0)
             graft.core.TableStore.vacuumVersions(spark, table, keep = 2)
           ()
         } else
@@ -410,13 +418,19 @@ object EventPipeline {
     * violating the latest-per-key contract.
     *
     * `onBatchComplete` is the supported MAINTENANCE seam: it runs on
-    * the stream-execution thread strictly between this batch's commit
-    * and the next batch's read, so a
+    * the stream-execution thread after this batch's table write and
+    * before the next batch's read, so a
     * [[graft.core.TableStore.compactPartitions]] called from it can
     * never interleave with one of the sink's own dynamic overwrites on
     * the same partitions (StreamingSpec's interleaved-maintenance case
     * drives compaction every other batch this way). It receives the
-    * 1-based ordinal of the batch that just committed.
+    * engine's 0-based PERSISTENT batchId, so a cadence keyed on it
+    * survives restarts. Honest bound: the callback fires inside
+    * foreachBatch, BEFORE the engine records the batch in its commit
+    * log — a crash in that window replays the batch and re-fires the
+    * callback with the same id, so maintenance must be idempotent
+    * (compaction is; do not use this seam for effects that must fire
+    * exactly once).
     *
     * Schema-evolution contract: identical to the snapshot sink's —
     * the seed batch freezes the schema (and a cross-session adoption
@@ -443,7 +457,7 @@ object EventPipeline {
       schema = sourceSchema)
     val writer = stream.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batches.incrementAndGet()
         val incoming = latestPerUser(batch).withColumn("__bucket",
           graft.core.Bucketing.bucketExpr(col("user_id"), buckets))
@@ -472,10 +486,17 @@ object EventPipeline {
                   "different modulus strands old rows in partitions the " +
                   "touched-bucket merge never reads")
             case None =>
-              // legacy or externally-created table: no recorded contract
-              // to check — stamp the resumed value so every LATER resume
-              // is guarded
-              graft.core.TableStore.setBucketCount(spark, table, buckets)
+              // NO recorded contract: either the seed crashed between
+              // writePartitioned and setBucketCount, or the table
+              // predates/bypassed the contract. Stamping the resumed
+              // value here would TRUST it — exactly the silent
+              // duplicate-key hole the guard exists to close — so fail
+              // loudly and make the operator attest the real modulus.
+              throw new IllegalStateException(
+                s"table $table has no recorded bucket contract " +
+                  "(graft.buckets property absent) — attest the modulus " +
+                  "it was seeded with via TableStore.setBucketCount(" +
+                  s"spark, \"$table\", <seed buckets>) and restart")
           }
           val merged = partitionedMergeFrame(spark, table, incoming)
             // break lineage: insertInto rejects a plan that reads its own
@@ -484,7 +505,7 @@ object EventPipeline {
             .localCheckpoint(eager = true)
           graft.core.Bucketing.overwritePartitions(merged, table)
         }
-        onBatchComplete(batches.get())
+        onBatchComplete(batchId)
       }
     checkpoint.foreach(writer.option("checkpointLocation", _))
     val q = writer.start()

@@ -14,6 +14,17 @@ trait SparkTestBase extends AnyFunSuite {
   /** Smallest driver-generated scale — the suites assert semantics, not
     * throughput (TESTDATA.md: t1 smoke scale). */
   val sfDir = "/root/testdata/sf0.001"
+
+  /** The exception with its cause chain, outermost first — shared by
+    * every test that asserts a named guard surfaces through
+    * foreachBatch's StreamingQueryException wrapping. Guarded against
+    * self-referential causes (getCause cycles would loop forever). */
+  def causes(t: Throwable): Seq[Throwable] = {
+    val seen = scala.collection.mutable.ListBuffer[Throwable]()
+    var cur = t
+    while (cur != null && !seen.contains(cur)) { seen += cur; cur = cur.getCause }
+    seen.toList
+  }
 }
 
 object SparkTestBase {

@@ -744,8 +744,6 @@ class StreamingSpec extends SparkTestBase {
 
   test("partitioned upsert sink refuses a table not PARTITIONED by __bucket") {
     val ev = Tables.load(spark, sfDir, "events")
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: causes(t.getCause)
     def expectGuard(table: String): Unit = {
       val dir = EventPipeline.stageAsStreamDir(ev, parts = 1)
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
@@ -833,8 +831,6 @@ class StreamingSpec extends SparkTestBase {
     val table = s"upsert_bkguard_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
     val locDir = java.nio.file.Paths.get(wh, table)
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: causes(t.getCause)
     try {
       val dir = EventPipeline.stageAsStreamDir(ev, parts = 2)
       val ckpt = java.nio.file.Files.createTempDirectory("graft_bkg_ckpt").toString
@@ -899,8 +895,10 @@ class StreamingSpec extends SparkTestBase {
         spark, dir, plain, buckets = 4) === 4L)
       assert(EventPipeline.runPartitionedUpsertSinkFromDir(
         spark, dir, maint, buckets = 4,
-        onBatchComplete = n =>
-          if (n % 2 == 0)
+        // the hook receives the engine's 0-based persistent batchId:
+        // fire on ids 1 and 3 = every other batch, ending on the last
+        onBatchComplete = id =>
+          if (id % 2 == 1)
             // whole-table pass is fine at fixture scale; production
             // rolls scoped value batches through the same seam
             TableStore.compactPartitions(spark, maint, "__bucket",
@@ -947,163 +945,158 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
-  test("widened source schema across a restart fails the snapshot sink loudly, table unchanged") {
+  /** Shared driver for the schema-evolution contract (one call per sink
+    * mode): seed a table over 2 micro-batches, add a widened file
+    * (strictly-newest event carrying `extra = 1.5`), assert the resumed
+    * run with the widened schema fails LOUDLY with the table unchanged,
+    * run the explicit migration, and assert the SAME resume then
+    * succeeds — the new row carries the value, every pre-migration row
+    * reads NULL. `run(dir, ckpt, sourceSchema)` drives the sink under
+    * test; the hooks carry the mode-specific assertions (versioned head
+    * movement, partition-column position). */
+  private def widenedSchemaContract(
+      table: String, newEventId: Long,
+      run: (String, Option[String], org.apache.spark.sql.types.StructType) => Long,
+      migrate: () => Unit,
+      afterFail: () => Unit = () => (),
+      afterMigrate: () => Unit = () => (),
+      afterResume: () => Unit = () => ()): Unit = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val widenedSchema = org.apache.spark.sql.types.StructType(
+      EventPipeline.eventSchema.fields :+
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.DoubleType))
+    val dir = EventPipeline.stageAsStreamDir(ev, parts = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_widen_ckpt").toString
+    assert(run(dir, Some(ckpt), EventPipeline.eventSchema) === 2L)
+    val before = spark.table(table).orderBy("user_id").collect().toSeq
+    // the source gains a column; the restart reads it with the widened
+    // schema (strictly-newest event, so its row must win the merge)
+    val widened = ev.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      .withColumn("event_id", lit(newEventId))
+      .withColumn("extra", lit(1.5))
+      .localCheckpoint(eager = true)
+    val wDir = EventPipeline.stageAsStreamDir(widened, parts = 1)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(wDir, "events.parquet"),
+      java.nio.file.Paths.get(dir, "events_2.parquet"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(dir, Some(ckpt), widenedSchema)
+    }
+    assert(causes(e).exists(
+      _.isInstanceOf[org.apache.spark.sql.AnalysisException]),
+      s"expected a loud analysis error, got: ${e.getMessage}")
+    // loud fail, not silent drop: the published state is untouched
+    assert(spark.table(table).orderBy("user_id").collect().toSeq === before)
+    afterFail()
+    // the supported path out: EXPLICIT migration, then the SAME restart
+    // succeeds and merges the new column
+    migrate()
+    afterMigrate()
+    assert(run(dir, Some(ckpt), widenedSchema) === 1L)
+    val userId = widened.select("user_id").head().getLong(0)
+    val after = spark.table(table)
+    assert(after.filter(col("user_id") === userId)
+      .head().getAs[Double]("extra") === 1.5)
+    // pre-migration rows read NULL for the added column
+    assert(after.filter(col("extra").isNull).count() === after.count() - 1)
+    afterResume()
+  }
+
+  test("widened source schema across a restart fails the snapshot sink loudly; addColumns migration unblocks it") {
     // Schema-evolution contract (VERDICT r9 missing #4): the seed batch
     // freezes the table's schema; a stream that GAINS a column across a
     // checkpoint restart must fail its first merge with an analysis
     // error BEFORE anything is written — never silently drop the column.
-    val ev = Tables.load(spark, sfDir, "events")
-    val widenedSchema = org.apache.spark.sql.types.StructType(
-      EventPipeline.eventSchema.fields :+
-        org.apache.spark.sql.types.StructField("extra",
-          org.apache.spark.sql.types.DoubleType))
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: causes(t.getCause)
     val table = s"upsert_widen_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    try {
-      val dir = EventPipeline.stageAsStreamDir(ev, parts = 2)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_widen_ckpt").toString
-      assert(EventPipeline.runUpsertSinkFromDir(
-        spark, dir, table, Some(ckpt)) === 2L)
-      val before = spark.table(table).orderBy("user_id").collect().toSeq
-      // the source gains a column; the restart reads it with the
-      // widened schema (strictly-newest event, so its row must win)
-      val widened = ev.orderBy(col("ts").desc, col("event_id").desc).limit(1)
-        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
-        .withColumn("event_id", lit(50000000L))
-        .withColumn("extra", lit(1.5))
-        .localCheckpoint(eager = true)
-      val wDir = EventPipeline.stageAsStreamDir(widened, parts = 1)
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(wDir, "events.parquet"),
-        java.nio.file.Paths.get(dir, "events_2.parquet"))
-      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        EventPipeline.runUpsertSinkFromDir(
-          spark, dir, table, Some(ckpt), sourceSchema = widenedSchema)
-      }
-      assert(causes(e).exists(
-        _.isInstanceOf[org.apache.spark.sql.AnalysisException]),
-        s"expected a loud analysis error, got: ${e.getMessage}")
-      // loud fail, not silent drop: the published state is untouched
-      assert(spark.table(table).orderBy("user_id").collect().toSeq === before)
-      // the supported path out: EXPLICIT migration, then the SAME
-      // restart succeeds and merges the new column
-      graft.core.TableStore.addColumns(spark, table, Seq("extra" -> "DOUBLE"))
-      assert(EventPipeline.runUpsertSinkFromDir(
-        spark, dir, table, Some(ckpt), sourceSchema = widenedSchema) === 1L)
-      val userId = widened.select("user_id").head().getLong(0)
-      val after = spark.table(table)
-      assert(after.filter(col("user_id") === userId)
-        .head().getAs[Double]("extra") === 1.5)
-      // pre-migration rows read NULL for the added column
-      assert(after.filter(col("extra").isNull).count() === after.count() - 1)
-    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    try widenedSchemaContract(table, 50000000L,
+      run = (dir, ckpt, sch) => EventPipeline.runUpsertSinkFromDir(
+        spark, dir, table, ckpt, sourceSchema = sch),
+      migrate = () =>
+        graft.core.TableStore.addColumns(spark, table, Seq("extra" -> "DOUBLE")))
+    finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
-  test("widened source schema across a restart fails the PARTITIONED sink loudly, table unchanged") {
-    val ev = Tables.load(spark, sfDir, "events")
-    val widenedSchema = org.apache.spark.sql.types.StructType(
-      EventPipeline.eventSchema.fields :+
-        org.apache.spark.sql.types.StructField("extra",
-          org.apache.spark.sql.types.DoubleType))
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: causes(t.getCause)
+  test("widened source schema across a restart fails the PARTITIONED sink loudly; addColumns keeps __bucket last") {
     val table = s"upsert_widenp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    try {
-      val dir = EventPipeline.stageAsStreamDir(ev, parts = 2)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_widenp_ckpt").toString
-      assert(EventPipeline.runPartitionedUpsertSinkFromDir(
-        spark, dir, table, buckets = 8, Some(ckpt)) === 2L)
-      val before = spark.table(table).orderBy("user_id").collect().toSeq
-      val widened = ev.orderBy(col("ts").desc, col("event_id").desc).limit(1)
-        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
-        .withColumn("event_id", lit(51000000L))
-        .withColumn("extra", lit(1.5))
-        .localCheckpoint(eager = true)
-      val wDir = EventPipeline.stageAsStreamDir(widened, parts = 1)
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(wDir, "events.parquet"),
-        java.nio.file.Paths.get(dir, "events_2.parquet"))
-      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        EventPipeline.runPartitionedUpsertSinkFromDir(
-          spark, dir, table, buckets = 8, Some(ckpt),
-          sourceSchema = widenedSchema)
-      }
-      assert(causes(e).exists(
-        _.isInstanceOf[org.apache.spark.sql.AnalysisException]),
-        s"expected a loud analysis error, got: ${e.getMessage}")
-      assert(spark.table(table).orderBy("user_id").collect().toSeq === before)
-      // explicit migration: ADD COLUMNS keeps __bucket LAST in the
-      // catalog schema, so the sink's positional insert stays aligned —
-      // the same restart then succeeds
-      graft.core.TableStore.addColumns(spark, table, Seq("extra" -> "DOUBLE"))
-      assert(spark.table(table).columns.last === "__bucket")
-      assert(EventPipeline.runPartitionedUpsertSinkFromDir(
-        spark, dir, table, buckets = 8, Some(ckpt),
-        sourceSchema = widenedSchema) === 1L)
-      val userId = widened.select("user_id").head().getLong(0)
-      val after = spark.table(table)
-      assert(after.filter(col("user_id") === userId)
-        .head().getAs[Double]("extra") === 1.5)
-      assert(after.filter(col("extra").isNull).count() === after.count() - 1)
-    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    try widenedSchemaContract(table, 51000000L,
+      run = (dir, ckpt, sch) => EventPipeline.runPartitionedUpsertSinkFromDir(
+        spark, dir, table, buckets = 8, ckpt, sourceSchema = sch),
+      migrate = () =>
+        graft.core.TableStore.addColumns(spark, table, Seq("extra" -> "DOUBLE")),
+      // ADD COLUMNS must keep the partition column LAST in the catalog
+      // schema or the sink's positional insert would misalign
+      afterMigrate = () => assert(spark.table(table).columns.last === "__bucket"))
+    finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
-  test("widened source schema across a restart fails the VERSIONED sink loudly, head unchanged") {
+  test("widened source schema across a restart fails the VERSIONED sink loudly; migration republishes the head") {
     import graft.core.TableStore
-    val ev = Tables.load(spark, sfDir, "events")
-    val widenedSchema = org.apache.spark.sql.types.StructType(
-      EventPipeline.eventSchema.fields :+
-        org.apache.spark.sql.types.StructField("extra",
-          org.apache.spark.sql.types.DoubleType))
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: causes(t.getCause)
     val table = s"upsert_widenv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     try {
-      val dir = EventPipeline.stageAsStreamDir(ev, parts = 2)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_widenv_ckpt").toString
-      assert(EventPipeline.runUpsertSinkFromDir(
-        spark, dir, table, Some(ckpt), versioned = true) === 2L)
-      val headBefore = TableStore.currentVersion(spark, table)
-      val before = spark.table(table).orderBy("user_id").collect().toSeq
-      val widened = ev.orderBy(col("ts").desc, col("event_id").desc).limit(1)
-        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
-        .withColumn("event_id", lit(52000000L))
-        .withColumn("extra", lit(1.5))
-        .localCheckpoint(eager = true)
-      val wDir = EventPipeline.stageAsStreamDir(widened, parts = 1)
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(wDir, "events.parquet"),
-        java.nio.file.Paths.get(dir, "events_2.parquet"))
-      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        EventPipeline.runUpsertSinkFromDir(
-          spark, dir, table, Some(ckpt), versioned = true,
-          sourceSchema = widenedSchema)
-      }
-      assert(causes(e).exists(
-        _.isInstanceOf[org.apache.spark.sql.AnalysisException]),
-        s"expected a loud analysis error, got: ${e.getMessage}")
-      // no phantom version published, head and state untouched
-      assert(TableStore.currentVersion(spark, table) === headBefore)
-      assert(spark.table(table).orderBy("user_id").collect().toSeq === before)
-      // explicit migration: a VIEW cannot ALTER, so the head is
-      // republished null-padded as the next version; the same restart
-      // then succeeds one version above that
-      TableStore.addColumns(spark, table, Seq("extra" -> "DOUBLE"))
-      assert(TableStore.currentVersion(spark, table) === headBefore.map(_ + 1))
-      assert(EventPipeline.runUpsertSinkFromDir(
-        spark, dir, table, Some(ckpt), versioned = true,
-        sourceSchema = widenedSchema) === 1L)
-      assert(TableStore.currentVersion(spark, table) === headBefore.map(_ + 2))
-      val userId = widened.select("user_id").head().getLong(0)
-      val after = spark.table(table)
-      assert(after.filter(col("user_id") === userId)
-        .head().getAs[Double]("extra") === 1.5)
-      assert(after.filter(col("extra").isNull).count() === after.count() - 1)
+      var head0: Option[Long] = None
+      widenedSchemaContract(table, 52000000L,
+        run = (dir, ckpt, sch) => {
+          val n = EventPipeline.runUpsertSinkFromDir(
+            spark, dir, table, ckpt, versioned = true, sourceSchema = sch)
+          if (head0.isEmpty) head0 = TableStore.currentVersion(spark, table)
+          n
+        },
+        migrate = () =>
+          TableStore.addColumns(spark, table, Seq("extra" -> "DOUBLE")),
+        // the failed resume must not publish a phantom version
+        afterFail = () =>
+          assert(TableStore.currentVersion(spark, table) === head0),
+        // a VIEW cannot ALTER: the migration republishes null-padded as
+        // the next version, and the resume lands one above that
+        afterMigrate = () =>
+          assert(TableStore.currentVersion(spark, table) === head0.map(_ + 1)),
+        afterResume = () =>
+          assert(TableStore.currentVersion(spark, table) === head0.map(_ + 2)))
     } finally {
       spark.sql(s"DROP VIEW IF EXISTS $table")
       graft.core.TableStore.listVersions(spark, table)
         .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
     }
+  }
+
+  test("partitioned upsert sink fails loudly on a table with NO recorded bucket contract") {
+    // The seed records graft.buckets right after creating the table, but
+    // a crash between those two steps (or an externally created table)
+    // leaves no contract. Stamping the resumer's value would TRUST it —
+    // the exact silent duplicate-key hole the guard closes — so the sink
+    // demands an explicit operator attestation instead.
+    val ev = Tables.load(spark, sfDir, "events")
+    val table = s"upsert_nocontract_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      val dir = EventPipeline.stageAsStreamDir(ev, parts = 2)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_noc_ckpt").toString
+      assert(EventPipeline.runPartitionedUpsertSinkFromDir(
+        spark, dir, table, buckets = 8, Some(ckpt)) === 2L)
+      // forge the crashed-seed state: table exists, contract absent
+      spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES ('graft.buckets')")
+      val one = ev.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+        .withColumn("event_id", lit(60000000L))
+        .localCheckpoint(eager = true)
+      val oneDir = EventPipeline.stageAsStreamDir(one, parts = 1)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(oneDir, "events.parquet"),
+        java.nio.file.Paths.get(dir, "events_2.parquet"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        EventPipeline.runPartitionedUpsertSinkFromDir(
+          spark, dir, table, buckets = 8, Some(ckpt))
+      }
+      assert(causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("no recorded bucket contract")),
+        s"expected the attestation demand, got: ${e.getMessage}")
+      // the operator attests the true modulus; the same resume succeeds
+      graft.core.TableStore.setBucketCount(spark, table, 8)
+      assert(EventPipeline.runPartitionedUpsertSinkFromDir(
+        spark, dir, table, buckets = 8, Some(ckpt)) === 1L)
+      assert(spark.table(table).filter(col("event_id") === 60000000L)
+        .count() === 1L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }

@@ -444,6 +444,55 @@ class TableStoreSpec extends SparkTestBase {
     }
   }
 
+  test("claimNextVersion skips numbers another writer already claimed") {
+    import spark.implicits._
+    val table = uniq("ts_claim")
+    try {
+      // another writer's claim (or its in-flight staged write) holds v2:
+      // the claim loop must come back with 3, never stage under 2 — the
+      // same-number race is what made the CAS failure path destructive
+      // (the loser's cleanup would DROP the winner's published head)
+      TableStore.overwriteTable(spark, s"${table}__v2",
+        Seq((1L, "other")).toDF("id", "v"))
+      assert(TableStore.claimNextVersion(spark, table, 2L) === 3L)
+      // the claim registered v3, and the other writer's data is intact
+      assert(spark.catalog.tableExists(s"${table}__v3"))
+      assert(spark.table(s"${table}__v2").head().getString(1) === "other")
+    } finally Seq(2L, 3L).foreach(v =>
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
+  }
+
+  test("versioned recovery recreates a database the session restart forgot") {
+    import spark.implicits._
+    val db = "graft_dbr"
+    val table = uniq("ts_dbrec")
+    val qualified = s"$db.$table"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    try {
+      TableStore.publishVersioned(spark, qualified,
+        Seq((1L, "survives")).toDF("id", "v"))
+      // session loss forgets DATABASES too: stash the version dir, drop
+      // the whole database cascade, restore the directory tree
+      val vDir = java.nio.file.Paths.get(wh, s"$db.db", s"${table}__v1")
+      val stash = java.nio.file.Files.createTempDirectory("graft_dbr_stash")
+        .resolve("v1")
+      org.apache.commons.io.FileUtils.copyDirectory(vDir.toFile, stash.toFile)
+      spark.sql(s"DROP DATABASE $db CASCADE")
+      org.apache.commons.io.FileUtils.copyDirectory(stash.toFile, vDir.toFile)
+      assert(!spark.catalog.databaseExists(db))
+      // adoption must recreate the database, not crash on SCHEMA_NOT_FOUND
+      assert(TableStore.adoptVersioned(spark, qualified) === Some(1L))
+      assert(spark.table(qualified).head().getString(1) === "survives")
+      assert(TableStore.listVersions(spark, qualified) === Seq(1L))
+    } finally {
+      if (spark.catalog.databaseExists(db))
+        spark.sql(s"DROP DATABASE $db CASCADE")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(wh, s"$db.db").toFile)
+    }
+  }
+
   test("versioned publish refuses to clobber a pre-existing USER view") {
     import spark.implicits._
     val table = uniq("ts_userview")
