@@ -195,9 +195,26 @@ object TableStore {
           s"$table exists as a view without the graft.version property — " +
             "refusing to replace a view this publish path did not create")
     }
+    // publishing is allowed to re-create a database a session restart
+    // forgot — the versioned SINK resumes through this call even when
+    // adoptVersioned found nothing adoptable (markers stripped)
+    ensureDatabase(spark, table)
     val next = claimNextVersion(spark, table,
-      listVersions(spark, table).lastOption.getOrElse(0L) + 1)
-    overwriteTable(spark, s"${table}__v$next", df)
+      listVersions(spark, table).lastOption.getOrElse(0L) + 1, df.schema)
+    // INSERT OVERWRITE into the claimed table, NOT saveAsTable:
+    // saveAsTable(Overwrite) DROPS the existing catalog entry first and
+    // re-registers it only when the write finishes, which would release
+    // the claim for the entire data write — a concurrent claimant would
+    // then orphan-clean the half-written directory and stage under the
+    // same number, the exact corruption the claim exists to prevent.
+    // insertInto keeps the entry registered throughout.
+    df.write.mode("overwrite").insertInto(s"${table}__v$next")
+    // data complete: clear the claim marker so vacuum's retention
+    // counts this as a real version (crash before this line leaves a
+    // claim with complete data — conservative: reclaimed once the head
+    // passes its number)
+    spark.sql(
+      s"ALTER TABLE ${table}__v$next UNSET TBLPROPERTIES ('graft.claim')")
     beforeSwap()
     // compare-and-set: the head this publish numbered against must not
     // have moved during the data write — two interleaved writers would
@@ -209,15 +226,18 @@ object TableStore {
       // winner published — same-number staging is impossible), so the
       // drop destroys only this loser's staged data; the head check is
       // defense in depth against a manually forged claim
-      if (head != Some(next)) {
-        spark.sql(s"DROP TABLE IF EXISTS ${table}__v$next")
-        clearOrphanLocation(spark, s"${table}__v$next")
-      }
+      val cleanup =
+        if (head == Some(next))
+          s"staged __v$next RETAINED (it is the current head)"
+        else { // destroys only this loser's staged data
+          spark.sql(s"DROP TABLE IF EXISTS ${table}__v$next")
+          clearOrphanLocation(spark, s"${table}__v$next")
+          s"staged __v$next dropped"
+        }
       throw new ConcurrentPublishException(
         s"concurrent publish on $table: head moved from " +
           s"${observed.getOrElse("none")} to ${head.getOrElse("none")} while " +
-          s"this publish staged __v$next — staged version dropped, retry " +
-          "merges against the new head")
+          s"this publish staged — $cleanup; retry merges against the new head")
     }
     spark.sql(
       s"""CREATE OR REPLACE VIEW $table
@@ -226,19 +246,25 @@ object TableStore {
     next
   }
 
-  /** Claim a version NUMBER by creating the (empty) version table
-    * before any data is written: catalog CREATE TABLE is atomic on a
-    * name, so two racing writers can never stage under the same
-    * number — without the claim, both would compute the same `next`
-    * (the staged table only registers at the END of its data write),
-    * the slower writer would rewrite the winner's published files and
-    * its CAS-failure cleanup would then DROP the live head. A claimed
-    * number whose writer crashes before the data write is ordinary
-    * above-head residue: [[vacuumVersions]] reclaims it, and
+  /** Claim a version NUMBER by creating the (empty) version table —
+    * with the REAL schema and a `graft.claim` marker property — before
+    * any data is written: catalog CREATE TABLE is atomic on a name, so
+    * two racing writers can never stage under the same number — without
+    * the claim, both would compute the same `next` (a CTAS only
+    * registers at the END of its data write), the slower writer would
+    * rewrite the winner's published files and its CAS-failure cleanup
+    * would then DROP the live head. The claim stays registered through
+    * the data write (the publish writes with INSERT OVERWRITE, which
+    * never drops the entry) and the marker is cleared when the data is
+    * complete. A claim whose writer crashed is reclaimed by
+    * [[vacuumVersions]] once the head passes its number, and
     * [[adoptVersioned]]'s marker gate refuses it. Returns the claimed
     * number (≥ `from`). */
   private[graft] def claimNextVersion(
-      spark: SparkSession, table: String, from: Long): Long = {
+      spark: SparkSession, table: String, from: Long,
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    val ddl =
+      schema.fields.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
     var next = from
     var claimed = false
     while (!claimed) {
@@ -247,7 +273,8 @@ object TableStore {
       clearOrphanLocation(spark, s"${table}__v$next")
       try {
         spark.sql(
-          s"CREATE TABLE ${table}__v$next (__graft_claim INT) USING parquet")
+          s"""CREATE TABLE ${table}__v$next ($ddl) USING parquet
+             |TBLPROPERTIES ('graft.claim' = 'true')""".stripMargin)
         claimed = true
       } catch {
         case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
@@ -256,6 +283,14 @@ object TableStore {
     }
     next
   }
+
+  /** True iff `${table}__v$version` still carries the `graft.claim`
+    * marker — its data write never completed (crashed claim) or is
+    * still in flight (concurrent writer). */
+  private def isClaim(spark: SparkSession, table: String, version: Long): Boolean =
+    scala.util.Try(
+      spark.sql(s"SHOW TBLPROPERTIES ${table}__v$version ('graft.claim')")
+        .head().getString(1) == "true").getOrElse(false)
 
   /** All version numbers of `table` present in the catalog, ascending
     * (catalog METADATA — bounded by the retention policy, not data).
@@ -296,14 +331,24 @@ object TableStore {
     * the newest `keep` loses its files, exactly Delta's VACUUM
     * tradeoff — use `keep >= 2` whenever concurrent readers exist
     * (`keep = 1` reclaims the previous version at the instant the next
-    * head publishes). Returns the dropped versions. */
+    * head publishes). CLAIM entries (`graft.claim` marker — a data
+    * write that never completed or is still in flight) are handled
+    * asymmetrically: they never COUNT toward the `keep` window (an
+    * empty claim must not displace the real previous snapshot a reader
+    * may be scanning), and an above-head claim is never DROPPED (it may
+    * be a concurrent writer mid-write; dropping it would hand its
+    * number to a later publish and reopen the same-number race) — it
+    * becomes reclaimable once the head passes its number. Returns the
+    * dropped versions. */
   def vacuumVersions(
       spark: SparkSession, table: String, keep: Int = 2): Seq[Long] = {
     val all = listVersions(spark, table)
     val cur = currentVersion(spark, table)
-    val published = all.filter(v => cur.forall(_ >= v))
+    val claims = all.filter(v => isClaim(spark, table, v)).toSet
+    val published = all.filter(v => cur.forall(_ >= v) && !claims(v))
     val retain = published.takeRight(keep).toSet ++ cur
     val dropped = all.filterNot(retain)
+      .filterNot(v => claims(v) && cur.forall(_ < v))
     dropped.foreach { v =>
       spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v")
       clearOrphanLocation(spark, s"${table}__v$v")
@@ -678,6 +723,9 @@ object TableStore {
     * restored. */
   def recoverStaging(spark: SparkSession, table: String,
       adoptOrphanTarget: Boolean = true): Boolean = {
+    // the restart that forgot the table may have forgotten its
+    // DATABASE too — every republish/adopt branch below creates into it
+    ensureDatabase(spark, table)
     val staging = table + "__staging"
     if (spark.catalog.tableExists(table)) {
       if (spark.catalog.tableExists(staging)) spark.sql(s"DROP TABLE $staging")

@@ -447,6 +447,7 @@ class TableStoreSpec extends SparkTestBase {
   test("claimNextVersion skips numbers another writer already claimed") {
     import spark.implicits._
     val table = uniq("ts_claim")
+    val schema = Seq((1L, "x")).toDF("id", "v").schema
     try {
       // another writer's claim (or its in-flight staged write) holds v2:
       // the claim loop must come back with 3, never stage under 2 — the
@@ -454,12 +455,44 @@ class TableStoreSpec extends SparkTestBase {
       // (the loser's cleanup would DROP the winner's published head)
       TableStore.overwriteTable(spark, s"${table}__v2",
         Seq((1L, "other")).toDF("id", "v"))
-      assert(TableStore.claimNextVersion(spark, table, 2L) === 3L)
+      assert(TableStore.claimNextVersion(spark, table, 2L, schema) === 3L)
       // the claim registered v3, and the other writer's data is intact
       assert(spark.catalog.tableExists(s"${table}__v3"))
       assert(spark.table(s"${table}__v2").head().getString(1) === "other")
     } finally Seq(2L, 3L).foreach(v =>
       spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
+  }
+
+  test("vacuum never drops an above-head claim, never counts a claim toward retention") {
+    import spark.implicits._
+    val table = uniq("ts_vacclaim")
+    val schema = Seq((1L, "x")).toDF("id", "v").schema
+    try {
+      (1 to 3).foreach(i => TableStore.publishVersioned(spark, table,
+        Seq((i.toLong, s"v$i")).toDF("id", "v")))
+      // a concurrent writer's IN-FLIGHT claim above the head (data write
+      // not finished): vacuum must leave it — dropping it would hand its
+      // number to a later publish and reopen the same-number race
+      assert(TableStore.claimNextVersion(spark, table, 4L, schema) === 4L)
+      assert(TableStore.vacuumVersions(spark, table, keep = 2) === Seq(1L))
+      assert(TableStore.listVersions(spark, table) === Seq(2L, 3L, 4L))
+      // ...and the claim must not COUNT toward the keep window: v2 (the
+      // real previous snapshot a reader may be scanning) was retained
+      // above, not displaced by the empty claim
+      assert(TableStore.readVersion(spark, table, 2L).count() === 1L)
+      // once the head passes the crashed claim's number, it becomes
+      // ordinary reclaimable residue (the next publish claims ABOVE it)
+      assert(TableStore.publishVersioned(spark, table,
+        Seq((5L, "v5")).toDF("id", "v")) === 5L)
+      assert(TableStore.vacuumVersions(spark, table, keep = 2)
+        .contains(4L))
+      assert(TableStore.listVersions(spark, table) === Seq(3L, 5L))
+      assert(spark.table(table).head().getString(1) === "v5")
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $table")
+      TableStore.listVersions(spark, table)
+        .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
+    }
   }
 
   test("versioned recovery recreates a database the session restart forgot") {
