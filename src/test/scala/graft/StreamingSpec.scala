@@ -1061,6 +1061,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("NARROWED source schema across a restart also fails loudly — the contract is symmetric") {
+    // The widening cases above cover a source that gains a column; a
+    // source that LOSES one (or a reader started with the wrong, older
+    // schema) must fail the same way — the merge's unionByName sees a
+    // column-count mismatch in either direction, never silently
+    // null-fills or drops.
+    val ev = Tables.load(spark, sfDir, "events")
+    val narrowedSchema = org.apache.spark.sql.types.StructType(
+      EventPipeline.eventSchema.fields.filterNot(_.name == "props"))
+    val table = s"upsert_narrow_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      val dir = EventPipeline.stageAsStreamDir(ev, parts = 2)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_narrow_ckpt").toString
+      assert(EventPipeline.runUpsertSinkFromDir(
+        spark, dir, table, Some(ckpt)) === 2L)
+      val before = spark.table(table).orderBy("user_id").collect().toSeq
+      val one = ev.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+        .withColumn("event_id", lit(70000000L))
+        .localCheckpoint(eager = true)
+      val oneDir = EventPipeline.stageAsStreamDir(one, parts = 1)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(oneDir, "events.parquet"),
+        java.nio.file.Paths.get(dir, "events_2.parquet"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        EventPipeline.runUpsertSinkFromDir(
+          spark, dir, table, Some(ckpt), sourceSchema = narrowedSchema)
+      }
+      assert(causes(e).exists(
+        _.isInstanceOf[org.apache.spark.sql.AnalysisException]),
+        s"expected a loud analysis error, got: ${e.getMessage}")
+      assert(spark.table(table).orderBy("user_id").collect().toSeq === before)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("partitioned upsert sink fails loudly on a table with NO recorded bucket contract") {
     // The seed records graft.buckets right after creating the table, but
     // a crash between those two steps (or an externally created table)
