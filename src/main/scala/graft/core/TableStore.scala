@@ -145,7 +145,9 @@ object TableStore {
   // a concurrent reader resolves nothing, and an overwrite deletes files
   // under any in-flight scan. The versioned publish closes both: data
   // lands in an immutable per-version table `<table>__v{k}` and ONE
-  // catalog operation (CREATE OR REPLACE VIEW) repoints `table` at it.
+  // catalog operation (ALTER VIEW ... AS — in place, the head never
+  // transiently vanishes the way a drop+create swap would) repoints
+  // `table` at it.
   // Readers therefore always resolve a complete snapshot, and a reader
   // that resolved version k-1 before the swap keeps scanning k-1's
   // files untouched until vacuumVersions reclaims them — snapshot
@@ -185,12 +187,20 @@ object TableStore {
     // metastore churn the vacuum cadence knob exists to avoid
     val observed = currentVersion(spark, table)
     if (spark.catalog.tableExists(table)) {
-      val tpe = spark.catalog.getTable(table).tableType
-      if (tpe != "VIEW")
+      // getTable inside Try: a concurrent FIRST publish's CREATE VIEW
+      // can land between the exists check and this read — treat the
+      // transient as not-exists and let the swap's own create-race
+      // handling surface the conflict
+      val tpe = scala.util.Try(spark.catalog.getTable(table).tableType).toOption
+      if (tpe.exists(_ != "VIEW"))
         throw new IllegalStateException(
-          s"$table exists as a $tpe table — " +
+          s"$table exists as a ${tpe.get} table — " +
             "versioned publish needs the name free or a graft version view")
-      if (observed.isEmpty)
+      // re-read before refusing: `observed` may predate a concurrent
+      // writer's create — a stale None must surface as a CONFLICT at
+      // the CAS, not as a misleading user-view refusal
+      if (tpe.contains("VIEW") && observed.isEmpty &&
+          currentVersion(spark, table).isEmpty)
         throw new IllegalStateException(
           s"$table exists as a view without the graft.version property — " +
             "refusing to replace a view this publish path did not create")
@@ -239,10 +249,37 @@ object TableStore {
           s"${observed.getOrElse("none")} to ${head.getOrElse("none")} while " +
           s"this publish staged — $cleanup; retry merges against the new head")
     }
-    spark.sql(
-      s"""CREATE OR REPLACE VIEW $table
-         |TBLPROPERTIES ('graft.version' = '$next')
-         |AS SELECT * FROM ${table}__v$next""".stripMargin)
+    // the swap. NOT `CREATE OR REPLACE VIEW`: for v1 permanent views
+    // that is drop+create in the catalog, so the head would transiently
+    // VANISH — a reader resolving in that window gets TABLE_NOT_FOUND
+    // (breaking the reader-atomicity contract), and a concurrent
+    // writer's guard reads race it. ALTER VIEW ... AS changes the
+    // definition in place (one alterTable — the head never vanishes);
+    // only the very FIRST publish creates, and losing that create race
+    // to a concurrent first publisher is a conflict like any other.
+    // The version property lands in a second catalog op, so a reader
+    // can briefly see the new definition with the old property — the
+    // same documented check-then-swap metadata window the CAS leaves.
+    try {
+      if (spark.catalog.tableExists(table)) {
+        spark.sql(s"ALTER VIEW $table AS SELECT * FROM ${table}__v$next")
+        spark.sql(
+          s"ALTER VIEW $table SET TBLPROPERTIES ('graft.version' = '$next')")
+      } else {
+        spark.sql(
+          s"""CREATE VIEW $table
+             |TBLPROPERTIES ('graft.version' = '$next')
+             |AS SELECT * FROM ${table}__v$next""".stripMargin)
+      }
+    } catch {
+      case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+        spark.sql(s"DROP TABLE IF EXISTS ${table}__v$next")
+        clearOrphanLocation(spark, s"${table}__v$next")
+        throw new ConcurrentPublishException(
+          s"concurrent publish on $table: lost the first-publish create " +
+            s"race — staged __v$next dropped; retry merges against the " +
+            "winner's head")
+    }
     next
   }
 

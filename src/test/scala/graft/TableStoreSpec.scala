@@ -495,6 +495,61 @@ class TableStoreSpec extends SparkTestBase {
     }
   }
 
+  test("two GENUINELY concurrent publishers: every publish succeeds or fails loudly, head never dangles") {
+    // The CAS test above interleaves deterministically via the beforeSwap
+    // seam; this one races two real threads with no injection and checks
+    // INVARIANTS only (no timing assumptions): (1) the only failure mode
+    // is the named conflict error, (2) the head view always resolves a
+    // complete one-row snapshot, (3) the version the head names exists
+    // and is readable. The residual check-then-swap metadata window may
+    // let both writers of a cycle succeed — that orphans a snapshot
+    // (vacuumable), it must never dangle or corrupt the head.
+    import spark.implicits._
+    import java.util.concurrent.atomic.AtomicInteger
+    val table = uniq("ts_race")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      TableStore.publishVersioned(spark, table, Seq((0L, "seed")).toDF("id", "v"))
+      val successes = new AtomicInteger
+      val conflicts = new AtomicInteger
+      val others = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val tasks = (1 to 2).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = (1 to 5).foreach { i =>
+            try {
+              TableStore.publishVersioned(spark, table,
+                Seq(((w * 10 + i).toLong, s"w$w-$i")).toDF("id", "v"))
+              successes.incrementAndGet()
+              ()
+            } catch {
+              case _: graft.core.ConcurrentPublishException =>
+                conflicts.incrementAndGet(); ()
+              case t: Throwable => others.add(t); ()
+            }
+          }
+        })
+      }
+      tasks.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      assert(others.isEmpty,
+        s"unexpected failure modes: ${others.toArray.mkString("; ")}")
+      assert(successes.get >= 1, "at least one publish per race must win")
+      assert(successes.get + conflicts.get === 10)
+      // head integrity: resolves, names an existing readable version
+      val head = TableStore.currentVersion(spark, table)
+      assert(head.isDefined)
+      assert(spark.table(table).count() === 1L)
+      assert(TableStore.readVersion(spark, table, head.get).count() === 1L)
+      // and vacuum converges the residue without touching the head
+      TableStore.vacuumVersions(spark, table, keep = 2)
+      assert(spark.table(table).count() === 1L)
+    } finally {
+      pool.shutdownNow()
+      spark.sql(s"DROP VIEW IF EXISTS $table")
+      TableStore.listVersions(spark, table)
+        .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
+    }
+  }
+
   test("versioned recovery recreates a database the session restart forgot") {
     import spark.implicits._
     val db = "graft_dbr"
