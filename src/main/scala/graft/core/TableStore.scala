@@ -303,11 +303,13 @@ object TableStore {
     val ddl =
       schema.fields.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
     var next = from
+    var fsRetries = 0
     var claimed = false
     while (!claimed) {
-      // an abandoned run's orphan DIRECTORY under this number would
-      // fail the claim's CREATE TABLE on location, not on the name
-      clearOrphanLocation(spark, s"${table}__v$next")
+      // NO preemptive orphan cleanup here: deleting the location before
+      // CREATE raced a concurrent claimant's own directory creation
+      // (observed as spurious "failed to create its directory") —
+      // instead react to the two specific ways the CREATE can fail
       try {
         spark.sql(
           s"""CREATE TABLE ${table}__v$next ($ddl) USING parquet
@@ -315,7 +317,25 @@ object TableStore {
         claimed = true
       } catch {
         case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
-          next += 1
+          // another writer holds this number — take the next one
+          next += 1; fsRetries = 0
+        case e: Throwable if e.getMessage != null &&
+            e.getMessage.contains("LOCATION_ALREADY_EXISTS") =>
+          // an abandoned run's orphan DIRECTORY under an unregistered
+          // number: reclaim it and retry the SAME number (bounded — a
+          // persistent failure here is a real fs problem, not a race)
+          clearOrphanLocation(spark, s"${table}__v$next")
+          fsRetries += 1; if (fsRetries > 3) throw e
+        case e: org.apache.spark.SparkException if e.getMessage != null &&
+            e.getMessage.contains("failed to create its directory") =>
+          // transient filesystem race with a concurrent claimant on this
+          // number: if they registered it meanwhile, move past them;
+          // otherwise retry it (bounded, same rationale as above)
+          if (spark.catalog.tableExists(s"${table}__v$next")) {
+            next += 1; fsRetries = 0
+          } else {
+            fsRetries += 1; if (fsRetries > 3) throw e
+          }
       }
     }
     next
