@@ -187,11 +187,16 @@ object TableStore {
     // metastore churn the vacuum cadence knob exists to avoid
     val observed = currentVersion(spark, table)
     if (spark.catalog.tableExists(table)) {
-      // getTable inside Try: a concurrent FIRST publish's CREATE VIEW
-      // can land between the exists check and this read — treat the
-      // transient as not-exists and let the swap's own create-race
-      // handling surface the conflict
-      val tpe = scala.util.Try(spark.catalog.getTable(table).tableType).toOption
+      // a concurrent FIRST publish's CREATE VIEW can land between the
+      // exists check and this read — treat NOT_FOUND as not-exists and
+      // let the swap's own create-race handling surface the conflict.
+      // Only that condition: swallowing every failure here would skip
+      // both ownership guards on a transient metastore error and let
+      // the swap hijack a user's own view
+      val tpe = try Some(spark.catalog.getTable(table).tableType) catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(_.contains("NOT_FOUND")) => None
+      }
       if (tpe.exists(_ != "VIEW"))
         throw new IllegalStateException(
           s"$table exists as a ${tpe.get} table — " +
@@ -219,12 +224,6 @@ object TableStore {
     // same number, the exact corruption the claim exists to prevent.
     // insertInto keeps the entry registered throughout.
     df.write.mode("overwrite").insertInto(s"${table}__v$next")
-    // data complete: clear the claim marker so vacuum's retention
-    // counts this as a real version (crash before this line leaves a
-    // claim with complete data — conservative: reclaimed once the head
-    // passes its number)
-    spark.sql(
-      s"ALTER TABLE ${table}__v$next UNSET TBLPROPERTIES ('graft.claim')")
     beforeSwap()
     // compare-and-set: the head this publish numbered against must not
     // have moved during the data write — two interleaved writers would
@@ -272,7 +271,13 @@ object TableStore {
              |AS SELECT * FROM ${table}__v$next""".stripMargin)
       }
     } catch {
-      case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+      // CreateViewCommand's own exists check throws a PLAIN
+      // AnalysisException (TABLE_OR_VIEW_ALREADY_EXISTS); the
+      // TableAlreadyExistsException subclass only covers the narrower
+      // catalog-level window — match the error condition so neither
+      // shape of losing the first-publish create race escapes un-named
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.contains("ALREADY_EXISTS")) =>
         spark.sql(s"DROP TABLE IF EXISTS ${table}__v$next")
         clearOrphanLocation(spark, s"${table}__v$next")
         throw new ConcurrentPublishException(
@@ -280,6 +285,17 @@ object TableStore {
             s"race — staged __v$next dropped; retry merges against the " +
             "winner's head")
     }
+    // data complete AND head swapped: only now clear the claim marker.
+    // Unsetting before the CAS+swap would leave the staged version an
+    // unprotected above-head non-claim for that whole window — a
+    // concurrent vacuumVersions would drop it, and if the drop landed
+    // between the two swap ops the head view would dangle. After the
+    // swap this version IS the head, retained unconditionally; a crash
+    // before this line leaves a claim-marked head, which vacuum also
+    // never drops while it serves — once a later publish moves the head
+    // past it, vacuum reclaims it like any other expired claim.
+    spark.sql(
+      s"ALTER TABLE ${table}__v$next UNSET TBLPROPERTIES ('graft.claim')")
     next
   }
 
@@ -292,11 +308,13 @@ object TableStore {
     * rewrite the winner's published files and its CAS-failure cleanup
     * would then DROP the live head. The claim stays registered through
     * the data write (the publish writes with INSERT OVERWRITE, which
-    * never drops the entry) and the marker is cleared when the data is
-    * complete. A claim whose writer crashed is reclaimed by
-    * [[vacuumVersions]] once the head passes its number, and
-    * [[adoptVersioned]]'s marker gate refuses it. Returns the claimed
-    * number (≥ `from`). */
+    * never drops the entry) and the marker — stamped with the claim's
+    * birth time — is cleared only after the head swap, so the staged
+    * version is vacuum-protected through the whole CAS+swap window. A
+    * claim whose writer crashed is reclaimed by [[vacuumVersions]] once
+    * the head passes its number AND its stamp ages past the claim TTL,
+    * and [[adoptVersioned]]'s marker gate refuses it. Returns the
+    * claimed number (≥ `from`). */
   private[graft] def claimNextVersion(
       spark: SparkSession, table: String, from: Long,
       schema: org.apache.spark.sql.types.StructType): Long = {
@@ -311,9 +329,11 @@ object TableStore {
       // (observed as spurious "failed to create its directory") —
       // instead react to the two specific ways the CREATE can fail
       try {
+        // marker value = claim birth time: vacuum's below-head claim
+        // protection is TTL-gated on it (see vacuumVersions)
         spark.sql(
           s"""CREATE TABLE ${table}__v$next ($ddl) USING parquet
-             |TBLPROPERTIES ('graft.claim' = 'true')""".stripMargin)
+             |TBLPROPERTIES ('graft.claim' = '${System.currentTimeMillis}')""".stripMargin)
         claimed = true
       } catch {
         case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
@@ -341,13 +361,27 @@ object TableStore {
     next
   }
 
-  /** True iff `${table}__v$version` still carries the `graft.claim`
-    * marker — its data write never completed (crashed claim) or is
-    * still in flight (concurrent writer). */
-  private def isClaim(spark: SparkSession, table: String, version: Long): Boolean =
-    scala.util.Try(
-      spark.sql(s"SHOW TBLPROPERTIES ${table}__v$version ('graft.claim')")
-        .head().getString(1) == "true").getOrElse(false)
+  /** The birth timestamp (epoch millis) of `${table}__v$version`'s
+    * `graft.claim` marker, if the marker is still set — the version's
+    * publish never completed (crashed) or is still in flight
+    * (concurrent writer). None = published (marker unset) or the
+    * version table is gone. Catches only NOT_FOUND: any other catalog
+    * failure must surface, not silently read as "not a claim" (vacuum
+    * would then drop a live claim mid-write). */
+  private def claimStamp(
+      spark: SparkSession, table: String, version: Long): Option[Long] =
+    try {
+      val v =
+        spark.sql(s"SHOW TBLPROPERTIES ${table}__v$version ('graft.claim')")
+          .head().getString(1)
+      // a missing property yields a "does not have property" sentinel
+      // string — parses as no-claim; legacy boolean markers as epoch 0
+      // (immediately TTL-expired)
+      if (v == "true") Some(0L) else scala.util.Try(v.toLong).toOption
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.contains("NOT_FOUND")) => None
+    }
 
   /** All version numbers of `table` present in the catalog, ascending
     * (catalog METADATA — bounded by the retention policy, not data).
@@ -365,12 +399,22 @@ object TableStore {
       .sorted
   }
 
-  /** The version the `table` view currently serves, if any. */
+  /** The version the `table` view currently serves, if any. Absence —
+    * no table, concurrently dropped (NOT_FOUND), or no `graft.version`
+    * property (the missing-property sentinel string fails the parse) —
+    * reads as None; any other catalog failure propagates, because the
+    * publish guard and the CAS both key off this value and a swallowed
+    * transient would read as "no head", skipping both. */
   def currentVersion(spark: SparkSession, table: String): Option[Long] =
     if (!spark.catalog.tableExists(table)) None
-    else scala.util.Try(
-      spark.sql(s"SHOW TBLPROPERTIES $table ('graft.version')")
-        .head().getString(1).toLong).toOption
+    else try {
+      val v = spark.sql(s"SHOW TBLPROPERTIES $table ('graft.version')")
+        .head().getString(1)
+      scala.util.Try(v.toLong).toOption
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.contains("NOT_FOUND")) => None
+    }
 
   /** Time travel: read version `version` of `table` regardless of what
     * the head view serves. Fails (table not found) once the version has
@@ -392,26 +436,47 @@ object TableStore {
     * write that never completed or is still in flight) are handled
     * asymmetrically: they never COUNT toward the `keep` window (an
     * empty claim must not displace the real previous snapshot a reader
-    * may be scanning), and an above-head claim is never DROPPED (it may
-    * be a concurrent writer mid-write; dropping it would hand its
-    * number to a later publish and reopen the same-number race) — it
-    * becomes reclaimable once the head passes its number. Returns the
-    * dropped versions. */
-  def vacuumVersions(
-      spark: SparkSession, table: String, keep: Int = 2): Seq[Long] = {
+    * may be scanning), an above-head claim is never DROPPED (it may be
+    * a concurrent writer mid-write; dropping it would hand its number
+    * to a later publish and reopen the same-number race), and a
+    * BELOW-head claim is protected until its marker timestamp ages past
+    * `claimTtlMs` — a later claimant can publish first and move the
+    * head past a still-writing claim, which must not lose its table
+    * under the write (the slow writer's own CAS failure cleans it up;
+    * the TTL only reaps claims whose writer died). Returns the dropped
+    * versions. */
+  def vacuumVersions(spark: SparkSession, table: String, keep: Int = 2,
+      claimTtlMs: Long = DefaultClaimTtlMs): Seq[Long] = {
     val all = listVersions(spark, table)
     val cur = currentVersion(spark, table)
-    val claims = all.filter(v => isClaim(spark, table, v)).toSet
-    val published = all.filter(v => cur.forall(_ >= v) && !claims(v))
+    // steady-state short-circuit: every version at-or-below the head
+    // and the count inside the keep window — zero per-version catalog
+    // probes for the per-micro-batch calls the versioned sink issues.
+    // The only thing this can defer is reclaiming a TTL-expired crashed
+    // claim, which the next publish pushes out of the window anyway
+    if (all.size <= keep && all.forall(v => cur.forall(_ >= v))) return Nil
+    val memo = scala.collection.mutable.Map.empty[Long, Option[Long]]
+    // the head never needs a claim probe — it is retained unconditionally
+    def stamp(v: Long): Option[Long] = memo.getOrElseUpdate(v,
+      if (cur.contains(v)) None else claimStamp(spark, table, v))
+    val published = all.filter(v => cur.forall(_ >= v) && stamp(v).isEmpty)
     val retain = published.takeRight(keep).toSet ++ cur
-    val dropped = all.filterNot(retain)
-      .filterNot(v => claims(v) && cur.forall(_ < v))
+    val now = System.currentTimeMillis
+    val dropped = all.filterNot(retain).filterNot { v =>
+      stamp(v).exists(s => cur.forall(_ < v) || now - s < claimTtlMs)
+    }
     dropped.foreach { v =>
       spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v")
       clearOrphanLocation(spark, s"${table}__v$v")
     }
     dropped
   }
+
+  /** How long [[vacuumVersions]] protects a BELOW-head claim (an
+    * in-flight writer the head overtook) before treating it as dead:
+    * generous relative to any single data write, so only a genuinely
+    * crashed writer's claim is ever reaped out from under it. */
+  val DefaultClaimTtlMs: Long = 24L * 60 * 60 * 1000
 
   // ---- in-place adoption of surviving directories -------------------
   //

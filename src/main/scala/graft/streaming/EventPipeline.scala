@@ -264,10 +264,11 @@ object EventPipeline {
     * `versioned = true` publishes each batch through
     * TableStore.publishVersioned instead: reader-atomic head swap,
     * snapshot isolation for in-flight scans, vacuum every
-    * `vacuumEvery` micro-batches (retention 2; the vacuum is a catalog
-    * listing + up to two DROPs per call — per-trigger metadata churn a
-    * slow metastore notices at high trigger rates, so the cadence is a
-    * knob). The cadence counts the engine's PERSISTENT batchId, not a
+    * `vacuumEvery` micro-batches (retention 2; a steady-state vacuum
+    * short-circuits after one catalog listing, and a reclaiming one
+    * adds a claim probe per non-head version plus the DROPs —
+    * per-trigger metadata churn a slow metastore notices at high
+    * trigger rates, so the cadence is a knob). The cadence counts the engine's PERSISTENT batchId, not a
     * run-local counter — a run-local counter resets on every restart,
     * so a restart-heavy deployment (each run shorter than the cadence)
     * would never vacuum and grow versions unboundedly; on the

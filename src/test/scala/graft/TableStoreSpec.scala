@@ -480,12 +480,19 @@ class TableStoreSpec extends SparkTestBase {
       // real previous snapshot a reader may be scanning) was retained
       // above, not displaced by the empty claim
       assert(TableStore.readVersion(spark, table, 2L).count() === 1L)
-      // once the head passes the crashed claim's number, it becomes
-      // ordinary reclaimable residue (the next publish claims ABOVE it)
+      // once the head passes the claim's number it is STILL protected
+      // while its stamp is fresh — the writer may just be slow, and a
+      // later claimant publishing first must not get its table vacuumed
+      // out from under the in-flight write
       assert(TableStore.publishVersioned(spark, table,
         Seq((5L, "v5")).toDF("id", "v")) === 5L)
-      assert(TableStore.vacuumVersions(spark, table, keep = 2)
+      assert(!TableStore.vacuumVersions(spark, table, keep = 2)
         .contains(4L))
+      assert(TableStore.listVersions(spark, table) === Seq(3L, 4L, 5L))
+      // ...and becomes ordinary reclaimable residue only once the stamp
+      // ages past the claim TTL (simulated with a zero TTL)
+      assert(TableStore.vacuumVersions(spark, table, keep = 2,
+        claimTtlMs = 0L).contains(4L))
       assert(TableStore.listVersions(spark, table) === Seq(3L, 5L))
       assert(spark.table(table).head().getString(1) === "v5")
     } finally {
@@ -493,6 +500,53 @@ class TableStoreSpec extends SparkTestBase {
       TableStore.listVersions(spark, table)
         .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
     }
+  }
+
+  test("a vacuum landing between the data write and the head swap never drops the staged version") {
+    import spark.implicits._
+    val table = uniq("ts_vacmidswap")
+    try {
+      TableStore.publishVersioned(spark, table, Seq((1L, "v1")).toDF("id", "v"))
+      // the claim marker must protect the staged version through the
+      // whole CAS+swap window: were it unset right after the data write,
+      // this vacuum would see an above-head NON-claim (ordinary crash
+      // residue) and drop it, dangling the head mid-swap
+      val vacuumed = new java.util.concurrent.atomic.AtomicReference[Seq[Long]]
+      TableStore.publishVersioned(spark, table,
+        Seq((2L, "v2")).toDF("id", "v"),
+        beforeSwap = () =>
+          vacuumed.set(TableStore.vacuumVersions(spark, table, keep = 1)))
+      assert(vacuumed.get !== null)
+      assert(!vacuumed.get.contains(2L),
+        "the in-flight publish's staged version must be vacuum-protected")
+      assert(spark.table(table).head().getString(1) === "v2")
+      assert(TableStore.readVersion(spark, table, 2L).count() === 1L)
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $table")
+      TableStore.listVersions(spark, table)
+        .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
+    }
+  }
+
+  test("losing the first-publish create race throws a PLAIN AnalysisException, which the swap maps to a named conflict") {
+    // Pins the engine fact the create-race catch relies on: in Spark
+    // 4.1.2 CREATE VIEW over an existing view fails from CreateViewCommand's
+    // own exists check with a plain AnalysisException carrying the
+    // ALREADY_EXISTS condition — NOT the TableAlreadyExistsException
+    // subclass (that only covers the narrower catalog-level window). A
+    // subclass-only catch would let the loser's error escape un-named.
+    val table = uniq("ts_viewrace")
+    try {
+      spark.sql(s"CREATE VIEW $table AS SELECT 1 AS one")
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"CREATE VIEW $table AS SELECT 2 AS two")
+      }
+      assert(Option(e.getCondition).exists(_.contains("ALREADY_EXISTS")),
+        s"unexpected condition: ${e.getCondition}")
+      assert(!e.isInstanceOf[
+        org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException],
+        "subclass-only catch would miss this — the publish matches the condition")
+    } finally spark.sql(s"DROP VIEW IF EXISTS $table")
   }
 
   test("two GENUINELY concurrent publishers: every publish succeeds or fails loudly, head never dangles") {
