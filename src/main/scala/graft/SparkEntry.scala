@@ -45,7 +45,7 @@ object SparkEntry {
     "q85_sliding_window",
     "q25_text_stats", "q27_token_topk", "q30_minhash_neardup",
     "q31_simhash_neardup", "q33_ann_brute", "q33b_ann_brute_partial",
-    "q35_ann_ivf", "q36b_embed_neardup_lsh", "q41_asof_join",
+    "q35_ann_ivf", "q35b_ann_pq", "q36b_embed_neardup_lsh", "q41_asof_join",
     "q51_dedup_clusters", "q93_decontaminate",
     // the one two-source join in the pharma family (meds ⋈ labs via the
     // managed catalog) — cheap, but it keeps the S8 ingestion edge and

@@ -79,7 +79,6 @@ object Similarity {
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String,
       k: Int): DataFrame = {
-    val spark = corpus.sparkSession
     val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
     val scored = c.crossJoin(q)
@@ -87,6 +86,19 @@ object Similarity {
       .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
         cosine(col("qv"), col("cv")).as("cos"))
       .toDF("query_id", "neighbor_id", "cos")
+    boundedTopK(scored, k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Bounded-shuffle per-query top-k over a (query_id, neighbor_id, cos)
+    * score relation: each partition keeps only its k best per query in a
+    * bounded heap, so the ranking exchange carries ≤ k×partitions rows
+    * per query instead of the full score relation — the shared kernel
+    * behind [[bruteForceTopKPartial]] and the PQ candidate cut. Ties
+    * resolve (cos desc, neighbor_id asc), identical to the window-only
+    * formulation. Returns (query_id, neighbor_id, cos, rnk), rnk ≤ k. */
+  private[graft] def boundedTopK(scored: DataFrame, k: Int): DataFrame = {
     // per-partition bounded heaps: worst (lowest cosine, then HIGHEST
     // neighbor id) on top so the kept set matches the global order's
     // tie-break exactly
@@ -115,8 +127,6 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id"))
     candidates.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
   }
 
   /** Deterministic pseudo-random hyperplane weight for global plane index
@@ -315,6 +325,192 @@ object Similarity {
     *
     * A cluster that loses all members drops out (standard Lloyd
     * degeneracy); callers get ≤ k centroids. */
+  // ---- product quantization (PQ): compressed-domain ANN scoring -----
+  //
+  // The IVF paths above cut WHICH vectors a query scores; PQ cuts what
+  // each score COSTS. The d-dim vector is split into m contiguous
+  // subvectors; each subspace trains its own ksub-codeword codebook
+  // (Lloyd's, jointly for all subspaces — one corpus pass per
+  // iteration, not m); a corpus vector is then m small codes
+  // (m·log2(ksub) bits — 10 bytes at the shipped m=16/ksub=32 vs 256
+  // bytes of float32, ~26× compression; ksub=256 gives byte codes),
+  // and a query scores a candidate with m table lookups
+  // (asymmetric distance: dot(q,x) ≈ Σ_j qtab[j][code_j], with
+  // qtab[j][c] = dot(q_j, codeword_{j,c}) built once per query in
+  // O(ksub·d)) instead of d multiplies. ‖x̂‖ is lookupable the same way
+  // from per-codeword norms, so approximate COSINE needs no vector
+  // payload at all — the scoring scan carries (id, codes) only, the
+  // shape that keeps a 100 TB corpus's hot set in memory. A final
+  // exact re-rank of the top `rerank` ADC candidates re-joins true
+  // vectors (rerank×|queries| rows — bounded), so the output scores
+  // are true cosines and recall loss is only ADC ordering error past
+  // position `rerank`. Composes with IVF (train/encode a probed
+  // subset) exactly as FAISS's IVF-PQ does; kept orthogonal here.
+
+  /** Train PQ codebooks over `corpus`: `m` subspaces × ≤`ksub` codewords
+    * of d/m dims each, d divisible by m. Joint Lloyd's: every iteration
+    * is ONE pass over the exploded (subspace, subvector) relation — the
+    * assignment is the narrow argbest kernel against the broadcast
+    * per-subspace codebooks, the update one (subspace, code, dim)
+    * groupBy of k·d keys — so training cost does not scale with m.
+    * Deterministic lowest-id initialization like [[kmeansCentroids]];
+    * an emptied codeword drops out (standard Lloyd degeneracy), and
+    * `code` values are POSITIONS in the code-ascending collapse (the
+    * contract [[pqEncode]] and the ADC lookups share). The one `head()`
+    * (dimension probe) is index-BUILD cost, like the IVF trainers'
+    * count. Returns (subspace, code, codev: array<double>). */
+  def pqCodebooks(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int, ksub: Int, iters: Int = 4): DataFrame = {
+    val d = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"dimension $d not divisible by $m subspaces")
+    val sub = d / m
+    val ex = corpus
+      .select(col(idCol).as("vid"),
+        transform(col(vecCol), _.cast("double")).as("vd"))
+      .select(col("vid"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("subspace"),
+          slice(col("vd"), j * sub + 1, sub).as("sv"))): _*)).as("e"))
+      .select(col("e.subspace").as("subspace"), col("vid"), col("e.sv").as("sv"))
+    val initW = Window.partitionBy(col("subspace")).orderBy(col("vid"))
+    var books = ex.withColumn("rn", row_number().over(initW))
+      .filter(col("rn") <= ksub)
+      .select(col("subspace"), (col("rn") - 1).as("code"), col("sv").as("codev"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      // m-row broadcast of the per-subspace codebook arrays; assignment
+      // is positional (argbest index into the code-ascending collapse)
+      val collapsed = broadcast(books
+        .groupBy(col("subspace"))
+        .agg(array_sort(collect_list(struct(col("code"), col("codev")))).as("s"))
+        .select(col("subspace"), transform(col("s"), _.getField("codev")).as("cb")))
+      books = ex.join(collapsed, Seq("subspace"))
+        .withColumn("code", graft.functions.SketchExpressions.nearestIndex(
+          col("sv"), col("cb"), byCosine = false))
+        .select(col("subspace"), col("code"), posexplode(col("sv")))
+        .groupBy(col("subspace"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mu"))
+        .groupBy(col("subspace"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("s"))
+        .select(col("subspace"), col("code"),
+          transform(col("s"), _.getField("mu")).as("codev"))
+        .localCheckpoint(eager = false)
+    }
+    books
+  }
+
+  /** All PQ codebooks collapsed to ONE broadcastable row:
+    * `cvs[j][c]` = codeword c of subspace j (both code-ascending, so
+    * positions match the training assignment), `cnormsq[j][c]` = its
+    * squared norm (the ‖x̂‖ lookup table). Model-sized: m·ksub·(d/m)
+    * doubles. */
+  private def pqOneRow(books: DataFrame): DataFrame =
+    books.groupBy(col("subspace"))
+      .agg(array_sort(collect_list(struct(col("code"), col("codev")))).as("s"))
+      .select(col("subspace"), transform(col("s"), _.getField("codev")).as("cb"))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("cb")))).as("t"))
+      .select(transform(col("t"), _.getField("cb")).as("cvs"))
+      .withColumn("cnormsq", transform(col("cvs"), cb => transform(cb, cw =>
+        aggregate(cw, lit(0.0), (a, x) => a + x * x))))
+
+  /** Append `codes` (m argbest positions — the PQ encoding) and
+    * `xnormsq` (Σ_j ‖codeword‖² — the reconstructed squared norm) to a
+    * relation already cross-joined with the [[pqOneRow]] broadcast.
+    * Narrow: m kernel folds per row, zero shuffle. */
+  private def withPqCodes(df: DataFrame, vdCol: String,
+      m: Int, sub: Int): DataFrame =
+    df.withColumn("codes", array((0 until m).map(j =>
+        graft.functions.SketchExpressions.nearestIndex(
+          slice(col(vdCol), j * sub + 1, sub), element_at(col("cvs"), j + 1),
+          byCosine = false)): _*))
+      .withColumn("xnormsq", (0 until m).map(j =>
+        element_at(element_at(col("cnormsq"), j + 1),
+          element_at(col("codes"), j + 1) + 1)).reduce(_ + _))
+
+  /** PQ-encode `corpus` against trained `codebooks`: (id, codes) with
+    * codes[j] = the subspace-j codeword position. The compressed
+    * representation an ANN serving layer stores instead of vectors. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int): DataFrame = {
+    val sub = codebooks.select(size(col("codev"))).head().getInt(0)
+    withPqCodes(
+      corpus.select(col(idCol),
+          transform(col(vecCol), _.cast("double")).as("__vd"))
+        .crossJoin(broadcast(pqOneRow(codebooks))),
+      "__vd", m, sub)
+      .select(col(idCol), col("codes"))
+  }
+
+  /** PQ approximate top-k: train codebooks, encode the corpus, score
+    * every candidate in the compressed domain (m table lookups per
+    * pair — the scan carries ids and codes only, never vectors), cut to
+    * the top `rerank` per query through the bounded-heap merge, then
+    * re-rank those exactly (true cosine over re-joined vectors), so the
+    * output schema and score semantics match [[bruteForceTopK]] and
+    * recall is floor-asserted in SimilaritySpec + emitted per round in
+    * the bench JSON. Defaults pinned from the r10 RecallProbe grid on
+    * the 64-dim fixtures: m=16 subspaces of 4 dims, ksub=32, iters=2,
+    * rerank=100 → recall 1.000 on BOTH fixtures (sf0.001 and sf0.01);
+    * more Lloyd iterations bought nothing (1.000/0.980 at iters=4) at
+    * twice the training cost, so 2 is the default.
+    * The near-uniform fixture embeddings are PQ's WORST case (no
+    * cluster structure for the codebooks to exploit, so ADC ordering
+    * noise is maximal and `rerank` does the recall work); a real
+    * embedding corpus clusters and holds the same recall at smaller
+    * rerank. `rerank` cost is O(rerank·d) per query — independent of
+    * corpus size, the knob stays cheap at 100 TB. A production corpus
+    * wants ksub=256 (byte codes, 16 B per vector here vs 256 B float32). */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int, m: Int = 16, ksub: Int = 32, iters: Int = 2,
+      rerank: Int = 100): DataFrame = {
+    val books = pqCodebooks(corpus, corpusVec, corpusId, m, ksub, iters)
+    val sub = books.select(size(col("codev"))).head().getInt(0)
+    val one = broadcast(pqOneRow(books))
+    val c = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+      col(corpusVec).as("cv"))
+    val encoded = withPqCodes(
+        c.withColumn("vd", transform(col("cv"), _.cast("double")))
+          .crossJoin(one), "vd", m, sub)
+      .select(col("neighbor_id"), col("codes"), col("xnormsq"))
+    val qrel = queries.select(col(queryId).cast("long").as("query_id"),
+      col(queryVec).as("qv"))
+    // per-query ADC tables, built once on the (small) query side:
+    // qtabs[j][c] = dot(q_j, codeword_{j,c})
+    val qtabs = qrel.crossJoin(one)
+      .withColumn("qd", transform(col("qv"), _.cast("double")))
+      .withColumn("qtabs", array((0 until m).map(j =>
+        transform(element_at(col("cvs"), j + 1), cw =>
+          aggregate(zip_with(slice(col("qd"), j * sub + 1, sub), cw,
+            (x, y) => x * y), lit(0.0), (a, v) => a + v))): _*))
+      .withColumn("qnorm",
+        sqrt(aggregate(col("qd"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("query_id"), col("qtabs"), col("qnorm"))
+    val scored = encoded.crossJoin(broadcast(qtabs))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", (0 until m).map(j =>
+        element_at(element_at(col("qtabs"), j + 1),
+          element_at(col("codes"), j + 1) + 1)).reduce(_ + _))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("qnorm") > 0 && col("xnormsq") > 0,
+          col("adc") / (col("qnorm") * sqrt(col("xnormsq"))))
+          .otherwise(lit(0.0)).as("cos"))
+    val candidates = boundedTopK(scored, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = candidates
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(qrel), Seq("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   def kmeansCentroids(
       corpus: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int = 5): DataFrame = {

@@ -347,6 +347,25 @@ object TextVectorQueries {
         .orderBy(col("query_id"), col("rnk"))
     })
 
+  /** Product-quantized ANN (rows-only; recall vs brute force floor-
+    * asserted in SimilaritySpec and emitted per round in the bench
+    * JSON). Where q34/q35 cut WHICH vectors a query scores, PQ cuts
+    * what each score COSTS: the scan carries 16 codebook positions per
+    * vector instead of 64 floats (~26× compression) and scores with 16
+    * table lookups, then re-ranks the top 100 candidates with exact
+    * cosine. Parameters pinned explicitly like q34/q35 (r10 grid:
+    * recall 1.000 at both fixtures; iters=2 because more Lloyd
+    * rounds bought no recall at twice the training cost). */
+  val q35bAnnPq = GraftQuery(
+    "q35b_ann_pq", { (s, dir) =>
+      val e = embeds(s, dir)
+      Similarity.pqTopK(
+          e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, m = 16, ksub = 32, iters = 2, rerank = 100)
+        .orderBy(col("query_id"), col("rnk"))
+    })
+
   /** Exact embedding near-dup pairs above a cosine threshold
     * (oracle-checked). Exact all-pairs is the small-sf ORACLE variant
     * only — it is deliberately NOT in the benchmark headline; the benched
@@ -815,7 +834,7 @@ object TextVectorQueries {
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q29Fingerprint,
     q30MinhashNearDup, q31SimhashNearDup, q32NgramJaccard, q33AnnBrute,
-    q33bAnnBrutePartial, q34AnnLsh, q35AnnIvf, q36EmbedNearDup,
+    q33bAnnBrutePartial, q34AnnLsh, q35AnnIvf, q35bAnnPq, q36EmbedNearDup,
     q36bEmbedNearDupLsh, q36cEmbedNearDupLsh08,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank,
     q73PageRank, q89UnigramLogprob, q100RecursiveClosure)

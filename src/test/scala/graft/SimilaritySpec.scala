@@ -116,6 +116,61 @@ class SimilaritySpec extends SparkTestBase {
     assert(r >= 0.85, f"trained-IVF recall $r%.3f below floor")
   }
 
+  test("PQ codebooks: every subspace trained, positional codes, d/m dims, <= ksub codewords") {
+    val m = 16; val ksub = 32
+    val books = Similarity.pqCodebooks(embeds, "embedding", "vec_id",
+      m = m, ksub = ksub, iters = 2).cache()
+    val bySub = books.groupBy("subspace")
+      .agg(count(lit(1)).as("n"), min("code").as("lo"), max("code").as("hi"),
+        min(size(col("codev"))).as("dlo"), max(size(col("codev"))).as("dhi"))
+      .collect()
+    assert(bySub.length === m, "one codebook per subspace")
+    val d = embeds.select(size(col("embedding"))).head().getInt(0)
+    bySub.foreach { r =>
+      assert(r.getAs[Long]("n") <= ksub.toLong)
+      assert(r.getAs[Int]("lo") >= 0)
+      // codes are positions into the code-ascending collapse — the
+      // encode/ADC lookup contract
+      assert(r.getAs[Int]("hi") < r.getAs[Long]("n"),
+        "codes must be dense positions 0..n-1")
+      assert(r.getAs[Int]("dlo") === d / m && r.getAs[Int]("dhi") === d / m)
+    }
+    books.unpersist()
+    ()
+  }
+
+  test("PQ encoding: m in-range codes per vector") {
+    val m = 16; val ksub = 32
+    val books = Similarity.pqCodebooks(embeds, "embedding", "vec_id",
+      m = m, ksub = ksub, iters = 2)
+    val enc = Similarity.pqEncode(embeds, "vec_id", "embedding", books, m)
+    assert(enc.count() === embeds.count())
+    val bad = enc.filter(size(col("codes")) =!= m ||
+      exists(col("codes"), c => c < 0 || c >= ksub)).count()
+    assert(bad === 0L, "every code must index its subspace codebook")
+  }
+
+  test("PQ ADC with exact re-rank reaches recall >= 0.85 vs brute force at SHIPPED defaults") {
+    // No explicit m/ksub/iters/rerank: pins the library defaults
+    // (m=16, ksub=32, iters=2, rerank=100 — measured 1.000 at both
+    // fixtures, r10 RecallProbe grid). The fixture's
+    // near-uniform embeddings are PQ's hardest case; a default change
+    // that degrades recall fails HERE, not only in the bench JSON.
+    val pq = Similarity.pqTopK(embeds, queries,
+      "vec_id", "embedding", "vec_id", "embedding", K).cache()
+    val r = recallVsBrute(pq)
+    assert(r >= 0.85, f"PQ recall $r%.3f below floor")
+    // the re-rank is EXACT: every emitted pair carries the true cosine,
+    // so pairs shared with brute force agree to the rounded digit
+    val mismatch = pq.select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .join(brute.select(col("query_id"), col("neighbor_id"),
+        col("cosine").as("bcos")), Seq("query_id", "neighbor_id"))
+      .filter(abs(col("cosine") - col("bcos")) > 1e-9).count()
+    assert(mismatch === 0L, "re-ranked scores must be true cosines")
+    pq.unpersist()
+    ()
+  }
+
   test("fused cosine kernel is bit-identical to the HOF formulation") {
     val pairs = embeds.limit(50).crossJoin(
       embeds.limit(50).select(col("vec_id").as("v2"), col("embedding").as("e2")))

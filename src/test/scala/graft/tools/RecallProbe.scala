@@ -62,6 +62,12 @@ object RecallProbe {
           "vec_id", "embedding", "vec_id", "embedding", cents, K, nprobe))
         println(f"IVF-trained k=10 iters=4 nprobe=$nprobe recall=$r%.3f")
       }
+      for (iters <- Seq(1, 2, 3, 4); rerank <- Seq(50, 100)) {
+        val r = recall(Similarity.pqTopK(embeds, queries,
+          "vec_id", "embedding", "vec_id", "embedding", K,
+          m = 16, ksub = 32, iters = iters, rerank = rerank))
+        println(f"PQ m=16 ksub=32 iters=$iters rerank=$rerank recall=$r%.3f")
+      }
       embeds.unpersist(); brute.unpersist()
     }
     spark.stop()
