@@ -467,13 +467,44 @@ object Similarity {
       k: Int, m: Int = 16, ksub: Int = 32, iters: Int = 2,
       rerank: Int = 100): DataFrame = {
     val books = pqCodebooks(corpus, corpusVec, corpusId, m, ksub, iters)
-    val sub = books.select(size(col("codev"))).head().getInt(0)
-    val one = broadcast(pqOneRow(books))
-    val c = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
-      col(corpusVec).as("cv"))
-    val encoded = withPqCodes(
-        c.withColumn("vd", transform(col("cv"), _.cast("double")))
-          .crossJoin(one), "vd", m, sub)
+    val encoded = pqEncode(corpus, corpusId, corpusVec, books, m)
+    pqTopKEncoded(encoded, books, corpus, queries,
+      corpusId, corpusId, corpusVec, queryId, queryVec, k, rerank)
+  }
+
+  /** The SERVING phase of PQ top-k, against a PRE-BUILT index: score an
+    * already-encoded corpus (`encoded` = [[pqEncode]] output, typically
+    * read back from a persisted table) with `codebooks` trained earlier,
+    * re-ranking the top `rerank` exactly from `corpus` vectors. This is
+    * the build-once/query-many split a 100 TB deployment runs: training
+    * and encoding are one-time index builds (persist `codebooks` and
+    * `encoded` via TableStore — both are plain relations), and the hot
+    * path scans ONLY (id, codes) — the reconstructed-norm lookup is m
+    * `element_at`s against the broadcast codebooks, so nothing
+    * vector-sized moves until the bounded rerank join. Produces rows
+    * IDENTICAL to [[pqTopK]] with the same index (asserted through a
+    * parquet + catalog round-trip in SimilaritySpec): ADC scores depend
+    * only on (codes, codebooks), both of which persist losslessly.
+    * `m` and the subspace width are derived from `codebooks` — the
+    * index is self-describing, callers cannot mis-state its shape. */
+  def pqTopKEncoded(
+      encoded: DataFrame, codebooks: DataFrame,
+      corpus: DataFrame, queries: DataFrame,
+      encId: String,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int, rerank: Int = 100): DataFrame = {
+    val m = codebooks.select(max(col("subspace"))).head().getInt(0) + 1
+    val sub = codebooks.select(size(col("codev"))).head().getInt(0)
+    val one = broadcast(pqOneRow(codebooks))
+    // reconstructed squared norm from the codes alone — the serving scan
+    // never needs a vector payload
+    val enc = encoded
+      .select(col(encId).cast("long").as("neighbor_id"), col("codes"))
+      .crossJoin(one)
+      .withColumn("xnormsq", (0 until m).map(j =>
+        element_at(element_at(col("cnormsq"), j + 1),
+          element_at(col("codes"), j + 1) + 1)).reduce(_ + _))
       .select(col("neighbor_id"), col("codes"), col("xnormsq"))
     val qrel = queries.select(col(queryId).cast("long").as("query_id"),
       col(queryVec).as("qv"))
@@ -488,7 +519,7 @@ object Similarity {
       .withColumn("qnorm",
         sqrt(aggregate(col("qd"), lit(0.0), (a, x) => a + x * x)))
       .select(col("query_id"), col("qtabs"), col("qnorm"))
-    val scored = encoded.crossJoin(broadcast(qtabs))
+    val scored = enc.crossJoin(broadcast(qtabs))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc", (0 until m).map(j =>
         element_at(element_at(col("qtabs"), j + 1),
@@ -499,6 +530,8 @@ object Similarity {
           .otherwise(lit(0.0)).as("cos"))
     val candidates = boundedTopK(scored, rerank)
       .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+      col(corpusVec).as("cv"))
     val exact = candidates
       .join(c, Seq("neighbor_id"))
       .join(broadcast(qrel), Seq("query_id"))

@@ -171,6 +171,37 @@ class SimilaritySpec extends SparkTestBase {
     ()
   }
 
+  test("PQ serving from a persisted index returns rows IDENTICAL to the fused build+query path") {
+    // build once, persist through parquet (the storage boundary a
+    // serving deployment crosses), read back, serve — the contract is
+    // EXACT row equality with pqTopK on the same index, because ADC
+    // scores depend only on (codes, codebooks) and both persist
+    // losslessly
+    val m = 16
+    val books = Similarity.pqCodebooks(embeds, "embedding", "vec_id",
+      m = m, ksub = 32, iters = 2).localCheckpoint()
+    val encoded = Similarity.pqEncode(embeds, "vec_id", "embedding", books, m)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_index")
+    try {
+      books.write.parquet(s"$dir/books")
+      encoded.write.parquet(s"$dir/codes")
+      val served = Similarity.pqTopKEncoded(
+        spark.read.parquet(s"$dir/codes"), spark.read.parquet(s"$dir/books"),
+        embeds, queries,
+        "vec_id", "vec_id", "embedding", "vec_id", "embedding", K)
+      val fused = Similarity.pqTopKEncoded(
+        encoded, books, embeds, queries,
+        "vec_id", "vec_id", "embedding", "vec_id", "embedding", K)
+      assert(served.exceptAll(fused).count() === 0L)
+      assert(fused.exceptAll(served).count() === 0L)
+      assert(served.count() === queries.count() * K)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("fused cosine kernel is bit-identical to the HOF formulation") {
     val pairs = embeds.limit(50).crossJoin(
       embeds.limit(50).select(col("vec_id").as("v2"), col("embedding").as("e2")))
