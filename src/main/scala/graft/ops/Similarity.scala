@@ -502,15 +502,24 @@ object Similarity {
     val enc = encoded
       .select(col(encId).cast("long").as("neighbor_id"), col("codes"))
       .crossJoin(one)
-      .withColumn("xnormsq", (0 until m).map(j =>
-        element_at(element_at(col("cnormsq"), j + 1),
-          element_at(col("codes"), j + 1) + 1)).reduce(_ + _))
+      .withColumn("xnormsq", pqXnormsq(m))
       .select(col("neighbor_id"), col("codes"), col("xnormsq"))
     val qrel = queries.select(col(queryId).cast("long").as("query_id"),
       col(queryVec).as("qv"))
-    // per-query ADC tables, built once on the (small) query side:
-    // qtabs[j][c] = dot(q_j, codeword_{j,c})
-    val qtabs = qrel.crossJoin(one)
+    val qtabs = pqQueryAdcTables(qrel, one, m, sub)
+    val scored = enc.crossJoin(broadcast(qtabs))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pqAdcCos(m).as("cos"))
+    pqExactRerank(boundedTopK(scored, rerank), corpus, qrel,
+      corpusId, corpusVec, k)
+  }
+
+  /** Per-query ADC lookup tables, built once on the (small, broadcast)
+    * query side: `qtabs[j][c]` = dot(q_j, codeword_{j,c}) — O(ksub·d)
+    * per query — plus the true query norm. */
+  private def pqQueryAdcTables(qrel: DataFrame, one: DataFrame,
+      m: Int, sub: Int): DataFrame =
+    qrel.crossJoin(one)
       .withColumn("qd", transform(col("qv"), _.cast("double")))
       .withColumn("qtabs", array((0 until m).map(j =>
         transform(element_at(col("cvs"), j + 1), cw =>
@@ -519,20 +528,33 @@ object Similarity {
       .withColumn("qnorm",
         sqrt(aggregate(col("qd"), lit(0.0), (a, x) => a + x * x)))
       .select(col("query_id"), col("qtabs"), col("qnorm"))
-    val scored = enc.crossJoin(broadcast(qtabs))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc", (0 until m).map(j =>
-        element_at(element_at(col("qtabs"), j + 1),
-          element_at(col("codes"), j + 1) + 1)).reduce(_ + _))
-      .select(col("query_id"), col("neighbor_id"),
-        when(col("qnorm") > 0 && col("xnormsq") > 0,
-          col("adc") / (col("qnorm") * sqrt(col("xnormsq"))))
-          .otherwise(lit(0.0)).as("cos"))
-    val candidates = boundedTopK(scored, rerank)
-      .select(col("query_id"), col("neighbor_id"))
+
+  /** Reconstructed squared norm Σ_j ‖codeword_{j,code_j}‖² from the
+    * `codes` and `cnormsq` columns — m lookups, no vector payload. */
+  private def pqXnormsq(m: Int): Column =
+    (0 until m).map(j =>
+      element_at(element_at(col("cnormsq"), j + 1),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+
+  /** Approximate cosine from the ADC lookup sum over (`qtabs`, `codes`)
+    * and the (`qnorm`, `xnormsq`) norms. */
+  private def pqAdcCos(m: Int): Column = {
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("qtabs"), j + 1),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    when(col("qnorm") > 0 && col("xnormsq") > 0,
+      adc / (col("qnorm") * sqrt(col("xnormsq")))).otherwise(lit(0.0))
+  }
+
+  /** Exact re-rank of ADC candidates: re-join true vectors for the
+    * bounded (query_id, neighbor_id) candidate set, emit true-cosine
+    * top-k in the [[bruteForceTopK]] output shape. */
+  private def pqExactRerank(candidates: DataFrame, corpus: DataFrame,
+      qrel: DataFrame, corpusId: String, corpusVec: String,
+      k: Int): DataFrame = {
     val c = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
       col(corpusVec).as("cv"))
-    val exact = candidates
+    val exact = candidates.select(col("query_id"), col("neighbor_id"))
       .join(c, Seq("neighbor_id"))
       .join(broadcast(qrel), Seq("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
@@ -542,6 +564,66 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
+  }
+
+  /** IVF-PQ: the production ANN composition — the coarse quantizer cuts
+    * WHICH vectors a query scores (only the `nprobe`/`cells` fraction of
+    * the corpus in the probed inverted lists) and PQ cuts what each
+    * survivor COSTS (m table lookups over 10-byte codes, no vector
+    * payload). This is the only path here whose per-query work is
+    * sublinear in corpus size AND vector-free until the re-rank: at
+    * 100 TB the scan reads (centroid_id, id, codes) for probed cells
+    * only — partition the encoded table by centroid_id and the probe
+    * join prunes to nprobe partitions per query. Codes encode RAW
+    * vectors against one shared codebook (IVF-Flat-style; FAISS's
+    * residual encoding would need the codebook trained on x − centroid
+    * — a accuracy/complexity trade this corpus doesn't need, since the
+    * exact re-rank already recovers ADC ordering error). Recall floor
+    * asserted in SimilaritySpec; emitted per round in the bench JSON
+    * (defaults from the r10 grid: cells=10, nprobe=8, iters=2,
+    * rerank=100 → recall 1.000 at BOTH fixtures). */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int, cells: Int = 10, nprobe: Int = 8,
+      m: Int = 16, ksub: Int = 32, iters: Int = 2,
+      rerank: Int = 100): DataFrame = {
+    val cents = kmeansCentroids(corpus, corpusVec, corpusId, cells, iters)
+    val books = pqCodebooks(corpus, corpusVec, corpusId, m, ksub, iters)
+    val sub = books.select(size(col("codev"))).head().getInt(0)
+    val one = broadcast(pqOneRow(books))
+    val c = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+      col(corpusVec).as("cv"))
+    // index build: every corpus vector gets its inverted-list cell (narrow
+    // argbest fold) and its PQ codes (narrow kernel folds) in ONE pass —
+    // the persisted form is (centroid_id, neighbor_id, codes)
+    val assigned = withPqCodes(
+        assignToCentroids(c, "cv", cents, byCosine = true)
+          .withColumn("vd", transform(col("cv"), _.cast("double")))
+          .crossJoin(one), "vd", m, sub)
+      .select(col("centroid_id"), col("neighbor_id"), col("codes"),
+        col("xnormsq"))
+    val qrel = queries.select(col(queryId).cast("long").as("query_id"),
+      col(queryVec).as("qv"))
+    // each query probes its nprobe nearest cells (same probe shape as
+    // ivfTopKWithCentroids), carrying its ADC tables along
+    val centroids = broadcast(cents.select(col("centroid_id"), col("centv")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("centroid_id"))
+    val probes = broadcast(
+      qrel.crossJoin(centroids)
+        .withColumn("qcos", cosine(col("qv"), col("centv")))
+        .withColumn("prnk", row_number().over(probeW))
+        .filter(col("prnk") <= nprobe)
+        .select(col("query_id"), col("centroid_id")))
+    val qtabs = broadcast(pqQueryAdcTables(qrel, one, m, sub))
+    val scored = assigned.join(probes, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(qtabs, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pqAdcCos(m).as("cos"))
+    pqExactRerank(boundedTopK(scored, rerank), corpus, qrel,
+      corpusId, corpusVec, k)
   }
 
   def kmeansCentroids(

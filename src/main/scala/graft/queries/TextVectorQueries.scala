@@ -366,6 +366,24 @@ object TextVectorQueries {
         .orderBy(col("query_id"), col("rnk"))
     })
 
+  /** IVF-PQ ANN (rows-only; recall vs brute force floor-asserted in
+    * SimilaritySpec and emitted per round in the bench JSON) — the
+    * production composition: the trained coarse quantizer prunes the
+    * scan to nprobe/cells of the corpus AND each surviving candidate is
+    * scored from its 16 codes, so per-query work is sublinear in corpus
+    * size and vector-free until the exact top-100 re-rank. Parameters
+    * pinned from the r10 grid (recall 1.000 at both fixtures). */
+  val q35dAnnIvfPq = GraftQuery(
+    "q35d_ann_ivfpq", { (s, dir) =>
+      val e = embeds(s, dir)
+      Similarity.ivfPqTopK(
+          e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, cells = 10, nprobe = 8, m = 16, ksub = 32, iters = 2,
+          rerank = 100)
+        .orderBy(col("query_id"), col("rnk"))
+    })
+
   /** PQ ANN served from a PERSISTED index (rows-only; answers are
     * IDENTICAL to q35b by construction — ADC scores depend only on
     * (codes, codebooks), both of which persist losslessly; asserted
@@ -864,7 +882,7 @@ object TextVectorQueries {
     q28LangId, q29Fingerprint,
     q30MinhashNearDup, q31SimhashNearDup, q32NgramJaccard, q33AnnBrute,
     q33bAnnBrutePartial, q34AnnLsh, q35AnnIvf, q35bAnnPq, q35cAnnPqIndex,
-    q36EmbedNearDup,
+    q35dAnnIvfPq, q36EmbedNearDup,
     q36bEmbedNearDupLsh, q36cEmbedNearDupLsh08,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank,
     q73PageRank, q89UnigramLogprob, q100RecursiveClosure)

@@ -171,6 +171,28 @@ class SimilaritySpec extends SparkTestBase {
     ()
   }
 
+  test("IVF-PQ reaches recall >= 0.85 vs brute force at SHIPPED defaults") {
+    // the composed path: trained coarse cells prune the scan, PQ codes
+    // price the survivors, exact re-rank restores true cosines. No
+    // explicit parameters — a default change that degrades recall
+    // fails here.
+    val ivfpq = Similarity.ivfPqTopK(embeds, queries,
+      "vec_id", "embedding", "vec_id", "embedding", K).cache()
+    val r = recallVsBrute(ivfpq)
+    assert(r >= 0.85, f"IVF-PQ recall $r%.3f below floor")
+    // structural: ranks dense from 1, nothing past k, self excluded
+    assert(ivfpq.filter(col("query_id") === col("neighbor_id")).count() === 0L)
+    assert(ivfpq.filter(col("rnk") > K).count() === 0L)
+    // emitted scores are true cosines (same re-rank contract as PQ)
+    val mismatch = ivfpq.select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .join(brute.select(col("query_id"), col("neighbor_id"),
+        col("cosine").as("bcos")), Seq("query_id", "neighbor_id"))
+      .filter(abs(col("cosine") - col("bcos")) > 1e-9).count()
+    assert(mismatch === 0L, "re-ranked scores must be true cosines")
+    ivfpq.unpersist()
+    ()
+  }
+
   test("PQ serving from a persisted index returns rows IDENTICAL to the fused build+query path") {
     // build once, persist through parquet (the storage boundary a
     // serving deployment crosses), read back, serve — the contract is

@@ -68,6 +68,13 @@ object RecallProbe {
           m = 16, ksub = 32, iters = iters, rerank = rerank))
         println(f"PQ m=16 ksub=32 iters=$iters rerank=$rerank recall=$r%.3f")
       }
+      for (nprobe <- Seq(4, 6, 8); rerank <- Seq(50, 100)) {
+        val r = recall(Similarity.ivfPqTopK(embeds, queries,
+          "vec_id", "embedding", "vec_id", "embedding", K,
+          cells = 10, nprobe = nprobe, m = 16, ksub = 32, iters = 2,
+          rerank = rerank))
+        println(f"IVF-PQ cells=10 nprobe=$nprobe rerank=$rerank recall=$r%.3f")
+      }
       embeds.unpersist(); brute.unpersist()
     }
     spark.stop()
