@@ -593,33 +593,99 @@ object Similarity {
     val books = pqCodebooks(corpus, corpusVec, corpusId, m, ksub, iters)
     val sub = books.select(size(col("codev"))).head().getInt(0)
     val one = broadcast(pqOneRow(books))
-    val c = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
-      col(corpusVec).as("cv"))
-    // index build: every corpus vector gets its inverted-list cell (narrow
-    // argbest fold) and its PQ codes (narrow kernel folds) in ONE pass —
-    // the persisted form is (centroid_id, neighbor_id, codes)
-    val assigned = withPqCodes(
-        assignToCentroids(c, "cv", cents, byCosine = true)
-          .withColumn("vd", transform(col("cv"), _.cast("double")))
-          .crossJoin(one), "vd", m, sub)
-      .select(col("centroid_id"), col("neighbor_id"), col("codes"),
-        col("xnormsq"))
+    val assigned = ivfPqIndex(corpus, corpusId, corpusVec, cents, books)
     val qrel = queries.select(col(queryId).cast("long").as("query_id"),
       col(queryVec).as("qv"))
-    // each query probes its nprobe nearest cells (same probe shape as
-    // ivfTopKWithCentroids), carrying its ADC tables along
-    val centroids = broadcast(cents.select(col("centroid_id"), col("centv")))
+    val probes = ivfPqProbes(qrel, cents, nprobe)
+    val qtabs = broadcast(pqQueryAdcTables(qrel, one, m, sub))
+    val scored = assigned
+      .select(col("centroid_id"),
+        col(corpusId).cast("long").as("neighbor_id"), col("codes"))
+      .join(probes, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .crossJoin(one).withColumn("xnormsq", pqXnormsq(m))
+      .join(qtabs, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pqAdcCos(m).as("cos"))
+    pqExactRerank(boundedTopK(scored, rerank), corpus, qrel,
+      corpusId, corpusVec, k)
+  }
+
+  /** Build the persistable IVF-PQ index relation: every corpus vector
+    * gets its inverted-list cell (narrow argbest fold against the
+    * broadcast centroids) and its PQ codes (narrow kernel folds) in ONE
+    * corpus pass — (centroid_id, `<corpusId>`, codes). Persist this
+    * PARTITIONED BY centroid_id (plus `centroids` and `codebooks`, both
+    * model-sized) and [[ivfPqTopKEncoded]] serves from it with
+    * planning-time partition pruning. */
+  def ivfPqIndex(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      centroids: DataFrame, codebooks: DataFrame): DataFrame = {
+    val m = codebooks.select(max(col("subspace"))).head().getInt(0) + 1
+    val sub = codebooks.select(size(col("codev"))).head().getInt(0)
+    val c = corpus.select(col(corpusId), col(corpusVec).as("__cv"))
+    withPqCodes(
+        assignToCentroids(c, "__cv", centroids, byCosine = true)
+          .withColumn("__vd", transform(col("__cv"), _.cast("double")))
+          .crossJoin(broadcast(pqOneRow(codebooks))), "__vd", m, sub)
+      .select(col("centroid_id"), col(corpusId), col("codes"))
+  }
+
+  /** Per-query probe list: each query's `nprobe` nearest cells (same
+    * probe shape as [[ivfTopKWithCentroids]]) — (query_id, centroid_id),
+    * broadcast-sized (nprobe rows per query). */
+  private def ivfPqProbes(qrel: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val cents = broadcast(centroids.select(col("centroid_id"), col("centv")))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("centroid_id"))
-    val probes = broadcast(
-      qrel.crossJoin(centroids)
+    broadcast(
+      qrel.crossJoin(cents)
         .withColumn("qcos", cosine(col("qv"), col("centv")))
         .withColumn("prnk", row_number().over(probeW))
         .filter(col("prnk") <= nprobe)
         .select(col("query_id"), col("centroid_id")))
+  }
+
+  /** The SERVING phase of IVF-PQ against a PRE-BUILT index:
+    * `assigned` = [[ivfPqIndex]] output (typically a table PARTITIONED
+    * BY centroid_id), `centroids`/`codebooks` the model-sized relations
+    * it was built with. The probed cell set is first collected as
+    * bounded metadata — ≤ min(cells, nprobe·|queries|) ids, a few
+    * hundred longs at any corpus scale — and applied to the index scan
+    * as a LITERAL predicate, because a literal lands in the scan's
+    * PartitionFilters at PLANNING time (asserted in PlanSpec) where the
+    * broadcast-join pruning of the fused path resolves only at runtime:
+    * the file index then lists and reads ONLY the probed cells'
+    * directories. Same bounded-metadata discipline as the streaming
+    * upsert sink's touched-bucket merge (EventPipeline). Rows are
+    * IDENTICAL to [[ivfPqTopK]] with the same index (deterministic
+    * training + lossless persistence; asserted in SimilaritySpec). */
+  def ivfPqTopKEncoded(
+      assigned: DataFrame, codebooks: DataFrame, centroids: DataFrame,
+      corpus: DataFrame, queries: DataFrame,
+      encId: String, corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int, nprobe: Int = 8, rerank: Int = 100): DataFrame = {
+    val m = codebooks.select(max(col("subspace"))).head().getInt(0) + 1
+    val sub = codebooks.select(size(col("codev"))).head().getInt(0)
+    val one = broadcast(pqOneRow(codebooks))
+    val qrel = queries.select(col(queryId).cast("long").as("query_id"),
+      col(queryVec).as("qv"))
+    val probes = ivfPqProbes(qrel, centroids, nprobe)
+    // bounded-metadata collect (probed cell ids), then a literal filter
+    // the planner can push into PartitionFilters
+    val cellIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val pruned =
+      if (cellIds.isEmpty) assigned.filter(lit(false))
+      else assigned.filter(col("centroid_id").isin(cellIds: _*))
     val qtabs = broadcast(pqQueryAdcTables(qrel, one, m, sub))
-    val scored = assigned.join(probes, Seq("centroid_id"))
+    val scored = pruned
+      .select(col("centroid_id"),
+        col(encId).cast("long").as("neighbor_id"), col("codes"))
+      .join(probes, Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .crossJoin(one).withColumn("xnormsq", pqXnormsq(m))
       .join(qtabs, Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), pqAdcCos(m).as("cos"))
     pqExactRerank(boundedTopK(scored, rerank), corpus, qrel,

@@ -136,6 +136,40 @@ class PlanSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS events_upsert_plan")
   }
 
+  test("IVF-PQ serving prunes the partitioned index scan to the probed cells at planning time") {
+    // The read-side half of ivfPqTopKEncoded's sublinear claim: the
+    // probed cell ids must land in the index scan's PartitionFilters as
+    // a literal predicate — a broadcast-join-only plan would list every
+    // cell directory and prune at runtime, which at 100 TB is a full
+    // file-index listing per query batch.
+    import graft.ops.Similarity
+    val embeds = Tables.load(spark, sfDir, "embeddings")
+    val cells = 10
+    val cents = Similarity.kmeansCentroids(embeds, "embedding", "vec_id",
+      k = cells, iters = 2)
+    val books = Similarity.pqCodebooks(embeds, "embedding", "vec_id",
+      m = 16, ksub = 32, iters = 1)
+    Bucketing.writePartitioned(
+      Similarity.ivfPqIndex(embeds, "vec_id", "embedding", cents, books),
+      "ivfpq_index_plan", "centroid_id")
+    // one query at a small nprobe probes a strict subset of the cells
+    val served = Similarity.ivfPqTopKEncoded(
+      spark.table("ivfpq_index_plan"), books, cents,
+      embeds, embeds.filter(col("vec_id") === 0),
+      "vec_id", "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    val p = planOf(served)
+    val pf = """ivfpq_index_plan.*?PartitionFilters: \[([^\]]*)\]""".r
+      .findFirstMatchIn(p).map(_.group(1))
+      .getOrElse(fail(s"no PartitionFilters on the index scan:\n$p"))
+    assert(pf.contains("centroid_id"), pf)
+    assert(pf.contains(" IN (") || pf.contains(" = "),
+      s"expected a literal cell predicate, got: $pf")
+    // and the result is still a full top-k
+    assert(served.count() === 5L)
+    spark.sql("DROP TABLE IF EXISTS ivfpq_index_plan")
+  }
+
   test("dynamic partition pruning fires for a join against a filtered dimension") {
     val ev = Tables.load(spark, sfDir, "events")
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))

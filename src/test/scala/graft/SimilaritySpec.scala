@@ -193,6 +193,41 @@ class SimilaritySpec extends SparkTestBase {
     ()
   }
 
+  test("IVF-PQ serving from a persisted index returns rows IDENTICAL to the fused path") {
+    // train the same index the fused path's defaults train (both
+    // trainers are deterministic), persist all three relations through
+    // parquet, serve from the files — the rows must equal ivfPqTopK's,
+    // because persistence is lossless and the exact re-rank restores
+    // true cosines either way
+    val cents = Similarity.kmeansCentroids(embeds, "embedding", "vec_id",
+      k = 10, iters = 2)
+    val books = Similarity.pqCodebooks(embeds, "embedding", "vec_id",
+      m = 16, ksub = 32, iters = 2)
+    val assigned = Similarity.ivfPqIndex(embeds, "vec_id", "embedding",
+      cents, books)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_index")
+    try {
+      cents.write.parquet(s"$dir/cents")
+      books.write.parquet(s"$dir/books")
+      assigned.write.partitionBy("centroid_id").parquet(s"$dir/assigned")
+      val served = Similarity.ivfPqTopKEncoded(
+        spark.read.parquet(s"$dir/assigned"),
+        spark.read.parquet(s"$dir/books"),
+        spark.read.parquet(s"$dir/cents"),
+        embeds, queries,
+        "vec_id", "vec_id", "embedding", "vec_id", "embedding", K)
+      val fused = Similarity.ivfPqTopK(embeds, queries,
+        "vec_id", "embedding", "vec_id", "embedding", K)
+      assert(served.exceptAll(fused).count() === 0L)
+      assert(fused.exceptAll(served).count() === 0L)
+      assert(served.count() === queries.count() * K)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("PQ serving from a persisted index returns rows IDENTICAL to the fused build+query path") {
     // build once, persist through parquet (the storage boundary a
     // serving deployment crosses), read back, serve — the contract is
