@@ -496,6 +496,7 @@ object Similarity {
       k: Int, rerank: Int = 100): DataFrame = {
     val m = codebooks.select(max(col("subspace"))).head().getInt(0) + 1
     val sub = codebooks.select(size(col("codev"))).head().getInt(0)
+    requireCodesMatch(encoded, m)
     val one = broadcast(pqOneRow(codebooks))
     // reconstructed squared norm from the codes alone — the serving scan
     // never needs a vector payload
@@ -513,6 +514,19 @@ object Similarity {
     pqExactRerank(boundedTopK(scored, rerank), corpus, qrel,
       corpusId, corpusVec, k)
   }
+
+  /** Guard a serving call against a MISMATCHED index/codebook pair: a
+    * codes array whose length differs from the codebooks' subspace
+    * count would otherwise score as nulls coerced to cosine 0.0 —
+    * silently garbage results instead of an error. One-row probe
+    * (plan-time index metadata, not a corpus scan). */
+  private def requireCodesMatch(encoded: DataFrame, m: Int): Unit =
+    encoded.select(size(col("codes"))).limit(1).collect().foreach { r =>
+      if (r.getInt(0) != m) throw new IllegalArgumentException(
+        s"index/codebook mismatch: encoded relation carries ${r.getInt(0)} " +
+          s"codes per vector but the codebooks define $m subspaces — " +
+          "this index was built against different codebooks")
+    }
 
   /** Per-query ADC lookup tables, built once on the (small, broadcast)
     * query side: `qtabs[j][c]` = dot(q_j, codeword_{j,c}) — O(ksub·d)
@@ -668,6 +682,7 @@ object Similarity {
       k: Int, nprobe: Int = 8, rerank: Int = 100): DataFrame = {
     val m = codebooks.select(max(col("subspace"))).head().getInt(0) + 1
     val sub = codebooks.select(size(col("codev"))).head().getInt(0)
+    requireCodesMatch(assigned, m)
     val one = broadcast(pqOneRow(codebooks))
     val qrel = queries.select(col(queryId).cast("long").as("query_id"),
       col(queryVec).as("qv"))

@@ -259,6 +259,20 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("serving a mismatched index/codebook pair fails with a named cause, not silent zeros") {
+    val books8 = Similarity.pqCodebooks(embeds, "embedding", "vec_id",
+      m = 8, ksub = 16, iters = 1)
+    val books16 = Similarity.pqCodebooks(embeds, "embedding", "vec_id",
+      m = 16, ksub = 16, iters = 1)
+    // encoded with 8 subspaces, served against 16-subspace codebooks
+    val enc8 = Similarity.pqEncode(embeds, "vec_id", "embedding", books8, 8)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopKEncoded(enc8, books16, embeds, queries,
+        "vec_id", "vec_id", "embedding", "vec_id", "embedding", K)
+    }
+    assert(e.getMessage.contains("index/codebook mismatch"), e.getMessage)
+  }
+
   test("fused cosine kernel is bit-identical to the HOF formulation") {
     val pairs = embeds.limit(50).crossJoin(
       embeds.limit(50).select(col("vec_id").as("v2"), col("embedding").as("e2")))
