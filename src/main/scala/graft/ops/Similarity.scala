@@ -707,6 +707,134 @@ object Similarity {
       corpusId, corpusVec, k)
   }
 
+  // ---- persisted IVF-PQ index lifecycle: seed / upsert / serve ------
+  //
+  // The deployment shape a serving corpus actually runs: the index
+  // relation (centroid_id, id, codes) lives as a catalog table
+  // PARTITIONED BY centroid_id beside two model-sized tables
+  // (`<t>__centroids`, `<t>__codebooks`) trained ONCE at seed time.
+  // New corpus batches fold in by encoding against the FROZEN model and
+  // rewriting only the touched cell partitions — the same
+  // touched-partition discipline as the streaming upsert sink
+  // (EventPipeline), applied to the ANN index so 100 TB of standing
+  // index never rewrites for a GB of new vectors. Retraining is a
+  // deliberate, separate event (re-seed): folding a batch in must never
+  // silently shift every existing vector's cell assignment.
+
+  /** The model tables seeded beside `indexTable` — one naming rule, so
+    * seed/upsert/serve can never disagree about where the frozen model
+    * lives. */
+  private def indexModelNames(indexTable: String): (String, String) =
+    (indexTable + "__centroids", indexTable + "__codebooks")
+
+  /** Train the IVF-PQ model on `corpus` and publish the three index
+    * relations: `indexTable` (PARTITIONED BY centroid_id — the big one,
+    * (id, codes) only), `<indexTable>__centroids` and
+    * `<indexTable>__codebooks` (model-sized). The model tables are
+    * written FIRST and the index encodes against their read-back, so
+    * what the index was encoded with is exactly what serving will read
+    * — not a separately re-evaluated training plan. */
+  def ivfPqSeedIndex(
+      spark: org.apache.spark.sql.SparkSession, indexTable: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cells: Int = 10, m: Int = 16, ksub: Int = 32, iters: Int = 2): Unit = {
+    val (centsT, booksT) = indexModelNames(indexTable)
+    graft.core.TableStore.overwriteTable(spark, centsT,
+      kmeansCentroids(corpus, vecCol, idCol, cells, iters))
+    graft.core.TableStore.overwriteTable(spark, booksT,
+      pqCodebooks(corpus, vecCol, idCol, m, ksub, iters))
+    graft.core.Bucketing.writePartitioned(
+      ivfPqIndex(corpus, idCol, vecCol,
+        spark.table(centsT), spark.table(booksT)),
+      indexTable, "centroid_id")
+  }
+
+  /** Fold a batch of new or re-embedded vectors into a seeded index,
+    * rewriting ONLY the touched cell partitions. The batch is encoded
+    * against the index's frozen model; the merge is latest-wins per id.
+    *
+    * A RE-EMBEDDED id may move cells (its cell is a function of the
+    * VALUE, not the id), so its stale row can sit in a partition the
+    * batch's own cells never touch. The default path finds those rows
+    * with an id probe over the index — a column-pruned scan of
+    * (id, centroid_id) only, never codes; the stale rows' cells join
+    * the touched set and the merge drops them. `assumeNewIds = true`
+    * skips that probe for the append-only common case (ingesting
+    * genuinely new documents); calling it with an EXISTING re-embedded
+    * id leaves the stale row serving beside the new one — that is the
+    * contract violation the default guards against, so assume only
+    * what the pipeline actually guarantees. Returns the touched cell
+    * ids (bounded by `cells`). */
+  def ivfPqUpsertIndex(
+      spark: org.apache.spark.sql.SparkSession, indexTable: String,
+      newVectors: DataFrame, idCol: String, vecCol: String,
+      assumeNewIds: Boolean = false): Seq[Long] = {
+    val (centsT, booksT) = indexModelNames(indexTable)
+    require(spark.table(indexTable).columns.contains(idCol),
+      s"$indexTable carries no `$idCol` column — the upsert id column " +
+        "must match the one the index was seeded with")
+    val delta = ivfPqIndex(newVectors, idCol, vecCol,
+        spark.table(centsT), spark.table(booksT))
+      .localCheckpoint(eager = true) // also: insertInto must not read its target
+    val deltaIds = delta.select(col(idCol)).distinct()
+    // bounded METADATA collects (≤ cells longs each), same discipline as
+    // the sink's touched-bucket list — never rows. Explicit long cast:
+    // the trainer emits centroid_id as int, the partitioned table's
+    // directory inference may widen it — the collect must not care
+    val deltaCells = delta.select(col("centroid_id").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val movedCells =
+      if (assumeNewIds) Array.empty[Long]
+      else spark.table(indexTable)
+        .join(broadcast(deltaIds), Seq(idCol))
+        .select(col("centroid_id").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+    val touched = (deltaCells ++ movedCells).distinct.sorted.toIndexedSeq
+    if (touched.isEmpty) return Nil
+    val current = spark.table(indexTable)
+      .filter(col("centroid_id").isin(touched: _*))
+    val merged = current.join(broadcast(deltaIds), Seq(idCol), "left_anti")
+      .unionByName(delta)
+      // positional insertInto: the catalog keeps partition columns LAST
+      .select(spark.table(indexTable).columns.map(col).toIndexedSeq: _*)
+      .localCheckpoint(eager = true)
+    graft.core.Bucketing.overwritePartitions(merged, indexTable)
+    touched
+  }
+
+  /** Serve top-k from a seeded (and possibly upserted) index — reads
+    * the three index relations and runs [[ivfPqTopKEncoded]]'s
+    * planning-time-pruned scan. `corpus` supplies raw vectors for the
+    * exact re-rank only. */
+  def ivfPqServeIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexTable: String,
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, corpusVec: String, queryId: String, queryVec: String,
+      k: Int, nprobe: Int = 8, rerank: Int = 100): DataFrame = {
+    val (centsT, booksT) = indexModelNames(indexTable)
+    ivfPqTopKEncoded(
+      spark.table(indexTable), spark.table(booksT), spark.table(centsT),
+      corpus, queries,
+      idCol, idCol, corpusVec, queryId, queryVec, k, nprobe, rerank)
+  }
+
+  /** Per-cell occupancy of a seeded index — the RETRAIN signal. The
+    * frozen-model upsert discipline degrades as the corpus drifts from
+    * the seed distribution: new vectors crowd into few cells, the
+    * probed fraction of the corpus grows, and serving cost creeps back
+    * toward a flat scan. One row: cell count, total rows, min/max/avg
+    * cell size, and `balance` = max/avg — re-seed when balance grows
+    * past the tolerance the serving latency budget allows. Scans the
+    * partition column only (codes are never read). */
+  def ivfPqIndexStats(
+      spark: org.apache.spark.sql.SparkSession, indexTable: String): DataFrame =
+    spark.table(indexTable)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("cells"), sum(col("n")).as("rows"),
+        min(col("n")).as("min_cell"), max(col("n")).as("max_cell"),
+        avg(col("n")).as("avg_cell"))
+      .withColumn("balance", col("max_cell") / col("avg_cell"))
+
   def kmeansCentroids(
       corpus: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int = 5): DataFrame = {

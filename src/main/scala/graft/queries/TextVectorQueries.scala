@@ -413,6 +413,38 @@ object TextVectorQueries {
         .orderBy(col("query_id"), col("rnk"))
     })
 
+  /** ANN served from an INCREMENTALLY MAINTAINED IVF-PQ index
+    * (rows-only; every layer is exact-equality-anchored in
+    * SimilaritySpec: fold-in ≡ direct full encode against the frozen
+    * model, untouched cells byte-identical, moved ids leave no stale
+    * row). The index lifecycle a standing 100 TB corpus actually runs:
+    * seed once on the base corpus (training + full encode — the
+    * expensive event), then each ingest batch folds in by encoding
+    * against the frozen model and rewriting ONLY its touched cell
+    * partitions — never the standing index. Here the corpus's 1-in-5
+    * holdout arrives as the ingest batch after seeding on the rest. */
+  val q35eAnnIvfPqUpsert = GraftQuery(
+    "q35e_ann_ivfpq_upsert", { (s, dir) =>
+      val e = embeds(s, dir)
+      // unique name per call: Verify and the bench may interleave runs
+      // at different sf dirs in one session
+      val table =
+        s"ivfpq_serve_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      try {
+        Similarity.ivfPqSeedIndex(s, table,
+          e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding")
+        Similarity.ivfPqUpsertIndex(s, table,
+          e.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+          assumeNewIds = true)
+        Similarity.ivfPqServeIndexed(s, table,
+            e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", "vec_id", "embedding", k = 10)
+          .orderBy(col("query_id"), col("rnk"))
+          .localCheckpoint(eager = true)
+      } finally Seq(table, s"${table}__centroids", s"${table}__codebooks")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    })
+
   /** Exact embedding near-dup pairs above a cosine threshold
     * (oracle-checked). Exact all-pairs is the small-sf ORACLE variant
     * only — it is deliberately NOT in the benchmark headline; the benched
@@ -882,7 +914,7 @@ object TextVectorQueries {
     q28LangId, q29Fingerprint,
     q30MinhashNearDup, q31SimhashNearDup, q32NgramJaccard, q33AnnBrute,
     q33bAnnBrutePartial, q34AnnLsh, q35AnnIvf, q35bAnnPq, q35cAnnPqIndex,
-    q35dAnnIvfPq, q36EmbedNearDup,
+    q35dAnnIvfPq, q35eAnnIvfPqUpsert, q36EmbedNearDup,
     q36bEmbedNearDupLsh, q36cEmbedNearDupLsh08,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank,
     q73PageRank, q89UnigramLogprob, q100RecursiveClosure)

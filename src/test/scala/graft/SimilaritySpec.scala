@@ -273,6 +273,124 @@ class SimilaritySpec extends SparkTestBase {
     assert(e.getMessage.contains("index/codebook mismatch"), e.getMessage)
   }
 
+  test("IVF-PQ index upsert: frozen-model fold-in equals a direct full encode, touching only the delta's cells") {
+    // seed on the base corpus, fold the holdout in, and the index table
+    // must equal ivfPqIndex(full corpus) against the SAME frozen model —
+    // the upsert is pure index maintenance, never a retrain
+    val table = s"ivfpq_up_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val base = embeds.filter(col("vec_id") % 5 =!= 0)
+    val holdout = embeds.filter(col("vec_id") % 5 === 0)
+    try {
+      Similarity.ivfPqSeedIndex(spark, table, base, "vec_id", "embedding")
+      val touched = Similarity.ivfPqUpsertIndex(
+        spark, table, holdout, "vec_id", "embedding")
+      assert(touched.nonEmpty)
+      val expected = Similarity.ivfPqIndex(embeds, "vec_id", "embedding",
+        spark.table(s"${table}__centroids"), spark.table(s"${table}__codebooks"))
+      val got = spark.table(table)
+        .select(col("centroid_id"), col("vec_id"), col("codes"))
+      assert(got.exceptAll(expected).count() === 0L)
+      assert(expected.exceptAll(got).count() === 0L)
+      // serving from the maintained index: exact top-k over the full
+      // corpus, identical to serving a directly-built index
+      val served = Similarity.ivfPqServeIndexed(spark, table,
+        embeds, queries, "vec_id", "embedding", "vec_id", "embedding", K)
+      assert(served.count() === queries.count() * K)
+      val r = recallVsBrute(served)
+      assert(r >= 0.85, f"upserted-index recall $r%.3f below floor")
+      // the retrain signal reads sane occupancy: every cell's rows
+      // summed equal the corpus, balance >= 1 by construction
+      val st = Similarity.ivfPqIndexStats(spark, table).head()
+      assert(st.getAs[Long]("rows") === embeds.count())
+      assert(st.getAs[Double]("balance") >= 1.0)
+    } finally {
+      Seq(table, s"${table}__centroids", s"${table}__codebooks")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("IVF-PQ index upsert: untouched cell partitions are byte-identical; assumeNewIds matches the checked path on new ids") {
+    val table = s"ivfpq_upb_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val base = embeds.filter(col("vec_id") % 5 =!= 0)
+    // a SMALL delta (2 vectors) so some cells stay untouched
+    val delta = embeds.filter(col("vec_id").isin(5L, 10L))
+    try {
+      Similarity.ivfPqSeedIndex(spark, table, base, "vec_id", "embedding")
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+        .filter(col("col_name") === "Location").head().getString(1)
+        .stripPrefix("file:")
+      def fileState(): Map[String, (Long, Long)] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(loc)).iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => p.toString ->
+            ((java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)))
+          .toMap
+      }
+      val before = fileState()
+      val touched = Similarity.ivfPqUpsertIndex(
+        spark, table, delta, "vec_id", "embedding", assumeNewIds = true)
+      val after = fileState()
+      val allCells = spark.table(table)
+        .select(col("centroid_id").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      assert(touched.size < allCells.length,
+        s"fixture delta must touch a strict subset of cells, got $touched")
+      val untouchedFiles = before.keySet.filterNot(f =>
+        touched.exists(c => f.contains(s"centroid_id=$c")))
+      assert(untouchedFiles.nonEmpty)
+      untouchedFiles.foreach { f =>
+        assert(after.get(f) === before.get(f),
+          s"untouched cell file changed under upsert: $f")
+      }
+      // the checked path on the same (genuinely new) ids lands the same
+      // index state: assumeNewIds is a cost switch, not a semantics one
+      val expected = Similarity.ivfPqIndex(
+        base.unionByName(delta), "vec_id", "embedding",
+        spark.table(s"${table}__centroids"), spark.table(s"${table}__codebooks"))
+      val got = spark.table(table)
+        .select(col("centroid_id"), col("vec_id"), col("codes"))
+      assert(got.exceptAll(expected).count() === 0L)
+      assert(expected.exceptAll(got).count() === 0L)
+    } finally {
+      Seq(table, s"${table}__centroids", s"${table}__codebooks")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("IVF-PQ index upsert: a re-embedded id that MOVES cells leaves no stale row behind") {
+    val table = s"ivfpq_upm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      Similarity.ivfPqSeedIndex(spark, table, embeds, "vec_id", "embedding")
+      // re-embed id 7 as (a scaled copy of) a DONOR id picked at runtime
+      // from a different cell: cosine cell assignment follows the
+      // DIRECTION, so id 7 lands in the donor's cell — its old row in
+      // the old cell is the stale-row hazard the checked path cleans up
+      val oldCell = spark.table(table).filter(col("vec_id") === 7L)
+        .select(col("centroid_id").cast("long")).head().getLong(0)
+      val donorId = spark.table(table)
+        .filter(col("centroid_id") =!= oldCell)
+        .orderBy(col("vec_id")).select(col("vec_id")).head().getLong(0)
+      val reembedded = embeds.filter(col("vec_id") === donorId)
+        .select(lit(7L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Similarity.ivfPqUpsertIndex(spark, table, reembedded, "vec_id", "embedding")
+      val cellsOf7 = spark.table(table).filter(col("vec_id") === 7L)
+        .select(col("centroid_id").cast("long")).collect().map(_.getLong(0)).toSeq
+      assert(cellsOf7.length === 1,
+        s"id 7 must appear exactly once after the move, found in $cellsOf7")
+      val newCell = spark.table(table).filter(col("vec_id") === donorId)
+        .select(col("centroid_id").cast("long")).head().getLong(0)
+      assert(cellsOf7.head === newCell, "id 7 must serve from its donor's cell")
+      assert(oldCell !== newCell,
+        "fixture regression: re-embedding did not move cells")
+    } finally {
+      Seq(table, s"${table}__centroids", s"${table}__codebooks")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("fused cosine kernel is bit-identical to the HOF formulation") {
     val pairs = embeds.limit(50).crossJoin(
       embeds.limit(50).select(col("vec_id").as("v2"), col("embedding").as("e2")))
