@@ -422,6 +422,81 @@ object TableStore {
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
     spark.table(s"${table}__v$version")
 
+  /** Change-data-feed read between two published versions: the row
+    * changes that transform snapshot `fromVersion` into `toVersion`,
+    * one row per inserted/deleted row image plus TWO rows
+    * (`update_preimage`, `update_postimage`) per key whose non-key
+    * columns changed — the Delta CDF row shape, derived here by
+    * snapshot diff. Output columns are `toVersion`'s, plus
+    * `_change_type`; a column added between the versions ([[addColumns]]
+    * republish) reads NULL on the pre-image side and surfaces as
+    * updates wherever post values differ from that NULL.
+    *
+    * A snapshot diff (unlike a transaction log) needs a ROW IDENTITY:
+    * `keyCols` must be unique per snapshot — exactly what the
+    * latest-per-key upsert sinks that feed versioned tables guarantee.
+    * Duplicate keys would silently multiply join rows into phantom
+    * changes, so the guard scans both snapshots and fails loudly; it
+    * costs one aggregation per side, and `checkUniqueKeys = false`
+    * skips it when the writer's contract already guarantees uniqueness
+    * (the sinks). Scale shape: ONE full-outer hash join keyed on
+    * `keyCols` — O(|pre| + |post|) shuffle, never a cross join — and
+    * the downstream consumer ([[graft.ops.Incremental]]) is O(changes),
+    * which is the whole point: a 100 TB base that changed by a GB
+    * yields a GB of changes. */
+  def tableChanges(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long, keyCols: Seq[String],
+      checkUniqueKeys: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "tableChanges needs at least one key column")
+    require(fromVersion < toVersion,
+      s"fromVersion $fromVersion must precede toVersion $toVersion")
+    val pre0 = readVersion(spark, table, fromVersion)
+    val post = readVersion(spark, table, toVersion)
+    keyCols.foreach(k => require(post.columns.contains(k),
+      s"key column `$k` missing from ${table}__v$toVersion"))
+    // align the pre image to the post schema: columns added between the
+    // versions read NULL pre-side (they did not exist); a DROPPED column
+    // would be silent data loss in the diff, so refuse it
+    val extinct = pre0.columns.filterNot(post.columns.contains)
+    require(extinct.isEmpty,
+      s"columns ${extinct.mkString(",")} of v$fromVersion are gone in " +
+        s"v$toVersion — a snapshot diff cannot represent a dropped column")
+    val pre = post.schema.fields.filterNot(f => pre0.columns.contains(f.name))
+      .foldLeft(pre0)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      .select(post.columns.map(col).toIndexedSeq: _*)
+    if (checkUniqueKeys) Seq(fromVersion -> pre, toVersion -> post).foreach {
+      case (v, df) =>
+        val dup = df.groupBy(keyCols.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"${table}__v$v holds duplicate keys ${dup.head.mkString("(", ",", ")")} " +
+            s"— keyCols (${keyCols.mkString(",")}) must identify rows uniquely")
+    }
+    val dataCols = post.columns.filterNot(keyCols.contains).toIndexedSeq
+    def image(df: DataFrame, side: String) = df.select(
+      keyCols.map(col) :+
+        struct((if (dataCols.nonEmpty) dataCols else keyCols)
+          .map(col): _*).as(s"__${side}_img"): _*)
+    val joined = image(pre, "pre")
+      .join(image(post, "post"), keyCols, "full_outer")
+    def rows(pred: org.apache.spark.sql.Column, img: String,
+        ctype: String) = joined
+      .filter(pred)
+      .select(keyCols.map(col) ++
+        dataCols.map(d => col(s"$img.$d").as(d)) :+
+        lit(ctype).as("_change_type"): _*)
+      .select(post.columns.map(col) :+ col("_change_type"): _*)
+    val changedPred = col("__pre_img").isNotNull && col("__post_img").isNotNull &&
+      !(col("__pre_img") <=> col("__post_img"))
+    rows(col("__pre_img").isNull && col("__post_img").isNotNull,
+        "__post_img", "insert")
+      .unionByName(rows(col("__pre_img").isNotNull && col("__post_img").isNull,
+        "__pre_img", "delete"))
+      .unionByName(rows(changedPred, "__pre_img", "update_preimage"))
+      .unionByName(rows(changedPred, "__post_img", "update_postimage"))
+  }
+
   /** Reclaim old snapshots: retain the newest `keep` published versions
     * — the head COUNTS toward `keep`, so `keep = 2` holds the head plus
     * one previous version — and drop everything else, including orphan

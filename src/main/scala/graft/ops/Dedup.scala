@@ -308,4 +308,74 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  // ---- semantic dedup (SemDeDup) ------------------------------------
+  //
+  // Semantic deduplication in the SemDeDup style (Abbas et al. 2023,
+  // arXiv:2303.09540): embed, cluster, and prune within-cluster
+  // near-duplicates — the curation step that removes PARAPHRASE
+  // duplicates exact/MinHash dedup cannot see. The published method's
+  // keep-one-representative rule is made deterministic here: a document
+  // is PRUNED iff some LOWER-id document in its comparison block has
+  // cosine ≥ threshold with it, so the minimum id of every similarity
+  // star survives and the output is replayable row-for-row (an
+  // arbitrary-representative rule would be run-dependent and
+  // un-oracle-able). Two variants:
+  //  - [[semanticDedup]]: the block is the WHOLE corpus — exact, O(n²),
+  //    the oracle twin (DuckDB replays the rule with
+  //    list_cosine_similarity over all pairs);
+  //  - [[semanticDedupBlocked]]: blocks are trained k-means cells — the
+  //    scale path. Pair work collapses from O(n²) to Σ|cell|², and
+  //    because every within-cell pair is a real pair under the SAME
+  //    rounded cosine, its pruned set is a SUBSET of the exact one
+  //    (one-sided error, like the LSH families). With one cell it
+  //    degenerates to the exact variant — both properties are the
+  //    SimilaritySpec contracts.
+
+  /** Per-document semantic-dedup verdicts, exact variant: (id, kept)
+    * for every input row, kept = no lower-id document anywhere in the
+    * corpus has cosine ≥ `threshold`. Zero-norm embeddings (no cosine
+    * defined) are always kept. O(n²) — oracle twin; the scale path is
+    * [[semanticDedupBlocked]]. */
+  def semanticDedup(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val pruned = exactEmbeddingPairs(df, vecCol, idCol, threshold)
+      .select(col("id_b").as("__pruned_id")).distinct()
+    df.select(col(idCol).as("id"))
+      .join(broadcast(pruned), col("id") === col("__pruned_id"), "left")
+      .select(col("id"), col("__pruned_id").isNull.as("kept"))
+  }
+
+  /** Scale variant of [[semanticDedup]]: the comparison block is the
+    * document's nearest k-means cell (`centroidRel`: (centroid_id,
+    * centv), e.g. [[Similarity.kmeansCentroids]]). Candidate pairs are
+    * generated by an equi-join on centroid_id — a hash shuffle on the
+    * cell key, never a cross join — so total pair work is Σ|cell|²; at
+    * 100 TB cells are sized (√n-ish counts) to keep each block's
+    * quadratic term bounded, exactly the published method's trade.
+    * Cross-cell near-duplicates are missed (pruned ⊆ exact pruned —
+    * the one-sided error the recall contract measures). Normalized
+    * vectors ride the shuffle once; cosines are bit-identical to the
+    * exact twin's. */
+  def semanticDedupBlocked(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, centroidRel: DataFrame): DataFrame = {
+    val base = unitNormalized(df, vecCol, idCol)
+    val assigned = Similarity.assignToCentroids(base, "vn",
+        centroidRel, byCosine = true)
+      .select(col("centroid_id"), col("id"), col("vn"))
+    val pruned = assigned
+      .select(col("centroid_id"), col("id").as("id_a"), col("vn").as("vn_a"))
+      .join(assigned.select(col("centroid_id"), col("id").as("id_b"),
+        col("vn").as("vn_b")), Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(Similarity.dotProduct(col("vn_a"), col("vn_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_b").as("__pruned_id")).distinct()
+    df.select(col(idCol).as("id"))
+      .join(pruned, col("id") === col("__pruned_id"), "left")
+      .select(col("id"), col("__pruned_id").isNull.as("kept"))
+  }
 }

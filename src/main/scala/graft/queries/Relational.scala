@@ -1002,6 +1002,136 @@ object Relational {
         round(avg(p), 2) AS live_avg
       FROM latest"""))
 
+  /** Latest event per user — the snapshot the versioned-table CDC
+    * queries publish (shared by q102/q103 so their two versions can
+    * never drift from the oracle's CTEs). */
+  private def latestPerUser(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  private def dropVersioned(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP VIEW IF EXISTS $table")
+    graft.core.TableStore.listVersions(s, table)
+      .foreach(v => s.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
+  }
+
+  /** Change-data-feed read between two PUBLISHED versions of a
+    * versioned table (TableStore.tableChanges), oracle-checked row for
+    * row: v1 = latest event per user over the even half of the stream,
+    * v2 = latest per user over the full stream minus every user_id
+    * divisible by 7 (a deletion wave), so the diff exercises all four
+    * change types — insert (users appearing in the odd half), delete
+    * (the mod-7 users), and update pre/post images (users whose latest
+    * event moved). The oracle re-derives the diff as a FULL OUTER JOIN
+    * of the two snapshot CTEs with struct-level IS DISTINCT FROM —
+    * an independent formulation of the same change relation. Scale
+    * shape: one full-outer hash join on the key; change volume, not
+    * table volume, flows to the consumer. */
+  val q102VersionChanges = GraftQuery(
+    "q102_version_changes", { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val table =
+        s"cdc_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      try {
+        val v1 = graft.core.TableStore.publishVersioned(s, table,
+          latestPerUser(ev.filter(col("event_id") % 2 === 0)))
+        val v2 = graft.core.TableStore.publishVersioned(s, table,
+          latestPerUser(ev.filter(col("user_id") % 7 =!= 0)))
+        graft.core.TableStore.tableChanges(s, table, v1, v2, Seq("user_id"))
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            col("event_type"), col("value"), col("props"), col("_change_type"))
+          .orderBy(col("user_id"), col("_change_type"))
+          .localCheckpoint(eager = true)
+      } finally dropVersioned(s, table)
+    },
+    Some("""WITH v1 AS (
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+      v2 AS (
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE user_id % 7 <> 0) WHERE rn = 1),
+      j AS (
+        SELECT a.user_id AS pre_uid, b.user_id AS post_uid,
+          a.event_id AS pre_eid, a.ts AS pre_ts, a.event_type AS pre_et,
+          a.value AS pre_v, a.props AS pre_p,
+          b.event_id AS post_eid, b.ts AS post_ts, b.event_type AS post_et,
+          b.value AS post_v, b.props AS post_p
+        FROM v1 a FULL OUTER JOIN v2 b ON a.user_id = b.user_id),
+      changed AS (
+        SELECT * FROM j
+        WHERE pre_uid IS NOT NULL AND post_uid IS NOT NULL
+          AND struct_pack(e := pre_eid, t := pre_ts, et := pre_et,
+                v := pre_v, p := pre_p)
+            IS DISTINCT FROM
+              struct_pack(e := post_eid, t := post_ts, et := post_et,
+                v := post_v, p := post_p))
+      SELECT post_uid AS user_id, post_eid AS event_id,
+        strftime(post_ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        post_et AS event_type, post_v AS value, post_p AS props,
+        'insert' AS _change_type
+      FROM j WHERE pre_uid IS NULL AND post_uid IS NOT NULL
+      UNION ALL
+      SELECT pre_uid, pre_eid, strftime(pre_ts, '%Y-%m-%d %H:%M:%S'),
+        pre_et, pre_v, pre_p, 'delete'
+      FROM j WHERE post_uid IS NULL AND pre_uid IS NOT NULL
+      UNION ALL
+      SELECT pre_uid, pre_eid, strftime(pre_ts, '%Y-%m-%d %H:%M:%S'),
+        pre_et, pre_v, pre_p, 'update_preimage' FROM changed
+      UNION ALL
+      SELECT post_uid, post_eid, strftime(post_ts, '%Y-%m-%d %H:%M:%S'),
+        post_et, post_v, post_p, 'update_postimage' FROM changed
+      ORDER BY user_id, _change_type"""))
+
+  /** Incremental materialized-view refresh driven by the CDC feed —
+    * the loop q102's change relation exists to close: publish v1,
+    * compute its per-event-type aggregate (count + sum, the additive
+    * surface), publish v2, and REFRESH the aggregate from
+    * tableChanges(v1→v2) alone — O(changes), the base is never
+    * re-scanned. The oracle computes the aggregate DIRECTLY over the
+    * v2 snapshot definition, so an exact match proves refreshed ≡
+    * recomputed, including groups that emptied out (a deleted wave's
+    * event types) and groups a key MOVED BETWEEN (an update whose
+    * event_type changed contributes −pre to one group and +post to
+    * another). */
+  val q103IncrementalAgg = GraftQuery(
+    "q103_incremental_agg", { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val table =
+        s"cdc_agg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      try {
+        val v1 = graft.core.TableStore.publishVersioned(s, table,
+          latestPerUser(ev.filter(col("event_id") % 2 === 0)))
+        val base = graft.ops.Incremental.baseAggregate(
+          graft.core.TableStore.readVersion(s, table, v1),
+          Seq("event_type"), Seq("value"))
+        val v2 = graft.core.TableStore.publishVersioned(s, table,
+          latestPerUser(ev.filter(col("user_id") % 7 =!= 0)))
+        val changes = graft.core.TableStore.tableChanges(
+          s, table, v1, v2, Seq("user_id"))
+        graft.ops.Incremental.applyChanges(
+            base, changes, Seq("event_type"), Seq("value"))
+          .select(col("event_type"), col("__cnt").as("users"),
+            round(col("sum_value"), 2).as("sum_value"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(eager = true)
+      } finally dropVersioned(s, table)
+    },
+    Some("""SELECT event_type, count(*) AS users,
+        round(sum(value), 2) AS sum_value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE user_id % 7 <> 0) t
+      WHERE rn = 1
+      GROUP BY event_type ORDER BY event_type"""))
+
   /** max_by / min_by — the arg-max aggregate surface (per group, the
     * VALUE of one column at the extremum of another): each priority's
     * most and least expensive order ids, with a totalprice+orderkey
@@ -1216,7 +1346,7 @@ object Relational {
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q79bMergePartitioned,
-    q80LatestPerKey,
+    q80LatestPerKey, q102VersionChanges, q103IncrementalAgg,
     q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,
     q96RecursiveCalendar, q97MapRoundtrip,
     q01PricingSummary, q02GlobalStats, q03CountDistinct, q03bApproxDistinct,

@@ -527,6 +527,41 @@ object TextVectorQueries {
         round(avg(col("cosine")), 4).as("avg_cosine"))
     })
 
+  /** SemDeDup semantic dedup, exact variant (oracle-checked): per-doc
+    * (id, kept) under the deterministic min-id-representative rule — a
+    * document is pruned iff some LOWER id anywhere in the corpus has
+    * cosine ≥ 0.45 with it. The DuckDB oracle replays the rule with
+    * list_cosine_similarity at the same 6-decimal rounding. O(n²) by
+    * construction — the ORACLE twin; q101b below is the blocked scale
+    * path. */
+  val q101SemanticDedup = GraftQuery(
+    "q101_semantic_dedup", { (s, dir) =>
+      Dedup.semanticDedup(embeds(s, dir), "embedding", "vec_id", 0.45)
+        .orderBy(col("id"))
+    },
+    Some("""SELECT a.vec_id AS id,
+        NOT EXISTS (
+          SELECT 1 FROM embeddings b
+          WHERE b.vec_id < a.vec_id
+            AND round(list_cosine_similarity(
+              a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+        ) AS kept
+      FROM embeddings a ORDER BY id"""))
+
+  /** Blocked SemDeDup (rows-only): the same pruning rule scoped to
+    * trained k-means cells, so pair work is Σ|cell|² instead of n² —
+    * the 100 TB path. One-sided error (pruned ⊆ exact pruned),
+    * cells=1 ≡ exact, and the pruned-recall floor are the DedupSpec
+    * contracts; the bench emits the recall per round. */
+  val q101bSemanticDedupBlocked = GraftQuery(
+    "q101b_semantic_dedup_blocked", { (s, dir) =>
+      val e = embeds(s, dir)
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+        k = 8, iters = 2)
+      Dedup.semanticDedupBlocked(e, "embedding", "vec_id", 0.45, cents)
+        .orderBy(col("id"))
+    })
+
   /** Transitive dedup clustering over the doubled corpus, fully
     * oracle-checked: shared-shingle candidate edges (≥ 10 common 3-gram
     * shingles, stop-shingle guard at df ≤ 1000) → connected components
@@ -916,6 +951,7 @@ object TextVectorQueries {
     q33bAnnBrutePartial, q34AnnLsh, q35AnnIvf, q35bAnnPq, q35cAnnPqIndex,
     q35dAnnIvfPq, q35eAnnIvfPqUpsert, q36EmbedNearDup,
     q36bEmbedNearDupLsh, q36cEmbedNearDupLsh08,
+    q101SemanticDedup, q101bSemanticDedupBlocked,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank,
     q73PageRank, q89UnigramLogprob, q100RecursiveClosure)
 }

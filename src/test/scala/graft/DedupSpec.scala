@@ -182,6 +182,56 @@ class DedupSpec extends SparkTestBase {
     assert(viaHashShuffle === viaBroadcast)
   }
 
+  test("semantic dedup: exact verdicts replay the min-id rule; one-cell blocked degenerates to exact") {
+    val e = graft.core.Tables.load(spark, sfDir, "embeddings").cache()
+    val exact = Dedup.semanticDedup(e, "embedding", "vec_id", 0.45).cache()
+    assert(exact.count() === e.count(), "one verdict per document")
+    // independent recomputation of the rule: pruned ids are exactly the
+    // higher sides of the exact pair relation at the same threshold
+    val prunedRef = Dedup.exactEmbeddingPairs(e, "embedding", "vec_id", 0.45)
+      .select(col("id_b").as("id")).distinct().cache()
+    val nPruned = prunedRef.count()
+    assert(nPruned > 0, "fixture must contain semantic near-duplicates")
+    val got = exact.filter(!col("kept")).select(col("id")).cache()
+    assert(got.count() === nPruned)
+    assert(got.exceptAll(prunedRef).count() === 0L)
+    // a single k-means cell blocks nothing: blocked ≡ exact, row for row
+    val oneCell = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = 1, iters = 1)
+    val blocked1 = Dedup.semanticDedupBlocked(
+      e, "embedding", "vec_id", 0.45, oneCell)
+    assert(blocked1.exceptAll(exact).count() === 0L)
+    assert(exact.exceptAll(blocked1).count() === 0L)
+  }
+
+  test("blocked semantic dedup: one-sided error vs exact; near-identical dups stay in-cell (recall floor)") {
+    val e = graft.core.Tables.load(spark, sfDir, "embeddings").cache()
+    val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = 8, iters = 2)
+    val blocked = Dedup.semanticDedupBlocked(
+      e, "embedding", "vec_id", 0.45, cents).cache()
+    val exact = Dedup.semanticDedup(e, "embedding", "vec_id", 0.45)
+    // every blocked prune is a real prune — within-cell pairs are real
+    // pairs under the same rounded cosine (one-sided error, never a
+    // false prune)
+    val bp = blocked.filter(!col("kept")).select("id")
+    val ep = exact.filter(!col("kept")).select("id")
+    assert(bp.join(ep, Seq("id"), "left_anti").count() === 0L)
+    // recall floor on the ground-truth corpus: each perturbed copy sits
+    // at cosine ≈ 0.98+ from its source — vectors that close assign to
+    // the same cell, so blocked dedup must prune (nearly) all of them
+    val dup = TextVectorQueries.embedNearDupCorpus(spark, sfDir)
+    val dupCents = Similarity.kmeansCentroids(dup, "embedding", "vec_id",
+      k = 8, iters = 2)
+    val dupBlocked = Dedup.semanticDedupBlocked(
+      dup, "embedding", "vec_id", 0.98, dupCents)
+    val n = dup.count() / 2
+    val prunedCopies = dupBlocked
+      .filter(!col("kept") && col("id") >= 1000000L).count()
+    assert(prunedCopies >= (0.9 * n).toLong,
+      s"blocked semantic dedup pruned only $prunedCopies of $n known copies")
+  }
+
   test("fingerprint collides for identical text, is order-of-magnitude stable") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),

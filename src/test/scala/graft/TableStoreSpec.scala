@@ -805,4 +805,111 @@ class TableStoreSpec extends SparkTestBase {
       assert(!spark.catalog.tableExists(table + "__staging"))
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  private def dropVersioned(table: String): Unit = {
+    spark.sql(s"DROP VIEW IF EXISTS $table")
+    TableStore.listVersions(spark, table)
+      .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
+  }
+
+  test("tableChanges classifies all four change types, null-safely") {
+    import spark.implicits._
+    val table = uniq("ts_cdc")
+    try {
+      // k=1 unchanged, k=2 value changed, k=3 deleted, k=5 inserted,
+      // k=4 NULL→NULL (must read unchanged — the null-safe compare),
+      // k=6 NULL→value (must read changed)
+      val v1 = TableStore.publishVersioned(spark, table,
+        Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(30.0)),
+          (4L, None: Option[Double]), (6L, None: Option[Double]))
+          .toDF("k", "v"))
+      val v2 = TableStore.publishVersioned(spark, table,
+        Seq((1L, Some(10.0)), (2L, Some(21.0)), (5L, Some(50.0)),
+          (4L, None: Option[Double]), (6L, Some(60.0))).toDF("k", "v"))
+      val ch = TableStore.tableChanges(spark, table, v1, v2, Seq("k"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getDouble(1), r.getString(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+      assert(ch === Seq(
+        (2L, 21.0, "update_postimage"), (2L, 20.0, "update_preimage"),
+        (3L, 30.0, "delete"),
+        (5L, 50.0, "insert"),
+        (6L, 60.0, "update_postimage"), (6L, null, "update_preimage")))
+    } finally dropVersioned(table)
+  }
+
+  test("tableChanges guards: duplicate keys fail loudly; a dropped column is refused; an added column diffs against NULL") {
+    import spark.implicits._
+    val table = uniq("ts_cdcg")
+    try {
+      val v1 = TableStore.publishVersioned(spark, table,
+        Seq((1L, 10.0), (1L, 11.0), (2L, 20.0)).toDF("k", "v"))
+      val v2 = TableStore.publishVersioned(spark, table,
+        Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+      val dup = intercept[IllegalArgumentException] {
+        TableStore.tableChanges(spark, table, v1, v2, Seq("k")).collect()
+      }
+      assert(dup.getMessage.contains("duplicate keys"), dup.getMessage)
+      // the guard can be waived when the writer's contract guarantees
+      // uniqueness — then the duplicate-free side still diffs fine
+      val ok = TableStore.tableChanges(spark, table, v1, v2, Seq("k"),
+        checkUniqueKeys = false)
+      assert(ok.columns.toSeq === Seq("k", "v", "_change_type"))
+    } finally dropVersioned(table)
+
+    val t2 = uniq("ts_cdcw")
+    try {
+      val v1 = TableStore.publishVersioned(spark, t2,
+        Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+      // widened republish: same rows, one new column (k=2 gains a value)
+      val v2 = TableStore.publishVersioned(spark, t2,
+        Seq((1L, 10.0, None: Option[String]), (2L, 20.0, Some("x")))
+          .toDF("k", "v", "tag"))
+      val ch = TableStore.tableChanges(spark, t2, v1, v2, Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getString(3))).sorted.toSeq
+      // k=1: tag NULL pre-side and NULL post-side → unchanged;
+      // k=2: NULL → "x" → one update pair
+      assert(ch === Seq((2L, "update_postimage"), (2L, "update_preimage")))
+      // the narrowing direction is refused, not silently mis-diffed
+      val narrowed = TableStore.publishVersioned(spark, t2,
+        Seq((1L, "only")).toDF("k", "other"))
+      val gone = intercept[IllegalArgumentException] {
+        TableStore.tableChanges(spark, t2, v2, narrowed, Seq("k")).collect()
+      }
+      assert(gone.getMessage.contains("cannot represent a dropped column"),
+        gone.getMessage)
+    } finally dropVersioned(t2)
+  }
+
+  test("incremental aggregate refresh from the change feed equals a direct recompute") {
+    import spark.implicits._
+    import graft.ops.Incremental
+    val table = uniq("ts_inc")
+    try {
+      // groups: 'a' updated in place, 'b' emptied out entirely (its only
+      // keys deleted / moved away), 'c' grows, key 4 MOVES group b→c
+      // (−pre one group, +post another), key 7 has a NULL value (sum
+      // must ignore it in both directions)
+      val v1 = TableStore.publishVersioned(spark, table,
+        Seq((1L, "a", Some(1.0)), (2L, "a", Some(2.0)), (3L, "b", Some(3.0)),
+          (4L, "b", Some(4.0)), (7L, "n", None: Option[Double]))
+          .toDF("k", "g", "v"))
+      val base = Incremental.baseAggregate(
+        TableStore.readVersion(spark, table, v1), Seq("g"), Seq("v"))
+      val v2 = TableStore.publishVersioned(spark, table,
+        Seq((1L, "a", Some(1.5)), (2L, "a", Some(2.0)), (4L, "c", Some(4.0)),
+          (5L, "c", Some(5.0)), (7L, "n", None: Option[Double]))
+          .toDF("k", "g", "v"))
+      val changes = TableStore.tableChanges(spark, table, v1, v2, Seq("k"))
+      val refreshed = Incremental.applyChanges(base, changes, Seq("g"), Seq("v"))
+      val direct = Incremental.baseAggregate(
+        TableStore.readVersion(spark, table, v2), Seq("g"), Seq("v"))
+      assert(refreshed.exceptAll(direct).count() === 0L)
+      assert(direct.exceptAll(refreshed).count() === 0L)
+      // 'b' emptied: it must be GONE, not present with count 0
+      assert(refreshed.filter(col("g") === "b").count() === 0L)
+      // all-NULL group 'n' carries a NULL sum, exactly like the recompute
+      assert(refreshed.filter(col("g") === "n").head().isNullAt(2))
+    } finally dropVersioned(table)
+  }
 }
