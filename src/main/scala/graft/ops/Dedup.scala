@@ -309,6 +309,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  // ---- substring-level duplicated spans -----------------------------
+
+  /** Duplicated n-gram SPANS — substring-level exact dedup in the style
+    * of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499), which removes repeated
+    * SUBSTRINGS a document-level dedup cannot see (boilerplate headers,
+    * license blocks, templated passages). For every token position
+    * whose word n-gram occurs MORE THAN ONCE in the corpus (counting
+    * within-document repeats), overlapping and adjacent occurrences are
+    * merged into maximal per-document spans: one output row per span,
+    * (doc_id, span_start, span_end, span_tokens), token positions
+    * 1-based inclusive.
+    *
+    * Scale shape: the only wide operations are a count keyed on the
+    * 8-byte gram HASH (xxhash64 — grams themselves never shuffle; a
+    * hash collision marking a unique gram duplicated is ~n²/2⁶⁴,
+    * negligible beside the method's own n-gram granularity) and one
+    * per-document window for the gaps-and-islands merge, partitioned
+    * by doc_id — both linear in corpus token count, no pairwise work
+    * at any point. The suffix-array construction of the paper is a
+    * single-machine algorithm; the hash-count formulation is the
+    * shuffle-native equivalent at fixed n. */
+  def duplicatedSpans(
+      df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, "n-gram size must be >= 1")
+    val toks = df.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("toks"))
+    // positional n-grams as (doc, 1-based start, gram hash): the
+    // sequence enumerates starts, the transform hashes each window —
+    // narrow, codegen'd, no explode until the 16-byte (doc, start, hash)
+    // shape
+    val grams = toks
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - n + 1),
+          i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(n)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("gh"))
+    val dupHashes = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("gh"))
+    val dupPos = grams.join(dupHashes, Seq("gh"))
+      .select(col("doc_id"), col("start"))
+    // gaps-and-islands: consecutive duplicated starts whose gap is ≤ n
+    // cover contiguous tokens (gap = n means the windows touch end to
+    // start), so they merge into one span
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    dupPos
+      .withColumn("__new", when(
+        col("start") - lag(col("start"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + n - 1).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   // ---- semantic dedup (SemDeDup) ------------------------------------
   //
   // Semantic deduplication in the SemDeDup style (Abbas et al. 2023,

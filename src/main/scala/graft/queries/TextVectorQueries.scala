@@ -562,6 +562,44 @@ object TextVectorQueries {
         .orderBy(col("id"))
     })
 
+  /** Substring-level duplicated spans (oracle-checked row for row):
+    * every maximal run of token positions whose 5-gram occurs more than
+    * once in the corpus — the Lee-et-al-style span dedup that catches
+    * repeated boilerplate INSIDE otherwise-unique documents. The DuckDB
+    * oracle re-derives the spans from the gram STRINGS (no hashes) with
+    * its own gaps-and-islands window, so the hash-count formulation is
+    * cross-checked against a string-exact independent one. */
+  val q104DuplicatedSpans = GraftQuery(
+    "q104_duplicated_spans", { (s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir), "text", "doc_id", n = 5)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      grams AS (
+        SELECT doc_id, i AS start,
+          array_to_string(list_slice(t, i, i + 4), ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        WHERE len(t) >= 5),
+      counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+      dup AS (
+        SELECT doc_id, start FROM grams JOIN counts USING (g) WHERE c >= 2),
+      marked AS (
+        SELECT doc_id, start,
+          CASE WHEN start - lag(start) OVER (PARTITION BY doc_id
+            ORDER BY start) > 5 THEN 1 ELSE 0 END AS ni
+        FROM dup),
+      isl AS (
+        SELECT doc_id, start, sum(ni) OVER (PARTITION BY doc_id
+          ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked)
+      SELECT doc_id, min(start) AS span_start, max(start) + 4 AS span_end,
+        max(start) + 4 - min(start) + 1 AS span_tokens
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start"""))
+
   /** Transitive dedup clustering over the doubled corpus, fully
     * oracle-checked: shared-shingle candidate edges (≥ 10 common 3-gram
     * shingles, stop-shingle guard at df ≤ 1000) → connected components
@@ -951,7 +989,7 @@ object TextVectorQueries {
     q33bAnnBrutePartial, q34AnnLsh, q35AnnIvf, q35bAnnPq, q35cAnnPqIndex,
     q35dAnnIvfPq, q35eAnnIvfPqUpsert, q36EmbedNearDup,
     q36bEmbedNearDupLsh, q36cEmbedNearDupLsh08,
-    q101SemanticDedup, q101bSemanticDedupBlocked,
+    q101SemanticDedup, q101bSemanticDedupBlocked, q104DuplicatedSpans,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank,
     q73PageRank, q89UnigramLogprob, q100RecursiveClosure)
 }

@@ -182,6 +182,29 @@ class DedupSpec extends SparkTestBase {
     assert(viaHashShuffle === viaBroadcast)
   }
 
+  test("duplicated spans match a hand-computed fixture: cross-doc sharing, within-doc repetition, island merging") {
+    import spark.implicits._
+    val docs = Seq(
+      // d1/d2 share the 3-grams "a b c", "b c d", "c d e" → d1 span
+      // [1,5], d2 span [3,7] (positions shift by its 2-token prefix)
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e z"),
+      // within-doc repetition: "p q r"/"q r s" each occur twice INSIDE
+      // d3; duplicated starts 1,2,5,6 chain (every gap <= 3) into ONE
+      // island covering the whole doc
+      (3L, "p q r s p q r s"),
+      // fully unique doc: no spans at all
+      (4L, "unique tokens only appear once here")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "text", "doc_id", n = 3)
+      .orderBy(col("doc_id"), col("span_start"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSeq
+    assert(spans === Seq(
+      (1L, 1, 5, 5),
+      (2L, 3, 7, 5),
+      (3L, 1, 8, 8)))
+  }
+
   test("semantic dedup: exact verdicts replay the min-id rule; one-cell blocked degenerates to exact") {
     val e = graft.core.Tables.load(spark, sfDir, "embeddings").cache()
     val exact = Dedup.semanticDedup(e, "embedding", "vec_id", 0.45).cache()
