@@ -183,6 +183,32 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pair recall: ${e.getMessage}"); Seq.empty
       }
+    // Pruned-set recall for blocked semantic dedup (q101b) vs the exact
+    // O(n²) rule (q101) at the same threshold: the k-means blocking is
+    // one-sided (every blocked prune is real), so recall is the single
+    // number that says how much the cell scoping missed this round.
+    // Parameters mirror the registered queries exactly.
+    val semanticRecall: Seq[(String, Double)] =
+      try {
+        val e = graft.core.Tables.load(spark, sfDir, "embeddings").cache()
+        val exactPruned = graft.ops.Dedup
+          .semanticDedup(e, "embedding", "vec_id", 0.45)
+          .filter(!col("kept")).select("id").cache()
+        val nExact = exactPruned.count().toDouble
+        val cents = graft.ops.Similarity.kmeansCentroids(
+          e, "embedding", "vec_id", k = 8, iters = 2)
+        val hits = graft.ops.Dedup
+          .semanticDedupBlocked(e, "embedding", "vec_id", 0.45, cents,
+            probes = 2)
+          .filter(!col("kept")).select("id")
+          .join(exactPruned, Seq("id")).count()
+        e.unpersist()
+        Seq("q101b_semantic_dedup_blocked" ->
+          (if (nExact > 0) hits / nExact else -1.0))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] semantic recall: ${e.getMessage}")
+        Seq.empty
+      }
     // Z-order file-skipping ratio on real parquet footers (same probe
     // WriterSpec asserts as a >=2x boolean): linear-candidates /
     // z-candidates for the quadrant-interior band predicate, tracked per
@@ -218,7 +244,7 @@ object Bench {
     val controlSec = results.toMap.getOrElse(controlName, -1.0)
     val controlRatio = if (controlSec > 0) controlSec / controlBandMid else -1.0
 
-    val recallJson = (annRecalls ++ pairRecalls)
+    val recallJson = (annRecalls ++ pairRecalls ++ semanticRecall)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val extJson = passExt.map(v => f"$v%.2f").mkString("[", ",", "]")

@@ -47,6 +47,12 @@ object SparkEntry {
     "q31_simhash_neardup", "q33_ann_brute", "q33b_ann_brute_partial",
     "q35_ann_ivf", "q35b_ann_pq", "q36b_embed_neardup_lsh", "q41_asof_join",
     "q51_dedup_clusters", "q93_decontaminate",
+    // round-10 additions: substring-level span dedup (hash-count +
+    // islands window), blocked semantic dedup (cell-scoped pair work),
+    // and the CDC → incremental-aggregate refresh loop through real
+    // versioned storage
+    "q104_duplicated_spans", "q101b_semantic_dedup_blocked",
+    "q103_incremental_agg",
     // the one two-source join in the pharma family (meds ⋈ labs via the
     // managed catalog) — cheap, but it keeps the S8 ingestion edge and
     // the catalog round-trip inside the per-round timing surface

@@ -92,5 +92,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "nearest_l2_index(vec, candidates)")
         NearestIndexExpr(children.head, children(1), cosine = false)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("top_cosine_indices"),
+      info("top_cosine_indices"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "top_cosine_indices(vec, candidates, p)")
+        TopCosineIndicesExpr(children.head, children(1),
+          intLit(children(2), "top_cosine_indices", "p"))
+      }))
   }
 }

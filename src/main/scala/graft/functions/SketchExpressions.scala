@@ -75,6 +75,18 @@ object SketchExpressions {
     GraftColumnBridge.column(
       NearestIndexExpr(GraftColumnBridge.expression(vec),
         GraftColumnBridge.expression(candidates), byCosine))
+
+  /** Column wrapper: 0-based indices of the `p` candidates with the
+    * HIGHEST cosine to `vec`, score-descending with lowest-index
+    * tie-break — the multi-probe sibling of [[nearestIndex]] (its head
+    * is always nearestIndex's answer, asserted in SimilaritySpec). Same
+    * narrow broadcast-fold shape: O(k·d) per row, zero shuffle, never a
+    * corpus×k relation. Fewer than `p` valid candidates → shorter
+    * array; empty candidates → empty array. */
+  def topCosineIndices(vec: Column, candidates: Column, p: Int): Column =
+    GraftColumnBridge.column(
+      TopCosineIndicesExpr(GraftColumnBridge.expression(vec),
+        GraftColumnBridge.expression(candidates), p))
 }
 
 /** Fused vector kernel: dot product (and, for cosine, both squared norms)
@@ -556,6 +568,144 @@ case class NearestIndexExpr(left: Expression, right: Expression, cosine: Boolean
          |}
          |$l2Fallback
          |${ev.value} = $best;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Top-p argbest kernel: the 0-based indices of the `p` candidates with
+  * the highest cosine to the probe vector, score-descending, ties (and
+  * NaN-vs-NaN) broken to the LOWER index — the multi-probe assignment
+  * primitive (IVF multi-probe, blocked semantic dedup). Per-candidate
+  * scores replicate [[NearestIndexExpr]]'s element-ordered double math
+  * exactly, so element 0 always equals nearestIndex(byCosine = true)
+  * whenever any candidate scores non-NaN. The top set is kept in a
+  * p-slot insertion buffer — O(k·(d + p)) per row with p ≤ 4 in every
+  * shipped caller, still the narrow broadcast-fold shape: no corpus×k
+  * relation, no shuffle, no window.
+  *
+  * NaN scores (zero-norm probe or candidate) rank LARGEST, matching
+  * Spark's double ordering under cosine DESC (they are mapped to +∞ in
+  * the ranking key only; real cosines live in [-1, 1], and a candidate
+  * whose score overflowed to a genuine +∞ would need ~1e308-magnitude
+  * inputs no embedding column produces). Null candidate elements are
+  * skipped, as in NearestIndexExpr. */
+case class TopCosineIndicesExpr(left: Expression, right: Expression, p: Int)
+    extends BinaryExpression {
+
+  require(p > 0, s"topCosineIndices needs p > 0, got $p")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, array<array<double>>, " +
+          s"got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_cosine_indices"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cands = b.asInstanceOf[ArrayData]
+    val vn = v.numElements()
+    var vNormSq = 0.0
+    var i = 0
+    while (i < vn) { val x = v.getDouble(i); vNormSq += x * x; i += 1 }
+    val scores = new Array[Double](p)
+    val idxs = new Array[Int](p)
+    var filled = 0
+    var c = 0
+    val k = cands.numElements()
+    while (c < k) {
+      if (!cands.isNullAt(c)) {
+        val cv = cands.getArray(c)
+        val cn = cv.numElements()
+        val n = math.min(vn, cn)
+        var dot = 0.0
+        i = 0
+        while (i < n) { dot += v.getDouble(i) * cv.getDouble(i); i += 1 }
+        var cNormSq = 0.0
+        i = 0
+        while (i < cn) { val x = cv.getDouble(i); cNormSq += x * x; i += 1 }
+        var score = dot / (math.sqrt(vNormSq) * math.sqrt(cNormSq))
+        if (score.isNaN) score = Double.PositiveInfinity
+        // strict > on insert: equal scores keep the earlier (lower) index
+        if (filled < p || score > scores(filled - 1)) {
+          var j = if (filled < p) filled else p - 1
+          while (j > 0 && score > scores(j - 1)) {
+            scores(j) = scores(j - 1); idxs(j) = idxs(j - 1); j -= 1
+          }
+          scores(j) = score; idxs(j) = c
+          if (filled < p) filled += 1
+        }
+      }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(idxs, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c1, c2) => {
+      val vn = ctx.freshName("tciVn")
+      val vNormSq = ctx.freshName("tciVNorm")
+      val scores = ctx.freshName("tciScores")
+      val idxs = ctx.freshName("tciIdxs")
+      val filled = ctx.freshName("tciFilled")
+      val k = ctx.freshName("tciK")
+      val c = ctx.freshName("tciC")
+      val cv = ctx.freshName("tciCv")
+      val cn = ctx.freshName("tciCn")
+      val n = ctx.freshName("tciN")
+      val dot = ctx.freshName("tciDot")
+      val i = ctx.freshName("tciI")
+      val j = ctx.freshName("tciJ")
+      val x = ctx.freshName("tciX")
+      val score = ctx.freshName("tciScore")
+      val cNormSq = ctx.freshName("tciCNorm")
+      val arrCls = classOf[ArrayData].getName
+      val unsafeCls = classOf[UnsafeArrayData].getName
+      s"""
+         |final int $vn = $c1.numElements();
+         |double $vNormSq = 0.0;
+         |for (int $i = 0; $i < $vn; $i++) {
+         |  final double $x = $c1.getDouble($i); $vNormSq += $x * $x;
+         |}
+         |final double[] $scores = new double[$p];
+         |final int[] $idxs = new int[$p];
+         |int $filled = 0;
+         |final int $k = $c2.numElements();
+         |for (int $c = 0; $c < $k; $c++) {
+         |  if ($c2.isNullAt($c)) continue;
+         |  final $arrCls $cv = $c2.getArray($c);
+         |  final int $cn = $cv.numElements();
+         |  final int $n = java.lang.Math.min($vn, $cn);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $c1.getDouble($i) * $cv.getDouble($i);
+         |  }
+         |  double $cNormSq = 0.0;
+         |  for (int $i = 0; $i < $cn; $i++) {
+         |    final double $x = $cv.getDouble($i); $cNormSq += $x * $x;
+         |  }
+         |  double $score = $dot /
+         |    (java.lang.Math.sqrt($vNormSq) * java.lang.Math.sqrt($cNormSq));
+         |  if (Double.isNaN($score)) { $score = Double.POSITIVE_INFINITY; }
+         |  if ($filled < $p || $score > $scores[$filled - 1]) {
+         |    int $j = ($filled < $p) ? $filled : ($p - 1);
+         |    while ($j > 0 && $score > $scores[$j - 1]) {
+         |      $scores[$j] = $scores[$j - 1]; $idxs[$j] = $idxs[$j - 1]; $j--;
+         |    }
+         |    $scores[$j] = $score; $idxs[$j] = $c;
+         |    if ($filled < $p) { $filled++; }
+         |  }
+         |}
+         |${ev.value} = $unsafeCls.fromPrimitiveArray(
+         |  java.util.Arrays.copyOf($idxs, $filled));
          |""".stripMargin
     })
 

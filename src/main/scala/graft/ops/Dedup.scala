@@ -413,15 +413,23 @@ object Dedup {
     * 100 TB cells are sized (√n-ish counts) to keep each block's
     * quadratic term bounded, exactly the published method's trade.
     * Cross-cell near-duplicates are missed (pruned ⊆ exact pruned —
-    * the one-sided error the recall contract measures). Normalized
-    * vectors ride the shuffle once; cosines are bit-identical to the
-    * exact twin's. */
+    * the one-sided error the recall contract measures); `probes` is the
+    * dial that buys them back: each document joins its top-`probes`
+    * cells, so a boundary pair is caught whenever the two documents
+    * share ANY probed cell. Every compared pair still gets the exact
+    * rounded cosine, so the one-sided property is probe-independent,
+    * and the pruned set grows monotonically with `probes` (DedupSpec
+    * contracts) up to ≡ exact at probes = k. Cost grows ≤ ×probes² in
+    * pair work — the published multi-probe trade. Normalized vectors
+    * ride the shuffle once; cosines are bit-identical to the exact
+    * twin's. */
   def semanticDedupBlocked(
       df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, centroidRel: DataFrame): DataFrame = {
+      threshold: Double, centroidRel: DataFrame,
+      probes: Int = 1): DataFrame = {
     val base = unitNormalized(df, vecCol, idCol)
-    val assigned = Similarity.assignToCentroids(base, "vn",
-        centroidRel, byCosine = true)
+    val assigned = Similarity.assignToCentroidsMulti(base, "vn",
+        centroidRel, probes)
       .select(col("centroid_id"), col("id"), col("vn"))
     val pruned = assigned
       .select(col("centroid_id"), col("id").as("id_a"), col("vn").as("vn_a"))

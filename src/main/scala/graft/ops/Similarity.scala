@@ -276,6 +276,25 @@ object Similarity {
         when(col("__nearest") >= 0, element_at(col("cent_ids"), col("__nearest") + 1)))
       .drop("cent_ids", "cent_vecs", "__nearest")
 
+  /** Multi-probe sibling of [[assignToCentroids]]: each corpus row comes
+    * back `min(probes, k)` times, once per its top-`probes` cells by
+    * cosine — the standard dial for recovering cell-BOUNDARY neighbors
+    * that single-assignment blocking misses. Same narrow shape: the
+    * top-p kernel folds over the broadcast centroid arrays (zero
+    * shuffle, no corpus×k relation, no window); the only growth is the
+    * deliberate ×probes row replication the caller is buying. With
+    * probes = 1 the assignment (incl. ties) is exactly
+    * assignToCentroids' (SimilaritySpec contract). */
+  private[graft] def assignToCentroidsMulti(
+      corpus: DataFrame, vecColName: String,
+      centroidRel: DataFrame, probes: Int): DataFrame =
+    corpus.crossJoin(broadcast(centroidArrays(centroidRel)))
+      .withColumn("__probe_idx", explode(
+        graft.functions.SketchExpressions.topCosineIndices(
+          transform(col(vecColName), _.cast("double")), col("cent_vecs"), probes)))
+      .withColumn("centroid_id", element_at(col("cent_ids"), col("__probe_idx") + 1))
+      .drop("cent_ids", "cent_vecs", "__probe_idx")
+
   /** IVF probe against an EXPLICIT centroid relation
     * (centroid_id, centv) — e.g. one trained by [[kmeansCentroids]].
     * Same inverted-list shape as [[ivfTopK]]; better-placed centroids

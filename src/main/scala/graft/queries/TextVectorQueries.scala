@@ -550,15 +550,20 @@ object TextVectorQueries {
 
   /** Blocked SemDeDup (rows-only): the same pruning rule scoped to
     * trained k-means cells, so pair work is Σ|cell|² instead of n² —
-    * the 100 TB path. One-sided error (pruned ⊆ exact pruned),
-    * cells=1 ≡ exact, and the pruned-recall floor are the DedupSpec
-    * contracts; the bench emits the recall per round. */
+    * the 100 TB path — with 2-probe assignment buying back
+    * cell-boundary pairs (the synthetic embeddings are near-uniform on
+    * the sphere, so single-probe blocking misses most threshold-level
+    * pairs; real paraphrase clusters sit well inside cells). One-sided
+    * error (pruned ⊆ exact pruned), cells=1 ≡ exact, probes=k ≡ exact,
+    * and probe-monotonicity are the DedupSpec contracts; the bench
+    * emits the pruned-set recall per round. */
   val q101bSemanticDedupBlocked = GraftQuery(
     "q101b_semantic_dedup_blocked", { (s, dir) =>
       val e = embeds(s, dir)
       val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
         k = 8, iters = 2)
-      Dedup.semanticDedupBlocked(e, "embedding", "vec_id", 0.45, cents)
+      Dedup.semanticDedupBlocked(e, "embedding", "vec_id", 0.45, cents,
+        probes = 2)
         .orderBy(col("id"))
     })
 

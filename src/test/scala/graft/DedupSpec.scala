@@ -255,6 +255,38 @@ class DedupSpec extends SparkTestBase {
       s"blocked semantic dedup pruned only $prunedCopies of $n known copies")
   }
 
+  test("blocked semantic dedup multi-probe: pruned set grows monotonically, stays one-sided, reaches exact at probes=k") {
+    val e = graft.core.Tables.load(spark, sfDir, "embeddings").cache()
+    val k = 8
+    val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = k, iters = 2).cache()
+    cents.count()
+    val exactPruned = Dedup.semanticDedup(e, "embedding", "vec_id", 0.45)
+      .filter(!col("kept")).select("id").cache()
+    def prunedAt(p: Int) = Dedup.semanticDedupBlocked(
+        e, "embedding", "vec_id", 0.45, cents, probes = p)
+      .filter(!col("kept")).select("id").cache()
+    val p1 = prunedAt(1); val p2 = prunedAt(2); val pk = prunedAt(k)
+    // monotone: every extra probe only ADDS real candidate pairs
+    assert(p1.join(p2, Seq("id"), "left_anti").count() === 0L,
+      "probes=2 lost a probes=1 prune")
+    assert(p2.join(pk, Seq("id"), "left_anti").count() === 0L,
+      "probes=k lost a probes=2 prune")
+    // one-sided at every probe count: a blocked prune is a real prune
+    for ((p, name) <- Seq((p2, "p2"), (pk, "pk")))
+      assert(p.join(exactPruned, Seq("id"), "left_anti").count() === 0L,
+        s"$name contains a false prune")
+    // probes = k means every document joins every cell → every pair is
+    // compared → blocked ≡ exact, the degenerate-completeness contract
+    assert(pk.count() === exactPruned.count())
+    assert(exactPruned.join(pk, Seq("id"), "left_anti").count() === 0L)
+    // and the dial actually buys recall on this corpus (strict growth
+    // would overfit the fixture; non-degenerate coverage is the point)
+    assert(p2.count() >= p1.count())
+    Seq(p1, p2, pk, exactPruned, cents).foreach(_.unpersist())
+    e.unpersist()
+  }
+
   test("fingerprint collides for identical text, is order-of-magnitude stable") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),

@@ -117,6 +117,61 @@ class EdgeCaseSpec extends SparkTestBase {
     }
   }
 
+  test("top-cosine-indices kernel: head = nearestIndex, ties keep low index, degenerate shapes total") {
+    import graft.functions.SketchExpressions.{nearestIndex, topCosineIndices}
+    val v = array(lit(1.0), lit(0.0))
+    // ordering + tie-break: cands scored 1.0, 1.0, 0.0 → [0, 1, 2]
+    val cands = array(
+      array(lit(1.0), lit(0.0)), array(lit(2.0), lit(0.0)),
+      array(lit(0.0), lit(1.0)))
+    val top3 = spark.range(1)
+      .select(topCosineIndices(v, cands, 3).as("t"))
+      .head().getSeq[Int](0)
+    assert(top3 === Seq(0, 1, 2))
+    // p beyond the candidate count truncates; p below it prefixes
+    assert(spark.range(1).select(topCosineIndices(v, cands, 5).as("t"))
+      .head().getSeq[Int](0) === Seq(0, 1, 2))
+    assert(spark.range(1).select(topCosineIndices(v, cands, 1).as("t"))
+      .head().getSeq[Int](0) === Seq(0))
+    // head always agrees with the single-best kernel (incl. NaN: a
+    // zero-norm probe makes every score NaN → first candidate)
+    for (probe <- Seq(v, array(lit(0.0), lit(0.0)))) {
+      val r = spark.range(1).select(
+        topCosineIndices(probe, cands, 2).as("t"),
+        nearestIndex(probe, cands, byCosine = true).as("n")).head()
+      assert(r.getSeq[Int](0).head === r.getInt(1))
+    }
+    // empty candidates → empty array; null candidate elements skipped
+    assert(spark.range(1).select(topCosineIndices(v,
+      typedLit(Array.empty[Array[Double]]), 2).as("t"))
+      .head().getSeq[Int](0).isEmpty)
+    val withNull = array(
+      lit(null).cast("array<double>"), array(lit(1.0), lit(0.0)))
+    assert(spark.range(1).select(topCosineIndices(v, withNull, 2).as("t"))
+      .head().getSeq[Int](0) === Seq(1))
+  }
+
+  test("top-cosine-indices kernel: interpreted eval matches codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val vec = Array.tabulate(8)(d => (d * 7 % 13 - 6).toDouble)
+    val cands = Array.tabulate(5, 8)((c, d) => ((c * 17 + d * 3) % 11 - 5).toDouble)
+    val vecLit = Literal.create(vec, ArrayType(DoubleType))
+    val candsLit = Literal.create(cands, ArrayType(ArrayType(DoubleType)))
+    for (p <- Seq(1, 2, 5)) {
+      val interpreted = graft.functions.TopCosineIndicesExpr(vecLit, candsLit, p)
+        .eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+      val compiled = spark.range(1).select(
+          graft.functions.SketchExpressions.topCosineIndices(
+            array(vec.map(lit): _*),
+            array(cands.map(cv => array(cv.map(lit): _*)): _*),
+            p).as("t"))
+        .head().getSeq[Int](0)
+      assert(interpreted === compiled, s"p=$p")
+    }
+  }
+
   test("text metrics on blank and single-token documents are defined") {
     val odd = Seq((1L, ""), (2L, "   "), (3L, "solo")).toDF("doc_id", "text")
     val m = odd.select(

@@ -130,6 +130,41 @@ class PropertySpec extends SparkTestBase {
     corpus.unpersist()
   }
 
+  test("property: top-cosine-indices kernel equals the window top-p on random vectors") {
+    // same replacement claim for the multi-probe kernel: the p-slot
+    // insertion buffer must reproduce the full (score DESC, index ASC)
+    // window ranking's prefix, over generated data with negatives and
+    // magnitudes the fixture embeddings never produce
+    val dims = 6
+    val vecGen = Gen.listOfN(dims, Gen.choose(-100.0, 100.0))
+    val all = draw(Gen.listOfN(127, vecGen))
+    val rows = all.take(120).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    val cands = all.drop(120).map(_.toArray)
+    val corpus = rows.toDF("id", "v").cache()
+    val candArr = array(cands.map(cv => array(cv.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val scored = cands.zipWithIndex.map { case (cv, ci) =>
+      val c = array(cv.map(lit).toIndexedSeq: _*)
+      struct(graft.ops.Similarity.cosine(col("v"), c).as("s"), lit(ci).as("ci"))
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("p.s").desc, col("p.ci"))
+    for (p <- Seq(1, 3, 7)) {
+      val kernel = corpus.select(col("id"),
+        graft.functions.SketchExpressions.topCosineIndices(col("v"), candArr, p).as("k"))
+      val windowed = corpus
+        .select(col("id"), explode(array(scored.toIndexedSeq: _*)).as("p"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= p)
+        .groupBy(col("id"))
+        .agg(array_sort(collect_list(struct(col("rn"), col("p.ci")))).as("rs"))
+        .select(col("id"), transform(col("rs"), _.getField("ci")).as("ref"))
+      val disagree = kernel.join(windowed, Seq("id"))
+        .filter(col("k") =!= col("ref")).count()
+      assert(disagree === 0L, s"p=$p")
+    }
+    corpus.unpersist()
+  }
+
   test("property: minhash signature entries are element-wise <= any single shingle's hashes") {
     // the signature is a min over per-seed hashes: adding MORE shingles
     // can only lower (or keep) each signature element

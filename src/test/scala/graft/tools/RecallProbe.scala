@@ -75,6 +75,26 @@ object RecallProbe {
           rerank = rerank))
         println(f"IVF-PQ cells=10 nprobe=$nprobe rerank=$rerank recall=$r%.3f")
       }
+      // blocked semantic dedup: pruned-set recall and wall vs (cells,
+      // probes) — pair work scales ~ probes²/cells, so the grid shows
+      // where recall is bought cheapest (q101b's shipped parameters are
+      // pinned from this output, round 10)
+      val exactPruned = graft.ops.Dedup
+        .semanticDedup(embeds, "embedding", "vec_id", 0.45)
+        .filter(!col("kept")).select("id").cache()
+      val nExact = exactPruned.count().toDouble
+      for (cells <- Seq(8, 16, 32); probes <- Seq(1, 2, 3)) {
+        val cents = Similarity.kmeansCentroids(embeds, "embedding", "vec_id",
+          k = cells, iters = 2)
+        val t0 = System.nanoTime()
+        val hits = graft.ops.Dedup.semanticDedupBlocked(
+            embeds, "embedding", "vec_id", 0.45, cents, probes = probes)
+          .filter(!col("kept")).select("id")
+          .join(exactPruned, Seq("id")).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SemDedup cells=$cells probes=$probes recall=${hits / nExact}%.3f wall=$sec%.2fs")
+      }
+      exactPruned.unpersist()
       embeds.unpersist(); brute.unpersist()
     }
     spark.stop()
