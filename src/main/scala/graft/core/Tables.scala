@@ -18,15 +18,34 @@ object Tables {
     if (name == "events") loadEvents(spark, s"$sfDir/$name.parquet")
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark only reads via the nanosAsLong legacy flag. Convert to
-    * microsecond TimestampType with integer division — nanos-since-epoch
-    * (~1.7e18) overflows double precision, so `div`, never `/`. */
+  /** The events table's `ts` physical encoding has shipped in two
+    * vintages: TIMESTAMP(NANOS) (readable only as int64 under the
+    * nanosAsLong legacy flag) and native timestamp[us] with
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ). A production reader
+    * derives the physical type from the file footer rather than pinning
+    * one writer vintage — footer-driven branching costs one metadata
+    * read and survives upstream re-writes. Everything downstream sees
+    * one logical type: session-zone TimestampType. */
   def loadEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(path))
+  }
+
+  /** Normalize whatever physical `ts` a frame carries to session-zone
+    * TimestampType. int64 → treated as nanos-since-epoch with integer
+    * `div` (nanos ~1.7e18 overflows double precision, so never `/`);
+    * TIMESTAMP_NTZ → cast (value-preserving under the UTC session zone
+    * every entrypoint pins); TimestampType → untouched. No-op when the
+    * frame has no `ts` column. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` queries resolve the

@@ -18,9 +18,12 @@ import org.apache.spark.sql.types._
   */
 object EventPipeline {
 
-  /** Explicit schema — streaming sources must never infer. `ts` arrives as
-    * raw nanos (TIMESTAMP(NANOS) parquet → long under the nanosAsLong
-    * flag) and is converted to TimestampType in [[readEventStream]]. */
+  /** Wire schema for the Kafka JSON payload contract and the staged
+    * legacy fixtures: `ts` rides as int64 nanos. This is ONE of the two
+    * physical vintages the file source accepts — the driver's parquet now
+    * carries native timestamp[us] — so [[readEventStream]] infers the
+    * directory's actual footer schema unless a caller pins one
+    * explicitly. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -29,21 +32,36 @@ object EventPipeline {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The events physical schema as the directory's parquet footers
+    * declare it — one bounded metadata read, no data scan. A streaming
+    * source must be given a schema up front; deriving it from the
+    * footers (instead of pinning one writer vintage in code) is what
+    * lets the same pipeline read legacy int64-nanos fixtures and the
+    * driver's native timestamp[us] files alike. */
+  def inferEventSchema(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+  }
+
   /** File-based stream over a directory of event parquet files — the
     * local stand-in for a Kafka topic; [[readKafkaStream]] is the
-    * production twin, the plan downstream is unchanged. `glob` narrows to the event
-    * files when the directory holds other tables. Integer `div` for the
-    * nanos→micros conversion: nanos-since-epoch overflows double math. */
+    * production twin, the plan downstream is unchanged. `glob` narrows
+    * to the event files when the directory holds other tables.
+    * `schema = null` (the default) means "read the directory's own
+    * footer schema"; pass a schema only to pin a wire contract (staged
+    * fixtures, widened-restart tests). Either way the physical `ts` is
+    * normalized to session-zone TimestampType via [[graft.core.Tables.normalizeTs]]. */
   def readEventStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet",
       maxFilesPerTrigger: Option[Int] = None,
-      schema: StructType = eventSchema): DataFrame = {
+      schema: StructType = null): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(schema)
+    val sch = Option(schema).getOrElse(inferEventSchema(spark, dir, glob))
+    val reader = spark.readStream.schema(sch)
       .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.normalizeTs(reader.parquet(dir))
   }
 
   /** Parse one Kafka-style JSON event payload into the event schema.
@@ -295,7 +313,7 @@ object EventPipeline {
       checkpoint: Option[String] = None,
       versioned: Boolean = false,
       vacuumEvery: Int = 1,
-      sourceSchema: StructType = eventSchema): Long = {
+      sourceSchema: StructType = null): Long = {
     require(vacuumEvery >= 1, "vacuumEvery must be >= 1")
     // restart path, BEFORE the stream's first batch reads the table:
     // finish (or discard) any swap a previous run died inside, and — on
@@ -442,7 +460,7 @@ object EventPipeline {
       spark: SparkSession, dir: String, table: String,
       buckets: Int = 16, checkpoint: Option[String] = None,
       onBatchComplete: Long => Unit = _ => (),
-      sourceSchema: StructType = eventSchema): Long = {
+      sourceSchema: StructType = null): Long = {
     require(buckets > 0, "buckets must be positive")
     // cross-session RESTART (a committed batch in the checkpoint): the
     // in-memory catalog forgot the table but its partitioned directory
