@@ -57,7 +57,21 @@ object EventPipeline {
       maxFilesPerTrigger: Option[Int] = None,
       schema: StructType = null): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = Option(schema).getOrElse(inferEventSchema(spark, dir, glob))
+    val phys = inferEventSchema(spark, dir, glob)
+    val sch = Option(schema).getOrElse(phys)
+    // Vintage guard (the r10 failure mode): schema-on-read over a
+    // mismatched physical ts encoding does not fail — it silently
+    // divides an already-micros value by 1000 and collapses the
+    // timeline 1000×. A pinned schema must agree with the footers on
+    // WHICH vintage the directory carries; cross-vintage reads throw
+    // here, before the stream starts, never return corrupt rows.
+    if (sch.fieldNames.contains("ts") && phys.fieldNames.contains("ts")) {
+      val (want, have) = (sch("ts").dataType, phys("ts").dataType)
+      require((want == LongType) == (have == LongType),
+        s"events ts vintage mismatch: pinned schema declares $want but the " +
+          s"directory's parquet footers carry $have — a cross-vintage read " +
+          "corrupts timestamps 1000x; pass schema=null to adopt the footer vintage")
+    }
     val reader = spark.readStream.schema(sch)
       .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))

@@ -63,6 +63,27 @@ class DataContractSpec extends SparkTestBase {
       .count() === 0L, "legacy-nanos replay decoded to different instants")
   }
 
+  test("cross-vintage reads fail loudly, never return corrupt rows") {
+    // native micros dir through the pinned nanos wire schema: the r10
+    // silent-corruption path (q37 collapsed to 5 rows) must now throw
+    // up front, before the stream starts
+    val e1 = intercept[IllegalArgumentException] {
+      EventPipeline.readEventStream(spark, sfDir,
+        schema = EventPipeline.eventSchema)
+    }
+    assert(e1.getMessage.contains("vintage mismatch"))
+    // and the mirror image: staged int64-nanos files through a pinned
+    // native-timestamp schema
+    val staged = EventPipeline.stageAsStreamDir(
+      Tables.load(spark, sfDir, "events").limit(10))
+    val nativeSchema = StructType(EventPipeline.eventSchema.fields.map(f =>
+      if (f.name == "ts") StructField("ts", TimestampType) else f))
+    val e2 = intercept[IllegalArgumentException] {
+      EventPipeline.readEventStream(spark, staged, schema = nativeSchema)
+    }
+    assert(e2.getMessage.contains("vintage mismatch"))
+  }
+
   test("explicit legacy wire schema still decodes staged fixtures") {
     val native = Tables.load(spark, sfDir, "events")
     val staged = EventPipeline.stageAsStreamDir(native)
