@@ -202,9 +202,24 @@ object Bench {
             probes = 2)
           .filter(!col("kept")).select("id")
           .join(exactPruned, Seq("id")).count()
+        // the index-served twin, measured against the centroids the
+        // PUBLISHED table actually carries (training is deterministic,
+        // so this equals q101b's recall unless the served index is
+        // stale/corrupt — which is exactly what the extra row detects)
+        val served = graft.ops.Similarity.servedCentroids(
+          spark, e, "embedding", "vec_id", k = 8, iters = 2,
+          table = "default.semdedup_centroids")
+        val hitsServed = graft.ops.Dedup
+          .semanticDedupBlocked(e, "embedding", "vec_id", 0.45, served,
+            probes = 2)
+          .filter(!col("kept")).select("id")
+          .join(exactPruned, Seq("id")).count()
         e.unpersist()
-        Seq("q101b_semantic_dedup_blocked" ->
-          (if (nExact > 0) hits / nExact else -1.0))
+        Seq(
+          "q101b_semantic_dedup_blocked" ->
+            (if (nExact > 0) hits / nExact else -1.0),
+          "q101c_semantic_dedup_index" ->
+            (if (nExact > 0) hitsServed / nExact else -1.0))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] semantic recall: ${e.getMessage}")
         Seq.empty

@@ -878,4 +878,40 @@ object Similarity {
     }
     centroids
   }
+
+  /** Centroids from a PERSISTED index table, trained at most once per
+    * corpus: the build/serve split for the blocking family (the k-means
+    * twin of the PQ codebook tables). The published table carries the
+    * corpus fingerprint — (row count, order-independent id checksum) —
+    * on every row; a serve call recomputes the fingerprint with one
+    * narrow id-column scan and retrains ONLY when it drifts, so a bench
+    * pass or a standing serving deployment pays Lloyd iterations once,
+    * not per query. At 100 TB the fingerprint check is the poor man's
+    * transaction-log version pin: a lakehouse deployment would key the
+    * index to the source table's commit version instead of rescanning
+    * ids, but the contract is the same — serve from the published
+    * index, rebuild on corpus change, never train in the query path. */
+  def servedCentroids(
+      spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int, iters: Int,
+      table: String): DataFrame = {
+    // bit_xor: order-independent and overflow-free under ANSI mode
+    // (a sum of 64-bit hashes overflows); xor of per-id hashes is the
+    // standard multiset fingerprint for append-only id sets
+    val fp = corpus.agg(
+      count(lit(1)).as("n"),
+      bit_xor(xxhash64(col(idCol))).as("ck")).head()
+    val (n, ck) = (fp.getLong(0), fp.getLong(1))
+    val fresh = spark.catalog.tableExists(table) && {
+      val head = spark.table(table).select("__corpus_n", "__corpus_ck").head()
+      head.getLong(0) == n && head.getLong(1) == ck
+    }
+    if (!fresh) {
+      val trained = kmeansCentroids(corpus, vecCol, idCol, k, iters)
+        .withColumn("__corpus_n", lit(n))
+        .withColumn("__corpus_ck", lit(ck))
+      graft.core.TableStore.overwriteTable(spark, table, trained)
+    }
+    spark.table(table).select(col("centroid_id"), col("centv"))
+  }
 }

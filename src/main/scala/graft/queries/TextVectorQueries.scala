@@ -567,6 +567,122 @@ object TextVectorQueries {
         .orderBy(col("id"))
     })
 
+  /** Blocked semantic dedup SERVED from a persisted centroid index —
+    * the build/serve split the PQ family established (q35b trains
+    * in-query; q35c serves from published tables). Training (2 Lloyd
+    * iterations) runs at most once per corpus and is published via
+    * TableStore with a corpus fingerprint; every later execution —
+    * including every bench pass after the first — reads the 8-row
+    * centroid table and pays only assignment + the Σ|cell|² pair join.
+    * Same pruning rule, same probes, same one-sided-error contract as
+    * q101b (DedupSpec asserts result equality given equal centroids);
+    * this is the per-query plan a standing deployment runs. */
+  val q101cSemanticDedupIndex = GraftQuery(
+    "q101c_semantic_dedup_index", { (s, dir) =>
+      val e = embeds(s, dir)
+      val cents = Similarity.servedCentroids(s, e, "embedding", "vec_id",
+        k = 8, iters = 2, table = "default.semdedup_centroids")
+      Dedup.semanticDedupBlocked(e, "embedding", "vec_id", 0.45, cents,
+        probes = 2)
+        .orderBy(col("id"))
+    })
+
+  /** One-sided-error CONTRACT row (oracle-checked): the blocked
+    * variant's pruned set must be a subset of the exact variant's —
+    * blocking may MISS cross-cell near-duplicates, but every document
+    * it prunes carries an exact rounded cosine ≥ threshold to a lower
+    * id, so it can never prune what the exact rule keeps. This query
+    * emits the violations (blocked pruned ∧ exact kept); the DuckDB
+    * oracle asserts the empty relation, which pins the subset property
+    * through the driver's hash gate every round instead of only in
+    * DedupSpec. */
+  val q101dSemanticSubsetContract = GraftQuery(
+    "q101d_semantic_subset_contract", { (s, dir) =>
+      val e = embeds(s, dir)
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+        k = 8, iters = 2)
+      val blocked = Dedup.semanticDedupBlocked(
+        e, "embedding", "vec_id", 0.45, cents, probes = 2)
+        .select(col("id"), col("kept").as("kept_blocked"))
+      val exact = Dedup.semanticDedup(e, "embedding", "vec_id", 0.45)
+        .select(col("id"), col("kept").as("kept_exact"))
+      blocked.join(exact, Seq("id"))
+        .filter(!col("kept_blocked") && col("kept_exact"))
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+    Some("SELECT CAST(NULL AS BIGINT) AS id WHERE 1 = 0"))
+
+  /** Incremental semantic dedup, exact variant (oracle-checked): a 1/5
+    * "crawl batch" (vec_id % 5 = 0) vetted against the RETAINED
+    * representatives of the already-deduplicated 4/5 standing corpus —
+    * the per-batch operation a standing pipeline runs instead of
+    * re-deduplicating corpus+batch from scratch. Verdict rule is
+    * non-recursive and deterministic (pruned iff within threshold of a
+    * kept representative, or of a lower-id batch member), so DuckDB
+    * replays it exactly: kept_seed via q101's min-id rule, then both
+    * EXISTS legs at the same 6-decimal rounding. */
+  val q101eSemanticDedupIncremental = GraftQuery(
+    "q101e_semantic_dedup_incremental", { (s, dir) =>
+      val e = embeds(s, dir)
+      val seed = e.filter(col("vec_id") % 5 =!= 0)
+      val inc = e.filter(col("vec_id") % 5 === 0)
+      val keptRep = seed.join(
+        Dedup.semanticDedup(seed, "embedding", "vec_id", 0.45)
+          .filter(col("kept")).select(col("id")),
+        seed("vec_id") === col("id"))
+        .select(seed("vec_id"), seed("embedding"))
+      Dedup.semanticDedupIncremental(keptRep, inc, "embedding", "vec_id",
+        0.45)
+        .orderBy(col("id"))
+    },
+    Some("""WITH seed AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+      inc AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+      kept_seed AS (
+        SELECT a.* FROM seed a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM seed b WHERE b.vec_id < a.vec_id
+            AND round(list_cosine_similarity(
+              a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45))
+      SELECT a.vec_id AS id,
+        NOT (EXISTS (
+            SELECT 1 FROM kept_seed s
+            WHERE round(list_cosine_similarity(
+              a.embedding::DOUBLE[], s.embedding::DOUBLE[]), 6) >= 0.45)
+          OR EXISTS (
+            SELECT 1 FROM inc b WHERE b.vec_id < a.vec_id
+              AND round(list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45))
+        AS kept
+      FROM inc a ORDER BY id"""))
+
+  /** Blocked incremental semantic dedup (rows-only): the scale path of
+    * q101e — both comparison directions scoped to shared k-means cells
+    * from the PERSISTED centroid index, so a crawl batch costs
+    * O(batch × probed-cell members) and the standing corpus is never
+    * rescanned. The corpus representatives here are the blocked
+    * pipeline's own kept set (self-consistent deployment state); the
+    * one-sided-error and probe-monotonicity contracts vs the exact
+    * incremental rule are asserted in DedupSpec with a SHARED rep set,
+    * where the subset property is well-defined. */
+  val q101fSemanticDedupIncrementalBlocked = GraftQuery(
+    "q101f_semantic_dedup_incr_blocked", { (s, dir) =>
+      val e = embeds(s, dir)
+      val seed = e.filter(col("vec_id") % 5 =!= 0)
+      val inc = e.filter(col("vec_id") % 5 === 0)
+      val cents = Similarity.servedCentroids(s, e, "embedding", "vec_id",
+        k = 8, iters = 2, table = "default.semdedup_centroids")
+      val keptRep = seed.join(
+        Dedup.semanticDedupBlocked(seed, "embedding", "vec_id", 0.45,
+          cents, probes = 2)
+          .filter(col("kept")).select(col("id")),
+        seed("vec_id") === col("id"))
+        .select(seed("vec_id"), seed("embedding"))
+      Dedup.semanticDedupIncrementalBlocked(keptRep, inc, "embedding",
+        "vec_id", 0.45, cents, probes = 2)
+        .orderBy(col("id"))
+    })
+
   /** Substring-level duplicated spans (oracle-checked row for row):
     * every maximal run of token positions whose 5-gram occurs more than
     * once in the corpus — the Lee-et-al-style span dedup that catches
@@ -994,7 +1110,9 @@ object TextVectorQueries {
     q33bAnnBrutePartial, q34AnnLsh, q35AnnIvf, q35bAnnPq, q35cAnnPqIndex,
     q35dAnnIvfPq, q35eAnnIvfPqUpsert, q36EmbedNearDup,
     q36bEmbedNearDupLsh, q36cEmbedNearDupLsh08,
-    q101SemanticDedup, q101bSemanticDedupBlocked, q104DuplicatedSpans,
+    q101SemanticDedup, q101bSemanticDedupBlocked, q101cSemanticDedupIndex,
+    q101dSemanticSubsetContract, q101eSemanticDedupIncremental,
+    q101fSemanticDedupIncrementalBlocked, q104DuplicatedSpans,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank,
     q73PageRank, q89UnigramLogprob, q100RecursiveClosure)
 }

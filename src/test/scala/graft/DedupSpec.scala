@@ -287,6 +287,72 @@ class DedupSpec extends SparkTestBase {
     e.unpersist()
   }
 
+  test("incremental semantic dedup: empty corpus degenerates to batch-only min-id rule; identical-to-rep incoming is pruned") {
+    val e = graft.core.Tables.load(spark, sfDir, "embeddings").cache()
+    // (1) no standing corpus -> only the batch-internal leg applies,
+    // which IS semanticDedup's rule, row for row
+    val emptyCorpus = e.filter(lit(false))
+    val incAlone = Dedup.semanticDedupIncremental(
+      emptyCorpus, e, "embedding", "vec_id", 0.45)
+    val batch = Dedup.semanticDedup(e, "embedding", "vec_id", 0.45)
+    assert(incAlone.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(incAlone).count() === 0L)
+    // (2) a batch that replays the corpus verbatim (ids shifted above
+    // every corpus id) is pruned COMPLETELY: each incoming doc is
+    // cosine-1 to its own representative
+    val shifted = e.withColumn("vec_id", col("vec_id") + 1000000L)
+    val verdicts = Dedup.semanticDedupIncremental(
+      e, shifted, "embedding", "vec_id", 0.45)
+    assert(verdicts.filter(col("kept")).count() === 0L,
+      "an incoming copy of a retained representative must be pruned")
+    e.unpersist()
+  }
+
+  test("blocked incremental semantic dedup: one-sided vs the exact rule on a shared rep set; one cell degenerates to exact; probes monotone") {
+    val e = graft.core.Tables.load(spark, sfDir, "embeddings").cache()
+    val seed = e.filter(col("vec_id") % 5 =!= 0).cache()
+    val inc = e.filter(col("vec_id") % 5 === 0).cache()
+    // SHARED rep set (the exact rule's kept seed): the subset property
+    // is only well-defined when both variants vet against the same
+    // representatives
+    val keptRep = seed.join(
+      Dedup.semanticDedup(seed, "embedding", "vec_id", 0.45)
+        .filter(col("kept")).select(col("id")),
+      seed("vec_id") === col("id"))
+      .select(seed("vec_id"), seed("embedding")).cache()
+    val exact = Dedup.semanticDedupIncremental(
+      keptRep, inc, "embedding", "vec_id", 0.45).cache()
+    val exactPruned = exact.filter(!col("kept")).select("id").cache()
+    assert(exactPruned.count() > 0, "fixture must prune some of the batch")
+    val k = 8
+    val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = k, iters = 2).cache()
+    cents.count()
+    def prunedAt(p: Int) = Dedup.semanticDedupIncrementalBlocked(
+        keptRep, inc, "embedding", "vec_id", 0.45, cents, probes = p)
+      .filter(!col("kept")).select("id").cache()
+    val p1 = prunedAt(1); val p2 = prunedAt(2); val pk = prunedAt(k)
+    // one-sided at every probe count
+    for ((p, name) <- Seq((p1, "p1"), (p2, "p2"), (pk, "pk")))
+      assert(p.join(exactPruned, Seq("id"), "left_anti").count() === 0L,
+        s"$name contains a false prune")
+    // monotone in probes
+    assert(p1.join(p2, Seq("id"), "left_anti").count() === 0L)
+    assert(p2.join(pk, Seq("id"), "left_anti").count() === 0L)
+    // probes = k compares every pair in both legs -> ≡ exact
+    assert(pk.count() === exactPruned.count())
+    // one cell blocks nothing -> ≡ exact even at probes = 1
+    val oneCell = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = 1, iters = 1)
+    val blocked1 = Dedup.semanticDedupIncrementalBlocked(
+      keptRep, inc, "embedding", "vec_id", 0.45, oneCell)
+    assert(blocked1.exceptAll(exact).count() === 0L)
+    assert(exact.exceptAll(blocked1).count() === 0L)
+    Seq(p1, p2, pk, exactPruned, exact, keptRep, cents, seed, inc)
+      .foreach(_.unpersist())
+    e.unpersist()
+  }
+
   test("fingerprint collides for identical text, is order-of-magnitude stable") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),

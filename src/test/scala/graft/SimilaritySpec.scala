@@ -409,4 +409,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(selfCos.getDouble(0) - 1.0) <= 1e-9)
     assert(math.abs(selfCos.getDouble(1) - 1.0) <= 1e-9)
   }
+
+  test("served centroid index: trains once, serves the published table, retrains on corpus drift") {
+    val tbl = "default.t_served_cents"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val direct = Similarity.kmeansCentroids(embeds, "embedding", "vec_id",
+      k = 4, iters = 2)
+    val first = Similarity.servedCentroids(spark, embeds, "embedding",
+      "vec_id", k = 4, iters = 2, table = tbl)
+    // build pass publishes exactly the deterministic training result
+    assert(first.count() === 4L)
+    assert(direct.exceptAll(first).count() === 0L &&
+      first.exceptAll(direct).count() === 0L)
+    // poison the published centroids but keep the fingerprint intact: a
+    // matching fingerprint must SERVE (no silent retrain), so the
+    // doctored values come back verbatim
+    val fp = spark.table(tbl).select("__corpus_n", "__corpus_ck").head()
+    val poisoned = spark.table(tbl)
+      .withColumn("centroid_id", col("centroid_id") + 100)
+    graft.core.TableStore.publishTable(spark, tbl, poisoned)
+    val servedAgain = Similarity.servedCentroids(spark, embeds, "embedding",
+      "vec_id", k = 4, iters = 2, table = tbl)
+    assert(servedAgain.select(min("centroid_id")).head().getInt(0) >= 100,
+      "a fingerprint-fresh index must be served, not retrained")
+    // corpus drift (one row dropped) flips the fingerprint -> retrain
+    val drifted = embeds.filter(col("vec_id") =!= 0)
+    val rebuilt = Similarity.servedCentroids(spark, drifted, "embedding",
+      "vec_id", k = 4, iters = 2, table = tbl)
+    assert(rebuilt.select(max("centroid_id")).head().getInt(0) < 100,
+      "a stale fingerprint must trigger retraining")
+    val newFp = spark.table(tbl).select("__corpus_n", "__corpus_ck").head()
+    assert(newFp.getLong(0) === fp.getLong(0) - 1)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
