@@ -321,9 +321,53 @@ object StreamingQueries {
     },
     CurationQueries.q93Decontaminate.oracle)
 
+  /** Streaming semantic-dedup sink (rows-only; sequential-equivalence,
+    * idempotence, and growth contracts are in StreamingSpec): the 4/5
+    * seed corpus is blocked-deduplicated once and published as the
+    * kept table; the 1/5 "crawl" then lands through
+    * [[graft.streaming.CurationStream.runSemanticDedupSink]] in three
+    * micro-batches, each vetted against the kept table AS OF the
+    * previous batch via the persisted centroid index — the continuous
+    * curation loop a standing corpus runs. Returns one row per incoming
+    * id with its landed/rejected verdict plus a final-corpus summary
+    * column, so the dump pins both the per-doc decisions and the table
+    * growth. */
+  val q101gStreamSemanticDedup = GraftQuery(
+    "q101g_stream_semantic_dedup", { (s, dir) =>
+      import graft.ops.{Dedup, Similarity}
+      import graft.streaming.CurationStream
+      val e = Tables.load(s, dir, "embeddings")
+      val seed = e.filter(col("vec_id") % 5 =!= 0)
+      val inc = e.filter(col("vec_id") % 5 === 0)
+      val cents = Similarity.servedCentroids(s, e, "embedding", "vec_id",
+        k = 8, iters = 2, table = "default.semdedup_centroids")
+        .localCheckpoint(eager = true)
+      val keptSeed = seed.join(
+        Dedup.semanticDedupBlocked(seed, "embedding", "vec_id", 0.45,
+          cents, probes = 2)
+          .filter(col("kept")).select(col("id")),
+        seed("vec_id") === col("id"))
+        .select(seed.columns.map(seed(_)).toIndexedSeq: _*)
+      val table = "default.semdedup_corpus"
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      graft.core.TableStore.overwriteTable(s, table, keptSeed)
+      val stagedDir = CurationStream.stageEmbeddings(inc, parts = 3)
+      CurationStream.runSemanticDedupSink(s, stagedDir, table, cents,
+        threshold = 0.45, probes = 2)
+      val landed = s.table(table).select(col("vec_id").as("id"))
+        .withColumn("landed", lit(true))
+      inc.select(col("vec_id").as("id"))
+        .join(landed, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("landed"), lit(false)).as("kept"))
+        .crossJoin(s.table(table).agg(count(lit(1)).as("corpus_rows")))
+        .orderBy(col("id"))
+        .localCheckpoint(eager = true)
+    })
+
   val all: Seq[GraftQuery] = Seq(
     q37StreamTumbling, q38StreamSessions, q39MultimodalDecode,
     q44StreamStaticJoin, q45StreamDedup, q46StreamState, q63StreamStreamJoin,
     q86StreamSliding, q87StreamUpsertSink, q87bStreamUpsertPartitioned,
-    q87cStreamUpsertVersioned, q98StreamDecontaminate)
+    q87cStreamUpsertVersioned, q98StreamDecontaminate,
+    q101gStreamSemanticDedup)
 }

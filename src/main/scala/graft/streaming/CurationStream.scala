@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.ops.Dedup
+
+/** Streaming corpus curation (SURVEY.md §2: dedup × streaming): a
+  * continuous semantic-dedup SINK. Each arriving micro-batch of
+  * embeddings is vetted against the PUBLISHED kept-table — the standing
+  * corpus's retained representatives — plus the batch-internal min-id
+  * rule, and only the surviving rows are appended. This is the shape a
+  * production training-data pipeline actually runs: the corpus is
+  * deduplicated exactly once, then every crawl lands through this sink
+  * and the kept table only ever grows by genuinely novel documents.
+  *
+  * Scale shape: per batch the work is
+  * [[graft.ops.Dedup.semanticDedupIncrementalBlocked]]'s —
+  * O(batch × probed-cell members) through the persisted centroid index,
+  * never a corpus rescan — and the append is an O(batch) file add, so
+  * sink cost tracks ingest rate, not corpus size. Sequential semantics
+  * (batch N sees the kept set as of batch N−1) come free from
+  * foreachBatch's serialized execution; re-ingesting data that already
+  * landed adds nothing, because each copy meets its own representative
+  * at cosine 1 (the idempotence StreamingSpec pins).
+  */
+object CurationStream {
+
+  /** Stage an embeddings frame as `parts` parquet files under a fresh
+    * temp dir (emb_0.parquet, emb_1.parquet, …) for deterministic
+    * file-source replay — the embeddings twin of
+    * [[EventPipeline.stageAsStreamDir]], minus the ts shaping (the
+    * embeddings schema has no timestamp vintage to normalize). */
+  def stageEmbeddings(df: DataFrame, parts: Int = 1): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_stream")
+    val stage = dir.resolve("stage")
+    val out =
+      if (parts == 1) {
+        if (df.rdd.getNumPartitions == 0) df.repartition(1) else df.coalesce(1)
+      } else df.repartition(parts)
+    out.write.parquet(stage.toString)
+    val listing = java.nio.file.Files.list(stage)
+    try {
+      val files = listing.filter(_.toString.endsWith(".parquet"))
+        .sorted().iterator()
+      var i = 0
+      while (files.hasNext) {
+        val target = dir.resolve(s"emb_$i.parquet")
+        java.nio.file.Files.move(files.next(), target)
+        // strictly increasing mtimes: the file source orders batches by
+        // modification time, and same-millisecond moves would leave the
+        // micro-batch sequence to a tiebreak
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + i * 1000L))
+        i += 1
+      }
+    } finally listing.close()
+    EventPipeline.registerTempCleanup(dir)
+    dir.toString
+  }
+
+  /** Vet ONE batch against the current kept table and return the rows
+    * to append — split out so the exact per-batch transform is a
+    * testable value and the streaming sink is nothing but this folded
+    * over micro-batches. When the table does not exist yet the batch is
+    * deduplicated against an empty rep set (the batch-internal rule
+    * alone), which seeds the corpus. */
+  def vetBatch(
+      spark: SparkSession, table: String, batch: DataFrame,
+      centroidRel: DataFrame, threshold: Double, probes: Int): DataFrame = {
+    val existing =
+      if (spark.catalog.tableExists(table)) {
+        // drop the cached file listing: under the streaming sink the
+        // appends commit through the micro-batch's cloned session, and
+        // this session's cached relation would otherwise keep serving
+        // the pre-append snapshot — batch N MUST see batch N-1's rows
+        spark.catalog.refreshTable(table)
+        spark.table(table)
+      } else batch.filter(lit(false))
+    val keptIds = Dedup.semanticDedupIncrementalBlocked(
+        existing, batch, "embedding", "vec_id", threshold, centroidRel,
+        probes)
+      .filter(col("kept")).select(col("id"))
+    // eager snapshot: the caller appends this result to the very table
+    // the plan reads — without materializing first, the insert job would
+    // rescan the target while writing into it (duplicated rows at best)
+    batch.join(keptIds, batch("vec_id") === col("id"))
+      .select(batch.columns.map(batch(_)).toIndexedSeq: _*)
+      .localCheckpoint(eager = true)
+  }
+
+  /** Run the streaming semantic-dedup sink over a staged embeddings
+    * directory until exhaustion: one vet-and-append per micro-batch
+    * (`maxFilesPerTrigger = 1`, so each staged file is one batch, in
+    * name order). Returns the number of micro-batches processed. The
+    * kept table is created by the first surviving batch and appended
+    * thereafter; the centroid index is passed in — a deployment trains
+    * it once on the seed corpus ([[graft.ops.Similarity.servedCentroids]])
+    * and does NOT retrain per batch. */
+  def runSemanticDedupSink(
+      spark: SparkSession, dir: String, table: String,
+      centroidRel: DataFrame, threshold: Double = 0.45,
+      probes: Int = 2): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val schema = spark.read.option("pathGlobFilter", "emb_*.parquet")
+      .parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "emb_*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        val kept = vetBatch(spark, table, batch, centroidRel, threshold,
+          probes)
+        if (spark.catalog.tableExists(table))
+          kept.write.mode("append").insertInto(table)
+        else if (!kept.isEmpty)
+          kept.write.format("parquet").saveAsTable(table)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // the caller reads the table through THIS session next — same stale
+    // cached-listing hazard as in vetBatch
+    if (spark.catalog.tableExists(table)) spark.catalog.refreshTable(table)
+    batches.get()
+  }
+}

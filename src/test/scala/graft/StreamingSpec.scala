@@ -1134,4 +1134,63 @@ class StreamingSpec extends SparkTestBase {
         .count() === 1L)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("streaming semantic-dedup sink: micro-batched result equals the sequential batch fold; re-ingest adds nothing") {
+    import graft.ops.{Dedup, Similarity}
+    import graft.streaming.CurationStream
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val seed = e.filter(col("vec_id") % 5 =!= 0)
+    val inc = e.filter(col("vec_id") % 5 === 0)
+    val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = 8, iters = 2).localCheckpoint(eager = true)
+    val keptSeed = seed.join(
+      Dedup.semanticDedupBlocked(seed, "embedding", "vec_id", 0.45,
+        cents, probes = 2)
+        .filter(col("kept")).select(col("id")),
+      seed("vec_id") === col("id"))
+      .select(seed.columns.map(seed(_)).toIndexedSeq: _*)
+      .localCheckpoint(eager = true)
+    val streamTbl = "default.t_sem_sink"
+    val foldTbl = "default.t_sem_fold"
+    try {
+      val dir = CurationStream.stageEmbeddings(inc, parts = 3)
+      // streaming run
+      spark.sql(s"DROP TABLE IF EXISTS $streamTbl")
+      graft.core.TableStore.overwriteTable(spark, streamTbl, keptSeed)
+      val nBatches = CurationStream.runSemanticDedupSink(
+        spark, dir, streamTbl, cents, threshold = 0.45, probes = 2)
+      assert(nBatches === 3L, s"expected 3 micro-batches, got $nBatches")
+      // manual fold over the SAME files in mtime order — the semantics
+      // the sink must reproduce batch for batch
+      spark.sql(s"DROP TABLE IF EXISTS $foldTbl")
+      graft.core.TableStore.overwriteTable(spark, foldTbl, keptSeed)
+      for (i <- 0 until 3) {
+        val b = spark.read.parquet(s"$dir/emb_$i.parquet")
+        val kept = CurationStream.vetBatch(spark, foldTbl, b, cents,
+          threshold = 0.45, probes = 2) // vetBatch snapshots eagerly
+        kept.write.mode("append").insertInto(foldTbl)
+      }
+      val streamed = spark.table(streamTbl).select("vec_id")
+      val folded = spark.table(foldTbl).select("vec_id")
+      assert(streamed.exceptAll(folded).count() === 0L)
+      assert(folded.exceptAll(streamed).count() === 0L)
+      // corpus only grows by incoming survivors, and every survivor is
+      // an incoming or seed-kept id
+      val n = spark.table(streamTbl).count()
+      assert(n >= keptSeed.count())
+      assert(spark.table(streamTbl).select("vec_id")
+        .exceptAll(keptSeed.select("vec_id").unionByName(inc.select("vec_id")))
+        .count() === 0L)
+      // idempotence: replaying the whole staged dir against the updated
+      // table adds nothing — each copy meets its own representative at
+      // cosine 1 and is pruned
+      CurationStream.runSemanticDedupSink(
+        spark, dir, streamTbl, cents, threshold = 0.45, probes = 2)
+      assert(spark.table(streamTbl).count() === n,
+        "re-ingesting already-landed data must add no rows")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $streamTbl")
+      spark.sql(s"DROP TABLE IF EXISTS $foldTbl")
+    }
+  }
 }
