@@ -210,6 +210,89 @@ object TextAnalysis {
         (col("dot") / (col("na") * col("nb"))).as("tfidf_cos"))
   }
 
+  /** TF-IDF query scoring: per-document Σ of the document's weights for
+    * the (distinct) query terms — the keyword leg of a hybrid retrieval
+    * stack. The query-term set broadcasts (a query is a handful of
+    * tokens), so scoring is a semi-join over the posting rows of just
+    * those terms — O(query-term postings), never a corpus scan of the
+    * weight relation's full vocabulary. Scores round to 4 decimals so
+    * downstream RANKS are stable across engines (the oracle recomputes
+    * ln/θ in a different libm; rank flips at the 1e-7 level would be
+    * noise, not signal). */
+  def keywordScores(
+      df: DataFrame, textCol: String, idCol: String,
+      queryTerms: DataFrame): DataFrame =
+    tfidfWeights(df, textCol, idCol)
+      .join(broadcast(queryTerms.select(col("tok")).distinct()), Seq("tok"))
+      .groupBy(col("id"))
+      .agg(round(sum(col("w")), 4).as("score"))
+
+  /** Okapi BM25 query scoring (Robertson/Sparck Jones; the parameter
+    * form every production keyword engine ships): per document,
+    * Σ_t∈q idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), with the
+    * Lucene-style always-positive idf = ln((N−df+0.5)/(df+0.5)+1).
+    * Same shape as [[keywordScores]] — the query-term set broadcasts
+    * and scoring touches only those terms' postings — plus one O(n)
+    * doc-length relation and a 1-row avgdl broadcast. Scores round to
+    * 4 decimals for engine-stable ranking, as in [[keywordScores]]. */
+  def bm25Scores(
+      df: DataFrame, textCol: String, idCol: String,
+      queryTerms: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val matched = terms
+      .join(broadcast(queryTerms.select(col("tok")).distinct()), Seq("tok"))
+    val docFreq = matched.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("dfc"))
+    val dl = df.select(col(idCol).as("id"),
+      size(tokens(col(textCol))).cast("double").as("dl"))
+    val stats = df.agg(count(lit(1)).cast("double").as("n_docs"))
+      .crossJoin(dl.agg(avg(col("dl")).as("avgdl")))
+    matched
+      .join(broadcast(docFreq), Seq("tok"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(round(sum(col("contrib")), 4).as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) of
+    * ranked id lists: rrf(d) = Σ_legs 1/(rrfK + rank_leg(d)), missing
+    * legs contributing 0. Each leg is a (id, rank) relation — top-k per
+    * leg, so the fusion join is k-bounded however large the corpora the
+    * legs ranked; the fused relation never exceeds Σ leg sizes. Returns
+    * (id, rrf, <name>_rank …) sorted by (rrf desc, id), cut to `topK`.
+    * rrf rounds to 6 decimals: sums of 1/(60+r) for distinct small r
+    * are well separated at that precision, and the rounding makes the
+    * (rrf, id) output ordering engine-stable. */
+  def rrfFuse(
+      legs: Seq[(String, DataFrame)], rrfK: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one ranked leg")
+    val renamed = legs.map { case (name, df) =>
+      name -> df.select(col("id"), col("rank").cast("long").as(s"${name}_rank"))
+    }
+    val joined = renamed.map(_._2).reduce { (a, b) =>
+      a.join(b, Seq("id"), "full_outer")
+    }
+    val rrf = renamed.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(rrfK) + col(s"${name}_rank")), lit(0.0))
+    }.reduce(_ + _)
+    joined
+      .withColumn("rrf", round(rrf, 6))
+      .select(col("id") +: col("rrf") +:
+        renamed.map { case (n, _) => col(s"${n}_rank") }: _*)
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Full per-document text-statistics projection. */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

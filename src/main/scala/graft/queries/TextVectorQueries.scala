@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{GraftQuery, Tables}
@@ -1043,6 +1044,124 @@ object TextVectorQueries {
         round(min(c), 4) AS min_tfidf_cos
       FROM scored"""))
 
+  /** Hybrid retrieval with reciprocal-rank fusion (oracle-checked row
+    * for row): the keyword leg scores every document by TF-IDF against
+    * the query terms (first 5 distinct tokens of doc 0's text — a
+    * deterministic stand-in for a user query) and the vector leg ranks
+    * by exact cosine to doc 0's embedding; each leg's top 20 fuse via
+    * rrf = Σ 1/(60 + rank). Both leg scores round to 4 decimals BEFORE
+    * ranking and rrf to 6 after, so the (rrf desc, id) output order is
+    * stable across engines — DuckDB recomputes both legs and the fusion
+    * end to end. Scale shape: the keyword leg is a broadcast semi-join
+    * over the query terms' postings, the fusion is top-k-bounded; the
+    * vector leg here is the exact brute scan (the oracle needs exact) —
+    * a deployment swaps in the served ANN path (q35c/q35d) leg-for-leg,
+    * which is exactly what fusing on RANKS (not scores) permits. */
+  val q105HybridRrf = GraftQuery(
+    "q105_hybrid_rrf", { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val emb = embeds(s, dir)
+      val qterms = docs.filter(col("doc_id") === 0)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("tok"))
+        .distinct()
+      val kwW = Window.orderBy(col("score").desc, col("id"))
+      val kwTop = TextAnalysis.keywordScores(docs, "text", "doc_id", qterms)
+        .withColumn("rank", row_number().over(kwW))
+        .filter(col("rank") <= 20)
+        .select(col("id"), col("rank"))
+      val qv = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv")))
+      val vecW = Window.orderBy(col("c").desc, col("id"))
+      val vecTop = emb.crossJoin(qv)
+        .select(col("vec_id").as("id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 4).as("c"))
+        .withColumn("rank", row_number().over(vecW))
+        .filter(col("rank") <= 20)
+        .select(col("id"), col("rank"))
+      TextAnalysis.rrfFuse(
+        Seq("kw" -> kwTop, "vec" -> vecTop), rrfK = 60, topK = 10)
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      qterms AS (
+        SELECT DISTINCT unnest(list_slice(t, 1, 5)) AS tok
+        FROM toks WHERE doc_id = 0),
+      tf AS (
+        SELECT doc_id, tok, count(*) * 1.0 AS tf
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks) x
+        GROUP BY doc_id, tok),
+      dfq AS (SELECT tok, count(*) * 1.0 AS dfc FROM tf GROUP BY tok),
+      w AS (
+        SELECT doc_id, tok,
+          tf * ln((SELECT count(*) * 1.0 FROM documents) / dfc) AS w
+        FROM tf JOIN dfq USING (tok)),
+      kw AS (
+        SELECT doc_id, round(sum(w), 4) AS s
+        FROM w JOIN qterms USING (tok) GROUP BY doc_id),
+      kwtop AS (
+        SELECT doc_id, rk FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+          FROM kw) WHERE rk <= 20),
+      vs AS (
+        SELECT vec_id, round(list_cosine_similarity(
+          embedding::DOUBLE[],
+          (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 4) AS c
+        FROM embeddings),
+      vtop AS (
+        SELECT vec_id, rv FROM (
+          SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS rv
+          FROM vs) WHERE rv <= 20),
+      fused AS (
+        SELECT coalesce(k.doc_id, v.vec_id) AS id,
+          round(coalesce(1.0 / (60 + k.rk), 0) + coalesce(1.0 / (60 + v.rv), 0), 6) AS rrf,
+          k.rk AS kw_rank, v.rv AS vec_rank
+        FROM kwtop k FULL OUTER JOIN vtop v ON k.doc_id = v.vec_id)
+      SELECT id, rrf, kw_rank, vec_rank FROM fused
+      ORDER BY rrf DESC, id LIMIT 10"""))
+
+  /** Okapi BM25 keyword top-10 (oracle-checked row for row): the
+    * production keyword leg — same query-term broadcast shape as
+    * q105's TF-IDF leg but with the saturating tf and length
+    * normalization every deployed engine uses (k1 = 1.2, b = 0.75,
+    * Lucene-style positive idf). DuckDB recomputes the full formula.
+    * Swappable into q105's fusion leg-for-leg since RRF fuses ranks. */
+  val q105bBm25TopK = GraftQuery(
+    "q105b_bm25_topk", { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val qterms = docs.filter(col("doc_id") === 0)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("tok"))
+        .distinct()
+      TextAnalysis.bm25Scores(docs, "text", "doc_id", qterms)
+        .orderBy(col("score").desc, col("id"))
+        .limit(10)
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      qterms AS (
+        SELECT DISTINCT unnest(list_slice(t, 1, 5)) AS tok
+        FROM toks WHERE doc_id = 0),
+      tf AS (
+        SELECT doc_id, tok, count(*) * 1.0 AS tf
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks) x
+        GROUP BY doc_id, tok),
+      m AS (SELECT tf.* FROM tf JOIN qterms USING (tok)),
+      dfq AS (SELECT tok, count(*) * 1.0 AS dfc FROM m GROUP BY tok),
+      dl AS (SELECT doc_id, len(t) * 1.0 AS dl FROM toks),
+      stats AS (SELECT (SELECT count(*) * 1.0 FROM documents) AS n,
+        (SELECT avg(dl) FROM dl) AS avgdl),
+      sc AS (
+        SELECT m.doc_id,
+          round(sum(ln((s.n - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+            * m.tf * 2.2
+            / (m.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))), 4) AS score
+        FROM m JOIN dfq d USING (tok) JOIN dl l ON l.doc_id = m.doc_id, stats s
+        GROUP BY m.doc_id)
+      SELECT doc_id AS id, score FROM sc ORDER BY score DESC, id LIMIT 10"""))
+
   /** PageRank over the near-dup edge graph, oracle-checked: the oracle
     * UNROLLS the same five join+aggregate iterations as chained CTEs, so
     * the whole iterative computation — not just the final aggregate — is
@@ -1114,5 +1233,5 @@ object TextVectorQueries {
     q101dSemanticSubsetContract, q101eSemanticDedupIncremental,
     q101fSemanticDedupIncrementalBlocked, q104DuplicatedSpans,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank,
-    q73PageRank, q89UnigramLogprob, q100RecursiveClosure)
+    q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf, q105bBm25TopK)
 }

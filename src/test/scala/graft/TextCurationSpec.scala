@@ -37,4 +37,23 @@ class TextCurationSpec extends SparkTestBase {
     val clean = "well-known @mention 12-34 x"
     assert(one[String](TextAnalysis.redactPii(col("t")), clean) === clean)
   }
+
+  test("rrfFuse matches hand-computed fusion: shared ids sum legs, missing legs contribute zero, topK cuts") {
+    val kw = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val vec = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val fused = TextAnalysis.rrfFuse(Seq("kw" -> kw, "vec" -> vec),
+      rrfK = 60, topK = 3).collect()
+    // doc 20: 1/62 + 1/61 = 0.032522; doc 10: 1/61 = 0.016393;
+    // doc 40: 1/62 = 0.016129; doc 30: 1/63 = 0.015873 (cut by topK=3)
+    assert(fused.map(_.getLong(0)).toSeq === Seq(20L, 10L, 40L))
+    assert(fused.head.getDouble(1) === math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6)
+    // rank columns surface per leg, null when the leg missed the id
+    val d40 = fused.find(_.getLong(0) === 40L).get
+    assert(d40.isNullAt(2) && d40.getLong(3) === 2L)
+    // deterministic tiebreak: equal rrf orders by id
+    val tied = TextAnalysis.rrfFuse(
+      Seq("a" -> Seq((5L, 1), (3L, 1)).toDF("id", "rank")), topK = 2)
+      .collect()
+    assert(tied.map(_.getLong(0)).toSeq === Seq(3L, 5L))
+  }
 }
