@@ -1044,6 +1044,95 @@ object TextVectorQueries {
         round(min(c), 4) AS min_tfidf_cos
       FROM scored"""))
 
+  /** Leakage-safe train/test split (oracle-checked): assign whole
+    * near-duplicate CLUSTERS to splits — the component root's hash, not
+    * the document's — so no near-dup pair ever straddles train/test.
+    * This is the split discipline an eval-decontaminated training run
+    * needs: a doc-level hash split (q55) puts ~q's fraction of every
+    * multi-doc cluster's members on opposite sides, which is exactly
+    * eval leakage once one side becomes a held-out set. The row carries
+    * both policies' span counts: cluster-split spans MUST be 0 by
+    * construction, and the doc-split span count quantifies the leakage
+    * the cluster policy removed (the DuckDB oracle recomputes the
+    * components recursively, both hash assignments, and both span
+    * counts). Scale shape: components are q51's star-contraction, the
+    * split itself is a zero-shuffle hash projection on the root. */
+  val q106LeakageSafeSplit = GraftQuery(
+    "q106_leakage_safe_split", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val edges = DedupCluster.sharedShingleEdges(
+        corpus, "text", "doc_id", shingleK = 3, minShared = 10, maxDf = 1000)
+      val comp = DedupCluster.connectedComponents(edges)
+      val withRoot = corpus.select(col("doc_id"))
+        .join(comp.select(col("node").as("doc_id"), col("root")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("root"))
+      val assigned = withRoot
+        .withColumn("split",
+          when(CurationQueries.hashBucket(col("root"), 2654435761L) < 90,
+            "train").otherwise("test"))
+        .withColumn("dsplit",
+          when(CurationQueries.hashBucket(col("doc_id"), 2654435761L) < 90,
+            "train").otherwise("test"))
+        .localCheckpoint(eager = false)
+      val counts = assigned.agg(
+        count(when(col("split") === "train", 1)).as("train_docs"),
+        count(when(col("split") === "test", 1)).as("test_docs"))
+      val spanCluster = assigned.groupBy(col("root"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(count(when(col("ns") > 1, 1))
+          .as("clusters_spanning_cluster_split"))
+      val spanDoc = assigned.groupBy(col("root"))
+        .agg(countDistinct(col("dsplit")).as("ns"))
+        .agg(count(when(col("ns") > 1, 1))
+          .as("clusters_spanning_doc_split"))
+      counts.crossJoin(spanCluster).crossJoin(spanDoc)
+    },
+    Some("""WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '') FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(toks)-2, 1)),
+          i -> array_to_string(list_slice(toks, i, i+2), ' ')))) AS s
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+              FROM corpus)),
+      keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+      shf AS (SELECT doc_id, s FROM sh JOIN keep USING (s)),
+      edges AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 10),
+      sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+      walk(node, front) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT w.node, s.v FROM walk w JOIN sym s ON s.u = w.front),
+      comp AS (SELECT node, min(front) AS root FROM walk GROUP BY node),
+      withroot AS (
+        SELECT d.doc_id, coalesce(c.root, d.doc_id) AS root
+        FROM (SELECT doc_id FROM corpus) d
+        LEFT JOIN comp c ON c.node = d.doc_id),
+      assigned AS (
+        SELECT doc_id, root,
+          CASE WHEN (((root % 2147483648) * (2654435761 % 4294967296))
+            % 4294967296) % 100 < 90 THEN 'train' ELSE 'test' END AS split,
+          CASE WHEN (((doc_id % 2147483648) * (2654435761 % 4294967296))
+            % 4294967296) % 100 < 90 THEN 'train' ELSE 'test' END AS dsplit
+        FROM withroot)
+      SELECT
+        (SELECT count(*) FROM assigned WHERE split = 'train') AS train_docs,
+        (SELECT count(*) FROM assigned WHERE split = 'test') AS test_docs,
+        (SELECT count(*) FROM (
+          SELECT root, count(DISTINCT split) AS ns FROM assigned GROUP BY root) x
+          WHERE ns > 1) AS clusters_spanning_cluster_split,
+        (SELECT count(*) FROM (
+          SELECT root, count(DISTINCT dsplit) AS ns FROM assigned GROUP BY root) y
+          WHERE ns > 1) AS clusters_spanning_doc_split"""))
+
   /** Hybrid retrieval with reciprocal-rank fusion (oracle-checked row
     * for row): the keyword leg scores every document by TF-IDF against
     * the query terms (first 5 distinct tokens of doc 0's text — a
@@ -1120,6 +1209,44 @@ object TextVectorQueries {
         FROM kwtop k FULL OUTER JOIN vtop v ON k.doc_id = v.vec_id)
       SELECT id, rrf, kw_rank, vec_rank FROM fused
       ORDER BY rrf DESC, id LIMIT 10"""))
+
+  /** Hybrid RRF served from the PERSISTED PQ index (rows-only; overlap
+    * with q105's exact fusion floor-asserted in TextCurationSpec): the
+    * leg-for-leg swap q105's design promises — the keyword leg is
+    * unchanged, the vector leg ranks by ADC over the published
+    * (codes, codebooks) tables with exact re-rank, and the fusion is
+    * identical because RRF consumes RANKS, not scores. This is the
+    * production plan: at 100 TB the brute leg is a corpus scan per
+    * query; this leg reads 16 codes per row from the served index.
+    * (The served leg excludes the query doc itself — standard ANN
+    * serving semantics — so ranks shift by one vs the exact leg; RRF
+    * absorbs that, which the overlap floor demonstrates.) */
+  val q105cHybridRrfAnn = GraftQuery(
+    "q105c_hybrid_rrf_ann", { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val emb = embeds(s, dir)
+      val qterms = docs.filter(col("doc_id") === 0)
+        .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("tok"))
+        .distinct()
+      val kwW = Window.orderBy(col("score").desc, col("id"))
+      val kwTop = TextAnalysis.keywordScores(docs, "text", "doc_id", qterms)
+        .withColumn("rank", row_number().over(kwW))
+        .filter(col("rank") <= 20)
+        .select(col("id"), col("rank"))
+      val books = Similarity.pqCodebooks(emb, "embedding", "vec_id",
+        m = 16, ksub = 32, iters = 2)
+      val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", books, 16)
+      graft.core.TableStore.overwriteTable(s, "default.pq_books", books)
+      graft.core.TableStore.overwriteTable(s, "default.pq_codes", encoded)
+      val vecTop = Similarity.pqTopKEncoded(
+          s.table("default.pq_codes"), s.table("default.pq_books"),
+          emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "vec_id", "embedding", "vec_id", "embedding",
+          k = 20, rerank = 100)
+        .select(col("neighbor_id").as("id"), col("rnk").as("rank"))
+      TextAnalysis.rrfFuse(
+        Seq("kw" -> kwTop, "vec" -> vecTop), rrfK = 60, topK = 10)
+    })
 
   /** Okapi BM25 keyword top-10 (oracle-checked row for row): the
     * production keyword leg — same query-term broadcast shape as
@@ -1233,5 +1360,5 @@ object TextVectorQueries {
     q101dSemanticSubsetContract, q101eSemanticDedupIncremental,
     q101fSemanticDedupIncrementalBlocked, q104DuplicatedSpans,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank,
-    q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf, q105bBm25TopK)
+    q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf, q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit)
 }

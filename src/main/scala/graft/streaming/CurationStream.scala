@@ -102,7 +102,7 @@ object CurationStream {
   def runSemanticDedupSink(
       spark: SparkSession, dir: String, table: String,
       centroidRel: DataFrame, threshold: Double = 0.45,
-      probes: Int = 2): Long = {
+      probes: Int = 2, checkpoint: Option[String] = None): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val schema = spark.read.option("pathGlobFilter", "emb_*.parquet")
       .parquet(dir).schema
@@ -110,7 +110,13 @@ object CurationStream {
       .option("pathGlobFilter", "emb_*.parquet")
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
-    val q = stream.writeStream
+    // With a checkpoint the file source's commit log makes the sink
+    // RESUMABLE: a restarted run skips every already-consumed file and
+    // vets only what arrived since — the cost contract a standing
+    // ingestion pipeline needs. WITHOUT one, a rerun re-vets everything
+    // and lands nothing new (idempotence, StreamingSpec) — correct but
+    // O(history) instead of O(new files).
+    val writer0 = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batches.incrementAndGet()
@@ -122,6 +128,8 @@ object CurationStream {
           kept.write.format("parquet").saveAsTable(table)
         ()
       }
+    val q = checkpoint
+      .fold(writer0)(c => writer0.option("checkpointLocation", c))
       .start()
     try q.processAllAvailable()
     finally q.stop()

@@ -1193,4 +1193,38 @@ class StreamingSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS $foldTbl")
     }
   }
+
+  test("streaming semantic-dedup sink resumes from its checkpoint: only new files are vetted") {
+    import graft.ops.Similarity
+    import graft.streaming.CurationStream
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val inc = e.filter(col("vec_id") % 5 === 0)
+    val half1 = inc.filter(col("vec_id") % 10 === 0)
+    val half2 = inc.filter(col("vec_id") % 10 =!= 0)
+    val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = 8, iters = 2).localCheckpoint(eager = true)
+    val tbl = "default.t_sem_resume"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sem_ckpt").toString
+    try {
+      val dir = CurationStream.stageEmbeddings(half1)
+      assert(CurationStream.runSemanticDedupSink(
+        spark, dir, tbl, cents, checkpoint = Some(ckpt)) === 1L)
+      val afterFirst = spark.table(tbl).count()
+      assert(afterFirst > 0L)
+      // a later file lands in the same directory (strictly newer mtime)
+      val more = CurationStream.stageEmbeddings(half2)
+      val target = java.nio.file.Paths.get(dir, "emb_1.parquet")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(more, "emb_0.parquet"), target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1700009000000L))
+      // the resumed run must vet ONLY the new file - one batch, not two
+      assert(CurationStream.runSemanticDedupSink(
+        spark, dir, tbl, cents, checkpoint = Some(ckpt)) === 1L)
+      assert(spark.table(tbl).count() > afterFirst,
+        "the new file's survivors must land on resume")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }

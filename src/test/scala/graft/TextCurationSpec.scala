@@ -56,4 +56,19 @@ class TextCurationSpec extends SparkTestBase {
       .collect()
     assert(tied.map(_.getLong(0)).toSeq === Seq(3L, 5L))
   }
+
+  test("hybrid RRF served from the PQ index overlaps the exact fusion (leg-for-leg swap contract)") {
+    val sfd = sfDir
+    val exact = graft.queries.TextVectorQueries.q105HybridRrf
+      .run(spark, sfd).select("id").collect().map(_.getLong(0)).toSet
+    val served = graft.queries.TextVectorQueries.q105cHybridRrfAnn
+      .run(spark, sfd).select("id").collect().map(_.getLong(0)).toSet
+    assert(served.size === 10 && exact.size === 10)
+    // the served vector leg excludes the query doc and approximates the
+    // ranking (PQ recall 0.96+ at shipped params), so demand strong but
+    // not perfect agreement of the fused top-10
+    val overlap = (exact intersect served).size
+    assert(overlap >= 7, s"fused top-10 overlap only $overlap/10 — the " +
+      "served ANN leg no longer substitutes for the exact leg")
+  }
 }
