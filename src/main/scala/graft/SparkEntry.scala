@@ -59,6 +59,11 @@ object SparkEntry {
     // the blocked INCREMENTAL path (a crawl batch vetted against the
     // standing corpus's representatives without a corpus rescan)
     "q101c_semantic_dedup_index", "q101f_semantic_dedup_incr_blocked",
+    // round-11: hybrid retrieval (TF-IDF keyword leg + exact cosine
+    // leg + RRF fusion) — the timed representative of the retrieval
+    // family; the served-ANN twin q105c is correctness-gated instead
+    // (its PQ build would dominate the timing, the q35b/q35d rationale)
+    "q105_hybrid_rrf",
     // the one two-source join in the pharma family (meds ⋈ labs via the
     // managed catalog) — cheap, but it keeps the S8 ingestion edge and
     // the catalog round-trip inside the per-round timing surface

@@ -192,4 +192,32 @@ class EdgeCaseSpec extends SparkTestBase {
   test("tfidf weights of an empty corpus are empty") {
     assert(TextAnalysis.tfidfWeights(emptyDocs, "text", "doc_id").count() === 0L)
   }
+
+  test("keyword/bm25 scoring with no matching query terms is empty, not an error") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    val missing = Seq("zeta").toDF("tok")
+    assert(TextAnalysis.keywordScores(docs, "text", "doc_id", missing).count() === 0L)
+    assert(TextAnalysis.bm25Scores(docs, "text", "doc_id", missing).count() === 0L)
+    // and with an empty query-term relation
+    val none = Seq.empty[String].toDF("tok")
+    assert(TextAnalysis.keywordScores(docs, "text", "doc_id", none).count() === 0L)
+  }
+
+  test("rrfFuse tolerates an empty leg: remaining legs still rank") {
+    val full = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val empty = Seq.empty[(Long, Int)].toDF("id", "rank")
+    val fused = TextAnalysis.rrfFuse(
+      Seq("a" -> full, "b" -> empty), rrfK = 60, topK = 5).collect()
+    assert(fused.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(fused.forall(_.isNullAt(3)), "empty leg must yield null ranks")
+  }
+
+  test("incremental semantic dedup with an empty batch is empty; empty corpus and empty batch is empty") {
+    val verdicts = Dedup.semanticDedupIncremental(
+      emptyVecs, emptyVecs, "embedding", "vec_id", 0.45)
+    assert(verdicts.count() === 0L)
+    val e = graft.core.Tables.load(spark, sfDir, "embeddings").limit(20)
+    assert(Dedup.semanticDedupIncremental(
+      e, emptyVecs, "embedding", "vec_id", 0.45).count() === 0L)
+  }
 }

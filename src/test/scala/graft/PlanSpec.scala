@@ -409,4 +409,40 @@ class PlanSpec extends SparkTestBase {
     assert(joined.filter(
       abs(col("sum_value") - col("d_sum")) > lit(1e-6)).count() === 0L)
   }
+
+  test("blocked semantic dedup joins pairs on (cell, salt), never the bare cell key") {
+    // the SCALING claim: the within-cell pair join must carry __salt in
+    // its join key — on the bare |cells|-ary key every cell's quadratic
+    // pair explosion lands on one reducer and AQE's size-based
+    // coalescing (which sees tiny inputs, not the Σ|cell|² output)
+    // makes it worse
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cents = graft.ops.Similarity.kmeansCentroids(
+      e, "embedding", "vec_id", k = 4, iters = 1)
+    val p = planOf(graft.ops.Dedup.semanticDedupBlocked(
+      e, "embedding", "vec_id", 0.45, cents, probes = 2))
+    // at fixture scale the replicated side fits a broadcast (no
+    // exchange to inspect); at scale the same keys hash-partition — in
+    // BOTH physical strategies the join KEYS must carry the salt
+    val pairJoinKeys =
+      "(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[centroid_id[^\\]]*__salt".r
+    assert(pairJoinKeys.findFirstIn(p).isDefined,
+      s"pair join keys do not include (centroid_id, __salt):\n$p")
+  }
+
+  test("hybrid retrieval keyword leg broadcasts the query terms, never shuffles postings against them") {
+    // the query-term set is a handful of tokens: the postings join must
+    // be a BroadcastHashJoin (build = query terms), not an exchange of
+    // the full term relation on tok
+    val docs = Tables.load(spark, sfDir, "documents")
+    val qterms = docs.filter(col("doc_id") === 0)
+      .select(explode(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 5)).as("tok"))
+      .distinct()
+    for (scores <- Seq(
+        graft.ops.TextAnalysis.keywordScores(docs, "text", "doc_id", qterms),
+        graft.ops.TextAnalysis.bm25Scores(docs, "text", "doc_id", qterms))) {
+      val p = planOf(scores)
+      assert(p.contains("BroadcastHashJoin"), p)
+    }
+  }
 }
