@@ -914,4 +914,39 @@ object Similarity {
     }
     spark.table(table).select(col("centroid_id"), col("centv"))
   }
+
+  /** Cluster-balanced diversity sampling: at most `perCell` documents
+    * from each k-means cell, chosen deterministically by hashed-id order
+    * — the subset-selection primitive of data-mixing/curriculum
+    * pipelines (equal per-cell quotas flatten the corpus's cluster
+    * imbalance, so a 100× over-represented mode contributes the same
+    * sample mass as a rare one). Hash order, not id order: ids encode
+    * crawl/source locality, and sampling the lowest ids per cell would
+    * re-import exactly the bias the cell quota removes. Deterministic —
+    * same corpus, same centroids, same sample — so a rerun reproduces
+    * the training set bit for bit.
+    *
+    * Scale shape: assignment is the narrow broadcast-fold kernel; the
+    * quota is a per-cell ranking, parallel in the number of CELLS — at
+    * production cell counts (√n-ish, thousands+) that is ample
+    * parallelism, and the per-cell scan is |cell|, not |corpus|. At a
+    * handful of cells the ranking inherits the low-cardinality
+    * single-reducer trap the salted pair join documents — there the
+    * per-cell work is selection-cheap (no pair explosion), so quota
+    * ranking stays linear in the largest cell either way. */
+  def diversitySample(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroidRel: DataFrame, perCell: Int): DataFrame = {
+    require(perCell > 0, "perCell must be positive")
+    val assigned = assignToCentroids(
+      corpus.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v")),
+      "v", centroidRel, byCosine = true)
+    val w = Window.partitionBy(col("centroid_id"))
+      .orderBy(xxhash64(col("id")), col("id"))
+    assigned
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perCell)
+      .select(col("centroid_id"), col("id"))
+  }
 }

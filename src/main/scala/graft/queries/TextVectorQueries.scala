@@ -1044,6 +1044,25 @@ object TextVectorQueries {
         round(min(c), 4) AS min_tfidf_cos
       FROM scored"""))
 
+  /** Cluster-balanced diversity sample (rows-only; quota/determinism/
+    * coverage contracts in SimilaritySpec): ≤ 20 documents per cell of
+    * the served centroid index, hash-ordered within the cell — the
+    * subset-selection pass a data-mixing pipeline runs to flatten
+    * cluster imbalance before token budgeting. Returns the per-cell
+    * take counts plus the total, so the Verify row pins the quota
+    * arithmetic shape. */
+  val q107DiversitySample = GraftQuery(
+    "q107_diversity_sample", { (s, dir) =>
+      val e = embeds(s, dir)
+      val cents = Similarity.servedCentroids(s, e, "embedding", "vec_id",
+        k = 8, iters = 2, table = "default.semdedup_centroids")
+      Similarity.diversitySample(e, "embedding", "vec_id", cents,
+          perCell = 20)
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("taken"))
+        .orderBy(col("centroid_id"))
+    })
+
   /** Leakage-safe train/test split (oracle-checked): assign whole
     * near-duplicate CLUSTERS to splits — the component root's hash, not
     * the document's — so no near-dup pair ever straddles train/test.
@@ -1360,5 +1379,5 @@ object TextVectorQueries {
     q101dSemanticSubsetContract, q101eSemanticDedupIncremental,
     q101fSemanticDedupIncrementalBlocked, q104DuplicatedSpans,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank,
-    q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf, q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit)
+    q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf, q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit, q107DiversitySample)
 }

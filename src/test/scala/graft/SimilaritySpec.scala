@@ -410,6 +410,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(selfCos.getDouble(1) - 1.0) <= 1e-9)
   }
 
+  test("diversity sample: per-cell quota respected, deterministic, small cells kept whole, hash order not id order") {
+    val cents = Similarity.kmeansCentroids(embeds, "embedding", "vec_id",
+      k = 8, iters = 2).localCheckpoint(eager = true)
+    val sample = Similarity.diversitySample(
+      embeds, "embedding", "vec_id", cents, perCell = 10).cache()
+    // quota: never more than perCell from any cell
+    assert(sample.groupBy("centroid_id").count()
+      .filter(col("count") > 10).count() === 0L)
+    // a cell smaller than the quota is kept whole: per-cell take is
+    // min(perCell, |cell|) against the full assignment
+    val cellSizes = Similarity.diversitySample(
+        embeds, "embedding", "vec_id", cents, perCell = Int.MaxValue)
+      .groupBy("centroid_id").agg(count(lit(1)).as("cell_n"))
+    val takes = sample.groupBy("centroid_id").agg(count(lit(1)).as("taken"))
+    assert(takes.join(cellSizes, Seq("centroid_id"))
+      .filter(col("taken") =!= least(lit(10L), col("cell_n"))).count() === 0L)
+    // deterministic: a rerun reproduces the identical id set
+    val again = Similarity.diversitySample(
+      embeds, "embedding", "vec_id", cents, perCell = 10)
+    assert(sample.exceptAll(again).count() === 0L)
+    assert(again.exceptAll(sample).count() === 0L)
+    // hash order, not id order: the sample must NOT be the per-cell
+    // lowest ids (id order would re-import source/crawl locality bias)
+    val lowestIds = Similarity.diversitySample(
+        embeds, "embedding", "vec_id", cents, perCell = Int.MaxValue)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("centroid_id")).orderBy(col("id"))))
+      .filter(col("rk") <= 10).select("centroid_id", "id")
+    assert(sample.exceptAll(lowestIds).count() > 0L,
+      "sample equals the per-cell lowest ids — ordering is not hashed")
+    sample.unpersist()
+  }
+
   test("served centroid index: trains once, serves the published table, retrains on corpus drift") {
     val tbl = "default.t_served_cents"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
