@@ -224,6 +224,42 @@ object Bench {
         System.err.println(s"[bench] semantic recall: ${e.getMessage}")
         Seq.empty
       }
+    // Streaming semantic-dedup sink telemetry (VERDICT r11 item 5):
+    // per-micro-batch arrived/kept/vet-cost for the q101g loop at this
+    // sf — kept-rate drift is a vet-quality regression, vet-cost growth
+    // an index/plan regression, and neither is visible in the batch
+    // wall-times. Mirrors q101g's registration exactly (4/5 seed
+    // blocked-deduplicated, 1/5 crawl in 3 micro-batches through the
+    // served centroid index).
+    val sinkStats: Seq[graft.streaming.CurationStream.BatchStat] =
+      try {
+        val e = graft.core.Tables.load(spark, sfDir, "embeddings")
+        val seed = e.filter(col("vec_id") % 5 =!= 0)
+        val inc = e.filter(col("vec_id") % 5 === 0)
+        val cents = graft.ops.Similarity.servedCentroids(
+          spark, e, "embedding", "vec_id", k = 8, iters = 2,
+          table = "default.semdedup_centroids").localCheckpoint(true)
+        val keptSeed = seed.join(
+          graft.ops.Dedup.semanticDedupBlocked(seed, "embedding", "vec_id",
+            0.45, cents, probes = 2)
+            .filter(col("kept")).select(col("id")),
+          seed("vec_id") === col("id"))
+          .select(seed.columns.map(seed(_)).toIndexedSeq: _*)
+        val table = "default.semdedup_corpus_bench"
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        graft.core.TableStore.overwriteTable(spark, table, keptSeed)
+        val staged = graft.streaming.CurationStream.stageEmbeddings(inc, parts = 3)
+        val out = graft.streaming.CurationStream.runSemanticDedupSinkWithStats(
+          spark, staged, table, cents, threshold = 0.45, probes = 2)
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        out
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sink stats: ${e.getMessage}"); Seq.empty
+      }
+    val sinkJson = sinkStats.map(s =>
+        f"""{"batch":${s.batchId},"rows":${s.batchRows},"kept":${s.keptRows},"vet_sec":${s.vetSec}%.3f}""")
+      .mkString("[", ",", "]")
+
     // Z-order file-skipping ratio on real parquet footers (same probe
     // WriterSpec asserts as a >=2x boolean): linear-candidates /
     // z-candidates for the quadrant-interior band predicate, tracked per
@@ -258,12 +294,26 @@ object Bench {
     val controlBandMid = 0.52
     val controlSec = results.toMap.getOrElse(controlName, -1.0)
     val controlRatio = if (controlSec > 0) controlSec / controlBandMid else -1.0
+    // Second control (VERDICT r11 item 2): q51_dedup_clusters — the
+    // connected-components fixpoint loop, plan unchanged since r8 — is
+    // the repo's most noise-sensitive headline (flagged r3, r9, r11 and
+    // reconciled each time as host noise by fresh-JVM BenchOne). Where
+    // q12 controls for raw scan/join/shuffle throughput, q51 controls
+    // for DRIVER-side analysis/codegen latency across an iterative
+    // multi-job loop — a q51 ratio that moves while q12's holds
+    // indicates driver-loop slowdown (analysis, codegen, scheduling),
+    // not data-path slowdown. Band mid 2.85 s = the r11-judge-probed
+    // steady band 2.6–3.1 s (BASELINE.md §round-12 note).
+    val control2Name = "q51_dedup_clusters"
+    val control2BandMid = 2.85
+    val control2Sec = results.toMap.getOrElse(control2Name, -1.0)
+    val control2Ratio = if (control2Sec > 0) control2Sec / control2BandMid else -1.0
 
     val recallJson = (annRecalls ++ pairRecalls ++ semanticRecall)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val extJson = passExt.map(v => f"$v%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"ext_cpu_passes":$extJson,"loaded":$loaded,"control":"$controlName","control_sec":$controlSec%.3f,"control_band_mid":$controlBandMid%.2f,"control_ratio":$controlRatio%.3f,"recall":$recallJson,"zorder_skip_ratio":$zratio%.2f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"ext_cpu_passes":$extJson,"loaded":$loaded,"control":"$controlName","control_sec":$controlSec%.3f,"control_band_mid":$controlBandMid%.2f,"control_ratio":$controlRatio%.3f,"control2":"$control2Name","control2_sec":$control2Sec%.3f,"control2_band_mid":$control2BandMid%.2f,"control2_ratio":$control2Ratio%.3f,"recall":$recallJson,"sink_batches":$sinkJson,"zorder_skip_ratio":$zratio%.2f}""")
     spark.stop()
   }
 }

@@ -463,8 +463,14 @@ object Dedup {
           col("vn_a"), col("vn_b")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_b").as("__pruned_id")).distinct()
+    // No broadcast hint here, unlike the batch-bounded incremental
+    // variants: `pruned` is the full duplicate-id set — corpus-scale on
+    // dup-heavy data — and an unconditional hint would collect it on the
+    // driver and OOM at the 100 TB target. AQE broadcasts it at runtime
+    // when the measured size is under the threshold, and shuffles
+    // otherwise; that decision belongs to the stats, not the plan.
     df.select(col(idCol).as("id"))
-      .join(broadcast(pruned), col("id") === col("__pruned_id"), "left")
+      .join(pruned, col("id") === col("__pruned_id"), "left")
       .select(col("id"), col("__pruned_id").isNull.as("kept"))
   }
 

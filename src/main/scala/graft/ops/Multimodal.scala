@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * columns with typed metadata (north-star surface).
   *
   * The Spark-side machinery — schema, partition sizing, batch-shaped
-  * per-partition processing — is real; the codec itself is a
-  * deterministic stand-in (`FakeCodec`) because media libraries aren't in
-  * this container. Swap `FakeCodec.decodeHeader` for a real decoder (or a
-  * `mapInPandas`/`mapInArrow` stage in the Python API) and nothing else
-  * changes.
+  * per-partition processing — is real, and so is HEADER decoding for
+  * actual JPEG files ([[Multimodal.JpegCodec]], a T.81 marker walk over
+  * real magic bytes, fed by the JDK's own JPEG encoder in tests). The
+  * remaining stand-in is pixel-DATA decoding (`FakeCodec` payloads),
+  * because full media codecs aren't in this container. Swap the payload
+  * branch for a real decoder (or a `mapInPandas`/`mapInArrow` stage in
+  * the Python API) and nothing else changes.
   */
 object Multimodal {
 
@@ -51,10 +53,62 @@ object Multimodal {
     }
   }
 
+  /** REAL JPEG header decode (ITU T.81 §B.2, the public interchange
+    * format): walk the marker segments from SOI to the first SOFn frame
+    * header and read the true pixel dimensions. This is an actual-bytes
+    * parser — JFIF and EXIF files both pass through it, because APPn
+    * segments are length-skipped like any other — so the one remaining
+    * stand-in in the multimodal path is pixel DATA decoding (the
+    * entropy-coded scan), not header metadata. Same never-throw policy
+    * as [[FakeCodec]]: anything malformed is None, not an exception. */
+  object JpegCodec {
+    def decodeHeader(bytes: Array[Byte]): Option[(Int, Int)] = {
+      if (bytes == null || bytes.length < 4) return None
+      def u8(i: Int) = bytes(i) & 0xFF
+      def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      if (u8(0) != 0xFF || u8(1) != 0xD8) return None // not SOI
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if (u8(i) != 0xFF) return None // lost marker sync
+        u8(i + 1) match {
+          case 0xFF => i += 1 // fill byte before a marker
+          case m if m == 0x01 || (m >= 0xD0 && m <= 0xD7) =>
+            i += 2 // standalone markers carry no length
+          case 0xDA | 0xD9 => return None // scan data / EOI before any SOF
+          case m =>
+            val len = u16(i + 2)
+            if (len < 2 || i + 2 + len > bytes.length) return None
+            // SOFn = C0..CF minus DHT(C4)/JPG(C8)/DAC(CC); payload is
+            // [precision:1][height:2][width:2][components...]
+            if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+              if (len < 7) return None
+              return Some((u16(i + 7), u16(i + 5)))
+            }
+            i += 2 + len
+        }
+      }
+      None
+    }
+  }
+
+  /** Codec dispatch on real magic bytes: JPEG SOI (FF D8) routes to the
+    * [[JpegCodec]] marker walk, the stand-in magic to [[FakeCodec]].
+    * Returns (codec, width, height). This is the extension seam — a PNG
+    * IHDR or RIFF/WAV branch is one more case with the same shape. */
+  def decodeHeaderAny(bytes: Array[Byte]): Option[(String, Int, Int)] =
+    if (bytes != null && bytes.length >= 2 &&
+        (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
+      JpegCodec.decodeHeader(bytes).map { case (w, h) => ("jpeg", w, h) }
+    else
+      FakeCodec.decodeHeader(bytes).map { case (w, h) => ("grft", w, h) }
+
   /** Decode headers per partition — the batch-shaped processing pattern:
     * one iterator pass per partition, no per-row task overhead, identical
     * shape to an Arrow-batch UDF. Emits (media_id, width, height, n_bytes,
-    * valid). */
+    * valid). Dispatches per blob on REAL magic bytes
+    * ([[decodeHeaderAny]]): actual JPEG files decode their true SOF
+    * dimensions, stand-in blobs their declared ones — one mixed corpus,
+    * one pass. */
   def decodeMeta(spark: SparkSession, media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
@@ -68,8 +122,8 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          FakeCodec.decodeHeader(bytes) match {
-            case Some((w, h)) => Row(id, w, h, bytes.length.toLong, true)
+          decodeHeaderAny(bytes) match {
+            case Some((_, w, h)) => Row(id, w, h, bytes.length.toLong, true)
             case None =>
               Row(id, null, null,
                 if (bytes == null) 0L else bytes.length.toLong, false)
@@ -82,10 +136,11 @@ object Multimodal {
   /** Header decode in PURE Catalyst expressions (no mapPartitions): the
     * 12-byte header is three big-endian int32 fields, readable with
     * substring/hex/conv — fully codegen'd and column-prunable, so a
-    * metadata-only audit never leaves whole-stage codegen. Real codecs
-    * (JPEG/audio frames) need [[decodeMeta]]'s per-partition shape; this
-    * is the fast path for header-level work. Output-identical to
-    * decodeMeta (asserted in MultimodalSpec). */
+    * metadata-only audit never leaves whole-stage codegen. Variable-
+    * length marker formats (JPEG's segment walk) need [[decodeMeta]]'s
+    * per-partition shape; this is the fast path for the fixed-header
+    * stand-in format only. Output-identical to decodeMeta on stand-in
+    * corpora (asserted in MultimodalSpec). */
   def decodeMetaExpr(media: DataFrame): DataFrame = {
     def be32(from: Int) =
       conv(hex(substring(col("content"), from, 4)), 16, 10).cast("long").cast("int")
@@ -155,6 +210,34 @@ object Multimodal {
         }
       }(enc)
       .toDF()
+  }
+
+  /** Deterministic REAL-JPEG media table: `n` images rendered and
+    * JPEG-encoded with the JDK's own ImageIO writer (a true JFIF
+    * encoder — SOI/APP0/DQT/SOF0/DHT/SOS markers, real entropy-coded
+    * data), sized (64+32i) × (48+24i), ids offset by `idBase`. Encoding
+    * runs once on the driver — the blobs are fixture-sized — and gives
+    * [[decodeMeta]]'s JPEG branch actual camera-format bytes to parse
+    * instead of the stand-in header. The declared `meta` carries the
+    * encode-time dimensions, so a decode-vs-declared comparison is an
+    * end-to-end check of the real parser against the real encoder. */
+  def syntheticJpegMedia(spark: SparkSession, n: Int = 3,
+      idBase: Long = 9000000L): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val (w, h) = (64 + 32 * i, 48 + 24 * i)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // deterministic gradient — content doesn't matter, bytes must
+      // just be a real encoder's output
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val bytes = bos.toByteArray
+      Row(idBase + i, bytes, Row("image", w, h, bytes.length.toLong))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), mediaSchema)
   }
 
   /** Build a deterministic media table from the documents table (text

@@ -897,19 +897,40 @@ object Similarity {
       table: String): DataFrame = {
     // bit_xor: order-independent and overflow-free under ANSI mode
     // (a sum of 64-bit hashes overflows); xor of per-id hashes is the
-    // standard multiset fingerprint for append-only id sets
+    // standard multiset fingerprint for append-only id sets. coalesce:
+    // bit_xor over zero rows is null — an empty corpus must fingerprint
+    // to a defined value (and then fail kmeans with its own clear
+    // require), not NPE on getLong.
     val fp = corpus.agg(
       count(lit(1)).as("n"),
-      bit_xor(xxhash64(col(idCol))).as("ck")).head()
+      coalesce(bit_xor(xxhash64(col(idCol))), lit(0L)).as("ck")).head()
     val (n, ck) = (fp.getLong(0), fp.getLong(1))
+    require(n > 0L,
+      s"servedCentroids($table): corpus is empty — nothing to index")
+    // The training hyper-parameters are part of the identity of the
+    // published index: the same corpus served under a different (k,
+    // iters) is a DIFFERENT index, and matching on corpus fingerprint
+    // alone would silently serve the stale geometry. headOption: an
+    // existing-but-empty table is "not fresh" (rebuild), not a
+    // NoSuchElementException.
+    val fpCols = Seq("__corpus_n", "__corpus_ck", "__index_k", "__index_iters")
     val fresh = spark.catalog.tableExists(table) && {
-      val head = spark.table(table).select("__corpus_n", "__corpus_ck").head()
-      head.getLong(0) == n && head.getLong(1) == ck
+      val t = spark.table(table)
+      // A published table missing the fingerprint columns (older index
+      // layout) is simply stale — rebuild, don't throw on the select.
+      fpCols.forall(t.columns.contains) &&
+        t.select(fpCols.map(col): _*)
+          .limit(1).collect().headOption.exists { h =>
+            h.getLong(0) == n && h.getLong(1) == ck &&
+              h.getInt(2) == k && h.getInt(3) == iters
+          }
     }
     if (!fresh) {
       val trained = kmeansCentroids(corpus, vecCol, idCol, k, iters)
         .withColumn("__corpus_n", lit(n))
         .withColumn("__corpus_ck", lit(ck))
+        .withColumn("__index_k", lit(k))
+        .withColumn("__index_iters", lit(iters))
       graft.core.TableStore.overwriteTable(spark, table, trained)
     }
     spark.table(table).select(col("centroid_id"), col("centv"))

@@ -98,6 +98,18 @@ object StreamingQueries {
   val q39MultimodalDecode = GraftQuery(
     "q39_multimodal_decode", { (s, dir) =>
       val media = Multimodal.syntheticMediaFromDocs(Tables.load(s, dir, "documents"))
+      // real-JPEG leg (r12): three ImageIO-encoded JFIF files decode
+      // their TRUE SOF dimensions through the T.81 marker walk; the row
+      // asserts decoded == declared across all of them (jpeg_dims_ok),
+      // so a parser regression flips a visible column, not just a spec
+      val jpeg = Multimodal.syntheticJpegMedia(s, n = 3)
+      val jpegAgg = Multimodal.decodeMeta(s, jpeg)
+        .join(jpeg.select(col("media_id"),
+          col("meta.width").as("dw"), col("meta.height").as("dh")), Seq("media_id"))
+        .agg(count(when(col("valid"), 1)).as("jpeg_valid"),
+          count(when(col("width") === col("dw") &&
+            col("height") === col("dh"), 1)).as("jpeg_dims_ok"),
+          max(col("width")).as("jpeg_max_width"))
       Multimodal.decodeMeta(s, media)
         .agg(count(lit(1)).as("blobs"),
           count(when(col("valid"), 1)).as("valid_blobs"),
@@ -105,6 +117,7 @@ object StreamingQueries {
           max(col("width")).as("max_width"))
         .crossJoin(Multimodal.sampleFrames(s, media, frameBytes = 16, stride = 4)
           .agg(count(lit(1)).as("sampled_frames")))
+        .crossJoin(jpegAgg)
     })
 
   /** Stream-static enrichment join executed by the streaming engine: the

@@ -446,6 +446,186 @@ object TextVectorQueries {
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     })
 
+  /** Violations relation for an ANN result against the exact ranking —
+    * the q101d subset-contract pattern generalized to top-k search, so
+    * the approximate family's guarantees ride the driver's hash gate
+    * (empty relation vs a `WHERE 1=0` oracle) every round instead of
+    * living only in SimilaritySpec. Checks, each tagged by `kind`:
+    *
+    *  - `self_match`   — a query returned itself (always a bug)
+    *  - `dup_neighbor` — the same neighbor twice for one query
+    *  - `rank_shape`   — ranks not dense 1..n, n > k, or reported
+    *                     cosine increasing with rank (rounding is
+    *                     monotone, so non-increasing survives round-6)
+    *  - `cosine_floor` — a returned neighbor's TRUE cosine (every ANN
+    *                     variant here reports candidates re-scored with
+    *                     exact cosine) below the query's k-th exact
+    *                     brute-force cosine minus `eps`: the neighbor is
+    *                     not just missing from the exact top-k, it is
+    *                     WORSE than everything in it by more than the
+    *                     tolerance — a quality cliff recall floors
+    *                     alone cannot see.
+    *
+    * The first three are invariants of the top-k contract (true on any
+    * input); only the floor is empirical, with `eps` pinned per variant
+    * from the measured worst-case gap across the three driver fixtures
+    * (see each query's doc). The k-th-exact side is the bounded brute
+    * leg: |queries|=5 × corpus — the same work q33 already times. */
+  private def annContractViolations(
+      s: SparkSession, dir: String, ann: DataFrame, k: Int,
+      eps: Double): DataFrame = {
+    val e = embeds(s, dir)
+    val kth = Similarity.bruteForceTopK(
+        e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "vec_id", "embedding", k)
+      .groupBy(col("query_id")).agg(min(col("cosine")).as("kth_exact"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
+    val shaped = ann
+      .withColumn("dense", row_number().over(w))
+      .withColumn("prev_cos", lag(col("cosine"), 1).over(w))
+    val selfM = shaped.filter(col("neighbor_id") === col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), lit("self_match").as("kind"))
+    val dups = shaped.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select(col("query_id"), col("neighbor_id"), lit("dup_neighbor").as("kind"))
+    val shape = shaped
+      .filter(col("rnk") =!= col("dense") || col("rnk") > k ||
+        (col("prev_cos").isNotNull && col("cosine") > col("prev_cos")))
+      .select(col("query_id"), col("neighbor_id"), lit("rank_shape").as("kind"))
+    val floor = shaped.join(kth, Seq("query_id"))
+      .filter(col("cosine") < col("kth_exact") - lit(eps))
+      .select(col("query_id"), col("neighbor_id"), lit("cosine_floor").as("kind"))
+    selfM.unionAll(dups).unionAll(shape).unionAll(floor)
+      .orderBy(col("kind"), col("query_id"), col("neighbor_id"))
+  }
+
+  private val annContractOracle =
+    """SELECT CAST(NULL AS BIGINT) AS query_id,
+      CAST(NULL AS BIGINT) AS neighbor_id,
+      CAST(NULL AS VARCHAR) AS kind WHERE 1 = 0"""
+
+  /** Symmetric multiset difference as a violations relation, via
+    * per-row counts and one full-outer join. NOT
+    * `a.exceptAll(b) UNION ALL b.exceptAll(a)`: that plan shape
+    * mis-evaluates on Spark 4.1.2 when both branches reuse the same
+    * non-trivial child plans (observed on the PQ serving legs: each
+    * branch alone counts 0, the union of the two reports every row of
+    * one side; reproduced deterministically, gone under this
+    * formulation — see q35h's doc). The groupBy-count join evaluates
+    * each leg exactly once, carries only (row, count) through the
+    * shuffle, and is the formulation that scales anyway. */
+  private def symmetricDiffViolations(
+      a: DataFrame, b: DataFrame, aOnly: String, bOnly: String,
+      out: Seq[String]): DataFrame = {
+    val cols = a.columns.toSeq
+    val ga = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__ca"))
+    val gb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cb"))
+    ga.join(gb, cols, "full_outer")
+      .filter(coalesce(col("__ca"), lit(0L)) =!= coalesce(col("__cb"), lit(0L)))
+      .withColumn("kind",
+        when(coalesce(col("__ca"), lit(0L)) > coalesce(col("__cb"), lit(0L)),
+          lit(aOnly)).otherwise(lit(bOnly)))
+      .select(out.map(col) :+ col("kind"): _*)
+  }
+
+  /** Sign-LSH ANN contract row (oracle-checked, q101d pattern): the
+    * structural top-k invariants plus the cosine floor at eps = 0.10 —
+    * LSH is the recall-loosest variant here (floor 0.88), and its
+    * returned-but-not-top-k neighbors are still bucket-collision
+    * near-misses, not arbitrary vectors. Measured worst gap below the
+    * k-th exact cosine across the three r12 fixtures: 0.018 / 0.020 /
+    * 0.025 (sf0.001/0.01/0.1) — 4× headroom under the floor. */
+  val q34bAnnLshContract = GraftQuery(
+    "q34b_ann_lsh_contract", { (s, dir) =>
+      val e = embeds(s, dir)
+      annContractViolations(s, dir,
+        Similarity.lshTopK(
+          e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10,
+          planes = 4, tables = 16),
+        k = 10, eps = 0.10)
+    },
+    Some(annContractOracle))
+
+  /** IVF ANN contract row (oracle-checked): recall holds 0.96 at both
+    * fixtures, and probed-cell misses are cell-boundary neighbors —
+    * eps = 0.05. Measured worst gap across the three r12 fixtures:
+    * 0.016 / 0.008 / 0.001 — 3× headroom, tightening with scale. */
+  val q35fAnnIvfContract = GraftQuery(
+    "q35f_ann_ivf_contract", { (s, dir) =>
+      val e = embeds(s, dir)
+      annContractViolations(s, dir,
+        Similarity.ivfTopKCells(
+          e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, cells = 10, nprobe = 8),
+        k = 10, eps = 0.05)
+    },
+    Some(annContractOracle))
+
+  /** IVF-PQ ANN contract row (oracle-checked): the production
+    * composition re-ranks its top-100 ADC candidates with exact cosine
+    * and holds recall 1.000 at both fixtures — eps = 0.05 covers the
+    * coarse-probe miss case without ever tolerating a quality cliff
+    * (measured worst gap ≤ 0.0013 across the three r12 fixtures). */
+  val q35gAnnIvfPqContract = GraftQuery(
+    "q35g_ann_ivfpq_contract", { (s, dir) =>
+      val e = embeds(s, dir)
+      annContractViolations(s, dir,
+        Similarity.ivfPqTopK(
+          e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, cells = 10, nprobe = 8, m = 16, ksub = 32, iters = 2,
+          rerank = 100),
+        k = 10, eps = 0.05)
+    },
+    Some(annContractOracle))
+
+  /** Served-PQ equality contract row (oracle-checked): serving from the
+    * CATALOG-published index must answer IDENTICALLY to querying the
+    * same index in memory — ADC scores depend only on (codes,
+    * codebooks), both persisted losslessly, so the TableStore boundary
+    * is exact, not an empirical floor. The one deliberately-pinned
+    * subtlety: the index is built ONCE and eagerly checkpointed before
+    * it is both published and queried. Comparing two independently
+    * TRAINED indexes instead would not be a storage contract at all —
+    * Lloyd's float averages merge partial aggregates in task-completion
+    * order, so re-evaluating the training subplan inside each
+    * `exceptAll` branch yields low-bit-different codebooks and
+    * boundary-flipped candidate sets (observed: 50/50 rows flagged on a
+    * plan that retrains per branch). The checkpoint pins one index; the
+    * violations then gate exactly what a deployment needs: the
+    * published bytes answer like the in-memory ones. SimilaritySpec
+    * asserts the same through a parquet round-trip; this row pins it
+    * through the driver's hash gate every round. (The symmetric diff is
+    * the count-join formulation — the union-of-exceptAll shape was the
+    * second pinned subtlety: with both branches reusing these exact
+    * child plans it reported all 50 in-memory rows as missing while
+    * each branch alone counted zero. See symmetricDiffViolations.) */
+  val q35hAnnPqServedEquality = GraftQuery(
+    "q35h_ann_pq_served_equality", { (s, dir) =>
+      val e = embeds(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val books = Similarity.pqCodebooks(e, "embedding", "vec_id",
+        m = 16, ksub = 32, iters = 2).localCheckpoint(eager = true)
+      val encoded = Similarity.pqEncode(e, "vec_id", "embedding", books, 16)
+        .localCheckpoint(eager = true)
+      graft.core.TableStore.overwriteTable(s, "default.pq_books_c", books)
+      graft.core.TableStore.overwriteTable(s, "default.pq_codes_c", encoded)
+      val inMem = Similarity.pqTopKEncoded(
+        encoded, books,
+        e, q, "vec_id", "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, rerank = 100)
+      val served = Similarity.pqTopKEncoded(
+        s.table("default.pq_codes_c"), s.table("default.pq_books_c"),
+        e, q, "vec_id", "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, rerank = 100)
+      symmetricDiffViolations(served, inMem, "served_only", "inmem_only",
+          Seq("query_id", "neighbor_id"))
+        .orderBy(col("kind"), col("query_id"), col("neighbor_id"))
+    },
+    Some(annContractOracle))
+
   /** Exact embedding near-dup pairs above a cosine threshold
     * (oracle-checked). Exact all-pairs is the small-sf ORACLE variant
     * only — it is deliberately NOT in the benchmark headline; the benched
@@ -683,6 +863,40 @@ object TextVectorQueries {
         "vec_id", 0.45, cents, probes = 2)
         .orderBy(col("id"))
     })
+
+  /** One-sided-error contract row for the INCREMENTAL blocked path
+    * (oracle-checked, q101d pattern): against a SHARED rep set — the
+    * exact rule's kept seed, the only footing where the subset property
+    * is well-defined — every id the blocked incremental rule prunes
+    * must also be pruned by the exact incremental rule. Blocking may
+    * MISS cross-cell near-duplicates (recall, floor-asserted in
+    * DedupSpec), but a blocked prune is always a real prune: the
+    * emitted violations (blocked-pruned ∧ exact-kept) are the empty
+    * relation, pinned through the driver's hash gate every round. */
+  val q101hIncrSubsetContract = GraftQuery(
+    "q101h_incr_subset_contract", { (s, dir) =>
+      val e = embeds(s, dir)
+      val seed = e.filter(col("vec_id") % 5 =!= 0)
+      val inc = e.filter(col("vec_id") % 5 === 0)
+      val keptRep = seed.join(
+        Dedup.semanticDedup(seed, "embedding", "vec_id", 0.45)
+          .filter(col("kept")).select(col("id")),
+        seed("vec_id") === col("id"))
+        .select(seed("vec_id"), seed("embedding"))
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+        k = 8, iters = 2)
+      val exact = Dedup.semanticDedupIncremental(
+          keptRep, inc, "embedding", "vec_id", 0.45)
+        .select(col("id"), col("kept").as("kept_exact"))
+      Dedup.semanticDedupIncrementalBlocked(
+          keptRep, inc, "embedding", "vec_id", 0.45, cents, probes = 2)
+        .select(col("id"), col("kept").as("kept_blocked"))
+        .join(exact, Seq("id"))
+        .filter(!col("kept_blocked") && col("kept_exact"))
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+    Some("SELECT CAST(NULL AS BIGINT) AS id WHERE 1 = 0"))
 
   /** Substring-level duplicated spans (oracle-checked row for row):
     * every maximal run of token positions whose 5-gram occurs more than
@@ -1063,6 +1277,47 @@ object TextVectorQueries {
         .orderBy(col("centroid_id"))
     })
 
+  /** Diversity-sampling contract row (oracle-checked, q101d pattern) —
+    * the three invariants that make q107 a usable subset-selection
+    * primitive, as a violations relation the driver hash-gates against
+    * the empty oracle:
+    *
+    *  - `over_quota`     — a cell contributed more than perCell docs
+    *  - `nondeterminism` — a second run over the same corpus/centroids
+    *                       disagrees with the first (symmetric diff):
+    *                       a rerun must reproduce the sample bit for bit
+    *  - `bad_cell`       — a sampled row's cell id is not a centroid id
+    *
+    * All three are exact invariants of the operator (hash-ordered
+    * row_number under a fixed quota), not empirical floors. */
+  val q107bDiversityContract = GraftQuery(
+    "q107b_diversity_contract", { (s, dir) =>
+      val e = embeds(s, dir)
+      val cents = Similarity.servedCentroids(s, e, "embedding", "vec_id",
+        k = 8, iters = 2, table = "default.semdedup_centroids")
+      val s1 = Similarity.diversitySample(e, "embedding", "vec_id", cents,
+        perCell = 20)
+      val s2 = Similarity.diversitySample(e, "embedding", "vec_id", cents,
+        perCell = 20)
+      val overQuota = s1.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 20)
+        .select(col("centroid_id").cast("long").as("centroid_id"),
+          lit(null).cast("long").as("id"), lit("over_quota").as("kind"))
+      val nondet = symmetricDiffViolations(s1, s2,
+          "nondeterminism", "nondeterminism", Seq("centroid_id", "id"))
+        .select(col("centroid_id").cast("long"), col("id").cast("long"),
+          col("kind"))
+      val badCell = s1.join(cents.select(col("centroid_id")),
+          Seq("centroid_id"), "left_anti")
+        .select(col("centroid_id").cast("long"), col("id").cast("long"),
+          lit("bad_cell").as("kind"))
+      overQuota.unionAll(nondet).unionAll(badCell)
+        .orderBy(col("kind"), col("centroid_id"), col("id"))
+    },
+    Some("""SELECT CAST(NULL AS BIGINT) AS centroid_id,
+      CAST(NULL AS BIGINT) AS id,
+      CAST(NULL AS VARCHAR) AS kind WHERE 1 = 0"""))
+
   /** Leakage-safe train/test split (oracle-checked): assign whole
     * near-duplicate CLUSTERS to splits — the component root's hash, not
     * the document's — so no near-dup pair ever straddles train/test.
@@ -1372,12 +1627,17 @@ object TextVectorQueries {
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q29Fingerprint,
     q30MinhashNearDup, q31SimhashNearDup, q32NgramJaccard, q33AnnBrute,
-    q33bAnnBrutePartial, q34AnnLsh, q35AnnIvf, q35bAnnPq, q35cAnnPqIndex,
-    q35dAnnIvfPq, q35eAnnIvfPqUpsert, q36EmbedNearDup,
+    q33bAnnBrutePartial, q34AnnLsh, q34bAnnLshContract, q35AnnIvf,
+    q35bAnnPq, q35cAnnPqIndex, q35dAnnIvfPq, q35eAnnIvfPqUpsert,
+    q35fAnnIvfContract, q35gAnnIvfPqContract, q35hAnnPqServedEquality,
+    q36EmbedNearDup,
     q36bEmbedNearDupLsh, q36cEmbedNearDupLsh08,
     q101SemanticDedup, q101bSemanticDedupBlocked, q101cSemanticDedupIndex,
     q101dSemanticSubsetContract, q101eSemanticDedupIncremental,
-    q101fSemanticDedupIncrementalBlocked, q104DuplicatedSpans,
+    q101fSemanticDedupIncrementalBlocked, q101hIncrSubsetContract,
+    q104DuplicatedSpans,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank,
-    q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf, q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit, q107DiversitySample)
+    q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf,
+    q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
+    q107DiversitySample, q107bDiversityContract)
 }

@@ -57,15 +57,25 @@ object EventPipeline {
       maxFilesPerTrigger: Option[Int] = None,
       schema: StructType = null): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val phys = inferEventSchema(spark, dir, glob)
-    val sch = Option(schema).getOrElse(phys)
+    // Footer inference is a batch read of the directory, so it is only
+    // unconditional when the caller asked for it (schema == null). With
+    // a pinned schema the stream must be able to start on an EMPTY
+    // directory — the normal state for the Kafka-topic stand-in before
+    // the first file lands — so inference failure there falls back to
+    // the pinned wire contract and the vintage guard is deferred until
+    // files exist (the guard below still fires on every non-empty dir).
+    val physOpt: Option[StructType] =
+      if (schema == null) Some(inferEventSchema(spark, dir, glob))
+      else scala.util.Try(inferEventSchema(spark, dir, glob)).toOption
+    val sch = Option(schema).orElse(physOpt).get
     // Vintage guard (the r10 failure mode): schema-on-read over a
     // mismatched physical ts encoding does not fail — it silently
     // divides an already-micros value by 1000 and collapses the
     // timeline 1000×. A pinned schema must agree with the footers on
     // WHICH vintage the directory carries; cross-vintage reads throw
     // here, before the stream starts, never return corrupt rows.
-    if (sch.fieldNames.contains("ts") && phys.fieldNames.contains("ts")) {
+    for (phys <- physOpt
+         if sch.fieldNames.contains("ts") && phys.fieldNames.contains("ts")) {
       val (want, have) = (sch("ts").dataType, phys("ts").dataType)
       require((want == LongType) == (have == LongType),
         s"events ts vintage mismatch: pinned schema declares $want but the " +

@@ -84,6 +84,36 @@ class DataContractSpec extends SparkTestBase {
     assert(e2.getMessage.contains("vintage mismatch"))
   }
 
+  test("pinned-schema stream starts on an empty directory, then adopts the first file") {
+    // the normal state for the Kafka-topic stand-in before the first
+    // file lands: a pinned wire contract must let the stream START on an
+    // empty dir (no footer to infer), and the vintage guard defers until
+    // files exist rather than failing stream-start with AnalysisException
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_stream")
+    val sink = s"t_empty_${System.nanoTime()}"
+    val q = EventPipeline.readEventStream(spark, dir.toString,
+        schema = EventPipeline.eventSchema)
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 0L, "empty dir streams zero rows")
+      val staged = EventPipeline.stageAsStreamDir(
+        Tables.load(spark, sfDir, "events").limit(5))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(staged, "events.parquet"),
+        dir.resolve("events.parquet"))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 5L,
+        "rows from the first landed file flow through the pinned contract")
+    } finally q.stop()
+    // schema=null on an empty dir still fails (nothing to infer a
+    // schema from) — only the pinned-contract path gained the fallback
+    intercept[Exception] {
+      val d2 = java.nio.file.Files.createTempDirectory("graft_empty2")
+      EventPipeline.readEventStream(spark, d2.toString)
+    }
+  }
+
   test("explicit legacy wire schema still decodes staged fixtures") {
     val native = Tables.load(spark, sfDir, "events")
     val staged = EventPipeline.stageAsStreamDir(native)

@@ -20,6 +20,48 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.FakeCodec.decodeHeader(null) === None)
   }
 
+  test("real JPEG fixture: the T.81 marker walk decodes the encoder's true dimensions") {
+    // a REAL JFIF file from the JDK's own JPEG encoder — SOI/APP0/DQT/
+    // SOF0/DHT/SOS markers and entropy-coded data, not the stand-in
+    val img = new java.awt.image.BufferedImage(
+      37, 23, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val bytes = bos.toByteArray
+    assert((bytes(0) & 0xFF) === 0xFF && (bytes(1) & 0xFF) === 0xD8,
+      "ImageIO must have produced a real SOI header")
+    assert(Multimodal.JpegCodec.decodeHeader(bytes) === Some((37, 23)))
+    assert(Multimodal.decodeHeaderAny(bytes) === Some(("jpeg", 37, 23)))
+    // malformed variants: truncated mid-segment, bad SOI, scan-before-
+    // SOF — all None, never a throw
+    assert(Multimodal.JpegCodec.decodeHeader(bytes.take(6)) === None)
+    assert(Multimodal.JpegCodec.decodeHeader(
+      Array[Byte](0x12, 0x34, 0x56, 0x78)) === None)
+    assert(Multimodal.JpegCodec.decodeHeader(
+      Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)) === None)
+    assert(Multimodal.JpegCodec.decodeHeader(null) === None)
+    // stand-in blobs still route to FakeCodec through the dispatcher
+    val grft = Multimodal.FakeCodec.encode(640, 480, Array[Byte](1, 2))
+    assert(Multimodal.decodeHeaderAny(grft) === Some(("grft", 640, 480)))
+  }
+
+  test("decodeMeta over a mixed real-JPEG + stand-in corpus decodes both, dims exact") {
+    val jpeg = Multimodal.syntheticJpegMedia(spark, n = 3)
+    val mixed = media.limit(5).unionByName(jpeg)
+    val decoded = Multimodal.decodeMeta(spark, mixed)
+    assert(decoded.filter(!col("valid")).count() === 0L)
+    val mismatches = decoded.join(mixed, Seq("media_id"))
+      .filter(col("width") =!= col("meta.width") ||
+        col("height") =!= col("meta.height")).count()
+    assert(mismatches === 0L,
+      "decoded dims must equal encode-time dims for BOTH codecs")
+    // the JPEG rows specifically: 64x48, 96x72, 128x96
+    val j = decoded.filter(col("media_id") >= 9000000L)
+      .orderBy(col("media_id")).collect()
+    assert(j.map(r => (r.getInt(1), r.getInt(2))).toSeq ===
+      Seq((64, 48), (96, 72), (128, 96)))
+  }
+
   test("decodeMeta: every synthesized blob decodes valid with the declared dims") {
     val decoded = Multimodal.decodeMeta(spark, media).cache()
     assert(decoded.count() === media.count())

@@ -476,4 +476,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(newFp.getLong(0) === fp.getLong(0) - 1)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("served centroid index: hyper-parameter drift retrains; degenerate inputs are clean") {
+    val tbl = "default.t_served_cents_hp"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val first = Similarity.servedCentroids(spark, embeds, "embedding",
+      "vec_id", k = 4, iters = 2, table = tbl)
+    assert(first.count() === 4L)
+    // same corpus, different k: the fingerprint now carries (k, iters),
+    // so the call must retrain to the requested geometry instead of
+    // silently serving the k=4 index
+    val rek = Similarity.servedCentroids(spark, embeds, "embedding",
+      "vec_id", k = 6, iters = 2, table = tbl)
+    assert(rek.count() === 6L,
+      "k drift against the same corpus must retrain, not serve stale geometry")
+    // same for iters: poison the table, then request different iters —
+    // a retrain (not a serve) wipes the poison
+    graft.core.TableStore.publishTable(spark, tbl,
+      spark.table(tbl).withColumn("centroid_id", col("centroid_id") + 100))
+    val reit = Similarity.servedCentroids(spark, embeds, "embedding",
+      "vec_id", k = 6, iters = 3, table = tbl)
+    assert(reit.select(min("centroid_id")).head().getInt(0) === 0,
+      "iters drift must retrain")
+    // an existing-but-EMPTY published table is stale -> rebuild, never
+    // NoSuchElementException from head()
+    graft.core.TableStore.publishTable(spark, tbl,
+      spark.table(tbl).filter(lit(false)))
+    val rebuilt = Similarity.servedCentroids(spark, embeds, "embedding",
+      "vec_id", k = 4, iters = 2, table = tbl)
+    assert(rebuilt.count() === 4L, "empty published table must trigger rebuild")
+    // an empty CORPUS fails with the named require, not an NPE from
+    // bit_xor-over-zero-rows yielding null
+    val e = intercept[IllegalArgumentException] {
+      Similarity.servedCentroids(spark, embeds.filter(lit(false)),
+        "embedding", "vec_id", k = 4, iters = 2, table = tbl)
+    }
+    assert(e.getMessage.contains("corpus is empty"))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }

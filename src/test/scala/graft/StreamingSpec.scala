@@ -1194,6 +1194,47 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming semantic-dedup sink telemetry: per-batch stats account for every row and the landed total") {
+    import graft.ops.{Dedup, Similarity}
+    import graft.streaming.CurationStream
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val seed = e.filter(col("vec_id") % 5 =!= 0)
+    val inc = e.filter(col("vec_id") % 5 === 0)
+    val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = 8, iters = 2).localCheckpoint(eager = true)
+    val keptSeed = seed.join(
+      Dedup.semanticDedupBlocked(seed, "embedding", "vec_id", 0.45,
+        cents, probes = 2)
+        .filter(col("kept")).select(col("id")),
+      seed("vec_id") === col("id"))
+      .select(seed.columns.map(seed(_)).toIndexedSeq: _*)
+      .localCheckpoint(eager = true)
+    val tbl = "default.t_sem_stats"
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.core.TableStore.overwriteTable(spark, tbl, keptSeed)
+      val before = spark.table(tbl).count()
+      val dir = CurationStream.stageEmbeddings(inc, parts = 3)
+      val stats = CurationStream.runSemanticDedupSinkWithStats(
+        spark, dir, tbl, cents, threshold = 0.45, probes = 2)
+      assert(stats.map(_.batchId) === stats.map(_.batchId).sorted,
+        "stats must come back in batch order")
+      assert(stats.length === 3)
+      // conservation: every incoming row is attributed to exactly one
+      // batch, and the landed total is exactly the per-batch kept sum
+      assert(stats.map(_.batchRows).sum === inc.count())
+      assert(spark.table(tbl).count() - before === stats.map(_.keptRows).sum)
+      stats.foreach { s =>
+        assert(s.keptRows <= s.batchRows, s"batch ${s.batchId} kept > arrived")
+        assert(s.vetSec > 0.0)
+      }
+      // floor: the fixture's crawl batches always contain novel rows —
+      // a zero-kept run means the vet is over-pruning (quality drift
+      // the bench artifact now tracks per round)
+      assert(stats.map(_.keptRows).sum > 0L, "sink kept nothing — vet drift")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("streaming semantic-dedup sink resumes from its checkpoint: only new files are vetted") {
     import graft.ops.Similarity
     import graft.streaming.CurationStream
