@@ -118,7 +118,28 @@ object StreamingQueries {
         .crossJoin(Multimodal.sampleFrames(s, media, frameBytes = 16, stride = 4)
           .agg(count(lit(1)).as("sampled_frames")))
         .crossJoin(jpegAgg)
-    })
+    },
+    // Full DuckDB oracle (r12 — was rows-only): every output is
+    // deterministic from the documents table plus the codec contracts.
+    // The synthetic blobs carry a 12-byte header + UTF-8 text payload
+    // (n_bytes = strlen + 12; strlen in DuckDB is BYTE length, matching
+    // the JVM's encoded array), widths/heights are the declared
+    // doc_id-modulo formulas, frame sampling yields ceil(bytes/64)
+    // frames per blob, and the three ImageIO JPEG fixtures decode valid
+    // with their encode-time dims (64/96/128 wide) — so the oracle
+    // re-derives the whole summary row without ever seeing a blob,
+    // which is exactly what makes the binary plumbing auditable.
+    Some("""SELECT count(*) AS blobs,
+        count(*) AS valid_blobs,
+        CAST(sum(strlen(text) + 12) AS BIGINT) AS total_bytes,
+        CAST(max(doc_id % 1920 + 1) AS INTEGER) AS max_width,
+        CAST(sum(CASE WHEN strlen(text) > 0
+          THEN (strlen(text) + 63) // 64 ELSE 0 END) AS BIGINT)
+          AS sampled_frames,
+        CAST(3 AS BIGINT) AS jpeg_valid,
+        CAST(3 AS BIGINT) AS jpeg_dims_ok,
+        CAST(128 AS INTEGER) AS jpeg_max_width
+      FROM documents"""))
 
   /** Stream-static enrichment join executed by the streaming engine: the
     * event stream joins a STATIC per-user dimension (order counts) that

@@ -626,6 +626,45 @@ object TextVectorQueries {
     },
     Some(annContractOracle))
 
+  /** Incremental-index equality contract row (oracle-checked): serving
+    * from the SEEDED-then-UPSERTED IVF-PQ index must answer identically
+    * to serving from a DIRECT full encode of the same corpus against
+    * the same frozen model — the q35e lifecycle's core guarantee
+    * (fold-in loses nothing, rewrites only touched cells), promoted
+    * from SimilaritySpec to the driver's hash gate. Both legs read the
+    * seed-trained centroid/codebook tables published once by
+    * ivfPqSeedIndex, so the comparison is deterministic: same model,
+    * same ADC arithmetic, same exact re-rank — any surviving diff means
+    * the upsert path dropped, duplicated, or mis-celled a vector. */
+  val q35iUpsertEqualityContract = GraftQuery(
+    "q35i_upsert_equality_contract", { (s, dir) =>
+      val e = embeds(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val table =
+        s"ivfpq_ctr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      try {
+        Similarity.ivfPqSeedIndex(s, table,
+          e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding")
+        Similarity.ivfPqUpsertIndex(s, table,
+          e.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+          assumeNewIds = true)
+        val upserted = Similarity.ivfPqServeIndexed(s, table,
+          e, q, "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        val direct = Similarity.ivfPqTopKEncoded(
+          Similarity.ivfPqIndex(e, "vec_id", "embedding",
+            s.table(s"${table}__centroids"), s.table(s"${table}__codebooks")),
+          s.table(s"${table}__codebooks"), s.table(s"${table}__centroids"),
+          e, q, "vec_id", "vec_id", "embedding", "vec_id", "embedding",
+          k = 10)
+        symmetricDiffViolations(upserted, direct,
+            "upserted_only", "direct_only", Seq("query_id", "neighbor_id"))
+          .orderBy(col("kind"), col("query_id"), col("neighbor_id"))
+          .localCheckpoint(eager = true)
+      } finally Seq(table, s"${table}__centroids", s"${table}__codebooks")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    },
+    Some(annContractOracle))
+
   /** Exact embedding near-dup pairs above a cosine threshold
     * (oracle-checked). Exact all-pairs is the small-sf ORACLE variant
     * only — it is deliberately NOT in the benchmark headline; the benched
@@ -707,6 +746,30 @@ object TextVectorQueries {
         count(when(col("id_b") === col("id_a") + 1000000L, 1)).as("true_pairs"),
         round(avg(col("cosine")), 4).as("avg_cosine"))
     })
+
+  /** LSH-pair subset contract row (oracle-checked, q101d pattern):
+    * every pair the bucketed sign-LSH path emits must appear in the
+    * exact all-pairs relation at the same threshold, with the same
+    * rounded cosine — LSH has one-sided error by construction (bucket
+    * collision only PRUNES candidates; survivors are verified with the
+    * exact kernel), so the violations relation is empty. What this pins
+    * beyond DedupSpec's recall floor: both paths normalize, score, and
+    * round identically — a drift in either implementation (a changed
+    * rounding, a skipped normalization) surfaces as a hash failure in
+    * the driver's gate, not just a slightly-off recall number. */
+  val q36dLshSubsetContract = GraftQuery(
+    "q36d_lsh_subset_contract", { (s, dir) =>
+      val corpus = embedNearDupCorpus(s, dir)
+      val lsh = Dedup.embeddingNearDups(corpus,
+        "embedding", "vec_id", threshold = 0.98, planes = 8, tables = 8)
+      val exact = Dedup.exactEmbeddingPairs(corpus,
+        "embedding", "vec_id", threshold = 0.98)
+      lsh.join(exact, Seq("id_a", "id_b", "cosine"), "left_anti")
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""SELECT CAST(NULL AS BIGINT) AS id_a,
+      CAST(NULL AS BIGINT) AS id_b WHERE 1 = 0"""))
 
   /** SemDeDup semantic dedup, exact variant (oracle-checked): per-doc
     * (id, kept) under the deterministic min-id-representative rule — a
@@ -1630,8 +1693,8 @@ object TextVectorQueries {
     q33bAnnBrutePartial, q34AnnLsh, q34bAnnLshContract, q35AnnIvf,
     q35bAnnPq, q35cAnnPqIndex, q35dAnnIvfPq, q35eAnnIvfPqUpsert,
     q35fAnnIvfContract, q35gAnnIvfPqContract, q35hAnnPqServedEquality,
-    q36EmbedNearDup,
-    q36bEmbedNearDupLsh, q36cEmbedNearDupLsh08,
+    q35iUpsertEqualityContract, q36EmbedNearDup,
+    q36bEmbedNearDupLsh, q36cEmbedNearDupLsh08, q36dLshSubsetContract,
     q101SemanticDedup, q101bSemanticDedupBlocked, q101cSemanticDedupIndex,
     q101dSemanticSubsetContract, q101eSemanticDedupIncremental,
     q101fSemanticDedupIncrementalBlocked, q101hIncrSubsetContract,
