@@ -398,10 +398,67 @@ object StreamingQueries {
         .localCheckpoint(eager = true)
     })
 
+  /** Fold-equality contract row for the streaming semantic-dedup sink
+    * (oracle-checked, q101d pattern): the micro-batched sink's landed
+    * corpus must be multiset-identical to a MANUAL sequential fold of
+    * vetBatch over the same staged files in the same (mtime) order —
+    * the equivalence StreamingSpec asserts, promoted into the driver's
+    * hash gate so engine-level drift (a reordered micro-batch, a
+    * dropped append, a vet that silently sees a stale table snapshot)
+    * fails CORRECTNESS, not just a locally-run suite. Both runs start
+    * from the same blocked-kept seed and the same served centroids;
+    * violations carry which side over-landed. */
+  val q101iStreamFoldContract = GraftQuery(
+    "q101i_stream_fold_contract", { (s, dir) =>
+      import graft.ops.{Dedup, Similarity}
+      import graft.streaming.CurationStream
+      val e = Tables.load(s, dir, "embeddings")
+      val seed = e.filter(col("vec_id") % 5 =!= 0)
+      val inc = e.filter(col("vec_id") % 5 === 0)
+      val cents = Similarity.servedCentroids(s, e, "embedding", "vec_id",
+        k = 8, iters = 2, table = "default.semdedup_centroids")
+        .localCheckpoint(eager = true)
+      val keptSeed = seed.join(
+        Dedup.semanticDedupBlocked(seed, "embedding", "vec_id", 0.45,
+          cents, probes = 2)
+          .filter(col("kept")).select(col("id")),
+        seed("vec_id") === col("id"))
+        .select(seed.columns.map(seed(_)).toIndexedSeq: _*)
+        .localCheckpoint(eager = true)
+      val streamTbl = "default.semdedup_contract_stream"
+      val foldTbl = "default.semdedup_contract_fold"
+      try {
+        val staged = CurationStream.stageEmbeddings(inc, parts = 3)
+        s.sql(s"DROP TABLE IF EXISTS $streamTbl")
+        graft.core.TableStore.overwriteTable(s, streamTbl, keptSeed)
+        CurationStream.runSemanticDedupSink(s, staged, streamTbl, cents,
+          threshold = 0.45, probes = 2)
+        s.sql(s"DROP TABLE IF EXISTS $foldTbl")
+        graft.core.TableStore.overwriteTable(s, foldTbl, keptSeed)
+        for (i <- 0 until 3) {
+          val b = s.read.parquet(s"$staged/emb_$i.parquet")
+          CurationStream.vetBatch(s, foldTbl, b, cents,
+              threshold = 0.45, probes = 2)
+            .write.mode("append").insertInto(foldTbl)
+        }
+        TextVectorQueries.symmetricDiffViolations(
+            s.table(streamTbl).select(col("vec_id").as("id")),
+            s.table(foldTbl).select(col("vec_id").as("id")),
+            "stream_only", "fold_only", Seq("id"))
+          .orderBy(col("kind"), col("id"))
+          .localCheckpoint(eager = true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $streamTbl")
+        s.sql(s"DROP TABLE IF EXISTS $foldTbl")
+      }
+    },
+    Some("""SELECT CAST(NULL AS BIGINT) AS id,
+      CAST(NULL AS VARCHAR) AS kind WHERE 1 = 0"""))
+
   val all: Seq[GraftQuery] = Seq(
     q37StreamTumbling, q38StreamSessions, q39MultimodalDecode,
     q44StreamStaticJoin, q45StreamDedup, q46StreamState, q63StreamStreamJoin,
     q86StreamSliding, q87StreamUpsertSink, q87bStreamUpsertPartitioned,
     q87cStreamUpsertVersioned, q98StreamDecontaminate,
-    q101gStreamSemanticDedup)
+    q101gStreamSemanticDedup, q101iStreamFoldContract)
 }

@@ -228,6 +228,83 @@ object TextVectorQueries {
         round(avg(col("hamming")), 4).as("avg_hamming"))
     })
 
+  /** Precision contract row for MinHash-LSH (oracle-checked, q101d
+    * pattern): every pair q30's pipeline reports must (a) be ordered
+    * id_a < id_b, (b) carry a Jaccard that an INDEPENDENT recompute
+    * reproduces — explode-distinct shingles, count shared hashes, and
+    * derive |A∪B| = |A|+|B|−|A∩B|, never touching array_intersect /
+    * array_union — and (c) clear the declared threshold. Recall is NOT
+    * contractible for MinHash (banding keeps a borderline pair only
+    * probabilistically; the floor lives in DedupSpec); precision is:
+    * the verify step makes every emitted pair an exact claim, and this
+    * row pins the claim through the driver's hash gate. Violations are
+    * the empty relation; cost is linear in reported pairs × shingles
+    * (the pair relation re-joins the exploded shingle table on
+    * (id, hash) — the same broadcast-friendly shape as the verify). */
+  val q30bMinhashPrecisionContract = GraftQuery(
+    "q30b_minhash_precision_contract", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      val shingled = corpus
+        .select(col("doc_id"),
+          array_distinct(TextAnalysis.shingleSet(col("text"), 3)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sizes = shingled.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val exploded = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
+      val inter = pairs.select(col("id_a"), col("id_b"))
+        .join(exploded.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
+        .join(exploded.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      pairs
+        .join(inter, Seq("id_a", "id_b"), "left_outer")
+        .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+        .withColumn("j2", round(
+          coalesce(col("n_inter"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))), 6))
+        .filter(col("id_a") >= col("id_b") ||
+          col("j2") =!= col("jaccard") || col("j2") < 0.5)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""SELECT CAST(NULL AS BIGINT) AS id_a,
+      CAST(NULL AS BIGINT) AS id_b WHERE 1 = 0"""))
+
+  /** EQUALITY contract row for SimHash banding (oracle-checked): the
+    * banded pipeline's pair set must equal the exact all-pairs
+    * hamming ≤ 3 relation — both directions, as one violations query.
+    * This is the rare approximate op with a DETERMINISTIC completeness
+    * guarantee: 3 differing bits cannot touch all 4 of the 16-bit
+    * bands (pigeonhole), so every qualifying pair shares a band and
+    * survives candidate generation, and the verify filter makes
+    * precision exact. The exact side is the O(n²) oracle twin
+    * (q101-style, 16 bytes/row through a broadcast nested-loop) —
+    * the ANCHOR, never the scale path; the banded side is what runs
+    * at 100 TB. */
+  val q31bSimhashEqualityContract = GraftQuery(
+    "q31b_simhash_equality_contract", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val banded = Dedup.simhashNearDups(corpus, "text", "doc_id",
+        maxHamming = 3)
+      val sims = corpus.select(col("doc_id"),
+        Dedup.simhash64(col("text")).as("sim"))
+      val exact = sims.select(col("doc_id").as("id_a"), col("sim").as("sa"))
+        .join(broadcast(
+          sims.select(col("doc_id").as("id_b"), col("sim").as("sb"))),
+          col("id_a") < col("id_b"))
+        .withColumn("hamming", Dedup.hamming64(col("sa"), col("sb")))
+        .filter(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+      symmetricDiffViolations(banded, exact,
+        "banded_only", "exact_only", Seq("id_a", "id_b"))
+        .orderBy(col("kind"), col("id_a"), col("id_b"))
+    },
+    Some("""SELECT CAST(NULL AS BIGINT) AS id_a,
+      CAST(NULL AS BIGINT) AS id_b,
+      CAST(NULL AS VARCHAR) AS kind WHERE 1 = 0"""))
+
   /** Exact n-gram Jaccard over the known dup pairs, oracle-checked:
     * Jaccard over hashed shingles equals Jaccard over the shingle STRINGS
     * (64-bit collisions aside), so the oracle rebuilds the string shingle
@@ -514,7 +591,7 @@ object TextVectorQueries {
     * formulation — see q35h's doc). The groupBy-count join evaluates
     * each leg exactly once, carries only (row, count) through the
     * shuffle, and is the formulation that scales anyway. */
-  private def symmetricDiffViolations(
+  private[graft] def symmetricDiffViolations(
       a: DataFrame, b: DataFrame, aOnly: String, bOnly: String,
       out: Seq[String]): DataFrame = {
     val cols = a.columns.toSeq
@@ -1219,6 +1296,31 @@ object TextVectorQueries {
         .orderBy(col("query_id"), col("rnk"))
     })
 
+  /** Contract row for the TRAINED-centroid IVF (oracle-checked, q101d
+    * pattern): q65's output under the same structural invariants as the
+    * q34b/q35f/q35g family — no self-match, no duplicate neighbor,
+    * dense monotone ranks — plus the cosine floor at eps = 0.05.
+    * Trained centroids place the inverted lists better than the
+    * data-point seeds, so this is the TIGHTEST floor of the IVF family:
+    * measured worst gap below the k-th exact cosine across the three
+    * driver fixtures is 0.0 (the trained index returns the exact
+    * top-10 at every SF — DedupSpec's recall telemetry reads 1.00);
+    * eps = 0.05 leaves the same relative headroom the rest of the
+    * family carries. */
+  val q65bIvfTrainedContract = GraftQuery(
+    "q65b_ivf_trained_contract", { (s, dir) =>
+      val e = embeds(s, dir)
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+        k = 10, iters = 4)
+      annContractViolations(s, dir,
+        Similarity.ivfTopKWithCentroids(
+          e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding",
+          cents, k = 10, nprobe = 6),
+        k = 10, eps = 0.05)
+    },
+    Some(annContractOracle))
+
   /** Unigram log-probability scoring — the statistical quality filter
     * (CCNet/C4-style): each document scores the mean ln-probability of
     * its tokens under the corpus unigram distribution; gibberish and
@@ -1689,7 +1791,8 @@ object TextVectorQueries {
   val all: Seq[GraftQuery] = Seq(
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q29Fingerprint,
-    q30MinhashNearDup, q31SimhashNearDup, q32NgramJaccard, q33AnnBrute,
+    q30MinhashNearDup, q30bMinhashPrecisionContract, q31SimhashNearDup,
+    q31bSimhashEqualityContract, q32NgramJaccard, q33AnnBrute,
     q33bAnnBrutePartial, q34AnnLsh, q34bAnnLshContract, q35AnnIvf,
     q35bAnnPq, q35cAnnPqIndex, q35dAnnIvfPq, q35eAnnIvfPqUpsert,
     q35fAnnIvfContract, q35gAnnIvfPqContract, q35hAnnPqServedEquality,
@@ -1699,7 +1802,8 @@ object TextVectorQueries {
     q101dSemanticSubsetContract, q101eSemanticDedupIncremental,
     q101fSemanticDedupIncrementalBlocked, q101hIncrSubsetContract,
     q104DuplicatedSpans,
-    q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained, q69TfidfRerank,
+    q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained,
+    q65bIvfTrainedContract, q69TfidfRerank,
     q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf,
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
     q107DiversitySample, q107bDiversityContract)

@@ -353,6 +353,18 @@ class DedupSpec extends SparkTestBase {
     e.unpersist()
   }
 
+  test("round-12 contract rows (q30b/q31b/q65b) are empty at the test SF") {
+    // the same violations relations the driver hash-gates every round,
+    // run locally so a regression fails the suite before it reaches
+    // CORRECTNESS: minhash precision, simhash banding equality (the
+    // pigeonhole guarantee), trained-IVF top-k invariants + floor
+    for (q <- Seq("q30b_minhash_precision_contract",
+        "q31b_simhash_equality_contract", "q65b_ivf_trained_contract")) {
+      val rows = SparkEntry.queries(q)(spark, sfDir).count()
+      assert(rows === 0L, s"$q reported $rows violations")
+    }
+  }
+
   test("fingerprint collides for identical text, is order-of-magnitude stable") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),

@@ -1268,4 +1268,11 @@ class StreamingSpec extends SparkTestBase {
         "the new file's survivors must land on resume")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("q101i stream-fold contract row is empty at the test SF") {
+    // the registered violations query the driver hash-gates: streaming
+    // sink multiset-equals the manual vetBatch fold over the same files
+    assert(SparkEntry.queries("q101i_stream_fold_contract")(
+      spark, sfDir).count() === 0L)
+  }
 }
