@@ -64,6 +64,10 @@ object SparkEntry {
     // family; the served-ANN twin q105c is correctness-gated instead
     // (its PQ build would dominate the timing, the q35b/q35d rationale)
     "q105_hybrid_rrf",
+    // round-12: bigram-LM perplexity bucketing, timed via the
+    // threshold scale path (no per-language global sort — the exact
+    // ntile twin q108 is the oracle anchor, not the timed row)
+    "q108b_perplexity_thresholds",
     // the one two-source join in the pharma family (meds ⋈ labs via the
     // managed catalog) — cheap, but it keeps the S8 ingestion edge and
     // the catalog round-trip inside the per-round timing surface

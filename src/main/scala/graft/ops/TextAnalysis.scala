@@ -42,8 +42,17 @@ object TextAnalysis {
   def whitespaceRatio(text: Column): Column =
     length(regexp_replace(text, "[^\\s]", "")) / greatest(length(text), lit(1))
 
-  def meanWordLength(text: Column): Column = {
-    val ts = tokens(text)
+  /** Interpreted-HOF let binding: evaluate `v` ONCE per row and hand the
+    * bound value to `body` as a lambda variable (a slot read). A Column
+    * is a TREE — every reference re-evaluates it, and inside
+    * higher-order-function lambdas (which run interpreted, beyond
+    * codegen CSE) a repeated tokenizer tree re-runs per ELEMENT,
+    * turning linear per-row ops quadratic in document length. The
+    * 1-element transform is the cheapest expressible let. */
+  private def bind(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
+  def meanWordLength(text: Column): Column = bind(tokens(text)) { ts =>
     aggregate(ts, lit(0L), (acc, t) => acc + length(t)) /
       greatest(size(ts), lit(1)).cast("double")
   }
@@ -54,11 +63,11 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "by", "at", "it", "this", "that", "from")
 
-  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
-    val ts = tokens(lower(text))
-    size(filter(ts, t => t.isInCollection(stopwords))) /
-      greatest(size(ts), lit(1)).cast("double")
-  }
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    bind(tokens(lower(text))) { ts =>
+      size(filter(ts, t => t.isInCollection(stopwords))) /
+        greatest(size(ts), lit(1)).cast("double")
+    }
 
   /** Composite document quality score in [0,1] — the Gopher/C4-style
     * heuristic family: penalize too-short/too-long docs, excessive
@@ -91,8 +100,7 @@ object TextAnalysis {
   /** Language ID: score = marker-token hit ratio per language; argmax with
     * a deterministic tie-break on language code. Returns "und" when no
     * profile scores above zero. One narrow projection — no shuffle. */
-  def langId(text: Column): Column = {
-    val ts = tokens(lower(text))
+  def langId(text: Column): Column = bind(tokens(lower(text))) { ts =>
     val denom = greatest(size(ts), lit(1)).cast("double")
     // (score, pref, lang) structs compared lexicographically by
     // greatest(): max score wins; on equal score the higher `pref` wins,
@@ -126,19 +134,80 @@ object TextAnalysis {
       transform(tokens(text), t => xxhash64(t)), k)
 
   /** Token bigrams as strings; empty array below 2 tokens (sequence()
-    * would count DOWN for stop < start, so the guard is mandatory). */
-  def bigrams(text: Column): Column = {
-    val ts = tokens(text)
+    * would count DOWN for stop < start, so the guard is mandatory).
+    *
+    * PERF: pass a MATERIALIZED token-array column (an attribute bound
+    * by an earlier projection), not `tokens(text)` directly — HOF
+    * lambdas evaluate interpreted, so an embedded tokenizer tree
+    * re-runs once per element and turns the builder quadratic in
+    * document length (measured 14 µs/bigram vs sub-µs with a bound
+    * array; the q108 profile). [[bigrams]] keeps the convenient
+    * text-typed signature for per-row consumers that fold the result
+    * immediately (topBigramFraction's single aggregate). */
+  def bigramsOf(ts: Column): Column =
     when(size(ts) >= 2,
       transform(sequence(lit(1), size(ts) - 1),
         i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
       .otherwise(array().cast("array<string>"))
+
+  def bigrams(text: Column): Column = bigramsOf(tokens(text))
+
+  /** Add-k-smoothed bigram language model perplexity per document —
+    * the CCNet-style statistical quality signal one level up from the
+    * unigram scorer (q89): P(w2|w1) = (c(w1 w2) + k) / (c(w1·) + k·V)
+    * with c(w1·) the bigram-PREFIX count and V the corpus vocabulary;
+    * ppl = exp(−mean ln P) over the document's bigrams. Fluent text
+    * rides the corpus's own transition statistics; shuffled or
+    * gibberish text pays the smoothing penalty on every unseen
+    * transition.
+    *
+    * Scale shape: one explode to (doc, bigram) rows, two
+    * vocabulary-bounded groupBys (bigram counts, prefix counts), then
+    * shuffle joins back on the bigram / prefix keys and one per-doc
+    * aggregate — all linear in corpus tokens, no window, no driver
+    * state; V and the smoothing constant ride in-plan as a broadcast
+    * 1-row aggregate. Deterministic arithmetic end to end, which is
+    * what lets q108 carry an exact DuckDB oracle.
+    *
+    * Returns (id, n_bigrams, ppl) for documents with ≥ 1 bigram;
+    * sub-2-token documents carry no transition evidence and are
+    * excluded (callers treat them with the length filters, q26). */
+  def bigramPerplexity(
+      docs: DataFrame, textCol: String, idCol: String,
+      addK: Double = 0.5): DataFrame = {
+    // (id, bigram, n) computed ONCE and snapshotted: three consumers
+    // (model counts, prefix counts, the scoring join) would otherwise
+    // each re-run the explode — the bigram construction is the only
+    // interpreted-lambda step in the pipeline and dominates when
+    // recomputed. The groupBy also shrinks the scoring join to one row
+    // per (doc, distinct bigram) with a weight, instead of one per
+    // instance. At cluster scale the snapshot is a checkpoint to
+    // reliable storage; the relation is corpus-linear either way.
+    val bgDoc = docs
+      .select(col(idCol).as("id"),
+        explode(bind(tokens(col(textCol)))(bigramsOf)).as("bg"))
+      .groupBy(col("id"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .localCheckpoint(eager = false)
+    val cb = bgDoc.groupBy(col("bg")).agg(sum(col("n")).as("cb"))
+    val c1 = bgDoc.groupBy(col("w1")).agg(sum(col("n")).as("c1"))
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("vsz"))
+    bgDoc.join(cb, Seq("bg"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((col("cb") + lit(addK)) / (col("c1") + lit(addK) * col("vsz"))))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        exp(-(sum(col("n") * col("logp")) / sum(col("n")))).as("ppl"))
   }
 
   /** Gopher-style repetition signal: fraction of tokens that are repeats
     * of an earlier token in the same document. */
-  def duplicateTokenFraction(text: Column): Column = {
-    val ts = tokens(text)
+  def duplicateTokenFraction(text: Column): Column = bind(tokens(text)) { ts =>
     when(size(ts) > 0,
       lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts))
       .otherwise(lit(0.0))
@@ -150,19 +219,21 @@ object TextAnalysis {
     * equal run — per-row compute only, so at 100 TB this stays a narrow
     * projection (the explode + double-groupBy alternative shuffles
     * corpus × bigram rows twice). */
-  def topBigramFraction(text: Column): Column = {
-    val bgs = array_sort(bigrams(text))
-    val best = aggregate(bgs,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    when(size(bgs) > 0, best.cast("double") / size(bgs)).otherwise(lit(0.0))
-  }
+  def topBigramFraction(text: Column): Column =
+    bind(tokens(text)) { ts =>
+      bind(array_sort(bigramsOf(ts))) { bgs =>
+        val best = aggregate(bgs,
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+              .otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best"))
+        when(size(bgs) > 0, best.cast("double") / size(bgs)).otherwise(lit(0.0))
+      }
+    }
 
   /** PII regexes kept deliberately RE2-compatible (no lookarounds) so the
     * same patterns run in Spark (Java regex) and any RE2-based engine. */

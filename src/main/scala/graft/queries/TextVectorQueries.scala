@@ -1362,6 +1362,128 @@ object TextVectorQueries {
         count(CASE WHEN mean_logp < -9.0 THEN 1 END) AS flagged_docs
       FROM per_doc"""))
 
+  /** Bigram-LM perplexity bucketing — the CCNet head/middle/tail split
+    * one level up from q89's unigram scorer, fully oracle-checked: the
+    * corpus trains its own add-k bigram model, every document scores
+    * exp(−mean ln P(w2|w1)), and each language's documents split into
+    * perplexity terciles (head = most fluent). The tercile here is the
+    * EXACT rank split (ntile over (round(ppl,6), doc_id) — the rounding
+    * collapses fp summation-order noise so DuckDB's ntile sees the same
+    * ordering); the per-language sort is the oracle-anchor cost, and
+    * q108b below is the threshold-based scale path that avoids it. */
+  val q108BigramPerplexity = GraftQuery(
+    "q108_bigram_perplexity", { (s, dir) =>
+      val d = docs(s, dir)
+      val ppl = TextAnalysis.bigramPerplexity(d, "text", "doc_id", 0.5)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(round(col("ppl"), 6), col("doc_id"))
+      d.select(col("doc_id"), col("lang"))
+        .join(ppl, col("doc_id") === col("id"))
+        .withColumn("bucket", ntile(3).over(w))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("docs"),
+          round(avg(col("ppl")), 4).as("avg_ppl"),
+          round(max(col("ppl")), 4).as("max_ppl"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2),
+      bgd AS (SELECT doc_id, bg, w1, count(*) AS n
+              FROM bg GROUP BY doc_id, bg, w1),
+      cb AS (SELECT bg, sum(n) AS cb FROM bgd GROUP BY bg),
+      c1 AS (SELECT w1, sum(n) AS c1 FROM bgd GROUP BY w1),
+      v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz
+            FROM (SELECT unnest(t) AS tok FROM toks)),
+      scored AS (
+        SELECT b.doc_id,
+          exp(-(sum(n * ln((cb.cb + 0.5) / (c1.c1 + 0.5 * v.vsz))) / sum(n))) AS ppl
+        FROM bgd b JOIN cb USING (bg) JOIN c1 USING (w1) CROSS JOIN v
+        GROUP BY b.doc_id),
+      bucketed AS (
+        SELECT d.lang, s.ppl,
+          ntile(3) OVER (PARTITION BY d.lang
+            ORDER BY round(s.ppl, 6), s.doc_id) AS bucket
+        FROM scored s JOIN documents d USING (doc_id))
+      SELECT lang, bucket, count(*) AS docs,
+        round(avg(ppl), 4) AS avg_ppl, round(max(ppl), 4) AS max_ppl
+      FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket"""))
+
+  /** The 100 TB path of q108: per-language tercile THRESHOLDS from one
+    * tiny approx-percentile aggregate (languages are bounded, so the
+    * threshold relation broadcasts), then a narrow per-row bucket
+    * stamp — no per-language global sort anywhere. Rows-only (the
+    * sketch's split points are not DuckDB-replayable); q108c pins the
+    * disagreement contract vs the exact terciles. */
+  val q108bPerplexityThresholds = GraftQuery(
+    "q108b_perplexity_thresholds", { (s, dir) =>
+      val d = docs(s, dir)
+      val ppl = TextAnalysis.bigramPerplexity(d, "text", "doc_id", 0.5)
+      val scored = d.select(col("doc_id"), col("lang"))
+        .join(ppl, col("doc_id") === col("id"))
+        .withColumn("rp", round(col("ppl"), 6))
+      val thresholds = scored.groupBy(col("lang"))
+        .agg(percentile_approx(col("rp"),
+          array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("ts"))
+        .select(col("lang"),
+          element_at(col("ts"), 1).as("t1"), element_at(col("ts"), 2).as("t2"))
+      scored.join(broadcast(thresholds), Seq("lang"))
+        .withColumn("bucket",
+          when(col("rp") <= col("t1"), 1)
+            .when(col("rp") <= col("t2"), 2).otherwise(3))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("docs"),
+          round(avg(col("ppl")), 4).as("avg_ppl"))
+        .orderBy(col("lang"), col("bucket"))
+    })
+
+  /** Contract row for the threshold bucketing (oracle-checked, q101d
+    * pattern): a document may land in a different bucket than the exact
+    * tercile split ONLY when its (rounded) perplexity lies inside the
+    * band between the exact tercile boundary and the sketch's estimate
+    * of it — the rank-error region where a threshold split and a rank
+    * split legitimately disagree. Any disagreement OUTSIDE both
+    * boundary bands means a real bucketing bug (swapped comparison,
+    * per-language mixup) and surfaces as a violations row. */
+  val q108cPerplexityBucketContract = GraftQuery(
+    "q108c_perplexity_bucket_contract", { (s, dir) =>
+      val d = docs(s, dir)
+      val ppl = TextAnalysis.bigramPerplexity(d, "text", "doc_id", 0.5)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(round(col("ppl"), 6), col("doc_id"))
+      val scored = d.select(col("doc_id"), col("lang"))
+        .join(ppl, col("doc_id") === col("id"))
+        .withColumn("rp", round(col("ppl"), 6))
+        .withColumn("bucket_exact", ntile(3).over(w))
+      val exactBounds = scored.groupBy(col("lang")).agg(
+        max(when(col("bucket_exact") === 1, col("rp"))).as("t1x"),
+        max(when(col("bucket_exact") === 2, col("rp"))).as("t2x"))
+      val approxT = scored.groupBy(col("lang"))
+        .agg(percentile_approx(col("rp"),
+          array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("ts"))
+        .select(col("lang"),
+          element_at(col("ts"), 1).as("t1"), element_at(col("ts"), 2).as("t2"))
+      scored
+        .join(broadcast(approxT), Seq("lang"))
+        .join(broadcast(exactBounds), Seq("lang"))
+        .withColumn("bucket_approx",
+          when(col("rp") <= col("t1"), 1)
+            .when(col("rp") <= col("t2"), 2).otherwise(3))
+        .filter(col("bucket_approx") =!= col("bucket_exact") &&
+          !(col("rp").between(least(col("t1x"), col("t1")),
+              greatest(col("t1x"), col("t1"))) ||
+            col("rp").between(least(col("t2x"), col("t2")),
+              greatest(col("t2x"), col("t2")))))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0"))
+
   /** TF-IDF cosine rerank of the blocked candidate pairs — the classic
     * block-then-score IR pipeline (shared-shingle blocking bounds the
     * pair count; TF-IDF weighting downranks pairs that only share
@@ -1805,6 +1927,8 @@ object TextVectorQueries {
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained,
     q65bIvfTrainedContract, q69TfidfRerank,
     q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf,
+    q108BigramPerplexity, q108bPerplexityThresholds,
+    q108cPerplexityBucketContract,
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
     q107DiversitySample, q107bDiversityContract)
 }

@@ -28,6 +28,32 @@ class TextCurationSpec extends SparkTestBase {
     assert(one[Double](TextAnalysis.duplicateTokenFraction(col("t")), "x y z") === 0.0)
   }
 
+  test("bigramPerplexity: corpus-typical transitions score lower ppl than scrambled text; hand-check on a 2-doc corpus") {
+    // fluent docs repeat the corpus's own transitions; the scrambled doc
+    // pays the smoothing penalty on transitions never seen elsewhere
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the dog sat on the mat"),
+      (4L, "rug dog the on mat sat")).toDF("doc_id", "text")
+    val ppl = TextAnalysis.bigramPerplexity(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ppl.size === 4)
+    assert(ppl(4L) > ppl(1L) && ppl(4L) > ppl(2L) && ppl(4L) > ppl(3L),
+      s"scrambled doc must score worst: $ppl")
+    // exact hand-check, tiny corpus: docs "a b" and "a b" →
+    // bigram (a b) count 2, prefix (a) count 2, V = 2, k = 0.5:
+    // P = (2+0.5)/(2+0.5·2) = 2.5/3 → ppl = 3/2.5 = 1.2
+    val tiny = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val p = TextAnalysis.bigramPerplexity(tiny, "text", "doc_id")
+      .collect().map(_.getDouble(2))
+    p.foreach(v => assert(math.abs(v - 1.2) < 1e-12, s"expected 1.2, got $v"))
+    // sub-2-token docs carry no bigram and are excluded
+    val short = Seq((1L, "solo"), (2L, "two words")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramPerplexity(short, "text", "doc_id")
+      .count() === 1L)
+  }
+
   test("redactPii replaces emails and phones and is idempotent") {
     val in = "mail me at jo.doe+x@ex-amp.le.org or call 555-123-4567 now"
     val out = one[String](TextAnalysis.redactPii(col("t")), in)
