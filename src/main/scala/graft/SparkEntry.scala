@@ -68,6 +68,10 @@ object SparkEntry {
     // threshold scale path (no per-language global sort — the exact
     // ntile twin q108 is the oracle anchor, not the timed row)
     "q108b_perplexity_thresholds",
+    // round-12: blocked kNN graph — the all-to-all ANN shape, timed
+    // via the cell-scoped scale path (exact O(n²) twin q109 is the
+    // oracle anchor, not the timed row)
+    "q109b_knn_graph_blocked",
     // the one two-source join in the pharma family (meds ⋈ labs via the
     // managed catalog) — cheap, but it keeps the S8 ingestion edge and
     // the catalog round-trip inside the per-round timing surface

@@ -955,6 +955,100 @@ object Similarity {
     * single-reducer trap the salted pair join documents — there the
     * per-cell work is selection-cheap (no pair explosion), so quota
     * ranking stays linear in the largest cell either way. */
+  /** Blocked k-nearest-neighbor GRAPH: every corpus vector's top-k
+    * cosine neighbors, with pair work scoped to shared k-means cells —
+    * the all-to-all sibling of [[ivfTopKWithCentroids]] (whose
+    * broadcast-the-probes shape assumes a small query set; here BOTH
+    * sides are the corpus, so the probe relation rides a shuffle
+    * equi-join on centroid_id instead). The kNN graph is the backbone
+    * primitive of graph-based dedup clustering, label propagation, and
+    * kNN-classifier curation passes.
+    *
+    * Cost: each vector is indexed into its `replicas` nearest cells
+    * (cluster closure — replication recovers the cell-BOUNDARY edges
+    * that dominate kNN misses) and probes its `probes` nearest cells
+    * as a query, so the pair work is ≈ probes·replicas·Σ|cell|², the
+    * blocked semantic-dedup budget times the replication dial. The
+    * ranking exchange is bounded by the per-partition heaps
+    * ([[boundedTopK]]): ≤ k×partitions rows per query, never the full
+    * scored relation. Cell skew rides AQE's skew-join splitting, same
+    * as the dedup pair join. Recall is cell-boundary-limited (floor
+    * asserted in SimilaritySpec); the exact O(n²) twin is the oracle
+    * anchor, never the scale path. */
+  def knnGraphBlocked(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroidRel: DataFrame, k: Int, probes: Int,
+      replicas: Int = 1, saltBuckets: Int = 16): DataFrame = {
+    // normalize ONCE so the per-pair score is the raw dot-product
+    // kernel — cosine() would cast-rebuild both 64-element arrays per
+    // scored pair, O(pairs·d) allocation in the hottest loop (the
+    // semanticDedupBlocked lesson)
+    val base = corpus
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), _.cast("double")).as("vd"))
+      .withColumn("norm", sqrt(
+        graft.functions.SketchExpressions.dotProduct(col("vd"), col("vd"))))
+      .filter(col("norm") > 0)
+      .withColumn("vn", transform(col("vd"), x => x / col("norm")))
+      .select(col("id"), col("vn"))
+    // cluster-closure replication: indexing each vector into its
+    // `replicas` nearest cells (not just the argmax cell) recovers the
+    // cell-BOUNDARY edges that dominate kNN-graph misses — an edge is
+    // found iff probed(q) ∩ assigned(n) ≠ ∅, so replication multiplies
+    // the intersection odds at ×replicas index size.
+    // Salted cell join (the semanticDedupBlocked shape): the cell key
+    // alone has |cells| distinct values, so each cell's quadratic pair
+    // output would land on ONE reducer — and AQE coalesces further
+    // because the join INPUTS are tiny while the output is Σ|cell|².
+    // Sub-blocking queries by a hash of qid and replicating the index
+    // side across the salt range turns each cell into saltBuckets
+    // independent tasks; a pair still meets exactly once per shared
+    // cell, in the (cell, salt(q)) partition.
+    val assigned = assignToCentroidsMulti(
+        base.select(col("id").as("nid"), col("vn")), "vn",
+        centroidRel, replicas)
+      .select(col("centroid_id"), col("nid"), col("vn").as("nv"))
+      .withColumn("__salt",
+        explode(sequence(lit(0L), lit(saltBuckets.toLong - 1L))))
+    val probed = assignToCentroidsMulti(
+        base.select(col("id").as("qid"), col("vn")), "vn",
+        centroidRel, probes)
+      .select(col("centroid_id"), col("qid"), col("vn").as("qv"))
+      .withColumn("__salt",
+        pmod(xxhash64(col("qid")), lit(saltBuckets.toLong)))
+    val scored = probed.join(assigned, Seq("centroid_id", "__salt"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        graft.functions.SketchExpressions.dotProduct(
+          col("qv"), col("nv")).as("cos"))
+    // with replicas > 1 a pair can meet in several shared cells; the
+    // copies carry identical cosines, so a pair-keyed max collapses
+    // them (one hash shuffle, linear in scored pairs) — without it the
+    // duplicate rows would consume top-k slots and break rank density
+    // (single-assignment needs no dedup: n lives in exactly one cell,
+    // so a pair can match at most once however many cells q probes —
+    // that path keeps the bounded-heap ranking, whose exchange is
+    // ≤ k×partitions rows per query. With replicas > 1 the pair dedup
+    // already shuffles the full (q, n, cos) relation — 24 bytes/row —
+    // hash-partitioned by pair key; ranking it with Tungsten's window
+    // sort costs one more narrow exchange instead of pushing every row
+    // through the boxed per-partition heaps a second time.
+    if (replicas <= 1)
+      boundedTopK(scored, k)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          round(col("cos"), 6).as("cosine"))
+    else {
+      val deduped = scored.groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("cos")).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      deduped.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          round(col("cos"), 6).as("cosine"))
+    }
+  }
+
   def diversitySample(
       corpus: DataFrame, vecCol: String, idCol: String,
       centroidRel: DataFrame, perCell: Int): DataFrame = {

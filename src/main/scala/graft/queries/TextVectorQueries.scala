@@ -1362,6 +1362,91 @@ object TextVectorQueries {
         count(CASE WHEN mean_logp < -9.0 THEN 1 END) AS flagged_docs
       FROM per_doc"""))
 
+  /** Exact k-nearest-neighbor GRAPH (oracle-checked): every embedding's
+    * top-5 cosine neighbors over the whole corpus — the all-to-all
+    * backbone of graph-based curation (dedup clustering over kNN edges,
+    * label propagation, kNN-classifier quality passes). O(n²) by
+    * construction — the ORACLE ANCHOR (q101's role for semantic dedup);
+    * q109b is the cell-blocked scale path. The ranking exchange is
+    * already the bounded-heap shape (≤ k×partitions rows per vertex). */
+  val q109KnnGraph = GraftQuery(
+    "q109_knn_graph", { (s, dir) =>
+      val e = embeds(s, dir)
+      Similarity.bruteForceTopKPartial(
+          e, e, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""SELECT query_id, rnk, neighbor_id, cosine FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+          round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]),6) AS cosine,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+              n.vec_id) AS rnk
+        FROM embeddings q, embeddings n
+        WHERE n.vec_id <> q.vec_id) t
+      WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
+  /** The 100 TB path of q109: pair work scoped to shared k-means cells
+    * of the PERSISTED centroid index (probes·replicas·Σ|cell|² — the
+    * blocked semantic-dedup budget; no broadcast of either corpus
+    * side). probes = 4 / replicas = 2 because the fixture embeddings'
+    * 5-NN edges align weakly with the 8 coarse cells (single-probe
+    * recall ≈ 0.5); cluster-closure replication plus the wider probe
+    * recovers edge recall 0.93 at every fixture SF. Rows-only —
+    * blocking still loses cell-boundary neighbors (floor asserted in
+    * SimilaritySpec); q109c pins the quality contract through the
+    * driver's gate. */
+  val q109bKnnGraphBlocked = GraftQuery(
+    "q109b_knn_graph_blocked", { (s, dir) =>
+      val e = embeds(s, dir)
+      val cents = Similarity.servedCentroids(s, e, "embedding", "vec_id",
+        k = 8, iters = 2, table = "default.semdedup_centroids")
+      Similarity.knnGraphBlocked(e, "embedding", "vec_id", cents,
+          k = 5, probes = 4, replicas = 2)
+        .orderBy(col("query_id"), col("rnk"))
+    })
+
+  /** Contract row for the blocked kNN graph (oracle-checked, q101d
+    * pattern): the q34b structural invariants — no self-edge, no
+    * duplicate neighbor, dense monotone ranks — plus the cosine floor
+    * against EVERY vertex's exact k-th neighbor (the per-vertex kth
+    * comes from the exact graph, so the floor covers all n vertices,
+    * not a sampled query set). eps = 0.12: measured worst gap below
+    * the exact 5th cosine across the three driver fixtures is
+    * 0.045 / 0.067 / 0.062 (KnnGapProbe, cells=8 probes=4
+    * replicas=2) — ~2× headroom; a substitute edge is a probed-cell
+    * near-miss, never an arbitrary vector. */
+  val q109cKnnGraphContract = GraftQuery(
+    "q109c_knn_graph_contract", { (s, dir) =>
+      val e = embeds(s, dir)
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+        k = 8, iters = 2)
+      val blocked = Similarity.knnGraphBlocked(e, "embedding", "vec_id",
+        cents, k = 5, probes = 4, replicas = 2)
+      val kth = Similarity.bruteForceTopKPartial(
+          e, e, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .groupBy(col("query_id")).agg(min(col("cosine")).as("kth_exact"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
+      val shaped = blocked
+        .withColumn("dense", row_number().over(w))
+        .withColumn("prev_cos", lag(col("cosine"), 1).over(w))
+      val selfM = shaped.filter(col("neighbor_id") === col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), lit("self_match").as("kind"))
+      val dups = shaped.groupBy(col("query_id"), col("neighbor_id"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .select(col("query_id"), col("neighbor_id"), lit("dup_neighbor").as("kind"))
+      val shape = shaped
+        .filter(col("rnk") =!= col("dense") || col("rnk") > 5 ||
+          (col("prev_cos").isNotNull && col("cosine") > col("prev_cos")))
+        .select(col("query_id"), col("neighbor_id"), lit("rank_shape").as("kind"))
+      val floor = shaped.join(kth, Seq("query_id"))
+        .filter(col("cosine") < col("kth_exact") - lit(0.12))
+        .select(col("query_id"), col("neighbor_id"), lit("cosine_floor").as("kind"))
+      selfM.unionAll(dups).unionAll(shape).unionAll(floor)
+        .orderBy(col("kind"), col("query_id"), col("neighbor_id"))
+    },
+    Some(annContractOracle))
+
   /** Bigram-LM perplexity bucketing — the CCNet head/middle/tail split
     * one level up from q89's unigram scorer, fully oracle-checked: the
     * corpus trains its own add-k bigram model, every document scores
@@ -1929,6 +2014,7 @@ object TextVectorQueries {
     q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf,
     q108BigramPerplexity, q108bPerplexityThresholds,
     q108cPerplexityBucketContract,
+    q109KnnGraph, q109bKnnGraphBlocked, q109cKnnGraphContract,
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
     q107DiversitySample, q107bDiversityContract)
 }

@@ -360,7 +360,7 @@ class DedupSpec extends SparkTestBase {
     // pigeonhole guarantee), trained-IVF top-k invariants + floor
     for (q <- Seq("q30b_minhash_precision_contract",
         "q31b_simhash_equality_contract", "q65b_ivf_trained_contract",
-        "q108c_perplexity_bucket_contract")) {
+        "q108c_perplexity_bucket_contract", "q109c_knn_graph_contract")) {
       val rows = SparkEntry.queries(q)(spark, sfDir).count()
       assert(rows === 0L, s"$q reported $rows violations")
     }

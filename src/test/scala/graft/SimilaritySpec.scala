@@ -514,4 +514,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(e.getMessage.contains("corpus is empty"))
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("blocked kNN graph: edge recall >= 0.88 vs the exact graph; cluster-closure replication is recall-monotone") {
+    import org.apache.spark.sql.functions.col
+    val cents = Similarity.kmeansCentroids(embeds, "embedding", "vec_id",
+      k = 8, iters = 2).localCheckpoint(eager = true)
+    val exact = Similarity.bruteForceTopKPartial(
+        embeds, embeds, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .localCheckpoint(eager = true)
+    val nExact = exact.count()
+    def recall(replicas: Int): Double = {
+      val blocked = Similarity.knnGraphBlocked(embeds, "embedding",
+        "vec_id", cents, k = 5, probes = 4, replicas = replicas)
+      blocked.join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count().toDouble / nExact
+    }
+    val r2 = recall(2)
+    assert(r2 >= 0.88, s"blocked kNN recall $r2 below floor (KnnGapProbe: 0.93)")
+    // a candidate with cosine above a true k-th edge is itself a true
+    // edge, so growing the candidate set (more index replicas) never
+    // evicts found edges — recall is monotone in the closure dial
+    assert(r2 >= recall(1) - 1e-12,
+      "replication must not lose edges the single-assignment index found")
+  }
 }
