@@ -72,6 +72,11 @@ object SparkEntry {
     // via the cell-scoped scale path (exact O(n²) twin q109 is the
     // oracle anchor, not the timed row)
     "q109b_knn_graph_blocked",
+    // round-12: the JSONL shard-export sink — the only headline row
+    // whose cost is dominated by real file I/O + read-back, which is
+    // exactly why it is timed (a sink regression is invisible to
+    // plan-only rows)
+    "q111_shard_export",
     // the one two-source join in the pharma family (meds ⋈ labs via the
     // managed catalog) — cheap, but it keeps the S8 ingestion edge and
     // the catalog round-trip inside the per-round timing surface

@@ -40,6 +40,15 @@ object CurationQueries {
   private[queries] def hashBucket(id: org.apache.spark.sql.Column, mult: Long) =
     ((pmod(id, lit(2147483648L)) * (mult % 4294967296L)) % 4294967296L) % 100
 
+  /** [[hashBucket]] with a caller-chosen modulus — fine-grained rates
+    * (parts-per-million keep decisions, shard routing) instead of the
+    * percent granularity the split queries use. Same overflow-masked
+    * arithmetic, same oracle-exact replay. */
+  private[queries] def hashBucketN(
+      id: org.apache.spark.sql.Column, mult: Long,
+      buckets: org.apache.spark.sql.Column) =
+    ((pmod(id, lit(2147483648L)) * (mult % 4294967296L)) % 4294967296L) % buckets
+
   /** Deterministic train/val/test split (80/10/10) by hashed doc id —
     * stateless, no shuffle at all: the split column is a narrow
     * projection, so at 100 TB this is a zero-exchange map stage. */
@@ -609,9 +618,95 @@ object CurationQueries {
       SELECT band, count(*) AS docs, round(avg(score), 4) AS avg_score
       FROM banded GROUP BY band ORDER BY band"""))
 
+  /** Temperature-weighted source resampling (oracle-checked) — the
+    * DoReMi/multinomial α-mixing knob: target source weights
+    * w_s ∝ n_s^α with α = 0.5 flatten the source distribution (an
+    * over-represented crawl contributes relatively less, a rare
+    * high-quality source relatively more), the total budget is half
+    * the corpus, and each source keeps a deterministic
+    * parts-per-million fraction rate_s = min(1, B·w_s / n_s) of its
+    * documents by hashed id. q56 is the fixed-weight mixing knob; this
+    * is the knob that DERIVES the weights from the corpus's own
+    * counts. Scale shape: one source-count aggregate (tiny), one 1-row
+    * total, a broadcast rate join, and a narrow per-row keep stamp —
+    * no corpus shuffle anywhere. */
+  val q110TemperatureMixing = GraftQuery(
+    "q110_temperature_mixing", { (s, dir) =>
+      val counts = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.agg(
+        sum(col("n")).cast("double").as("nn"),
+        sum(sqrt(col("n"))).as("sq"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"),
+          round(least(lit(1.0),
+            (lit(0.5) * col("nn")) * (sqrt(col("n")) / col("sq")) / col("n"))
+            * 1000000).cast("long").as("rate_ppm"))
+      docs(s, dir)
+        .select(col("source"),
+          hashBucketN(col("doc_id"), 2654435761L, lit(1000000L)).as("bucket"))
+        .join(broadcast(rates), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("bucket") < col("rate_ppm"), 1)).as("kept_docs"),
+          first(col("rate_ppm")).as("rate_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn, sum(sqrt(n)) AS sq
+              FROM counts),
+      rates AS (
+        SELECT source, n,
+          CAST(round(least(1.0, (0.5 * nn) * (sqrt(n) / sq) / n) * 1000000)
+            AS BIGINT) AS rate_ppm
+        FROM counts, tot)
+      SELECT d.source, count(*) AS n_docs,
+        count(CASE WHEN d.bucket < r.rate_ppm THEN 1 END) AS kept_docs,
+        first(r.rate_ppm) AS rate_ppm
+      FROM (SELECT source,
+              (((doc_id % 2147483648) * (2654435761 % 4294967296))
+                % 4294967296) % 1000000 AS bucket
+            FROM documents) d
+      JOIN rates r USING (source)
+      GROUP BY d.source ORDER BY d.source"""))
+
+  /** Sharded JSONL training-data EXPORT, verified through the round
+    * trip (oracle-checked): the corpus is routed to
+    * ceil(total_chars / 16384) hash-addressed shards, written as one
+    * JSONL directory per shard (the hand-off format tokenizer/training
+    * jobs consume), read BACK from disk, and summarized per shard —
+    * so the oracle row verifies the real files, not the plan: a shard
+    * the writer dropped or duplicated hash-fails against DuckDB's
+    * from-source expectation. Shard routing is the same masked
+    * arithmetic as the split family (replayable); shard COUNT derives
+    * from corpus size, so the export auto-scales toward a fixed
+    * shard-size target instead of a fixed shard count. */
+  val q111ShardExport = GraftQuery(
+    "q111_shard_export", { (s, dir) =>
+      val out = graft.ops.Export.shardedJsonl(docs(s, dir), "doc_id",
+        "text", Seq("doc_id", "text", "source"), targetChars = 16384L)
+      graft.ops.Export.readShardedJsonl(s, out,
+          "doc_id LONG, text STRING, source STRING, shard INT")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("docs"),
+          sum(length(col("text"))).as("chars"))
+        .orderBy(col("shard"))
+        .localCheckpoint(eager = true)
+    },
+    Some("""WITH k AS (
+        SELECT greatest(1, CAST(ceil(sum(len(text)) / 16384.0) AS BIGINT))
+          AS k FROM documents)
+      SELECT CAST((((doc_id % 2147483648) * (2654435761 % 4294967296))
+          % 4294967296) % k AS INT) AS shard,
+        count(*) AS docs, CAST(sum(len(text)) AS BIGINT) AS chars
+      FROM documents, k
+      GROUP BY shard ORDER BY shard"""))
+
   val all: Seq[GraftQuery] = Seq(
     q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
     q60RepetitionFilters, q61PiiRedaction, q62CurationPipeline,
     q70IncrementalDedup, q90ChunkingStride, q91BloomScreen,
-    q93Decontaminate, q94EpochShuffle, q99ContaminationScore)
+    q93Decontaminate, q94EpochShuffle, q99ContaminationScore,
+    q110TemperatureMixing, q111ShardExport)
 }

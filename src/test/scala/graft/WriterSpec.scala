@@ -147,4 +147,35 @@ class WriterSpec extends SparkTestBase {
     // the pre-evolution file reads the new column as NULL
     assert(merged.filter(col("id") === 1L && col("v2_added").isNull).count() === 1L)
   }
+
+  test("sharded JSONL export round-trips every document, sizes shards to target, routes deterministically") {
+    import graft.core.Tables
+    import graft.ops.Export
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val out = Export.shardedJsonl(d, "doc_id", "text",
+      Seq("doc_id", "text", "source"), targetChars = 4096L)
+    val schema = "doc_id LONG, text STRING, source STRING, shard INT"
+    val back = Export.readShardedJsonl(spark, out, schema).cache()
+    // multiset round trip: nothing dropped, duplicated, or mangled
+    assert(back.count() === d.count())
+    assert(back.select("doc_id", "text", "source")
+      .exceptAll(d).count() === 0L)
+    assert(d.exceptAll(back.select("doc_id", "text", "source"))
+      .count() === 0L)
+    // shard count targets total_chars / target, and no shard is empty
+    val totalChars = d.agg(sum(length(col("text")))).head().getLong(0)
+    val expectShards = math.max(1L, math.ceil(totalChars / 4096.0).toLong)
+    val perShard = back.groupBy("shard").count()
+    assert(perShard.count() <= expectShards,
+      "hash routing cannot invent shards beyond the computed count")
+    // determinism: a second export of the same corpus routes every
+    // document to the same shard
+    val out2 = Export.shardedJsonl(d, "doc_id", "text",
+      Seq("doc_id", "text", "source"), targetChars = 4096L)
+    val back2 = Export.readShardedJsonl(spark, out2, schema)
+    assert(back.select("doc_id", "shard")
+      .exceptAll(back2.select("doc_id", "shard")).count() === 0L)
+    back.unpersist()
+  }
 }
