@@ -703,10 +703,138 @@ object CurationQueries {
       FROM documents, k
       GROUP BY shard ORDER BY shard"""))
 
+  /** Provenance audit: every document gets a REASON CODE from the first
+    * curation gate it fails (length → repetition → quality, the order a
+    * production pipeline applies them) plus a count of ALL gates it
+    * fails — the "why was my document dropped" lineage record that a
+    * 100 TB curation run must emit to be debuggable. One narrow
+    * projection computes every signal per row (no shuffle until the
+    * final reason-sized groupBy); the per-source share comes from a
+    * window over the already-aggregated frame (|sources|×|reasons|
+    * rows, negligible). The oracle replays all three gates and the
+    * first-fail precedence in SQL — composition of q26b's quality
+    * derivation and q60's repetition CTEs, so the AUDIT semantics
+    * (precedence, thresholds, token accounting) are what's verified. */
+  val q113ProvenanceAudit = GraftQuery(
+    "q113_provenance_audit", { (s, dir) =>
+      val scored = docs(s, dir).select(
+        col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"),
+        TextAnalysis.topBigramFraction(col("text")).as("topfrac"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val reasoned = scored
+        .withColumn("reason",
+          when(col("ntok") < 10, "1_too_short")
+            .when(col("topfrac") > 0.1, "2_repetitive")
+            .when(col("q") < 0.88, "3_low_quality")
+            .otherwise("4_kept"))
+        .withColumn("gates_failed",
+          (col("ntok") < 10).cast("int") + (col("topfrac") > 0.1).cast("int") +
+            (col("q") < 0.88).cast("int"))
+        // q is round(·,6), so q·10⁶ is an exact integer: summing micros
+        // keeps the aggregate in ℤ (no FP accumulation-order noise) and
+        // both engines then round the IDENTICAL quotient double — an
+        // avg(double) here hash-flipped on a .xxxx5 tie at sf0.01
+        .withColumn("q_micro", round(col("q") * 1000000).cast("long"))
+      val bySrc = Window.partitionBy(col("source"))
+      reasoned
+        .groupBy(col("source"), col("reason"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("ntok")).as("tokens"),
+          sum(col("q_micro")).as("qm"),
+          round(avg(col("gates_failed").cast("double")), 4).as("avg_gates_failed"))
+        .withColumn("avg_quality",
+          round(col("qm") / (col("docs") * 1000000.0), 4))
+        .drop("qm")
+        .withColumn("pct_of_source",
+          round(col("docs") * 100.0 / sum(col("docs")).over(bySrc), 2))
+        .orderBy(col("source"), col("reason"))
+    },
+    Some(s"""WITH scored AS (${TextVectorQueries.qualityScoredDocsSql}),
+      t AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      d AS (SELECT doc_id, len(toks) AS ntok,
+          CASE WHEN len(toks) >= 2 THEN
+            list_transform(generate_series(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i + 1])
+          ELSE CAST([] AS VARCHAR[]) END AS bgs
+        FROM t),
+      b AS (SELECT doc_id, max(c) AS top FROM (
+          SELECT doc_id, bg, count(*) AS c
+          FROM (SELECT doc_id, unnest(bgs) AS bg FROM d) u
+          GROUP BY doc_id, bg) g
+        GROUP BY doc_id),
+      m AS (SELECT s.source, d.ntok,
+          coalesce(b.top, 0) * 1.0 / greatest(len(d.bgs), 1) AS topfrac, s.q
+        FROM scored s JOIN d USING (doc_id) LEFT JOIN b USING (doc_id)),
+      r AS (SELECT source, ntok, q,
+          CASE WHEN ntok < 10 THEN '1_too_short'
+               WHEN topfrac > 0.1 THEN '2_repetitive'
+               WHEN q < 0.88 THEN '3_low_quality'
+               ELSE '4_kept' END AS reason,
+          (CASE WHEN ntok < 10 THEN 1 ELSE 0 END) +
+          (CASE WHEN topfrac > 0.1 THEN 1 ELSE 0 END) +
+          (CASE WHEN q < 0.88 THEN 1 ELSE 0 END) AS gates_failed
+        FROM m),
+      g AS (SELECT source, reason, count(*) AS docs,
+          CAST(sum(ntok) AS BIGINT) AS tokens,
+          CAST(sum(CAST(round(q * 1000000) AS BIGINT)) AS BIGINT) AS qm,
+          round(avg(gates_failed * 1.0), 4) AS avg_gates_failed
+        FROM r GROUP BY source, reason)
+      SELECT source, reason, docs, tokens,
+        round(qm / (docs * 1000000.0), 4) AS avg_quality, avg_gates_failed,
+        round(docs * 100.0 / sum(docs) OVER (PARTITION BY source), 2)
+          AS pct_of_source
+      FROM g ORDER BY source, reason"""))
+
+  /** Exact k-per-stratum sampling in deterministic hash order — the
+    * exact-quota companion to q107's cluster-balanced sampler. Rather
+    * than a full per-stratum sort (one reducer per stratum at corpus
+    * scale), a TWO-PHASE plan: a tiny per-stratum count aggregate
+    * broadcast back sets a hash-threshold prefilter sized at 4× the
+    * quota (expected survivors ≈ 4k per stratum, so the ranking window
+    * runs over O(k) rows however large the stratum), then an exact
+    * row_number over (hash, id) takes the quota. The algorithm is
+    * deterministic end to end, so the oracle replays BOTH phases and
+    * hash-matches the exact sample membership; StratifiedSampleSpec
+    * asserts the two-phase plan selects the identical sample as the
+    * naive single-window form. */
+  val q116StratifiedSample = GraftQuery(
+    "q116_stratified_sample", { (s, dir) =>
+      val k = 40
+      val h = docs(s, dir).select(col("lang"), col("doc_id"),
+        hashBucketN(col("doc_id"), 2246822519L, lit(1000000L)).as("hkey"))
+      val n = h.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      val cand = h.join(broadcast(n), Seq("lang"))
+        .filter(col("hkey") < ceil(lit(k) * 4 * 1000000.0 / col("nl")).cast("long"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id"))
+      cand
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some("""WITH h AS (
+        SELECT lang, doc_id,
+          (((doc_id % 2147483648) * (2246822519 % 4294967296))
+            % 4294967296) % 1000000 AS hkey
+        FROM documents),
+      n AS (SELECT lang, count(*) AS nl FROM h GROUP BY lang),
+      c AS (SELECT h.lang, h.doc_id, h.hkey
+        FROM h JOIN n USING (lang)
+        WHERE h.hkey < CAST(ceil(40 * 4 * 1000000.0 / n.nl) AS BIGINT)),
+      r AS (SELECT lang, doc_id, hkey,
+          row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rk
+        FROM c)
+      SELECT lang, rk, doc_id FROM r WHERE rk <= 40 ORDER BY lang, rk"""))
+
   val all: Seq[GraftQuery] = Seq(
     q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
     q60RepetitionFilters, q61PiiRedaction, q62CurationPipeline,
     q70IncrementalDedup, q90ChunkingStride, q91BloomScreen,
     q93Decontaminate, q94EpochShuffle, q99ContaminationScore,
-    q110TemperatureMixing, q111ShardExport)
+    q110TemperatureMixing, q111ShardExport, q113ProvenanceAudit,
+    q116StratifiedSample)
 }
