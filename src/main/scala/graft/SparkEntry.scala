@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.GraftQuery
-import graft.queries.{CurationQueries, EventsQueries, PharmaQueries, Relational, StreamingQueries, TextVectorQueries}
+import graft.queries.{ClassifierQueries, CurationQueries, EventsQueries, PharmaQueries, Relational, StreamingQueries, TextVectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
 
   val registry: Seq[GraftQuery] =
     Relational.all ++ EventsQueries.all ++ TextVectorQueries.all ++
-      CurationQueries.all ++ StreamingQueries.all ++ PharmaQueries.all
+      CurationQueries.all ++ ClassifierQueries.all ++ StreamingQueries.all ++
+      PharmaQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

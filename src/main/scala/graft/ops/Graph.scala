@@ -42,4 +42,46 @@ object Graph {
     }
     ranks
   }
+
+  /** Synchronous label propagation (Zhu & Ghahramani 2002 / Raghavan
+    * et al. 2007 style) over a DIRECTED edge list: each round, every
+    * node adopts the majority label of its out-neighbors (ties break
+    * toward the smallest label), seed nodes stay clamped, and a node
+    * with no labeled neighbor keeps its previous label. The
+    * semi-supervised labeling pass a curation pipeline runs over the
+    * kNN graph (q109) to spread scarce human labels across a corpus.
+    *
+    * `nodes`: (node, seed_label) with seed_label null for unlabeled
+    * nodes; `edges`: (src, dst). Each of the fixed `iters` rounds is one
+    * hash-join of labels onto edges plus two aggregates on node id — the
+    * same Pregel-round shape as [[pageRank]], linear in |E| per round
+    * with map-side combine on the (src, label) count, and lineage
+    * truncated per round. Deterministic end to end (count-then-min-label
+    * argmax, no FP), which is what lets q114 carry an exact DuckDB
+    * oracle with the iterations unrolled. Returns (node, lab). */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    val seeds = nodes.select(col("node"), col("seed_label"))
+      .localCheckpoint(eager = false)
+    var labels = seeds.select(col("node"), col("seed_label").as("lab"))
+    for (_ <- 1 to iters) {
+      val counts = e
+        .join(labels.select(col("node").as("dst"), col("lab")), Seq("dst"))
+        .filter(col("lab").isNotNull)
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+      // argmax(count, tie → min label) as a single agg: max over
+      // (count, −label) structs — combiner-friendly, no per-node window
+      val upd = counts
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("newlab"))
+      labels = seeds
+        .join(labels.withColumnRenamed("lab", "prev"), Seq("node"), "left")
+        .join(upd, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("seed_label"), col("newlab"), col("prev")).as("lab"))
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
 }

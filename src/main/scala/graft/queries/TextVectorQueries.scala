@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{GraftQuery, Tables}
-import graft.ops.{Dedup, DedupCluster, Similarity, TextAnalysis}
+import graft.ops.{Dedup, DedupCluster, Graph, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators wired to the driver contract:
   * text statistics, quality scoring, language ID, fingerprinting,
@@ -1447,6 +1447,108 @@ object TextVectorQueries {
     },
     Some(annContractOracle))
 
+  /** One unrolled label-propagation round for the q114 oracle: count
+    * labeled out-neighbors per (node, label), take the majority with
+    * min-label tie-break, clamp seeds, and fall back to the previous
+    * label when no neighbor is labeled — the exact update rule of
+    * Graph.labelPropagation, as three CTEs. */
+  private def lpIterSql(i: Int): String = {
+    val prev = if (i == 1) "l0" else s"l${i - 1}"
+    s"""c$i AS (SELECT k.src, l.lab, count(*) AS c
+        FROM knn k JOIN $prev l ON k.dst = l.node
+        WHERE l.lab IS NOT NULL GROUP BY k.src, l.lab),
+      u$i AS (SELECT src AS node, lab FROM (
+          SELECT src, lab, row_number() OVER (
+            PARTITION BY src ORDER BY c DESC, lab) AS rn
+          FROM c$i) r
+        WHERE rn = 1),
+      l$i AS (SELECT n.node, CASE WHEN n.seed THEN n.truth
+            ELSE coalesce(u.lab, p.lab) END AS lab
+        FROM nodes n LEFT JOIN u$i u ON n.node = u.node
+          LEFT JOIN $prev p ON n.node = p.node)"""
+  }
+
+  /** Semi-supervised label propagation over the exact kNN graph
+    * (Graph.labelPropagation ∘ q109): a 20 % hash-chosen seed set keeps
+    * its true label and three synchronous majority rounds spread labels
+    * along the top-5 cosine edges. The update rule is count-and-argmax —
+    * NO floating point — so the DuckDB oracle replays all three rounds
+    * unrolled over the same exact edge relation and the final
+    * per-label census (nodes, seeds, non-seed accuracy) hash-matches
+    * exactly. q114b is the same propagation on the blocked (q109b-style)
+    * graph — the 100 TB edge construction. */
+  val q114LabelPropagation = GraftQuery(
+    "q114_label_propagation", { (s, dir) =>
+      val e = embeds(s, dir)
+      val edges = Similarity.bruteForceTopKPartial(
+          e, e, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val nodes = e.select(col("vec_id").as("node"), col("label").as("truth"),
+        (col("vec_id") % 5 === 0).as("seed"))
+      val fin = Graph.labelPropagation(
+        nodes.select(col("node"),
+          when(col("seed"), col("truth")).as("seed_label")),
+        edges, iters = 3)
+      fin.join(nodes, Seq("node"))
+        .groupBy(coalesce(col("lab"), lit(-1)).as("label"))
+        .agg(count(lit(1)).as("nodes"),
+          count(when(col("seed"), 1)).as("seeds"),
+          count(when(not(col("seed")), 1)).as("nonseed"),
+          count(when(not(col("seed")) && col("lab") === col("truth"), 1))
+            .as("correct_nonseed"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH knn AS (
+        SELECT query_id AS src, neighbor_id AS dst FROM (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                n.embedding::DOUBLE[]) DESC, n.vec_id) AS rnk
+          FROM embeddings q, embeddings n WHERE n.vec_id <> q.vec_id) t
+        WHERE rnk <= 5),
+      nodes AS (SELECT vec_id AS node, label AS truth,
+          (vec_id % 5 = 0) AS seed FROM embeddings),
+      l0 AS (SELECT node, CASE WHEN seed THEN truth END AS lab FROM nodes),
+      ${lpIterSql(1)},
+      ${lpIterSql(2)},
+      ${lpIterSql(3)}
+      SELECT coalesce(l3.lab, -1) AS label, count(*) AS nodes,
+        count(CASE WHEN n.seed THEN 1 END) AS seeds,
+        count(CASE WHEN NOT n.seed THEN 1 END) AS nonseed,
+        count(CASE WHEN NOT n.seed AND l3.lab = n.truth THEN 1 END)
+          AS correct_nonseed
+      FROM l3 JOIN nodes n ON l3.node = n.node
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** q114 on the BLOCKED kNN graph (cluster-closure cells, q109b's
+    * scale path) — the edge set an actual 100 TB run would propagate
+    * over. Rows-only: the blocked edge relation isn't SQL-replicable;
+    * GraphSpec floors its non-seed accuracy against the exact-graph
+    * propagation, and q109c already pins the edge quality itself. */
+  val q114bLabelPropagationBlocked = GraftQuery(
+    "q114b_label_propagation_blocked", { (s, dir) =>
+      val e = embeds(s, dir)
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+        k = 8, iters = 2)
+      val edges = Similarity.knnGraphBlocked(e, "embedding", "vec_id",
+          cents, k = 5, probes = 4, replicas = 2)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val nodes = e.select(col("vec_id").as("node"), col("label").as("truth"),
+        (col("vec_id") % 5 === 0).as("seed"))
+      val fin = Graph.labelPropagation(
+        nodes.select(col("node"),
+          when(col("seed"), col("truth")).as("seed_label")),
+        edges, iters = 3)
+      fin.join(nodes, Seq("node"))
+        .groupBy(coalesce(col("lab"), lit(-1)).as("label"))
+        .agg(count(lit(1)).as("nodes"),
+          count(when(col("seed"), 1)).as("seeds"),
+          count(when(not(col("seed")), 1)).as("nonseed"),
+          count(when(not(col("seed")) && col("lab") === col("truth"), 1))
+            .as("correct_nonseed"))
+        .orderBy(col("label"))
+    })
+
   /** Bigram-LM perplexity bucketing — the CCNet head/middle/tail split
     * one level up from q89's unigram scorer, fully oracle-checked: the
     * corpus trains its own add-k bigram model, every document scores
@@ -2015,6 +2117,7 @@ object TextVectorQueries {
     q108BigramPerplexity, q108bPerplexityThresholds,
     q108cPerplexityBucketContract,
     q109KnnGraph, q109bKnnGraphBlocked, q109cKnnGraphContract,
+    q114LabelPropagation, q114bLabelPropagationBlocked,
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
     q107DiversitySample, q107bDiversityContract)
 }

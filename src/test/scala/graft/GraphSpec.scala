@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Graph, Similarity}
+import graft.queries.TextVectorQueries
+
+/** Hand-computed update-rule checks for label propagation plus a
+  * geometric-coherence end-to-end: labels that follow the embedding
+  * geometry (k-means cell ids) propagate with high accuracy, while the
+  * fixture's own `label` column is random w.r.t. the vectors (chance
+  * ≈ 0.1), so q114's census verifies MECHANICS through the oracle and
+  * this suite demonstrates model quality on coherent labels. */
+class GraphSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def lp(nodes: Seq[(Long, java.lang.Integer)],
+      edges: Seq[(Long, Long)], iters: Int): Map[Long, Option[Int]] = {
+    val n = nodes.toDF("node", "seed_label")
+    val e = edges.toDF("src", "dst")
+    Graph.labelPropagation(n, e, iters).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+  }
+
+  test("one round: majority of labeled out-neighbors, min-label tie-break, seeds clamped, unreached stay null") {
+    // 1 and 4 seeded (10, 20); 2 → 1; 3 → {1,4} tie → min(10,20) = 10;
+    // 5 has no edges → stays null
+    val out = lp(
+      nodes = Seq((1L, Int.box(10)), (2L, null), (3L, null), (4L, Int.box(20)), (5L, null)),
+      edges = Seq((2L, 1L), (3L, 1L), (3L, 4L)),
+      iters = 1)
+    assert(out(1L) === Some(10) && out(4L) === Some(20))
+    assert(out(2L) === Some(10))
+    assert(out(3L) === Some(10))
+    assert(out(5L) === None)
+  }
+
+  test("seeds never move even when every neighbor disagrees") {
+    val out = lp(
+      nodes = Seq((1L, Int.box(7)), (2L, Int.box(9)), (3L, Int.box(9))),
+      edges = Seq((1L, 2L), (1L, 3L)),
+      iters = 3)
+    assert(out(1L) === Some(7))
+  }
+
+  test("labels advance one hop per round and persist without labeled neighbors") {
+    // chain 3 → 2 → 1(seed): round 1 labels 2; round 2 labels 3.
+    // 2's only neighbor is always labeled; 3 keeps its label once set.
+    val nodes = Seq((1L, Int.box(5)), (2L, null: java.lang.Integer), (3L, null: java.lang.Integer))
+    val edges = Seq((3L, 2L), (2L, 1L))
+    assert(lp(nodes, edges, 1)(3L) === None)
+    val two = lp(nodes, edges, 2)
+    assert(two(2L) === Some(5) && two(3L) === Some(5))
+  }
+
+  test("geometrically coherent seed labels propagate accurately over the exact kNN graph") {
+    // The driver fixture's embeddings are isotropic noise (mean 1-NN
+    // cosine ≈ 0.37, 5-NN edges mostly cross cells), so NO labeling is
+    // coherent with that geometry — build a deterministic 8-cluster
+    // corpus instead: cluster direction one-hot(c), small id-keyed
+    // jitter, labels = cluster, 20 % seeds.
+    // jitter must be (i,d)-generic: a small-modulus formula collapses
+    // cluster members into identical-vector classes whose tied top-5
+    // edges all point at the lowest ids, leaving nodes directed-
+    // unreachable from any seed
+    val pts = (0 until 200).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(16)(d =>
+        (if (d == c) 1.0f else 0.0f) +
+          (((i * 2654435761L + d * 40503L) % 1009L) - 504L) * 0.0004f)
+      (i.toLong, v, c)
+    }
+    val e = pts.toDF("vec_id", "embedding", "cluster")
+    val edges = Similarity.bruteForceTopKPartial(
+        e, e, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val nodes = e.select(col("vec_id").as("node"), col("cluster").as("truth"),
+      (col("vec_id") % 5 === 0).as("seed"))
+    val fin = Graph.labelPropagation(
+      nodes.select(col("node"), when(col("seed"), col("truth")).as("seed_label")),
+      edges, iters = 4)
+    val stats = fin.join(nodes, Seq("node")).filter(not(col("seed")))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("lab") === col("truth"), 1)).as("ok"),
+        count(col("lab")).as("labeled")).head()
+    val (n, ok, labeled) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    assert(labeled.toDouble / n >= 0.95, s"coverage ${labeled.toDouble / n}")
+    assert(ok.toDouble / labeled >= 0.9,
+      s"cluster-label accuracy ${ok.toDouble / labeled} (chance = 0.125)")
+  }
+
+  test("q114 census is internally consistent and q114b covers a comparable share") {
+    val exact = TextVectorQueries.q114LabelPropagation.run(spark, sfDir)
+      .agg(sum("nodes"), sum("seeds"), sum("nonseed")).head()
+    val total = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(exact.getLong(0) === total)
+    assert(exact.getLong(1) + exact.getLong(2) === total)
+    val blockedCov = TextVectorQueries.q114bLabelPropagationBlocked.run(spark, sfDir)
+      .filter(col("label") >= 0).agg(sum("nodes")).head().getLong(0)
+    val exactCov = TextVectorQueries.q114LabelPropagation.run(spark, sfDir)
+      .filter(col("label") >= 0).agg(sum("nodes")).head().getLong(0)
+    assert(blockedCov >= (exactCov * 0.9).toLong,
+      s"blocked coverage $blockedCov vs exact $exactCov")
+  }
+}
