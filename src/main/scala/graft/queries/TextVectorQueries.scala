@@ -1447,6 +1447,94 @@ object TextVectorQueries {
     },
     Some(annContractOracle))
 
+  /** Mergeable-sketch distinct counting (DataSketches HLL via Spark's
+    * hll_sketch_agg family): per-source sketches union to the global
+    * answer WITHOUT rescanning — the pre-aggregation a 100 TB pipeline
+    * persists so "distinct tokens so far" is a register-merge, not a
+    * corpus pass. One row, oracle-checked end to end: the exact distinct
+    * count is recomputed by DuckDB, and the two sketch guarantees ride
+    * as boolean columns the oracle pins to TRUE — union-of-parts must
+    * EQUAL the single-pass global sketch (register max is associative),
+    * and the estimate must sit within the lgK=14 error envelope. */
+  val q115HllMergeable = GraftQuery(
+    "q115_hll_mergeable", { (s, dir) =>
+      val toks = docs(s, dir).select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val per = toks.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("token"), lit(14)).as("sk"))
+      val u = per.agg(count(lit(1)).as("n_sources"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_u"))
+      val g = toks.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("token"), lit(14))).as("est_g"),
+        countDistinct(col("token")).as("exact_distinct"))
+      u.crossJoin(g).select(
+        col("n_sources"), col("exact_distinct"),
+        (col("est_u") === col("est_g")).as("union_equals_global"),
+        (abs(col("est_u") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.06).as("rel_err_within_6pct"))
+    },
+    Some("""WITH tok AS (
+        SELECT source, unnest(list_filter(string_split_regex(text, '\s+'),
+          x -> len(x) > 0)) AS token
+        FROM documents)
+      SELECT count(DISTINCT source) AS n_sources,
+        count(DISTINCT token) AS exact_distinct,
+        true AS union_equals_global, true AS rel_err_within_6pct
+      FROM tok"""))
+
+  /** Incremental-refresh contract for the sketch path (q101d pattern):
+    * sketch(standing corpus) ⊕ sketch(new batch) must estimate exactly
+    * what a from-scratch single-pass sketch over the full corpus does —
+    * the property that lets a pipeline keep distinct-count telemetry
+    * current per ingest batch at O(batch) cost. Violations vs the empty
+    * relation through the driver's hash gate. */
+  val q115bHllIncrementalContract = GraftQuery(
+    "q115b_hll_incremental_contract", { (s, dir) =>
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val standing = toks.filter(col("doc_id") % 10 =!= 7)
+        .agg(hll_sketch_agg(col("token"), lit(14)).as("sk"))
+      val batch = toks.filter(col("doc_id") % 10 === 7)
+        .agg(hll_sketch_agg(col("token"), lit(14)).as("sk"))
+      val merged = standing.unionAll(batch)
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val full = toks
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("token"), lit(14)))
+          .as("est_full"))
+      merged.crossJoin(full)
+        .filter(col("est_merged") =!= col("est_full"))
+    },
+    Some("""SELECT CAST(NULL AS BIGINT) AS est_merged,
+      CAST(NULL AS BIGINT) AS est_full WHERE 1 = 0"""))
+
+  /** Random-projection dimensionality reduction (ops/Projection,
+    * Achlioptas sign JL): 64-d embeddings → 16-d ahead of LSH/coarse
+    * search. The sign matrix regenerates from an integer formula, the
+    * fold is exact in double arithmetic (≤64 float-mantissa summands)
+    * and the √16 scale is a power of two — so the DuckDB oracle
+    * recomputes every projected coordinate of the sampled vectors
+    * bit-identically. ProjectionSpec adds the JL distance-preservation
+    * and formula-equality checks. */
+  val q117RandomProjection = GraftQuery(
+    "q117_random_projection", { (s, dir) =>
+      val sub = embeds(s, dir).filter(col("vec_id") % 50 === 0)
+      sub.select(col("vec_id"),
+          posexplode(graft.ops.Projection.project(col("embedding"), 16)))
+        .select(col("vec_id"), col("pos").as("j"),
+          round(col("col"), 6).as("y"))
+        .orderBy(col("vec_id"), col("j"))
+    },
+    Some("""WITH sub AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb
+        FROM embeddings WHERE vec_id % 50 = 0)
+      SELECT vec_id, j,
+        round(list_sum(list_transform(generate_series(1, len(emb)),
+          i -> emb[i] * (CASE WHEN ((((i - 1) * 2654435761) % 4294967296)
+              * (j * 40503 + 1)) % 4294967296 % 1009 < 504
+            THEN 1.0 ELSE -1.0 END))) / 4.0, 6) AS y
+      FROM sub, generate_series(0, 15) t(j)
+      ORDER BY vec_id, j"""))
+
   /** One unrolled label-propagation round for the q114 oracle: count
     * labeled out-neighbors per (node, label), take the majority with
     * min-label tie-break, clamp seeds, and fall back to the previous
@@ -2118,6 +2206,7 @@ object TextVectorQueries {
     q108cPerplexityBucketContract,
     q109KnnGraph, q109bKnnGraphBlocked, q109cKnnGraphContract,
     q114LabelPropagation, q114bLabelPropagationBlocked,
+    q115HllMergeable, q115bHllIncrementalContract, q117RandomProjection,
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
     q107DiversitySample, q107bDiversityContract)
 }
