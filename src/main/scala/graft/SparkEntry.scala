@@ -78,6 +78,14 @@ object SparkEntry {
     // exactly why it is timed (a sink regression is invisible to
     // plan-only rows)
     "q111_shard_export",
+    // round-12 second wave: the trained NB quality classifier (two
+    // vocabulary-keyed shuffles — fit + score in one plan), the
+    // provenance audit (the heaviest pure narrow-projection row:
+    // every gate signal per row, no shuffle until the reason-sized
+    // agg), and label propagation over the BLOCKED kNN graph (the
+    // iterative join/agg rounds on top of q109b's edge build)
+    "q112_nb_quality_classifier", "q113_provenance_audit",
+    "q114b_label_propagation_blocked",
     // the one two-source join in the pharma family (meds ⋈ labs via the
     // managed catalog) — cheap, but it keeps the S8 ingestion edge and
     // the catalog round-trip inside the per-round timing surface
