@@ -143,7 +143,8 @@ object Bench {
         val brute = SparkEntry.queries("q33_ann_brute")(spark, sfDir)
           .select(col("query_id"), col("neighbor_id")).cache()
         val bruteN = brute.count().toDouble
-        Seq("q34_ann_lsh", "q35_ann_ivf", "q35b_ann_pq", "q35d_ann_ivfpq",
+        Seq("q34_ann_lsh", "q34c_ann_lsh_projected", "q35_ann_ivf",
+            "q35b_ann_pq", "q35d_ann_ivfpq",
             "q65_ann_ivf_trained").map { n =>
           val hits = SparkEntry.queries(n)(spark, sfDir)
             .select(col("query_id"), col("neighbor_id"))

@@ -52,4 +52,42 @@ object Projection {
   def projectRelation(df: DataFrame, idCol: String, vecCol: String,
       outDim: Int): DataFrame =
     df.select(col(idCol), project(col(vecCol), outDim).as("projected"))
+
+  /** Projection-accelerated sign-LSH ANN: hash, bucket and
+    * candidate-rank in the `outDim`-d PROJECTED space (every signature
+    * and candidate cosine costs inDim/outDim less), then rerank the
+    * top `rerank` candidates per query by EXACT cosine in the original
+    * space — the standard reduce→bucket→rerank stack (Indyk–Motwani
+    * LSH over a JL sketch). Same output shape as Similarity.lshTopK;
+    * recall vs brute force floor-asserted in ProjectionSpec and
+    * emitted in the bench recall block. */
+  def projectedLshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int, outDim: Int = 16, planes: Int = 4, tables: Int = 16,
+      rerank: Int = 30): DataFrame = {
+    val cp = corpus.select(col(corpusId).as("__cid"),
+      project(col(corpusVec), outDim).as("pv"))
+    val qp = queries.select(col(queryId).as("__qid"),
+      project(col(queryVec), outDim).as("pv"))
+    val cand = Similarity.lshTopK(cp, qp, "__cid", "pv", "__qid", "pv",
+        k = rerank, planes = planes, tables = tables)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+      col(corpusVec).as("cv"))
+    val q = queries.select(col(queryId).cast("long").as("query_id"),
+      col(queryVec).as("qv"))
+    val scored = cand
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
 }

@@ -1507,6 +1507,77 @@ object TextVectorQueries {
     Some("""SELECT CAST(NULL AS BIGINT) AS est_merged,
       CAST(NULL AS BIGINT) AS est_full WHERE 1 = 0"""))
 
+  /** q34's sign-LSH ANN accelerated by the JL projection: signatures,
+    * buckets and the candidate cut all run in 32-d (half the hash/score
+    * cost at this fixture's 64-d; the ratio is the dial at production
+    * dims), exact 64-d cosine only reranks the top-100 candidates per
+    * query. The fixture is the ADVERSARIAL case for this stack — its
+    * embeddings are isotropic noise with no low-dimensional structure,
+    * so the projected candidate cut must keep a constant FRACTION of
+    * the corpus to hold recall as n grows (measured ideal-cut recall at
+    * 10 %: 0.70 at n=500, 0.68 at n=2000; a constant COUNT decays
+    * 0.70 → 0.44) — clustered production embeddings hold recall at a
+    * constant count, which is where the real 4× win lives. rerank =
+    * max(100, n/10) encodes that posture. Rows-only like q34;
+    * ProjectionSpec floors recall vs brute force and the bench recall
+    * block tracks it per round. */
+  val q34cAnnLshProjected = GraftQuery(
+    "q34c_ann_lsh_projected", { (s, dir) =>
+      val e = embeds(s, dir)
+      val rerank = math.max(100L, e.count() / 10).toInt
+      graft.ops.Projection.projectedLshTopK(
+          e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10,
+          outDim = 32, planes = 4, tables = 16, rerank = rerank)
+        .orderBy(col("query_id"), col("rnk"))
+    })
+
+  /** Pairwise source-vocabulary overlap — the corpus-similarity matrix
+    * mixture design reads before weighting sources (near-identical
+    * vocabularies → redundant sources; disjoint → coverage). Exact
+    * Jaccard over distinct token sets: one distinct projection to
+    * (source, token), a self-join on token (each token contributes
+    * deg² pairs, so the relation is vocabulary-bounded × sources², not
+    * corpus-bounded), per-source distinct counts broadcast back. Fully
+    * oracle-checked — counts are integers, the Jaccard division is the
+    * identical IEEE quotient in both engines. */
+  val q118SourceOverlap = GraftQuery(
+    "q118_source_overlap", { (s, dir) =>
+      val st = docs(s, dir).select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .distinct()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = st.toDF("sa", "token")
+        .join(st.toDF("sb", "token2"), col("token") === col("token2"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.toDF("sa", "na")), Seq("sa"))
+        .join(broadcast(sizes.toDF("sb", "nb")), Seq("sb"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("inter"),
+          (col("na") + col("nb") - col("inter")).as("union_size"),
+          round(col("inter") / (col("na") + col("nb") - col("inter")), 6)
+            .as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""WITH st AS (
+        SELECT DISTINCT source, token FROM (
+          SELECT source, unnest(list_filter(
+            string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+          FROM documents) u),
+      sizes AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+      inter AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+        FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        GROUP BY a.source, b.source)
+      SELECT sa AS source_a, sb AS source_b, inter,
+        na.n + nb.n - inter AS union_size,
+        round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+      FROM inter
+        JOIN sizes na ON na.source = sa
+        JOIN sizes nb ON nb.source = sb
+      ORDER BY source_a, source_b"""))
+
   /** Random-projection dimensionality reduction (ops/Projection,
     * Achlioptas sign JL): 64-d embeddings → 16-d ahead of LSH/coarse
     * search. The sign matrix regenerates from an integer formula, the
@@ -2207,6 +2278,7 @@ object TextVectorQueries {
     q109KnnGraph, q109bKnnGraphBlocked, q109cKnnGraphContract,
     q114LabelPropagation, q114bLabelPropagationBlocked,
     q115HllMergeable, q115bHllIncrementalContract, q117RandomProjection,
+    q118SourceOverlap, q34cAnnLshProjected,
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
     q107DiversitySample, q107bDiversityContract)
 }

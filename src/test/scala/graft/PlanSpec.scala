@@ -445,4 +445,35 @@ class PlanSpec extends SparkTestBase {
       assert(p.contains("BroadcastHashJoin"), p)
     }
   }
+
+  test("q116 stratified sample broadcasts the per-stratum counts; the hash prefilter sits under the window") {
+    val p = planOf(graft.queries.CurationQueries.q116StratifiedSample
+      .run(spark, sfDir))
+    // phase 1: counts join back via broadcast (no corpus re-shuffle to
+    // co-locate them); phase 2's window must rank only prefiltered
+    // survivors, so the hkey threshold filter appears BELOW the window
+    assert(p.contains("BroadcastHashJoin"), p)
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx >= 0, p)
+    assert(p.lastIndexOf("Filter") > windowIdx,
+      s"prefilter must be below the window:\n$p")
+  }
+
+  test("q113 provenance audit is shuffle-light: no join, no corpus window") {
+    val p = planOf(graft.queries.CurationQueries.q113ProvenanceAudit
+      .run(spark, sfDir))
+    // every gate signal is per-row arithmetic; the only exchanges are
+    // the reason-sized aggregate and the tiny window frame over it
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected agg + window-frame exchange only:\n$p")
+  }
+
+  test("q112 NB classifier plans no window; one-row totals ride as broadcasts") {
+    val labeled = Tables.load(spark, sfDir, "documents")
+      .withColumn("y", graft.ops.TextAnalysis.qualityScore(col("text")) >= 0.88)
+    val p = planOf(graft.ops.Classifier.nbScores(labeled, "doc_id", "text", "y"))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
 }

@@ -48,4 +48,21 @@ class ProjectionSpec extends SparkTestBase {
     assert(stats.getDouble(0) < 0.25, s"mean cosine distortion ${stats.getDouble(0)}")
     assert(stats.getDouble(1) < 0.9, s"max cosine distortion ${stats.getDouble(1)}")
   }
+
+  test("projected LSH + exact rerank holds recall against brute force (q34c path)") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 5)
+    val brute = graft.ops.Similarity.bruteForceTopKPartial(
+        e, queries, "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val proj = Projection.projectedLshTopK(
+        e, queries, "vec_id", "embedding", "vec_id", "embedding", k = 10,
+        outDim = 32, planes = 4, tables = 16, rerank = 100)
+      .select(col("query_id"), col("neighbor_id"))
+    val total = brute.count().toDouble
+    val hits = proj.join(brute, Seq("query_id", "neighbor_id")).count()
+    // the isotropic fixture caps an IDEAL 32-d rerank-100 cut at 0.78;
+    // the dial is rerank width (clustered corpora sit far higher)
+    assert(hits / total >= 0.55, s"projected-LSH recall ${hits / total}")
+  }
 }
