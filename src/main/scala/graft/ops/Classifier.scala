@@ -31,6 +31,33 @@ object Classifier {
     df.select(col(idCol).as("id"), col(labelCol).as("y"),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
 
+  /** The model's SUFFICIENT STATISTICS as a relation: per-token class
+    * counts (token, hi, lo). Integer counts are mergeable —
+    * [[mergeTokenCounts]] of per-batch relations equals the from-scratch
+    * fit, which is how the classifier refreshes per ingest batch at
+    * O(batch) cost (q112c pins the equality bit-for-bit). */
+  def nbTokenClassCounts(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame =
+    toks(docs, idCol, textCol, labelCol).groupBy(col("token")).agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("hi"),
+      sum(when(not(col("y")), 1L).otherwise(0L)).as("lo"))
+
+  def mergeTokenCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy(col("token"))
+      .agg(sum(col("hi")).as("hi"), sum(col("lo")).as("lo"))
+
+  /** (token, w) log-likelihood-ratio weights from the count relation —
+    * totals and vocabulary size derive from the counts themselves, so
+    * identical counts yield bit-identical weights however they were
+    * accumulated. */
+  def nbWeightsFromCounts(tokenCounts: DataFrame): DataFrame = {
+    val tot = tokenCounts.agg(sum(col("hi")).as("tot_hi"),
+      sum(col("lo")).as("tot_lo"), count(lit(1)).as("v"))
+    tokenCounts.crossJoin(broadcast(tot)).select(col("token"),
+      (log((col("hi") + 1.0) / (col("tot_hi") + col("v"))) -
+        log((col("lo") + 1.0) / (col("tot_lo") + col("v")))).as("w"))
+  }
+
   /** Fit + score in one plan: every input row comes back with a `score`
     * column (log-odds of the positive class; predict positive ⇔ > 0).
     * `labelCol` must be boolean — the weak label the model self-trains
@@ -38,14 +65,8 @@ object Classifier {
   def nbScores(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame = {
     val t = toks(docs, idCol, textCol, labelCol)
-    val tc = t.groupBy(col("token")).agg(
-      sum(when(col("y"), 1L).otherwise(0L)).as("hi"),
-      sum(when(not(col("y")), 1L).otherwise(0L)).as("lo"))
-    val tot = tc.agg(sum(col("hi")).as("tot_hi"), sum(col("lo")).as("tot_lo"),
-      count(lit(1)).as("v"))
-    val w = tc.crossJoin(broadcast(tot)).select(col("token"),
-      (log((col("hi") + 1.0) / (col("tot_hi") + col("v"))) -
-        log((col("lo") + 1.0) / (col("tot_lo") + col("v")))).as("w"))
+    val w = nbWeightsFromCounts(
+      nbTokenClassCounts(docs, idCol, textCol, labelCol))
     val bias = docs.agg(
         sum(when(col(labelCol), 1L).otherwise(0L)).as("n_hi"),
         sum(when(not(col(labelCol)), 1L).otherwise(0L)).as("n_lo"),

@@ -96,5 +96,34 @@ object ClassifierQueries {
       CAST(NULL AS DOUBLE) AS score,
       CAST(NULL AS DOUBLE) AS prediction WHERE 1 = 0"""))
 
-  val all: Seq[GraftQuery] = Seq(q112NbQualityClassifier, q112bNbMllibContract)
+  /** Incremental-refresh contract (q101d pattern): the classifier's
+    * sufficient statistics are integer counts, so
+    * merge(fit(standing), fit(batch)) must yield BIT-IDENTICAL
+    * token weights to a from-scratch fit over the full corpus — the
+    * property that lets a 100 TB pipeline refresh its quality filter
+    * per ingest batch at O(batch) cost. Any float inequality at all is
+    * a violation (identical integers through an identical formula). */
+  val q112cNbIncrementalContract = GraftQuery(
+    "q112c_nb_incremental_contract", { (s, dir) =>
+      val labeled = weakLabeled(s, dir)
+      val standing = labeled.filter(col("doc_id") % 10 =!= 7)
+      val batch = labeled.filter(col("doc_id") % 10 === 7)
+      val merged = Classifier.nbWeightsFromCounts(Classifier.mergeTokenCounts(
+        Classifier.nbTokenClassCounts(standing, "doc_id", "text", "y"),
+        Classifier.nbTokenClassCounts(batch, "doc_id", "text", "y")))
+      val full = Classifier.nbWeightsFromCounts(
+        Classifier.nbTokenClassCounts(labeled, "doc_id", "text", "y"))
+      merged.toDF("token", "w_merged")
+        .join(full.toDF("token", "w_full"), Seq("token"), "full_outer")
+        .filter(col("w_merged").isNull || col("w_full").isNull ||
+          col("w_merged") =!= col("w_full"))
+        .select(col("token"), col("w_merged"), col("w_full"))
+        .orderBy(col("token"))
+    },
+    Some("""SELECT CAST(NULL AS VARCHAR) AS token,
+      CAST(NULL AS DOUBLE) AS w_merged,
+      CAST(NULL AS DOUBLE) AS w_full WHERE 1 = 0"""))
+
+  val all: Seq[GraftQuery] = Seq(q112NbQualityClassifier,
+    q112bNbMllibContract, q112cNbIncrementalContract)
 }

@@ -1578,6 +1578,56 @@ object TextVectorQueries {
         JOIN sizes nb ON nb.source = sb
       ORDER BY source_a, source_b"""))
 
+  /** q118's 100 TB path as a contract row: a per-source MinHash
+    * signature (k = 256) estimates every pairwise vocabulary Jaccard
+    * without the exact relation's token self-join — per-doc signatures
+    * come from the codegen MinHash kernel, fold to per-source
+    * signatures by element-wise min (min is associative, so
+    * signature(⋃ docs) = element-min of doc signatures), and pairs
+    * compare 256 slots instead of vocabularies. The contract pins
+    * every estimate within ±0.1 of the exact Jaccard (k = 256 → σ ≤
+    * 0.031 at the hardest J = 0.5). The fixtures sit in the degenerate
+    * high-overlap regime — every source draws from one token pool, so
+    * the 190 exact Jaccards are 0.97–1.0 and measured max |Δ| is
+    * 0.003 (sf0.001/0.01) and 0 (sf0.1); SketchSpec exercises the
+    * mid-range regime on a constructed two-source corpus with known
+    * J = 1/3. Violations vs the empty relation. */
+  val q118bSourceOverlapMinhashContract = GraftQuery(
+    "q118b_source_overlap_minhash_contract", { (s, dir) =>
+      val k = 256
+      val sig = docs(s, dir).select(col("source"),
+          posexplode(graft.functions.SketchExpressions.minhashSignature(
+            transform(TextAnalysis.tokens(col("text")), t => xxhash64(t)), k)))
+        .groupBy(col("source"), col("pos")).agg(min(col("col")).as("mh"))
+      val est = sig.select(col("source").as("sa"), col("pos"), col("mh").as("ma"))
+        .join(sig.select(col("source").as("sb"), col("pos"), col("mh").as("mb")),
+          Seq("pos"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg((count(when(col("ma") === col("mb"), 1)) / k.toDouble).as("est"))
+      val st = docs(s, dir).select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .distinct()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val exact = st.toDF("sa", "token")
+        .join(st.toDF("sb", "token2"), col("token") === col("token2"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.toDF("sa", "na")), Seq("sa"))
+        .join(broadcast(sizes.toDF("sb", "nb")), Seq("sb"))
+        .select(col("sa"), col("sb"),
+          (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      est.join(exact, Seq("sa", "sb"), "full_outer")
+        .filter(col("est").isNull || col("jaccard").isNull ||
+          abs(col("est") - col("jaccard")) > 0.1)
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          round(col("est"), 6).as("est"), round(col("jaccard"), 6).as("exact"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""SELECT CAST(NULL AS VARCHAR) AS source_a,
+      CAST(NULL AS VARCHAR) AS source_b, CAST(NULL AS DOUBLE) AS est,
+      CAST(NULL AS DOUBLE) AS exact WHERE 1 = 0"""))
+
   /** Random-projection dimensionality reduction (ops/Projection,
     * Achlioptas sign JL): 64-d embeddings → 16-d ahead of LSH/coarse
     * search. The sign matrix regenerates from an integer formula, the
@@ -2278,7 +2328,8 @@ object TextVectorQueries {
     q109KnnGraph, q109bKnnGraphBlocked, q109cKnnGraphContract,
     q114LabelPropagation, q114bLabelPropagationBlocked,
     q115HllMergeable, q115bHllIncrementalContract, q117RandomProjection,
-    q118SourceOverlap, q34cAnnLshProjected,
+    q118SourceOverlap, q118bSourceOverlapMinhashContract,
+    q34cAnnLshProjected,
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
     q107DiversitySample, q107bDiversityContract)
 }

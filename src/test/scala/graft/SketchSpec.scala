@@ -35,4 +35,27 @@ class SketchSpec extends SparkTestBase {
       .head().getLong(0)
     assert(ests.head === direct)
   }
+
+  test("per-source MinHash signature estimates a KNOWN mid-range Jaccard (q118b estimator, non-degenerate regime)") {
+    // two sources over a constructed vocabulary: A = w0..w599,
+    // B = w300..w899 → |∩| = 300, |∪| = 900, J = 1/3. One word per doc
+    // exercises the doc-signature element-min fold (signature of the
+    // union of singletons = per-source signature).
+    val rows = (0 until 600).map(i => ("a", s"w$i")) ++
+      (300 until 900).map(i => ("b", s"w$i"))
+    val d = rows.toDF("source", "text")
+    val k = 256
+    val sig = d.select(col("source"),
+        posexplode(graft.functions.SketchExpressions.minhashSignature(
+          transform(graft.ops.TextAnalysis.tokens(col("text")),
+            t => xxhash64(t)), k)))
+      .groupBy(col("source"), col("pos")).agg(min(col("col")).as("mh"))
+    val est = sig.filter(col("source") === "a")
+      .select(col("pos"), col("mh").as("ma"))
+      .join(sig.filter(col("source") === "b")
+        .select(col("pos"), col("mh").as("mb")), Seq("pos"))
+      .agg((count(when(col("ma") === col("mb"), 1)) / k.toDouble))
+      .head().getDouble(0)
+    assert(math.abs(est - 1.0 / 3.0) < 0.1, s"J estimate $est for true 1/3")
+  }
 }
