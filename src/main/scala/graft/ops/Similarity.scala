@@ -891,6 +891,19 @@ object Similarity {
     * index to the source table's commit version instead of rescanning
     * ids, but the contract is the same — serve from the published
     * index, rebuild on corpus change, never train in the query path. */
+  /** Cell count for a blocked (Σ|cell|²-shaped) pair pass: target ~250
+    * members per cell, floor 8. A FIXED cell count makes blocked pair
+    * work quadratic in corpus size (each cell grows ∝ n, so Σ|cell|² ∝
+    * n²/cells — measured 3.6 s → 71 s at 10× on the kNN-graph row);
+    * deriving cells from n holds per-vector work constant (same probe:
+    * 8.7 s at 10× with cells ∝ n). At the driver fixtures (n ≤ 2000)
+    * this stays exactly the historical k = 8, so fixture behavior,
+    * recall telemetry and the served-index fingerprints are unchanged;
+    * the fingerprint includes k, so a corpus that grows across a cell-
+    * count boundary retrains automatically on next serve. */
+  def cellCountFor(n: Long, targetPerCell: Long = 250L): Int =
+    math.max(8L, n / targetPerCell).toInt
+
   def servedCentroids(
       spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int, iters: Int,

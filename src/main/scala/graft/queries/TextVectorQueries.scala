@@ -1399,8 +1399,11 @@ object TextVectorQueries {
   val q109bKnnGraphBlocked = GraftQuery(
     "q109b_knn_graph_blocked", { (s, dir) =>
       val e = embeds(s, dir)
+      // cells ∝ n (fixture: still 8) — a fixed count makes the cell
+      // pair pass quadratic in corpus size; see cellCountFor
       val cents = Similarity.servedCentroids(s, e, "embedding", "vec_id",
-        k = 8, iters = 2, table = "default.semdedup_centroids")
+        k = Similarity.cellCountFor(e.count()), iters = 2,
+        table = "default.semdedup_centroids")
       Similarity.knnGraphBlocked(e, "embedding", "vec_id", cents,
           k = 5, probes = 4, replicas = 2)
         .orderBy(col("query_id"), col("rnk"))
@@ -1420,7 +1423,7 @@ object TextVectorQueries {
     "q109c_knn_graph_contract", { (s, dir) =>
       val e = embeds(s, dir)
       val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
-        k = 8, iters = 2)
+        k = Similarity.cellCountFor(e.count()), iters = 2)
       val blocked = Similarity.knnGraphBlocked(e, "embedding", "vec_id",
         cents, k = 5, probes = 4, replicas = 2)
       val kth = Similarity.bruteForceTopKPartial(
@@ -1738,7 +1741,7 @@ object TextVectorQueries {
     "q114b_label_propagation_blocked", { (s, dir) =>
       val e = embeds(s, dir)
       val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
-        k = 8, iters = 2)
+        k = Similarity.cellCountFor(e.count()), iters = 2)
       val edges = Similarity.knnGraphBlocked(e, "embedding", "vec_id",
           cents, k = 5, probes = 4, replicas = 2)
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
