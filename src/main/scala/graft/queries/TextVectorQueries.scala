@@ -1581,6 +1581,119 @@ object TextVectorQueries {
         JOIN sizes nb ON nb.source = sb
       ORDER BY source_a, source_b"""))
 
+  /** BPE merge-candidate counting — the inner loop of byte-pair-
+    * encoding tokenizer training (Sennrich et al. 2016): count
+    * adjacent character pairs across the corpus, weighted by word
+    * frequency, and surface the top merges. One explode over DISTINCT
+    * words (pair work is vocabulary-bounded — the word-frequency
+    * groupBy collapses the corpus first, so a 100 TB pass explodes
+    * |vocab| strings, not |corpus|), then a pair-keyed aggregate.
+    * Fully oracle-checked; integer counts only. */
+  val q119BpePairCounts = GraftQuery(
+    "q119_bpe_pair_counts", { (s, dir) =>
+      val words = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      words
+        // sequence(1, 0) counts DOWN in Spark (the q57 guard), so
+        // 1-char words must be excluded, as the oracle's len(w) >= 2
+        .filter(length(col("w")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("occurrences"))
+        .orderBy(col("occurrences").desc, col("pair"))
+        .limit(20)
+    },
+    Some("""WITH words AS (
+        SELECT w, count(*) AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS w
+          FROM documents) t
+        GROUP BY w),
+      pairs AS (
+        SELECT n, unnest(list_transform(generate_series(1, len(w) - 1),
+          i -> substr(w, i, 2))) AS pair
+        FROM words WHERE len(w) >= 2)
+      SELECT pair, CAST(sum(n) AS BIGINT) AS occurrences
+      FROM pairs GROUP BY pair
+      ORDER BY occurrences DESC, pair LIMIT 20"""))
+
+  /** Per-source token-distribution drift vs the whole corpus —
+    * smoothed KL(source ‖ corpus) over the full vocabulary, the
+    * distribution-shift monitor a pipeline runs per ingest batch or
+    * per source before mixing (a drifting source gets inspected before
+    * it tilts training). Vocabulary-bounded throughout: per-source and
+    * global count relations join on token, and the zero-count mass
+    * rides as one closed-form term per source instead of a
+    * source × vocab dense cross join. Fully oracle-checked (ln over
+    * integer-count ratios; round at the end, q108's FP posture). */
+  val q120SourceDrift = GraftQuery(
+    "q120_source_drift", { (s, dir) =>
+      val k = 0.5
+      val tok = docs(s, dir).select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val sc = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      val g = tok.groupBy(col("token")).agg(count(lit(1)).as("gc"))
+      val stot = sc.groupBy(col("source")).agg(sum(col("c")).as("st"),
+        count(lit(1)).as("sv"))
+      val gtot = g.agg(sum(col("gc")).as("gt"), count(lit(1)).as("v"))
+      // Σ_{token ∈ vocab} p ln(p/q) splits into present terms (c > 0)
+      // plus the closed-form zero-count tail: tokens absent from the
+      // source contribute p0·ln(p0/q) with p0 = k/(st+kV) — Σ over that
+      // set = p0·[ (V−sv)·ln p0 − Σ_{absent} ln q ], and Σ_{absent} ln q
+      // = Σ_all ln q − Σ_present ln q, both vocabulary-bounded.
+      val withQ = sc.join(g, Seq("token"))
+        .crossJoin(broadcast(gtot))
+        .join(broadcast(stot), Seq("source"))
+        .withColumn("p", (col("c") + k) / (col("st") + lit(k) * col("v")))
+        .withColumn("q", (col("gc") + k) / (col("gt") + lit(k) * col("v")))
+      val present = withQ.groupBy(col("source"))
+        .agg(sum(col("p") * log(col("p") / col("q"))).as("kl_present"),
+          sum(log(col("q"))).as("sum_lnq_present"))
+      val lnqAll = g.crossJoin(broadcast(gtot))
+        .agg(sum(log((col("gc") + k) / (col("gt") + lit(k) * col("v"))))
+          .as("sum_lnq_all"))
+      present
+        .join(broadcast(stot), Seq("source"))
+        .crossJoin(broadcast(gtot))
+        .crossJoin(broadcast(lnqAll))
+        .withColumn("p0", lit(k) / (col("st") + lit(k) * col("v")))
+        .withColumn("kl",
+          col("kl_present") + col("p0") *
+            ((col("v") - col("sv")) * log(col("p0")) -
+              (col("sum_lnq_all") - col("sum_lnq_present"))))
+        .select(col("source"), col("st").as("tokens"),
+          col("sv").as("vocab_present"), round(col("kl"), 4).as("kl_nats"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tok AS (
+        SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+          x -> len(x) > 0)) AS token
+        FROM documents),
+      sc AS (SELECT source, token, count(*) AS c FROM tok GROUP BY source, token),
+      g AS (SELECT token, count(*) AS gc FROM tok GROUP BY token),
+      stot AS (SELECT source, sum(c) AS st, count(*) AS sv FROM sc GROUP BY source),
+      gtot AS (SELECT sum(gc) AS gt, count(*) AS v FROM g),
+      withq AS (SELECT sc.source,
+          (sc.c + 0.5) / (stot.st + 0.5 * gtot.v) AS p,
+          (g.gc + 0.5) / (gtot.gt + 0.5 * gtot.v) AS q
+        FROM sc JOIN g USING (token)
+          JOIN stot ON sc.source = stot.source, gtot),
+      present AS (SELECT source, sum(p * ln(p / q)) AS kl_present,
+          sum(ln(q)) AS sum_lnq_present
+        FROM withq GROUP BY source),
+      lnqall AS (SELECT sum(ln((gc + 0.5) / (gt + 0.5 * v))) AS sum_lnq_all
+        FROM g, gtot)
+      SELECT p.source, CAST(stot.st AS BIGINT) AS tokens,
+        stot.sv AS vocab_present,
+        round(p.kl_present + (0.5 / (stot.st + 0.5 * gtot.v)) *
+          ((gtot.v - stot.sv) * ln(0.5 / (stot.st + 0.5 * gtot.v)) -
+            (lnqall.sum_lnq_all - p.sum_lnq_present)), 4) AS kl_nats
+      FROM present p
+        JOIN stot ON p.source = stot.source, gtot, lnqall
+      ORDER BY p.source"""))
+
   /** q118's 100 TB path as a contract row: a per-source MinHash
     * signature (k = 256) estimates every pairwise vocabulary Jaccard
     * without the exact relation's token self-join — per-doc signatures
@@ -2332,6 +2445,7 @@ object TextVectorQueries {
     q114LabelPropagation, q114bLabelPropagationBlocked,
     q115HllMergeable, q115bHllIncrementalContract, q117RandomProjection,
     q118SourceOverlap, q118bSourceOverlapMinhashContract,
+    q119BpePairCounts, q120SourceDrift,
     q34cAnnLshProjected,
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
     q107DiversitySample, q107bDiversityContract)

@@ -97,4 +97,36 @@ class TextCurationSpec extends SparkTestBase {
     assert(overlap >= 7, s"fused top-10 overlap only $overlap/10 — the " +
       "served ANN leg no longer substitutes for the exact leg")
   }
+
+  test("BPE pair counting matches the hand-computed merge table on a tiny corpus") {
+    // words: ab ×2, abc ×1 → pairs ab: 2+1 = 3, bc: 1; 1-char words
+    // contribute nothing
+    import org.apache.spark.sql.functions.{col, expr, explode, length, lit, sum, count, lower}
+    val d = Seq("ab ab a", "abc").toDF("text")
+    val words = d.select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val pairs = words.filter(length(col("w")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("occ"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pairs === Map("ab" -> 3L, "bc" -> 1L))
+  }
+
+  test("source drift: an identically-distributed source scores near zero KL, a disjoint-vocab source scores high") {
+    import org.apache.spark.sql.functions.col
+    // sources a and b share one distribution; source z is disjoint
+    val rows = Seq.tabulate(50)(i => (i.toLong, s"tok${i % 10} tok${i % 7}", "en", "a", 10L)) ++
+      Seq.tabulate(50)(i => (100L + i, s"tok${i % 10} tok${i % 7}", "en", "b", 10L)) ++
+      Seq.tabulate(50)(i => (200L + i, s"zzz${i % 10} zzz${i % 7}", "en", "z", 10L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val kl = graft.queries.TextVectorQueries.q120SourceDrift.run(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(kl.keySet === Set("a", "b", "z"))
+    kl.values.foreach(v => assert(v >= 0.0, s"KL must be non-negative: $kl"))
+    assert(math.abs(kl("a") - kl("b")) < 1e-9, s"identical sources must tie: $kl")
+    assert(kl("z") > kl("a") + 0.3, s"disjoint-vocab source must drift: $kl")
+  }
 }
