@@ -455,10 +455,41 @@ object StreamingQueries {
     Some("""SELECT CAST(NULL AS BIGINT) AS id,
       CAST(NULL AS VARCHAR) AS kind WHERE 1 = 0"""))
 
+  /** Streaming mergeable-statistics contract (oracle-checked, q101d
+    * pattern): the token-count accumulator sink
+    * ([[graft.streaming.CurationStream.runTokenCountSink]] — per-batch
+    * additive merges through the real engine) must land a counts table
+    * multiset-identical to one batch aggregation over the same files.
+    * This is the property that makes count-derived telemetry (drift
+    * KL q120, vocabulary growth, classifier refreshes q112c) safe to
+    * maintain incrementally; violations carry which side over-counted. */
+  val q120bStreamDriftContract = GraftQuery(
+    "q120b_stream_drift_contract", { (s, dir) =>
+      import graft.streaming.CurationStream
+      val d = Tables.load(s, dir, "documents")
+      val table = "default.token_counts_stream"
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val staged = CurationStream.stageEmbeddings(d, parts = 3)
+      CurationStream.runTokenCountSink(s, staged, table)
+      val streamed = s.table(table)
+      val batch = d.select(col("source"),
+          explode(graft.ops.TextAnalysis.tokens(lower(col("text"))))
+            .as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      TextVectorQueries.symmetricDiffViolations(streamed, batch,
+          "stream_only", "batch_only", Seq("source", "token", "c"))
+        .orderBy(col("kind"), col("source"), col("token"))
+        .localCheckpoint(eager = true)
+    },
+    Some("""SELECT CAST(NULL AS VARCHAR) AS source,
+      CAST(NULL AS VARCHAR) AS token, CAST(NULL AS BIGINT) AS c,
+      CAST(NULL AS VARCHAR) AS kind WHERE 1 = 0"""))
+
   val all: Seq[GraftQuery] = Seq(
     q37StreamTumbling, q38StreamSessions, q39MultimodalDecode,
     q44StreamStaticJoin, q45StreamDedup, q46StreamState, q63StreamStreamJoin,
     q86StreamSliding, q87StreamUpsertSink, q87bStreamUpsertPartitioned,
     q87cStreamUpsertVersioned, q98StreamDecontaminate,
-    q101gStreamSemanticDedup, q101iStreamFoldContract)
+    q101gStreamSemanticDedup, q101iStreamFoldContract,
+    q120bStreamDriftContract)
 }

@@ -165,4 +165,55 @@ object CurationStream {
     import scala.jdk.CollectionConverters._
     stats.asScala.toSeq.sortBy(_.batchId)
   }
+
+  /** Streaming token-count accumulator: each micro-batch's per-(source,
+    * token) counts MERGE ADDITIVELY into a persisted counts table — the
+    * same mergeable-sufficient-statistics discipline as the NB
+    * classifier's counts (q112c) and the HLL sketches (q115b), driven
+    * by the real streaming engine. The final table powers any
+    * count-derived telemetry (q120's drift KL, vocabulary growth,
+    * classifier refreshes) WITHOUT a corpus rescan. The per-batch merge
+    * here rewrites the vocabulary-sized table via stage-then-swap
+    * (vocabulary-bounded, corpus-free); a deployment at larger vocab
+    * partitions the counts table by token hash and rewrites only
+    * touched partitions, exactly the q87b bucket-merge shape. Returns
+    * the number of micro-batches. */
+  def runTokenCountSink(
+      spark: SparkSession, dir: String, table: String,
+      checkpoint: Option[String] = None): Long = {
+    val schema = spark.read.option("pathGlobFilter", "emb_*.parquet")
+      .parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "emb_*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    var batches = 0L
+    val writer0 = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions._
+        val counts = batch.select(col("source"),
+            explode(graft.ops.TextAnalysis.tokens(lower(col("text"))))
+              .as("token"))
+          .groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("c"))
+        val merged =
+          if (spark.catalog.tableExists(table))
+            spark.table(table).unionAll(counts)
+              .groupBy(col("source"), col("token"))
+              .agg(sum(col("c")).as("c"))
+          else counts
+        graft.core.TableStore.overwriteTable(spark, table,
+          merged.localCheckpoint(eager = true))
+        batches += 1
+        ()
+      }
+    val q = checkpoint
+      .fold(writer0)(c => writer0.option("checkpointLocation", c))
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    if (spark.catalog.tableExists(table)) spark.catalog.refreshTable(table)
+    batches
+  }
 }

@@ -1275,4 +1275,35 @@ class StreamingSpec extends SparkTestBase {
     assert(SparkEntry.queries("q101i_stream_fold_contract")(
       spark, sfDir).count() === 0L)
   }
+
+  test("token-count sink: checkpointed resume consumes only new files; an UNcheckpointed replay double-counts (additive merge is not idempotent)") {
+    import graft.streaming.CurationStream
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tbl = "default.token_counts_spec"
+    val dir = CurationStream.stageEmbeddings(d, parts = 2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_tokck").toString
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      assert(CurationStream.runTokenCountSink(spark, dir, tbl,
+        checkpoint = Some(ckpt)) === 2L)
+      val expected = d.select(col("source"),
+          explode(graft.ops.TextAnalysis.tokens(lower(col("text"))))
+            .as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      val total = expected.agg(sum(col("c"))).head().getLong(0)
+      assert(spark.table(tbl).agg(sum(col("c"))).head().getLong(0) === total)
+      // checkpointed resume with nothing new: zero batches, counts stable
+      assert(CurationStream.runTokenCountSink(spark, dir, tbl,
+        checkpoint = Some(ckpt)) === 0L)
+      assert(spark.table(tbl).agg(sum(col("c"))).head().getLong(0) === total)
+      // an uncheckpointed replay re-merges every file: exact double.
+      // This is WHY the sink must run with a checkpoint in production —
+      // additive statistics have no natural replay idempotence, unlike
+      // the dedup sink (where a replayed doc meets its own
+      // representative and lands nothing)
+      CurationStream.runTokenCountSink(spark, dir, tbl, checkpoint = None)
+      assert(spark.table(tbl).agg(sum(col("c"))).head().getLong(0) === 2 * total)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
