@@ -220,4 +220,47 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(Dedup.semanticDedupIncremental(
       e, emptyVecs, "embedding", "vec_id", 0.45).count() === 0L)
   }
+
+  test("NB classifier: empty corpus scores empty; single-class corpus still scores (smoothing carries the absent class)") {
+    val empty = Seq.empty[(Long, String, Boolean)].toDF("doc_id", "text", "y")
+    assert(graft.ops.Classifier.nbScores(empty, "doc_id", "text", "y").count() === 0L)
+    val oneClass = Seq((1L, "alpha beta", true), (2L, "alpha", true))
+      .toDF("doc_id", "text", "y")
+    val s = graft.ops.Classifier.nbScores(oneClass, "doc_id", "text", "y")
+      .select(col("score")).collect().map(_.getDouble(0))
+    assert(s.length === 2 && s.forall(v => !v.isNaN && !v.isInfinite))
+    assert(s.forall(_ > 0), "all-positive corpus must score positive")
+  }
+
+  test("label propagation totality: empty edges leave seeds fixed and non-seeds null; empty nodes is empty") {
+    val nodes = Seq((1L, Int.box(3)), (2L, null: Integer)).toDF("node", "seed_label")
+    val out = graft.ops.Graph.labelPropagation(nodes, emptyEdges.toDF("src", "dst"), 2)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(out === Map(1L -> Some(3), 2L -> None))
+    val noNodes = Seq.empty[(Long, Integer)].toDF("node", "seed_label")
+    assert(graft.ops.Graph.labelPropagation(
+      noNodes, emptyEdges.toDF("src", "dst"), 2).count() === 0L)
+  }
+
+  test("random projection totality: empty relation projects empty; projectedLshTopK on empty corpus returns no neighbors") {
+    assert(graft.ops.Projection.projectRelation(
+      emptyVecs, "vec_id", "embedding", 16).count() === 0L)
+    val q = Seq((1L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    assert(graft.ops.Projection.projectedLshTopK(
+      emptyVecs, q, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, outDim = 4, planes = 2, tables = 2, rerank = 10).count() === 0L)
+  }
+
+  test("q116 stratified sample takes the whole stratum when quota exceeds it") {
+    // 3 docs in one lang with quota 40 → all 3 selected, ranks dense
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiny").toString
+    Seq((1L, "a b", "xx", "s", 3L), (2L, "c d", "xx", "s", 3L),
+      (3L, "e f", "xx", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.queries.CurationQueries.q116StratifiedSample
+      .run(spark, dir).collect()
+    assert(out.length === 3)
+    assert(out.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3))
+  }
 }
