@@ -374,7 +374,7 @@ object StreamingQueries {
       val seed = e.filter(col("vec_id") % 5 =!= 0)
       val inc = e.filter(col("vec_id") % 5 === 0)
       val cents = Similarity.servedCentroids(s, e, "embedding", "vec_id",
-        k = 8, iters = 2, table = "default.semdedup_centroids")
+        k = Similarity.cellCountFor(e.count()), iters = 2, table = "default.semdedup_centroids")
         .localCheckpoint(eager = true)
       val keptSeed = seed.join(
         Dedup.semanticDedupBlocked(seed, "embedding", "vec_id", 0.45,
@@ -416,7 +416,7 @@ object StreamingQueries {
       val seed = e.filter(col("vec_id") % 5 =!= 0)
       val inc = e.filter(col("vec_id") % 5 === 0)
       val cents = Similarity.servedCentroids(s, e, "embedding", "vec_id",
-        k = 8, iters = 2, table = "default.semdedup_centroids")
+        k = Similarity.cellCountFor(e.count()), iters = 2, table = "default.semdedup_centroids")
         .localCheckpoint(eager = true)
       val keptSeed = seed.join(
         Dedup.semanticDedupBlocked(seed, "embedding", "vec_id", 0.45,

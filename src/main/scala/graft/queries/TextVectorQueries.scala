@@ -882,7 +882,7 @@ object TextVectorQueries {
     "q101b_semantic_dedup_blocked", { (s, dir) =>
       val e = embeds(s, dir)
       val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
-        k = 8, iters = 2)
+        k = Similarity.cellCountFor(e.count()), iters = 2)
       Dedup.semanticDedupBlocked(e, "embedding", "vec_id", 0.45, cents,
         probes = 2)
         .orderBy(col("id"))
@@ -902,7 +902,7 @@ object TextVectorQueries {
     "q101c_semantic_dedup_index", { (s, dir) =>
       val e = embeds(s, dir)
       val cents = Similarity.servedCentroids(s, e, "embedding", "vec_id",
-        k = 8, iters = 2, table = "default.semdedup_centroids")
+        k = Similarity.cellCountFor(e.count()), iters = 2, table = "default.semdedup_centroids")
       Dedup.semanticDedupBlocked(e, "embedding", "vec_id", 0.45, cents,
         probes = 2)
         .orderBy(col("id"))
@@ -921,7 +921,7 @@ object TextVectorQueries {
     "q101d_semantic_subset_contract", { (s, dir) =>
       val e = embeds(s, dir)
       val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
-        k = 8, iters = 2)
+        k = Similarity.cellCountFor(e.count()), iters = 2)
       val blocked = Dedup.semanticDedupBlocked(
         e, "embedding", "vec_id", 0.45, cents, probes = 2)
         .select(col("id"), col("kept").as("kept_blocked"))
@@ -992,7 +992,7 @@ object TextVectorQueries {
       val seed = e.filter(col("vec_id") % 5 =!= 0)
       val inc = e.filter(col("vec_id") % 5 === 0)
       val cents = Similarity.servedCentroids(s, e, "embedding", "vec_id",
-        k = 8, iters = 2, table = "default.semdedup_centroids")
+        k = Similarity.cellCountFor(e.count()), iters = 2, table = "default.semdedup_centroids")
       val keptRep = seed.join(
         Dedup.semanticDedupBlocked(seed, "embedding", "vec_id", 0.45,
           cents, probes = 2)
@@ -1024,7 +1024,7 @@ object TextVectorQueries {
         seed("vec_id") === col("id"))
         .select(seed("vec_id"), seed("embedding"))
       val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
-        k = 8, iters = 2)
+        k = Similarity.cellCountFor(e.count()), iters = 2)
       val exact = Dedup.semanticDedupIncremental(
           keptRep, inc, "embedding", "vec_id", 0.45)
         .select(col("id"), col("kept").as("kept_exact"))
@@ -2068,7 +2068,7 @@ object TextVectorQueries {
     "q107_diversity_sample", { (s, dir) =>
       val e = embeds(s, dir)
       val cents = Similarity.servedCentroids(s, e, "embedding", "vec_id",
-        k = 8, iters = 2, table = "default.semdedup_centroids")
+        k = Similarity.cellCountFor(e.count()), iters = 2, table = "default.semdedup_centroids")
       Similarity.diversitySample(e, "embedding", "vec_id", cents,
           perCell = 20)
         .groupBy(col("centroid_id"))
@@ -2093,7 +2093,7 @@ object TextVectorQueries {
     "q107b_diversity_contract", { (s, dir) =>
       val e = embeds(s, dir)
       val cents = Similarity.servedCentroids(s, e, "embedding", "vec_id",
-        k = 8, iters = 2, table = "default.semdedup_centroids")
+        k = Similarity.cellCountFor(e.count()), iters = 2, table = "default.semdedup_centroids")
       val s1 = Similarity.diversitySample(e, "embedding", "vec_id", cents,
         perCell = 20)
       val s2 = Similarity.diversitySample(e, "embedding", "vec_id", cents,
