@@ -1926,6 +1926,91 @@ object TextVectorQueries {
         round(avg(ppl), 4) AS avg_ppl, round(max(ppl), 4) AS max_ppl
       FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket"""))
 
+  /** Curriculum schedule: compose the perplexity terciles (q108) with a
+    * per-epoch deterministic keep rule — the anneal-from-clean mixing
+    * LLM training runs (epoch 1 trains mostly on the fluent head,
+    * later epochs open up the middle and tail; cf. CCNet's
+    * head-first consumption). Keep decisions are the split family's
+    * masked hash arithmetic with an epoch-dependent multiplier, so
+    * membership is reproducible run-over-run and a document's epochs
+    * are independent draws. Exact terciles here (the oracle anchor —
+    * DuckDB replays perplexity, ntile, the keep-rate table and the
+    * hash); at scale the bucket stamp comes from q108b's broadcast
+    * thresholds and the schedule is unchanged. */
+  val q121CurriculumSchedule = GraftQuery(
+    "q121_curriculum_schedule", { (s, dir) =>
+      val d = docs(s, dir)
+      val ppl = TextAnalysis.bigramPerplexity(d, "text", "doc_id", 0.5)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(round(col("ppl"), 6), col("doc_id"))
+      val bucketed = d.select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+        .join(ppl, col("doc_id") === col("id"))
+        .withColumn("bucket", ntile(3).over(w))
+      val epochs = s.range(1, 4).select(col("id").cast("int").as("epoch"))
+      val sched = bucketed.crossJoin(broadcast(epochs))
+        .withColumn("keep_pct",
+          when(col("bucket") === 1, lit(100))
+            .when(col("bucket") === 2,
+              element_at(array(lit(50), lit(80), lit(100)), col("epoch")))
+            .otherwise(
+              element_at(array(lit(20), lit(50), lit(100)), col("epoch"))))
+        .withColumn("keep",
+          ((pmod(col("doc_id"), lit(2147483648L)) *
+            ((lit(2654435761L) * col("epoch")) % 4294967296L))
+            % 4294967296L) % 100 < col("keep_pct"))
+      sched.groupBy(col("epoch"), col("bucket"))
+        .agg(
+          count(when(col("keep"), 1)).as("docs_kept"),
+          sum(when(col("keep"), col("ntok"))).as("tokens_kept"),
+          first(col("keep_pct")).as("target_pct"),
+          round(count(when(col("keep"), 1)) * 100.0 / count(lit(1)), 2)
+            .as("achieved_pct"))
+        .orderBy(col("epoch"), col("bucket"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2),
+      bgd AS (SELECT doc_id, bg, w1, count(*) AS n
+              FROM bg GROUP BY doc_id, bg, w1),
+      cb AS (SELECT bg, sum(n) AS cb FROM bgd GROUP BY bg),
+      c1 AS (SELECT w1, sum(n) AS c1 FROM bgd GROUP BY w1),
+      v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz
+            FROM (SELECT unnest(t) AS tok FROM toks)),
+      scored AS (
+        SELECT b.doc_id,
+          exp(-(sum(n * ln((cb.cb + 0.5) / (c1.c1 + 0.5 * v.vsz))) / sum(n))) AS ppl
+        FROM bgd b JOIN cb USING (bg) JOIN c1 USING (w1) CROSS JOIN v
+        GROUP BY b.doc_id),
+      bucketed AS (
+        SELECT d.doc_id, len(d.t) AS ntok,
+          ntile(3) OVER (PARTITION BY d.lang
+            ORDER BY round(s.ppl, 6), s.doc_id) AS bucket
+        FROM scored s JOIN toks d USING (doc_id)),
+      sched AS (
+        SELECT b.doc_id, b.ntok, b.bucket, e.epoch,
+          CASE WHEN b.bucket = 1 THEN 100
+               WHEN b.bucket = 2 THEN ([50, 80, 100])[e.epoch]
+               ELSE ([20, 50, 100])[e.epoch] END AS keep_pct
+        FROM bucketed b, (SELECT unnest([1, 2, 3]) AS epoch) e),
+      kept AS (
+        SELECT epoch, bucket, ntok, keep_pct,
+          (((doc_id % 2147483648) * ((2654435761 * epoch) % 4294967296))
+            % 4294967296) % 100 < keep_pct AS keep
+        FROM sched)
+      SELECT epoch, bucket,
+        count(CASE WHEN keep THEN 1 END) AS docs_kept,
+        CAST(sum(CASE WHEN keep THEN ntok END) AS BIGINT) AS tokens_kept,
+        first(keep_pct) AS target_pct,
+        round(count(CASE WHEN keep THEN 1 END) * 100.0 / count(*), 2)
+          AS achieved_pct
+      FROM kept GROUP BY epoch, bucket ORDER BY epoch, bucket"""))
+
   /** The 100 TB path of q108: per-language tercile THRESHOLDS from one
     * tiny approx-percentile aggregate (languages are bounded, so the
     * threshold relation broadcasts), then a narrow per-row bucket
@@ -2440,6 +2525,7 @@ object TextVectorQueries {
     q65bIvfTrainedContract, q69TfidfRerank,
     q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf,
     q108BigramPerplexity, q108bPerplexityThresholds,
+    q121CurriculumSchedule,
     q108cPerplexityBucketContract,
     q109KnnGraph, q109bKnnGraphBlocked, q109cKnnGraphContract,
     q114LabelPropagation, q114bLabelPropagationBlocked,

@@ -129,4 +129,23 @@ class TextCurationSpec extends SparkTestBase {
     assert(math.abs(kl("a") - kl("b")) < 1e-9, s"identical sources must tie: $kl")
     assert(kl("z") > kl("a") + 0.3, s"disjoint-vocab source must drift: $kl")
   }
+
+  test("curriculum schedule anneals: head bucket always full, tail opens up epoch over epoch, rerun-deterministic") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.queries.TextVectorQueries.q121CurriculumSchedule
+      .run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getInt(4))).toMap
+    // head bucket targets 100 % in every epoch
+    (1 to 3).foreach(e => assert(out((e, 1))._2 === 100))
+    // the tail's target rate is monotone across epochs and its kept
+    // count non-decreasing
+    assert(out((1, 3))._2 < out((2, 3))._2 && out((2, 3))._2 < out((3, 3))._2)
+    assert(out((1, 3))._1 <= out((2, 3))._1 && out((2, 3))._1 <= out((3, 3))._1)
+    // deterministic membership: a second run reproduces every count
+    val again = graft.queries.TextVectorQueries.q121CurriculumSchedule
+      .run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    out.foreach { case (k, (docs, _)) => assert(again(k) === docs) }
+  }
 }
