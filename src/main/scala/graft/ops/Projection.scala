@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   *
   * Exactness note (why q117 can carry a hash-exact oracle): each
   * product x_d·(±1) is an exact float, and a sum of ≤64 float-mantissa
-  * (24-bit) values fits a double's 53-bit mantissa without rounding, so
-  * the fold is EXACT and order-independent; √16 = 4 is a power of two,
-  * so the final division is exact too — both engines produce
-  * bit-identical projections. */
+  * (24-bit) values is exact in double arithmetic PROVIDED the summand
+  * exponents span fewer than ~29 binary orders of magnitude (53 − 24;
+  * beyond that the smallest mantissas fall off the end of the double
+  * and the fold becomes order-dependent). The driver's embeddings are
+  * unit-scale with components well above 1e-8, so the assumption holds
+  * for this fixture — a corpus with denormal-adjacent components would
+  * need a tolerance-based oracle instead, with round(·,6) ties as the
+  * failure mode. √16 = 4 is a power of two, so the final division is
+  * exact; under the bounded-dynamic-range assumption both engines
+  * produce bit-identical projections. */
 object Projection {
 
   /** ±1 sign for (input dim d, output dim j) — overflow-safe masked

@@ -334,6 +334,30 @@ object TextAnalysis {
       .agg(round(sum(col("contrib")), 4).as("score"))
   }
 
+  /** Scale-safe top-k ranking of a scored relation: the k rows with the
+    * highest `score` (ties broken by ascending `id`) as an (id, rank)
+    * leg for [[rrfFuse]]. The naive formulation — `row_number` over a
+    * global un-partitioned window, then `filter(rank <= k)` — forces
+    * the FULL scored relation (the entire corpus on a retrieval leg)
+    * through a single-partition sort: the textbook scale-killer. This
+    * instead takes the top k via `orderBy(...).limit(k)`, which Spark
+    * plans as `TakeOrderedAndProject` (per-partition bounded heap +
+    * driver-side merge, exchanging at most k rows per partition), and
+    * only then materializes rank values with a window over the k-row
+    * result — that window's single-partition sort is bounded by k,
+    * not by corpus size. The (score desc, id asc) total order and the
+    * boundary tie-break are identical to the naive plan, so the output
+    * matches it row for row. */
+  def rankTopK(scored: DataFrame, score: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .orderBy(score.desc, col("id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(score.desc, col("id"))))
+      .select(col("id"), col("rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) of
     * ranked id lists: rrf(d) = Σ_legs 1/(rrfK + rank_leg(d)), missing
     * legs contributing 0. Each leg is a (id, rank) relation — top-k per

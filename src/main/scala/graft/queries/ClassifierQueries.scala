@@ -25,18 +25,26 @@ object ClassifierQueries {
   /** Per-source classifier report: prediction counts, agreement with the
     * weak labels it trained on, mean signed margin (score oriented
     * toward the label, so positive = separating). Fully oracle-checked:
-    * DuckDB refits the same closed-form model from the raw corpus. */
+    * DuckDB refits the same closed-form model from the raw corpus.
+    * avg_margin accumulates in exact integer micros (per-doc margin →
+    * round(·*1e6) as long, summed exactly, divided once) — the q113
+    * pattern — so the average is one identical-operand IEEE division in
+    * both engines instead of an order-dependent double accumulation
+    * that could land on a .0005 rounding tie. */
   val q112NbQualityClassifier = GraftQuery(
     "q112_nb_quality_classifier",
     (s, dir) =>
       Classifier.nbScores(weakLabeled(s, dir), "doc_id", "text", "y")
+        .withColumn("margin_micro",
+          round(when(col("y"), col("score")).otherwise(-col("score"))
+            * lit(1e6)).cast("long"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("docs"),
           count(when(col("score") > 0, 1)).as("pred_high"),
           count(when(col("y"), 1)).as("weak_high"),
           count(when((col("score") > 0) === col("y"), 1)).as("agree"),
-          round(avg(when(col("y"), col("score")).otherwise(-col("score"))), 3)
+          round(sum(col("margin_micro")) / (count(lit(1)) * lit(1e6)), 3)
             .as("avg_margin"))
         .orderBy(col("source")),
     Some(s"""WITH scored AS (${TextVectorQueries.qualityScoredDocsSql}),
@@ -70,7 +78,8 @@ object ClassifierQueries {
         count(CASE WHEN score > 0 THEN 1 END) AS pred_high,
         count(CASE WHEN y THEN 1 END) AS weak_high,
         count(CASE WHEN (score > 0) = y THEN 1 END) AS agree,
-        round(avg(CASE WHEN y THEN score ELSE -score END), 3) AS avg_margin
+        round(sum(CAST(round((CASE WHEN y THEN score ELSE -score END) * 1e6)
+            AS BIGINT)) / (count(*) * 1e6), 3) AS avg_margin
       FROM sc GROUP BY source ORDER BY source"""))
 
   /** Contract row (q101d pattern, hash-checked vs the empty relation):

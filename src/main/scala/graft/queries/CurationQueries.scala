@@ -800,15 +800,38 @@ object CurationQueries {
     * deterministic end to end, so the oracle replays BOTH phases and
     * hash-matches the exact sample membership; StratifiedSampleSpec
     * asserts the two-phase plan selects the identical sample as the
-    * naive single-window form. */
+    * naive single-window form.
+    *
+    * Under-coverage guard: the 4× margin makes prefilter survivors < k
+    * astronomically unlikely, but not impossible on an adversarial id
+    * set — and because the prefilter thresholds the very ORDERING key
+    * (hkey), a silent under-fill would be invisible (the plan still
+    * returns rows, just fewer than quota). A tiny per-stratum survivor
+    * count therefore rides along with the count aggregate, and any
+    * stratum whose survivors fall below min(k, |stratum|) disables its
+    * prefilter (predicate `hkey < thr OR NOT ok`), degrading that one
+    * stratum to the naive full-stratum window instead of under-filling.
+    * Since excluded rows all order AFTER every survivor, the output is
+    * ALWAYS identical to the naive sampler — covered strata keep the
+    * O(k) window. Cost: one extra narrow aggregate pass over (lang,
+    * hkey), map-side combinable. */
   val q116StratifiedSample = GraftQuery(
     "q116_stratified_sample", { (s, dir) =>
       val k = 40
       val h = docs(s, dir).select(col("lang"), col("doc_id"),
         hashBucketN(col("doc_id"), 2246822519L, lit(1000000L)).as("hkey"))
       val n = h.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
-      val cand = h.join(broadcast(n), Seq("lang"))
-        .filter(col("hkey") < ceil(lit(k) * 4 * 1000000.0 / col("nl")).cast("long"))
+        .withColumn("thr",
+          ceil(lit(k) * 4 * 1000000.0 / col("nl")).cast("long"))
+      val sv = h.join(broadcast(n), Seq("lang"))
+        .filter(col("hkey") < col("thr"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val cov = n.join(sv, Seq("lang"), "left_outer")
+        .withColumn("ok",
+          coalesce(col("cnt"), lit(0L)) >= least(lit(k.toLong), col("nl")))
+        .select(col("lang"), col("thr"), col("ok"))
+      val cand = h.join(broadcast(cov), Seq("lang"))
+        .filter(col("hkey") < col("thr") || !col("ok"))
       val w = Window.partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id"))
       cand
         .withColumn("rk", row_number().over(w))
@@ -821,10 +844,17 @@ object CurationQueries {
           (((doc_id % 2147483648) * (2246822519 % 4294967296))
             % 4294967296) % 1000000 AS hkey
         FROM documents),
-      n AS (SELECT lang, count(*) AS nl FROM h GROUP BY lang),
+      n AS (SELECT lang, count(*) AS nl,
+          CAST(ceil(40 * 4 * 1000000.0 / count(*)) AS BIGINT) AS thr
+        FROM h GROUP BY lang),
+      sv AS (SELECT h.lang, count(*) AS cnt
+        FROM h JOIN n USING (lang) WHERE h.hkey < n.thr GROUP BY h.lang),
+      cov AS (SELECT n.lang, n.thr,
+          coalesce(sv.cnt, 0) >= least(40, n.nl) AS ok
+        FROM n LEFT JOIN sv USING (lang)),
       c AS (SELECT h.lang, h.doc_id, h.hkey
-        FROM h JOIN n USING (lang)
-        WHERE h.hkey < CAST(ceil(40 * 4 * 1000000.0 / n.nl) AS BIGINT)),
+        FROM h JOIN cov USING (lang)
+        WHERE h.hkey < cov.thr OR NOT cov.ok),
       r AS (SELECT lang, doc_id, hkey,
           row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rk
         FROM c)

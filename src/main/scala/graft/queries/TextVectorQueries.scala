@@ -2300,7 +2300,10 @@ object TextVectorQueries {
     * ranking and rrf to 6 after, so the (rrf desc, id) output order is
     * stable across engines — DuckDB recomputes both legs and the fusion
     * end to end. Scale shape: the keyword leg is a broadcast semi-join
-    * over the query terms' postings, the fusion is top-k-bounded; the
+    * over the query terms' postings, each leg's top-20 comes from
+    * [[TextAnalysis.rankTopK]] (TakeOrderedAndProject, never a global
+    * window over the corpus-sized scored relation), the fusion is
+    * top-k-bounded; the
     * vector leg here is the exact brute scan (the oracle needs exact) —
     * a deployment swaps in the served ANN path (q35c/q35d) leg-for-leg,
     * which is exactly what fusing on RANKS (not scores) permits. */
@@ -2311,20 +2314,16 @@ object TextVectorQueries {
       val qterms = docs.filter(col("doc_id") === 0)
         .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("tok"))
         .distinct()
-      val kwW = Window.orderBy(col("score").desc, col("id"))
-      val kwTop = TextAnalysis.keywordScores(docs, "text", "doc_id", qterms)
-        .withColumn("rank", row_number().over(kwW))
-        .filter(col("rank") <= 20)
-        .select(col("id"), col("rank"))
+      val kwTop = TextAnalysis.rankTopK(
+        TextAnalysis.keywordScores(docs, "text", "doc_id", qterms),
+        col("score"), 20)
       val qv = broadcast(emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv")))
-      val vecW = Window.orderBy(col("c").desc, col("id"))
-      val vecTop = emb.crossJoin(qv)
-        .select(col("vec_id").as("id"),
-          round(Similarity.cosine(col("embedding"), col("qv")), 4).as("c"))
-        .withColumn("rank", row_number().over(vecW))
-        .filter(col("rank") <= 20)
-        .select(col("id"), col("rank"))
+      val vecTop = TextAnalysis.rankTopK(
+        emb.crossJoin(qv)
+          .select(col("vec_id").as("id"),
+            round(Similarity.cosine(col("embedding"), col("qv")), 4).as("c")),
+        col("c"), 20)
       TextAnalysis.rrfFuse(
         Seq("kw" -> kwTop, "vec" -> vecTop), rrfK = 60, topK = 10)
     },
@@ -2386,11 +2385,9 @@ object TextVectorQueries {
       val qterms = docs.filter(col("doc_id") === 0)
         .select(explode(slice(TextAnalysis.tokens(col("text")), 1, 5)).as("tok"))
         .distinct()
-      val kwW = Window.orderBy(col("score").desc, col("id"))
-      val kwTop = TextAnalysis.keywordScores(docs, "text", "doc_id", qterms)
-        .withColumn("rank", row_number().over(kwW))
-        .filter(col("rank") <= 20)
-        .select(col("id"), col("rank"))
+      val kwTop = TextAnalysis.rankTopK(
+        TextAnalysis.keywordScores(docs, "text", "doc_id", qterms),
+        col("score"), 20)
       val books = Similarity.pqCodebooks(emb, "embedding", "vec_id",
         m = 16, ksub = 32, iters = 2)
       val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", books, 16)

@@ -176,7 +176,18 @@ object CurationStream {
     * here rewrites the vocabulary-sized table via stage-then-swap
     * (vocabulary-bounded, corpus-free); a deployment at larger vocab
     * partitions the counts table by token hash and rewrites only
-    * touched partitions, exactly the q87b bucket-merge shape. Returns
+    * touched partitions, exactly the q87b bucket-merge shape.
+    *
+    * Idempotence caveat (correctness contract, not an optimization):
+    * the additive merge ignores batchId, so it is NOT replay-safe on
+    * its own — re-running an already-merged batch exactly doubles its
+    * counts (StreamingSpec pins this behavior). A `checkpoint` is
+    * therefore MANDATORY for correctness anywhere outside a
+    * fresh-table run: the streaming engine's checkpoint is what
+    * guarantees each source file merges exactly once across restarts.
+    * (The alternative — recording processed batchIds in the table and
+    * anti-joining on them — would make the merge itself idempotent at
+    * the cost of a per-batch read-modify-write on the ledger.) Returns
     * the number of micro-batches. */
   def runTokenCountSink(
       spark: SparkSession, dir: String, table: String,

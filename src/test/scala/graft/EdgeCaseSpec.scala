@@ -251,6 +251,30 @@ class EdgeCaseSpec extends SparkTestBase {
       k = 5, outDim = 4, planes = 2, tables = 2, rerank = 10).count() === 0L)
   }
 
+  test("q116 under-covered prefilter falls back to the full stratum (never under-fills)") {
+    // adversarial id set: 1000 docs in one lang chosen so that only 10
+    // hash under the 4x-quota threshold (thr = ceil(160e6/1000) =
+    // 160000) — survivors 10 < min(k=40, 1000), so the guard must
+    // disable the prefilter for this stratum and still return exactly
+    // 40 rows, identical to the naive single-window sampler
+    def hkey(id: Long): Long =
+      ((id % 2147483648L) * (2246822519L % 4294967296L)) % 4294967296L % 1000000L
+    val under = Iterator.from(1).map(_.toLong).filter(hkey(_) >= 160000L).take(990).toSeq
+    val cover = Iterator.from(1).map(_.toLong).filter(hkey(_) < 160000L).take(10).toSeq
+    val ids = under ++ cover
+    assert(ids.size === 1000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_undercover").toString
+    ids.map(i => (i, "w " * 5, "xx", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.queries.CurationQueries.q116StratifiedSample
+      .run(spark, dir)
+    val expected = ids.map(i => (hkey(i), i)).sorted.take(40).map(_._2).toSet
+    assert(out.count() === 40L, "guard must prevent the silent under-fill")
+    assert(out.collect().map(_.getLong(2)).toSet === expected,
+      "fallback must select the same membership as the naive sampler")
+  }
+
   test("q116 stratified sample takes the whole stratum when quota exceeds it") {
     // 3 docs in one lang with quota 40 → all 3 selected, ranks dense
     val dir = java.nio.file.Files.createTempDirectory("graft_tiny").toString

@@ -469,6 +469,31 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 2, s"expected agg + window-frame exchange only:\n$p")
   }
 
+  test("q105/q105c ranking legs: TakeOrderedAndProject; every global window limit-bounded") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    for (q <- Seq(graft.queries.TextVectorQueries.q105HybridRrf,
+                  graft.queries.TextVectorQueries.q105cHybridRrfAnn)) {
+      val plan = q.run(spark, sfDir).queryExecution.sparkPlan
+      assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString)
+      // every UN-partitioned window (a single-partition sort) must rank a
+      // limit-bounded relation, never the corpus-sized scored leg;
+      // per-query partitioned windows (the ANN rerank) are exempt
+      val globalWindows = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.nonEmpty, s"[${q.name}] ranks should materialize via a bounded window")
+      globalWindows.foreach { w =>
+        val bounded = w.child.collect {
+          case t: TakeOrderedAndProjectExec => t
+          case g: GlobalLimitExec => g
+        }
+        assert(bounded.nonEmpty,
+          s"[${q.name}] WindowExec over an unbounded (corpus-sized) input:\n$w")
+      }
+    }
+  }
+
   test("q112 NB classifier plans no window; one-row totals ride as broadcasts") {
     val labeled = Tables.load(spark, sfDir, "documents")
       .withColumn("y", graft.ops.TextAnalysis.qualityScore(col("text")) >= 0.88)
