@@ -26,15 +26,21 @@ object Export {
     ((pmod(id, lit(2147483648L)) * (2654435761L % 4294967296L))
       % 4294967296L) % buckets
 
-  /** Export `df` as hash-routed JSONL shard directories under a fresh
-    * temp dir, sized so each shard carries ≈ `targetChars` characters
-    * of `textCol`. Returns the output path; `columns` picks the fields
-    * each JSON line carries (the shard column is the partition dir).
-    * Deterministic: same corpus → same shard count, same routing, same
-    * files. */
+  /** Export `df` as hash-routed JSONL shard directories, sized so each
+    * shard carries ≈ `targetChars` characters of `textCol`. Returns the
+    * output path; `columns` picks the fields each JSON line carries
+    * (the shard column is the partition dir). Deterministic: same
+    * corpus → same shard count, same routing, same files.
+    *
+    * `basePath` is the cluster hand-off knob: pass a shared-storage URI
+    * (HDFS/S3/ABFS) so executors write where the training job reads.
+    * When None (the default, and the sandbox posture) a fresh driver-
+    * local temp dir is created and registered for JVM-exit cleanup —
+    * correct on local[*], NOT reachable by remote executors. */
   def shardedJsonl(
       df: DataFrame, idCol: String, textCol: String,
-      columns: Seq[String], targetChars: Long = 16384L): String = {
+      columns: Seq[String], targetChars: Long = 16384L,
+      basePath: Option[String] = None): String = {
     val nShards = df.agg(
       greatest(lit(1L),
         ceil(sum(length(col(textCol))) / targetChars.toDouble).cast("long"))
@@ -42,10 +48,13 @@ object Export {
     val routed = df.crossJoin(broadcast(nShards))
       .select(shardOf(col(idCol), col("k")).cast("int").as("shard") +:
         columns.map(col): _*)
-    val out = java.nio.file.Files.createTempDirectory("graft_shards")
-    graft.streaming.EventPipeline.registerTempCleanup(out)
-    routed.write.mode("overwrite").partitionBy("shard").json(out.toString)
-    out.toString
+    val out = basePath.getOrElse {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shards")
+      graft.streaming.EventPipeline.registerTempCleanup(tmp)
+      tmp.toString
+    }
+    routed.write.mode("overwrite").partitionBy("shard").json(out)
+    out
   }
 
   /** Read a [[shardedJsonl]] export back with a pinned schema (the

@@ -122,6 +122,49 @@ object TextAnalysis {
   def fingerprint(text: Column, k: Int = 3): Column =
     coalesce(array_min(shingleSet(text, k)), lit(0L))
 
+  /** Ordered k-gram hash SEQUENCE (1-based positions) via the built-in
+    * multi-arg xxhash64 — bit-identical to ShingleHashesExpr's chained
+    * XXH64 fold (same seed-42 running-hash over per-token xxhash64
+    * longs) but keeping POSITION, which the set-shaped codegen
+    * expression deliberately drops. Defined only for docs with ≥ k
+    * tokens (shorter docs have no complete gram → empty array). This
+    * independent formulation exists so the winnowing contract row
+    * (q29b) can pin the custom expression's hash chain against Spark's
+    * own builtin through the oracle gate. */
+  def gramHashSeq(ts: Column, k: Int = 3): Column =
+    bind(transform(ts, t => xxhash64(t))) { hs =>
+      when(size(hs) >= k,
+        transform(sequence(lit(1), size(hs) - (k - 1)),
+          i => xxhash64((0 until k).map(j => element_at(hs, i + j)): _*)))
+        .otherwise(array().cast("array<bigint>"))
+    }
+
+  /** Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    * scheme): slide a w-gram window over the ordered k-gram hashes and
+    * keep the LEFTMOST minimum of each window; the distinct selected
+    * (h, pos) pairs are the document's fingerprint set. Guarantee —
+    * every window of w consecutive grams contributes ≥ 1 fingerprint —
+    * is what makes the set sufficient for substring matching of length
+    * ≥ w+k−1, and is pinned every round by q29b's empty-violations
+    * oracle. [[fingerprint]] is the degenerate w = ∞ case (one global
+    * minimum). Cost: O(grams × w) per document, a narrow projection
+    * with no shuffle; expected density ≈ 2/(w+1) of grams selected.
+    * Docs with < k tokens → empty set; docs with fewer than w grams
+    * winnow their whole gram sequence as one short window. */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    bind(gramHashSeq(tokens(text), k)) { g =>
+      val m = size(g)
+      def leftmostMin(lo: Column, hi: Column): Column =
+        aggregate(sequence(lo, hi),
+          struct(lit(Long.MaxValue).as("h"), lit(0).as("pos")),
+          (acc, p) => when(element_at(g, p) < acc.getField("h"),
+            struct(element_at(g, p).as("h"), p.as("pos"))).otherwise(acc))
+      when(m === 0, array().cast("array<struct<h:bigint,pos:int>>"))
+        .when(m < w, array_distinct(array(leftmostMin(lit(1), m))))
+        .otherwise(array_distinct(transform(sequence(lit(1), m - (w - 1)),
+          j => leftmostMin(j, j + (w - 1)))))
+    }
+
   /** Distinct hashed k-token shingles — the set representation behind
     * MinHash and exact n-gram Jaccard (see Dedup). Backed by a custom
     * codegen Expression (graft.functions.ShingleHashesExpr): the HOF

@@ -205,6 +205,73 @@ object TextVectorQueries {
         (count(lit(1)) - countDistinct(col("fp"))).as("collisions"))
     })
 
+  /** Winnowing-guarantee contract row (oracle-checked, q101d pattern) —
+    * the sibling contract for q29's rows-only fingerprint family. Five
+    * independently-formulated violation predicates over every document,
+    * all of which must be false:
+    *  - coverage_violation: some window of w consecutive grams
+    *    contributes NO selected fingerprint (the winnowing guarantee);
+    *  - phantom_fingerprint: a selected (h, pos) whose hash is not the
+    *    gram hash actually at that position;
+    *  - non_minimal: a selected fingerprint that is not the minimum of
+    *    ANY window containing its position;
+    *  - gram_hash_mismatch: the ordered builtin-xxhash64 gram sequence
+    *    disagrees as a SET with the codegen ShingleHashesExpr — pins
+    *    the custom expression's seed-42 hash chain against Spark's own
+    *    multi-arg builtin (bit-parity, previously only spec-held);
+    *  - fp_not_gram_min: q29's degenerate-winnowing claim — the scalar
+    *    fingerprint must equal the gram-sequence minimum.
+    * The DuckDB oracle asserts the empty relation, so every violation
+    * class rides the driver's hash gate every round. Cost: O(grams × w)
+    * per document, narrow projection, no shuffle. */
+  val q29bWinnowContract = GraftQuery(
+    "q29b_winnow_contract", { (s, dir) =>
+      val k = 3; val w = 4
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("g",
+          TextAnalysis.gramHashSeq(TextAnalysis.tokens(col("text")), k))
+        .withColumn("sel", TextAnalysis.winnowFingerprints(col("text"), k, w))
+        .withColumn("fp", TextAnalysis.fingerprint(col("text"), k))
+        .withColumn("sh", TextAnalysis.shingleSet(col("text"), k))
+      val m = size(col("g"))
+      val coverage = when(m >= w,
+        exists(sequence(lit(1), m - (w - 1)),
+          j => !exists(col("sel"),
+            s0 => s0.getField("pos") >= j && s0.getField("pos") <= j + (w - 1))))
+        .otherwise(m > 0 && size(col("sel")) === 0)
+      val phantom = exists(col("sel"),
+        s0 => element_at(col("g"), s0.getField("pos")) =!= s0.getField("h"))
+      def minOfSomeWindow(s0: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column = when(m >= w,
+          exists(sequence(greatest(lit(1), s0.getField("pos") - (w - 1)),
+              least(s0.getField("pos"), m - (w - 1))),
+            j => array_min(slice(col("g"), j, lit(w))) === s0.getField("h")))
+        .otherwise(array_min(col("g")) === s0.getField("h"))
+      val nonMinimal = exists(col("sel"), s0 => !minOfSomeWindow(s0))
+      val gramParity = m > 0 &&
+        array_sort(array_distinct(col("g"))) =!=
+          array_sort(array_distinct(col("sh")))
+      val fpMin = m > 0 && col("fp") =!= array_min(col("g"))
+      d.select(col("doc_id"),
+          coverage.as("coverage_violation"),
+          phantom.as("phantom_fingerprint"),
+          nonMinimal.as("non_minimal"),
+          gramParity.as("gram_hash_mismatch"),
+          fpMin.as("fp_not_gram_min"))
+        .filter(col("coverage_violation") || col("phantom_fingerprint") ||
+          col("non_minimal") || col("gram_hash_mismatch") ||
+          col("fp_not_gram_min"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT CAST(NULL AS BIGINT) AS doc_id,
+      CAST(NULL AS BOOLEAN) AS coverage_violation,
+      CAST(NULL AS BOOLEAN) AS phantom_fingerprint,
+      CAST(NULL AS BOOLEAN) AS non_minimal,
+      CAST(NULL AS BOOLEAN) AS gram_hash_mismatch,
+      CAST(NULL AS BOOLEAN) AS fp_not_gram_min
+      WHERE 1 = 0"""))
+
   /** MinHash+LSH near-dup detection on the constructed corpus (rows-only;
     * recall vs ground truth asserted in DedupSpec). */
   val q30MinhashNearDup = GraftQuery(
@@ -2506,7 +2573,7 @@ object TextVectorQueries {
 
   val all: Seq[GraftQuery] = Seq(
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
-    q28LangId, q29Fingerprint,
+    q28LangId, q29Fingerprint, q29bWinnowContract,
     q30MinhashNearDup, q30bMinhashPrecisionContract, q31SimhashNearDup,
     q31bSimhashEqualityContract, q32NgramJaccard, q33AnnBrute,
     q33bAnnBrutePartial, q34AnnLsh, q34bAnnLshContract, q35AnnIvf,

@@ -148,4 +148,59 @@ class TextCurationSpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     out.foreach { case (k, (docs, _)) => assert(again(k) === docs) }
   }
+
+  test("winnowing selects window minima with full coverage; gram hashes bit-match the codegen expression") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"), // 10 grams at k=3
+      (2L, "a b c"),                   // exactly 1 gram
+      (3L, "a b"),                     // < k tokens: no gram
+      (4L, "x x x x x x x x"),         // all-equal gram hashes: tie city
+      (5L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val k = 3; val w = 4
+    val rows = docs.select(col("doc_id"),
+        TextAnalysis.gramHashSeq(TextAnalysis.tokens(col("text")), k).as("g"),
+        TextAnalysis.winnowFingerprints(col("text"), k, w).as("sel"),
+        array_sort(array_distinct(
+          TextAnalysis.shingleSet(col("text"), k))).as("shSorted"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getSeq[org.apache.spark.sql.Row](2),
+         r.getSeq[Long](3))).toMap
+    // doc 3: below k tokens → no grams, no fingerprints
+    assert(rows(3L)._1.isEmpty && rows(3L)._2.isEmpty)
+    // doc 2: one gram → that gram is the single fingerprint at pos 1
+    assert(rows(2L)._2.map(s => (s.getLong(0), s.getInt(1))) ===
+      Seq((rows(2L)._1.head, 1)))
+    // bit-parity: ordered builtin-xxhash64 grams = codegen shingle set
+    Seq(1L, 2L, 4L, 5L).foreach { id =>
+      assert(rows(id)._1.distinct.sorted === rows(id)._3.toList,
+        s"doc $id gram-hash chains diverge")
+    }
+    // doc 4: identical gram hashes → each window's leftmost min is its
+    // own start, so the selections are exactly the window starts
+    // (8 tokens → 6 grams → 3 windows at w=4)
+    assert(rows(4L)._2.map(_.getInt(1)).toList === List(1, 2, 3))
+    // winnowing guarantee replayed in Scala for the long docs: every
+    // window of w grams contains a selected position, every selection
+    // is a leftmost window minimum
+    Seq(1L, 5L).foreach { id =>
+      val (g, sel, _) = rows(id)
+      val pos = sel.map(_.getInt(1)).toSet
+      (1 to g.size - w + 1).foreach { j =>
+        assert((j until j + w).exists(pos.contains),
+          s"doc $id window $j uncovered")
+      }
+      sel.foreach { s =>
+        val (h, p) = (s.getLong(0), s.getInt(1))
+        assert(g(p - 1) === h)
+        val isMin = (math.max(1, p - w + 1) to math.min(p, g.size - w + 1))
+          .exists { j =>
+            val win = g.slice(j - 1, j - 1 + w)
+            win.min === h && (j - 1 + win.indexOf(h) + 1) === p
+          }
+        assert(isMin, s"doc $id sel ($h,$p) is not a leftmost window min")
+      }
+    }
+  }
 }

@@ -178,4 +178,31 @@ class WriterSpec extends SparkTestBase {
       .exceptAll(back2.select("doc_id", "shard")).count() === 0L)
     back.unpersist()
   }
+
+  test("sharded JSONL export honors a caller-supplied base path (cluster hand-off seam)") {
+    import graft.core.Tables
+    import graft.ops.Export
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_explicit_out").toString
+    val out = Export.shardedJsonl(d, "doc_id", "text",
+      Seq("doc_id", "text", "source"), targetChars = 4096L,
+      basePath = Some(target))
+    // the sink writes exactly where it was told, not a private temp dir
+    assert(out === target)
+    val schema = "doc_id LONG, text STRING, source STRING, shard INT"
+    val back = Export.readShardedJsonl(spark, target, schema)
+    assert(back.count() === d.count())
+    assert(back.select("doc_id", "text", "source")
+      .exceptAll(d).count() === 0L)
+    // explicit-path routing is identical to the default-path routing
+    val defOut = Export.shardedJsonl(d, "doc_id", "text",
+      Seq("doc_id", "text", "source"), targetChars = 4096L)
+    val defBack = Export.readShardedJsonl(spark, defOut, schema)
+    assert(back.select("doc_id", "shard")
+      .exceptAll(defBack.select("doc_id", "shard")).count() === 0L)
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(target))
+  }
 }
