@@ -430,6 +430,34 @@ class PlanSpec extends SparkTestBase {
       s"pair join keys do not include (centroid_id, __salt):\n$p")
   }
 
+  test("blocked semantic dedup carries NO broadcast hint on the pruned side (AQE decides from stats)") {
+    // the r11 ADVICE fix, pinned: `pruned` is the full duplicate-id set
+    // — corpus-scale on dup-heavy data — so an unconditional
+    // broadcast() hint would collect it on the driver and OOM at the
+    // 100 TB target. The anti-join must reach the optimizer hint-free;
+    // AQE may still CHOOSE a broadcast at runtime when the measured
+    // size is small (that physical choice is the point), but no hint
+    // may force it.
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cents = graft.ops.Similarity.kmeansCentroids(
+      e, "embedding", "vec_id", k = 4, iters = 1)
+    val df = graft.ops.Dedup.semanticDedupBlocked(
+      e, "embedding", "vec_id", 0.45, cents, probes = 2)
+    // the k-centroid relation (a one-row collect_list aggregate) is
+    // MEANT to broadcast — it is bounded by k. What must never carry a
+    // hint is any side that still scans the corpus parquet relation,
+    // because its size is data-dependent.
+    val corpusHinted = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        Seq(j.left -> j.hint.leftHint, j.right -> j.hint.rightHint).filter {
+          case (side, h) => h.exists(_.strategy.isDefined) &&
+            side.toString.contains("parquet")
+        }
+    }.flatten
+    assert(corpusHinted.isEmpty,
+      s"corpus-scan join sides must be hint-free:\n${corpusHinted.mkString("\n")}")
+  }
+
   test("hybrid retrieval keyword leg broadcasts the query terms, never shuffles postings against them") {
     // the query-term set is a handful of tokens: the postings join must
     // be a BroadcastHashJoin (build = query terms), not an exchange of

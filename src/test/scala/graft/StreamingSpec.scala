@@ -118,6 +118,43 @@ class StreamingSpec extends SparkTestBase {
     assert(batchesWithData === 3, q.recentProgress.map(_.numInputRows).mkString(","))
   }
 
+  test("pinned-schema stream starts on an EMPTY directory and picks up the first file; schema-less start fails loudly") {
+    // the r11 ADVICE fix, pinned: an empty source directory is the
+    // NORMAL state for the Kafka-topic stand-in before the first file
+    // lands. With a pinned schema, footer inference failing over zero
+    // files must fall back to the wire contract instead of aborting;
+    // without one there is nothing to fall back to, so the start must
+    // fail with the inference error, not silently produce a 0-column
+    // stream.
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_src")
+    val df = EventPipeline.readEventStream(spark, dir.toString,
+      glob = "*.parquet", schema = EventPipeline.eventSchema)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.contains("event_id"))
+    val sink = s"t_empty_start_${System.nanoTime()}"
+    val q = df.select("event_id")
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 0L, "no files yet, no rows")
+      // first file lands; the already-running stream must ingest it
+      val ev = Tables.load(spark, sfDir, "events").limit(100)
+      val staged = EventPipeline.stageAsStreamDir(ev)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(staged, "events.parquet"),
+        dir.resolve("events0.parquet"))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 100L)
+    } finally q.stop()
+    // schema-less: inference over an empty directory must throw
+    val emptyAgain = java.nio.file.Files.createTempDirectory("graft_empty2")
+    intercept[Exception] {
+      EventPipeline.readEventStream(spark, emptyAgain.toString,
+        glob = "*.parquet")
+    }
+  }
+
   test("update output mode: latest update per key equals the batch aggregate") {
     // Update mode emits only keys whose aggregate CHANGED in a batch —
     // the changelog contract. Split the source over three files with
