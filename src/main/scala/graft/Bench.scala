@@ -261,6 +261,35 @@ object Bench {
         f"""{"batch":${s.batchId},"rows":${s.batchRows},"kept":${s.keptRows},"vet_sec":${s.vetSec}%.3f}""")
       .mkString("[", ",", "]")
 
+    // Label-propagation convergence telemetry (VERDICT r12 item 8):
+    // per-round changed-label counts over the blocked kNN graph,
+    // mirroring q114b's registration exactly. The changed count is the
+    // propagation frontier; it must shrink round over round — a
+    // frontier that stops shrinking means the argmax is oscillating or
+    // the graph degenerated, neither of which is visible in wall-times.
+    // GraphSpec pins the non-increase; this field makes the trajectory
+    // auditable across rounds.
+    val propRounds: Seq[(Int, Long)] =
+      try {
+        import org.apache.spark.sql.functions.when
+        val e = graft.core.Tables.load(spark, sfDir, "embeddings")
+        val cents = graft.ops.Similarity.kmeansCentroids(
+          e, "embedding", "vec_id",
+          k = graft.ops.Similarity.cellCountFor(e.count()), iters = 2)
+        val edges = graft.ops.Similarity.knnGraphBlocked(
+            e, "embedding", "vec_id", cents, k = 5, probes = 4, replicas = 2)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val nodes = e.select(col("vec_id").as("node"),
+          when(col("vec_id") % 5 === 0, col("label")).as("seed_label"))
+        graft.ops.Graph.labelPropagationWithStats(nodes, edges, iters = 3)._2
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] propagation: ${e.getMessage}")
+        Seq.empty
+      }
+    val propJson = propRounds
+      .map { case (r, c) => s"""{"round":$r,"changed":$c}""" }
+      .mkString("[", ",", "]")
+
     // Z-order file-skipping ratio on real parquet footers (same probe
     // WriterSpec asserts as a >=2x boolean): linear-candidates /
     // z-candidates for the quadrant-interior band predicate, tracked per
@@ -314,7 +343,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val extJson = passExt.map(v => f"$v%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"ext_cpu_passes":$extJson,"loaded":$loaded,"control":"$controlName","control_sec":$controlSec%.3f,"control_band_mid":$controlBandMid%.2f,"control_ratio":$controlRatio%.3f,"control2":"$control2Name","control2_sec":$control2Sec%.3f,"control2_band_mid":$control2BandMid%.2f,"control2_ratio":$control2Ratio%.3f,"recall":$recallJson,"sink_batches":$sinkJson,"zorder_skip_ratio":$zratio%.2f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"ext_cpu_passes":$extJson,"loaded":$loaded,"control":"$controlName","control_sec":$controlSec%.3f,"control_band_mid":$controlBandMid%.2f,"control_ratio":$controlRatio%.3f,"control2":"$control2Name","control2_sec":$control2Sec%.3f,"control2_band_mid":$control2BandMid%.2f,"control2_ratio":$control2Ratio%.3f,"recall":$recallJson,"sink_batches":$sinkJson,"propagation_rounds":$propJson,"zorder_skip_ratio":$zratio%.2f}""")
     spark.stop()
   }
 }

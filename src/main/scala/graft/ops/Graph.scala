@@ -59,12 +59,30 @@ object Graph {
     * truncated per round. Deterministic end to end (count-then-min-label
     * argmax, no FP), which is what lets q114 carry an exact DuckDB
     * oracle with the iterations unrolled. Returns (node, lab). */
-  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int = 3): DataFrame = {
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int = 3): DataFrame =
+    propagate(nodes, edges, iters, trackChanges = false)._1
+
+  /** [[labelPropagation]] plus convergence telemetry: the per-round
+    * count of nodes whose label CHANGED that round (null-aware). On a
+    * fixed static graph with clamped seeds the changed count is the
+    * propagation frontier; it must trend toward zero as labels
+    * stabilize (GraphSpec asserts near-monotone decline, Bench emits it
+    * per round so stability is visible across rounds). Costs one extra
+    * count() action per round — telemetry-path only; the registered
+    * queries call the action-free twin above. */
+  def labelPropagationWithStats(
+      nodes: DataFrame, edges: DataFrame, iters: Int = 3)
+      : (DataFrame, Seq[(Int, Long)]) =
+    propagate(nodes, edges, iters, trackChanges = true)
+
+  private def propagate(nodes: DataFrame, edges: DataFrame, iters: Int,
+      trackChanges: Boolean): (DataFrame, Seq[(Int, Long)]) = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
     val seeds = nodes.select(col("node"), col("seed_label"))
       .localCheckpoint(eager = false)
     var labels = seeds.select(col("node"), col("seed_label").as("lab"))
-    for (_ <- 1 to iters) {
+    val changed = Seq.newBuilder[(Int, Long)]
+    for (round <- 1 to iters) {
       val counts = e
         .join(labels.select(col("node").as("dst"), col("lab")), Seq("dst"))
         .filter(col("lab").isNotNull)
@@ -75,13 +93,20 @@ object Graph {
         .groupBy(col("src"))
         .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
         .select(col("src").as("node"), (-col("m.nl")).as("newlab"))
-      labels = seeds
+      val joined = seeds
         .join(labels.withColumnRenamed("lab", "prev"), Seq("node"), "left")
         .join(upd, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("seed_label"), col("newlab"), col("prev")).as("lab"))
-        .localCheckpoint(eager = false)
+        .withColumn("lab",
+          coalesce(col("seed_label"), col("newlab"), col("prev")))
+      val next =
+        (if (trackChanges) joined.select(col("node"), col("lab"), col("prev"))
+         else joined.select(col("node"), col("lab")))
+          .localCheckpoint(eager = false)
+      if (trackChanges)
+        changed += round ->
+          next.filter(!(col("lab") <=> col("prev"))).count()
+      labels = next.select(col("node"), col("lab"))
     }
-    labels
+    (labels, changed.result())
   }
 }

@@ -104,4 +104,31 @@ class GraphSpec extends SparkTestBase {
     assert(blockedCov >= (exactCov * 0.9).toLong,
       s"blocked coverage $blockedCov vs exact $exactCov")
   }
+
+  test("convergence telemetry: changed-label frontier is non-increasing and the stats twin returns identical labels") {
+    // q114b's exact shape: blocked kNN edges, vec_id % 5 seeds, 3 rounds
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = Similarity.cellCountFor(e.count()), iters = 2)
+    val edges = Similarity.knnGraphBlocked(e, "embedding", "vec_id",
+        cents, k = 5, probes = 4, replicas = 2)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("vec_id").as("node"),
+      when(col("vec_id") % 5 === 0, col("label")).as("seed_label"))
+    val (labels, rounds) = Graph.labelPropagationWithStats(nodes, edges, 3)
+    assert(rounds.map(_._1) === Seq(1, 2, 3))
+    // round 1 labels the seeded neighborhoods — the biggest frontier;
+    // later rounds only touch the shrinking unreached boundary, so the
+    // changed count must never grow (an oscillating argmax would)
+    rounds.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(b <= a, s"frontier grew: ${rounds.mkString(", ")}")
+    }
+    assert(rounds.head._2 > 0, "round 1 must label something")
+    // the telemetry path must not perturb the answer: same labels as
+    // the action-free twin on the same edges
+    val plain = Graph.labelPropagation(nodes, edges, 3)
+    assert(labels.join(plain.withColumnRenamed("lab", "lab2"), Seq("node"))
+      .filter(!(col("lab") <=> col("lab2"))).count() === 0L)
+  }
 }
