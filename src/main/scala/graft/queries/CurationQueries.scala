@@ -860,11 +860,185 @@ object CurationQueries {
         FROM c)
       SELECT lang, rk, doc_id FROM r WHERE rk <= 40 ORDER BY lang, rk"""))
 
+  /** End-to-end composition of the round-12 operator wave (the q62
+    * pattern scaled up): perplexity terciles (q108) → trained NB
+    * quality gate (q112) → temperature mixing over the survivors
+    * (q110) → curriculum epoch keep (q121) → sharded export manifest
+    * (q111), as ONE query whose DuckDB oracle replays the ENTIRE
+    * composition — proving the operators compose, not just pass alone.
+    * The epoch-3 slice goes through the REAL file sink (write + read
+    * back), so its manifest rows verify bytes on disk against the
+    * from-source expectation; epochs 1–2 are in-plan manifests of the
+    * identical routing arithmetic.
+    *
+    * Scale shape, stage by stage: perplexity = two vocabulary-bounded
+    * groupBys; the exact per-language ntile is the oracle anchor (the
+    * 100 TB path swaps in q108b's broadcast thresholds, schedule
+    * unchanged); NB gate = two vocabulary-keyed shuffles + a semi-join;
+    * mixing = source-sized aggregates broadcast back; curriculum +
+    * shard routing = narrow hash projections; manifest = one
+    * epoch×shard-sized aggregate. No corpus-scale sort or collect
+    * anywhere outside the documented tercile anchor. */
+  val q122CurationPipeline = GraftQuery(
+    "q122_curation_pipeline", { (s, dir) =>
+      import graft.ops.Classifier
+      val d = docs(s, dir)
+      // stage 1 — q108: per-language perplexity terciles (exact rule)
+      val ppl = TextAnalysis.bigramPerplexity(d, "text", "doc_id", 0.5)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(round(col("ppl"), 6), col("doc_id"))
+      val bucketed = d
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .join(ppl, col("doc_id") === col("id"))
+        .withColumn("bucket", ntile(3).over(w))
+        .select(col("doc_id"), col("source"), col("text"), col("bucket"))
+      // stage 2 — q112: NB gate trained on the corpus's own weak labels
+      val labeled = d.withColumn("y",
+        TextAnalysis.qualityScore(col("text")) >= 0.88)
+      val highIds = Classifier.nbScores(labeled, "doc_id", "text", "y")
+        .filter(col("score") > 0).select(col("doc_id"))
+      val gated = bucketed.join(highIds, Seq("doc_id"), "left_semi")
+      // stage 3 — q110: temperature mixing (α=0.5, half budget) with
+      // weights derived from the GATED survivor counts
+      val counts = gated.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val mtot = counts.agg(sum(col("n")).cast("double").as("nn"),
+        sum(sqrt(col("n"))).as("sq"))
+      val rates = counts.crossJoin(broadcast(mtot))
+        .select(col("source"),
+          round(least(lit(1.0),
+            (lit(0.5) * col("nn")) * (sqrt(col("n")) / col("sq")) / col("n"))
+            * 1000000).cast("long").as("rate_ppm"))
+      val mixed = gated.join(broadcast(rates), Seq("source"))
+        .filter(hashBucketN(col("doc_id"), 2654435761L, lit(1000000L))
+          < col("rate_ppm"))
+        .select(col("doc_id"), col("source"), col("text"), col("bucket"))
+      // stage 4 — q121: curriculum epoch keep over the mixed survivors
+      val epochs = s.range(1, 4).select(col("id").cast("int").as("epoch"))
+      val kept = mixed.crossJoin(broadcast(epochs))
+        .withColumn("keep_pct",
+          when(col("bucket") === 1, lit(100))
+            .when(col("bucket") === 2,
+              element_at(array(lit(50), lit(80), lit(100)), col("epoch")))
+            .otherwise(
+              element_at(array(lit(20), lit(50), lit(100)), col("epoch"))))
+        .filter(((pmod(col("doc_id"), lit(2147483648L)) *
+          ((lit(2654435761L) * col("epoch")) % 4294967296L)) % 4294967296L)
+          % 100 < col("keep_pct"))
+      // stage 5 — q111: sharded manifest; epoch 3 through REAL files
+      val planEpochs = kept.filter(col("epoch") =!= 3)
+      val ks = planEpochs.groupBy(col("epoch"))
+        .agg(greatest(lit(1L),
+          ceil(sum(length(col("text"))) / 16384.0).cast("long")).as("k"))
+      val inPlan = planEpochs.join(broadcast(ks), Seq("epoch"))
+        .withColumn("shard",
+          hashBucketN(col("doc_id"), 2654435761L, col("k")).cast("int"))
+        .groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("docs"), sum(length(col("text"))).as("chars"))
+      val e3 = kept.filter(col("epoch") === 3)
+        .select(col("doc_id"), col("text"), col("source"))
+      val out = graft.ops.Export.shardedJsonl(e3, "doc_id", "text",
+        Seq("doc_id", "text", "source"), targetChars = 16384L)
+      val e3Manifest = graft.ops.Export.readShardedJsonl(s, out,
+          "doc_id LONG, text STRING, source STRING, shard INT")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("docs"), sum(length(col("text"))).as("chars"))
+        .withColumn("epoch", lit(3))
+      inPlan.select(col("epoch"), col("shard"), col("docs"), col("chars"))
+        .unionByName(e3Manifest
+          .select(col("epoch"), col("shard"), col("docs"), col("chars")))
+        .orderBy(col("epoch"), col("shard"))
+        .localCheckpoint(eager = true)
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, lang,
+          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2),
+      bgd AS (SELECT doc_id, bg, w1, count(*) AS n
+              FROM bg GROUP BY doc_id, bg, w1),
+      cb AS (SELECT bg, sum(n) AS cb FROM bgd GROUP BY bg),
+      c1 AS (SELECT w1, sum(n) AS c1 FROM bgd GROUP BY w1),
+      v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz
+            FROM (SELECT unnest(t) AS tok FROM toks)),
+      pplsc AS (
+        SELECT b.doc_id,
+          exp(-(sum(n * ln((cb.cb + 0.5) / (c1.c1 + 0.5 * v.vsz))) / sum(n))) AS ppl
+        FROM bgd b JOIN cb USING (bg) JOIN c1 USING (w1) CROSS JOIN v
+        GROUP BY b.doc_id),
+      bucketed AS (
+        SELECT d.doc_id, d.source, d.text,
+          ntile(3) OVER (PARTITION BY d.lang
+            ORDER BY round(s.ppl, 6), s.doc_id) AS bucket
+        FROM pplsc s JOIN documents d USING (doc_id)),
+      qsc AS (${TextVectorQueries.qualityScoredDocsSql}),
+      lab AS (SELECT doc_id, text, (q >= 0.88) AS y FROM qsc),
+      tok AS (SELECT doc_id, y,
+          unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> len(x) > 0)) AS token
+        FROM lab),
+      tc AS (SELECT token,
+          count(CASE WHEN y THEN 1 END) AS hi,
+          count(CASE WHEN NOT y THEN 1 END) AS lo
+        FROM tok GROUP BY token),
+      nbtot AS (SELECT sum(hi) AS tot_hi, sum(lo) AS tot_lo, count(*) AS vv
+        FROM tc),
+      wt AS (SELECT token,
+          ln((hi + 1.0) / (tot_hi + vv)) - ln((lo + 1.0) / (tot_lo + vv)) AS w
+        FROM tc, nbtot),
+      pri AS (SELECT
+          ln((count(CASE WHEN y THEN 1 END) + 1.0) / (count(*) + 2.0)) -
+          ln((count(CASE WHEN NOT y THEN 1 END) + 1.0) / (count(*) + 2.0))
+            AS bias
+        FROM lab),
+      dt AS (SELECT doc_id, token, count(*) AS c
+        FROM tok GROUP BY doc_id, token),
+      ds AS (SELECT doc_id, sum(c * w) AS s
+        FROM dt JOIN wt USING (token) GROUP BY doc_id),
+      nbsc AS (SELECT l.doc_id, coalesce(ds.s, 0) + pri.bias AS score
+        FROM lab l LEFT JOIN ds ON l.doc_id = ds.doc_id, pri),
+      gated AS (
+        SELECT b.doc_id, b.source, b.text, b.bucket
+        FROM bucketed b JOIN nbsc USING (doc_id) WHERE nbsc.score > 0),
+      mcounts AS (SELECT source, count(*) AS n FROM gated GROUP BY source),
+      mtot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn, sum(sqrt(n)) AS sq
+        FROM mcounts),
+      rates AS (
+        SELECT source,
+          CAST(round(least(1.0, (0.5 * nn) * (sqrt(n) / sq) / n) * 1000000)
+            AS BIGINT) AS rate_ppm
+        FROM mcounts, mtot),
+      mixed AS (
+        SELECT g.doc_id, g.text, g.bucket
+        FROM gated g JOIN rates r USING (source)
+        WHERE (((g.doc_id % 2147483648) * (2654435761 % 4294967296))
+          % 4294967296) % 1000000 < r.rate_ppm),
+      kept AS (
+        SELECT m.doc_id, m.text, e.epoch
+        FROM mixed m, (SELECT unnest([1, 2, 3]) AS epoch) e
+        WHERE (((m.doc_id % 2147483648) * ((2654435761 * e.epoch) % 4294967296))
+            % 4294967296) % 100 <
+          CASE WHEN m.bucket = 1 THEN 100
+               WHEN m.bucket = 2 THEN ([50, 80, 100])[e.epoch]
+               ELSE ([20, 50, 100])[e.epoch] END),
+      ks AS (
+        SELECT epoch,
+          greatest(1, CAST(ceil(sum(len(text)) / 16384.0) AS BIGINT)) AS k
+        FROM kept GROUP BY epoch)
+      SELECT kept.epoch,
+        CAST((((doc_id % 2147483648) * (2654435761 % 4294967296))
+          % 4294967296) % k AS INT) AS shard,
+        count(*) AS docs, CAST(sum(len(text)) AS BIGINT) AS chars
+      FROM kept JOIN ks USING (epoch)
+      GROUP BY kept.epoch, shard ORDER BY epoch, shard"""))
+
   val all: Seq[GraftQuery] = Seq(
     q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
     q60RepetitionFilters, q61PiiRedaction, q62CurationPipeline,
     q70IncrementalDedup, q90ChunkingStride, q91BloomScreen,
     q93Decontaminate, q94EpochShuffle, q99ContaminationScore,
     q110TemperatureMixing, q111ShardExport, q113ProvenanceAudit,
-    q116StratifiedSample)
+    q116StratifiedSample, q122CurationPipeline)
 }
