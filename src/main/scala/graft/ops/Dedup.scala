@@ -367,6 +367,60 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Winnowed duplicated-spans — the SCALE path of [[duplicatedSpans]]:
+    * instead of shuffling EVERY positional n-gram hash, shuffle only
+    * the winnowing fingerprints (TextAnalysis.winnowFingerprints, the
+    * MOSS selection: leftmost-min per w-gram window), an expected
+    * ≈ 2/(w+1) of gram positions. Detection keeps the winnowing
+    * guarantee's one-sided contract: any repeat of ≥ n+w−1 tokens
+    * contains at least one complete w-gram window in BOTH copies, and
+    * identical windows select the identical minimum gram — so the
+    * shared fingerprint's corpus count reaches 2 and the repeat is
+    * found. Shorter repeats (between n and n+w−2 tokens) may be missed
+    * — that is the density/recall dial w buys; q104 at w=1 degenerates
+    * to the exact variant.
+    *
+    * Span extents are fingerprint-sparse: islands merge selected
+    * positions with gap ≤ n+w−1 (two fingerprints of one contiguous
+    * repeat are at most w−1 gram starts apart, plus the n-token window
+    * itself), and each island extends to max(start)+n−1. Every
+    * selected duplicated POSITION is a genuinely duplicated n-gram
+    * position (modulo the same ~n²/2⁶⁴ hash-collision caveat as the
+    * exact variant) — the containment contract q104c pins against an
+    * empty-violations oracle.
+    *
+    * Scale shape: one narrow winnowing projection, one count keyed on
+    * the 8-byte fingerprint hash over ~2/(w+1) of the gram stream, and
+    * the same per-document islands window — strictly less shuffled
+    * data than the exact variant at identical stage structure. */
+  def duplicatedSpansWinnowed(
+      df: DataFrame, textCol: String, idCol: String, n: Int,
+      w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1 && w >= 1, "n-gram size and window must be >= 1")
+    val sel = df
+      .select(col(idCol).as("doc_id"),
+        explode(graft.ops.TextAnalysis.winnowFingerprints(
+          col(textCol), n, w)).as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("start"), col("fp.h").as("gh"))
+    val dupHashes = sel.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("gh"))
+    val dupPos = sel.join(dupHashes, Seq("gh"))
+      .select(col("doc_id"), col("start"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    dupPos
+      .withColumn("__new", when(
+        col("start") - lag(col("start"), 1).over(win) > n + w - 1, 1)
+        .otherwise(0))
+      .withColumn("__island", sum(col("__new"))
+        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + n - 1).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   // ---- semantic dedup (SemDeDup) ------------------------------------
   //
   // Semantic deduplication in the SemDeDup style (Abbas et al. 2023,

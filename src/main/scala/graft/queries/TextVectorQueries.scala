@@ -1143,6 +1143,57 @@ object TextVectorQueries {
       FROM isl GROUP BY doc_id, island
       ORDER BY doc_id, span_start"""))
 
+  /** Winnowed duplicated-spans (rows-only): the scale path of q104 —
+    * only the MOSS-selected fingerprints shuffle (≈ 2/(w+1) of gram
+    * positions), with the winnowing guarantee ensuring every repeat of
+    * ≥ n+w−1 tokens is still caught. Extents are fingerprint-sparse,
+    * so the rows differ from q104's by design; q104c pins the
+    * containment contract and DedupSpec the recall floor + the w=1
+    * degeneracy (≡ the exact variant). */
+  val q104bDuplicatedSpansWinnowed = GraftQuery(
+    "q104b_duplicated_spans_winnowed", { (s, dir) =>
+      Dedup.duplicatedSpansWinnowed(docs(s, dir), "text", "doc_id",
+        n = 5, w = 4)
+        .orderBy(col("doc_id"), col("span_start"))
+    })
+
+  /** Containment contract for the winnowed span path (oracle-checked,
+    * q101d pattern): every winnow-selected position whose fingerprint
+    * reaches corpus count ≥ 2 must be a position whose FULL n-gram —
+    * hashed by the exact variant's independent string-window xxhash64,
+    * not the winnowing chain — also reaches count ≥ 2. A surviving row
+    * would mean the sparse path invented a duplicated position the
+    * exact path denies (possible only through an ~n²/2⁶⁴ hash
+    * collision, the same caveat q104 documents). Violations are the
+    * empty relation. */
+  val q104cWinnowSpanContract = GraftQuery(
+    "q104c_winnow_span_contract", { (s, dir) =>
+      val n = 5; val w = 4
+      val d = docs(s, dir)
+      val sel = d.select(col("doc_id"),
+          explode(TextAnalysis.winnowFingerprints(col("text"), n, w)).as("fp"))
+        .select(col("doc_id"), col("fp.pos").as("start"), col("fp.h").as("wh"))
+      val dupW = sel.join(
+        sel.groupBy(col("wh")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("wh")), Seq("wh"))
+        .select(col("doc_id"), col("start"))
+      val toks = d.select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => length(t) > 0).as("toks"))
+      val grams = toks.filter(size(col("toks")) >= n)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(1), size(col("toks")) - n + 1),
+            i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(n)))))))
+        .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("gh"))
+      val dupG = grams.join(
+        grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("gh")), Seq("gh"))
+        .select(col("doc_id"), col("start"))
+      dupW.join(dupG, Seq("doc_id", "start"), "left_anti")
+        .orderBy(col("doc_id"), col("start"))
+    },
+    Some("""SELECT CAST(NULL AS BIGINT) AS doc_id,
+      CAST(NULL AS INT) AS start WHERE 1 = 0"""))
+
   /** Transitive dedup clustering over the doubled corpus, fully
     * oracle-checked: shared-shingle candidate edges (≥ 10 common 3-gram
     * shingles, stop-shingle guard at df ≤ 1000) → connected components
@@ -1576,6 +1627,90 @@ object TextVectorQueries {
     },
     Some("""SELECT CAST(NULL AS BIGINT) AS est_merged,
       CAST(NULL AS BIGINT) AS est_full WHERE 1 = 0"""))
+
+  /** Mergeable bottom-k quantile sketch (oracle-checked) — the
+    * quantile sibling of q115's HLL family: per-source p50/p90 token
+    * counts estimated from a k=64 KMV sample (the k rows with smallest
+    * Knuth-hash per source). Fully replayable integer arithmetic, so
+    * DuckDB re-derives the ENTIRE construction — prefilter threshold,
+    * coverage guard, bottom-k window, percentile_disc over the sample
+    * — and the row hash-matches. Scale shape: one count aggregate,
+    * a narrow hash prefilter keeping ~4k rows per source, a window
+    * over those survivors only (q116's discipline), and O(k) estimate
+    * windows. The corpus is never sorted. */
+  val q123QuantileSketch = GraftQuery(
+    "q123_quantile_sketch", { (s, dir) =>
+      val d = docs(s, dir).select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+      val sk = graft.ops.Quantiles.bottomKSketch(
+        d, "source", "doc_id", "ntok", k = 64)
+      graft.ops.Quantiles.quantileEstimates(sk, Seq(0.5, 0.9))
+        .select(col("g").as("source"), col("q"), col("est"),
+          col("sample_n"))
+        .orderBy(col("source"), col("q"))
+    },
+    Some("""WITH h AS (
+        SELECT source AS g, doc_id AS id,
+          CAST(len(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS v,
+          (((doc_id % 2147483648) * (2246822519 % 4294967296))
+            % 4294967296) % 1000000 AS hkey
+        FROM documents),
+      n AS (SELECT g, count(*) AS ng,
+          CAST(ceil(64 * 4 * 1000000.0 / count(*)) AS BIGINT) AS thr
+        FROM h GROUP BY g),
+      sv AS (SELECT h.g, count(*) AS cnt FROM h JOIN n USING (g)
+        WHERE h.hkey < n.thr GROUP BY h.g),
+      cov AS (SELECT n.g, n.thr, coalesce(sv.cnt, 0) >= least(64, n.ng) AS ok
+        FROM n LEFT JOIN sv USING (g)),
+      cand AS (SELECT h.g, h.hkey, h.id, h.v FROM h JOIN cov USING (g)
+        WHERE h.hkey < cov.thr OR NOT cov.ok),
+      sk AS (SELECT g, hkey, id, v FROM (
+          SELECT g, hkey, id, v,
+            row_number() OVER (PARTITION BY g ORDER BY hkey, id) AS rk
+          FROM cand) t WHERE rk <= 64),
+      mm AS (SELECT g, count(*) AS m FROM sk GROUP BY g),
+      r AS (SELECT sk.g, sk.v, mm.m,
+          row_number() OVER (PARTITION BY sk.g ORDER BY sk.v, sk.id) AS vr
+        FROM sk JOIN mm USING (g))
+      SELECT g AS source, q, est, sample_n FROM (
+        SELECT g, CAST(0.5 AS DOUBLE) AS q, v AS est, m AS sample_n
+        FROM r WHERE vr = CAST(ceil(0.5 * m) AS INT)
+        UNION ALL
+        SELECT g, CAST(0.9 AS DOUBLE) AS q, v AS est, m AS sample_n
+        FROM r WHERE vr = CAST(ceil(0.9 * m) AS INT)) u
+      ORDER BY source, q"""))
+
+  /** Merge contract for the bottom-k sketch (q101d pattern): per-shard
+    * sketches (even/odd doc_id halves) unioned and re-ranked must be
+    * BIT-IDENTICAL to the from-scratch sketch of the full corpus —
+    * the order-statistics identity bottom-k(A∪B) =
+    * bottom-k(bottom-k(A) ∪ bottom-k(B)) that makes the sketch a
+    * distributed-monitoring primitive. Any surviving row is a real
+    * merge defect (integers only, so no FP excuse). */
+  val q123bSketchMergeContract = GraftQuery(
+    "q123b_sketch_merge_contract", { (s, dir) =>
+      val d = docs(s, dir).select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+      val a = graft.ops.Quantiles.bottomKSketch(
+        d.filter(col("doc_id") % 2 === 0), "source", "doc_id", "ntok", 64)
+      val b = graft.ops.Quantiles.bottomKSketch(
+        d.filter(col("doc_id") % 2 =!= 0), "source", "doc_id", "ntok", 64)
+      val merged = graft.ops.Quantiles.mergeSketches(Seq(a, b), 64)
+      val full = graft.ops.Quantiles.bottomKSketch(
+        d, "source", "doc_id", "ntok", 64)
+      merged
+        .join(full
+          .select(col("g"), col("rk"), col("hkey").as("h2"),
+            col("id").as("id2"), col("v").as("v2")),
+          Seq("g", "rk"), "full_outer")
+        .filter(!(col("hkey") <=> col("h2")) || !(col("id") <=> col("id2")) ||
+          !(col("v") <=> col("v2")))
+        .select(col("g").as("source"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some("""SELECT CAST(NULL AS VARCHAR) AS source,
+      CAST(NULL AS INT) AS rk WHERE 1 = 0"""))
 
   /** q34's sign-LSH ANN accelerated by the JL projection: signatures,
     * buckets and the candidate cut all run in 32-d (half the hash/score
@@ -2584,7 +2719,8 @@ object TextVectorQueries {
     q101SemanticDedup, q101bSemanticDedupBlocked, q101cSemanticDedupIndex,
     q101dSemanticSubsetContract, q101eSemanticDedupIncremental,
     q101fSemanticDedupIncrementalBlocked, q101hIncrSubsetContract,
-    q104DuplicatedSpans,
+    q104DuplicatedSpans, q104bDuplicatedSpansWinnowed,
+    q104cWinnowSpanContract,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained,
     q65bIvfTrainedContract, q69TfidfRerank,
     q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf,
@@ -2593,7 +2729,8 @@ object TextVectorQueries {
     q108cPerplexityBucketContract,
     q109KnnGraph, q109bKnnGraphBlocked, q109cKnnGraphContract,
     q114LabelPropagation, q114bLabelPropagationBlocked,
-    q115HllMergeable, q115bHllIncrementalContract, q117RandomProjection,
+    q115HllMergeable, q115bHllIncrementalContract,
+    q123QuantileSketch, q123bSketchMergeContract, q117RandomProjection,
     q118SourceOverlap, q118bSourceOverlapMinhashContract,
     q119BpePairCounts, q120SourceDrift,
     q34cAnnLshProjected,

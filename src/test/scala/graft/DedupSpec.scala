@@ -205,6 +205,50 @@ class DedupSpec extends SparkTestBase {
       (3L, 1, 8, 8)))
   }
 
+  test("winnowed spans: w=1 degenerates to the exact variant; long repeats are guaranteed caught; corpus recall holds") {
+    import spark.implicits._
+    // w=1: every gram position is selected, so positions/counts/islands
+    // (gap tolerance n+0) equal the exact variant row for row
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val exact = Dedup.duplicatedSpans(corpus, "text", "doc_id", n = 5)
+    val w1 = Dedup.duplicatedSpansWinnowed(corpus, "text", "doc_id", n = 5, w = 1)
+    assert(exact.exceptAll(w1).count() === 0L)
+    assert(w1.exceptAll(exact).count() === 0L)
+    // guarantee fixture: a shared run of n+w-1 = 8 tokens at n=5, w=4
+    // must be caught in BOTH docs (each copy contains one complete
+    // 4-gram window of the repeat, and identical windows select the
+    // identical minimum)
+    val fix = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6 s7 s8 u1 u2 u3 u4 u5 u6"),
+      (2L, "v1 v2 v3 s1 s2 s3 s4 s5 s6 s7 s8 v4 v5 v6"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc wd we"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpansWinnowed(fix, "text", "doc_id", n = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(spans.exists { case (d, s, e) => d == 1L && s >= 1 && e <= 8 },
+      s"doc 1 repeat not caught: $spans")
+    assert(spans.exists { case (d, s, e) => d == 2L && s >= 4 && e <= 11 },
+      s"doc 2 repeat not caught: $spans")
+    assert(!spans.exists(_._1 == 3L), "unique doc must have no spans")
+    // corpus recall: exact spans long enough to carry the guarantee
+    // (span_tokens >= n+w-1) should essentially all intersect a
+    // winnowed span in the same doc (sub-guarantee-length islands and
+    // gapped islands may legitimately be missed)
+    val sparse = Dedup.duplicatedSpansWinnowed(corpus, "text", "doc_id",
+      n = 5, w = 4)
+      .select(col("doc_id"), col("span_start").as("ws"), col("span_end").as("we"))
+    val long = exact.filter(col("span_tokens") >= 8)
+    val nLong = long.count()
+    if (nLong > 0) {
+      val covered = long.join(sparse, Seq("doc_id"))
+        .filter(col("ws") <= col("span_end") && col("we") >= col("span_start"))
+        .select(col("doc_id"), col("span_start")).distinct().count()
+      assert(covered.toDouble / nLong >= 0.8,
+        s"winnowed recall ${covered.toDouble / nLong} over $nLong long spans")
+    }
+  }
+
   test("semantic dedup: exact verdicts replay the min-id rule; one-cell blocked degenerates to exact") {
     val e = graft.core.Tables.load(spark, sfDir, "embeddings").cache()
     val exact = Dedup.semanticDedup(e, "embedding", "vec_id", 0.45).cache()

@@ -58,4 +58,35 @@ class SketchSpec extends SparkTestBase {
       .head().getDouble(0)
     assert(math.abs(est - 1.0 / 3.0) < 0.1, s"J estimate $est for true 1/3")
   }
+
+  test("bottom-k quantile sketch: 3-way merge bit-equals from-scratch; estimates bracket the true quantile; deterministic") {
+    import graft.ops.Quantiles
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+    val k = 64
+    // 3-way shard merge must be bit-identical to the full-corpus sketch
+    val shards = (0 until 3).map(i =>
+      Quantiles.bottomKSketch(d.filter(col("doc_id") % 3 === i),
+        "source", "doc_id", "ntok", k))
+    val merged = Quantiles.mergeSketches(shards, k)
+    val full = Quantiles.bottomKSketch(d, "source", "doc_id", "ntok", k)
+    assert(merged.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(merged).count() === 0L)
+    // p50 estimate must land inside the exact p25–p75 band per source
+    // (a k=64 uniform sample's median rank error is far tighter; the
+    // wide band keeps the assertion noise-proof)
+    val est = Quantiles.quantileEstimates(full, Seq(0.5))
+      .select(col("g").as("source"), col("est"))
+    val exact = d.groupBy(col("source")).agg(
+      expr("percentile(ntok, 0.25)").as("p25"),
+      expr("percentile(ntok, 0.75)").as("p75"))
+    val out = est.join(exact, Seq("source"))
+      .filter(col("est") < col("p25") || col("est") > col("p75"))
+    assert(out.count() === 0L,
+      s"p50 estimates outside the p25–p75 band: ${out.collect().mkString}")
+    // rerun determinism
+    val again = Quantiles.bottomKSketch(d, "source", "doc_id", "ntok", k)
+    assert(full.exceptAll(again).count() === 0L)
+  }
 }
