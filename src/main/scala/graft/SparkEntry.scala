@@ -86,6 +86,13 @@ object SparkEntry {
     // iterative join/agg rounds on top of q109b's edge build)
     "q112_nb_quality_classifier", "q113_provenance_audit",
     "q114b_label_propagation_blocked",
+    // round-13: the winnowed span-dedup scale path (only MOSS-selected
+    // fingerprints shuffle — timed beside q104 so the sparse/exact
+    // cost ratio is visible per round), and the end-to-end curation
+    // composition (terciles → NB gate → mixing → curriculum → sharded
+    // export with a real file round-trip) — the closest thing the
+    // suite has to a full-pipeline wall-time
+    "q104b_duplicated_spans_winnowed", "q122_curation_pipeline",
     // the one two-source join in the pharma family (meds ⋈ labs via the
     // managed catalog) — cheap, but it keeps the S8 ingestion edge and
     // the catalog round-trip inside the per-round timing surface
