@@ -431,6 +431,58 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Iterative BPE merge TRAINING (Sennrich et al. 2016) — the step up
+    * from q119's single-round pair counts: `rounds` merge rounds, each
+    * picking the highest-count adjacent symbol pair (ties toward the
+    * lexicographically smallest (a, b)) and applying it greedily
+    * left-to-right to every word. Returns one row per round:
+    * (round, merged, occurrences).
+    *
+    * Word state is a separator-encoded STRING — U+001F (unit separator,
+    * a character that never occurs in tokens) before every symbol — so the greedy
+    * merge is a plain non-overlapping left-to-right string replace of
+    * SEP+a+SEP+b with SEP+ab (SEP = U+001F): exactly BPE's
+    * application order, identically replayable by any engine's replace() (the
+    * q119b oracle unrolls all rounds in DuckDB this way). The leading
+    * separator anchors every symbol occurrence, so a symbol that is a
+    * substring of another can never false-match.
+    *
+    * Scale shape: everything is VOCABULARY-bounded — the corpus
+    * collapses to (word, count) once, each round is one pair-count
+    * aggregate over symbol-split words plus one narrow replace
+    * projection, and the winning pair rides as a broadcast 1-row
+    * relation (orderBy+limit(1) → TakeOrderedAndProject; no driver
+    * collect, no window). Lineage is truncated per round. */
+  def bpeTrainMerges(words: DataFrame, wordCol: String, countCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val sep = "\u001f"
+    var state = words.select(col(countCol).as("n"),
+      regexp_replace(col(wordCol), "(.)", sep + "$1").as("st"))
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val syms = state.select(col("n"),
+        filter(split(col("st"), sep), x => length(x) > 0).as("s"))
+      val pairs = syms
+        .filter(size(col("s")) >= 2)
+        .select(col("n"), explode(
+          transform(sequence(lit(1), size(col("s")) - 1),
+            i => struct(element_at(col("s"), i).as("a"),
+              element_at(col("s"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("c"))
+      val best = pairs.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+      merges += best.select(lit(r).as("round"),
+        concat(col("a"), col("b")).as("merged"), col("c").as("occurrences"))
+      state = state.crossJoin(broadcast(best))
+        .withColumn("st", expr(
+          s"replace(st, concat(char(31), a, char(31), b), concat(char(31), a, b))"))
+        .select(col("n"), col("st"))
+        .localCheckpoint(eager = false)
+    }
+    merges.result().reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   /** Full per-document text-statistics projection. */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

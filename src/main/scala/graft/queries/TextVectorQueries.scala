@@ -1821,6 +1821,59 @@ object TextVectorQueries {
       FROM pairs GROUP BY pair
       ORDER BY occurrences DESC, pair LIMIT 20"""))
 
+  /** Iterative BPE merge TRAINING, 3 rounds (oracle-checked) — the
+    * step up from q119's single-round pair counts: each round picks
+    * the top adjacent symbol pair (count desc, then lexicographic
+    * (a, b)) and applies it greedily left-to-right to the whole
+    * vocabulary before recounting — exactly Sennrich-style BPE. The
+    * DuckDB oracle unrolls all three rounds using the same
+    * separator-string replace() encoding, so the ENTIRE training loop
+    * — counts, tie-breaks, greedy application order — is
+    * cross-engine-verified. Vocabulary-bounded end to end (the corpus
+    * collapses to (word, n) first); the winning pair is a broadcast
+    * 1-row relation via TakeOrderedAndProject, never a collect. */
+  val q119bBpeTrainMerges = GraftQuery(
+    "q119b_bpe_train_merges", { (s, dir) =>
+      val words = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      TextAnalysis.bpeTrainMerges(words, "w", "n", rounds = 3)
+    },
+    Some("""WITH words AS (
+        SELECT w, count(*) AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS w
+          FROM documents) t
+        GROUP BY w),
+      w0 AS (SELECT regexp_replace(w, '(.)', chr(31) || '\1', 'g') AS st, n
+        FROM words),
+      p1 AS (SELECT s[i] AS a, s[i+1] AS b, sum(n) AS c FROM (
+          SELECT list_filter(string_split(st, chr(31)), x -> len(x) > 0) AS s,
+            n FROM w0) t,
+          UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY a, b),
+      b1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+      w1 AS (SELECT replace(st, chr(31) || a || chr(31) || b,
+          chr(31) || a || b) AS st, n FROM w0, b1),
+      p2 AS (SELECT s[i] AS a, s[i+1] AS b, sum(n) AS c FROM (
+          SELECT list_filter(string_split(st, chr(31)), x -> len(x) > 0) AS s,
+            n FROM w1) t,
+          UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY a, b),
+      b2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+      w2 AS (SELECT replace(st, chr(31) || a || chr(31) || b,
+          chr(31) || a || b) AS st, n FROM w1, b2),
+      p3 AS (SELECT s[i] AS a, s[i+1] AS b, sum(n) AS c FROM (
+          SELECT list_filter(string_split(st, chr(31)), x -> len(x) > 0) AS s,
+            n FROM w2) t,
+          UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY a, b),
+      b3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1)
+      SELECT 1 AS round, a || b AS merged, c AS occurrences FROM b1
+      UNION ALL SELECT 2, a || b, c FROM b2
+      UNION ALL SELECT 3, a || b, c FROM b3
+      ORDER BY round"""))
+
   /** Per-source token-distribution drift vs the whole corpus —
     * smoothed KL(source ‖ corpus) over the full vocabulary, the
     * distribution-shift monitor a pipeline runs per ingest batch or
@@ -2732,7 +2785,7 @@ object TextVectorQueries {
     q115HllMergeable, q115bHllIncrementalContract,
     q123QuantileSketch, q123bSketchMergeContract, q117RandomProjection,
     q118SourceOverlap, q118bSourceOverlapMinhashContract,
-    q119BpePairCounts, q120SourceDrift,
+    q119BpePairCounts, q119bBpeTrainMerges, q120SourceDrift,
     q34cAnnLshProjected,
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
     q107DiversitySample, q107bDiversityContract)

@@ -149,6 +149,25 @@ class TextCurationSpec extends SparkTestBase {
     out.foreach { case (k, (docs, _)) => assert(again(k) === docs) }
   }
 
+  test("BPE training replays the Sennrich example: greedy merges, count-then-lexicographic tie-breaks") {
+    import spark.implicits._
+    // the classic fixture (no end-of-word marker): expected rounds are
+    // hand-computed — r1 (e,s) 9 beats (s,t) 9 on the lexicographic
+    // tie; r2 (es,t) 9 after the merge changes the pair landscape;
+    // r3 (l,o) 7 beats (o,w) 7 on the tie again
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("w", "n")
+    val merges = TextAnalysis.bpeTrainMerges(words, "w", "n", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(merges === Seq((1, "es", 9L), (2, "est", 9L), (3, "lo", 7L)))
+    // greedy left-to-right on repeats: "aaaa"×1 merges (a,a) to TWO
+    // occurrences in round 1 (non-overlapping), then (aa,aa) in round 2
+    val rep = Seq(("aaaa", 1L)).toDF("w", "n")
+    val m2 = TextAnalysis.bpeTrainMerges(rep, "w", "n", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(m2 === Seq((1, "aa", 3L), (2, "aaaa", 1L)))
+  }
+
   test("winnowing selects window minima with full coverage; gram hashes bit-match the codegen expression") {
     import spark.implicits._
     val docs = Seq(
