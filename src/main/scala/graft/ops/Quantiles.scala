@@ -62,13 +62,19 @@ object Quantiles {
       .select(col("g"), col("rk"), col("hkey"), col("id"), col("v"))
   }
 
-  /** Merge sketches: union and re-rank to k. Inputs are sketches, so
-    * the window sees ≤ k·|inputs| rows per group — bounded regardless
-    * of corpus size. Exactly equals the from-scratch sketch of the
-    * union (q123b's contract). */
+  /** Merge sketches: union, dedup on (g, id), re-rank to k. Inputs are
+    * sketches, so the window sees ≤ k·|inputs| rows per group — bounded
+    * regardless of corpus size. Exactly equals the from-scratch sketch
+    * of the union (q123b's contract). The (g, id) dedup makes the merge
+    * REPLAY-IDEMPOTENT — merging a sketch that was already folded in is
+    * a no-op, because a given id carries one immutable (hkey, v) — the
+    * property that lets the streaming sink (q123c) run without a
+    * correctness-mandatory checkpoint, unlike the additive token-count
+    * sink. */
   def mergeSketches(sketches: Seq[DataFrame], k: Int): DataFrame = {
     val u = sketches.map(_.select(col("g"), col("hkey"), col("id"), col("v")))
       .reduce(_ unionByName _)
+      .dropDuplicates("g", "id")
     val w = Window.partitionBy(col("g")).orderBy(col("hkey"), col("id"))
     u.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("g"), col("rk"), col("hkey"), col("id"), col("v"))

@@ -485,11 +485,44 @@ object StreamingQueries {
       CAST(NULL AS VARCHAR) AS token, CAST(NULL AS BIGINT) AS c,
       CAST(NULL AS VARCHAR) AS kind WHERE 1 = 0"""))
 
+  /** Streaming quantile-sketch contract (oracle-checked, q101d
+    * pattern): folding per-micro-batch bottom-k sketches through the
+    * real engine ([[graft.streaming.CurationStream.runQuantileSketchSink]])
+    * must land a table BIT-IDENTICAL to the batch sketch of the same
+    * files — the order-statistics merge identity (q123b) driven
+    * through actual micro-batches. Because the merge dedups on
+    * (g, id), this sink is replay-idempotent (StreamingSpec pins the
+    * no-op), a strictly stronger discipline than the additive
+    * token-count sink's checkpoint-mandatory merge. */
+  val q123cStreamSketchContract = GraftQuery(
+    "q123c_stream_sketch_contract", { (s, dir) =>
+      import graft.streaming.CurationStream
+      val d = Tables.load(s, dir, "documents")
+      val table = "default.quantile_sketch_stream"
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val staged = CurationStream.stageEmbeddings(d, parts = 3)
+      CurationStream.runQuantileSketchSink(s, staged, table, k = 64)
+      val streamed = s.table(table)
+      val batch = graft.ops.Quantiles.bottomKSketch(
+        d.select(col("source"), col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("ntok")),
+        "source", "doc_id", "ntok", k = 64)
+      TextVectorQueries.symmetricDiffViolations(streamed, batch,
+          "stream_only", "batch_only", Seq("g", "rk", "hkey", "id", "v"))
+        .orderBy(col("kind"), col("g"), col("rk"))
+        .localCheckpoint(eager = true)
+    },
+    Some("""SELECT CAST(NULL AS VARCHAR) AS g, CAST(NULL AS INT) AS rk,
+      CAST(NULL AS BIGINT) AS hkey, CAST(NULL AS BIGINT) AS id,
+      CAST(NULL AS BIGINT) AS v, CAST(NULL AS VARCHAR) AS kind
+      WHERE 1 = 0"""))
+
   val all: Seq[GraftQuery] = Seq(
     q37StreamTumbling, q38StreamSessions, q39MultimodalDecode,
     q44StreamStaticJoin, q45StreamDedup, q46StreamState, q63StreamStreamJoin,
     q86StreamSliding, q87StreamUpsertSink, q87bStreamUpsertPartitioned,
     q87cStreamUpsertVersioned, q98StreamDecontaminate,
     q101gStreamSemanticDedup, q101iStreamFoldContract,
-    q120bStreamDriftContract)
+    q120bStreamDriftContract, q123cStreamSketchContract)
 }

@@ -189,6 +189,58 @@ object CurationStream {
     * anti-joining on them — would make the merge itself idempotent at
     * the cost of a per-batch read-modify-write on the ledger.) Returns
     * the number of micro-batches. */
+  /** Streaming bottom-k quantile-sketch sink: each micro-batch's
+    * per-source sketch (graft.ops.Quantiles.bottomKSketch over token
+    * counts) folds into a persisted sketch table through
+    * mergeSketches' order-statistics identity. Unlike the additive
+    * token-count sink below, this merge is REPLAY-IDEMPOTENT — the
+    * merge dedups on (g, id) before re-ranking, and a given document
+    * carries one immutable (hkey, ntok) — so re-processing an
+    * already-merged batch is a no-op and a checkpoint is a COST
+    * optimization (skip re-reads after restart), not a correctness
+    * requirement. The landed table is bit-identical to the batch
+    * sketch of all files (q123c pins it; StreamingSpec pins the
+    * replay no-op). Per-batch cost: one batch-sized sketch build plus
+    * a merge window over ≤ 2k rows per source. Returns the number of
+    * micro-batches. */
+  def runQuantileSketchSink(
+      spark: SparkSession, dir: String, table: String, k: Int = 64,
+      checkpoint: Option[String] = None): Long = {
+    val schema = spark.read.option("pathGlobFilter", "emb_*.parquet")
+      .parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "emb_*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    var batches = 0L
+    val writer0 = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions._
+        val d = batch.select(col("source"), col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("ntok"))
+        val sk = graft.ops.Quantiles.bottomKSketch(
+          d, "source", "doc_id", "ntok", k)
+        val merged =
+          if (spark.catalog.tableExists(table))
+            graft.ops.Quantiles.mergeSketches(
+              Seq(spark.table(table), sk), k)
+          else sk
+        graft.core.TableStore.overwriteTable(spark, table,
+          merged.localCheckpoint(eager = true))
+        batches += 1
+        ()
+      }
+    val q = checkpoint
+      .fold(writer0)(c => writer0.option("checkpointLocation", c))
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    if (spark.catalog.tableExists(table)) spark.catalog.refreshTable(table)
+    batches
+  }
+
   def runTokenCountSink(
       spark: SparkSession, dir: String, table: String,
       checkpoint: Option[String] = None): Long = {

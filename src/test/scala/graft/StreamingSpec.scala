@@ -1343,4 +1343,33 @@ class StreamingSpec extends SparkTestBase {
       assert(spark.table(tbl).agg(sum(col("c"))).head().getLong(0) === 2 * total)
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("quantile-sketch sink: stream fold bit-equals the batch sketch; an UNcheckpointed replay is a NO-OP (merge is idempotent)") {
+    import graft.streaming.CurationStream
+    import graft.ops.Quantiles
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tbl = "default.quantile_sketch_spec"
+    val dir = CurationStream.stageEmbeddings(d, parts = 3)
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      assert(CurationStream.runQuantileSketchSink(spark, dir, tbl, k = 64)
+        === 3L)
+      val batch = Quantiles.bottomKSketch(
+        d.select(col("source"), col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("ntok")),
+        "source", "doc_id", "ntok", 64)
+      val landed = spark.table(tbl)
+      assert(landed.exceptAll(batch).count() === 0L)
+      assert(batch.exceptAll(landed).count() === 0L)
+      // an UNcheckpointed replay re-merges every file — and lands the
+      // identical table, because the (g, id) dedup makes a re-merged
+      // sketch a no-op. This is the contrast with the additive
+      // token-count sink above, where the same replay exactly doubles.
+      CurationStream.runQuantileSketchSink(spark, dir, tbl, k = 64)
+      val replayed = spark.table(tbl)
+      assert(replayed.exceptAll(batch).count() === 0L)
+      assert(batch.exceptAll(replayed).count() === 0L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
