@@ -454,7 +454,27 @@ object TextAnalysis {
     * relation (orderBy+limit(1) → TakeOrderedAndProject; no driver
     * collect, no window). Lineage is truncated per round. */
   def bpeTrainMerges(words: DataFrame, wordCol: String, countCol: String,
+      rounds: Int): DataFrame =
+    bpeCore(words, wordCol, countCol, rounds)._2
+
+  /** BPE ENCODE at the trained state: the weighted symbol inventory
+    * after `rounds` merges — run the same training chain and count the
+    * resulting subword symbols across the vocabulary (weight = word
+    * frequency). This is the train→apply round trip: q119c's oracle
+    * replays the full chain and the final segmentation. Returns
+    * (symbol, occurrences), the post-merge vocabulary histogram a
+    * tokenizer build reads off. */
+  def bpeEncodeSymbols(words: DataFrame, wordCol: String, countCol: String,
       rounds: Int): DataFrame = {
+    val state = bpeCore(words, wordCol, countCol, rounds)._1
+    state.select(col("n"),
+        explode(filter(split(col("st"), "\u001f"), x => length(x) > 0))
+          .as("symbol"))
+      .groupBy(col("symbol")).agg(sum(col("n")).as("occurrences"))
+  }
+
+  private def bpeCore(words: DataFrame, wordCol: String, countCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
     val sep = "\u001f"
     var state = words.select(col(countCol).as("n"),
@@ -480,7 +500,7 @@ object TextAnalysis {
         .select(col("n"), col("st"))
         .localCheckpoint(eager = false)
     }
-    merges.result().reduce(_ unionByName _).orderBy(col("round"))
+    (state, merges.result().reduce(_ unionByName _).orderBy(col("round")))
   }
 
   /** Full per-document text-statistics projection. */

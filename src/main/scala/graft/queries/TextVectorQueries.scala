@@ -1874,6 +1874,62 @@ object TextVectorQueries {
       UNION ALL SELECT 3, a || b, c FROM b3
       ORDER BY round"""))
 
+  /** BPE ENCODE at the trained state (oracle-checked): the weighted
+    * subword-symbol histogram after applying the 3 trained merges to
+    * the whole vocabulary — the train→apply round trip. The oracle
+    * extends q119b's unrolled chain with the third merge application
+    * and the final segmentation count, so a defect anywhere in the
+    * train OR apply path hash-fails. Top-20 symbols (count desc,
+    * symbol asc) keeps the row bounded. */
+  val q119cBpeEncode = GraftQuery(
+    "q119c_bpe_encode", { (s, dir) =>
+      val words = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      TextAnalysis.bpeEncodeSymbols(words, "w", "n", rounds = 3)
+        .orderBy(col("occurrences").desc, col("symbol"))
+        .limit(20)
+    },
+    Some("""WITH words AS (
+        SELECT w, count(*) AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS w
+          FROM documents) t
+        GROUP BY w),
+      w0 AS (SELECT regexp_replace(w, '(.)', chr(31) || '\1', 'g') AS st, n
+        FROM words),
+      p1 AS (SELECT s[i] AS a, s[i+1] AS b, sum(n) AS c FROM (
+          SELECT list_filter(string_split(st, chr(31)), x -> len(x) > 0) AS s,
+            n FROM w0) t,
+          UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY a, b),
+      b1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+      w1 AS (SELECT replace(st, chr(31) || a || chr(31) || b,
+          chr(31) || a || b) AS st, n FROM w0, b1),
+      p2 AS (SELECT s[i] AS a, s[i+1] AS b, sum(n) AS c FROM (
+          SELECT list_filter(string_split(st, chr(31)), x -> len(x) > 0) AS s,
+            n FROM w1) t,
+          UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY a, b),
+      b2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+      w2 AS (SELECT replace(st, chr(31) || a || chr(31) || b,
+          chr(31) || a || b) AS st, n FROM w1, b2),
+      p3 AS (SELECT s[i] AS a, s[i+1] AS b, sum(n) AS c FROM (
+          SELECT list_filter(string_split(st, chr(31)), x -> len(x) > 0) AS s,
+            n FROM w2) t,
+          UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY a, b),
+      b3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1),
+      w3 AS (SELECT replace(st, chr(31) || a || chr(31) || b,
+          chr(31) || a || b) AS st, n FROM w2, b3),
+      syms AS (
+        SELECT unnest(list_filter(string_split(st, chr(31)),
+          x -> len(x) > 0)) AS symbol, n
+        FROM w3)
+      SELECT symbol, CAST(sum(n) AS BIGINT) AS occurrences
+      FROM syms GROUP BY symbol
+      ORDER BY occurrences DESC, symbol LIMIT 20"""))
+
   /** Per-source token-distribution drift vs the whole corpus —
     * smoothed KL(source ‖ corpus) over the full vocabulary, the
     * distribution-shift monitor a pipeline runs per ingest batch or
@@ -2785,7 +2841,8 @@ object TextVectorQueries {
     q115HllMergeable, q115bHllIncrementalContract,
     q123QuantileSketch, q123bSketchMergeContract, q117RandomProjection,
     q118SourceOverlap, q118bSourceOverlapMinhashContract,
-    q119BpePairCounts, q119bBpeTrainMerges, q120SourceDrift,
+    q119BpePairCounts, q119bBpeTrainMerges, q119cBpeEncode,
+    q120SourceDrift,
     q34cAnnLshProjected,
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
     q107DiversitySample, q107bDiversityContract)
