@@ -629,4 +629,63 @@ object Dedup {
       .join(broadcast(pruned), col("id") === col("__pruned_id"), "left")
       .select(col("id"), col("__pruned_id").isNull.as("kept"))
   }
+
+  // ---- semantic decontamination --------------------------------------
+
+  /** Semantic (embedding-level) DECONTAMINATION: flag every corpus
+    * document within cosine `threshold` of ANY benchmark vector — the
+    * paraphrase-level sibling of the n-gram decontamination family
+    * (q93/q98/q99). A test-set item rewritten in different words slips
+    * the gram screen; it does not slip the embedding one. Exact
+    * variant: corpus × broadcast(benchmark) through the fused dot
+    * kernel — an eval set is small by nature, so the broadcast is
+    * bounded and the CORPUS never shuffles (one narrow scoring pass +
+    * a hits-keyed aggregate). The hits relation is corpus-scale on
+    * contaminated-heavy data, so it carries NO broadcast hint (AQE
+    * decides; the q101b lesson). Returns (id, n_hits, contaminated). */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      vecCol: String, idCol: String, threshold: Double): DataFrame = {
+    val b = unitNormalized(bench, vecCol, idCol)
+      .select(col("id").as("bench_id"), col("vn").as("bench_vn"))
+    val c = unitNormalized(corpus, vecCol, idCol)
+    val hits = c.crossJoin(broadcast(b))
+      .withColumn("cosine",
+        round(graft.functions.SketchExpressions.dotProduct(
+          col("vn"), col("bench_vn")), 6))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id")).agg(count(lit(1)).as("__nh"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__nh"), lit(0L)).as("n_hits"),
+        (coalesce(col("__nh"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Scale variant of [[semanticDecontaminate]]: corpus vectors probe
+    * their `probes` nearest cells and compare only against benchmark
+    * vectors ASSIGNED to those cells — pair work drops from
+    * corpus × bench to corpus × (bench ∩ probed cells). One-sided
+    * error like every blocked pass here: a flagged doc carries a real
+    * exact cosine ≥ threshold (q124c pins blocked ⊆ exact through the
+    * oracle gate); a cross-cell paraphrase may be missed, and probes
+    * is the recall dial. n_hits counts PROBED-cell hits only. */
+  def semanticDecontaminateBlocked(corpus: DataFrame, bench: DataFrame,
+      vecCol: String, idCol: String, threshold: Double,
+      centroidRel: DataFrame, probes: Int = 2): DataFrame = {
+    val c = Similarity.assignToCentroidsMulti(
+      unitNormalized(corpus, vecCol, idCol), "vn", centroidRel, probes)
+    val b = Similarity.assignToCentroidsMulti(
+        unitNormalized(bench, vecCol, idCol), "vn", centroidRel, 1)
+      .select(col("centroid_id"), col("id").as("bench_id"),
+        col("vn").as("bench_vn"))
+    val hits = c.join(broadcast(b), Seq("centroid_id"))
+      .withColumn("cosine",
+        round(graft.functions.SketchExpressions.dotProduct(
+          col("vn"), col("bench_vn")), 6))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id")).agg(count(lit(1)).as("__nh"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__nh"), lit(0L)).as("n_hits"),
+        (coalesce(col("__nh"), lit(0L)) > 0).as("contaminated"))
+  }
 }

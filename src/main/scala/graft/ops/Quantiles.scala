@@ -74,7 +74,12 @@ object Quantiles {
   def mergeSketches(sketches: Seq[DataFrame], k: Int): DataFrame = {
     val u = sketches.map(_.select(col("g"), col("hkey"), col("id"), col("v")))
       .reduce(_ unionByName _)
-      .dropDuplicates("g", "id")
+      // (g, id) dedup via aggregate — duplicates carry the identical
+      // immutable (hkey, v), so first() is deterministic. (A
+      // dropDuplicates here tripped a Catalyst binding error when the
+      // unioned sketches share lineage, e.g. 3 shards of one frame.)
+      .groupBy(col("g"), col("id"))
+      .agg(first(col("hkey")).as("hkey"), first(col("v")).as("v"))
     val w = Window.partitionBy(col("g")).orderBy(col("hkey"), col("id"))
     u.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("g"), col("rk"), col("hkey"), col("id"), col("v"))

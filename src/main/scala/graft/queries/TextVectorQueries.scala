@@ -1143,6 +1143,79 @@ object TextVectorQueries {
       FROM isl GROUP BY doc_id, island
       ORDER BY doc_id, span_start"""))
 
+  /** Semantic decontamination, exact variant (oracle-checked): every
+    * corpus vector within cosine 0.45 of ANY benchmark vector (the
+    * vec_id % 20 slice stands in for an eval set) is flagged, with its
+    * hit count — the paraphrase-level extension of the n-gram
+    * decontamination family (q93/q98/q99). DuckDB replays the full
+    * cross scoring at the same 6-decimal rounding. The corpus never
+    * shuffles: bench broadcasts, hits aggregate on id. */
+  val q124SemanticDecontaminate = GraftQuery(
+    "q124_semantic_decontaminate", { (s, dir) =>
+      val e = embeds(s, dir)
+      Dedup.semanticDecontaminate(
+          e.filter(col("vec_id") % 20 =!= 0), e.filter(col("vec_id") % 20 === 0),
+          "embedding", "vec_id", 0.45)
+        .orderBy(col("id"))
+    },
+    Some("""WITH bench AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+      corp AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+      hits AS (
+        SELECT c.vec_id AS id, count(*) AS n_hits
+        FROM corp c JOIN bench b
+          ON round(list_cosine_similarity(
+            c.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+        GROUP BY c.vec_id)
+      SELECT c.vec_id AS id, coalesce(h.n_hits, 0) AS n_hits,
+        coalesce(h.n_hits, 0) > 0 AS contaminated
+      FROM corp c LEFT JOIN hits h ON c.vec_id = h.id
+      ORDER BY id"""))
+
+  /** Blocked semantic decontamination (rows-only): corpus vectors
+    * probe 2 cells and compare only against benchmark vectors assigned
+    * there — corpus × bench pair work cut to the probed-cell overlap.
+    * q124c pins the one-sided contract. */
+  val q124bSemanticDecontaminateBlocked = GraftQuery(
+    "q124b_semantic_decontaminate_blocked", { (s, dir) =>
+      val e = embeds(s, dir)
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+        k = Similarity.cellCountFor(e.count()), iters = 2)
+      Dedup.semanticDecontaminateBlocked(
+          e.filter(col("vec_id") % 20 =!= 0), e.filter(col("vec_id") % 20 === 0),
+          "embedding", "vec_id", 0.45, cents, probes = 2)
+        .orderBy(col("id"))
+    })
+
+  /** One-sided-error contract for blocked decontamination
+    * (oracle-checked, q101d pattern): every doc the blocked pass flags
+    * must be flagged by the exact pass, and its probed-cell hit count
+    * can never exceed the exact hit count. Violations are the empty
+    * relation. */
+  val q124cDecontaminateSubsetContract = GraftQuery(
+    "q124c_decontaminate_subset_contract", { (s, dir) =>
+      val e = embeds(s, dir)
+      val corpus = e.filter(col("vec_id") % 20 =!= 0)
+      val bench = e.filter(col("vec_id") % 20 === 0)
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+        k = Similarity.cellCountFor(e.count()), iters = 2)
+      val blocked = Dedup.semanticDecontaminateBlocked(
+          corpus, bench, "embedding", "vec_id", 0.45, cents, probes = 2)
+        .select(col("id"), col("n_hits").as("nh_blocked"),
+          col("contaminated").as("c_blocked"))
+      val exact = Dedup.semanticDecontaminate(
+          corpus, bench, "embedding", "vec_id", 0.45)
+        .select(col("id"), col("n_hits").as("nh_exact"),
+          col("contaminated").as("c_exact"))
+      blocked.join(exact, Seq("id"))
+        .filter((col("c_blocked") && !col("c_exact")) ||
+          col("nh_blocked") > col("nh_exact"))
+        .select(col("id"))
+        .orderBy(col("id"))
+    },
+    Some("SELECT CAST(NULL AS BIGINT) AS id WHERE 1 = 0"))
+
   /** Winnowed duplicated-spans (rows-only): the scale path of q104 —
     * only the MOSS-selected fingerprints shuffle (≈ 2/(w+1) of gram
     * positions), with the winnowing guarantee ensuring every repeat of
@@ -2830,6 +2903,8 @@ object TextVectorQueries {
     q101fSemanticDedupIncrementalBlocked, q101hIncrSubsetContract,
     q104DuplicatedSpans, q104bDuplicatedSpansWinnowed,
     q104cWinnowSpanContract,
+    q124SemanticDecontaminate, q124bSemanticDecontaminateBlocked,
+    q124cDecontaminateSubsetContract,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained,
     q65bIvfTrainedContract, q69TfidfRerank,
     q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf,
