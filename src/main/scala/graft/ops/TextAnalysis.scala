@@ -494,9 +494,15 @@ object TextAnalysis {
       val best = pairs.orderBy(col("c").desc, col("a"), col("b")).limit(1)
       merges += best.select(lit(r).as("round"),
         concat(col("a"), col("b")).as("merged"), col("c").as("occurrences"))
-      state = state.crossJoin(broadcast(best))
-        .withColumn("st", expr(
+      // LEFT join on a dummy key, not a crossJoin: a round with no
+      // pair left to merge (fully-merged or single-char vocabulary)
+      // has an EMPTY best, and a crossJoin would annihilate the state
+      // — the merge must be a no-op instead (EdgeCaseSpec pins it)
+      state = state.withColumn("__k", lit(1))
+        .join(broadcast(best.withColumn("__k", lit(1))), Seq("__k"), "left")
+        .withColumn("st", when(col("a").isNotNull, expr(
           s"replace(st, concat(char(31), a, char(31), b), concat(char(31), a, b))"))
+          .otherwise(col("st")))
         .select(col("n"), col("st"))
         .localCheckpoint(eager = false)
     }

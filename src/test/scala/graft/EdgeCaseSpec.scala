@@ -275,6 +275,48 @@ class EdgeCaseSpec extends SparkTestBase {
       "fallback must select the same membership as the naive sampler")
   }
 
+  test("round-13 operators are total on degenerate inputs") {
+    // winnowed spans: empty corpus and sub-gram docs produce no spans
+    assert(Dedup.duplicatedSpansWinnowed(
+      emptyDocs, "text", "doc_id", n = 5, w = 4).count() === 0L)
+    val tiny = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpansWinnowed(
+      tiny, "text", "doc_id", n = 5, w = 4).count() === 0L)
+    // bottom-k sketch: empty frame → empty sketch → empty estimates;
+    // k larger than a group → the whole group, ranks dense
+    val emptyG = Seq.empty[(String, Long, Long)].toDF("g0", "id0", "v0")
+    val skE = graft.ops.Quantiles.bottomKSketch(emptyG, "g0", "id0", "v0", 8)
+    assert(skE.count() === 0L)
+    assert(graft.ops.Quantiles.quantileEstimates(skE, Seq(0.5)).count() === 0L)
+    val small = Seq(("s", 1L, 10L), ("s", 2L, 20L)).toDF("g0", "id0", "v0")
+    val skS = graft.ops.Quantiles.bottomKSketch(small, "g0", "id0", "v0", 8)
+    assert(skS.count() === 2L)
+    assert(skS.select(max(col("rk"))).head().getInt(0) === 2)
+    // merging an empty sketch is the identity
+    val merged = graft.ops.Quantiles.mergeSketches(Seq(skS, skE), 8)
+    assert(merged.exceptAll(skS).count() === 0L &&
+      skS.exceptAll(merged).count() === 0L)
+    // BPE training on an empty vocabulary yields no merges
+    val emptyWords = Seq.empty[(String, Long)].toDF("w", "n")
+    assert(TextAnalysis.bpeTrainMerges(emptyWords, "w", "n", 2).count() === 0L)
+    // single-char vocabulary: no pairs, no merges, encode = the chars
+    val chars = Seq(("a", 5L), ("b", 3L)).toDF("w", "n")
+    assert(TextAnalysis.bpeTrainMerges(chars, "w", "n", 2).count() === 0L)
+    val enc = TextAnalysis.bpeEncodeSymbols(chars, "w", "n", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(enc === Map("a" -> 5L, "b" -> 3L))
+    // semantic decontamination with an empty benchmark: nothing flagged
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val dec = Dedup.semanticDecontaminate(
+      vecs, emptyVecs, "embedding", "vec_id", 0.45)
+    assert(dec.count() === 2L)
+    assert(dec.filter(col("contaminated")).count() === 0L)
+    // and an empty corpus scores empty
+    assert(Dedup.semanticDecontaminate(
+      emptyVecs, vecs, "embedding", "vec_id", 0.45).count() === 0L)
+  }
+
   test("q116 stratified sample takes the whole stratum when quota exceeds it") {
     // 3 docs in one lang with quota 40 → all 3 selected, ranks dense
     val dir = java.nio.file.Files.createTempDirectory("graft_tiny").toString
