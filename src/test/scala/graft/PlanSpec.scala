@@ -487,6 +487,37 @@ class PlanSpec extends SparkTestBase {
       s"prefilter must be below the window:\n$p")
   }
 
+  test("q123 bottom-k sketch keeps the q116 discipline: counts broadcast back, prefilter under the window") {
+    val p = planOf(graft.queries.TextVectorQueries.q123QuantileSketch
+      .run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx >= 0, p)
+    assert(p.lastIndexOf("Filter") > windowIdx,
+      s"prefilter must be below the window:\n$p")
+  }
+
+  test("q124 semantic decontamination: benchmark broadcasts, corpus-scan join sides hint-free") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val df = graft.ops.Dedup.semanticDecontaminate(
+      e.filter(col("vec_id") % 20 =!= 0), e.filter(col("vec_id") % 20 === 0),
+      "embedding", "vec_id", 0.45)
+    val p = planOf(df)
+    // the bench side rides as a broadcast (nested-loop from the scored
+    // crossJoin); the corpus never exchanges before scoring
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly ONE hinted join side exists — the bounded bench
+    // broadcast; the corpus-scale hits join is left to AQE (same
+    // discipline as blocked semantic dedup)
+    val hintedSides = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        Seq(j.hint.leftHint, j.hint.rightHint)
+          .count(_.exists(_.strategy.isDefined))
+    }.sum
+    assert(hintedSides === 1,
+      s"expected only the bench broadcast hint, found $hintedSides")
+  }
+
   test("q113 provenance audit is shuffle-light: no join, no corpus window") {
     val p = planOf(graft.queries.CurationQueries.q113ProvenanceAudit
       .run(spark, sfDir))
