@@ -177,6 +177,112 @@ object Multimodal {
       .toDF()
   }
 
+  /** REAL pixel decode via the JDK's own ImageIO (JPEG/PNG/BMP/GIF —
+    * every format the JRE ships a reader for): one iterator pass per
+    * partition, each blob fully entropy-decoded to a BufferedImage and
+    * reduced to per-channel mean intensities + true pixel dimensions.
+    * This is the feature-extraction shape a vision pipeline runs
+    * (decode → pool → embed), with the pooling here a deterministic
+    * mean so the result is assertable. Blobs no JRE reader accepts
+    * (including the GRFT stand-in format) emit valid=false with their
+    * byte length — the mixed-corpus NULL policy of [[decodeMeta]].
+    * Emits (media_id, width, height, mean_r, mean_g, mean_b, valid). */
+  def decodePixels(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_b", DoubleType, nullable = true),
+      StructField("valid", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null) Row(id, null, null, null, null, null, false)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
+                sb += rgb & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            Row(id, w, h, sr.toDouble / n, sg.toDouble / n,
+              sb.toDouble / n, true)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** REAL image resample: ImageIO decode → area-preserving bilinear
+    * scale to half dimensions (Graphics2D, RenderingHints.BILINEAR) →
+    * re-encode JPEG with the JDK writer. The output blob is a genuine
+    * JFIF file whose decoded dimensions are exactly (w/2, h/2) and
+    * whose channel means track the source's (MultimodalSpec pins both)
+    * — the thumbnail/preprocess stage of a multimodal training
+    * pipeline, run as the same narrow per-partition pass as every
+    * other media transform. Non-image blobs fall back to
+    * [[resizeHalf]]'s stand-in header arithmetic, so a mixed corpus
+    * resizes in one pass. */
+  def resizeJpegHalf(spark: SparkSession, media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.select(col("media_id"), col("content"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img != null && img.getWidth >= 2 && img.getHeight >= 2) {
+            val (w2, h2) = (img.getWidth / 2, img.getHeight / 2)
+            val scaled = new java.awt.image.BufferedImage(
+              w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w2, h2, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "jpg", bos)
+            val out = bos.toByteArray
+            Row(id, out, Row("image", w2, h2, out.length.toLong))
+          } else FakeCodec.decodeHeader(bytes) match {
+            case Some((w, h)) =>
+              val body = bytes.drop(12)
+              val half = FakeCodec.encode(w / 2, h / 2,
+                body.take(math.max(1, body.length / 4)))
+              Row(id, half, Row("image", w / 2, h / 2, half.length.toLong))
+            case None => Row(id, bytes, Row("unknown", null, null,
+              if (bytes == null) 0L else bytes.length.toLong))
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Frame sampling — the video path's explode-shaped transform: the
     * payload after the header is treated as fixed-size frames and every
     * `stride`-th frame becomes its own row (media_id, frame_idx, frame).

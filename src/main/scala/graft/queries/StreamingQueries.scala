@@ -95,6 +95,48 @@ object StreamingQueries {
   /** Multimodal plumbing: synthesize binary media from documents, decode
     * headers per partition, audit validity (rows-only; byte-level checks
     * in MultimodalSpec). */
+  /** REAL pixel codec contract (oracle-checked against pinned
+    * constants): three JDK-encoded JFIF images are fully
+    * entropy-decoded to pixels (ImageIO), bilinear-resampled to half
+    * size, re-encoded, and decoded AGAIN — the decode→transform→encode
+    * round trip of a vision preprocess stage, all real bytes. The row
+    * pins: every blob decodes (both passes), resized dimensions are
+    * exactly halved, the resized blob parses as a real JPEG through
+    * the INDEPENDENT T.81 marker walk, and per-channel means survive
+    * the resample within a small tolerance (bilinear pooling preserves
+    * the mean up to boundary phase). The oracle is the constant
+    * expectation — any codec regression flips a count. */
+  val q39bPixelCodecContract = GraftQuery(
+    "q39b_pixel_codec_contract", { (s, dir) =>
+      val jpeg = Multimodal.syntheticJpegMedia(s, n = 3)
+      val px = Multimodal.decodePixels(s, jpeg)
+        .select(col("media_id"), col("width").as("w1"),
+          col("height").as("h1"), col("mean_r").as("r1"),
+          col("mean_g").as("g1"), col("mean_b").as("b1"),
+          col("valid").as("v1"))
+      val res = Multimodal.resizeJpegHalf(s, jpeg)
+      val hdr = Multimodal.decodeMeta(s, res)
+        .select(col("media_id"), col("valid").as("jfif_ok"))
+      val px2 = Multimodal.decodePixels(s, res)
+        .select(col("media_id"), col("width").as("w2"),
+          col("height").as("h2"), col("mean_r").as("r2"),
+          col("mean_g").as("g2"), col("mean_b").as("b2"),
+          col("valid").as("v2"))
+      px.join(px2, Seq("media_id")).join(hdr, Seq("media_id"))
+        .agg(count(lit(1)).as("images"),
+          count(when(col("v1") && col("v2"), 1)).as("decoded_both"),
+          count(when(col("w2") === col("w1") / 2 &&
+            col("h2") === col("h1") / 2, 1)).as("halved_ok"),
+          count(when(col("jfif_ok"), 1)).as("resized_parses_as_jpeg"),
+          count(when(abs(col("r2") - col("r1")) <= 8 &&
+            abs(col("g2") - col("g1")) <= 8 &&
+            abs(col("b2") - col("b1")) <= 8, 1)).as("means_track"))
+    },
+    Some("""SELECT CAST(3 AS BIGINT) AS images,
+      CAST(3 AS BIGINT) AS decoded_both, CAST(3 AS BIGINT) AS halved_ok,
+      CAST(3 AS BIGINT) AS resized_parses_as_jpeg,
+      CAST(3 AS BIGINT) AS means_track"""))
+
   val q39MultimodalDecode = GraftQuery(
     "q39_multimodal_decode", { (s, dir) =>
       val media = Multimodal.syntheticMediaFromDocs(Tables.load(s, dir, "documents"))
@@ -520,6 +562,7 @@ object StreamingQueries {
 
   val all: Seq[GraftQuery] = Seq(
     q37StreamTumbling, q38StreamSessions, q39MultimodalDecode,
+    q39bPixelCodecContract,
     q44StreamStaticJoin, q45StreamDedup, q46StreamState, q63StreamStreamJoin,
     q86StreamSliding, q87StreamUpsertSink, q87bStreamUpsertPartitioned,
     q87cStreamUpsertVersioned, q98StreamDecontaminate,

@@ -136,4 +136,46 @@ class MultimodalSpec extends SparkTestBase {
         col("height") =!= (col("meta.height") / 2).cast("int")).count()
     assert(bad === 0L)
   }
+
+  test("REAL pixel decode: a solid-color JPEG decodes to its fill color; resample halves dims and keeps the color") {
+    import org.apache.spark.sql.Row
+    // one solid-color image: JPEG is lossy but a uniform field survives
+    // the DCT almost exactly, so the channel means pin the whole
+    // entropy-decode path tightly
+    val (w, h, r0, g0, b0) = (64, 48, 200, 30, 60)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2d = img.createGraphics()
+    g2d.setColor(new java.awt.Color(r0, g0, b0))
+    g2d.fillRect(0, 0, w, h); g2d.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val bytes = bos.toByteArray
+    val media1 = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, bytes, Row("image", w, h, bytes.length.toLong))), 1),
+      Multimodal.mediaSchema)
+    val px = Multimodal.decodePixels(spark, media1).head()
+    assert(px.getBoolean(6), "solid JPEG must decode")
+    assert(px.getInt(1) === w && px.getInt(2) === h)
+    assert(math.abs(px.getDouble(3) - r0) <= 4, s"mean_r ${px.getDouble(3)}")
+    assert(math.abs(px.getDouble(4) - g0) <= 4, s"mean_g ${px.getDouble(4)}")
+    assert(math.abs(px.getDouble(5) - b0) <= 4, s"mean_b ${px.getDouble(5)}")
+    // real resample: half dims, color preserved, output a real JFIF
+    val res = Multimodal.resizeJpegHalf(spark, media1)
+    val px2 = Multimodal.decodePixels(spark, res).head()
+    assert(px2.getInt(1) === w / 2 && px2.getInt(2) === h / 2)
+    assert(math.abs(px2.getDouble(3) - r0) <= 6)
+    assert(math.abs(px2.getDouble(5) - b0) <= 6)
+    val hdr = Multimodal.decodeMeta(spark, res).head()
+    assert(hdr.getBoolean(4) && hdr.getInt(1) === w / 2,
+      "resized blob must parse through the independent T.81 walk")
+    // mixed corpus: the GRFT stand-in blob has no JRE reader —
+    // decodePixels marks it invalid, resizeJpegHalf falls back to the
+    // header arithmetic instead of dropping it
+    val mixed = media1.unionByName(media.limit(1))
+    assert(Multimodal.decodePixels(spark, mixed)
+      .filter(!col("valid")).count() === 1L)
+    assert(Multimodal.resizeJpegHalf(spark, mixed).count() === 2L)
+  }
 }
