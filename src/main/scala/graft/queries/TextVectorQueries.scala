@@ -1143,6 +1143,75 @@ object TextVectorQueries {
       FROM isl GROUP BY doc_id, island
       ORDER BY doc_id, span_start"""))
 
+  /** Hard-negative mining for contrastive training (oracle-checked):
+    * for each query vector, its top-20 exact neighbors split into
+    * same-label positives and different-label negatives, and the
+    * HIGHEST-ranked negative — the "hard negative" a contrastive
+    * objective trains against — is surfaced with its rank and cosine.
+    * The DuckDB oracle replays the ranking (cos desc, id asc — the
+    * q33/q114 tie discipline), the label split, and the argmin-rank
+    * selection. Scale shape: the bounded-heap top-k kernel (exchange
+    * ≤ k×partitions per query) + two label joins + one query-keyed
+    * aggregate; the query set bounds the output. */
+  val q125HardNegativeMining = GraftQuery(
+    "q125_hard_negative_mining", { (s, dir) =>
+      val e = embeds(s, dir)
+      val knn = Similarity.bruteForceTopKPartial(
+        e, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", "vec_id", "embedding", k = 20)
+      val lab = e.select(col("vec_id"), col("label"))
+      val j = knn
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("q_lab")), Seq("query_id"))
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_lab")), Seq("neighbor_id"))
+      j.groupBy(col("query_id"))
+        .agg(
+          count(when(col("q_lab") === col("n_lab"), 1)).as("n_pos"),
+          count(when(col("q_lab") =!= col("n_lab"), 1)).as("n_neg"),
+          min(when(col("q_lab") =!= col("n_lab"),
+            struct(col("rnk"), col("neighbor_id"), col("cosine")))).as("hn"))
+        .select(col("query_id"), col("n_pos"), col("n_neg"),
+          col("hn.neighbor_id").as("hard_neg_id"),
+          col("hn.rnk").as("hard_neg_rank"),
+          col("hn.cosine").as("hard_neg_cosine"))
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH knn AS (
+        SELECT query_id, neighbor_id, rnk, cos6 FROM (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+            round(list_cosine_similarity(
+              q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS cos6,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(
+                q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                n.vec_id) AS rnk
+          FROM embeddings q, embeddings n
+          WHERE q.vec_id < 50 AND n.vec_id <> q.vec_id) t
+        WHERE rnk <= 20),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      j AS (
+        SELECT k.query_id, k.neighbor_id, k.rnk, k.cos6,
+          ql.label AS q_lab, nl.label AS n_lab
+        FROM knn k
+        JOIN lab ql ON k.query_id = ql.vec_id
+        JOIN lab nl ON k.neighbor_id = nl.vec_id),
+      counts AS (
+        SELECT query_id,
+          count(CASE WHEN q_lab = n_lab THEN 1 END) AS n_pos,
+          count(CASE WHEN q_lab <> n_lab THEN 1 END) AS n_neg
+        FROM j GROUP BY query_id),
+      hsel AS (
+        SELECT query_id, neighbor_id AS hard_neg_id,
+          rnk AS hard_neg_rank, cos6 AS hard_neg_cosine,
+          row_number() OVER (PARTITION BY query_id ORDER BY rnk) AS rr
+        FROM j WHERE q_lab <> n_lab)
+      SELECT c.query_id, c.n_pos, c.n_neg, h.hard_neg_id,
+        h.hard_neg_rank, h.hard_neg_cosine
+      FROM counts c
+      LEFT JOIN (SELECT * FROM hsel WHERE rr = 1) h USING (query_id)
+      ORDER BY query_id"""))
+
   /** Semantic decontamination, exact variant (oracle-checked): every
     * corpus vector within cosine 0.45 of ANY benchmark vector (the
     * vec_id % 20 slice stands in for an eval set) is flagged, with its
@@ -2904,7 +2973,7 @@ object TextVectorQueries {
     q104DuplicatedSpans, q104bDuplicatedSpansWinnowed,
     q104cWinnowSpanContract,
     q124SemanticDecontaminate, q124bSemanticDecontaminateBlocked,
-    q124cDecontaminateSubsetContract,
+    q124cDecontaminateSubsetContract, q125HardNegativeMining,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained,
     q65bIvfTrainedContract, q69TfidfRerank,
     q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf,
