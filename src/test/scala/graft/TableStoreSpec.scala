@@ -912,4 +912,46 @@ class TableStoreSpec extends SparkTestBase {
       assert(refreshed.filter(col("g") === "n").head().isNullAt(2))
     } finally dropVersioned(table)
   }
+
+  test("Delta export: log actions cover every data file exactly, schema round-trips, add-listed scan reproduces the data") {
+    import graft.core.DeltaExport
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+      .repartition(4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_export").toString
+    val nAdds = DeltaExport.writeDeltaTable(spark, d, dir)
+    val (protocol, meta, adds) = DeltaExport.readDeltaLog(dir)
+    // one protocol action with the minimal append-table versions
+    assert(protocol === Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""))
+    assert(meta.size === 1)
+    // every parquet data file has exactly one add with the true size
+    val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val diskFiles =
+      try {
+        val b = Seq.newBuilder[(String, Long)]
+        val it = onDisk.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.endsWith(".parquet") && !n.startsWith("."))
+            b += ((n, java.nio.file.Files.size(p)))
+        }
+        b.result().sortBy(_._1)
+      } finally onDisk.close()
+    assert(adds.sortBy(_._1) === diskFiles)
+    assert(nAdds === diskFiles.size && nAdds >= 4)
+    // schemaString is the Spark StructType JSON — parse it back
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(DeltaExport.schemaStringOf(meta.head))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema === d.schema)
+    // scanning exactly the add-listed files reproduces the dataset
+    val back = spark.read.schema(schema)
+      .parquet(adds.map(a => s"$dir/${a._1}"): _*)
+    assert(back.exceptAll(d).count() === 0L)
+    assert(d.exceptAll(back).count() === 0L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
