@@ -1212,6 +1212,136 @@ object TextVectorQueries {
       LEFT JOIN (SELECT * FROM hsel WHERE rr = 1) h USING (query_id)
       ORDER BY query_id"""))
 
+  /** Retrieval-quality EVAL metrics (oracle-checked): MRR and
+    * recall@10 of the exact cosine ranking against label relevance
+    * (same label = relevant) — the evaluation harness a retrieval /
+    * embedding pipeline runs on every index or model change. Per-query
+    * metrics are computed in exact integer micros (round(1e6·x) per
+    * query, summed as longs, divided once) so the averages are one
+    * identical-operand IEEE division in both engines — the q113
+    * discipline. One bounded top-k pass + a label-count broadcast. */
+  val q126RetrievalMetrics = GraftQuery(
+    "q126_retrieval_metrics", { (s, dir) =>
+      val e = embeds(s, dir)
+      val queries = e.filter(col("vec_id") < 50)
+      val knn = Similarity.bruteForceTopKPartial(
+        e, queries, "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      val lab = e.select(col("vec_id"), col("label"))
+      val labTotals = lab.groupBy(col("label")).agg(count(lit(1)).as("n_lab"))
+      val j = knn
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("q_lab")), Seq("query_id"))
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_lab2")), Seq("neighbor_id"))
+        .withColumn("rel", col("q_lab") === col("n_lab2"))
+      val perQuery = j.groupBy(col("query_id"), col("q_lab"))
+        .agg(
+          count(when(col("rel"), 1)).as("hits"),
+          min(when(col("rel"), col("rnk"))).as("first_rel_rank"))
+        .join(broadcast(labTotals.withColumnRenamed("label", "q_lab")),
+          Seq("q_lab"))
+        // relevant pool excludes the query itself; recall denominator is
+        // what COULD appear in the top-10
+        .withColumn("denom", least(lit(10L), col("n_lab") - 1))
+        .withColumn("rr_micro", coalesce(
+          round(lit(1000000.0) / col("first_rel_rank")).cast("long"), lit(0L)))
+        .withColumn("rec_micro", when(col("denom") > 0,
+          round(col("hits") * lit(1000000.0) / col("denom")).cast("long"))
+          .otherwise(lit(0L)))
+      perQuery.agg(
+        count(lit(1)).as("n_queries"),
+        round(sum(col("rr_micro")) / (count(lit(1)) * lit(1e6)), 4)
+          .as("mrr"),
+        round(sum(col("rec_micro")) / (count(lit(1)) * lit(1e6)), 4)
+          .as("recall_at_10"))
+    },
+    Some("""WITH knn AS (
+        SELECT query_id, neighbor_id, rnk FROM (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(
+                q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                n.vec_id) AS rnk
+          FROM embeddings q, embeddings n
+          WHERE q.vec_id < 50 AND n.vec_id <> q.vec_id) t
+        WHERE rnk <= 10),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      tot AS (SELECT label, count(*) AS n_lab FROM lab GROUP BY label),
+      j AS (
+        SELECT k.query_id, k.rnk, ql.label AS q_lab,
+          (ql.label = nl.label) AS rel
+        FROM knn k
+        JOIN lab ql ON k.query_id = ql.vec_id
+        JOIN lab nl ON k.neighbor_id = nl.vec_id),
+      pq AS (
+        SELECT j.query_id,
+          count(CASE WHEN j.rel THEN 1 END) AS hits,
+          min(CASE WHEN j.rel THEN j.rnk END) AS first_rel_rank,
+          least(10, first(t.n_lab) - 1) AS denom
+        FROM j JOIN tot t ON j.q_lab = t.label
+        GROUP BY j.query_id),
+      m AS (
+        SELECT query_id,
+          coalesce(CAST(round(1000000.0 / first_rel_rank) AS BIGINT), 0)
+            AS rr_micro,
+          CASE WHEN denom > 0
+            THEN CAST(round(hits * 1000000.0 / denom) AS BIGINT)
+            ELSE 0 END AS rec_micro
+        FROM pq)
+      SELECT count(*) AS n_queries,
+        round(sum(rr_micro) / (count(*) * 1e6), 4) AS mrr,
+        round(sum(rec_micro) / (count(*) * 1e6), 4) AS recall_at_10
+      FROM m"""))
+
+  /** Label-noise candidates, confident-learning style (oracle-checked):
+    * the documents whose trained-NB prediction most confidently
+    * disagrees with their weak label — the review queue a labeling
+    * pipeline surfaces for human audit. Pure composition of the q112
+    * fit; deterministic order on (rounded |score| desc, doc_id). */
+  val q127LabelNoiseCandidates = GraftQuery(
+    "q127_label_noise_candidates", { (s, dir) =>
+      import graft.ops.Classifier
+      val labeled = docs(s, dir).withColumn("y",
+        TextAnalysis.qualityScore(col("text")) >= 0.88)
+      Classifier.nbScores(labeled, "doc_id", "text", "y")
+        .filter((col("score") > 0) =!= col("y"))
+        .select(col("doc_id"), col("y"),
+          round(col("score"), 6).as("score_r6"),
+          round(abs(col("score")), 6).as("conf_r6"))
+        .orderBy(col("conf_r6").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""WITH scored AS (${TextVectorQueries.qualityScoredDocsSql}),
+      lab AS (SELECT doc_id, text, (q >= 0.88) AS y FROM scored),
+      tok AS (SELECT doc_id, y,
+          unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> len(x) > 0)) AS token
+        FROM lab),
+      tc AS (SELECT token,
+          count(CASE WHEN y THEN 1 END) AS hi,
+          count(CASE WHEN NOT y THEN 1 END) AS lo
+        FROM tok GROUP BY token),
+      nbtot AS (SELECT sum(hi) AS tot_hi, sum(lo) AS tot_lo, count(*) AS vv
+        FROM tc),
+      wt AS (SELECT token,
+          ln((hi + 1.0) / (tot_hi + vv)) - ln((lo + 1.0) / (tot_lo + vv)) AS w
+        FROM tc, nbtot),
+      pri AS (SELECT
+          ln((count(CASE WHEN y THEN 1 END) + 1.0) / (count(*) + 2.0)) -
+          ln((count(CASE WHEN NOT y THEN 1 END) + 1.0) / (count(*) + 2.0))
+            AS bias
+        FROM lab),
+      dt AS (SELECT doc_id, token, count(*) AS c
+        FROM tok GROUP BY doc_id, token),
+      ds AS (SELECT doc_id, sum(c * w) AS s
+        FROM dt JOIN wt USING (token) GROUP BY doc_id),
+      sc AS (SELECT l.doc_id, l.y, coalesce(ds.s, 0) + pri.bias AS score
+        FROM lab l LEFT JOIN ds ON l.doc_id = ds.doc_id, pri)
+      SELECT doc_id, y, round(score, 6) AS score_r6,
+        round(abs(score), 6) AS conf_r6
+      FROM sc WHERE (score > 0) <> y
+      ORDER BY conf_r6 DESC, doc_id LIMIT 20"""))
+
   /** Semantic decontamination, exact variant (oracle-checked): every
     * corpus vector within cosine 0.45 of ANY benchmark vector (the
     * vec_id % 20 slice stands in for an eval set) is flagged, with its
@@ -2974,6 +3104,7 @@ object TextVectorQueries {
     q104cWinnowSpanContract,
     q124SemanticDecontaminate, q124bSemanticDecontaminateBlocked,
     q124cDecontaminateSubsetContract, q125HardNegativeMining,
+    q126RetrievalMetrics, q127LabelNoiseCandidates,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained,
     q65bIvfTrainedContract, q69TfidfRerank,
     q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf,
