@@ -924,8 +924,17 @@ object CurationQueries {
         .filter(((pmod(col("doc_id"), lit(2147483648L)) *
           ((lit(2654435761L) * col("epoch")) % 4294967296L)) % 4294967296L)
           % 100 < col("keep_pct"))
-      // stage 5 — q111: sharded manifest; epoch 3 through REAL files
-      val planEpochs = kept.filter(col("epoch") =!= 3)
+      // stage 5 — q111: sharded manifest; epoch 3 through REAL files.
+      // `kept` feeds THREE consumers (per-epoch totals, the in-plan
+      // manifests, and the epoch-3 file write) — without a snapshot the
+      // whole upstream (perplexity model + NB fit + mixing) re-executes
+      // per consumer. localCheckpoint materializes the epoch-tagged
+      // survivors once (bounded: ≤ 3× the mixed survivor count); a
+      // cluster deployment would persist this boundary to storage.
+      val keptSnap = kept
+        .select(col("doc_id"), col("source"), col("text"), col("epoch"))
+        .localCheckpoint(eager = true)
+      val planEpochs = keptSnap.filter(col("epoch") =!= 3)
       val ks = planEpochs.groupBy(col("epoch"))
         .agg(greatest(lit(1L),
           ceil(sum(length(col("text"))) / 16384.0).cast("long")).as("k"))
@@ -934,7 +943,7 @@ object CurationQueries {
           hashBucketN(col("doc_id"), 2654435761L, col("k")).cast("int"))
         .groupBy(col("epoch"), col("shard"))
         .agg(count(lit(1)).as("docs"), sum(length(col("text"))).as("chars"))
-      val e3 = kept.filter(col("epoch") === 3)
+      val e3 = keptSnap.filter(col("epoch") === 3)
         .select(col("doc_id"), col("text"), col("source"))
       val out = graft.ops.Export.shardedJsonl(e3, "doc_id", "text",
         Seq("doc_id", "text", "source"), targetChars = 16384L)
