@@ -1043,11 +1043,80 @@ object CurationQueries {
       FROM kept JOIN ks USING (epoch)
       GROUP BY kept.epoch, shard ORDER BY epoch, shard"""))
 
+  /** Length-bucketed batching (oracle-checked): fixed-size batches of
+    * 32 documents drawn in token-length order vs in corpus (doc_id)
+    * order, with the padding waste each policy pays — every batch pads
+    * to its longest member, so length-sorted batching is the standard
+    * trick that cuts padded-token waste in training and inference.
+    * The row quantifies the win per language: waste_sorted ≪
+    * waste_corpus on any length-diverse corpus.
+    *
+    * Scale note: both batch assignments here are exact rank windows
+    * per language — the oracle anchor, same posture as q108's tercile
+    * anchor. The 100 TB path buckets by LENGTH RANGE (a narrow
+    * projection, q108b-style broadcast thresholds) and batches within
+    * buckets; the waste accounting is unchanged. */
+  val q128LengthBucketedBatching = GraftQuery(
+    "q128_length_bucketed_batching", { (s, dir) =>
+      val b = 32
+      val d = docs(s, dir).select(col("lang"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+      val wSorted = Window.partitionBy(col("lang"))
+        .orderBy(col("ntok"), col("doc_id"))
+      val wCorpus = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val assigned = d
+        .withColumn("batch_sorted",
+          floor((row_number().over(wSorted) - 1) / b).cast("long"))
+        .withColumn("batch_corpus",
+          floor((row_number().over(wCorpus) - 1) / b).cast("long"))
+      val sortedWaste = assigned.groupBy(col("lang"), col("batch_sorted"))
+        .agg((max(col("ntok")) * count(lit(1)) - sum(col("ntok")))
+          .as("waste"))
+        .groupBy(col("lang")).agg(sum(col("waste")).as("waste_sorted"))
+      val corpusWaste = assigned.groupBy(col("lang"), col("batch_corpus"))
+        .agg((max(col("ntok")) * count(lit(1)) - sum(col("ntok")))
+          .as("waste"))
+        .groupBy(col("lang")).agg(sum(col("waste")).as("waste_corpus"))
+      val totals = d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("ntok")).as("tokens"))
+      totals.join(sortedWaste, Seq("lang")).join(corpusWaste, Seq("lang"))
+        .withColumn("waste_ratio_pct", round(
+          col("waste_sorted") * 100.0 /
+            greatest(col("waste_corpus"), lit(1L)), 2))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH d AS (
+        SELECT lang, doc_id,
+          CAST(len(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS ntok
+        FROM documents),
+      a AS (
+        SELECT lang, ntok,
+          CAST(floor((row_number() OVER (PARTITION BY lang
+            ORDER BY ntok, doc_id) - 1) / 32) AS BIGINT) AS batch_sorted,
+          CAST(floor((row_number() OVER (PARTITION BY lang
+            ORDER BY doc_id) - 1) / 32) AS BIGINT) AS batch_corpus
+        FROM d),
+      ws AS (SELECT lang, CAST(sum(w) AS BIGINT) AS waste_sorted FROM (
+          SELECT lang, max(ntok) * count(*) - sum(ntok) AS w
+          FROM a GROUP BY lang, batch_sorted) t GROUP BY lang),
+      wc AS (SELECT lang, CAST(sum(w) AS BIGINT) AS waste_corpus FROM (
+          SELECT lang, max(ntok) * count(*) - sum(ntok) AS w
+          FROM a GROUP BY lang, batch_corpus) t GROUP BY lang),
+      tot AS (SELECT lang, count(*) AS docs, CAST(sum(ntok) AS BIGINT)
+          AS tokens FROM d GROUP BY lang)
+      SELECT t.lang, t.docs, t.tokens, ws.waste_sorted, wc.waste_corpus,
+        round(ws.waste_sorted * 100.0 / greatest(wc.waste_corpus, 1), 2)
+          AS waste_ratio_pct
+      FROM tot t JOIN ws USING (lang) JOIN wc USING (lang)
+      ORDER BY lang"""))
+
   val all: Seq[GraftQuery] = Seq(
     q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
     q60RepetitionFilters, q61PiiRedaction, q62CurationPipeline,
     q70IncrementalDedup, q90ChunkingStride, q91BloomScreen,
     q93Decontaminate, q94EpochShuffle, q99ContaminationScore,
     q110TemperatureMixing, q111ShardExport, q113ProvenanceAudit,
-    q116StratifiedSample, q122CurationPipeline)
+    q116StratifiedSample, q122CurationPipeline,
+    q128LengthBucketedBatching)
 }
