@@ -467,17 +467,29 @@ object TextAnalysis {
   def bpeEncodeSymbols(words: DataFrame, wordCol: String, countCol: String,
       rounds: Int): DataFrame = {
     val state = bpeCore(words, wordCol, countCol, rounds)._1
+      .select(col("n"), col("st"))
     state.select(col("n"),
         explode(filter(split(col("st"), "\u001f"), x => length(x) > 0))
           .as("symbol"))
       .groupBy(col("symbol")).agg(sum(col("n")).as("occurrences"))
   }
 
+  /** Per-word segment counts at the trained state — the doc-level
+    * application surface: join a token stream on `w` to price every
+    * document in trained subword units (q119d). Returns (w, n_seg). */
+  def bpeWordSegments(words: DataFrame, wordCol: String, countCol: String,
+      rounds: Int): DataFrame = {
+    val state = bpeCore(words, wordCol, countCol, rounds)._1
+    state.select(col("w"),
+      size(filter(split(col("st"), "\u001f"), x => length(x) > 0))
+        .cast("long").as("n_seg"))
+  }
+
   private def bpeCore(words: DataFrame, wordCol: String, countCol: String,
       rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
     val sep = "\u001f"
-    var state = words.select(col(countCol).as("n"),
+    var state = words.select(col(wordCol).as("w"), col(countCol).as("n"),
       regexp_replace(col(wordCol), "(.)", sep + "$1").as("st"))
     val merges = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
@@ -503,7 +515,7 @@ object TextAnalysis {
         .withColumn("st", when(col("a").isNotNull, expr(
           s"replace(st, concat(char(31), a, char(31), b), concat(char(31), a, b))"))
           .otherwise(col("st")))
-        .select(col("n"), col("st"))
+        .select(col("w"), col("n"), col("st"))
         .localCheckpoint(eager = false)
     }
     (state, merges.result().reduce(_ unionByName _).orderBy(col("round")))

@@ -2202,6 +2202,81 @@ object TextVectorQueries {
       FROM syms GROUP BY symbol
       ORDER BY occurrences DESC, symbol LIMIT 20"""))
 
+  /** Doc-level BPE application (oracle-checked): price every DOCUMENT
+    * in trained subword units — the token-accounting step a training
+    * pipeline runs after tokenizer training, because budgets, packing
+    * and billing all count subwords, not words. The per-word segment
+    * counts from the trained state join the token stream (one
+    * vocabulary-sized dimension join), then per-source totals and the
+    * compression ratio (subwords per word, one identical-operand
+    * division of exact longs). The oracle extends the q119b chain with
+    * the segmentation join. */
+  val q119dBpeDocPricing = GraftQuery(
+    "q119d_bpe_doc_pricing", { (s, dir) =>
+      val d = docs(s, dir)
+      val words = d
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val seg = TextAnalysis.bpeWordSegments(words, "w", "n", rounds = 3)
+      val toks = d.select(col("source"), col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      toks.join(seg, Seq("w"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("docs"),
+          count(lit(1)).as("words"),
+          sum(col("n_seg")).as("subwords"))
+        .withColumn("subwords_per_word",
+          round(col("subwords") / col("words").cast("double"), 4))
+        .orderBy(col("source"))
+    },
+    Some("""WITH words AS (
+        SELECT w, count(*) AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS w
+          FROM documents) t
+        GROUP BY w),
+      w0 AS (SELECT w, regexp_replace(w, '(.)', chr(31) || '\1', 'g') AS st,
+          n FROM words),
+      p1 AS (SELECT s[i] AS a, s[i+1] AS b, sum(n) AS c FROM (
+          SELECT list_filter(string_split(st, chr(31)), x -> len(x) > 0) AS s,
+            n FROM w0) t,
+          UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY a, b),
+      b1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+      w1 AS (SELECT w, replace(st, chr(31) || a || chr(31) || b,
+          chr(31) || a || b) AS st, n FROM w0, b1),
+      p2 AS (SELECT s[i] AS a, s[i+1] AS b, sum(n) AS c FROM (
+          SELECT list_filter(string_split(st, chr(31)), x -> len(x) > 0) AS s,
+            n FROM w1) t,
+          UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY a, b),
+      b2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+      w2 AS (SELECT w, replace(st, chr(31) || a || chr(31) || b,
+          chr(31) || a || b) AS st, n FROM w1, b2),
+      p3 AS (SELECT s[i] AS a, s[i+1] AS b, sum(n) AS c FROM (
+          SELECT list_filter(string_split(st, chr(31)), x -> len(x) > 0) AS s,
+            n FROM w2) t,
+          UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY a, b),
+      b3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1),
+      w3 AS (SELECT w, replace(st, chr(31) || a || chr(31) || b,
+          chr(31) || a || b) AS st FROM w2, b3),
+      seg AS (SELECT w,
+          CAST(len(list_filter(string_split(st, chr(31)),
+            x -> len(x) > 0)) AS BIGINT) AS n_seg
+        FROM w3),
+      toks AS (
+        SELECT source, doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> len(x) > 0)) AS w
+        FROM documents)
+      SELECT t.source, count(DISTINCT t.doc_id) AS docs,
+        count(*) AS words, CAST(sum(s.n_seg) AS BIGINT) AS subwords,
+        round(sum(s.n_seg) / CAST(count(*) AS DOUBLE), 4)
+          AS subwords_per_word
+      FROM toks t JOIN seg s USING (w)
+      GROUP BY t.source ORDER BY t.source"""))
+
   /** Per-source token-distribution drift vs the whole corpus —
     * smoothed KL(source ‖ corpus) over the full vocabulary, the
     * distribution-shift monitor a pipeline runs per ingest batch or
@@ -3117,7 +3192,7 @@ object TextVectorQueries {
     q123QuantileSketch, q123bSketchMergeContract, q117RandomProjection,
     q118SourceOverlap, q118bSourceOverlapMinhashContract,
     q119BpePairCounts, q119bBpeTrainMerges, q119cBpeEncode,
-    q120SourceDrift,
+    q119dBpeDocPricing, q120SourceDrift,
     q34cAnnLshProjected,
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
     q107DiversitySample, q107bDiversityContract)
