@@ -1415,6 +1415,125 @@ object TextVectorQueries {
     },
     Some("SELECT CAST(NULL AS BIGINT) AS id WHERE 1 = 0"))
 
+  /** Vector-family END-TO-END composition (oracle-checked, the q122
+    * pattern for the embedding wave): semantic dedup of the working
+    * corpus (q101's exact min-id rule) → semantic decontamination of
+    * the survivors against the benchmark slice (q124) → retrieval-
+    * quality eval on the CLEAN corpus (q126's MRR/recall@10 in integer
+    * micros). One row carries the funnel counts and the final metrics;
+    * the DuckDB oracle replays the whole chain — both EXISTS screens
+    * at the family's 6-decimal rounding, then the ranking and metric
+    * arithmetic — so the operators are verified COMPOSED, not just
+    * alone. */
+  val q129VectorPipeline = GraftQuery(
+    "q129_vector_pipeline", { (s, dir) =>
+      val e = embeds(s, dir)
+      val bench = e.filter(col("vec_id") % 20 === 0)
+      val work = e.filter(col("vec_id") % 20 =!= 0)
+      val kept = work.join(
+        Dedup.semanticDedup(work, "embedding", "vec_id", 0.45)
+          .filter(col("kept")).select(col("id")),
+        work("vec_id") === col("id"))
+        .select(work.columns.map(work(_)).toIndexedSeq: _*)
+      val cleanIds = Dedup.semanticDecontaminate(
+          kept, bench, "embedding", "vec_id", 0.45)
+        .filter(!col("contaminated")).select(col("id"))
+      val clean = kept
+        .join(cleanIds, kept("vec_id") === cleanIds("id"), "left_semi")
+        .localCheckpoint(eager = true)
+      val knn = Similarity.bruteForceTopKPartial(
+        clean, clean.filter(col("vec_id") < 100),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      val lab = clean.select(col("vec_id"), col("label"))
+      val labTotals = lab.groupBy(col("label")).agg(count(lit(1)).as("n_lab"))
+      val j = knn
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("q_lab")), Seq("query_id"))
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_lab2")), Seq("neighbor_id"))
+        .withColumn("rel", col("q_lab") === col("n_lab2"))
+      val perQuery = j.groupBy(col("query_id"), col("q_lab"))
+        .agg(count(when(col("rel"), 1)).as("hits"),
+          min(when(col("rel"), col("rnk"))).as("first_rel_rank"))
+        .join(broadcast(labTotals.withColumnRenamed("label", "q_lab")),
+          Seq("q_lab"))
+        .withColumn("denom", least(lit(10L), col("n_lab") - 1))
+        .withColumn("rr_micro", coalesce(
+          round(lit(1000000.0) / col("first_rel_rank")).cast("long"),
+          lit(0L)))
+        .withColumn("rec_micro", when(col("denom") > 0,
+          round(col("hits") * lit(1000000.0) / col("denom")).cast("long"))
+          .otherwise(lit(0L)))
+      val metrics = perQuery.agg(
+        count(lit(1)).as("n_queries"),
+        round(sum(col("rr_micro")) / (count(lit(1)) * lit(1e6)), 4)
+          .as("mrr"),
+        round(sum(col("rec_micro")) / (count(lit(1)) * lit(1e6)), 4)
+          .as("recall_at_10"))
+      metrics
+        .crossJoin(work.agg(count(lit(1)).as("n_working")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+        .select(col("n_working"), col("n_kept"), col("n_clean"),
+          col("n_queries"), col("mrr"), col("recall_at_10"))
+    },
+    Some("""WITH bench AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id % 20 = 0),
+      work AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id % 20 <> 0),
+      kept AS (
+        SELECT a.* FROM work a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM work b WHERE b.vec_id < a.vec_id
+            AND round(list_cosine_similarity(
+              a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45)),
+      clean AS (
+        SELECT k.* FROM kept k
+        WHERE NOT EXISTS (
+          SELECT 1 FROM bench b
+          WHERE round(list_cosine_similarity(
+            k.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45)),
+      knn AS (SELECT query_id, neighbor_id, rnk FROM (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(
+                q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                n.vec_id) AS rnk
+          FROM clean q, clean n
+          WHERE q.vec_id < 100 AND n.vec_id <> q.vec_id) t
+        WHERE rnk <= 10),
+      tot AS (SELECT label, count(*) AS n_lab FROM clean GROUP BY label),
+      j AS (
+        SELECT k.query_id, k.rnk, ql.label AS q_lab,
+          (ql.label = nl.label) AS rel
+        FROM knn k
+        JOIN clean ql ON k.query_id = ql.vec_id
+        JOIN clean nl ON k.neighbor_id = nl.vec_id),
+      pq AS (
+        SELECT j.query_id,
+          count(CASE WHEN j.rel THEN 1 END) AS hits,
+          min(CASE WHEN j.rel THEN j.rnk END) AS first_rel_rank,
+          least(10, first(t.n_lab) - 1) AS denom
+        FROM j JOIN tot t ON j.q_lab = t.label
+        GROUP BY j.query_id),
+      m AS (
+        SELECT query_id,
+          coalesce(CAST(round(1000000.0 / first_rel_rank) AS BIGINT), 0)
+            AS rr_micro,
+          CASE WHEN denom > 0
+            THEN CAST(round(hits * 1000000.0 / denom) AS BIGINT)
+            ELSE 0 END AS rec_micro
+        FROM pq)
+      SELECT (SELECT count(*) FROM work) AS n_working,
+        (SELECT count(*) FROM kept) AS n_kept,
+        (SELECT count(*) FROM clean) AS n_clean,
+        count(*) AS n_queries,
+        round(sum(rr_micro) / (count(*) * 1e6), 4) AS mrr,
+        round(sum(rec_micro) / (count(*) * 1e6), 4) AS recall_at_10
+      FROM m"""))
+
   /** Winnowed duplicated-spans (rows-only): the scale path of q104 —
     * only the MOSS-selected fingerprints shuffle (≈ 2/(w+1) of gram
     * positions), with the winnowing guarantee ensuring every repeat of
@@ -3179,7 +3298,7 @@ object TextVectorQueries {
     q104cWinnowSpanContract,
     q124SemanticDecontaminate, q124bSemanticDecontaminateBlocked,
     q124cDecontaminateSubsetContract, q125HardNegativeMining,
-    q126RetrievalMetrics, q127LabelNoiseCandidates,
+    q126RetrievalMetrics, q127LabelNoiseCandidates, q129VectorPipeline,
     q51DedupClusters, q64QuantizeInt8, q65AnnIvfTrained,
     q65bIvfTrainedContract, q69TfidfRerank,
     q73PageRank, q89UnigramLogprob, q100RecursiveClosure, q105HybridRrf,
