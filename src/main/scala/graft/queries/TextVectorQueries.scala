@@ -1585,6 +1585,96 @@ object TextVectorQueries {
     Some("""SELECT CAST(NULL AS BIGINT) AS doc_id,
       CAST(NULL AS INT) AS start WHERE 1 = 0"""))
 
+  /** Normalization idempotence contract (oracle-checked, q101d
+    * pattern): the text normalization behind the q20/q62 exact-dedup
+    * keys must be IDEMPOTENT — normalize(normalize(x)) = normalize(x)
+    * for every document — or keys drift between a raw-input pass and a
+    * re-curation pass over already-normalized text, silently splitting
+    * dup groups. Violations (with both hash values for drill-down) vs
+    * the empty relation. One narrow projection, no shuffle. */
+  val q62bNormalizeIdempotentContract = GraftQuery(
+    "q62b_normalize_idempotent_contract", { (s, dir) =>
+      val once = Dedup.normalizeText(col("text"))
+      val twice = Dedup.normalizeText(Dedup.normalizeText(col("text")))
+      docs(s, dir)
+        .select(col("doc_id"), xxhash64(once).as("h_once"),
+          xxhash64(twice).as("h_twice"))
+        .filter(col("h_once") =!= col("h_twice"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT CAST(NULL AS BIGINT) AS doc_id,
+      CAST(NULL AS BIGINT) AS h_once, CAST(NULL AS BIGINT) AS h_twice
+      WHERE 1 = 0"""))
+
+  /** Duplicated-span BURDEN per source (oracle-checked): how much of
+    * each source's token mass sits inside Lee-style duplicated spans —
+    * the per-source accounting that tells a curation run WHERE the
+    * boilerplate lives before any scrubbing decision. Composes q104's
+    * span derivation with a doc join; the oracle replays the whole
+    * chain (gram counts, islands, the join, the ratio). */
+  val q104dSpanBurden = GraftQuery(
+    "q104d_span_burden", { (s, dir) =>
+      val d = docs(s, dir)
+      val spans = Dedup.duplicatedSpans(d, "text", "doc_id", n = 5)
+      val perDoc = spans.groupBy(col("doc_id"))
+        .agg(sum(col("span_tokens")).as("span_toks"),
+          count(lit(1)).as("n_spans"))
+      d.select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          count(col("span_toks")).as("docs_with_spans"),
+          sum(col("ntok")).as("tokens"),
+          coalesce(sum(col("span_toks")), lit(0L)).as("span_tokens"),
+          coalesce(sum(col("n_spans")), lit(0L)).as("spans"))
+        .withColumn("burden_pct", round(
+          col("span_tokens") * 100.0 / greatest(col("tokens"), lit(1L)), 2))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      grams AS (
+        SELECT doc_id, i AS start,
+          array_to_string(list_slice(t, i, i + 4), ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        WHERE len(t) >= 5),
+      counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+      dup AS (
+        SELECT doc_id, start FROM grams JOIN counts USING (g) WHERE c >= 2),
+      marked AS (
+        SELECT doc_id, start,
+          CASE WHEN start - lag(start) OVER (PARTITION BY doc_id
+            ORDER BY start) > 5 THEN 1 ELSE 0 END AS ni
+        FROM dup),
+      isl AS (
+        SELECT doc_id, start, sum(ni) OVER (PARTITION BY doc_id
+          ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked),
+      spans AS (
+        SELECT doc_id,
+          max(start) + 4 - min(start) + 1 AS span_tokens
+        FROM isl GROUP BY doc_id, island),
+      per_doc AS (
+        SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS span_toks,
+          count(*) AS n_spans
+        FROM spans GROUP BY doc_id),
+      base AS (
+        SELECT d.source, d.doc_id, CAST(len(t.t) AS BIGINT) AS ntok,
+          p.span_toks, p.n_spans
+        FROM documents d JOIN toks t USING (doc_id)
+        LEFT JOIN per_doc p USING (doc_id))
+      SELECT source, count(*) AS docs,
+        count(span_toks) AS docs_with_spans,
+        CAST(sum(ntok) AS BIGINT) AS tokens,
+        CAST(coalesce(sum(span_toks), 0) AS BIGINT) AS span_tokens,
+        CAST(coalesce(sum(n_spans), 0) AS BIGINT) AS spans,
+        round(coalesce(sum(span_toks), 0) * 100.0 /
+          greatest(sum(ntok), 1), 2) AS burden_pct
+      FROM base GROUP BY source ORDER BY source"""))
+
   /** Transitive dedup clustering over the doubled corpus, fully
     * oracle-checked: shared-shingle candidate edges (≥ 10 common 3-gram
     * shingles, stop-shingle guard at df ≤ 1000) → connected components
@@ -3295,7 +3385,7 @@ object TextVectorQueries {
     q101dSemanticSubsetContract, q101eSemanticDedupIncremental,
     q101fSemanticDedupIncrementalBlocked, q101hIncrSubsetContract,
     q104DuplicatedSpans, q104bDuplicatedSpansWinnowed,
-    q104cWinnowSpanContract,
+    q104cWinnowSpanContract, q104dSpanBurden, q62bNormalizeIdempotentContract,
     q124SemanticDecontaminate, q124bSemanticDecontaminateBlocked,
     q124cDecontaminateSubsetContract, q125HardNegativeMining,
     q126RetrievalMetrics, q127LabelNoiseCandidates, q129VectorPipeline,
