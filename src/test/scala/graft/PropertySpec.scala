@@ -205,4 +205,65 @@ class PropertySpec extends SparkTestBase {
     // the key must actually vary — a constant key would "pass" above
     assert(keyed.select(countDistinct(col("__z"))).head().getLong(0) > 50L)
   }
+
+  test("property: winnowing guarantee holds on random token sequences (coverage, membership, minimality)") {
+    // randomized mirror of the q29b contract: small alphabet forces
+    // heavy hash ties and repeats — the adversarial regime for
+    // window-coverage bugs
+    val k = 3; val w = 4
+    val tokGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, tokGen))
+    val docs = draw(Gen.listOfN(200, docGen)).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("g",
+        TextAnalysis.gramHashSeq(TextAnalysis.tokens(col("text")), k))
+      .withColumn("sel", TextAnalysis.winnowFingerprints(col("text"), k, w))
+    val m = size(col("g"))
+    val coverage = when(m >= w,
+      exists(sequence(lit(1), m - (w - 1)),
+        j => !exists(col("sel"),
+          s0 => s0.getField("pos") >= j && s0.getField("pos") <= j + (w - 1))))
+      .otherwise(m > 0 && size(col("sel")) === 0)
+    val phantom = exists(col("sel"),
+      s0 => element_at(col("g"), s0.getField("pos")) =!= s0.getField("h"))
+    val bad = df.filter(coalesce(coverage, lit(false)) ||
+      coalesce(phantom, lit(false))).count()
+    assert(bad === 0L, "winnowing violated on a random sequence")
+    // empty docs stay total
+    assert(df.filter(m === 0 && size(col("sel")) =!= 0).count() === 0L)
+  }
+
+  test("property: bottom-k sketch merge equals from-scratch on random groups and splits") {
+    val rowGen = for {
+      g <- Gen.oneOf("s1", "s2", "s3")
+      id <- Gen.choose(0L, 5000L)
+      v <- Gen.choose(1L, 500L)
+    } yield (g, id, v)
+    val rows = draw(Gen.listOfN(600, rowGen))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (g, id)
+    val df = rows.toDF("g0", "id0", "v0")
+    val k = 16
+    val full = graft.ops.Quantiles.bottomKSketch(df, "g0", "id0", "v0", k)
+    // random 4-way split by id hash — merge must be bit-identical
+    val shards = (0 until 4).map(i =>
+      graft.ops.Quantiles.bottomKSketch(
+        df.filter(pmod(col("id0"), lit(4)) === i), "g0", "id0", "v0", k))
+    val merged = graft.ops.Quantiles.mergeSketches(shards, k)
+    assert(merged.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(merged).count() === 0L)
+    // the sketch is the TRUE bottom-k: no excluded row hashes below the
+    // per-group k-th selected hash
+    val kth = full.groupBy(col("g")).agg(max(col("hkey")).as("kth"),
+      count(lit(1)).as("m"))
+    val hashed = df.select(col("g0").as("g"), col("id0").as("id"),
+      (((pmod(col("id0"), lit(2147483648L)) * (2246822519L % 4294967296L))
+        % 4294967296L) % 1000000L).as("hk"))
+    val excluded = hashed.join(full.select(col("g"), col("id")),
+        Seq("g", "id"), "left_anti")
+      .join(kth, Seq("g"))
+      .filter(col("m") >= k && col("hk") < col("kth"))
+    assert(excluded.count() === 0L,
+      "an excluded row hashes below the k-th selected — not a true bottom-k")
+  }
 }
