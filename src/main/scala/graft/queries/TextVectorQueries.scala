@@ -1430,11 +1430,15 @@ object TextVectorQueries {
       val e = embeds(s, dir)
       val bench = e.filter(col("vec_id") % 20 === 0)
       val work = e.filter(col("vec_id") % 20 =!= 0)
+      // the q122 lesson applied: `kept` feeds the clean chain AND the
+      // funnel count — snapshot it once or the O(n²) dedup re-executes
+      // per consumer
       val kept = work.join(
         Dedup.semanticDedup(work, "embedding", "vec_id", 0.45)
           .filter(col("kept")).select(col("id")),
         work("vec_id") === col("id"))
         .select(work.columns.map(work(_)).toIndexedSeq: _*)
+        .localCheckpoint(eager = true)
       val cleanIds = Dedup.semanticDecontaminate(
           kept, bench, "embedding", "vec_id", 0.45)
         .filter(!col("contaminated")).select(col("id"))
