@@ -553,6 +553,30 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("round-13 windowed queries plan only PARTITIONED or limit-bounded windows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    // q128's batch windows partition by lang, q123's by sketch group,
+    // q125/q126/q129 ride the bounded-heap kernel (no window at all on
+    // the corpus side) — no query in the round-13 wave may plan an
+    // un-partitioned window over an unbounded input
+    for (q <- Seq(graft.queries.CurationQueries.q128LengthBucketedBatching,
+                  graft.queries.TextVectorQueries.q123QuantileSketch,
+                  graft.queries.TextVectorQueries.q125HardNegativeMining,
+                  graft.queries.TextVectorQueries.q126RetrievalMetrics)) {
+      val plan = q.run(spark, sfDir).queryExecution.sparkPlan
+      val unbounded = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+            w.child.collect {
+              case t: TakeOrderedAndProjectExec => t
+              case g: GlobalLimitExec => g
+            }.isEmpty => w
+      }
+      assert(unbounded.isEmpty,
+        s"[${q.name}] un-partitioned window over an unbounded input:\n${unbounded.mkString("\n")}")
+    }
+  }
+
   test("q112 NB classifier plans no window; one-row totals ride as broadcasts") {
     val labeled = Tables.load(spark, sfDir, "documents")
       .withColumn("y", graft.ops.TextAnalysis.qualityScore(col("text")) >= 0.88)
