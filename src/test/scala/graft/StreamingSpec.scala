@@ -1370,6 +1370,17 @@ class StreamingSpec extends SparkTestBase {
       val replayed = spark.table(tbl)
       assert(replayed.exceptAll(batch).count() === 0L)
       assert(batch.exceptAll(replayed).count() === 0L)
+      // checkpointed resume with nothing new: zero batches, table intact
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_qsk_ck").toString
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      assert(CurationStream.runQuantileSketchSink(spark, dir, tbl, k = 64,
+        checkpoint = Some(ckpt)) === 3L)
+      assert(CurationStream.runQuantileSketchSink(spark, dir, tbl, k = 64,
+        checkpoint = Some(ckpt)) === 0L)
+      val resumed = spark.table(tbl)
+      assert(resumed.exceptAll(batch).count() === 0L)
+      assert(batch.exceptAll(resumed).count() === 0L)
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }
