@@ -42,6 +42,37 @@ object StreamingQueries {
       event_type, count(*) AS n_events, round(sum(value),2) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
 
+  /** Trending top-k through the REAL streaming engine (oracle-checked):
+    * the watermarked tumbling counts stream into the sink, then the
+    * finishing batch ranks the top-3 event types per day — the
+    * standard lambda-architecture-free trend detector (streaming
+    * aggregation + a BOUNDED post-rank whose window partitions by day
+    * over at most |event types| rows; the corpus never sorts). Oracle
+    * replays counts + ranking with the same tie discipline. */
+  val q132StreamTrending = GraftQuery(
+    "q132_stream_trending", { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sink = s"stream_trending_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val counts = EventPipeline
+        .runToMemorySink(s, dir, sink, EventPipeline.tumblingCounts)
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("n_events").desc, col("event_type"))
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("day"), col("rnk"), col("event_type"), col("n_events"))
+        .orderBy(col("day"), col("rnk"))
+    },
+    Some("""WITH c AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2)
+      SELECT day, rnk, event_type, n_events FROM (
+        SELECT day, event_type, n_events,
+          row_number() OVER (PARTITION BY day
+            ORDER BY n_events DESC, event_type) AS rnk
+        FROM c) t
+      WHERE rnk <= 3 ORDER BY day, rnk"""))
+
   /** SLIDING-window aggregation executed BY THE STREAMING ENGINE (the
     * §2.9 window(ts, dur, slide) mapping), oracle-checked against the
     * same epoch-grid recomputation as its batch twin q85. */
@@ -567,5 +598,6 @@ object StreamingQueries {
     q86StreamSliding, q87StreamUpsertSink, q87bStreamUpsertPartitioned,
     q87cStreamUpsertVersioned, q98StreamDecontaminate,
     q101gStreamSemanticDedup, q101iStreamFoldContract,
-    q120bStreamDriftContract, q123cStreamSketchContract)
+    q120bStreamDriftContract, q123cStreamSketchContract,
+    q132StreamTrending)
 }
