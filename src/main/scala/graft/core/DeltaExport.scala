@@ -95,6 +95,27 @@ object DeltaExport {
     (protocol, meta, adds)
   }
 
+  /** Read a Delta table THROUGH ITS LOG — the consumer side of the
+    * protocol: verify the protocol action is one this reader supports
+    * (minReaderVersion 1), parse the metaData's schemaString into a
+    * StructType, and scan exactly the add-listed files with that
+    * schema. Never lists the directory for data files — a Delta reader
+    * trusts the log, not the filesystem, which is what makes stale or
+    * torn data files invisible (the property TableStoreSpec pins by
+    * planting an orphan parquet file the read must NOT surface). */
+  def readDeltaTable(spark: SparkSession, dir: String): DataFrame = {
+    val (protocol, meta, adds) = readDeltaLog(dir)
+    require(protocol.exists(_.contains(""""minReaderVersion":1""")),
+      s"unsupported reader protocol: $protocol")
+    require(meta.size == 1, s"expected one metaData action, got ${meta.size}")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(meta.head))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(adds.nonEmpty, "no add actions in the commit")
+    spark.read.schema(schema)
+      .parquet(adds.map(a => s"$dir/${a._1}"): _*)
+  }
+
   /** Extract the schemaString from the metaData action (JSON-unescaped)
     * so callers can `DataType.fromJson` it. */
   def schemaStringOf(metaDataLine: String): String = {

@@ -952,6 +952,17 @@ class TableStoreSpec extends SparkTestBase {
       .parquet(adds.map(a => s"$dir/${a._1}"): _*)
     assert(back.exceptAll(d).count() === 0L)
     assert(d.exceptAll(back).count() === 0L)
+    // the consumer side: the log-driven reader round-trips the table
+    // AND ignores files the log does not list (a Delta reader trusts
+    // the log, not the directory) — plant an orphan parquet file and
+    // the read must not surface its rows
+    d.limit(5).withColumn("doc_id", col("doc_id") + 777000000L)
+      .write.parquet(s"$dir/orphan_not_in_log.parquet")
+    val viaLog = DeltaExport.readDeltaTable(spark, dir)
+    assert(viaLog.exceptAll(d).count() === 0L)
+    assert(d.exceptAll(viaLog).count() === 0L)
+    assert(viaLog.filter(col("doc_id") >= 777000000L).count() === 0L,
+      "orphan file leaked into a log-driven read")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
