@@ -41,39 +41,109 @@ object DeltaExport {
     case c => c.toString
   }
 
+  /** Top-level parquet DATA files of `dir` (regular files only — a
+    * planted `*.parquet` directory or a hidden/_delta_log entry is not
+    * a data file), name-sorted so commit logs are deterministic. */
+  private def dataFiles(dir: String): Seq[java.nio.file.Path] = {
+    val files = Files.list(Paths.get(dir))
+    try {
+      val b = Seq.newBuilder[java.nio.file.Path]
+      val it = files.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith(".") &&
+            Files.isRegularFile(p)) b += p
+      }
+      b.result().sortBy(_.getFileName.toString)
+    } finally files.close()
+  }
+
+  private def commitFile(v: Long): String = f"$v%020d.json"
+
+  private def addAction(p: java.nio.file.Path, now: Long): String =
+    s"""{"add":{"path":"${esc(p.getFileName.toString)}","partitionValues":{},"size":${Files
+        .size(p)},"modificationTime":$now,"dataChange":true}}"""
+
   /** Write `df` under `dir` as an unpartitioned Delta table (version 0
     * commit). Returns the number of `add` actions written. */
   def writeDeltaTable(spark: SparkSession, df: DataFrame, dir: String): Int = {
     df.write.mode("overwrite").parquet(dir)
-    val base = Paths.get(dir)
-    val files = Files.list(base)
-    val parts =
-      try {
-        val b = Seq.newBuilder[java.nio.file.Path]
-        val it = files.iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          val n = p.getFileName.toString
-          if (n.endsWith(".parquet") && !n.startsWith(".")) b += p
-        }
-        b.result().sortBy(_.getFileName.toString)
-      } finally files.close()
+    val parts = dataFiles(dir)
     val now = System.currentTimeMillis()
     val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     val metaData =
       s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(
           dir.getBytes(StandardCharsets.UTF_8))}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
           df.schema.json)}","partitionColumns":[],"configuration":{},"createdTime":$now}}"""
-    val adds = parts.map { p =>
-      s"""{"add":{"path":"${esc(p.getFileName.toString)}","partitionValues":{},"size":${Files
-          .size(p)},"modificationTime":$now,"dataChange":true}}"""
-    }
-    val logDir = base.resolve("_delta_log")
+    val adds = parts.map(addAction(_, now))
+    val logDir = Paths.get(dir).resolve("_delta_log")
     Files.createDirectories(logDir)
-    Files.write(logDir.resolve("00000000000000000000.json"),
+    Files.write(logDir.resolve(commitFile(0L)),
       ((protocol +: metaData +: adds).mkString("\n") + "\n")
         .getBytes(StandardCharsets.UTF_8))
     adds.size
+  }
+
+  /** Sorted commit versions present in `dir`'s log. */
+  def logVersions(dir: String): Seq[Long] = {
+    val logDir = Paths.get(dir, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log under $dir")
+    val files = Files.list(logDir)
+    try {
+      val b = Seq.newBuilder[Long]
+      val it = files.iterator()
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.endsWith(".json")) b += n.stripSuffix(".json").toLong
+      }
+      b.result().sorted
+    } finally files.close()
+  }
+
+  private def writeCommit(dir: String, v: Long, actions: Seq[String]): Unit =
+    Files.write(Paths.get(dir, "_delta_log", commitFile(v)),
+      (actions.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+
+  /** Append `df` to an existing Delta table as the next commit: write
+    * the new parquet files beside the old ones (append mode — Delta
+    * never rewrites committed data files) and log one `add` per new
+    * file. Per the protocol, an append commit carries no protocol or
+    * metaData action — those are inherited from the last commit that
+    * set them. Returns the new version number.
+    *
+    * The before/after directory diff that identifies the new files is
+    * driver-side METADATA (file names only), the same O(new files)
+    * bookkeeping every Delta writer performs when it collects the
+    * task-level write results into add actions. */
+  def appendDeltaTable(spark: SparkSession, df: DataFrame, dir: String): Long = {
+    val v = logVersions(dir).max + 1
+    val before = dataFiles(dir).map(_.getFileName.toString).toSet
+    df.write.mode("append").parquet(dir)
+    val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
+    require(fresh.nonEmpty, "append produced no data files")
+    val now = System.currentTimeMillis()
+    writeCommit(dir, v, fresh.map(addAction(_, now)))
+    v
+  }
+
+  /** Replace the table's contents as the next commit: `remove` every
+    * currently-live file and `add` the replacement files. The OLD data
+    * files stay on disk — that is what makes time travel
+    * ([[readDeltaTable]] with `versionAsOf`) work; only a vacuum may
+    * reclaim them. Returns the new version number. */
+  def overwriteDeltaTable(spark: SparkSession, df: DataFrame, dir: String): Long = {
+    val v = logVersions(dir).max + 1
+    val live = liveFilesAt(dir, None)._2.toSet
+    val before = dataFiles(dir).map(_.getFileName.toString).toSet
+    df.write.mode("append").parquet(dir)
+    val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
+    require(fresh.nonEmpty, "overwrite produced no data files")
+    val now = System.currentTimeMillis()
+    val removes = live.toSeq.sorted.map(p =>
+      s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
+    writeCommit(dir, v, removes ++ fresh.map(addAction(_, now)))
+    v
   }
 
   /** Parse a [[writeDeltaTable]] log back into its action lines,
@@ -95,25 +165,66 @@ object DeltaExport {
     (protocol, meta, adds)
   }
 
+  /** Replay the commit log through `versionAsOf` (latest when None)
+    * and return (last metaData line seen, live file paths): `add`
+    * inserts a path into the live set, `remove` deletes it, later
+    * metaData supersedes earlier — the snapshot-reconstruction rule of
+    * the Delta protocol. Every protocol action encountered must be one
+    * this reader supports (minReaderVersion 1). */
+  def liveFilesAt(dir: String, versionAsOf: Option[Long]): (String, Seq[String]) = {
+    val versions = logVersions(dir)
+    require(versions.headOption.contains(0L), s"log does not start at 0: $versions")
+    val cut = versionAsOf.getOrElse(versions.max)
+    require(versions.contains(cut),
+      s"version $cut not in log (have ${versions.mkString(",")})")
+    val removeRe = """\{"remove":\{"path":"((?:[^"\\]|\\.)+)"""".r
+    val addRe = """\{"add":\{"path":"((?:[^"\\]|\\.)+)"""".r
+    var meta: String = null
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    versions.takeWhile(_ <= cut).foreach { v =>
+      val lines = new String(
+        Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(v))),
+        StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+      lines.foreach { l =>
+        if (l.startsWith("""{"protocol""""))
+          require(l.contains(""""minReaderVersion":1"""),
+            s"unsupported reader protocol at v$v: $l")
+        else if (l.startsWith("""{"metaData"""")) meta = l
+        else if (l.startsWith("""{"add""""))
+          live += addRe.findFirstMatchIn(l)
+            .getOrElse(throw new IllegalStateException(s"malformed add: $l"))
+            .group(1)
+        else if (l.startsWith("""{"remove""""))
+          live -= removeRe.findFirstMatchIn(l)
+            .getOrElse(throw new IllegalStateException(s"malformed remove: $l"))
+            .group(1)
+      }
+    }
+    require(meta != null, "no metaData action in the replayed log")
+    (meta, live.toSeq)
+  }
+
   /** Read a Delta table THROUGH ITS LOG — the consumer side of the
-    * protocol: verify the protocol action is one this reader supports
-    * (minReaderVersion 1), parse the metaData's schemaString into a
-    * StructType, and scan exactly the add-listed files with that
-    * schema. Never lists the directory for data files — a Delta reader
-    * trusts the log, not the filesystem, which is what makes stale or
-    * torn data files invisible (the property TableStoreSpec pins by
-    * planting an orphan parquet file the read must NOT surface). */
-  def readDeltaTable(spark: SparkSession, dir: String): DataFrame = {
-    val (protocol, meta, adds) = readDeltaLog(dir)
-    require(protocol.exists(_.contains(""""minReaderVersion":1""")),
-      s"unsupported reader protocol: $protocol")
-    require(meta.size == 1, s"expected one metaData action, got ${meta.size}")
+    * protocol: verify every protocol action is one this reader
+    * supports (minReaderVersion 1), reconstruct the live-file snapshot
+    * at `versionAsOf` (latest when None) by replaying add/remove
+    * actions in commit order, parse the governing metaData's
+    * schemaString into a StructType, and scan exactly the live files
+    * with that schema. Never lists the directory for data files — a
+    * Delta reader trusts the log, not the filesystem, which is what
+    * makes stale, torn, or superseded data files invisible
+    * (TableStoreSpec pins both: a planted orphan parquet file the read
+    * must NOT surface, and time travel across append + overwrite
+    * commits). */
+  def readDeltaTable(spark: SparkSession, dir: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val (meta, files) = liveFilesAt(dir, versionAsOf)
     val schema = org.apache.spark.sql.types.DataType
-      .fromJson(schemaStringOf(meta.head))
+      .fromJson(schemaStringOf(meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    require(adds.nonEmpty, "no add actions in the commit")
-    spark.read.schema(schema)
-      .parquet(adds.map(a => s"$dir/${a._1}"): _*)
+    require(files.nonEmpty,
+      s"no live files at version ${versionAsOf.getOrElse("latest")}")
+    spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
   }
 
   /** Extract the schemaString from the metaData action (JSON-unescaped)

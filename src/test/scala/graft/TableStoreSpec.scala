@@ -965,4 +965,46 @@ class TableStoreSpec extends SparkTestBase {
       "orphan file leaked into a log-driven read")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("Delta interchange: append and overwrite commits replay into exact time-travel snapshots") {
+    import graft.core.DeltaExport
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val v0df = base.filter(col("doc_id") % 3 === 0).repartition(2)
+    val v1df = base.filter(col("doc_id") % 3 === 1).repartition(2)
+    val v2df = base.filter(col("doc_id") % 3 === 2).repartition(2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_tt").toString
+    DeltaExport.writeDeltaTable(spark, v0df, dir)
+    assert(DeltaExport.appendDeltaTable(spark, v1df, dir) === 1L)
+    assert(DeltaExport.overwriteDeltaTable(spark, v2df, dir) === 2L)
+    assert(DeltaExport.logVersions(dir) === Seq(0L, 1L, 2L))
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.exceptAll(b).count() === 0L)
+      assert(b.exceptAll(a).count() === 0L)
+    }
+    // latest sees ONLY the overwrite; history is reconstructed, not
+    // re-read from live state — v0 is the first write, v1 its append
+    same(DeltaExport.readDeltaTable(spark, dir), v2df)
+    same(DeltaExport.readDeltaTable(spark, dir, Some(0L)), v0df)
+    same(DeltaExport.readDeltaTable(spark, dir, Some(1L)), v0df.unionAll(v1df))
+    // overwrite must NOT have deleted the superseded data files (time
+    // travel depends on it): every v1-live file is still on disk
+    val v1Files = DeltaExport.liveFilesAt(dir, Some(1L))._2
+    assert(v1Files.nonEmpty && v1Files.forall(f =>
+      java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(dir, f))))
+    // an unknown version and a too-new reader protocol both fail loudly
+    intercept[IllegalArgumentException] {
+      DeltaExport.readDeltaTable(spark, dir, Some(9L))
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_delta_log", "00000000000000000003.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}
+""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    intercept[IllegalArgumentException] {
+      DeltaExport.readDeltaTable(spark, dir)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
