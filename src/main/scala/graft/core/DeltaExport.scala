@@ -165,6 +165,21 @@ object DeltaExport {
     (protocol, meta, adds)
   }
 
+  /** Vacuum with retention 0: physically delete the data files that
+    * are no longer live at the LATEST version (the superseded
+    * history), keeping the log intact — exactly Delta's trade: the
+    * latest snapshot is untouched, but time travel to a version whose
+    * snapshot needs a deleted file now fails loudly at read time
+    * ([[readDeltaTable]]'s existence check names the missing files).
+    * Returns the deleted file names. Driver-side METADATA only — the
+    * same O(files) listing every Delta vacuum performs. */
+  def vacuumDeltaTable(dir: String): Seq[String] = {
+    val live = liveFilesAt(dir, None)._2.toSet
+    val stale = dataFiles(dir).filterNot(p => live(p.getFileName.toString))
+    stale.foreach(Files.delete)
+    stale.map(_.getFileName.toString)
+  }
+
   /** Replay the commit log through `versionAsOf` (latest when None)
     * and return (last metaData line seen, live file paths): `add`
     * inserts a path into the live set, `remove` deletes it, later
@@ -224,6 +239,12 @@ object DeltaExport {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     require(files.nonEmpty,
       s"no live files at version ${versionAsOf.getOrElse("latest")}")
+    val gone = files.filterNot(f =>
+      Files.isRegularFile(Paths.get(dir, f)))
+    require(gone.isEmpty,
+      s"snapshot at version ${versionAsOf.getOrElse("latest")} is no longer " +
+        s"reconstructible — add-listed file(s) vacuumed or missing: " +
+        gone.mkString(", "))
     spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
   }
 

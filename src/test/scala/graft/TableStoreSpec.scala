@@ -1007,4 +1007,34 @@ class TableStoreSpec extends SparkTestBase {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("Delta vacuum: superseded files reclaimed, latest intact, vacuumed time travel fails loudly") {
+    import graft.core.DeltaExport
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val v0df = base.filter(col("doc_id") % 2 === 0).repartition(2)
+    val v1df = base.filter(col("doc_id") % 2 === 1).repartition(2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_vac").toString
+    DeltaExport.writeDeltaTable(spark, v0df, dir)
+    DeltaExport.overwriteDeltaTable(spark, v1df, dir)
+    val v0Files = DeltaExport.liveFilesAt(dir, Some(0L))._2
+    val deleted = DeltaExport.vacuumDeltaTable(dir)
+    // exactly the version-0 (superseded) files are reclaimed; the log
+    // is untouched and the latest snapshot still reads exact
+    assert(deleted.sorted === v0Files.sorted)
+    assert(DeltaExport.logVersions(dir) === Seq(0L, 1L))
+    val latest = DeltaExport.readDeltaTable(spark, dir)
+    assert(latest.exceptAll(v1df).count() === 0L)
+    assert(v1df.exceptAll(latest).count() === 0L)
+    // time travel to the vacuumed snapshot fails at the LOG layer with
+    // the missing files named, not with a bare filesystem error
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.readDeltaTable(spark, dir, Some(0L))
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // vacuum is idempotent once the history is gone
+    assert(DeltaExport.vacuumDeltaTable(dir) === Seq.empty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
