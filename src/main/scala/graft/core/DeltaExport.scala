@@ -105,6 +105,29 @@ object DeltaExport {
     Files.write(Paths.get(dir, "_delta_log", commitFile(v)),
       (actions.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
 
+  /** Last-checkpoint pointer: (version, action count) parsed from
+    * `_delta_log/_last_checkpoint`, None when the table has never been
+    * checkpointed. */
+  def lastCheckpoint(dir: String): Option[(Long, Long)] = {
+    val p = Paths.get(dir, "_delta_log", "_last_checkpoint")
+    if (!Files.isRegularFile(p)) None
+    else {
+      val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val vRe = """"version":(\d+)""".r
+      val sRe = """"size":(\d+)""".r
+      val v = vRe.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(s"malformed _last_checkpoint: $txt"))
+        .group(1).toLong
+      Some((v, sRe.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)))
+    }
+  }
+
+  /** Latest version of the table: max over JSON commits and the
+    * checkpoint (after log expiry the checkpoint may be newer than any
+    * surviving JSON commit). */
+  private def latestVersion(dir: String): Long =
+    (lastCheckpoint(dir).map(_._1).toSeq ++ logVersions(dir)).max
+
   /** Append `df` to an existing Delta table as the next commit: write
     * the new parquet files beside the old ones (append mode — Delta
     * never rewrites committed data files) and log one `add` per new
@@ -117,7 +140,7 @@ object DeltaExport {
     * bookkeeping every Delta writer performs when it collects the
     * task-level write results into add actions. */
   def appendDeltaTable(spark: SparkSession, df: DataFrame, dir: String): Long = {
-    val v = logVersions(dir).max + 1
+    val v = latestVersion(dir) + 1
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
     df.write.mode("append").parquet(dir)
     val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
@@ -133,8 +156,8 @@ object DeltaExport {
     * ([[readDeltaTable]] with `versionAsOf`) work; only a vacuum may
     * reclaim them. Returns the new version number. */
   def overwriteDeltaTable(spark: SparkSession, df: DataFrame, dir: String): Long = {
-    val v = logVersions(dir).max + 1
-    val live = liveFilesAt(dir, None)._2.toSet
+    val v = latestVersion(dir) + 1
+    val live = snapshotAt(spark, dir, None)._2.toSet
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
     df.write.mode("append").parquet(dir)
     val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
@@ -146,6 +169,16 @@ object DeltaExport {
     v
   }
 
+  // key-order-tolerant field extractors: other writers may serialize the
+  // same action with keys in any order, so never anchor one key to the next
+  private val pathRe = """"path":"((?:[^"\\]|\\.)+)"""".r
+  private val sizeRe = """"size":(\d+)""".r
+
+  private def pathOf(line: String, what: String): String =
+    unescapeJson(pathRe.findFirstMatchIn(line)
+      .getOrElse(throw new IllegalStateException(s"malformed $what: $line"))
+      .group(1))
+
   /** Parse a [[writeDeltaTable]] log back into its action lines,
     * grouped — the structural-fidelity check surface. Returns
     * (protocolLines, metaDataLines, addPathsWithSizes). */
@@ -155,12 +188,12 @@ object DeltaExport {
       .split("\n").toSeq.filter(_.nonEmpty)
     val protocol = lines.filter(_.startsWith("""{"protocol""""))
     val meta = lines.filter(_.startsWith("""{"metaData""""))
-    val addRe = """\{"add":\{"path":"([^"]+)","partitionValues":\{\},"size":(\d+)""".r
     val adds = lines.collect {
       case l if l.startsWith("""{"add"""") =>
-        addRe.findFirstMatchIn(l)
-          .map(m => (m.group(1), m.group(2).toLong))
-          .getOrElse(throw new IllegalStateException(s"malformed add: $l"))
+        (pathOf(l, "add"),
+          sizeRe.findFirstMatchIn(l)
+            .getOrElse(throw new IllegalStateException(s"malformed add: $l"))
+            .group(1).toLong)
     }
     (protocol, meta, adds)
   }
@@ -173,8 +206,8 @@ object DeltaExport {
     * ([[readDeltaTable]]'s existence check names the missing files).
     * Returns the deleted file names. Driver-side METADATA only — the
     * same O(files) listing every Delta vacuum performs. */
-  def vacuumDeltaTable(dir: String): Seq[String] = {
-    val live = liveFilesAt(dir, None)._2.toSet
+  def vacuumDeltaTable(spark: SparkSession, dir: String): Seq[String] = {
+    val live = snapshotAt(spark, dir, None)._2.toSet
     val stale = dataFiles(dir).filterNot(p => live(p.getFileName.toString))
     stale.foreach(Files.delete)
     stale.map(_.getFileName.toString)
@@ -192,31 +225,33 @@ object DeltaExport {
     val cut = versionAsOf.getOrElse(versions.max)
     require(versions.contains(cut),
       s"version $cut not in log (have ${versions.mkString(",")})")
-    val removeRe = """\{"remove":\{"path":"((?:[^"\\]|\\.)+)"""".r
-    val addRe = """\{"add":\{"path":"((?:[^"\\]|\\.)+)"""".r
+    val st = new ReplayState
+    versions.takeWhile(_ <= cut).foreach(v => applyCommit(dir, v, st))
+    require(st.meta != null, "no metaData action in the replayed log")
+    (st.meta, st.live.toSeq)
+  }
+
+  private final class ReplayState {
     var meta: String = null
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    versions.takeWhile(_ <= cut).foreach { v =>
-      val lines = new String(
-        Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(v))),
-        StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
-      lines.foreach { l =>
-        if (l.startsWith("""{"protocol""""))
-          require(l.contains(""""minReaderVersion":1"""),
-            s"unsupported reader protocol at v$v: $l")
-        else if (l.startsWith("""{"metaData"""")) meta = l
-        else if (l.startsWith("""{"add""""))
-          live += addRe.findFirstMatchIn(l)
-            .getOrElse(throw new IllegalStateException(s"malformed add: $l"))
-            .group(1)
-        else if (l.startsWith("""{"remove""""))
-          live -= removeRe.findFirstMatchIn(l)
-            .getOrElse(throw new IllegalStateException(s"malformed remove: $l"))
-            .group(1)
-      }
+  }
+
+  /** Apply one JSON commit's actions to the replay state. Paths are
+    * JSON-unescaped before entering the live set, so logs written by
+    * other writers (paths containing quotes, backslashes, or escaped
+    * control characters) resolve to the actual filenames. */
+  private def applyCommit(dir: String, v: Long, st: ReplayState): Unit = {
+    val lines = new String(
+      Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(v))),
+      StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+    lines.foreach { l =>
+      if (l.startsWith("""{"protocol""""))
+        require(l.contains(""""minReaderVersion":1"""),
+          s"unsupported reader protocol at v$v: $l")
+      else if (l.startsWith("""{"metaData"""")) st.meta = l
+      else if (l.startsWith("""{"add"""")) st.live += pathOf(l, "add")
+      else if (l.startsWith("""{"remove"""")) st.live -= pathOf(l, "remove")
     }
-    require(meta != null, "no metaData action in the replayed log")
-    (meta, live.toSeq)
   }
 
   /** Read a Delta table THROUGH ITS LOG — the consumer side of the
@@ -233,7 +268,7 @@ object DeltaExport {
     * commits). */
   def readDeltaTable(spark: SparkSession, dir: String,
       versionAsOf: Option[Long] = None): DataFrame = {
-    val (meta, files) = liveFilesAt(dir, versionAsOf)
+    val (meta, files) = snapshotAt(spark, dir, versionAsOf)
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -248,12 +283,156 @@ object DeltaExport {
     spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
   }
 
+  /** Checkpoint-aware snapshot reconstruction — the real consumer entry
+    * point: when `_last_checkpoint` exists and the requested version is
+    * at or past it, load the checkpoint parquet as the base state and
+    * replay only the JSON commits AFTER it (the protocol's recipe, and
+    * what makes a table readable after old JSON commits expire). A
+    * time travel BEFORE the checkpoint still needs the full 0..cut JSON
+    * chain and fails loudly once that chain is expired. Tables without
+    * a checkpoint take the pure JSON replay of [[liveFilesAt]]. */
+  def snapshotAt(spark: SparkSession, dir: String,
+      versionAsOf: Option[Long]): (String, Seq[String]) =
+    lastCheckpoint(dir) match {
+      case Some((cpV, _)) if versionAsOf.forall(_ >= cpV) =>
+        val versions = logVersions(dir)
+        val cut = versionAsOf.getOrElse((cpV +: versions).max)
+        val missing = ((cpV + 1) to cut).filterNot(versions.contains)
+        require(missing.isEmpty,
+          s"commits after checkpoint v$cpV are missing: ${missing.mkString(",")}")
+        val st = loadCheckpoint(spark, dir, cpV)
+        ((cpV + 1) to cut).foreach(v => applyCommit(dir, v, st))
+        require(st.meta != null, s"checkpoint v$cpV carries no metaData")
+        (st.meta, st.live.toSeq)
+      case Some((cpV, _)) =>
+        val versions = logVersions(dir)
+        val cut = versionAsOf.get
+        val missing = (0L to cut).filterNot(versions.contains)
+        require(missing.isEmpty,
+          s"version $cut precedes checkpoint v$cpV and JSON commit(s) " +
+            s"${missing.mkString(",")} have been expired — snapshot is " +
+            "no longer reconstructible")
+        liveFilesAt(dir, versionAsOf)
+      case None => liveFilesAt(dir, versionAsOf)
+    }
+
+  // minimal classic-checkpoint row: one action per row, null elsewhere
+  // (delta-io PROTOCOL.md "Checkpoints"); other writers add more columns
+  // (txn, remove, stats) — the loader reads by field name so extras and
+  // absences both survive
+  final case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  final case class CpFormat(provider: String, options: Map[String, String])
+  final case class CpMetaData(id: String, schemaString: String,
+      partitionColumns: Seq[String], createdTime: Long)
+  final case class CpAdd(path: String, partitionValues: Map[String, String],
+      size: Long, modificationTime: Long, dataChange: Boolean)
+  final case class CpRow(protocol: Option[CpProtocol],
+      metaData: Option[CpMetaData], add: Option[CpAdd])
+
+  private def checkpointFile(v: Long): String = f"$v%020d.checkpoint.parquet"
+
+  /** Write a classic single-file checkpoint of the LATEST snapshot
+    * (`<v>.checkpoint.parquet` + `_last_checkpoint`), the compaction
+    * that lets a reader skip — and a retention job expire — every JSON
+    * commit at or before it. One parquet row per action; the data files
+    * themselves are untouched. Returns the checkpointed version. */
+  def checkpointDeltaTable(spark: SparkSession, dir: String): Long = {
+    val v = latestVersion(dir)
+    val (meta, files) = snapshotAt(spark, dir, None)
+    val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
+    val ctRe = """"createdTime":(\d+)""".r
+    val id = idRe.findFirstMatchIn(meta)
+      .map(m => unescapeJson(m.group(1)))
+      .getOrElse(throw new IllegalStateException("metaData carries no id"))
+    val createdTime = ctRe.findFirstMatchIn(meta).map(_.group(1).toLong).getOrElse(0L)
+    val rows: Seq[CpRow] =
+      CpRow(Some(CpProtocol(1, 2)), None, None) +:
+      CpRow(None,
+        Some(CpMetaData(id, schemaStringOf(meta), Seq.empty, createdTime)),
+        None) +:
+      files.sorted.map { f =>
+        val p = Paths.get(dir, f)
+        CpRow(None, None, Some(CpAdd(f, Map.empty, Files.size(p),
+          Files.getLastModifiedTime(p).toMillis, dataChange = false)))
+      }
+    import spark.implicits._
+    val logDir = Paths.get(dir, "_delta_log")
+    val tmp = logDir.resolve(s".tmp_checkpoint_$v")
+    spark.createDataset(rows).coalesce(1).write
+      .mode("overwrite").parquet(tmp.toString)
+    val part = dataFiles(tmp.toString).headOption
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no file"))
+    Files.move(part, logDir.resolve(checkpointFile(v)),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val walk = Files.walk(tmp)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    } finally walk.close()
+    Files.write(logDir.resolve("_last_checkpoint"),
+      s"""{"version":$v,"size":${rows.size}}""".getBytes(StandardCharsets.UTF_8))
+    v
+  }
+
+  /** Log-retention cleanup: delete JSON commits at or before the
+    * checkpoint (they are superseded by it). Refuses without a
+    * checkpoint covering them — that would orphan the table. Returns
+    * the deleted commit file names. */
+  def expireLogBefore(dir: String): Seq[String] = {
+    val cpV = lastCheckpoint(dir).map(_._1)
+      .getOrElse(throw new IllegalStateException(
+        "no checkpoint — expiring JSON commits would orphan the table"))
+    val victims = logVersions(dir).filter(_ <= cpV)
+    victims.map { v =>
+      Files.delete(Paths.get(dir, "_delta_log", commitFile(v)))
+      commitFile(v)
+    }
+  }
+
+  /** Load a checkpoint parquet into replay state. The collect is
+    * bounded: a checkpoint holds O(live files) metadata rows — the same
+    * driver-side cost every Delta reader pays to load a snapshot. */
+  private def loadCheckpoint(spark: SparkSession, dir: String,
+      v: Long): ReplayState = {
+    val path = Paths.get(dir, "_delta_log", checkpointFile(v))
+    require(Files.isRegularFile(path),
+      s"_last_checkpoint names v$v but ${checkpointFile(v)} is missing")
+    val rows = spark.read.parquet(path.toString).collect()
+    val st = new ReplayState
+    rows.foreach { r =>
+      def struct(name: String): Option[org.apache.spark.sql.Row] = {
+        val i = r.schema.fieldNames.indexOf(name)
+        if (i >= 0 && !r.isNullAt(i)) Some(r.getStruct(i)) else None
+      }
+      struct("protocol").foreach { p =>
+        require(p.getAs[Int]("minReaderVersion") == 1,
+          s"unsupported reader protocol in checkpoint v$v")
+      }
+      struct("metaData").foreach { m =>
+        def str(f: String) = m.getAs[String](f)
+        val ctIdx = m.schema.fieldNames.indexOf("createdTime")
+        val ct = if (ctIdx >= 0 && !m.isNullAt(ctIdx)) m.getLong(ctIdx) else 0L
+        st.meta = s"""{"metaData":{"id":"${esc(str("id"))}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
+            str("schemaString"))}","partitionColumns":[],"configuration":{},"createdTime":$ct}}"""
+      }
+      struct("add").foreach(a => st.live += a.getAs[String]("path"))
+      // remove rows in a checkpoint are expired tombstones, never live
+      struct("remove").foreach(rm => st.live -= rm.getAs[String]("path"))
+    }
+    st
+  }
+
   /** Extract the schemaString from the metaData action (JSON-unescaped)
     * so callers can `DataType.fromJson` it. */
   def schemaStringOf(metaDataLine: String): String = {
     val re = """"schemaString":"((?:[^"\\]|\\.)*)"""".r
     val raw = re.findFirstMatchIn(metaDataLine)
       .getOrElse(throw new IllegalStateException("no schemaString")).group(1)
+    unescapeJson(raw)
+  }
+
+  /** Inverse of [[esc]] for a captured JSON string value. */
+  private def unescapeJson(raw: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < raw.length) {

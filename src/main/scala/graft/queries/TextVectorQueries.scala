@@ -2354,9 +2354,10 @@ object TextVectorQueries {
           UNNEST(generate_series(1, len(s) - 1)) AS u(i)
         GROUP BY a, b),
       b3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1)
-      SELECT 1 AS round, a || b AS merged, c AS occurrences FROM b1
-      UNION ALL SELECT 2, a || b, c FROM b2
-      UNION ALL SELECT 3, a || b, c FROM b3
+      SELECT 1 AS round, a || b AS merged,
+        CAST(c AS BIGINT) AS occurrences FROM b1
+      UNION ALL SELECT 2, a || b, CAST(c AS BIGINT) FROM b2
+      UNION ALL SELECT 3, a || b, CAST(c AS BIGINT) FROM b3
       ORDER BY round"""))
 
   /** BPE ENCODE at the trained state (oracle-checked): the weighted

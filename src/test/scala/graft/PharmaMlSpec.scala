@@ -29,6 +29,30 @@ class PharmaMlSpec extends SparkTestBase {
     assert(m.reloadOk, "reloaded model must reproduce every prediction")
   }
 
+  test("denseRankEncode: bit-exact parity with the reference's global " +
+    "dense_rank - 1 encoder (ML_Model_Complete…py:101-114)") {
+    val encoded = InsuranceModel.denseRankEncode(mlData).cache()
+    try {
+      assert(encoded.count() === 161L)
+      InsuranceModel.FeatureCols.foreach { c =>
+        // hand-computed expectation: dense_rank over a global ascending
+        // order minus 1 == position of the value in the sorted distinct
+        // value list (nulls first, Spark's ascending default)
+        val distinctSorted = mlData.select(col(c)).distinct().collect()
+          .map(r => Option(r.getString(0)))
+          .sortBy(identity)(Ordering.Option(Ordering.String))
+        val expected = distinctSorted.zipWithIndex.toMap
+        val mismatches = encoded.select(col(c), col(s"${c}_idx")).collect()
+          .count { r =>
+            expected(Option(r.getString(0))).toDouble != r.getDouble(1)
+          }
+        assert(mismatches === 0, s"column $c disagrees with dense_rank-1")
+        // and the encoding is dense: indices cover 0..n_distinct-1
+        assert(expected.size === distinctSorted.length)
+      }
+    } finally encoded.unpersist()
+  }
+
   test("predict surface: label + confidence per row, fully distributed") {
     val model = InsuranceModel.pipeline()
       .fit(InsuranceModel.withLabelAndWeight(mlData))

@@ -1019,7 +1019,7 @@ class TableStoreSpec extends SparkTestBase {
     DeltaExport.writeDeltaTable(spark, v0df, dir)
     DeltaExport.overwriteDeltaTable(spark, v1df, dir)
     val v0Files = DeltaExport.liveFilesAt(dir, Some(0L))._2
-    val deleted = DeltaExport.vacuumDeltaTable(dir)
+    val deleted = DeltaExport.vacuumDeltaTable(spark, dir)
     // exactly the version-0 (superseded) files are reclaimed; the log
     // is untouched and the latest snapshot still reads exact
     assert(deleted.sorted === v0Files.sorted)
@@ -1034,7 +1034,66 @@ class TableStoreSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("vacuumed"))
     // vacuum is idempotent once the history is gone
-    assert(DeltaExport.vacuumDeltaTable(dir) === Seq.empty)
+    assert(DeltaExport.vacuumDeltaTable(spark, dir) === Seq.empty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("Delta checkpoint: table stays readable after pre-checkpoint JSON commits expire; pre-checkpoint time travel fails loudly") {
+    import graft.core.DeltaExport
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    // 11 commits: initial write + 10 appends of doc_id slices
+    val slices = (0L to 10L).map(m => base.filter(col("doc_id") % 11 === m))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_cp").toString
+    DeltaExport.writeDeltaTable(spark, slices.head, dir)
+    slices.tail.zipWithIndex.foreach { case (s, i) =>
+      assert(DeltaExport.appendDeltaTable(spark, s, dir) === i + 1L)
+    }
+    // checkpoint at v10, then two MORE commits on top of it
+    assert(DeltaExport.checkpointDeltaTable(spark, dir) === 10L)
+    assert(DeltaExport.lastCheckpoint(dir).map(_._1) === Some(10L))
+    val extra = base.filter(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 900000000L)
+    assert(DeltaExport.appendDeltaTable(spark, extra, dir) === 11L)
+    val v12df = base.limit(50)
+    assert(DeltaExport.overwriteDeltaTable(spark, v12df, dir) === 12L)
+    // expire everything the checkpoint supersedes — the real-world
+    // retention state the reader must survive
+    val expired = DeltaExport.expireLogBefore(dir)
+    assert(expired.size === 11)
+    assert(DeltaExport.logVersions(dir) === Seq(11L, 12L))
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.exceptAll(b).count() === 0L)
+      assert(b.exceptAll(a).count() === 0L)
+    }
+    // latest = checkpoint base + post-checkpoint replay (the overwrite)
+    same(DeltaExport.readDeltaTable(spark, dir), v12df)
+    // time travel to the checkpoint version itself and to a
+    // post-checkpoint version both reconstruct exactly
+    same(DeltaExport.readDeltaTable(spark, dir, Some(10L)), base)
+    same(DeltaExport.readDeltaTable(spark, dir, Some(11L)),
+      base.unionAll(extra))
+    // pre-checkpoint time travel is gone WITH the JSON — fails loudly,
+    // naming the expiry, not with a bare missing-file error
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.readDeltaTable(spark, dir, Some(3L))
+    }
+    assert(e.getMessage.contains("expired"))
+    // expiring again is a no-op; expiring an uncheckpointed table refuses
+    assert(DeltaExport.expireLogBefore(dir) === Seq.empty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("Delta checkpoint refuses to expire logs without a covering checkpoint") {
+    import graft.core.DeltaExport
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_cp_guard").toString
+    import spark.implicits._
+    DeltaExport.writeDeltaTable(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    intercept[IllegalStateException] { DeltaExport.expireLogBefore(dir) }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
