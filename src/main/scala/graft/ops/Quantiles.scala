@@ -40,7 +40,15 @@ object Quantiles {
   /** Build the per-group bottom-k sketch: (g, rk, hkey, id, v) with
     * rk = 1..k in (hkey, id) order. Deterministic; output is identical
     * to the naive full-window sampler (the prefilter only drops rows
-    * that order after every survivor). */
+    * that order after every survivor).
+    *
+    * The per-group count/threshold relations are one row per group —
+    * data-dependent cardinality for an arbitrary groupCol — so they
+    * carry NO broadcast hint: AQE picks broadcast at runtime when the
+    * group count is small (every current caller groups by bounded
+    * `source`), and a high-cardinality groupCol degrades safely to a
+    * shuffled join instead of a driver-side OOM (the r11 q101b
+    * lesson: never hint a relation whose size the caller controls). */
   def bottomKSketch(df: DataFrame, groupCol: String, idCol: String,
       valCol: String, k: Int): DataFrame = {
     require(k >= 1, "sketch size must be >= 1")
@@ -48,14 +56,14 @@ object Quantiles {
       col(valCol).as("v"), hkeyOf(col(idCol)).as("hkey"))
     val n = h.groupBy(col("g")).agg(count(lit(1)).as("ng"))
       .withColumn("thr", ceil(lit(k) * 4 * Mask.toDouble / col("ng")).cast("long"))
-    val sv = h.join(broadcast(n), Seq("g"))
+    val sv = h.join(n, Seq("g"))
       .filter(col("hkey") < col("thr"))
       .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
     val cov = n.join(sv, Seq("g"), "left_outer")
       .withColumn("ok",
         coalesce(col("cnt"), lit(0L)) >= least(lit(k.toLong), col("ng")))
       .select(col("g"), col("thr"), col("ok"))
-    val cand = h.join(broadcast(cov), Seq("g"))
+    val cand = h.join(cov, Seq("g"))
       .filter(col("hkey") < col("thr") || !col("ok"))
     val w = Window.partitionBy(col("g")).orderBy(col("hkey"), col("id"))
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -92,8 +100,9 @@ object Quantiles {
   def quantileEstimates(sketch: DataFrame, qs: Seq[Double]): DataFrame = {
     val m = sketch.groupBy(col("g")).agg(count(lit(1)).as("m"))
     val vw = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    // same no-hint rule as bottomKSketch: m is one row per group
     val ranked = sketch.withColumn("vr", row_number().over(vw))
-      .join(broadcast(m), Seq("g"))
+      .join(m, Seq("g"))
     qs.map(q =>
         ranked.filter(col("vr") === ceil(lit(q) * col("m")).cast("int"))
           .select(col("g"), lit(q).as("q"), col("v").as("est"),

@@ -154,9 +154,15 @@ object TextAnalysis {
   def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
     bind(gramHashSeq(tokens(text), k)) { g =>
       val m = size(g)
+      // seeded with the window's FIRST element, not a Long.MaxValue
+      // sentinel: a sentinel survives when the true window minimum
+      // equals Long.MaxValue exactly (~2^-64 per window) and would emit
+      // pos=0, which downstream 1-based element_at errors on. The
+      // first fold step compares g[lo] against itself (strict <, so
+      // acc keeps the leftmost) — same result, no sentinel.
       def leftmostMin(lo: Column, hi: Column): Column =
         aggregate(sequence(lo, hi),
-          struct(lit(Long.MaxValue).as("h"), lit(0).as("pos")),
+          struct(element_at(g, lo).as("h"), lo.as("pos")),
           (acc, p) => when(element_at(g, p) < acc.getField("h"),
             struct(element_at(g, p).as("h"), p.as("pos"))).otherwise(acc))
       when(m === 0, array().cast("array<struct<h:bigint,pos:int>>"))

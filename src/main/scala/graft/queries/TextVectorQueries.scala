@@ -2198,27 +2198,30 @@ object TextVectorQueries {
       CAST(NULL AS INT) AS rk WHERE 1 = 0"""))
 
   /** q34's sign-LSH ANN accelerated by the JL projection: signatures,
-    * buckets and the candidate cut all run in 32-d (half the hash/score
-    * cost at this fixture's 64-d; the ratio is the dial at production
-    * dims), exact 64-d cosine only reranks the top-100 candidates per
-    * query. The fixture is the ADVERSARIAL case for this stack — its
-    * embeddings are isotropic noise with no low-dimensional structure,
-    * so the projected candidate cut must keep a constant FRACTION of
-    * the corpus to hold recall as n grows (measured ideal-cut recall at
-    * 10 %: 0.70 at n=500, 0.68 at n=2000; a constant COUNT decays
-    * 0.70 → 0.44) — clustered production embeddings hold recall at a
-    * constant count, which is where the real 4× win lives. rerank =
-    * max(100, n/10) encodes that posture. Rows-only like q34;
-    * ProjectionSpec floors recall vs brute force and the bench recall
-    * block tracks it per round. */
+    * buckets and the candidate cut all run in 48-d (25 % fewer
+    * hash/score dims at this fixture's 64-d; the ratio is the dial at
+    * production dims), exact 64-d cosine only reranks the top
+    * max(100, n/5) candidates per query. The fixture is the
+    * ADVERSARIAL case for this stack — its embeddings are isotropic
+    * noise with no low-dimensional structure, so the projected cut
+    * must keep a constant FRACTION of the corpus (and most of the
+    * dims) to hold recall as n grows; the round-14 sweep over
+    * (outDim, tables, rerank) at n=2000 measured 32-d/16-tables/10 %
+    * at 0.62 and this 48-d/24-tables/20 % config at 0.82 (BASELINE.md
+    * records the full grid). Clustered production embeddings hold
+    * recall at 16–32 d and a constant rerank COUNT — that is where the
+    * projection's real 4× win lives; on isotropic noise the honest
+    * price of recall ≥ 0.8 is most of the dimensionality back.
+    * Rows-only like q34; ProjectionSpec floors recall vs brute force
+    * and the bench recall block tracks it per round. */
   val q34cAnnLshProjected = GraftQuery(
     "q34c_ann_lsh_projected", { (s, dir) =>
       val e = embeds(s, dir)
-      val rerank = math.max(100L, e.count() / 10).toInt
+      val rerank = math.max(100L, e.count() / 5).toInt
       graft.ops.Projection.projectedLshTopK(
           e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", "vec_id", "embedding", k = 10,
-          outDim = 32, planes = 4, tables = 16, rerank = rerank)
+          outDim = 48, planes = 4, tables = 24, rerank = rerank)
         .orderBy(col("query_id"), col("rnk"))
     })
 

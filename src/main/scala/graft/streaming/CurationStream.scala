@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
 
 import graft.ops.Dedup
 
@@ -111,9 +112,26 @@ object CurationStream {
   def runSemanticDedupSink(
       spark: SparkSession, dir: String, table: String,
       centroidRel: DataFrame, threshold: Double = 0.45,
-      probes: Int = 2, checkpoint: Option[String] = None): Long =
+      probes: Int = 2, checkpoint: Option[String] = None,
+      schema: StructType = null): Long =
     runSemanticDedupSinkWithStats(spark, dir, table, centroidRel,
-      threshold, probes, checkpoint).length.toLong
+      threshold, probes, checkpoint, schema).length.toLong
+
+  /** Staged-embeddings file stream, one staged file per micro-batch.
+    * `schema = null` infers from the directory's current footers —
+    * which ABORTS on an empty staging directory (nothing to infer
+    * from); pass a pinned schema to start a sink BEFORE the first file
+    * lands, the same contract as
+    * [[graft.streaming.EventPipeline.readEventStream]]. */
+  private def readEmbStream(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame = {
+    val sch = Option(schema).getOrElse(
+      spark.read.option("pathGlobFilter", "emb_*.parquet").parquet(dir).schema)
+    spark.readStream.schema(sch)
+      .option("pathGlobFilter", "emb_*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+  }
 
   /** [[runSemanticDedupSink]], returning one [[BatchStat]] per
     * processed micro-batch (in batch order) instead of just the count.
@@ -124,14 +142,10 @@ object CurationStream {
   def runSemanticDedupSinkWithStats(
       spark: SparkSession, dir: String, table: String,
       centroidRel: DataFrame, threshold: Double = 0.45,
-      probes: Int = 2, checkpoint: Option[String] = None): Seq[BatchStat] = {
+      probes: Int = 2, checkpoint: Option[String] = None,
+      schema: StructType = null): Seq[BatchStat] = {
     val stats = new java.util.concurrent.ConcurrentLinkedQueue[BatchStat]()
-    val schema = spark.read.option("pathGlobFilter", "emb_*.parquet")
-      .parquet(dir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "emb_*.parquet")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
+    val stream = readEmbStream(spark, dir, schema)
     // With a checkpoint the file source's commit log makes the sink
     // RESUMABLE: a restarted run skips every already-consumed file and
     // vets only what arrived since — the cost contract a standing
@@ -205,13 +219,9 @@ object CurationStream {
     * micro-batches. */
   def runQuantileSketchSink(
       spark: SparkSession, dir: String, table: String, k: Int = 64,
-      checkpoint: Option[String] = None): Long = {
-    val schema = spark.read.option("pathGlobFilter", "emb_*.parquet")
-      .parquet(dir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "emb_*.parquet")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
+      checkpoint: Option[String] = None,
+      schema: StructType = null): Long = {
+    val stream = readEmbStream(spark, dir, schema)
     var batches = 0L
     val writer0 = stream.writeStream
       .outputMode(OutputMode.Append())
@@ -243,13 +253,9 @@ object CurationStream {
 
   def runTokenCountSink(
       spark: SparkSession, dir: String, table: String,
-      checkpoint: Option[String] = None): Long = {
-    val schema = spark.read.option("pathGlobFilter", "emb_*.parquet")
-      .parquet(dir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "emb_*.parquet")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
+      checkpoint: Option[String] = None,
+      schema: StructType = null): Long = {
+    val stream = readEmbStream(spark, dir, schema)
     var batches = 0L
     val writer0 = stream.writeStream
       .outputMode(OutputMode.Append())

@@ -687,6 +687,13 @@ object EventPipeline {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(queryName)
+    // snapshot the sink's rows, then DROP the registered temp view —
+    // callers use UUID sink names, so leaving the view registered
+    // accumulates one driver-cached memory sink per invocation over a
+    // session's lifetime (sink results are bounded aggregates, so the
+    // eager snapshot is small by construction)
+    val out = spark.table(queryName).localCheckpoint(eager = true)
+    spark.catalog.dropTempView(queryName)
+    out
   }
 }

@@ -57,12 +57,15 @@ class ProjectionSpec extends SparkTestBase {
       .select(col("query_id"), col("neighbor_id"))
     val proj = Projection.projectedLshTopK(
         e, queries, "vec_id", "embedding", "vec_id", "embedding", k = 10,
-        outDim = 32, planes = 4, tables = 16, rerank = 100)
+        outDim = 48, planes = 4, tables = 24, rerank = 100)
       .select(col("query_id"), col("neighbor_id"))
     val total = brute.count().toDouble
     val hits = proj.join(brute, Seq("query_id", "neighbor_id")).count()
-    // the isotropic fixture caps an IDEAL 32-d rerank-100 cut at 0.78;
-    // the dial is rerank width (clustered corpora sit far higher)
-    assert(hits / total >= 0.55, s"projected-LSH recall ${hits / total}")
+    // the registered q34c config (48-d, 24 tables, 20 % rerank cut):
+    // the round-14 sweep measured 0.82 at n=2000 and this fixture
+    // (n=500, same cut fraction) sits at 0.80 — floor with headroom
+    // for LSH table-seed sensitivity, still far above the 0.62 the
+    // superseded 32-d/16-table/10 % config scored
+    assert(hits / total >= 0.7, s"projected-LSH recall ${hits / total}")
   }
 }

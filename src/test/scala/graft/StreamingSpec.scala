@@ -1383,4 +1383,25 @@ class StreamingSpec extends SparkTestBase {
       assert(batch.exceptAll(resumed).count() === 0L)
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("quantile-sketch sink with a pinned schema starts on an EMPTY staging directory; schema-less start fails loudly") {
+    // the curation twin of the event-stream empty-directory fix: a
+    // sink deployed BEFORE the first crawl file lands must come up
+    // idle, not abort on footer inference over zero files
+    import graft.streaming.CurationStream
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tbl = "default.quantile_sketch_empty_spec"
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft_emb_empty").toString
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      assert(CurationStream.runQuantileSketchSink(spark, empty, tbl,
+        k = 64, schema = d.schema) === 0L)
+      assert(!spark.catalog.tableExists(tbl), "no batches, no table")
+      // schema-less on the same empty directory: inference must throw
+      intercept[Exception] {
+        CurationStream.runQuantileSketchSink(spark, empty, tbl, k = 64)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
