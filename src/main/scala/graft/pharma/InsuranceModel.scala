@@ -63,7 +63,8 @@ object InsuranceModel {
       .withColumn("w", when(col("label") === 1.0, 6.1).otherwise(1.0))
       .withColumn("price", col("price").cast("double"))
 
-  final case class ClassStats(precision: Double, recall: Double)
+  final case class ClassStats(
+      precision: Double, recall: Double, f1: Double, support: Long)
 
   final case class Metrics(
       accuracy: Double, auc: Double, trainRows: Long, testRows: Long,
@@ -84,9 +85,10 @@ object InsuranceModel {
       .drop("rawPrediction", "probability", "features")
   }
 
-  /** Per-class precision/recall from a predictions frame — one
-    * distributed aggregate over the confusion counts (the reference's
-    * classification_report, ML_Model_Complete…py:214-221). */
+  /** Per-class precision/recall/F1/support from a predictions frame —
+    * one distributed aggregate over the confusion counts (the full
+    * sklearn classification_report surface,
+    * ML_Model_Complete…py:214-221: P, R, f1-score, support). */
   def classStats(predictions: DataFrame, cls: Double): ClassStats = {
     val row = predictions.agg(
       count(when(col("prediction") === cls && col("label") === cls, 1)).as("tp"),
@@ -94,9 +96,11 @@ object InsuranceModel {
       count(when(col("prediction") =!= cls && col("label") === cls, 1)).as("fn"))
       .head()
     val (tp, fp, fn) = (row.getLong(0).toDouble, row.getLong(1).toDouble, row.getLong(2).toDouble)
-    ClassStats(
-      if (tp + fp == 0) 0.0 else tp / (tp + fp),
-      if (tp + fn == 0) 0.0 else tp / (tp + fn))
+    val p = if (tp + fp == 0) 0.0 else tp / (tp + fp)
+    val r = if (tp + fn == 0) 0.0 else tp / (tp + fn)
+    ClassStats(p, r,
+      if (p + r == 0) 0.0 else 2 * p * r / (p + r),
+      (tp + fn).toLong)
   }
 
   /** Model persistence round-trip (reference's pickle save/reload-verify,
@@ -167,11 +171,15 @@ object InsuranceModel {
     Seq((r2(m.accuracy), r2(m.auc),
       m.trainRows + m.testRows, m.featureImportances.length, importances,
       r2(m.covered.precision), r2(m.covered.recall),
+      r2(m.covered.f1), m.covered.support,
       r2(m.notCovered.precision), r2(m.notCovered.recall),
+      r2(m.notCovered.f1), m.notCovered.support,
       m.reloadOk))
       .toDF("accuracy_2dp", "auc_2dp", "total_rows", "n_features",
         "feature_importances_4dp",
         "precision_covered", "recall_covered",
-        "precision_not_covered", "recall_not_covered", "reload_ok")
+        "f1_covered", "support_covered",
+        "precision_not_covered", "recall_not_covered",
+        "f1_not_covered", "support_not_covered", "reload_ok")
   }
 }

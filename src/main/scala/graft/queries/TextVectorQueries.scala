@@ -3379,6 +3379,226 @@ object TextVectorQueries {
       FROM r5""")
     })
 
+  /** Tokenizer-coverage telemetry (oracle-exact): per-source OOV rate
+    * against the corpus-global top-V vocabulary (count desc, token asc
+    * tie-break — fully deterministic at the V boundary). This is the
+    * coverage report a team reads before freezing a tokenizer: which
+    * ingest sources would fragment into unknown tokens. Scale shape:
+    * token counts are one vocabulary-keyed shuffle; the top-V cut
+    * rides TakeOrderedAndProject (V literal, driver-bounded) and
+    * broadcasts back as the membership gate, so the per-source pass is
+    * a map-side probe — the corpus never sorts and never shuffles by
+    * anything but (source, token). The broadcast is bounded by the
+    * LITERAL V, not data, so the hint is safe by construction. */
+  val q133OovRate = GraftQuery(
+    "q133_oov_rate", { (s, dir) =>
+      val tok = docs(s, dir).select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("token")).limit(16)
+        .select(col("token"), lit(1).as("in_v"))
+      tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+        .join(broadcast(vocab), Seq("token"), "left_outer")
+        .groupBy(col("source"))
+        .agg(
+          sum(col("n")).as("tokens"),
+          sum(when(col("in_v").isNull, col("n")).otherwise(lit(0L)))
+            .as("oov_tokens"),
+          count(when(col("in_v").isNull, 1)).as("oov_types"))
+        .withColumn("oov_rate",
+          round(col("oov_tokens").cast("double") / col("tokens"), 6))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tok AS (
+        SELECT source, unnest(list_filter(
+          string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        FROM documents),
+      v AS (SELECT token, 1 AS in_v FROM (
+          SELECT token, count(*) AS c FROM tok GROUP BY token
+          ORDER BY c DESC, token LIMIT 16)),
+      ps AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+      g AS (SELECT ps.source,
+          CAST(sum(ps.n) AS BIGINT) AS tokens,
+          CAST(sum(CASE WHEN v.in_v IS NULL THEN ps.n ELSE 0 END) AS BIGINT)
+            AS oov_tokens,
+          count(CASE WHEN v.in_v IS NULL THEN 1 END) AS oov_types
+        FROM ps LEFT JOIN v USING (token) GROUP BY ps.source)
+      SELECT source, tokens, oov_tokens, oov_types,
+        round(CAST(oov_tokens AS DOUBLE) / tokens, 6) AS oov_rate
+      FROM g ORDER BY source"""))
+
+  /** N-gram diversity / type-token ratio per source for n = 1..3
+    * (oracle-exact): distinct grams over total grams — the standard
+    * diversity-collapse detector (a source whose TTR craters is
+    * boilerplate or template spam even when exact dedup passes).
+    * Scale shape: gram construction is a narrow per-row HOF over a
+    * MATERIALIZED token array (the codebase's HOF discipline — no
+    * embedded tokenizer re-evaluation), and each leg is one
+    * (source, gram) shuffle; nothing corpus-scale sorts. The three
+    * legs union AFTER aggregation, so the union moves 3·|sources|
+    * rows, not grams. */
+  val q134NgramDiversity = GraftQuery(
+    "q134_ngram_diversity", { (s, dir) =>
+      val ts = docs(s, dir).select(col("source"),
+        TextAnalysis.tokens(lower(col("text"))).as("ts"))
+      def leg(n: Int): DataFrame = {
+        val grams = ts.select(col("source"),
+          explode(when(size(col("ts")) >= n,
+            transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+              i => concat_ws(" ", slice(col("ts"), i, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+        grams.groupBy(col("source"))
+          .agg(count(lit(1)).as("total_grams"),
+            countDistinct(col("g")).as("distinct_grams"))
+          .select(col("source"), lit(n).as("n"),
+            col("total_grams"), col("distinct_grams"))
+      }
+      Seq(1, 2, 3).map(leg).reduce(_ unionByName _)
+        .withColumn("ttr",
+          round(col("distinct_grams").cast("double") / col("total_grams"), 6))
+        .orderBy(col("source"), col("n"))
+    },
+    Some("""WITH t AS (
+        SELECT source, list_filter(
+          string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        FROM documents),
+      g AS (
+        SELECT source, 1 AS n, unnest(ts) AS g FROM t
+        UNION ALL
+        SELECT source, 2, unnest(CASE WHEN len(ts) >= 2 THEN
+            list_transform(generate_series(1, len(ts) - 1),
+              i -> array_to_string(list_slice(ts, i, i + 1), ' '))
+          ELSE CAST([] AS VARCHAR[]) END) FROM t
+        UNION ALL
+        SELECT source, 3, unnest(CASE WHEN len(ts) >= 3 THEN
+            list_transform(generate_series(1, len(ts) - 2),
+              i -> array_to_string(list_slice(ts, i, i + 2), ' '))
+          ELSE CAST([] AS VARCHAR[]) END) FROM t)
+      SELECT source, n, count(*) AS total_grams,
+        count(DISTINCT g) AS distinct_grams,
+        round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS ttr
+      FROM g GROUP BY source, n ORDER BY source, n"""))
+
+  /** Zipf-slope corpus-health check per source (oracle-exact): OLS
+    * slope of ln(freq) on ln(rank) over the source's token frequency
+    * spectrum — natural text sits near −1; template/boilerplate
+    * sources flatten toward 0 and spam steepens. Cross-engine FP
+    * discipline (the q113 micros pattern, extended to regression):
+    * both engines round ln(rank) and ln(freq) to integer MICROS first,
+    * accumulate the OLS sums as exact integers, and perform ONE
+    * identical-operand double division at the end — no order-dependent
+    * float accumulation anywhere. Long-overflow headroom: micro values
+    * ≤ ~2·10⁷ even at a 10⁹-type vocabulary, so Σx·y over 10⁶ types
+    * stays < 2⁶³ at fixture-to-production scales this repo targets
+    * (re-scale to 1e3 at extreme vocabularies). Scale shape: the
+    * per-source rank window orders VOCABULARY-bounded rows (types, not
+    * occurrences); everything else is map-side-combinable sums. */
+  val q135ZipfSlope = GraftQuery(
+    "q135_zipf_slope", { (s, dir) =>
+      val counts = docs(s, dir).select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("token"))
+      val xy = counts.withColumn("rk", row_number().over(w))
+        .select(col("source"),
+          round(log(col("rk").cast("double")) * 1e6).cast("long").as("x"),
+          round(log(col("n").cast("double")) * 1e6).cast("long").as("y"))
+      xy.groupBy(col("source")).agg(
+          count(lit(1)).as("k"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("source"), col("k").as("vocab"),
+          round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            6).as("zipf_slope"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tok AS (
+        SELECT source, unnest(list_filter(
+          string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        FROM documents),
+      c AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+      r AS (SELECT source,
+          CAST(round(ln(row_number() OVER (PARTITION BY source
+            ORDER BY n DESC, token)) * 1e6) AS BIGINT) AS x,
+          CAST(round(ln(n) * 1e6) AS BIGINT) AS y
+        FROM c),
+      a AS (SELECT source, count(*) AS k,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM r GROUP BY source)
+      SELECT source, k AS vocab,
+        round(CAST(k * sxy - sx * sy AS DOUBLE)
+          / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+      FROM a ORDER BY source"""))
+
+  /** Canonical-representative selection over the q51 near-dup clusters
+    * (oracle-exact): instead of q51's keep-min-id summary, each
+    * cluster keeps its LONGEST member (length desc, id asc tie-break)
+    * — the policy real curation pipelines use, because near-dup
+    * groups usually contain one full document and N truncated scrapes
+    * of it. One row per cluster: root, size, kept id, kept length.
+    * The DuckDB oracle replays the ENTIRE chain a third way —
+    * shingling, candidate edges, recursive-CTE components, and the
+    * keep window — so the star-contraction roots must agree with the
+    * closure's min-reachable labels (the q100 parity, now consumed by
+    * an output row). Scale shape: q51's (components are join-rounds
+    * with truncated lineage) plus one rank window PER CLUSTER —
+    * bounded by cluster size, never corpus size. */
+  val q51bCanonicalKeep = GraftQuery(
+    "q51b_canonical_keep", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val edges = DedupCluster.sharedShingleEdges(
+        corpus, "text", "doc_id", shingleK = 3, minShared = 10, maxDf = 1000)
+      val comp = DedupCluster.connectedComponents(edges)
+      val lens = corpus.select(col("doc_id").as("node"),
+        length(col("text")).as("len"))
+      val byRoot = Window.partitionBy(col("root"))
+      comp.join(lens, Seq("node"))
+        .withColumn("rk",
+          row_number().over(byRoot.orderBy(col("len").desc, col("node"))))
+        .withColumn("cluster_size", count(lit(1)).over(byRoot))
+        .filter(col("rk") === 1)
+        .select(col("root"), col("cluster_size"),
+          col("node").as("keep_id"), col("len").as("keep_len"))
+        .orderBy(col("root"))
+    },
+    Some("""WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '') FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(toks)-2, 1)),
+          i -> array_to_string(list_slice(toks, i, i+2), ' ')))) AS s
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+              FROM corpus)),
+      keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+      shf AS (SELECT doc_id, s FROM sh JOIN keep USING (s)),
+      edges AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 10),
+      sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+      walk(node, front) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT w.node, s.v FROM walk w JOIN sym s ON s.u = w.front),
+      comp AS (SELECT node, min(front) AS root FROM walk GROUP BY node),
+      lens AS (SELECT doc_id AS node, len(text) AS l FROM corpus),
+      j AS (SELECT comp.root, comp.node, lens.l
+        FROM comp JOIN lens USING (node)),
+      rkd AS (SELECT root, node, l,
+          row_number() OVER (PARTITION BY root ORDER BY l DESC, node) AS rk,
+          count(*) OVER (PARTITION BY root) AS n
+        FROM j)
+      SELECT root, n AS cluster_size, node AS keep_id, l AS keep_len
+      FROM rkd WHERE rk = 1 ORDER BY root"""))
+
   val all: Seq[GraftQuery] = Seq(
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q29Fingerprint, q29bWinnowContract,
@@ -3412,5 +3632,6 @@ object TextVectorQueries {
     q119dBpeDocPricing, q120SourceDrift,
     q34cAnnLshProjected,
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
-    q107DiversitySample, q107bDiversityContract)
+    q107DiversitySample, q107bDiversityContract,
+    q133OovRate, q134NgramDiversity, q135ZipfSlope, q51bCanonicalKeep)
 }

@@ -25,7 +25,15 @@ class PharmaMlSpec extends SparkTestBase {
     Seq(m.covered, m.notCovered).foreach { cs =>
       assert(cs.precision >= 0.0 && cs.precision <= 1.0)
       assert(cs.recall >= 0.0 && cs.recall <= 1.0)
+      // f1 is the harmonic mean of the same P/R (classification_report
+      // parity); support counts true class members
+      val expectedF1 =
+        if (cs.precision + cs.recall == 0) 0.0
+        else 2 * cs.precision * cs.recall / (cs.precision + cs.recall)
+      assert(math.abs(cs.f1 - expectedF1) <= 1e-12)
     }
+    // supports partition the test split exactly
+    assert(m.covered.support + m.notCovered.support === m.testRows)
     assert(m.reloadOk, "reloaded model must reproduce every prediction")
   }
 
