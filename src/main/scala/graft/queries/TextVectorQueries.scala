@@ -3599,6 +3599,80 @@ object TextVectorQueries {
       SELECT root, n AS cluster_size, node AS keep_id, l AS keep_len
       FROM rkd WHERE rk = 1 ORDER BY root"""))
 
+  /** Per-label embedding-cluster coherence (oracle-EXACT — unusual for
+    * an embedding row, which elsewhere verify via contracts): vector
+    * count, centroid norm, mean and min cosine-to-centroid. The
+    * telemetry a SemDeDup/IVF deployment reads to decide whether its
+    * cell structure still matches the data. Exactness architecture
+    * (the q113/q135 integer-micros discipline, extended to vector
+    * math): components quantize to micro longs (one identical IEEE
+    * multiply + round per value), the quantized centroid is
+    * round(Σxm/n) — exact integer sum, one division — and every dot
+    * product / squared norm is an exact INTEGER sum of micro products,
+    * so both engines reach sqrt/division with bit-identical operands;
+    * per-row cosines re-quantize before the mean (order-independent
+    * exact sum), min is order-independent by definition. Overflow
+    * headroom: unit-scale micro components ≤ ~2e6 → Σ over 64 dims
+    * ≤ ~3e14 ≪ 2⁶³. Scale shape: one (label, dim) shuffle for the
+    * centroid (labels×64 rows out), one (label, vec) re-aggregation;
+    * the centroid relation joins back un-hinted (cardinality is
+    * data-dependent — AQE broadcasts it when small, the Quantiles
+    * no-hint rule). */
+  val q136EmbeddingCoherence = GraftQuery(
+    "q136_embedding_coherence", { (s, dir) =>
+      val x = embeds(s, dir)
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("d", "xv")))
+        .select(col("label"), col("vec_id"), col("d"),
+          round(col("xv").cast("double") * 1e6).cast("long").as("xm"))
+      val cent = x.groupBy(col("label"), col("d"))
+        .agg(round(sum(col("xm")).cast("double") / count(lit(1)))
+          .cast("long").as("cm"))
+      val b = cent.groupBy(col("label"))
+        .agg(sum(col("cm") * col("cm")).as("b2"))
+      val perVec = x.join(cent, Seq("label", "d"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(sum(col("xm") * col("cm")).as("num"),
+          sum(col("xm") * col("xm")).as("a2"))
+      val cosr = perVec.join(b, Seq("label"))
+        .withColumn("cos", col("num").cast("double")
+          / (sqrt(col("a2").cast("double")) * sqrt(col("b2").cast("double"))))
+        .withColumn("cos_micro", round(col("cos") * 1e6).cast("long"))
+      cosr.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sqrt(max(col("b2")).cast("double")) / 1e6, 6)
+            .as("centroid_norm"),
+          round(sum(col("cos_micro")).cast("double")
+            / (count(lit(1)) * 1e6), 6).as("mean_cos"),
+          round(min(col("cos")), 6).as("min_cos"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH x AS (
+        SELECT label, vec_id,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xm,
+          unnest(generate_series(1, len(embedding))) AS d
+        FROM embeddings),
+      c AS (SELECT label, d,
+          CAST(round(CAST(sum(xm) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+        FROM x GROUP BY 1, 2),
+      b AS (SELECT label, CAST(sum(cm * cm) AS BIGINT) AS b2
+        FROM c GROUP BY 1),
+      pv AS (SELECT x.label, x.vec_id,
+          CAST(sum(x.xm * c.cm) AS BIGINT) AS num,
+          CAST(sum(x.xm * x.xm) AS BIGINT) AS a2
+        FROM x JOIN c USING (label, d) GROUP BY 1, 2),
+      cosr AS (SELECT pv.label,
+          CAST(pv.num AS DOUBLE)
+            / (sqrt(CAST(pv.a2 AS DOUBLE)) * sqrt(CAST(b.b2 AS DOUBLE)))
+            AS cos, b.b2
+        FROM pv JOIN b USING (label))
+      SELECT label, count(*) AS n,
+        round(sqrt(CAST(max(b2) AS DOUBLE)) / 1e6, 6) AS centroid_norm,
+        round(CAST(sum(CAST(round(cos * 1e6) AS BIGINT)) AS DOUBLE)
+          / (count(*) * 1e6), 6) AS mean_cos,
+        round(min(cos), 6) AS min_cos
+      FROM cosr GROUP BY label ORDER BY label"""))
+
   val all: Seq[GraftQuery] = Seq(
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q29Fingerprint, q29bWinnowContract,
@@ -3633,5 +3707,6 @@ object TextVectorQueries {
     q34cAnnLshProjected,
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
     q107DiversitySample, q107bDiversityContract,
-    q133OovRate, q134NgramDiversity, q135ZipfSlope, q51bCanonicalKeep)
+    q133OovRate, q134NgramDiversity, q135ZipfSlope, q51bCanonicalKeep,
+    q136EmbeddingCoherence)
 }

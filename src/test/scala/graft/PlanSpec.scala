@@ -497,6 +497,31 @@ class PlanSpec extends SparkTestBase {
       s"prefilter must be below the window:\n$p")
   }
 
+  test("q133 OOV gate: top-V cut rides TakeOrderedAndProject and joins back as a broadcast") {
+    val p = planOf(graft.queries.TextVectorQueries.q133OovRate
+      .run(spark, sfDir))
+    // the vocabulary cut must NOT be a global sort — V is literal, so
+    // the planner takes the bounded top-k path
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the V-row membership gate joins the per-source counts by
+    // broadcast, never re-shuffling the corpus-side aggregate on token
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q136 embedding coherence: centroid join carries no broadcast hint (AQE decides)") {
+    val df = graft.queries.TextVectorQueries.q136EmbeddingCoherence
+      .run(spark, sfDir)
+    // the centroid/norm relations are label-cardinality — data-
+    // dependent — so per the Quantiles no-hint rule NO join may carry
+    // a strategy hint; AQE broadcasts them at runtime when small
+    val hintedSides = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        Seq(j.hint.leftHint, j.hint.rightHint)
+          .count(_.exists(_.strategy.isDefined))
+    }.sum
+    assert(hintedSides === 0, s"expected hint-free joins, found $hintedSides")
+  }
+
   test("q124 semantic decontamination: benchmark broadcasts, corpus-scan join sides hint-free") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val df = graft.ops.Dedup.semanticDecontaminate(
