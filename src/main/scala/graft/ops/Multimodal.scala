@@ -283,6 +283,176 @@ object Multimodal {
       .toDF()
   }
 
+  /** REAL WAV/RIFF header decode (the public RIFF container + PCM
+    * format chunk — microsoft multimedia file format, as documented in
+    * every public WAV spec): walk the chunk list, read `fmt ` (PCM
+    * only), locate `data`. PCM needs NO codec — the samples are right
+    * there — so unlike video, the audio modality is fully real in this
+    * container: header, features, and resampling all operate on
+    * genuine playable bytes. Never-throw policy like the other codecs:
+    * malformed/compressed input is None. */
+  object WavCodec {
+    final case class WavInfo(channels: Int, sampleRate: Int,
+        bitsPerSample: Int, nFrames: Int, dataOffset: Int, dataBytes: Int)
+
+    def decodeHeader(bytes: Array[Byte]): Option[WavInfo] = {
+      if (bytes == null || bytes.length < 44) return None
+      def u8(i: Int) = bytes(i) & 0xFF
+      def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def u32(i: Int) = u16(i).toLong | (u16(i + 2).toLong << 16)
+      def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+      while (i + 8 <= bytes.length) {
+        val id = tag(i)
+        val len = u32(i + 4)
+        if (len < 0 || i + 8 + len > bytes.length) return None
+        if (id == "fmt ") {
+          if (len < 16 || u16(i + 8) != 1) return None // PCM only
+          fmt = Some((u16(i + 10), u32(i + 12).toInt, u16(i + 22)))
+        } else if (id == "data") {
+          return fmt.flatMap { case (ch, rate, bits) =>
+            val blockAlign = ch * bits / 8
+            if (blockAlign <= 0 || ch <= 0 || rate <= 0) None
+            else Some(WavInfo(ch, rate, bits, len.toInt / blockAlign,
+              i + 8, len.toInt))
+          }
+        }
+        i += 8 + len.toInt + (len.toInt & 1) // RIFF chunks are word-aligned
+      }
+      None
+    }
+  }
+
+  /** REAL audio feature extraction over PCM16 WAV blobs: one iterator
+    * pass per partition decoding the actual samples into RMS energy and
+    * peak amplitude (normalized to [0,1]) plus the true duration — the
+    * silence/clipping screen an audio-curation pipeline runs before
+    * transcription. Non-WAV / non-PCM16 blobs emit valid=false (mixed
+    * corpora pass through in one pass, the decodeMeta NULL policy).
+    * Emits (media_id, channels, sample_rate, n_frames, duration_sec,
+    * rms, peak, valid). */
+  def decodeAudioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("duration_sec", DoubleType, nullable = true),
+      StructField("rms", DoubleType, nullable = true),
+      StructField("peak", DoubleType, nullable = true),
+      StructField("valid", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          WavCodec.decodeHeader(bytes) match {
+            case Some(w) if w.bitsPerSample == 16 =>
+              var sumSq = 0.0
+              var peak = 0L
+              val nSamples = w.dataBytes / 2
+              var i = 0
+              while (i < nSamples) {
+                val off = w.dataOffset + i * 2
+                val s = ((bytes(off) & 0xFF) |
+                  (bytes(off + 1) << 8)).toShort.toLong
+                sumSq += s.toDouble * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                i += 1
+              }
+              Row(id, w.channels, w.sampleRate, w.nFrames,
+                w.nFrames.toDouble / w.sampleRate,
+                math.sqrt(sumSq / math.max(nSamples, 1)) / 32768.0,
+                peak.toDouble / 32768.0, true)
+            case _ => Row(id, null, null, null, null, null, null, false)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** REAL audio downsample: decimate PCM16 frames by `factor` (keep
+    * every factor-th frame across all channels) and re-emit a VALID
+    * RIFF/WAVE blob at sampleRate/factor — naive-but-correct decimation
+    * (a production pipeline adds an anti-alias filter; the container
+    * arithmetic is identical). Output blobs round-trip through
+    * [[WavCodec.decodeHeader]] and [[decodeAudioFeatures]]
+    * (MultimodalSpec pins duration and energy preservation). Non-WAV
+    * blobs pass through untouched. */
+  def downsampleWav(spark: SparkSession, media: DataFrame,
+      factor: Int = 2): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.select(col("media_id"), col("content"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          WavCodec.decodeHeader(bytes) match {
+            case Some(w) if w.bitsPerSample == 16 =>
+              val blockAlign = w.channels * 2
+              val kept = Iterator.range(0, w.nFrames, factor).toArray
+              val body = new Array[Byte](kept.length * blockAlign)
+              var j = 0
+              while (j < kept.length) {
+                System.arraycopy(bytes, w.dataOffset + kept(j) * blockAlign,
+                  body, j * blockAlign, blockAlign)
+                j += 1
+              }
+              val out = wavBytes(w.channels, w.sampleRate / factor, body)
+              Row(id, out, Row("audio", null, null, out.length.toLong))
+            case _ => Row(id, bytes, r.getStruct(2))
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** Assemble a canonical 44-byte-header PCM16 WAV blob. */
+  private def wavBytes(channels: Int, sampleRate: Int,
+      pcm: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort) // PCM
+      .putInt(sampleRate).putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+      .put(pcm)
+    bb.array()
+  }
+
+  /** Deterministic REAL-WAV media table: `n` mono PCM16 sine tones
+    * (440·(i+1) Hz, 0.1 s at 8 kHz, half-scale amplitude) assembled as
+    * genuine RIFF/WAVE bytes — the audio twin of
+    * [[syntheticJpegMedia]], driver-built at fixture size. Known
+    * analytic ground truth: RMS = amp/√2, duration = 0.1 s. */
+  def syntheticWavMedia(spark: SparkSession, n: Int = 3,
+      idBase: Long = 9500000L): DataFrame = {
+    val rate = 8000
+    val frames = rate / 10
+    val amp = 16384.0 // half scale
+    val rows = (0 until n).map { i =>
+      val hz = 440.0 * (i + 1)
+      val pcm = java.nio.ByteBuffer.allocate(frames * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until frames).foreach { t =>
+        pcm.putShort(math.round(
+          amp * math.sin(2 * math.Pi * hz * t / rate)).toShort)
+      }
+      val bytes = wavBytes(1, rate, pcm.array())
+      Row(idBase + i, bytes, Row("audio", null, null, bytes.length.toLong))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), mediaSchema)
+  }
+
   /** Frame sampling — the video path's explode-shaped transform: the
     * payload after the header is treated as fixed-size frames and every
     * `stride`-th frame becomes its own row (media_id, frame_idx, frame).

@@ -3673,6 +3673,47 @@ object TextVectorQueries {
         round(min(cos), 6) AS min_cos
       FROM cosr GROUP BY label ORDER BY label"""))
 
+  /** Audio-modality features through the REAL WAV path (oracle-exact):
+    * the deterministic sine fixture is genuine RIFF/PCM16 bytes, so the
+    * Spark side chunk-walks and decodes actual samples, and DuckDB
+    * replays the SAME quantized signal analytically — s(t) =
+    * round(16384·sin(2π·f·t/8000)) gives exact integer sample values in
+    * both engines (identical operand-order double arithmetic before one
+    * round; the only cross-engine exposure is a ≤1-ulp libm sin landing
+    * within 1 ulp of a .5 boundary, the q135 ln() risk class —
+    * negligible and documented), after which Σs² and max|s| are exact
+    * integers and RMS/peak are single shared IEEE operations. A defect
+    * anywhere in the container walk, the PCM16 little-endian sample
+    * decode, or the energy fold hash-fails the row. Scale shape: the
+    * decode is [[graft.ops.Multimodal.decodeAudioFeatures]]'s narrow
+    * per-partition pass — per-blob work, no shuffle. */
+  val q137AudioFeatures = GraftQuery(
+    "q137_audio_features", { (s, _) =>
+      graft.ops.Multimodal.decodeAudioFeatures(
+          s, graft.ops.Multimodal.syntheticWavMedia(s, n = 3))
+        .select(col("media_id"), col("channels"), col("sample_rate"),
+          col("n_frames"),
+          round(col("duration_sec"), 4).as("duration_sec"),
+          round(col("rms"), 4).as("rms"),
+          round(col("peak"), 4).as("peak"))
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH tones AS (SELECT unnest(generate_series(0, 2)) AS tone),
+      ts AS (SELECT unnest(generate_series(0, 799)) AS t),
+      s AS (SELECT tone,
+          CAST(round(16384 * sin(2 * pi() * (440.0 * (tone + 1)) * t / 8000))
+            AS BIGINT) AS smp
+        FROM tones, ts),
+      a AS (SELECT tone, CAST(sum(smp * smp) AS BIGINT) AS ss,
+          CAST(max(abs(smp)) AS BIGINT) AS pk
+        FROM s GROUP BY tone)
+      SELECT 9500000 + tone AS media_id, 1 AS channels,
+        8000 AS sample_rate, 800 AS n_frames,
+        round(800.0 / 8000, 4) AS duration_sec,
+        round(sqrt(CAST(ss AS DOUBLE) / 800) / 32768, 4) AS rms,
+        round(CAST(pk AS DOUBLE) / 32768, 4) AS peak
+      FROM a ORDER BY media_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q29Fingerprint, q29bWinnowContract,
@@ -3708,5 +3749,5 @@ object TextVectorQueries {
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
     q107DiversitySample, q107bDiversityContract,
     q133OovRate, q134NgramDiversity, q135ZipfSlope, q51bCanonicalKeep,
-    q136EmbeddingCoherence)
+    q136EmbeddingCoherence, q137AudioFeatures)
 }

@@ -178,4 +178,43 @@ class MultimodalSpec extends SparkTestBase {
       .filter(!col("valid")).count() === 1L)
     assert(Multimodal.resizeJpegHalf(spark, mixed).count() === 2L)
   }
+
+  test("REAL WAV path: header fields exact, sine RMS/peak analytic, decimation halves rate and preserves energy") {
+    val wav = Multimodal.syntheticWavMedia(spark, n = 3)
+    // header decode: genuine RIFF bytes through the chunk walk
+    val feats = Multimodal.decodeAudioFeatures(spark, wav)
+      .orderBy(col("media_id")).collect()
+    assert(feats.length === 3 && feats.forall(_.getBoolean(7)))
+    feats.foreach { f =>
+      assert(f.getInt(1) === 1 && f.getInt(2) === 8000 && f.getInt(3) === 800)
+      assert(math.abs(f.getDouble(4) - 0.1) <= 1e-9, "duration")
+      // sine ground truth: RMS = amp/√2 = 0.5/√2 ≈ 0.3536 (±1% for
+      // sample-phase effects), peak ≈ amp
+      assert(math.abs(f.getDouble(5) - 0.5 / math.sqrt(2)) <= 0.005,
+        s"rms ${f.getDouble(5)}")
+      assert(f.getDouble(6) >= 0.49 && f.getDouble(6) <= 0.501,
+        s"peak ${f.getDouble(6)}")
+    }
+    // decimation by 2: output is a VALID WAV at half rate, half frames,
+    // same duration, energy preserved (a sine decimated by 2 is a sine)
+    val down = Multimodal.downsampleWav(spark, wav, factor = 2)
+    val df2 = Multimodal.decodeAudioFeatures(spark, down)
+      .orderBy(col("media_id")).collect()
+    assert(df2.length === 3 && df2.forall(_.getBoolean(7)))
+    df2.foreach { f =>
+      assert(f.getInt(2) === 4000 && f.getInt(3) === 400)
+      assert(math.abs(f.getDouble(4) - 0.1) <= 1e-9, "duration preserved")
+      assert(math.abs(f.getDouble(5) - 0.5 / math.sqrt(2)) <= 0.01,
+        s"decimated rms ${f.getDouble(5)}")
+    }
+    // mixed corpus: non-WAV blobs flow through as invalid / untouched
+    val mixed = wav.unionByName(media.limit(2))
+    assert(Multimodal.decodeAudioFeatures(spark, mixed)
+      .filter(!col("valid")).count() === 2L)
+    assert(Multimodal.downsampleWav(spark, mixed).count() === 5L)
+    // corrupt RIFF (truncated mid-chunk) is None, never a throw
+    val truncated = wav.limit(1).collect().head.getAs[Array[Byte]](1).take(50)
+    assert(Multimodal.WavCodec.decodeHeader(truncated).isEmpty)
+    assert(Multimodal.WavCodec.decodeHeader("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
 }
