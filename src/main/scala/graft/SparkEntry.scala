@@ -93,6 +93,12 @@ object SparkEntry {
     // export with a real file round-trip) — the closest thing the
     // suite has to a full-pipeline wall-time
     "q104b_duplicated_spans_winnowed", "q122_curation_pipeline",
+    // round-14: the two heaviest telemetry rows — embedding-cluster
+    // coherence (the full (label, dim) explode + per-vector exact
+    // integer dot products; the densest pure-arithmetic shuffle in the
+    // suite) and the n-gram diversity scan (three gram passes over the
+    // corpus — times the HOF gram builder the dedup family leans on)
+    "q136_embedding_coherence", "q134_ngram_diversity",
     // the one two-source join in the pharma family (meds ⋈ labs via the
     // managed catalog) — cheap, but it keeps the S8 ingestion edge and
     // the catalog round-trip inside the per-round timing surface
