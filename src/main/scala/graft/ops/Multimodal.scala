@@ -91,14 +91,48 @@ object Multimodal {
     }
   }
 
+  /** REAL PNG header decode (RFC 2083 / ISO 15948): the 8-byte
+    * signature followed by the mandatory first IHDR chunk, whose
+    * payload leads with width and height as big-endian uint32. The
+    * spec REQUIRES IHDR first, so a fixed-offset read after validating
+    * both the signature and the chunk tag is a conforming parse, not a
+    * shortcut. Same never-throw policy as the other codecs. */
+  object PngCodec {
+    private val Signature =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    def decodeHeader(bytes: Array[Byte]): Option[(Int, Int)] = {
+      if (bytes == null || bytes.length < 24) return None
+      var i = 0
+      while (i < 8) {
+        if (bytes(i) != Signature(i)) return None
+        i += 1
+      }
+      def u32(o: Int): Long =
+        ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+          ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+      // chunk at 8: [len:4]["IHDR"][width:4][height:4]...
+      if (new String(bytes, 12, 4, "US-ASCII") != "IHDR") return None
+      val (w, h) = (u32(16), u32(20))
+      if (w < 1 || h < 1 || w > Int.MaxValue || h > Int.MaxValue) None
+      else Some((w.toInt, h.toInt))
+    }
+  }
+
   /** Codec dispatch on real magic bytes: JPEG SOI (FF D8) routes to the
-    * [[JpegCodec]] marker walk, the stand-in magic to [[FakeCodec]].
-    * Returns (codec, width, height). This is the extension seam — a PNG
-    * IHDR or RIFF/WAV branch is one more case with the same shape. */
+    * [[JpegCodec]] marker walk, the PNG signature to [[PngCodec]]'s
+    * IHDR read, the stand-in magic to [[FakeCodec]]. Returns
+    * (codec, width, height). This is the extension seam — a RIFF/AVI
+    * branch is one more case with the same shape (WAV dispatches
+    * separately via [[decodeAudioFeatures]], where the fields are
+    * audio-typed rather than width/height). */
   def decodeHeaderAny(bytes: Array[Byte]): Option[(String, Int, Int)] =
     if (bytes != null && bytes.length >= 2 &&
         (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
       JpegCodec.decodeHeader(bytes).map { case (w, h) => ("jpeg", w, h) }
+    else if (bytes != null && bytes.length >= 8 &&
+        (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte)
+      PngCodec.decodeHeader(bytes).map { case (w, h) => ("png", w, h) }
     else
       FakeCodec.decodeHeader(bytes).map { case (w, h) => ("grft", w, h) }
 

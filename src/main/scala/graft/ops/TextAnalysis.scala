@@ -527,6 +527,38 @@ object TextAnalysis {
     (state, merges.result().reduce(_ unionByName _).orderBy(col("round")))
   }
 
+  /** Tokenizer-coverage report over a (source, token, n) COUNTS
+    * relation: per-source occurrence/type OOV against the global top-V
+    * vocabulary (count desc, token asc tie-break — deterministic at
+    * the V boundary). Taking counts rather than a corpus is the point:
+    * the same function serves the batch query (q133, counts fresh from
+    * the corpus) AND the standing mergeable counts table the streaming
+    * sink maintains — coverage telemetry for a 100 TB corpus at
+    * O(vocabulary) cost with NO corpus rescan (StreamingSpec pins
+    * streamed-counts ≡ batch equality). Scale shape: the top-V cut
+    * rides TakeOrderedAndProject (V is a literal, driver-bounded) and
+    * broadcasts back as the membership gate (bounded by the LITERAL V,
+    * so the hint is safe by construction); everything else is
+    * vocabulary-keyed aggregation. */
+  def oovReport(counts: DataFrame, sourceCol: String, tokenCol: String,
+      nCol: String, v: Int): DataFrame = {
+    require(v >= 1, "vocabulary size must be >= 1")
+    val c = counts.select(col(sourceCol).as("source"),
+      col(tokenCol).as("token"), col(nCol).as("n"))
+    val vocab = c.groupBy(col("token")).agg(sum(col("n")).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(v)
+      .select(col("token"), lit(1).as("in_v"))
+    c.join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n")).as("tokens"),
+        sum(when(col("in_v").isNull, col("n")).otherwise(lit(0L)))
+          .as("oov_tokens"),
+        count(when(col("in_v").isNull, 1)).as("oov_types"))
+      .withColumn("oov_rate",
+        round(col("oov_tokens").cast("double") / col("tokens"), 6))
+  }
+
   /** Full per-document text-statistics projection. */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

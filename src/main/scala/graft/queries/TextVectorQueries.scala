@@ -3392,21 +3392,12 @@ object TextVectorQueries {
     * LITERAL V, not data, so the hint is safe by construction. */
   val q133OovRate = GraftQuery(
     "q133_oov_rate", { (s, dir) =>
-      val tok = docs(s, dir).select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
-      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("token")).limit(16)
-        .select(col("token"), lit(1).as("in_v"))
-      tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
-        .join(broadcast(vocab), Seq("token"), "left_outer")
-        .groupBy(col("source"))
-        .agg(
-          sum(col("n")).as("tokens"),
-          sum(when(col("in_v").isNull, col("n")).otherwise(lit(0L)))
-            .as("oov_tokens"),
-          count(when(col("in_v").isNull, 1)).as("oov_types"))
-        .withColumn("oov_rate",
-          round(col("oov_tokens").cast("double") / col("tokens"), 6))
+      val counts = docs(s, dir).select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+      // the report runs off a COUNTS relation so the identical function
+      // serves the streaming counts table (TextAnalysis.oovReport doc)
+      TextAnalysis.oovReport(counts, "source", "token", "n", v = 16)
         .orderBy(col("source"))
     },
     Some("""WITH tok AS (

@@ -179,6 +179,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.resizeJpegHalf(spark, mixed).count() === 2L)
   }
 
+  test("REAL PNG fixture: IHDR decode matches the JDK encoder's dimensions; pixels decode through ImageIO") {
+    import org.apache.spark.sql.Row
+    val (w, h) = (37, 91)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    assert(Multimodal.PngCodec.decodeHeader(bytes) === Some((w, h)))
+    assert(Multimodal.decodeHeaderAny(bytes) === Some(("png", w, h)))
+    // the mixed-corpus meta pass routes the PNG through the same
+    // dispatch and decodes its true dimensions
+    val m = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(42L, bytes, Row("image", w, h, bytes.length.toLong))), 1),
+      Multimodal.mediaSchema)
+    val meta = Multimodal.decodeMeta(spark, m).head()
+    assert(meta.getBoolean(4) && meta.getInt(1) === w && meta.getInt(2) === h)
+    // and the JDK ships a PNG reader, so the pixel path is real too
+    val px = Multimodal.decodePixels(spark, m).head()
+    assert(px.getBoolean(6) && math.abs(px.getDouble(3) - 0x33) <= 1)
+    // corrupt: signature ok but IHDR missing → None, never a throw
+    val broken = bytes.clone(); broken(12) = 'X'.toByte
+    assert(Multimodal.PngCodec.decodeHeader(broken).isEmpty)
+    assert(Multimodal.PngCodec.decodeHeader(bytes.take(20)).isEmpty)
+  }
+
   test("REAL WAV path: header fields exact, sine RMS/peak analytic, decimation halves rate and preserves energy") {
     val wav = Multimodal.syntheticWavMedia(spark, n = 3)
     // header decode: genuine RIFF bytes through the chunk walk

@@ -1384,6 +1384,25 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("OOV report served from the STREAMED counts table equals the batch q133 answer — coverage telemetry without a corpus rescan") {
+    import graft.streaming.CurationStream
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tbl = "default.oov_counts_spec"
+    val dir = CurationStream.stageEmbeddings(d, parts = 3)
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      assert(CurationStream.runTokenCountSink(spark, dir, tbl) === 3L)
+      // the SAME oovReport that backs q133, fed by the landed mergeable
+      // counts instead of the corpus
+      val streamed = graft.ops.TextAnalysis.oovReport(
+        spark.table(tbl), "source", "token", "c", v = 16)
+      val batch = graft.queries.TextVectorQueries.q133OovRate
+        .run(spark, sfDir)
+      assert(streamed.exceptAll(batch).count() === 0L)
+      assert(batch.exceptAll(streamed).count() === 0L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("quantile-sketch sink with a pinned schema starts on an EMPTY staging directory; schema-less start fails loudly") {
     // the curation twin of the event-stream empty-directory fix: a
     // sink deployed BEFORE the first crawl file lands must come up
