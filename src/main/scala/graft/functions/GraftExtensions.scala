@@ -49,6 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(1), "shingle_hashes", "k"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("gram_strings"),
+      info("gram_strings"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "gram_strings(tokens, k)")
+        GramStringsExpr(children.head,
+          intLit(children(1), "gram_strings", "k"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("all_sign_bits"),
       info("all_sign_bits"),
       (children: Seq[Expression]) => {

@@ -42,6 +42,18 @@ object SketchExpressions {
     GraftColumnBridge.column(
       ShingleHashesExpr(GraftColumnBridge.expression(tokenHashes), k))
 
+  /** Column wrapper: every k-token window of a STRING token array as a
+    * space-joined gram string (all positions, duplicates kept) —
+    * value-identical to transform(sequence(1, n-k+1),
+    * i -> concat_ws(" ", slice(ts, i, k))) guarded by size >= k, but
+    * codegen'd (the HOF form evaluates interpreted per window). The
+    * string-gram primitive behind the diversity scan (q134) and any
+    * oracle row that needs REPLAYABLE grams (hash-chain shingles can't
+    * be recomputed by SQL engines without xxhash64). */
+  def gramStrings(tokens: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      GramStringsExpr(GraftColumnBridge.expression(tokens), k))
+
   /** Column wrapper: sign-LSH signatures for ALL hash tables in one pass
     * over a double vector — element t is the `planes`-bit signature under
     * table t's hyperplane set, bit-identical to
@@ -246,6 +258,84 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
   * per-window string building. Short inputs (fewer than k tokens, even
   * zero) produce ONE window over what exists, so blank docs still carry a
   * sentinel hash rather than vanishing. */
+/** All k-token window strings (space-joined, every position) from an
+  * array<string> of tokens; empty array below k tokens. See
+  * [[SketchExpressions.gramStrings]] for the HOF form this compiles. */
+case class GramStringsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k > 0, "k must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "gram_strings"
+
+  private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      if (k == 1) out(i) = arr.getUTF8String(i)
+      else {
+        val parts =
+          new Array[org.apache.spark.unsafe.types.UTF8String](k)
+        var j = 0
+        while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        out(i) = org.apache.spark.unsafe.types.UTF8String
+          .concatWs(sep, parts: _*)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      val sepRef = ctx.addReferenceObj("gramSep", sep, utf8)
+      val n = ctx.freshName("gsN")
+      val out = ctx.freshName("gsOut")
+      val i = ctx.freshName("gsI")
+      val j = ctx.freshName("gsJ")
+      val parts = ctx.freshName("gsParts")
+      s"""
+         |final int $n = $c.numElements();
+         |$utf8[] $out;
+         |if ($n < $k) {
+         |  $out = new $utf8[0];
+         |} else {
+         |  $out = new $utf8[$n - ${k - 1}];
+         |  for (int $i = 0; $i <= $n - $k; $i++) {
+         |    ${
+              if (k == 1) s"$out[$i] = $c.getUTF8String($i);"
+              else
+                s"""$utf8[] $parts = new $utf8[$k];
+                   |    for (int $j = 0; $j < $k; $j++) {
+                   |      $parts[$j] = $c.getUTF8String($i + $j);
+                   |    }
+                   |    $out[$i] = $utf8.concatWs($sepRef, $parts);""".stripMargin
+            }
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class ShingleHashesExpr(child: Expression, k: Int)
     extends UnaryExpression {
 

@@ -3433,11 +3433,12 @@ object TextVectorQueries {
       val ts = docs(s, dir).select(col("source"),
         TextAnalysis.tokens(lower(col("text"))).as("ts"))
       def leg(n: Int): DataFrame = {
+        // codegen'd gram builder — value-identical to the HOF
+        // transform/slice/concat_ws form (ExtensionsSpec pins it), but
+        // the window loop compiles instead of interpreting per element
         val grams = ts.select(col("source"),
-          explode(when(size(col("ts")) >= n,
-            transform(sequence(lit(1), size(col("ts")) - (n - 1)),
-              i => concat_ws(" ", slice(col("ts"), i, lit(n)))))
-            .otherwise(array().cast("array<string>"))).as("g"))
+          explode(graft.functions.SketchExpressions
+            .gramStrings(col("ts"), n)).as("g"))
         grams.groupBy(col("source"))
           .agg(count(lit(1)).as("total_grams"),
             countDistinct(col("g")).as("distinct_grams"))

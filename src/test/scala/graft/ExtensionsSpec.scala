@@ -81,6 +81,31 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("gram_strings resolves via SQL and is value-identical to the HOF gram builder") {
+    withExtensionSession { s =>
+      val row = s.sql("SELECT gram_strings(array('a','b','c','d'), 2) AS g")
+        .head()
+      assert(row.getSeq[String](0) === Seq("a b", "b c", "c d"))
+      assert(s.sql("SELECT gram_strings(array('a'), 3) AS g")
+        .head().getSeq[String](0).isEmpty)
+    }
+    // parity over real fixture docs for every n the diversity scan uses
+    val ts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.tokens(lower(col("text"))).as("ts"))
+    Seq(1, 2, 3).foreach { n =>
+      val hof = ts.select(col("doc_id"),
+        when(size(col("ts")) >= n,
+          transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+            i => concat_ws(" ", slice(col("ts"), i, lit(n)))))
+          .otherwise(array().cast("array<string>")).as("g"))
+      val fast = ts.select(col("doc_id"),
+        SketchExpressions.gramStrings(col("ts"), n).as("g"))
+      assert(fast.exceptAll(hof).count() === 0L, s"n=$n")
+      assert(hof.exceptAll(fast).count() === 0L, s"n=$n")
+    }
+  }
+
   test("non-literal sizing argument is rejected with a clear error") {
     withExtensionSession { s =>
       val e = intercept[Exception] {
