@@ -178,6 +178,23 @@ object EventPipeline {
           startingOffsets, maxOffsetsPerTrigger, failOnDataLoss))
         .load())
 
+  /** The wire decode driven by a LIVE TCP connection — Spark's socket
+    * source feeding [[decodeKafkaPayload]], one newline-delimited JSON
+    * payload per event. This is the closest a broker-less sandbox gets
+    * to the Kafka edge END TO END: a real network listener, the real
+    * streaming engine pulling from it, and the identical downstream
+    * decode plan (the only remaining untested hop is the Kafka
+    * connector jar itself, which is Spark's code). The socket source is
+    * at-most-once with no offset replay — Spark documents it as a test/
+    * dev source, which is exactly the role it plays here (StreamingSpec
+    * runs a live ServerSocket against it); production keeps
+    * [[readKafkaStream]]. */
+  def readSocketStream(spark: SparkSession, host: String, port: Int): DataFrame =
+    decodeKafkaPayload(
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port).load()
+        .select(col("value").cast("binary").as("value")))
+
   /** Watermarked tumbling-window aggregation (1 day, 1 hour late data). */
   def tumblingCounts(events: DataFrame): DataFrame =
     events

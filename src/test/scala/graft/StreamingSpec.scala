@@ -589,6 +589,52 @@ class StreamingSpec extends SparkTestBase {
       "kafka.bootstrap.servers" -> "b:9092", "topic" -> "events_out"))
   }
 
+  test("LIVE TCP socket source drives the kafka wire decode end-to-end: real listener, real engine, exact round-trip") {
+    val ev = Tables.load(spark, sfDir, "events").limit(50).cache()
+    val payloads = EventPipeline.encodeKafkaPayload(ev)
+      .select(col("value").cast("string")).collect().map(_.getString(0))
+    val server = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        payloads.foreach(out.println)
+        out.flush()
+        Thread.sleep(60000) // hold the connection while the engine drains
+        sock.close()
+      } catch { case _: Throwable => () } // closed by the finally below
+    })
+    t.setDaemon(true)
+    t.start()
+    val sink = s"t_socket_${System.nanoTime()}"
+    val q = EventPipeline
+      .readSocketStream(spark, "localhost", server.getLocalPort)
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .start()
+    try {
+      // the socket source has no end-of-stream marker — poll the sink
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table(sink).count() < payloads.length &&
+          System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(200)
+      }
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+      val got = spark.table(sink).select(cols.map(col).toIndexedSeq: _*)
+      val expected = ev.select(cols.map(col).toIndexedSeq: _*)
+      assert(got.count() === payloads.length.toLong)
+      // network hop + decode is the identical contract the file-backed
+      // wire test pins: bit-exact round trip
+      assert(got.exceptAll(expected).count() === 0L)
+      assert(expected.exceptAll(got).count() === 0L)
+    } finally {
+      q.stop()
+      server.close()
+      ev.unpersist()
+    }
+  }
+
   test("partitioned upsert sink survives a cross-session restart: orphan directory re-adopted, state kept") {
     // The in-memory catalog forgets tables when a session dies; the
     // warehouse directory persists. A checkpoint-resumed run must
