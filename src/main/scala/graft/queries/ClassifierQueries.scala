@@ -133,6 +133,82 @@ object ClassifierQueries {
       CAST(NULL AS DOUBLE) AS w_merged,
       CAST(NULL AS DOUBLE) AS w_full WHERE 1 = 0"""))
 
+  /** Score-calibration audit for the trained quality classifier
+    * (oracle-exact): NB scores squash through the logistic into
+    * pseudo-probabilities, quantize to integer micros, and bucket into
+    * deciles by INTEGER division (so the bucket boundary is a
+    * deterministic integer comparison in both engines — no float
+    * bucketing ties); per decile the row reports count, mean predicted
+    * probability (exact micro sum, one division) and the empirical
+    * weak-label positive rate. A well-calibrated filter shows
+    * mean_p ≈ frac_pos per bucket — the reliability diagram an ML-ops
+    * pipeline monitors before trusting classifier-thresholded
+    * curation. The DuckDB oracle refits the ENTIRE model from the raw
+    * corpus (the q112 replay) and re-derives the calibration table, so
+    * a defect anywhere in fit, scoring, squash, quantization, or
+    * bucketing hash-fails. Cross-engine exposure: libm exp at 1 ulp
+    * landing within 1 ulp of a .5 micro boundary — the q135 ln() risk
+    * class, negligible and documented. Scale shape: scoring is q112's
+    * vocabulary-keyed shuffles; the calibration itself is one
+    * 10-bucket aggregate. */
+  val q138NbCalibration = GraftQuery(
+    "q138_nb_calibration", { (s, dir) =>
+      Classifier.nbScores(weakLabeled(s, dir), "doc_id", "text", "y")
+        .withColumn("p_micro",
+          round(lit(1.0) / (lit(1.0) + exp(-col("score"))) * lit(1e6))
+            .cast("long"))
+        .withColumn("bucket",
+          least(expr("p_micro div 100000"), lit(9L)).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("docs"),
+          count(when(col("y"), 1)).as("weak_pos"),
+          round(sum(col("p_micro")).cast("double")
+            / (count(lit(1)) * lit(1e6)), 6).as("mean_p"),
+          round(count(when(col("y"), 1)).cast("double") / count(lit(1)), 6)
+            .as("frac_pos"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH scored AS (${TextVectorQueries.qualityScoredDocsSql}),
+      lab AS (SELECT doc_id, source, text, (q >= 0.88) AS y FROM scored),
+      tok AS (SELECT doc_id, y,
+          unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> len(x) > 0)) AS token
+        FROM lab),
+      tc AS (SELECT token,
+          count(CASE WHEN y THEN 1 END) AS hi,
+          count(CASE WHEN NOT y THEN 1 END) AS lo
+        FROM tok GROUP BY token),
+      tot AS (SELECT sum(hi) AS tot_hi, sum(lo) AS tot_lo, count(*) AS v
+        FROM tc),
+      w AS (SELECT token,
+          ln((hi + 1.0) / (tot_hi + v)) - ln((lo + 1.0) / (tot_lo + v)) AS w
+        FROM tc, tot),
+      pri AS (SELECT
+          ln((count(CASE WHEN y THEN 1 END) + 1.0) / (count(*) + 2.0)) -
+          ln((count(CASE WHEN NOT y THEN 1 END) + 1.0) / (count(*) + 2.0))
+            AS bias
+        FROM lab),
+      dt AS (SELECT doc_id, token, count(*) AS c
+        FROM tok GROUP BY doc_id, token),
+      ds AS (SELECT doc_id, sum(c * w) AS s
+        FROM dt JOIN w USING (token) GROUP BY doc_id),
+      sc AS (SELECT l.doc_id, l.y,
+          coalesce(ds.s, 0) + pri.bias AS score
+        FROM lab l LEFT JOIN ds ON l.doc_id = ds.doc_id, pri),
+      pm AS (SELECT y,
+          CAST(round((1.0 / (1.0 + exp(-score))) * 1e6) AS BIGINT)
+            AS p_micro
+        FROM sc),
+      bk AS (SELECT y, p_micro,
+          CAST(least(p_micro // 100000, 9) AS INT) AS bucket FROM pm)
+      SELECT bucket, count(*) AS docs,
+        count(CASE WHEN y THEN 1 END) AS weak_pos,
+        round(CAST(sum(p_micro) AS DOUBLE) / (count(*) * 1e6), 6) AS mean_p,
+        round(CAST(count(CASE WHEN y THEN 1 END) AS DOUBLE) / count(*), 6)
+          AS frac_pos
+      FROM bk GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[GraftQuery] = Seq(q112NbQualityClassifier,
-    q112bNbMllibContract, q112cNbIncrementalContract)
+    q112bNbMllibContract, q112cNbIncrementalContract, q138NbCalibration)
 }

@@ -3500,11 +3500,22 @@ object TextVectorQueries {
           count(lit(1)).as("k"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
         .select(col("source"), col("k").as("vocab"),
           round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
             / (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"),
-            6).as("zipf_slope"))
+            6).as("zipf_slope"),
+          // R² = cov²/(var_x·var_y): cov/var_x/var_y are exact longs,
+          // but cov² would overflow 2⁶³ — so each factor casts to
+          // double FIRST and the squares/products are IEEE ops on
+          // identical operands in both engines (deterministic, the
+          // q136 pattern)
+          round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+            * (col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / ((col("k") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * (col("k") * col("syy") - col("sy") * col("sy")).cast("double")),
+            6).as("fit_r2"))
         .orderBy(col("source"))
     },
     Some("""WITH tok AS (
@@ -3520,11 +3531,17 @@ object TextVectorQueries {
       a AS (SELECT source, count(*) AS k,
           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
           CAST(sum(x * y) AS BIGINT) AS sxy,
-          CAST(sum(x * x) AS BIGINT) AS sxx
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(y * y) AS BIGINT) AS syy
         FROM r GROUP BY source)
       SELECT source, k AS vocab,
         round(CAST(k * sxy - sx * sy AS DOUBLE)
-          / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+          / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        round(CAST(k * sxy - sx * sy AS DOUBLE)
+            * CAST(k * sxy - sx * sy AS DOUBLE)
+          / (CAST(k * sxx - sx * sx AS DOUBLE)
+            * CAST(k * syy - sy * sy AS DOUBLE)), 6)
+          AS fit_r2
       FROM a ORDER BY source"""))
 
   /** Canonical-representative selection over the q51 near-dup clusters
