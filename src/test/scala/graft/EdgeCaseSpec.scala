@@ -329,4 +329,65 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(out.length === 3)
     assert(out.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3))
   }
+
+  test("oovReport edges: boundary count-tie broken by token order; V >= vocab means zero OOV; empty counts yield empty report") {
+    // totals a=5, b=3, c=3: top-2 must keep 'b' over 'c' (count tie →
+    // token asc) — the V-boundary determinism the oracle relies on
+    val counts = Seq(("s1", "a", 5L), ("s1", "b", 3L), ("s1", "c", 3L))
+      .toDF("source", "token", "n")
+    val r = TextAnalysis.oovReport(counts, "source", "token", "n", v = 2)
+      .head()
+    assert(r.getLong(1) === 11L && r.getLong(2) === 3L && r.getLong(3) === 1L,
+      s"c (not b) must fall outside the vocabulary: $r")
+    // V at/above the whole vocabulary: nothing is OOV
+    val all = TextAnalysis.oovReport(counts, "source", "token", "n", v = 3)
+      .head()
+    assert(all.getLong(2) === 0L && all.getDouble(4) === 0.0)
+    // empty counts: empty report, no throw
+    val empty = Seq.empty[(String, String, Long)].toDF("source", "token", "n")
+    assert(TextAnalysis.oovReport(empty, "source", "token", "n", v = 4)
+      .count() === 0L)
+  }
+
+  test("WAV chunk walk skips odd-length chunks with their pad byte (RIFF word alignment)") {
+    import graft.ops.Multimodal
+    // hand-assemble: RIFF [LIST len=3 + pad] [fmt] [data] — a reader
+    // that forgets the pad byte desyncs and misses fmt/data
+    val pcm = Array.tabulate(8)(i => (i * 1000).toShort)
+    val bb = java.nio.ByteBuffer.allocate(12 + (8 + 3 + 1) + 24 + 8 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 12 + 24 + 24)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte]('I', 'N', 'F', 0)) // 3 payload bytes + 1 pad
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(16)
+    pcm.foreach(bb.putShort)
+    val w = Multimodal.WavCodec.decodeHeader(bb.array())
+    assert(w.isDefined, "odd LIST chunk must be skipped with its pad byte")
+    assert(w.get.channels === 1 && w.get.sampleRate === 8000 &&
+      w.get.nFrames === 8)
+    // compressed (non-PCM) audioFormat is None, not a throw
+    val c = bb.array().clone()
+    c(12 + 12 + 8) = 2 // LIST(12) after RIFF hdr(12), fmt payload byte 0
+    assert(Multimodal.WavCodec.decodeHeader(c).isEmpty)
+  }
+
+  test("gram_strings edges: k above length is empty, k equal to length is one gram, empty array totals zero") {
+    import graft.functions.SketchExpressions
+    val d = Seq(
+      (1L, Array("a", "b", "c")),
+      (2L, Array("x")),
+      (3L, Array.empty[String]))
+      .toDF("id", "ts")
+    val g3 = d.select(col("id"),
+      SketchExpressions.gramStrings(col("ts"), 3).as("g")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(g3(1L) === Seq("a b c") && g3(2L).isEmpty && g3(3L).isEmpty)
+    val g4 = d.select(SketchExpressions.gramStrings(col("ts"), 4).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(g4.forall(_.isEmpty))
+  }
 }
