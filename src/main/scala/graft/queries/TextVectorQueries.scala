@@ -3723,6 +3723,39 @@ object TextVectorQueries {
         round(CAST(pk AS DOUBLE) / 32768, 4) AS peak
       FROM a ORDER BY media_id"""))
 
+  /** Video-path frame accounting through the REAL explode-shaped
+    * transform (oracle-exact — the third modality to carry one, after
+    * image q39 and audio q137): the stand-in media table's payload is
+    * the document's UTF-8 bytes behind a 12-byte header, so
+    * [[graft.ops.Multimodal.sampleFrames]]'s every-stride-th fixed-size
+    * frame slicing is replayable arithmetic — DuckDB regenerates the
+    * offsets and byte counts as exact integers. A defect in the header
+    * skip, the stride arithmetic, or the tail-frame truncation
+    * hash-fails. Scale shape: one narrow per-partition flatMap; frames
+    * fan out without materializing all frames per row first. */
+  val q139FrameSample = GraftQuery(
+    "q139_frame_sample", { (s, dir) =>
+      val media = graft.ops.Multimodal.syntheticMediaFromDocs(docs(s, dir))
+      graft.ops.Multimodal.sampleFrames(s, media, frameBytes = 16, stride = 4)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame")).cast("long")).as("frame_bytes"),
+          max(col("frame_idx")).as("last_idx"))
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id AS media_id, octet_length(encode(text)) AS blen
+        FROM documents),
+      onsets AS (SELECT media_id, blen,
+          unnest(generate_series(0, blen - 1, 64)) AS o
+        FROM d WHERE blen > 0),
+      fr AS (SELECT media_id, CAST(o // 16 AS INT) AS idx,
+          least(16, blen - o) AS fb
+        FROM onsets)
+      SELECT media_id, count(*) AS n_frames,
+        CAST(sum(fb) AS BIGINT) AS frame_bytes, max(idx) AS last_idx
+      FROM fr GROUP BY media_id ORDER BY media_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q29Fingerprint, q29bWinnowContract,
@@ -3758,5 +3791,5 @@ object TextVectorQueries {
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
     q107DiversitySample, q107bDiversityContract,
     q133OovRate, q134NgramDiversity, q135ZipfSlope, q51bCanonicalKeep,
-    q136EmbeddingCoherence, q137AudioFeatures)
+    q136EmbeddingCoherence, q137AudioFeatures, q139FrameSample)
 }
