@@ -113,6 +113,12 @@ object DeltaExport {
     if (!Files.isRegularFile(p)) None
     else {
       val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      // a "parts" field marks a MULTI-PART checkpoint (N sibling files)
+      // — this reader supports the classic single-file form only, and
+      // silently loading one part would reconstruct a partial snapshot,
+      // so refuse loudly instead
+      require(!txt.contains(""""parts""""),
+        s"multi-part checkpoint not supported by this reader: $txt")
       val vRe = """"version":(\d+)""".r
       val sRe = """"size":(\d+)""".r
       val v = vRe.findFirstMatchIn(txt)

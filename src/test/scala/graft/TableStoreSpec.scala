@@ -1094,6 +1094,17 @@ class TableStoreSpec extends SparkTestBase {
     DeltaExport.writeDeltaTable(spark,
       Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
     intercept[IllegalStateException] { DeltaExport.expireLogBefore(dir) }
+    // a MULTI-part _last_checkpoint (another writer's) must refuse
+    // loudly — loading one part would silently reconstruct a partial
+    // snapshot
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":0,"size":4,"parts":2}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.readDeltaTable(spark, dir)
+    }
+    assert(e.getMessage.contains("multi-part"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
