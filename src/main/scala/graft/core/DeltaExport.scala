@@ -105,26 +105,33 @@ object DeltaExport {
     Files.write(Paths.get(dir, "_delta_log", commitFile(v)),
       (actions.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
 
-  /** Last-checkpoint pointer: (version, action count) parsed from
-    * `_delta_log/_last_checkpoint`, None when the table has never been
-    * checkpointed. */
-  def lastCheckpoint(dir: String): Option[(Long, Long)] = {
+  /** Parsed `_delta_log/_last_checkpoint` pointer. `parts` is None for
+    * the classic single-file form, Some(n) for a multi-part checkpoint
+    * (n sibling `<v>.checkpoint.<i>.<n>.parquet` files whose ROWS union
+    * to the snapshot — the protocol's "Checkpoints" section; row order
+    * across parts carries no semantics, a path is either live or a
+    * tombstone, never both). */
+  final case class CheckpointPointer(version: Long, size: Long,
+      parts: Option[Int])
+
+  /** Last-checkpoint pointer parsed from `_delta_log/_last_checkpoint`,
+    * None when the table has never been checkpointed. */
+  def lastCheckpoint(dir: String): Option[CheckpointPointer] = {
     val p = Paths.get(dir, "_delta_log", "_last_checkpoint")
     if (!Files.isRegularFile(p)) None
     else {
       val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      // a "parts" field marks a MULTI-PART checkpoint (N sibling files)
-      // — this reader supports the classic single-file form only, and
-      // silently loading one part would reconstruct a partial snapshot,
-      // so refuse loudly instead
-      require(!txt.contains(""""parts""""),
-        s"multi-part checkpoint not supported by this reader: $txt")
       val vRe = """"version":(\d+)""".r
       val sRe = """"size":(\d+)""".r
+      val pRe = """"parts":(\d+)""".r
       val v = vRe.findFirstMatchIn(txt)
         .getOrElse(throw new IllegalStateException(s"malformed _last_checkpoint: $txt"))
         .group(1).toLong
-      Some((v, sRe.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)))
+      val parts = pRe.findFirstMatchIn(txt).map(_.group(1).toInt)
+      require(parts.forall(_ >= 1),
+        s"malformed _last_checkpoint (parts must be >= 1): $txt")
+      Some(CheckpointPointer(v,
+        sRe.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L), parts))
     }
   }
 
@@ -132,7 +139,7 @@ object DeltaExport {
     * checkpoint (after log expiry the checkpoint may be newer than any
     * surviving JSON commit). */
   private def latestVersion(dir: String): Long =
-    (lastCheckpoint(dir).map(_._1).toSeq ++ logVersions(dir)).max
+    (lastCheckpoint(dir).map(_.version).toSeq ++ logVersions(dir)).max
 
   /** Append `df` to an existing Delta table as the next commit: write
     * the new parquet files beside the old ones (append mode — Delta
@@ -300,17 +307,18 @@ object DeltaExport {
   def snapshotAt(spark: SparkSession, dir: String,
       versionAsOf: Option[Long]): (String, Seq[String]) =
     lastCheckpoint(dir) match {
-      case Some((cpV, _)) if versionAsOf.forall(_ >= cpV) =>
+      case Some(cp) if versionAsOf.forall(_ >= cp.version) =>
+        val cpV = cp.version
         val versions = logVersions(dir)
         val cut = versionAsOf.getOrElse((cpV +: versions).max)
         val missing = ((cpV + 1) to cut).filterNot(versions.contains)
         require(missing.isEmpty,
           s"commits after checkpoint v$cpV are missing: ${missing.mkString(",")}")
-        val st = loadCheckpoint(spark, dir, cpV)
+        val st = loadCheckpoint(spark, dir, cpV, cp.parts)
         ((cpV + 1) to cut).foreach(v => applyCommit(dir, v, st))
         require(st.meta != null, s"checkpoint v$cpV carries no metaData")
         (st.meta, st.live.toSeq)
-      case Some((cpV, _)) =>
+      case Some(CheckpointPointer(cpV, _, _)) =>
         val versions = logVersions(dir)
         val cut = versionAsOf.get
         val missing = (0L to cut).filterNot(versions.contains)
@@ -337,12 +345,36 @@ object DeltaExport {
 
   private def checkpointFile(v: Long): String = f"$v%020d.checkpoint.parquet"
 
-  /** Write a classic single-file checkpoint of the LATEST snapshot
-    * (`<v>.checkpoint.parquet` + `_last_checkpoint`), the compaction
-    * that lets a reader skip — and a retention job expire — every JSON
-    * commit at or before it. One parquet row per action; the data files
-    * themselves are untouched. Returns the checkpointed version. */
-  def checkpointDeltaTable(spark: SparkSession, dir: String): Long = {
+  // multi-part naming per the protocol: <v>.checkpoint.<i>.<n>.parquet,
+  // part index i 1-based out of n
+  private def checkpointPartFile(v: Long, i: Int, n: Int): String =
+    f"$v%020d.checkpoint.$i%010d.$n%010d.parquet"
+
+  /** The parquet file(s) a checkpoint pointer names — one classic file,
+    * or all n parts of a multi-part checkpoint. */
+  private def checkpointPaths(dir: String, v: Long,
+      parts: Option[Int]): Seq[java.nio.file.Path] = {
+    val logDir = Paths.get(dir, "_delta_log")
+    parts match {
+      case None => Seq(logDir.resolve(checkpointFile(v)))
+      case Some(n) =>
+        (1 to n).map(i => logDir.resolve(checkpointPartFile(v, i, n)))
+    }
+  }
+
+  /** Write a checkpoint of the LATEST snapshot + `_last_checkpoint`:
+    * the compaction that lets a reader skip — and a retention job
+    * expire — every JSON commit at or before it. One parquet row per
+    * action; the data files themselves are untouched. `parts = 1`
+    * (default) writes the classic single-file form
+    * (`<v>.checkpoint.parquet`); `parts > 1` writes the protocol's
+    * multi-part form (`<v>.checkpoint.<i>.<n>.parquet`, rows split
+    * round-robin across parts — large production tables checkpoint this
+    * way so no single writer task owns the whole action list) and a
+    * pointer carrying `"parts":n`. Returns the checkpointed version. */
+  def checkpointDeltaTable(spark: SparkSession, dir: String,
+      parts: Int = 1): Long = {
+    require(parts >= 1, "parts must be >= 1")
     val v = latestVersion(dir)
     val (meta, files) = snapshotAt(spark, dir, None)
     val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
@@ -361,49 +393,76 @@ object DeltaExport {
         CpRow(None, None, Some(CpAdd(f, Map.empty, Files.size(p),
           Files.getLastModifiedTime(p).toMillis, dataChange = false)))
       }
+    require(rows.size >= parts,
+      s"cannot split ${rows.size} checkpoint action(s) into $parts parts")
     import spark.implicits._
     val logDir = Paths.get(dir, "_delta_log")
     val tmp = logDir.resolve(s".tmp_checkpoint_$v")
-    spark.createDataset(rows).coalesce(1).write
+    // repartition (round-robin) over >= parts rows leaves no partition
+    // empty, so exactly `parts` files come out; which action lands in
+    // which part carries no protocol meaning
+    spark.createDataset(rows).repartition(parts).write
       .mode("overwrite").parquet(tmp.toString)
-    val part = dataFiles(tmp.toString).headOption
-      .getOrElse(throw new IllegalStateException("checkpoint write produced no file"))
-    Files.move(part, logDir.resolve(checkpointFile(v)),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val written = dataFiles(tmp.toString).sortBy(_.getFileName.toString)
+    require(written.size == parts,
+      s"checkpoint write produced ${written.size} file(s), expected $parts")
+    val targets =
+      if (parts == 1) Seq(logDir.resolve(checkpointFile(v)))
+      else checkpointPaths(dir, v, Some(parts))
+    written.zip(targets).foreach { case (src, dst) =>
+      Files.move(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     val walk = Files.walk(tmp)
     try {
       import scala.jdk.CollectionConverters._
       walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     } finally walk.close()
+    val partsField = if (parts == 1) "" else s""","parts":$parts"""
     Files.write(logDir.resolve("_last_checkpoint"),
-      s"""{"version":$v,"size":${rows.size}}""".getBytes(StandardCharsets.UTF_8))
+      s"""{"version":$v,"size":${rows.size}$partsField"""
+        .concat("}").getBytes(StandardCharsets.UTF_8))
     v
   }
 
   /** Log-retention cleanup: delete JSON commits at or before the
     * checkpoint (they are superseded by it). Refuses without a
-    * checkpoint covering them — that would orphan the table. Returns
-    * the deleted commit file names. */
+    * checkpoint covering them — that would orphan the table — and
+    * refuses when the pointer names checkpoint parquet file(s) that do
+    * not actually exist (a stale or partially-copied pointer): deleting
+    * the JSON chain on the pointer's word alone would orphan the table
+    * despite this function's stated guarantee. Returns the deleted
+    * commit file names. */
   def expireLogBefore(dir: String): Seq[String] = {
-    val cpV = lastCheckpoint(dir).map(_._1)
+    val cp = lastCheckpoint(dir)
       .getOrElse(throw new IllegalStateException(
         "no checkpoint — expiring JSON commits would orphan the table"))
-    val victims = logVersions(dir).filter(_ <= cpV)
+    val gone = checkpointPaths(dir, cp.version, cp.parts)
+      .filterNot(Files.isRegularFile(_))
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"_last_checkpoint names v${cp.version} but checkpoint file(s) " +
+        s"${gone.map(_.getFileName).mkString(", ")} are missing — " +
+        "expiring JSON commits would orphan the table")
+    val victims = logVersions(dir).filter(_ <= cp.version)
     victims.map { v =>
       Files.delete(Paths.get(dir, "_delta_log", commitFile(v)))
       commitFile(v)
     }
   }
 
-  /** Load a checkpoint parquet into replay state. The collect is
-    * bounded: a checkpoint holds O(live files) metadata rows — the same
+  /** Load a checkpoint (classic single-file or all parts of a
+    * multi-part one) into replay state. Every named part must exist —
+    * loading a subset would silently reconstruct a partial snapshot, so
+    * missing parts fail loudly by name. The collect is bounded: a
+    * checkpoint holds O(live files) metadata rows — the same
     * driver-side cost every Delta reader pays to load a snapshot. */
   private def loadCheckpoint(spark: SparkSession, dir: String,
-      v: Long): ReplayState = {
-    val path = Paths.get(dir, "_delta_log", checkpointFile(v))
-    require(Files.isRegularFile(path),
-      s"_last_checkpoint names v$v but ${checkpointFile(v)} is missing")
-    val rows = spark.read.parquet(path.toString).collect()
+      v: Long, parts: Option[Int]): ReplayState = {
+    val paths = checkpointPaths(dir, v, parts)
+    val gone = paths.filterNot(Files.isRegularFile(_))
+    require(gone.isEmpty,
+      s"_last_checkpoint names v$v${parts.map(n => s" ($n parts)").getOrElse("")} " +
+        s"but checkpoint file(s) ${gone.map(_.getFileName).mkString(", ")} are missing")
+    val rows = spark.read.parquet(paths.map(_.toString): _*).collect()
     val st = new ReplayState
     rows.foreach { r =>
       def struct(name: String): Option[org.apache.spark.sql.Row] = {

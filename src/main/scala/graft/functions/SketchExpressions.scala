@@ -260,7 +260,15 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
   * sentinel hash rather than vanishing. */
 /** All k-token window strings (space-joined, every position) from an
   * array<string> of tokens; empty array below k tokens. See
-  * [[SketchExpressions.gramStrings]] for the HOF form this compiles. */
+  * [[SketchExpressions.gramStrings]] for the HOF form this compiles.
+  *
+  * NULL tokens are REJECTED loudly (eval and codegen): the declared
+  * output type is null-free, and the two silent alternatives are both
+  * wrong results — k=1 would pass the null through into an array the
+  * optimizer is told contains none, and k>1's concatWs would drop the
+  * token and shrink the gram. The repo's tokenizers never emit null
+  * tokens, so a null here is a caller bug, surfaced as an error that
+  * names the position instead of corrupting grams. */
 case class GramStringsExpr(child: Expression, k: Int)
     extends UnaryExpression {
 
@@ -282,6 +290,12 @@ case class GramStringsExpr(child: Expression, k: Int)
     if (n < k)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array.empty[Any])
+    var p = 0
+    while (p < n) {
+      if (arr.isNullAt(p)) throw new IllegalArgumentException(
+        s"gram_strings: null token at position $p")
+      p += 1
+    }
     val out = new Array[Any](n - k + 1)
     var i = 0
     while (i <= n - k) {
@@ -308,8 +322,13 @@ case class GramStringsExpr(child: Expression, k: Int)
       val i = ctx.freshName("gsI")
       val j = ctx.freshName("gsJ")
       val parts = ctx.freshName("gsParts")
+      val p = ctx.freshName("gsP")
       s"""
          |final int $n = $c.numElements();
+         |for (int $p = 0; $p < $n; $p++) {
+         |  if ($c.isNullAt($p)) throw new IllegalArgumentException(
+         |    "gram_strings: null token at position " + $p);
+         |}
          |$utf8[] $out;
          |if ($n < $k) {
          |  $out = new $utf8[0];

@@ -415,7 +415,12 @@ object Multimodal {
     * arithmetic is identical). Output blobs round-trip through
     * [[WavCodec.decodeHeader]] and [[decodeAudioFeatures]]
     * (MultimodalSpec pins duration and energy preservation). Non-WAV
-    * blobs pass through untouched. */
+    * blobs pass through untouched.
+    *
+    * `factor` must divide each WAV's sample rate exactly: integer
+    * division would otherwise silently skew the emitted rate (8000/3 →
+    * 2666 Hz changes duration/pitch), so a non-divisor factor fails
+    * loudly at the offending blob instead. */
   def downsampleWav(spark: SparkSession, media: DataFrame,
       factor: Int = 2): DataFrame = {
     require(factor >= 1, "factor must be >= 1")
@@ -427,6 +432,10 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           WavCodec.decodeHeader(bytes) match {
             case Some(w) if w.bitsPerSample == 16 =>
+              require(w.sampleRate % factor == 0,
+                s"downsample factor $factor does not divide sample rate " +
+                  s"${w.sampleRate} (media_id $id) — the emitted rate would " +
+                  "be silently skewed")
               val blockAlign = w.channels * 2
               val kept = Iterator.range(0, w.nFrames, factor).toArray
               val body = new Array[Byte](kept.length * blockAlign)
@@ -466,19 +475,28 @@ object Multimodal {
     * (440·(i+1) Hz, 0.1 s at 8 kHz, half-scale amplitude) assembled as
     * genuine RIFF/WAVE bytes — the audio twin of
     * [[syntheticJpegMedia]], driver-built at fixture size. Known
-    * analytic ground truth: RMS = amp/√2, duration = 0.1 s. */
+    * analytic ground truth: RMS = amp/√2, duration = 0.1 s.
+    *
+    * Quantization rounds HALF AWAY FROM ZERO (std::round / DuckDB
+    * round() semantics), not Scala's math.round (half toward +∞): the
+    * two differ at exact negative .5 boundaries (-0.5 → -1 vs 0), and
+    * q137's oracle replays this synthesis with DuckDB round(), so the
+    * fixture must use the oracle's rounding mode. The only remaining
+    * cross-engine exposure is the documented ≤1-ulp libm sin class. */
   def syntheticWavMedia(spark: SparkSession, n: Int = 3,
       idBase: Long = 9500000L): DataFrame = {
     val rate = 8000
     val frames = rate / 10
     val amp = 16384.0 // half scale
+    def roundAway(x: Double): Short =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toShort
     val rows = (0 until n).map { i =>
       val hz = 440.0 * (i + 1)
       val pcm = java.nio.ByteBuffer.allocate(frames * 2)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       (0 until frames).foreach { t =>
-        pcm.putShort(math.round(
-          amp * math.sin(2 * math.Pi * hz * t / rate)).toShort)
+        pcm.putShort(roundAway(
+          amp * math.sin(2 * math.Pi * hz * t / rate)))
       }
       val bytes = wavBytes(1, rate, pcm.array())
       Row(idBase + i, bytes, Row("audio", null, null, bytes.length.toLong))

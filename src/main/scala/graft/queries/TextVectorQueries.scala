@@ -3688,9 +3688,11 @@ object TextVectorQueries {
     * replays the SAME quantized signal analytically — s(t) =
     * round(16384·sin(2π·f·t/8000)) gives exact integer sample values in
     * both engines (identical operand-order double arithmetic before one
-    * round; the only cross-engine exposure is a ≤1-ulp libm sin landing
-    * within 1 ulp of a .5 boundary, the q135 ln() risk class —
-    * negligible and documented), after which Σs² and max|s| are exact
+    * round, and the fixture quantizes HALF AWAY FROM ZERO to match
+    * DuckDB round() — see syntheticWavMedia — so the only cross-engine
+    * exposure is a ≤1-ulp libm sin landing within 1 ulp of a .5
+    * boundary, the q135 ln() risk class — negligible and documented),
+    * after which Σs² and max|s| are exact
     * integers and RMS/peak are single shared IEEE operations. A defect
     * anywhere in the container walk, the PCM16 little-endian sample
     * decode, or the energy fold hash-fails the row. Scale shape: the

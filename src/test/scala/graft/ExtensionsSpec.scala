@@ -106,6 +106,22 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("gram_strings rejects null tokens loudly instead of corrupting grams") {
+    withExtensionSession { s =>
+      // k=1 would otherwise pass the null into a containsNull=false array;
+      // k>1 would let concatWs silently drop it and shrink the gram
+      Seq("SELECT gram_strings(array('a', CAST(NULL AS STRING)), 1)",
+          "SELECT gram_strings(array('a', CAST(NULL AS STRING), 'b'), 2)")
+        .foreach { q =>
+          val e = intercept[Exception] { s.sql(q).collect() }
+          def chain(t: Throwable): Seq[Throwable] =
+            if (t == null) Nil else t +: chain(t.getCause)
+          assert(chain(e).exists(c =>
+            c.getMessage != null && c.getMessage.contains("null token")), q)
+        }
+    }
+  }
+
   test("non-literal sizing argument is rejected with a clear error") {
     withExtensionSession { s =>
       val e = intercept[Exception] {

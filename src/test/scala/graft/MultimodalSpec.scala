@@ -244,5 +244,14 @@ class MultimodalSpec extends SparkTestBase {
     val truncated = wav.limit(1).collect().head.getAs[Array[Byte]](1).take(50)
     assert(Multimodal.WavCodec.decodeHeader(truncated).isEmpty)
     assert(Multimodal.WavCodec.decodeHeader("RIFFxxxxWAVE".getBytes).isEmpty)
+    // a non-divisor decimation factor fails LOUDLY (8000/3 would silently
+    // emit a 2666 Hz blob with skewed duration/pitch)
+    val bad = intercept[Exception] {
+      Multimodal.downsampleWav(spark, wav, factor = 3).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(bad).exists(c => c.getMessage != null &&
+      c.getMessage.contains("does not divide sample rate")))
   }
 }

@@ -1052,7 +1052,8 @@ class TableStoreSpec extends SparkTestBase {
     }
     // checkpoint at v10, then two MORE commits on top of it
     assert(DeltaExport.checkpointDeltaTable(spark, dir) === 10L)
-    assert(DeltaExport.lastCheckpoint(dir).map(_._1) === Some(10L))
+    assert(DeltaExport.lastCheckpoint(dir).map(_.version) === Some(10L))
+    assert(DeltaExport.lastCheckpoint(dir).flatMap(_.parts) === None)
     val extra = base.filter(col("doc_id") % 13 === 0)
       .withColumn("doc_id", col("doc_id") + 900000000L)
     assert(DeltaExport.appendDeltaTable(spark, extra, dir) === 11L)
@@ -1094,9 +1095,9 @@ class TableStoreSpec extends SparkTestBase {
     DeltaExport.writeDeltaTable(spark,
       Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
     intercept[IllegalStateException] { DeltaExport.expireLogBefore(dir) }
-    // a MULTI-part _last_checkpoint (another writer's) must refuse
-    // loudly — loading one part would silently reconstruct a partial
-    // snapshot
+    // a pointer naming part files that don't exist (another writer's
+    // torn copy) must refuse loudly BY NAME — loading a subset would
+    // silently reconstruct a partial snapshot
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_delta_log", "_last_checkpoint"),
       """{"version":0,"size":4,"parts":2}"""
@@ -1104,7 +1105,70 @@ class TableStoreSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException] {
       DeltaExport.readDeltaTable(spark, dir)
     }
-    assert(e.getMessage.contains("multi-part"))
+    assert(e.getMessage.contains("checkpoint file(s)")
+      && e.getMessage.contains("missing"))
+    // and expiry behind the same torn pointer must also refuse — it
+    // would delete the only remaining JSON history
+    val e2 = intercept[IllegalStateException] { DeltaExport.expireLogBefore(dir) }
+    assert(e2.getMessage.contains("orphan"))
+    assert(DeltaExport.logVersions(dir) === Seq(0L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("Delta multi-part checkpoint: parts assemble to the snapshot; expiry verifies the parts exist first") {
+    import graft.core.DeltaExport
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val slices = (0L to 10L).map(m => base.filter(col("doc_id") % 11 === m))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_cp_multi").toString
+    DeltaExport.writeDeltaTable(spark, slices.head, dir)
+    slices.tail.zipWithIndex.foreach { case (sl, i) =>
+      assert(DeltaExport.appendDeltaTable(spark, sl, dir) === i + 1L)
+    }
+    // multi-part checkpoint at v10 (3 parts), then two more commits
+    assert(DeltaExport.checkpointDeltaTable(spark, dir, parts = 3) === 10L)
+    val cp = DeltaExport.lastCheckpoint(dir).get
+    assert(cp.version === 10L && cp.parts === Some(3))
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    (1 to 3).foreach { i =>
+      assert(java.nio.file.Files.isRegularFile(logDir.resolve(
+        f"${10L}%020d.checkpoint.$i%010d.${3}%010d.parquet")), s"part $i")
+    }
+    val extra = base.filter(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 900000000L)
+    assert(DeltaExport.appendDeltaTable(spark, extra, dir) === 11L)
+    val v12df = base.limit(50)
+    assert(DeltaExport.overwriteDeltaTable(spark, v12df, dir) === 12L)
+    // hide one part: BOTH the reader and expiry must refuse by name
+    val part2 = logDir.resolve(
+      f"${10L}%020d.checkpoint.${2}%010d.${3}%010d.parquet")
+    val hidden = logDir.resolve("hidden_part")
+    java.nio.file.Files.move(part2, hidden)
+    val eRead = intercept[IllegalArgumentException] {
+      DeltaExport.readDeltaTable(spark, dir)
+    }
+    assert(eRead.getMessage.contains("checkpoint.0000000002.0000000003"))
+    val eExp = intercept[IllegalStateException] { DeltaExport.expireLogBefore(dir) }
+    assert(eExp.getMessage.contains("orphan"))
+    assert(DeltaExport.logVersions(dir).size === 13)
+    java.nio.file.Files.move(hidden, part2)
+    // expire the covered JSON chain and read through the assembled parts
+    assert(DeltaExport.expireLogBefore(dir).size === 11)
+    assert(DeltaExport.logVersions(dir) === Seq(11L, 12L))
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.exceptAll(b).count() === 0L)
+      assert(b.exceptAll(a).count() === 0L)
+    }
+    same(DeltaExport.readDeltaTable(spark, dir), v12df)
+    same(DeltaExport.readDeltaTable(spark, dir, Some(10L)), base)
+    same(DeltaExport.readDeltaTable(spark, dir, Some(11L)),
+      base.unionAll(extra))
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.readDeltaTable(spark, dir, Some(3L))
+    }
+    assert(e.getMessage.contains("expired"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
