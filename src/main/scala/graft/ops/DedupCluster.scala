@@ -59,6 +59,55 @@ object DedupCluster {
       .select(col("u"), col("v"))
   }
 
+  /** Winnowed candidate duplicate edges — the SCALE path of
+    * [[sharedShingleEdges]]: instead of every k-gram shingle, only the
+    * MOSS-winnowed fingerprints ([[TextAnalysis.winnowFingerprints]],
+    * Schleimer et al. 2003) enter the postings self-join. Expected
+    * selection density is ≈ 2/(w+1) of gram positions, so the pair
+    * work — the duplicate-mass term that makes the exact edge builder
+    * the probe ledger's one super-linear row — drops by ≈ (2/(w+1))²
+    * while the winnowing guarantee (every shared span of ≥ w+k−1
+    * tokens shares ≥ 1 selected fingerprint) keeps true near-dup
+    * pairs reachable. `minShared` counts SELECTED co-fingerprints and
+    * must be scaled by the same density (the q51c default 4 ≈
+    * 10 · 2/(w+1) for the exact path's 10).
+    *
+    * The fingerprint hash space is the exact path's: gramHashSeq is
+    * bit-identical to shingleSet's chained XXH64 fold, so each doc's
+    * selected-hash set is a SUBSET of its shingle set and a winnowed
+    * co-fingerprint IS a shared shingle — the sparse path can only
+    * see pairs the dense path sees (up to the documented ~n²/2⁶⁴
+    * collision caveat). w = 1 degenerates to selecting every gram,
+    * i.e. edges ≡ sharedShingleEdges at equal minShared (DedupSpec
+    * pins this). Same hot-key guard (`maxDf`, counted over selecting
+    * docs) for the same reason. */
+  def winnowedShingleEdges(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3,
+      w: Int = 4,
+      minShared: Int = 4,
+      maxDf: Int = 1000): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(array_distinct(transform(
+        TextAnalysis.winnowFingerprints(col(textCol), shingleK, w),
+        fp => fp.getField("h")))).as("s"))
+    val keep = fps.groupBy(col("s"))
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDf)
+      .select(col("s"))
+    // same ReusedExchange-covered double reference as sharedShingleEdges
+    val postings = fps.join(keep, Seq("s"))
+    postings.select(col("s"), col("id").as("u"))
+      .join(postings.select(col("s"), col("id").as("v")), Seq("s"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("u"), col("v"))
+  }
+
   /** Large-star round: every node a links each HIGHER neighbor b to
     * m(a) = min(neighbors(a) ∪ {a}). Keeps the graph connected while
     * strictly pulling high nodes toward component minima.

@@ -82,6 +82,43 @@ class ClusterSpec extends SparkTestBase {
     assert(edges === Set((1L, 2L)))
   }
 
+  test("winnowed edges at w=1 degenerate to the exact shared-shingle edges") {
+    // w=1 selects EVERY gram position, so the winnowed postings are the
+    // full shingle sets and the edge relation must match bit-for-bit at
+    // equal minShared — pins the gramHashSeq ≡ ShingleHashesExpr chain
+    // through the whole edge builder
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "two three four five six seven eight nine ten eleven twelve thirteen"))
+      .toDF("doc_id", "text")
+    val exact = DedupCluster.sharedShingleEdges(docs, "text", "doc_id",
+      shingleK = 3, minShared = 5, maxDf = 1000)
+      .as[(Long, Long)].collect().toSet
+    val win1 = DedupCluster.winnowedShingleEdges(docs, "text", "doc_id",
+      shingleK = 3, w = 1, minShared = 5, maxDf = 1000)
+      .as[(Long, Long)].collect().toSet
+    assert(win1 === exact)
+    assert(exact === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("winnowed edges catch guarantee-length copies and skip unrelated docs") {
+    // 30 shared tokens → 28 shared grams ≥ (4+1)·4−1 = 19: the MOSS
+    // guarantee forces ≥ 4 co-selected fingerprints, so the pair MUST
+    // surface at minShared = 4; the unrelated doc must not
+    val span = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"prefix $span"),
+      (2L, s"$span suffix"),
+      (3L, (1 to 30).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val edges = DedupCluster.winnowedShingleEdges(docs, "text", "doc_id",
+      shingleK = 3, w = 4, minShared = 4, maxDf = 1000)
+      .as[(Long, Long)].collect().toSet
+    assert(edges === Set((1L, 2L)))
+  }
+
   test("stop-shingle guard drops hot postings") {
     // ten docs all sharing one boilerplate sentence: maxDf below 10
     // removes those shingles, so no edges survive
