@@ -119,13 +119,89 @@ object Multimodal {
     }
   }
 
+  /** REAL AVI header decode (the public RIFF/AVI container — the same
+    * word-aligned chunk walk as [[WavCodec]], with `RIFF…AVI ` in place
+    * of `RIFF…WAVE`): descend into `LIST/hdrl` for the mandatory `avih`
+    * main header (dwMicroSecPerFrame at +0, dwTotalFrames at +16,
+    * dwStreams at +24, dwWidth/dwHeight at +32/+36 — the public
+    * AVIMAINHEADER layout) and locate `LIST/movi`, whose `##db`/`##dc`
+    * sub-chunks are the video frames. Headers are fully real here;
+    * frame PAYLOAD decoding (the DIB/codec bits) stays out of scope
+    * like JPEG's entropy scan. Never-throw policy like every codec:
+    * malformed input is None. */
+  object AviCodec {
+    final case class AviInfo(width: Int, height: Int, totalFrames: Int,
+        microSecPerFrame: Long, streams: Int, moviOffset: Int, moviBytes: Int)
+
+    def decodeHeader(bytes: Array[Byte]): Option[AviInfo] = {
+      if (bytes == null || bytes.length < 24) return None
+      def u8(i: Int) = bytes(i) & 0xFF
+      def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+      def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+      var avih: Option[(Int, Int, Int, Long, Int)] = None
+      var movi: Option[(Int, Int)] = None
+      // iterative walk over (chunkStart, rangeEnd) — LIST/hdrl pushes
+      // its sub-range, every chunk pushes its own successor
+      var stack = List((12, bytes.length))
+      while (stack.nonEmpty) {
+        val (i, end) = stack.head
+        stack = stack.tail
+        if (i + 8 <= end) {
+          val id = tag(i)
+          val len = u32(i + 4)
+          if (len < 0 || i + 8 + len > end) return None
+          stack = (i + 8 + len.toInt + (len.toInt & 1), end) :: stack
+          if (id == "LIST" && len >= 4) {
+            tag(i + 8) match {
+              case "hdrl" => stack = (i + 12, i + 8 + len.toInt) :: stack
+              case "movi" => movi = Some((i + 12, len.toInt - 4))
+              case _ => ()
+            }
+          } else if (id == "avih") {
+            if (len < 40) return None
+            avih = Some((u32(i + 8 + 32).toInt, u32(i + 8 + 36).toInt,
+              u32(i + 8 + 16).toInt, u32(i + 8), u32(i + 8 + 24).toInt))
+          }
+        }
+      }
+      for ((w, h, tf, uspf, st) <- avih; (mo, mb) <- movi)
+        yield AviInfo(w, h, tf, uspf, st, mo, mb)
+    }
+
+    /** (offset, length) of each video frame chunk (`##db`
+      * uncompressed / `##dc` compressed) in movi order — the real
+      * frame index. Offsets point AT the payload, not the chunk
+      * header. Empty on any malformed sub-chunk (never-throw). */
+    def frameChunks(bytes: Array[Byte],
+        info: AviInfo): Array[(Int, Int)] = {
+      def u16(i: Int) = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+      def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+      val out = Array.newBuilder[(Int, Int)]
+      var i = info.moviOffset
+      val end = math.min(info.moviOffset + info.moviBytes, bytes.length)
+      while (i + 8 <= end) {
+        val id = new String(bytes, i, 4, "US-ASCII")
+        val len = u32(i + 4)
+        if (len < 0 || i + 8 + len > end) return Array.empty
+        if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+            (id.endsWith("db") || id.endsWith("dc")))
+          out += ((i + 8, len.toInt))
+        i += 8 + len.toInt + (len.toInt & 1)
+      }
+      out.result()
+    }
+  }
+
   /** Codec dispatch on real magic bytes: JPEG SOI (FF D8) routes to the
     * [[JpegCodec]] marker walk, the PNG signature to [[PngCodec]]'s
-    * IHDR read, the stand-in magic to [[FakeCodec]]. Returns
-    * (codec, width, height). This is the extension seam — a RIFF/AVI
-    * branch is one more case with the same shape (WAV dispatches
-    * separately via [[decodeAudioFeatures]], where the fields are
-    * audio-typed rather than width/height). */
+    * IHDR read, `RIFF…AVI ` to [[AviCodec]]'s chunk descent, the
+    * stand-in magic to [[FakeCodec]]. Returns (codec, width, height) —
+    * with the AVI branch, every modality's header path parses actual
+    * container bytes (WAV dispatches separately via
+    * [[decodeAudioFeatures]], where the fields are audio-typed rather
+    * than width/height). */
   def decodeHeaderAny(bytes: Array[Byte]): Option[(String, Int, Int)] =
     if (bytes != null && bytes.length >= 2 &&
         (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
@@ -133,6 +209,10 @@ object Multimodal {
     else if (bytes != null && bytes.length >= 8 &&
         (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte)
       PngCodec.decodeHeader(bytes).map { case (w, h) => ("png", w, h) }
+    else if (bytes != null && bytes.length >= 12 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "AVI ")
+      AviCodec.decodeHeader(bytes).map(a => ("avi", a.width, a.height))
     else
       FakeCodec.decodeHeader(bytes).map { case (w, h) => ("grft", w, h) }
 
@@ -505,13 +585,16 @@ object Multimodal {
       spark.sparkContext.parallelize(rows, 1), mediaSchema)
   }
 
-  /** Frame sampling — the video path's explode-shaped transform: the
-    * payload after the header is treated as fixed-size frames and every
-    * `stride`-th frame becomes its own row (media_id, frame_idx, frame).
-    * One iterator pass per partition with a flatMap, so a blob fans out
-    * to rows without materializing all frames per row first; a real
-    * video demuxer slots into the frame extraction. Invalid blobs emit
-    * nothing (NULL-policy consistent with decodeMeta). */
+  /** Frame sampling — the video path's explode-shaped transform: every
+    * `stride`-th frame becomes its own row (media_id, frame_idx,
+    * frame). REAL AVI blobs demux their actual `movi` frame chunks
+    * ([[AviCodec.frameChunks]] — genuine container boundaries, so
+    * `frameBytes` doesn't apply; frame_idx is the movi-order video
+    * frame ordinal); stand-in blobs slice the post-header payload into
+    * fixed `frameBytes` windows. One iterator pass per partition with a
+    * flatMap, so a blob fans out to rows without materializing all
+    * frames per row first. Invalid blobs emit nothing (NULL-policy
+    * consistent with decodeMeta). */
   def sampleFrames(
       spark: SparkSession, media: DataFrame,
       frameBytes: Int = 16, stride: Int = 4): DataFrame = {
@@ -526,18 +609,99 @@ object Multimodal {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          FakeCodec.decodeHeader(bytes) match {
-            case Some(_) =>
-              val body = bytes.drop(12)
-              Iterator.range(0, body.length, frameBytes * stride).map { off =>
-                Row(id, off / frameBytes,
-                  body.slice(off, math.min(off + frameBytes, body.length)))
+          val avi =
+            if (bytes != null && bytes.length >= 12 &&
+                new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+                new String(bytes, 8, 4, "US-ASCII") == "AVI ")
+              AviCodec.decodeHeader(bytes)
+            else None
+          avi match {
+            case Some(info) =>
+              val frames = AviCodec.frameChunks(bytes, info)
+              Iterator.range(0, frames.length, stride).map { idx =>
+                val (off, len) = frames(idx)
+                Row(id, idx, java.util.Arrays.copyOfRange(bytes, off, off + len))
               }
-            case None => Iterator.empty
+            case None => FakeCodec.decodeHeader(bytes) match {
+              case Some(_) =>
+                val body = bytes.drop(12)
+                Iterator.range(0, body.length, frameBytes * stride).map { off =>
+                  Row(id, off / frameBytes,
+                    body.slice(off, math.min(off + frameBytes, body.length)))
+                }
+              case None => Iterator.empty
+            }
           }
         }
       }(enc)
       .toDF()
+  }
+
+  /** Deterministic REAL-AVI media table: `n` videos assembled as
+    * genuine RIFF/AVI bytes — `LIST/hdrl` with a spec-layout `avih`
+    * (and a minimal `vids` stream header pair, as every writer emits)
+    * and a `LIST/movi` of `00db` frame chunks. Video i is
+    * (32+16i)×(24+8i) with 8+4i frames at 30 fps (dwMicroSecPerFrame
+    * 33333); frame j carries 16 + 4·(j mod 3) payload bytes filled
+    * with (31·i + 7·j) mod 256 — deterministic closed-form ground
+    * truth for both the header fields and the frame accounting (the
+    * q139b oracle replays them analytically). The video twin of
+    * [[syntheticJpegMedia]]/[[syntheticWavMedia]], driver-built at
+    * fixture size. */
+  def syntheticAviMedia(spark: SparkSession, n: Int = 3,
+      idBase: Long = 9600000L): DataFrame = {
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      bb.array() // trailing pad byte (if odd) stays zero
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
+    val rows = (0 until n).map { i =>
+      val (w, h) = (32 + 16 * i, 24 + 8 * i)
+      val nf = 8 + 4 * i
+      val avih = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(33333) // dwMicroSecPerFrame (30 fps)
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(nf) // dwTotalFrames
+        .putInt(0)
+        .putInt(1) // dwStreams
+        .putInt(0)
+        .putInt(w).putInt(h)
+        .array()
+      val strh = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(30) // dwScale / dwRate = 30 fps
+        .putInt(0).putInt(nf) // dwStart / dwLength
+        .putInt(0).putInt(0).putInt(0)
+        .putShort(0).putShort(0)
+        .putShort(w.toShort).putShort(h.toShort) // rcFrame
+        .array()
+      val strf = java.nio.ByteBuffer.allocate(40) // BITMAPINFOHEADER
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+        .array()
+      val frames = (0 until nf).flatMap { j =>
+        val payload = Array.fill(16 + 4 * (j % 3))(((31 * i + 7 * j) % 256).toByte)
+        chunk("00db", payload)
+      }.toArray
+      val body = list("hdrl", chunk("avih", avih) ++
+          list("strl", chunk("strh", strh) ++ chunk("strf", strf))) ++
+        list("movi", frames)
+      val bytes = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put("AVI ".getBytes("US-ASCII")).put(body)
+        .array()
+      Row(idBase + i, bytes, Row("video", w, h, bytes.length.toLong))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), mediaSchema)
   }
 
   /** Deterministic REAL-JPEG media table: `n` images rendered and

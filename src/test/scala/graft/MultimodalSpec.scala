@@ -207,6 +207,59 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.PngCodec.decodeHeader(bytes.take(20)).isEmpty)
   }
 
+  test("REAL AVI path: hdrl/avih decode exact dims+frames, movi demux samples true chunks, corrupt variants never throw") {
+    val avi = Multimodal.syntheticAviMedia(spark, n = 3)
+    val blobs = avi.orderBy(col("media_id")).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    // header: the chunk descent reads the spec-layout avih fields
+    blobs.zipWithIndex.foreach { case ((id, bytes), i) =>
+      val info = Multimodal.AviCodec.decodeHeader(bytes)
+        .getOrElse(fail(s"AVI $id must decode"))
+      assert(info.width === 32 + 16 * i && info.height === 24 + 8 * i)
+      assert(info.totalFrames === 8 + 4 * i)
+      assert(info.microSecPerFrame === 33333L && info.streams === 1)
+      assert(Multimodal.decodeHeaderAny(bytes) ===
+        Some(("avi", 32 + 16 * i, 24 + 8 * i)))
+      // frame chunks: count matches avih, lengths match the synthesis
+      val frames = Multimodal.AviCodec.frameChunks(bytes, info)
+      assert(frames.length === info.totalFrames)
+      frames.zipWithIndex.foreach { case ((_, len), j) =>
+        assert(len === 16 + 4 * (j % 3), s"frame $j length")
+      }
+    }
+    // the mixed-corpus meta pass decodes AVI dims through the dispatcher
+    val meta = Multimodal.decodeMeta(spark, avi.unionByName(media.limit(2)))
+    assert(meta.filter(col("valid")).count() === 5L)
+    val badDims = meta.join(avi, Seq("media_id"))
+      .filter(col("width") =!= col("meta.width") ||
+        col("height") =!= col("meta.height")).count()
+    assert(badDims === 0L)
+    // sampleFrames demuxes REAL movi chunks: every stride-th video
+    // frame, idx = movi ordinal, bytes = the true chunk payload
+    val sampled = Multimodal.sampleFrames(spark, avi, stride = 3)
+      .orderBy(col("media_id"), col("frame_idx")).collect()
+    val expected = blobs.zipWithIndex.flatMap { case ((id, _), i) =>
+      (0 until (8 + 4 * i) by 3).map(j => (id, j, 16 + 4 * (j % 3)))
+    }
+    assert(sampled.map(r => (r.getLong(0), r.getInt(1),
+      r.getAs[Array[Byte]](2).length)).toSeq === expected.toSeq)
+    // payload bytes are the synthesis fill, not header bytes
+    val f0 = sampled.head.getAs[Array[Byte]](2)
+    assert(f0.forall(_ === 0.toByte) && f0.length === 16)
+    // corrupt variants: truncated mid-chunk, wrong form type, avih too
+    // short — all None / empty, never a throw
+    val bytes0 = blobs.head._2
+    assert(Multimodal.AviCodec.decodeHeader(bytes0.take(40)).isEmpty)
+    val wrongForm = bytes0.clone(); wrongForm(8) = 'W'.toByte
+    assert(Multimodal.AviCodec.decodeHeader(wrongForm).isEmpty)
+    assert(Multimodal.AviCodec.decodeHeader("RIFF   AVI ".getBytes("ISO-8859-1")).isEmpty)
+    assert(Multimodal.AviCodec.decodeHeader(null).isEmpty)
+    // a corrupt blob in a corpus emits no frames and kills nothing
+    import spark.implicits._
+    val mixedBad = Seq((99L, bytes0.take(60))).toDF("media_id", "content")
+    assert(Multimodal.sampleFrames(spark, mixedBad).count() === 0L)
+  }
+
   test("REAL WAV path: header fields exact, sine RMS/peak analytic, decimation halves rate and preserves energy") {
     val wav = Multimodal.syntheticWavMedia(spark, n = 3)
     // header decode: genuine RIFF bytes through the chunk walk
