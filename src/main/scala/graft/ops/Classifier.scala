@@ -85,6 +85,108 @@ object Classifier {
       .drop("s", "bias")
   }
 
+  /** Character k-grams (every position, multiplicity kept) of a BOUND
+    * lowered-text attribute — pass a materialized column, not an
+    * embedded expression tree (HOF lambdas evaluate interpreted; the
+    * bigramsOf lesson). Docs shorter than k chars → empty array. */
+  private def charGrams(lt: org.apache.spark.sql.Column, k: Int) =
+    transform(sequence(lit(1), greatest(length(lt) - (k - 1), lit(0))),
+      i => lt.substr(i, lit(k)))
+
+  /** TRAINED multiclass language ID — a char-n-gram multinomial Naive
+    * Bayes, the closed-form counting fit of the fastText/CLD-style
+    * classifier every production curation pipeline runs where the
+    * marker-ratio heuristic ([[TextAnalysis.langId]], q28) is only a
+    * screen. Same architecture as the binary quality NB above: the
+    * fitted model IS a (gram, label, weight) relation sized by
+    * vocabulary × labels, trained in two vocabulary-keyed shuffles —
+    * no iterative optimizer, no driver state, the identical plan at
+    * 100 TB.
+    *
+    * Exactness discipline (the q113/q135 integer-micros pattern):
+    * every smoothed log weight quantizes to integer MICROS at the
+    * (gram, label) grain — one ln + one round per weight — and scores
+    * accumulate as exact integer sums, so the argmax compares exact
+    * integers in both engines and the only cross-engine exposure is a
+    * ≤1-ulp libm ln landing within 1 ulp of a .5 micro boundary (the
+    * documented q135 class). Ties break label-ascending,
+    * deterministically.
+    *
+    * Returns `(weights, labelInfo)`:
+    *  - weights: (g, lab, w_micro) DENSE over vocabulary × labels
+    *    (zero counts carry their smoothed floor explicitly);
+    *  - labelInfo: (lab, p_micro, w0_micro) — the doc-count prior
+    *    ln((n_l+1)/(n+L)) and the unseen-gram floor ln(1/(tot_l+V)),
+    *    both in micros. */
+  def nbCharGramFit(train: DataFrame, textCol: String, labelCol: String,
+      k: Int = 3): (DataFrame, DataFrame) = {
+    val base = train.select(col(labelCol).as("lab"),
+      lower(col(textCol)).as("lt"))
+    val grams = base.select(col("lab"),
+      explode(charGrams(col("lt"), k)).as("g"))
+    val counts = grams.groupBy(col("g"), col("lab"))
+      .agg(count(lit(1)).as("cnt"))
+    val labels = base.groupBy(col("lab")).agg(count(lit(1)).as("n_l"))
+    val totPerLab = counts.groupBy(col("lab"))
+      .agg(sum(col("cnt")).as("tot_l"))
+    val vocab = counts.select(col("g")).distinct()
+    val v = vocab.agg(count(lit(1)).as("v"))
+    // dense vocabulary × labels: a zero class count is still a real
+    // (smoothed) weight, and densifying at fit time keeps scoring a
+    // plain equi-join — V × L rows, vocabulary-bounded, never corpus
+    val weights = vocab
+      .crossJoin(totPerLab)
+      .join(counts, Seq("g", "lab"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("g"), col("lab"),
+        round(log((coalesce(col("cnt"), lit(0L)) + 1.0)
+          / (col("tot_l") + col("v"))) * 1e6).cast("long").as("w_micro"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val l = labels.agg(count(lit(1)).as("l"))
+    val labelInfo = labels.join(totPerLab, Seq("lab"), "left")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(l))
+      .crossJoin(broadcast(v))
+      .select(col("lab"),
+        round(log((col("n_l") + 1.0) / (col("n") + col("l"))) * 1e6)
+          .cast("long").as("p_micro"),
+        round(log(lit(1.0) / (coalesce(col("tot_l"), lit(0L)) + col("v")))
+          * 1e6).cast("long").as("w0_micro"))
+    (weights, labelInfo)
+  }
+
+  /** Score `docs` against a [[nbCharGramFit]] model and keep the argmax
+    * label per document: (idCol, pred, best_micro). Grams unseen at fit
+    * time contribute each label's smoothed floor `w0_micro` (the m − mc
+    * term), so held-out text scores by the same formula the fit implies
+    * — for self-trained corpora the term is exactly zero. Docs with no
+    * grams (shorter than k) fall back to the prior argmax. */
+  def nbCharGramPredict(weights: DataFrame, labelInfo: DataFrame,
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), lower(col(textCol)).as("lt"))
+    val dt = base.select(col("id"), explode(charGrams(col("lt"), k)).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+    val m = dt.groupBy(col("id")).agg(sum(col("c")).as("m"))
+    val matched = dt.join(weights, Seq("g"))
+      .groupBy(col("id"), col("lab"))
+      .agg(sum(col("c") * col("w_micro")).as("ms"), sum(col("c")).as("mc"))
+    val scored = base.select(col("id"))
+      .crossJoin(labelInfo)
+      .join(m, Seq("id"), "left")
+      .join(matched, Seq("id", "lab"), "left")
+      .select(col("id"), col("lab"),
+        (col("p_micro") + coalesce(col("ms"), lit(0L)) +
+          (coalesce(col("m"), lit(0L)) - coalesce(col("mc"), lit(0L)))
+            * col("w0_micro")).as("score_micro"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    scored
+      .withColumn("rk", row_number().over(
+        byDoc.orderBy(col("score_micro").desc, col("lab"))))
+      .filter(col("rk") === 1)
+      .select(col("id").as(idCol), col("lab").as("pred"),
+        col("score_micro").as("best_micro"))
+  }
+
   /** The independent MLlib twin: CountVectorizer (full vocabulary) →
     * NaiveBayes(multinomial, smoothing 1.0) — mathematically the same
     * model as [[nbScores]], fitted by a different codebase. Returns

@@ -44,4 +44,58 @@ class ClassifierSpec extends SparkTestBase {
     val acc = rep.getLong(0).toDouble / rep.getLong(1)
     assert(acc >= 0.75, s"train-set agreement $acc below floor")
   }
+
+  test("trained char-gram langId LEARNS: held-out accuracy >= 0.9 on a genuinely multilingual corpus") {
+    // the fixture documents' lang labels are independent of their
+    // synthetic text (q28b's oracle checks the MACHINERY there); the
+    // learning evidence needs text where language is actually encoded
+    // in the characters — three small phrase pools, documents sampled
+    // deterministically, TRAIN on even ids and PREDICT odd ids only
+    val pools = Map(
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "eine",
+        "ich", "haben", "werden", "schon", "über", "für", "möchte"),
+      "en" -> Seq("the", "and", "is", "not", "a", "have", "will",
+        "already", "about", "for", "would", "like", "with", "this"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "avoir",
+        "sera", "déjà", "sur", "pour", "voudrais", "avec"))
+    val langs = pools.keys.toSeq.sorted
+    val corpus = (0 until 240).map { i =>
+      val lang = langs(i % 3)
+      val words = pools(lang)
+      // deterministic pseudo-random 12-word documents
+      val text = (0 until 12)
+        .map(j => words((i * 7 + j * 5 + (i * j) % 11) % words.size))
+        .mkString(" ")
+      (i.toLong, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val train = corpus.filter(col("doc_id") % 2 === 0)
+    val test = corpus.filter(col("doc_id") % 2 =!= 0)
+    val (w, li) = Classifier.nbCharGramFit(train, "text", "lang", k = 3)
+    val pred = Classifier.nbCharGramPredict(w, li, test, "doc_id", "text", k = 3)
+      .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val n = pred.count()
+    val hit = pred.filter(col("pred") === col("lang")).count()
+    assert(n === 120L)
+    val acc = hit.toDouble / n
+    assert(acc >= 0.9, s"held-out langId accuracy $acc below floor")
+    // and it must beat the prior-only baseline by a wide margin (the
+    // classes are balanced, so prior-only is ~1/3)
+    assert(acc >= 2.0 / 3.0 + 0.2)
+  }
+
+  test("trained langId handles unseen grams and sub-k docs through the smoothed floor, never dropping rows") {
+    val train = Seq((0L, "aa", "xxxx yyyy xxxx"), (1L, "bb", "zzzz wwww zzzz"))
+      .toDF("doc_id", "lang", "text")
+    val (w, li) = Classifier.nbCharGramFit(train, "text", "lang", k = 3)
+    // queries: totally unseen grams, and a doc shorter than k
+    val q = Seq((10L, "qqqq"), (11L, "x"), (12L, "xxxx"))
+      .toDF("doc_id", "text")
+    val pred = Classifier.nbCharGramPredict(w, li, q, "doc_id", "text", k = 3)
+      .orderBy(col("doc_id")).collect()
+    assert(pred.length === 3, "every query doc must get a prediction")
+    // sub-k doc falls back to the prior argmax (equal priors → label asc)
+    assert(pred(1).getString(1) === "aa")
+    // a doc of training grams routes to its language
+    assert(pred(2).getString(1) === "aa")
+  }
 }
