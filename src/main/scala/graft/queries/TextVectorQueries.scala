@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{GraftQuery, Tables}
-import graft.ops.{Dedup, DedupCluster, Graph, Similarity, TextAnalysis}
+import graft.ops.{Classifier, Dedup, DedupCluster, Graph, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators wired to the driver contract:
   * text statistics, quality scoring, language ID, fingerprinting,
@@ -191,6 +191,73 @@ object TextVectorQueries {
       SELECT lang, lang_pred, count(*) AS docs
       FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""
     })
+
+  /** TRAINED language ID (oracle-exact): the char-3-gram multiclass
+    * Naive Bayes ([[Classifier.nbCharGramFit]]) self-trained on the
+    * corpus's own lang labels, confusion-matrixed against them — the
+    * fastText/CLD-class model a production pipeline runs where q28's
+    * marker heuristic is only a screen. The DuckDB oracle refits the
+    * ENTIRE model (char grams, dense smoothed per-label weights in
+    * integer micros, doc-count priors, exact integer score sums,
+    * label-asc argmax tie-break) the way q112 refits the quality NB,
+    * so a defect anywhere in the counting fit or the scoring join
+    * hash-fails the row. On this fixture the lang labels are
+    * independent of the synthetic text, so the matrix mostly reflects
+    * priors — the ORACLE checks the machinery; ClassifierSpec holds
+    * the learning evidence (a genuinely multilingual corpus with a
+    * held-out split and an accuracy floor). Self-training keeps the
+    * unseen-gram term exactly zero, so the oracle omits it; the
+    * held-out path is spec-pinned. Scale shape: two vocabulary-keyed
+    * shuffles to fit, one gram-keyed join to score; the dense model
+    * relation is vocabulary × labels, never corpus. */
+  val q28bLangIdTrained = GraftQuery(
+    "q28b_lang_id_trained", { (s, dir) =>
+      val d = docs(s, dir)
+      val (w, li) = Classifier.nbCharGramFit(d, "text", "lang", k = 3)
+      Classifier.nbCharGramPredict(w, li, d, "doc_id", "text", k = 3)
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("pred").as("lang_pred_nb"))
+        .agg(count(lit(1)).as("docs"))
+        .select(col("lang"), col("lang_pred_nb"), col("docs"))
+        .orderBy(col("lang"), col("lang_pred_nb"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, lang, lower(text) AS lt FROM documents),
+      g AS (SELECT doc_id, lang, unnest(list_transform(
+          generate_series(1, greatest(len(lt) - 2, 0)),
+          i -> substr(lt, i, 3))) AS g
+        FROM base),
+      counts AS (SELECT g, lang, count(*) AS cnt FROM g GROUP BY g, lang),
+      labs AS (SELECT lang, count(*) AS n_l FROM base GROUP BY lang),
+      tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot_l
+        FROM counts GROUP BY lang),
+      voc AS (SELECT DISTINCT g FROM counts),
+      v AS (SELECT count(*) AS v FROM voc),
+      nl AS (SELECT (SELECT count(*) FROM base) AS n,
+        (SELECT count(*) FROM labs) AS l),
+      dense AS (SELECT voc.g, t.lang,
+          CAST(round(ln((coalesce(c.cnt, 0) + 1.0) / (t.tot_l + v.v)) * 1e6)
+            AS BIGINT) AS w
+        FROM voc CROSS JOIN tot t
+        LEFT JOIN counts c ON c.g = voc.g AND c.lang = t.lang, v),
+      pri AS (SELECT labs.lang,
+          CAST(round(ln((labs.n_l + 1.0) / (nl.n + nl.l)) * 1e6) AS BIGINT)
+            AS p
+        FROM labs, nl),
+      dt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+      sc AS (SELECT dt.doc_id, d.lang, CAST(sum(dt.c * d.w) AS BIGINT) AS s
+        FROM dt JOIN dense d USING (g) GROUP BY dt.doc_id, d.lang),
+      allsc AS (SELECT b.doc_id, p.lang, p.p + coalesce(sc.s, 0) AS score
+        FROM (SELECT DISTINCT doc_id FROM base) b
+        CROSS JOIN pri p
+        LEFT JOIN sc ON sc.doc_id = b.doc_id AND sc.lang = p.lang),
+      pred AS (SELECT doc_id, lang AS lang_pred_nb FROM (
+          SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, lang) AS rk FROM allsc) r
+        WHERE rk = 1)
+      SELECT b.lang, p.lang_pred_nb, count(*) AS docs
+      FROM base b JOIN pred p USING (doc_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Winnowing fingerprint collision audit (rows-only): identical
     * fingerprints on the doubled corpus = near-dup detection via a single
@@ -3608,6 +3675,104 @@ object TextVectorQueries {
       SELECT root, n AS cluster_size, node AS keep_id, l AS keep_len
       FROM rkd WHERE rk = 1 ORDER BY root"""))
 
+  /** Winnowed-edge transitive dedup (rows-only) — the SCALE path of
+    * q51: candidate edges come from MOSS-winnowed fingerprints
+    * ([[DedupCluster.winnowedShingleEdges]]) instead of every shingle,
+    * so the postings self-join's pair mass — the duplicate-mass term
+    * that makes q51/q51b the probe ledger's one super-linear family —
+    * shrinks by the winnowing density (~2/(w+1) of gram positions
+    * enter the join) while the repeat-length guarantee keeps every
+    * near-dup pair whose shared span reaches the guarantee length.
+    * minShared = 4 is the density-scaled twin of the exact path's 10
+    * (10 · 2/(w+1) at w = 4). Rows differ from q51's by design below
+    * the guarantee length (a 13-token doc's shared suffix cannot
+    * promise 4 co-selected fingerprints); q51d pins both directions of
+    * the agreement as an oracle-checked contract, and the 10× probe in
+    * BASELINE.md records the growth-factor cut. */
+  val q51cDedupClustersWinnowed = GraftQuery(
+    "q51c_dedup_clusters_winnowed", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val edges = DedupCluster.winnowedShingleEdges(
+        corpus, "text", "doc_id", shingleK = 3, w = 4,
+        minShared = 4, maxDf = 1000)
+      val comp = DedupCluster.connectedComponents(edges)
+      val sizes = comp.groupBy(col("root")).agg(count(lit(1)).as("n"))
+      sizes.agg(
+          count(lit(1)).as("clusters"),
+          sum(col("n")).as("clustered_docs"),
+          max(col("n")).as("largest_cluster"))
+        .crossJoin(corpus.agg(count(lit(1)).as("total")))
+        .select(col("clusters"), col("clustered_docs"),
+          col("largest_cluster"),
+          (col("total") - col("clustered_docs") + col("clusters"))
+            .as("survivors"))
+    })
+
+  /** Winnowed-cluster contract (oracle-checked, q104c pattern): both
+    * directions of the q51c↔q51 agreement, violations vs the empty
+    * relation.
+    *
+    * PRECISION leg — every winnowed edge must be a pair sharing ≥
+    * minShared EXACT shingles: winnowed co-fingerprints are selected
+    * from the same chained-XXH64 gram space as [[TextAnalysis
+    * .shingleSet]], so the sparse path can only emit pairs the dense
+    * path admits at the same threshold; a surviving row would mean the
+    * gramHashSeq/ShingleHashesExpr hash chains diverged (or the
+    * documented ~n²/2⁶⁴ collision fired).
+    *
+    * RECALL leg — the winnowing guarantee (Schleimer et al. 2003): a
+    * selected position covers at most w windows, so a shared
+    * contiguous run of g grams forces ≥ ⌈(g−w+1)/w⌉ distinct
+    * co-selected fingerprints; g ≥ (minShared+1)·w − 1 = 19 therefore
+    * forces a direct winnowed edge. The fixture's ground-truth pairs
+    * (d, d+10⁶) share the perturbed doc's whole gram sequence —
+    * g = ntok − 3 contiguous grams — so every ground-truth pair at or
+    * above the guarantee length that the EXACT clustering co-clusters
+    * must co-cluster in the winnowed components too. (Conditioning on
+    * exact co-clustering keeps the two legs symmetric: both compare
+    * the sparse path against q51's components, and both inherit the
+    * same maxDf stop-shingle caveat. Distinct POSITIONS collapse to
+    * one fingerprint only when a doc repeats an identical k-gram
+    * inside one window span — the q104 repeat caveat.) */
+  val q51dWinnowClusterContract = GraftQuery(
+    "q51d_winnow_cluster_contract", { (s, dir) =>
+      val ms = 4; val w = 4
+      val corpus = nearDupCorpus(s, dir).localCheckpoint(eager = false)
+      val wEdges = DedupCluster.winnowedShingleEdges(
+        corpus, "text", "doc_id", shingleK = 3, w = w,
+        minShared = ms, maxDf = 1000)
+      // precision: winnowed edges not among >= ms-shared exact pairs
+      val exactMs = DedupCluster.sharedShingleEdges(
+        corpus, "text", "doc_id", shingleK = 3, minShared = ms, maxDf = 1000)
+      val precViol = wEdges.join(exactMs, Seq("u", "v"), "left_anti")
+        .select(lit("precision").as("kind"), col("u"), col("v"))
+      // recall: guarantee-length ground-truth pairs that the exact
+      // components co-cluster but the winnowed components split or drop
+      val exactComp = DedupCluster.connectedComponents(
+        DedupCluster.sharedShingleEdges(corpus, "text", "doc_id",
+          shingleK = 3, minShared = 10, maxDf = 1000))
+      val winComp = DedupCluster.connectedComponents(wEdges)
+      val gt = corpus.filter(col("doc_id") < 1000000L)
+        .select(col("doc_id").as("u"), (col("doc_id") + 1000000L).as("v"),
+          size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .as("ntok"))
+        .filter(col("ntok") - 3 >= (ms + 1) * w - 1)
+      def lab(c: DataFrame, side: String, out: String) =
+        c.select(col("node").as(side), col("root").as(out))
+      val recViol = gt
+        .join(lab(exactComp, "u", "re_u"), Seq("u"))
+        .join(lab(exactComp, "v", "re_v"), Seq("v"))
+        .filter(col("re_u") === col("re_v"))
+        .join(lab(winComp, "u", "rw_u"), Seq("u"), "left")
+        .join(lab(winComp, "v", "rw_v"), Seq("v"), "left")
+        .filter(col("rw_u").isNull || col("rw_v").isNull ||
+          col("rw_u") =!= col("rw_v"))
+        .select(lit("recall").as("kind"), col("u"), col("v"))
+      precViol.unionByName(recViol).orderBy(col("kind"), col("u"), col("v"))
+    },
+    Some("""SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS u,
+      CAST(NULL AS BIGINT) AS v WHERE 1 = 0"""))
+
   /** Per-label embedding-cluster coherence (oracle-EXACT — unusual for
     * an embedding row, which elsewhere verify via contracts): vector
     * count, centroid norm, mean and min cosine-to-centroid. The
@@ -3758,9 +3923,51 @@ object TextVectorQueries {
         CAST(sum(fb) AS BIGINT) AS frame_bytes, max(idx) AS last_idx
       FROM fr GROUP BY media_id ORDER BY media_id"""))
 
+  /** REAL-AVI frame accounting (oracle-exact): the video twin of the
+    * audio q137 — [[graft.ops.Multimodal.syntheticAviMedia]] assembles
+    * genuine RIFF/AVI containers (LIST/hdrl + avih + LIST/movi of
+    * `00db` chunks) with closed-form ground truth, the engine decodes
+    * dims through [[graft.ops.Multimodal.decodeMeta]]'s real chunk
+    * descent and demuxes the ACTUAL movi frame chunks through
+    * [[graft.ops.Multimodal.sampleFrames]], and DuckDB replays the
+    * synthesis analytically (video i: (32+16i)×(24+8i), 8+4i frames,
+    * frame j carrying 16+4·(j mod 3) bytes; stride-3 sampling keeps
+    * j ≡ 0 mod 3). A defect in the RIFF walk, the avih field offsets,
+    * the movi sub-chunk enumeration, or the stride arithmetic
+    * hash-fails the row. Scale shape: both passes are narrow
+    * per-partition iterators — per-blob work, no shuffle before the
+    * final per-media aggregate. */
+  val q139bAviFrameAccounting = GraftQuery(
+    "q139b_avi_frame_accounting", { (s, _) =>
+      val media = graft.ops.Multimodal.syntheticAviMedia(s, n = 3)
+      val dims = graft.ops.Multimodal.decodeMeta(s, media)
+        .select(col("media_id"), col("width"), col("height"))
+      val frames = graft.ops.Multimodal.sampleFrames(s, media, stride = 1)
+      val acct = frames.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          count(when(col("frame_idx") % 3 === 0, 1)).as("n_sampled"),
+          sum(when(col("frame_idx") % 3 === 0,
+            length(col("frame")).cast("long"))).as("sampled_bytes"),
+          max(when(col("frame_idx") % 3 === 0, col("frame_idx")))
+            .as("last_idx"))
+      dims.join(acct, Seq("media_id")).orderBy(col("media_id"))
+    },
+    Some("""WITH v AS (SELECT unnest(generate_series(0, 2)) AS i),
+      fr AS (SELECT i, unnest(generate_series(0, 8 + 4 * i - 1)) AS j
+        FROM v)
+      SELECT 9600000 + i AS media_id,
+        CAST(32 + 16 * i AS INT) AS width,
+        CAST(24 + 8 * i AS INT) AS height,
+        count(*) AS n_frames,
+        count(*) FILTER (WHERE j % 3 = 0) AS n_sampled,
+        CAST(sum(16 + 4 * (j % 3)) FILTER (WHERE j % 3 = 0) AS BIGINT)
+          AS sampled_bytes,
+        CAST(max(j) FILTER (WHERE j % 3 = 0) AS INT) AS last_idx
+      FROM fr GROUP BY i ORDER BY media_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
-    q28LangId, q29Fingerprint, q29bWinnowContract,
+    q28LangId, q28bLangIdTrained, q29Fingerprint, q29bWinnowContract,
     q30MinhashNearDup, q30bMinhashPrecisionContract, q31SimhashNearDup,
     q31bSimhashEqualityContract, q32NgramJaccard, q33AnnBrute,
     q33bAnnBrutePartial, q34AnnLsh, q34bAnnLshContract, q35AnnIvf,
@@ -3793,5 +4000,7 @@ object TextVectorQueries {
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
     q107DiversitySample, q107bDiversityContract,
     q133OovRate, q134NgramDiversity, q135ZipfSlope, q51bCanonicalKeep,
-    q136EmbeddingCoherence, q137AudioFeatures, q139FrameSample)
+    q51cDedupClustersWinnowed, q51dWinnowClusterContract,
+    q136EmbeddingCoherence, q137AudioFeatures, q139FrameSample,
+    q139bAviFrameAccounting)
 }
