@@ -57,6 +57,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(1), "gram_strings", "k"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "winnow_fingerprints(tokenHashes, k, w)")
+        WinnowFingerprintsExpr(children.head,
+          intLit(children(1), "winnow_fingerprints", "k"),
+          intLit(children(2), "winnow_fingerprints", "w"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("all_sign_bits"),
       info("all_sign_bits"),
       (children: Seq[Expression]) => {

@@ -54,6 +54,16 @@ object SketchExpressions {
     GraftColumnBridge.column(
       GramStringsExpr(GraftColumnBridge.expression(tokens), k))
 
+  /** Column wrapper: MOSS-winnowed fingerprint selection over per-token
+    * 64-bit hashes — value-identical to
+    * [[graft.ops.TextAnalysis.winnowFingerprintsHof]] (the nested
+    * aggregate-over-sequence HOF), but one codegen'd O(grams) deque
+    * pass instead of O(grams × w) interpreted lambda evaluations per
+    * document. Returns array<struct<h:bigint,pos:int>>. */
+  def winnowFingerprints(tokenHashes: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(
+      WinnowFingerprintsExpr(GraftColumnBridge.expression(tokenHashes), k, w))
+
   /** Column wrapper: sign-LSH signatures for ALL hash tables in one pass
     * over a double vector — element t is the `planes`-bit signature under
     * table t's hyperplane set, bit-identical to
@@ -421,6 +431,169 @@ case class ShingleHashesExpr(child: Expression, k: Int)
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |  .fromPrimitiveArray($out);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint selection (Schleimer et al. 2003) compiled to
+  * one linear pass: gram hashes via the same seed-42 chained-XXH64 fold
+  * as [[ShingleHashesExpr]] (but POSITIONED, the gramHashSeq
+  * convention: docs with < k tokens have NO gram, not one short
+  * window), then the leftmost window minimum per w-gram window via a
+  * monotonic deque — O(m) total where the HOF twin re-scans every
+  * window (O(m·w) interpreted lambda steps). Selection semantics match
+  * the HOF bit for bit: strict-less comparison keeps the LEFTMOST
+  * minimum on ties (the deque pops strictly-greater tails only), and
+  * dedup drops repeats of the same selected position, which the
+  * windowed structure makes provably CONSECUTIVE — if windows j and
+  * j+2 both selected p, whatever window j+1 selected would have beaten
+  * p in one of them — so "skip if same as last" is exactly
+  * array_distinct here (DedupSpec asserts whole-fixture parity).
+  * Positions are 1-based like the HOF (downstream element_at
+  * consumers). Input contract: non-null token hashes (the tokenizer
+  * never emits null tokens — the ShingleHashesExpr contract). */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k > 0, "k must be positive")
+  require(w > 0, "w must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val m = n - (k - 1)
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val g = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 42L
+      var j = i
+      while (j < i + k) { h = XXH64.hashLong(hs.getLong(j), h); j += 1 }
+      g(i) = h
+      i += 1
+    }
+    val outH = new Array[Long](m)
+    val outP = new Array[Int](m)
+    var cnt = 0
+    if (m < w) {
+      // single short window over the whole gram sequence
+      var best = 0
+      var p = 1
+      while (p < m) { if (g(p) < g(best)) best = p; p += 1 }
+      outH(0) = g(best); outP(0) = best + 1; cnt = 1
+    } else {
+      val dq = new Array[Int](m)
+      var head = 0
+      var tail = 0
+      var last = -1
+      var p = 0
+      while (p < m) {
+        while (tail > head && g(dq(tail - 1)) > g(p)) tail -= 1
+        dq(tail) = p; tail += 1
+        if (p >= w - 1) {
+          while (dq(head) < p - (w - 1)) head += 1
+          val sel = dq(head)
+          if (sel != last) {
+            outH(cnt) = g(sel); outP(cnt) = sel + 1; cnt += 1; last = sel
+          }
+        }
+        p += 1
+      }
+    }
+    val rows = new Array[Any](cnt)
+    var o = 0
+    while (o < cnt) {
+      rows(o) = org.apache.spark.sql.catalyst.InternalRow(outH(o), outP(o))
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = classOf[XXH64].getName
+      val gir = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+      val n = ctx.freshName("wfN")
+      val m = ctx.freshName("wfM")
+      val g = ctx.freshName("wfG")
+      val i = ctx.freshName("wfI")
+      val j = ctx.freshName("wfJ")
+      val h = ctx.freshName("wfH")
+      val outH = ctx.freshName("wfOutH")
+      val outP = ctx.freshName("wfOutP")
+      val cnt = ctx.freshName("wfCnt")
+      val best = ctx.freshName("wfBest")
+      val p = ctx.freshName("wfP")
+      val dq = ctx.freshName("wfDq")
+      val head = ctx.freshName("wfHead")
+      val tail = ctx.freshName("wfTail")
+      val last = ctx.freshName("wfLast")
+      val sel = ctx.freshName("wfSel")
+      val rows = ctx.freshName("wfRows")
+      val o = ctx.freshName("wfO")
+      s"""
+         |final int $n = $c.numElements();
+         |final int $m = $n - ${k - 1};
+         |if ($m <= 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[0]);
+         |} else {
+         |  long[] $g = new long[$m];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    long $h = 42L;
+         |    for (int $j = $i; $j < $i + $k; $j++) {
+         |      $h = $xxh.hashLong($c.getLong($j), $h);
+         |    }
+         |    $g[$i] = $h;
+         |  }
+         |  long[] $outH = new long[$m];
+         |  int[] $outP = new int[$m];
+         |  int $cnt = 0;
+         |  if ($m < $w) {
+         |    int $best = 0;
+         |    for (int $p = 1; $p < $m; $p++) {
+         |      if ($g[$p] < $g[$best]) $best = $p;
+         |    }
+         |    $outH[0] = $g[$best]; $outP[0] = $best + 1; $cnt = 1;
+         |  } else {
+         |    int[] $dq = new int[$m];
+         |    int $head = 0; int $tail = 0; int $last = -1;
+         |    for (int $p = 0; $p < $m; $p++) {
+         |      while ($tail > $head && $g[$dq[$tail - 1]] > $g[$p]) $tail--;
+         |      $dq[$tail] = $p; $tail++;
+         |      if ($p >= ${w - 1}) {
+         |        while ($dq[$head] < $p - ${w - 1}) $head++;
+         |        final int $sel = $dq[$head];
+         |        if ($sel != $last) {
+         |          $outH[$cnt] = $g[$sel]; $outP[$cnt] = $sel + 1; $cnt++;
+         |          $last = $sel;
+         |        }
+         |      }
+         |    }
+         |  }
+         |  Object[] $rows = new Object[$cnt];
+         |  for (int $o = 0; $o < $cnt; $o++) {
+         |    $rows[$o] = new $gir(new Object[] {
+         |      java.lang.Long.valueOf($outH[$o]),
+         |      java.lang.Integer.valueOf($outP[$o]) });
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
+         |}
          |""".stripMargin
     })
 

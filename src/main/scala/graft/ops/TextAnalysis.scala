@@ -147,11 +147,24 @@ object TextAnalysis {
     * is what makes the set sufficient for substring matching of length
     * ≥ w+k−1, and is pinned every round by q29b's empty-violations
     * oracle. [[fingerprint]] is the degenerate w = ∞ case (one global
-    * minimum). Cost: O(grams × w) per document, a narrow projection
-    * with no shuffle; expected density ≈ 2/(w+1) of grams selected.
-    * Docs with < k tokens → empty set; docs with fewer than w grams
-    * winnow their whole gram sequence as one short window. */
+    * minimum). Backed by the codegen deque expression
+    * (graft.functions.WinnowFingerprintsExpr): one O(grams) pass, a
+    * narrow projection with no shuffle — the HOF twin below re-scans
+    * every window interpreted (O(grams × w) lambda steps, the dominant
+    * cost of the winnowed span/edge paths before round 15). Expected
+    * density ≈ 2/(w+1) of grams selected. Docs with < k tokens → empty
+    * set; docs with fewer than w grams winnow their whole gram
+    * sequence as one short window. */
   def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    graft.functions.SketchExpressions.winnowFingerprints(
+      transform(tokens(text), t => xxhash64(t)), k, w)
+
+  /** The HOF formulation of [[winnowFingerprints]] — kept as the
+    * independent spec twin (DedupSpec asserts whole-fixture value
+    * parity against the codegen expression, the gram_strings/q134
+    * pattern). Not called from any query path. */
+  private[graft] def winnowFingerprintsHof(text: Column, k: Int = 3,
+      w: Int = 4): Column =
     bind(gramHashSeq(tokens(text), k)) { g =>
       val m = size(g)
       // seeded with the window's FIRST element, not a Long.MaxValue

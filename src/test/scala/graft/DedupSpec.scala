@@ -110,6 +110,32 @@ class DedupSpec extends SparkTestBase {
     assert(diffs === 0L)
   }
 
+  test("codegen winnowing expression is value-identical to the HOF formulation") {
+    // whole-fixture parity across several (k, w) shapes, INCLUDING the
+    // degenerate short-window cases (w=1 selects every gram; docs with
+    // fewer than w grams winnow one short window; docs below k tokens
+    // are empty) — the deque pass and the per-window rescan must agree
+    // on every (h, pos) pair in order
+    for ((k, w) <- Seq((3, 4), (3, 1), (5, 4), (2, 9))) {
+      val diffs = corpus.select(
+          graft.ops.TextAnalysis.winnowFingerprints(col("text"), k, w).as("fast"),
+          graft.ops.TextAnalysis.winnowFingerprintsHof(col("text"), k, w).as("ref"))
+        .filter(!(col("fast") <=> col("ref"))).count()
+      assert(diffs === 0L, s"k=$k w=$w")
+    }
+    // and tiny adversarial token streams where ties/short docs bite
+    import spark.implicits._
+    val tiny = Seq("", "a", "a b", "a b c", "a a a a a a",
+      "x y x y x y x y", "a b c d e f g h i j").toDF("text")
+    for ((k, w) <- Seq((3, 4), (1, 2), (2, 2))) {
+      val d = tiny.select(
+          graft.ops.TextAnalysis.winnowFingerprints(col("text"), k, w).as("fast"),
+          graft.ops.TextAnalysis.winnowFingerprintsHof(col("text"), k, w).as("ref"))
+        .filter(!(col("fast") <=> col("ref"))).count()
+      assert(d === 0L, s"tiny k=$k w=$w")
+    }
+  }
+
   test("codegen SimHash expression is bit-identical to the HOF formulation") {
     val th = corpus.limit(100).select(
       transform(graft.ops.TextAnalysis.tokens(col("text")), t => xxhash64(t)).as("th"))

@@ -106,6 +106,24 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("winnow_fingerprints resolves through spark.sql and matches the Column API") {
+    withExtensionSession { s =>
+      val viaSql = s.sql(
+        """SELECT winnow_fingerprints(
+          |  array(xxhash64('a'), xxhash64('b'), xxhash64('c'),
+          |        xxhash64('d'), xxhash64('e'), xxhash64('f')), 3, 2) AS fp
+          |""".stripMargin).head().getSeq[org.apache.spark.sql.Row](0)
+      val viaApi = spark.range(1).select(
+        SketchExpressions.winnowFingerprints(
+          array(Seq("a", "b", "c", "d", "e", "f")
+            .map(t => xxhash64(lit(t))): _*), 3, 2).as("fp"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(viaSql.map(r => (r.getLong(0), r.getInt(1))) ===
+        viaApi.map(r => (r.getLong(0), r.getInt(1))))
+      assert(viaApi.nonEmpty)
+    }
+  }
+
   test("gram_strings rejects null tokens loudly instead of corrupting grams") {
     withExtensionSession { s =>
       // k=1 would otherwise pass the null into a containsNull=false array;
