@@ -48,10 +48,12 @@ object SparkEntry {
     "q31_simhash_neardup", "q33_ann_brute", "q33b_ann_brute_partial",
     "q35_ann_ivf", "q35b_ann_pq", "q36b_embed_neardup_lsh", "q41_asof_join",
     "q51_dedup_clusters", "q93_decontaminate",
-    // round-15: the winnowed-edge scale path of q51 — timed as a PAIR
-    // with its exact parent so the duplicate-mass constant cut
-    // (BASELINE.md r15 probe: growth 6.1× → 4.6×) is tracked per round
-    "q51c_dedup_clusters_winnowed",
+    // round-15: the q51 scale trio — the winnowed-edge path (duplicate-
+    // mass constant cut; codegen deque selection) and the LSH star-
+    // linked path (strictly linear edge work) timed beside their exact
+    // parent, so both scale stories are tracked per round (BASELINE.md
+    // r15 probes)
+    "q51c_dedup_clusters_winnowed", "q51e_dedup_clusters_lsh",
     // round-10 additions: substring-level span dedup (hash-count +
     // islands window), blocked semantic dedup (cell-scoped pair work),
     // and the CDC → incremental-aggregate refresh loop through real

@@ -108,6 +108,48 @@ object DedupCluster {
       .select(col("u"), col("v"))
   }
 
+  /** LINEAR-in-duplicate-mass candidate edges — the 100 TB clustering
+    * path: MinHash-LSH banding (the q30 machinery) with per-bucket STAR
+    * linking instead of per-bucket pair expansion. Every bucket of df
+    * docs emits df − 1 edges (each member → the bucket minimum), not
+    * df·(df−1)/2 pairs, so total edge work is Σ(df − 1) ≤ |postings| =
+    * N × bands — strictly linear however the duplicate mass is
+    * distributed. The components are EXACTLY the components of the full
+    * LSH candidate-pair graph: u and v share a bucket ⇒ both link to
+    * that bucket's minimum ⇒ connected through it, and every star edge
+    * IS a candidate pair — so star linking changes the edge set, never
+    * the clustering (q51f pins this equality through the oracle gate).
+    *
+    * Precision semantics differ from [[sharedShingleEdges]] by design:
+    * membership is "shares ≥ 1 of `bands` signature bands" — the
+    * banding threshold curve (P(candidate) = 1−(1−j^r)^b at Jaccard j)
+    * — with NO exact shared-shingle verification, the posture of
+    * production-scale fuzzy dedup (pair verification would rebuild the
+    * quadratic pair relation this path exists to avoid). The verified
+    * paths remain q51 (exact) and q51c (winnowed). */
+  def lshClusterEdges(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val banded = df
+      .select(col(idCol).as("id"),
+        TextAnalysis.shingleSet(col(textCol), shingleK).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("id"), explode(Dedup.bandHashes(
+        Dedup.minhashSignature(col("shingles"), numHashes),
+        bands, rowsPerBand)).as("band"))
+    val mins = banded.groupBy(col("band")).agg(min(col("id")).as("u"))
+    banded.join(mins, Seq("band"))
+      .filter(col("id") =!= col("u"))
+      .select(col("u"), col("id").as("v"))
+      .distinct()
+  }
+
   /** Large-star round: every node a links each HIGHER neighbor b to
     * m(a) = min(neighbors(a) ∪ {a}). Keeps the graph connected while
     * strictly pulling high nodes toward component minima.

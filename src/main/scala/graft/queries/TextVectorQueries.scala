@@ -3773,6 +3773,75 @@ object TextVectorQueries {
     Some("""SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS u,
       CAST(NULL AS BIGINT) AS v WHERE 1 = 0"""))
 
+  /** LSH star-linked transitive dedup (rows-only) — the LINEAR
+    * clustering path: MinHash-band buckets emit member→bucket-min star
+    * edges (df − 1 per bucket, never df²/2 pairs), so the edge builder
+    * is linear in duplicate mass — the posture of production fuzzy
+    * dedup at corpus scale, where q51's verified pair counting is the
+    * precision path and THIS is what runs first at 100 TB. Membership
+    * semantics are the banding threshold curve (shares ≥ 1 of 8 bands
+    * over a 32-hash signature), not exact shared-shingle counts, so
+    * the summary differs from q51's by design; q51f pins the star ≡
+    * pair-graph component equality through the oracle gate, DedupSpec
+    * holds the ground-truth recall floor, and the 10× probe in
+    * BASELINE.md records the linear growth. */
+  val q51eDedupClustersLsh = GraftQuery(
+    "q51e_dedup_clusters_lsh", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val edges = DedupCluster.lshClusterEdges(
+        corpus, "text", "doc_id", shingleK = 3, numHashes = 32, bands = 8)
+      val comp = DedupCluster.connectedComponents(edges)
+      val sizes = comp.groupBy(col("root")).agg(count(lit(1)).as("n"))
+      sizes.agg(
+          count(lit(1)).as("clusters"),
+          sum(col("n")).as("clustered_docs"),
+          max(col("n")).as("largest_cluster"))
+        .crossJoin(corpus.agg(count(lit(1)).as("total")))
+        .select(col("clusters"), col("clustered_docs"),
+          col("largest_cluster"),
+          (col("total") - col("clustered_docs") + col("clusters"))
+            .as("survivors"))
+    })
+
+  /** Star-vs-pair component equality contract (oracle-checked, q104c
+    * pattern): the components of the star-linked edge set must equal
+    * the components of the FULL LSH candidate-pair graph (the
+    * quadratic expansion this path exists to avoid) — u and v sharing
+    * a bucket are connected through its minimum, and every star edge
+    * is itself a candidate pair, so the two labelings must agree node
+    * for node. The pair expansion runs only here, at verify SF, as the
+    * contract's reference; a surviving row would mean star linking
+    * changed the clustering, which the bucket-connectivity argument
+    * says is impossible. */
+  val q51fLshStarPairContract = GraftQuery(
+    "q51f_lsh_star_pair_contract", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir).localCheckpoint(eager = false)
+      val starComp = DedupCluster.connectedComponents(
+          DedupCluster.lshClusterEdges(corpus, "text", "doc_id",
+            shingleK = 3, numHashes = 32, bands = 8))
+        .withColumnRenamed("root", "root_star")
+      // the quadratic reference: the same banding, expanded to pairs
+      val banded = corpus
+        .select(col("doc_id").as("id"),
+          TextAnalysis.shingleSet(col("text"), 3).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+        .select(col("id"), explode(Dedup.bandHashes(
+          Dedup.minhashSignature(col("shingles"), 32), 8, 4)).as("band"))
+      val pairs = banded.select(col("band"), col("id").as("u"))
+        .join(banded.select(col("band"), col("id").as("v")), Seq("band"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      val pairComp = DedupCluster.connectedComponents(pairs)
+        .withColumnRenamed("root", "root_pair")
+      starComp.join(pairComp, Seq("node"), "full_outer")
+        .filter(!(col("root_star") <=> col("root_pair")))
+        .select(col("node"), col("root_star"), col("root_pair"))
+        .orderBy(col("node"))
+    },
+    Some("""SELECT CAST(NULL AS BIGINT) AS node,
+      CAST(NULL AS BIGINT) AS root_star, CAST(NULL AS BIGINT) AS root_pair
+      WHERE 1 = 0"""))
+
   /** Per-label embedding-cluster coherence (oracle-EXACT — unusual for
     * an embedding row, which elsewhere verify via contracts): vector
     * count, centroid norm, mean and min cosine-to-centroid. The
@@ -4001,6 +4070,7 @@ object TextVectorQueries {
     q107DiversitySample, q107bDiversityContract,
     q133OovRate, q134NgramDiversity, q135ZipfSlope, q51bCanonicalKeep,
     q51cDedupClustersWinnowed, q51dWinnowClusterContract,
+    q51eDedupClustersLsh, q51fLshStarPairContract,
     q136EmbeddingCoherence, q137AudioFeatures, q139FrameSample,
     q139bAviFrameAccounting)
 }

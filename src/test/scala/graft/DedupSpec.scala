@@ -110,6 +110,29 @@ class DedupSpec extends SparkTestBase {
     assert(diffs === 0L)
   }
 
+  test("LSH star-linked clustering: true pairs co-cluster >= 90%; stars never out-cluster the candidate graph") {
+    import graft.ops.DedupCluster
+    val edges = DedupCluster.lshClusterEdges(corpus, "text", "doc_id",
+      shingleK = 3, numHashes = 32, bands = 8)
+    val comp = DedupCluster.connectedComponents(edges).cache()
+    // banding recall on the ground-truth (d, d+1e6) pairs: both in one
+    // component (directly or transitively)
+    val lab = (side: String, out: String) =>
+      comp.select(col("node").as(side), col("root").as(out))
+    val gt = corpus.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
+    val caught = gt.join(lab("a", "ra"), Seq("a"))
+      .join(lab("b", "rb"), Seq("b"))
+      .filter(col("ra") === col("rb")).count()
+    assert(caught >= (0.9 * nDocs).toLong,
+      s"LSH star clustering caught $caught of $nDocs true pairs")
+    // sanity: the star edge count is bounded by the postings size
+    // (linear), nowhere near the pair expansion
+    val nEdges = edges.count()
+    val postings = corpus.count() * 8
+    assert(nEdges <= postings, s"$nEdges star edges exceed $postings postings")
+  }
+
   test("codegen winnowing expression is value-identical to the HOF formulation") {
     // whole-fixture parity across several (k, w) shapes, INCLUDING the
     // degenerate short-window cases (w=1 selects every gram; docs with

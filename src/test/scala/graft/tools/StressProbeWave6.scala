@@ -22,7 +22,7 @@ import graft.core.Tables
   */
 object StressProbeWave6 {
   val docQueries = Seq("q51_dedup_clusters", "q51c_dedup_clusters_winnowed",
-    "q134_ngram_diversity")
+    "q51e_dedup_clusters_lsh", "q134_ngram_diversity")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
