@@ -61,9 +61,92 @@ object DeltaExport {
 
   private def commitFile(v: Long): String = f"$v%020d.json"
 
-  private def addAction(p: java.nio.file.Path, now: Long): String =
+  private def addAction(p: java.nio.file.Path, now: Long,
+      stats: Option[String]): String = {
+    val statsField =
+      stats.map(s => s""","stats":"${esc(s)}"""").getOrElse("")
     s"""{"add":{"path":"${esc(p.getFileName.toString)}","partitionValues":{},"size":${Files
-        .size(p)},"modificationTime":$now,"dataChange":true}}"""
+        .size(p)},"modificationTime":$now,"dataChange":true$statsField}}"""
+  }
+
+  // ---- per-file column statistics (the protocol's `add.stats` field) ----
+
+  /** Columns eligible for min/max/nullCount stats: flat atomic types a
+    * JSON stats blob can carry losslessly. Arrays, structs, maps,
+    * binary and timestamps are skipped (Delta itself restricts and
+    * truncates stats types; a pruning reader treats a column absent
+    * from the blob as "no information — must read"). */
+  private def statsEligible(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+      case f if f.dataType == StringType => f.name
+      case f if f.dataType == BooleanType => f.name
+    }.toSeq
+  }
+
+  /** One JSON value for a stats min/max entry, or None when the value
+    * cannot be represented as a JSON literal (null column, NaN or
+    * infinite floating point — Delta omits those and readers fall back
+    * to must-read). */
+  private def statsJsonValue(v: Any): Option[String] = v match {
+    case null => None
+    case d: Double if d.isNaN || d.isInfinite => None
+    case f: Float if f.isNaN || f.isInfinite => None
+    case s: String => Some(s""""${esc(s)}"""")
+    case b: Boolean => Some(b.toString)
+    case n: java.math.BigDecimal => Some(n.toPlainString)
+    case other => Some(other.toString) // integral + finite floating
+  }
+
+  /** Compute the `add.stats` JSON for each of `paths` in ONE
+    * distributed pass: scan the fresh files, group by source file, and
+    * aggregate numRecords plus per-column min/max/nullCount. The
+    * collect is bounded metadata — one row per written file, the same
+    * O(files) accounting a real Delta writer assembles from its task
+    * results (ours runs as a read-back job because the files were
+    * written by a plain parquet write that offers no task-level hook).
+    * Returns fileName -> stats JSON text (unescaped). */
+  private def fileStatsFor(spark: SparkSession,
+      paths: Seq[java.nio.file.Path]): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    if (paths.isEmpty) return Map.empty
+    val df = spark.read.parquet(paths.map(_.toString): _*)
+    val cols = statsEligible(df.schema)
+    val aggs = count(lit(1L)).as("__n") +: cols.zipWithIndex.flatMap {
+      case (c, i) => Seq(
+        min(col(c)).as(s"__mn$i"), max(col(c)).as(s"__mx$i"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nc$i"))
+    }
+    val rows = df
+      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+      .groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per fresh file
+    rows.map { r =>
+      val mins = Seq.newBuilder[String]
+      val maxs = Seq.newBuilder[String]
+      val ncs = Seq.newBuilder[String]
+      cols.zipWithIndex.foreach { case (c, i) =>
+        val key = s""""${esc(c)}":"""
+        statsJsonValue(r.getAs[Any](s"__mn$i")).foreach(v => mins += (key + v))
+        statsJsonValue(r.getAs[Any](s"__mx$i")).foreach(v => maxs += (key + v))
+        ncs += (key + r.getAs[Long](s"__nc$i").toString)
+      }
+      val json =
+        s"""{"numRecords":${r.getAs[Long]("__n")},"minValues":{${mins
+            .result().mkString(",")}},"maxValues":{${maxs.result()
+            .mkString(",")}},"nullCount":{${ncs.result().mkString(",")}}}"""
+      r.getAs[String]("__file") -> json
+    }.toMap
+  }
+
+  private def addActions(spark: SparkSession,
+      fresh: Seq[java.nio.file.Path], now: Long): Seq[String] = {
+    val stats = fileStatsFor(spark, fresh)
+    fresh.map(p => addAction(p, now, stats.get(p.getFileName.toString)))
+  }
 
   /** Write `df` under `dir` as an unpartitioned Delta table (version 0
     * commit). Returns the number of `add` actions written. */
@@ -76,7 +159,7 @@ object DeltaExport {
       s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(
           dir.getBytes(StandardCharsets.UTF_8))}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
           df.schema.json)}","partitionColumns":[],"configuration":{},"createdTime":$now}}"""
-    val adds = parts.map(addAction(_, now))
+    val adds = addActions(spark, parts, now)
     val logDir = Paths.get(dir).resolve("_delta_log")
     Files.createDirectories(logDir)
     Files.write(logDir.resolve(commitFile(0L)),
@@ -159,7 +242,7 @@ object DeltaExport {
     val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
     require(fresh.nonEmpty, "append produced no data files")
     val now = System.currentTimeMillis()
-    writeCommit(dir, v, fresh.map(addAction(_, now)))
+    writeCommit(dir, v, addActions(spark, fresh, now))
     v
   }
 
@@ -178,7 +261,7 @@ object DeltaExport {
     val now = System.currentTimeMillis()
     val removes = live.toSeq.sorted.map(p =>
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
-    writeCommit(dir, v, removes ++ fresh.map(addAction(_, now)))
+    writeCommit(dir, v, removes ++ addActions(spark, fresh, now))
     v
   }
 
@@ -233,6 +316,12 @@ object DeltaExport {
     * the Delta protocol. Every protocol action encountered must be one
     * this reader supports (minReaderVersion 1). */
   def liveFilesAt(dir: String, versionAsOf: Option[Long]): (String, Seq[String]) = {
+    val st = replayedState(dir, versionAsOf)
+    (st.meta, st.live.toSeq)
+  }
+
+  private def replayedState(dir: String,
+      versionAsOf: Option[Long]): ReplayState = {
     val versions = logVersions(dir)
     require(versions.headOption.contains(0L), s"log does not start at 0: $versions")
     val cut = versionAsOf.getOrElse(versions.max)
@@ -241,13 +330,20 @@ object DeltaExport {
     val st = new ReplayState
     versions.takeWhile(_ <= cut).foreach(v => applyCommit(dir, v, st))
     require(st.meta != null, "no metaData action in the replayed log")
-    (st.meta, st.live.toSeq)
+    st
   }
 
   private final class ReplayState {
     var meta: String = null
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    // path -> that file's `stats` JSON (unescaped), when its add carried
+    // one. A path absent here is a must-read file for any pruner.
+    val stats = scala.collection.mutable.Map.empty[String, String]
   }
+
+  // the stats field is a JSON STRING inside the add action (escaped);
+  // key-order-tolerant like the other extractors
+  private val statsRe = """"stats":"((?:[^"\\]|\\.)*)"""".r
 
   /** Apply one JSON commit's actions to the replay state. Paths are
     * JSON-unescaped before entering the live set, so logs written by
@@ -262,8 +358,18 @@ object DeltaExport {
         require(l.contains(""""minReaderVersion":1"""),
           s"unsupported reader protocol at v$v: $l")
       else if (l.startsWith("""{"metaData"""")) st.meta = l
-      else if (l.startsWith("""{"add"""")) st.live += pathOf(l, "add")
-      else if (l.startsWith("""{"remove"""")) st.live -= pathOf(l, "remove")
+      else if (l.startsWith("""{"add"""")) {
+        val p = pathOf(l, "add")
+        st.live += p
+        statsRe.findFirstMatchIn(l) match {
+          case Some(m) => st.stats(p) = unescapeJson(m.group(1))
+          case None => st.stats -= p // a re-add without stats supersedes
+        }
+      } else if (l.startsWith("""{"remove"""")) {
+        val p = pathOf(l, "remove")
+        st.live -= p
+        st.stats -= p
+      }
     }
   }
 
@@ -282,18 +388,74 @@ object DeltaExport {
   def readDeltaTable(spark: SparkSession, dir: String,
       versionAsOf: Option[Long] = None): DataFrame = {
     val (meta, files) = snapshotAt(spark, dir, versionAsOf)
+    require(files.nonEmpty,
+      s"no live files at version ${versionAsOf.getOrElse("latest")}")
+    scanFiles(spark, dir, meta, files, versionAsOf)
+  }
+
+  private def scanFiles(spark: SparkSession, dir: String, meta: String,
+      files: Seq[String], versionAsOf: Option[Long]): DataFrame = {
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    require(files.nonEmpty,
-      s"no live files at version ${versionAsOf.getOrElse("latest")}")
     val gone = files.filterNot(f =>
       Files.isRegularFile(Paths.get(dir, f)))
     require(gone.isEmpty,
       s"snapshot at version ${versionAsOf.getOrElse("latest")} is no longer " +
         s"reconstructible — add-listed file(s) vacuumed or missing: " +
         gone.mkString(", "))
-    spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Stats-pruned band read — the planning move that makes Delta fast
+    * at 100 TB: candidate files for `lo <= bandCol <= hi` are chosen
+    * from the LOG's `add.stats` alone, before any parquet footer is
+    * opened (a plain parquet scan must stat + footer-read every file
+    * just to discover its min/max; here the log already carries them).
+    * A file is skipped only on positive evidence: its stats parse (via
+    * Spark's JSON parser — third-party blobs that are malformed,
+    * nested, or missing the column fall back to must-read), its
+    * [min,max] misses the band, or the column is provably all-NULL
+    * there (nullCount == numRecords — a range predicate excludes
+    * NULLs). The residual filter still runs on the survivors, so
+    * pruning is an optimization, never a correctness dependency.
+    * Existence is checked for candidate files only — a pruned read
+    * touches exactly the files it scans, the same O(candidates)
+    * posture a real Delta reader has. Returns
+    * (result, candidateFiles, liveFiles). */
+  def readDeltaTablePruned(spark: SparkSession, dir: String,
+      bandCol: String, lo: Double, hi: Double,
+      versionAsOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val st = snapshotState(spark, dir, versionAsOf)
+    val files = st.live.toSeq
+    require(files.nonEmpty,
+      s"no live files at version ${versionAsOf.getOrElse("latest")}")
+    import spark.implicits._
+    val parsed = files.map(f => (f, st.stats.get(f).orNull))
+      .toDF("path", "stats")
+      .withColumn("s", from_json(col("stats"),
+        org.apache.spark.sql.types.DataType.fromDDL(
+          "numRecords BIGINT, minValues MAP<STRING,STRING>, " +
+            "maxValues MAP<STRING,STRING>, nullCount MAP<STRING,STRING>")))
+    val mn = element_at(col("s.minValues"), bandCol).cast("double")
+    val mx = element_at(col("s.maxValues"), bandCol).cast("double")
+    val nc = element_at(col("s.nullCount"), bandCol).cast("bigint")
+    val allNull = nc.isNotNull && col("s.numRecords").isNotNull &&
+      nc === col("s.numRecords") && col("s.numRecords") > 0L
+    val mustRead = col("stats").isNull || col("s").isNull ||
+      mn.isNull || mx.isNull
+    val bandHit = mn <= lit(hi) && mx >= lit(lo)
+    val keep = when(allNull, lit(false)).otherwise(mustRead || bandHit)
+    // bounded collect: one file NAME per candidate — log-scale metadata
+    val candidates = parsed.filter(keep).select(col("path"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    val out = scanFiles(spark, dir, st.meta, candidates, versionAsOf)
+      .filter(col(bandCol).between(lit(lo), lit(hi)))
+    (out, candidates.size, files.size)
   }
 
   /** Checkpoint-aware snapshot reconstruction — the real consumer entry
@@ -305,7 +467,13 @@ object DeltaExport {
     * chain and fails loudly once that chain is expired. Tables without
     * a checkpoint take the pure JSON replay of [[liveFilesAt]]. */
   def snapshotAt(spark: SparkSession, dir: String,
-      versionAsOf: Option[Long]): (String, Seq[String]) =
+      versionAsOf: Option[Long]): (String, Seq[String]) = {
+    val st = snapshotState(spark, dir, versionAsOf)
+    (st.meta, st.live.toSeq)
+  }
+
+  private def snapshotState(spark: SparkSession, dir: String,
+      versionAsOf: Option[Long]): ReplayState =
     lastCheckpoint(dir) match {
       case Some(cp) if versionAsOf.forall(_ >= cp.version) =>
         val cpV = cp.version
@@ -317,7 +485,7 @@ object DeltaExport {
         val st = loadCheckpoint(spark, dir, cpV, cp.parts)
         ((cpV + 1) to cut).foreach(v => applyCommit(dir, v, st))
         require(st.meta != null, s"checkpoint v$cpV carries no metaData")
-        (st.meta, st.live.toSeq)
+        st
       case Some(CheckpointPointer(cpV, _, _)) =>
         val versions = logVersions(dir)
         val cut = versionAsOf.get
@@ -326,9 +494,16 @@ object DeltaExport {
           s"version $cut precedes checkpoint v$cpV and JSON commit(s) " +
             s"${missing.mkString(",")} have been expired — snapshot is " +
             "no longer reconstructible")
-        liveFilesAt(dir, versionAsOf)
-      case None => liveFilesAt(dir, versionAsOf)
+        replayedState(dir, versionAsOf)
+      case None => replayedState(dir, versionAsOf)
     }
+
+  /** The per-file `stats` JSON of the live snapshot at `versionAsOf`
+    * (latest when None): path -> unescaped stats text. Files whose add
+    * carried no stats are absent — a pruner must read them. */
+  def statsAt(spark: SparkSession, dir: String,
+      versionAsOf: Option[Long] = None): Map[String, String] =
+    snapshotState(spark, dir, versionAsOf).stats.toMap
 
   // minimal classic-checkpoint row: one action per row, null elsewhere
   // (delta-io PROTOCOL.md "Checkpoints"); other writers add more columns
@@ -339,7 +514,8 @@ object DeltaExport {
   final case class CpMetaData(id: String, schemaString: String,
       partitionColumns: Seq[String], createdTime: Long)
   final case class CpAdd(path: String, partitionValues: Map[String, String],
-      size: Long, modificationTime: Long, dataChange: Boolean)
+      size: Long, modificationTime: Long, dataChange: Boolean,
+      stats: Option[String])
   final case class CpRow(protocol: Option[CpProtocol],
       metaData: Option[CpMetaData], add: Option[CpAdd])
 
@@ -376,7 +552,8 @@ object DeltaExport {
       parts: Int = 1): Long = {
     require(parts >= 1, "parts must be >= 1")
     val v = latestVersion(dir)
-    val (meta, files) = snapshotAt(spark, dir, None)
+    val snap = snapshotState(spark, dir, None)
+    val (meta, files) = (snap.meta, snap.live.toSeq)
     val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
     val ctRe = """"createdTime":(\d+)""".r
     val id = idRe.findFirstMatchIn(meta)
@@ -391,7 +568,8 @@ object DeltaExport {
       files.sorted.map { f =>
         val p = Paths.get(dir, f)
         CpRow(None, None, Some(CpAdd(f, Map.empty, Files.size(p),
-          Files.getLastModifiedTime(p).toMillis, dataChange = false)))
+          Files.getLastModifiedTime(p).toMillis, dataChange = false,
+          stats = snap.stats.get(f))))
       }
     require(rows.size >= parts,
       s"cannot split ${rows.size} checkpoint action(s) into $parts parts")
@@ -480,7 +658,12 @@ object DeltaExport {
         st.meta = s"""{"metaData":{"id":"${esc(str("id"))}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
             str("schemaString"))}","partitionColumns":[],"configuration":{},"createdTime":$ct}}"""
       }
-      struct("add").foreach(a => st.live += a.getAs[String]("path"))
+      struct("add").foreach { a =>
+        val p = a.getAs[String]("path")
+        st.live += p
+        val si = a.schema.fieldNames.indexOf("stats")
+        if (si >= 0 && !a.isNullAt(si)) st.stats(p) = a.getString(si)
+      }
       // remove rows in a checkpoint are expired tombstones, never live
       struct("remove").foreach(rm => st.live -= rm.getAs[String]("path"))
     }

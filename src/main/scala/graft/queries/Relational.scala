@@ -1343,8 +1343,55 @@ object Relational {
       ORDER BY g_status, g_priority,
         o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
 
+  /** Log-stats file pruning through the Delta interchange layer
+    * (oracle-EXACT, including the fact that pruning HAPPENED): write
+    * the documents table as a range-clustered Delta table (4 files,
+    * per-file min/max/nullCount in each add's `stats` blob), then
+    * answer a doc_id band query planned from the LOG ALONE —
+    * `readDeltaTablePruned` picks candidate files off the stats before
+    * any parquet footer opens, which is the move that makes Delta
+    * planning O(log) instead of O(files-statted) at 100 TB. The band is
+    * the lowest quarter of the id range (integer math, re-derived
+    * identically in DuckDB), so range clustering must prune at least
+    * one file — `pruned` asserts candidates < total THROUGH the oracle
+    * gate, and the aggregate proves the skipped files lost no rows.
+    * The 1-row min/max collect and the band bounds are driver-side
+    * bounded metadata. */
+  val q141DeltaPrunedRead = GraftQuery(
+    "q141_delta_pruned_read", { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q141_delta").toString
+      try {
+        graft.core.DeltaExport.writeDeltaTable(
+          s, docs.repartitionByRange(4, col("doc_id")), tmp)
+        val r = docs.agg(min(col("doc_id")), max(col("doc_id")))
+          .collect().head // bounded: one row of band metadata
+        val (lo, hi) = (r.getLong(0), r.getLong(0) +
+          (r.getLong(1) - r.getLong(0)) / 4)
+        val (band, cand, total) = graft.core.DeltaExport
+          .readDeltaTablePruned(s, tmp, "doc_id", lo.toDouble, hi.toDouble)
+        band.agg(
+            count(lit(1)).as("rows"),
+            sum(col("n_chars")).as("total_chars"),
+            countDistinct(col("source")).as("sources"))
+          .withColumn("pruned", lit(cand < total))
+          .localCheckpoint(eager = true)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    },
+    Some("""WITH band AS (
+        SELECT min(doc_id) AS lo,
+          min(doc_id) + (max(doc_id) - min(doc_id)) // 4 AS hi
+        FROM documents)
+      SELECT count(*) AS rows, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        count(DISTINCT source) AS sources, TRUE AS pruned
+      FROM documents, band WHERE doc_id BETWEEN lo AND hi"""))
+
   val all: Seq[GraftQuery] = Seq(
-    q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin,
+    q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin, q141DeltaPrunedRead,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q79bMergePartitioned,
     q80LatestPerKey, q102VersionChanges, q103IncrementalAgg,
     q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,

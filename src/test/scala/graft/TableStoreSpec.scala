@@ -1171,4 +1171,124 @@ class TableStoreSpec extends SparkTestBase {
     assert(e.getMessage.contains("expired"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("Delta stats: every add carries accurate per-file stats; the pruned band read plans from the log and matches the full scan") {
+    import graft.core.DeltaExport
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .repartitionByRange(4, col("doc_id"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_stats").toString
+    DeltaExport.writeDeltaTable(spark, d, dir)
+    val stats = DeltaExport.statsAt(spark, dir)
+    val live = DeltaExport.liveFilesAt(dir, None)._2
+    assert(live.size === 4)
+    assert(stats.keySet === live.toSet, "every live file must carry stats")
+    // per-file accuracy: the blob's numRecords and doc_id min/max equal
+    // a direct scan of that file
+    val nRe = """"numRecords":(\d+)""".r
+    val mnRe = """"minValues":\{"doc_id":(-?\d+)""".r
+    val mxRe = """"maxValues":\{"doc_id":(-?\d+)""".r
+    live.foreach { f =>
+      val one = spark.read.parquet(s"$dir/$f")
+        .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")))
+        .collect().head
+      val s = stats(f)
+      assert(nRe.findFirstMatchIn(s).get.group(1).toLong === one.getLong(0), f)
+      assert(mnRe.findFirstMatchIn(s).get.group(1).toLong === one.getLong(1), f)
+      assert(mxRe.findFirstMatchIn(s).get.group(1).toLong === one.getLong(2), f)
+    }
+    // a band inside the lowest range-file: the pruned read must plan
+    // <= 2 of 4 candidates (range-clustered files overlap at most at
+    // the boundary) and return exactly the full scan's band rows
+    val Array(lo, hi) = {
+      val r = d.agg(min(col("doc_id")), max(col("doc_id"))).collect().head
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      Array(a.toDouble, (a + (b - a) / 8).toDouble)
+    }
+    val (pruned, cand, total) =
+      DeltaExport.readDeltaTablePruned(spark, dir, "doc_id", lo, hi)
+    assert(total === 4 && cand <= 2,
+      s"expected <= 2 of $total candidates, got $cand")
+    val full = DeltaExport.readDeltaTable(spark, dir)
+      .filter(col("doc_id").between(lo, hi))
+    assert(pruned.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(pruned).count() === 0L)
+    // a band past the table's max: zero candidates, empty result with
+    // the table schema
+    val (none, cand0, _) =
+      DeltaExport.readDeltaTablePruned(spark, dir, "doc_id", hi * 10 + 1e9,
+        hi * 10 + 2e9)
+    assert(cand0 === 0 && none.count() === 0L)
+    assert(none.schema === full.schema)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("Delta stats: pruning survives checkpoint + expiry, must-reads a stats-free foreign add, and skips a provably all-NULL file") {
+    import graft.core.DeltaExport
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("double").as("score"))
+    val lowHalf = base.filter(col("doc_id") % 2 === 0).coalesce(1)
+    val highHalf = base.filter(col("doc_id") % 2 === 1)
+      .withColumn("doc_id", col("doc_id") + 500000000L).coalesce(1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_stats_cp").toString
+    DeltaExport.writeDeltaTable(spark, lowHalf, dir)
+    DeltaExport.appendDeltaTable(spark, highHalf, dir)
+    // an all-NULL-score file: provably contributes nothing to a score
+    // band (range predicates exclude NULL), so stats must skip it
+    val nullScore = base.limit(20)
+      .withColumn("doc_id", col("doc_id") + 900000000L)
+      .withColumn("score", lit(null).cast("double")).coalesce(1)
+    DeltaExport.appendDeltaTable(spark, nullScore, dir)
+    // checkpoint + expire: stats must now come from the checkpoint rows
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    DeltaExport.expireLogBefore(dir)
+    val stats = DeltaExport.statsAt(spark, dir)
+    assert(stats.size === 3, "stats lost across checkpoint + expiry")
+    val (prunedDf, cand, total) = DeltaExport.readDeltaTablePruned(
+      spark, dir, "doc_id", 500000000.0, 899999999.0)
+    assert(total === 3 && cand === 1,
+      s"high-half band should plan exactly the high file, got $cand of $total")
+    assert(prunedDf.count() === highHalf.count())
+    // the all-NULL file is skipped on a score band even though its
+    // doc_id stats are fine — nullCount == numRecords is the evidence
+    val (_, candScore, _) = DeltaExport.readDeltaTablePruned(
+      spark, dir, "score", -1e18, 1e18)
+    assert(candScore === 2, "all-NULL-score file must be pruned")
+    // a foreign writer's add WITHOUT stats: planning must keep it for
+    // any band (no information = must read), and results stay exact
+    val foreign = base.limit(10)
+      .withColumn("doc_id", col("doc_id") + 950000000L).coalesce(1)
+    val before = DeltaExport.snapshotAt(spark, dir, None)._2.toSet
+    foreign.write.mode("append").parquet(dir)
+    val fresh = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val freshName =
+      try {
+        import scala.jdk.CollectionConverters._
+        fresh.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith(".") && !before(n))
+          .toSeq.head
+      } finally fresh.close()
+    val v = (DeltaExport.lastCheckpoint(dir).map(_.version).toSeq ++
+      DeltaExport.logVersions(dir)).max + 1
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json"),
+      (s"""{"add":{"path":"$freshName","partitionValues":{},"size":${java.nio.file.Files
+          .size(java.nio.file.Paths.get(dir, freshName))},"modificationTime":0,"dataChange":true}}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (lowBand, candLow, totalNow) = DeltaExport.readDeltaTablePruned(
+      spark, dir, "doc_id", 0.0, 499999999.0)
+    assert(totalNow === 4 && candLow === 2,
+      s"low band must plan the low file AND the stats-free foreign file, got $candLow")
+    // the foreign file is SCANNED (no stats) but its rows sit above the
+    // band, so the residual filter drops them — exactness holds
+    assert(lowBand.count() === lowHalf.count())
+    val (allBand, candAll, _) = DeltaExport.readDeltaTablePruned(
+      spark, dir, "doc_id", 0.0, 1.1e9)
+    assert(candAll === 4 &&
+      allBand.count() === lowHalf.count() + highHalf.count() +
+        nullScore.count() + foreign.count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
