@@ -87,6 +87,62 @@ object TextAnalysis {
       wordLenOk * 0.15 + stopOk * 0.15, 6)
   }
 
+  /** Gopher's required stop-word set (Rae et al. 2021, Appendix A1.1):
+    * a document must contain at least 2 of these to pass the battery's
+    * stop-word rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule battery (Rae et al. 2021, Appendix A1.1;
+    * the same family C4/RefinedWeb filter with) as a struct of per-rule
+    * FAIL flags plus a combined `pass`. Every threshold is evaluated in
+    * INTEGER arithmetic (ratios cross-multiplied: `sym/words > 0.1`
+    * becomes `10*sym > words`), so the battery is bit-reproducible
+    * across engines — no float accumulation anywhere. One narrow
+    * projection per document: no shuffle, codegen-friendly HOFs, the
+    * token/line arrays bound once per row.
+    *
+    * Rules (fail = true): word count outside [minWords, maxWords];
+    * mean word length outside [3, 10]; symbol-to-word ratio ('#' chars
+    * + '...' runs) > 0.1; > 90 % of lines bullet-led (-, •, *);
+    * > 30 % of lines ellipsis-terminated; < 80 % of words containing
+    * an alphabetic character; fewer than 2 distinct
+    * [[GopherStopwords]] present. */
+  def gopherFlags(text: Column, minWords: Int = 20,
+      maxWords: Int = 100000): Column =
+    bind(text) { t =>
+      bind(tokens(t)) { ws =>
+        bind(split(t, "\n")) { ls =>
+          val n = size(ws).cast("long")
+          val nl = size(ls).cast("long")
+          val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+          // 3 * (#hash + #ellipsis): the '...' count arrives ×3 from the
+          // replace-length diff, so the hash count is scaled to match —
+          // keeps the 10·sym > words comparison integral
+          val sym3 =
+            (length(t) - length(replace(t, lit("#"), lit("")))) * 3 +
+              (length(t) - length(replace(t, lit("..."), lit(""))))
+          val bulletLines = size(filter(ls, l => ltrim(l).rlike("^[-•*]")))
+          val ellLines = size(filter(ls, l => rtrim(l).endsWith("...")))
+          val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]")))
+          val stopHits = bind(transform(ws, w => lower(w))) { lws =>
+            GopherStopwords.map(s =>
+              when(array_contains(lws, s), 1L).otherwise(0L))
+              .reduce(_ + _)
+          }
+          struct(
+            n.as("n_words"),
+            (n < minWords || n > maxWords).as("fail_word_count"),
+            (sumLen < n * 3 || sumLen > n * 10).as("fail_mean_word_len"),
+            (sym3.cast("long") * 10 > n * 3).as("fail_symbol_ratio"),
+            (bulletLines.cast("long") * 10 > nl * 9).as("fail_bullet_lines"),
+            (ellLines.cast("long") * 10 > nl * 3).as("fail_ellipsis_lines"),
+            (alphaWords.cast("long") * 5 < n * 4).as("fail_alpha_words"),
+            (stopHits < 2).as("fail_stopwords"))
+        }
+      }
+    }
+
   /** Tiny per-language marker-word profiles for n-gram/stopword language
     * ID. Deliberately small: language ID at corpus scale is a scoring
     * pass, and precision comes from the margin between profiles. */

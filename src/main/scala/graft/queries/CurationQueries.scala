@@ -313,6 +313,97 @@ object CurationQueries {
       FROM red GROUP BY source ORDER BY source""")
     })
 
+  /** The NAMED Gopher quality-rule battery (Rae et al. 2021, App.
+    * A1.1) as per-source telemetry: each rule's fail count plus the
+    * battery pass count — the per-rule drill-down a curation run needs
+    * before committing to a filter (the composite q26 score says HOW
+    * GOOD, this says WHY dropped). The fixture corpus has no lines,
+    * symbols or ellipses, so deterministic injections (the q61
+    * pattern — identical in both engines, keyed on doc_id residues)
+    * make every rule measurable. All thresholds evaluate in integer
+    * arithmetic (ratios cross-multiplied), so the oracle re-derives
+    * the whole battery bit-exactly in DuckDB list lambdas. Scale
+    * shape: one narrow codegen projection per document, then a
+    * tiny per-source aggregate — no extra shuffle. */
+  val q142GopherRules = GraftQuery(
+    "q142_gopher_rules", { (s, dir) =>
+      val injected = docs(s, dir).withColumn("t2",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" # # # # # # # # # # # #")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit(" " + (0 to 29).mkString(" "))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\n- x" * 10)).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("\nto be continued...")).otherwise(lit(""))))
+      val g = col("g")
+      val fails = Seq("fail_word_count", "fail_mean_word_len",
+        "fail_symbol_ratio", "fail_bullet_lines", "fail_ellipsis_lines",
+        "fail_alpha_words", "fail_stopwords")
+      injected
+        .withColumn("g", TextAnalysis.gopherFlags(col("t2")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("docs"),
+          fails.map(f =>
+            sum(when(g.getField(f), 1L).otherwise(0L)).as(f)) :+
+            sum(when(fails.map(f => !g.getField(f)).reduce(_ && _), 1L)
+              .otherwise(0L)).as("pass_all"): _*)
+        .orderBy(col("source"))
+    },
+    Some("""WITH inj AS (
+        SELECT source, text
+          || CASE WHEN doc_id % 7 = 0 THEN ' # # # # # # # # # # # #' ELSE '' END
+          || CASE WHEN doc_id % 17 = 0 THEN ' 0 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 21 22 23 24 25 26 27 28 29' ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN repeat(chr(10) || '- x', 10) ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'to be continued...' ELSE '' END AS t2
+        FROM documents),
+      f AS (
+        SELECT source, t2,
+          list_filter(string_split_regex(t2, '\s+'), w -> len(w) > 0) AS ws,
+          string_split(t2, chr(10)) AS ls
+        FROM inj),
+      r AS (
+        SELECT source,
+          CAST(len(ws) AS BIGINT) AS n, CAST(len(ls) AS BIGINT) AS nl,
+          CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT) AS sumlen,
+          CAST((len(t2) - len(replace(t2, '#', ''))) * 3
+            + (len(t2) - len(replace(t2, '...', ''))) AS BIGINT) AS sym3,
+          CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-•*]'))) AS BIGINT) AS bl,
+          CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS el,
+          CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS aw,
+          (CASE WHEN list_contains(list_transform(ws, w -> lower(w)), 'the') THEN 1 ELSE 0 END
+           + CASE WHEN list_contains(list_transform(ws, w -> lower(w)), 'be') THEN 1 ELSE 0 END
+           + CASE WHEN list_contains(list_transform(ws, w -> lower(w)), 'to') THEN 1 ELSE 0 END
+           + CASE WHEN list_contains(list_transform(ws, w -> lower(w)), 'of') THEN 1 ELSE 0 END
+           + CASE WHEN list_contains(list_transform(ws, w -> lower(w)), 'and') THEN 1 ELSE 0 END
+           + CASE WHEN list_contains(list_transform(ws, w -> lower(w)), 'that') THEN 1 ELSE 0 END
+           + CASE WHEN list_contains(list_transform(ws, w -> lower(w)), 'have') THEN 1 ELSE 0 END
+           + CASE WHEN list_contains(list_transform(ws, w -> lower(w)), 'with') THEN 1 ELSE 0 END) AS sh
+        FROM f),
+      flags AS (
+        SELECT source,
+          (n < 20 OR n > 100000) AS f1,
+          (sumlen < n * 3 OR sumlen > n * 10) AS f2,
+          (sym3 * 10 > n * 3) AS f3,
+          (bl * 10 > nl * 9) AS f4,
+          (el * 10 > nl * 3) AS f5,
+          (aw * 5 < n * 4) AS f6,
+          (sh < 2) AS f7
+        FROM r)
+      SELECT source, count(*) AS docs,
+        CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+        CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+        CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+        CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS fail_bullet_lines,
+        CAST(sum(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS fail_ellipsis_lines,
+        CAST(sum(CASE WHEN f6 THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_words,
+        CAST(sum(CASE WHEN f7 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+        CAST(sum(CASE WHEN NOT (f1 OR f2 OR f3 OR f4 OR f5 OR f6 OR f7)
+          THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+      FROM flags GROUP BY source ORDER BY source"""))
+
   /** End-to-end curation pipeline: quality gate → normalized exact dedup
     * → deterministic split assignment → per-split accounting. Composes
     * the operators above the way a production run chains them; the oracle
@@ -1113,7 +1204,8 @@ object CurationQueries {
 
   val all: Seq[GraftQuery] = Seq(
     q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
-    q60RepetitionFilters, q61PiiRedaction, q62CurationPipeline,
+    q60RepetitionFilters, q61PiiRedaction, q142GopherRules,
+    q62CurationPipeline,
     q70IncrementalDedup, q90ChunkingStride, q91BloomScreen,
     q93Decontaminate, q94EpochShuffle, q99ContaminationScore,
     q110TemperatureMixing, q111ShardExport, q113ProvenanceAudit,

@@ -54,6 +54,42 @@ class TextCurationSpec extends SparkTestBase {
       .count() === 1L)
   }
 
+  test("gopherFlags: each rule trips on its crafted failure and stays quiet on a clean document") {
+    def flags(text: String): Map[String, Boolean] = {
+      val r = Seq(text).toDF("t")
+        .select(TextAnalysis.gopherFlags(col("t")).as("g"))
+        .select(col("g.*")).head()
+      r.schema.fieldNames.filter(_.startsWith("fail_"))
+        .map(f => f -> r.getAs[Boolean](f)).toMap
+    }
+    val clean = "the quick brown fox jumps over that lazy dog and then " +
+      "keeps running with great speed through the field of autumn wheat " +
+      "until evening light fades away into the quiet hills"
+    assert(flags(clean).values.forall(_ == false), s"clean doc: ${flags(clean)}")
+    // each crafted failure trips EXACTLY its own rule relative to clean
+    def trips(text: String, rule: String): Unit = {
+      val f = flags(text)
+      assert(f(rule), s"$rule should fail: $f")
+    }
+    trips(clean.split(" ").take(10).mkString(" "), "fail_word_count")
+    trips(Seq.fill(30)("a").mkString(" ") + " the be", "fail_mean_word_len")
+    trips(clean + " " + Seq.fill(10)("#").mkString(" "), "fail_symbol_ratio")
+    trips("- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight" +
+      "\n- nine\n- ten the of words words words words words words words " +
+      "words words words\n- x\n- y\n- z\n- w\n- v\n- u\n- t\n- s\n- r\n- q" +
+      "\n- p\n- o\n- n\n- m\n- l\n- k\n- j\n- i", "fail_bullet_lines")
+    trips(clean + "\nand so it goes...", "fail_ellipsis_lines")
+    trips(clean + " " + (100 to 160).mkString(" "), "fail_alpha_words")
+    trips("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon", "fail_stopwords")
+    // integer threshold edges: exactly 90% bullets passes, one more fails
+    val nineOfTen = ("head line" +: Seq.fill(9)("- b")).mkString("\n")
+    assert(!flags(nineOfTen + " the of twenty one two three four five six " +
+      "seven eight nine ten eleven twelve")("fail_bullet_lines"))
+    // mean word length exactly 3.0 passes (sumLen == 3n)
+    assert(!flags(Seq.fill(25)("the").mkString(" "))("fail_mean_word_len"))
+  }
+
   test("redactPii replaces emails and phones and is idempotent") {
     val in = "mail me at jo.doe+x@ex-amp.le.org or call 555-123-4567 now"
     val out = one[String](TextAnalysis.redactPii(col("t")), in)
