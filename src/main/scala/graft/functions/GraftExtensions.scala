@@ -57,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(1), "gram_strings", "k"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("gopher_stats"),
+      info("gopher_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "gopher_stats(text)")
+        GopherStatsExpr(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints"),
       (children: Seq[Expression]) => {

@@ -143,6 +143,33 @@ object TextAnalysis {
       }
     }
 
+  /** Codegen twin of [[gopherFlags]]: the nine battery counters come
+    * from [[graft.functions.GopherStatsExpr]]'s single fused character
+    * walk (the HOF twin materializes token + line arrays and four
+    * interpreted lambda filters per document), and the SAME integer
+    * threshold arithmetic runs as plain codegen column math on top.
+    * Value-identical to [[gopherFlags]] field-for-field (asserted in
+    * ExtensionsSpec over the injected corpus + edge shapes); this is
+    * the form the q142 telemetry ships with — at 100 TB the battery is
+    * a pure scan problem and the kernel keeps it one pass. */
+  def gopherFlagsCompiled(text: Column, minWords: Int = 20,
+      maxWords: Int = 100000): Column =
+    bind(graft.functions.GopherExpressions.gopherStats(text)) { st =>
+      val n = st.getField("n_words")
+      val sumLen = st.getField("sum_word_len")
+      val sym3 = (st.getField("hash_chars") + st.getField("ellipsis_runs")) * 3
+      val nl = st.getField("n_lines")
+      struct(
+        n.as("n_words"),
+        (n < minWords || n > maxWords).as("fail_word_count"),
+        (sumLen < n * 3 || sumLen > n * 10).as("fail_mean_word_len"),
+        (sym3 * 10 > n * 3).as("fail_symbol_ratio"),
+        (st.getField("bullet_lines") * 10 > nl * 9).as("fail_bullet_lines"),
+        (st.getField("ellipsis_lines") * 10 > nl * 3).as("fail_ellipsis_lines"),
+        (st.getField("alpha_words") * 5 < n * 4).as("fail_alpha_words"),
+        (st.getField("stop_hits") < 2).as("fail_stopwords"))
+    }
+
   /** Tiny per-language marker-word profiles for n-gram/stopword language
     * ID. Deliberately small: language ID at corpus scale is a scoring
     * pass, and precision comes from the margin between profiles. */

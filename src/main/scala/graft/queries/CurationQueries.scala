@@ -342,7 +342,8 @@ object CurationQueries {
         "fail_symbol_ratio", "fail_bullet_lines", "fail_ellipsis_lines",
         "fail_alpha_words", "fail_stopwords")
       injected
-        .withColumn("g", TextAnalysis.gopherFlags(col("t2")))
+        // the fused one-pass kernel; gopherFlags is its bit-parity twin
+        .withColumn("g", TextAnalysis.gopherFlagsCompiled(col("t2")))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("docs"),

@@ -106,6 +106,47 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("gopher_stats fused scan: compiled flags are value-identical to the HOF battery over the injected corpus and edge shapes") {
+    import graft.ops.TextAnalysis
+    // the q142 injection: every rule's trigger present in the corpus
+    val injected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("t2", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" # # # # # # # # # # # #")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit(" " + (0 to 29).mkString(" "))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\n- x" * 10)).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\nto be continued...")).otherwise(lit(""))))
+      .select(col("doc_id"), col("t2"))
+    val edges = Seq("", " ", "   \n  ", "...", ".....", "......",
+      "the THE tHe", "\n\n\n", "• bullet\n* star\n- dash",
+      "a...\nb... \nc.. .", "word\tword", "- \n-x\n -  y",
+      "to be or not to be", "# ##", "ab...cd...ef").zipWithIndex
+      .map { case (t, i) => (-(i + 1).toLong, t) }
+    import spark.implicits._
+    val all = injected.unionAll(edges.toDF("doc_id", "t2"))
+    val hof = all.select(col("doc_id"),
+      TextAnalysis.gopherFlags(col("t2")).as("g"))
+    val fast = all.select(col("doc_id"),
+      TextAnalysis.gopherFlagsCompiled(col("t2")).as("g"))
+    assert(fast.schema === hof.schema)
+    assert(fast.exceptAll(hof).count() === 0L)
+    assert(hof.exceptAll(fast).count() === 0L)
+    // SQL registration: the counters resolve through spark.sql too
+    withExtensionSession { s =>
+      val r = s.sql(
+        "SELECT gopher_stats('the quick fox... #tag\n- b') AS g").head()
+        .getStruct(0)
+      assert(r.getAs[Long]("n_words") === 6L)   // incl '#tag', '-', 'b'
+      assert(r.getAs[Long]("n_lines") === 2L)
+      assert(r.getAs[Long]("bullet_lines") === 1L)
+      assert(r.getAs[Long]("hash_chars") === 1L)
+      assert(r.getAs[Long]("ellipsis_runs") === 1L)
+      assert(r.getAs[Long]("stop_hits") === 1L) // 'the'
+    }
+  }
+
   test("winnow_fingerprints resolves through spark.sql and matches the Column API") {
     withExtensionSession { s =>
       val viaSql = s.sql(
