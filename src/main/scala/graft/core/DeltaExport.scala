@@ -69,6 +69,20 @@ object DeltaExport {
         .size(p)},"modificationTime":$now,"dataChange":true$statsField}}"""
   }
 
+  /** Whether data shaped `writing` may land in a table logged as
+    * `table`: same columns (name + type, in order), and every nullable
+    * written field maps to a nullable table field (writing non-null
+    * data into a nullable column is always fine; the reverse could put
+    * NULLs under a non-null contract). */
+  private def schemaFits(
+      writing: org.apache.spark.sql.types.StructType,
+      table: org.apache.spark.sql.types.StructType): Boolean =
+    writing.length == table.length &&
+      writing.fields.zip(table.fields).forall { case (w, t) =>
+        w.name == t.name && w.dataType == t.dataType &&
+          (!w.nullable || t.nullable)
+      }
+
   // ---- per-file column statistics (the protocol's `add.stats` field) ----
 
   /** Columns eligible for min/max/nullCount stats: flat atomic types a
@@ -237,6 +251,18 @@ object DeltaExport {
     * task-level write results into add actions. */
   def appendDeltaTable(spark: SparkSession, df: DataFrame, dir: String): Long = {
     val v = latestVersion(dir) + 1
+    // schema gate (same posture as TableStore's sinks): the reader scans
+    // with the LOG's schemaString, so appending a frame with different
+    // columns would silently drop or null the mismatch at read time —
+    // refuse loudly instead (schema evolution is a deliberate metaData
+    // commit, not an accidental append)
+    val tableSchema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(snapshotState(spark, dir, None).meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(schemaFits(df.schema, tableSchema),
+      s"append schema ${df.schema.catalogString} does not match the " +
+        s"table's logged schema ${tableSchema.catalogString} — a Delta " +
+        "append never evolves the schema implicitly")
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
     df.write.mode("append").parquet(dir)
     val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
@@ -253,15 +279,33 @@ object DeltaExport {
     * reclaim them. Returns the new version number. */
   def overwriteDeltaTable(spark: SparkSession, df: DataFrame, dir: String): Long = {
     val v = latestVersion(dir) + 1
-    val live = snapshotAt(spark, dir, None)._2.toSet
+    val snap = snapshotState(spark, dir, None)
+    val live = snap.live.toSet
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
     df.write.mode("append").parquet(dir)
     val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
     require(fresh.nonEmpty, "overwrite produced no data files")
     val now = System.currentTimeMillis()
+    // an overwrite MAY change the schema — but then the commit must
+    // carry a superseding metaData action (same table id, new
+    // schemaString), or readers keep scanning the new files with the
+    // stale logged schema
+    val tableSchema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(snap.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val metaActions =
+      if (schemaFits(df.schema, tableSchema)) Seq.empty[String]
+      else {
+        val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
+        val id = idRe.findFirstMatchIn(snap.meta)
+          .map(m => unescapeJson(m.group(1)))
+          .getOrElse(throw new IllegalStateException("metaData carries no id"))
+        Seq(s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
+            df.schema.json)}","partitionColumns":[],"configuration":{},"createdTime":$now}}""")
+      }
     val removes = live.toSeq.sorted.map(p =>
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
-    writeCommit(dir, v, removes ++ addActions(spark, fresh, now))
+    writeCommit(dir, v, metaActions ++ removes ++ addActions(spark, fresh, now))
     v
   }
 

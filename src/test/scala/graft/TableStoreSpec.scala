@@ -1172,6 +1172,41 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("Delta schema gate: a widened append is refused loudly; a widened overwrite supersedes the metaData and time travel keeps the old schema") {
+    import graft.core.DeltaExport
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source")).limit(100)
+    val widened = base.withColumn("score", lit(1.5))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_schema").toString
+    DeltaExport.writeDeltaTable(spark, base, dir)
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.appendDeltaTable(spark, widened, dir)
+    }
+    assert(e.getMessage.contains("does not match"))
+    assert(DeltaExport.logVersions(dir) === Seq(0L),
+      "refused append must not commit")
+    // overwrite evolves: new metaData action, reader sees the new column
+    assert(DeltaExport.overwriteDeltaTable(spark, widened, dir) === 1L)
+    val now = DeltaExport.readDeltaTable(spark, dir)
+    assert(now.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      widened.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(now.count() === 100L)
+    assert(now.filter(col("score") === 1.5).count() === 100L)
+    // appends at the NEW schema flow again; old-schema appends refuse
+    assert(DeltaExport.appendDeltaTable(spark,
+      widened.withColumn("doc_id", col("doc_id") + 100000L), dir) === 2L)
+    intercept[IllegalArgumentException] {
+      DeltaExport.appendDeltaTable(spark, base, dir)
+    }
+    // time travel to v0 reconstructs with the ORIGINAL schema
+    val old = DeltaExport.readDeltaTable(spark, dir, Some(0L))
+    assert(old.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      base.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(old.count() === 100L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Delta stats: every add carries accurate per-file stats; the pruned band read plans from the log and matches the full scan") {
     import graft.core.DeltaExport
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
