@@ -143,6 +143,24 @@ object TextAnalysis {
       }
     }
 
+  /** C4's line-level cleaner (Raffel et al. 2020, §2.2): keep only
+    * lines with at least `minLineWords` words that end — after
+    * trailing-space trim — in terminal punctuation (. ! ? " '), and
+    * rejoin with newlines. This is the REPAIR complement to the
+    * [[gopherFlags]] drop battery: boilerplate lines (nav stubs,
+    * "click here", cookie banners) vanish while prose survives. One
+    * narrow projection, no shuffle; the kept-array shape makes the
+    * kept/total line accounting free for telemetry. */
+  def cleanLinesKept(text: Column, minLineWords: Int = 3): Column =
+    bind(split(text, "\n")) { ls =>
+      filter(ls, l =>
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minLineWords &&
+          rtrim(l).rlike("[.!?\"']$"))
+    }
+
+  def cleanLines(text: Column, minLineWords: Int = 3): Column =
+    array_join(cleanLinesKept(text, minLineWords), "\n")
+
   /** Codegen twin of [[gopherFlags]]: the nine battery counters come
     * from [[graft.functions.GopherStatsExpr]]'s single fused character
     * walk (the HOF twin materializes token + line arrays and four

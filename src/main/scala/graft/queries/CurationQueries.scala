@@ -405,6 +405,73 @@ object CurationQueries {
           THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
       FROM flags GROUP BY source ORDER BY source"""))
 
+  /** C4 line-level cleaning telemetry (Raffel et al. 2020 §2.2): run
+    * [[TextAnalysis.cleanLines]] (keep lines with ≥ 3 words ending in
+    * terminal punctuation) over the corpus plus C4's page-level flags
+    * ('{' for code, 'lorem ipsum' for boilerplate), reporting per
+    * source what the cleaner would do — lines kept/total, characters
+    * removed, documents emptied outright. The fixture has no line
+    * structure, so deterministic doc_id-keyed injections (a mixed
+    * good/bad line block, a curly-brace token, a lorem-ipsum phrase)
+    * make every path measurable; DuckDB replays the cleaner exactly
+    * with list lambdas. All counts integer — hash-exact. */
+  val q143C4LineClean = GraftQuery(
+    "q143_c4_line_clean", { (s, dir) =>
+      val injected = docs(s, dir).withColumn("t2",
+        concat(col("text"),
+          when(col("doc_id") % 19 === 0, lit(" {config}")).otherwise(lit("")),
+          when(col("doc_id") % 23 === 0,
+            lit(" lorem ipsum dolor")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nshort bad\nThis line has enough words to survive the cleaner.\nclick here now"))
+            .otherwise(lit(""))))
+      injected
+        .withColumn("kept", TextAnalysis.cleanLinesKept(col("t2")))
+        .withColumn("cleaned", array_join(col("kept"), "\n"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(size(split(col("t2"), "\n")).cast("long")).as("lines_total"),
+          sum(size(col("kept")).cast("long")).as("lines_kept"),
+          sum((length(col("t2")) - length(col("cleaned"))).cast("long"))
+            .as("chars_removed"),
+          count(when(col("cleaned") === "", 1)).as("docs_emptied"),
+          count(when(col("t2").contains("{"), 1)).as("curly_docs"),
+          count(when(lower(col("t2")).contains("lorem ipsum"), 1))
+            .as("lorem_docs"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH inj AS (
+        SELECT source, text
+          || CASE WHEN doc_id % 19 = 0 THEN ' {config}' ELSE '' END
+          || CASE WHEN doc_id % 23 = 0 THEN ' lorem ipsum dolor' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'short bad' || chr(10)
+               || 'This line has enough words to survive the cleaner.'
+               || chr(10) || 'click here now' ELSE '' END AS t2
+        FROM documents),
+      k AS (
+        SELECT source, t2,
+          CAST(len(string_split(t2, chr(10))) AS BIGINT) AS nl,
+          list_filter(string_split(t2, chr(10)), l ->
+            len(list_filter(string_split_regex(l, '\s+'),
+              w -> len(w) > 0)) >= 3
+            AND regexp_matches(rtrim(l), '[.!?"'']$')) AS kept
+        FROM inj),
+      c AS (
+        SELECT source, nl, CAST(len(kept) AS BIGINT) AS nk, t2,
+          -- array_to_string over an EMPTY list is NULL in DuckDB;
+          -- Spark's array_join gives '' — align on ''
+          coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+        FROM k)
+      SELECT source, count(*) AS docs,
+        CAST(sum(nl) AS BIGINT) AS lines_total,
+        CAST(sum(nk) AS BIGINT) AS lines_kept,
+        CAST(sum(len(t2) - len(cleaned)) AS BIGINT) AS chars_removed,
+        count(CASE WHEN cleaned = '' THEN 1 END) AS docs_emptied,
+        count(CASE WHEN contains(t2, '{') THEN 1 END) AS curly_docs,
+        count(CASE WHEN contains(lower(t2), 'lorem ipsum') THEN 1 END) AS lorem_docs
+      FROM c GROUP BY source ORDER BY source"""))
+
   /** End-to-end curation pipeline: quality gate → normalized exact dedup
     * → deterministic split assignment → per-split accounting. Composes
     * the operators above the way a production run chains them; the oracle
@@ -1206,7 +1273,7 @@ object CurationQueries {
   val all: Seq[GraftQuery] = Seq(
     q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
     q60RepetitionFilters, q61PiiRedaction, q142GopherRules,
-    q62CurationPipeline,
+    q143C4LineClean, q62CurationPipeline,
     q70IncrementalDedup, q90ChunkingStride, q91BloomScreen,
     q93Decontaminate, q94EpochShuffle, q99ContaminationScore,
     q110TemperatureMixing, q111ShardExport, q113ProvenanceAudit,

@@ -90,6 +90,29 @@ class TextCurationSpec extends SparkTestBase {
     assert(!flags(Seq.fill(25)("the").mkString(" "))("fail_mean_word_len"))
   }
 
+  test("cleanLines keeps only >=3-word terminal-punctuation lines and rejoins with newlines") {
+    def clean(t: String): String =
+      one[String](TextAnalysis.cleanLines(col("t")), t)
+    val page = "Home | About | Contact\n" +
+      "This paragraph is real prose that survives the cleaner.\n" +
+      "click here\n" +
+      "Another good sentence ends with a question mark?\n" +
+      "- nav item\n" +
+      "Trailing spaces still count as terminal.   \n" +
+      "short one."
+    assert(clean(page) ===
+      "This paragraph is real prose that survives the cleaner.\n" +
+        "Another good sentence ends with a question mark?\n" +
+        "Trailing spaces still count as terminal.   ")
+    assert(clean("no punctuation here at all") === "")
+    assert(clean("") === "")
+    // quote-terminated dialogue survives (C4 keeps end quotes)
+    assert(clean("He said \"stop right there.\"") ===
+      "He said \"stop right there.\"")
+    // idempotent: cleaning cleaned text changes nothing
+    assert(clean(clean(page)) === clean(page))
+  }
+
   test("redactPii replaces emails and phones and is idempotent") {
     val in = "mail me at jo.doe+x@ex-amp.le.org or call 555-123-4567 now"
     val out = one[String](TextAnalysis.redactPii(col("t")), in)
