@@ -422,6 +422,50 @@ object EventPipeline {
     batches.get()
   }
 
+  /** Streaming → Delta ingestion: every non-empty micro-batch lands as
+    * ONE Delta commit through [[graft.core.DeltaExport]] — the first
+    * creates the table (protocol + metaData + stats-bearing adds),
+    * each later batch appends (add-only commit, per-file `stats`
+    * included) — so downstream log consumers (readDeltaTable, the
+    * stats-pruned band read, time travel, checkpoint/expiry) see an
+    * ordinary Delta history whose versions ARE the micro-batches.
+    * Empty batches commit nothing, keeping version numbers meaningful.
+    *
+    * Exactly-once bounds, stated with the same honesty as the upsert
+    * sink's: under graceful stop the file-source checkpoint prevents
+    * re-reads; a crash BETWEEN a batch's parquet write and its commit
+    * write leaves orphan data files the LOG keeps invisible (a Delta
+    * reader trusts the log, not the directory — TableStoreSpec's
+    * planted-orphan case pins that), and the replayed batch re-lands
+    * its rows in fresh files under a fresh commit — no double count,
+    * only dead bytes a vacuum reclaims. That is the Delta protocol's
+    * own torn-write posture. Returns the number of committed batches. */
+  def runDeltaAppendSink(
+      spark: SparkSession, dir: String, tableDir: String,
+      checkpoint: Option[String] = None,
+      sourceSchema: StructType = null): Long = {
+    val stream = readEventStream(spark, dir, glob = "events*.parquet",
+      maxFilesPerTrigger = Some(1), schema = sourceSchema)
+    val committed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val writer = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(tableDir, "_delta_log")))
+            graft.core.DeltaExport.appendDeltaTable(spark, batch, tableDir)
+          else graft.core.DeltaExport.writeDeltaTable(spark, batch, tableDir)
+          committed.incrementAndGet()
+          ()
+        }
+      }
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    val q = writer.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    committed.get()
+  }
+
   /** Partition-scoped twin of [[runUpsertSinkFromDir]] — the implemented
     * "scale path" the snapshot sink's 100 TB caveat points at: instead of
     * reading and rewriting the WHOLE latest-per-key table every

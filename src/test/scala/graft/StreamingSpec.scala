@@ -308,6 +308,56 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("Delta append sink: one stats-bearing commit per micro-batch; kill-and-resume appends only unseen files; the log read equals the stream") {
+    import graft.core.DeltaExport
+    val ev = Tables.load(spark, sfDir, "events")
+    val dir = EventPipeline.stageAsStreamDir(ev, parts = 4)
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_delta_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_delta_sink_ckpt").toString
+    val hidden = java.nio.file.Files.createTempDirectory("graft_delta_hide")
+    Seq("events_2.parquet", "events_3.parquet").foreach { f =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(dir, f), hidden.resolve(f))
+    }
+    val b1 = EventPipeline.runDeltaAppendSink(spark, dir, tableDir, Some(ckpt))
+    assert(b1 === 2L)
+    assert(DeltaExport.logVersions(tableDir) === Seq(0L, 1L),
+      "each micro-batch must be exactly one Delta commit")
+    Seq("events_2.parquet", "events_3.parquet").foreach { f =>
+      java.nio.file.Files.move(
+        hidden.resolve(f), java.nio.file.Paths.get(dir, f))
+    }
+    val b2 = EventPipeline.runDeltaAppendSink(spark, dir, tableDir, Some(ckpt))
+    assert(b2 === 2L, s"resumed run saw $b2 micro-batches, expected 2")
+    assert(DeltaExport.logVersions(tableDir) === Seq(0L, 1L, 2L, 3L))
+    // the log-driven read reproduces the full staged stream exactly
+    val viaLog = DeltaExport.readDeltaTable(spark, tableDir)
+    // the sink committed the DECODED stream (normalizeTs applied), so
+    // the batch twin of the staged files needs the same normalization
+    val staged = Tables.normalizeTs(
+      spark.read.parquet(s"$dir/events_*.parquet"))
+    assert(viaLog.exceptAll(staged).count() === 0L)
+    assert(staged.exceptAll(viaLog).count() === 0L)
+    // every live file carries stats, so the sink's table is immediately
+    // band-prunable from the log alone
+    val live = DeltaExport.snapshotAt(spark, tableDir, None)._2
+    val stats = DeltaExport.statsAt(spark, tableDir)
+    assert(stats.keySet === live.toSet)
+    val r = staged.agg(min(col("event_id")), max(col("event_id")))
+      .collect().head
+    val (pruned, cand, total) = DeltaExport.readDeltaTablePruned(
+      spark, tableDir, "event_id", r.getLong(0).toDouble,
+      r.getLong(1).toDouble)
+    assert(total === live.size && cand === total)
+    assert(pruned.count() === staged.count())
+    // time travel: version 0 is exactly the first micro-batch's file
+    assert(DeltaExport.readDeltaTable(spark, tableDir, Some(0L)).count() ===
+      spark.read.parquet(s"$dir/events_0.parquet").count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tableDir))
+  }
+
   test("upsert sink resumed over a mid-swap crash state recovers and converges") {
     // Complement to the graceful kill-and-restart case: fake the WORST
     // crash point — target dropped, complete snapshot stranded in the
