@@ -62,11 +62,11 @@ object DeltaExport {
   private def commitFile(v: Long): String = f"$v%020d.json"
 
   private def addAction(p: java.nio.file.Path, now: Long,
-      stats: Option[String]): String = {
+      stats: Option[String], dataChange: Boolean = true): String = {
     val statsField =
       stats.map(s => s""","stats":"${esc(s)}"""").getOrElse("")
     s"""{"add":{"path":"${esc(p.getFileName.toString)}","partitionValues":{},"size":${Files
-        .size(p)},"modificationTime":$now,"dataChange":true$statsField}}"""
+        .size(p)},"modificationTime":$now,"dataChange":$dataChange$statsField}}"""
   }
 
   /** Whether data shaped `writing` may land in a table logged as
@@ -157,9 +157,11 @@ object DeltaExport {
   }
 
   private def addActions(spark: SparkSession,
-      fresh: Seq[java.nio.file.Path], now: Long): Seq[String] = {
+      fresh: Seq[java.nio.file.Path], now: Long,
+      dataChange: Boolean = true): Seq[String] = {
     val stats = fileStatsFor(spark, fresh)
-    fresh.map(p => addAction(p, now, stats.get(p.getFileName.toString)))
+    fresh.map(p =>
+      addAction(p, now, stats.get(p.getFileName.toString), dataChange))
   }
 
   /** Write `df` under `dir` as an unpartitioned Delta table (version 0
@@ -336,6 +338,52 @@ object DeltaExport {
             .group(1).toLong)
     }
     (protocol, meta, adds)
+  }
+
+  /** OPTIMIZE as a Delta commit — bin-packing compaction, optionally
+    * ZORDER BY: rewrite the latest snapshot's live files into
+    * `targetFiles` larger ones and log ONE commit that removes the old
+    * adds and adds the compacted files, all with `dataChange=false` —
+    * the protocol's marker that the commit reshapes storage without
+    * changing table content (streaming consumers skip it). Old data
+    * files stay on disk, so time travel to pre-OPTIMIZE versions keeps
+    * working until a vacuum reclaims them.
+    *
+    * With `zorderBy` non-empty the rewrite range-partitions on the
+    * Morton key ([[Zorder.withKey]]) and sorts within partitions, so
+    * each compacted file owns a hyper-rectangle of the clustered
+    * column space — the fresh per-file `stats` tighten on EVERY
+    * clustered column at once and [[readDeltaTablePruned]] skips more
+    * files from the log alone. That composition (layout in the data,
+    * min/max in the LOG) is exactly Delta's OPTIMIZE ZORDER BY; the
+    * plain form is its bin-packing OPTIMIZE. The scan reads the
+    * snapshot's explicit file list (never a directory listing), so
+    * writing the compacted files beside them is not a self-overwrite.
+    * Returns the new version. */
+  def optimizeDeltaTable(spark: SparkSession, dir: String,
+      targetFiles: Int = 1, zorderBy: Seq[String] = Nil): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val v = latestVersion(dir) + 1
+    val snap = snapshotState(spark, dir, None)
+    val live = snap.live.toSeq
+    require(live.nonEmpty, "nothing to optimize — no live files")
+    val df = scanFiles(spark, dir, snap.meta, live, None)
+    val shaped =
+      if (zorderBy.isEmpty) df.repartition(targetFiles)
+      else Zorder.withKey(df, zorderBy)
+        .repartitionByRange(targetFiles, org.apache.spark.sql.functions.col("__z"))
+        .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+        .drop("__z")
+    val before = dataFiles(dir).map(_.getFileName.toString).toSet
+    shaped.write.mode("append").parquet(dir)
+    val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
+    require(fresh.nonEmpty, "optimize produced no data files")
+    val now = System.currentTimeMillis()
+    val removes = live.sorted.map(p =>
+      s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":false}}""")
+    writeCommit(dir, v,
+      removes ++ addActions(spark, fresh, now, dataChange = false))
+    v
   }
 
   /** Vacuum with retention 0: physically delete the data files that

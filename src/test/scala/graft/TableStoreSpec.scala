@@ -1172,6 +1172,91 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("Delta OPTIMIZE: dataChange=false compaction preserves content, keeps time travel until vacuum, re-statses the compacted files") {
+    import graft.core.DeltaExport
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val first = base.filter(col("doc_id") % 2 === 0).repartition(6)
+    val extra = base.filter(col("doc_id") % 2 === 1).repartition(2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_opt").toString
+    DeltaExport.writeDeltaTable(spark, first, dir)
+    DeltaExport.appendDeltaTable(spark, extra, dir)
+    val preLive = DeltaExport.snapshotAt(spark, dir, None)._2
+    assert(preLive.size === 8)
+    assert(DeltaExport.optimizeDeltaTable(spark, dir, targetFiles = 2) === 2L)
+    val postLive = DeltaExport.snapshotAt(spark, dir, None)._2
+    assert(postLive.size === 2)
+    // the commit is pure reshaping: every action carries dataChange=false
+    val commit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000002.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(!commit.contains(""""dataChange":true"""))
+    assert(commit.linesIterator.count(_.startsWith("""{"remove"""")) === 8)
+    assert(commit.linesIterator.count(_.startsWith("""{"add"""")) === 2)
+    // content identical at latest; pre-OPTIMIZE time travel still works
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.exceptAll(b).count() === 0L)
+      assert(b.exceptAll(a).count() === 0L)
+    }
+    same(DeltaExport.readDeltaTable(spark, dir), base)
+    same(DeltaExport.readDeltaTable(spark, dir, Some(1L)), base)
+    same(DeltaExport.readDeltaTable(spark, dir, Some(0L)), first)
+    // compacted files carry fresh stats (still log-prunable)
+    assert(DeltaExport.statsAt(spark, dir).keySet === postLive.toSet)
+    // vacuum reclaims exactly the 8 superseded files; latest unaffected,
+    // pre-OPTIMIZE versions now fail loudly by name
+    val reclaimed = DeltaExport.vacuumDeltaTable(spark, dir)
+    assert(reclaimed.toSet === preLive.toSet)
+    same(DeltaExport.readDeltaTable(spark, dir), base)
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.readDeltaTable(spark, dir, Some(1L))
+    }
+    assert(e.getMessage.contains("no longer"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("Delta OPTIMIZE ZORDER BY: the rewrite tightens log stats so band reads prune on EVERY clustered column") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    // a 64x64 grid scattered randomly across files: before clustering,
+    // every file spans both columns' full ranges, so log-stats pruning
+    // has nothing to grip
+    val grid = spark.range(4096)
+      .select((col("id") % 64).as("a"), expr("id div 64").as("b"),
+        col("id").as("payload"))
+      .repartition(8) // round-robin: every file sees all of a and b
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_zorder").toString
+    DeltaExport.writeDeltaTable(spark, grid, dir)
+    val (preA, candPreA, totalPre) =
+      DeltaExport.readDeltaTablePruned(spark, dir, "a", 0.0, 7.0)
+    assert(totalPre === 8 && candPreA === 8,
+      "random layout must not prune (every file spans the domain)")
+    DeltaExport.optimizeDeltaTable(spark, dir, targetFiles = 8,
+      zorderBy = Seq("a", "b"))
+    // after ZORDER: a one-eighth band on EACH column prunes files
+    val (postA, candA, totalA) =
+      DeltaExport.readDeltaTablePruned(spark, dir, "a", 0.0, 7.0)
+    val (postB, candB, totalB) =
+      DeltaExport.readDeltaTablePruned(spark, dir, "b", 0.0, 7.0)
+    assert(totalA === 8 && totalB === 8)
+    // range-partition boundaries are sampled, so allow one boundary
+    // file of slack per column — the claim is that BOTH columns prune,
+    // which a single-column sort cannot deliver
+    assert(candA <= 5, s"a-band planned $candA of 8 after zorder")
+    assert(candB <= 5, s"b-band planned $candB of 8 after zorder")
+    assert(candA + candB < 2 * 8,
+      "zorder must prune somewhere on both columns")
+    assert(preA.count() === 512L)
+    assert(postA.count() === 512L && postB.count() === 512L)
+    assert(postA.agg(sum(col("payload"))).head.getLong(0) ===
+      grid.filter(col("a") <= 7).agg(sum(col("payload"))).head.getLong(0))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Delta schema gate: a widened append is refused loudly; a widened overwrite supersedes the metaData and time travel keeps the old schema") {
     import graft.core.DeltaExport
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
