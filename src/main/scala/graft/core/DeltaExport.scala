@@ -502,6 +502,51 @@ object DeltaExport {
     else spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
   }
 
+  /** Incremental (streaming-source) consumption of a Delta table: the
+    * rows ADDED in commits `sinceVersion` (exclusive) through
+    * `untilVersion` (inclusive; latest when None) — the append-only
+    * incremental read Delta's streaming source performs, and the
+    * consumer-side reason OPTIMIZE marks its rewrites: `add` actions
+    * with `dataChange=false` are SKIPPED (they reshape storage, not
+    * content — counting them would re-deliver every compacted row),
+    * while a `remove` with `dataChange=true` in the range (an
+    * overwrite or delete) is refused loudly — this reader serves
+    * append-only consumption; row-level change classification is the
+    * CDC surface (TableStore.tableChanges). Cost is O(commits in
+    * range) log metadata plus a scan of exactly the new files — an
+    * incremental consumer never rereads the standing table. */
+  def readDeltaAppendsSince(spark: SparkSession, dir: String,
+      sinceVersion: Long, untilVersion: Option[Long] = None): DataFrame = {
+    val versions = logVersions(dir)
+    val until = untilVersion.getOrElse(
+      (lastCheckpoint(dir).map(_.version).toSeq ++ versions).max)
+    require(until >= sinceVersion,
+      s"untilVersion $until precedes sinceVersion $sinceVersion")
+    val range = versions.filter(v => v > sinceVersion && v <= until)
+    val missing = ((sinceVersion + 1) to until).filterNot(range.contains)
+    require(missing.isEmpty,
+      s"commit(s) ${missing.mkString(",")} in the requested range have " +
+        "been expired — the incremental read would silently drop their rows")
+    val dcRe = """"dataChange":(true|false)""".r
+    val newFiles = Seq.newBuilder[String]
+    range.foreach { v =>
+      val lines = new String(
+        Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(v))),
+        StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+      lines.foreach { l =>
+        val dataChange = dcRe.findFirstMatchIn(l).forall(_.group(1) == "true")
+        if (l.startsWith("""{"add"""") && dataChange)
+          newFiles += pathOf(l, "add")
+        else if (l.startsWith("""{"remove"""") && dataChange)
+          throw new IllegalStateException(
+            s"commit v$v removes data (overwrite/delete) — the append-only " +
+              "incremental read cannot represent it; use tableChanges for CDC")
+      }
+    }
+    val (meta, _) = snapshotAt(spark, dir, Some(until))
+    scanFiles(spark, dir, meta, newFiles.result(), Some(until))
+  }
+
   /** Stats-pruned band read — the planning move that makes Delta fast
     * at 100 TB: candidate files for `lo <= bandCol <= hi` are chosen
     * from the LOG's `add.stats` alone, before any parquet footer is

@@ -1257,6 +1257,51 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("Delta incremental read: appends since a version, OPTIMIZE rewrites skipped, overwrites refused, expired ranges refused") {
+    import graft.core.DeltaExport
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val v0df = base.filter(col("doc_id") % 3 === 0)
+    val v1df = base.filter(col("doc_id") % 3 === 1)
+    val v2df = base.filter(col("doc_id") % 3 === 2)
+    val v4df = base.limit(10).withColumn("doc_id", col("doc_id") + 900000L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_incr").toString
+    DeltaExport.writeDeltaTable(spark, v0df, dir)
+    DeltaExport.appendDeltaTable(spark, v1df, dir)
+    DeltaExport.appendDeltaTable(spark, v2df, dir)
+    DeltaExport.optimizeDeltaTable(spark, dir, targetFiles = 1)
+    DeltaExport.appendDeltaTable(spark, v4df, dir)
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.exceptAll(b).count() === 0L)
+      assert(b.exceptAll(a).count() === 0L)
+    }
+    // since v0: the three appended batches, each exactly once — the
+    // OPTIMIZE rewrite of v0..v2 (which spans ALL their rows) must not
+    // re-deliver anything
+    same(DeltaExport.readDeltaAppendsSince(spark, dir, 0L),
+      v1df.unionAll(v2df).unionAll(v4df))
+    same(DeltaExport.readDeltaAppendsSince(spark, dir, 2L), v4df)
+    // a bounded range that holds ONLY the OPTIMIZE commit is empty
+    assert(DeltaExport.readDeltaAppendsSince(spark, dir, 2L, Some(3L))
+      .count() === 0L)
+    // an overwrite in range is refused (append-only reader, not CDC)
+    DeltaExport.overwriteDeltaTable(spark, base.limit(5), dir)
+    val e = intercept[IllegalStateException] {
+      DeltaExport.readDeltaAppendsSince(spark, dir, 0L)
+    }
+    assert(e.getMessage.contains("removes data"))
+    // an expired range is refused rather than silently dropped
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    DeltaExport.expireLogBefore(dir)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaExport.readDeltaAppendsSince(spark, dir, 0L, Some(2L))
+    }
+    assert(e2.getMessage.contains("expired"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Delta schema gate: a widened append is refused loudly; a widened overwrite supersedes the metaData and time travel keeps the old schema") {
     import graft.core.DeltaExport
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
