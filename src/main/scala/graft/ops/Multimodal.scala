@@ -649,7 +649,9 @@ object Multimodal {
     * [[syntheticJpegMedia]]/[[syntheticWavMedia]], driver-built at
     * fixture size. */
   def syntheticAviMedia(spark: SparkSession, n: Int = 3,
-      idBase: Long = 9600000L): DataFrame = {
+      idBase: Long = 9600000L,
+      payloadByte: (Int, Int) => Int = (i, j) => (31 * i + 7 * j) % 256)
+      : DataFrame = {
     def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -687,7 +689,8 @@ object Multimodal {
         .putInt(0).putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
         .array()
       val frames = (0 until nf).flatMap { j =>
-        val payload = Array.fill(16 + 4 * (j % 3))(((31 * i + 7 * j) % 256).toByte)
+        val payload =
+          Array.fill(16 + 4 * (j % 3))(payloadByte(i, j).toByte)
         chunk("00db", payload)
       }.toArray
       val body = list("hdrl", chunk("avih", avih) ++

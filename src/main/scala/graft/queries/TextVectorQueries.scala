@@ -4034,7 +4034,56 @@ object TextVectorQueries {
         CAST(max(j) FILTER (WHERE j % 3 = 0) AS INT) AS last_idx
       FROM fr GROUP BY i ORDER BY media_id"""))
 
+  /** Frame-level video dedup (oracle-EXACT, cross-modality): demux
+    * every frame of a synthetic-AVI corpus through the REAL RIFF/movi
+    * chunk walk, hash the actual frame bytes (md5 over binary), and
+    * report the corpus duplicate structure — distinct frames, dup
+    * burden, largest group, groups spanning videos. The fixture's fill
+    * bytes follow a closed-form residue scheme (len from j mod 3, byte
+    * from j mod 5 and video-parity), so a DuckDB oracle regenerates
+    * the IDENTICAL group structure analytically — the two sides agree
+    * iff the demux recovered every frame's true bytes byte-for-byte
+    * (constant-fill arrays are equal exactly when (len, byte) match,
+    * so the md5-grouping and the residue-grouping are the same
+    * partition). This is the production image/video near-dup screen's
+    * exact-hash first stage at corpus scale: one narrow demux pass, a
+    * hash shuffle on (sig, len), never frame×frame pairs. */
+  val q144FrameDedup = GraftQuery(
+    "q144_frame_dedup", { (s, _) =>
+      val media = graft.ops.Multimodal.syntheticAviMedia(s, n = 4,
+        payloadByte = (i, j) => (7 * (j % 5) + 13 * (i % 2)) % 256)
+      val frames = graft.ops.Multimodal.sampleFrames(s, media, stride = 1)
+      val groups = frames
+        .select(md5(col("frame")).as("sig"),
+          length(col("frame")).as("len"), col("media_id"))
+        .groupBy(col("sig"), col("len"))
+        .agg(count(lit(1)).as("df"),
+          countDistinct(col("media_id")).as("videos"))
+      groups.agg(
+        count(lit(1)).as("distinct_frames"),
+        sum(col("df")).as("total_frames"),
+        coalesce(sum(when(col("df") > 1, col("df"))), lit(0L))
+          .as("dup_frames"),
+        max(col("df")).as("largest_group"),
+        count(when(col("videos") > 1, 1)).as("cross_video_groups"))
+    },
+    Some("""WITH v AS (SELECT unnest(generate_series(0, 3)) AS i),
+      fr AS (SELECT i, unnest(generate_series(0, 8 + 4 * i - 1)) AS j
+        FROM v),
+      k AS (SELECT i, 16 + 4 * (j % 3) AS len,
+        (7 * (j % 5) + 13 * (i % 2)) % 256 AS b FROM fr),
+      g AS (SELECT len, b, count(*) AS df, count(DISTINCT i) AS videos
+        FROM k GROUP BY len, b)
+      SELECT count(*) AS distinct_frames,
+        CAST(sum(df) AS BIGINT) AS total_frames,
+        CAST(coalesce(sum(CASE WHEN df > 1 THEN df END), 0) AS BIGINT)
+          AS dup_frames,
+        CAST(max(df) AS BIGINT) AS largest_group,
+        count(CASE WHEN videos > 1 THEN 1 END) AS cross_video_groups
+      FROM g"""))
+
   val all: Seq[GraftQuery] = Seq(
+    q144FrameDedup,
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q28bLangIdTrained, q29Fingerprint, q29bWinnowContract,
     q30MinhashNearDup, q30bMinhashPrecisionContract, q31SimhashNearDup,
