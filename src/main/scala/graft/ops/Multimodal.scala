@@ -346,6 +346,120 @@ object Multimodal {
       .toDF()
   }
 
+  /** Perceptual difference-hash (dHash) over the REAL pixel decode:
+    * grayscale block means on a 9×8 grid (area averaging — every pixel
+    * contributes once, no interpolation ambiguity), one bit per
+    * horizontally adjacent cell pair (left < right), row-major — the
+    * standard 64-bit dHash. Gradient-based, so it is invariant to
+    * uniform brightness shifts and robust to re-encoding noise, which
+    * is exactly what the exact-hash stage (q144) cannot catch: this is
+    * the NEAR-dup second stage of an image dedup pipeline. Banding the
+    * 64 bits (the SimHash machinery) gives corpus-scale candidate
+    * generation without image×image pairs. Undecodable blobs come back
+    * valid=false, never a throw — same never-throw posture as every
+    * codec path here. */
+  def dHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", LongType, nullable = true),
+      StructField("valid", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null || img.getWidth < 9 || img.getHeight < 8)
+            Row(id, null, false)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            // 9x8 grid of grayscale block means (long sums, exact)
+            val sums = Array.ofDim[Long](8, 9)
+            val counts = Array.ofDim[Long](8, 9)
+            var y = 0
+            while (y < h) {
+              val cy = math.min(y * 8 / h, 7)
+              var x = 0
+              while (x < w) {
+                val cx = math.min(x * 9 / w, 8)
+                val rgb = img.getRGB(x, y)
+                val gray = (((rgb >> 16) & 0xFF) * 299 +
+                  ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+                sums(cy)(cx) += gray
+                counts(cy)(cx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var bits = 0L
+            var cy = 0
+            while (cy < 8) {
+              var cx = 0
+              while (cx < 8) {
+                // left < right compared exactly via cross-multiplication
+                // (no double division)
+                val lt = sums(cy)(cx) * counts(cy)(cx + 1) <
+                  sums(cy)(cx + 1) * counts(cy)(cx)
+                if (lt) bits |= 1L << (cy * 8 + cx)
+                cx += 1
+              }
+              cy += 1
+            }
+            Row(id, bits, true)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** [[syntheticJpegMedia]] plus a perceptual near-duplicate of every
+    * image: the copy is the SAME gradient rendered `shift` brighter on
+    * every channel (clamped) and re-encoded through the JDK JPEG
+    * writer — different bytes (q144's exact hash misses it), same
+    * gradients (dHash should catch it). Copy ids are original + 1000. */
+  def syntheticJpegPairMedia(spark: SparkSession, n: Int = 3,
+      idBase: Long = 9700000L, shift: Int = 12): DataFrame = {
+    def render(i: Int, lift: Int): Array[Byte] = {
+      val (w, h) = (64 + 32 * i, 48 + 24 * i)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // per-image CONTENT must differ (dHash is scale-invariant, so
+      // the same gradient at different sizes hashes identically):
+      // rising gradient, falling gradient, grid-aligned checkerboard
+      for (x <- 0 until w; y <- 0 until h) {
+        val base = (i % 3) match {
+          case 0 => x * 255 / w
+          case 1 => 255 - x * 255 / w
+          case _ => ((x * 9 / w + y * 8 / h) % 2) * 220
+        }
+        val r = math.min(base + lift, 255)
+        val g = math.min(y * 255 / h + lift, 255)
+        val b = math.min(lift, 255)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val rows = (0 until n).flatMap { i =>
+      val (w, h) = (64 + 32 * i, 48 + 24 * i)
+      val orig = render(i, 0)
+      val near = render(i, shift)
+      Seq(
+        Row(idBase + i, orig, Row("image", w, h, orig.length.toLong)),
+        Row(idBase + i + 1000L, near,
+          Row("image", w, h, near.length.toLong)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), mediaSchema)
+  }
+
   /** REAL image resample: ImageIO decode → area-preserving bilinear
     * scale to half dimensions (Graphics2D, RenderingHints.BILINEAR) →
     * re-encode JPEG with the JDK writer. The output blob is a genuine

@@ -4082,8 +4082,64 @@ object TextVectorQueries {
         count(CASE WHEN videos > 1 THEN 1 END) AS cross_video_groups
       FROM g"""))
 
+  /** Image near-dup detection via perceptual dHash banding
+    * (rows-only): the NEAR stage q144's exact hash cannot reach —
+    * brightness-shifted, re-encoded copies have different bytes but
+    * identical gradients. dHash runs over the REAL JPEG pixel decode,
+    * candidates come from 16-bit signature bands (the SimHash trick —
+    * a pair within Hamming r misses all 4 bands only if its flipped
+    * bits spread across every band), and the Hamming gate runs only on
+    * banded candidates: image×image pair work never materializes.
+    * q145b pins recall through the oracle gate: every planted
+    * ground-truth near-pair must be caught. */
+  val q145ImageNearDup = GraftQuery(
+    "q145_image_neardup", { (s, _) =>
+      val near = imageNearDupPairs(s)
+      near.agg(
+        count(lit(1)).as("neardup_pairs"),
+        coalesce(max(col("hamming")), lit(-1L)).as("max_hamming"),
+        countDistinct(col("u")).as("left_images"))
+    })
+
+  private def imageNearDupPairs(s: SparkSession): DataFrame = {
+    val media = graft.ops.Multimodal.syntheticJpegPairMedia(s, n = 3)
+    val hs = graft.ops.Multimodal.dHash(s, media).filter(col("valid"))
+      .localCheckpoint(eager = false)
+    val bands = hs.select(col("media_id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("dhash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+    bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("u"), col("b.media_id").as("v"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 10)
+  }
+
+  /** Recall contract for q145 (oracle-checked, q104c pattern): the
+    * planted ground-truth near-pairs (each image and its
+    * brightness-shifted re-encoded copy, ids offset by 1000) that the
+    * banded dHash join FAILED to catch — must be the empty relation. A
+    * surviving row names the image whose perceptual copy slipped past
+    * both the banding and the Hamming gate. */
+  val q145bImageNearDupRecall = GraftQuery(
+    "q145b_image_neardup_recall", { (s, _) =>
+      val near = imageNearDupPairs(s)
+      val gt = (0 until 3).map(i => (9700000L + i, 9700000L + i + 1000L))
+      import s.implicits._
+      gt.toDF("u", "v")
+        .join(near.select(col("u"), col("v")), Seq("u", "v"), "left_anti")
+        .orderBy(col("u"))
+    },
+    Some("""SELECT CAST(NULL AS BIGINT) AS u, CAST(NULL AS BIGINT) AS v
+      WHERE 1 = 0"""))
+
   val all: Seq[GraftQuery] = Seq(
-    q144FrameDedup,
+    q144FrameDedup, q145ImageNearDup, q145bImageNearDupRecall,
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q28bLangIdTrained, q29Fingerprint, q29bWinnowContract,
     q30MinhashNearDup, q30bMinhashPrecisionContract, q31SimhashNearDup,

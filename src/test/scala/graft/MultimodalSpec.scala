@@ -10,6 +10,37 @@ import graft.ops.Multimodal
   * the resize transform's header contract. */
 class MultimodalSpec extends SparkTestBase {
 
+  test("dHash: brightness-shifted re-encoded copies stay near, distinct images stay far, junk never throws") {
+    import graft.ops.Multimodal
+    val media = Multimodal.syntheticJpegPairMedia(spark, n = 3)
+    val hs = Multimodal.dHash(spark, media).collect()
+      .map(r => r.getLong(0) -> (if (r.getBoolean(2)) Some(r.getLong(1)) else None))
+      .toMap
+    assert(hs.values.forall(_.isDefined), "all fixture images must decode")
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = 9700000L
+    (0 until 3).foreach { i =>
+      val d = ham(hs(base + i).get, hs(base + i + 1000L).get)
+      assert(d <= 2,
+        s"near-dup pair $i drifted $d bits — dHash should shrug off a brightness shift + re-encode (probed 0)")
+    }
+    for (i <- 0 until 3; j <- 0 until 3 if i != j) {
+      val d = ham(hs(base + i).get, hs(base + j).get)
+      assert(d >= 16, s"distinct patterns $i,$j too close at $d bits (probed 32-64)")
+    }
+    // never-throw posture: garbage bytes and a sub-grid image report
+    // valid=false instead of failing the pass
+    val junkRows = Seq(
+      org.apache.spark.sql.Row(1L, Array.fill[Byte](64)(0x5A),
+        org.apache.spark.sql.Row("image", 0, 0, 64L)),
+      org.apache.spark.sql.Row(2L, null,
+        org.apache.spark.sql.Row("image", 0, 0, 0L)))
+    val junk = spark.createDataFrame(
+      spark.sparkContext.parallelize(junkRows, 1), Multimodal.mediaSchema)
+    val decoded = Multimodal.dHash(spark, junk).collect()
+    assert(decoded.forall(!_.getBoolean(2)))
+  }
+
   private lazy val media = Multimodal.syntheticMediaFromDocs(
     Tables.load(spark, sfDir, "documents")).cache()
 
