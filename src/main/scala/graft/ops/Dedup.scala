@@ -108,6 +108,109 @@ object Dedup {
     size(array_intersect(shA, shB)).cast("double") /
       greatest(size(array_union(shA, shB)), lit(1))
 
+  /** EXACT-threshold Jaccard similarity JOIN over whitespace-token sets
+    * with AllPairs/PPJoin prefix filtering (Bayardo et al., "Scaling Up
+    * All Pairs Similarity Search", WWW'07; Xiao et al., "Efficient
+    * Similarity Joins for Near Duplicate Detection", WWW'08): every
+    * unordered pair (u < v) whose token-set Jaccard is >= `threshold`,
+    * with the exact score. Unlike the banded MinHash/SimHash/LSH paths
+    * (recall < 1 by design, verified through contracts), the result set
+    * here is EXACT, so the operator carries a full DuckDB hash oracle
+    * (q146) — the brute-force all-pairs expansion runs only on the
+    * oracle side, at verify SF.
+    *
+    * Why the prefix join is not an all-pairs join: fix ONE global token
+    * order — document frequency ascending, token ascending (rarest
+    * first) — and index each document only by its PREFIX of
+    * p = n - ceil(t·n) + 1 tokens under that order. If J(x,y) >= t then
+    * |x∩y| >= t·|x∪y| >= t·max(|x|,|y|), and the globally SMALLEST
+    * common token w has all other |x∩y|-1 common tokens after it in x,
+    * so its position in x is <= |x| - |x∩y| + 1 <= |x| - ceil(t·|x|) + 1
+    * = p(x) — w is inside x's prefix, and by the symmetric argument
+    * inside y's. The SAME token therefore keys both documents in the
+    * prefix-postings self-join, so no qualifying pair is missed, while
+    * rare-first ordering keeps the postings short: hot (stop-word)
+    * tokens sort to the un-indexed suffix and generate no candidates
+    * unless a document is so short its prefix covers them anyway.
+    *
+    * Scale shape: one token-frequency aggregation (vocabulary-keyed),
+    * one per-document canonical sort (inside a groupBy collect, bounded
+    * by document length), one prefix-postings self-join shuffled on the
+    * token key — posting mass is Σ p(doc) ≈ (1-t)·Σ n(doc), not the
+    * corpus token mass — a distinct on candidate pairs (bounded by the
+    * prefix-join output, probed ~linear in duplicate mass at 10×,
+    * BASELINE.md round 15), a length pre-filter
+    * (min(|x|,|y|) >= t·max(|x|,|y|), necessary for J >= t), and an
+    * exact array_intersect verify per CANDIDATE. No cross join, no
+    * all-pairs expansion anywhere on the engine side. */
+  def jaccardJoinPrefix(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val ordered = jaccardOrderedTokens(df, textCol, idCol)
+    jaccardPrefixCandidatesOf(ordered, threshold)
+      .join(ordered.select(col("id").as("u"), col("toks").as("toks_u"),
+        col("n").as("nu")), Seq("u"))
+      .join(ordered.select(col("id").as("v"), col("toks").as("toks_v"),
+        col("n").as("nv")), Seq("v"))
+      .withColumn("inter",
+        size(array_intersect(col("toks_u"), col("toks_v"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("nu") + col("nv") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("u"), col("v"), col("jaccard"))
+  }
+
+  /** Per-document token sets in the canonical rare-first order
+    * (document frequency ascending, token ascending): (id, toks, n).
+    * sort_array over (df, token) structs is a total order because
+    * tokens are distinct within a document. */
+  private def jaccardOrderedTokens(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val posting = df
+      .select(col(idCol).as("id"),
+        array_distinct(TextAnalysis.tokens(col(textCol))).as("raw"))
+      .filter(size(col("raw")) > 0)
+      .select(col("id"), explode(col("raw")).as("token"))
+    val dfreq = posting.groupBy(col("token")).agg(count(lit(1)).as("dfq"))
+    posting.join(dfreq, "token")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("dfq"), col("token"))))
+        .as("ord"))
+      .select(col("id"),
+        transform(col("ord"), s => s.getField("token")).as("toks"),
+        size(col("ord")).as("n"))
+  }
+
+  /** Candidate pairs from the prefix-postings self-join over a
+    * canonically-ordered corpus, with the length pre-filter applied —
+    * the relation [[jaccardJoinPrefix]] verifies. Exposed (via
+    * [[jaccardPrefixCandidates]]) for the pruning probe and the
+    * superset spec: every qualifying pair must appear here, and its
+    * size against the all-pairs count measures what prefix filtering
+    * buys. */
+  private def jaccardPrefixCandidatesOf(ordered: DataFrame,
+      threshold: Double): DataFrame = {
+    val pref = ordered
+      .withColumn("p",
+        (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int"))
+      .select(col("id"), col("n"),
+        explode(slice(col("toks"), lit(1), col("p"))).as("token"))
+    pref.select(col("token"), col("id").as("u"), col("n").as("nu"))
+      .join(pref.select(col("token"), col("id").as("v"), col("n").as("nv")),
+        Seq("token"))
+      .filter(col("u") < col("v"))
+      .filter(least(col("nu"), col("nv")).cast("double") >=
+        lit(threshold) * greatest(col("nu"), col("nv")))
+      .select(col("u"), col("v"))
+      .distinct()
+  }
+
+  private[graft] def jaccardPrefixCandidates(df: DataFrame, textCol: String,
+      idCol: String, threshold: Double): DataFrame =
+    jaccardPrefixCandidatesOf(
+      jaccardOrderedTokens(df, textCol, idCol), threshold)
+
   /** 64-bit SimHash over tokens: per-bit majority vote of ±1 across token
     * hashes, bit set when the vote is positive (Charikar). The vote loops
     * run in a custom codegen Expression (graft.functions.SimHash64Expr) —

@@ -879,6 +879,91 @@ object Similarity {
     centroids
   }
 
+  /** Lloyd's k-means with the q136 integer-micros discipline, emitting
+    * ORACLE-EXACT per-cluster telemetry — the trainer twin that lets the
+    * clustering itself carry a full DuckDB hash oracle (q147), where
+    * [[kmeansCentroids]] (double averages, argbest array kernel) is
+    * verified only through the downstream IVF contracts (q65b).
+    *
+    * Exactness architecture: components quantize once to micro longs
+    * (one identical IEEE multiply+round per value in both engines);
+    * every distance is an exact INTEGER Σ(xm−cm)² over dims; each
+    * recomputed centroid coordinate is round(Σxm/n) — exact integer sum,
+    * one division; the assignment argmin breaks ties (dist, cid)
+    * ascending, a total order both engines replay. A cluster left empty
+    * by an assignment round simply drops out of the next centroid
+    * relation — mirrored in the oracle, and the honest telemetry (a
+    * production run re-seeds it). Per-iteration state pins through
+    * localCheckpoint so iteration i+1 reads materialized blocks, not a
+    * re-derivation of the whole lineage.
+    *
+    * Overflow headroom: unit-scale micro components ≤ ~1e6 → per-vector
+    * distance ≤ 64·(2e6)² ≈ 2.6e14; inertia sums the PER-VECTOR
+    * milli-scaled quotient (dist div 1000 ≤ 2.6e11, exact floor division
+    * in both engines), so the per-cluster total stays exact past 1e7
+    * members — re-scale the quotient before training a corpus beyond
+    * that.
+    *
+    * Scale shape: seeds are the k lowest-id vectors (the
+    * [[kmeansCentroids]] convention — deterministic, no RNG); each
+    * iteration is one join of the exploded corpus against the k×dims
+    * centroid relation (AQE broadcasts it — model-sized, the Quantiles
+    * no-hint rule) followed by a (vid, cid) partial-agg and a per-vid
+    * argmin window partitioned by vid. The n×k distance intermediate is
+    * the canonical k-means cost; the production serving path
+    * ([[assignToCentroids]]) fuses it into a broadcast argbest kernel,
+    * which this twin deliberately trades for oracle-replayable algebra.
+    *
+    * Returns per surviving cluster, assignments measured against the
+    * LAST recomputed centroids' predecessors (the assignment that formed
+    * them): cid, n_members, inertia_k (Σ dist div 1000), cnorm2
+    * (Σ cm² of the final centroids). */
+  def kmeansTelemetryMicros(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k and iters must be >= 1: $k, $iters")
+    val x = corpus
+      .select(col(idCol).as("vid"),
+        posexplode(col(vecCol)).as(Seq("d", "xv")))
+      .select(col("vid"), col("d"),
+        round(col("xv").cast("double") * 1e6).cast("long").as("xm"))
+      .localCheckpoint(eager = false)
+    val initW = Window.orderBy(col("vid"))
+    val seeds = corpus.select(col(idCol).as("vid")).orderBy(col("vid"))
+      .limit(k)
+      .select(col("vid"), (row_number().over(initW) - 1).cast("int").as("cid"))
+    var cents = x.join(seeds, "vid")
+      .select(col("cid"), col("d"), col("xm").as("cm"))
+      .localCheckpoint(eager = false)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val dist = x.join(cents, Seq("d"))
+        .groupBy(col("vid"), col("cid"))
+        .agg(sum((col("xm") - col("cm")) * (col("xm") - col("cm")))
+          .as("dist"))
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("dist"), col("cid"))
+      assigned = dist
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vid"), col("cid"), col("dist"))
+        .localCheckpoint(eager = false)
+      cents = x.join(assigned.select(col("vid"), col("cid")), Seq("vid"))
+        .groupBy(col("cid"), col("d"))
+        .agg(round(sum(col("xm")).cast("double") / count(lit(1)))
+          .cast("long").as("cm"))
+        .localCheckpoint(eager = false)
+    }
+    val norms = cents.groupBy(col("cid"))
+      .agg(sum(col("cm") * col("cm")).as("cnorm2"))
+    assigned
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(expr("dist div 1000")).as("inertia_k"))
+      .join(norms, Seq("cid"))
+      .select(col("cid"), col("n_members"), col("inertia_k"), col("cnorm2"))
+  }
+
   /** Centroids from a PERSISTED index table, trained at most once per
     * corpus: the build/serve split for the blocking family (the k-means
     * twin of the PQ codebook tables). The published table carries the

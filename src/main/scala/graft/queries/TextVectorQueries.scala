@@ -4138,6 +4138,113 @@ object TextVectorQueries {
     Some("""SELECT CAST(NULL AS BIGINT) AS u, CAST(NULL AS BIGINT) AS v
       WHERE 1 = 0"""))
 
+  /** EXACT-threshold Jaccard similarity join with AllPairs/PPJoin
+    * prefix filtering ([[graft.ops.Dedup.jaccardJoinPrefix]]) — the
+    * first similarity JOIN in the registry to carry a full hash oracle:
+    * the result set is exact by construction (prefix filtering is a
+    * lossless candidate screen, proven in the operator's scaladoc), so
+    * DuckDB replays the SEMANTICS — brute-force all-pairs token-set
+    * Jaccard — and the per-document rollup of every pair, scores
+    * included, must hash-match. The quadratic expansion runs only on
+    * the oracle side at verify SF; the engine side never leaves the
+    * prefix-postings join. The row aggregates per LEFT id (the
+    * synthetic corpus is deliberately token-dense — ~118k qualifying
+    * pairs at t = 0.8 over 1000 docs — and dumping each would make the
+    * gate's weight the fixture's density, not the operator): n_pairs
+    * and max_j are order-independent, and the score mass follows the
+    * q136 integer-micros discipline — each jaccard quantizes via one
+    * identical IEEE multiply+round, then sums exactly as longs, so the
+    * aggregate detects a single wrong pair or score anywhere. Cross-
+    * engine float: jaccard = i/(nu+nv−i) is one division over exact
+    * integers in both engines, and the >= 0.8 gate compares that same
+    * IEEE result, so no boundary drift is possible. */
+  val q146JaccardJoinPrefix = GraftQuery(
+    "q146_jaccard_join_prefix", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      Dedup.jaccardJoinPrefix(corpus, "text", "doc_id", threshold = 0.8)
+        .groupBy(col("u"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(max(col("jaccard")), 6).as("max_j"),
+          sum(round(col("jaccard") * 1e6).cast("long")).as("sum_j_micro"))
+        .orderBy(col("u"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '')
+        FROM documents),
+      tok AS (SELECT doc_id,
+          unnest(list_distinct(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0))) AS token
+        FROM corpus),
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      j AS (SELECT u, v, CAST(i AS DOUBLE) / (su.n + sv.n - i) AS jac
+        FROM inter JOIN sz su ON su.doc_id = u JOIN sz sv ON sv.doc_id = v)
+      SELECT u, count(*) AS n_pairs, round(max(jac), 6) AS max_j,
+        CAST(sum(CAST(round(jac * 1e6) AS BIGINT)) AS BIGINT) AS sum_j_micro
+      FROM j WHERE jac >= 0.8 GROUP BY u ORDER BY u"""))
+
+  /** Lloyd's k-means TRAINING, oracle-exact
+    * ([[graft.ops.Similarity.kmeansTelemetryMicros]], k = 8, two full
+    * iterations): per-cluster member count, scaled inertia, and final
+    * centroid norm — the first row where the TRAINER itself is
+    * hash-gated (the production trainer `kmeansCentroids` verifies only
+    * through the q65b IVF contract downstream). The DuckDB oracle
+    * refits the whole model: quantize → seed from the 8 lowest vec_ids
+    * → two unrolled assign/recompute rounds with the same (dist, cid)
+    * tie-break and round(Σ/n) centroid updates — every arithmetic step
+    * is exact-integer or a single shared IEEE operation, so a defect in
+    * seeding, distance algebra, the argmin tie-break, or the mean
+    * update hash-fails the row. */
+  val q147KmeansTelemetry = GraftQuery(
+    "q147_kmeans_telemetry", { (s, dir) =>
+      Similarity.kmeansTelemetryMicros(
+          embeds(s, dir), "embedding", "vec_id", k = 8, iters = 2)
+        .orderBy(col("cid"))
+    },
+    Some("""WITH x AS (SELECT vec_id,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+            AS xm,
+          unnest(generate_series(1, len(embedding))) AS d
+        FROM embeddings),
+      seeds AS (SELECT vec_id,
+          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      c0 AS (SELECT s.cid, x.d, x.xm AS cm
+        FROM x JOIN seeds s USING (vec_id)),
+      d1 AS (SELECT x.vec_id, c.cid,
+          CAST(sum((x.xm - c.cm) * (x.xm - c.cm)) AS BIGINT) AS dist
+        FROM x JOIN c0 c USING (d) GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+              AS rn
+          FROM d1) WHERE rn = 1),
+      c1 AS (SELECT a.cid, x.d,
+          CAST(round(CAST(sum(x.xm) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+        FROM x JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+      d2 AS (SELECT x.vec_id, c.cid,
+          CAST(sum((x.xm - c.cm) * (x.xm - c.cm)) AS BIGINT) AS dist
+        FROM x JOIN c1 c USING (d) GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, cid, dist FROM (
+          SELECT vec_id, cid, dist,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+              AS rn
+          FROM d2) WHERE rn = 1),
+      c2 AS (SELECT a.cid, x.d,
+          CAST(round(CAST(sum(x.xm) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+        FROM x JOIN a2 a USING (vec_id) GROUP BY 1, 2),
+      norms AS (SELECT cid, CAST(sum(cm * cm) AS BIGINT) AS cnorm2
+        FROM c2 GROUP BY cid)
+      SELECT a2.cid, count(*) AS n_members,
+        CAST(sum(a2.dist // 1000) AS BIGINT) AS inertia_k,
+        max(norms.cnorm2) AS cnorm2
+      FROM a2 JOIN norms USING (cid)
+      GROUP BY a2.cid ORDER BY a2.cid"""))
+
   val all: Seq[GraftQuery] = Seq(
     q144FrameDedup, q145ImageNearDup, q145bImageNearDupRecall,
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
@@ -4177,5 +4284,5 @@ object TextVectorQueries {
     q51cDedupClustersWinnowed, q51dWinnowClusterContract,
     q51eDedupClustersLsh, q51fLshStarPairContract,
     q136EmbeddingCoherence, q137AudioFeatures, q139FrameSample,
-    q139bAviFrameAccounting)
+    q139bAviFrameAccounting, q147KmeansTelemetry, q146JaccardJoinPrefix)
 }

@@ -468,4 +468,59 @@ class DedupSpec extends SparkTestBase {
     assert(fps(0) === fps(1))
     assert(fps(0) !== fps(2))
   }
+
+  test("prefix Jaccard join: hand corpus with an exact-boundary pair") {
+    import spark.implicits._
+    // (1,2): nested sets {a b c d} ⊂ {a b c d e} → J = 4/5 = 0.8 —
+    // exactly AT the threshold, must be INCLUDED (>= semantics)
+    // (3,4): {a b c f g} vs {a b c d e} → 3/7 ≈ 0.43 — excluded
+    // (5,6): identical token sets (order/dup variations) → J = 1.0
+    // (7,*): disjoint — never paired
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c d e"),
+      (3L, "a b c f g"), (4L, "a b c d e"),
+      (5L, "x y z"), (6L, "z y x y"),
+      (7L, "p q r s t u v w")).toDF("id", "text")
+    val got = Dedup.jaccardJoinPrefix(df, "text", "id", threshold = 0.8)
+      .orderBy(col("u"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // 2 and 4 are identical docs → J = 1.0; 1 pairs with both at 0.8
+    assert(got === Seq((1L, 2L, 0.8), (1L, 4L, 0.8), (2L, 4L, 1.0),
+      (5L, 6L, 1.0)))
+  }
+
+  test("prefix Jaccard join equals brute-force all-pairs on a corpus slice") {
+    // equivalence against the quadratic expansion the operator exists
+    // to avoid — run on a mod-10 slice of the near-dup corpus so the
+    // reference cross join stays test-sized while still carrying real
+    // perturbed twins (ids ...0 keep their +1e6 copies in the slice)
+    val slice = corpus.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text")).cache()
+    val t = 0.7
+    val got = Dedup.jaccardJoinPrefix(slice, "text", "doc_id", t)
+      .select(col("u"), col("v"), col("jaccard"))
+    val toks = slice.select(col("doc_id").as("id"),
+        array_distinct(graft.ops.TextAnalysis.tokens(col("text"))).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val brute = toks.select(col("id").as("u"), col("tk").as("ta"))
+      .crossJoin(toks.select(col("id").as("v"), col("tk").as("tb")))
+      .filter(col("u") < col("v"))
+      .withColumn("jaccard", Dedup.jaccard(col("ta"), col("tb")))
+      .filter(col("jaccard") >= t)
+      .select(col("u"), col("v"), col("jaccard"))
+    assert(got.exceptAll(brute).count() === 0L)
+    assert(brute.exceptAll(got).count() === 0L)
+    // the true perturbed twins qualify and are found (J((n-1)-subset)
+    // >= t for every fixture doc at this slice's lengths)
+    val twins = got.filter(col("v") === col("u") + 1000000L).count()
+    assert(twins === slice.count() / 2)
+    // pruning is real: the prefix-postings candidates are a strict
+    // subset of the all-pairs expansion
+    val n = toks.count()
+    val cands = Dedup.jaccardPrefixCandidates(slice, "text", "doc_id", t)
+      .count()
+    assert(cands < n * (n - 1) / 2,
+      s"prefix filtering pruned nothing: $cands candidates for $n docs")
+    slice.unpersist()
+  }
 }

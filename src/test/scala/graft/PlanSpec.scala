@@ -609,4 +609,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("prefix Jaccard join never plans a cartesian/nested-loop expansion") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val p = planOf(graft.ops.Dedup.jaccardJoinPrefix(
+      d.select(col("doc_id"), col("text")), "text", "doc_id", 0.8))
+    // the exact similarity join must stay a prefix-postings hash join
+    // plus a candidate-keyed verify — an all-pairs expansion anywhere
+    // would be the quadratic plan the operator exists to avoid
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -537,4 +537,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(r2 >= recall(1) - 1e-12,
       "replication must not lose edges the single-assignment index found")
   }
+
+  test("integer-micros k-means telemetry matches an independent driver-side Lloyd") {
+    // parity against a SECOND implementation — plain Scala arrays over
+    // the collected micro vectors (test-sized corpus), same semantics:
+    // seeds = k lowest ids, (dist, cid) tie-break, round(Σ/n) updates,
+    // empty clusters drop. An engine defect in any step diverges.
+    val k = 4; val iters = 2
+    val got = Similarity.kmeansTelemetryMicros(
+        embeds, "embedding", "vec_id", k, iters)
+      .orderBy(col("cid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val vecs = embeds.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)
+        .map(x => math.round(x.toDouble * 1e6)).toArray))
+      .sortBy(_._1)
+    var cents: Map[Int, Array[Long]] =
+      vecs.take(k).zipWithIndex.map { case ((_, v), i) => i -> v }.toMap
+    var assigned: Seq[(Long, Int, Long)] = null
+    for (_ <- 1 to iters) {
+      assigned = vecs.toSeq.map { case (vid, v) =>
+        val (cid, dist) = cents.toSeq
+          .map { case (c, cv) =>
+            (c, v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+          .minBy { case (c, d) => (d, c) }
+        (vid, cid, dist)
+      }
+      cents = assigned.groupBy(_._2).map { case (cid, members) =>
+        val vs = members.map(m => vecs.find(_._1 == m._1).get._2)
+        cid -> Array.tabulate(vs.head.length) { d =>
+          // HALF AWAY FROM ZERO, the Spark/DuckDB round() mode — Scala
+          // math.round (half toward +∞) diverges at exact negative .5
+          // means (the q137 syntheticWavMedia precedent)
+          val m = vs.map(_(d)).sum.toDouble / vs.size
+          (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong }
+      }
+    }
+    val expect = assigned.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (cid, members) =>
+        (cid, members.size.toLong,
+          members.map(_._3 / 1000L).sum,
+          cents(cid).map(c => c * c).sum)
+      }
+    assert(got === expect)
+  }
 }
