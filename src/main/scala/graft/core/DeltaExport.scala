@@ -59,6 +59,43 @@ object DeltaExport {
     } finally files.close()
   }
 
+  /** All parquet data files under `dir` INCLUDING Hive-style partition
+    * subdirectories, as table-relative paths (`lang=en/part-….parquet`),
+    * name-sorted. Skips `_delta_log`, hidden entries, and non-regular
+    * files — the recursive twin of [[dataFiles]] for partitioned
+    * layouts. */
+  private def dataFilesRelative(dir: String): Seq[String] = {
+    val root = Paths.get(dir)
+    val walk = Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.flatMap { p =>
+        val rel = root.relativize(p).toString
+        val name = p.getFileName.toString
+        if (name.endsWith(".parquet") && Files.isRegularFile(p) &&
+            !name.startsWith(".") && !rel.startsWith("_delta_log") &&
+            !rel.split('/').exists(_.startsWith(".")))
+          Some(rel)
+        else None
+      }.toSeq.sorted
+    } finally walk.close()
+  }
+
+  /** Partition values a Hive-style relative path encodes, in directory
+    * order: `lang=en/year=2024/part-….parquet` →
+    * (lang -> en, year -> 2024). Spark's null-partition sentinel maps
+    * to a null value, matching the protocol's partitionValues null. */
+  private def hivePartitionValues(relPath: String): Map[String, String] =
+    relPath.split('/').init.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val v = seg.substring(i + 1)
+        Some(seg.substring(0, i) ->
+          (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+      }
+    }.toMap
+
   private def commitFile(v: Long): String = f"$v%020d.json"
 
   private def addAction(p: java.nio.file.Path, now: Long,
@@ -164,6 +201,68 @@ object DeltaExport {
       addAction(p, now, stats.get(p.getFileName.toString), dataChange))
   }
 
+  /** Per-file stats for table-RELATIVE paths (partitioned layouts): the
+    * same one-pass scan as [[fileStatsFor]], but keyed by full file URI
+    * and mapped back by relative-path suffix — two partition directories
+    * may hold part files with the SAME base name (one write task commits
+    * one part per partition it touches), so base-name keys would
+    * collide. Partition columns are absent from the files and so carry
+    * no stats; partition pruning reads partitionValues instead. */
+  private def fileStatsForRelative(spark: SparkSession, dir: String,
+      relPaths: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    if (relPaths.isEmpty) return Map.empty
+    val df = spark.read.parquet(relPaths.map(r => s"$dir/$r"): _*)
+    val cols = statsEligible(df.schema)
+    val aggs = count(lit(1L)).as("__n") +: cols.zipWithIndex.flatMap {
+      case (c, i) => Seq(
+        min(col(c)).as(s"__mn$i"), max(col(c)).as(s"__mx$i"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nc$i"))
+    }
+    val rows = df
+      .withColumn("__file", input_file_name())
+      .groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per fresh file
+    val byUri = rows.map { r =>
+      val mins = Seq.newBuilder[String]
+      val maxs = Seq.newBuilder[String]
+      val ncs = Seq.newBuilder[String]
+      cols.zipWithIndex.foreach { case (c, i) =>
+        val key = s""""${esc(c)}":"""
+        statsJsonValue(r.getAs[Any](s"__mn$i")).foreach(v => mins += (key + v))
+        statsJsonValue(r.getAs[Any](s"__mx$i")).foreach(v => maxs += (key + v))
+        ncs += (key + r.getAs[Long](s"__nc$i").toString)
+      }
+      r.getAs[String]("__file") ->
+        s"""{"numRecords":${r.getAs[Long]("__n")},"minValues":{${mins
+            .result().mkString(",")}},"maxValues":{${maxs.result()
+            .mkString(",")}},"nullCount":{${ncs.result().mkString(",")}}}"""
+    }
+    relPaths.flatMap { rel =>
+      byUri.find(_._1.endsWith("/" + rel)).map(rel -> _._2)
+    }.toMap
+  }
+
+  /** Add actions for table-relative paths, partitionValues read off the
+    * Hive-style directory segments Spark's partitionBy writes. */
+  private def addActionsRelative(spark: SparkSession, dir: String,
+      fresh: Seq[String], now: Long,
+      dataChange: Boolean = true): Seq[String] = {
+    val stats = fileStatsForRelative(spark, dir, fresh)
+    fresh.map { rel =>
+      val pv = hivePartitionValues(rel).toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          s""""${esc(k)}":${Option(v).map(x => s""""${esc(x)}"""")
+              .getOrElse("null")}"""
+        }.mkString(",")
+      val statsField =
+        stats.get(rel).map(s => s""","stats":"${esc(s)}"""").getOrElse("")
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{$pv},"size":${Files
+          .size(Paths.get(dir, rel))},"modificationTime":$now,"dataChange":$dataChange$statsField}}"""
+    }
+  }
+
   /** Write `df` under `dir` as an unpartitioned Delta table (version 0
     * commit). Returns the number of `add` actions written. */
   def writeDeltaTable(spark: SparkSession, df: DataFrame, dir: String): Int = {
@@ -182,6 +281,71 @@ object DeltaExport {
       ((protocol +: metaData +: adds).mkString("\n") + "\n")
         .getBytes(StandardCharsets.UTF_8))
     adds.size
+  }
+
+  /** Write `df` under `dir` as a PARTITIONED Delta table (version 0
+    * commit): Hive-style layout (`col=val/part-….parquet`, what Spark's
+    * partitionBy produces and what OSS Delta writes for partitioned
+    * tables), add actions carrying each file's `partitionValues`, and a
+    * metaData whose `partitionColumns` names the partitioning — the
+    * protocol feature that lets a reader prune partitions from the LOG
+    * alone ([[readDeltaTablePartitionPruned]]) and obliges it to
+    * re-attach the partition columns at scan time (the data files do
+    * NOT contain them). schemaString stays the FULL schema, per the
+    * protocol. Returns the number of add actions. */
+  def writeDeltaTablePartitioned(spark: SparkSession, df: DataFrame,
+      dir: String, partitionBy: Seq[String]): Int = {
+    require(partitionBy.nonEmpty,
+      "partitionBy is empty — use writeDeltaTable for unpartitioned tables")
+    val missing = partitionBy.filterNot(df.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"partition column(s) ${missing.mkString(", ")} not in schema " +
+        df.schema.catalogString)
+    df.write.partitionBy(partitionBy: _*).mode("overwrite").parquet(dir)
+    val parts = dataFilesRelative(dir)
+    val now = System.currentTimeMillis()
+    val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val pcols = partitionBy.map(c => s""""${esc(c)}"""").mkString(",")
+    val metaData =
+      s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(
+          dir.getBytes(StandardCharsets.UTF_8))}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
+          df.schema.json)}","partitionColumns":[$pcols],"configuration":{},"createdTime":$now}}"""
+    val adds = addActionsRelative(spark, dir, parts, now)
+    val logDir = Paths.get(dir).resolve("_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(commitFile(0L)),
+      ((protocol +: metaData +: adds).mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    adds.size
+  }
+
+  /** Append to a PARTITIONED Delta table as the next commit: the
+    * partition columns come from the LOG's metaData (never a caller
+    * argument — appending with a different layout than the table's
+    * would corrupt every pruned read), the new files land in their
+    * Hive directories, and each add carries its partitionValues.
+    * Same schema gate as [[appendDeltaTable]]. Returns the version. */
+  def appendDeltaTablePartitioned(spark: SparkSession, df: DataFrame,
+      dir: String): Long = {
+    val v = latestVersion(dir) + 1
+    val meta = snapshotState(spark, dir, None).meta
+    val pcols = partitionColumnsOf(meta)
+    require(pcols.nonEmpty,
+      "table is not partitioned — use appendDeltaTable")
+    val tableSchema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(schemaFits(df.schema, tableSchema),
+      s"append schema ${df.schema.catalogString} does not match the " +
+        s"table's logged schema ${tableSchema.catalogString} — a Delta " +
+        "append never evolves the schema implicitly")
+    val before = dataFilesRelative(dir).toSet
+    df.write.partitionBy(pcols: _*).mode("append").parquet(dir)
+    val fresh = dataFilesRelative(dir).filterNot(before)
+    require(fresh.nonEmpty, "append produced no data files")
+    writeCommit(dir, v,
+      addActionsRelative(spark, dir, fresh, System.currentTimeMillis()))
+    v
   }
 
   /** Sorted commit versions present in `dir`'s log. */
@@ -258,8 +422,12 @@ object DeltaExport {
     // columns would silently drop or null the mismatch at read time —
     // refuse loudly instead (schema evolution is a deliberate metaData
     // commit, not an accidental append)
+    val appendMeta = snapshotState(spark, dir, None).meta
+    require(partitionColumnsOf(appendMeta).isEmpty,
+      "table is partitioned — use appendDeltaTablePartitioned (a flat " +
+        "append would write files the partition-aware reader cannot place)")
     val tableSchema = org.apache.spark.sql.types.DataType
-      .fromJson(schemaStringOf(snapshotState(spark, dir, None).meta))
+      .fromJson(schemaStringOf(appendMeta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     require(schemaFits(df.schema, tableSchema),
       s"append schema ${df.schema.catalogString} does not match the " +
@@ -282,6 +450,10 @@ object DeltaExport {
   def overwriteDeltaTable(spark: SparkSession, df: DataFrame, dir: String): Long = {
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
+    require(partitionColumnsOf(snap.meta).isEmpty,
+      "table is partitioned — a flat overwrite would drop the partition " +
+        "layout the reader re-attaches columns from; re-create the table " +
+        "with writeDeltaTablePartitioned instead")
     val live = snap.live.toSet
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
     df.write.mode("append").parquet(dir)
@@ -365,6 +537,10 @@ object DeltaExport {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
+    require(partitionColumnsOf(snap.meta).isEmpty,
+      "table is partitioned — OPTIMIZE must compact within partitions " +
+        "and re-emit partitionValues, which this writer does not do yet; " +
+        "refusing rather than flattening the layout")
     val live = snap.live.toSeq
     require(live.nonEmpty, "nothing to optimize — no live files")
     val df = scanFiles(spark, dir, snap.meta, live, None)
@@ -396,9 +572,11 @@ object DeltaExport {
     * same O(files) listing every Delta vacuum performs. */
   def vacuumDeltaTable(spark: SparkSession, dir: String): Seq[String] = {
     val live = snapshotAt(spark, dir, None)._2.toSet
-    val stale = dataFiles(dir).filterNot(p => live(p.getFileName.toString))
-    stale.foreach(Files.delete)
-    stale.map(_.getFileName.toString)
+    // recursive relative listing so partitioned layouts vacuum their
+    // Hive subdirectories too; live paths are table-relative either way
+    val stale = dataFilesRelative(dir).filterNot(live)
+    stale.foreach(rel => Files.delete(Paths.get(dir, rel)))
+    stale
   }
 
   /** Replay the commit log through `versionAsOf` (latest when None)
@@ -431,11 +609,45 @@ object DeltaExport {
     // path -> that file's `stats` JSON (unescaped), when its add carried
     // one. A path absent here is a must-read file for any pruner.
     val stats = scala.collection.mutable.Map.empty[String, String]
+    // path -> the add action's partitionValues (column -> string value,
+    // null for a null partition). RETAINED on remove — the live set
+    // governs what is scanned, and an incremental reader
+    // ([[readDeltaAppendsSince]]) may still need the values of a file a
+    // later dataChange=false rewrite removed.
+    val pvals =
+      scala.collection.mutable.Map.empty[String, Map[String, String]]
   }
 
   // the stats field is a JSON STRING inside the add action (escaped);
   // key-order-tolerant like the other extractors
   private val statsRe = """"stats":"((?:[^"\\]|\\.)*)"""".r
+
+  // `"partitionValues":{...}` object inside an add action; values are
+  // JSON strings or null (a null partition value)
+  private val pvalsObjRe = """"partitionValues":\{([^{}]*)\}""".r
+  private val pvalEntryRe =
+    """"((?:[^"\\]|\\.)+)":(?:"((?:[^"\\]|\\.)*)"|null)""".r
+
+  /** The add action's partitionValues as column -> value (null inside
+    * the map for a null partition); empty for an unpartitioned add. */
+  private def partitionValuesOf(line: String): Map[String, String] =
+    pvalsObjRe.findFirstMatchIn(line).map { m =>
+      pvalEntryRe.findAllMatchIn(m.group(1)).map { e =>
+        unescapeJson(e.group(1)) ->
+          Option(e.group(2)).map(unescapeJson).orNull
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  // `"partitionColumns":[...]` of a metaData action
+  private val pcolsRe = """"partitionColumns":\[([^\]]*)\]""".r
+  private val jsonStrRe = """"((?:[^"\\]|\\.)*)"""".r
+
+  /** The metaData action's partitionColumns, in declared order. */
+  def partitionColumnsOf(metaDataLine: String): Seq[String] =
+    pcolsRe.findFirstMatchIn(metaDataLine).map { m =>
+      jsonStrRe.findAllMatchIn(m.group(1))
+        .map(e => unescapeJson(e.group(1))).toSeq
+    }.getOrElse(Seq.empty)
 
   /** Apply one JSON commit's actions to the replay state. Paths are
     * JSON-unescaped before entering the live set, so logs written by
@@ -453,6 +665,7 @@ object DeltaExport {
       else if (l.startsWith("""{"add"""")) {
         val p = pathOf(l, "add")
         st.live += p
+        st.pvals(p) = partitionValuesOf(l)
         statsRe.findFirstMatchIn(l) match {
           case Some(m) => st.stats(p) = unescapeJson(m.group(1))
           case None => st.stats -= p // a re-add without stats supersedes
@@ -479,14 +692,25 @@ object DeltaExport {
     * commits). */
   def readDeltaTable(spark: SparkSession, dir: String,
       versionAsOf: Option[Long] = None): DataFrame = {
-    val (meta, files) = snapshotAt(spark, dir, versionAsOf)
-    require(files.nonEmpty,
+    val st = snapshotState(spark, dir, versionAsOf)
+    require(st.live.nonEmpty,
       s"no live files at version ${versionAsOf.getOrElse("latest")}")
-    scanFiles(spark, dir, meta, files, versionAsOf)
+    scanFiles(spark, dir, st.meta, st.live.toSeq, versionAsOf,
+      st.pvals.toMap)
   }
 
+  /** Scan exactly `files` with the logged schema. For a PARTITIONED
+    * table the data files do not contain the partition columns — the
+    * protocol obliges the reader to re-attach them from each add's
+    * partitionValues: files group by their partition tuple (bounded
+    * driver metadata — one group per live partition, the same planning
+    * state every Delta reader holds), each group scans with the
+    * data-only schema plus literal partition columns cast to their
+    * logged types, and the groups union back in logged column order. */
   private def scanFiles(spark: SparkSession, dir: String, meta: String,
-      files: Seq[String], versionAsOf: Option[Long]): DataFrame = {
+      files: Seq[String], versionAsOf: Option[Long],
+      pvals: Map[String, Map[String, String]] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -496,10 +720,60 @@ object DeltaExport {
       s"snapshot at version ${versionAsOf.getOrElse("latest")} is no longer " +
         s"reconstructible — add-listed file(s) vacuumed or missing: " +
         gone.mkString(", "))
+    val pcols = partitionColumnsOf(meta)
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
+    else if (pcols.isEmpty)
+      spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
+    else {
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(f => pcols.contains(f.name)))
+      val groups = files.groupBy { f =>
+        val pv = pvals.getOrElse(f, hivePartitionValues(f))
+        pcols.map(c => pv.getOrElse(c, null))
+      }
+      groups.toSeq
+        .sortBy(_._1.mkString("/"))
+        .map { case (vals, fs) =>
+          val base = spark.read.schema(dataSchema)
+            .parquet(fs.sorted.map(f => s"$dir/$f"): _*)
+          pcols.zip(vals).foldLeft(base) { case (d, (c, v)) =>
+            d.withColumn(c, lit(v).cast(schema(c).dataType))
+          }
+        }
+        .reduce(_.unionByName(_))
+        .select(schema.fieldNames.map(col): _*)
+    }
+  }
+
+  /** PARTITION-pruned read — the log-only prune every partitioned Delta
+    * table exists for: live files whose partitionValues satisfy the
+    * equality `filters` are selected from the replayed add actions
+    * BEFORE any file is opened; no directory listing, no footer reads
+    * for pruned partitions. Filter keys must be logged partition
+    * columns (a data-column filter here would silently prune nothing —
+    * refused loudly; use [[readDeltaTablePruned]]'s stats bands for
+    * data columns). A null filter value matches null partitions.
+    * Returns (result, candidateFiles, liveFiles). */
+  def readDeltaTablePartitionPruned(spark: SparkSession, dir: String,
+      filters: Map[String, String],
+      versionAsOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    require(filters.nonEmpty, "no partition filters — use readDeltaTable")
+    val st = snapshotState(spark, dir, versionAsOf)
+    val pcols = partitionColumnsOf(st.meta)
+    val bad = filters.keys.filterNot(pcols.contains)
+    require(bad.isEmpty,
+      s"filter column(s) ${bad.mkString(", ")} are not partition columns " +
+        s"(${pcols.mkString(", ")}) — a partition prune on a data column " +
+        "would scan nothing it should")
+    val files = st.live.toSeq
+    val keep = files.filter { f =>
+      val pv = st.pvals.getOrElse(f, hivePartitionValues(f))
+      filters.forall { case (k, v) => pv.contains(k) && pv(k) == v }
+    }
+    (scanFiles(spark, dir, st.meta, keep, versionAsOf, st.pvals.toMap),
+      keep.size, files.size)
   }
 
   /** Incremental (streaming-source) consumption of a Delta table: the
@@ -543,8 +817,12 @@ object DeltaExport {
               "incremental read cannot represent it; use tableChanges for CDC")
       }
     }
-    val (meta, _) = snapshotAt(spark, dir, Some(until))
-    scanFiles(spark, dir, meta, newFiles.result(), Some(until))
+    val st = snapshotState(spark, dir, Some(until))
+    // st.pvals retains entries for files a dataChange=false rewrite
+    // removed, so partitioned appends in range still scan with their
+    // partition columns attached
+    scanFiles(spark, dir, st.meta, newFiles.result(), Some(until),
+      st.pvals.toMap)
   }
 
   /** Stats-pruned band read — the planning move that makes Delta fast
@@ -590,7 +868,8 @@ object DeltaExport {
     // bounded collect: one file NAME per candidate — log-scale metadata
     val candidates = parsed.filter(keep).select(col("path"))
       .collect().map(_.getString(0)).toSeq.sorted
-    val out = scanFiles(spark, dir, st.meta, candidates, versionAsOf)
+    val out = scanFiles(spark, dir, st.meta, candidates, versionAsOf,
+        st.pvals.toMap)
       .filter(col(bandCol).between(lit(lo), lit(hi)))
     (out, candidates.size, files.size)
   }
@@ -700,11 +979,13 @@ object DeltaExport {
     val rows: Seq[CpRow] =
       CpRow(Some(CpProtocol(1, 2)), None, None) +:
       CpRow(None,
-        Some(CpMetaData(id, schemaStringOf(meta), Seq.empty, createdTime)),
+        Some(CpMetaData(id, schemaStringOf(meta),
+          partitionColumnsOf(meta), createdTime)),
         None) +:
       files.sorted.map { f =>
         val p = Paths.get(dir, f)
-        CpRow(None, None, Some(CpAdd(f, Map.empty, Files.size(p),
+        CpRow(None, None, Some(CpAdd(f,
+          snap.pvals.getOrElse(f, Map.empty), Files.size(p),
           Files.getLastModifiedTime(p).toMillis, dataChange = false,
           stats = snap.stats.get(f))))
       }
@@ -792,12 +1073,21 @@ object DeltaExport {
         def str(f: String) = m.getAs[String](f)
         val ctIdx = m.schema.fieldNames.indexOf("createdTime")
         val ct = if (ctIdx >= 0 && !m.isNullAt(ctIdx)) m.getLong(ctIdx) else 0L
+        val pcIdx = m.schema.fieldNames.indexOf("partitionColumns")
+        val pcols =
+          if (pcIdx >= 0 && !m.isNullAt(pcIdx))
+            m.getSeq[String](pcIdx).map(c => s""""${esc(c)}"""")
+              .mkString(",")
+          else ""
         st.meta = s"""{"metaData":{"id":"${esc(str("id"))}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
-            str("schemaString"))}","partitionColumns":[],"configuration":{},"createdTime":$ct}}"""
+            str("schemaString"))}","partitionColumns":[$pcols],"configuration":{},"createdTime":$ct}}"""
       }
       struct("add").foreach { a =>
         val p = a.getAs[String]("path")
         st.live += p
+        val pvIdx = a.schema.fieldNames.indexOf("partitionValues")
+        if (pvIdx >= 0 && !a.isNullAt(pvIdx))
+          st.pvals(p) = a.getMap[String, String](pvIdx).toMap
         val si = a.schema.fieldNames.indexOf("stats")
         if (si >= 0 && !a.isNullAt(si)) st.stats(p) = a.getString(si)
       }

@@ -1390,8 +1390,56 @@ object Relational {
         count(DISTINCT source) AS sources, TRUE AS pruned
       FROM documents, band WHERE doc_id BETWEEN lo AND hi"""))
 
+  /** PARTITIONED Delta table end to end, oracle-EXACT including the
+    * fact that partition pruning happened: write documents partitioned
+    * by `lang` (Hive layout, add actions carrying partitionValues,
+    * metaData naming partitionColumns), append a second wave through
+    * the partition-aware appender, then answer a one-language query
+    * planned from the LOG ALONE — `readDeltaTablePartitionPruned`
+    * selects live files by their logged partitionValues before any file
+    * opens, the O(log) planning move a partitioned lake table exists
+    * for. The data files do NOT contain the partition column; the
+    * reader re-attaches it from the log, so `langs`/`lang_back` prove
+    * the re-attachment and the aggregate proves the pruned partitions
+    * lost no rows. The oracle replays both waves directly over the raw
+    * parquet. */
+  val q148DeltaPartitioned = GraftQuery(
+    "q148_delta_partitioned", { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q148_delta").toString
+      try {
+        graft.core.DeltaExport.writeDeltaTablePartitioned(
+          s, docs, tmp, Seq("lang"))
+        graft.core.DeltaExport.appendDeltaTablePartitioned(
+          s, docs.filter(col("lang") === "en")
+            .withColumn("doc_id", col("doc_id") + 1000000L), tmp)
+        val (en, cand, total) = graft.core.DeltaExport
+          .readDeltaTablePartitionPruned(s, tmp, Map("lang" -> "en"))
+        en.agg(
+            count(lit(1)).as("rows"),
+            sum(col("n_chars")).as("total_chars"),
+            countDistinct(col("source")).as("sources"),
+            countDistinct(col("lang")).as("langs"),
+            max(col("lang")).as("lang_back"))
+          .withColumn("pruned", lit(cand < total))
+          .localCheckpoint(eager = true)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    },
+    Some("""WITH en AS (
+        SELECT lang, source, n_chars FROM documents WHERE lang = 'en'
+        UNION ALL
+        SELECT lang, source, n_chars FROM documents WHERE lang = 'en')
+      SELECT count(*) AS rows, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        count(DISTINCT source) AS sources, count(DISTINCT lang) AS langs,
+        max(lang) AS lang_back, TRUE AS pruned
+      FROM en"""))
+
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin, q141DeltaPrunedRead,
+    q148DeltaPartitioned,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q79bMergePartitioned,
     q80LatestPerKey, q102VersionChanges, q103IncrementalAgg,
     q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,

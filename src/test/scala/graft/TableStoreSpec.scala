@@ -1456,4 +1456,105 @@ class TableStoreSpec extends SparkTestBase {
         nullScore.count() + foreign.count())
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("Delta partitioned: Hive layout + partitionValues round-trip, appends land in their partitions, time travel holds") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha", "en"), (2L, "beta", "en"),
+      (3L, "gamma", "fr"), (4L, "delta", "fr"),
+      (5L, "epsilon", "de")).toDF("id", "text", "lang")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_part").toString
+    DeltaExport.writeDeltaTablePartitioned(spark, d, dir, Seq("lang"))
+    // files live in Hive directories; every add carries its partition
+    val (_, meta, _) = DeltaExport.readDeltaLog(dir)
+    assert(meta.head.contains(""""partitionColumns":["lang"]"""), meta.head)
+    val log = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000000.json")), "UTF-8")
+    assert(log.contains(""""partitionValues":{"lang":"en"}"""), log)
+    assert(log.contains("""lang=fr/"""), log)
+    // read-back re-attaches the partition column the files don't carry
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "text", "lang"))
+    assert(back.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      d.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
+    // append lands in its partitions as v1; v0 time travel is intact
+    val v1 = DeltaExport.appendDeltaTablePartitioned(spark,
+      Seq((6L, "zeta", "en"), (7L, "eta", "it")).toDF("id", "text", "lang"),
+      dir)
+    assert(v1 === 1L)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 7L)
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(0L)).count() === 5L)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "lang=it")))
+    // incremental read of the appended range carries partition columns
+    val incr = DeltaExport.readDeltaAppendsSince(spark, dir, 0L)
+    assert(incr.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((6L, "en"), (7L, "it")))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("Delta partitioned: log-only partition prune, flat-mutator guards, checkpointed partitioning survives expiry") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val d = (1L to 40L).map(i =>
+      (i, s"doc $i", if (i % 2 == 0) "en" else "fr")).toDF("id", "text", "lang")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_part2").toString
+    DeltaExport.writeDeltaTablePartitioned(spark,
+      d.repartition(2), dir, Seq("lang"))
+    // partition prune plans from the log: candidates < live, rows exact
+    val (pruned, cand, live) = DeltaExport.readDeltaTablePartitionPruned(
+      spark, dir, Map("lang" -> "en"))
+    assert(cand < live, s"pruned nothing: $cand of $live")
+    assert(pruned.count() === 20L)
+    assert(pruned.select("lang").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("en"))
+    // a data-column filter is refused, not silently unpruned
+    val badCol = intercept[IllegalArgumentException] {
+      DeltaExport.readDeltaTablePartitionPruned(spark, dir, Map("id" -> "1"))
+    }
+    assert(badCol.getMessage.contains("not partition columns"))
+    // flat mutators refuse the partitioned table loudly
+    for ((name, op) <- Seq[(String, () => Any)](
+        ("append", () => DeltaExport.appendDeltaTable(spark, d, dir)),
+        ("overwrite", () => DeltaExport.overwriteDeltaTable(spark, d, dir)),
+        ("optimize", () => DeltaExport.optimizeDeltaTable(spark, dir)))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.toLowerCase.contains("partitioned"), s"$name: $e")
+    }
+    // ... and the partitioned append refuses a flat table
+    val flatDir = java.nio.file.Files
+      .createTempDirectory("graft_delta_flat").toString
+    DeltaExport.writeDeltaTable(spark, d, flatDir)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaExport.appendDeltaTablePartitioned(spark, d, flatDir))
+    assert(e2.getMessage.contains("not partitioned"))
+    // checkpoint the partitioned table, expire the JSON chain: the
+    // snapshot must rebuild partitionColumns AND per-file
+    // partitionValues from the checkpoint parquet alone
+    DeltaExport.appendDeltaTablePartitioned(spark,
+      Seq((41L, "tail", "de")).toDF("id", "text", "lang"), dir)
+    assert(DeltaExport.checkpointDeltaTable(spark, dir) === 1L)
+    DeltaExport.expireLogBefore(dir)
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.count() === 41L)
+    assert(back.filter(col("lang") === "de").count() === 1L)
+    val (p2, c2, l2) = DeltaExport.readDeltaTablePartitionPruned(
+      spark, dir, Map("lang" -> "de"))
+    assert(c2 < l2 && p2.count() === 1L)
+    // a planted orphan in a partition subdir is vacuum-reclaimed
+    val orphan = java.nio.file.Paths.get(dir, "lang=en", "orphan.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    assert(DeltaExport.vacuumDeltaTable(spark, dir) ===
+      Seq("lang=en/orphan.parquet"))
+    assert(!java.nio.file.Files.exists(orphan))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(flatDir))
+  }
 }
