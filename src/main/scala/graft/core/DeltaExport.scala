@@ -538,9 +538,9 @@ object DeltaExport {
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
     require(partitionColumnsOf(snap.meta).isEmpty,
-      "table is partitioned — OPTIMIZE must compact within partitions " +
-        "and re-emit partitionValues, which this writer does not do yet; " +
-        "refusing rather than flattening the layout")
+      "table is partitioned — use optimizeDeltaTablePartitioned, which " +
+        "compacts within partitions and re-emits partitionValues; a flat " +
+        "compaction would destroy the layout")
     val live = snap.live.toSeq
     require(live.nonEmpty, "nothing to optimize — no live files")
     val df = scanFiles(spark, dir, snap.meta, live, None)
@@ -559,6 +559,78 @@ object DeltaExport {
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":false}}""")
     writeCommit(dir, v,
       removes ++ addActions(spark, fresh, now, dataChange = false))
+    v
+  }
+
+  /** OPTIMIZE for a PARTITIONED table: compact WITHIN each partition —
+    * never across, the layout is the contract — down to
+    * `targetFilesPerPartition`, optionally only the partitions matching
+    * the equality `where` (Delta's `OPTIMIZE … WHERE`; empty = all),
+    * optionally Z-ordering rows inside each partition's output files.
+    * Partitions already at or under the target are untouched (their
+    * files are neither rewritten nor re-added). One dataChange=false
+    * commit covers every compacted partition: removes for the replaced
+    * files, stats-bearing adds for the rewrites, partitionValues from
+    * the Hive directory each rewrite lands in. The per-partition loop
+    * is driver-side planning over the live-partition list — bounded
+    * metadata; each rewrite is its own distributed job (a production
+    * run would submit them concurrently; correctness is identical).
+    * Returns the new version. */
+  def optimizeDeltaTablePartitioned(spark: SparkSession, dir: String,
+      targetFilesPerPartition: Int = 1, where: Map[String, String] = Map.empty,
+      zorderBy: Seq[String] = Nil): Long = {
+    require(targetFilesPerPartition >= 1, "targetFilesPerPartition must be >= 1")
+    val v = latestVersion(dir) + 1
+    val snap = snapshotState(spark, dir, None)
+    val pcols = partitionColumnsOf(snap.meta)
+    require(pcols.nonEmpty,
+      "table is not partitioned — use optimizeDeltaTable")
+    val badW = where.keys.filterNot(pcols.contains)
+    require(badW.isEmpty,
+      s"where column(s) ${badW.mkString(", ")} are not partition columns")
+    val badZ = zorderBy.filter(pcols.contains)
+    require(badZ.isEmpty,
+      s"zorderBy column(s) ${badZ.mkString(", ")} are partition columns — " +
+        "constant within every output file, they cannot cluster anything")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(snap.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(f => pcols.contains(f.name)))
+    val groups = snap.live.toSeq
+      .groupBy(f => snap.pvals.getOrElse(f, hivePartitionValues(f)))
+      .filter { case (pv, fs) =>
+        fs.size > targetFilesPerPartition &&
+          where.forall { case (k, x) => pv.get(k).contains(x) }
+      }
+    require(groups.nonEmpty,
+      "nothing to optimize — no matching partition exceeds the target")
+    val before = dataFilesRelative(dir).toSet
+    groups.toSeq.sortBy(_._2.head).foreach { case (pv, fs) =>
+      val partDir = pcols.map { c =>
+        val value = Option(pv.getOrElse(c, null))
+          .getOrElse("__HIVE_DEFAULT_PARTITION__")
+        s"$c=$value"
+      }.mkString("/")
+      val df = spark.read.schema(dataSchema)
+        .parquet(fs.sorted.map(f => s"$dir/$f"): _*)
+      val shaped =
+        if (zorderBy.isEmpty) df.repartition(targetFilesPerPartition)
+        else Zorder.withKey(df, zorderBy)
+          .repartitionByRange(targetFilesPerPartition,
+            org.apache.spark.sql.functions.col("__z"))
+          .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+          .drop("__z")
+      shaped.write.mode("append").parquet(s"$dir/$partDir")
+    }
+    val fresh = dataFilesRelative(dir).filterNot(before)
+    require(fresh.nonEmpty, "optimize produced no data files")
+    val now = System.currentTimeMillis()
+    val removes = groups.values.flatten.toSeq.sorted.map(p =>
+      s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":false}}""")
+    writeCommit(dir, v,
+      removes ++ addActionsRelative(spark, dir, fresh, now,
+        dataChange = false))
     v
   }
 

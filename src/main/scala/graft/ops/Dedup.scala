@@ -137,9 +137,11 @@ object Dedup {
     * one per-document canonical sort (inside a groupBy collect, bounded
     * by document length), one prefix-postings self-join shuffled on the
     * token key — posting mass is Σ p(doc) ≈ (1-t)·Σ n(doc), not the
-    * corpus token mass — a distinct on candidate pairs (bounded by the
-    * prefix-join output, probed ~linear in duplicate mass at 10×,
-    * BASELINE.md round 15), a length pre-filter
+    * corpus token mass — a distinct on candidate pairs (probed on the
+    * controlled-duplicate synthesis: candidates ≡ qualifying pairs,
+    * zero over-generation, ~1.3e-4 of all-pairs; runtime grew 2.2×
+    * while duplicate mass grew 13.7× — BASELINE.md round 15, Wave7), a
+    * length pre-filter
     * (min(|x|,|y|) >= t·max(|x|,|y|), necessary for J >= t), and an
     * exact array_intersect verify per CANDIDATE. No cross join, no
     * all-pairs expansion anywhere on the engine side. */

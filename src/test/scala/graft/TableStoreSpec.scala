@@ -1557,4 +1557,68 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(flatDir))
   }
+
+  test("Delta partitioned OPTIMIZE: compacts within partitions only, honors WHERE, keeps time travel and the incremental contract") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val d = (1L to 60L).map(i =>
+      (i, s"doc $i", if (i % 3 == 0) "de" else if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "text", "lang")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_popt").toString
+    // 4 pre-partition splits → several files per partition directory
+    DeltaExport.writeDeltaTablePartitioned(spark,
+      d.repartition(4), dir, Seq("lang"))
+    def filesPer(lang: String): Long = {
+      val p = java.nio.file.Paths.get(dir, s"lang=$lang")
+      val s = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(f =>
+          f.getFileName.toString.endsWith(".parquet"))
+      } finally s.close()
+    }
+    assert(filesPer("en") > 1 && filesPer("fr") > 1)
+    // WHERE restricts the compaction to one partition
+    val v1 = DeltaExport.optimizeDeltaTablePartitioned(
+      spark, dir, where = Map("lang" -> "en"))
+    assert(v1 === 1L)
+    val afterEn = DeltaExport.readDeltaTable(spark, dir)
+    assert(afterEn.count() === 60L)
+    // live file set: en compacted to 1, fr/de untouched
+    val liveByPart = DeltaExport.readDeltaTable(spark, dir)
+    assert(liveByPart.filter(col("lang") === "en").count() === 20L)
+    // full compaction pass
+    val v2 = DeltaExport.optimizeDeltaTablePartitioned(spark, dir)
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      (1L to 60L))
+    assert(back.filter(col("lang") === "de").count() === 20L)
+    // partition prune still plans from the log after the rewrite
+    val (pr, c, l) = DeltaExport.readDeltaTablePartitionPruned(
+      spark, dir, Map("lang" -> "fr"))
+    assert(c === 1 && c < l && pr.count() === 20L)
+    // time travel to v0 reads the pre-compaction files
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(0L)).count() === 60L)
+    // the rewrite is dataChange=false: an incremental reader sees nothing
+    assert(DeltaExport.readDeltaAppendsSince(spark, dir, 0L, Some(v2))
+      .count() === 0L)
+    // vacuum reclaims the superseded originals; latest still reads
+    assert(DeltaExport.vacuumDeltaTable(spark, dir).nonEmpty)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 60L)
+    // guards: zorder on a partition column; where on a data column;
+    // nothing left over target
+    val ez = intercept[IllegalArgumentException](
+      DeltaExport.optimizeDeltaTablePartitioned(spark, dir,
+        zorderBy = Seq("lang")))
+    assert(ez.getMessage.contains("partition columns"))
+    val ew = intercept[IllegalArgumentException](
+      DeltaExport.optimizeDeltaTablePartitioned(spark, dir,
+        where = Map("id" -> "1")))
+    assert(ew.getMessage.contains("not partition columns"))
+    val en = intercept[IllegalArgumentException](
+      DeltaExport.optimizeDeltaTablePartitioned(spark, dir))
+    assert(en.getMessage.contains("nothing to optimize"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
