@@ -918,36 +918,62 @@ object Similarity {
     * LAST recomputed centroids' predecessors (the assignment that formed
     * them): cid, n_members, inertia_k (Σ dist div 1000), cnorm2
     * (Σ cm² of the final centroids). */
-  def kmeansTelemetryMicros(
-      corpus: DataFrame, vecCol: String, idCol: String,
-      k: Int, iters: Int): DataFrame = {
-    require(k >= 1 && iters >= 1, s"k and iters must be >= 1: $k, $iters")
-    val x = corpus
+  /** Exploded integer-micros components of `corpus`: (vid, d, xm) with
+    * xm = round(component · 1e6) — the shared quantization of the
+    * oracle-exact k-means family (one identical IEEE multiply+round per
+    * value in any engine that replays it). */
+  private def microComponents(corpus: DataFrame, vecCol: String,
+      idCol: String): DataFrame =
+    corpus
       .select(col(idCol).as("vid"),
         posexplode(col(vecCol)).as(Seq("d", "xv")))
       .select(col("vid"), col("d"),
         round(col("xv").cast("double") * 1e6).cast("long").as("xm"))
-      .localCheckpoint(eager = false)
+
+  /** Micro-space seed centroid relation (cid, d, cm): the k lowest-id
+    * vectors, cid = seed rank — the deterministic no-RNG init shared by
+    * [[kmeansCentroids]] and the q147 oracle. The k-row window after
+    * limit(k) is model-sized, never a corpus sort. */
+  def kmeansSeedCentroidsMicros(corpus: DataFrame, vecCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
     val initW = Window.orderBy(col("vid"))
     val seeds = corpus.select(col(idCol).as("vid")).orderBy(col("vid"))
       .limit(k)
       .select(col("vid"), (row_number().over(initW) - 1).cast("int").as("cid"))
-    var cents = x.join(seeds, "vid")
+    microComponents(corpus, vecCol, idCol).join(seeds, "vid")
       .select(col("cid"), col("d"), col("xm").as("cm"))
+  }
+
+  /** Nearest-centroid assignment in exact integer space: (vid, cid,
+    * dist) with dist = Σ_d (xm − cm)² and the (dist, cid)-ascending
+    * argmin tie-break — one join of the exploded corpus against the
+    * k×dims centroid relation (AQE broadcasts it), a (vid, cid)
+    * partial-agg, and a per-vid argmin window. */
+  private def assignMicros(x: DataFrame, cents: DataFrame): DataFrame = {
+    val dist = x.join(cents, Seq("d"))
+      .groupBy(col("vid"), col("cid"))
+      .agg(sum((col("xm") - col("cm")) * (col("xm") - col("cm")))
+        .as("dist"))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("dist"), col("cid"))
+    dist
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("cid"), col("dist"))
+  }
+
+  def kmeansTelemetryMicros(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k and iters must be >= 1: $k, $iters")
+    val x = microComponents(corpus, vecCol, idCol)
+      .localCheckpoint(eager = false)
+    var cents = kmeansSeedCentroidsMicros(corpus, vecCol, idCol, k)
       .localCheckpoint(eager = false)
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      val dist = x.join(cents, Seq("d"))
-        .groupBy(col("vid"), col("cid"))
-        .agg(sum((col("xm") - col("cm")) * (col("xm") - col("cm")))
-          .as("dist"))
-      val w = Window.partitionBy(col("vid"))
-        .orderBy(col("dist"), col("cid"))
-      assigned = dist
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vid"), col("cid"), col("dist"))
-        .localCheckpoint(eager = false)
+      assigned = assignMicros(x, cents).localCheckpoint(eager = false)
       cents = x.join(assigned.select(col("vid"), col("cid")), Seq("vid"))
         .groupBy(col("cid"), col("d"))
         .agg(round(sum(col("xm")).cast("double") / count(lit(1)))
@@ -963,6 +989,45 @@ object Similarity {
       .join(norms, Seq("cid"))
       .select(col("cid"), col("n_members"), col("inertia_k"), col("cnorm2"))
   }
+
+  /** ONE Lloyd assignment pass against a FROZEN centroid relation,
+    * reduced to the mergeable sufficient statistics of the mean update:
+    * per (cid, d), the member count and the exact integer component
+    * sum. This is the map side of the decomposed k-means step — and the
+    * decomposition LAW that makes it incremental: assignment depends
+    * only on the frozen centroids, so each vector's contribution is
+    * independent and the sums decompose over any partition of the
+    * corpus. [[mergeKmeansStats]] over batches is EXACTLY equal (not
+    * approximately) to a scratch pass over their union — the q147b
+    * contract — which is what lets a standing corpus fold new arrivals
+    * in O(batch) (the mini-batch/web-scale k-means posture, Sculley
+    * WWW'10, made exact by freezing the centroids per round). */
+  def kmeansAssignStatsMicros(corpus: DataFrame, vecCol: String,
+      idCol: String, centroidRel: DataFrame): DataFrame = {
+    val x = microComponents(corpus, vecCol, idCol)
+      .localCheckpoint(eager = false)
+    x.join(assignMicros(x, centroidRel).select(col("vid"), col("cid")),
+        Seq("vid"))
+      .groupBy(col("cid"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("xm")).as("sxm"))
+  }
+
+  /** Fold two assign-stats relations: exact integer addition per
+    * (cid, d). Associative and commutative — batch order never
+    * matters. */
+  def mergeKmeansStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("cid"), col("d"))
+      .agg(sum(col("n")).as("n"), sum(col("sxm")).as("sxm"))
+
+  /** The reduce side of the decomposed Lloyd step: stats → next
+    * centroid relation, cm = round(Σxm / n) — the identical mean update
+    * [[kmeansTelemetryMicros]] applies monolithically, so one
+    * map+merge+reduce round over batches equals one in-memory
+    * iteration. */
+  def kmeansCentroidsFromStats(stats: DataFrame): DataFrame =
+    stats.select(col("cid"), col("d"),
+      round(col("sxm").cast("double") / col("n")).cast("long").as("cm"))
 
   /** Centroids from a PERSISTED index table, trained at most once per
     * corpus: the build/serve split for the blocking family (the k-means

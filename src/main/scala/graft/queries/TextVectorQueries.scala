@@ -4245,6 +4245,43 @@ object TextVectorQueries {
       FROM a2 JOIN norms USING (cid)
       GROUP BY a2.cid ORDER BY a2.cid"""))
 
+  /** Incremental ≡ scratch contract for the decomposed k-means step
+    * (oracle-checked, q51f pattern): one frozen-centroid assign-stats
+    * pass over the FULL corpus must equal the exact-integer fold of two
+    * disjoint half-corpus passes, cell for cell — the decomposition law
+    * that makes [[graft.ops.Similarity.kmeansAssignStatsMicros]] a
+    * streaming/mini-batch step (assignment depends only on the frozen
+    * centroids, so contributions are independent and sums decompose).
+    * A surviving row names the (cid, d) cell where folding diverged
+    * from scratch. */
+  val q147bKmeansIncrContract = GraftQuery(
+    "q147b_kmeans_incr_contract", { (s, dir) =>
+      val e = embeds(s, dir).localCheckpoint(eager = false)
+      val cents = Similarity.kmeansSeedCentroidsMicros(
+          e, "embedding", "vec_id", k = 8)
+        .localCheckpoint(eager = false)
+      def stats(part: org.apache.spark.sql.DataFrame) =
+        Similarity.kmeansAssignStatsMicros(part, "embedding", "vec_id", cents)
+      val full = stats(e)
+        .select(col("cid"), col("d"),
+          col("n").as("n_full"), col("sxm").as("sxm_full"))
+      val folded = Similarity.mergeKmeansStats(
+          stats(e.filter(col("vec_id") % 2 === 0)),
+          stats(e.filter(col("vec_id") % 2 =!= 0)))
+        .select(col("cid"), col("d"),
+          col("n").as("n_fold"), col("sxm").as("sxm_fold"))
+      full.join(folded, Seq("cid", "d"), "full_outer")
+        .filter(!(col("n_full") <=> col("n_fold")) ||
+          !(col("sxm_full") <=> col("sxm_fold")))
+        .select(col("cid"), col("d"), col("n_full"), col("n_fold"),
+          col("sxm_full"), col("sxm_fold"))
+        .orderBy(col("cid"), col("d"))
+    },
+    Some("""SELECT CAST(NULL AS INT) AS cid, CAST(NULL AS INT) AS d,
+      CAST(NULL AS BIGINT) AS n_full, CAST(NULL AS BIGINT) AS n_fold,
+      CAST(NULL AS BIGINT) AS sxm_full, CAST(NULL AS BIGINT) AS sxm_fold
+      WHERE 1 = 0"""))
+
   val all: Seq[GraftQuery] = Seq(
     q144FrameDedup, q145ImageNearDup, q145bImageNearDupRecall,
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
@@ -4284,5 +4321,6 @@ object TextVectorQueries {
     q51cDedupClustersWinnowed, q51dWinnowClusterContract,
     q51eDedupClustersLsh, q51fLshStarPairContract,
     q136EmbeddingCoherence, q137AudioFeatures, q139FrameSample,
-    q139bAviFrameAccounting, q147KmeansTelemetry, q146JaccardJoinPrefix)
+    q139bAviFrameAccounting, q147KmeansTelemetry, q147bKmeansIncrContract,
+    q146JaccardJoinPrefix)
 }

@@ -251,6 +251,47 @@ object CurationStream {
     batches
   }
 
+  /** Streaming k-means sufficient-statistics sink: each micro-batch of
+    * embeddings is assigned against the FROZEN `centroidRel` (micro
+    * space, (cid, d, cm)) and folded into the standing (cid, d, n, sxm)
+    * stats table — exact integer addition, so the standing table after
+    * any number of batches EQUALS a scratch pass over every row seen
+    * (the [[graft.ops.Similarity.kmeansAssignStatsMicros]] decomposition
+    * law; q147b gates it). Per batch the corpus is never rescanned —
+    * O(batch) assignment plus an O(k·dims) merge — and
+    * [[graft.ops.Similarity.kmeansCentroidsFromStats]] over the standing
+    * table yields the next Lloyd centroids whenever the operator
+    * chooses to advance the round: streaming mini-batch k-means with
+    * exact batch-order-independent state. Returns processed batches. */
+  def runKmeansStatsSink(
+      spark: SparkSession, dir: String, table: String,
+      centroidRel: DataFrame, checkpoint: Option[String] = None,
+      schema: StructType = null): Long = {
+    val stream = readEmbStream(spark, dir, schema)
+    var batches = 0L
+    val writer0 = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val stats = graft.ops.Similarity.kmeansAssignStatsMicros(
+          batch, "embedding", "vec_id", centroidRel)
+        val merged =
+          if (spark.catalog.tableExists(table))
+            graft.ops.Similarity.mergeKmeansStats(spark.table(table), stats)
+          else stats
+        graft.core.TableStore.overwriteTable(spark, table,
+          merged.localCheckpoint(eager = true))
+        batches += 1
+        ()
+      }
+    val q = checkpoint
+      .fold(writer0)(c => writer0.option("checkpointLocation", c))
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    if (spark.catalog.tableExists(table)) spark.catalog.refreshTable(table)
+    batches
+  }
+
   def runTokenCountSink(
       spark: SparkSession, dir: String, table: String,
       checkpoint: Option[String] = None,

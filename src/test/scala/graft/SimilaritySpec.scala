@@ -583,4 +583,46 @@ class SimilaritySpec extends SparkTestBase {
       }
     assert(got === expect)
   }
+
+  test("decomposed k-means step: map+merge+reduce over halves equals one monolithic Lloyd update") {
+    // the q147b law end to end: assign-stats over disjoint halves fold
+    // to the full-corpus stats EXACTLY, and the reduced centroids equal
+    // an independent driver-side mean update over the same assignment
+    val k = 4
+    val cents0 = Similarity.kmeansSeedCentroidsMicros(
+      embeds, "embedding", "vec_id", k).cache()
+    val full = Similarity.kmeansAssignStatsMicros(
+      embeds, "embedding", "vec_id", cents0)
+    val folded = Similarity.mergeKmeansStats(
+      Similarity.kmeansAssignStatsMicros(
+        embeds.filter(col("vec_id") % 2 === 0), "embedding", "vec_id", cents0),
+      Similarity.kmeansAssignStatsMicros(
+        embeds.filter(col("vec_id") % 2 =!= 0), "embedding", "vec_id", cents0))
+    assert(full.exceptAll(folded).count() === 0L)
+    assert(folded.exceptAll(full).count() === 0L)
+    // reduced centroids == independent driver computation: nearest seed
+    // (exact integer distance, (dist, cid) tie-break), then round(Σ/n)
+    // half away from zero
+    val got = Similarity.kmeansCentroidsFromStats(full)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val vecs = embeds.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)
+        .map(x => math.round(x.toDouble * 1e6)).toArray))
+      .sortBy(_._1)
+    val seedVecs = vecs.take(k).map(_._2)
+    val byCid = vecs.groupBy { case (_, v) =>
+      seedVecs.zipWithIndex.map { case (cv, c) =>
+        (c, v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.minBy { case (c, dist) => (dist, c) }._1
+    }
+    val expect = byCid.flatMap { case (cid, members) =>
+      members.head._2.indices.map { d =>
+        val m = members.map(_._2(d)).sum.toDouble / members.size
+        ((cid, d),
+          (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong)
+      }
+    }
+    assert(got === expect)
+    cents0.unpersist()
+  }
 }

@@ -1440,6 +1440,42 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("k-means stats sink: streamed fold equals the scratch pass; checkpointed resume consumes nothing new") {
+    import graft.streaming.CurationStream
+    import graft.ops.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val tbl = "default.kmeans_stats_spec"
+    val dir = CurationStream.stageEmbeddings(e, parts = 3)
+    val cents = Similarity.kmeansSeedCentroidsMicros(
+      e, "embedding", "vec_id", k = 4).localCheckpoint(eager = true)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_kmck").toString
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      assert(CurationStream.runKmeansStatsSink(spark, dir, tbl, cents,
+        checkpoint = Some(ckpt)) === 3L)
+      // the standing table after three micro-batches EQUALS one scratch
+      // assign-stats pass over every row — the q147b decomposition law
+      // through the real engine
+      val scratch = Similarity.kmeansAssignStatsMicros(
+        e, "embedding", "vec_id", cents)
+      val landed = spark.table(tbl)
+      assert(landed.exceptAll(scratch).count() === 0L)
+      assert(scratch.exceptAll(landed).count() === 0L)
+      // centroid advance from the standing table is well-formed:
+      // k×dims rows, the next frozen relation for the next round
+      val next = Similarity.kmeansCentroidsFromStats(landed)
+      assert(next.count() ===
+        cents.select(col("cid")).distinct().count() *
+          e.select(org.apache.spark.sql.functions.size(col("embedding")))
+            .head().getInt(0))
+      // checkpointed resume with nothing new: zero batches, stats stable
+      assert(CurationStream.runKmeansStatsSink(spark, dir, tbl, cents,
+        checkpoint = Some(ckpt)) === 0L)
+      assert(spark.table(tbl).exceptAll(scratch).count() === 0L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("quantile-sketch sink: stream fold bit-equals the batch sketch; an UNcheckpointed replay is a NO-OP (merge is idempotent)") {
     import graft.streaming.CurationStream
     import graft.ops.Quantiles
