@@ -483,6 +483,94 @@ object DeltaExport {
     v
   }
 
+  /** COPY-ON-WRITE MERGE into a Delta table — the lakehouse upsert:
+    * WHEN MATCHED on `keyCols` the batch row replaces the target row
+    * (every matched target row, Delta's update-all-columns form; a
+    * matched row whose batch `deleteCol` flag is true is deleted
+    * instead), WHEN NOT MATCHED the batch row inserts (unless
+    * delete-flagged — deleting what does not exist is a no-op, per
+    * MERGE). Only the files that actually CONTAIN a matched key are
+    * rewritten: a distributed semi-join tags each live file, the
+    * touched list collects as bounded file-name metadata, untouched
+    * files keep their add actions untouched (no rewrite, no re-stats —
+    * the property that makes MERGE affordable on a 100 TB table where
+    * a batch touches a few files), and one dataChange=true commit
+    * carries removes for the touched files plus stats-bearing adds for
+    * their rewrites and the inserts. Old files stay on disk for time
+    * travel until vacuum, exactly like overwrite.
+    *
+    * Batch keys must be UNIQUE (Delta itself aborts when a target row
+    * matches multiple source rows — nondeterministic update order);
+    * refused loudly here. `batch` carries the table's full schema
+    * (plus the optional boolean `deleteCol`). Partitioned tables are
+    * refused for now — their rewrite must land per-partition
+    * (the optimizeDeltaTablePartitioned write shape); refusal beats a
+    * flattened layout. Returns the new version. */
+  def mergeDeltaTable(spark: SparkSession, batch: DataFrame, dir: String,
+      keyCols: Seq[String], deleteCol: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "keyCols is empty")
+    val v = latestVersion(dir) + 1
+    val snap = snapshotState(spark, dir, None)
+    require(partitionColumnsOf(snap.meta).isEmpty,
+      "table is partitioned — MERGE must rewrite within partitions, " +
+        "which this writer does not do yet; refusing rather than " +
+        "flattening the layout")
+    val tableSchema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(snap.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val dataBatch = deleteCol.fold(batch)(c => batch.drop(c))
+    require(schemaFits(dataBatch.schema, tableSchema),
+      s"batch schema ${dataBatch.schema.catalogString} does not match " +
+        s"the table's logged schema ${tableSchema.catalogString}")
+    val dupKeys = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1)
+      .collect()
+    require(dupKeys.isEmpty,
+      s"batch carries duplicate merge key(s), first: ${dupKeys.head} — " +
+        "a target row matching multiple source rows has no deterministic " +
+        "update (Delta aborts the same way)")
+    val live = snap.live.toSeq
+    require(live.nonEmpty, "no live files to merge into")
+    val cols = tableSchema.fieldNames.toSeq
+    val target = spark.read.schema(tableSchema)
+      .parquet(live.map(f => s"$dir/$f"): _*)
+      .withColumn("__file", input_file_name())
+    // bounded collect: the DISTINCT file names containing a matched key
+    val touchedUris = target
+      .join(batch.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = live.filter(f => touchedUris.exists(_.endsWith("/" + f)))
+    val del = deleteCol.map(c => col(c) === true).getOrElse(lit(false))
+    val bKeyed = batch.select(
+      keyCols.map(col) :+ struct(cols.map(col): _*).as("__b")
+        :+ del.as("__del"): _*)
+    val tKeyed = target
+      .filter(col("__file").isin(touchedUris.toSeq: _*))
+      .select(keyCols.map(col) :+ struct(cols.map(col): _*).as("__t"): _*)
+    // row fate in one predicate: a delete-flagged batch row drops its
+    // match (and inserts nothing on a non-match); everything else keeps
+    // the batch row when present (update/insert), else the target row
+    // (unmatched row of a touched file, rewritten unchanged)
+    val merged = tKeyed.join(bKeyed, keyCols, "full_outer")
+      .filter(!coalesce(col("__del"), lit(false)))
+      .select(coalesce(col("__b"), col("__t")).as("__r"))
+      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+    val before = dataFiles(dir).map(_.getFileName.toString).toSet
+    val freshNeeded = merged.limit(1).collect().nonEmpty
+    if (freshNeeded) merged.write.mode("append").parquet(dir)
+    val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
+    require(!freshNeeded || fresh.nonEmpty, "merge produced no data files")
+    val now = System.currentTimeMillis()
+    val removes = touched.sorted.map(p =>
+      s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
+    require(removes.nonEmpty || fresh.nonEmpty,
+      "merge is a no-op — no matched files and no inserts")
+    writeCommit(dir, v, removes ++ addActions(spark, fresh, now))
+    v
+  }
+
   // key-order-tolerant field extractors: other writers may serialize the
   // same action with keys in any order, so never anchor one key to the next
   private val pathRe = """"path":"((?:[^"\\]|\\.)+)"""".r

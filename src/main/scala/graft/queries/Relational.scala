@@ -1437,9 +1437,76 @@ object Relational {
         max(lang) AS lang_back, TRUE AS pruned
       FROM en"""))
 
+  /** COPY-ON-WRITE MERGE through the Delta interchange layer,
+    * oracle-EXACT including the fact that the rewrite was file-pruned:
+    * the customer keyspace lands as a 4-file range-clustered Delta
+    * table, and one MERGE batch carries updates (+100 bal) and deletes
+    * (every 20th key) confined to the LOWEST quarter of the key range
+    * plus out-of-range inserts — so only the low file contains matches
+    * and `cow` (touched < live files) must come back true through the
+    * hash gate, while the post-merge aggregate proves update/insert/
+    * delete semantics row-exactly (the q79 merge family's third member:
+    * pure plan → bucketed managed table → transactional file format).
+    * DuckDB replays the merge relationally over the raw table. */
+  val q149DeltaMerge = GraftQuery(
+    "q149_delta_merge", { (s, dir) =>
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q149_delta").toString
+      try {
+        graft.core.DeltaExport.writeDeltaTable(
+          s, base.repartitionByRange(4, col("k")), tmp)
+        val r = base.agg(min(col("k")), max(col("k"))).collect().head
+        val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 4
+        val updates = base.filter(col("k") <= cut && col("k") % 10 === 0)
+          .select(col("k"), (col("bal") + 100.0).as("bal"),
+            lit(false).as("__delete"))
+        val deletes = base.filter(col("k") <= cut && col("k") % 20 === 5)
+          .select(col("k"), col("bal"), lit(true).as("__delete"))
+        val inserts = base.filter(col("k") % 10 === 1)
+          .select((col("k") + 10000000L).as("k"), col("bal"),
+            lit(false).as("__delete"))
+        graft.core.DeltaExport.mergeDeltaTable(
+          s, updates.union(deletes).union(inserts), tmp,
+          Seq("k"), deleteCol = Some("__delete"))
+        val commit = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(tmp, "_delta_log",
+            "00000000000000000001.json")), "UTF-8")
+        val touched =
+          """"remove":\{""".r.findAllMatchIn(commit).length
+        graft.core.DeltaExport.readDeltaTable(s, tmp)
+          .agg(count(lit(1)).as("rows_after_merge"),
+            round(sum(col("bal")), 2).as("total_balance"),
+            count(when(col("k") >= 10000000L, 1)).as("inserted"))
+          .withColumn("cow", lit(touched < 4))
+          .localCheckpoint(eager = true)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    },
+    Some("""WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+      band AS (SELECT min(k) + (max(k) - min(k)) // 4 AS cut FROM base),
+      batch AS (
+        SELECT k, bal + 100.0 AS bal, FALSE AS del
+        FROM base, band WHERE k <= cut AND k % 10 = 0
+        UNION ALL
+        SELECT k, bal, TRUE FROM base, band WHERE k <= cut AND k % 20 = 5
+        UNION ALL
+        SELECT k + 10000000, bal, FALSE FROM base WHERE k % 10 = 1),
+      merged AS (
+        SELECT coalesce(b.k, t.k) AS k,
+          coalesce(b.bal, t.bal) AS bal,
+          coalesce(b.del, FALSE) AS del
+        FROM base t FULL OUTER JOIN batch b ON t.k = b.k)
+      SELECT count(*) AS rows_after_merge,
+        round(sum(bal), 2) AS total_balance,
+        count(CASE WHEN k >= 10000000 THEN 1 END) AS inserted,
+        TRUE AS cow
+      FROM merged WHERE NOT del"""))
+
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin, q141DeltaPrunedRead,
-    q148DeltaPartitioned,
+    q148DeltaPartitioned, q149DeltaMerge,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q79bMergePartitioned,
     q80LatestPerKey, q102VersionChanges, q103IncrementalAgg,
     q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,

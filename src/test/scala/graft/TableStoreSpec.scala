@@ -1621,4 +1621,65 @@ class TableStoreSpec extends SparkTestBase {
     assert(en.getMessage.contains("nothing to optimize"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("Delta MERGE: copy-on-write updates/inserts/deletes rewrite only the touched files; time travel and guards hold") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_merge").toString
+    // 4 range-clustered files over ids 1..40: a batch touching only
+    // low ids must leave the upper files' adds untouched
+    val target = (1L to 40L).map(i => (i, i * 10.0)).toDF("k", "bal")
+    DeltaExport.writeDeltaTable(spark,
+      target.repartitionByRange(4, col("k")), dir)
+    val v0Files = DeltaExport.readDeltaLog(dir)._3.map(_._1).toSet
+    assert(v0Files.size === 4)
+    val batch = Seq(
+      (3L, 999.0, false),  // update in the low file
+      (5L, 0.0, true),     // delete in the low file
+      (41L, 55.5, false),  // insert (matches nothing)
+      (99L, 1.0, true)     // delete of a non-match: a no-op
+    ).toDF("k", "bal", "__delete")
+    val v1 = DeltaExport.mergeDeltaTable(spark, batch, dir,
+      Seq("k"), deleteCol = Some("__delete"))
+    assert(v1 === 1L)
+    val after = DeltaExport.readDeltaTable(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after.size === 40L) // 40 - 1 delete + 1 insert
+    assert(after.find(_._1 == 3L).map(_._2) === Some(999.0))
+    assert(!after.exists(_._1 == 5L))
+    assert(after.find(_._1 == 41L).map(_._2) === Some(55.5))
+    assert(after.find(_._1 == 40L).map(_._2) === Some(400.0))
+    // copy-on-write: only the touched file was removed — the other
+    // three v0 adds are still live at v1
+    val commit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000001.json")), "UTF-8")
+    val removed = """"remove":\{"path":"([^"]+)"""".r
+      .findAllMatchIn(commit).map(_.group(1)).toSeq
+    assert(removed.size === 1, s"expected 1 touched file, got $removed")
+    // v0 time travel reads the pre-merge table
+    val v0 = DeltaExport.readDeltaTable(spark, dir, Some(0L))
+    assert(v0.count() === 40L &&
+      v0.filter(col("k") === 3L).head().getDouble(1) === 30.0)
+    // guards: duplicate batch keys; schema drift
+    val eDup = intercept[IllegalArgumentException](
+      DeltaExport.mergeDeltaTable(spark,
+        Seq((1L, 1.0), (1L, 2.0)).toDF("k", "bal"), dir, Seq("k")))
+    assert(eDup.getMessage.contains("duplicate merge key"))
+    val eSchema = intercept[IllegalArgumentException](
+      DeltaExport.mergeDeltaTable(spark,
+        Seq((1L, "x")).toDF("k", "bal"), dir, Seq("k")))
+    assert(eSchema.getMessage.contains("schema"))
+    // an insert-only batch (no matches) removes nothing
+    val v2 = DeltaExport.mergeDeltaTable(spark,
+      Seq((50L, 5.0)).toDF("k", "bal"), dir, Seq("k"))
+    val commit2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000002.json")), "UTF-8")
+    assert(!commit2.contains(""""remove""""), commit2)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 41L)
+    assert(v2 === 2L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
