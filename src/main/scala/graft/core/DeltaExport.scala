@@ -278,7 +278,8 @@ object DeltaExport {
     val logDir = Paths.get(dir).resolve("_delta_log")
     Files.createDirectories(logDir)
     Files.write(logDir.resolve(commitFile(0L)),
-      ((protocol +: metaData +: adds).mkString("\n") + "\n")
+      ((commitInfoLine(now, "WRITE") +: protocol +: metaData +: adds)
+        .mkString("\n") + "\n")
         .getBytes(StandardCharsets.UTF_8))
     adds.size
   }
@@ -314,7 +315,8 @@ object DeltaExport {
     val logDir = Paths.get(dir).resolve("_delta_log")
     Files.createDirectories(logDir)
     Files.write(logDir.resolve(commitFile(0L)),
-      ((protocol +: metaData +: adds).mkString("\n") + "\n")
+      ((commitInfoLine(now, "WRITE") +: protocol +: metaData +: adds)
+        .mkString("\n") + "\n")
         .getBytes(StandardCharsets.UTF_8))
     adds.size
   }
@@ -344,7 +346,8 @@ object DeltaExport {
     val fresh = dataFilesRelative(dir).filterNot(before)
     require(fresh.nonEmpty, "append produced no data files")
     writeCommit(dir, v,
-      addActionsRelative(spark, dir, fresh, System.currentTimeMillis()))
+      addActionsRelative(spark, dir, fresh, System.currentTimeMillis()),
+      "APPEND")
     v
   }
 
@@ -364,9 +367,61 @@ object DeltaExport {
     } finally files.close()
   }
 
-  private def writeCommit(dir: String, v: Long, actions: Seq[String]): Unit =
+  /** The commitInfo action every commit leads with — the protocol's
+    * free-form provenance record, and what anchors TIMESTAMP time
+    * travel ([[versionAtTimestamp]]): a reader resolves `timestampAsOf`
+    * against these, falling back to commit-file mtimes for foreign logs
+    * that omit them (Delta's own fallback). */
+  private def commitInfoLine(now: Long, op: String): String =
+    s"""{"commitInfo":{"timestamp":$now,"operation":"${esc(op)}"}}"""
+
+  private def writeCommit(dir: String, v: Long, actions: Seq[String],
+      op: String): Unit =
     Files.write(Paths.get(dir, "_delta_log", commitFile(v)),
-      (actions.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      ((commitInfoLine(System.currentTimeMillis(), op) +: actions)
+        .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+
+  private val ciTsRe = """"commitInfo":\{[^}]*"timestamp":(\d+)""".r
+
+  /** Commit timestamp of a surviving JSON commit: its commitInfo
+    * timestamp when present, else the commit file's modification time. */
+  private def commitTimestamp(dir: String, v: Long): Long = {
+    val p = Paths.get(dir, "_delta_log", commitFile(v))
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    ciTsRe.findFirstMatchIn(txt).map(_.group(1).toLong)
+      .getOrElse(Files.getLastModifiedTime(p).toMillis)
+  }
+
+  /** Resolve `timestampAsOf` to a version — Delta's rule: the LATEST
+    * commit whose (monotonically adjusted) timestamp is <= `ts`.
+    * Timestamps are adjusted exactly as Delta adjusts them — each
+    * commit's effective time is max(its recorded time, predecessor + 1
+    * ms) — so clock skew between writers can reorder nothing. A
+    * timestamp before the first SURVIVING commit is refused loudly
+    * (after log expiry the early history is no longer
+    * timestamp-resolvable, same as Delta's earliest-available error). */
+  def versionAtTimestamp(dir: String, ts: Long): Long = {
+    val versions = logVersions(dir)
+    require(versions.nonEmpty, s"no JSON commits under $dir")
+    var prev = Long.MinValue
+    val adjusted = versions.map { v =>
+      val t = math.max(commitTimestamp(dir, v),
+        if (prev == Long.MinValue) Long.MinValue else prev + 1)
+      prev = t
+      (v, t)
+    }
+    val eligible = adjusted.filter(_._2 <= ts)
+    require(eligible.nonEmpty,
+      s"timestamp $ts precedes the first surviving commit " +
+        s"(v${adjusted.head._1} at ${adjusted.head._2}) — earlier " +
+        "history is not reconstructible")
+    eligible.last._1
+  }
+
+  /** TIMESTAMP time travel: the snapshot as of wall-clock `ts`. */
+  def readDeltaTableAsOfTimestamp(spark: SparkSession, dir: String,
+      ts: Long): DataFrame =
+    readDeltaTable(spark, dir, Some(versionAtTimestamp(dir, ts)))
 
   /** Parsed `_delta_log/_last_checkpoint` pointer. `parts` is None for
     * the classic single-file form, Some(n) for a multi-part checkpoint
@@ -438,7 +493,7 @@ object DeltaExport {
     val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
     require(fresh.nonEmpty, "append produced no data files")
     val now = System.currentTimeMillis()
-    writeCommit(dir, v, addActions(spark, fresh, now))
+    writeCommit(dir, v, addActions(spark, fresh, now), "APPEND")
     v
   }
 
@@ -479,7 +534,8 @@ object DeltaExport {
       }
     val removes = live.toSeq.sorted.map(p =>
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
-    writeCommit(dir, v, metaActions ++ removes ++ addActions(spark, fresh, now))
+    writeCommit(dir, v,
+      metaActions ++ removes ++ addActions(spark, fresh, now), "OVERWRITE")
     v
   }
 
@@ -567,7 +623,7 @@ object DeltaExport {
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
     require(removes.nonEmpty || fresh.nonEmpty,
       "merge is a no-op — no matched files and no inserts")
-    writeCommit(dir, v, removes ++ addActions(spark, fresh, now))
+    writeCommit(dir, v, removes ++ addActions(spark, fresh, now), "MERGE")
     v
   }
 
@@ -646,7 +702,8 @@ object DeltaExport {
     val removes = live.sorted.map(p =>
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":false}}""")
     writeCommit(dir, v,
-      removes ++ addActions(spark, fresh, now, dataChange = false))
+      removes ++ addActions(spark, fresh, now, dataChange = false),
+      "OPTIMIZE")
     v
   }
 
@@ -718,7 +775,7 @@ object DeltaExport {
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":false}}""")
     writeCommit(dir, v,
       removes ++ addActionsRelative(spark, dir, fresh, now,
-        dataChange = false))
+        dataChange = false), "OPTIMIZE")
     v
   }
 

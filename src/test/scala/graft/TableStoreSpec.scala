@@ -1682,4 +1682,53 @@ class TableStoreSpec extends SparkTestBase {
     assert(v2 === 2L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("Delta TIMESTAMP time travel: commitInfo anchors versionAtTimestamp; skew adjusts monotonically; pre-history refused") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_ts").toString
+    DeltaExport.writeDeltaTable(spark,
+      Seq((1L, "a")).toDF("id", "s"), dir)
+    Thread.sleep(5)
+    DeltaExport.appendDeltaTable(spark, Seq((2L, "b")).toDF("id", "s"), dir)
+    Thread.sleep(5)
+    DeltaExport.appendDeltaTable(spark, Seq((3L, "c")).toDF("id", "s"), dir)
+    // every commit leads with a commitInfo carrying its operation
+    for ((v, op) <- Seq(0 -> "WRITE", 1 -> "APPEND", 2 -> "APPEND")) {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json")), "UTF-8")
+      assert(txt.linesIterator.next().startsWith("""{"commitInfo""""), txt)
+      assert(txt.contains(s""""operation":"$op""""), txt)
+    }
+    def ciTs(v: Int): Long = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json")), "UTF-8")
+      """"timestamp":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    }
+    // as-of each commit's own instant → that version; between commits
+    // → the earlier one; far future → latest
+    assert(DeltaExport.versionAtTimestamp(dir, ciTs(0)) === 0L)
+    assert(DeltaExport.versionAtTimestamp(dir, ciTs(1)) === 1L)
+    assert(DeltaExport.versionAtTimestamp(dir, ciTs(2) - 1) === 1L)
+    assert(DeltaExport.versionAtTimestamp(dir, Long.MaxValue) === 2L)
+    assert(DeltaExport.readDeltaTableAsOfTimestamp(spark, dir, ciTs(1))
+      .count() === 2L)
+    // before the first commit: refused loudly
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.versionAtTimestamp(dir, ciTs(0) - 1))
+    assert(e.getMessage.contains("precedes the first surviving commit"))
+    // clock skew: write v3 whose recorded timestamp REWINDS behind v2 —
+    // the adjusted time must order after v2 (Delta's max(prev+1) rule),
+    // so an as-of at v2's instant still resolves to v2, not v3
+    DeltaExport.appendDeltaTable(spark, Seq((4L, "d")).toDF("id", "s"), dir)
+    val p3 = java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000003.json")
+    val rewound = new String(java.nio.file.Files.readAllBytes(p3), "UTF-8")
+      .replaceFirst(""""timestamp":\d+""", s""""timestamp":${ciTs(0)}""")
+    java.nio.file.Files.write(p3, rewound.getBytes("UTF-8"))
+    assert(DeltaExport.versionAtTimestamp(dir, ciTs(2)) === 2L)
+    assert(DeltaExport.versionAtTimestamp(dir, Long.MaxValue) === 3L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
