@@ -558,20 +558,21 @@ object DeltaExport {
     * Batch keys must be UNIQUE (Delta itself aborts when a target row
     * matches multiple source rows — nondeterministic update order);
     * refused loudly here. `batch` carries the table's full schema
-    * (plus the optional boolean `deleteCol`). Partitioned tables are
-    * refused for now — their rewrite must land per-partition
-    * (the optimizeDeltaTablePartitioned write shape); refusal beats a
-    * flattened layout. Returns the new version. */
+    * (plus the optional boolean `deleteCol`). PARTITIONED tables merge
+    * natively: the touched files scan with their partition columns
+    * re-attached from the log, the rewrite lands back in its Hive
+    * directories (inserts route by their own partition values), and the
+    * fresh adds carry partitionValues — a batch whose update CHANGES a
+    * partition column simply lands the row in its new partition (the
+    * old copy's file is touched and rewritten without it). Returns the
+    * new version. */
   def mergeDeltaTable(spark: SparkSession, batch: DataFrame, dir: String,
       keyCols: Seq[String], deleteCol: Option[String] = None): Long = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "keyCols is empty")
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
-    require(partitionColumnsOf(snap.meta).isEmpty,
-      "table is partitioned — MERGE must rewrite within partitions, " +
-        "which this writer does not do yet; refusing rather than " +
-        "flattening the layout")
+    val pcols = partitionColumnsOf(snap.meta)
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -589,9 +590,35 @@ object DeltaExport {
     val live = snap.live.toSeq
     require(live.nonEmpty, "no live files to merge into")
     val cols = tableSchema.fieldNames.toSeq
-    val target = spark.read.schema(tableSchema)
-      .parquet(live.map(f => s"$dir/$f"): _*)
-      .withColumn("__file", input_file_name())
+    // partitioned target: the files lack the partition columns, so each
+    // live-partition group scans with the data schema plus literal
+    // partition values (the scanFiles rule) — with the file name kept
+    // for touched-file detection
+    val target =
+      if (pcols.isEmpty)
+        spark.read.schema(tableSchema)
+          .parquet(live.map(f => s"$dir/$f"): _*)
+          .withColumn("__file", input_file_name())
+      else {
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          tableSchema.fields.filterNot(f => pcols.contains(f.name)))
+        live
+          .groupBy { f =>
+            val pv = snap.pvals.getOrElse(f, hivePartitionValues(f))
+            pcols.map(c => pv.getOrElse(c, null))
+          }
+          .toSeq.sortBy(_._1.mkString("/"))
+          .map { case (vals, fs) =>
+            pcols.zip(vals).foldLeft(
+              spark.read.schema(dataSchema)
+                .parquet(fs.sorted.map(f => s"$dir/$f"): _*)
+                .withColumn("__file", input_file_name())) {
+              case (d, (c, value)) =>
+                d.withColumn(c, lit(value).cast(tableSchema(c).dataType))
+            }
+          }
+          .reduce(_.unionByName(_))
+      }
     // bounded collect: the DISTINCT file names containing a matched key
     val touchedUris = target
       .join(batch.select(keyCols.map(col): _*), keyCols, "left_semi")
@@ -613,17 +640,24 @@ object DeltaExport {
       .filter(!coalesce(col("__del"), lit(false)))
       .select(coalesce(col("__b"), col("__t")).as("__r"))
       .select(cols.map(c => col(s"__r.$c").as(c)): _*)
-    val before = dataFiles(dir).map(_.getFileName.toString).toSet
+    val before = dataFilesRelative(dir).toSet
     val freshNeeded = merged.limit(1).collect().nonEmpty
-    if (freshNeeded) merged.write.mode("append").parquet(dir)
-    val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
+    if (freshNeeded) {
+      // partitioned rewrites land back in their Hive directories —
+      // updates stay in place, inserts route by their own partition
+      // values (the appendDeltaTablePartitioned write shape)
+      if (pcols.isEmpty) merged.write.mode("append").parquet(dir)
+      else merged.write.partitionBy(pcols: _*).mode("append").parquet(dir)
+    }
+    val fresh = dataFilesRelative(dir).filterNot(before)
     require(!freshNeeded || fresh.nonEmpty, "merge produced no data files")
     val now = System.currentTimeMillis()
     val removes = touched.sorted.map(p =>
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
     require(removes.nonEmpty || fresh.nonEmpty,
       "merge is a no-op — no matched files and no inserts")
-    writeCommit(dir, v, removes ++ addActions(spark, fresh, now), "MERGE")
+    writeCommit(dir, v,
+      removes ++ addActionsRelative(spark, dir, fresh, now), "MERGE")
     v
   }
 

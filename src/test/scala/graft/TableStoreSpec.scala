@@ -1683,6 +1683,50 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("Delta MERGE on a partitioned table: rewrites stay per-partition; a partition-moving update relocates the row") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_pmerge").toString
+    val target = Seq(
+      (1L, "alpha", "en"), (2L, "beta", "en"),
+      (3L, "gamma", "fr"), (4L, "delta", "fr"),
+      (5L, "eps", "de")).toDF("id", "text", "lang")
+    DeltaExport.writeDeltaTablePartitioned(spark, target, dir, Seq("lang"))
+    val batch = Seq(
+      (1L, "ALPHA", "en", false),  // in-place update in lang=en
+      (3L, "gamma", "de", false),  // update MOVES the row fr → de
+      (6L, "zeta", "it", false),   // insert into a new partition
+      (4L, "x", "fr", true)        // delete in lang=fr
+    ).toDF("id", "text", "lang", "__delete")
+    DeltaExport.mergeDeltaTable(spark, batch, dir, Seq("id"),
+      deleteCol = Some("__delete"))
+    val after = DeltaExport.readDeltaTable(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    assert(after === Seq(
+      (1L, "ALPHA", "en"), (2L, "beta", "en"), (3L, "gamma", "de"),
+      (5L, "eps", "de"), (6L, "zeta", "it")))
+    // the rewrite landed in Hive directories and the adds carry
+    // partitionValues; the untouched de file was not removed
+    val commit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000001.json")), "UTF-8")
+    assert(commit.contains("""lang=it/"""), commit)
+    assert(!commit.contains("""{"remove":{"path":"lang=de/"""), commit)
+    // partition pruning still plans from the log: the moved row reads
+    // from lang=de, and lang=fr holds nothing (3 moved, 4 deleted)
+    val (de, cDe, lv) = DeltaExport.readDeltaTablePartitionPruned(
+      spark, dir, Map("lang" -> "de"))
+    assert(de.count() === 2L && cDe < lv)
+    val (fr, _, _) = DeltaExport.readDeltaTablePartitionPruned(
+      spark, dir, Map("lang" -> "fr"))
+    assert(fr.count() === 0L)
+    // v0 time travel is intact
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(0L)).count() === 5L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Delta TIMESTAMP time travel: commitInfo anchors versionAtTimestamp; skew adjusts monotonically; pre-history refused") {
     import graft.core.DeltaExport
     import spark.implicits._
