@@ -539,6 +539,57 @@ object DeltaExport {
     v
   }
 
+  /** ALTER TABLE ADD COLUMNS — schema evolution as a METADATA-ONLY
+    * commit, the deliberate act [[appendDeltaTable]]'s schema gate
+    * points at: the new schema must keep every existing column (same
+    * name, same type, nullability may only widen) and may APPEND
+    * nullable columns at the end. Appended columns must be nullable
+    * because the standing data files do not carry them — the reader's
+    * pinned-schema scan fills NULL for them in pre-evolution files,
+    * which is exactly Delta's ADD COLUMNS read semantics. No data file
+    * is touched; time travel BEFORE this commit replays the old
+    * metaData and keeps the old schema. Works on partitioned tables
+    * (partitionColumns carry through unchanged). Returns the new
+    * version. */
+  def evolveDeltaTableSchema(spark: SparkSession, dir: String,
+      newSchema: org.apache.spark.sql.types.StructType): Long = {
+    val v = latestVersion(dir) + 1
+    val snap = snapshotState(spark, dir, None)
+    val old = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(snap.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(newSchema.length > old.length,
+      s"new schema adds no columns (${newSchema.length} <= ${old.length}) " +
+        "— evolution here is ADD COLUMNS only; renames/drops/retypes " +
+        "rewrite data and belong to overwrite")
+    val prefix = newSchema.fields.take(old.length)
+    val drift = prefix.zip(old.fields).collect {
+      case (n, o) if n.name != o.name || n.dataType != o.dataType ||
+          (o.nullable && !n.nullable) => s"${o.name} -> ${n.name}"
+    }
+    require(drift.isEmpty,
+      s"existing column(s) changed (${drift.mkString(", ")}) — ADD " +
+        "COLUMNS may not rename, retype, or tighten nullability")
+    val appended = newSchema.fields.drop(old.length)
+    val notNullable = appended.filterNot(_.nullable).map(_.name)
+    require(notNullable.isEmpty,
+      s"added column(s) ${notNullable.mkString(", ")} are non-nullable — " +
+        "existing files do not carry them, so reads would violate the " +
+        "contract; add them nullable")
+    val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
+    val id = idRe.findFirstMatchIn(snap.meta)
+      .map(m => unescapeJson(m.group(1)))
+      .getOrElse(throw new IllegalStateException("metaData carries no id"))
+    val pcolsJson = partitionColumnsOf(snap.meta)
+      .map(c => s""""${esc(c)}"""").mkString(",")
+    val now = System.currentTimeMillis()
+    writeCommit(dir, v, Seq(
+      s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
+          newSchema.json)}","partitionColumns":[$pcolsJson],"configuration":{},"createdTime":$now}}"""),
+      "ADD COLUMNS")
+    v
+  }
+
   /** COPY-ON-WRITE MERGE into a Delta table — the lakehouse upsert:
     * WHEN MATCHED on `keyCols` the batch row replaces the target row
     * (every matched target row, Delta's update-all-columns form; a

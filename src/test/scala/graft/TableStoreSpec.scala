@@ -1727,6 +1727,56 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("Delta ADD COLUMNS: metadata-only evolution; old files read NULL in the new column; pre-evolution time travel keeps the old schema") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_evolve").toString
+    DeltaExport.writeDeltaTable(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    val wide = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("score", DoubleType)))
+    val filesBefore = DeltaExport.readDeltaLog(dir)._3.map(_._1)
+    assert(DeltaExport.evolveDeltaTableSchema(spark, dir, wide) === 1L)
+    // no data file was touched; the commit is metaData-only
+    val commit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000001.json")), "UTF-8")
+    assert(!commit.contains(""""add"""") && !commit.contains(""""remove""""))
+    // pre-evolution rows read NULL in the new column
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "s", "score"))
+    assert(back.filter(col("score").isNull).count() === 2L)
+    // the widened append now passes the schema gate; mixed reads align
+    DeltaExport.appendDeltaTable(spark,
+      Seq((3L, "c", 0.5)).toDF("id", "s", "score"), dir)
+    val rows = DeltaExport.readDeltaTable(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(2))).toSeq
+    assert(rows === Seq((1L, true), (2L, true), (3L, false)))
+    // time travel BEFORE the evolution keeps the narrow schema
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(0L))
+      .schema.fieldNames.toSeq === Seq("id", "s"))
+    // old files are untouched on disk (same add list at v0)
+    assert(DeltaExport.readDeltaLog(dir)._3.map(_._1) === filesBefore)
+    // guards: retype, tighten, non-nullable add, no-op
+    def evolve(f: Seq[StructField]) = intercept[IllegalArgumentException](
+      DeltaExport.evolveDeltaTableSchema(spark, dir, StructType(f)))
+    assert(evolve(Seq(
+      StructField("id", StringType), StructField("s", StringType),
+      StructField("score", DoubleType), StructField("x", StringType)))
+      .getMessage.contains("existing column"))
+    assert(evolve(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("score", DoubleType),
+      StructField("x", StringType, nullable = false)))
+      .getMessage.contains("non-nullable"))
+    assert(evolve(wide.fields.toSeq).getMessage.contains("adds no columns"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Delta TIMESTAMP time travel: commitInfo anchors versionAtTimestamp; skew adjusts monotonically; pre-history refused") {
     import graft.core.DeltaExport
     import spark.implicits._
