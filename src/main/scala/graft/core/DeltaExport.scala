@@ -539,6 +539,85 @@ object DeltaExport {
     v
   }
 
+  /** Row-level CDC between two versions computed from ONLY the files
+    * that changed — the O(changes) classification a CDF-less Delta
+    * reader performs: because data files are immutable, a row can
+    * change between v₁ and v₂ only if its containing file was removed
+    * or added in between, so the pre-images live entirely in
+    * v₁-live-but-v₂-gone files and the post-images in v₂-live-but-
+    * v₁-absent files; the standing (untouched) table is NEVER read.
+    * A full-outer join on `keyCols` over those two slices classifies:
+    * pre-only → delete, post-only → insert, both with differing images
+    * → update_preimage/update_postimage — and both with IDENTICAL
+    * images (the copy-on-write carry-over: MERGE/OPTIMIZE rewrite
+    * unmatched rows of a touched file verbatim) drop as non-changes,
+    * which is exactly why a naive added-files read over-reports.
+    * Columns added between the versions read NULL on the pre side.
+    * Keys must identify rows uniquely per snapshot (the MERGE writer's
+    * own invariant); uniqueness is asserted within the scanned slices —
+    * a full-table check would defeat the O(changes) contract. Output:
+    * the table's columns (post-schema) + `_change_type`, the
+    * [[TableStore.tableChanges]] convention. */
+  def deltaChangesBetween(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "deltaChangesBetween needs key column(s)")
+    require(fromVersion < toVersion,
+      s"fromVersion $fromVersion must precede toVersion $toVersion")
+    val stFrom = snapshotState(spark, dir, Some(fromVersion))
+    val stTo = snapshotState(spark, dir, Some(toVersion))
+    val removed = (stFrom.live -- stTo.live).toSeq
+    val added = (stTo.live -- stFrom.live).toSeq
+    val toSchema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(stTo.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val fromSchema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(stFrom.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val extinct = fromSchema.fieldNames.filterNot(toSchema.fieldNames.contains)
+    require(extinct.isEmpty,
+      s"columns ${extinct.mkString(",")} of v$fromVersion are gone in " +
+        s"v$toVersion — a snapshot diff cannot represent a dropped column")
+    val pre0 = scanFiles(spark, dir, stFrom.meta, removed,
+      Some(fromVersion), stFrom.pvals.toMap)
+    val post = scanFiles(spark, dir, stTo.meta, added,
+      Some(toVersion), stTo.pvals.toMap)
+    val pre = toSchema.fields
+      .filterNot(f => fromSchema.fieldNames.contains(f.name))
+      .foldLeft(pre0)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+      .select(toSchema.fieldNames.map(col).toIndexedSeq: _*)
+    Seq(fromVersion -> pre, toVersion -> post).foreach { case (v, df) =>
+      val dup = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1)
+        .collect()
+      require(dup.isEmpty,
+        s"changed files of v$v hold duplicate key " +
+          s"${dup.head.mkString("(", ",", ")")} — keyCols " +
+          s"(${keyCols.mkString(",")}) must identify rows uniquely")
+    }
+    val cols = toSchema.fieldNames.toSeq
+    def image(df: DataFrame, side: String) = df.select(
+      keyCols.map(col) :+ struct(cols.map(col): _*).as(s"__$side"): _*)
+    val joined = image(pre, "pre").join(image(post, "post"),
+      keyCols, "full_outer")
+    val inserts = joined.filter(col("__pre").isNull)
+      .select(col("__post").as("__r"))
+      .withColumn("_change_type", lit("insert"))
+    val deletes = joined.filter(col("__post").isNull)
+      .select(col("__pre").as("__r"))
+      .withColumn("_change_type", lit("delete"))
+    val updated = joined
+      .filter(col("__pre").isNotNull && col("__post").isNotNull &&
+        !(col("__pre") <=> col("__post")))
+    val prims = updated.select(col("__pre").as("__r"))
+      .withColumn("_change_type", lit("update_preimage"))
+    val posts = updated.select(col("__post").as("__r"))
+      .withColumn("_change_type", lit("update_postimage"))
+    inserts.unionByName(deletes).unionByName(prims).unionByName(posts)
+      .select(cols.map(c => col(s"__r.$c").as(c)) :+ col("_change_type"): _*)
+  }
+
   /** ALTER TABLE ADD COLUMNS — schema evolution as a METADATA-ONLY
     * commit, the deliberate act [[appendDeltaTable]]'s schema gate
     * points at: the new schema must keep every existing column (same

@@ -1504,9 +1504,77 @@ object Relational {
         TRUE AS cow
       FROM merged WHERE NOT del"""))
 
+  /** Row-level CDC from the Delta LOG between two versions
+    * (oracle-EXACT): replay q149's merge, then classify every change
+    * v0 → v1 via [[graft.core.DeltaExport.deltaChangesBetween]] —
+    * which reads ONLY the files the merge removed or added (immutable
+    * files ⇒ a changed row's file changed), drops the copy-on-write
+    * carry-overs (rows the rewrite copied verbatim — a naive
+    * added-files read over-reports exactly those), and emits
+    * insert/delete/update pre+post images. The oracle recomputes the
+    * merge relationally and derives the same classification from the
+    * pre/post row states, so a mis-filed row, a phantom carry-over, or
+    * a wrong image hash-fails. Balance mass rides the q136
+    * integer-micros discipline. */
+  val q150DeltaCdc = GraftQuery(
+    "q150_delta_cdc", { (s, dir) =>
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q150_delta").toString
+      try {
+        graft.core.DeltaExport.writeDeltaTable(
+          s, base.repartitionByRange(4, col("k")), tmp)
+        val r = base.agg(min(col("k")), max(col("k"))).collect().head
+        val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 4
+        val updates = base.filter(col("k") <= cut && col("k") % 10 === 0)
+          .select(col("k"), (col("bal") + 100.0).as("bal"),
+            lit(false).as("__delete"))
+        val deletes = base.filter(col("k") <= cut && col("k") % 20 === 5)
+          .select(col("k"), col("bal"), lit(true).as("__delete"))
+        val inserts = base.filter(col("k") % 10 === 1)
+          .select((col("k") + 10000000L).as("k"), col("bal"),
+            lit(false).as("__delete"))
+        graft.core.DeltaExport.mergeDeltaTable(
+          s, updates.union(deletes).union(inserts), tmp,
+          Seq("k"), deleteCol = Some("__delete"))
+        graft.core.DeltaExport.deltaChangesBetween(s, tmp, 0L, 1L, Seq("k"))
+          .groupBy(col("_change_type"))
+          .agg(count(lit(1)).as("rows"),
+            sum(round(col("bal") * 1e6).cast("long")).as("bal_micro"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy(col("_change_type"))
+          .localCheckpoint(eager = true)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    },
+    Some("""WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+      band AS (SELECT min(k) + (max(k) - min(k)) // 4 AS cut FROM base),
+      chg AS (
+        SELECT k, bal + 100.0 AS bal, 'update' AS kind
+        FROM base, band WHERE k <= cut AND k % 10 = 0
+        UNION ALL
+        SELECT k, bal, 'delete' FROM base, band WHERE k <= cut AND k % 20 = 5
+        UNION ALL
+        SELECT k + 10000000, bal, 'insert' FROM base WHERE k % 10 = 1),
+      rows AS (
+        SELECT k, bal, 'insert' AS _change_type FROM chg WHERE kind = 'insert'
+        UNION ALL
+        SELECT k, bal, 'delete' FROM base
+        WHERE k IN (SELECT k FROM chg WHERE kind = 'delete')
+        UNION ALL
+        SELECT k, bal, 'update_preimage' FROM base
+        WHERE k IN (SELECT k FROM chg WHERE kind = 'update')
+        UNION ALL
+        SELECT k, bal, 'update_postimage' FROM chg WHERE kind = 'update')
+      SELECT _change_type, count(*) AS rows,
+        CAST(sum(CAST(round(bal * 1e6) AS BIGINT)) AS BIGINT) AS bal_micro,
+        min(k) AS min_k, max(k) AS max_k
+      FROM rows GROUP BY _change_type ORDER BY _change_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin, q141DeltaPrunedRead,
-    q148DeltaPartitioned, q149DeltaMerge,
+    q148DeltaPartitioned, q149DeltaMerge, q150DeltaCdc,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q79bMergePartitioned,
     q80LatestPerKey, q102VersionChanges, q103IncrementalAgg,
     q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,

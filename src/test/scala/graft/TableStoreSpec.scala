@@ -1777,6 +1777,52 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("Delta CDC: changes classify from changed files only; copy-on-write carry-overs drop; evolution reads NULL pre-images") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_cdc").toString
+    // one file per range: ids 1-3 | 4-6 (2 files via repartitionByRange)
+    DeltaExport.writeDeltaTable(spark,
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "s")
+        .repartitionByRange(2, col("id")), dir)
+    // merge touches ONLY the low file: update 1, delete 2; 3 is the
+    // carry-over (rewritten verbatim); insert 9
+    DeltaExport.mergeDeltaTable(spark,
+      Seq((1L, "V1", false), (2L, "x", true), (9L, "v9", false))
+        .toDF("id", "s", "__delete"), dir, Seq("id"),
+      deleteCol = Some("__delete"))
+    val ch = DeltaExport.deltaChangesBetween(spark, dir, 0L, 1L, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    // 3 (the carry-over, rewritten verbatim) and 4-6 (untouched file)
+    // produce NO change rows — the delete's pre-image carries the
+    // TABLE's row (v2), not the batch's placeholder
+    assert(ch === Set(
+      (1L, "v1", "update_preimage"), (1L, "V1", "update_postimage"),
+      (2L, "v2", "delete"),
+      (9L, "v9", "insert")))
+    // across an ADD COLUMNS boundary the pre image reads NULL in the
+    // new column
+    DeltaExport.evolveDeltaTableSchema(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType))))
+    DeltaExport.mergeDeltaTable(spark,
+      Seq((9L, "V9", 1.5)).toDF("id", "s", "w"), dir, Seq("id"))
+    val ch2 = DeltaExport.deltaChangesBetween(spark, dir, 1L, 3L, Seq("id"))
+      .filter(col("id") === 9L)
+      .collect().map(r => (r.getString(1), r.isNullAt(2), r.getString(3)))
+      .toSet
+    assert(ch2 === Set(("v9", true, "update_preimage"),
+      ("V9", false, "update_postimage")))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Delta TIMESTAMP time travel: commitInfo anchors versionAtTimestamp; skew adjusts monotonically; pre-history refused") {
     import graft.core.DeltaExport
     import spark.implicits._
