@@ -4282,6 +4282,67 @@ object TextVectorQueries {
       CAST(NULL AS BIGINT) AS sxm_full, CAST(NULL AS BIGINT) AS sxm_fold
       WHERE 1 = 0"""))
 
+  /** Per-node TRIANGLE census + local clustering coefficient over the
+    * REAL shared-shingle near-dup edge relation (oracle-EXACT,
+    * per-node): [[graft.ops.Graph.triangleCounts]] enumerates via
+    * degree orientation — every triangle found once at its unique
+    * two-outgoing-edges apex, pair work Σ outdeg² ≈ m·√m — while the
+    * DuckDB oracle recomputes the same census the naive way (ID-ordered
+    * triple self-join) over the SAME edges (the q51 oracle's CTE
+    * chain), so orientation bugs (a triangle double-counted or missed
+    * at the wrong apex) hash-fail on the exact per-node rows. The
+    * clustering coefficient quantizes to integer micros with one
+    * shared IEEE expression. The dedup/graph telemetry this feeds:
+    * tightly-clustered near-dup neighborhoods (high LCC) are template
+    * families; high-degree low-LCC nodes are hubs joining unrelated
+    * groups — the q51-family triage signal. */
+  val q151TriangleCensus = GraftQuery(
+    "q151_triangle_census", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val edges = DedupCluster.sharedShingleEdges(
+        corpus, "text", "doc_id", shingleK = 3, minShared = 10, maxDf = 1000)
+      graft.ops.Graph.triangleCounts(edges)
+        .orderBy(col("node"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '')
+        FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(toks)-2, 1)),
+          i -> array_to_string(list_slice(toks, i, i+2), ' ')))) AS s
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+              FROM corpus)),
+      keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+      shf AS (SELECT doc_id, s FROM sh JOIN keep USING (s)),
+      canon AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 10),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM canon e1
+        JOIN canon e2 ON e2.a = e1.b
+        JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+      pernode AS (SELECT node, count(*) AS triangles FROM (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        GROUP BY node),
+      deg AS (SELECT node, count(*) AS degree FROM (
+          SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
+        GROUP BY node)
+      SELECT d.node, coalesce(p.triangles, 0) AS triangles, d.degree,
+        CASE WHEN d.degree < 2 THEN 0
+             ELSE CAST(round(coalesce(p.triangles, 0) * 2.0 * 1e6
+               / (d.degree * (d.degree - 1))) AS BIGINT)
+        END AS lcc_micro
+      FROM deg d LEFT JOIN pernode p USING (node)
+      ORDER BY node"""))
+
   val all: Seq[GraftQuery] = Seq(
     q144FrameDedup, q145ImageNearDup, q145bImageNearDupRecall,
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
@@ -4322,5 +4383,5 @@ object TextVectorQueries {
     q51eDedupClustersLsh, q51fLshStarPairContract,
     q136EmbeddingCoherence, q137AudioFeatures, q139FrameSample,
     q139bAviFrameAccounting, q147KmeansTelemetry, q147bKmeansIncrContract,
-    q146JaccardJoinPrefix)
+    q146JaccardJoinPrefix, q151TriangleCensus)
 }

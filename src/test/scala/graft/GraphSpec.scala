@@ -131,4 +131,28 @@ class GraphSpec extends SparkTestBase {
     assert(labels.join(plain.withColumnRenamed("lab", "lab2"), Seq("node"))
       .filter(!(col("lab") <=> col("lab2"))).count() === 0L)
   }
+
+  test("triangle census: K4, bowtie, star and path hand graphs count exactly") {
+    def census(e: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+      Graph.triangleCounts(e.toDF("u", "v")).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // K4: every node in C(3,2)=3 triangles, degree 3, LCC = 1
+    val k4 = census(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    assert(k4.values.toSet === Set((3L, 3L, 1000000L)))
+    // bowtie (two triangles sharing node 3): apex sees 2 triangles,
+    // degree 4 → LCC = 2·2/(4·3) = 1/3; leaves see 1, degree 2 → LCC 1
+    val bow = census(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (3L, 5L), (4L, 5L)))
+    assert(bow(3L) === ((2L, 4L, 333333L)))
+    assert(Seq(1L, 2L, 4L, 5L).map(bow).toSet === Set((1L, 2L, 1000000L)))
+    // star and path: triangle-free, LCC 0 everywhere; duplicate and
+    // reversed edge listings do not double-count
+    val star = census(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (1L, 2L)))
+    assert(star.values.forall(v => v._1 == 0L && v._3 == 0L))
+    assert(star(1L)._2 === 3L)
+    val path = census(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(path.values.forall(_._1 == 0L))
+  }
 }
