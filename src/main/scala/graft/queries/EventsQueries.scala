@@ -454,9 +454,65 @@ object EventsQueries {
         round(sum(epoch(valid_to) - epoch(ts)) / 3600.0, 2) AS closed_hours
       FROM runs"""))
 
+  /** STRICT linear interpolation of gapped values between bracketing
+    * observations ([[graft.ops.TimeSeries.interpolateLinear]]) — the
+    * continuous-signal repair beside q74's step-function forward fill,
+    * oracle-EXACT: time runs in epoch micros (exact integer
+    * differences), the fraction is ONE shared IEEE divide on identical
+    * operands in both engines, equal-timestamp brackets take the
+    * earlier observation instead of a 0/0 NaN, and the interpolated
+    * mass sums as quantized micros (order-independent). Edge rows with
+    * no bracket stay NULL — interpolation never extrapolates, and the
+    * `unfillable` count pins that refusal through the gate. */
+  val q152InterpolateLinear = GraftQuery(
+    "q152_interpolate_linear", { (s, dir) =>
+      val gappy = Tables.load(s, dir, "events")
+        .withColumn("gappy",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      graft.ops.TimeSeries.interpolateLinear(
+          gappy, "user_id", "ts", "gappy", Seq("event_id"))
+        .agg(
+          count(lit(1)).as("events"),
+          count(when(col("gappy").isNull, 1)).as("gaps"),
+          count(when(col("gappy").isNull && col("gappy_interp").isNotNull,
+            1)).as("interpolated"),
+          count(when(col("gappy_interp").isNull, 1)).as("unfillable"),
+          sum(round(col("gappy_interp") * 1e6).cast("long"))
+            .as("sum_interp_micro"))
+    },
+    Some("""WITH g AS (SELECT user_id, ts, event_id,
+        CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS gappy,
+        epoch_us(ts) AS tm
+      FROM events),
+    w AS (SELECT gappy, tm,
+        last_value(CASE WHEN gappy IS NOT NULL
+            THEN struct_pack(t := tm, v := gappy) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        first_value(CASE WHEN gappy IS NOT NULL
+            THEN struct_pack(t := tm, v := gappy) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM g),
+    f AS (SELECT gappy,
+        CASE WHEN gappy IS NOT NULL THEN gappy
+             WHEN p IS NOT NULL AND n IS NOT NULL AND n.t = p.t THEN p.v
+             WHEN p IS NOT NULL AND n IS NOT NULL
+               THEN p.v + (n.v - p.v) * ((tm - p.t) / (n.t - p.t))
+        END AS interp
+      FROM w)
+    SELECT count(*) AS events,
+      count(CASE WHEN gappy IS NULL THEN 1 END) AS gaps,
+      count(CASE WHEN gappy IS NULL AND interp IS NOT NULL THEN 1 END)
+        AS interpolated,
+      count(CASE WHEN interp IS NULL THEN 1 END) AS unfillable,
+      CAST(sum(CAST(round(interp * 1e6) AS BIGINT)) AS BIGINT)
+        AS sum_interp_micro
+    FROM f"""))
+
   val all: Seq[GraftQuery] =
     Seq(q21JsonExtract, q22TumblingWindow, q23Sessionize, q24TopUsersPerType,
       q41AsofJoin, q43SaltedAgg, q47Funnel, q48Retention, q49Pivot,
       q50RangeFrame, q74ForwardFill, q75MadOutliers, q76Scd2Intervals,
-      q85SlidingWindow, q92SaltedJoin)
+      q85SlidingWindow, q92SaltedJoin, q152InterpolateLinear)
 }

@@ -390,4 +390,26 @@ class EdgeCaseSpec extends SparkTestBase {
       .collect().map(_.getSeq[String](0))
     assert(g4.forall(_.isEmpty))
   }
+
+  test("linear interpolation: hand-math fractions, no extrapolation, per-key isolation") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq(
+      // key 1: observations at t=0 (v=0) and t=100 (v=100); gaps at 25/75
+      (1L, ts(0), 1L, Some(0.0)), (1L, ts(25), 2L, None),
+      (1L, ts(75), 3L, None), (1L, ts(100), 4L, Some(100.0)),
+      // key 2: leading and trailing gaps never extrapolate
+      (2L, ts(0), 5L, None), (2L, ts(10), 6L, Some(5.0)), (2L, ts(20), 7L, None),
+      // key 3: a lone observation bleeds into no other key
+      (3L, ts(50), 8L, Some(42.0)))
+      .toDF("user_id", "ts", "event_id", "v")
+    val got = graft.ops.TimeSeries.interpolateLinear(
+        df, "user_id", "ts", "v", Seq("event_id"))
+      .orderBy(col("event_id"))
+      .collect()
+      .map(r => if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+      .toSeq
+    assert(got === Seq(Some(0.0), Some(25.0), Some(75.0), Some(100.0),
+      None, Some(5.0), None, Some(42.0)))
+  }
 }
