@@ -110,6 +110,99 @@ object Graph {
     (labels, changed.result())
   }
 
+  /** K-CORE decomposition by iterative peeling: repeatedly drop nodes
+    * whose degree in the SURVIVING subgraph is < k until a fixpoint —
+    * the maximal subgraph where every node keeps >= k neighbors, the
+    * dense-region extractor (template/spam families in a near-dup
+    * graph are high-k cores; the periphery peels away). Each round is
+    * one degree aggregation + one semi-join on the survivor set —
+    * hash-shuffles on node id, lineage truncated per round; rounds are
+    * bounded by `maxRounds` and the CONVERGED flag is computed
+    * in-plan (one more peel changes nothing), so an insufficient bound
+    * cannot pass silently — the q100 discipline. Returns the surviving
+    * (node, degree) relation and the rounds taken. */
+  def kCore(edges: DataFrame, k: Int,
+      maxRounds: Int = 30): (DataFrame, Int) = {
+    require(k >= 1, s"k must be >= 1: $k")
+    var cur = edges
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val deg = cur.select(col("a").as("node"))
+        .unionAll(cur.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k)
+        .select(col("node")).localCheckpoint(eager = false)
+      val next = cur
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(eager = false)
+      rounds += 1
+      // fixpoint when the peel removed no edge (bounded count, one
+      // long per round — the same convergence telemetry labelProp emits)
+      done = next.count() == cur.count()
+      cur = next
+    }
+    val finalDeg = cur.select(col("a").as("node"))
+      .unionAll(cur.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    (finalDeg, rounds)
+  }
+
+  /** Degree ASSORTATIVITY (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every directed edge instance — positive
+    * when high-degree nodes attach to high-degree nodes (template
+    * families linking among themselves), negative for hub-and-spoke.
+    * ALL-INTEGER exactness: degrees are integers, so every sum
+    * (Σx, Σy, Σxy, Σx², Σy², m) is an exact long and the final
+    * r = (mΣxy − ΣxΣy) / √(mΣx²−(Σx)²) / √(mΣy²−(Σy)²) is a handful
+    * of shared IEEE operations on identical operands in any engine —
+    * the q135 OLS discipline applied to graph telemetry. Returns one
+    * row (m, r rounded to 6). Degenerate graphs (zero degree variance)
+    * return NULL r, never a division crash. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // both directions: Newman's formulation sums over edge ENDS, which
+    // also makes r symmetric without a half-correction term
+    val pairs = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("dx")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("dy")), Seq("b"))
+      .select(col("dx"), col("dy"))
+    val both = pairs.unionAll(pairs.select(col("dy").as("dx"),
+      col("dx").as("dy")))
+    both.agg(
+        count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("m"),
+        // zero degree variance (regular graphs) → NULL, not an ANSI
+        // divide-by-zero: the correlation is undefined there
+        when(col("m") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("m") * col("syy") - col("sy") * col("sy") > 0,
+          round((col("m") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) /
+            sqrt((col("m") * col("syy") - col("sy") * col("sy"))
+              .cast("double")), 6)).as("assortativity"))
+  }
+
   /** Per-node TRIANGLE counts over an undirected edge list (columns
     * u, v) by DEGREE ORIENTATION — the standard trick that makes
     * triangle enumeration tractable at scale (Chiba–Nishizeki;

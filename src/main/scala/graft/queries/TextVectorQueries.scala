@@ -4343,6 +4343,108 @@ object TextVectorQueries {
       FROM deg d LEFT JOIN pernode p USING (node)
       ORDER BY node"""))
 
+  // the q51-family edge relation replayed in SQL — shared by the
+  // graph-telemetry oracles (q151 carries its own copy inline)
+  private val shingleEdgesSql = """corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '')
+        FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(toks)-2, 1)),
+          i -> array_to_string(list_slice(toks, i, i+2), ' ')))) AS s
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+              FROM corpus)),
+      keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+      shf AS (SELECT doc_id, s FROM sh JOIN keep USING (s)),
+      e0 AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 10)"""
+
+  /** K-CORE of the near-dup graph ([[graft.ops.Graph.kCore]], k = 2,
+    * oracle-exact): the dense-region extractor — nodes that keep >= 2
+    * surviving neighbors after iterative peeling; isolated pairs and
+    * pendant docs peel away, template families remain. The Spark side
+    * peels to a COUNT-VERIFIED fixpoint; the oracle unrolls six peel
+    * rounds (≫ the fixture's convergence depth — a deeper fixture
+    * hash-fails loudly rather than silently truncating, the q100
+    * discipline in oracle form). */
+  val q153KCore = GraftQuery(
+    "q153_kcore", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val edges = DedupCluster.sharedShingleEdges(
+        corpus, "text", "doc_id", shingleK = 3, minShared = 10, maxDf = 1000)
+      val (core, _) = graft.ops.Graph.kCore(edges, k = 2)
+      core.agg(
+        count(lit(1)).as("core_nodes"),
+        (sum(col("degree")) / 2).cast("long").as("core_edges"),
+        min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree"))
+    },
+    Some {
+      // every peel stage MATERIALIZED: DuckDB inlines plain CTEs, and a
+      // 6-round chain whose every stage references its predecessor
+      // three times would otherwise expand the base scan ~3^6-fold
+      // (measured: file-handle exhaustion before any row came back)
+      val peels = (1 to 6).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+             SELECT a AS node FROM e${i - 1}
+             UNION ALL SELECT b FROM e${i - 1}) GROUP BY node),
+           k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 2),
+           e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+             WHERE a IN (SELECT node FROM k$i)
+               AND b IN (SELECT node FROM k$i))"""
+      }.mkString(",\n      ")
+      s"""WITH ${shingleEdgesSql.replaceFirst("e0 AS \\(", "e0 AS MATERIALIZED (")},
+      $peels,
+      fd AS (SELECT node, count(*) AS degree FROM (
+          SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
+        GROUP BY node)
+      SELECT count(*) AS core_nodes,
+        CAST(sum(degree) / 2 AS BIGINT) AS core_edges,
+        min(degree) AS min_degree, max(degree) AS max_degree
+      FROM fd"""
+    })
+
+  /** Degree ASSORTATIVITY of the near-dup graph (Newman 2002,
+    * oracle-exact via all-integer sums —
+    * [[graft.ops.Graph.degreeAssortativity]]): strongly positive here
+    * by construction (template families link among themselves), and
+    * the drift signal a curation pipeline watches — a slide toward 0
+    * or negative means hub documents (boilerplate) have started
+    * stitching unrelated groups. */
+  val q154Assortativity = GraftQuery(
+    "q154_degree_assortativity", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val edges = DedupCluster.sharedShingleEdges(
+        corpus, "text", "doc_id", shingleK = 3, minShared = 10, maxDf = 1000)
+      graft.ops.Graph.degreeAssortativity(edges)
+    },
+    Some(s"""WITH $shingleEdgesSql,
+      deg AS (SELECT node, count(*) AS deg FROM (
+          SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY node),
+      pr AS (SELECT da.deg AS dx, db.deg AS dy
+        FROM e0 JOIN deg da ON da.node = e0.a
+        JOIN deg db ON db.node = e0.b),
+      bothdir AS (SELECT dx, dy FROM pr UNION ALL SELECT dy, dx FROM pr),
+      sums AS (SELECT count(*) AS m,
+          CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+          CAST(sum(dx * dy) AS BIGINT) AS sxy,
+          CAST(sum(dx * dx) AS BIGINT) AS sxx,
+          CAST(sum(dy * dy) AS BIGINT) AS syy
+        FROM bothdir)
+      SELECT m,
+        CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+          THEN round(CAST(m * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+            / sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 6)
+        END AS assortativity
+      FROM sums"""))
+
   val all: Seq[GraftQuery] = Seq(
     q144FrameDedup, q145ImageNearDup, q145bImageNearDupRecall,
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
@@ -4383,5 +4485,5 @@ object TextVectorQueries {
     q51eDedupClustersLsh, q51fLshStarPairContract,
     q136EmbeddingCoherence, q137AudioFeatures, q139FrameSample,
     q139bAviFrameAccounting, q147KmeansTelemetry, q147bKmeansIncrContract,
-    q146JaccardJoinPrefix, q151TriangleCensus)
+    q146JaccardJoinPrefix, q151TriangleCensus, q153KCore, q154Assortativity)
 }

@@ -155,4 +155,33 @@ class GraphSpec extends SparkTestBase {
     val path = census(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
     assert(path.values.forall(_._1 == 0L))
   }
+
+  test("k-core: pendant chains peel over multiple rounds; the dense core survives intact") {
+    // bowtie (every node degree >= 2) + a pendant chain 3-6-7-8 whose
+    // tips peel one per round — exercises the fixpoint loop depth
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L),
+      (4L, 5L), (3L, 6L), (6L, 7L), (7L, 8L)).toDF("u", "v")
+    val (core, rounds) = Graph.kCore(edges, k = 2)
+    val kept = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(kept(3L) === 4L && kept(1L) === 2L)
+    assert(rounds >= 3, s"chain should take multiple peels, took $rounds")
+    // k above the max degree empties the graph
+    val (empty, _) = Graph.kCore(edges, k = 5)
+    assert(empty.count() === 0L)
+  }
+
+  test("degree assortativity: star is -1, equal-degree graph is NULL-variance, path is -1") {
+    def r(e: Seq[(Long, Long)]): Option[Double] = {
+      val row = Graph.degreeAssortativity(e.toDF("u", "v")).head()
+      if (row.isNullAt(1)) None else Some(row.getDouble(1))
+    }
+    // star: every edge joins the hub (deg n) to a leaf (deg 1) —
+    // perfectly disassortative
+    assert(r(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))) === Some(-1.0))
+    // triangle: all degrees equal — zero variance, NULL not a crash
+    assert(r(Seq((1L, 2L), (2L, 3L), (1L, 3L))) === None)
+    // 3-path: hand-computed r = -1
+    assert(r(Seq((1L, 2L), (2L, 3L))) === Some(-1.0))
+  }
 }
