@@ -510,9 +510,81 @@ object EventsQueries {
         AS sum_interp_micro
     FROM f"""))
 
+  /** Cross-user session CONCURRENCY via the bucketed interval-overlap
+    * join ([[graft.ops.Intervals.overlapJoin]], oracle-exact): derive
+    * closed session intervals with q23's gap rule, then pair every two
+    * sessions of DIFFERENT users that overlap in time — the
+    * two-relation theta join Spark would otherwise plan as a nested
+    * loop, rewritten to a bucket equi-join + exact refine, each pair
+    * credited once in its overlap's first bucket (no distinct pass).
+    * The DuckDB oracle runs the quadratic join directly at verify SF;
+    * counts, total and max overlap (exact integer micros) must
+    * hash-match — a pair double-credited across buckets, missed at a
+    * bucket boundary, or mis-refined fails the row. */
+  val q155IntervalOverlapJoin = GraftQuery(
+    "q155_interval_overlap", { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sessions = Tables.load(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull, 0)
+            .when(col("ts").cast("double") - col("prev_ts").cast("double")
+              > 1800d, 1)
+            .otherwise(0))
+        .withColumn("sess", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(unix_micros(col("ts"))).as("s"),
+          max(unix_micros(col("ts"))).as("e"))
+        // fixture-bounded interval id: user ids and per-user session
+        // counts are far below 1e5 at every driver SF
+        .select((col("user_id") * 100000L + col("sess")).as("iid"),
+          col("user_id"), col("s"), col("e"))
+        .localCheckpoint(eager = false)
+      val pairs = graft.ops.Intervals.overlapJoin(
+        sessions.select(col("iid"), col("s"), col("e")),
+        sessions.select(col("iid"), col("s"), col("e")),
+        bucketMicros = 3600L * 1000000L)
+      pairs
+        .join(sessions.select(col("iid").as("a_iid"),
+          col("user_id").as("ua")), Seq("a_iid"))
+        .join(sessions.select(col("iid").as("b_iid"),
+          col("user_id").as("ub")), Seq("b_iid"))
+        .filter(col("ua") < col("ub"))
+        .agg(count(lit(1)).as("overlapping_pairs"),
+          sum(col("overlap_micros")).as("total_overlap_micros"),
+          max(col("overlap_micros")).as("max_overlap_micros"))
+    },
+    Some("""WITH marked AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL THEN 0
+               WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1
+               ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT user_id,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess,
+          epoch_us(ts) AS tm
+        FROM marked),
+      sessions AS (
+        SELECT user_id, sess, min(tm) AS s, max(tm) AS e
+        FROM numbered GROUP BY user_id, sess),
+      pairs AS (
+        SELECT least(a.e, b.e) - greatest(a.s, b.s) AS ov
+        FROM sessions a JOIN sessions b
+          ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e)
+      SELECT count(*) AS overlapping_pairs,
+        CAST(sum(ov) AS BIGINT) AS total_overlap_micros,
+        max(ov) AS max_overlap_micros
+      FROM pairs"""))
+
   val all: Seq[GraftQuery] =
     Seq(q21JsonExtract, q22TumblingWindow, q23Sessionize, q24TopUsersPerType,
       q41AsofJoin, q43SaltedAgg, q47Funnel, q48Retention, q49Pivot,
       q50RangeFrame, q74ForwardFill, q75MadOutliers, q76Scd2Intervals,
-      q85SlidingWindow, q92SaltedJoin, q152InterpolateLinear)
+      q85SlidingWindow, q92SaltedJoin, q152InterpolateLinear,
+      q155IntervalOverlapJoin)
 }

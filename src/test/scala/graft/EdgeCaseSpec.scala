@@ -412,4 +412,27 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(got === Seq(Some(0.0), Some(25.0), Some(75.0), Some(100.0),
       None, Some(5.0), None, Some(42.0)))
   }
+
+  test("interval overlap join: bucket-boundary pairs counted once, touching counts, disjoint never") {
+    import spark.implicits._
+    val W = 100L // bucket width (micros) for the test
+    // a1 [0,250] spans 3 buckets; b1 [150,400] overlaps it in 2 shared
+    // buckets — must surface EXACTLY once (the no-distinct credit rule)
+    // b2 [250,260] touches a1 at a point → overlap 0, still a pair
+    // b3 [300,350] is disjoint from a1
+    val a = Seq((1L, 0L, 250L)).toDF("iid", "s", "e")
+    val b = Seq((10L, 150L, 400L), (11L, 250L, 260L), (12L, 300L, 350L))
+      .toDF("iid", "s", "e")
+    val got = graft.ops.Intervals.overlapJoin(a, b, W)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._2)
+    assert(got === Seq((1L, 10L, 100L), (1L, 11L, 0L)))
+    // symmetric self-join: caller's iid filter leaves each pair once
+    val all2 = Seq((1L, 0L, 250L), (2L, 100L, 300L), (3L, 500L, 600L))
+      .toDF("iid", "s", "e")
+    val self = graft.ops.Intervals.overlapJoin(all2, all2, W)
+      .filter(col("a_iid") < col("b_iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(self === Seq((1L, 2L, 150L)))
+  }
 }

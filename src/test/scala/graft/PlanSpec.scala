@@ -610,6 +610,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("interval overlap join plans a bucket hash join, not a nested loop") {
+    import spark.implicits._
+    val a = (1L to 100L).map(i => (i, i * 1000L, i * 1000L + 500L))
+      .toDF("iid", "s", "e")
+    val p = planOf(graft.ops.Intervals.overlapJoin(a, a, 10000L))
+    // the pure theta form of this join IS a nested loop — the bucket
+    // rewrite must surface as an equi-join on the bucket key
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("prefix Jaccard join never plans a cartesian/nested-loop expansion") {
     val d = Tables.load(spark, sfDir, "documents")
     val p = planOf(graft.ops.Dedup.jaccardJoinPrefix(
