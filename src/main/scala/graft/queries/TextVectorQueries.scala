@@ -4445,6 +4445,73 @@ object TextVectorQueries {
         END AS assortativity
       FROM sums"""))
 
+  /** PERSONALIZED PageRank around a deterministic seed set
+    * ([[graft.ops.Graph.pageRankPersonalized]], oracle-exact): rank as
+    * proximity-to-seeds over the near-dup graph — the "expand from
+    * known-bad documents" move of a contamination sweep. The oracle
+    * unrolls the five rounds with the same seed-only teleport; beyond
+    * the rounded mass aggregates, `reached` pins the EXACT zero/nonzero
+    * frontier (a node's rank is identically 0.0 in both engines until
+    * a walk reaches it — no float tolerance involved), so a teleport
+    * leak to non-seeds or a wrong restart mass fails the row. */
+  val q156PersonalizedPagerank = GraftQuery(
+    "q156_personalized_pagerank", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val edges = DedupCluster.sharedShingleEdges(
+        corpus, "text", "doc_id", shingleK = 3, minShared = 10, maxDf = 1000)
+        .localCheckpoint(eager = false)
+      val nodes = edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node"))).distinct()
+      val seeds = nodes.filter(col("node") % 50 === 0)
+      val ranks = graft.ops.Graph.pageRankPersonalized(
+        edges, seeds, iters = 5, damping = 0.85)
+      ranks
+        .join(seeds.withColumn("s", lit(true)), Seq("node"), "left")
+        .agg(
+          count(lit(1)).as("nodes"),
+          count(when(col("s"), 1)).as("seeds"),
+          round(sum(col("rank")), 4).as("rank_mass"),
+          round(sum(when(col("s"), col("rank"))), 4).as("seed_mass"),
+          round(max(col("rank")), 6).as("max_rank"),
+          count(when(col("s").isNull && col("rank") > 0, 1)).as("reached"))
+    }, {
+      val iterate = (1 to 5).map { k =>
+        s"""r$k AS (
+          SELECT n.node,
+            CASE WHEN sd.node IS NOT NULL
+              THEN (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT count(*) FROM seeds)
+              ELSE 0.0::DOUBLE END +
+            0.85::DOUBLE * coalesce(s.inflow, 0.0::DOUBLE) AS rank
+          FROM nodes n
+          LEFT JOIN seeds sd ON sd.node = n.node
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / d.deg) AS inflow
+            FROM sym e JOIN r${k - 1} r ON r.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) s ON s.node = n.node)"""
+      }.mkString(",\n      ")
+      Some(s"""WITH $shingleEdgesSql,
+      sym AS (SELECT a AS src, b AS dst FROM e0
+        UNION SELECT b, a FROM e0),
+      deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+      nodes AS (SELECT src AS node FROM deg),
+      seeds AS (SELECT node FROM nodes WHERE node % 50 = 0),
+      r0 AS (SELECT n.node,
+          CASE WHEN sd.node IS NOT NULL
+            THEN 1.0::DOUBLE / (SELECT count(*) FROM seeds)
+            ELSE 0.0::DOUBLE END AS rank
+        FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node),
+      $iterate
+      SELECT count(*) AS nodes,
+        (SELECT count(*) FROM seeds) AS seeds,
+        round(sum(rank), 4) AS rank_mass,
+        round(sum(CASE WHEN sd.node IS NOT NULL THEN rank END), 4)
+          AS seed_mass,
+        round(max(rank), 6) AS max_rank,
+        count(CASE WHEN sd.node IS NULL AND rank > 0 THEN 1 END) AS reached
+      FROM r5 LEFT JOIN seeds sd USING (node)""")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     q144FrameDedup, q145ImageNearDup, q145bImageNearDupRecall,
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
@@ -4485,5 +4552,6 @@ object TextVectorQueries {
     q51eDedupClustersLsh, q51fLshStarPairContract,
     q136EmbeddingCoherence, q137AudioFeatures, q139FrameSample,
     q139bAviFrameAccounting, q147KmeansTelemetry, q147bKmeansIncrContract,
-    q146JaccardJoinPrefix, q151TriangleCensus, q153KCore, q154Assortativity)
+    q146JaccardJoinPrefix, q151TriangleCensus, q153KCore, q154Assortativity,
+    q156PersonalizedPagerank)
 }

@@ -184,4 +184,22 @@ class GraphSpec extends SparkTestBase {
     // 3-path: hand-computed r = -1
     assert(r(Seq((1L, 2L), (2L, 3L))) === Some(-1.0))
   }
+
+  test("personalized PageRank: mass stays in the seed's component; stray seeds refused") {
+    // two disjoint triangles; seed in the first only
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("node")
+    val ranks = Graph.pageRankPersonalized(edges, seeds, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the un-seeded component is EXACTLY zero — no tolerance
+    assert(Seq(10L, 11L, 12L).forall(ranks(_) == 0.0))
+    // seeded component carries all the mass; the seed outranks its peers
+    assert(math.abs(Seq(1L, 2L, 3L).map(ranks).sum - 1.0) < 1e-9)
+    assert(ranks(1L) > ranks(2L) && ranks(2L) === ranks(3L))
+    // a seed that is not a graph node is refused loudly
+    val e = intercept[IllegalArgumentException](
+      Graph.pageRankPersonalized(edges, Seq(99L).toDF("node"), iters = 1))
+    assert(e.getMessage.contains("not a graph node"))
+  }
 }
