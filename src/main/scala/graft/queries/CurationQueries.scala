@@ -653,6 +653,137 @@ object CurationQueries {
       FROM corpus c LEFT JOIN hits h USING (doc_id)
       GROUP BY source ORDER BY source"""))
 
+  /** CONTAMINATION SWEEP composition (oracle-exact): the q93 n-gram
+    * screen finds DIRECTLY contaminated corpus docs, and personalized
+    * PageRank ([[graft.ops.Graph.pageRankPersonalized]]) expands from
+    * them over the near-dup graph — because a contaminated document's
+    * near-duplicates are contaminated too, even when their own 5-grams
+    * were perturbed past the exact screen. Seeds are the screened
+    * ORIGINALS present as graph nodes; `expanded` counts the non-seed
+    * nodes a 5-round walk reaches — including each hit's perturbed
+    * twin, which the exact screen never flagged: the
+    * float-tolerance-free zero/nonzero frontier of q156, here doing
+    * the discovery it exists for.
+    * The whole chain — bucket split, 5-gram screen, twin corpus,
+    * shingle edges, five PPR rounds — replays in one DuckDB statement. */
+  val q157ContaminationSweep = GraftQuery(
+    "q157_contamination_sweep", { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("bucket", hashBucket(col("doc_id"), 2654435761L))
+      val corpus = d.filter(col("bucket") < 80)
+        .select(col("doc_id"), col("text"))
+      val bench = d.filter(col("bucket") >= 90)
+      val hits = graft.ops.Dedup
+        .ngramScreen(corpus, bench, "doc_id", "text", n = 5)
+        .localCheckpoint(eager = false)
+      val twins = corpus
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
+      val graphCorpus = corpus.union(twins)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      val edges = graft.ops.DedupCluster.sharedShingleEdges(
+          graphCorpus, "text", "doc_id", shingleK = 3, minShared = 10,
+          maxDf = 1000)
+        .localCheckpoint(eager = false)
+      val nodes = edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node"))).distinct()
+      // seed ONLY the screened originals: their twins (whose shifted
+      // 5-grams the exact screen never saw) must surface via EXPANSION
+      // — the discovery this composition exists to demonstrate
+      val seeds = nodes.join(hits.select(col("doc_id").as("node")),
+          Seq("node"), "left_semi")
+        .localCheckpoint(eager = false)
+      val ranks = graft.ops.Graph.pageRankPersonalized(
+        edges, seeds, iters = 5, damping = 0.85)
+      ranks
+        .join(seeds.withColumn("s", lit(true)), Seq("node"), "left")
+        .agg(
+          count(lit(1)).as("nodes"),
+          count(when(col("s"), 1)).as("seeds"),
+          count(when(col("s").isNull && col("rank") > 0, 1)).as("expanded"),
+          round(sum(when(col("s"), col("rank"))), 4).as("seed_mass"),
+          round(sum(col("rank")), 4).as("rank_mass"))
+        .crossJoin(hits.agg(count(lit(1)).as("direct_hits")))
+        .select(col("direct_hits"), col("nodes"), col("seeds"),
+          col("expanded"), col("seed_mass"), col("rank_mass"))
+    }, {
+      val iterate = (1 to 5).map { k =>
+        s"""r$k AS (
+          SELECT n.node,
+            CASE WHEN sd.node IS NOT NULL
+              THEN (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT count(*) FROM seeds)
+              ELSE 0.0::DOUBLE END +
+            0.85::DOUBLE * coalesce(s.inflow, 0.0::DOUBLE) AS rank
+          FROM nodes n
+          LEFT JOIN seeds sd ON sd.node = n.node
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / d.deg) AS inflow
+            FROM sym e JOIN r${k - 1} r ON r.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) s ON s.node = n.node)"""
+      }.mkString(",\n      ")
+      Some(s"""WITH base AS (
+        SELECT doc_id, text,
+          (((doc_id % 2147483648) * (2654435761 % 4294967296))
+            % 4294967296) % 100 AS bucket
+        FROM documents),
+      corpus AS (SELECT doc_id, text FROM base WHERE bucket < 80),
+      benchg AS (
+        SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 4),
+          i -> array_to_string(t[i:i+4], ' '))) AS g
+        FROM (SELECT list_filter(string_split_regex(text, '\\s+'),
+                x -> len(x) > 0) AS t
+              FROM base WHERE bucket >= 90)),
+      hits AS MATERIALIZED (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_id,
+            unnest(list_transform(generate_series(1, len(t) - 4),
+              i -> array_to_string(t[i:i+4], ' '))) AS g
+          FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                  x -> len(x) > 0) AS t FROM corpus) c) cg
+        WHERE g IN (SELECT g FROM benchg)),
+      gc AS (
+        SELECT doc_id, text FROM corpus
+        UNION ALL
+        SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s*', '')
+        FROM corpus),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(toks)-2, 1)),
+          i -> array_to_string(list_slice(toks, i, i+2), ' ')))) AS s
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+              FROM gc)),
+      keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+      shf AS (SELECT doc_id, s FROM sh JOIN keep USING (s)),
+      e0 AS MATERIALIZED (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 10),
+      sym AS (SELECT u AS src, v AS dst FROM e0
+        UNION SELECT v, u FROM e0),
+      deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+      nodes AS (SELECT src AS node FROM deg),
+      seeds AS MATERIALIZED (
+        SELECT node FROM nodes
+        WHERE node IN (SELECT doc_id FROM hits)),
+      r0 AS (SELECT n.node,
+          CASE WHEN sd.node IS NOT NULL
+            THEN 1.0::DOUBLE / (SELECT count(*) FROM seeds)
+            ELSE 0.0::DOUBLE END AS rank
+        FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node),
+      $iterate
+      SELECT (SELECT count(*) FROM hits) AS direct_hits,
+        count(*) AS nodes,
+        (SELECT count(*) FROM seeds) AS seeds,
+        count(CASE WHEN sd.node IS NULL AND rank > 0 THEN 1 END)
+          AS expanded,
+        round(sum(CASE WHEN sd.node IS NOT NULL THEN rank END), 4)
+          AS seed_mass,
+        round(sum(rank), 4) AS rank_mass
+      FROM r5 LEFT JOIN seeds sd USING (node)""")
+    })
+
   /** Deterministic epoch shuffle: the training-order randomization every
     * LLM run needs — each epoch visits documents in a different but
     * REPRODUCIBLE pseudo-random order (never `rand()`: re-runs and
@@ -1278,5 +1409,5 @@ object CurationQueries {
     q93Decontaminate, q94EpochShuffle, q99ContaminationScore,
     q110TemperatureMixing, q111ShardExport, q113ProvenanceAudit,
     q116StratifiedSample, q122CurationPipeline,
-    q128LengthBucketedBatching)
+    q128LengthBucketedBatching, q157ContaminationSweep)
 }
