@@ -618,6 +618,54 @@ object DeltaExport {
       .select(cols.map(c => col(s"__r.$c").as(c)) :+ col("_change_type"): _*)
   }
 
+  /** RESTORE the table to `versionAsOf` as a NEW commit — Delta's
+    * RESTORE TABLE ... VERSION AS OF: one metadata commit that removes
+    * the files live now but not then, re-adds the files live then but
+    * not now (their bytes never moved — restore is pure log surgery,
+    * which is why it is instant at any size), and re-asserts the
+    * restored version's metaData when the schema drifted in between.
+    * History is preserved in BOTH directions: time travel to the
+    * pre-restore head still works (nothing was deleted), and the
+    * restore itself is just another commit a later restore can undo.
+    * Refuses when a needed old file has been vacuumed — a restore that
+    * silently resurrects a partial snapshot would be data loss.
+    * Returns the new version. */
+  def restoreDeltaTable(spark: SparkSession, dir: String,
+      versionAsOf: Long): Long = {
+    val v = latestVersion(dir) + 1
+    val now = snapshotState(spark, dir, None)
+    val then_ = snapshotState(spark, dir, Some(versionAsOf))
+    val gone = then_.live.toSeq
+      .filterNot(f => Files.isRegularFile(Paths.get(dir, f)))
+    require(gone.isEmpty,
+      s"cannot restore to v$versionAsOf — file(s) ${gone.mkString(", ")} " +
+        "have been vacuumed; the snapshot is no longer reconstructible")
+    val removes = (now.live -- then_.live).toSeq.sorted
+    val readds = (then_.live -- now.live).toSeq.sorted
+    require(removes.nonEmpty || readds.nonEmpty ||
+      now.meta != then_.meta,
+      s"restore to v$versionAsOf is a no-op — the snapshot is identical")
+    val ts = System.currentTimeMillis()
+    val metaActions =
+      if (now.meta == then_.meta) Seq.empty[String] else Seq(then_.meta)
+    val removeActions = removes.map(p =>
+      s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$ts,"dataChange":true}}""")
+    val addActions = readds.map { p =>
+      val statsField = then_.stats.get(p)
+        .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
+      val pv = then_.pvals.getOrElse(p, Map.empty).toSeq.sortBy(_._1)
+        .map { case (k, value) =>
+          s""""${esc(k)}":${Option(value).map(x => s""""${esc(x)}"""")
+              .getOrElse("null")}"""
+        }.mkString(",")
+      s"""{"add":{"path":"${esc(p)}","partitionValues":{$pv},"size":${Files
+          .size(Paths.get(dir, p))},"modificationTime":$ts,"dataChange":true$statsField}}"""
+    }
+    writeCommit(dir, v, metaActions ++ removeActions ++ addActions,
+      "RESTORE")
+    v
+  }
+
   /** ALTER TABLE ADD COLUMNS — schema evolution as a METADATA-ONLY
     * commit, the deliberate act [[appendDeltaTable]]'s schema gate
     * points at: the new schema must keep every existing column (same

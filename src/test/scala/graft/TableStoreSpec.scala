@@ -1823,6 +1823,56 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("Delta RESTORE: log-only rollback reproduces the old snapshot, keeps both directions of history, refuses vacuumed targets") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_restore").toString
+    DeltaExport.writeDeltaTable(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)          // v0
+    DeltaExport.appendDeltaTable(spark,
+      Seq((3L, "c")).toDF("id", "s"), dir)                      // v1
+    DeltaExport.overwriteDeltaTable(spark,
+      Seq((9L, "z")).toDF("id", "s"), dir)                      // v2
+    val v3 = DeltaExport.restoreDeltaTable(spark, dir, 1L)      // v3 == v1
+    assert(v3 === 3L)
+    val back = DeltaExport.readDeltaTable(spark, dir).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(back === Seq(1L, 2L, 3L))
+    // both directions of history survive: the overwrite head and the
+    // original are still reachable
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(2L))
+      .collect().map(_.getLong(0)).toSeq === Seq(9L))
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(0L)).count() === 2L)
+    // the restore commit is pure log surgery: no data file was written
+    val commit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000003.json")), "UTF-8")
+    assert(commit.contains(""""operation":"RESTORE""""), commit)
+    // a second identical restore is a refused no-op
+    val eNoop = intercept[IllegalArgumentException](
+      DeltaExport.restoreDeltaTable(spark, dir, 1L))
+    assert(eNoop.getMessage.contains("no-op"))
+    // restore across a schema change re-asserts the old metaData
+    DeltaExport.evolveDeltaTableSchema(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType))))                 // v4
+    DeltaExport.restoreDeltaTable(spark, dir, 3L)                   // v5
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .schema.fieldNames.toSeq === Seq("id", "s"))
+    // vacuum the overwrite-era file, then a restore to v2 must refuse
+    DeltaExport.vacuumDeltaTable(spark, dir)
+    val eVac = intercept[IllegalArgumentException](
+      DeltaExport.restoreDeltaTable(spark, dir, 2L))
+    assert(eVac.getMessage.contains("vacuumed"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Delta TIMESTAMP time travel: commitInfo anchors versionAtTimestamp; skew adjusts monotonically; pre-history refused") {
     import graft.core.DeltaExport
     import spark.implicits._
