@@ -618,6 +618,55 @@ object DeltaExport {
       .select(cols.map(c => col(s"__r.$c").as(c)) :+ col("_change_type"): _*)
   }
 
+  /** Highest committed writer-transaction version for `appId` — the
+    * protocol's `txn` watermark, replayed from the log (and restored
+    * through checkpoints). None when the app never committed. */
+  def lastTxnVersion(spark: SparkSession, dir: String,
+      appId: String): Option[Long] =
+    snapshotState(spark, dir, None).txns.get(appId)
+
+  /** IDEMPOTENT append — the protocol's exactly-once writer contract:
+    * the commit carries a `txn` action (appId, txnVersion), and a
+    * retry of an ALREADY-COMMITTED transaction is skipped by comparing
+    * against [[lastTxnVersion]] BEFORE writing anything. This is what
+    * lets a streaming sink replay its batches after losing its OWN
+    * checkpoint without double-landing rows: the table itself
+    * remembers how far each writer got (Delta's txn/SetTransaction
+    * mechanism; the watermark survives log checkpoints because
+    * checkpoint rows carry txn state per the protocol). Returns
+    * (table version, landed) — landed=false means the transaction was
+    * already in the log and the call changed nothing. `txnVersion`
+    * must increase per appId; a REGRESSION (replaying an older batch
+    * id than committed) is also skipped, matching Delta's
+    * txnVersion <= last rule. */
+  def appendDeltaTableIdempotent(spark: SparkSession, df: DataFrame,
+      dir: String, appId: String, txnVersion: Long): (Long, Boolean) = {
+    val snap = snapshotState(spark, dir, None)
+    val last = snap.txns.get(appId)
+    if (last.exists(txnVersion <= _))
+      return (latestVersion(dir), false)
+    val v = latestVersion(dir) + 1
+    require(partitionColumnsOf(snap.meta).isEmpty,
+      "table is partitioned — use appendDeltaTablePartitioned (no " +
+        "idempotent variant yet); refusing a flat append")
+    val tableSchema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(snap.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(schemaFits(df.schema, tableSchema),
+      s"append schema ${df.schema.catalogString} does not match the " +
+        s"table's logged schema ${tableSchema.catalogString}")
+    val before = dataFiles(dir).map(_.getFileName.toString).toSet
+    df.write.mode("append").parquet(dir)
+    val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
+    require(fresh.nonEmpty, "append produced no data files")
+    val now = System.currentTimeMillis()
+    writeCommit(dir, v,
+      s"""{"txn":{"appId":"${esc(appId)}","version":$txnVersion}}""" +:
+        addActions(spark, fresh, now),
+      "APPEND")
+    (v, true)
+  }
+
   /** RESTORE the table to `versionAsOf` as a NEW commit — Delta's
     * RESTORE TABLE ... VERSION AS OF: one metadata commit that removes
     * the files live now but not then, re-adds the files live then but
@@ -1045,6 +1094,9 @@ object DeltaExport {
     // later dataChange=false rewrite removed.
     val pvals =
       scala.collection.mutable.Map.empty[String, Map[String, String]]
+    // appId -> highest committed writer txn version (the protocol's
+    // `txn` action — the idempotent-writer watermark)
+    val txns = scala.collection.mutable.Map.empty[String, Long]
   }
 
   // the stats field is a JSON STRING inside the add action (escaped);
@@ -1091,7 +1143,15 @@ object DeltaExport {
         require(l.contains(""""minReaderVersion":1"""),
           s"unsupported reader protocol at v$v: $l")
       else if (l.startsWith("""{"metaData"""")) st.meta = l
-      else if (l.startsWith("""{"add"""")) {
+      else if (l.startsWith("""{"txn"""")) {
+        val appRe = """"appId":"((?:[^"\\]|\\.)+)"""".r
+        val verRe = """"version":(\d+)""".r
+        for (a <- appRe.findFirstMatchIn(l); x <- verRe.findFirstMatchIn(l)) {
+          val app = unescapeJson(a.group(1))
+          val ver = x.group(1).toLong
+          st.txns(app) = math.max(st.txns.getOrElse(app, Long.MinValue), ver)
+        }
+      } else if (l.startsWith("""{"add"""")) {
         val p = pathOf(l, "add")
         st.live += p
         st.pvals(p) = partitionValuesOf(l)
@@ -1361,8 +1421,10 @@ object DeltaExport {
   final case class CpAdd(path: String, partitionValues: Map[String, String],
       size: Long, modificationTime: Long, dataChange: Boolean,
       stats: Option[String])
+  final case class CpTxn(appId: String, version: Long)
   final case class CpRow(protocol: Option[CpProtocol],
-      metaData: Option[CpMetaData], add: Option[CpAdd])
+      metaData: Option[CpMetaData], add: Option[CpAdd],
+      txn: Option[CpTxn] = None)
 
   private def checkpointFile(v: Long): String = f"$v%020d.checkpoint.parquet"
 
@@ -1406,11 +1468,16 @@ object DeltaExport {
       .getOrElse(throw new IllegalStateException("metaData carries no id"))
     val createdTime = ctRe.findFirstMatchIn(meta).map(_.group(1).toLong).getOrElse(0L)
     val rows: Seq[CpRow] =
-      CpRow(Some(CpProtocol(1, 2)), None, None) +:
+      (CpRow(Some(CpProtocol(1, 2)), None, None) +:
       CpRow(None,
         Some(CpMetaData(id, schemaStringOf(meta),
           partitionColumnsOf(meta), createdTime)),
         None) +:
+      // one txn row per writer app — the idempotence watermark must
+      // survive the JSON commits its carrier expired with
+      snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
+        CpRow(None, None, None, Some(CpTxn(app, ver)))
+      }) ++
       files.sorted.map { f =>
         val p = Paths.get(dir, f)
         CpRow(None, None, Some(CpAdd(f,
@@ -1519,6 +1586,11 @@ object DeltaExport {
           st.pvals(p) = a.getMap[String, String](pvIdx).toMap
         val si = a.schema.fieldNames.indexOf("stats")
         if (si >= 0 && !a.isNullAt(si)) st.stats(p) = a.getString(si)
+      }
+      struct("txn").foreach { t =>
+        val app = t.getAs[String]("appId")
+        val ver = t.getAs[Long]("version")
+        st.txns(app) = math.max(st.txns.getOrElse(app, Long.MinValue), ver)
       }
       // remove rows in a checkpoint are expired tombstones, never live
       struct("remove").foreach(rm => st.live -= rm.getAs[String]("path"))

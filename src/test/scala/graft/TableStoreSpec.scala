@@ -1873,6 +1873,42 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("Delta txn watermark: replayed and regressed batch ids are skipped before any write; the watermark survives checkpoint expiry") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_txn").toString
+    DeltaExport.writeDeltaTable(spark,
+      Seq((1L, "a")).toDF("id", "s"), dir)
+    val app = "graft-sink-7"
+    // batch 0 lands; its exact replay is a no-op; an OLDER id too
+    assert(DeltaExport.appendDeltaTableIdempotent(spark,
+      Seq((2L, "b")).toDF("id", "s"), dir, app, 0L) === ((1L, true)))
+    assert(DeltaExport.appendDeltaTableIdempotent(spark,
+      Seq((2L, "b")).toDF("id", "s"), dir, app, 0L) === ((1L, false)))
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 2L)
+    assert(DeltaExport.lastTxnVersion(spark, dir, app) === Some(0L))
+    assert(DeltaExport.lastTxnVersion(spark, dir, "other") === None)
+    // the next batch lands; a second writer app tracks independently
+    assert(DeltaExport.appendDeltaTableIdempotent(spark,
+      Seq((3L, "c")).toDF("id", "s"), dir, app, 1L)._2 === true)
+    assert(DeltaExport.appendDeltaTableIdempotent(spark,
+      Seq((4L, "d")).toDF("id", "s"), dir, "other", 0L)._2 === true)
+    // checkpoint + expire the JSON chain: the watermark must persist
+    // through the checkpoint's txn rows, and replays stay no-ops
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    DeltaExport.expireLogBefore(dir)
+    assert(DeltaExport.lastTxnVersion(spark, dir, app) === Some(1L))
+    assert(DeltaExport.appendDeltaTableIdempotent(spark,
+      Seq((3L, "c")).toDF("id", "s"), dir, app, 1L)._2 === false)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 4L)
+    // and a genuinely new batch still lands after expiry
+    assert(DeltaExport.appendDeltaTableIdempotent(spark,
+      Seq((5L, "e")).toDF("id", "s"), dir, app, 2L)._2 === true)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 5L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Delta TIMESTAMP time travel: commitInfo anchors versionAtTimestamp; skew adjusts monotonically; pre-history refused") {
     import graft.core.DeltaExport
     import spark.implicits._
