@@ -466,6 +466,51 @@ object EventPipeline {
     committed.get()
   }
 
+  /** [[runDeltaAppendSink]] hardened with the protocol's `txn`
+    * watermark — exactly-once EVEN ACROSS CHECKPOINT LOSS: the table is
+    * created EMPTY up front (so batch 0 is protected too), every
+    * micro-batch commits through
+    * [[graft.core.DeltaExport.appendDeltaTableIdempotent]] with the
+    * engine's batchId as the transaction version, and a replayed batch
+    * (same staged files, lost checkpoint, batchId restarts at 0) is
+    * skipped by the TABLE's own memory of how far this writer got —
+    * closing the one replay window the plain sink documents (it
+    * re-lands rows under a fresh commit when the engine checkpoint is
+    * gone). Returns (batches processed, batches that actually landed). */
+  def runDeltaAppendSinkIdempotent(
+      spark: SparkSession, dir: String, tableDir: String, appId: String,
+      checkpoint: Option[String] = None,
+      sourceSchema: StructType = null): (Long, Long) = {
+    val stream = readEventStream(spark, dir, glob = "events*.parquet",
+      maxFilesPerTrigger = Some(1), schema = sourceSchema)
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(tableDir, "_delta_log")))
+      graft.core.DeltaExport.writeDeltaTable(spark,
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          stream.schema),
+        tableDir)
+    val processed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val landed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val writer = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          processed.incrementAndGet()
+          val (_, wrote) = graft.core.DeltaExport
+            .appendDeltaTableIdempotent(spark, batch, tableDir,
+              appId, batchId)
+          if (wrote) landed.incrementAndGet()
+          ()
+        }
+      }
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    val q = writer.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    (processed.get(), landed.get())
+  }
+
   /** Partition-scoped twin of [[runUpsertSinkFromDir]] — the implemented
     * "scale path" the snapshot sink's 100 TB caveat points at: instead of
     * reading and rewriting the WHOLE latest-per-key table every

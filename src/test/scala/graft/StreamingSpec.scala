@@ -308,6 +308,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("idempotent Delta sink: a replay after CHECKPOINT LOSS lands nothing; the table's txn watermark is the exactly-once guard") {
+    import graft.core.DeltaExport
+    val ev = Tables.load(spark, sfDir, "events")
+    val dir = EventPipeline.stageAsStreamDir(ev, parts = 3)
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_delta_idem").toString
+    val ckpt1 = java.nio.file.Files
+      .createTempDirectory("graft_delta_idem_ck1").toString
+    val (p1, l1) = EventPipeline.runDeltaAppendSinkIdempotent(
+      spark, dir, tableDir, "idem-sink-spec", Some(ckpt1))
+    assert(p1 === 3L && l1 === 3L)
+    val rows = DeltaExport.readDeltaTable(spark, tableDir).count()
+    assert(rows === ev.count())
+    // the engine checkpoint is LOST: a rerun reprocesses every staged
+    // file from batchId 0 — and the TABLE's txn watermark skips each
+    // one before a byte is written (the plain sink would re-land them)
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft_delta_idem_ck2").toString
+    val (p2, l2) = EventPipeline.runDeltaAppendSinkIdempotent(
+      spark, dir, tableDir, "idem-sink-spec", Some(ckpt2))
+    assert(p2 === 3L && l2 === 0L,
+      s"replay processed $p2 and landed $l2 — expected 3 processed, 0 landed")
+    assert(DeltaExport.readDeltaTable(spark, tableDir).count() === rows)
+    // a DIFFERENT writer app is tracked independently and doubles the
+    // table (the guard is per-writer, not a global dedup)
+    val ckpt3 = java.nio.file.Files
+      .createTempDirectory("graft_delta_idem_ck3").toString
+    val (_, l3) = EventPipeline.runDeltaAppendSinkIdempotent(
+      spark, dir, tableDir, "another-app", Some(ckpt3))
+    assert(l3 === 3L)
+    assert(DeltaExport.readDeltaTable(spark, tableDir).count() === 2 * rows)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(tableDir))
+  }
+
   test("Delta append sink: one stats-bearing commit per micro-batch; kill-and-resume appends only unseen files; the log read equals the stream") {
     import graft.core.DeltaExport
     val ev = Tables.load(spark, sfDir, "events")
