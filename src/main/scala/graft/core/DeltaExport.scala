@@ -646,23 +646,24 @@ object DeltaExport {
     if (last.exists(txnVersion <= _))
       return (latestVersion(dir), false)
     val v = latestVersion(dir) + 1
-    require(partitionColumnsOf(snap.meta).isEmpty,
-      "table is partitioned — use appendDeltaTablePartitioned (no " +
-        "idempotent variant yet); refusing a flat append")
+    val pcols = partitionColumnsOf(snap.meta)
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     require(schemaFits(df.schema, tableSchema),
       s"append schema ${df.schema.catalogString} does not match the " +
         s"table's logged schema ${tableSchema.catalogString}")
-    val before = dataFiles(dir).map(_.getFileName.toString).toSet
-    df.write.mode("append").parquet(dir)
-    val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
+    // partitioned tables take the Hive-layout write and relative-path
+    // adds; flat tables the top-level form — the txn line is the same
+    val before = dataFilesRelative(dir).toSet
+    if (pcols.isEmpty) df.write.mode("append").parquet(dir)
+    else df.write.partitionBy(pcols: _*).mode("append").parquet(dir)
+    val fresh = dataFilesRelative(dir).filterNot(before)
     require(fresh.nonEmpty, "append produced no data files")
     val now = System.currentTimeMillis()
     writeCommit(dir, v,
       s"""{"txn":{"appId":"${esc(appId)}","version":$txnVersion}}""" +:
-        addActions(spark, fresh, now),
+        addActionsRelative(spark, dir, fresh, now),
       "APPEND")
     (v, true)
   }

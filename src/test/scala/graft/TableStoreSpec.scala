@@ -1907,6 +1907,23 @@ class TableStoreSpec extends SparkTestBase {
       Seq((5L, "e")).toDF("id", "s"), dir, app, 2L)._2 === true)
     assert(DeltaExport.readDeltaTable(spark, dir).count() === 5L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    // partitioned tables take the same contract: the landed batch
+    // routes to its Hive directories; its replay is a pre-write no-op
+    val pdir = java.nio.file.Files
+      .createTempDirectory("graft_delta_txn_part").toString
+    DeltaExport.writeDeltaTablePartitioned(spark,
+      Seq((1L, "a", "en")).toDF("id", "s", "lang"), pdir, Seq("lang"))
+    val batch = Seq((2L, "b", "fr")).toDF("id", "s", "lang")
+    assert(DeltaExport.appendDeltaTableIdempotent(spark, batch, pdir,
+      app, 0L)._2 === true)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(pdir, "lang=fr")))
+    assert(DeltaExport.appendDeltaTableIdempotent(spark, batch, pdir,
+      app, 0L)._2 === false)
+    val (fr, c, l) = DeltaExport.readDeltaTablePartitionPruned(
+      spark, pdir, Map("lang" -> "fr"))
+    assert(fr.count() === 1L && c < l)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pdir))
   }
 
   test("Delta TIMESTAMP time travel: commitInfo anchors versionAtTimestamp; skew adjusts monotonically; pre-history refused") {
