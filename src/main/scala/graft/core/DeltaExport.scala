@@ -81,18 +81,72 @@ object DeltaExport {
     } finally walk.close()
   }
 
+  // Hive-style path escaping — the algorithm Spark's partitionBy applies
+  // to partition directory names (ExternalCatalogUtils.escapePathName):
+  // each character below becomes %XX (uppercase hex). unescapePathName
+  // inverts it by decoding ANY %XX pair, keeping a malformed '%' literal
+  // — the same tolerance Hive/Spark readers show.
+  private val pathEscapeChars: Set[Char] =
+    (('\u0001' to '\u001F') ++
+      Seq('"', '#', '%', '\'', '*', '/', ':', '=', '?', '\\',
+        '\u007F', '{', '[', ']', '^')).toSet
+
+  private[core] def escapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach { c =>
+      if (pathEscapeChars(c)) sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  private[core] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The filesystem path a Spark `input_file_name()` URI denotes:
+    * input_file_name returns a percent-ENCODED file URI (space → %20,
+    * and a Hive-escaped '%' in a partition directory name is encoded
+    * AGAIN as %25), so raw suffix comparison against an on-disk
+    * relative path silently misses any partition value whose URI
+    * encoding differs from its disk spelling. Decode once; fall back
+    * to the raw string for anything java.net.URI refuses. */
+  private def uriToPath(u: String): String =
+    try {
+      val p = new java.net.URI(u).getPath
+      if (p == null) u else p
+    } catch { case _: java.net.URISyntaxException => u }
+
   /** Partition values a Hive-style relative path encodes, in directory
     * order: `lang=en/year=2024/part-….parquet` →
-    * (lang -> en, year -> 2024). Spark's null-partition sentinel maps
-    * to a null value, matching the protocol's partitionValues null. */
+    * (lang -> en, year -> 2024). Directory names are Hive-ESCAPED on
+    * disk (Spark's partitionBy escapes ':', '%', '=', '/', … as %XX),
+    * so both the column name and the value are unescaped here — the
+    * log's partitionValues carry TRUE values, and a pruned read on the
+    * true value matches (Delta/Spark unescape the same way). Spark's
+    * null-partition sentinel maps to a null value, matching the
+    * protocol's partitionValues null. */
   private def hivePartitionValues(relPath: String): Map[String, String] =
     relPath.split('/').init.flatMap { seg =>
       val i = seg.indexOf('=')
       if (i <= 0) None
       else {
         val v = seg.substring(i + 1)
-        Some(seg.substring(0, i) ->
-          (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+        Some(unescapePathName(seg.substring(0, i)) ->
+          (if (v == "__HIVE_DEFAULT_PARTITION__") null
+           else unescapePathName(v)))
       }
     }.toMap
 
@@ -239,8 +293,13 @@ object DeltaExport {
             .result().mkString(",")}},"maxValues":{${maxs.result()
             .mkString(",")}},"nullCount":{${ncs.result().mkString(",")}}}"""
     }
+    // match by DECODED path suffix — input_file_name URIs percent-encode
+    // partition directory names, so a raw suffix match on a value whose
+    // encoding differs (space → %20, Hive-escaped '%' → %25) would
+    // silently drop that file's stats
     relPaths.flatMap { rel =>
-      byUri.find(_._1.endsWith("/" + rel)).map(rel -> _._2)
+      byUri.find(p => uriToPath(p._1).endsWith("/" + rel))
+        .map(rel -> _._2)
     }.toMap
   }
 
@@ -381,14 +440,21 @@ object DeltaExport {
       ((commitInfoLine(System.currentTimeMillis(), op) +: actions)
         .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
 
-  private val ciTsRe = """"commitInfo":\{[^}]*"timestamp":(\d+)""".r
+  private val ciTsRe = """"timestamp":(\d+)""".r
 
   /** Commit timestamp of a surviving JSON commit: its commitInfo
-    * timestamp when present, else the commit file's modification time. */
+    * timestamp when present, else the commit file's modification time.
+    * The timestamp is searched anywhere WITHIN the commitInfo line (one
+    * action per line, per the log format) — anchoring it before the
+    * first '}' would lose it behind any nested object a foreign writer
+    * puts first (operationParameters, operationMetrics), silently
+    * falling back to file mtime and mis-resolving timestampAsOf after
+    * the log is copied. */
   private def commitTimestamp(dir: String, v: Long): Long = {
     val p = Paths.get(dir, "_delta_log", commitFile(v))
     val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    ciTsRe.findFirstMatchIn(txt).map(_.group(1).toLong)
+    txt.split("\n").find(_.startsWith("""{"commitInfo""""))
+      .flatMap(l => ciTsRe.findFirstMatchIn(l).map(_.group(1).toLong))
       .getOrElse(Files.getLastModifiedTime(p).toMillis)
   }
 
@@ -852,7 +918,12 @@ object DeltaExport {
       .join(batch.select(keyCols.map(col): _*), keyCols, "left_semi")
       .select(col("__file")).distinct()
       .collect().map(_.getString(0)).toSet
-    val touched = live.filter(f => touchedUris.exists(_.endsWith("/" + f)))
+    // decoded-suffix match (the fileStatsForRelative rule): a raw match
+    // would drop the remove action for any partition directory whose URI
+    // encoding differs from its disk name, leaving the old file live and
+    // silently duplicating its rows after the rewrite
+    val touchedPaths = touchedUris.map(uriToPath)
+    val touched = live.filter(f => touchedPaths.exists(_.endsWith("/" + f)))
     val del = deleteCol.map(c => col(c) === true).getOrElse(lit(false))
     val bKeyed = batch.select(
       keyCols.map(col) :+ struct(cols.map(col): _*).as("__b")
@@ -1014,10 +1085,13 @@ object DeltaExport {
       "nothing to optimize — no matching partition exceeds the target")
     val before = dataFilesRelative(dir).toSet
     groups.toSeq.sortBy(_._2.head).foreach { case (pv, fs) =>
+      // escape exactly as Spark's partitionBy would have — pv holds TRUE
+      // values (hivePartitionValues unescapes), so writing them raw would
+      // land rewrites in a DIFFERENT directory than the original files
       val partDir = pcols.map { c =>
-        val value = Option(pv.getOrElse(c, null))
+        val value = Option(pv.getOrElse(c, null)).map(escapePathName)
           .getOrElse("__HIVE_DEFAULT_PARTITION__")
-        s"$c=$value"
+        s"${escapePathName(c)}=$value"
       }.mkString("/")
       val df = spark.read.schema(dataSchema)
         .parquet(fs.sorted.map(f => s"$dir/$f"): _*)
@@ -1104,21 +1178,38 @@ object DeltaExport {
   // key-order-tolerant like the other extractors
   private val statsRe = """"stats":"((?:[^"\\]|\\.)*)"""".r
 
-  // `"partitionValues":{...}` object inside an add action; values are
-  // JSON strings or null (a null partition value)
-  private val pvalsObjRe = """"partitionValues":\{([^{}]*)\}""".r
+  // one `"key":"value"` or `"key":null` entry of the partitionValues
+  // object (values are JSON strings or null)
   private val pvalEntryRe =
     """"((?:[^"\\]|\\.)+)":(?:"((?:[^"\\]|\\.)*)"|null)""".r
 
   /** The add action's partitionValues as column -> value (null inside
-    * the map for a null partition); empty for an unpartitioned add. */
-  private def partitionValuesOf(line: String): Map[String, String] =
-    pvalsObjRe.findFirstMatchIn(line).map { m =>
-      pvalEntryRe.findAllMatchIn(m.group(1)).map { e =>
-        unescapeJson(e.group(1)) ->
-          Option(e.group(2)).map(unescapeJson).orNull
-      }.toMap
-    }.getOrElse(Map.empty)
+    * the map for a null partition); empty for an unpartitioned add.
+    * Parsed by locating the key and consuming successive
+    * string-or-null entries ANCHORED at the cursor — bounding the
+    * object by the first '}' would truncate any partition value whose
+    * string contains a literal brace, silently dropping the remaining
+    * columns and attaching nulls on read-back. */
+  private def partitionValuesOf(line: String): Map[String, String] = {
+    val key = """"partitionValues":{"""
+    val at = line.indexOf(key)
+    if (at < 0) return Map.empty
+    var pos = at + key.length
+    val out = Map.newBuilder[String, String]
+    var done = pos < line.length && line.charAt(pos) == '}'
+    while (!done) {
+      pvalEntryRe.findPrefixMatchOf(line.substring(pos)) match {
+        case Some(m) =>
+          out += unescapeJson(m.group(1)) ->
+            Option(m.group(2)).map(unescapeJson).orNull
+          pos += m.end
+          if (pos < line.length && line.charAt(pos) == ',') pos += 1
+          else done = true
+        case None => done = true
+      }
+    }
+    out.result()
+  }
 
   // `"partitionColumns":[...]` of a metaData action
   private val pcolsRe = """"partitionColumns":\[([^\]]*)\]""".r

@@ -167,11 +167,14 @@ object Graph {
     * one degree aggregation + one semi-join on the survivor set —
     * hash-shuffles on node id, lineage truncated per round; rounds are
     * bounded by `maxRounds` and the CONVERGED flag is computed
-    * in-plan (one more peel changes nothing), so an insufficient bound
-    * cannot pass silently — the q100 discipline. Returns the surviving
-    * (node, degree) relation and the rounds taken. */
+    * in-plan (one more peel changes nothing) and RETURNED, so an
+    * insufficient bound cannot pass silently — the q100 discipline:
+    * rounds == maxRounds alone is ambiguous (the peel may converge
+    * exactly on the last round), so callers gate on the flag, not the
+    * count; a truncated result is NOT a k-core. Returns the surviving
+    * (node, degree) relation, the rounds taken, and convergence. */
   def kCore(edges: DataFrame, k: Int,
-      maxRounds: Int = 30): (DataFrame, Int) = {
+      maxRounds: Int = 30): (DataFrame, Int, Boolean) = {
     require(k >= 1, s"k must be >= 1: $k")
     var cur = edges
       .select(least(col("u"), col("v")).as("a"),
@@ -201,7 +204,7 @@ object Graph {
     val finalDeg = cur.select(col("a").as("node"))
       .unionAll(cur.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    (finalDeg, rounds)
+    (finalDeg, rounds, done)
   }
 
   /** Degree ASSORTATIVITY (Newman 2002): the Pearson correlation of

@@ -4377,7 +4377,9 @@ object TextVectorQueries {
       val corpus = nearDupCorpus(s, dir)
       val edges = DedupCluster.sharedShingleEdges(
         corpus, "text", "doc_id", shingleK = 3, minShared = 10, maxDf = 1000)
-      val (core, _) = graft.ops.Graph.kCore(edges, k = 2)
+      val (core, _, converged) = graft.ops.Graph.kCore(edges, k = 2)
+      require(converged, "kCore hit maxRounds without converging — " +
+        "the surviving subgraph is not a k-core")
       core.agg(
         count(lit(1)).as("core_nodes"),
         (sum(col("degree")) / 2).cast("long").as("core_edges"),

@@ -161,14 +161,22 @@ class GraphSpec extends SparkTestBase {
     // tips peel one per round — exercises the fixpoint loop depth
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L),
       (4L, 5L), (3L, 6L), (6L, 7L), (7L, 8L)).toDF("u", "v")
-    val (core, rounds) = Graph.kCore(edges, k = 2)
+    val (core, rounds, converged) = Graph.kCore(edges, k = 2)
+    assert(converged, "peel must report convergence")
     val kept = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(kept.keySet === Set(1L, 2L, 3L, 4L, 5L))
     assert(kept(3L) === 4L && kept(1L) === 2L)
     assert(rounds >= 3, s"chain should take multiple peels, took $rounds")
     // k above the max degree empties the graph
-    val (empty, _) = Graph.kCore(edges, k = 5)
+    val (empty, _, emptyConverged) = Graph.kCore(edges, k = 5)
     assert(empty.count() === 0L)
+    assert(emptyConverged)
+    // an insufficient bound must SAY so: the 4-chain needs 2+ peels to
+    // reach its (empty) 2-core, so maxRounds = 1 cannot converge —
+    // distinguishable from converging exactly on the last round
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val (_, r1, c1) = Graph.kCore(chain, k = 2, maxRounds = 1)
+    assert(r1 === 1 && !c1, "truncated peel must report non-convergence")
   }
 
   test("degree assortativity: star is -1, equal-degree graph is NULL-variance, path is -1") {

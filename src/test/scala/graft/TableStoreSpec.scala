@@ -1974,4 +1974,121 @@ class TableStoreSpec extends SparkTestBase {
     assert(DeltaExport.versionAtTimestamp(dir, Long.MaxValue) === 3L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("Delta partitioned: special-character partition values survive write, prune, MERGE and OPTIMIZE") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    // a space (literal on disk, %20 in the scan URI), a percent (Hive-
+    // escaped %25 on disk, %2525 in the URI), a colon (%3A on disk,
+    // refused raw by java.net.URI), and an UNescaped closing brace
+    // (exercises the partitionValues parser — a }-bounded regex
+    // truncates the object at the value's brace)
+    val langs = Seq("a b", "a%b", "a:b", "a}b")
+    val d = langs.zipWithIndex.flatMap { case (l, i) =>
+      Seq((i * 10L + 1L, s"one $l", l), (i * 10L + 2L, s"two $l", l))
+    }.toDF("id", "text", "lang")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_special").toString
+    DeltaExport.writeDeltaTablePartitioned(spark, d, dir, Seq("lang"))
+    // disk layout is Hive-escaped; the log carries TRUE values
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "lang=a b")))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "lang=a%25b")))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "lang=a%3Ab")))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "lang=a}b")))
+    val log0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000000.json")), "UTF-8")
+    assert(log0.contains(""""partitionValues":{"lang":"a%b"}"""), log0)
+    assert(log0.contains(""""partitionValues":{"lang":"a:b"}"""), log0)
+    // every add carries stats — the URI-decoded suffix match found each
+    // file despite the encoded directory names
+    val addLines = log0.split("\n").filter(_.startsWith("""{"add""""))
+    assert(addLines.nonEmpty && addLines.forall(_.contains(""""stats":""")),
+      log0)
+    // read-back re-attaches the TRUE values; the pruned read matches on
+    // them (including the brace value the old object regex truncated)
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.select("lang").distinct().collect().map(_.getString(0))
+      .toSet === langs.toSet)
+    for (l <- langs) {
+      val (pruned, cand, live) = DeltaExport.readDeltaTablePartitionPruned(
+        spark, dir, Map("lang" -> l))
+      assert(cand < live, s"pruned nothing for $l")
+      assert(pruned.count() === 2L, s"wrong rows for $l")
+    }
+    // MERGE updating one row per special partition: each touched file's
+    // remove must land (a missed URI-decoded match would leave the old
+    // file live and double the partition's rows)
+    val batch = langs.zipWithIndex.map { case (l, i) =>
+      (i * 10L + 1L, s"UPDATED $l", l)
+    }.toDF("id", "text", "lang")
+    DeltaExport.mergeDeltaTable(spark, batch, dir, Seq("id"))
+    val merged = DeltaExport.readDeltaTable(spark, dir)
+    assert(merged.count() === d.count(),
+      "merge duplicated rows — a touched file's remove action was dropped")
+    assert(merged.filter(col("text").startsWith("UPDATED")).count() ===
+      langs.size.toLong)
+    // OPTIMIZE: append a second file into every partition, then compact —
+    // rewrites must land back in the SAME escaped directories and keep
+    // values intact
+    DeltaExport.appendDeltaTablePartitioned(spark,
+      langs.zipWithIndex.map { case (l, i) => (i * 10L + 3L, s"three $l", l) }
+        .toDF("id", "text", "lang"), dir)
+    DeltaExport.optimizeDeltaTablePartitioned(spark, dir)
+    val optimized = DeltaExport.readDeltaTable(spark, dir)
+    assert(optimized.count() === d.count() + langs.size)
+    assert(optimized.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet === langs.toSet)
+    // no stray directory appeared (an unescaped partDir would create
+    // nested lang=a/b or lang=a:b spellings)
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      dirs.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("lang=")).toSet
+    } finally dirs.close()
+    assert(names === Set("lang=a b", "lang=a%25b", "lang=a%3Ab", "lang=a}b"),
+      names.toString)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("Delta time travel: commitInfo with a nested object before its timestamp still anchors timestampAsOf") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_fts").toString
+    DeltaExport.writeDeltaTable(spark, Seq((1L, "a")).toDF("id", "s"), dir)
+    DeltaExport.appendDeltaTable(spark, Seq((2L, "b")).toDF("id", "s"), dir)
+    // rewrite v1's commitInfo the way a foreign writer serializes it:
+    // an operationParameters OBJECT before the timestamp field — a
+    // first-}-bounded regex loses the timestamp and falls back to file
+    // mtime, mis-resolving as-of reads once files are copied
+    def ciTs(v: Long): Long = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json")), "UTF-8")
+      """"timestamp":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    }
+    val t1 = ciTs(1L)
+    val p1 = java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000001.json")
+    val foreign = new String(java.nio.file.Files.readAllBytes(p1), "UTF-8")
+      .split("\n").map { l =>
+        if (l.startsWith("""{"commitInfo""""))
+          s"""{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append","partitionBy":"[]"},"timestamp":$t1}}"""
+        else l
+      }.mkString("\n") + "\n"
+    java.nio.file.Files.write(p1, foreign.getBytes("UTF-8"))
+    // push the commit file's mtime far into the future: a parser that
+    // fell back to mtime would resolve t1 to v0, not v1
+    java.nio.file.Files.setLastModifiedTime(p1,
+      java.nio.file.attribute.FileTime.fromMillis(t1 + 86400000L))
+    assert(DeltaExport.versionAtTimestamp(dir, t1) === 1L)
+    assert(DeltaExport.readDeltaTableAsOfTimestamp(spark, dir, t1)
+      .count() === 2L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
