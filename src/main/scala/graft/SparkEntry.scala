@@ -105,6 +105,13 @@ object SparkEntry {
     // suite) and the n-gram diversity scan (three gram passes over the
     // corpus — times the HOF gram builder the dedup family leans on)
     "q136_embedding_coherence", "q134_ngram_diversity",
+    // round-16: the graph family's timed representative — the triangle
+    // census over the memoized winnowed edge relation. Pass 1 builds
+    // the shared edges (that cost is already controlled by the
+    // q51/q51c bands); the min-of-3 is the CENSUS itself (orient +
+    // wedge join + close), which no other row exercises — a wedge-join
+    // regression now shows per round instead of only in Wave probes
+    "q151d_triangle_census_winnowed",
     // the one two-source join in the pharma family (meds ⋈ labs via the
     // managed catalog) — cheap, but it keeps the S8 ingestion edge and
     // the catalog round-trip inside the per-round timing surface

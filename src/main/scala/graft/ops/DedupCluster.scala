@@ -150,6 +150,29 @@ object DedupCluster {
       .distinct()
   }
 
+  /** REPRESENTATIVE COLLAPSE — the graph-family scale move: keep one
+    * document per duplicate cluster (the component ROOT, which
+    * [[connectedComponents]] guarantees is the minimum member id and
+    * therefore itself a member) plus every unclustered document, and
+    * run graph analytics on the collapsed corpus. A duplicate cluster
+    * of c near-identical docs contributes c·(c−1)/2 intra-cluster
+    * edges and Θ(c³) clique-interior triangles — pure output mass with
+    * zero telemetry signal (the cluster is already known) — while the
+    * structure worth measuring (how clusters relate to each other and
+    * to singletons) survives collapse intact. One broadcast-friendly
+    * left-join + filter; no shuffle beyond the component labels it is
+    * given. `components` is (node, root) as produced by
+    * [[connectedComponents]] — typically over the LINEAR
+    * [[lshClusterEdges]] star edges, so the whole collapse pipeline
+    * stays linear in duplicate mass. */
+  def representatives(corpus: DataFrame, idCol: String,
+      components: DataFrame): DataFrame =
+    corpus
+      .join(components.select(col("node").as(idCol), col("root")),
+        Seq(idCol), "left")
+      .filter(col("root").isNull || col("root") === col(idCol))
+      .drop("root")
+
   /** Large-star round: every node a links each HIGHER neighbor b to
     * m(a) = min(neighbors(a) ∪ {a}). Keeps the graph connected while
     * strictly pulling high nodes toward component minima.

@@ -31,6 +31,38 @@ object Intervals {
     * fan-in); set it near the median interval length. A symmetric
     * self-join emits (x,y), (y,x) and self pairs — callers filter
     * (e.g. a_iid < b_iid). */
+  /** Auto-derived bucket width — the scaladoc's own tuning rule made
+    * executable: ONE cheap approx-percentile pass over both inputs
+    * picks the median interval length (`e − s`), the width at which
+    * explode fan-out (long intervals × narrow buckets) and bucket
+    * occupancy (wide buckets × many co-residents) balance. accuracy
+    * 10000 ≈ ±0.01 percentile error — the width only needs the right
+    * ORDER OF MAGNITUDE, exactness of the JOIN never depends on it.
+    * The median is taken over POSITIVE lengths only: point intervals
+    * span one bucket at ANY width, so they carry no tuning signal —
+    * but a point-heavy distribution (e.g. single-event sessions) would
+    * otherwise drag the median to 0, and the clamped 1 µs width makes
+    * every long interval explode into billions of buckets (sequence()
+    * refuses, loudly). All-point inputs return 1 — nothing can
+    * explode. The explicit-width [[overlapJoin]] stays as the override
+    * for callers that know their distribution. */
+  def deriveBucketMicros(a: DataFrame, b: DataFrame): Long = {
+    val lens = a.select((col("e") - col("s")).as("len"))
+      .unionAll(b.select((col("e") - col("s")).as("len")))
+      .filter(col("len") > 0L)
+    val m = lens
+      .agg(percentile_approx(col("len"), lit(0.5), lit(10000)).as("m"))
+      .head()
+    math.max(if (m.isNullAt(0)) 1L else m.getLong(0), 1L)
+  }
+
+  /** [[overlapJoin]] with the bucket width derived from the data
+    * (median interval length). Same exact result for ANY positive
+    * width — EdgeCaseSpec pins derived ≡ explicit — so this only
+    * moves the plan's fan-out/fan-in balance, never the rows. */
+  def overlapJoinAuto(a: DataFrame, b: DataFrame): DataFrame =
+    overlapJoin(a, b, deriveBucketMicros(a, b))
+
   def overlapJoin(a: DataFrame, b: DataFrame,
       bucketMicros: Long): DataFrame = {
     require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")

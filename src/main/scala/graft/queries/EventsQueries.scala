@@ -542,10 +542,13 @@ object EventsQueries {
         .select((col("user_id") * 100000L + col("sess")).as("iid"),
           col("user_id"), col("s"), col("e"))
         .localCheckpoint(eager = false)
-      val pairs = graft.ops.Intervals.overlapJoin(
+      // bucket width AUTO-derived (median session length) — the r15
+      // scaladoc's tuning rule made executable; the oracle runs the
+      // quadratic join directly, so a mis-derived width that changed
+      // any row (rather than just the plan's fan-out) would hash-fail
+      val pairs = graft.ops.Intervals.overlapJoinAuto(
         sessions.select(col("iid"), col("s"), col("e")),
-        sessions.select(col("iid"), col("s"), col("e")),
-        bucketMicros = 3600L * 1000000L)
+        sessions.select(col("iid"), col("s"), col("e")))
       pairs
         .join(sessions.select(col("iid").as("a_iid"),
           col("user_id").as("ua")), Seq("a_iid"))

@@ -129,4 +129,19 @@ class ClusterSpec extends SparkTestBase {
       shingleK = 3, minShared = 3, maxDf = 5)
     assert(edges.count() === 0L)
   }
+
+  test("representatives keep one root per cluster plus every unclustered doc") {
+    val corpus = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"),   // cluster {1,2,3}, root 1
+      (7L, "d"), (9L, "e"),              // cluster {7,9}, root 7
+      (5L, "f"), (6L, "g"))              // unclustered
+      .toDF("doc_id", "text")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("node", "root")
+    val reps = DedupCluster.representatives(corpus, "doc_id", comp)
+    assert(reps.select("doc_id").as[Long].collect().toSet ===
+      Set(1L, 7L, 5L, 6L))
+    // schema unchanged — the helper column never leaks
+    assert(reps.schema.fieldNames.toSeq === Seq("doc_id", "text"))
+  }
 }

@@ -435,4 +435,28 @@ class EdgeCaseSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(self === Seq((1L, 2L, 150L)))
   }
+
+  test("interval overlap join: auto-derived bucket width gives the same rows as any explicit width") {
+    import spark.implicits._
+    // skewed lengths on purpose: one interval spanning the whole range
+    // among many short ones — the distribution where a mis-set width
+    // hurts most; the RESULT must not depend on it at all
+    val a = (Seq((100L, 0L, 100000L)) ++
+      (1L to 40L).map(i => (i, i * 1000L, i * 1000L + 500L))).toDF("iid", "s", "e")
+    val b = (1L to 40L).map(i => (200L + i, i * 1700L, i * 1700L + 900L))
+      .toDF("iid", "s", "e")
+    val w = graft.ops.Intervals.deriveBucketMicros(a, b)
+    // the median of 80 short lengths (500/900) plus one huge one
+    assert(w >= 500L && w <= 900L, s"derived width $w")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val auto = rows(graft.ops.Intervals.overlapJoinAuto(a, b))
+    assert(auto === rows(graft.ops.Intervals.overlapJoin(a, b, 100L)))
+    assert(auto === rows(graft.ops.Intervals.overlapJoin(a, b, 50000L)))
+    // degenerate input (all zero-length) clamps to a positive width
+    val z = Seq((1L, 5L, 5L), (2L, 5L, 5L)).toDF("iid", "s", "e")
+    assert(graft.ops.Intervals.deriveBucketMicros(z, z) === 1L)
+    assert(graft.ops.Intervals.overlapJoinAuto(z, z)
+      .filter(col("a_iid") < col("b_iid")).count() === 1L)
+  }
 }
