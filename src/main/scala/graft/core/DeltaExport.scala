@@ -632,8 +632,14 @@ object DeltaExport {
       s"fromVersion $fromVersion must precede toVersion $toVersion")
     val stFrom = snapshotState(spark, dir, Some(fromVersion))
     val stTo = snapshotState(spark, dir, Some(toVersion))
-    val removed = (stFrom.live -- stTo.live).toSeq
-    val added = (stTo.live -- stFrom.live).toSeq
+    // a file live in BOTH versions counts as changed when its deletion
+    // vector differs — its rows changed without the file moving, so its
+    // pre-image scans DV-filtered at v1 and its post-image at v2 (a
+    // DV-only delete classifies as `delete`, per CDF semantics)
+    val dvChanged = stFrom.live.toSet.intersect(stTo.live.toSet)
+      .filter(f => stFrom.dvs.get(f) != stTo.dvs.get(f))
+    val removed = (stFrom.live -- stTo.live ++ dvChanged).toSeq
+    val added = (stTo.live -- stFrom.live ++ dvChanged).toSeq
     val toSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(stTo.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -645,9 +651,9 @@ object DeltaExport {
       s"columns ${extinct.mkString(",")} of v$fromVersion are gone in " +
         s"v$toVersion — a snapshot diff cannot represent a dropped column")
     val pre0 = scanFiles(spark, dir, stFrom.meta, removed,
-      Some(fromVersion), stFrom.pvals.toMap)
+      Some(fromVersion), stFrom.pvals.toMap, stFrom.dvs.toMap)
     val post = scanFiles(spark, dir, stTo.meta, added,
-      Some(toVersion), stTo.pvals.toMap)
+      Some(toVersion), stTo.pvals.toMap, stTo.dvs.toMap)
     val pre = toSchema.fields
       .filterNot(f => fromSchema.fieldNames.contains(f.name))
       .foldLeft(pre0)((d, f) =>
@@ -751,6 +757,8 @@ object DeltaExport {
     val v = latestVersion(dir) + 1
     val now = snapshotState(spark, dir, None)
     val then_ = snapshotState(spark, dir, Some(versionAsOf))
+    requireNoDvs(now, "RESTORE")
+    requireNoDvs(then_, "RESTORE (target snapshot)")
     val gone = then_.live.toSeq
       .filterNot(f => Files.isRegularFile(Paths.get(dir, f)))
     require(gone.isEmpty,
@@ -866,6 +874,7 @@ object DeltaExport {
     require(keyCols.nonEmpty, "keyCols is empty")
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
+    requireNoDvs(snap, "MERGE")
     val pcols = partitionColumnsOf(snap.meta)
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
@@ -1020,6 +1029,7 @@ object DeltaExport {
         "compaction would destroy the layout")
     val live = snap.live.toSeq
     require(live.nonEmpty, "nothing to optimize — no live files")
+    requireNoDvs(snap, "OPTIMIZE")
     val df = scanFiles(spark, dir, snap.meta, live, None)
     val shaped =
       if (zorderBy.isEmpty) df.repartition(targetFiles)
@@ -1070,6 +1080,7 @@ object DeltaExport {
     require(badZ.isEmpty,
       s"zorderBy column(s) ${badZ.mkString(", ")} are partition columns — " +
         "constant within every output file, they cannot cluster anything")
+    requireNoDvs(snap, "OPTIMIZE")
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -1172,6 +1183,13 @@ object DeltaExport {
     // appId -> highest committed writer txn version (the protocol's
     // `txn` action — the idempotent-writer watermark)
     val txns = scala.collection.mutable.Map.empty[String, Long]
+    // path -> the add action's deletionVector descriptor (reader
+    // feature `deletionVectors`): rows at the DV's positions are
+    // logically deleted and must be filtered at scan. A re-add
+    // WITHOUT a descriptor clears it (the rewrite materialized the
+    // deletes), exactly like stats.
+    val dvs = scala.collection.mutable
+      .Map.empty[String, DeletionVectors.Descriptor]
   }
 
   // the stats field is a JSON STRING inside the add action (escaped);
@@ -1232,8 +1250,7 @@ object DeltaExport {
       StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
     lines.foreach { l =>
       if (l.startsWith("""{"protocol""""))
-        require(l.contains(""""minReaderVersion":1"""),
-          s"unsupported reader protocol at v$v: $l")
+        checkReaderProtocol(l, s"at v$v")
       else if (l.startsWith("""{"metaData"""")) st.meta = l
       else if (l.startsWith("""{"txn"""")) {
         val appRe = """"appId":"((?:[^"\\]|\\.)+)"""".r
@@ -1251,13 +1268,68 @@ object DeltaExport {
           case Some(m) => st.stats(p) = unescapeJson(m.group(1))
           case None => st.stats -= p // a re-add without stats supersedes
         }
+        DeletionVectors.descriptorOf(l) match {
+          case Some(d) => st.dvs(p) = d
+          case None => st.dvs -= p // a re-add without a DV supersedes
+        }
       } else if (l.startsWith("""{"remove"""")) {
         val p = pathOf(l, "remove")
         st.live -= p
         st.stats -= p
+        st.dvs -= p
       }
     }
   }
+
+  /** Reader protocol gate: minReaderVersion 1 is native; version 3 is
+    * accepted when every declared readerFeature is one this consumer
+    * implements (currently `deletionVectors`). Everything else is
+    * refused BY NAME — "unsupported protocol 2" tells an operator
+    * nothing; "column mapping" names the missing capability. */
+  private def checkReaderProtocol(l: String, where: String): Unit = {
+    val mrvRe = """"minReaderVersion":(\d+)""".r
+    val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
+    val mrv = mrvRe.findFirstMatchIn(l).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"protocol action without minReaderVersion $where: $l"))
+    mrv match {
+      case 1 => ()
+      case 2 => throw new IllegalArgumentException(
+        s"unsupported reader protocol $where: minReaderVersion 2 — " +
+          "the table uses COLUMN MAPPING, which this reader does not implement")
+      case 3 =>
+        // v3 REQUIRES the readerFeatures list (table features protocol);
+        // its absence is malformed, not "no features"
+        val rf = rfRe.findFirstMatchIn(l)
+        require(rf.isDefined,
+          s"malformed protocol $where: minReaderVersion 3 without " +
+            s"readerFeatures: $l")
+        val feats = rf
+          .map(m => jsonStrRe.findAllMatchIn(m.group(1))
+            .map(e => unescapeJson(e.group(1))).toSet)
+          .getOrElse(Set.empty[String])
+        val unsupported = (feats - "deletionVectors").toSeq.sorted
+        if (unsupported.nonEmpty) throw new IllegalArgumentException(
+          s"unsupported reader feature(s) $where: " +
+            s"${unsupported.mkString(", ")} — this reader implements " +
+            "only deletionVectors")
+      case other => throw new IllegalArgumentException(
+        s"unsupported reader protocol $where: minReaderVersion $other")
+    }
+  }
+
+  /** Refuse a WRITE against a table whose live snapshot carries
+    * deletion vectors: every graft mutator rewrites or references
+    * whole files, and treating a DV-carrying file as fully live would
+    * resurrect its deleted rows into the output. Writing such tables
+    * is writer-feature territory (writerFeatures `deletionVectors`);
+    * the READ side applies DVs in full. */
+  private def requireNoDvs(st: ReplayState, op: String): Unit =
+    require(st.dvs.isEmpty,
+      s"$op on a table with live DELETION VECTORS is not supported — " +
+        s"${st.dvs.size} live file(s) carry deletionVector actions " +
+        s"(e.g. ${st.dvs.keys.toSeq.sorted.take(3).mkString(", ")}); " +
+        "reads apply them, writes would resurrect the deleted rows")
 
   /** Read a Delta table THROUGH ITS LOG — the consumer side of the
     * protocol: verify every protocol action is one this reader
@@ -1277,7 +1349,7 @@ object DeltaExport {
     require(st.live.nonEmpty,
       s"no live files at version ${versionAsOf.getOrElse("latest")}")
     scanFiles(spark, dir, st.meta, st.live.toSeq, versionAsOf,
-      st.pvals.toMap)
+      st.pvals.toMap, st.dvs.toMap)
   }
 
   /** Scan exactly `files` with the logged schema. For a PARTITIONED
@@ -1290,7 +1362,8 @@ object DeltaExport {
     * logged types, and the groups union back in logged column order. */
   private def scanFiles(spark: SparkSession, dir: String, meta: String,
       files: Seq[String], versionAsOf: Option[Long],
-      pvals: Map[String, Map[String, String]] = Map.empty): DataFrame = {
+      pvals: Map[String, Map[String, String]] = Map.empty,
+      dvs: Map[String, DeletionVectors.Descriptor] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(meta))
@@ -1302,12 +1375,36 @@ object DeltaExport {
         s"reconstructible — add-listed file(s) vacuumed or missing: " +
         gone.mkString(", "))
     val pcols = partitionColumnsOf(meta)
+    // a file with a deletion vector scans ALONE with the parquet row
+    // index attached, anti-joined against its DV's deleted positions —
+    // per the protocol, the DV indexes rows by their position within
+    // that one file. The positions decode once on the driver (bounded
+    // by one file's row count) and distribute as a join side; DV-free
+    // files scan in bulk exactly as before.
+    def dvFilter(base: DataFrame, f: String,
+        outCols: Seq[String]): DataFrame = {
+      import spark.implicits._
+      val deleted = DeletionVectors.positions(dir, dvs(f)).toSeq
+        .toDF("__dv_pos")
+      base
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(deleted, Seq("__dv_pos"), "left_anti")
+        .select(outCols.map(col): _*)
+    }
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else if (pcols.isEmpty)
-      spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
-    else {
+    else if (pcols.isEmpty) {
+      val (dvFiles, plain) = files.partition(dvs.contains)
+      val parts =
+        (if (plain.nonEmpty)
+          Seq(spark.read.schema(schema).parquet(plain.map(f => s"$dir/$f"): _*))
+        else Nil) ++
+        dvFiles.sorted.map(f => dvFilter(
+          spark.read.schema(schema).parquet(s"$dir/$f"), f,
+          schema.fieldNames.toSeq))
+      parts.reduce(_.unionByName(_))
+    } else {
       val dataSchema = org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(f => pcols.contains(f.name)))
       val groups = files.groupBy { f =>
@@ -1317,8 +1414,16 @@ object DeltaExport {
       groups.toSeq
         .sortBy(_._1.mkString("/"))
         .map { case (vals, fs) =>
-          val base = spark.read.schema(dataSchema)
-            .parquet(fs.sorted.map(f => s"$dir/$f"): _*)
+          val (dvFiles, plain) = fs.partition(dvs.contains)
+          val parts =
+            (if (plain.nonEmpty)
+              Seq(spark.read.schema(dataSchema)
+                .parquet(plain.sorted.map(f => s"$dir/$f"): _*))
+            else Nil) ++
+            dvFiles.sorted.map(f => dvFilter(
+              spark.read.schema(dataSchema).parquet(s"$dir/$f"), f,
+              dataSchema.fieldNames.toSeq))
+          val base = parts.reduce(_.unionByName(_))
           pcols.zip(vals).foldLeft(base) { case (d, (c, v)) =>
             d.withColumn(c, lit(v).cast(schema(c).dataType))
           }
@@ -1353,7 +1458,8 @@ object DeltaExport {
       val pv = st.pvals.getOrElse(f, hivePartitionValues(f))
       filters.forall { case (k, v) => pv.contains(k) && pv(k) == v }
     }
-    (scanFiles(spark, dir, st.meta, keep, versionAsOf, st.pvals.toMap),
+    (scanFiles(spark, dir, st.meta, keep, versionAsOf, st.pvals.toMap,
+      st.dvs.toMap),
       keep.size, files.size)
   }
 
@@ -1390,8 +1496,12 @@ object DeltaExport {
         StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
       lines.foreach { l =>
         val dataChange = dcRe.findFirstMatchIn(l).forall(_.group(1) == "true")
-        if (l.startsWith("""{"add"""") && dataChange)
+        if (l.startsWith("""{"add"""") && dataChange) {
+          require(DeletionVectors.descriptorOf(l).isEmpty,
+            s"commit v$v adds a file with a DELETION VECTOR — that is a " +
+              "row-level rewrite, not an append; use deltaChangesBetween")
           newFiles += pathOf(l, "add")
+        }
         else if (l.startsWith("""{"remove"""") && dataChange)
           throw new IllegalStateException(
             s"commit v$v removes data (overwrite/delete) — the append-only " +
@@ -1450,7 +1560,8 @@ object DeltaExport {
     val candidates = parsed.filter(keep).select(col("path"))
       .collect().map(_.getString(0)).toSeq.sorted
     val out = scanFiles(spark, dir, st.meta, candidates, versionAsOf,
-        st.pvals.toMap)
+        st.pvals.toMap,
+      st.dvs.toMap)
       .filter(col(bandCol).between(lit(lo), lit(hi)))
     (out, candidates.size, files.size)
   }
@@ -1552,6 +1663,10 @@ object DeltaExport {
     require(parts >= 1, "parts must be >= 1")
     val v = latestVersion(dir)
     val snap = snapshotState(spark, dir, None)
+    // a graft checkpoint row carries no deletionVector column, so
+    // checkpointing a DV-carrying snapshot would silently DROP the
+    // vectors and resurrect their deleted rows after log expiry
+    requireNoDvs(snap, "CHECKPOINT")
     val (meta, files) = (snap.meta, snap.live.toSeq)
     val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
     val ctRe = """"createdTime":(\d+)""".r
@@ -1654,8 +1769,19 @@ object DeltaExport {
         if (i >= 0 && !r.isNullAt(i)) Some(r.getStruct(i)) else None
       }
       struct("protocol").foreach { p =>
-        require(p.getAs[Int]("minReaderVersion") == 1,
-          s"unsupported reader protocol in checkpoint v$v")
+        // same gate as the JSON replay: v1 native, v3 accepted iff
+        // every reader feature is implemented, everything else refused
+        // BY NAME. The row is re-rendered as a protocol line so one
+        // checker owns the policy.
+        val rfIdx = p.schema.fieldNames.indexOf("readerFeatures")
+        val rf =
+          if (rfIdx >= 0 && !p.isNullAt(rfIdx))
+            p.getSeq[String](rfIdx).map(f => s""""${esc(f)}"""")
+              .mkString(""","readerFeatures":[""", ",", "]")
+          else ""
+        checkReaderProtocol(
+          s"""{"protocol":{"minReaderVersion":${p.getAs[Int]("minReaderVersion")}$rf}}""",
+          s"in checkpoint v$v")
       }
       struct("metaData").foreach { m =>
         def str(f: String) = m.getAs[String](f)
@@ -1678,6 +1804,24 @@ object DeltaExport {
           st.pvals(p) = a.getMap[String, String](pvIdx).toMap
         val si = a.schema.fieldNames.indexOf("stats")
         if (si >= 0 && !a.isNullAt(si)) st.stats(p) = a.getString(si)
+        // a foreign checkpoint may carry per-file deletionVector
+        // structs — parse them into the same descriptor the JSON
+        // replay produces, so a checkpointed DV table reads correctly
+        val dvIdx = a.schema.fieldNames.indexOf("deletionVector")
+        if (dvIdx >= 0 && !a.isNullAt(dvIdx)) {
+          val d = a.getStruct(dvIdx)
+          def optLong(f: String): Option[Long] = {
+            val i = d.schema.fieldNames.indexOf(f)
+            if (i >= 0 && !d.isNullAt(i)) Some(d.getAs[Number](i).longValue)
+            else None
+          }
+          st.dvs(p) = DeletionVectors.Descriptor(
+            d.getAs[String]("storageType"),
+            d.getAs[String]("pathOrInlineDv"),
+            optLong("offset"),
+            optLong("sizeInBytes").getOrElse(-1L),
+            optLong("cardinality").getOrElse(-1L))
+        }
       }
       struct("txn").foreach { t =>
         val app = t.getAs[String]("appId")
