@@ -1227,4 +1227,55 @@ object Similarity {
       .filter(col("__rk") <= perCell)
       .select(col("centroid_id"), col("id"))
   }
+
+  /** Final-round assignment of the ORACLE-EXACT micros trainer — the
+    * (vid, cid) relation after `iters` assign/recompute rounds of
+    * [[kmeansTelemetryMicros]]'s loop (same quantization, seeding,
+    * integer distances and (dist, cid) tie-break), exposed so samplers
+    * can consume the cell structure itself rather than its telemetry. */
+  def kmeansAssignmentsMicros(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k and iters must be >= 1: $k, $iters")
+    val x = microComponents(corpus, vecCol, idCol)
+      .localCheckpoint(eager = false)
+    var cents = kmeansSeedCentroidsMicros(corpus, vecCol, idCol, k)
+      .localCheckpoint(eager = false)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assignMicros(x, cents).localCheckpoint(eager = false)
+      cents = x.join(assigned.select(col("vid"), col("cid")), Seq("vid"))
+        .groupBy(col("cid"), col("d"))
+        .agg(round(sum(col("xm")).cast("double") / count(lit(1)))
+          .cast("long").as("cm"))
+        .localCheckpoint(eager = false)
+    }
+    assigned.select(col("vid"), col("cid"))
+  }
+
+  /** Cluster-balanced diversity sampling over the EXACT-integer cell
+    * structure — the oracle-carrying twin of [[diversitySample]]. The
+    * served path assigns by double cosine against `kmeansCentroids`'
+    * double averages, whose cross-partition partial sums are not
+    * bit-replayable in a second engine; this twin trains and assigns
+    * in the q147 micros algebra (every step exact-integer or one
+    * shared IEEE op) and orders each cell by the Knuth multiplicative
+    * hash (the q55 replayable-hash discipline — xxhash64 keys the
+    * production path, arithmetic keys the oracle), so DuckDB can
+    * refit the model, re-derive every cell, and replay the takes row
+    * for row. Quota semantics are identical: at most `perCell` ids
+    * per cell, hash-ordered, id tie-break, deterministic. */
+  def diversitySampleMicros(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, perCell: Int): DataFrame = {
+    require(perCell > 0, "perCell must be positive")
+    val assigned =
+      kmeansAssignmentsMicros(corpus, vecCol, idCol, k, iters)
+    val knuth = ((col("vid") % 2147483648L) * lit(2654435761L)) % 4294967296L
+    val w = Window.partitionBy(col("cid")).orderBy(knuth, col("vid"))
+    assigned
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perCell)
+      .select(col("cid").as("centroid_id"), col("vid").as("id"))
+  }
 }

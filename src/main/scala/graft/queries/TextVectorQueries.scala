@@ -3170,6 +3170,60 @@ object TextVectorQueries {
       CAST(NULL AS BIGINT) AS id,
       CAST(NULL AS VARCHAR) AS kind WHERE 1 = 0"""))
 
+  /** ORACLE-EXACT diversity sample ([[Similarity.diversitySampleMicros]],
+    * k = 8, two Lloyd rounds, ≤ 20 per cell): the full hash-gated twin
+    * of q107 — DuckDB REFITS the micros k-means (the q147 unrolled
+    * chain), re-derives every vector's cell with the same (dist, cid)
+    * argmin, replays the Knuth-hash cell order, and emits the identical
+    * take rows. q107 itself stays the SERVED path (published centroid
+    * index, double-cosine assignment) with its q107b invariants
+    * contract: its trainer's cross-partition double averages are not
+    * bit-replayable in a second engine, which is precisely why the
+    * exact family exists. A defect anywhere — seeding, distance
+    * algebra, tie-break, quota, hash order — hash-fails a row here. */
+  val q107cDiversitySampleExact = GraftQuery(
+    "q107c_diversity_sample_exact", { (s, dir) =>
+      Similarity.diversitySampleMicros(embeds(s, dir), "embedding",
+          "vec_id", k = 8, iters = 2, perCell = 20)
+        .orderBy(col("centroid_id"), col("id"))
+    },
+    Some("""WITH x AS (SELECT vec_id,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+            AS xm,
+          unnest(generate_series(1, len(embedding))) AS d
+        FROM embeddings),
+      seeds AS (SELECT vec_id,
+          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      c0 AS (SELECT s.cid, x.d, x.xm AS cm
+        FROM x JOIN seeds s USING (vec_id)),
+      d1 AS (SELECT x.vec_id, c.cid,
+          CAST(sum((x.xm - c.cm) * (x.xm - c.cm)) AS BIGINT) AS dist
+        FROM x JOIN c0 c USING (d) GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+              AS rn
+          FROM d1) WHERE rn = 1),
+      c1 AS (SELECT a.cid, x.d,
+          CAST(round(CAST(sum(x.xm) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+        FROM x JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+      d2 AS (SELECT x.vec_id, c.cid,
+          CAST(sum((x.xm - c.cm) * (x.xm - c.cm)) AS BIGINT) AS dist
+        FROM x JOIN c1 c USING (d) GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+              AS rn
+          FROM d2) WHERE rn = 1),
+      ord AS (SELECT cid AS centroid_id, vec_id AS id,
+          row_number() OVER (PARTITION BY cid
+            ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296,
+              vec_id) AS rk
+        FROM a2)
+      SELECT centroid_id, id FROM ord WHERE rk <= 20
+      ORDER BY centroid_id, id"""))
+
   /** Leakage-safe train/test split (oracle-checked): assign whole
     * near-duplicate CLUSTERS to splits — the component root's hash, not
     * the document's — so no near-dup pair ever straddles train/test.
@@ -4796,7 +4850,7 @@ object TextVectorQueries {
     q119dBpeDocPricing, q120SourceDrift,
     q34cAnnLshProjected,
     q105bBm25TopK, q105cHybridRrfAnn, q106LeakageSafeSplit,
-    q107DiversitySample, q107bDiversityContract,
+    q107DiversitySample, q107bDiversityContract, q107cDiversitySampleExact,
     q133OovRate, q134NgramDiversity, q135ZipfSlope, q51bCanonicalKeep,
     q51cDedupClustersWinnowed, q51dWinnowClusterContract,
     q51eDedupClustersLsh, q51fLshStarPairContract,
