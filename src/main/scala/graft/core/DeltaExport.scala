@@ -390,6 +390,7 @@ object DeltaExport {
       dir: String): Long = {
     val v = latestVersion(dir) + 1
     val meta = snapshotState(spark, dir, None).meta
+    requireNoColumnMapping(meta, "APPEND")
     val pcols = partitionColumnsOf(meta)
     require(pcols.nonEmpty,
       "table is not partitioned — use appendDeltaTable")
@@ -544,6 +545,7 @@ object DeltaExport {
     // refuse loudly instead (schema evolution is a deliberate metaData
     // commit, not an accidental append)
     val appendMeta = snapshotState(spark, dir, None).meta
+    requireNoColumnMapping(appendMeta, "APPEND")
     require(partitionColumnsOf(appendMeta).isEmpty,
       "table is partitioned — use appendDeltaTablePartitioned (a flat " +
         "append would write files the partition-aware reader cannot place)")
@@ -571,6 +573,7 @@ object DeltaExport {
   def overwriteDeltaTable(spark: SparkSession, df: DataFrame, dir: String): Long = {
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
+    requireNoColumnMapping(snap.meta, "OVERWRITE")
     require(partitionColumnsOf(snap.meta).isEmpty,
       "table is partitioned — a flat overwrite would drop the partition " +
         "layout the reader re-attaches columns from; re-create the table " +
@@ -759,6 +762,8 @@ object DeltaExport {
     val then_ = snapshotState(spark, dir, Some(versionAsOf))
     requireNoDvs(now, "RESTORE")
     requireNoDvs(then_, "RESTORE (target snapshot)")
+    requireNoColumnMapping(now.meta, "RESTORE")
+    requireNoColumnMapping(then_.meta, "RESTORE")
     val gone = then_.live.toSeq
       .filterNot(f => Files.isRegularFile(Paths.get(dir, f)))
     require(gone.isEmpty,
@@ -806,6 +811,7 @@ object DeltaExport {
       newSchema: org.apache.spark.sql.types.StructType): Long = {
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
+    requireNoColumnMapping(snap.meta, "ADD COLUMNS")
     val old = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -875,6 +881,7 @@ object DeltaExport {
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
     requireNoDvs(snap, "MERGE")
+    requireNoColumnMapping(snap.meta, "MERGE")
     val pcols = partitionColumnsOf(snap.meta)
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
@@ -1030,6 +1037,7 @@ object DeltaExport {
     val live = snap.live.toSeq
     require(live.nonEmpty, "nothing to optimize — no live files")
     requireNoDvs(snap, "OPTIMIZE")
+    requireNoColumnMapping(snap.meta, "OPTIMIZE")
     val df = scanFiles(spark, dir, snap.meta, live, None)
     val shaped =
       if (zorderBy.isEmpty) df.repartition(targetFiles)
@@ -1081,6 +1089,7 @@ object DeltaExport {
       s"zorderBy column(s) ${badZ.mkString(", ")} are partition columns — " +
         "constant within every output file, they cannot cluster anything")
     requireNoDvs(snap, "OPTIMIZE")
+    requireNoColumnMapping(snap.meta, "OPTIMIZE")
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -1294,9 +1303,9 @@ object DeltaExport {
         s"protocol action without minReaderVersion $where: $l"))
     mrv match {
       case 1 => ()
-      case 2 => throw new IllegalArgumentException(
-        s"unsupported reader protocol $where: minReaderVersion 2 — " +
-          "the table uses COLUMN MAPPING, which this reader does not implement")
+      // v2 = column mapping; supported at scan for mode 'name' (an
+      // 'id'-mode table is refused by name when its metaData is read)
+      case 2 => ()
       case 3 =>
         // v3 REQUIRES the readerFeatures list (table features protocol);
         // its absence is malformed, not "no features"
@@ -1308,11 +1317,12 @@ object DeltaExport {
           .map(m => jsonStrRe.findAllMatchIn(m.group(1))
             .map(e => unescapeJson(e.group(1))).toSet)
           .getOrElse(Set.empty[String])
-        val unsupported = (feats - "deletionVectors").toSeq.sorted
+        val unsupported =
+          (feats -- Set("deletionVectors", "columnMapping")).toSeq.sorted
         if (unsupported.nonEmpty) throw new IllegalArgumentException(
           s"unsupported reader feature(s) $where: " +
             s"${unsupported.mkString(", ")} — this reader implements " +
-            "only deletionVectors")
+            "only deletionVectors and columnMapping")
       case other => throw new IllegalArgumentException(
         s"unsupported reader protocol $where: minReaderVersion $other")
     }
@@ -1330,6 +1340,67 @@ object DeltaExport {
         s"${st.dvs.size} live file(s) carry deletionVector actions " +
         s"(e.g. ${st.dvs.keys.toSeq.sorted.take(3).mkString(", ")}); " +
         "reads apply them, writes would resurrect the deleted rows")
+
+  // ---- column mapping (reader protocol v2 / table feature) ----
+
+  /** The table's column-mapping mode, from metaData.configuration:
+    * "none" (default), "name" (supported — parquet columns are stored
+    * under per-field physical names), or "id" (refused by name at
+    * scan: parquet field-id matching is not implemented). The regex
+    * cannot false-match the schemaString's own copy of the key — that
+    * copy is JSON-escaped (backslashed quotes), this pattern requires
+    * bare ones. */
+  private val cmModeRe = """"delta\.columnMapping\.mode":"(\w+)"""".r
+  private def columnMappingMode(meta: String): String =
+    cmModeRe.findFirstMatchIn(meta).map(_.group(1)).getOrElse("none")
+
+  /** logical field name -> physical parquet name, from the
+    * schemaString's per-field `delta.columnMapping.physicalName`
+    * metadata (a field without one keeps its display name — the
+    * protocol's pre-upgrade columns). NESTED mapped fields are
+    * refused by name: graft maps top-level columns; silently ignoring
+    * a nested physicalName would read the wrong nested data. */
+  private def physicalNames(
+      schema: org.apache.spark.sql.types.StructType,
+      mode: String): Map[String, String] = {
+    import org.apache.spark.sql.types._
+    val key = "delta.columnMapping.physicalName"
+    if (mode == "none") return schema.fieldNames.map(n => n -> n).toMap
+    def nestedMapped(dt: DataType): Boolean = dt match {
+      case st: StructType => st.fields.exists(f =>
+        f.metadata.contains(key) || nestedMapped(f.dataType))
+      case a: ArrayType => nestedMapped(a.elementType)
+      case m: MapType => nestedMapped(m.keyType) || nestedMapped(m.valueType)
+      case _ => false
+    }
+    schema.fields.map { f =>
+      require(!nestedMapped(f.dataType),
+        s"NESTED COLUMN MAPPING inside field '${f.name}' is not " +
+          "supported — only top-level physical names are mapped")
+      f.name -> (if (f.metadata.contains(key)) f.metadata.getString(key)
+                 else f.name)
+    }.toMap
+  }
+
+  /** Translate an add action's partitionValues (keyed by PHYSICAL
+    * names under column mapping, per the protocol) back to logical
+    * column names. Identity when the table is unmapped. */
+  private def logicalPvals(pv: Map[String, String],
+      phys: Map[String, String]): Map[String, String] = {
+    val inv = phys.collect { case (l, p) if l != p => p -> l }
+    if (inv.isEmpty) pv else pv.map { case (k, v) => inv.getOrElse(k, k) -> v }
+  }
+
+  /** Refuse a WRITE against a column-mapped table: every graft writer
+    * emits display-named parquet and display-keyed partitionValues,
+    * which under mapping would interleave unreadable files into the
+    * table. Reads map physical names in full ('name' mode). */
+  private def requireNoColumnMapping(meta: String, op: String): Unit = {
+    val m = columnMappingMode(meta)
+    require(m == "none",
+      s"$op on a COLUMN-MAPPED table (mode '$m') is not supported — " +
+        "graft writers emit display-named files; reads map physical names")
+  }
 
   /** Read a Delta table THROUGH ITS LOG — the consumer side of the
     * protocol: verify every protocol action is one this reader
@@ -1375,6 +1446,22 @@ object DeltaExport {
         s"reconstructible — add-listed file(s) vacuumed or missing: " +
         gone.mkString(", "))
     val pcols = partitionColumnsOf(meta)
+    // column mapping ('name' mode): parquet stores columns under the
+    // schemaString's per-field physical names — read physically,
+    // rename to logical right after the scan; 'id' mode (field-id
+    // footer matching) is refused by name
+    val cmMode = columnMappingMode(meta)
+    require(cmMode == "none" || cmMode == "name",
+      s"unsupported COLUMN MAPPING mode '$cmMode' — only 'name' (and " +
+        "none) is implemented; 'id' needs parquet field-id matching")
+    val phys = physicalNames(schema, cmMode)
+    def physSchema(s: org.apache.spark.sql.types.StructType) =
+      org.apache.spark.sql.types.StructType(
+        s.fields.map(f => f.copy(name = phys(f.name))))
+    def toLogical(df: DataFrame,
+        s: org.apache.spark.sql.types.StructType): DataFrame =
+      if (cmMode == "none") df
+      else df.select(s.fieldNames.map(n => col(phys(n)).as(n)).toIndexedSeq: _*)
     // a file with a deletion vector scans ALONE with the parquet row
     // index attached, anti-joined against its DV's deleted positions —
     // per the protocol, the DV indexes rows by their position within
@@ -1396,19 +1483,22 @@ object DeltaExport {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (pcols.isEmpty) {
       val (dvFiles, plain) = files.partition(dvs.contains)
+      val rs = physSchema(schema)
       val parts =
         (if (plain.nonEmpty)
-          Seq(spark.read.schema(schema).parquet(plain.map(f => s"$dir/$f"): _*))
+          Seq(spark.read.schema(rs).parquet(plain.map(f => s"$dir/$f"): _*))
         else Nil) ++
         dvFiles.sorted.map(f => dvFilter(
-          spark.read.schema(schema).parquet(s"$dir/$f"), f,
-          schema.fieldNames.toSeq))
-      parts.reduce(_.unionByName(_))
+          spark.read.schema(rs).parquet(s"$dir/$f"), f,
+          rs.fieldNames.toSeq))
+      toLogical(parts.reduce(_.unionByName(_)), schema)
     } else {
       val dataSchema = org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(f => pcols.contains(f.name)))
+      val rs = physSchema(dataSchema)
       val groups = files.groupBy { f =>
-        val pv = pvals.getOrElse(f, hivePartitionValues(f))
+        val pv = logicalPvals(
+          pvals.getOrElse(f, hivePartitionValues(f)), phys)
         pcols.map(c => pv.getOrElse(c, null))
       }
       groups.toSeq
@@ -1417,13 +1507,13 @@ object DeltaExport {
           val (dvFiles, plain) = fs.partition(dvs.contains)
           val parts =
             (if (plain.nonEmpty)
-              Seq(spark.read.schema(dataSchema)
+              Seq(spark.read.schema(rs)
                 .parquet(plain.sorted.map(f => s"$dir/$f"): _*))
             else Nil) ++
             dvFiles.sorted.map(f => dvFilter(
-              spark.read.schema(dataSchema).parquet(s"$dir/$f"), f,
-              dataSchema.fieldNames.toSeq))
-          val base = parts.reduce(_.unionByName(_))
+              spark.read.schema(rs).parquet(s"$dir/$f"), f,
+              rs.fieldNames.toSeq))
+          val base = toLogical(parts.reduce(_.unionByName(_)), dataSchema)
           pcols.zip(vals).foldLeft(base) { case (d, (c, v)) =>
             d.withColumn(c, lit(v).cast(schema(c).dataType))
           }
@@ -1453,9 +1543,14 @@ object DeltaExport {
       s"filter column(s) ${bad.mkString(", ")} are not partition columns " +
         s"(${pcols.mkString(", ")}) — a partition prune on a data column " +
         "would scan nothing it should")
+    val cmPhys = physicalNames(
+      org.apache.spark.sql.types.DataType.fromJson(schemaStringOf(st.meta))
+        .asInstanceOf[org.apache.spark.sql.types.StructType],
+      columnMappingMode(st.meta))
     val files = st.live.toSeq
     val keep = files.filter { f =>
-      val pv = st.pvals.getOrElse(f, hivePartitionValues(f))
+      val pv = logicalPvals(
+        st.pvals.getOrElse(f, hivePartitionValues(f)), cmPhys)
       filters.forall { case (k, v) => pv.contains(k) && pv(k) == v }
     }
     (scanFiles(spark, dir, st.meta, keep, versionAsOf, st.pvals.toMap,
@@ -1667,6 +1762,7 @@ object DeltaExport {
     // checkpointing a DV-carrying snapshot would silently DROP the
     // vectors and resurrect their deleted rows after log expiry
     requireNoDvs(snap, "CHECKPOINT")
+    requireNoColumnMapping(snap.meta, "CHECKPOINT")
     val (meta, files) = (snap.meta, snap.live.toSeq)
     val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
     val ctRe = """"createdTime":(\d+)""".r

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.DeltaExport
+
+/** Column-mapping consumer tests (reader protocol v2 / table feature
+  * `columnMapping`, mode 'name'): parquet stores columns under
+  * per-field physical names carried in the schemaString's metadata;
+  * the reader scans physically and renames to logical. Fixtures are
+  * hand-built protocol-shaped logs, the DeletionVectorSpec posture —
+  * graft itself never writes mapped tables (writers refuse by name). */
+class ColumnMappingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def physField(name: String, dt: DataType, phys: String,
+      id: Long): StructField =
+    StructField(name, dt, nullable = true,
+      new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+
+  private def escJson(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def metaLine(schema: StructType, pcols: Seq[String]): String = {
+    val pc = pcols.map(c => s""""$c"""").mkString(",")
+    s"""{"metaData":{"id":"11111111-2222-3333-4444-555555555555","format":{"provider":"parquet","options":{}},"schemaString":"${escJson(
+        schema.json)}","partitionColumns":[$pc],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"9"},"createdTime":1}}"""
+  }
+
+  private def writeLog(dir: String, v: Long, lines: Seq[String]): Unit = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_delta_log"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+  }
+
+  test("name-mode flat table: physical parquet columns read back under logical names; writers refuse by name") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_flat").toString
+    // the FILES carry physical names
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("col-a1", "col-b2")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      physField("id", LongType, "col-a1", 1L),
+      physField("s", StringType, "col-b2", 2L)))
+    val file = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    writeLog(dir, 0L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(schema, Nil),
+      s"""{"add":{"path":"$file","partitionValues":{},"size":${new java.io.File(dir, file).length},"modificationTime":1,"dataChange":true}}"""))
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "s"))
+    assert(back.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // every writer refuses, naming the feature
+    for ((name, op) <- Seq[(String, () => Any)](
+        ("append", () => DeltaExport.appendDeltaTable(spark,
+          Seq((9L, "z")).toDF("id", "s"), dir)),
+        ("overwrite", () => DeltaExport.overwriteDeltaTable(spark,
+          Seq((9L, "z")).toDF("id", "s"), dir)),
+        ("merge", () => DeltaExport.mergeDeltaTable(spark,
+          Seq((1L, "x")).toDF("id", "s"), dir, Seq("id"))),
+        ("optimize", () => DeltaExport.optimizeDeltaTable(spark, dir)),
+        ("evolve", () => DeltaExport.evolveDeltaTableSchema(spark, dir,
+          schema.add(StructField("extra", LongType, nullable = true)))),
+        ("checkpoint", () => DeltaExport.checkpointDeltaTable(spark, dir)),
+        ("restore", () => DeltaExport.restoreDeltaTable(spark, dir, 0L)))) {
+      val e = intercept[Exception](op())
+      assert(e.getMessage.contains("COLUMN-MAPPED"), s"$name: ${e.getMessage}")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("name-mode partitioned table: physical partition dirs and physical-keyed partitionValues prune on LOGICAL filters") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_part").toString
+    Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "fr"))
+      .toDF("col-a1", "col-b2", "col-p9")
+      .repartition(1).write.partitionBy("col-p9")
+      .mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      physField("id", LongType, "col-a1", 1L),
+      physField("s", StringType, "col-b2", 2L),
+      physField("lang", StringType, "col-p9", 3L)))
+    val rels = {
+      val root = java.nio.file.Paths.get(dir)
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString).toSeq.sorted
+      } finally walk.close()
+    }
+    val adds = rels.map { rel =>
+      val pv = rel.split('/').head.split('=')(1) // physical dir value
+      s"""{"add":{"path":"$rel","partitionValues":{"col-p9":"$pv"},"size":${java.nio.file.Files
+          .size(java.nio.file.Paths.get(dir, rel))},"modificationTime":1,"dataChange":true}}"""
+    }
+    // table-features protocol spelling: v3 + readerFeatures columnMapping
+    writeLog(dir, 0L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      metaLine(schema, Seq("lang"))) ++ adds)
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "s", "lang"))
+    assert(back.orderBy("id").as[(Long, String, String)].collect().toSeq ===
+      Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "fr")))
+    // log-only prune on the LOGICAL column and value
+    val (pruned, cand, live) = DeltaExport.readDeltaTablePartitionPruned(
+      spark, dir, Map("lang" -> "fr"))
+    assert(cand === 1 && live === 2, s"cand=$cand live=$live")
+    assert(pruned.select("id").as[Long].collect().toSeq === Seq(3L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("id-mode and nested mapping refuse by name") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_refuse").toString
+    Seq((1L, "a")).toDF("col-a1", "col-b2")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    val schema = StructType(Seq(
+      physField("id", LongType, "col-a1", 1L),
+      physField("s", StringType, "col-b2", 2L)))
+    def metaWithMode(sch: StructType, mode: String): String =
+      s"""{"metaData":{"id":"11111111-2222-3333-4444-555555555555","format":{"provider":"parquet","options":{}},"schemaString":"${escJson(
+          sch.json)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"$mode"},"createdTime":1}}"""
+    def addLine: String =
+      s"""{"add":{"path":"$file","partitionValues":{},"size":${new java.io.File(dir, file).length},"modificationTime":1,"dataChange":true}}"""
+    writeLog(dir, 0L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaWithMode(schema, "id"), addLine))
+    val idMode = intercept[IllegalArgumentException](
+      DeltaExport.readDeltaTable(spark, dir).collect())
+    assert(idMode.getMessage.contains("COLUMN MAPPING mode 'id'"),
+      idMode.getMessage)
+    // a nested struct whose inner field carries a physicalName
+    val nested = StructType(Seq(
+      physField("id", LongType, "col-a1", 1L),
+      StructField("obj", StructType(Seq(
+        physField("inner", StringType, "col-x7", 4L))), nullable = true)))
+    writeLog(dir, 0L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaWithMode(nested, "name"), addLine))
+    val nst = intercept[IllegalArgumentException](
+      DeltaExport.readDeltaTable(spark, dir).collect())
+    assert(nst.getMessage.contains("NESTED COLUMN MAPPING"), nst.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}

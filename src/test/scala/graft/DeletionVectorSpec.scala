@@ -144,12 +144,12 @@ class DeletionVectorSpec extends SparkTestBase {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json"),
         (lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    // column mapping (reader v2) — named, not just numbered
+    // reader v2 (column mapping) is SUPPORTED since round 16 — with no
+    // mapping configured the table reads as-is (ColumnMappingSpec holds
+    // the mapped-read and id-mode/nested refusal coverage)
     writeCommit(1, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""))
-    val cm = intercept[IllegalArgumentException](
-      DeltaExport.readDeltaTable(spark, dir))
-    assert(cm.getMessage.contains("COLUMN MAPPING"), cm.getMessage)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 2L)
     // v3 with a feature beyond deletionVectors — named
     writeCommit(1, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}"""))
