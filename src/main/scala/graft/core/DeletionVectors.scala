@@ -227,9 +227,11 @@ object DeletionVectors {
   }
 
   /** Serialize sorted non-negative positions as a portable
-    * RoaringBitmapArray (array containers only — the writer side used
-    * by spec fixtures; real writers pick container types by density,
-    * which the READER above handles in full). */
+    * RoaringBitmapArray (no-run cookie; ARRAY containers up to 4096
+    * values per 16-bit key, BITMAP containers past that — the density
+    * rule of the format). The writer side of the DV-writing DELETE and
+    * the spec fixtures; the reader above additionally handles run
+    * containers other writers emit. */
   def serializePortable(positions: Seq[Long]): Array[Byte] = {
     require(positions.forall(_ >= 0), "positions must be non-negative")
     val sorted = positions.distinct.sorted
@@ -246,17 +248,25 @@ object DeletionVectors {
     (0L until nBitmaps).foreach { bm =>
       val vals = map.getOrElse(bm, Seq.empty).map(v => (v & 0xffffffffL).toInt)
       val byKey = vals.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
-      byKey.foreach { case (_, vs) =>
-        require(vs.size <= 4096,
-          "fixture serializer only emits array containers (<= 4096 values per 16-bit key)")
-      }
       w32(SerialCookieNoRuns)
       w32(byKey.size)
       byKey.foreach { case (k, vs) => w16(k); w16(vs.size - 1) }
       // offset header (mandatory with the no-run cookie)
       var off = 4 + 4 + 4 * byKey.size + 4 * byKey.size
-      byKey.foreach { case (_, vs) => w32(off); off += 2 * vs.size }
-      byKey.foreach { case (_, vs) => vs.foreach(v => w16(v & 0xffff)) }
+      byKey.foreach { case (_, vs) =>
+        w32(off); off += (if (vs.size <= 4096) 2 * vs.size else 8192)
+      }
+      byKey.foreach { case (_, vs) =>
+        if (vs.size <= 4096) vs.foreach(v => w16(v & 0xffff))
+        else {
+          val words = new Array[Long](1024)
+          vs.foreach { v =>
+            val low = v & 0xffff
+            words(low / 64) |= (1L << (low % 64))
+          }
+          words.foreach(w64)
+        }
+      }
     }
     bos.toByteArray
   }

@@ -904,31 +904,7 @@ object DeltaExport {
     // live-partition group scans with the data schema plus literal
     // partition values (the scanFiles rule) — with the file name kept
     // for touched-file detection
-    val target =
-      if (pcols.isEmpty)
-        spark.read.schema(tableSchema)
-          .parquet(live.map(f => s"$dir/$f"): _*)
-          .withColumn("__file", input_file_name())
-      else {
-        val dataSchema = org.apache.spark.sql.types.StructType(
-          tableSchema.fields.filterNot(f => pcols.contains(f.name)))
-        live
-          .groupBy { f =>
-            val pv = snap.pvals.getOrElse(f, hivePartitionValues(f))
-            pcols.map(c => pv.getOrElse(c, null))
-          }
-          .toSeq.sortBy(_._1.mkString("/"))
-          .map { case (vals, fs) =>
-            pcols.zip(vals).foldLeft(
-              spark.read.schema(dataSchema)
-                .parquet(fs.sorted.map(f => s"$dir/$f"): _*)
-                .withColumn("__file", input_file_name())) {
-              case (d, (c, value)) =>
-                d.withColumn(c, lit(value).cast(tableSchema(c).dataType))
-            }
-          }
-          .reduce(_.unionByName(_))
-      }
+    val target = liveTargetWithFile(spark, dir, snap, withPos = false)
     // bounded collect: the DISTINCT file names containing a matched key
     val touchedUris = target
       .join(batch.select(keyCols.map(col): _*), keyCols, "left_semi")
@@ -973,6 +949,177 @@ object DeltaExport {
       "merge is a no-op — no matched files and no inserts")
     writeCommit(dir, v,
       removes ++ addActionsRelative(spark, dir, fresh, now), "MERGE")
+    v
+  }
+
+  /** The live snapshot scanned WITH its source file attached (`__file`
+    * = the scan URI; `__pos` = the parquet row index when `withPos`) —
+    * the target relation MERGE and both DELETEs share: partitioned
+    * tables group per live partition and re-attach the partition
+    * columns as literals (the scanFiles rule), flat tables scan in
+    * bulk. Raw files only — callers that tolerate live DVs account for
+    * them themselves (a DV-deleted row re-matching a delete predicate
+    * is a harmless superset). */
+  private def liveTargetWithFile(spark: SparkSession, dir: String,
+      snap: ReplayState, withPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pcols = partitionColumnsOf(snap.meta)
+    val tableSchema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(snap.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val live = snap.live.toSeq
+    def tag(df: DataFrame): DataFrame = {
+      val f = df.withColumn("__file", input_file_name())
+      if (withPos) f.withColumn("__pos", col("_metadata.row_index")) else f
+    }
+    if (pcols.isEmpty)
+      tag(spark.read.schema(tableSchema)
+        .parquet(live.map(f => s"$dir/$f"): _*))
+    else {
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        tableSchema.fields.filterNot(f => pcols.contains(f.name)))
+      live
+        .groupBy { f =>
+          val pv = snap.pvals.getOrElse(f, hivePartitionValues(f))
+          pcols.map(c => pv.getOrElse(c, null))
+        }
+        .toSeq.sortBy(_._1.mkString("/"))
+        .map { case (vals, fs) =>
+          pcols.zip(vals).foldLeft(
+            tag(spark.read.schema(dataSchema)
+              .parquet(fs.sorted.map(f => s"$dir/$f"): _*))) {
+            case (d, (c, value)) =>
+              d.withColumn(c, lit(value).cast(tableSchema(c).dataType))
+          }
+        }
+        .reduce(_.unionByName(_))
+    }
+  }
+
+  /** Row-level DELETE, COPY-ON-WRITE: only the files CONTAINING a
+    * matching row rewrite (minus their matches); untouched files keep
+    * their adds — stats, layout and all. One dataChange=true commit of
+    * removes + adds; old files stay for time travel until vacuum. The
+    * whole-file-rewrite cost is the COW trade — for small targeted
+    * deletes, [[deleteFromDeltaTableDv]] writes a deletion vector
+    * instead and moves no data at all. A predicate matching nothing is
+    * refused loudly (Delta logs a no-op commit; a silent version bump
+    * that changed nothing has burned real debugging hours). Returns
+    * the new version. */
+  def deleteFromDeltaTable(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val v = latestVersion(dir) + 1
+    val snap = snapshotState(spark, dir, None)
+    requireNoDvs(snap, "DELETE")
+    requireNoColumnMapping(snap.meta, "DELETE")
+    val pcols = partitionColumnsOf(snap.meta)
+    val live = snap.live.toSeq
+    require(live.nonEmpty, "no live files to delete from")
+    val cols = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(snap.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    val target = liveTargetWithFile(spark, dir, snap, withPos = false)
+    // bounded collect: the DISTINCT file names containing a match
+    val touchedUris = target.filter(predicate)
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    require(touchedUris.nonEmpty,
+      "DELETE matched no rows — refusing a no-op commit")
+    val touchedPaths = touchedUris.map(uriToPath)
+    val touched = live.filter(f => touchedPaths.exists(_.endsWith("/" + f)))
+    val survivors = target
+      .filter(col("__file").isin(touchedUris.toSeq: _*))
+      .filter(!predicate)
+      .select(cols.map(col): _*)
+    val before = dataFilesRelative(dir).toSet
+    val freshNeeded = survivors.limit(1).collect().nonEmpty
+    if (freshNeeded) {
+      if (pcols.isEmpty) survivors.write.mode("append").parquet(dir)
+      else survivors.write.partitionBy(pcols: _*).mode("append").parquet(dir)
+    }
+    val fresh = dataFilesRelative(dir).filterNot(before)
+    require(!freshNeeded || fresh.nonEmpty, "delete produced no data files")
+    val now = System.currentTimeMillis()
+    val removes = touched.sorted.map(p =>
+      s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
+    writeCommit(dir, v,
+      removes ++ addActionsRelative(spark, dir, fresh, now), "DELETE")
+    v
+  }
+
+  /** Row-level DELETE via DELETION VECTORS — the O(matched rows)
+    * delete: no data file moves; each touched file's add is re-issued
+    * with a DV marking the deleted positions (merged with any DV it
+    * already carries, so deletes COMPOUND), small vectors inline
+    * (Z85), larger ones in framed `deletion_vector_<uuid>.bin` files.
+    * The commit leads with the protocol upgrade to reader 3 / writer 7
+    * + deletionVectors (idempotent when already upgraded — and a
+    * foreign protocol with OTHER features would have been refused at
+    * replay before reaching here). Old stats are carried verbatim:
+    * min/max stay valid bounds over a subset and numRecords keeps the
+    * protocol's physical-row meaning. Time travel to pre-delete
+    * versions sees every row; vacuum never reclaims the file (it is
+    * still live); CDC classifies a DV-only change as row-level
+    * deletes.
+    *
+    * The matched (file, position) pairs COLLECT to the driver — the
+    * irreducible cost of any DV writer (per-file bitmaps must be
+    * materialized to serialize into the commit), bounded by the
+    * DELETE's own row count. A delete too big to hold as positions is
+    * a rewrite, not a vector — use [[deleteFromDeltaTable]]. Returns
+    * the new version. */
+  def deleteFromDeltaTableDv(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val v = latestVersion(dir) + 1
+    val snap = snapshotState(spark, dir, None)
+    requireNoColumnMapping(snap.meta, "DELETE (deletion vectors)")
+    val live = snap.live.toSeq
+    require(live.nonEmpty, "no live files to delete from")
+    val target = liveTargetWithFile(spark, dir, snap, withPos = true)
+    val matched = target.filter(predicate)
+      .select(col("__file"), col("__pos"))
+      .collect()
+    require(matched.nonEmpty,
+      "DELETE matched no rows — refusing a no-op commit")
+    val byRel = matched.groupBy(r => {
+      val p = uriToPath(r.getString(0))
+      live.find(f => p.endsWith("/" + f)).getOrElse(
+        throw new IllegalStateException(
+          s"matched file $p is not in the live set"))
+    }).map { case (rel, rows) => rel -> rows.map(_.getLong(1)).toSeq }
+    val now = System.currentTimeMillis()
+    val actions = byRel.toSeq.sortBy(_._1).flatMap { case (rel, pos) =>
+      val prior = snap.dvs.get(rel)
+        .map(d => DeletionVectors.positions(dir, d).toSeq)
+        .getOrElse(Seq.empty)
+      val all = (prior ++ pos).distinct.sorted
+      val bytes = DeletionVectors.serializePortable(all)
+      val desc =
+        if (bytes.length <= 512)
+          DeletionVectors.Descriptor("i", DeletionVectors.z85encode(bytes),
+            None, bytes.length.toLong, all.size.toLong)
+        else {
+          val d = DeletionVectors.writeDvFile(dir, all)
+          d.copy(cardinality = all.size.toLong)
+        }
+      val pv = snap.pvals.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
+        .map { case (k, value) =>
+          s""""${esc(k)}":${Option(value).map(x => s""""${esc(x)}"""")
+              .getOrElse("null")}"""
+        }.mkString(",")
+      val statsField = snap.stats.get(rel)
+        .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
+      Seq(
+        s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":$now,"dataChange":true}}""",
+        s"""{"add":{"path":"${esc(rel)}","partitionValues":{$pv},"size":${Files
+            .size(Paths.get(dir, rel))},"modificationTime":$now,"dataChange":true$statsField,"deletionVector":${DeletionVectors
+            .descriptorJson(desc)}}}""")
+    }
+    val protocol =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    writeCommit(dir, v, protocol +: actions, "DELETE")
     v
   }
 

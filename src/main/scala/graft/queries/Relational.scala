@@ -1572,9 +1572,56 @@ object Relational {
         min(k) AS min_k, max(k) AS max_k
       FROM rows GROUP BY _change_type ORDER BY _change_type"""))
 
+  /** Row-level DELETE via DELETION VECTORS, oracle-EXACT including the
+    * fact that NO data file moved: the customer keyspace lands as a
+    * 4-file range-clustered Delta table, then TWO compounding DV
+    * deletes (k % 7 = 3, then k % 11 = 4 — overlapping files, so the
+    * second merges positions into the first's vectors) mark rows
+    * deleted at O(matched positions) with zero rewrite. `dv_only`
+    * (live file set identical before and after, proven from the log)
+    * and `travel_rows` (v0 time travel still sees every row) ride
+    * THROUGH the hash gate beside the surviving aggregate; the oracle
+    * applies both predicates relationally. */
+  val q158DeltaDeleteDv = GraftQuery(
+    "q158_delta_delete_dv", { (s, dir) =>
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q158_delta").toString
+      try {
+        graft.core.DeltaExport.writeDeltaTable(
+          s, base.repartitionByRange(4, col("k")), tmp)
+        val filesBefore = graft.core.DeltaExport
+          .liveFilesAt(tmp, None)._2.toSet
+        graft.core.DeltaExport.deleteFromDeltaTableDv(
+          s, tmp, col("k") % 7 === 3)
+        graft.core.DeltaExport.deleteFromDeltaTableDv(
+          s, tmp, col("k") % 11 === 4)
+        val filesAfter = graft.core.DeltaExport
+          .liveFilesAt(tmp, None)._2.toSet
+        val travelRows = graft.core.DeltaExport
+          .readDeltaTable(s, tmp, Some(0L)).count()
+        graft.core.DeltaExport.readDeltaTable(s, tmp)
+          .agg(count(lit(1)).as("rows_after_delete"),
+            sum(round(col("bal") * 1e2).cast("long")).as("bal_cents"),
+            min(col("k")).as("min_k"))
+          .withColumn("dv_only", lit(filesAfter == filesBefore))
+          .withColumn("travel_rows", lit(travelRows))
+          .localCheckpoint(eager = true)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    },
+    Some("""SELECT count(*) AS rows_after_delete,
+        CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+        min(c_custkey) AS min_k,
+        TRUE AS dv_only,
+        (SELECT count(*) FROM customer) AS travel_rows
+      FROM customer
+      WHERE c_custkey % 7 <> 3 AND c_custkey % 11 <> 4"""))
+
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin, q141DeltaPrunedRead,
-    q148DeltaPartitioned, q149DeltaMerge, q150DeltaCdc,
+    q148DeltaPartitioned, q149DeltaMerge, q150DeltaCdc, q158DeltaDeleteDv,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q79bMergePartitioned,
     q80LatestPerKey, q102VersionChanges, q103IncrementalAgg,
     q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,

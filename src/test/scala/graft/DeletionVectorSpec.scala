@@ -134,6 +134,75 @@ class DeletionVectorSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("COW delete rewrites only the files containing matches; time travel intact; no-op refused") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_del_cow").toString
+    val d = (1L to 100L).map(i => (i, s"row $i")).toDF("id", "s")
+    DeltaExport.writeDeltaTable(spark,
+      d.repartitionByRange(4, col("id")), dir)
+    // matches confined to the lowest quarter → exactly one file touched
+    DeltaExport.deleteFromDeltaTable(spark, dir,
+      col("id") <= 25L && col("id") % 5L === 0L)
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.count() === 95L)
+    assert(back.filter(col("id") % 5 === 0 && col("id") <= 25).count() === 0L)
+    val commit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000001.json")), "UTF-8")
+    assert(""""remove":\{""".r.findAllMatchIn(commit).length === 1, commit)
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(0L)).count() === 100L)
+    // a predicate matching nothing is refused, not silently committed
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.deleteFromDeltaTable(spark, dir, col("id") > 1000L))
+    assert(e.getMessage.contains("matched no rows"))
+    // deleting EVERY row of a file leaves a remove with no add — legal
+    DeltaExport.deleteFromDeltaTable(spark, dir, col("id") > 75L)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 70L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("DV delete moves no data, compounds across commits, survives vacuum, spills big vectors to files") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_del_dv").toString
+    val d = (1L to 10000L).map(i => (i, i * 2.0)).toDF("id", "v")
+    DeltaExport.writeDeltaTable(spark,
+      d.repartitionByRange(2, col("id")), dir)
+    val files0 = DeltaExport.liveFilesAt(dir, None)._2.toSet
+    // small delete → inline DV
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") % 1000L === 7L)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 9990L)
+    assert(DeltaExport.liveFilesAt(dir, None)._2.toSet === files0,
+      "a DV delete must not change the live file set")
+    val c1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000001.json")), "UTF-8")
+    assert(c1.contains(""""storageType":"i""""), c1)
+    // second, BIG delete on the same files: positions merge (compound)
+    // and the vector spills to a framed .bin file
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") % 2L === 0L)
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.count() ===
+      (1L to 10000L).count(i => i % 1000L != 7L && i % 2L != 0L).toLong)
+    val c2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000002.json")), "UTF-8")
+    assert(c2.contains(""""storageType":"u""""), c2)
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("deletion_vector_")))
+    // compounding: the FIRST delete's rows stay deleted after the second
+    assert(back.filter(col("id") % 1000L === 7L).count() === 0L)
+    // vacuum must not reclaim the still-live DV-carrying files
+    DeltaExport.vacuumDeltaTable(spark, dir)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() ===
+      (1L to 10000L).count(i => i % 1000L != 7L && i % 2L != 0L).toLong)
+    // CDC classifies the first DV-only change as row-level deletes
+    val cdc = DeltaExport.deltaChangesBetween(spark, dir, 0L, 1L, Seq("id"))
+    assert(cdc.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("delete" -> 10L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("unsupported protocols refuse BY NAME; writes against DV tables refuse by name") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_dv_refuse").toString
