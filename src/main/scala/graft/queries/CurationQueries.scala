@@ -1401,7 +1401,86 @@ object CurationQueries {
       FROM tot t JOIN ws USING (lang) JOIN wc USING (lang)
       ORDER BY lang"""))
 
+  /** Token-budget mixture plan ([[graft.ops.Mixture.tokenBudgetPlan]],
+    * oracle-EXACT): per source, the target token share of a 1M-token
+    * budget under deterministic integer weights, the epoch factor over
+    * what is available (> 1e6 micros = the source must repeat), and
+    * the capped per-epoch keep rate — the arithmetic between curation
+    * and the data loader. Weights are integers by design (the
+    * q55/q56 replayable-arithmetic discipline), so every derived
+    * number is an exact 64-bit floor division both engines replay. */
+  val q159TokenBudgetMixture = GraftQuery(
+    "q159_token_budget_mixture", { (s, dir) =>
+      val avail = docs(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text")))
+          .as("available_tokens"))
+      val weights = avail.select(col("source"),
+        (length(col("source")) % 5 + 1).cast("long").as("weight"))
+      graft.ops.Mixture.tokenBudgetPlan(avail, weights,
+          budgetTokens = 1000000L)
+        .orderBy(col("source"))
+    },
+    Some("""WITH avail AS (
+        SELECT source,
+          CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0))) AS BIGINT) AS available_tokens
+        FROM documents GROUP BY source),
+      w AS (SELECT source, available_tokens,
+          CAST(len(source) % 5 + 1 AS BIGINT) AS weight FROM avail),
+      tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+      plan AS (SELECT source, available_tokens, weight,
+          (1000000 * weight) // wsum AS target_tokens
+        FROM w, tot)
+      SELECT source, available_tokens, weight, target_tokens,
+        CASE WHEN available_tokens > 0
+          THEN (target_tokens * 1000000) // available_tokens END
+          AS epochs_micro,
+        least(1000000, CASE WHEN available_tokens > 0
+          THEN (target_tokens * 1000000) // available_tokens END)
+          AS rate_micro
+      FROM plan ORDER BY source"""))
+
+  /** Preference-pair mining ([[graft.ops.Preference.minePairs]],
+    * oracle-EXACT): within each (source:lang) group, the
+    * highest-token-density document pairs as `chosen` against the
+    * lowest as `rejected` when the margin clears 1000 micros — the
+    * DPO/RLHF dataset-construction step, with the near-tie filter that
+    * keeps label noise out. Scores quantize once to integer micros;
+    * best/worst are total-order row_number picks, so DuckDB replays
+    * the exact same pairs, margins included. */
+  val q160PreferencePairs = GraftQuery(
+    "q160_preference_pairs", { (s, dir) =>
+      val scored = docs(s, dir)
+        .filter(col("n_chars") > 0)
+        .select(concat_ws(":", col("source"), col("lang")).as("g"),
+          col("doc_id"),
+          (TextAnalysis.tokenCount(col("text")).cast("double") /
+            col("n_chars")).as("density"))
+      graft.ops.Preference.minePairs(scored, "g", "doc_id",
+          col("density"), minMarginMicro = 1000L)
+        .orderBy(col("grp"))
+    },
+    Some("""WITH scored AS (
+        SELECT source || ':' || lang AS grp, doc_id,
+          CAST(round((CAST(len(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)) AS DOUBLE) / n_chars) * 1e6) AS BIGINT) AS m
+        FROM documents WHERE n_chars > 0),
+      best AS (SELECT grp, doc_id AS chosen_id, m AS chosen_micro,
+          row_number() OVER (PARTITION BY grp ORDER BY m DESC, doc_id)
+            AS rn FROM scored),
+      worst AS (SELECT grp, doc_id AS rejected_id, m AS rejected_micro,
+          row_number() OVER (PARTITION BY grp ORDER BY m ASC, doc_id)
+            AS rn FROM scored)
+      SELECT b.grp, chosen_id, rejected_id, chosen_micro, rejected_micro,
+        chosen_micro - rejected_micro AS margin_micro
+      FROM best b JOIN worst w ON b.grp = w.grp AND b.rn = 1 AND w.rn = 1
+      WHERE chosen_id <> rejected_id
+        AND chosen_micro - rejected_micro >= 1000
+      ORDER BY b.grp"""))
+
   val all: Seq[GraftQuery] = Seq(
+    q159TokenBudgetMixture, q160PreferencePairs,
     q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
     q60RepetitionFilters, q61PiiRedaction, q142GopherRules,
     q143C4LineClean, q62CurationPipeline,

@@ -4783,25 +4783,33 @@ object TextVectorQueries {
     Some("""SELECT CAST(NULL AS VARCHAR) AS kind,
       CAST(NULL AS BIGINT) AS node WHERE 1 = 0"""))
 
-  /** K-core of the representative-collapsed graph (rows-only; q153's
-    * SCALE variant): duplicate clusters are trivially dense — a c-doc
-    * template family is its own (c−1)-core, which is noise, not
+  /** K-core SWEEP of the representative-collapsed graph (rows-only;
+    * q153's SCALE variant): duplicate clusters are trivially dense — a
+    * c-doc template family is its own (c−1)-core, which is noise, not
     * signal — so the production question ("which SURVIVORS still sit
     * in dense neighborhoods after dedup?") is asked of the collapsed
-    * graph. Peel convergence is required, not assumed (the kCore
-    * flag). */
+    * graph. A SWEEP over k = 1..3 rather than one fixed k: the
+    * collapsed graph is sparse BY CONSTRUCTION (dedup just removed its
+    * density), so a single-k row can be legitimately empty — the sweep
+    * shows where the core structure cuts off, which is the telemetry
+    * (an empty 2-core here means post-dedup relatedness is tree-like;
+    * a sudden nonempty 3-core flags a template family the collapse
+    * missed). Peel convergence is required per k, never assumed. */
   val q153bKCoreCollapsed = GraftQuery(
     "q153b_kcore_collapsed", { (s, dir) =>
-      val (core, _, converged) =
-        graft.ops.Graph.kCore(collapsedRepEdges(s, dir), k = 2)
-      require(converged, "kCore hit maxRounds without converging — " +
-        "the surviving subgraph is not a k-core")
-      core.agg(
-        count(lit(1)).as("core_nodes"),
-        coalesce((sum(col("degree")) / 2).cast("long"), lit(0L))
-          .as("core_edges"),
-        coalesce(min(col("degree")), lit(0L)).as("min_degree"),
-        coalesce(max(col("degree")), lit(0L)).as("max_degree"))
+      val edges = collapsedRepEdges(s, dir)
+      (1 to 3).map { k =>
+        val (core, _, converged) = graft.ops.Graph.kCore(edges, k = k)
+        require(converged, s"kCore(k=$k) hit maxRounds without " +
+          "converging — the surviving subgraph is not a k-core")
+        core.agg(
+            count(lit(1)).as("core_nodes"),
+            coalesce((sum(col("degree")) / 2).cast("long"), lit(0L))
+              .as("core_edges"),
+            coalesce(max(col("degree")), lit(0L)).as("max_degree"))
+          .select(lit(k).as("k"), col("core_nodes"), col("core_edges"),
+            col("max_degree"))
+      }.reduce(_.unionByName(_)).orderBy(col("k"))
     })
 
   /** Degree assortativity of the representative-collapsed graph

@@ -459,4 +459,53 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(graft.ops.Intervals.overlapJoinAuto(z, z)
       .filter(col("a_iid") < col("b_iid")).count() === 1L)
   }
+
+  test("token-budget mixture: exact integer shares, repetition factor, capped rate, empty-source null") {
+    import spark.implicits._
+    val avail = Seq(("a", 100L), ("b", 10000L), ("c", 0L))
+      .toDF("source", "available_tokens")
+    val weights = Seq(("a", 3L), ("b", 1L), ("c", 1L), ("ghost", 9L))
+      .toDF("source", "weight")
+    val plan = graft.ops.Mixture.tokenBudgetPlan(avail, weights, 1000L)
+      .orderBy("source").collect()
+    // the weight-only 'ghost' source never joins in; shares are floor
+    // divisions of 1000 over wsum 5
+    assert(plan.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    val a = plan(0); val b = plan(1); val c = plan(2)
+    assert(a.getAs[Long]("target_tokens") === 600L)
+    // a must repeat 6x: 600 target over 100 available
+    assert(a.getAs[Long]("epochs_micro") === 6000000L)
+    assert(a.getAs[Long]("rate_micro") === 1000000L)
+    // b keeps 2% of one epoch
+    assert(b.getAs[Long]("target_tokens") === 200L)
+    assert(b.getAs[Long]("epochs_micro") === 20000L)
+    assert(b.getAs[Long]("rate_micro") === 20000L)
+    // an empty source has no defined epoch factor — NULL, not a crash
+    assert(c.isNullAt(c.fieldIndex("epochs_micro")))
+  }
+
+  test("preference pairs: total-order tie-breaks, near-tie filter, singleton groups yield nothing") {
+    import spark.implicits._
+    val df = Seq(
+      // group g1: clear winner/loser, margin 2_000_000
+      ("g1", 1L, 3.0), ("g1", 2L, 1.0), ("g1", 3L, 2.0),
+      // group g2: all tied — chosen picks lowest id, rejected picks
+      // lowest id too → same row → filtered (no self-pair)
+      ("g2", 10L, 5.0), ("g2", 11L, 5.0),
+      // group g3: margin below the floor
+      ("g3", 20L, 1.0000005), ("g3", 21L, 1.0),
+      // group g4: singleton
+      ("g4", 30L, 9.0))
+      .toDF("g", "id", "score")
+    val pairs = graft.ops.Preference.minePairs(
+        df, "g", "id", col("score"), minMarginMicro = 10L)
+      .orderBy("grp").collect()
+    assert(pairs.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(5))).toSeq === Seq(("g1", 1L, 2L, 2000000L)))
+    // margin floor 0 admits g3's half-micro... which rounds to 1 micro
+    val loose = graft.ops.Preference.minePairs(
+        df, "g", "id", col("score"), minMarginMicro = 0L)
+      .orderBy("grp").collect()
+    assert(loose.map(_.getString(0)).toSeq === Seq("g1", "g3"))
+  }
 }
