@@ -1123,6 +1123,120 @@ object DeltaExport {
     v
   }
 
+  /** Row-level UPDATE via DELETION VECTORS — the third member of the
+    * DML triad (COW MERGE / DV DELETE / DV UPDATE): matched rows'
+    * OLD copies are masked by a deletion vector in place (no rewrite
+    * of the standing file) and their NEW images land in a fresh
+    * appended file, all in ONE commit — O(matched rows) data movement
+    * where a copy-on-write update pays O(touched files).
+    *
+    * Set expressions may reference the row's own columns
+    * (`bal -> col("bal") + 100`). Partition columns cannot be updated
+    * here — the row would change partitions, which is MERGE's job
+    * (its rewrite routes rows by their new values). Rows an EXISTING
+    * DV already deleted are invisible and must not resurrect as
+    * updates: matched positions are checked against the standing
+    * vectors and already-deleted copies are excluded from both the
+    * new DV (harmlessly re-masking) and — the part that matters —
+    * the appended images. Same driver-side position collect as
+    * [[deleteFromDeltaTableDv]], same bound, same rationale. Returns
+    * the new version. */
+  def updateDeltaTableDv(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions._
+    require(set.nonEmpty, "no SET expressions — nothing to update")
+    val v = latestVersion(dir) + 1
+    val snap = snapshotState(spark, dir, None)
+    requireNoColumnMapping(snap.meta, "UPDATE (deletion vectors)")
+    val pcols = partitionColumnsOf(snap.meta)
+    val cols = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(snap.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    val badSet = set.keys.filterNot(cols.contains)
+    require(badSet.isEmpty,
+      s"SET column(s) ${badSet.mkString(", ")} are not table columns")
+    val badPart = set.keys.filter(pcols.contains)
+    require(badPart.isEmpty,
+      s"SET column(s) ${badPart.mkString(", ")} are partition columns — " +
+        "an update that moves rows between partitions is a MERGE")
+    val live = snap.live.toSeq
+    require(live.nonEmpty, "no live files to update")
+    val target = liveTargetWithFile(spark, dir, snap, withPos = true)
+      .localCheckpoint(eager = false)
+    val matchedPos = target.filter(predicate)
+      .select(col("__file"), col("__pos"))
+      .collect()
+    require(matchedPos.nonEmpty,
+      "UPDATE matched no rows — refusing a no-op commit")
+    val uriToRel = matchedPos.map(_.getString(0)).distinct.map { u =>
+      val p = uriToPath(u)
+      u -> live.find(f => p.endsWith("/" + f)).getOrElse(
+        throw new IllegalStateException(
+          s"matched file $p is not in the live set"))
+    }.toMap
+    val priorByRel: Map[String, Set[Long]] = uriToRel.values.toSeq.distinct
+      .flatMap(rel => snap.dvs.get(rel)
+        .map(d => rel -> DeletionVectors.positions(dir, d).toSet))
+      .toMap
+    // matched copies an existing DV already deleted are INVISIBLE —
+    // drop them from the update entirely
+    val freshMatches = matchedPos.filter { r =>
+      !priorByRel.getOrElse(uriToRel(r.getString(0)), Set.empty)
+        .contains(r.getLong(1))
+    }
+    require(freshMatches.nonEmpty,
+      "UPDATE matched only rows a deletion vector already deleted — " +
+        "refusing a no-op commit")
+    import spark.implicits._
+    val freshKeys = freshMatches
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("__file", "__pos")
+    val updated = set.foldLeft(
+        target.join(freshKeys, Seq("__file", "__pos"), "left_semi")) {
+        case (d, (c, e)) => d.withColumn(c, e)
+      }
+      .select(cols.map(col): _*)
+    val before = dataFilesRelative(dir).toSet
+    if (pcols.isEmpty) updated.write.mode("append").parquet(dir)
+    else updated.write.partitionBy(pcols: _*).mode("append").parquet(dir)
+    val fresh = dataFilesRelative(dir).filterNot(before)
+    require(fresh.nonEmpty, "update produced no data files")
+    val now = System.currentTimeMillis()
+    val byRel = freshMatches
+      .groupBy(r => uriToRel(r.getString(0)))
+      .map { case (rel, rows) => rel -> rows.map(_.getLong(1)).toSeq }
+    val dvActions = byRel.toSeq.sortBy(_._1).flatMap { case (rel, pos) =>
+      val all = (priorByRel.getOrElse(rel, Set.empty).toSeq ++ pos)
+        .distinct.sorted
+      val bytes = DeletionVectors.serializePortable(all)
+      val desc =
+        if (bytes.length <= 512)
+          DeletionVectors.Descriptor("i", DeletionVectors.z85encode(bytes),
+            None, bytes.length.toLong, all.size.toLong)
+        else DeletionVectors.writeDvFile(dir, all)
+          .copy(cardinality = all.size.toLong)
+      val pv = snap.pvals.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
+        .map { case (k, value) =>
+          s""""${esc(k)}":${Option(value).map(x => s""""${esc(x)}"""")
+              .getOrElse("null")}"""
+        }.mkString(",")
+      val statsField = snap.stats.get(rel)
+        .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
+      Seq(
+        s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":$now,"dataChange":true}}""",
+        s"""{"add":{"path":"${esc(rel)}","partitionValues":{$pv},"size":${Files
+            .size(Paths.get(dir, rel))},"modificationTime":$now,"dataChange":true$statsField,"deletionVector":${DeletionVectors
+            .descriptorJson(desc)}}}""")
+    }
+    val protocol =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    writeCommit(dir, v,
+      protocol +: (dvActions ++ addActionsRelative(spark, dir, fresh, now)),
+      "UPDATE")
+    v
+  }
+
   // key-order-tolerant field extractors: other writers may serialize the
   // same action with keys in any order, so never anchor one key to the next
   private val pathRe = """"path":"((?:[^"\\]|\\.)+)"""".r

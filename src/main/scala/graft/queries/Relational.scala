@@ -1619,9 +1619,60 @@ object Relational {
       FROM customer
       WHERE c_custkey % 7 <> 3 AND c_custkey % 11 <> 4"""))
 
+  /** Row-level UPDATE via DELETION VECTORS, oracle-EXACT including the
+    * no-rewrite fact: one DV update (+100 bal on k % 13 = 2) masks the
+    * old copies in place and appends only the new images —
+    * `no_rewrite` pins that every pre-update file is STILL live (the
+    * standing table never rewrote) while `travel_unchanged` pins that
+    * v0 time travel still reads the original values. The oracle
+    * applies the update relationally. */
+  val q161DeltaUpdateDv = GraftQuery(
+    "q161_delta_update_dv", { (s, dir) =>
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q161_delta").toString
+      try {
+        graft.core.DeltaExport.writeDeltaTable(
+          s, base.repartitionByRange(4, col("k")), tmp)
+        val filesBefore = graft.core.DeltaExport
+          .liveFilesAt(tmp, None)._2.toSet
+        graft.core.DeltaExport.updateDeltaTableDv(
+          s, tmp, col("k") % 13 === 2, Map("bal" -> (col("bal") + 100.0)))
+        val filesAfter = graft.core.DeltaExport
+          .liveFilesAt(tmp, None)._2.toSet
+        val travelUnchanged = graft.core.DeltaExport
+          .readDeltaTable(s, tmp, Some(0L))
+          .agg(sum(round(col("bal") * 1e2).cast("long"))).head().getLong(0)
+        graft.core.DeltaExport.readDeltaTable(s, tmp)
+          .agg(count(lit(1)).as("rows_after_update"),
+            sum(round(col("bal") * 1e2).cast("long")).as("bal_cents"),
+            count(when(col("k") % 13 === 2, 1)).as("updated_rows"))
+          .withColumn("no_rewrite",
+            lit(filesBefore.subsetOf(filesAfter)))
+          .withColumn("travel_cents_delta",
+            col("bal_cents") - lit(travelUnchanged))
+          .localCheckpoint(eager = true)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    },
+    Some("""WITH upd AS (
+        SELECT c_custkey AS k,
+          CASE WHEN c_custkey % 13 = 2 THEN c_acctbal + 100.0
+               ELSE c_acctbal END AS bal
+        FROM customer)
+      SELECT count(*) AS rows_after_update,
+        CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+        count(CASE WHEN k % 13 = 2 THEN 1 END) AS updated_rows,
+        TRUE AS no_rewrite,
+        10000 * count(CASE WHEN k % 13 = 2 THEN 1 END)
+          AS travel_cents_delta
+      FROM upd"""))
+
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin, q141DeltaPrunedRead,
     q148DeltaPartitioned, q149DeltaMerge, q150DeltaCdc, q158DeltaDeleteDv,
+    q161DeltaUpdateDv,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q79bMergePartitioned,
     q80LatestPerKey, q102VersionChanges, q103IncrementalAgg,
     q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,

@@ -203,6 +203,52 @@ class DeletionVectorSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("DV update masks old copies in place, appends new images, never resurrects deleted rows") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_upd_dv").toString
+    val d = (1L to 1000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    DeltaExport.writeDeltaTable(spark,
+      d.repartitionByRange(2, col("id")), dir)
+    val files0 = DeltaExport.liveFilesAt(dir, None)._2.toSet
+    DeltaExport.updateDeltaTableDv(spark, dir, col("id") % 10L === 3L,
+      Map("v" -> (col("v") + 10000.0)))
+    val back1 = DeltaExport.readDeltaTable(spark, dir)
+    assert(back1.count() === 1000L)
+    assert(back1.filter(col("id") % 10 === 3 && col("v") < 10000.0)
+      .count() === 0L)
+    assert(back1.filter(col("v") >= 10000.0).count() === 100L)
+    // the standing files were masked, not rewritten: all still live
+    val files1 = DeltaExport.liveFilesAt(dir, None)._2.toSet
+    assert(files0.subsetOf(files1) && files1.size > files0.size)
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(0L))
+      .filter(col("v") >= 10000.0).count() === 0L)
+    // a second identical update hits the NEW images (their file has no
+    // DV) while the masked old copies stay excluded — values compound,
+    // the count never drifts
+    DeltaExport.updateDeltaTableDv(spark, dir, col("id") % 10L === 3L,
+      Map("v" -> (col("v") + 10000.0)))
+    val back2 = DeltaExport.readDeltaTable(spark, dir)
+    assert(back2.count() === 1000L)
+    assert(back2.filter(col("v") >= 20000.0).count() === 100L)
+    // partition-column updates are MERGE's job — refused by name
+    val pdir = java.nio.file.Files
+      .createTempDirectory("graft_upd_dv_part").toString
+    DeltaExport.writeDeltaTablePartitioned(spark,
+      Seq((1L, "x", "en"), (2L, "y", "fr")).toDF("id", "s", "lang"),
+      pdir, Seq("lang"))
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.updateDeltaTableDv(spark, pdir, col("id") === 1L,
+        Map("lang" -> lit("de"))))
+    assert(e.getMessage.contains("partition columns"), e.getMessage)
+    // ... while a data-column update on a partitioned table works
+    DeltaExport.updateDeltaTableDv(spark, pdir, col("id") === 1L,
+      Map("s" -> lit("updated")))
+    assert(DeltaExport.readDeltaTable(spark, pdir)
+      .filter(col("s") === "updated").count() === 1L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pdir))
+  }
+
   test("unsupported protocols refuse BY NAME; writes against DV tables refuse by name") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_dv_refuse").toString
