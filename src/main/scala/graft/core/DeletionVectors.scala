@@ -286,16 +286,8 @@ object DeletionVectors {
           java.util.Arrays.copyOf(b, d.sizeInBytes.toInt)
         else b
       case "u" =>
-        val enc = d.pathOrInlineDv
-        require(enc.length >= 20,
-          s"uuid DV path too short: ${enc.length}")
-        val prefix = enc.substring(0, enc.length - 20)
-        val uuidBytes = z85decode(enc.substring(enc.length - 20))
-        val bb = java.nio.ByteBuffer.wrap(uuidBytes)
-        val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-        val rel = (if (prefix.nonEmpty) prefix + "/" else "") +
-          s"deletion_vector_$uuid.bin"
-        readFromFile(Paths.get(tableDir, rel).toString, d)
+        readFromFile(
+          Paths.get(tableDir, referencedRelPath(d).get).toString, d)
       case "p" =>
         val p = d.pathOrInlineDv
         readFromFile(
@@ -304,6 +296,26 @@ object DeletionVectors {
         throw new IllegalArgumentException(
           s"unsupported deletionVector storageType '$other'")
     }
+
+  /** The table-RELATIVE file a descriptor references — None for
+    * inline storage and for absolute 'p' paths (which live outside
+    * the table and are never this table's to reclaim). The vacuum
+    * surface: a `.bin` the latest snapshot does not reference through
+    * this is reclaimable. */
+  def referencedRelPath(d: Descriptor): Option[String] = d.storageType match {
+    case "u" =>
+      val enc = d.pathOrInlineDv
+      require(enc.length >= 20, s"uuid DV path too short: ${enc.length}")
+      val prefix = enc.substring(0, enc.length - 20)
+      val uuidBytes = z85decode(enc.substring(enc.length - 20))
+      val bb = java.nio.ByteBuffer.wrap(uuidBytes)
+      val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+      Some((if (prefix.nonEmpty) prefix + "/" else "") +
+        s"deletion_vector_$uuid.bin")
+    case "p" if !d.pathOrInlineDv.startsWith("/") =>
+      Some(d.pathOrInlineDv)
+    case _ => None
+  }
 
   private def readFromFile(path: String, d: Descriptor): Array[Byte] = {
     val all = Files.readAllBytes(Paths.get(path))

@@ -1405,12 +1405,40 @@ object DeltaExport {
     * Returns the deleted file names. Driver-side METADATA only — the
     * same O(files) listing every Delta vacuum performs. */
   def vacuumDeltaTable(spark: SparkSession, dir: String): Seq[String] = {
-    val live = snapshotAt(spark, dir, None)._2.toSet
+    val st = snapshotState(spark, dir, None)
+    val live = st.live.toSet
     // recursive relative listing so partitioned layouts vacuum their
     // Hive subdirectories too; live paths are table-relative either way
     val stale = dataFilesRelative(dir).filterNot(live)
     stale.foreach(rel => Files.delete(Paths.get(dir, rel)))
-    stale
+    // deletion-vector files take the same retention-0 trade: a `.bin`
+    // the LATEST snapshot's vectors do not reference (superseded by a
+    // newer vector, or orphaned by a rewrite that materialized the
+    // deletes) is reclaimed; time travel to a version needing it then
+    // fails loudly at the DV read, like a vacuumed data file
+    val referenced = st.dvs.values
+      .flatMap(DeletionVectors.referencedRelPath).toSet
+    val staleDvs = dvFilesRelative(dir).filterNot(referenced)
+    staleDvs.foreach(rel => Files.delete(Paths.get(dir, rel)))
+    stale ++ staleDvs
+  }
+
+  /** All `deletion_vector_*.bin` files under `dir` as table-relative
+    * paths — [[vacuumDeltaTable]]'s DV listing surface. */
+  private def dvFilesRelative(dir: String): Seq[String] = {
+    val root = Paths.get(dir)
+    val walk = Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.flatMap { p =>
+        val name = p.getFileName.toString
+        val rel = root.relativize(p).toString
+        if (name.startsWith("deletion_vector_") && name.endsWith(".bin") &&
+            Files.isRegularFile(p) && !rel.startsWith("_delta_log"))
+          Some(rel)
+        else None
+      }.toSeq.sorted
+    } finally walk.close()
   }
 
   /** Replay the commit log through `versionAsOf` (latest when None)
@@ -1579,11 +1607,17 @@ object DeltaExport {
             .map(e => unescapeJson(e.group(1))).toSet)
           .getOrElse(Set.empty[String])
         val unsupported =
-          (feats -- Set("deletionVectors", "columnMapping")).toSeq.sorted
+          // timestampNtz needs no reader machinery beyond the type
+          // itself: schemaString's timestamp_ntz parses natively
+          // (Spark's TimestampNTZType) and parquet scans it directly —
+          // the feature flag exists because OLDER readers would
+          // misread the column as instant-semantics timestamps
+          (feats -- Set("deletionVectors", "columnMapping",
+            "timestampNtz")).toSeq.sorted
         if (unsupported.nonEmpty) throw new IllegalArgumentException(
           s"unsupported reader feature(s) $where: " +
             s"${unsupported.mkString(", ")} — this reader implements " +
-            "only deletionVectors and columnMapping")
+            "only deletionVectors, columnMapping and timestampNtz")
       case other => throw new IllegalArgumentException(
         s"unsupported reader protocol $where: minReaderVersion $other")
     }

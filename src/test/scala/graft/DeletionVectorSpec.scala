@@ -191,10 +191,25 @@ class DeletionVectorSpec extends SparkTestBase {
       .exists(_.getName.startsWith("deletion_vector_")))
     // compounding: the FIRST delete's rows stay deleted after the second
     assert(back.filter(col("id") % 1000L === 7L).count() === 0L)
-    // vacuum must not reclaim the still-live DV-carrying files
-    DeltaExport.vacuumDeltaTable(spark, dir)
+    // a third delete supersedes the second's on-disk vector with a new
+    // one; vacuum reclaims the ORPHANED .bin, keeps the referenced one
+    // and the still-live data files, and the table reads on
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") === 9999L)
+    val binsBefore = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("deletion_vector_")).toSet
+    assert(binsBefore.size >= 2, binsBefore.toString)
+    val reclaimed = DeltaExport.vacuumDeltaTable(spark, dir)
+    assert(reclaimed.exists(_.startsWith("deletion_vector_")), reclaimed)
+    val binsAfter = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("deletion_vector_")).toSet
+    assert(binsAfter.size < binsBefore.size && binsAfter.nonEmpty)
     assert(DeltaExport.readDeltaTable(spark, dir).count() ===
-      (1L to 10000L).count(i => i % 1000L != 7L && i % 2L != 0L).toLong)
+      (1L to 10000L).count(i =>
+        i % 1000L != 7L && i % 2L != 0L && i != 9999L).toLong)
+    // ... and the pre-vacuum DV version now fails LOUDLY, like a
+    // vacuumed data file (retention-0 trade)
+    intercept[Exception](
+      DeltaExport.readDeltaTable(spark, dir, Some(2L)).count())
     // CDC classifies the first DV-only change as row-level deletes
     val cdc = DeltaExport.deltaChangesBetween(spark, dir, 0L, 1L, Seq("id"))
     assert(cdc.groupBy(col("_change_type")).count().collect()
@@ -247,6 +262,37 @@ class DeletionVectorSpec extends SparkTestBase {
       .filter(col("s") === "updated").count() === 1L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pdir))
+  }
+
+  test("timestampNtz reader feature: v3 tables with timestamp_ntz columns read natively") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ts_ntz").toString
+    val d = spark.sql(
+      """SELECT id, timestamp_ntz'2026-01-15 12:30:00' + make_interval(0,0,0,0,0,0,id) AS t
+         FROM range(3)""")
+    d.repartition(1).write.mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    def escJson(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_delta_log"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_delta_log", "00000000000000000000.json"),
+      (Seq(
+        """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+        s"""{"metaData":{"id":"aaaabbbb-2222-3333-4444-555555555555","format":{"provider":"parquet","options":{}},"schemaString":"${escJson(
+            d.schema.json)}","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+        s"""{"add":{"path":"$file","partitionValues":{},"size":${new java.io.File(dir, file).length},"modificationTime":1,"dataChange":true}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.schema("t").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(back.count() === 3L)
+    assert(back.orderBy("id").select("t").collect().head.get(0).toString
+      .startsWith("2026-01-15T12:30"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
   test("unsupported protocols refuse BY NAME; writes against DV tables refuse by name") {
