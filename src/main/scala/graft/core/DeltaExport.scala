@@ -760,8 +760,6 @@ object DeltaExport {
     val v = latestVersion(dir) + 1
     val now = snapshotState(spark, dir, None)
     val then_ = snapshotState(spark, dir, Some(versionAsOf))
-    requireNoDvs(now, "RESTORE")
-    requireNoDvs(then_, "RESTORE (target snapshot)")
     requireNoColumnMapping(now.meta, "RESTORE")
     requireNoColumnMapping(then_.meta, "RESTORE")
     val gone = then_.live.toSeq
@@ -769,26 +767,43 @@ object DeltaExport {
     require(gone.isEmpty,
       s"cannot restore to v$versionAsOf — file(s) ${gone.mkString(", ")} " +
         "have been vacuumed; the snapshot is no longer reconstructible")
+    // DV-aware: the restored snapshot needs its then-vectors, so their
+    // .bin files must still exist (the vacuumed-DV sibling of the data
+    // check above), and a file live in BOTH versions whose vector
+    // CHANGED must be re-issued with the then-vector — its rows moved
+    // without the file moving, exactly the CDC rule in reverse
+    val dvGone = then_.dvs.values.toSeq
+      .flatMap(DeletionVectors.referencedRelPath)
+      .filterNot(rel => Files.isRegularFile(Paths.get(dir, rel)))
+    require(dvGone.isEmpty,
+      s"cannot restore to v$versionAsOf — deletion vector file(s) " +
+        s"${dvGone.mkString(", ")} have been vacuumed; the snapshot is " +
+        "no longer reconstructible")
+    val dvChanged = now.live.toSet.intersect(then_.live.toSet)
+      .filter(f => now.dvs.get(f) != then_.dvs.get(f))
     val removes = (now.live -- then_.live).toSeq.sorted
-    val readds = (then_.live -- now.live).toSeq.sorted
+    val readds = ((then_.live -- now.live) ++ dvChanged).toSeq.sorted
     require(removes.nonEmpty || readds.nonEmpty ||
       now.meta != then_.meta,
       s"restore to v$versionAsOf is a no-op — the snapshot is identical")
     val ts = System.currentTimeMillis()
     val metaActions =
       if (now.meta == then_.meta) Seq.empty[String] else Seq(then_.meta)
-    val removeActions = removes.map(p =>
+    val removeActions = (removes ++ dvChanged.toSeq.sorted).map(p =>
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$ts,"dataChange":true}}""")
     val addActions = readds.map { p =>
       val statsField = then_.stats.get(p)
         .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
+      val dvField = then_.dvs.get(p)
+        .map(d => s""","deletionVector":${DeletionVectors.descriptorJson(d)}""")
+        .getOrElse("")
       val pv = then_.pvals.getOrElse(p, Map.empty).toSeq.sortBy(_._1)
         .map { case (k, value) =>
           s""""${esc(k)}":${Option(value).map(x => s""""${esc(x)}"""")
               .getOrElse("null")}"""
         }.mkString(",")
       s"""{"add":{"path":"${esc(p)}","partitionValues":{$pv},"size":${Files
-          .size(Paths.get(dir, p))},"modificationTime":$ts,"dataChange":true$statsField}}"""
+          .size(Paths.get(dir, p))},"modificationTime":$ts,"dataChange":true$statsField$dvField}}"""
     }
     writeCommit(dir, v, metaActions ++ removeActions ++ addActions,
       "RESTORE")

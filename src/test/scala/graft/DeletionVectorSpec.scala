@@ -245,6 +245,19 @@ class DeletionVectorSpec extends SparkTestBase {
     val back2 = DeltaExport.readDeltaTable(spark, dir)
     assert(back2.count() === 1000L)
     assert(back2.filter(col("v") >= 20000.0).count() === 100L)
+    // RESTORE is DV-aware: winding back to the post-first-update
+    // version re-issues each file's THEN-vector (a file live in both
+    // versions whose vector changed is re-added), and winding to v0
+    // drops the vectors entirely
+    DeltaExport.restoreDeltaTable(spark, dir, 1L)
+    val r1 = DeltaExport.readDeltaTable(spark, dir)
+    assert(r1.count() === 1000L)
+    assert(r1.filter(col("v") >= 10000.0 && col("v") < 20000.0)
+      .count() === 100L)
+    assert(r1.filter(col("v") >= 20000.0).count() === 0L)
+    DeltaExport.restoreDeltaTable(spark, dir, 0L)
+    val r0 = DeltaExport.readDeltaTable(spark, dir)
+    assert(r0.count() === 1000L && r0.filter(col("v") >= 10000.0).count() === 0L)
     // partition-column updates are MERGE's job — refused by name
     val pdir = java.nio.file.Files
       .createTempDirectory("graft_upd_dv_part").toString
@@ -333,7 +346,6 @@ class DeletionVectorSpec extends SparkTestBase {
           Seq((2L, "x")).toDF("id", "s"), dir, Seq("id"))),
         ("optimize", () => DeltaExport.optimizeDeltaTable(spark, dir)),
         ("checkpoint", () => DeltaExport.checkpointDeltaTable(spark, dir)),
-        ("restore", () => DeltaExport.restoreDeltaTable(spark, dir, 0L)),
         ("appendsSince", () =>
           DeltaExport.readDeltaAppendsSince(spark, dir, 0L).count()))) {
       val e = intercept[Exception](op())
