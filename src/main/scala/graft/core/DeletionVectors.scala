@@ -52,8 +52,12 @@ object DeletionVectors {
   def descriptorOf(line: String): Option[Descriptor] =
     dvObjRe.findFirstMatchIn(line).map { m =>
       val body = m.group(1)
+      // JSON-unescape string values like every extractor in
+      // DeltaExport — a foreign writer may escape slashes or unicode
+      // in a 'p' path, and using the raw escapes would miss the file
+      // (and let vacuum reclaim a still-referenced .bin)
       val strs = strField.findAllMatchIn(body)
-        .map(e => e.group(1) -> e.group(2)).toMap
+        .map(e => e.group(1) -> DeltaExport.unescapeJson(e.group(2))).toMap
       val nums = numField.findAllMatchIn(body)
         .map(e => e.group(1) -> e.group(2).toLong).toMap
       Descriptor(

@@ -443,19 +443,51 @@ object DeltaExport {
 
   private val ciTsRe = """"timestamp":(\d+)""".r
 
+  /** The commitInfo object's TOP-LEVEL text: characters at nesting
+    * depth 0 inside the commitInfo value, with nested objects/arrays
+    * elided and string contents skipped (braces inside strings are
+    * data, not structure). This is what makes commitTimestamp immune
+    * to a foreign writer serializing a nested object that itself
+    * carries a "timestamp" key (operationParameters) BEFORE the real
+    * field — the first-'}' anchor lost the field entirely, and a bare
+    * first-match would read the nested one. */
+  private def commitInfoTopLevel(line: String): String = {
+    val key = """{"commitInfo":{"""
+    if (!line.startsWith(key)) return line
+    val sb = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var escNext = false
+    var i = key.length
+    while (i < line.length && depth >= 0) {
+      val c = line.charAt(i)
+      if (inStr) {
+        if (depth == 0) sb.append(c)
+        if (escNext) escNext = false
+        else if (c == '\\') escNext = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true; if (depth == 0) sb.append(c)
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case _ => if (depth == 0) sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Commit timestamp of a surviving JSON commit: its commitInfo
-    * timestamp when present, else the commit file's modification time.
-    * The timestamp is searched anywhere WITHIN the commitInfo line (one
-    * action per line, per the log format) — anchoring it before the
-    * first '}' would lose it behind any nested object a foreign writer
-    * puts first (operationParameters, operationMetrics), silently
-    * falling back to file mtime and mis-resolving timestampAsOf after
-    * the log is copied. */
+    * object's own top-level timestamp when present (nested objects a
+    * foreign writer serializes first are elided — see
+    * [[commitInfoTopLevel]]), else the commit file's modification
+    * time. */
   private def commitTimestamp(dir: String, v: Long): Long = {
     val p = Paths.get(dir, "_delta_log", commitFile(v))
     val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     txt.split("\n").find(_.startsWith("""{"commitInfo""""))
-      .flatMap(l => ciTsRe.findFirstMatchIn(l).map(_.group(1).toLong))
+      .flatMap(l => ciTsRe.findFirstMatchIn(commitInfoTopLevel(l))
+        .map(_.group(1).toLong))
       .getOrElse(Files.getLastModifiedTime(p).toMillis)
   }
 
@@ -1043,9 +1075,12 @@ object DeltaExport {
       "DELETE matched no rows — refusing a no-op commit")
     val touchedPaths = touchedUris.map(uriToPath)
     val touched = live.filter(f => touchedPaths.exists(_.endsWith("/" + f)))
+    // NULL-predicate rows are NOT matches (SQL DELETE deletes only
+    // where TRUE) — a bare !predicate is null there too and would drop
+    // them from the rewrite: silent row loss, not a delete
     val survivors = target
       .filter(col("__file").isin(touchedUris.toSeq: _*))
-      .filter(!predicate)
+      .filter(!coalesce(predicate, lit(false)))
       .select(cols.map(col): _*)
     val before = dataFilesRelative(dir).toSet
     val freshNeeded = survivors.limit(1).collect().nonEmpty
@@ -1061,6 +1096,79 @@ object DeltaExport {
     writeCommit(dir, v,
       removes ++ addActionsRelative(spark, dir, fresh, now), "DELETE")
     v
+  }
+
+  // Legacy writer versions IMPLY features; upgrading to the
+  // table-features protocol (v7) must re-declare them (the Delta
+  // upgrade rule — dropping one would stop later writers enforcing it)
+  private def legacyWriterFeatures(mwv: Int): Set[String] =
+    Seq(
+      2 -> Set("appendOnly", "invariants"),
+      3 -> Set("checkConstraints"),
+      4 -> Set("generatedColumns", "changeDataFeed"),
+      5 -> Set("columnMapping"),
+      6 -> Set("identityColumns"))
+      .filter(_._1 <= mwv).flatMap(_._2).toSet
+
+  /** The protocol action a DV write leads with: the table's CURRENT
+    * protocol upgraded to table features with deletionVectors ADDED —
+    * existing declared features (timestampNtz, appendOnly, …) are
+    * MERGED in, never clobbered (a replacement protocol would
+    * undeclare them for every later reader/writer). None when the
+    * table already declares the feature on both sides. */
+  private def dvUpgradedProtocol(st: ReplayState): Option[String] = {
+    val cur = Option(st.protocol).getOrElse(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val mrvRe = """"minReaderVersion":(\d+)""".r
+    val mwvRe = """"minWriterVersion":(\d+)""".r
+    val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
+    val wfRe = """"writerFeatures":\[([^\]]*)\]""".r
+    def feats(re: scala.util.matching.Regex): Option[Set[String]] =
+      re.findFirstMatchIn(cur).map(m => jsonStrRe.findAllMatchIn(m.group(1))
+        .map(e => unescapeJson(e.group(1))).toSet)
+    val mrv = mrvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(1)
+    val mwv = mwvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(2)
+    val rf0 = feats(rfRe).getOrElse(
+      if (mrv >= 2) Set("columnMapping") else Set.empty[String])
+    val wf0 = feats(wfRe).getOrElse(legacyWriterFeatures(mwv))
+    if (rf0.contains("deletionVectors") && wf0.contains("deletionVectors"))
+      None
+    else {
+      def render(fs: Set[String]) = (fs + "deletionVectors").toSeq.sorted
+        .map(f => s""""${esc(f)}"""").mkString(",")
+      Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[${render(
+          rf0)}],"writerFeatures":[${render(wf0)}]}}""")
+    }
+  }
+
+  /** remove + re-add pair re-issuing `rel`'s add with `positions` as
+    * its deletion vector (the CALLER merges prior positions in):
+    * vectors up to 512 bytes inline (Z85), larger ones in framed
+    * `.bin` files; partitionValues and stats carried verbatim from the
+    * snapshot (min/max stay valid bounds over a subset; numRecords
+    * keeps the protocol's physical-row meaning). Shared by the DV
+    * DELETE and DV UPDATE writers. */
+  private def dvRewriteActions(dir: String, snap: ReplayState,
+      rel: String, positions: Seq[Long], now: Long): Seq[String] = {
+    val bytes = DeletionVectors.serializePortable(positions)
+    val desc =
+      if (bytes.length <= 512)
+        DeletionVectors.Descriptor("i", DeletionVectors.z85encode(bytes),
+          None, bytes.length.toLong, positions.size.toLong)
+      else DeletionVectors.writeDvFile(dir, positions)
+        .copy(cardinality = positions.size.toLong)
+    val pv = snap.pvals.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
+      .map { case (k, value) =>
+        s""""${esc(k)}":${Option(value).map(x => s""""${esc(x)}"""")
+            .getOrElse("null")}"""
+      }.mkString(",")
+    val statsField = snap.stats.get(rel)
+      .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
+    Seq(
+      s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":$now,"dataChange":true}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{$pv},"size":${Files
+          .size(Paths.get(dir, rel))},"modificationTime":$now,"dataChange":true$statsField,"deletionVector":${DeletionVectors
+          .descriptorJson(desc)}}}""")
   }
 
   /** Row-level DELETE via DELETION VECTORS — the O(matched rows)
@@ -1098,43 +1206,25 @@ object DeltaExport {
       .collect()
     require(matched.nonEmpty,
       "DELETE matched no rows — refusing a no-op commit")
-    val byRel = matched.groupBy(r => {
-      val p = uriToPath(r.getString(0))
-      live.find(f => p.endsWith("/" + f)).getOrElse(
+    // resolve each DISTINCT uri once (the updateDeltaTableDv pattern)
+    // — resolving inside the groupBy key function would rescan the
+    // live list per matched ROW, an O(matched x files) driver stall
+    val uriToRelD = matched.map(_.getString(0)).distinct.map { u =>
+      val p = uriToPath(u)
+      u -> live.find(f => p.endsWith("/" + f)).getOrElse(
         throw new IllegalStateException(
           s"matched file $p is not in the live set"))
-    }).map { case (rel, rows) => rel -> rows.map(_.getLong(1)).toSeq }
+    }.toMap
+    val byRel = matched.groupBy(r => uriToRelD(r.getString(0)))
+      .map { case (rel, rows) => rel -> rows.map(_.getLong(1)).toSeq }
     val now = System.currentTimeMillis()
     val actions = byRel.toSeq.sortBy(_._1).flatMap { case (rel, pos) =>
       val prior = snap.dvs.get(rel)
         .map(d => DeletionVectors.positions(dir, d).toSeq)
         .getOrElse(Seq.empty)
-      val all = (prior ++ pos).distinct.sorted
-      val bytes = DeletionVectors.serializePortable(all)
-      val desc =
-        if (bytes.length <= 512)
-          DeletionVectors.Descriptor("i", DeletionVectors.z85encode(bytes),
-            None, bytes.length.toLong, all.size.toLong)
-        else {
-          val d = DeletionVectors.writeDvFile(dir, all)
-          d.copy(cardinality = all.size.toLong)
-        }
-      val pv = snap.pvals.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
-        .map { case (k, value) =>
-          s""""${esc(k)}":${Option(value).map(x => s""""${esc(x)}"""")
-              .getOrElse("null")}"""
-        }.mkString(",")
-      val statsField = snap.stats.get(rel)
-        .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
-      Seq(
-        s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":$now,"dataChange":true}}""",
-        s"""{"add":{"path":"${esc(rel)}","partitionValues":{$pv},"size":${Files
-            .size(Paths.get(dir, rel))},"modificationTime":$now,"dataChange":true$statsField,"deletionVector":${DeletionVectors
-            .descriptorJson(desc)}}}""")
+      dvRewriteActions(dir, snap, rel, (prior ++ pos).distinct.sorted, now)
     }
-    val protocol =
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
-    writeCommit(dir, v, protocol +: actions, "DELETE")
+    writeCommit(dir, v, dvUpgradedProtocol(snap).toSeq ++ actions, "DELETE")
     v
   }
 
@@ -1207,11 +1297,13 @@ object DeltaExport {
     val freshKeys = freshMatches
       .map(r => (r.getString(0), r.getLong(1))).toSeq
       .toDF("__file", "__pos")
-    val updated = set.foldLeft(
-        target.join(freshKeys, Seq("__file", "__pos"), "left_semi")) {
-        case (d, (c, e)) => d.withColumn(c, e)
-      }
-      .select(cols.map(col): _*)
+    // ONE projection so every SET expression sees the OLD row (SQL
+    // UPDATE semantics — a sequential withColumn fold would let
+    // Map("a" -> col("b"), "b" -> col("a")) half-apply the swap, in
+    // whatever order the Map iterates)
+    val updated = target
+      .join(freshKeys, Seq("__file", "__pos"), "left_semi")
+      .select(cols.map(c => set.getOrElse(c, col(c)).as(c)): _*)
     val before = dataFilesRelative(dir).toSet
     if (pcols.isEmpty) updated.write.mode("append").parquet(dir)
     else updated.write.partitionBy(pcols: _*).mode("append").parquet(dir)
@@ -1222,32 +1314,13 @@ object DeltaExport {
       .groupBy(r => uriToRel(r.getString(0)))
       .map { case (rel, rows) => rel -> rows.map(_.getLong(1)).toSeq }
     val dvActions = byRel.toSeq.sortBy(_._1).flatMap { case (rel, pos) =>
-      val all = (priorByRel.getOrElse(rel, Set.empty).toSeq ++ pos)
-        .distinct.sorted
-      val bytes = DeletionVectors.serializePortable(all)
-      val desc =
-        if (bytes.length <= 512)
-          DeletionVectors.Descriptor("i", DeletionVectors.z85encode(bytes),
-            None, bytes.length.toLong, all.size.toLong)
-        else DeletionVectors.writeDvFile(dir, all)
-          .copy(cardinality = all.size.toLong)
-      val pv = snap.pvals.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
-        .map { case (k, value) =>
-          s""""${esc(k)}":${Option(value).map(x => s""""${esc(x)}"""")
-              .getOrElse("null")}"""
-        }.mkString(",")
-      val statsField = snap.stats.get(rel)
-        .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
-      Seq(
-        s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":$now,"dataChange":true}}""",
-        s"""{"add":{"path":"${esc(rel)}","partitionValues":{$pv},"size":${Files
-            .size(Paths.get(dir, rel))},"modificationTime":$now,"dataChange":true$statsField,"deletionVector":${DeletionVectors
-            .descriptorJson(desc)}}}""")
+      dvRewriteActions(dir, snap, rel,
+        (priorByRel.getOrElse(rel, Set.empty).toSeq ++ pos).distinct.sorted,
+        now)
     }
-    val protocol =
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
     writeCommit(dir, v,
-      protocol +: (dvActions ++ addActionsRelative(spark, dir, fresh, now)),
+      dvUpgradedProtocol(snap).toSeq ++
+        (dvActions ++ addActionsRelative(spark, dir, fresh, now)),
       "UPDATE")
     v
   }
@@ -1482,6 +1555,10 @@ object DeltaExport {
 
   private final class ReplayState {
     var meta: String = null
+    // last protocol action seen — what a feature-adding writer must
+    // MERGE with, never replace (clobbering would undeclare features
+    // like timestampNtz for every later reader)
+    var protocol: String = null
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     // path -> that file's `stats` JSON (unescaped), when its add carried
     // one. A path absent here is a must-read file for any pruner.
@@ -1562,9 +1639,10 @@ object DeltaExport {
       Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(v))),
       StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
     lines.foreach { l =>
-      if (l.startsWith("""{"protocol""""))
+      if (l.startsWith("""{"protocol"""")) {
         checkReaderProtocol(l, s"at v$v")
-      else if (l.startsWith("""{"metaData"""")) st.meta = l
+        st.protocol = l
+      } else if (l.startsWith("""{"metaData"""")) st.meta = l
       else if (l.startsWith("""{"txn"""")) {
         val appRe = """"appId":"((?:[^"\\]|\\.)+)"""".r
         val verRe = """"version":(\d+)""".r
@@ -2185,9 +2263,18 @@ object DeltaExport {
             p.getSeq[String](rfIdx).map(f => s""""${esc(f)}"""")
               .mkString(""","readerFeatures":[""", ",", "]")
           else ""
-        checkReaderProtocol(
-          s"""{"protocol":{"minReaderVersion":${p.getAs[Int]("minReaderVersion")}$rf}}""",
-          s"in checkpoint v$v")
+        val wfIdx = p.schema.fieldNames.indexOf("writerFeatures")
+        val wf =
+          if (wfIdx >= 0 && !p.isNullAt(wfIdx))
+            p.getSeq[String](wfIdx).map(f => s""""${esc(f)}"""")
+              .mkString(""","writerFeatures":[""", ",", "]")
+          else ""
+        val mwvIdx = p.schema.fieldNames.indexOf("minWriterVersion")
+        val mwv = if (mwvIdx >= 0 && !p.isNullAt(mwvIdx)) p.getInt(mwvIdx) else 2
+        val line =
+          s"""{"protocol":{"minReaderVersion":${p.getAs[Int]("minReaderVersion")},"minWriterVersion":$mwv$rf$wf}}"""
+        checkReaderProtocol(line, s"in checkpoint v$v")
+        st.protocol = line
       }
       struct("metaData").foreach { m =>
         def str(f: String) = m.getAs[String](f)
@@ -2250,7 +2337,7 @@ object DeltaExport {
   }
 
   /** Inverse of [[esc]] for a captured JSON string value. */
-  private def unescapeJson(raw: String): String = {
+  private[core] def unescapeJson(raw: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < raw.length) {

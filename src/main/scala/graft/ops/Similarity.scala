@@ -963,9 +963,14 @@ object Similarity {
       .select(col("vid"), col("cid"), col("dist"))
   }
 
-  def kmeansTelemetryMicros(
-      corpus: DataFrame, vecCol: String, idCol: String,
-      k: Int, iters: Int): DataFrame = {
+  /** The micros trainer's SHARED loop — quantize, seed, then `iters`
+    * assign/recompute rounds — returning (last assignment, final
+    * centroids). ONE implementation on purpose: kmeansTelemetryMicros
+    * (q147) and kmeansAssignmentsMicros (q107c) both carry full DuckDB
+    * hash oracles that replay this exact arithmetic, so a divergent
+    * copy would silently desynchronize one of them from its oracle. */
+  private def kmeansLoopMicros(corpus: DataFrame, vecCol: String,
+      idCol: String, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1, s"k and iters must be >= 1: $k, $iters")
     val x = microComponents(corpus, vecCol, idCol)
       .localCheckpoint(eager = false)
@@ -980,6 +985,14 @@ object Similarity {
           .cast("long").as("cm"))
         .localCheckpoint(eager = false)
     }
+    (assigned, cents)
+  }
+
+  def kmeansTelemetryMicros(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val (assigned, cents) =
+      kmeansLoopMicros(corpus, vecCol, idCol, k, iters)
     val norms = cents.groupBy(col("cid"))
       .agg(sum(col("cm") * col("cm")).as("cnorm2"))
     assigned
@@ -1235,23 +1248,9 @@ object Similarity {
     * can consume the cell structure itself rather than its telemetry. */
   def kmeansAssignmentsMicros(
       corpus: DataFrame, vecCol: String, idCol: String,
-      k: Int, iters: Int): DataFrame = {
-    require(k >= 1 && iters >= 1, s"k and iters must be >= 1: $k, $iters")
-    val x = microComponents(corpus, vecCol, idCol)
-      .localCheckpoint(eager = false)
-    var cents = kmeansSeedCentroidsMicros(corpus, vecCol, idCol, k)
-      .localCheckpoint(eager = false)
-    var assigned: DataFrame = null
-    for (_ <- 1 to iters) {
-      assigned = assignMicros(x, cents).localCheckpoint(eager = false)
-      cents = x.join(assigned.select(col("vid"), col("cid")), Seq("vid"))
-        .groupBy(col("cid"), col("d"))
-        .agg(round(sum(col("xm")).cast("double") / count(lit(1)))
-          .cast("long").as("cm"))
-        .localCheckpoint(eager = false)
-    }
-    assigned.select(col("vid"), col("cid"))
-  }
+      k: Int, iters: Int): DataFrame =
+    kmeansLoopMicros(corpus, vecCol, idCol, k, iters)._1
+      .select(col("vid"), col("cid"))
 
   /** Cluster-balanced diversity sampling over the EXACT-integer cell
     * structure — the oracle-carrying twin of [[diversitySample]]. The

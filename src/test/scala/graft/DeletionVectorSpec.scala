@@ -277,6 +277,67 @@ class DeletionVectorSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pdir))
   }
 
+  test("COW delete keeps NULL-predicate rows; DV update SET expressions all see the OLD row; protocol features merge") {
+    // SQL DELETE deletes only where the predicate is TRUE — a row
+    // where it evaluates NULL must be REWRITTEN, not silently dropped
+    val cowDir = java.nio.file.Files
+      .createTempDirectory("graft_del_null").toString
+    Seq((1L, Some("x")), (2L, None), (3L, Some("y")))
+      .toDF("id", "s").repartition(1)
+      .write.mode("overwrite").parquet(cowDir) // placeholder layout
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cowDir))
+    val dir1 = java.nio.file.Files
+      .createTempDirectory("graft_del_null2").toString
+    DeltaExport.writeDeltaTable(spark,
+      Seq((1L, Some("x")), (2L, None), (3L, Some("x"))).toDF("id", "s")
+        .repartition(1), dir1)
+    DeltaExport.deleteFromDeltaTable(spark, dir1, col("s") === "x")
+    val kept = DeltaExport.readDeltaTable(spark, dir1)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L), s"the NULL-predicate row must survive: $kept")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir1))
+    // UPDATE is simultaneous-assignment: a swap must actually swap
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_upd_swap").toString
+    DeltaExport.writeDeltaTable(spark,
+      Seq((1L, 10.0, 20.0)).toDF("id", "a", "b").repartition(1), dir2)
+    DeltaExport.updateDeltaTableDv(spark, dir2, col("id") === 1L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val r = DeltaExport.readDeltaTable(spark, dir2)
+      .select("a", "b").as[(Double, Double)].collect().head
+    assert(r === ((20.0, 10.0)), s"swap half-applied: $r")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+    // the DV writer's protocol upgrade MERGES declared features —
+    // replacing them would undeclare timestampNtz for later readers
+    val dir3 = java.nio.file.Files
+      .createTempDirectory("graft_dv_protomerge").toString
+    DeltaExport.writeDeltaTable(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").repartition(1), dir3)
+    val p0 = java.nio.file.Paths.get(dir3, "_delta_log",
+      "00000000000000000000.json")
+    val upgraded = new String(java.nio.file.Files.readAllBytes(p0), "UTF-8")
+      .replace(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz","appendOnly"]}}""")
+    java.nio.file.Files.write(p0, upgraded.getBytes("UTF-8"))
+    DeltaExport.deleteFromDeltaTableDv(spark, dir3, col("id") === 1L)
+    val c1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir3, "_delta_log",
+        "00000000000000000001.json")), "UTF-8")
+    val proto = c1.split("\n").find(_.startsWith("""{"protocol""""))
+      .getOrElse("")
+    assert(proto.contains("deletionVectors") &&
+      proto.contains("timestampNtz") && proto.contains("appendOnly"),
+      s"protocol clobbered declared features: $proto")
+    // and a second DV delete needs NO protocol action at all
+    DeltaExport.deleteFromDeltaTableDv(spark, dir3, col("id") === 2L)
+    val c2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir3, "_delta_log",
+        "00000000000000000002.json")), "UTF-8")
+    assert(!c2.contains("""{"protocol""""), c2)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir3))
+  }
+
   test("timestampNtz reader feature: v3 tables with timestamp_ntz columns read natively") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ts_ntz").toString
