@@ -401,6 +401,7 @@ object DeltaExport {
       s"append schema ${df.schema.catalogString} does not match the " +
         s"table's logged schema ${tableSchema.catalogString} — a Delta " +
         "append never evolves the schema implicitly")
+    enforceCheckConstraints(meta, df, "APPEND")
     val before = dataFilesRelative(dir).toSet
     df.write.partitionBy(pcols: _*).mode("append").parquet(dir)
     val fresh = dataFilesRelative(dir).filterNot(before)
@@ -588,6 +589,7 @@ object DeltaExport {
       s"append schema ${df.schema.catalogString} does not match the " +
         s"table's logged schema ${tableSchema.catalogString} — a Delta " +
         "append never evolves the schema implicitly")
+    enforceCheckConstraints(appendMeta, df, "APPEND")
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
     df.write.mode("append").parquet(dir)
     val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
@@ -610,6 +612,7 @@ object DeltaExport {
       "table is partitioned — a flat overwrite would drop the partition " +
         "layout the reader re-attaches columns from; re-create the table " +
         "with writeDeltaTablePartitioned instead")
+    enforceCheckConstraints(snap.meta, df, "OVERWRITE")
     val live = snap.live.toSet
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
     df.write.mode("append").parquet(dir)
@@ -631,7 +634,8 @@ object DeltaExport {
           .map(m => unescapeJson(m.group(1)))
           .getOrElse(throw new IllegalStateException("metaData carries no id"))
         Seq(s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
-            df.schema.json)}","partitionColumns":[],"configuration":{},"createdTime":$now}}""")
+            df.schema.json)}","partitionColumns":[],"configuration":{${renderConfiguration(
+            configurationOf(snap.meta))}},"createdTime":$now}}""")
       }
     val removes = live.toSeq.sorted.map(p =>
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
@@ -889,7 +893,8 @@ object DeltaExport {
     val now = System.currentTimeMillis()
     writeCommit(dir, v, Seq(
       s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
-          newSchema.json)}","partitionColumns":[$pcolsJson],"configuration":{},"createdTime":$now}}"""),
+          newSchema.json)}","partitionColumns":[$pcolsJson],"configuration":{${renderConfiguration(
+          configurationOf(snap.meta))}},"createdTime":$now}}"""),
       "ADD COLUMNS")
     v
   }
@@ -978,6 +983,7 @@ object DeltaExport {
       .filter(!coalesce(col("__del"), lit(false)))
       .select(coalesce(col("__b"), col("__t")).as("__r"))
       .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+    enforceCheckConstraints(snap.meta, merged, "MERGE")
     val before = dataFilesRelative(dir).toSet
     val freshNeeded = merged.limit(1).collect().nonEmpty
     if (freshNeeded) {
@@ -1171,6 +1177,179 @@ object DeltaExport {
           .descriptorJson(desc)}}}""")
   }
 
+  // ---- CHECK constraints (writer feature, legacy minWriterVersion 3) ----
+
+  // one `"key":"value"` entry of the metaData configuration object
+  private val confEntryRe =
+    """"((?:[^"\\]|\\.)+)":"((?:[^"\\]|\\.)*)"""".r
+
+  /** The metaData action's `configuration` map, parsed with the
+    * anchored entry scanner (the partitionValuesOf rule — a
+    * brace-bounded regex truncates at any value containing '}',
+    * which CHECK expressions routinely do). */
+  private[core] def configurationOf(meta: String): Map[String, String] = {
+    val key = """"configuration":{"""
+    val at = meta.indexOf(key)
+    if (at < 0) return Map.empty
+    var pos = at + key.length
+    val out = Map.newBuilder[String, String]
+    var done = pos < meta.length && meta.charAt(pos) == '}'
+    while (!done) {
+      confEntryRe.findPrefixMatchOf(meta.substring(pos)) match {
+        case Some(m) =>
+          out += unescapeJson(m.group(1)) -> unescapeJson(m.group(2))
+          pos += m.end
+          if (pos < meta.length && meta.charAt(pos) == ',') pos += 1
+          else done = true
+        case None => done = true
+      }
+    }
+    out.result()
+  }
+
+  private def renderConfiguration(conf: Map[String, String]): String =
+    conf.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString(",")
+
+  /** The table's CHECK constraints: name -> SQL expression, from the
+    * protocol's `delta.constraints.<name>` configuration entries. */
+  def checkConstraintsOf(meta: String): Map[String, String] =
+    configurationOf(meta).collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }
+
+  /** Enforce every logged CHECK constraint over `rows` (the incoming
+    * batch / merged relation / updated images — never the standing
+    * table): a row where the expression is FALSE or NULL violates,
+    * per the protocol ("violated if it evaluates to false or null").
+    * One limit(1) probe per constraint so the refusal can NAME the
+    * constraint and show a violating row. */
+  private def enforceCheckConstraints(meta: String, rows: DataFrame,
+      op: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    checkConstraintsOf(meta).toSeq.sortBy(_._1).foreach { case (name, e) =>
+      val bad = rows
+        .filter(not(coalesce(expr(e), lit(false)))).limit(1).collect()
+      require(bad.isEmpty,
+        s"CHECK constraint '$name' ($e) violated by row " +
+          s"${bad.headOption.map(_.toString).getOrElse("")} — $op refused " +
+          "(the protocol counts FALSE and NULL both as violations)")
+    }
+  }
+
+  /** The protocol action an ADD CONSTRAINT needs, if any: legacy
+    * minWriterVersion upgraded to 3 (checkConstraints' legacy level),
+    * or — when the table already speaks table features — the
+    * `checkConstraints` writer feature MERGED in (never clobbering
+    * declared features, the dvUpgradedProtocol rule). */
+  private def checkConstraintProtocol(st: ReplayState): Option[String] = {
+    val cur = Option(st.protocol).getOrElse(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val mrvRe = """"minReaderVersion":(\d+)""".r
+    val mwvRe = """"minWriterVersion":(\d+)""".r
+    val wfRe = """"writerFeatures":\[([^\]]*)\]""".r
+    val mrv = mrvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(1)
+    val mwv = mwvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(2)
+    wfRe.findFirstMatchIn(cur) match {
+      case Some(m) =>
+        val wf = jsonStrRe.findAllMatchIn(m.group(1))
+          .map(e => unescapeJson(e.group(1))).toSet
+        if (wf.contains("checkConstraints")) None
+        else {
+          val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
+          val rf = rfRe.findFirstMatchIn(cur).map(_.group(1)).getOrElse("")
+          val merged = (wf + "checkConstraints").toSeq.sorted
+            .map(f => s""""${esc(f)}"""").mkString(",")
+          Some(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7,"readerFeatures":[$rf],"writerFeatures":[$merged]}}""")
+        }
+      case None if mwv >= 3 => None
+      case None =>
+        Some(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":3}}""")
+    }
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT — the row-level data contract beside
+    * the schema gate: a named SQL predicate every CURRENT row must
+    * already satisfy (the whole table is scanned once, Delta's own
+    * ADD CONSTRAINT rule — a constraint the standing data violates is
+    * refused naming a violating row) and every future append / merge /
+    * update batch is validated against before its commit lands.
+    * Stored as the protocol's `delta.constraints.<name>` configuration
+    * entry; the commit upgrades the writer protocol when needed.
+    * Returns the new version. */
+  def addCheckConstraintDeltaTable(spark: SparkSession, dir: String,
+      name: String, constraintExpr: String): Long = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_'),
+      s"constraint name must be alphanumeric/underscore: '$name'")
+    val v = latestVersion(dir) + 1
+    val snap = snapshotState(spark, dir, None)
+    requireNoColumnMapping(snap.meta, "ADD CONSTRAINT")
+    val existing = checkConstraintsOf(snap.meta)
+    require(!existing.contains(name),
+      s"constraint '$name' already exists: ${existing(name)}")
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val current = readDeltaTable(spark, dir)
+    val bad = current.filter(not(coalesce(expr(constraintExpr), lit(false))))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"cannot add CHECK constraint '$name' ($constraintExpr) — the " +
+        s"standing table violates it, e.g. ${bad.headOption.getOrElse("")}")
+    val conf = configurationOf(snap.meta) +
+      (s"delta.constraints.$name" -> constraintExpr)
+    writeCommit(dir, v,
+      checkConstraintProtocol(snap).toSeq :+
+        withConfiguration(snap.meta, conf),
+      "ADD CONSTRAINT")
+    v
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT — removes the configuration entry
+    * (unknown names refused; silently "dropping" nothing has burned
+    * real hours). Returns the new version. */
+  def dropCheckConstraintDeltaTable(spark: SparkSession, dir: String,
+      name: String): Long = {
+    val v = latestVersion(dir) + 1
+    val snap = snapshotState(spark, dir, None)
+    val existing = checkConstraintsOf(snap.meta)
+    require(existing.contains(name),
+      s"no CHECK constraint named '$name' — have: " +
+        s"${existing.keys.toSeq.sorted.mkString(", ")}")
+    val conf = configurationOf(snap.meta) - s"delta.constraints.$name"
+    writeCommit(dir, v, Seq(withConfiguration(snap.meta, conf)),
+      "DROP CONSTRAINT")
+    v
+  }
+
+  /** `meta` with its configuration object REPLACED by `conf` — the
+    * constraint commits' metaData rewrite, preserving id, schema and
+    * partitioning byte for byte. */
+  private def withConfiguration(meta: String,
+      conf: Map[String, String]): String = {
+    val key = """"configuration":{"""
+    val at = meta.indexOf(key)
+    require(at >= 0, s"metaData carries no configuration object: $meta")
+    // find the end of the existing (flat, string-valued) object with
+    // the same anchored walk configurationOf uses
+    var pos = at + key.length
+    var done = pos < meta.length && meta.charAt(pos) == '}'
+    while (!done) {
+      confEntryRe.findPrefixMatchOf(meta.substring(pos)) match {
+        case Some(m) =>
+          pos += m.end
+          if (pos < meta.length && meta.charAt(pos) == ',') pos += 1
+          else done = true
+        case None => done = true
+      }
+    }
+    require(pos < meta.length && meta.charAt(pos) == '}',
+      s"malformed configuration object in: $meta")
+    meta.substring(0, at + key.length) + renderConfiguration(conf) +
+      meta.substring(pos)
+  }
+
   /** Row-level DELETE via DELETION VECTORS — the O(matched rows)
     * delete: no data file moves; each touched file's add is re-issued
     * with a DV marking the deleted positions (merged with any DV it
@@ -1304,6 +1483,7 @@ object DeltaExport {
     val updated = target
       .join(freshKeys, Seq("__file", "__pos"), "left_semi")
       .select(cols.map(c => set.getOrElse(c, col(c)).as(c)): _*)
+    enforceCheckConstraints(snap.meta, updated, "UPDATE")
     val before = dataFilesRelative(dir).toSet
     if (pcols.isEmpty) updated.write.mode("append").parquet(dir)
     else updated.write.partitionBy(pcols: _*).mode("append").parquet(dir)
