@@ -73,8 +73,12 @@ object DeletionVectors {
   /** JSON form of a descriptor — the writer side of [[descriptorOf]],
     * used by the spec fixtures (graft itself never writes DVs). */
   def descriptorJson(d: Descriptor): String = {
+    // descriptorOf unescapes on parse, so rendering must escape — a
+    // foreign 'p'-storage path (or a 'u' prefix) carrying a quote or
+    // backslash would otherwise corrupt the commit line RESTORE
+    // re-serializes it into
     val off = d.offset.map(o => s""","offset":$o""").getOrElse("")
-    s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}"$off,"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    s"""{"storageType":"${DeltaExport.esc(d.storageType)}","pathOrInlineDv":"${DeltaExport.esc(d.pathOrInlineDv)}"$off,"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
   }
 
   // ---- Z85 (the base85 variant Delta uses for inline DVs and uuids) ----

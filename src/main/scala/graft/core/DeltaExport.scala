@@ -31,7 +31,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pays. */
 object DeltaExport {
 
-  private def esc(s: String): String = s.flatMap {
+  private[core] def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -756,6 +756,12 @@ object DeltaExport {
     val last = snap.txns.get(appId)
     if (last.exists(txnVersion <= _))
       return (latestVersion(dir), false)
+    // the idempotent path is still an APPEND: the same guards every
+    // other row-adding writer runs (a column-mapped table's physical
+    // names would make display-named parquet silently unreadable; a
+    // CHECK constraint promises EVERY future append is validated)
+    requireNoColumnMapping(snap.meta, "APPEND")
+    enforceCheckConstraints(snap.meta, df, "APPEND")
     val v = latestVersion(dir) + 1
     val pcols = partitionColumnsOf(snap.meta)
     val tableSchema = org.apache.spark.sql.types.DataType
@@ -1258,11 +1264,18 @@ object DeltaExport {
           .map(e => unescapeJson(e.group(1))).toSet
         if (wf.contains("checkConstraints")) None
         else {
+          // readerFeatures is only legal at minReaderVersion 3 — a
+          // foreign {1,7} table (writerFeatures only) must NOT gain an
+          // empty readerFeatures list, or spec-strict clients reject
+          // the table after ADD CONSTRAINT; render it only when the
+          // current protocol declared it
           val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
-          val rf = rfRe.findFirstMatchIn(cur).map(_.group(1)).getOrElse("")
+          val rfPart = rfRe.findFirstMatchIn(cur)
+            .map(m => s""","readerFeatures":[${m.group(1)}]""")
+            .getOrElse("")
           val merged = (wf + "checkConstraints").toSeq.sorted
             .map(f => s""""${esc(f)}"""").mkString(",")
-          Some(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7,"readerFeatures":[$rf],"writerFeatures":[$merged]}}""")
+          Some(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7$rfPart,"writerFeatures":[$merged]}}""")
         }
       case None if mwv >= 3 => None
       case None =>
@@ -1396,11 +1409,26 @@ object DeltaExport {
     }.toMap
     val byRel = matched.groupBy(r => uriToRelD(r.getString(0)))
       .map { case (rel, rows) => rel -> rows.map(_.getLong(1)).toSeq }
+    // positions an EXISTING vector already masks are invisible rows —
+    // a "delete" of only those is the no-op commit this function's
+    // contract refuses (the updateDeltaTableDv freshMatches twin), and
+    // a file with nothing fresh must not get a byte-identical DV
+    // re-issued
+    val priorByRel: Map[String, Set[Long]] = byRel.keySet
+      .flatMap(rel => snap.dvs.get(rel)
+        .map(d => rel -> DeletionVectors.positions(dir, d).toSet))
+      .toMap
+    val freshByRel = byRel.flatMap { case (rel, pos) =>
+      val prior = priorByRel.getOrElse(rel, Set.empty)
+      val freshPos = pos.filterNot(prior)
+      if (freshPos.isEmpty) None else Some(rel -> freshPos)
+    }
+    require(freshByRel.nonEmpty,
+      "DELETE matched only rows a deletion vector already deleted — " +
+        "refusing a no-op commit")
     val now = System.currentTimeMillis()
-    val actions = byRel.toSeq.sortBy(_._1).flatMap { case (rel, pos) =>
-      val prior = snap.dvs.get(rel)
-        .map(d => DeletionVectors.positions(dir, d).toSeq)
-        .getOrElse(Seq.empty)
+    val actions = freshByRel.toSeq.sortBy(_._1).flatMap { case (rel, pos) =>
+      val prior = priorByRel.getOrElse(rel, Set.empty).toSeq
       dvRewriteActions(dir, snap, rel, (prior ++ pos).distinct.sorted, now)
     }
     writeCommit(dir, v, dvUpgradedProtocol(snap).toSeq ++ actions, "DELETE")
@@ -1502,6 +1530,70 @@ object DeltaExport {
       dvUpgradedProtocol(snap).toSeq ++
         (dvActions ++ addActionsRelative(spark, dir, fresh, now)),
       "UPDATE")
+    v
+  }
+
+  /** PURGE deletion vectors — Delta's `REORG TABLE … APPLY (PURGE)`,
+    * the standard lifecycle move that pays down DV debt: every live
+    * file carrying a deletion vector is rewritten WITHOUT its masked
+    * rows, and ONE `dataChange=false` commit removes the DV'd adds and
+    * adds the clean rewrites (table CONTENT is unchanged — the masked
+    * rows were already logically deleted — which is exactly what the
+    * flag asserts; streaming consumers skip the commit). This is how a
+    * DV table re-enters the whole-file writer surface: after a purge
+    * the snapshot carries no vectors, so MERGE / OPTIMIZE / CHECKPOINT
+    * / the incremental reader all work again, and the orphaned
+    * `deletion_vector_*.bin` files become vacuum-reclaimable. Time
+    * travel to pre-purge versions still applies the old vectors (their
+    * files and the old adds stay on disk until a vacuum).
+    *
+    * A file whose vector masks EVERY row just drops (a remove with no
+    * rewrite — real Delta does the same); only DV-carrying files are
+    * touched, so the cost is proportional to the DV debt, not the
+    * table. Each rewrite lands in its source file's own partition
+    * directory, so the re-add's partitionValues match the original's.
+    * Returns the new version. */
+  def purgeDeletionVectors(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val v = latestVersion(dir) + 1
+    val snap = snapshotState(spark, dir, None)
+    requireNoColumnMapping(snap.meta, "PURGE (deletion vectors)")
+    require(snap.dvs.nonEmpty,
+      "no live file carries a deletion vector — nothing to purge")
+    val pcols = partitionColumnsOf(snap.meta)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(snap.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(f => pcols.contains(f.name)))
+    val purged = snap.dvs.keys.toSeq.sorted
+    val before = dataFilesRelative(dir).toSet
+    val now = System.currentTimeMillis()
+    purged.foreach { rel =>
+      val deleted = DeletionVectors.positions(dir, snap.dvs(rel)).toSeq
+        .toDF("__dv_pos")
+      val survivors = spark.read.schema(dataSchema)
+        .parquet(s"$dir/$rel")
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(deleted, Seq("__dv_pos"), "left_anti")
+        .drop("__dv_pos")
+      // fully-masked file → nothing survives → no empty rewrite
+      if (survivors.limit(1).collect().nonEmpty) {
+        val target = rel.lastIndexOf('/') match {
+          case -1 => dir
+          case i  => s"$dir/${rel.substring(0, i)}"
+        }
+        // one output file per source file — a purge reshapes nothing
+        survivors.coalesce(1).write.mode("append").parquet(target)
+      }
+    }
+    val fresh = dataFilesRelative(dir).filterNot(before)
+    val removes = purged.map(p =>
+      s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":false}}""")
+    writeCommit(dir, v,
+      removes ++ addActionsRelative(spark, dir, fresh, now,
+        dataChange = false), "PURGE")
     v
   }
 
@@ -1907,7 +1999,9 @@ object DeltaExport {
       s"$op on a table with live DELETION VECTORS is not supported — " +
         s"${st.dvs.size} live file(s) carry deletionVector actions " +
         s"(e.g. ${st.dvs.keys.toSeq.sorted.take(3).mkString(", ")}); " +
-        "reads apply them, writes would resurrect the deleted rows")
+        "reads apply them, writes would resurrect the deleted rows. " +
+        "Run purgeDeletionVectors first (REORG … APPLY (PURGE)) to " +
+        "materialize the deletes and re-enter the whole-file surface")
 
   // ---- column mapping (reader protocol v2 / table feature) ----
 
@@ -2133,14 +2227,23 @@ object DeltaExport {
     * consumer-side reason OPTIMIZE marks its rewrites: `add` actions
     * with `dataChange=false` are SKIPPED (they reshape storage, not
     * content — counting them would re-deliver every compacted row),
-    * while a `remove` with `dataChange=true` in the range (an
-    * overwrite or delete) is refused loudly — this reader serves
-    * append-only consumption; row-level change classification is the
-    * CDC surface (TableStore.tableChanges). Cost is O(commits in
-    * range) log metadata plus a scan of exactly the new files — an
-    * incremental consumer never rereads the standing table. */
+    * while a CHANGE commit in the range — one carrying a `remove` with
+    * `dataChange=true` (an overwrite, a delete, or a deletion-vector
+    * DML commit, which re-issues its file's add with a DV) — is
+    * refused loudly BY NAME unless `skipChangeCommits` is set. With
+    * `skipChangeCommits=true` the change commit is skipped WHOLESALE —
+    * none of its adds deliver, including a DV re-add (whose rows the
+    * consumer already received — delivering it again would
+    * double-count the survivors) and an UPDATE's new-image files: this
+    * is exactly Delta's streaming-source `skipChangeCommits` contract,
+    * exact-once for appends at the price of not observing row-level
+    * changes (that is the CDC surface, TableStore.tableChanges). Cost
+    * is O(commits in range) log metadata plus a scan of exactly the
+    * new files — an incremental consumer never rereads the standing
+    * table. */
   def readDeltaAppendsSince(spark: SparkSession, dir: String,
-      sinceVersion: Long, untilVersion: Option[Long] = None): DataFrame = {
+      sinceVersion: Long, untilVersion: Option[Long] = None,
+      skipChangeCommits: Boolean = false): DataFrame = {
     val versions = logVersions(dir)
     val until = untilVersion.getOrElse(
       (lastCheckpoint(dir).map(_.version).toSeq ++ versions).max)
@@ -2157,18 +2260,27 @@ object DeltaExport {
       val lines = new String(
         Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(v))),
         StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
-      lines.foreach { l =>
-        val dataChange = dcRe.findFirstMatchIn(l).forall(_.group(1) == "true")
-        if (l.startsWith("""{"add"""") && dataChange) {
+      def dataChange(l: String) =
+        dcRe.findFirstMatchIn(l).forall(_.group(1) == "true")
+      // commit-level classification FIRST: a dataChange=true remove
+      // marks the whole commit as a change commit — its adds (a DV
+      // re-add, an UPDATE's new images) must deliver all-or-nothing
+      val isChangeCommit = lines.exists(l =>
+        l.startsWith("""{"remove"""") && dataChange(l))
+      if (isChangeCommit && !skipChangeCommits)
+        throw new IllegalStateException(
+          s"commit v$v changes existing data (overwrite / delete / " +
+            "deletion-vector DML) — the append-only incremental read " +
+            "cannot represent it; pass skipChangeCommits=true to skip " +
+            "the commit wholesale (its row-level changes will NOT be " +
+            "delivered), or use tableChanges for CDC")
+      if (!isChangeCommit) lines.foreach { l =>
+        if (l.startsWith("""{"add"""") && dataChange(l)) {
           require(DeletionVectors.descriptorOf(l).isEmpty,
-            s"commit v$v adds a file with a DELETION VECTOR — that is a " +
-              "row-level rewrite, not an append; use deltaChangesBetween")
+            s"commit v$v adds a file with a DELETION VECTOR outside a " +
+              "change commit — a malformed log this reader refuses")
           newFiles += pathOf(l, "add")
         }
-        else if (l.startsWith("""{"remove"""") && dataChange)
-          throw new IllegalStateException(
-            s"commit v$v removes data (overwrite/delete) — the append-only " +
-              "incremental read cannot represent it; use tableChanges for CDC")
       }
     }
     val st = snapshotState(spark, dir, Some(until))

@@ -48,6 +48,11 @@ object Mixture {
           expr("(target_tokens * 1000000) div available_tokens"))
           .otherwise(lit(null).cast("long")))
       .withColumn("rate_micro",
-        least(lit(1000000L), col("epochs_micro")))
+        // least() skips NULLs in both engines, so an ungated form
+        // would hand a source with NOTHING available a 100% keep rate;
+        // an empty source has no rate, same as it has no epoch factor
+        when(col("available_tokens") > 0,
+          least(lit(1000000L), col("epochs_micro")))
+          .otherwise(lit(null).cast("long")))
   }
 }

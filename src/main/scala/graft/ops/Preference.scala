@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Preference-pair mining — the dataset-construction step of
@@ -13,44 +12,44 @@ import org.apache.spark.sql.functions._
   *
   * Exactness architecture: the score quantizes ONCE to integer micros
   * (one identical IEEE multiply+round per row in any engine); best and
-  * worst are row_number picks under TOTAL orders ((score desc, id asc)
-  * and (score asc, id asc)), so ties break identically everywhere and
-  * the margin is an exact long difference. Groups with fewer than two
+  * worst are max_by/min_by picks under TOTAL struct orders — chosen
+  * maximizes (score_micro, -id) (highest score, ties to the LOWEST
+  * id), rejected minimizes (score_micro, id) (lowest score, ties to
+  * the lowest id) — so ties break identically everywhere and the
+  * margin is an exact long difference. Groups with fewer than two
   * members yield no pair (chosen == rejected is filtered, not paired
   * with itself).
   *
-  * Scale shape: two rank windows per group partition plus one
-  * group-keyed join — shuffle on the group key only, output one row
-  * per group; no pair explosion (max×min, never all-pairs). */
+  * Scale shape: ONE hash aggregation on the group key — a single
+  * exchange with map-side partial max_by/min_by combine, output one
+  * row per group; no pair explosion (max×min, never all-pairs), no
+  * per-group sort (the window form this replaced paid two rank sorts
+  * plus a join). */
 object Preference {
 
-  /** `df` carries `groupCol` (string), `idCol` (long, unique within
-    * the group), and `scoreCol` (numeric). Returns per group with ≥ 2
-    * members and margin ≥ `minMarginMicro`: chosen/rejected ids and
-    * score micros plus the margin. */
+  /** `df` carries `groupCol` (string), `idCol` (long ≥ 0, unique
+    * within the group), and `scoreCol` (numeric). Returns per group
+    * with ≥ 2 members and margin ≥ `minMarginMicro`: chosen/rejected
+    * ids and score micros plus the margin. */
   def minePairs(df: DataFrame, groupCol: String, idCol: String,
       scoreCol: Column, minMarginMicro: Long = 0L): DataFrame = {
     val scored = df.select(
       col(groupCol).as("grp"), col(idCol).as("id"),
       round(scoreCol.cast("double") * 1e6).cast("long").as("score_micro"))
-    val bestW = Window.partitionBy(col("grp"))
-      .orderBy(col("score_micro").desc, col("id"))
-    val worstW = Window.partitionBy(col("grp"))
-      .orderBy(col("score_micro").asc, col("id"))
-    val best = scored.withColumn("rn", row_number().over(bestW))
-      .filter(col("rn") === 1)
-      .select(col("grp"), col("id").as("chosen_id"),
-        col("score_micro").as("chosen_micro"))
-    val worst = scored.withColumn("rn", row_number().over(worstW))
-      .filter(col("rn") === 1)
-      .select(col("grp"), col("id").as("rejected_id"),
-        col("score_micro").as("rejected_micro"))
-    best.join(worst, Seq("grp"))
-      .filter(col("chosen_id") =!= col("rejected_id"))
+    scored.groupBy(col("grp"))
+      .agg(
+        max_by(struct(col("id"), col("score_micro")),
+          struct(col("score_micro"), negate(col("id")))).as("best"),
+        min_by(struct(col("id"), col("score_micro")),
+          struct(col("score_micro"), col("id"))).as("worst"))
+      .filter(col("best.id") =!= col("worst.id"))
       .withColumn("margin_micro",
-        col("chosen_micro") - col("rejected_micro"))
+        col("best.score_micro") - col("worst.score_micro"))
       .filter(col("margin_micro") >= minMarginMicro)
-      .select(col("grp"), col("chosen_id"), col("rejected_id"),
-        col("chosen_micro"), col("rejected_micro"), col("margin_micro"))
+      .select(col("grp"), col("best.id").as("chosen_id"),
+        col("worst.id").as("rejected_id"),
+        col("best.score_micro").as("chosen_micro"),
+        col("worst.score_micro").as("rejected_micro"),
+        col("margin_micro"))
   }
 }

@@ -1436,9 +1436,9 @@ object CurationQueries {
         CASE WHEN available_tokens > 0
           THEN (target_tokens * 1000000) // available_tokens END
           AS epochs_micro,
-        least(1000000, CASE WHEN available_tokens > 0
-          THEN (target_tokens * 1000000) // available_tokens END)
-          AS rate_micro
+        CASE WHEN available_tokens > 0
+          THEN least(1000000, (target_tokens * 1000000) // available_tokens)
+          END AS rate_micro
       FROM plan ORDER BY source"""))
 
   /** Preference-pair mining ([[graft.ops.Preference.minePairs]],
@@ -1447,8 +1447,10 @@ object CurationQueries {
     * lowest as `rejected` when the margin clears 1000 micros — the
     * DPO/RLHF dataset-construction step, with the near-tie filter that
     * keeps label noise out. Scores quantize once to integer micros;
-    * best/worst are total-order row_number picks, so DuckDB replays
-    * the exact same pairs, margins included. */
+    * best/worst are max_by/min_by picks under struct TOTAL orders
+    * (one hash aggregate — no window, no join), so DuckDB's
+    * row_number oracle replays the exact same pairs, margins
+    * included. */
   val q160PreferencePairs = GraftQuery(
     "q160_preference_pairs", { (s, dir) =>
       val scored = docs(s, dir)

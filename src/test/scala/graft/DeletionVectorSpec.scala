@@ -277,6 +277,112 @@ class DeletionVectorSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pdir))
   }
 
+  test("PURGE materializes deletion vectors: content unchanged, dataChange=false, table re-enters the whole-file surface") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dv_purge").toString
+    val d = (1L to 10000L).map(i => (i, i * 2.0)).toDF("id", "v")
+    DeltaExport.writeDeltaTable(spark,
+      d.repartitionByRange(2, col("id")), dir)
+    // one BIG delete (spills to a .bin) + one small (inline) so the
+    // purge pays down both DV storage forms at once
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") % 2L === 0L)
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") === 5001L)
+    val expectIds = (1L to 10000L).filter(i => i % 2L != 0L && i != 5001L)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() ===
+      expectIds.size.toLong)
+    // stranded: the whole-file writers refuse and NAME the escape hatch
+    val e0 = intercept[IllegalArgumentException](
+      DeltaExport.optimizeDeltaTable(spark, dir))
+    assert(e0.getMessage.contains("purgeDeletionVectors"), e0.getMessage)
+    assert(DeltaExport.purgeDeletionVectors(spark, dir) === 3L)
+    // content identical at latest, exactly once
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === expectIds)
+    // the purge commit is pure dataChange=false with no vectors left
+    val c3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000003.json")), "UTF-8")
+    assert(!c3.contains(""""dataChange":true"""), c3)
+    assert(!c3.contains("deletionVector"), c3)
+    // time travel to the DV versions still applies the old vectors
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(1L)).count() === 5000L)
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(0L)).count() === 10000L)
+    // re-entered the whole-file surface: checkpoint + optimize work,
+    // and neither the purge nor the optimize delivers incrementally
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    DeltaExport.optimizeDeltaTable(spark, dir, targetFiles = 1)
+    assert(DeltaExport.readDeltaAppendsSince(spark, dir, 2L).count() === 0L)
+    // vacuum reclaims the now-orphaned .bin and the superseded files;
+    // the DV versions then fail loudly (retention-0 trade)
+    val reclaimed = DeltaExport.vacuumDeltaTable(spark, dir)
+    assert(reclaimed.exists(_.startsWith("deletion_vector_")),
+      reclaimed.toString)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("deletion_vector_")))
+    intercept[Exception](
+      DeltaExport.readDeltaTable(spark, dir, Some(1L)).count())
+    assert(DeltaExport.readDeltaTable(spark, dir).count() ===
+      expectIds.size.toLong)
+    // a purge with no vectors is a refused no-op
+    val e1 = intercept[IllegalArgumentException](
+      DeltaExport.purgeDeletionVectors(spark, dir))
+    assert(e1.getMessage.contains("nothing to purge"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("PURGE drops a fully-masked file and lands partitioned rewrites in their own partition dirs") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dv_purge_part").toString
+    val d = ((1L to 10L).map(i => (i, "en")) ++
+      (11L to 20L).map(i => (i, "fr"))).toDF("id", "lang").repartition(1)
+    DeltaExport.writeDeltaTablePartitioned(spark, d, dir, Seq("lang"))
+    // mask EVERY en row (whole file) plus one fr row in one commit
+    DeltaExport.deleteFromDeltaTableDv(spark, dir,
+      col("lang") === "en" || col("id") === 11L)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 9L)
+    DeltaExport.purgeDeletionVectors(spark, dir)
+    // the fully-masked en file just dropped — no empty rewrite landed
+    val c2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000002.json")), "UTF-8")
+    assert(""""remove":\{""".r.findAllMatchIn(c2).length === 2, c2)
+    assert(""""add":\{""".r.findAllMatchIn(c2).length === 1, c2)
+    assert(!c2.split("\n").exists(l =>
+      l.startsWith("""{"add"""") && l.contains("lang=en")), c2)
+    // the fr rewrite landed in its own partition dir with its values
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.select("id").as[Long].collect().sorted.toSeq ===
+      (12L to 20L))
+    assert(back.filter(col("lang") === "fr").count() === 9L)
+    // log-only partition pruning still works over the rewrite
+    val (pr, cand, all) = DeltaExport.readDeltaTablePartitionPruned(
+      spark, dir, Map("lang" -> "fr"))
+    assert(pr.count() === 9L && cand === 1 && all === 1)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("DV delete of only already-deleted rows refuses the no-op; descriptor JSON escapes foreign paths") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dv_noop").toString
+    val d = (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v")
+    DeltaExport.writeDeltaTable(spark, d.repartition(1), dir)
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") <= 10L)
+    // every matched position is already in the standing vector — the
+    // commit would be byte-identical; refused like the UPDATE twin
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") <= 10L))
+    assert(e.getMessage.contains("already deleted"), e.getMessage)
+    // a PARTIAL overlap commits only the fresh positions
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") <= 12L)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 88L)
+    // descriptorJson ↔ descriptorOf round-trips a path needing escapes
+    val quirky = DeletionVectors.Descriptor("p",
+      """weird"dir\dv.bin""", Some(3L), 9L, 2L)
+    val line = s"""{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":${DeletionVectors.descriptorJson(quirky)}}}"""
+    assert(DeletionVectors.descriptorOf(line) === Some(quirky))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("COW delete keeps NULL-predicate rows; DV update SET expressions all see the OLD row; protocol features merge") {
     // SQL DELETE deletes only where the predicate is TRUE — a row
     // where it evaluates NULL must be REWRITTEN, not silently dropped

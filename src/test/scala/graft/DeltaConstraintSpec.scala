@@ -79,6 +79,74 @@ class DeltaConstraintSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("the idempotent append runs the same guards as every other writer") {
+    val dir = newTable()
+    DeltaExport.addCheckConstraintDeltaTable(spark, dir,
+      "bal_positive", "bal > 0.0")
+    // a violating batch cannot sneak in through the exactly-once path
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.appendDeltaTableIdempotent(spark,
+        Seq((4L, Option(-1.0))).toDF("id", "bal"), dir, "sinkA", 1L))
+    assert(e.getMessage.contains("bal_positive"), e.getMessage)
+    // the refusal did not burn the txn watermark: the corrected batch
+    // at the SAME version still lands
+    val (_, landed) = DeltaExport.appendDeltaTableIdempotent(spark,
+      Seq((4L, Option(40.0))).toDF("id", "bal"), dir, "sinkA", 1L)
+    assert(landed)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 4L)
+    // a column-mapped table refuses the idempotent append by name too
+    // (display-named parquet under physical-name resolution would be
+    // silently unreadable)
+    val cmDir = java.nio.file.Files
+      .createTempDirectory("graft_constraint_cm").toString
+    DeltaExport.writeDeltaTable(spark,
+      Seq((1L, Option(1.0))).toDF("id", "bal"), cmDir)
+    val meta0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cmDir, "_delta_log",
+        "00000000000000000000.json")), "UTF-8")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(cmDir, "_delta_log",
+        "00000000000000000000.json"),
+      meta0.replace(""""configuration":{}""",
+        """"configuration":{"delta.columnMapping.mode":"name"}""")
+        .getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaExport.appendDeltaTableIdempotent(spark,
+        Seq((2L, Option(2.0))).toDF("id", "bal"), cmDir, "sinkA", 1L))
+    assert(e2.getMessage.toLowerCase.contains("column-mapped"),
+      e2.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cmDir))
+  }
+
+  test("ADD CONSTRAINT on a foreign writerFeatures table merges the feature without an illegal readerFeatures") {
+    val dir = newTable()
+    // rewrite v0's protocol to a foreign {1,7,writerFeatures:[appendOnly]}
+    // shape — readerFeatures is only legal at minReaderVersion 3, so the
+    // upgrade must NOT invent an empty list
+    val p0 = java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000000.json")
+    val raw = new String(java.nio.file.Files.readAllBytes(p0), "UTF-8")
+    java.nio.file.Files.write(p0, raw.replace(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly"]}}""")
+      .getBytes("UTF-8"))
+    DeltaExport.addCheckConstraintDeltaTable(spark, dir,
+      "bal_positive", "bal > 0.0")
+    val c1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000001.json")), "UTF-8")
+    assert(c1.contains(""""writerFeatures":["appendOnly","checkConstraints"]"""), c1)
+    assert(!c1.contains("readerFeatures"), c1)
+    assert(c1.contains(""""minReaderVersion":1"""), c1)
+    // the constraint still gates writers through the foreign protocol
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.appendDeltaTable(spark,
+        Seq((4L, Option(-1.0))).toDF("id", "bal"), dir))
+    assert(e.getMessage.contains("bal_positive"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("DROP CONSTRAINT lifts the gate; unknown names refused") {
     val dir = newTable()
     DeltaExport.addCheckConstraintDeltaTable(spark, dir,

@@ -480,8 +480,11 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(b.getAs[Long]("target_tokens") === 200L)
     assert(b.getAs[Long]("epochs_micro") === 20000L)
     assert(b.getAs[Long]("rate_micro") === 20000L)
-    // an empty source has no defined epoch factor — NULL, not a crash
+    // an empty source has no defined epoch factor — NULL, not a crash;
+    // and no keep RATE either (least() skips NULLs in both engines, so
+    // an ungated rate would read 100% for a source with NOTHING)
     assert(c.isNullAt(c.fieldIndex("epochs_micro")))
+    assert(c.isNullAt(c.fieldIndex("rate_micro")))
   }
 
   test("preference pairs: total-order tie-breaks, near-tie filter, singleton groups yield nothing") {

@@ -312,6 +312,19 @@ class PlanSpec extends SparkTestBase {
     assert(hashExchanges === 1, s"expected 1 hash exchange, got $hashExchanges:\n$p")
   }
 
+  test("q160 preference mining is a single-exchange aggregation") {
+    // max_by/min_by under struct total orders replace the old two rank
+    // windows + self-join: ONE hash aggregate on the group key with
+    // map-side partial combine — no window sort, no join (the
+    // presentation orderBy adds a range exchange over ~15 group rows)
+    val p = planOf(
+      graft.queries.CurationQueries.q160PreferencePairs.run(spark, sfDir))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1, s"expected 1 hash exchange, got $hashExchanges:\n$p")
+    assert(!p.contains("Window"), s"no rank window expected:\n$p")
+    assert(!p.contains("Join"), s"no self-join expected:\n$p")
+  }
+
   test("sliding window plans one Expand and one aggregate exchange") {
     // window(ts, 1d, 6h) fans each row into duration/slide = 4 windows
     // via a single map-side Expand with partial aggregation — NOT four

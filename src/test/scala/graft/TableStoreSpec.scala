@@ -1291,7 +1291,8 @@ class TableStoreSpec extends SparkTestBase {
     val e = intercept[IllegalStateException] {
       DeltaExport.readDeltaAppendsSince(spark, dir, 0L)
     }
-    assert(e.getMessage.contains("removes data"))
+    assert(e.getMessage.contains("changes existing data") &&
+      e.getMessage.contains("skipChangeCommits"))
     // an expired range is refused rather than silently dropped
     DeltaExport.checkpointDeltaTable(spark, dir)
     DeltaExport.expireLogBefore(dir)
@@ -1299,6 +1300,42 @@ class TableStoreSpec extends SparkTestBase {
       DeltaExport.readDeltaAppendsSince(spark, dir, 0L, Some(2L))
     }
     assert(e2.getMessage.contains("expired"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("Delta incremental read across DV commits: refused by name, or exact-once with skipChangeCommits") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_incr_dv").toString
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"row $i")).toDF("id", "s").repartition(1)
+    DeltaExport.writeDeltaTable(spark, batch(1L, 10L), dir)     // v0
+    DeltaExport.appendDeltaTable(spark, batch(11L, 20L), dir)   // v1
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") === 3L) // v2
+    DeltaExport.appendDeltaTable(spark, batch(21L, 30L), dir)   // v3
+    // a DV delete in range: refused BY NAME, naming the option
+    val e = intercept[IllegalStateException](
+      DeltaExport.readDeltaAppendsSince(spark, dir, 0L).count())
+    assert(e.getMessage.contains("deletion-vector") &&
+      e.getMessage.contains("skipChangeCommits"), e.getMessage)
+    // skipChangeCommits skips the change commit WHOLESALE: the two
+    // appends deliver exactly once — the DV re-add of v0's file (whose
+    // 9 survivors the consumer already received) must not double-land
+    val got = DeltaExport.readDeltaAppendsSince(spark, dir, 0L,
+        skipChangeCommits = true)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === (11L to 30L))
+    // an UPDATE's new-image files are PART of its change commit — a
+    // skip delivers none of them (row-level changes are CDC's surface)
+    DeltaExport.updateDeltaTableDv(spark, dir, col("id") === 21L,
+      Map("s" -> lit("updated")))                               // v4
+    assert(DeltaExport.readDeltaAppendsSince(spark, dir, 3L,
+      skipChangeCommits = true).count() === 0L)
+    // a post-purge consumer resumes cleanly: the purge is
+    // dataChange=false, so it too delivers nothing
+    DeltaExport.purgeDeletionVectors(spark, dir)                // v5
+    assert(DeltaExport.readDeltaAppendsSince(spark, dir, 4L).count() === 0L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
