@@ -2007,8 +2007,8 @@ object DeltaExport {
 
   /** The table's column-mapping mode, from metaData.configuration:
     * "none" (default), "name" (supported — parquet columns are stored
-    * under per-field physical names), or "id" (refused by name at
-    * scan: parquet field-id matching is not implemented). The regex
+    * under per-field physical names), or "id" (resolution by parquet
+    * FIELD ID via Spark's field-id reader). The regex
     * cannot false-match the schemaString's own copy of the key — that
     * copy is JSON-escaped (backslashed quotes), this pattern requires
     * bare ones. */
@@ -2043,6 +2043,22 @@ object DeltaExport {
                  else f.name)
     }.toMap
   }
+
+  /** logical field name -> parquet field id, from the schemaString's
+    * per-field `delta.columnMapping.id` metadata — the resolution key
+    * of 'id' mode. Every field must carry one there (the protocol
+    * assigns ids to all columns when mapping is enabled); a field
+    * without one is a malformed table, refused by name. */
+  private def fieldIds(
+      schema: org.apache.spark.sql.types.StructType,
+      mode: String): Map[String, Long] =
+    if (mode != "id") Map.empty
+    else schema.fields.map { f =>
+      require(f.metadata.contains("delta.columnMapping.id"),
+        s"id-mode COLUMN MAPPING field '${f.name}' carries no " +
+          "delta.columnMapping.id — cannot resolve it by parquet field id")
+      f.name -> f.metadata.getLong("delta.columnMapping.id")
+    }.toMap
 
   /** Translate an add action's partitionValues (keyed by PHYSICAL
     * names under column mapping, per the protocol) back to logical
@@ -2108,21 +2124,38 @@ object DeltaExport {
         s"reconstructible — add-listed file(s) vacuumed or missing: " +
         gone.mkString(", "))
     val pcols = partitionColumnsOf(meta)
-    // column mapping ('name' mode): parquet stores columns under the
+    // column mapping: in 'name' mode parquet stores columns under the
     // schemaString's per-field physical names — read physically,
-    // rename to logical right after the scan; 'id' mode (field-id
-    // footer matching) is refused by name
+    // rename to logical right after the scan. In 'id' mode (the
+    // Databricks default for evolved tables) resolution is by PARQUET
+    // FIELD ID: the requested schema keeps its logical names but
+    // carries each field's delta.columnMapping.id as parquet.field.id
+    // metadata, and Spark's field-id reader matches footer ids instead
+    // of names (the file's physical column names are irrelevant — a
+    // renamed column still resolves). The session flag is sticky but
+    // inert elsewhere: field-id matching only engages when a requested
+    // schema carries the metadata, which only these reads attach.
     val cmMode = columnMappingMode(meta)
-    require(cmMode == "none" || cmMode == "name",
-      s"unsupported COLUMN MAPPING mode '$cmMode' — only 'name' (and " +
-        "none) is implemented; 'id' needs parquet field-id matching")
+    require(cmMode == "none" || cmMode == "name" || cmMode == "id",
+      s"unsupported COLUMN MAPPING mode '$cmMode' — only 'name' and " +
+        "'id' (and none) are implemented")
     val phys = physicalNames(schema, cmMode)
-    def physSchema(s: org.apache.spark.sql.types.StructType) =
-      org.apache.spark.sql.types.StructType(
+    val fids = fieldIds(schema, cmMode)
+    if (cmMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    def physSchema(s: org.apache.spark.sql.types.StructType) = cmMode match {
+      case "name" => org.apache.spark.sql.types.StructType(
         s.fields.map(f => f.copy(name = phys(f.name))))
+      case "id" => org.apache.spark.sql.types.StructType(
+        s.fields.map(f => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("parquet.field.id", fids(f.name)).build())))
+      case _ => s
+    }
     def toLogical(df: DataFrame,
         s: org.apache.spark.sql.types.StructType): DataFrame =
-      if (cmMode == "none") df
+      if (cmMode != "name") df
       else df.select(s.fieldNames.map(n => col(phys(n)).as(n)).toIndexedSeq: _*)
     // a file with a deletion vector scans ALONE with the parquet row
     // index attached, anti-joined against its DV's deleted positions —

@@ -85,6 +85,42 @@ object Classifier {
       .drop("s", "bias")
   }
 
+  /** INTEGER-MICROS twin of [[nbScores]] (the q107c/q147 oracle
+    * discipline): each token's log-likelihood-ratio weight and the
+    * class prior quantize ONCE to integer micros — one ln + one round
+    * per vocabulary entry / per corpus — and every per-doc score is
+    * then an EXACT integer sum, immune to the summation-order
+    * nondeterminism a cross-partition DOUBLE sum carries (the reason
+    * nbScores itself must not feed a hash oracle). Any engine replays
+    * score_micro bit-for-bit; sign agreement with nbScores holds
+    * outside a sub-micro band of the decision boundary. Same plan
+    * shape: two vocabulary-keyed shuffles, model relation sized by
+    * vocabulary. All input columns pass through plus `score_micro`. */
+  def nbScoresMicro(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val t = toks(docs, idCol, textCol, labelCol)
+    val w = nbWeightsFromCounts(
+        nbTokenClassCounts(docs, idCol, textCol, labelCol))
+      .select(col("token"),
+        round(col("w") * 1e6).cast("long").as("wm"))
+    val bias = docs.agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_hi"),
+        sum(when(not(col(labelCol)), 1L).otherwise(0L)).as("n_lo"),
+        count(lit(1)).as("n"))
+      .select(round((log((col("n_hi") + 1.0) / (col("n") + 2.0)) -
+          log((col("n_lo") + 1.0) / (col("n") + 2.0))) * 1e6)
+        .cast("long").as("bias_micro"))
+    val dt = t.groupBy(col("id"), col("token")).agg(count(lit(1)).as("c"))
+    val sums = dt.join(w, Seq("token"))
+      .groupBy(col("id")).agg(sum(col("c") * col("wm")).as("s"))
+    docs
+      .join(sums.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .crossJoin(broadcast(bias))
+      .withColumn("score_micro",
+        coalesce(col("s"), lit(0L)) + col("bias_micro"))
+      .drop("s", "bias_micro")
+  }
+
   /** Character k-grams (every position, multiplicity kept) of a BOUND
     * lowered-text attribute — pass a materialized column, not an
     * embedded expression tree (HOF lambdas evaluate interpreted; the

@@ -1481,8 +1481,121 @@ object CurationQueries {
         AND chosen_micro - rejected_micro >= 1000
       ORDER BY b.grp"""))
 
+  /** End-to-end composition of the round-16 curation operators (the
+    * q122 pattern — compositions are where cross-operator bugs hide):
+    * the token-budget mixture plan (q159) computes per-source keep
+    * RATES that actually GATE a corpus pass (ppm hash decision, the
+    * q56 posture — the corpus itself never shuffles), NB quality
+    * scores are trained on the gated SURVIVORS' own weak labels via
+    * the integer-micros twin ([[graft.ops.Classifier.nbScoresMicro]] —
+    * the q107c discipline that lets a hash oracle expose per-doc
+    * scores: exact integer sums, no cross-partition double
+    * accumulation), and preference pairs (q160) mine per source group
+    * from those scores. ONE DuckDB statement replays the entire chain
+    * — plan arithmetic, gate, NB fit, pair mining, margins included.
+    *
+    * Scale shape, stage by stage: the plan is a source-sized broadcast
+    * relation; the gate is a narrow ppm hash filter; the NB fit is two
+    * vocabulary-keyed shuffles over survivors only; the mining is one
+    * hash aggregate on the group key. */
+  val q162MixturePreferencePipeline = GraftQuery(
+    "q162_mixture_preference_pipeline", { (s, dir) =>
+      val d = docs(s, dir)
+      // stage 1 — q159: token-budget plan over the corpus's sources
+      val avail = d.groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text")))
+          .as("available_tokens"))
+      val weights = avail.select(col("source"),
+        (length(col("source")) % 5 + 1).cast("long").as("weight"))
+      val plan = graft.ops.Mixture.tokenBudgetPlan(avail, weights,
+          budgetTokens = 1000000L)
+        .select(col("source"), col("rate_micro"))
+      // stage 2 — the plan's keep rates gate the corpus pass
+      val gated = d.join(broadcast(plan), Seq("source"))
+        .filter(hashBucketN(col("doc_id"), 2654435761L, lit(1000000L))
+          < col("rate_micro"))
+        .select(col("source"), col("doc_id"), col("text"))
+      // stage 3 — NB scored on the survivors' own weak labels (micros)
+      val labeled = gated.withColumn("y",
+        TextAnalysis.qualityScore(col("text")) >= 0.88)
+      val scored = graft.ops.Classifier.nbScoresMicro(
+        labeled, "doc_id", "text", "y")
+      // stage 4 — q160: preference pairs per source group
+      graft.ops.Preference.minePairs(
+          scored.select(col("source"), col("doc_id"), col("score_micro")),
+          "source", "doc_id",
+          col("score_micro").cast("double") / 1e6,
+          minMarginMicro = 1000L)
+        .orderBy(col("grp"))
+    },
+    Some(s"""WITH avail AS (
+        SELECT source,
+          CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+            x -> len(x) > 0))) AS BIGINT) AS available_tokens
+        FROM documents GROUP BY source),
+      pw AS (SELECT source, available_tokens,
+          CAST(len(source) % 5 + 1 AS BIGINT) AS weight FROM avail),
+      ptot AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM pw),
+      plan AS (SELECT source,
+          CASE WHEN available_tokens > 0
+            THEN least(1000000,
+              ((((1000000 * weight) // wsum) * 1000000)
+                // available_tokens))
+            END AS rate_micro
+        FROM pw, ptot),
+      gated AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d JOIN plan p USING (source)
+        WHERE (((d.doc_id % 2147483648) * (2654435761 % 4294967296))
+          % 4294967296) % 1000000 < p.rate_micro),
+      qsc AS (${TextVectorQueries.qualityScoredDocsSql}),
+      lab AS (SELECT g.doc_id, g.source, g.text, (qs.q >= 0.88) AS y
+        FROM gated g JOIN qsc qs USING (doc_id)),
+      tok AS (SELECT doc_id, y,
+          unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> len(x) > 0)) AS token
+        FROM lab),
+      tc AS (SELECT token,
+          count(CASE WHEN y THEN 1 END) AS hi,
+          count(CASE WHEN NOT y THEN 1 END) AS lo
+        FROM tok GROUP BY token),
+      nbtot AS (SELECT sum(hi) AS tot_hi, sum(lo) AS tot_lo,
+          count(*) AS vv FROM tc),
+      wt AS (SELECT token,
+          CAST(round((ln((hi + 1.0) / (tot_hi + vv)) -
+            ln((lo + 1.0) / (tot_lo + vv))) * 1000000) AS BIGINT) AS wm
+        FROM tc, nbtot),
+      pri AS (SELECT CAST(round((
+          ln((count(CASE WHEN y THEN 1 END) + 1.0) / (count(*) + 2.0)) -
+          ln((count(CASE WHEN NOT y THEN 1 END) + 1.0) / (count(*) + 2.0)))
+            * 1000000) AS BIGINT) AS bias_m
+        FROM lab),
+      dt AS (SELECT doc_id, token, count(*) AS c
+        FROM tok GROUP BY doc_id, token),
+      ds AS (SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS s
+        FROM dt JOIN wt USING (token) GROUP BY doc_id),
+      nbsc AS (SELECT l.source, l.doc_id,
+          coalesce(ds.s, 0) + pri.bias_m AS sm
+        FROM lab l LEFT JOIN ds ON l.doc_id = ds.doc_id, pri),
+      scored AS (SELECT source AS grp, doc_id,
+          CAST(round((CAST(sm AS DOUBLE) / 1e6) * 1e6) AS BIGINT) AS m
+        FROM nbsc),
+      best AS (SELECT grp, doc_id AS chosen_id, m AS chosen_micro,
+          row_number() OVER (PARTITION BY grp ORDER BY m DESC, doc_id)
+            AS rn FROM scored),
+      worst AS (SELECT grp, doc_id AS rejected_id, m AS rejected_micro,
+          row_number() OVER (PARTITION BY grp ORDER BY m ASC, doc_id)
+            AS rn FROM scored)
+      SELECT b.grp, chosen_id, rejected_id, chosen_micro, rejected_micro,
+        chosen_micro - rejected_micro AS margin_micro
+      FROM best b JOIN worst w2 ON b.grp = w2.grp AND b.rn = 1 AND w2.rn = 1
+      WHERE chosen_id <> rejected_id
+        AND chosen_micro - rejected_micro >= 1000
+      ORDER BY b.grp"""))
+
   val all: Seq[GraftQuery] = Seq(
     q159TokenBudgetMixture, q160PreferencePairs,
+    q162MixturePreferencePipeline,
     q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
     q60RepetitionFilters, q61PiiRedaction, q142GopherRules,
     q143C4LineClean, q62CurationPipeline,

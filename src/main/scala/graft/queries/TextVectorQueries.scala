@@ -4745,18 +4745,29 @@ object TextVectorQueries {
     * disabled, building edges on the collapsed corpus must equal
     * restricting the full corpus's edges to representative pairs —
     * and therefore the two triangle censuses must agree node for
-    * node. Runs on the doc_id % 2 = 0 half corpus (twins inherit
-    * their original's parity, so clusters stay intact) to bound the
-    * guard-free full build, which exists only here as the contract's
-    * reference. A surviving row means the collapse changed structure
-    * it cannot touch — an id-mapping or restriction bug.
+    * node. Runs on [[halfCollapseRef]]'s half-corpus guard-free
+    * reference (shared with q153d — built once, verify-SF only). A
+    * surviving row means the collapse changed structure it cannot
+    * touch — an id-mapping or restriction bug.
     *
     * REPRESENTATIVE leg — every endpoint of the ACTUAL q151b edge
     * relation must be a representative its own collapse emitted
     * (root-or-unclustered); a violation means the rep filter and the
     * edge build disagree about the corpus. */
-  val q151cCollapsedRestrictionContract = GraftQuery(
-    "q151c_collapsed_restriction_contract", { (s, dir) =>
+  /** Half-corpus GUARD-FREE collapse reference, built once per
+    * (session, dir) and shared by the family's restriction contracts
+    * (q151c, q153d): the doc_id % 2 = 0 half corpus (twins inherit
+    * their original's parity, so clusters stay intact) collapsed to
+    * representatives, yielding (sub = edges built ON the collapsed
+    * corpus, restricted = full half-corpus edges restricted to
+    * representative pairs). With maxDf unguarded the two relations
+    * must be EQUAL — every graph statistic computed on both is a
+    * restriction-equality contract. */
+  private val halfCollapseMemo = scala.collection.mutable
+    .Map.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def halfCollapseRef(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    memoized(halfCollapseMemo, s, dir) {
       val half = nearDupCorpus(s, dir).filter(col("doc_id") % 2 === 0)
         .localCheckpoint(eager = false)
       val comp = DedupCluster.connectedComponents(
@@ -4766,12 +4777,20 @@ object TextVectorQueries {
         .localCheckpoint(eager = false)
       val repIds = reps.select(col("doc_id"))
       val sub = DedupCluster.sharedShingleEdges(reps, "text", "doc_id",
-        shingleK = 3, minShared = 3, maxDf = Int.MaxValue)
+          shingleK = 3, minShared = 3, maxDf = Int.MaxValue)
+        .localCheckpoint(eager = false)
       val restricted = DedupCluster.sharedShingleEdges(half, "text",
           "doc_id", shingleK = 3, minShared = 3, maxDf = Int.MaxValue)
         .join(repIds.withColumnRenamed("doc_id", "u"), Seq("u"), "left_semi")
         .join(repIds.withColumnRenamed("doc_id", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
+        .localCheckpoint(eager = false)
+      (sub, restricted)
+    }
+
+  val q151cCollapsedRestrictionContract = GraftQuery(
+    "q151c_collapsed_restriction_contract", { (s, dir) =>
+      val (sub, restricted) = halfCollapseRef(s, dir)
       def census(e: DataFrame, side: String) =
         graft.ops.Graph.triangleCounts(e).select(col("node"),
           struct(col("triangles"), col("degree"), col("lcc_micro"))
@@ -4834,6 +4853,80 @@ object TextVectorQueries {
       graft.ops.Graph.degreeAssortativity(collapsedRepEdges(s, dir))
     })
 
+  /** K-core + assortativity restriction contract over the collapsed
+    * graph (oracle-checked; the census-shaped q151c's sibling, closing
+    * the family's discipline for the OTHER two statistics the
+    * collapsed/winnowed rows report): on [[halfCollapseRef]]'s
+    * guard-free reference, edges-on-collapsed-corpus ≡
+    * edges-restricted-to-representatives, so
+    *
+    *  - kcore leg: for every k in the q153b sweep's range, the k-core
+    *    NODE SET computed on `sub` must equal the one computed on
+    *    `restricted` (symmetric difference emitted; peel convergence
+    *    required on both sides);
+    *  - moments leg: [[graft.ops.Graph.degreeAssortativity]]'s
+    *    pre-divide moment vector (m, Σdx, Σdxdy, Σdx²) is EXACT
+    *    integer arithmetic, so the two sides must agree bit-for-bit —
+    *    and then so does the one shared IEEE divide q154b reports.
+    *
+    * Violations vs the empty relation. */
+  val q153dKCoreRestrictionContract = GraftQuery(
+    "q153d_kcore_restriction_contract", { (s, dir) =>
+      val (sub, restricted) = halfCollapseRef(s, dir)
+      def coreNodes(e: DataFrame, k: Int) = {
+        // deep peel budget: the half corpus's k=3 peel runs > 30
+        // rounds at sf0.1 (long degradation chains); each round is one
+        // cheap count on the shrinking half graph, and the contract
+        // REQUIRES a true fixpoint — truncation would compare
+        // non-cores
+        val (core, _, converged) =
+          graft.ops.Graph.kCore(e, k = k, maxRounds = 200)
+        require(converged, s"kCore(k=$k) hit maxRounds without " +
+          "converging — the surviving subgraph is not a k-core")
+        core.select(col("node"))
+      }
+      val kcoreLeg = (1 to 3).map { k =>
+        coreNodes(sub, k).withColumn("s", lit(1))
+          .join(coreNodes(restricted, k).withColumn("r", lit(1)),
+            Seq("node"), "full_outer")
+          .filter(col("s").isNull || col("r").isNull)
+          .select(lit("kcore").as("kind"), lit(k.toLong).as("k"),
+            col("node"))
+      }.reduce(_.unionByName(_))
+      def moments(e: DataFrame) = {
+        val canon = e.select(least(col("u"), col("v")).as("a"),
+            greatest(col("u"), col("v")).as("b"))
+          .filter(col("a") < col("b")).distinct()
+        val deg = canon.select(col("a").as("node"))
+          .unionAll(canon.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val pairs = canon
+          .join(deg.select(col("node").as("a"), col("deg").as("dx")),
+            Seq("a"))
+          .join(deg.select(col("node").as("b"), col("deg").as("dy")),
+            Seq("b"))
+          .select(col("dx"), col("dy"))
+        val both = pairs.unionAll(
+          pairs.select(col("dy").as("dx"), col("dx").as("dy")))
+        both.agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"))
+      }
+      val momentLeg = moments(sub).crossJoin(
+          moments(restricted).select(col("m").as("m2"),
+            col("sx").as("sx2"), col("sxy").as("sxy2"),
+            col("sxx").as("sxx2")))
+        .filter(col("m") =!= col("m2") || col("sx") =!= col("sx2") ||
+          col("sxy") =!= col("sxy2") || col("sxx") =!= col("sxx2"))
+        .select(lit("moments").as("kind"),
+          lit(null).cast("long").as("k"), lit(null).cast("long").as("node"))
+      kcoreLeg.unionByName(momentLeg).orderBy(col("kind"), col("k"),
+        col("node"))
+    },
+    Some("""SELECT CAST(NULL AS VARCHAR) AS kind,
+      CAST(NULL AS BIGINT) AS k, CAST(NULL AS BIGINT) AS node
+      WHERE 1 = 0"""))
+
   val all: Seq[GraftQuery] = Seq(
     q144FrameDedup, q145ImageNearDup, q145bImageNearDupRecall,
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
@@ -4879,5 +4972,5 @@ object TextVectorQueries {
     q151cCollapsedRestrictionContract, q153bKCoreCollapsed,
     q154bAssortativityCollapsed, q151dTriangleCensusWinnowed,
     q151eWinnowCensusContract, q153cKCoreWinnowed,
-    q154cAssortativityWinnowed)
+    q154cAssortativityWinnowed, q153dKCoreRestrictionContract)
 }

@@ -34,6 +34,31 @@ class ClassifierSpec extends SparkTestBase {
     assert(math.abs(s - expected) < 1e-12)
   }
 
+  test("nbScoresMicro tracks nbScores within per-token quantization error and is an exact integer path") {
+    val docs = Seq((1L, "good good fine", true), (2L, "bad awful", false),
+      (3L, "good bad", true), (4L, "", false), (5L, "fine awful bad", false))
+      .toDF("doc_id", "text", "y")
+    val d = Classifier.nbScores(docs, "doc_id", "text", "y")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val m = Classifier.nbScoresMicro(docs, "doc_id", "text", "y")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micro")).toMap
+    assert(m.keySet === d.keySet)
+    // each micro score differs from the double path only by the per-token
+    // rounding (≤ 0.5 micro per token occurrence + 0.5 for the bias)
+    m.foreach { case (id, sm) =>
+      val tokens = 3 // max token occurrences per doc in the fixture
+      assert(math.abs(sm - d(id) * 1e6) <= 0.5 * (tokens + 1) + 1e-6,
+        s"doc $id: micro $sm vs double ${d(id) * 1e6}")
+    }
+    // empty doc scores exactly the quantized prior bias — half AWAY
+    // from zero, the Spark/DuckDB round() convention (memory trap:
+    // Scala math.round is half-toward-+inf)
+    val bias = math.log(3.0 / 7.0) - math.log(4.0 / 7.0) // n_hi=2 n_lo=3 n=5
+    val x = bias * 1e6
+    val bq = if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+    assert(m(4L) === bq.toLong, s"empty doc: ${m(4L)} vs $bq")
+  }
+
   test("aggregate fit and MLlib NaiveBayes agree on every prediction off the boundary (q112b contract, fixture corpus)") {
     assert(ClassifierQueries.q112bNbMllibContract.run(spark, sfDir).isEmpty)
   }

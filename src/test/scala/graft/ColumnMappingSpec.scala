@@ -6,9 +6,11 @@ import org.apache.spark.sql.types._
 import graft.core.DeltaExport
 
 /** Column-mapping consumer tests (reader protocol v2 / table feature
-  * `columnMapping`, mode 'name'): parquet stores columns under
-  * per-field physical names carried in the schemaString's metadata;
-  * the reader scans physically and renames to logical. Fixtures are
+  * `columnMapping`): in 'name' mode parquet stores columns under
+  * per-field physical names carried in the schemaString's metadata —
+  * the reader scans physically and renames to logical; in 'id' mode
+  * (the Databricks default for evolved tables) columns resolve by
+  * parquet FIELD ID against delta.columnMapping.id. Fixtures are
   * hand-built protocol-shaped logs, the DeletionVectorSpec posture —
   * graft itself never writes mapped tables (writers refuse by name). */
 class ColumnMappingSpec extends SparkTestBase {
@@ -120,41 +122,84 @@ class ColumnMappingSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
-  test("id-mode and nested mapping refuse by name") {
+  private def metaWithMode(sch: StructType, mode: String): String =
+    s"""{"metaData":{"id":"11111111-2222-3333-4444-555555555555","format":{"provider":"parquet","options":{}},"schemaString":"${escJson(
+        sch.json)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"$mode"},"createdTime":1}}"""
+
+  test("id-mode flat table: columns resolve by parquet FIELD ID, not by any name; writers still refuse") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_id").toString
+    // the FILE's column names match NEITHER the logical names nor the
+    // schemaString's physicalNames — only the footer field ids line
+    // up, so a passing read proves genuine id resolution
+    val fid = (n: Long) => new MetadataBuilder()
+      .putLong("parquet.field.id", n).build()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("x", "y")
+      .select(col("x").as("fileonly-x", fid(1L)),
+        col("y").as("fileonly-y", fid(2L)))
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      physField("id", LongType, "col-a1", 1L),
+      physField("s", StringType, "col-b2", 2L)))
+    val file = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    writeLog(dir, 0L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaWithMode(schema, "id"),
+      s"""{"add":{"path":"$file","partitionValues":{},"size":${new java.io.File(dir, file).length},"modificationTime":1,"dataChange":true}}"""))
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "s"))
+    assert(back.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel goes through the same resolution
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(0L)).count() === 3L)
+    // writers refuse id-mode tables exactly like name-mode ones
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.appendDeltaTable(spark,
+        Seq((9L, "z")).toDF("id", "s"), dir))
+    assert(e.getMessage.contains("COLUMN-MAPPED"), e.getMessage)
+    // a malformed id-mode table (field with no columnMapping.id) is
+    // refused by name, not silently name-matched
+    val noId = StructType(Seq(
+      physField("id", LongType, "col-a1", 1L),
+      StructField("s", StringType, nullable = true)))
+    writeLog(dir, 0L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaWithMode(noId, "id"),
+      s"""{"add":{"path":"$file","partitionValues":{},"size":${new java.io.File(dir, file).length},"modificationTime":1,"dataChange":true}}"""))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaExport.readDeltaTable(spark, dir).collect())
+    assert(e2.getMessage.contains("delta.columnMapping.id"), e2.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("nested mapping refuses by name") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_cm_refuse").toString
     Seq((1L, "a")).toDF("col-a1", "col-b2")
       .repartition(1).write.mode("overwrite").parquet(dir)
     val file = new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.endsWith(".parquet")).head
-    val schema = StructType(Seq(
-      physField("id", LongType, "col-a1", 1L),
-      physField("s", StringType, "col-b2", 2L)))
-    def metaWithMode(sch: StructType, mode: String): String =
-      s"""{"metaData":{"id":"11111111-2222-3333-4444-555555555555","format":{"provider":"parquet","options":{}},"schemaString":"${escJson(
-          sch.json)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"$mode"},"createdTime":1}}"""
     def addLine: String =
       s"""{"add":{"path":"$file","partitionValues":{},"size":${new java.io.File(dir, file).length},"modificationTime":1,"dataChange":true}}"""
-    writeLog(dir, 0L, Seq(
-      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
-      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      metaWithMode(schema, "id"), addLine))
-    val idMode = intercept[IllegalArgumentException](
-      DeltaExport.readDeltaTable(spark, dir).collect())
-    assert(idMode.getMessage.contains("COLUMN MAPPING mode 'id'"),
-      idMode.getMessage)
-    // a nested struct whose inner field carries a physicalName
+    // a nested struct whose inner field carries a physicalName — in
+    // EITHER mode, silently ignoring it would read wrong nested data
     val nested = StructType(Seq(
       physField("id", LongType, "col-a1", 1L),
       StructField("obj", StructType(Seq(
         physField("inner", StringType, "col-x7", 4L))), nullable = true)))
-    writeLog(dir, 0L, Seq(
-      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
-      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      metaWithMode(nested, "name"), addLine))
-    val nst = intercept[IllegalArgumentException](
-      DeltaExport.readDeltaTable(spark, dir).collect())
-    assert(nst.getMessage.contains("NESTED COLUMN MAPPING"), nst.getMessage)
+    for (mode <- Seq("name", "id")) {
+      writeLog(dir, 0L, Seq(
+        """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        metaWithMode(nested, mode), addLine))
+      val nst = intercept[IllegalArgumentException](
+        DeltaExport.readDeltaTable(spark, dir).collect())
+      assert(nst.getMessage.contains("NESTED COLUMN MAPPING"),
+        s"$mode: ${nst.getMessage}")
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
