@@ -1635,6 +1635,12 @@ object DeltaExport {
     * files stay on disk, so time travel to pre-OPTIMIZE versions keeps
     * working until a vacuum reclaims them.
     *
+    * DV-AWARE, like real Delta's OPTIMIZE: files carrying deletion
+    * vectors compact WITHOUT their masked rows (logical content is
+    * unchanged, so dataChange=false still holds) and the re-adds carry
+    * no vectors — compaction doubles as the DV purge, after which the
+    * orphaned vector files are vacuum-reclaimable.
+    *
     * With `zorderBy` non-empty the rewrite range-partitions on the
     * Morton key ([[Zorder.withKey]]) and sorts within partitions, so
     * each compacted file owns a hyper-rectangle of the clustered
@@ -1657,9 +1663,13 @@ object DeltaExport {
         "compaction would destroy the layout")
     val live = snap.live.toSeq
     require(live.nonEmpty, "nothing to optimize — no live files")
-    requireNoDvs(snap, "OPTIMIZE")
     requireNoColumnMapping(snap.meta, "OPTIMIZE")
-    val df = scanFiles(spark, dir, snap.meta, live, None)
+    // DV-aware (real Delta's OPTIMIZE): the compaction scan APPLIES
+    // each file's deletion vector, so the rewrite materializes the
+    // deletes and the re-adds carry no vectors — compaction doubles as
+    // the DV purge, and the orphaned .bin files become vacuumable
+    val df = scanFiles(spark, dir, snap.meta, live, None,
+      snap.pvals.toMap, snap.dvs.toMap)
     val shaped =
       if (zorderBy.isEmpty) df.repartition(targetFiles)
       else Zorder.withKey(df, zorderBy)
@@ -1709,7 +1719,6 @@ object DeltaExport {
     require(badZ.isEmpty,
       s"zorderBy column(s) ${badZ.mkString(", ")} are partition columns — " +
         "constant within every output file, they cannot cluster anything")
-    requireNoDvs(snap, "OPTIMIZE")
     requireNoColumnMapping(snap.meta, "OPTIMIZE")
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
@@ -1734,8 +1743,21 @@ object DeltaExport {
           .getOrElse("__HIVE_DEFAULT_PARTITION__")
         s"${escapePathName(c)}=$value"
       }.mkString("/")
-      val df = spark.read.schema(dataSchema)
-        .parquet(fs.sorted.map(f => s"$dir/$f"): _*)
+      // DV-aware within the partition (the flat form's rule): plain
+      // files scan in bulk, DV-carrying files scan alone minus their
+      // masked rows — the rewrite materializes the deletes. Partitions
+      // at/below the file target are untouched and KEEP their vectors
+      // (purgeDeletionVectors is the targeted move for those).
+      val (dvFs, plainFs) = fs.sorted.partition(snap.dvs.contains)
+      val parts =
+        (if (plainFs.nonEmpty)
+          Seq(spark.read.schema(dataSchema)
+            .parquet(plainFs.map(f => s"$dir/$f"): _*))
+        else Nil) ++
+        dvFs.map(f => dvAntiJoin(spark, dir,
+          spark.read.schema(dataSchema).parquet(s"$dir/$f"),
+          snap.dvs(f), dataSchema.fieldNames.toSeq))
+      val df = parts.reduce(_.unionByName(_))
       val shaped =
         if (zorderBy.isEmpty) df.repartition(targetFilesPerPartition)
         else Zorder.withKey(df, zorderBy)
@@ -2101,6 +2123,24 @@ object DeltaExport {
       st.pvals.toMap, st.dvs.toMap)
   }
 
+  /** Anti-join a single file's scan against its deletion vector's
+    * positions (attached via the parquet row index) — the one DV
+    * application primitive, shared by [[scanFiles]] and the DV-aware
+    * compaction paths. Positions decode once on the driver (bounded by
+    * one file's row count) and distribute as a join side. */
+  private def dvAntiJoin(spark: SparkSession, dir: String,
+      base: DataFrame, desc: DeletionVectors.Descriptor,
+      outCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val deleted = DeletionVectors.positions(dir, desc).toSeq
+      .toDF("__dv_pos")
+    base
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+      .join(deleted, Seq("__dv_pos"), "left_anti")
+      .select(outCols.map(col): _*)
+  }
+
   /** Scan exactly `files` with the logged schema. For a PARTITIONED
     * table the data files do not contain the partition columns — the
     * protocol obliges the reader to re-attach them from each add's
@@ -2164,15 +2204,8 @@ object DeltaExport {
     // by one file's row count) and distribute as a join side; DV-free
     // files scan in bulk exactly as before.
     def dvFilter(base: DataFrame, f: String,
-        outCols: Seq[String]): DataFrame = {
-      import spark.implicits._
-      val deleted = DeletionVectors.positions(dir, dvs(f)).toSeq
-        .toDF("__dv_pos")
-      base
-        .withColumn("__dv_pos", col("_metadata.row_index"))
-        .join(deleted, Seq("__dv_pos"), "left_anti")
-        .select(outCols.map(col): _*)
-    }
+        outCols: Seq[String]): DataFrame =
+      dvAntiJoin(spark, dir, base, dvs(f), outCols)
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -2425,13 +2458,18 @@ object DeltaExport {
   // (delta-io PROTOCOL.md "Checkpoints"); other writers add more columns
   // (txn, remove, stats) — the loader reads by field name so extras and
   // absences both survive
-  final case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  final case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int,
+      readerFeatures: Option[Seq[String]] = None,
+      writerFeatures: Option[Seq[String]] = None)
   final case class CpFormat(provider: String, options: Map[String, String])
   final case class CpMetaData(id: String, schemaString: String,
-      partitionColumns: Seq[String], createdTime: Long)
+      partitionColumns: Seq[String], createdTime: Long,
+      configuration: Map[String, String] = Map.empty)
+  final case class CpDv(storageType: String, pathOrInlineDv: String,
+      offset: Option[Long], sizeInBytes: Long, cardinality: Long)
   final case class CpAdd(path: String, partitionValues: Map[String, String],
       size: Long, modificationTime: Long, dataChange: Boolean,
-      stats: Option[String])
+      stats: Option[String], deletionVector: Option[CpDv] = None)
   final case class CpTxn(appId: String, version: Long)
   final case class CpRow(protocol: Option[CpProtocol],
       metaData: Option[CpMetaData], add: Option[CpAdd],
@@ -2471,10 +2509,6 @@ object DeltaExport {
     require(parts >= 1, "parts must be >= 1")
     val v = latestVersion(dir)
     val snap = snapshotState(spark, dir, None)
-    // a graft checkpoint row carries no deletionVector column, so
-    // checkpointing a DV-carrying snapshot would silently DROP the
-    // vectors and resurrect their deleted rows after log expiry
-    requireNoDvs(snap, "CHECKPOINT")
     requireNoColumnMapping(snap.meta, "CHECKPOINT")
     val (meta, files) = (snap.meta, snap.live.toSeq)
     val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
@@ -2483,11 +2517,31 @@ object DeltaExport {
       .map(m => unescapeJson(m.group(1)))
       .getOrElse(throw new IllegalStateException("metaData carries no id"))
     val createdTime = ctRe.findFirstMatchIn(meta).map(_.group(1).toLong).getOrElse(0L)
+    // the checkpoint must carry the table's ACTUAL protocol (features
+    // included) and the metaData's configuration — a checkpoint that
+    // re-wrote {1,2} / {} would, after log expiry, undeclare features
+    // (deletionVectors, timestampNtz) and DROP every CHECK constraint
+    // and table property for all later readers
+    val curP = Option(snap.protocol).getOrElse(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val mrvRe = """"minReaderVersion":(\d+)""".r
+    val mwvRe = """"minWriterVersion":(\d+)""".r
+    def featsOf(key: String): Option[Seq[String]] = {
+      val re = (s""""$key":\\[([^\\]]*)\\]""").r
+      re.findFirstMatchIn(curP).map(m =>
+        jsonStrRe.findAllMatchIn(m.group(1))
+          .map(e => unescapeJson(e.group(1))).toSeq)
+    }
+    val cpProtocol = CpProtocol(
+      mrvRe.findFirstMatchIn(curP).map(_.group(1).toInt).getOrElse(1),
+      mwvRe.findFirstMatchIn(curP).map(_.group(1).toInt).getOrElse(2),
+      featsOf("readerFeatures"), featsOf("writerFeatures"))
     val rows: Seq[CpRow] =
-      (CpRow(Some(CpProtocol(1, 2)), None, None) +:
+      (CpRow(Some(cpProtocol), None, None) +:
       CpRow(None,
         Some(CpMetaData(id, schemaStringOf(meta),
-          partitionColumnsOf(meta), createdTime)),
+          partitionColumnsOf(meta), createdTime,
+          configurationOf(meta))),
         None) +:
       // one txn row per writer app — the idempotence watermark must
       // survive the JSON commits its carrier expired with
@@ -2496,10 +2550,15 @@ object DeltaExport {
       }) ++
       files.sorted.map { f =>
         val p = Paths.get(dir, f)
+        // live deletion vectors checkpoint as the protocol's per-add
+        // deletionVector struct — the reader side already restores them
         CpRow(None, None, Some(CpAdd(f,
           snap.pvals.getOrElse(f, Map.empty), Files.size(p),
           Files.getLastModifiedTime(p).toMillis, dataChange = false,
-          stats = snap.stats.get(f))))
+          stats = snap.stats.get(f),
+          deletionVector = snap.dvs.get(f).map(d =>
+            CpDv(d.storageType, d.pathOrInlineDv, d.offset,
+              d.sizeInBytes, d.cardinality)))))
       }
     require(rows.size >= parts,
       s"cannot split ${rows.size} checkpoint action(s) into $parts parts")
@@ -2611,8 +2670,19 @@ object DeltaExport {
             m.getSeq[String](pcIdx).map(c => s""""${esc(c)}"""")
               .mkString(",")
           else ""
+        // the configuration map carries semantics (CHECK constraints,
+        // column-mapping mode, table properties) — re-render it so
+        // post-expiry readers keep enforcing/translating
+        val cfIdx = m.schema.fieldNames.indexOf("configuration")
+        val conf =
+          if (cfIdx >= 0 && !m.isNullAt(cfIdx))
+            m.getMap[String, String](cfIdx).toSeq.sortBy(_._1)
+              .map { case (k, value) =>
+                s""""${esc(k)}":"${esc(value)}"""" }
+              .mkString(",")
+          else ""
         st.meta = s"""{"metaData":{"id":"${esc(str("id"))}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
-            str("schemaString"))}","partitionColumns":[$pcols],"configuration":{},"createdTime":$ct}}"""
+            str("schemaString"))}","partitionColumns":[$pcols],"configuration":{$conf},"createdTime":$ct}}"""
       }
       struct("add").foreach { a =>
         val p = a.getAs[String]("path")

@@ -4721,6 +4721,34 @@ object TextVectorQueries {
       graft.ops.Graph.degreeAssortativity(winnowedEdges(s, dir))
     })
 
+  /** Winnowed k-core CONTAINMENT contract (oracle-checked; q151e's
+    * sibling for the q153c statistic): the q51d precision leg proves
+    * the winnowed graph is a SUBGRAPH of the exact minShared-4 graph,
+    * and the k-core of a subgraph is always contained in the graph's
+    * k-core (the k-core is the maximal subgraph of min degree ≥ k and
+    * contains every subgraph with that property — kcore(H) ⊆ H ⊆ G
+    * has min degree ≥ k, hence kcore(H) ⊆ kcore(G)). So every node of
+    * the winnowed 2-core must appear in the exact 2-core, against the
+    * guard-FREE exact build (the q151c/q151e maxDf rule). Violations
+    * vs the empty relation. */
+  val q153eKCoreContainmentContract = GraftQuery(
+    "q153e_kcore_containment_contract", { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val exact4 = DedupCluster.sharedShingleEdges(corpus, "text",
+        "doc_id", shingleK = 3, minShared = 4, maxDf = Int.MaxValue)
+      def coreNodes(e: DataFrame) = {
+        val (core, _, converged) =
+          graft.ops.Graph.kCore(e, k = 2, maxRounds = 200)
+        require(converged, "kCore(k=2) hit maxRounds without " +
+          "converging — the surviving subgraph is not a k-core")
+        core.select(col("node"))
+      }
+      coreNodes(winnowedEdges(s, dir))
+        .join(coreNodes(exact4), Seq("node"), "left_anti")
+        .orderBy(col("node"))
+    },
+    Some("""SELECT CAST(NULL AS BIGINT) AS node WHERE 1 = 0"""))
+
   /** Triangle census over the representative-collapsed graph
     * (rows-only; q151's SCALE variant, the q51c/q51e pattern): same
     * census, but clique-interior triangles of duplicate clusters —
@@ -4736,24 +4764,6 @@ object TextVectorQueries {
         .orderBy(col("node"))
     })
 
-  /** Collapsed-graph restriction contract (oracle-checked, q51d
-    * pattern) — two exact invariants of the collapse pipeline,
-    * violations vs the empty relation:
-    *
-    * RESTRICTION leg — shared-shingle counts between two documents
-    * depend only on their texts, so with the hot-shingle guard
-    * disabled, building edges on the collapsed corpus must equal
-    * restricting the full corpus's edges to representative pairs —
-    * and therefore the two triangle censuses must agree node for
-    * node. Runs on [[halfCollapseRef]]'s half-corpus guard-free
-    * reference (shared with q153d — built once, verify-SF only). A
-    * surviving row means the collapse changed structure it cannot
-    * touch — an id-mapping or restriction bug.
-    *
-    * REPRESENTATIVE leg — every endpoint of the ACTUAL q151b edge
-    * relation must be a representative its own collapse emitted
-    * (root-or-unclustered); a violation means the rep filter and the
-    * edge build disagree about the corpus. */
   /** Half-corpus GUARD-FREE collapse reference, built once per
     * (session, dir) and shared by the family's restriction contracts
     * (q151c, q153d): the doc_id % 2 = 0 half corpus (twins inherit
@@ -4788,6 +4798,24 @@ object TextVectorQueries {
       (sub, restricted)
     }
 
+  /** Collapsed-graph restriction contract (oracle-checked, q51d
+    * pattern) — two exact invariants of the collapse pipeline,
+    * violations vs the empty relation:
+    *
+    * RESTRICTION leg — shared-shingle counts between two documents
+    * depend only on their texts, so with the hot-shingle guard
+    * disabled, building edges on the collapsed corpus must equal
+    * restricting the full corpus's edges to representative pairs —
+    * and therefore the two triangle censuses must agree node for
+    * node. Runs on [[halfCollapseRef]]'s half-corpus guard-free
+    * reference (shared with q153d — built once, verify-SF only). A
+    * surviving row means the collapse changed structure it cannot
+    * touch — an id-mapping or restriction bug.
+    *
+    * REPRESENTATIVE leg — every endpoint of the ACTUAL q151b edge
+    * relation must be a representative its own collapse emitted
+    * (root-or-unclustered); a violation means the rep filter and the
+    * edge build disagree about the corpus. */
   val q151cCollapsedRestrictionContract = GraftQuery(
     "q151c_collapsed_restriction_contract", { (s, dir) =>
       val (sub, restricted) = halfCollapseRef(s, dir)
@@ -4972,5 +5000,6 @@ object TextVectorQueries {
     q151cCollapsedRestrictionContract, q153bKCoreCollapsed,
     q154bAssortativityCollapsed, q151dTriangleCensusWinnowed,
     q151eWinnowCensusContract, q153cKCoreWinnowed,
-    q154cAssortativityWinnowed, q153dKCoreRestrictionContract)
+    q154cAssortativityWinnowed, q153dKCoreRestrictionContract,
+    q153eKCoreContainmentContract)
 }

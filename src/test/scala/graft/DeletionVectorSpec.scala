@@ -290,9 +290,11 @@ class DeletionVectorSpec extends SparkTestBase {
     val expectIds = (1L to 10000L).filter(i => i % 2L != 0L && i != 5001L)
     assert(DeltaExport.readDeltaTable(spark, dir).count() ===
       expectIds.size.toLong)
-    // stranded: the whole-file writers refuse and NAME the escape hatch
+    // stranded: the remaining whole-file writers (MERGE, COW DELETE)
+    // refuse and NAME the escape hatch
     val e0 = intercept[IllegalArgumentException](
-      DeltaExport.optimizeDeltaTable(spark, dir))
+      DeltaExport.mergeDeltaTable(spark,
+        Seq((1L, 0.0)).toDF("id", "v"), dir, Seq("id")))
     assert(e0.getMessage.contains("purgeDeletionVectors"), e0.getMessage)
     assert(DeltaExport.purgeDeletionVectors(spark, dir) === 3L)
     // content identical at latest, exactly once
@@ -511,13 +513,59 @@ class DeletionVectorSpec extends SparkTestBase {
     for ((name, op) <- Seq[(String, () => Any)](
         ("merge", () => DeltaExport.mergeDeltaTable(spark,
           Seq((2L, "x")).toDF("id", "s"), dir, Seq("id"))),
-        ("optimize", () => DeltaExport.optimizeDeltaTable(spark, dir)),
-        ("checkpoint", () => DeltaExport.checkpointDeltaTable(spark, dir)),
         ("appendsSince", () =>
           DeltaExport.readDeltaAppendsSince(spark, dir, 0L).count()))) {
       val e = intercept[Exception](op())
       assert(e.getMessage.contains("DELETION VECTOR"), s"$name: ${e.getMessage}")
     }
+    // CHECKPOINT is DV-aware: the checkpoint row carries the
+    // deletionVector struct AND the real {3,7} feature protocol, so a
+    // post-checkpoint snapshot still masks the deleted row and still
+    // validates the protocol
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(2L))
+    // OPTIMIZE is DV-aware: compaction materializes the deletes, drops
+    // the vectors, and the table re-enters the whole-file surface
+    DeltaExport.optimizeDeltaTable(spark, dir, targetFiles = 1)
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(2L))
+    DeltaExport.mergeDeltaTable(spark,
+      Seq((2L, "x")).toDF("id", "s"), dir, Seq("id"))
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .select("s").as[String].collect().toSeq === Seq("x"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("checkpoint preserves the feature protocol, configuration, and live vectors across log expiry") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dv_cp").toString
+    val d = (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v")
+    DeltaExport.writeDeltaTable(spark, d.repartition(1), dir)
+    DeltaExport.addCheckConstraintDeltaTable(spark, dir,
+      "v_positive", "v > 0.0")                                    // v1
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") <= 10L) // v2
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    DeltaExport.expireLogBefore(dir)
+    // post-expiry snapshot comes from the checkpoint alone: the DV
+    // still masks, the constraint still gates, the protocol still
+    // declares its features
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 90L)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.appendDeltaTable(spark,
+        Seq((101L, -1.0)).toDF("id", "v"), dir))
+    assert(e.getMessage.contains("v_positive"), e.getMessage)
+    // a conforming append still lands and the DV keeps masking
+    DeltaExport.appendDeltaTable(spark,
+      Seq((101L, 1.0)).toDF("id", "v"), dir)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 91L)
+    // the re-rendered protocol still names deletionVectors (a second
+    // DV delete must NOT re-emit a protocol upgrade)
+    val v = DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") === 20L)
+    val cN = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json")), "UTF-8")
+    assert(!cN.contains("""{"protocol""""), cN)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 90L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
