@@ -938,7 +938,6 @@ object DeltaExport {
     require(keyCols.nonEmpty, "keyCols is empty")
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
-    requireNoDvs(snap, "MERGE")
     requireNoColumnMapping(snap.meta, "MERGE")
     val pcols = partitionColumnsOf(snap.meta)
     val tableSchema = org.apache.spark.sql.types.DataType
@@ -961,8 +960,11 @@ object DeltaExport {
     // partitioned target: the files lack the partition columns, so each
     // live-partition group scans with the data schema plus literal
     // partition values (the scanFiles rule) — with the file name kept
-    // for touched-file detection
-    val target = liveTargetWithFile(spark, dir, snap, withPos = false)
+    // for touched-file detection. DVs APPLIED: a touched DV file's
+    // rewrite materializes its deletes (and drops the vector with the
+    // remove); untouched files keep their vectors
+    val target = liveTargetWithFile(spark, dir, snap, withPos = false,
+      applyDvs = true)
     // bounded collect: the DISTINCT file names containing a matched key
     val touchedUris = target
       .join(batch.select(keyCols.map(col): _*), keyCols, "left_semi")
@@ -1016,12 +1018,20 @@ object DeltaExport {
     * the target relation MERGE and both DELETEs share: partitioned
     * tables group per live partition and re-attach the partition
     * columns as literals (the scanFiles rule), flat tables scan in
-    * bulk. Raw files only — callers that tolerate live DVs account for
-    * them themselves (a DV-deleted row re-matching a delete predicate
-    * is a harmless superset). */
+    * bulk.
+    *
+    * `applyDvs = false` (the DV writers' mode) scans files RAW — those
+    * callers merge prior DV positions themselves, and a DV-deleted row
+    * re-matching a delete predicate is a harmless superset there.
+    * `applyDvs = true` (the copy-on-write writers' mode) masks each
+    * DV-carrying file's deleted positions at scan, so matches and
+    * rewrites see only live rows and a rewrite MATERIALIZES the
+    * deletes. */
   private def liveTargetWithFile(spark: SparkSession, dir: String,
-      snap: ReplayState, withPos: Boolean): DataFrame = {
+      snap: ReplayState, withPos: Boolean,
+      applyDvs: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
+    import spark.implicits._
     val pcols = partitionColumnsOf(snap.meta)
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
@@ -1031,9 +1041,30 @@ object DeltaExport {
       val f = df.withColumn("__file", input_file_name())
       if (withPos) f.withColumn("__pos", col("_metadata.row_index")) else f
     }
-    if (pcols.isEmpty)
-      tag(spark.read.schema(tableSchema)
-        .parquet(live.map(f => s"$dir/$f"): _*))
+    // a DV-carrying file scans ALONE, tagged first (so __file/__pos
+    // survive), then anti-joined on its masked row positions
+    def masked(schema: org.apache.spark.sql.types.StructType,
+        f: String): DataFrame = {
+      val deleted = DeletionVectors.positions(dir, snap.dvs(f)).toSeq
+        .toDF("__dv_pos")
+      tag(spark.read.schema(schema).parquet(s"$dir/$f"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(deleted, Seq("__dv_pos"), "left_anti")
+        .drop("__dv_pos")
+    }
+    def scanGroup(schema: org.apache.spark.sql.types.StructType,
+        fs: Seq[String]): DataFrame = {
+      val (dvFs, plain) =
+        if (applyDvs) fs.sorted.partition(snap.dvs.contains)
+        else (Seq.empty[String], fs.sorted)
+      val parts =
+        (if (plain.nonEmpty)
+          Seq(tag(spark.read.schema(schema)
+            .parquet(plain.map(f => s"$dir/$f"): _*)))
+        else Nil) ++ dvFs.map(masked(schema, _))
+      parts.reduce(_.unionByName(_))
+    }
+    if (pcols.isEmpty) scanGroup(tableSchema, live)
     else {
       val dataSchema = org.apache.spark.sql.types.StructType(
         tableSchema.fields.filterNot(f => pcols.contains(f.name)))
@@ -1044,9 +1075,7 @@ object DeltaExport {
         }
         .toSeq.sortBy(_._1.mkString("/"))
         .map { case (vals, fs) =>
-          pcols.zip(vals).foldLeft(
-            tag(spark.read.schema(dataSchema)
-              .parquet(fs.sorted.map(f => s"$dir/$f"): _*))) {
+          pcols.zip(vals).foldLeft(scanGroup(dataSchema, fs)) {
             case (d, (c, value)) =>
               d.withColumn(c, lit(value).cast(tableSchema(c).dataType))
           }
@@ -1070,7 +1099,6 @@ object DeltaExport {
     import org.apache.spark.sql.functions._
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
-    requireNoDvs(snap, "DELETE")
     requireNoColumnMapping(snap.meta, "DELETE")
     val pcols = partitionColumnsOf(snap.meta)
     val live = snap.live.toSeq
@@ -1078,7 +1106,11 @@ object DeltaExport {
     val cols = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
-    val target = liveTargetWithFile(spark, dir, snap, withPos = false)
+    // DVs APPLIED: only LIVE rows can match (a predicate matching
+    // nothing but already-masked rows is a refused no-op), and a
+    // touched DV file's rewrite materializes its deletes
+    val target = liveTargetWithFile(spark, dir, snap, withPos = false,
+      applyDvs = true)
     // bounded collect: the DISTINCT file names containing a match
     val touchedUris = target.filter(predicate)
       .select(col("__file")).distinct()
@@ -1539,13 +1571,14 @@ object DeltaExport {
     * rows, and ONE `dataChange=false` commit removes the DV'd adds and
     * adds the clean rewrites (table CONTENT is unchanged — the masked
     * rows were already logically deleted — which is exactly what the
-    * flag asserts; streaming consumers skip the commit). This is how a
-    * DV table re-enters the whole-file writer surface: after a purge
-    * the snapshot carries no vectors, so MERGE / OPTIMIZE / CHECKPOINT
-    * / the incremental reader all work again, and the orphaned
-    * `deletion_vector_*.bin` files become vacuum-reclaimable. Time
-    * travel to pre-purge versions still applies the old vectors (their
-    * files and the old adds stay on disk until a vacuum).
+    * flag asserts; streaming consumers skip the commit). This pays
+    * down DV debt WITHOUT reshaping file boundaries (OPTIMIZE's
+    * DV-aware compaction is the reshaping alternative): after a purge
+    * the snapshot carries no vectors — every subsequent rewrite scans
+    * plain files again and the orphaned `deletion_vector_*.bin` files
+    * become vacuum-reclaimable. Time travel to pre-purge versions
+    * still applies the old vectors (their files and the old adds stay
+    * on disk until a vacuum).
     *
     * A file whose vector masks EVERY row just drops (a remove with no
     * rewrite — real Delta does the same); only DV-carrying files are
@@ -2009,21 +2042,6 @@ object DeltaExport {
         s"unsupported reader protocol $where: minReaderVersion $other")
     }
   }
-
-  /** Refuse a WRITE against a table whose live snapshot carries
-    * deletion vectors: every graft mutator rewrites or references
-    * whole files, and treating a DV-carrying file as fully live would
-    * resurrect its deleted rows into the output. Writing such tables
-    * is writer-feature territory (writerFeatures `deletionVectors`);
-    * the READ side applies DVs in full. */
-  private def requireNoDvs(st: ReplayState, op: String): Unit =
-    require(st.dvs.isEmpty,
-      s"$op on a table with live DELETION VECTORS is not supported — " +
-        s"${st.dvs.size} live file(s) carry deletionVector actions " +
-        s"(e.g. ${st.dvs.keys.toSeq.sorted.take(3).mkString(", ")}); " +
-        "reads apply them, writes would resurrect the deleted rows. " +
-        "Run purgeDeletionVectors first (REORG … APPLY (PURGE)) to " +
-        "materialize the deletes and re-enter the whole-file surface")
 
   // ---- column mapping (reader protocol v2 / table feature) ----
 

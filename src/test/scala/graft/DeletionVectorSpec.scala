@@ -4,14 +4,14 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{DeletionVectors, DeltaExport}
 
-/** Deletion-vector consumer tests: the Z85/roaring codecs against
-  * hand-built bytes, the end-to-end read of hand-built DV commits
-  * (inline and on-disk), CDC over a DV-only change, and the loud
-  * by-name refusals (column mapping, unknown reader features, writes
-  * against DV tables). graft never WRITES DVs into real tables — the
-  * writer-side helpers here exist only to build protocol-shaped
-  * fixtures, which is exactly the cross-implementation posture the
-  * reader needs. */
+/** Deletion-vector tests: the Z85/roaring codecs against hand-built
+  * bytes, the end-to-end read of hand-built DV commits (inline and
+  * on-disk), CDC over a DV-only change, the DV DML writers (DELETE/
+  * UPDATE via vectors; MERGE/COW-DELETE/OPTIMIZE applying vectors;
+  * PURGE materializing them; DV-carrying checkpoints), and the loud
+  * by-name refusals that remain (column mapping modes beyond name/id,
+  * unknown reader features, standalone DV adds in the incremental
+  * reader). */
 class DeletionVectorSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -290,13 +290,11 @@ class DeletionVectorSpec extends SparkTestBase {
     val expectIds = (1L to 10000L).filter(i => i % 2L != 0L && i != 5001L)
     assert(DeltaExport.readDeltaTable(spark, dir).count() ===
       expectIds.size.toLong)
-    // stranded: the remaining whole-file writers (MERGE, COW DELETE)
-    // refuse and NAME the escape hatch
-    val e0 = intercept[IllegalArgumentException](
-      DeltaExport.mergeDeltaTable(spark,
-        Seq((1L, 0.0)).toDF("id", "v"), dir, Seq("id")))
-    assert(e0.getMessage.contains("purgeDeletionVectors"), e0.getMessage)
+    // purge preserves file BOUNDARIES (one rewrite per DV'd file) —
+    // the no-reshape alternative to OPTIMIZE's DV-aware compaction
+    val filesBefore = DeltaExport.liveFilesAt(dir, None)._2.size
     assert(DeltaExport.purgeDeletionVectors(spark, dir) === 3L)
+    assert(DeltaExport.liveFilesAt(dir, None)._2.size === filesBefore)
     // content identical at latest, exactly once
     assert(DeltaExport.readDeltaTable(spark, dir)
       .select("id").as[Long].collect().sorted.toSeq === expectIds)
@@ -510,14 +508,11 @@ class DeletionVectorSpec extends SparkTestBase {
       s"""{"add":{"path":"$file","partitionValues":{},"size":${new java.io.File(dir, file).length},"modificationTime":1,"dataChange":true,"deletionVector":${DeletionVectors.descriptorJson(desc)}}}"""))
     assert(DeltaExport.readDeltaTable(spark, dir)
       .select("id").as[Long].collect().sorted.toSeq === Seq(2L))
-    for ((name, op) <- Seq[(String, () => Any)](
-        ("merge", () => DeltaExport.mergeDeltaTable(spark,
-          Seq((2L, "x")).toDF("id", "s"), dir, Seq("id"))),
-        ("appendsSince", () =>
-          DeltaExport.readDeltaAppendsSince(spark, dir, 0L).count()))) {
-      val e = intercept[Exception](op())
-      assert(e.getMessage.contains("DELETION VECTOR"), s"$name: ${e.getMessage}")
-    }
+    // the append-only incremental reader still refuses a standalone
+    // DV add by name (a malformed log outside a change commit)
+    val eInc = intercept[Exception](
+      DeltaExport.readDeltaAppendsSince(spark, dir, 0L).count())
+    assert(eInc.getMessage.contains("DELETION VECTOR"), eInc.getMessage)
     // CHECKPOINT is DV-aware: the checkpoint row carries the
     // deletionVector struct AND the real {3,7} feature protocol, so a
     // post-checkpoint snapshot still masks the deleted row and still
@@ -525,8 +520,8 @@ class DeletionVectorSpec extends SparkTestBase {
     DeltaExport.checkpointDeltaTable(spark, dir)
     assert(DeltaExport.readDeltaTable(spark, dir)
       .select("id").as[Long].collect().sorted.toSeq === Seq(2L))
-    // OPTIMIZE is DV-aware: compaction materializes the deletes, drops
-    // the vectors, and the table re-enters the whole-file surface
+    // OPTIMIZE is DV-aware: compaction materializes the deletes and
+    // drops the vector
     DeltaExport.optimizeDeltaTable(spark, dir, targetFiles = 1)
     assert(DeltaExport.readDeltaTable(spark, dir)
       .select("id").as[Long].collect().sorted.toSeq === Seq(2L))
@@ -534,6 +529,43 @@ class DeletionVectorSpec extends SparkTestBase {
       Seq((2L, "x")).toDF("id", "s"), dir, Seq("id"))
     assert(DeltaExport.readDeltaTable(spark, dir)
       .select("s").as[String].collect().toSeq === Seq("x"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("MERGE and COW DELETE apply live vectors: masked rows never resurrect, untouched files keep theirs") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dv_cow_merge").toString
+    // two range files: ids 1-50 (file A), 51-100 (file B)
+    val d = (1L to 100L).map(i => (i, s"row $i")).toDF("id", "s")
+    DeltaExport.writeDeltaTable(spark,
+      d.repartitionByRange(2, col("id")), dir)
+    // DV-delete rows in BOTH files
+    DeltaExport.deleteFromDeltaTableDv(spark, dir,
+      col("id") === 10L || col("id") === 60L)             // v1
+    // MERGE touching only file A: its rewrite must materialize the
+    // DV delete of id 10 (never resurrect it); file B keeps its vector
+    DeltaExport.mergeDeltaTable(spark,
+      Seq((20L, "updated")).toDF("id", "s"), dir, Seq("id")) // v2
+    val afterMerge = DeltaExport.readDeltaTable(spark, dir)
+    assert(afterMerge.count() === 98L)
+    assert(afterMerge.filter(col("id").isin(10L, 60L)).count() === 0L)
+    assert(afterMerge.filter(col("s") === "updated").count() === 1L)
+    // file B still carries its vector (only A was rewritten): a DV
+    // re-delete against B's remaining row set still works
+    // COW DELETE touching file B: same materialization rule for id 60
+    DeltaExport.deleteFromDeltaTable(spark, dir, col("id") === 70L) // v3
+    val afterDel = DeltaExport.readDeltaTable(spark, dir)
+    assert(afterDel.count() === 97L)
+    assert(afterDel.filter(col("id").isin(10L, 60L, 70L)).count() === 0L)
+    // a COW delete matching ONLY a masked row is a refused no-op —
+    // the vector already deleted it
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") === 30L) // v4
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.deleteFromDeltaTable(spark, dir, col("id") === 30L))
+    assert(e.getMessage.contains("matched no rows"), e.getMessage)
+    // time travel before the merge still applies the original vectors
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(1L)).count() === 98L)
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(0L)).count() === 100L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
