@@ -757,11 +757,10 @@ object DeltaExport {
     if (last.exists(txnVersion <= _))
       return (latestVersion(dir), false)
     // the idempotent path is still an APPEND: the same guards every
-    // other row-adding writer runs (a column-mapped table's physical
-    // names would make display-named parquet silently unreadable; a
-    // CHECK constraint promises EVERY future append is validated)
-    requireNoColumnMapping(snap.meta, "APPEND")
-    enforceCheckConstraints(snap.meta, df, "APPEND")
+    // other row-adding writer runs, in the same ORDER — schema first
+    // (a constraint expression evaluated against a wrong-schema batch
+    // would die as an unresolved-column AnalysisException instead of
+    // the schema-mismatch refusal), then mapping, then constraints
     val v = latestVersion(dir) + 1
     val pcols = partitionColumnsOf(snap.meta)
     val tableSchema = org.apache.spark.sql.types.DataType
@@ -770,6 +769,8 @@ object DeltaExport {
     require(schemaFits(df.schema, tableSchema),
       s"append schema ${df.schema.catalogString} does not match the " +
         s"table's logged schema ${tableSchema.catalogString}")
+    requireNoColumnMapping(snap.meta, "APPEND")
+    enforceCheckConstraints(snap.meta, df, "APPEND")
     // partitioned tables take the Hive-layout write and relative-path
     // adds; flat tables the top-level form — the txn line is the same
     val before = dataFilesRelative(dir).toSet
@@ -1042,15 +1043,15 @@ object DeltaExport {
       if (withPos) f.withColumn("__pos", col("_metadata.row_index")) else f
     }
     // a DV-carrying file scans ALONE, tagged first (so __file/__pos
-    // survive), then anti-joined on its masked row positions
+    // survive the anti-join's projection), through the shared DV
+    // application primitive
     def masked(schema: org.apache.spark.sql.types.StructType,
         f: String): DataFrame = {
-      val deleted = DeletionVectors.positions(dir, snap.dvs(f)).toSeq
-        .toDF("__dv_pos")
-      tag(spark.read.schema(schema).parquet(s"$dir/$f"))
-        .withColumn("__dv_pos", col("_metadata.row_index"))
-        .join(deleted, Seq("__dv_pos"), "left_anti")
-        .drop("__dv_pos")
+      val outCols = schema.fieldNames.toSeq ++ Seq("__file") ++
+        (if (withPos) Seq("__pos") else Nil)
+      dvAntiJoin(spark, dir,
+        tag(spark.read.schema(schema).parquet(s"$dir/$f")),
+        snap.dvs(f), outCols)
     }
     def scanGroup(schema: org.apache.spark.sql.types.StructType,
         fs: Seq[String]): DataFrame = {
@@ -1601,16 +1602,17 @@ object DeltaExport {
     val dataSchema = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(f => pcols.contains(f.name)))
     val purged = snap.dvs.keys.toSeq.sorted
-    val before = dataFilesRelative(dir).toSet
     val now = System.currentTimeMillis()
-    purged.foreach { rel =>
-      val deleted = DeletionVectors.positions(dir, snap.dvs(rel)).toSeq
-        .toDF("__dv_pos")
-      val survivors = spark.read.schema(dataSchema)
-        .parquet(s"$dir/$rel")
-        .withColumn("__dv_pos", col("_metadata.row_index"))
-        .join(deleted, Seq("__dv_pos"), "left_anti")
-        .drop("__dv_pos")
+    // track which fresh file each rewrite produced, so its add can
+    // carry the SOURCE add's partitionValues VERBATIM (the
+    // dvRewriteActions rule) — parsing them off the fresh file's path
+    // would yield {} for a foreign non-Hive layout whose reads depend
+    // on logged pvals, silently nulling its partition columns
+    var seen = dataFilesRelative(dir).toSet
+    val perRelFresh = purged.map { rel =>
+      val survivors = dvAntiJoin(spark, dir,
+        spark.read.schema(dataSchema).parquet(s"$dir/$rel"),
+        snap.dvs(rel), dataSchema.fieldNames.toSeq)
       // fully-masked file → nothing survives → no empty rewrite
       if (survivors.limit(1).collect().nonEmpty) {
         val target = rel.lastIndexOf('/') match {
@@ -1620,13 +1622,30 @@ object DeltaExport {
         // one output file per source file — a purge reshapes nothing
         survivors.coalesce(1).write.mode("append").parquet(target)
       }
+      val nowFiles = dataFilesRelative(dir).toSet
+      val fresh = (nowFiles -- seen).toSeq.sorted
+      seen = nowFiles
+      rel -> fresh
     }
-    val fresh = dataFilesRelative(dir).filterNot(before)
+    val freshAll = perRelFresh.flatMap(_._2)
+    val stats = fileStatsForRelative(spark, dir, freshAll)
     val removes = purged.map(p =>
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":false}}""")
-    writeCommit(dir, v,
-      removes ++ addActionsRelative(spark, dir, fresh, now,
-        dataChange = false), "PURGE")
+    val adds = perRelFresh.flatMap { case (rel, freshFiles) =>
+      val pv = snap.pvals.getOrElse(rel, hivePartitionValues(rel))
+        .toSeq.sortBy(_._1)
+        .map { case (k, value) =>
+          s""""${esc(k)}":${Option(value).map(x => s""""${esc(x)}"""")
+              .getOrElse("null")}"""
+        }.mkString(",")
+      freshFiles.map { f =>
+        val statsField = stats.get(f)
+          .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
+        s"""{"add":{"path":"${esc(f)}","partitionValues":{$pv},"size":${Files
+            .size(Paths.get(dir, f))},"modificationTime":$now,"dataChange":false$statsField}}"""
+      }
+    }
+    writeCommit(dir, v, removes ++ adds, "PURGE")
     v
   }
 
@@ -2190,17 +2209,24 @@ object DeltaExport {
     // carries each field's delta.columnMapping.id as parquet.field.id
     // metadata, and Spark's field-id reader matches footer ids instead
     // of names (the file's physical column names are irrelevant — a
-    // renamed column still resolves). The session flag is sticky but
-    // inert elsewhere: field-id matching only engages when a requested
-    // schema carries the metadata, which only these reads attach.
+    // renamed column still resolves). The field-id flag is enabled on
+    // a CHILD session (shared context and catalog, OWN conf) whose
+    // reader builds these relations — scan-time conf resolves from the
+    // relation's session, so the caller's session conf is never
+    // mutated behind its back.
     val cmMode = columnMappingMode(meta)
     require(cmMode == "none" || cmMode == "name" || cmMode == "id",
       s"unsupported COLUMN MAPPING mode '$cmMode' — only 'name' and " +
         "'id' (and none) are implemented")
     val phys = physicalNames(schema, cmMode)
     val fids = fieldIds(schema, cmMode)
-    if (cmMode == "id")
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val scanSession =
+      if (cmMode != "id") spark
+      else {
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        s2
+      }
     def physSchema(s: org.apache.spark.sql.types.StructType) = cmMode match {
       case "name" => org.apache.spark.sql.types.StructType(
         s.fields.map(f => f.copy(name = phys(f.name))))
@@ -2232,10 +2258,10 @@ object DeltaExport {
       val rs = physSchema(schema)
       val parts =
         (if (plain.nonEmpty)
-          Seq(spark.read.schema(rs).parquet(plain.map(f => s"$dir/$f"): _*))
+          Seq(scanSession.read.schema(rs).parquet(plain.map(f => s"$dir/$f"): _*))
         else Nil) ++
         dvFiles.sorted.map(f => dvFilter(
-          spark.read.schema(rs).parquet(s"$dir/$f"), f,
+          scanSession.read.schema(rs).parquet(s"$dir/$f"), f,
           rs.fieldNames.toSeq))
       toLogical(parts.reduce(_.unionByName(_)), schema)
     } else {
@@ -2253,11 +2279,11 @@ object DeltaExport {
           val (dvFiles, plain) = fs.partition(dvs.contains)
           val parts =
             (if (plain.nonEmpty)
-              Seq(spark.read.schema(rs)
+              Seq(scanSession.read.schema(rs)
                 .parquet(plain.sorted.map(f => s"$dir/$f"): _*))
             else Nil) ++
             dvFiles.sorted.map(f => dvFilter(
-              spark.read.schema(rs).parquet(s"$dir/$f"), f,
+              scanSession.read.schema(rs).parquet(s"$dir/$f"), f,
               rs.fieldNames.toSeq))
           val base = toLogical(parts.reduce(_.unionByName(_)), dataSchema)
           pcols.zip(vals).foldLeft(base) { case (d, (c, v)) =>

@@ -218,7 +218,12 @@ object Graph {
     * the q135 OLS discipline applied to graph telemetry. Returns one
     * row (m, r rounded to 6). Degenerate graphs (zero degree variance)
     * return NULL r, never a division crash. */
-  def degreeAssortativity(edges: DataFrame): DataFrame = {
+  /** The EXACT-integer moment vector degree assortativity divides at
+    * the end — (m, Σdx, Σdy, Σdxdy, Σdx², Σdy²) over both directions
+    * of every canonical edge. Exposed so restriction contracts
+    * (q153d) can pin bit-equality of the arithmetic the statistic is
+    * built from, against THIS implementation rather than a copy. */
+  def assortativityMoments(edges: DataFrame): DataFrame = {
     val canon = edges
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
@@ -237,11 +242,15 @@ object Graph {
     val both = pairs.unionAll(pairs.select(col("dy").as("dx"),
       col("dx").as("dy")))
     both.agg(
-        count(lit(1)).as("m"),
-        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-        sum(col("dx") * col("dy")).as("sxy"),
-        sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dy") * col("dy")).as("syy"))
+      count(lit(1)).as("m"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+  }
+
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    assortativityMoments(edges)
       .select(col("m"),
         // zero degree variance (regular graphs) → NULL, not an ANSI
         // divide-by-zero: the correlation is undefined there

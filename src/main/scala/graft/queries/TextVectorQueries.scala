@@ -4921,25 +4921,11 @@ object TextVectorQueries {
           .select(lit("kcore").as("kind"), lit(k.toLong).as("k"),
             col("node"))
       }.reduce(_.unionByName(_))
-      def moments(e: DataFrame) = {
-        val canon = e.select(least(col("u"), col("v")).as("a"),
-            greatest(col("u"), col("v")).as("b"))
-          .filter(col("a") < col("b")).distinct()
-        val deg = canon.select(col("a").as("node"))
-          .unionAll(canon.select(col("b").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        val pairs = canon
-          .join(deg.select(col("node").as("a"), col("deg").as("dx")),
-            Seq("a"))
-          .join(deg.select(col("node").as("b"), col("deg").as("dy")),
-            Seq("b"))
-          .select(col("dx"), col("dy"))
-        val both = pairs.unionAll(
-          pairs.select(col("dy").as("dx"), col("dx").as("dy")))
-        both.agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
-          sum(col("dx") * col("dy")).as("sxy"),
-          sum(col("dx") * col("dx")).as("sxx"))
-      }
+      // the PRODUCTION moment pipeline itself (never a copy — a copy
+      // would keep validating stale arithmetic if the statistic's
+      // canonicalization ever changed)
+      def moments(e: DataFrame) = graft.ops.Graph.assortativityMoments(e)
+        .select(col("m"), col("sx"), col("sxy"), col("sxx"))
       val momentLeg = moments(sub).crossJoin(
           moments(restricted).select(col("m").as("m2"),
             col("sx").as("sx2"), col("sxy").as("sxy2"),

@@ -154,6 +154,10 @@ class ColumnMappingSpec extends SparkTestBase {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
     // time travel goes through the same resolution
     assert(DeltaExport.readDeltaTable(spark, dir, Some(0L)).count() === 3L)
+    // the field-id flag lives on a CHILD session — the caller's conf
+    // is never flipped behind its back
+    assert(spark.conf.get("spark.sql.parquet.fieldId.read.enabled")
+      === "false")
     // writers refuse id-mode tables exactly like name-mode ones
     val e = intercept[IllegalArgumentException](
       DeltaExport.appendDeltaTable(spark,

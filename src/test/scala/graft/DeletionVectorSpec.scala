@@ -361,6 +361,55 @@ class DeletionVectorSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("PURGE of a foreign non-Hive-layout partitioned table carries the source add's partitionValues verbatim") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dv_purge_foreign").toString
+    // foreign layout: data file under data/ (no lang=… segment); the
+    // LOG's partitionValues are the only source of the partition value
+    val d = Seq(1L, 2L, 3L, 4L).toDF("id")
+      .repartition(1).sortWithinPartitions("id")
+    d.write.parquet(s"$dir/data")
+    val rel = {
+      val f = new java.io.File(s"$dir/data").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).head
+      s"data/$f"
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    def escJson(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val dvBytes = DeletionVectors.serializePortable(Seq(1L)) // id 2
+    val desc = DeletionVectors.Descriptor("i",
+      DeletionVectors.z85encode(dvBytes), None, dvBytes.length.toLong, 1L)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_delta_log"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_delta_log", "00000000000000000000.json"),
+      (Seq(
+        """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"ccccdddd-2222-3333-4444-555555555555","format":{"provider":"parquet","options":{}},"schemaString":"${escJson(
+            schema.json)}","partitionColumns":["lang"],"configuration":{},"createdTime":1}}""",
+        s"""{"add":{"path":"$rel","partitionValues":{"lang":"en"},"size":${java.nio.file.Files
+            .size(java.nio.file.Paths.get(dir, rel))},"modificationTime":1,"dataChange":true,"deletionVector":${DeletionVectors.descriptorJson(desc)}}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .filter(col("lang") === "en").count() === 3L)
+    DeltaExport.purgeDeletionVectors(spark, dir)
+    // the rewrite's add must carry {"lang":"en"} from the SOURCE add —
+    // its path has no Hive segment to parse it from
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.count() === 3L)
+    assert(back.filter(col("lang").isNull).count() === 0L,
+      "purge dropped the logged partitionValues — rows read back NULL")
+    assert(back.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 4L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("DV delete of only already-deleted rows refuses the no-op; descriptor JSON escapes foreign paths") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_dv_noop").toString
