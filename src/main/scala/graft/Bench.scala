@@ -260,6 +260,17 @@ object Bench {
     val sinkJson = sinkStats.map(s =>
         f"""{"batch":${s.batchId},"rows":${s.batchRows},"kept":${s.keptRows},"vet_sec":${s.vetSec}%.3f}""")
       .mkString("[", ",", "]")
+    // control-normalized MEDIAN vet (×0.52/control): the banded number
+    // (BASELINE.md round-17 band 0.40–0.95) — the median dodges batch
+    // 0's codegen cold start, the control discount dodges host windows
+    // (the r16 false alarm this field exists to catch). Emitted after
+    // the control is known; -1 when either side is missing.
+    def sinkVetMedianNorm(controlSec: Double): Double =
+      if (sinkStats.isEmpty || controlSec <= 0) -1.0
+      else {
+        val v = sinkStats.map(_.vetSec).sorted
+        v(v.size / 2) * 0.52 / controlSec
+      }
 
     // Label-propagation convergence telemetry (VERDICT r12 item 8):
     // per-round changed-label counts over the blocked kNN graph,
@@ -343,7 +354,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val extJson = passExt.map(v => f"$v%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"ext_cpu_passes":$extJson,"loaded":$loaded,"control":"$controlName","control_sec":$controlSec%.3f,"control_band_mid":$controlBandMid%.2f,"control_ratio":$controlRatio%.3f,"control2":"$control2Name","control2_sec":$control2Sec%.3f,"control2_band_mid":$control2BandMid%.2f,"control2_ratio":$control2Ratio%.3f,"recall":$recallJson,"sink_batches":$sinkJson,"propagation_rounds":$propJson,"zorder_skip_ratio":$zratio%.2f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"ext_cpu_passes":$extJson,"loaded":$loaded,"control":"$controlName","control_sec":$controlSec%.3f,"control_band_mid":$controlBandMid%.2f,"control_ratio":$controlRatio%.3f,"control2":"$control2Name","control2_sec":$control2Sec%.3f,"control2_band_mid":$control2BandMid%.2f,"control2_ratio":$control2Ratio%.3f,"recall":$recallJson,"sink_batches":$sinkJson,"sink_vet_median_norm":${sinkVetMedianNorm(controlSec)}%.3f,"propagation_rounds":$propJson,"zorder_skip_ratio":$zratio%.2f}""")
     spark.stop()
   }
 }

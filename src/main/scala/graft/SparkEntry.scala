@@ -112,6 +112,12 @@ object SparkEntry {
     // wedge join + close), which no other row exercises — a wedge-join
     // regression now shows per round instead of only in Wave probes
     "q151d_triangle_census_winnowed",
+    // round-17: the second end-to-end composition (mixture plan → ppm
+    // gate → NB fit on survivors → preference mining) — the q122
+    // sibling; times the vocabulary-keyed NB shuffle pair plus the
+    // single-exchange max_by/min_by mining that replaced the rank
+    // windows
+    "q162_mixture_preference_pipeline",
     // the one two-source join in the pharma family (meds ⋈ labs via the
     // managed catalog) — cheap, but it keeps the S8 ingestion edge and
     // the catalog round-trip inside the per-round timing surface

@@ -2432,9 +2432,16 @@ object DeltaExport {
         org.apache.spark.sql.types.DataType.fromDDL(
           "numRecords BIGINT, minValues MAP<STRING,STRING>, " +
             "maxValues MAP<STRING,STRING>, nullCount MAP<STRING,STRING>")))
-    val mn = element_at(col("s.minValues"), bandCol).cast("double")
-    val mx = element_at(col("s.maxValues"), bandCol).cast("double")
-    val nc = element_at(col("s.nullCount"), bandCol).cast("bigint")
+    // under column mapping the stats maps are keyed by PHYSICAL names
+    // (the protocol rule) — look the band column up by its physical
+    // name or the prune silently degrades to must-read on every file
+    val statsKey = physicalNames(
+      org.apache.spark.sql.types.DataType.fromJson(schemaStringOf(st.meta))
+        .asInstanceOf[org.apache.spark.sql.types.StructType],
+      columnMappingMode(st.meta)).getOrElse(bandCol, bandCol)
+    val mn = element_at(col("s.minValues"), statsKey).cast("double")
+    val mx = element_at(col("s.maxValues"), statsKey).cast("double")
+    val nc = element_at(col("s.nullCount"), statsKey).cast("bigint")
     val allNull = nc.isNotNull && col("s.numRecords").isNotNull &&
       nc === col("s.numRecords") && col("s.numRecords") > 0L
     val mustRead = col("stats").isNull || col("s").isNull ||

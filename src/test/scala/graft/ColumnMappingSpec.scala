@@ -179,6 +179,40 @@ class ColumnMappingSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("stats-pruned band read resolves the band column's PHYSICAL stats key") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_prune").toString
+    // two files with disjoint id ranges; stats keyed by the physical
+    // name (the protocol rule for mapped tables)
+    Seq(1L, 2L, 3L).toDF("col-a1").repartition(1)
+      .write.parquet(s"$dir/f1")
+    Seq(100L, 101L).toDF("col-a1").repartition(1)
+      .write.parquet(s"$dir/f2")
+    def relOf(sub: String) = {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).head
+      s"$sub/$f"
+    }
+    val (r1, r2) = (relOf("f1"), relOf("f2"))
+    val schema = StructType(Seq(physField("id", LongType, "col-a1", 1L)))
+    def add(rel: String, mn: Long, mx: Long, n: Long) =
+      s"""{"add":{"path":"$rel","partitionValues":{},"size":${java.nio.file.Files
+          .size(java.nio.file.Paths.get(dir, rel))},"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":$n,\\"minValues\\":{\\"col-a1\\":$mn},\\"maxValues\\":{\\"col-a1\\":$mx},\\"nullCount\\":{\\"col-a1\\":0}}"}}"""
+    writeLog(dir, 0L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(schema, Nil),
+      add(r1, 1L, 3L, 3L), add(r2, 100L, 101L, 2L)))
+    // band over the LOGICAL column name must prune file 2 from the
+    // LOG alone (physical stats key resolved through the mapping)
+    val (out, cand, live) = DeltaExport.readDeltaTablePruned(
+      spark, dir, "id", 1.0, 10.0)
+    assert(live === 2 && cand === 1, s"cand=$cand live=$live")
+    assert(out.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("nested mapping refuses by name") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_cm_refuse").toString
