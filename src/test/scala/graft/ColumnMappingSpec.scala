@@ -179,6 +179,38 @@ class ColumnMappingSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("id-mode table with a deletion vector: field-id resolution and DV masking compose") {
+    import graft.core.DeletionVectors
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_id_dv").toString
+    val fid = (n: Long) => new MetadataBuilder()
+      .putLong("parquet.field.id", n).build()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("x", "y")
+      .select(col("x").as("fileonly-x", fid(1L)),
+        col("y").as("fileonly-y", fid(2L)))
+      .repartition(1).sortWithinPartitions("fileonly-x")
+      .write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      physField("id", LongType, "col-a1", 1L),
+      physField("s", StringType, "col-b2", 2L)))
+    val file = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    val dvBytes = DeletionVectors.serializePortable(Seq(1L)) // id 2
+    val desc = DeletionVectors.Descriptor("i",
+      DeletionVectors.z85encode(dvBytes), None, dvBytes.length.toLong, 1L)
+    writeLog(dir, 0L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","deletionVectors"],"writerFeatures":["columnMapping","deletionVectors"]}}""",
+      metaWithMode(schema, "id"),
+      s"""{"add":{"path":"$file","partitionValues":{},"size":${new java.io.File(dir, file).length},"modificationTime":1,"dataChange":true,"deletionVector":${DeletionVectors.descriptorJson(desc)}}}"""))
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "s"))
+    // position 1 (id 2) masked, columns still resolved by field id
+    assert(back.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (3L, "c")))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("stats-pruned band read resolves the band column's PHYSICAL stats key") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_cm_prune").toString

@@ -581,6 +581,36 @@ class DeletionVectorSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("partitioned OPTIMIZE applies vectors within compacted partitions and leaves untouched partitions' vectors alone") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dv_opt_part").toString
+    // en: two files (compactable), fr: one file (at target, untouched)
+    val base = ((1L to 20L).map(i => (i, "en")) ++
+      (41L to 60L).map(i => (i, "fr"))).toDF("id", "lang").repartition(1)
+    graft.core.DeltaExport.writeDeltaTablePartitioned(spark,
+      base, dir, Seq("lang"))
+    DeltaExport.appendDeltaTablePartitioned(spark,
+      (21L to 40L).map(i => (i, "en")).toDF("id", "lang").repartition(1),
+      dir)
+    // vectors in BOTH partitions
+    DeltaExport.deleteFromDeltaTableDv(spark, dir,
+      col("id") === 5L || col("id") === 45L)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 58L)
+    DeltaExport.optimizeDeltaTablePartitioned(spark, dir,
+      targetFilesPerPartition = 1)
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    // en compacted minus its masked row; fr untouched, vector intact
+    assert(back.count() === 58L)
+    assert(back.filter(col("id").isin(5L, 45L)).count() === 0L)
+    // fr's single file was at target → not rewritten → vector LIVE:
+    // a fresh DV delete against fr compounds with it
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") === 46L)
+    val after = DeltaExport.readDeltaTable(spark, dir)
+    assert(after.count() === 57L)
+    assert(after.filter(col("id").isin(5L, 45L, 46L)).count() === 0L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("MERGE and COW DELETE apply live vectors: masked rows never resurrect, untouched files keep theirs") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_dv_cow_merge").toString
