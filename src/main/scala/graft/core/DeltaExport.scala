@@ -800,11 +800,13 @@ object DeltaExport {
     * Returns the new version. */
   def restoreDeltaTable(spark: SparkSession, dir: String,
       versionAsOf: Long): Long = {
+    // column-mapped tables restore fine: this is PURE log surgery —
+    // re-adds carry partitionValues/stats/deletionVector verbatim from
+    // the then-snapshot and the then-metaData (mapping config included)
+    // is re-asserted when it drifted; no display-named file is written
     val v = latestVersion(dir) + 1
     val now = snapshotState(spark, dir, None)
     val then_ = snapshotState(spark, dir, Some(versionAsOf))
-    requireNoColumnMapping(now.meta, "RESTORE")
-    requireNoColumnMapping(then_.meta, "RESTORE")
     val gone = then_.live.toSeq
       .filterNot(f => Files.isRegularFile(Paths.get(dir, f)))
     require(gone.isEmpty,

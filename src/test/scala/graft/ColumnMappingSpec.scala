@@ -71,11 +71,54 @@ class ColumnMappingSpec extends SparkTestBase {
         ("optimize", () => DeltaExport.optimizeDeltaTable(spark, dir)),
         ("evolve", () => DeltaExport.evolveDeltaTableSchema(spark, dir,
           schema.add(StructField("extra", LongType, nullable = true)))),
-        ("checkpoint", () => DeltaExport.checkpointDeltaTable(spark, dir)),
-        ("restore", () => DeltaExport.restoreDeltaTable(spark, dir, 0L)))) {
+        ("checkpoint", () => DeltaExport.checkpointDeltaTable(spark, dir)))) {
       val e = intercept[Exception](op())
       assert(e.getMessage.contains("COLUMN-MAPPED"), s"$name: ${e.getMessage}")
     }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("RESTORE and CDC work on mapped tables: log surgery and DV-aware diffs carry physical metadata verbatim") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_restore").toString
+    // v0: file A (ids 1-3); v1 (hand-written, as a foreign writer
+    // would): remove A, add B (ids 10-11) — both physical-named
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("col-a1", "col-b2")
+      .repartition(1).write.parquet(s"$dir/fa")
+    Seq((10L, "x"), (11L, "y")).toDF("col-a1", "col-b2")
+      .repartition(1).write.parquet(s"$dir/fb")
+    def relOf(sub: String) = {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).head
+      s"$sub/$f"
+    }
+    val (ra, rb) = (relOf("fa"), relOf("fb"))
+    val schema = StructType(Seq(
+      physField("id", LongType, "col-a1", 1L),
+      physField("s", StringType, "col-b2", 2L)))
+    def add(rel: String) =
+      s"""{"add":{"path":"$rel","partitionValues":{},"size":${java.nio.file.Files
+          .size(java.nio.file.Paths.get(dir, rel))},"modificationTime":1,"dataChange":true}}"""
+    writeLog(dir, 0L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(schema, Nil), add(ra)))
+    writeLog(dir, 1L, Seq(
+      """{"commitInfo":{"timestamp":2,"operation":"OVERWRITE"}}""",
+      s"""{"remove":{"path":"$ra","deletionTimestamp":2,"dataChange":true}}""",
+      add(rb)))
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(10L, 11L))
+    // CDC across the overwrite classifies under LOGICAL names
+    val cdc = DeltaExport.deltaChangesBetween(spark, dir, 0L, 1L, Seq("id"))
+    assert(cdc.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("delete" -> 3L, "insert" -> 2L))
+    // RESTORE to v0 is log surgery — works on the mapped table and
+    // reads back under logical names
+    DeltaExport.restoreDeltaTable(spark, dir, 0L)
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
