@@ -436,11 +436,29 @@ object DeltaExport {
   private def commitInfoLine(now: Long, op: String): String =
     s"""{"commitInfo":{"timestamp":$now,"operation":"${esc(op)}"}}"""
 
-  private def writeCommit(dir: String, v: Long, actions: Seq[String],
+  /** PUT-IF-ABSENT commit — the Delta protocol's one concurrency
+    * primitive: version N commits atomically or not at all, and a
+    * writer that lost the race to N must NOT overwrite the winner (the
+    * default Files.write TRUNCATEs, silently destroying a committed
+    * version — data loss, not a conflict). A lost race surfaces as a
+    * ConcurrentModificationException naming the version; the caller
+    * re-reads the table and redoes its operation against the new
+    * snapshot (optimistic concurrency — graft's writers are
+    * driver-serial by design, so this is the safety net, not a retry
+    * loop). */
+  private[core] def writeCommit(dir: String, v: Long, actions: Seq[String],
       op: String): Unit =
-    Files.write(Paths.get(dir, "_delta_log", commitFile(v)),
+    try Files.write(Paths.get(dir, "_delta_log", commitFile(v)),
       ((commitInfoLine(System.currentTimeMillis(), op) +: actions)
-        .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"commit v$v already exists — another writer advanced the " +
+            s"table during this $op; re-read the snapshot and retry " +
+            "against the new version")
+    }
 
   private val ciTsRe = """"timestamp":(\d+)""".r
 
