@@ -269,7 +269,13 @@ object Bench {
       if (sinkStats.isEmpty || controlSec <= 0) -1.0
       else {
         val v = sinkStats.map(_.vetSec).sorted
-        v(v.size / 2) * 0.52 / controlSec
+        // true median: an even batch count averages the middles — the
+        // upper-middle alone would be the MAX at size 2, i.e. batch
+        // 0's codegen cold start, the one value this field must dodge
+        val med =
+          if (v.size % 2 == 1) v(v.size / 2)
+          else (v(v.size / 2 - 1) + v(v.size / 2)) / 2.0
+        med * 0.52 / controlSec
       }
 
     // Label-propagation convergence telemetry (VERDICT r12 item 8):

@@ -422,7 +422,11 @@ object DeltaExport {
       val it = files.iterator()
       while (it.hasNext) {
         val n = it.next().getFileName.toString
-        if (n.endsWith(".json")) b += n.stripSuffix(".json").toLong
+        // strictly NNN.json commit names: a staging temp file, a
+        // foreign sidecar, or a checksum twin must not crash (or
+        // miscount) the version listing
+        if (n.endsWith(".json"))
+          n.stripSuffix(".json").toLongOption.foreach(b += _)
       }
       b.result().sorted
     } finally files.close()
@@ -445,20 +449,35 @@ object DeltaExport {
     * re-reads the table and redoes its operation against the new
     * snapshot (optimistic concurrency — graft's writers are
     * driver-serial by design, so this is the safety net, not a retry
-    * loop). */
+    * loop).
+    *
+    * "Atomically" is delivered by staging the FULL content in a hidden
+    * temp file and HARD-LINKING it to the commit name: link(2) fails
+    * with EEXIST when the target exists (the put-if-absent leg) and
+    * either publishes the whole file or nothing (the torn-write leg —
+    * a direct CREATE_NEW write that died mid-flush would leave a
+    * permanent partial commit that replays as a silently truncated
+    * snapshot AND blocks every retry of that version). An object store
+    * deployment swaps this for its conditional put. */
   private[core] def writeCommit(dir: String, v: Long, actions: Seq[String],
-      op: String): Unit =
-    try Files.write(Paths.get(dir, "_delta_log", commitFile(v)),
-      ((commitInfoLine(System.currentTimeMillis(), op) +: actions)
-        .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"commit v$v already exists — another writer advanced the " +
-            s"table during this $op; re-read the snapshot and retry " +
-            "against the new version")
-    }
+      op: String): Unit = {
+    val logDir = Paths.get(dir, "_delta_log")
+    val target = logDir.resolve(commitFile(v))
+    val tmp = Files.createTempFile(logDir, s".tmp_commit_$v-", ".tmp")
+    try {
+      Files.write(tmp,
+        ((commitInfoLine(System.currentTimeMillis(), op) +: actions)
+          .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(target, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"commit v$v already exists — another writer advanced the " +
+              s"table during this $op; re-read the snapshot and retry " +
+              "against the new version")
+      }
+    } finally Files.deleteIfExists(tmp)
+  }
 
   private val ciTsRe = """"timestamp":(\d+)""".r
 
