@@ -402,6 +402,7 @@ object DeltaExport {
         s"table's logged schema ${tableSchema.catalogString} — a Delta " +
         "append never evolves the schema implicitly")
     enforceCheckConstraints(meta, df, "APPEND")
+    enforceWriterObligations(meta, "APPEND", removesData = false, Some(df))
     val before = dataFilesRelative(dir).toSet
     df.write.partitionBy(pcols: _*).mode("append").parquet(dir)
     val fresh = dataFilesRelative(dir).filterNot(before)
@@ -627,6 +628,8 @@ object DeltaExport {
         s"table's logged schema ${tableSchema.catalogString} — a Delta " +
         "append never evolves the schema implicitly")
     enforceCheckConstraints(appendMeta, df, "APPEND")
+    enforceWriterObligations(appendMeta, "APPEND", removesData = false,
+      Some(df))
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
     df.write.mode("append").parquet(dir)
     val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
@@ -650,6 +653,8 @@ object DeltaExport {
         "layout the reader re-attaches columns from; re-create the table " +
         "with writeDeltaTablePartitioned instead")
     enforceCheckConstraints(snap.meta, df, "OVERWRITE")
+    enforceWriterObligations(snap.meta, "OVERWRITE", removesData = true,
+      Some(df))
     val live = snap.live.toSet
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
     df.write.mode("append").parquet(dir)
@@ -808,6 +813,8 @@ object DeltaExport {
         s"table's logged schema ${tableSchema.catalogString}")
     requireNoColumnMapping(snap.meta, "APPEND")
     enforceCheckConstraints(snap.meta, df, "APPEND")
+    enforceWriterObligations(snap.meta, "APPEND", removesData = false,
+      Some(df))
     // partitioned tables take the Hive-layout write and relative-path
     // adds; flat tables the top-level form — the txn line is the same
     val before = dataFilesRelative(dir).toSet
@@ -844,6 +851,7 @@ object DeltaExport {
     val v = latestVersion(dir) + 1
     val now = snapshotState(spark, dir, None)
     val then_ = snapshotState(spark, dir, Some(versionAsOf))
+    enforceWriterObligations(now.meta, "RESTORE", removesData = true, None)
     val gone = then_.live.toSeq
       .filterNot(f => Files.isRegularFile(Paths.get(dir, f)))
     require(gone.isEmpty,
@@ -1032,6 +1040,10 @@ object DeltaExport {
       .select(coalesce(col("__b"), col("__t")).as("__r"))
       .select(cols.map(c => col(s"__r.$c").as(c)): _*)
     enforceCheckConstraints(snap.meta, merged, "MERGE")
+    // a pure-insert merge (no file touched) is append-shaped and stays
+    // legal on append-only / CDF tables; one that rewrites files is not
+    enforceWriterObligations(snap.meta, "MERGE",
+      removesData = touched.nonEmpty, Some(merged))
     val before = dataFilesRelative(dir).toSet
     val freshNeeded = merged.limit(1).collect().nonEmpty
     if (freshNeeded) {
@@ -1140,6 +1152,7 @@ object DeltaExport {
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
     requireNoColumnMapping(snap.meta, "DELETE")
+    enforceWriterObligations(snap.meta, "DELETE", removesData = true, None)
     val pcols = partitionColumnsOf(snap.meta)
     val live = snap.live.toSeq
     require(live.nonEmpty, "no live files to delete from")
@@ -1317,6 +1330,82 @@ object DeltaExport {
     }
   }
 
+  /** Writer OBLIGATIONS bound by table properties and schema metadata
+    * — the protocol binds writers, not just readers. graft enforces
+    * what it can honor and refuses BY NAME what it cannot:
+    *
+    *  - `delta.appendOnly=true` forbids dataChange=true remove actions
+    *    (deletes, DV masks, updates, overwrites, merges that touch
+    *    files, restores); dataChange=false maintenance (OPTIMIZE,
+    *    PURGE, CHECKPOINT) and plain appends stay allowed.
+    *  - `delta.enableChangeDataFeed=true` obliges a writer committing
+    *    a partial-file rewrite to emit `_change_data` files; graft
+    *    does not, so any remove-committing write on a CDF table is
+    *    refused (appends are exempt — CDF readers synthesize inserts
+    *    from dataChange=true adds alone).
+    *  - GENERATED / IDENTITY columns (schema metadata
+    *    delta.generationExpression / delta.identity.*) oblige the
+    *    writer to compute column values; graft does not, so
+    *    row-adding writes are refused naming the columns.
+    *  - legacy column INVARIANTS (schema metadata `delta.invariants`,
+    *    writer protocol v2) are ENFORCED on every added batch, same
+    *    FALSE-and-NULL rule as CHECK constraints.
+    *
+    * `removesData` = the operation commits dataChange=true removes or
+    * deletion vectors; `batch` = the rows the operation adds, if any. */
+  private def enforceWriterObligations(meta: String, op: String,
+      removesData: Boolean, batch: Option[DataFrame]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val conf = configurationOf(meta)
+    if (removesData && conf.get("delta.appendOnly").contains("true"))
+      throw new IllegalArgumentException(
+        s"$op on an APPEND-ONLY table (delta.appendOnly=true) is " +
+          "refused — the property forbids dataChange=true remove " +
+          "actions; dataChange=false maintenance (OPTIMIZE / PURGE / " +
+          "CHECKPOINT) and appends remain allowed")
+    if (removesData && conf.get("delta.enableChangeDataFeed").contains("true"))
+      throw new IllegalArgumentException(
+        s"$op on a CHANGE DATA FEED table (delta.enableChangeDataFeed" +
+          "=true) is not supported — this writer emits no _change_data " +
+          "files, so a CDF consumer would mis-derive the row-level " +
+          "changes of a partial-file rewrite; appends are still fine")
+    batch.foreach { rows =>
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(schemaStringOf(meta))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val gen = schema.fields
+        .filter(_.metadata.contains("delta.generationExpression"))
+        .map(_.name)
+      require(gen.isEmpty,
+        s"$op on a table with GENERATED column(s) ${gen.mkString(", ")} " +
+          "is not supported — this writer does not compute generation " +
+          "expressions, so the column contract cannot be guaranteed")
+      val ident = schema.fields.filter(f =>
+          f.metadata.contains("delta.identity.start") ||
+          f.metadata.contains("delta.identity.allowExplicitInsert"))
+        .map(_.name)
+      require(ident.isEmpty,
+        s"$op on a table with IDENTITY column(s) ${ident.mkString(", ")} " +
+          "is not supported — this writer does not allocate identity " +
+          "values")
+      val exprRe = """"expression"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      schema.fields.filter(_.metadata.contains("delta.invariants"))
+        .sortBy(_.name).foreach { f =>
+          val raw = f.metadata.getString("delta.invariants")
+          val e = exprRe.findFirstMatchIn(raw)
+            .map(m => unescapeJson(m.group(1)))
+            .getOrElse(throw new IllegalStateException(
+              s"unparseable delta.invariants on '${f.name}': $raw"))
+          val bad = rows
+            .filter(not(coalesce(expr(e), lit(false)))).limit(1).collect()
+          require(bad.isEmpty,
+            s"column INVARIANT on '${f.name}' ($e) violated by row " +
+              s"${bad.headOption.map(_.toString).getOrElse("")} — $op " +
+              "refused (FALSE and NULL both violate, the constraint rule)")
+        }
+    }
+  }
+
   /** The protocol action an ADD CONSTRAINT needs, if any: legacy
     * minWriterVersion upgraded to 3 (checkConstraints' legacy level),
     * or — when the table already speaks table features — the
@@ -1462,6 +1551,8 @@ object DeltaExport {
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
     requireNoColumnMapping(snap.meta, "DELETE (deletion vectors)")
+    enforceWriterObligations(snap.meta, "DELETE (deletion vectors)",
+      removesData = true, None)
     val live = snap.live.toSeq
     require(live.nonEmpty, "no live files to delete from")
     val target = liveTargetWithFile(spark, dir, snap, withPos = true)
@@ -1584,6 +1675,8 @@ object DeltaExport {
       .join(freshKeys, Seq("__file", "__pos"), "left_semi")
       .select(cols.map(c => set.getOrElse(c, col(c)).as(c)): _*)
     enforceCheckConstraints(snap.meta, updated, "UPDATE")
+    enforceWriterObligations(snap.meta, "UPDATE (deletion vectors)",
+      removesData = true, Some(updated))
     val before = dataFilesRelative(dir).toSet
     if (pcols.isEmpty) updated.write.mode("append").parquet(dir)
     else updated.write.partitionBy(pcols: _*).mode("append").parquet(dir)

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.DeltaExport
+
+/** Writer-obligation tests: the protocol binds WRITERS to table
+  * properties and schema metadata, not just readers to features.
+  * graft enforces delta.appendOnly and legacy column invariants, and
+  * refuses by name the obligations it cannot honor (change-data-feed
+  * emission, generated/identity column computation). Fixtures flip the
+  * properties by editing the v0 metaData, the foreign-writer
+  * posture. */
+class DeltaObligationsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def newTable(conf: String = ""): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_obligations").toString
+    DeltaExport.writeDeltaTable(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal").repartition(1), dir)
+    if (conf.nonEmpty) {
+      val p = java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000000.json")
+      val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      java.nio.file.Files.write(p,
+        raw.replace(""""configuration":{}""",
+          s""""configuration":{$conf}""").getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  test("delta.appendOnly: appends and dataChange=false maintenance work; every data-removing writer refuses by name") {
+    val dir = newTable(""""delta.appendOnly":"true"""")
+    DeltaExport.appendDeltaTable(spark,
+      Seq((3L, 30.0)).toDF("id", "bal"), dir)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 3L)
+    for ((name, op) <- Seq[(String, () => Any)](
+        ("delete", () => DeltaExport.deleteFromDeltaTable(spark, dir,
+          col("id") === 1L)),
+        ("deleteDv", () => DeltaExport.deleteFromDeltaTableDv(spark, dir,
+          col("id") === 1L)),
+        ("updateDv", () => DeltaExport.updateDeltaTableDv(spark, dir,
+          col("id") === 1L, Map("bal" -> lit(99.0)))),
+        ("overwrite", () => DeltaExport.overwriteDeltaTable(spark,
+          Seq((9L, 9.0)).toDF("id", "bal"), dir)),
+        ("merge-touching", () => DeltaExport.mergeDeltaTable(spark,
+          Seq((1L, 11.0)).toDF("id", "bal"), dir, Seq("id"))),
+        ("restore", () => DeltaExport.restoreDeltaTable(spark, dir, 0L)))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("APPEND-ONLY"), s"$name: ${e.getMessage}")
+    }
+    // a PURE-INSERT merge commits no removes — append-shaped, allowed
+    DeltaExport.mergeDeltaTable(spark,
+      Seq((4L, 40.0)).toDF("id", "bal"), dir, Seq("id"))
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 4L)
+    // dataChange=false maintenance stays allowed
+    DeltaExport.optimizeDeltaTable(spark, dir, targetFiles = 1)
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 4L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("delta.enableChangeDataFeed: appends pass, partial-file rewrites refuse by name") {
+    val dir = newTable(""""delta.enableChangeDataFeed":"true"""")
+    DeltaExport.appendDeltaTable(spark,
+      Seq((3L, 30.0)).toDF("id", "bal"), dir)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.deleteFromDeltaTable(spark, dir, col("id") === 1L))
+    assert(e.getMessage.contains("CHANGE DATA FEED"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaExport.updateDeltaTableDv(spark, dir, col("id") === 1L,
+        Map("bal" -> lit(1.0))))
+    assert(e2.getMessage.contains("CHANGE DATA FEED"), e2.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("generated and identity columns refuse row-adding writes by name") {
+    import org.apache.spark.sql.types._
+    def fixture(md: Metadata): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_obl_gen").toString
+      DeltaExport.writeDeltaTable(spark,
+        Seq((1L, 10.0)).toDF("id", "bal").repartition(1), dir)
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = true),
+        StructField("bal", DoubleType, nullable = true, md)))
+      val p = java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000000.json")
+      val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val escd = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      java.nio.file.Files.write(p, raw.replaceAll(
+        """"schemaString":"((?:[^"\\]|\\.)*)"""",
+        java.util.regex.Matcher.quoteReplacement(
+          s""""schemaString":"$escd"""")).getBytes("UTF-8"))
+      dir
+    }
+    val gen = fixture(new MetadataBuilder()
+      .putString("delta.generationExpression", "id * 2").build())
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.appendDeltaTable(spark,
+        Seq((2L, 4.0)).toDF("id", "bal"), gen))
+    assert(e.getMessage.contains("GENERATED") &&
+      e.getMessage.contains("bal"), e.getMessage)
+    val ident = fixture(new MetadataBuilder()
+      .putLong("delta.identity.start", 1L).build())
+    val e2 = intercept[IllegalArgumentException](
+      DeltaExport.appendDeltaTable(spark,
+        Seq((2L, 4.0)).toDF("id", "bal"), ident))
+    assert(e2.getMessage.contains("IDENTITY"), e2.getMessage)
+    Seq(gen, ident).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    ()
+  }
+
+  test("legacy column invariants gate every added batch, FALSE and NULL both violating") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_obl_inv").toString
+    DeltaExport.writeDeltaTable(spark,
+      Seq((1L, Option(10.0))).toDF("id", "bal").repartition(1), dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("bal", DoubleType, nullable = true,
+        new MetadataBuilder().putString("delta.invariants",
+          """{"expression":{"expression":"bal > 0.0"}}""").build())))
+    val p = java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000000.json")
+    val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val escd = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    java.nio.file.Files.write(p, raw.replaceAll(
+      """"schemaString":"((?:[^"\\]|\\.)*)"""",
+      java.util.regex.Matcher.quoteReplacement(
+        s""""schemaString":"$escd"""")).getBytes("UTF-8"))
+    val eFalse = intercept[IllegalArgumentException](
+      DeltaExport.appendDeltaTable(spark,
+        Seq((2L, Option(-1.0))).toDF("id", "bal"), dir))
+    assert(eFalse.getMessage.contains("INVARIANT") &&
+      eFalse.getMessage.contains("bal > 0.0"), eFalse.getMessage)
+    val eNull = intercept[IllegalArgumentException](
+      DeltaExport.appendDeltaTable(spark,
+        Seq((2L, Option.empty[Double])).toDF("id", "bal"), dir))
+    assert(eNull.getMessage.contains("INVARIANT"), eNull.getMessage)
+    DeltaExport.appendDeltaTable(spark,
+      Seq((2L, Option(5.0))).toDF("id", "bal"), dir)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 2L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}
