@@ -334,12 +334,11 @@ object DeltaExport {
           dir.getBytes(StandardCharsets.UTF_8))}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
           df.schema.json)}","partitionColumns":[],"configuration":{},"createdTime":$now}}"""
     val adds = addActions(spark, parts, now)
-    val logDir = Paths.get(dir).resolve("_delta_log")
-    Files.createDirectories(logDir)
-    Files.write(logDir.resolve(commitFile(0L)),
-      ((commitInfoLine(now, "WRITE") +: protocol +: metaData +: adds)
-        .mkString("\n") + "\n")
-        .getBytes(StandardCharsets.UTF_8))
+    Files.createDirectories(Paths.get(dir).resolve("_delta_log"))
+    // v0 publishes through the same atomic put-if-absent primitive as
+    // every later commit — a torn direct write here would leave a
+    // permanently corrupt table root
+    writeCommit(dir, 0L, protocol +: metaData +: adds, "WRITE")
     adds.size
   }
 
@@ -371,12 +370,11 @@ object DeltaExport {
           dir.getBytes(StandardCharsets.UTF_8))}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
           df.schema.json)}","partitionColumns":[$pcols],"configuration":{},"createdTime":$now}}"""
     val adds = addActionsRelative(spark, dir, parts, now)
-    val logDir = Paths.get(dir).resolve("_delta_log")
-    Files.createDirectories(logDir)
-    Files.write(logDir.resolve(commitFile(0L)),
-      ((commitInfoLine(now, "WRITE") +: protocol +: metaData +: adds)
-        .mkString("\n") + "\n")
-        .getBytes(StandardCharsets.UTF_8))
+    Files.createDirectories(Paths.get(dir).resolve("_delta_log"))
+    // v0 publishes through the same atomic put-if-absent primitive as
+    // every later commit — a torn direct write here would leave a
+    // permanently corrupt table root
+    writeCommit(dir, 0L, protocol +: metaData +: adds, "WRITE")
     adds.size
   }
 
@@ -466,9 +464,26 @@ object DeltaExport {
     val target = logDir.resolve(commitFile(v))
     val tmp = Files.createTempFile(logDir, s".tmp_commit_$v-", ".tmp")
     try {
-      Files.write(tmp,
-        ((commitInfoLine(System.currentTimeMillis(), op) +: actions)
-          .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      // createTempFile makes 0600 files; the published commit must be
+      // readable like the old umask-honoring direct write was (shared
+      // table dirs — NFS, group-readable mounts — read the log as
+      // other users)
+      try Files.setPosixFilePermissions(tmp,
+        java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
+      catch { case _: UnsupportedOperationException => () }
+      // write + fsync the CONTENT before the link publishes the name —
+      // without the force, a crash after the directory entry persists
+      // but before the page cache flushes leaves a truncated commit
+      // that replays as a silently short snapshot
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(
+          ((commitInfoLine(System.currentTimeMillis(), op) +: actions)
+            .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)))
+        ch.force(true)
+      } finally ch.close()
       try Files.createLink(target, tmp)
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -477,6 +492,12 @@ object DeltaExport {
               s"table during this $op; re-read the snapshot and retry " +
               "against the new version")
       }
+      // fsync the directory so the LINK itself survives a crash
+      try {
+        val dch = java.nio.channels.FileChannel.open(logDir,
+          java.nio.file.StandardOpenOption.READ)
+        try dch.force(true) finally dch.close()
+      } catch { case _: Exception => () } // not all FS expose dir fsync
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -1318,17 +1339,14 @@ object DeltaExport {
     * One limit(1) probe per constraint so the refusal can NAME the
     * constraint and show a violating row. */
   private def enforceCheckConstraints(meta: String, rows: DataFrame,
-      op: String): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      op: String): Unit =
     checkConstraintsOf(meta).toSeq.sortBy(_._1).foreach { case (name, e) =>
-      val bad = rows
-        .filter(not(coalesce(expr(e), lit(false)))).limit(1).collect()
-      require(bad.isEmpty,
-        s"CHECK constraint '$name' ($e) violated by row " +
-          s"${bad.headOption.map(_.toString).getOrElse("")} — $op refused " +
-          "(the protocol counts FALSE and NULL both as violations)")
+      firstViolation(rows, e).foreach(bad => throw
+        new IllegalArgumentException(
+          s"requirement failed: CHECK constraint '$name' ($e) violated " +
+            s"by row $bad — $op refused (the protocol counts FALSE and " +
+            "NULL both as violations)"))
     }
-  }
 
   /** Writer OBLIGATIONS bound by table properties and schema metadata
     * — the protocol binds writers, not just readers. graft enforces
@@ -1355,21 +1373,30 @@ object DeltaExport {
     * deletion vectors; `batch` = the rows the operation adds, if any. */
   private def enforceWriterObligations(meta: String, op: String,
       removesData: Boolean, batch: Option[DataFrame]): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val conf = configurationOf(meta)
-    if (removesData && conf.get("delta.appendOnly").contains("true"))
+    // Delta parses boolean properties case-insensitively
+    // (Boolean.parseBoolean) — "True"/"TRUE" bind the same obligation
+    def boolProp(key: String): Boolean =
+      conf.get(key).exists(_.equalsIgnoreCase("true"))
+    if (removesData && boolProp("delta.appendOnly"))
       throw new IllegalArgumentException(
         s"$op on an APPEND-ONLY table (delta.appendOnly=true) is " +
           "refused — the property forbids dataChange=true remove " +
           "actions; dataChange=false maintenance (OPTIMIZE / PURGE / " +
           "CHECKPOINT) and appends remain allowed")
-    if (removesData && conf.get("delta.enableChangeDataFeed").contains("true"))
+    if (removesData && boolProp("delta.enableChangeDataFeed"))
       throw new IllegalArgumentException(
         s"$op on a CHANGE DATA FEED table (delta.enableChangeDataFeed" +
           "=true) is not supported — this writer emits no _change_data " +
           "files, so a CDF consumer would mis-derive the row-level " +
           "changes of a partial-file rewrite; appends are still fine")
-    batch.foreach { rows =>
+    // the raw-string probe dodges a second schemaString JSON parse on
+    // the hot append path when no column-level obligation exists
+    val anyColumnObligation =
+      meta.contains("delta.generationExpression") ||
+        meta.contains("delta.identity.") ||
+        meta.contains("delta.invariants")
+    batch.filter(_ => anyColumnObligation).foreach { rows =>
       val schema = org.apache.spark.sql.types.DataType
         .fromJson(schemaStringOf(meta))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -1396,14 +1423,24 @@ object DeltaExport {
             .map(m => unescapeJson(m.group(1)))
             .getOrElse(throw new IllegalStateException(
               s"unparseable delta.invariants on '${f.name}': $raw"))
-          val bad = rows
-            .filter(not(coalesce(expr(e), lit(false)))).limit(1).collect()
-          require(bad.isEmpty,
-            s"column INVARIANT on '${f.name}' ($e) violated by row " +
-              s"${bad.headOption.map(_.toString).getOrElse("")} — $op " +
-              "refused (FALSE and NULL both violate, the constraint rule)")
+          firstViolation(rows, e).foreach(bad => throw
+            new IllegalArgumentException(
+              s"requirement failed: column INVARIANT on '${f.name}' " +
+                s"($e) violated by row $bad — $op refused (FALSE and " +
+                "NULL both violate, the constraint rule)"))
         }
     }
+  }
+
+  /** The one violation probe both constraint kinds share: the first
+    * row (if any) where `e` evaluates FALSE or NULL — the protocol
+    * counts both as violations for CHECK constraints, and graft
+    * applies the same rule to legacy invariants. */
+  private def firstViolation(rows: DataFrame,
+      e: String): Option[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    rows.filter(not(coalesce(expr(e), lit(false)))).limit(1)
+      .collect().headOption
   }
 
   /** The protocol action an ADD CONSTRAINT needs, if any: legacy
@@ -1624,6 +1661,11 @@ object DeltaExport {
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
     requireNoColumnMapping(snap.meta, "UPDATE (deletion vectors)")
+    // property refusals (append-only, CDF) need no batch — fire BEFORE
+    // the live-table scan and driver-side position collect, like the
+    // DELETE twins; the batch-level obligations run later on `updated`
+    enforceWriterObligations(snap.meta, "UPDATE (deletion vectors)",
+      removesData = true, None)
     val pcols = partitionColumnsOf(snap.meta)
     val cols = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
@@ -1675,8 +1717,9 @@ object DeltaExport {
       .join(freshKeys, Seq("__file", "__pos"), "left_semi")
       .select(cols.map(c => set.getOrElse(c, col(c)).as(c)): _*)
     enforceCheckConstraints(snap.meta, updated, "UPDATE")
+    // batch-level obligations only — the removesData leg already fired
     enforceWriterObligations(snap.meta, "UPDATE (deletion vectors)",
-      removesData = true, Some(updated))
+      removesData = false, Some(updated))
     val before = dataFilesRelative(dir).toSet
     if (pcols.isEmpty) updated.write.mode("append").parquet(dir)
     else updated.write.partitionBy(pcols: _*).mode("append").parquet(dir)
@@ -1986,7 +2029,21 @@ object DeltaExport {
       .flatMap(DeletionVectors.referencedRelPath).toSet
     val staleDvs = dvFilesRelative(dir).filterNot(referenced)
     staleDvs.foreach(rel => Files.delete(Paths.get(dir, rel)))
-    stale ++ staleDvs
+    // crash leftovers from atomic-commit staging (.tmp_commit_* files a
+    // dying JVM never linked or unlinked): logVersions ignores them, so
+    // the only cost is litter — vacuum is the reclaim entry point
+    val logDir = Paths.get(dir, "_delta_log")
+    val tmpList = Files.list(logDir)
+    val staleTmps =
+      try {
+        import scala.jdk.CollectionConverters._
+        tmpList.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(".tmp_commit_"))
+          .toSeq
+      } finally tmpList.close()
+    staleTmps.foreach(Files.deleteIfExists(_))
+    stale ++ staleDvs ++
+      staleTmps.map(p => s"_delta_log/${p.getFileName.toString}")
   }
 
   /** All `deletion_vector_*.bin` files under `dir` as table-relative
