@@ -266,4 +266,27 @@ class PropertySpec extends SparkTestBase {
     assert(excluded.count() === 0L,
       "an excluded row hashes below the k-th selected — not a true bottom-k")
   }
+
+  test("property: portable roaring DV codec round-trips arbitrary position sets across container boundaries") {
+    import graft.core.DeletionVectors
+    // positions spanning array/bitmap container shapes AND multiple
+    // 32-bit "magic keys": small clusters, dense runs, and sparse
+    // high-bit outliers — the shapes real writers emit
+    val posGen = Gen.oneOf(
+      Gen.choose(0L, 300L),                        // array container
+      Gen.choose(65500L, 66500L),                  // 16-bit key boundary
+      Gen.choose(0L, 70000L).map(_ + (1L << 32)),  // second magic key
+      Gen.choose(0L, 8000L).map(_ * 8 + (3L << 32))) // sparse high
+    (1 to 25).foreach { _ =>
+      val positions = draw(Gen.listOfN(draw(Gen.choose(0, 900)), posGen))
+        .distinct.sorted
+      val bytes = DeletionVectors.serializePortable(positions)
+      val back = DeletionVectors.deserializePortable(bytes).toSeq
+      assert(back === positions,
+        s"round-trip mismatch at n=${positions.size}")
+      // Z85 framing layer round-trips the same bytes
+      assert(DeletionVectors.z85decode(DeletionVectors.z85encode(bytes))
+        .take(bytes.length).toSeq === bytes.toSeq)
+    }
+  }
 }
