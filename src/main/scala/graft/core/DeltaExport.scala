@@ -462,15 +462,22 @@ object DeltaExport {
       op: String): Unit = {
     val logDir = Paths.get(dir, "_delta_log")
     val target = logDir.resolve(commitFile(v))
-    val tmp = Files.createTempFile(logDir, s".tmp_commit_$v-", ".tmp")
+    // Files.createFile (unlike createTempFile's forced 0600) creates
+    // with the default mode filtered by the PROCESS UMASK — the same
+    // permissions the old direct write published, so a umask-0022 host
+    // still shares the log and a umask-0077 deployment keeps its
+    // _delta_log private (add.stats embed min/max data values)
+    val tmp = {
+      var p: java.nio.file.Path = null
+      while (p == null) {
+        val cand = logDir.resolve(
+          s".tmp_commit_$v-${java.util.UUID.randomUUID().toString}.tmp")
+        try { Files.createFile(cand); p = cand }
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+      p
+    }
     try {
-      // createTempFile makes 0600 files; the published commit must be
-      // readable like the old umask-honoring direct write was (shared
-      // table dirs — NFS, group-readable mounts — read the log as
-      // other users)
-      try Files.setPosixFilePermissions(tmp,
-        java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
-      catch { case _: UnsupportedOperationException => () }
       // write + fsync the CONTENT before the link publishes the name —
       // without the force, a crash after the directory entry persists
       // but before the page cache flushes leaves a truncated commit
@@ -2013,25 +2020,83 @@ object DeltaExport {
     * ([[readDeltaTable]]'s existence check names the missing files).
     * Returns the deleted file names. Driver-side METADATA only — the
     * same O(files) listing every Delta vacuum performs. */
-  def vacuumDeltaTable(spark: SparkSession, dir: String): Seq[String] = {
+  def vacuumDeltaTable(spark: SparkSession, dir: String): Seq[String] =
+    vacuumDeltaTableImpl(spark, dir, retentionMs = 0L)
+
+  /** TIMED vacuum — Delta's production retention semantics: a
+    * superseded file is reclaimed only once it has been DEAD longer
+    * than `retentionHours`, so time travel and concurrent readers
+    * within the window keep working while older history is paid down.
+    * The dead-since clock is the file's remove-action
+    * `deletionTimestamp` from the surviving JSON commits (exactly what
+    * Delta's vacuum reads); a file with no surviving tombstone (its
+    * remove expired with the log, or it was never committed at all —
+    * a crashed write's orphan) falls back to its filesystem mtime,
+    * Delta's own rule for untracked files. Deletion-vector `.bin`
+    * files take the same clock: a bin unreferenced by the latest
+    * snapshot is reclaimed only when the commit that UN-referenced it
+    * (superseding rewrite, purge, or materializing compaction) is
+    * older than the window — tracked by replaying the surviving log
+    * and recording when each bin dropped out of the referenced set
+    * (a later RESTORE that re-references it clears the tombstone).
+    *
+    * `retentionHours < 168` is refused unless `force` — Delta's
+    * retention-duration check: a short window silently breaks any
+    * reader or time travel older than it, so shrinking the window is
+    * an explicit, named decision. Retention 0 (with force) reclaims
+    * all dead files, the [[vacuumDeltaTable]] overload's behavior. */
+  def vacuumDeltaTable(spark: SparkSession, dir: String,
+      retentionHours: Double, force: Boolean): Seq[String] = {
+    require(retentionHours >= 0, s"negative retention: $retentionHours")
+    require(retentionHours >= 168.0 || force,
+      f"retentionHours $retentionHours%.1f is below Delta's 168 h " +
+        "default window — readers and time travel inside the window " +
+        "would break silently; pass force=true to accept that")
+    vacuumDeltaTableImpl(spark, dir,
+      math.round(retentionHours * 3600d * 1000d))
+  }
+
+  private def vacuumDeltaTableImpl(spark: SparkSession, dir: String,
+      retentionMs: Long): Seq[String] = {
     val st = snapshotState(spark, dir, None)
     val live = st.live.toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    // tombstone clocks come from ONE incremental replay of the
+    // surviving log (skipped entirely at retention 0, where every dead
+    // file reclaims unconditionally — the pre-existing behavior)
+    val (tombstones, dvDeadSince) =
+      if (retentionMs == 0L) (Map.empty[String, Long], Map.empty[String, Long])
+      else removeTombstones(spark, dir)
+    def mtimeOk(rel: String): Boolean =
+      try Files.getLastModifiedTime(Paths.get(dir, rel)).toMillis <= cutoff
+      catch { case _: java.io.IOException => false }
     // recursive relative listing so partitioned layouts vacuum their
     // Hive subdirectories too; live paths are table-relative either way
-    val stale = dataFilesRelative(dir).filterNot(live)
+    val stale = dataFilesRelative(dir).filterNot(live).filter(rel =>
+      retentionMs == 0L || tombstones.get(rel).map(_ <= cutoff)
+        .getOrElse(mtimeOk(rel)))
     stale.foreach(rel => Files.delete(Paths.get(dir, rel)))
-    // deletion-vector files take the same retention-0 trade: a `.bin`
-    // the LATEST snapshot's vectors do not reference (superseded by a
-    // newer vector, or orphaned by a rewrite that materialized the
-    // deletes) is reclaimed; time travel to a version needing it then
-    // fails loudly at the DV read, like a vacuumed data file
+    // deletion-vector files take the same trade: a `.bin` the LATEST
+    // snapshot's vectors do not reference (superseded by a newer
+    // vector, or orphaned by a rewrite that materialized the deletes)
+    // is reclaimed once dead past the window; time travel to a version
+    // needing it then fails loudly at the DV read, like a vacuumed
+    // data file
     val referenced = st.dvs.values
       .flatMap(DeletionVectors.referencedRelPath).toSet
-    val staleDvs = dvFilesRelative(dir).filterNot(referenced)
+    val staleDvs = dvFilesRelative(dir).filterNot(referenced).filter(rel =>
+      retentionMs == 0L || dvDeadSince.get(rel).map(_ <= cutoff)
+        .getOrElse(mtimeOk(rel)))
     staleDvs.foreach(rel => Files.delete(Paths.get(dir, rel)))
     // crash leftovers from atomic-commit staging (.tmp_commit_* files a
     // dying JVM never linked or unlinked): logVersions ignores them, so
-    // the only cost is litter — vacuum is the reclaim entry point
+    // the only cost is litter — vacuum is the reclaim entry point. Only
+    // files past a GRACE WINDOW are reclaimed: a vacuum racing a LIVE
+    // writer mid-writeCommit would otherwise unlink its staging file
+    // and fail that commit with NoSuchFileException instead of a clean
+    // conflict (the exact race the put-if-absent commit exists for).
+    val tmpGraceMs = 10 * 60 * 1000L
+    val tmpCutoff = System.currentTimeMillis() - tmpGraceMs
     val logDir = Paths.get(dir, "_delta_log")
     val tmpList = Files.list(logDir)
     val staleTmps =
@@ -2039,11 +2104,65 @@ object DeltaExport {
         import scala.jdk.CollectionConverters._
         tmpList.iterator().asScala
           .filter(_.getFileName.toString.startsWith(".tmp_commit_"))
+          .filter(p =>
+            try Files.getLastModifiedTime(p).toMillis < tmpCutoff
+            catch { case _: java.io.IOException => false })
           .toSeq
       } finally tmpList.close()
     staleTmps.foreach(Files.deleteIfExists(_))
     stale ++ staleDvs ++
       staleTmps.map(p => s"_delta_log/${p.getFileName.toString}")
+  }
+
+  /** Tombstone clocks for the TIMED vacuum, from one incremental
+    * replay of the surviving log: (data-file dead-since, DV-bin
+    * dead-since), both table-relative path -> epoch millis.
+    *
+    * Data files: each remove action's own `deletionTimestamp` (Delta's
+    * vacuum clock); a later re-add (RESTORE) clears the tombstone —
+    * the file is live again, not dying. DV bins carry no remove of
+    * their own, so their clock is the commit that UN-referenced them:
+    * replay commit by commit, record the commit timestamp when a bin
+    * drops out of the referenced set, clear it when a restore brings
+    * the bin back. Entries expired with the log are simply absent —
+    * the caller falls back to file mtime, Delta's untracked-file
+    * rule. */
+  private def removeTombstones(spark: SparkSession,
+      dir: String): (Map[String, Long], Map[String, Long]) = {
+    val versions = logVersions(dir)
+    val (st, tail) = lastCheckpoint(dir) match {
+      case Some(p) =>
+        (loadCheckpoint(spark, dir, p.version, p.parts),
+          versions.filter(_ > p.version))
+      case None => (new ReplayState, versions)
+    }
+    val dtRe = """"deletionTimestamp":(\d+)""".r
+    val tomb = scala.collection.mutable.Map.empty[String, Long]
+    val dvDead = scala.collection.mutable.Map.empty[String, Long]
+    var prevRef = st.dvs.values
+      .flatMap(DeletionVectors.referencedRelPath).toSet
+    tail.foreach { v =>
+      val ts = commitTimestamp(dir, v)
+      val lines = new String(
+        Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(v))),
+        StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+      lines.foreach { l =>
+        if (l.startsWith("""{"remove"""")) {
+          val p = pathOf(l, "remove")
+          val t = dtRe.findFirstMatchIn(l).map(_.group(1).toLong)
+            .getOrElse(ts)
+          tomb(p) = math.max(tomb.getOrElse(p, Long.MinValue), t)
+        } else if (l.startsWith("""{"add""""))
+          tomb -= pathOf(l, "add")
+      }
+      applyCommit(dir, v, st)
+      val ref = st.dvs.values
+        .flatMap(DeletionVectors.referencedRelPath).toSet
+      (prevRef -- ref).foreach(b => dvDead(b) = ts)
+      (ref -- prevRef).foreach(dvDead -= _)
+      prevRef = ref
+    }
+    (tomb.toMap, dvDead.toMap)
   }
 
   /** All `deletion_vector_*.bin` files under `dir` as table-relative

@@ -207,17 +207,6 @@ object Graph {
     (finalDeg, rounds, done)
   }
 
-  /** Degree ASSORTATIVITY (Newman 2002): the Pearson correlation of
-    * endpoint degrees over every directed edge instance — positive
-    * when high-degree nodes attach to high-degree nodes (template
-    * families linking among themselves), negative for hub-and-spoke.
-    * ALL-INTEGER exactness: degrees are integers, so every sum
-    * (Σx, Σy, Σxy, Σx², Σy², m) is an exact long and the final
-    * r = (mΣxy − ΣxΣy) / √(mΣx²−(Σx)²) / √(mΣy²−(Σy)²) is a handful
-    * of shared IEEE operations on identical operands in any engine —
-    * the q135 OLS discipline applied to graph telemetry. Returns one
-    * row (m, r rounded to 6). Degenerate graphs (zero degree variance)
-    * return NULL r, never a division crash. */
   /** The EXACT-integer moment vector degree assortativity divides at
     * the end — (m, Σdx, Σdy, Σdxdy, Σdx², Σdy²) over both directions
     * of every canonical edge. Exposed so restriction contracts
@@ -249,6 +238,17 @@ object Graph {
       sum(col("dy") * col("dy")).as("syy"))
   }
 
+  /** Degree ASSORTATIVITY (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every directed edge instance — positive
+    * when high-degree nodes attach to high-degree nodes (template
+    * families linking among themselves), negative for hub-and-spoke.
+    * ALL-INTEGER exactness: degrees are integers, so every sum
+    * (Σx, Σy, Σxy, Σx², Σy², m) is an exact long and the final
+    * r = (mΣxy − ΣxΣy) / √(mΣx²−(Σx)²) / √(mΣy²−(Σy)²) is a handful
+    * of shared IEEE operations on identical operands in any engine —
+    * the q135 OLS discipline applied to graph telemetry. Returns one
+    * row (m, r rounded to 6). Degenerate graphs (zero degree variance)
+    * return NULL r, never a division crash. */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     assortativityMoments(edges)
       .select(col("m"),

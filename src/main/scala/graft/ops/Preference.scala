@@ -27,10 +27,10 @@ import org.apache.spark.sql.functions._
   * plus a join). */
 object Preference {
 
-  /** `df` carries `groupCol` (string), `idCol` (long ≥ 0, unique
-    * within the group), and `scoreCol` (numeric). Returns per group
-    * with ≥ 2 members and margin ≥ `minMarginMicro`: chosen/rejected
-    * ids and score micros plus the margin. */
+  /** `df` carries `groupCol` (string), `idCol` (long, unique within
+    * the group), and `scoreCol` (numeric). Returns per group with ≥ 2
+    * members and margin ≥ `minMarginMicro`: chosen/rejected ids and
+    * score micros plus the margin. */
   def minePairs(df: DataFrame, groupCol: String, idCol: String,
       scoreCol: Column, minMarginMicro: Long = 0L): DataFrame = {
     val scored = df.select(
@@ -38,8 +38,12 @@ object Preference {
       round(scoreCol.cast("double") * 1e6).cast("long").as("score_micro"))
     scored.groupBy(col("grp"))
       .agg(
+        // descending-id tie-break via -1-id (bitwise NOT): a total
+        // order REVERSAL over the FULL long range — negate(id) would
+        // silently overflow at Long.MinValue with ANSI off, inverting
+        // the order and diverging from the row_number oracle
         max_by(struct(col("id"), col("score_micro")),
-          struct(col("score_micro"), negate(col("id")))).as("best"),
+          struct(col("score_micro"), lit(-1L) - col("id"))).as("best"),
         min_by(struct(col("id"), col("score_micro")),
           struct(col("score_micro"), col("id"))).as("worst"))
       .filter(col("best.id") =!= col("worst.id"))

@@ -511,4 +511,20 @@ class EdgeCaseSpec extends SparkTestBase {
       .orderBy("grp").collect()
     assert(loose.map(_.getString(0)).toSeq === Seq("g1", "g3"))
   }
+
+  test("preference pairs: Long.MinValue id cannot overflow the descending tie-break") {
+    import spark.implicits._
+    // two tied rows; chosen must tie-break to the LOWEST id — with a
+    // negate(id) key, -Long.MinValue overflows back to Long.MinValue
+    // (ANSI off) and silently inverts the order; the -1-id (bitwise
+    // NOT) key reverses the full long range exactly
+    val df = Seq(
+      ("g", Long.MinValue, 5.0), ("g", 7L, 5.0), ("g", 1L, 1.0))
+      .toDF("g", "id", "score")
+    val r = graft.ops.Preference.minePairs(df, "g", "id", col("score"))
+      .collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("chosen_id") === Long.MinValue)
+    assert(r.head.getAs[Long]("rejected_id") === 1L)
+  }
 }

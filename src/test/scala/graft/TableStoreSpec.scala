@@ -2128,4 +2128,113 @@ class TableStoreSpec extends SparkTestBase {
       .count() === 2L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("Timed vacuum: within-window files survive, expired tombstones reclaim, <168h guard refuses") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_tvac").toString
+    DeltaExport.writeDeltaTable(spark,
+      spark.range(100).select(col("id"), (col("id") * 2).as("x")), dir)
+    DeltaExport.overwriteDeltaTable(spark,
+      spark.range(100, 200).select(col("id"), (col("id") * 2).as("x")), dir)
+    val v0Files = DeltaExport.liveFilesAt(dir, Some(0L))._2
+    // the guard: a sub-default window is an explicit decision
+    val g = intercept[IllegalArgumentException] {
+      DeltaExport.vacuumDeltaTable(spark, dir, 1.0, force = false)
+    }
+    assert(g.getMessage.contains("168"))
+    // within the window: the fresh tombstones keep v0's files, and
+    // time travel to v0 still reads exact
+    assert(DeltaExport.vacuumDeltaTable(spark, dir, 168.0, force = false)
+      === Seq.empty)
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(0L)).count() === 100L)
+    // an ORPHAN (never-committed crash leftover) takes the mtime
+    // clock: fresh → survives even a forced retention-1h vacuum
+    val orphan = java.nio.file.Paths.get(dir, "orphan-leftover.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    assert(!DeltaExport.vacuumDeltaTable(spark, dir, 1.0, force = true)
+      .contains("orphan-leftover.parquet"))
+    // backdate v1's remove tombstones past the window → v0's files
+    // reclaim under the SAME retention that spared them above
+    val p1 = java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000001.json")
+    val old = System.currentTimeMillis() - 200L * 3600 * 1000
+    val aged = new String(java.nio.file.Files.readAllBytes(p1), "UTF-8")
+      .replaceAll(""""deletionTimestamp":\d+""",
+        s""""deletionTimestamp":$old""")
+    java.nio.file.Files.write(p1, aged.getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    val reclaimed =
+      DeltaExport.vacuumDeltaTable(spark, dir, 168.0, force = false)
+    assert(reclaimed.toSet === (v0Files :+ "orphan-leftover.parquet").toSet)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 100L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("Timed vacuum: a superseded DV bin survives the window, reclaims once its un-referencing commit ages out") {
+    import graft.core.DeltaExport
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_tvacdv").toString
+    // one wide file so the DV exceeds the 512-byte inline bound and
+    // lands in an external .bin
+    DeltaExport.writeDeltaTable(spark,
+      spark.range(4000).select(col("id"), (col("id") % 7).as("x"))
+        .coalesce(1), dir)
+    DeltaExport.deleteFromDeltaTableDv(spark, dir,
+      col("id") % 2 === 0 && col("id") < 2600)
+    val bins = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val binNames = try {
+      import scala.jdk.CollectionConverters._
+      bins.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("deletion_vector_")).toSeq
+    } finally bins.close()
+    assert(binNames.size === 1, binNames.toString)
+    // purge materializes the deletes — the bin is now unreferenced,
+    // but its un-referencing commit is FRESH: the window keeps it and
+    // DV time travel to v1 still works
+    DeltaExport.purgeDeletionVectors(spark, dir)
+    assert(!DeltaExport.vacuumDeltaTable(spark, dir, 168.0, force = false)
+      .exists(_.startsWith("deletion_vector_")))
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(1L)).count() === 2700L)
+    // age the PURGE commit (the one that un-referenced the bin) past
+    // the window → the bin reclaims; backdate the data tombstones too
+    // so only age, not kind, differs
+    val p2 = java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000002.json")
+    val old = System.currentTimeMillis() - 200L * 3600 * 1000
+    val aged = new String(java.nio.file.Files.readAllBytes(p2), "UTF-8")
+      .replaceAll(""""timestamp":\d+""", s""""timestamp":$old""")
+    java.nio.file.Files.write(p2, aged.getBytes("UTF-8"))
+    val reclaimed =
+      DeltaExport.vacuumDeltaTable(spark, dir, 168.0, force = false)
+    assert(reclaimed.contains(binNames.head), reclaimed.toString)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 2700L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("Vacuum leaves a FRESH commit staging file for a live writer, reclaims an aged one") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_tmpgrace").toString
+    DeltaExport.writeDeltaTable(spark, Seq((1L, "a")).toDF("id", "s"), dir)
+    val fresh = java.nio.file.Paths.get(dir, "_delta_log",
+      ".tmp_commit_9-inflight.tmp")
+    java.nio.file.Files.write(fresh, "half-written".getBytes("UTF-8"))
+    // a concurrent writer mid-writeCommit must NOT lose its staging
+    // file to a racing vacuum
+    assert(!DeltaExport.vacuumDeltaTable(spark, dir)
+      .exists(_.contains("tmp_commit")))
+    assert(java.nio.file.Files.isRegularFile(fresh))
+    // a crash leftover past the grace window is litter — reclaimed
+    java.nio.file.Files.setLastModifiedTime(fresh,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 20 * 60 * 1000L))
+    assert(DeltaExport.vacuumDeltaTable(spark, dir)
+      .contains("_delta_log/.tmp_commit_9-inflight.tmp"))
+    assert(!java.nio.file.Files.exists(fresh))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
