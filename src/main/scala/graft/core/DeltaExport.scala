@@ -72,8 +72,12 @@ object DeltaExport {
       walk.iterator().asScala.flatMap { p =>
         val rel = root.relativize(p).toString
         val name = p.getFileName.toString
+        // _change_data holds CDF files referenced by cdc actions, never
+        // by adds — counting them as data files would break the
+        // writers' before/after diffs and make vacuum reclaim them all
         if (name.endsWith(".parquet") && Files.isRegularFile(p) &&
             !name.startsWith(".") && !rel.startsWith("_delta_log") &&
+            !rel.startsWith("_change_data") &&
             !rel.split('/').exists(_.startsWith(".")))
           Some(rel)
         else None
@@ -388,7 +392,6 @@ object DeltaExport {
       dir: String): Long = {
     val v = latestVersion(dir) + 1
     val meta = snapshotState(spark, dir, None).meta
-    requireNoColumnMapping(meta, "APPEND")
     val pcols = partitionColumnsOf(meta)
     require(pcols.nonEmpty,
       "table is not partitioned — use appendDeltaTable")
@@ -399,10 +402,16 @@ object DeltaExport {
       s"append schema ${df.schema.catalogString} does not match the " +
         s"table's logged schema ${tableSchema.catalogString} — a Delta " +
         "append never evolves the schema implicitly")
+    val cmCtx = mappingCtx(spark, meta, tableSchema)
     enforceCheckConstraints(meta, df, "APPEND")
     enforceWriterObligations(meta, "APPEND", removesData = false, Some(df))
     val before = dataFilesRelative(dir).toSet
-    df.write.partitionBy(pcols: _*).mode("append").parquet(dir)
+    // under mapping the Hive directories (and therefore the adds'
+    // partitionValues keys) carry PHYSICAL names — the protocol rule
+    // the pruned reader translates back through logicalPvals
+    toPhysicalFrame(df, tableSchema.fields.toSeq, cmCtx.mode)
+      .write.partitionBy(pcols.map(cmCtx.phys): _*)
+      .mode("append").parquet(dir)
     val fresh = dataFilesRelative(dir).filterNot(before)
     require(fresh.nonEmpty, "append produced no data files")
     writeCommit(dir, v,
@@ -644,7 +653,6 @@ object DeltaExport {
     // refuse loudly instead (schema evolution is a deliberate metaData
     // commit, not an accidental append)
     val appendMeta = snapshotState(spark, dir, None).meta
-    requireNoColumnMapping(appendMeta, "APPEND")
     require(partitionColumnsOf(appendMeta).isEmpty,
       "table is partitioned — use appendDeltaTablePartitioned (a flat " +
         "append would write files the partition-aware reader cannot place)")
@@ -655,11 +663,16 @@ object DeltaExport {
       s"append schema ${df.schema.catalogString} does not match the " +
         s"table's logged schema ${tableSchema.catalogString} — a Delta " +
         "append never evolves the schema implicitly")
+    // mapped tables append natively: the batch lands under PHYSICAL
+    // column names + field ids (the ctx construction also vets the
+    // mapping — nested mapping and id-less id-mode fields refuse)
+    val cmCtx = mappingCtx(spark, appendMeta, tableSchema)
     enforceCheckConstraints(appendMeta, df, "APPEND")
     enforceWriterObligations(appendMeta, "APPEND", removesData = false,
       Some(df))
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
-    df.write.mode("append").parquet(dir)
+    toPhysicalFrame(df, tableSchema.fields.toSeq, cmCtx.mode)
+      .write.mode("append").parquet(dir)
     val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
     require(fresh.nonEmpty, "append produced no data files")
     val now = System.currentTimeMillis()
@@ -675,7 +688,6 @@ object DeltaExport {
   def overwriteDeltaTable(spark: SparkSession, df: DataFrame, dir: String): Long = {
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
-    requireNoColumnMapping(snap.meta, "OVERWRITE")
     require(partitionColumnsOf(snap.meta).isEmpty,
       "table is partitioned — a flat overwrite would drop the partition " +
         "layout the reader re-attaches columns from; re-create the table " +
@@ -684,11 +696,6 @@ object DeltaExport {
     enforceWriterObligations(snap.meta, "OVERWRITE", removesData = true,
       Some(df))
     val live = snap.live.toSet
-    val before = dataFiles(dir).map(_.getFileName.toString).toSet
-    df.write.mode("append").parquet(dir)
-    val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
-    require(fresh.nonEmpty, "overwrite produced no data files")
-    val now = System.currentTimeMillis()
     // an overwrite MAY change the schema — but then the commit must
     // carry a superseding metaData action (same table id, new
     // schemaString), or readers keep scanning the new files with the
@@ -696,8 +703,20 @@ object DeltaExport {
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val sameSchema = schemaFits(df.schema, tableSchema)
+    // a schema-KEEPING overwrite of a mapped table writes physically,
+    // like the appends; a schema-CHANGING one would allocate new
+    // physical names / field ids — still refused by name
+    if (!sameSchema) requireNoColumnMapping(snap.meta, "schema-changing OVERWRITE")
+    val cmCtx = mappingCtx(spark, snap.meta, tableSchema)
+    val before = dataFiles(dir).map(_.getFileName.toString).toSet
+    (if (sameSchema) toPhysicalFrame(df, tableSchema.fields.toSeq, cmCtx.mode)
+     else df).write.mode("append").parquet(dir)
+    val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
+    require(fresh.nonEmpty, "overwrite produced no data files")
+    val now = System.currentTimeMillis()
     val metaActions =
-      if (schemaFits(df.schema, tableSchema)) Seq.empty[String]
+      if (sameSchema) Seq.empty[String]
       else {
         val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
         val id = idRe.findFirstMatchIn(snap.meta)
@@ -799,6 +818,167 @@ object DeltaExport {
       .select(cols.map(c => col(s"__r.$c").as(c)) :+ col("_change_type"): _*)
   }
 
+  // ---- CHANGE DATA FEED (writer feature `changeDataFeed`) ----
+
+  /** Whether the table binds the CDF writer obligation. */
+  private def cdfEnabled(meta: String): Boolean =
+    configurationOf(meta).get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** CDF parquet files under `_change_data`, table-relative. */
+  private def cdcFilesRelative(dir: String): Set[String] = {
+    val root = Paths.get(dir, "_change_data")
+    if (!Files.isDirectory(root)) return Set.empty
+    val walk = Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.flatMap { p =>
+        val name = p.getFileName.toString
+        if (name.endsWith(".parquet") && Files.isRegularFile(p) &&
+            !name.startsWith("."))
+          Some("_change_data/" +
+            root.relativize(p).toString)
+        else None
+      }.toSet
+    } finally walk.close()
+  }
+
+  /** Write `changes` — the table's LOGICAL columns plus `_change_type`
+    * — as protocol `_change_data` parquet and return the commit's
+    * `cdc` action lines (dataChange=false, per the protocol). The DML
+    * triad calls this when `delta.enableChangeDataFeed=true`, turning
+    * the old obligation refusal into the feature. Partitioned tables
+    * land their change files in Hive directories under `_change_data`
+    * (physical column names under mapping, like every write) and the
+    * cdc actions carry the same physical-keyed partitionValues their
+    * adds would. Cost is O(changed rows) — the change set is already
+    * materialized by the DML's own plan. */
+  private def writeCdcFiles(spark: SparkSession, dir: String,
+      meta: String, changes: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val pcols = partitionColumnsOf(meta)
+    val ctx = mappingCtx(spark, meta, schema)
+    val cdcRoot = s"$dir/_change_data"
+    val before = cdcFilesRelative(dir)
+    // _change_type rides along as an unmapped literal column — the
+    // protocol stores it IN the change files
+    val phys = toPhysicalFrame(
+      changes.select((schema.fieldNames.toSeq :+ "_change_type")
+        .map(col): _*),
+      schema.fields.toSeq :+ org.apache.spark.sql.types.StructField(
+        "_change_type", org.apache.spark.sql.types.StringType),
+      ctx.mode)
+    if (pcols.isEmpty) phys.write.mode("append").parquet(cdcRoot)
+    else phys.write.partitionBy(pcols.map(ctx.phys): _*)
+      .mode("append").parquet(cdcRoot)
+    val fresh = (cdcFilesRelative(dir) -- before).toSeq.sorted
+    fresh.map { rel =>
+      val pv = hivePartitionValues(rel).toSeq.sortBy(_._1)
+        .map { case (k, value) =>
+          s""""${esc(k)}":${Option(value).map(x => s""""${esc(x)}"""")
+              .getOrElse("null")}"""
+        }.mkString(",")
+      s"""{"cdc":{"path":"${esc(rel)}","partitionValues":{$pv},"size":${Files
+          .size(Paths.get(dir, rel))},"dataChange":false}}"""
+    }
+  }
+
+  /** CHANGE DATA FEED read — the consumer side of the protocol's cdc
+    * actions: row-level changes of commits `fromVersion` (exclusive)
+    * through `toVersion` (inclusive; latest when None), each row
+    * tagged `_change_type` and `_commit_version`. A commit CARRYING
+    * cdc actions delivers exactly its `_change_data` files (the DML
+    * triad's output — per the protocol, readers must prefer them over
+    * re-deriving from data files); an append-shaped commit (no
+    * dataChange removes) synthesizes `insert` rows from its
+    * dataChange adds; a data-removing commit WITHOUT cdc actions
+    * (pre-CDF history, or a foreign writer that broke the obligation)
+    * is refused by name — silently re-deriving would repeat exactly
+    * the mis-derivation the obligation exists to prevent. Cost:
+    * O(commits in range) log metadata + a scan of exactly the change
+    * and fresh files. */
+  def readDeltaCdf(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val versions = logVersions(dir)
+    val until = toVersion.getOrElse(
+      (lastCheckpoint(dir).map(_.version).toSeq ++ versions).max)
+    require(until > fromVersion,
+      s"toVersion $until does not follow fromVersion $fromVersion")
+    val range = versions.filter(v => v > fromVersion && v <= until)
+    val missing = ((fromVersion + 1) to until).filterNot(range.contains)
+    require(missing.isEmpty,
+      s"commit(s) ${missing.mkString(",")} in the requested range have " +
+        "been expired — their change data is no longer attributable")
+    val st = snapshotState(spark, dir, Some(until))
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(st.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val pcols = partitionColumnsOf(st.meta)
+    val ctx = mappingCtx(spark, st.meta, schema)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(f => pcols.contains(f.name)))
+    val ctCol = org.apache.spark.sql.types.StructField(
+      "_change_type", org.apache.spark.sql.types.StringType)
+    val dcRe = """"dataChange":(true|false)""".r
+    val outCols = schema.fieldNames.toSeq ++
+      Seq("_change_type", "_commit_version")
+    val perCommit = range.map { v =>
+      val lines = new String(
+        Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(v))),
+        StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+      def dataChange(l: String) =
+        dcRe.findFirstMatchIn(l).forall(_.group(1) == "true")
+      val cdcLines = lines.filter(_.startsWith("""{"cdc""""))
+      if (cdcLines.nonEmpty) {
+        // the protocol's exclusive rule: cdc actions ARE this commit's
+        // change set; its adds/removes describe storage, not changes
+        val groups = cdcLines.map { l =>
+          (pathOf(l, "cdc"), logicalPvals(partitionValuesOf(l), ctx.phys))
+        }.groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
+          .sortBy(_._1.toSeq.sortBy(_._1).mkString("/"))
+        val rs = org.apache.spark.sql.types.StructType(
+          ctx.physSchema(dataSchema).fields :+ ctCol)
+        groups.map { case (pv, files) =>
+          val base = ctx.toLogical(
+            ctx.session.read.schema(rs)
+              .parquet(files.sorted.map(f => s"$dir/$f"): _*),
+            dataSchema, Seq("_change_type"))
+          pcols.foldLeft(base) { case (d, c) =>
+            d.withColumn(c, lit(pv.getOrElse(c, null))
+              .cast(schema(c).dataType))
+          }
+        }.reduce(_.unionByName(_))
+          .withColumn("_commit_version", lit(v))
+          .select(outCols.map(col): _*)
+      } else {
+        val isChangeCommit = lines.exists(l =>
+          l.startsWith("""{"remove"""") && dataChange(l))
+        if (isChangeCommit) throw new IllegalStateException(
+          s"commit v$v changes existing data but carries no cdc " +
+            "actions — its writer predates the CHANGE DATA FEED " +
+            "obligation (or broke it); the row-level changes are not " +
+            "attributable. Use tableChanges (CDC derivation) instead")
+        val newFiles = lines.collect {
+          case l if l.startsWith("""{"add"""") && dataChange(l) =>
+            pathOf(l, "add")
+        }
+        if (newFiles.isEmpty) null
+        else scanFiles(spark, dir, st.meta, newFiles, Some(until),
+            st.pvals.toMap)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v))
+          .select(outCols.map(col): _*)
+      }
+    }.filter(_ != null)
+    require(perCommit.nonEmpty,
+      s"no change in commits (${fromVersion}, ${until}]")
+    perCommit.reduce(_.unionByName(_))
+  }
+
   /** Highest committed writer-transaction version for `appId` — the
     * protocol's `txn` watermark, replayed from the log (and restored
     * through checkpoints). None when the app never committed. */
@@ -839,15 +1019,17 @@ object DeltaExport {
     require(schemaFits(df.schema, tableSchema),
       s"append schema ${df.schema.catalogString} does not match the " +
         s"table's logged schema ${tableSchema.catalogString}")
-    requireNoColumnMapping(snap.meta, "APPEND")
+    val cmCtx = mappingCtx(spark, snap.meta, tableSchema)
     enforceCheckConstraints(snap.meta, df, "APPEND")
     enforceWriterObligations(snap.meta, "APPEND", removesData = false,
       Some(df))
     // partitioned tables take the Hive-layout write and relative-path
     // adds; flat tables the top-level form — the txn line is the same
     val before = dataFilesRelative(dir).toSet
-    if (pcols.isEmpty) df.write.mode("append").parquet(dir)
-    else df.write.partitionBy(pcols: _*).mode("append").parquet(dir)
+    val physDf = toPhysicalFrame(df, tableSchema.fields.toSeq, cmCtx.mode)
+    if (pcols.isEmpty) physDf.write.mode("append").parquet(dir)
+    else physDf.write.partitionBy(pcols.map(cmCtx.phys): _*)
+      .mode("append").parquet(dir)
     val fresh = dataFilesRelative(dir).filterNot(before)
     require(fresh.nonEmpty, "append produced no data files")
     val now = System.currentTimeMillis()
@@ -1014,11 +1196,11 @@ object DeltaExport {
     require(keyCols.nonEmpty, "keyCols is empty")
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
-    requireNoColumnMapping(snap.meta, "MERGE")
     val pcols = partitionColumnsOf(snap.meta)
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cmCtx = mappingCtx(spark, snap.meta, tableSchema)
     val dataBatch = deleteCol.fold(batch)(c => batch.drop(c))
     require(schemaFits(dataBatch.schema, tableSchema),
       s"batch schema ${dataBatch.schema.catalogString} does not match " +
@@ -1063,33 +1245,70 @@ object DeltaExport {
     // match (and inserts nothing on a non-match); everything else keeps
     // the batch row when present (update/insert), else the target row
     // (unmatched row of a touched file, rewritten unchanged)
-    val merged = tKeyed.join(bKeyed, keyCols, "full_outer")
+    val joined = tKeyed.join(bKeyed, keyCols, "full_outer")
+    val merged = joined
       .filter(!coalesce(col("__del"), lit(false)))
       .select(coalesce(col("__b"), col("__t")).as("__r"))
       .select(cols.map(c => col(s"__r.$c").as(c)): _*)
     enforceCheckConstraints(snap.meta, merged, "MERGE")
     // a pure-insert merge (no file touched) is append-shaped and stays
-    // legal on append-only / CDF tables; one that rewrites files is not
+    // legal on append-only tables; a CDF table takes ANY merge — the
+    // change set is emitted below
+    val cdf = cdfEnabled(snap.meta)
     enforceWriterObligations(snap.meta, "MERGE",
-      removesData = touched.nonEmpty, Some(merged))
+      removesData = touched.nonEmpty, Some(merged), emitsChangeData = cdf)
     val before = dataFilesRelative(dir).toSet
     val freshNeeded = merged.limit(1).collect().nonEmpty
     if (freshNeeded) {
       // partitioned rewrites land back in their Hive directories —
       // updates stay in place, inserts route by their own partition
-      // values (the appendDeltaTablePartitioned write shape)
-      if (pcols.isEmpty) merged.write.mode("append").parquet(dir)
-      else merged.write.partitionBy(pcols: _*).mode("append").parquet(dir)
+      // values (the appendDeltaTablePartitioned write shape); mapped
+      // tables land physically, like every other writer
+      val physMerged =
+        toPhysicalFrame(merged, tableSchema.fields.toSeq, cmCtx.mode)
+      if (pcols.isEmpty) physMerged.write.mode("append").parquet(dir)
+      else physMerged.write.partitionBy(pcols.map(cmCtx.phys): _*)
+        .mode("append").parquet(dir)
     }
     val fresh = dataFilesRelative(dir).filterNot(before)
     require(!freshNeeded || fresh.nonEmpty, "merge produced no data files")
+    // CDF: classify the merge's row fates exactly as the CDC deriver
+    // would — delete-flagged matches → delete, differing-image matches
+    // → update pre/post pairs (IDENTICAL carry-overs are non-changes),
+    // unmatched non-flagged batch rows → insert
+    val cdcActions =
+      if (!cdf) Seq.empty[String]
+      else {
+        val matchedBoth =
+          joined.filter(col("__t").isNotNull && col("__b").isNotNull)
+        val delRows = matchedBoth
+          .filter(coalesce(col("__del"), lit(false)))
+          .select(cols.map(c => col(s"__t.$c").as(c)): _*)
+          .withColumn("_change_type", lit("delete"))
+        val updPairs = matchedBoth
+          .filter(!coalesce(col("__del"), lit(false)) &&
+            !(col("__t") <=> col("__b")))
+        val pre = updPairs
+          .select(cols.map(c => col(s"__t.$c").as(c)): _*)
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = updPairs
+          .select(cols.map(c => col(s"__b.$c").as(c)): _*)
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = joined
+          .filter(col("__t").isNull && !coalesce(col("__del"), lit(false)))
+          .select(cols.map(c => col(s"__b.$c").as(c)): _*)
+          .withColumn("_change_type", lit("insert"))
+        writeCdcFiles(spark, dir, snap.meta,
+          delRows.unionByName(pre).unionByName(post).unionByName(ins))
+      }
     val now = System.currentTimeMillis()
     val removes = touched.sorted.map(p =>
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
     require(removes.nonEmpty || fresh.nonEmpty,
       "merge is a no-op — no matched files and no inserts")
     writeCommit(dir, v,
-      removes ++ addActionsRelative(spark, dir, fresh, now), "MERGE")
+      removes ++ addActionsRelative(spark, dir, fresh, now) ++ cdcActions,
+      "MERGE")
     v
   }
 
@@ -1116,33 +1335,35 @@ object DeltaExport {
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val ctx = mappingCtx(spark, snap.meta, tableSchema)
     val live = snap.live.toSeq
+    val tagCols = Seq("__file") ++ (if (withPos) Seq("__pos") else Nil)
     def tag(df: DataFrame): DataFrame = {
       val f = df.withColumn("__file", input_file_name())
       if (withPos) f.withColumn("__pos", col("_metadata.row_index")) else f
     }
     // a DV-carrying file scans ALONE, tagged first (so __file/__pos
     // survive the anti-join's projection), through the shared DV
-    // application primitive
-    def masked(schema: org.apache.spark.sql.types.StructType,
-        f: String): DataFrame = {
-      val outCols = schema.fieldNames.toSeq ++ Seq("__file") ++
-        (if (withPos) Seq("__pos") else Nil)
+    // application primitive. Scans request the PHYSICAL schema and
+    // rename to logical LAST — after tagging and masking, which both
+    // need the scan's own _metadata column
+    def masked(rs: org.apache.spark.sql.types.StructType,
+        f: String): DataFrame =
       dvAntiJoin(spark, dir,
-        tag(spark.read.schema(schema).parquet(s"$dir/$f")),
-        snap.dvs(f), outCols)
-    }
+        tag(ctx.session.read.schema(rs).parquet(s"$dir/$f")),
+        snap.dvs(f), rs.fieldNames.toSeq ++ tagCols)
     def scanGroup(schema: org.apache.spark.sql.types.StructType,
         fs: Seq[String]): DataFrame = {
+      val rs = ctx.physSchema(schema)
       val (dvFs, plain) =
         if (applyDvs) fs.sorted.partition(snap.dvs.contains)
         else (Seq.empty[String], fs.sorted)
       val parts =
         (if (plain.nonEmpty)
-          Seq(tag(spark.read.schema(schema)
+          Seq(tag(ctx.session.read.schema(rs)
             .parquet(plain.map(f => s"$dir/$f"): _*)))
-        else Nil) ++ dvFs.map(masked(schema, _))
-      parts.reduce(_.unionByName(_))
+        else Nil) ++ dvFs.map(masked(rs, _))
+      ctx.toLogical(parts.reduce(_.unionByName(_)), schema, tagCols)
     }
     if (pcols.isEmpty) scanGroup(tableSchema, live)
     else {
@@ -1150,7 +1371,8 @@ object DeltaExport {
         tableSchema.fields.filterNot(f => pcols.contains(f.name)))
       live
         .groupBy { f =>
-          val pv = snap.pvals.getOrElse(f, hivePartitionValues(f))
+          val pv = logicalPvals(
+            snap.pvals.getOrElse(f, hivePartitionValues(f)), ctx.phys)
           pcols.map(c => pv.getOrElse(c, null))
         }
         .toSeq.sortBy(_._1.mkString("/"))
@@ -1179,14 +1401,17 @@ object DeltaExport {
     import org.apache.spark.sql.functions._
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
-    requireNoColumnMapping(snap.meta, "DELETE")
-    enforceWriterObligations(snap.meta, "DELETE", removesData = true, None)
+    val cdf = cdfEnabled(snap.meta)
+    enforceWriterObligations(snap.meta, "DELETE", removesData = true, None,
+      emitsChangeData = cdf)
     val pcols = partitionColumnsOf(snap.meta)
     val live = snap.live.toSeq
     require(live.nonEmpty, "no live files to delete from")
-    val cols = org.apache.spark.sql.types.DataType
+    val delSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
-      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cmCtx = mappingCtx(spark, snap.meta, delSchema)
+    val cols = delSchema.fieldNames.toSeq
     // DVs APPLIED: only LIVE rows can match (a predicate matching
     // nothing but already-masked rows is a refused no-op), and a
     // touched DV file's rewrite materializes its deletes
@@ -1210,16 +1435,30 @@ object DeltaExport {
     val before = dataFilesRelative(dir).toSet
     val freshNeeded = survivors.limit(1).collect().nonEmpty
     if (freshNeeded) {
-      if (pcols.isEmpty) survivors.write.mode("append").parquet(dir)
-      else survivors.write.partitionBy(pcols: _*).mode("append").parquet(dir)
+      val physSurv =
+        toPhysicalFrame(survivors, delSchema.fields.toSeq, cmCtx.mode)
+      if (pcols.isEmpty) physSurv.write.mode("append").parquet(dir)
+      else physSurv.write.partitionBy(pcols.map(cmCtx.phys): _*)
+        .mode("append").parquet(dir)
     }
     val fresh = dataFilesRelative(dir).filterNot(before)
     require(!freshNeeded || fresh.nonEmpty, "delete produced no data files")
+    // CDF obligation honored: the deleted rows (exactly the matches in
+    // touched files, NULL-predicate rows excluded) land in
+    // _change_data and the commit carries their cdc actions
+    val cdcActions =
+      if (!cdf) Seq.empty[String]
+      else writeCdcFiles(spark, dir, snap.meta,
+        target.filter(col("__file").isin(touchedUris.toSeq: _*))
+          .filter(coalesce(predicate, lit(false)))
+          .select(cols.map(col): _*)
+          .withColumn("_change_type", lit("delete")))
     val now = System.currentTimeMillis()
     val removes = touched.sorted.map(p =>
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
     writeCommit(dir, v,
-      removes ++ addActionsRelative(spark, dir, fresh, now), "DELETE")
+      removes ++ addActionsRelative(spark, dir, fresh, now) ++ cdcActions,
+      "DELETE")
     v
   }
 
@@ -1364,10 +1603,12 @@ object DeltaExport {
     *    files, restores); dataChange=false maintenance (OPTIMIZE,
     *    PURGE, CHECKPOINT) and plain appends stay allowed.
     *  - `delta.enableChangeDataFeed=true` obliges a writer committing
-    *    a partial-file rewrite to emit `_change_data` files; graft
-    *    does not, so any remove-committing write on a CDF table is
-    *    refused (appends are exempt — CDF readers synthesize inserts
-    *    from dataChange=true adds alone).
+    *    a partial-file rewrite to emit `_change_data` files; the DML
+    *    triad (DELETE COW+DV, DV UPDATE, MERGE) DOES since r18 and
+    *    passes `emitsChangeData=true`; writers that still cannot
+    *    (OVERWRITE, RESTORE) are refused by name (appends are exempt —
+    *    CDF readers synthesize inserts from dataChange=true adds
+    *    alone).
     *  - GENERATED / IDENTITY columns (schema metadata
     *    delta.generationExpression / delta.identity.*) oblige the
     *    writer to compute column values; graft does not, so
@@ -1379,7 +1620,8 @@ object DeltaExport {
     * `removesData` = the operation commits dataChange=true removes or
     * deletion vectors; `batch` = the rows the operation adds, if any. */
   private def enforceWriterObligations(meta: String, op: String,
-      removesData: Boolean, batch: Option[DataFrame]): Unit = {
+      removesData: Boolean, batch: Option[DataFrame],
+      emitsChangeData: Boolean = false): Unit = {
     val conf = configurationOf(meta)
     // Delta parses boolean properties case-insensitively
     // (Boolean.parseBoolean) — "True"/"TRUE" bind the same obligation
@@ -1391,12 +1633,15 @@ object DeltaExport {
           "refused — the property forbids dataChange=true remove " +
           "actions; dataChange=false maintenance (OPTIMIZE / PURGE / " +
           "CHECKPOINT) and appends remain allowed")
-    if (removesData && boolProp("delta.enableChangeDataFeed"))
+    if (removesData && !emitsChangeData &&
+        boolProp("delta.enableChangeDataFeed"))
       throw new IllegalArgumentException(
         s"$op on a CHANGE DATA FEED table (delta.enableChangeDataFeed" +
           "=true) is not supported — this writer emits no _change_data " +
           "files, so a CDF consumer would mis-derive the row-level " +
-          "changes of a partial-file rewrite; appends are still fine")
+          "changes of a partial-file rewrite; appends and the DML " +
+          "triad (DELETE / UPDATE / MERGE, which DO emit change data) " +
+          "are fine")
     // the raw-string probe dodges a second schemaString JSON parse on
     // the hot append path when no column-level obligation exists
     val anyColumnObligation =
@@ -1504,7 +1749,9 @@ object DeltaExport {
       s"constraint name must be alphanumeric/underscore: '$name'")
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
-    requireNoColumnMapping(snap.meta, "ADD CONSTRAINT")
+    // constraints are pure configuration surgery expressed over
+    // LOGICAL names — mapped tables take them natively (the standing
+    // scan and every writer's enforcement both run on logical frames)
     val existing = checkConstraintsOf(snap.meta)
     require(!existing.contains(name),
       s"constraint '$name' already exists: ${existing(name)}")
@@ -1594,9 +1841,13 @@ object DeltaExport {
     import org.apache.spark.sql.functions._
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
-    requireNoColumnMapping(snap.meta, "DELETE (deletion vectors)")
+    // mapped tables DV-delete natively: the scan resolves physical
+    // columns, and the re-issued adds carry partitionValues/stats
+    // VERBATIM from the snapshot (already physical-keyed) — no
+    // display-named byte is written
+    val cdf = cdfEnabled(snap.meta)
     enforceWriterObligations(snap.meta, "DELETE (deletion vectors)",
-      removesData = true, None)
+      removesData = true, None, emitsChangeData = cdf)
     val live = snap.live.toSeq
     require(live.nonEmpty, "no live files to delete from")
     val target = liveTargetWithFile(spark, dir, snap, withPos = true)
@@ -1633,12 +1884,36 @@ object DeltaExport {
     require(freshByRel.nonEmpty,
       "DELETE matched only rows a deletion vector already deleted — " +
         "refusing a no-op commit")
+    // CDF: the freshly-masked rows (never already-masked ones — they
+    // were deleted in an earlier commit's feed) are this commit's
+    // change set
+    val cdcActions =
+      if (!cdf) Seq.empty[String]
+      else {
+        import spark.implicits._
+        val schemaCols = org.apache.spark.sql.types.DataType
+          .fromJson(schemaStringOf(snap.meta))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.toSeq
+        val freshKeys = matched
+          .filter { r =>
+            !priorByRel.getOrElse(uriToRelD(r.getString(0)), Set.empty)
+              .contains(r.getLong(1))
+          }
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+          .toDF("__file", "__pos")
+        writeCdcFiles(spark, dir, snap.meta,
+          target.join(freshKeys, Seq("__file", "__pos"), "left_semi")
+            .select(schemaCols.map(col): _*)
+            .withColumn("_change_type", lit("delete")))
+      }
     val now = System.currentTimeMillis()
     val actions = freshByRel.toSeq.sortBy(_._1).flatMap { case (rel, pos) =>
       val prior = priorByRel.getOrElse(rel, Set.empty).toSeq
       dvRewriteActions(dir, snap, rel, (prior ++ pos).distinct.sorted, now)
     }
-    writeCommit(dir, v, dvUpgradedProtocol(snap).toSeq ++ actions, "DELETE")
+    writeCommit(dir, v,
+      dvUpgradedProtocol(snap).toSeq ++ actions ++ cdcActions, "DELETE")
     v
   }
 
@@ -1667,16 +1942,18 @@ object DeltaExport {
     require(set.nonEmpty, "no SET expressions — nothing to update")
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
-    requireNoColumnMapping(snap.meta, "UPDATE (deletion vectors)")
     // property refusals (append-only, CDF) need no batch — fire BEFORE
     // the live-table scan and driver-side position collect, like the
     // DELETE twins; the batch-level obligations run later on `updated`
+    val cdf = cdfEnabled(snap.meta)
     enforceWriterObligations(snap.meta, "UPDATE (deletion vectors)",
-      removesData = true, None)
+      removesData = true, None, emitsChangeData = cdf)
     val pcols = partitionColumnsOf(snap.meta)
-    val cols = org.apache.spark.sql.types.DataType
+    val updSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
-      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cmCtx = mappingCtx(spark, snap.meta, updSchema)
+    val cols = updSchema.fieldNames.toSeq
     val badSet = set.keys.filterNot(cols.contains)
     require(badSet.isEmpty,
       s"SET column(s) ${badSet.mkString(", ")} are not table columns")
@@ -1728,10 +2005,22 @@ object DeltaExport {
     enforceWriterObligations(snap.meta, "UPDATE (deletion vectors)",
       removesData = false, Some(updated))
     val before = dataFilesRelative(dir).toSet
-    if (pcols.isEmpty) updated.write.mode("append").parquet(dir)
-    else updated.write.partitionBy(pcols: _*).mode("append").parquet(dir)
+    val physUpd = toPhysicalFrame(updated, updSchema.fields.toSeq, cmCtx.mode)
+    if (pcols.isEmpty) physUpd.write.mode("append").parquet(dir)
+    else physUpd.write.partitionBy(pcols.map(cmCtx.phys): _*)
+      .mode("append").parquet(dir)
     val fresh = dataFilesRelative(dir).filterNot(before)
     require(fresh.nonEmpty, "update produced no data files")
+    // CDF: the OLD images of the freshly-matched rows pair with their
+    // NEW images — exactly the update_preimage/update_postimage feed
+    val cdcActions =
+      if (!cdf) Seq.empty[String]
+      else writeCdcFiles(spark, dir, snap.meta,
+        target.join(freshKeys, Seq("__file", "__pos"), "left_semi")
+          .select(cols.map(col): _*)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updated
+            .withColumn("_change_type", lit("update_postimage"))))
     val now = System.currentTimeMillis()
     val byRel = freshMatches
       .groupBy(r => uriToRel(r.getString(0)))
@@ -1743,7 +2032,8 @@ object DeltaExport {
     }
     writeCommit(dir, v,
       dvUpgradedProtocol(snap).toSeq ++
-        (dvActions ++ addActionsRelative(spark, dir, fresh, now)),
+        (dvActions ++ addActionsRelative(spark, dir, fresh, now)) ++
+        cdcActions,
       "UPDATE")
     v
   }
@@ -1774,13 +2064,13 @@ object DeltaExport {
     import spark.implicits._
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
-    requireNoColumnMapping(snap.meta, "PURGE (deletion vectors)")
     require(snap.dvs.nonEmpty,
       "no live file carries a deletion vector — nothing to purge")
     val pcols = partitionColumnsOf(snap.meta)
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cmCtx = mappingCtx(spark, snap.meta, schema)
     val dataSchema = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(f => pcols.contains(f.name)))
     val purged = snap.dvs.keys.toSeq.sorted
@@ -1792,9 +2082,16 @@ object DeltaExport {
     // on logged pvals, silently nulling its partition columns
     var seen = dataFilesRelative(dir).toSet
     val perRelFresh = purged.map { rel =>
-      val survivors = dvAntiJoin(spark, dir,
-        spark.read.schema(dataSchema).parquet(s"$dir/$rel"),
-        snap.dvs(rel), dataSchema.fieldNames.toSeq)
+      // mapped tables scan physically, anti-join on the row index,
+      // round-trip to logical, and land back physically (names + ids)
+      val rs = cmCtx.physSchema(dataSchema)
+      val survivors = toPhysicalFrame(
+        cmCtx.toLogical(
+          dvAntiJoin(spark, dir,
+            cmCtx.session.read.schema(rs).parquet(s"$dir/$rel"),
+            snap.dvs(rel), rs.fieldNames.toSeq),
+          dataSchema),
+        dataSchema.fields.toSeq, cmCtx.mode)
       // fully-masked file → nothing survives → no empty rewrite
       if (survivors.limit(1).collect().nonEmpty) {
         val target = rel.lastIndexOf('/') match {
@@ -1897,7 +2194,10 @@ object DeltaExport {
         "compaction would destroy the layout")
     val live = snap.live.toSeq
     require(live.nonEmpty, "nothing to optimize — no live files")
-    requireNoColumnMapping(snap.meta, "OPTIMIZE")
+    val optSchema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(snap.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cmCtx = mappingCtx(spark, snap.meta, optSchema)
     // DV-aware (real Delta's OPTIMIZE): the compaction scan APPLIES
     // each file's deletion vector, so the rewrite materializes the
     // deletes and the re-adds carry no vectors — compaction doubles as
@@ -1911,7 +2211,8 @@ object DeltaExport {
         .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
         .drop("__z")
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
-    shaped.write.mode("append").parquet(dir)
+    toPhysicalFrame(shaped, optSchema.fields.toSeq, cmCtx.mode)
+      .write.mode("append").parquet(dir)
     val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
     require(fresh.nonEmpty, "optimize produced no data files")
     val now = System.currentTimeMillis()
@@ -1953,14 +2254,17 @@ object DeltaExport {
     require(badZ.isEmpty,
       s"zorderBy column(s) ${badZ.mkString(", ")} are partition columns — " +
         "constant within every output file, they cannot cluster anything")
-    requireNoColumnMapping(snap.meta, "OPTIMIZE")
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cmCtx = mappingCtx(spark, snap.meta, schema)
     val dataSchema = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(f => pcols.contains(f.name)))
+    // `where` keys are LOGICAL partition columns; the logged pvals of a
+    // mapped table are physical-keyed — translate before matching
     val groups = snap.live.toSeq
-      .groupBy(f => snap.pvals.getOrElse(f, hivePartitionValues(f)))
+      .groupBy(f => logicalPvals(
+        snap.pvals.getOrElse(f, hivePartitionValues(f)), cmCtx.phys))
       .filter { case (pv, fs) =>
         fs.size > targetFilesPerPartition &&
           where.forall { case (k, x) => pv.get(k).contains(x) }
@@ -1971,27 +2275,30 @@ object DeltaExport {
     groups.toSeq.sortBy(_._2.head).foreach { case (pv, fs) =>
       // escape exactly as Spark's partitionBy would have — pv holds TRUE
       // values (hivePartitionValues unescapes), so writing them raw would
-      // land rewrites in a DIFFERENT directory than the original files
+      // land rewrites in a DIFFERENT directory than the original files.
+      // Directory SEGMENTS carry physical column names (what partitionBy
+      // wrote for the standing files of a mapped table).
       val partDir = pcols.map { c =>
         val value = Option(pv.getOrElse(c, null)).map(escapePathName)
           .getOrElse("__HIVE_DEFAULT_PARTITION__")
-        s"${escapePathName(c)}=$value"
+        s"${escapePathName(cmCtx.phys(c))}=$value"
       }.mkString("/")
       // DV-aware within the partition (the flat form's rule): plain
       // files scan in bulk, DV-carrying files scan alone minus their
       // masked rows — the rewrite materializes the deletes. Partitions
       // at/below the file target are untouched and KEEP their vectors
       // (purgeDeletionVectors is the targeted move for those).
+      val rs = cmCtx.physSchema(dataSchema)
       val (dvFs, plainFs) = fs.sorted.partition(snap.dvs.contains)
       val parts =
         (if (plainFs.nonEmpty)
-          Seq(spark.read.schema(dataSchema)
+          Seq(cmCtx.session.read.schema(rs)
             .parquet(plainFs.map(f => s"$dir/$f"): _*))
         else Nil) ++
         dvFs.map(f => dvAntiJoin(spark, dir,
-          spark.read.schema(dataSchema).parquet(s"$dir/$f"),
-          snap.dvs(f), dataSchema.fieldNames.toSeq))
-      val df = parts.reduce(_.unionByName(_))
+          cmCtx.session.read.schema(rs).parquet(s"$dir/$f"),
+          snap.dvs(f), rs.fieldNames.toSeq))
+      val df = cmCtx.toLogical(parts.reduce(_.unionByName(_)), dataSchema)
       val shaped =
         if (zorderBy.isEmpty) df.repartition(targetFilesPerPartition)
         else Zorder.withKey(df, zorderBy)
@@ -1999,7 +2306,8 @@ object DeltaExport {
             org.apache.spark.sql.functions.col("__z"))
           .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
           .drop("__z")
-      shaped.write.mode("append").parquet(s"$dir/$partDir")
+      toPhysicalFrame(shaped, dataSchema.fields.toSeq, cmCtx.mode)
+        .write.mode("append").parquet(s"$dir/$partDir")
     }
     val fresh = dataFilesRelative(dir).filterNot(before)
     require(fresh.nonEmpty, "optimize produced no data files")
@@ -2436,15 +2744,102 @@ object DeltaExport {
     if (inv.isEmpty) pv else pv.map { case (k, v) => inv.getOrElse(k, k) -> v }
   }
 
-  /** Refuse a WRITE against a column-mapped table: every graft writer
-    * emits display-named parquet and display-keyed partitionValues,
-    * which under mapping would interleave unreadable files into the
-    * table. Reads map physical names in full ('name' mode). */
+  /** Refuse an operation this layer still cannot express on a
+    * column-mapped table (schema evolution — new columns need
+    * physicalName/id ALLOCATION against maxColumnId, a writer contract
+    * graft does not implement). Data writers no longer come here:
+    * appends, overwrites, DML, OPTIMIZE, PURGE and CHECKPOINT write
+    * PHYSICAL column names (+ parquet field ids) via
+    * [[toPhysicalFrame]]. */
   private def requireNoColumnMapping(meta: String, op: String): Unit = {
     val m = columnMappingMode(meta)
     require(m == "none",
       s"$op on a COLUMN-MAPPED table (mode '$m') is not supported — " +
-        "graft writers emit display-named files; reads map physical names")
+        "it would allocate new physical names / field ids, a schema-" +
+        "evolution contract this writer does not implement")
+  }
+
+  /** The per-table mapping context every mapped scan and write shares:
+    * mode, logical->physical names, logical->field ids, and the
+    * session to scan with (id mode resolves columns by parquet FOOTER
+    * id, enabled on a CHILD session so the caller's conf is never
+    * mutated — scan-time conf resolves from the relation's session). */
+  private final case class MappingCtx(mode: String,
+      phys: Map[String, String], fids: Map[String, Long],
+      session: SparkSession) {
+    /** The schema to REQUEST from parquet: physical names in name
+      * mode; logical names stamped with parquet.field.id in id mode
+      * (Spark's field-id reader then matches footer ids, names
+      * irrelevant); identity when unmapped. */
+    def physSchema(s: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType = mode match {
+      case "name" => org.apache.spark.sql.types.StructType(
+        s.fields.map(f => f.copy(name = phys(f.name))))
+      case "id" => org.apache.spark.sql.types.StructType(
+        s.fields.map(f => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("parquet.field.id", fids(f.name)).build())))
+      case _ => s
+    }
+    /** Rename a physically-scanned frame back to logical names,
+      * carrying `extras` (scan tags like __file/__pos) through. Only
+      * name mode renames — id mode already scanned under logical
+      * names. */
+    def toLogical(df: DataFrame,
+        s: org.apache.spark.sql.types.StructType,
+        extras: Seq[String] = Nil): DataFrame =
+      if (mode != "name") df
+      else {
+        import org.apache.spark.sql.functions.col
+        df.select((s.fieldNames.map(n => col(phys(n)).as(n)) ++
+          extras.map(col)).toIndexedSeq: _*)
+      }
+  }
+
+  private def mappingCtx(spark: SparkSession, meta: String,
+      schema: org.apache.spark.sql.types.StructType): MappingCtx = {
+    val mode = columnMappingMode(meta)
+    require(mode == "none" || mode == "name" || mode == "id",
+      s"unsupported COLUMN MAPPING mode '$mode' — only 'name' and " +
+        "'id' (and none) are implemented")
+    val session =
+      if (mode != "id") spark
+      else {
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        s2
+      }
+    MappingCtx(mode, physicalNames(schema, mode),
+      fieldIds(schema, mode), session)
+  }
+
+  /** The physical-layout twin of a logical frame — what a mapped
+    * table's WRITERS put on disk: every column renamed to its
+    * `delta.columnMapping.physicalName` and stamped with its
+    * `delta.columnMapping.id` as the parquet field id (Spark's parquet
+    * writer emits footer ids for schema fields carrying
+    * parquet.field.id — its write-side default), so name-mode readers
+    * resolve by physical name and id-mode readers by footer id, which
+    * is exactly what Databricks writes for mapped tables. `fields`
+    * must be (a subset of) the LOGGED schema's fields in df column
+    * order — their metadata carries the mapping. Identity when the
+    * table is unmapped. */
+  private def toPhysicalFrame(df: DataFrame,
+      fields: Seq[org.apache.spark.sql.types.StructField],
+      mode: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (mode == "none") return df
+    val key = "delta.columnMapping.physicalName"
+    df.select(fields.map { f =>
+      val p = if (f.metadata.contains(key)) f.metadata.getString(key)
+              else f.name
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+      if (f.metadata.contains("delta.columnMapping.id"))
+        md.putLong("parquet.field.id",
+          f.metadata.getLong("delta.columnMapping.id"))
+      col(f.name).as(p, md.build())
+    }.toIndexedSeq: _*)
   }
 
   /** Read a Delta table THROUGH ITS LOG — the consumer side of the
@@ -2522,33 +2917,14 @@ object DeltaExport {
     // reader builds these relations — scan-time conf resolves from the
     // relation's session, so the caller's session conf is never
     // mutated behind its back.
-    val cmMode = columnMappingMode(meta)
-    require(cmMode == "none" || cmMode == "name" || cmMode == "id",
-      s"unsupported COLUMN MAPPING mode '$cmMode' — only 'name' and " +
-        "'id' (and none) are implemented")
-    val phys = physicalNames(schema, cmMode)
-    val fids = fieldIds(schema, cmMode)
-    val scanSession =
-      if (cmMode != "id") spark
-      else {
-        val s2 = spark.newSession()
-        s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        s2
-      }
-    def physSchema(s: org.apache.spark.sql.types.StructType) = cmMode match {
-      case "name" => org.apache.spark.sql.types.StructType(
-        s.fields.map(f => f.copy(name = phys(f.name))))
-      case "id" => org.apache.spark.sql.types.StructType(
-        s.fields.map(f => f.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putLong("parquet.field.id", fids(f.name)).build())))
-      case _ => s
-    }
+    val ctx = mappingCtx(spark, meta, schema)
+    val phys = ctx.phys
+    val scanSession = ctx.session
+    def physSchema(s: org.apache.spark.sql.types.StructType) =
+      ctx.physSchema(s)
     def toLogical(df: DataFrame,
         s: org.apache.spark.sql.types.StructType): DataFrame =
-      if (cmMode != "name") df
-      else df.select(s.fieldNames.map(n => col(phys(n)).as(n)).toIndexedSeq: _*)
+      ctx.toLogical(df, s)
     // a file with a deletion vector scans ALONE with the parquet row
     // index attached, anti-joined against its DV's deleted positions —
     // per the protocol, the DV indexes rows by their position within
@@ -2868,7 +3244,9 @@ object DeltaExport {
     require(parts >= 1, "parts must be >= 1")
     val v = latestVersion(dir)
     val snap = snapshotState(spark, dir, None)
-    requireNoColumnMapping(snap.meta, "CHECKPOINT")
+    // mapped tables checkpoint natively — pure log surgery: the
+    // schemaString (mapping metadata included), configuration (mode),
+    // and physical-keyed partitionValues/stats all carry VERBATIM
     val (meta, files) = (snap.meta, snap.live.toSeq)
     val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
     val ctRe = """"createdTime":(\d+)""".r

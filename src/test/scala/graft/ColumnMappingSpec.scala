@@ -5,14 +5,17 @@ import org.apache.spark.sql.types._
 
 import graft.core.DeltaExport
 
-/** Column-mapping consumer tests (reader protocol v2 / table feature
+/** Column-mapping tests (reader protocol v2 / table feature
   * `columnMapping`): in 'name' mode parquet stores columns under
   * per-field physical names carried in the schemaString's metadata —
   * the reader scans physically and renames to logical; in 'id' mode
   * (the Databricks default for evolved tables) columns resolve by
   * parquet FIELD ID against delta.columnMapping.id. Fixtures are
-  * hand-built protocol-shaped logs, the DeletionVectorSpec posture —
-  * graft itself never writes mapped tables (writers refuse by name). */
+  * hand-built protocol-shaped logs, the DeletionVectorSpec posture.
+  * Since r18 the WRITERS work too: appends, overwrite, DML, OPTIMIZE,
+  * PURGE and CHECKPOINT land PHYSICAL column names + field ids
+  * (toPhysicalFrame); only schema evolution still refuses by name —
+  * it would allocate new physical names/ids. */
 class ColumnMappingSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -40,7 +43,7 @@ class ColumnMappingSpec extends SparkTestBase {
       (lines.mkString("\n") + "\n").getBytes("UTF-8"))
   }
 
-  test("name-mode flat table: physical parquet columns read back under logical names; writers refuse by name") {
+  test("name-mode flat table: physical parquet columns read back under logical names; native writers extend it physically") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_cm_flat").toString
     // the FILES carry physical names
@@ -60,21 +63,50 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(back.schema.fieldNames.toSeq === Seq("id", "s"))
     assert(back.orderBy("id").as[(Long, String)].collect().toSeq ===
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
-    // every writer refuses, naming the feature
-    for ((name, op) <- Seq[(String, () => Any)](
-        ("append", () => DeltaExport.appendDeltaTable(spark,
-          Seq((9L, "z")).toDF("id", "s"), dir)),
-        ("overwrite", () => DeltaExport.overwriteDeltaTable(spark,
-          Seq((9L, "z")).toDF("id", "s"), dir)),
-        ("merge", () => DeltaExport.mergeDeltaTable(spark,
-          Seq((1L, "x")).toDF("id", "s"), dir, Seq("id"))),
-        ("optimize", () => DeltaExport.optimizeDeltaTable(spark, dir)),
-        ("evolve", () => DeltaExport.evolveDeltaTableSchema(spark, dir,
-          schema.add(StructField("extra", LongType, nullable = true)))),
-        ("checkpoint", () => DeltaExport.checkpointDeltaTable(spark, dir)))) {
-      val e = intercept[Exception](op())
-      assert(e.getMessage.contains("COLUMN-MAPPED"), s"$name: ${e.getMessage}")
-    }
+    // APPEND lands physically: the fresh file's parquet columns carry
+    // the physicalNames, and the logical read unions old + new
+    val preAppend = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    DeltaExport.appendDeltaTable(spark, Seq((9L, "z")).toDF("id", "s"), dir)
+    val freshFile = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+      .filterNot(preAppend).head
+    assert(spark.read.parquet(s"$dir/$freshFile").schema.fieldNames.toSeq
+      === Seq("col-a1", "col-b2"))
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")))
+    // the append's add.stats are PHYSICAL-keyed: a band prune over the
+    // logical column still prunes the fresh file from the log alone
+    // (the stats-less FIXTURE add stays must-read — candidate 1)
+    val (_, cand, liveN) = DeltaExport.readDeltaTablePruned(
+      spark, dir, "id", 100.0, 200.0)
+    assert(liveN === 2 && cand === 1, s"cand=$cand live=$liveN")
+    // MERGE updates a row through the physical scan + physical rewrite
+    DeltaExport.mergeDeltaTable(spark,
+      Seq((1L, "x"), (20L, "w")).toDF("id", "s"), dir, Seq("id"))
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "x"), (2L, "b"), (3L, "c"), (9L, "z"), (20L, "w")))
+    // OPTIMIZE compacts to one physical-named file
+    DeltaExport.optimizeDeltaTable(spark, dir)
+    assert(DeltaExport.liveFilesAt(dir, None)._2.size === 1)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 5L)
+    // CHECKPOINT + log expiry preserve the mapping: the table still
+    // reads logically and a same-schema OVERWRITE still lands
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    DeltaExport.expireLogBefore(dir)
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .schema.fieldNames.toSeq === Seq("id", "s"))
+    DeltaExport.overwriteDeltaTable(spark,
+      Seq((7L, "q")).toDF("id", "s"), dir)
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .as[(Long, String)].collect().toSeq === Seq((7L, "q")))
+    // schema EVOLUTION still refuses by name — it would allocate new
+    // physical names / field ids
+    val e = intercept[Exception](DeltaExport.evolveDeltaTableSchema(spark,
+      dir, schema.add(StructField("extra", LongType, nullable = true))))
+    assert(e.getMessage.contains("COLUMN-MAPPED"), e.getMessage)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
@@ -169,7 +201,7 @@ class ColumnMappingSpec extends SparkTestBase {
     s"""{"metaData":{"id":"11111111-2222-3333-4444-555555555555","format":{"provider":"parquet","options":{}},"schemaString":"${escJson(
         sch.json)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"$mode"},"createdTime":1}}"""
 
-  test("id-mode flat table: columns resolve by parquet FIELD ID, not by any name; writers still refuse") {
+  test("id-mode flat table: columns resolve by parquet FIELD ID, not by any name; appends land with footer ids") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_cm_id").toString
     // the FILE's column names match NEITHER the logical names nor the
@@ -201,11 +233,19 @@ class ColumnMappingSpec extends SparkTestBase {
     // is never flipped behind its back
     assert(spark.conf.get("spark.sql.parquet.fieldId.read.enabled")
       === "false")
-    // writers refuse id-mode tables exactly like name-mode ones
-    val e = intercept[IllegalArgumentException](
-      DeltaExport.appendDeltaTable(spark,
-        Seq((9L, "z")).toDF("id", "s"), dir))
-    assert(e.getMessage.contains("COLUMN-MAPPED"), e.getMessage)
+    // APPEND lands a file whose parquet columns are the PHYSICAL
+    // names ("col-a1"/"col-b2") — matching NEITHER the fixture file's
+    // names nor the logical ones — so the union read returning every
+    // row non-null proves both files resolve by FOOTER FIELD ID
+    DeltaExport.appendDeltaTable(spark, Seq((9L, "z")).toDF("id", "s"), dir)
+    val allRows = DeltaExport.readDeltaTable(spark, dir)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(allRows === Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")))
+    // and the fresh add's stats (physical-keyed) still prune — only
+    // the stats-less fixture file stays must-read
+    val (_, cand, liveN) = DeltaExport.readDeltaTablePruned(
+      spark, dir, "id", 100.0, 200.0)
+    assert(liveN === 2 && cand === 1, s"cand=$cand live=$liveN")
     // a malformed id-mode table (field with no columnMapping.id) is
     // refused by name, not silently name-matched
     val noId = StructType(Seq(
@@ -313,6 +353,118 @@ class ColumnMappingSpec extends SparkTestBase {
       assert(nst.getMessage.contains("NESTED COLUMN MAPPING"),
         s"$mode: ${nst.getMessage}")
     }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("name-mode partitioned table: native append routes to the PHYSICAL Hive directory and the prune still holds") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_part_w").toString
+    Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "fr"))
+      .toDF("col-a1", "col-b2", "col-p9")
+      .repartition(1).write.partitionBy("col-p9")
+      .mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      physField("id", LongType, "col-a1", 1L),
+      physField("s", StringType, "col-b2", 2L),
+      physField("lang", StringType, "col-p9", 3L)))
+    val rels = {
+      val root = java.nio.file.Paths.get(dir)
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString).toSeq.sorted
+      } finally walk.close()
+    }
+    val adds = rels.map { rel =>
+      val pv = rel.split('/').head.split('=')(1)
+      s"""{"add":{"path":"$rel","partitionValues":{"col-p9":"$pv"},"size":${java.nio.file.Files
+          .size(java.nio.file.Paths.get(dir, rel))},"modificationTime":1,"dataChange":true}}"""
+    }
+    writeLog(dir, 0L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(schema, Seq("lang"))) ++ adds)
+    // the append lands under the PHYSICAL partition directory
+    DeltaExport.appendDeltaTablePartitioned(spark,
+      Seq((4L, "d", "fr")).toDF("id", "s", "lang"), dir)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "col-p9=fr")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "lang=fr")),
+      "append must never create a LOGICAL-named partition directory")
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.orderBy("id").as[(Long, String, String)].collect().toSeq ===
+      Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "fr"),
+        (4L, "d", "fr")))
+    // the LOGICAL prune sees both fr files (fixture + fresh)
+    val (pruned, cand, live) = DeltaExport.readDeltaTablePartitionPruned(
+      spark, dir, Map("lang" -> "fr"))
+    assert(cand === 2 && live === 3, s"cand=$cand live=$live")
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(3L, 4L))
+    // partitioned OPTIMIZE compacts WITHIN the physical directory
+    DeltaExport.optimizeDeltaTablePartitioned(spark, dir,
+      targetFilesPerPartition = 1, where = Map("lang" -> "fr"))
+    val (pruned2, cand2, _) = DeltaExport.readDeltaTablePartitionPruned(
+      spark, dir, Map("lang" -> "fr"))
+    assert(cand2 === 1, s"cand2=$cand2")
+    assert(pruned2.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(3L, 4L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("mapped-table DML: DV delete masks in place, DV update lands physical images, purge materializes") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_dml").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("col-a1", "col-b2")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      physField("id", LongType, "col-a1", 1L),
+      physField("s", StringType, "col-b2", 2L)))
+    val file = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    writeLog(dir, 0L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(schema, Nil),
+      s"""{"add":{"path":"$file","partitionValues":{},"size":${new java.io.File(dir, file).length},"modificationTime":1,"dataChange":true}}"""))
+    // DV DELETE over the LOGICAL predicate — no data file moves
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") === 2L)
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L, 4L))
+    // DV UPDATE: old copy masked, new image lands PHYSICAL-named
+    val pre = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    DeltaExport.updateDeltaTableDv(spark, dir, col("id") === 3L,
+      Map("s" -> lit("C")))
+    val freshImg = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+      .filterNot(pre).head
+    assert(spark.read.parquet(s"$dir/$freshImg").schema.fieldNames.toSeq
+      === Seq("col-a1", "col-b2"))
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (3L, "C"), (4L, "d")))
+    // PURGE rewrites the DV-carrying file without its masked rows;
+    // content unchanged, vectors gone
+    DeltaExport.purgeDeletionVectors(spark, dir)
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (3L, "C"), (4L, "d")))
+    // COW DELETE takes the same physical path
+    DeltaExport.deleteFromDeltaTable(spark, dir, col("id") === 4L)
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (3L, "C")))
+    // a CHECK constraint added over LOGICAL names gates future writes
+    DeltaExport.addCheckConstraintDeltaTable(spark, dir, "pos", "id > 0")
+    val bad = intercept[IllegalArgumentException](
+      DeltaExport.appendDeltaTable(spark,
+        Seq((-5L, "x")).toDF("id", "s"), dir))
+    assert(bad.getMessage.contains("pos"), bad.getMessage)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }

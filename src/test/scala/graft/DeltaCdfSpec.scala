@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.DeltaExport
+
+/** CHANGE DATA FEED tests (writer obligation
+  * `delta.enableChangeDataFeed` → protocol `cdc` actions +
+  * `_change_data` files): since r18 the DML triad EMITS change data
+  * instead of refusing, and [[DeltaExport.readDeltaCdf]] consumes it.
+  * The core contract: for every DML commit, the CDF read of that
+  * commit equals the log-derived CDC diff (`deltaChangesBetween`) on
+  * the same versions — two independent derivations of the same
+  * row-level truth. */
+class DeltaCdfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** A fresh CDF-enabled table: id 0..n-1, bal = id * 10; the property
+    * lands by configuration surgery on v0 (graft's own writer creates
+    * plain tables — CDF arrives on tables made elsewhere). */
+  private def newCdfTable(n: Int): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cdf").toString
+    DeltaExport.writeDeltaTable(spark,
+      spark.range(n).select(col("id"), (col("id") * 10).as("bal"))
+        .repartition(2), dir)
+    val p0 = java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000000.json")
+    val raw = new String(java.nio.file.Files.readAllBytes(p0), "UTF-8")
+    java.nio.file.Files.write(p0, raw.replace(""""configuration":{}""",
+      """"configuration":{"delta.enableChangeDataFeed":"true"}""")
+      .getBytes("UTF-8"))
+    dir
+  }
+
+  /** Multiset of (id, bal, _change_type) — the comparison surface both
+    * derivations share ( _commit_version is CDF-only). */
+  private def changeSet(df: org.apache.spark.sql.DataFrame)
+      : Map[(Long, Long, String), Long] =
+    df.select(col("id"), col("bal"), col("_change_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+
+  test("DV delete on a CDF table emits delete rows that match the CDC derivation") {
+    val dir = newCdfTable(20)
+    val v = DeltaExport.deleteFromDeltaTableDv(spark, dir,
+      col("id") % 5 === 0)
+    val cdf = DeltaExport.readDeltaCdf(spark, dir, v - 1, Some(v))
+    assert(cdf.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("delete"))
+    assert(cdf.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(v))
+    assert(changeSet(cdf) === changeSet(
+      DeltaExport.deltaChangesBetween(spark, dir, v - 1, v, Seq("id"))))
+    // a SECOND DV delete feeds only the freshly-masked rows — rows the
+    // standing vector already deleted must not re-deliver
+    val v2 = DeltaExport.deleteFromDeltaTableDv(spark, dir,
+      col("id") % 5 === 0 || col("id") === 1L)
+    val cdf2 = DeltaExport.readDeltaCdf(spark, dir, v2 - 1, Some(v2))
+    assert(changeSet(cdf2) === Map((1L, 10L, "delete") -> 1L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("DV update on a CDF table emits pre/post image pairs that match the CDC derivation") {
+    val dir = newCdfTable(12)
+    val v = DeltaExport.updateDeltaTableDv(spark, dir, col("id") < 3,
+      Map("bal" -> (col("bal") + 1L)))
+    val cdf = DeltaExport.readDeltaCdf(spark, dir, v - 1, Some(v))
+    assert(changeSet(cdf) === changeSet(
+      DeltaExport.deltaChangesBetween(spark, dir, v - 1, v, Seq("id"))))
+    assert(changeSet(cdf).keys.map(_._3).toSet ===
+      Set("update_preimage", "update_postimage"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("copy-on-write delete and MERGE on a CDF table match the CDC derivation; appends synthesize inserts") {
+    val dir = newCdfTable(10)
+    // append-shaped commit: no cdc actions, inserts synthesized
+    val vA = DeltaExport.appendDeltaTable(spark,
+      Seq((100L, 1000L), (101L, 1010L)).toDF("id", "bal"), dir)
+    val cdfA = DeltaExport.readDeltaCdf(spark, dir, vA - 1, Some(vA))
+    assert(changeSet(cdfA) ===
+      Map((100L, 1000L, "insert") -> 1L, (101L, 1010L, "insert") -> 1L))
+    // COW delete
+    val vD = DeltaExport.deleteFromDeltaTable(spark, dir, col("id") >= 100L)
+    val cdfD = DeltaExport.readDeltaCdf(spark, dir, vD - 1, Some(vD))
+    assert(changeSet(cdfD) === changeSet(
+      DeltaExport.deltaChangesBetween(spark, dir, vD - 1, vD, Seq("id"))))
+    assert(changeSet(cdfD).keys.map(_._3).toSet === Set("delete"))
+    // MERGE: one update (id 1), one delete-flag (id 2), one insert
+    // (id 50); unmatched carry-over rows of touched files must NOT
+    // appear in the feed (they did not change)
+    val batch = Seq((1L, 999L, false), (2L, 0L, true), (50L, 500L, false))
+      .toDF("id", "bal", "del")
+    val vM = DeltaExport.mergeDeltaTable(spark, batch, dir, Seq("id"),
+      deleteCol = Some("del"))
+    val cdfM = DeltaExport.readDeltaCdf(spark, dir, vM - 1, Some(vM))
+    assert(changeSet(cdfM) === changeSet(
+      DeltaExport.deltaChangesBetween(spark, dir, vM - 1, vM, Seq("id"))))
+    assert(changeSet(cdfM) === Map(
+      (1L, 10L, "update_preimage") -> 1L,
+      (1L, 999L, "update_postimage") -> 1L,
+      (2L, 20L, "delete") -> 1L,
+      (50L, 500L, "insert") -> 1L))
+    // the WHOLE range in one read spans all three commits, tagged by
+    // commit version
+    val all = DeltaExport.readDeltaCdf(spark, dir, vA - 1, Some(vM))
+    assert(all.select("_commit_version").distinct().count() === 3L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("partitioned CDF table: change files land in Hive dirs under _change_data and read back with partition columns") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cdf_part").toString
+    DeltaExport.writeDeltaTablePartitioned(spark,
+      Seq((1L, 10L, "en"), (2L, 20L, "en"), (3L, 30L, "fr"))
+        .toDF("id", "bal", "lang"), dir, Seq("lang"))
+    val p0 = java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000000.json")
+    val raw = new String(java.nio.file.Files.readAllBytes(p0), "UTF-8")
+    java.nio.file.Files.write(p0, raw.replace(""""configuration":{}""",
+      """"configuration":{"delta.enableChangeDataFeed":"true"}""")
+      .getBytes("UTF-8"))
+    val v = DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") === 2L)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "_change_data", "lang=en")))
+    val cdf = DeltaExport.readDeltaCdf(spark, dir, v - 1, Some(v))
+    assert(cdf.select("id", "bal", "lang", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSeq === Seq((2L, 20L, "en", "delete")))
+    // vacuum must never reclaim _change_data (it is cdc-referenced,
+    // not add-referenced)
+    DeltaExport.vacuumDeltaTable(spark, dir)
+    assert(DeltaExport.readDeltaCdf(spark, dir, v - 1, Some(v))
+      .count() === 1L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("a data-removing commit WITHOUT cdc actions refuses the CDF read by name; expired ranges refuse too") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cdf_refuse").toString
+    DeltaExport.writeDeltaTable(spark,
+      spark.range(8).select(col("id"), (col("id") * 10).as("bal")), dir)
+    // v1: a change commit from BEFORE the table enabled CDF
+    val v1 = DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") === 3L)
+    val e = intercept[IllegalStateException](
+      DeltaExport.readDeltaCdf(spark, dir, v1 - 1, Some(v1)).collect())
+    assert(e.getMessage.contains("cdc"), e.getMessage)
+    // checkpoint + expiry: the range is gone, refused by name
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    DeltaExport.expireLogBefore(dir)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaExport.readDeltaCdf(spark, dir, 0L, Some(v1)))
+    assert(e2.getMessage.contains("expired"), e2.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("OVERWRITE and RESTORE still refuse CDF tables by name — they emit no change data") {
+    val dir = newCdfTable(5)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.overwriteDeltaTable(spark,
+        Seq((1L, 1L)).toDF("id", "bal"), dir))
+    assert(e.getMessage.contains("CHANGE DATA FEED"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}

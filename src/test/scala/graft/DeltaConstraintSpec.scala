@@ -94,9 +94,10 @@ class DeltaConstraintSpec extends SparkTestBase {
       Seq((4L, Option(40.0))).toDF("id", "bal"), dir, "sinkA", 1L)
     assert(landed)
     assert(DeltaExport.readDeltaTable(spark, dir).count() === 4L)
-    // a column-mapped table refuses the idempotent append by name too
-    // (display-named parquet under physical-name resolution would be
-    // silently unreadable)
+    // a column-mapped table (here: mode 'name' with pre-upgrade
+    // fields, whose physical names ARE the display names) takes the
+    // idempotent append natively since r18 — through the same
+    // physical-write path as every other writer
     val cmDir = java.nio.file.Files
       .createTempDirectory("graft_constraint_cm").toString
     DeltaExport.writeDeltaTable(spark,
@@ -110,11 +111,10 @@ class DeltaConstraintSpec extends SparkTestBase {
       meta0.replace(""""configuration":{}""",
         """"configuration":{"delta.columnMapping.mode":"name"}""")
         .getBytes("UTF-8"))
-    val e2 = intercept[IllegalArgumentException](
-      DeltaExport.appendDeltaTableIdempotent(spark,
-        Seq((2L, Option(2.0))).toDF("id", "bal"), cmDir, "sinkA", 1L))
-    assert(e2.getMessage.toLowerCase.contains("column-mapped"),
-      e2.getMessage)
+    val (_, cmLanded) = DeltaExport.appendDeltaTableIdempotent(spark,
+      Seq((2L, Option(2.0))).toDF("id", "bal"), cmDir, "sinkA", 1L)
+    assert(cmLanded)
+    assert(DeltaExport.readDeltaTable(spark, cmDir).count() === 2L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cmDir))
   }
