@@ -3182,6 +3182,15 @@ object DeltaExport {
       case None => replayedState(dir, versionAsOf)
     }
 
+  /** The live snapshot's deletion-vector descriptors at `versionAsOf`
+    * (latest when None): path -> descriptor. Empty when no live file
+    * carries a vector — the observable postcondition of PURGE and of
+    * DV-aware OPTIMIZE (both materialize the masked deletes). */
+  def deletionVectorsAt(spark: SparkSession, dir: String,
+      versionAsOf: Option[Long] = None)
+      : Map[String, DeletionVectors.Descriptor] =
+    snapshotState(spark, dir, versionAsOf).dvs.toMap
+
   /** The per-file `stats` JSON of the live snapshot at `versionAsOf`
     * (latest when None): path -> unescaped stats text. Files whose add
     * carried no stats are absent — a pruner must read them. */

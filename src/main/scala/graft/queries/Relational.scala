@@ -1669,10 +1669,173 @@ object Relational {
           AS travel_cents_delta
       FROM upd"""))
 
+  /** The DELTA LIFECYCLE composition, oracle-EXACT — one row that runs
+    * the storage family END TO END where cross-feature bugs
+    * (checkpoint × DV × constraints) have historically hidden:
+    * write → ADD CONSTRAINT → DV DELETE → DV UPDATE → DV-aware
+    * OPTIMIZE → CHECKPOINT → log EXPIRY → retention-0 VACUUM → read.
+    * Every lifecycle invariant rides THROUGH the hash gate beside the
+    * final aggregate: the constraint survives expiry in the checkpoint
+    * metaData (`constraint_survived`) and still refuses a violating
+    * append (`constraint_enforced`); the pre-OPTIMIZE snapshot carried
+    * vectors and the compaction materialized them (`had_vectors` /
+    * `vectors_purged` — the q150-family discipline applied to DV
+    * state); the vacuum reclaimed superseded history
+    * (`reclaimed_history`) while checkpoint-based time travel to the
+    * OPTIMIZE version still reads every surviving row (`travel_rows`).
+    * The oracle applies the delete + update relationally. */
+  val q163DeltaLifecycle = GraftQuery(
+    "q163_delta_lifecycle", { (s, dir) =>
+      import s.implicits._
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q163_delta").toString
+      try {
+        val D = graft.core.DeltaExport
+        D.writeDeltaTable(s, base.repartitionByRange(4, col("k")), tmp)
+        D.addCheckConstraintDeltaTable(s, tmp, "bal_floor",
+          "bal >= -10000.0")
+        D.deleteFromDeltaTableDv(s, tmp, col("k") % 7 === 3)
+        D.updateDeltaTableDv(s, tmp, col("k") % 9 === 4,
+          Map("bal" -> (col("bal") + 50.0)))
+        val hadVectors = D.deletionVectorsAt(s, tmp, Some(3L)).nonEmpty
+        D.optimizeDeltaTable(s, tmp, targetFiles = 2)
+        val vectorsPurged = D.deletionVectorsAt(s, tmp, None).isEmpty
+        D.checkpointDeltaTable(s, tmp)
+        D.expireLogBefore(tmp)
+        val constraintSurvived = D
+          .checkConstraintsOf(D.snapshotAt(s, tmp, None)._1)
+          .contains("bal_floor")
+        val constraintEnforced = scala.util.Try(D.appendDeltaTable(s,
+          Seq((-1L, -99999.0)).toDF("k", "bal"), tmp)).isFailure
+        val reclaimed = D.vacuumDeltaTable(s, tmp).nonEmpty
+        val travelRows = D.readDeltaTable(s, tmp, Some(4L)).count()
+        D.readDeltaTable(s, tmp)
+          .agg(count(lit(1)).as("rows_after"),
+            sum(round(col("bal") * 1e2).cast("long")).as("bal_cents"),
+            min(col("k")).as("min_k"))
+          .withColumn("constraint_survived", lit(constraintSurvived))
+          .withColumn("constraint_enforced", lit(constraintEnforced))
+          .withColumn("had_vectors", lit(hadVectors))
+          .withColumn("vectors_purged", lit(vectorsPurged))
+          .withColumn("reclaimed_history", lit(reclaimed))
+          .withColumn("travel_rows", lit(travelRows))
+          .localCheckpoint(eager = true)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    },
+    Some("""WITH live AS (
+        SELECT c_custkey AS k,
+          CASE WHEN c_custkey % 9 = 4 THEN c_acctbal + 50.0
+               ELSE c_acctbal END AS bal
+        FROM customer WHERE c_custkey % 7 <> 3)
+      SELECT count(*) AS rows_after,
+        CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+        min(k) AS min_k,
+        TRUE AS constraint_survived,
+        TRUE AS constraint_enforced,
+        TRUE AS had_vectors,
+        TRUE AS vectors_purged,
+        TRUE AS reclaimed_history,
+        count(*) AS travel_rows
+      FROM live"""))
+
+  /** The CHANGE DATA FEED writer + reader, oracle-EXACT: replay q150's
+    * merge on a CDF-ENABLED table (so the commit writes protocol
+    * `_change_data` files + cdc actions instead of being re-derived
+    * from data files), add a second DV-DELETE commit on the merged
+    * state, and read the whole feed back with [[graft.core.DeltaExport
+    * .readDeltaCdf]] — grouped per (commit, change type). The oracle
+    * recomputes both commits relationally, so a change file holding a
+    * carry-over row, a missed insert, or a delete attributed to the
+    * wrong commit hash-fails. q150 (the CDC derivation of the SAME
+    * merge) is the independent second witness. */
+  val q164DeltaCdfFeed = GraftQuery(
+    "q164_delta_cdf_feed", { (s, dir) =>
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q164_delta").toString
+      try {
+        val D = graft.core.DeltaExport
+        D.writeDeltaTable(s, base.repartitionByRange(4, col("k")), tmp)
+        // CDF arrives on tables created elsewhere — graft's own v0 is
+        // plain, so the property lands by configuration surgery
+        val p0 = java.nio.file.Paths.get(tmp, "_delta_log",
+          "00000000000000000000.json")
+        val raw = new String(java.nio.file.Files.readAllBytes(p0), "UTF-8")
+        java.nio.file.Files.write(p0,
+          raw.replace(""""configuration":{}""",
+            """"configuration":{"delta.enableChangeDataFeed":"true"}""")
+            .getBytes("UTF-8"))
+        val r = base.agg(min(col("k")), max(col("k"))).collect().head
+        val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 4
+        val updates = base.filter(col("k") <= cut && col("k") % 10 === 0)
+          .select(col("k"), (col("bal") + 100.0).as("bal"),
+            lit(false).as("__delete"))
+        val deletes = base.filter(col("k") <= cut && col("k") % 20 === 5)
+          .select(col("k"), col("bal"), lit(true).as("__delete"))
+        val inserts = base.filter(col("k") % 10 === 1)
+          .select((col("k") + 10000000L).as("k"), col("bal"),
+            lit(false).as("__delete"))
+        D.mergeDeltaTable(s, updates.union(deletes).union(inserts), tmp,
+          Seq("k"), deleteCol = Some("__delete"))
+        D.deleteFromDeltaTableDv(s, tmp, col("k") % 7 === 3)
+        D.readDeltaCdf(s, tmp, 0L, Some(2L))
+          .groupBy(col("_commit_version"), col("_change_type"))
+          .agg(count(lit(1)).as("rows"),
+            sum(round(col("bal") * 1e6).cast("long")).as("bal_micro"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy(col("_commit_version"), col("_change_type"))
+          .localCheckpoint(eager = true)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    },
+    Some("""WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+      band AS (SELECT min(k) + (max(k) - min(k)) // 4 AS cut FROM base),
+      batch AS (
+        SELECT k, bal + 100.0 AS bal, FALSE AS del
+        FROM base, band WHERE k <= cut AND k % 10 = 0
+        UNION ALL
+        SELECT k, bal, TRUE FROM base, band WHERE k <= cut AND k % 20 = 5
+        UNION ALL
+        SELECT k + 10000000, bal, FALSE FROM base WHERE k % 10 = 1),
+      merged AS (
+        SELECT coalesce(b.k, t.k) AS k,
+          coalesce(b.bal, t.bal) AS bal,
+          coalesce(b.del, FALSE) AS del
+        FROM base t FULL OUTER JOIN batch b ON t.k = b.k),
+      c1 AS (
+        SELECT k, bal, 'insert' AS ct FROM batch
+        WHERE k >= 10000000 AND NOT del
+        UNION ALL
+        SELECT k, bal, 'delete' FROM base
+        WHERE k IN (SELECT k FROM batch WHERE del)
+        UNION ALL
+        SELECT k, bal, 'update_preimage' FROM base
+        WHERE k IN (SELECT k FROM batch WHERE NOT del AND k < 10000000)
+        UNION ALL
+        SELECT k, bal, 'update_postimage' FROM batch
+        WHERE NOT del AND k < 10000000),
+      c2 AS (
+        SELECT k, bal, 'delete' AS ct FROM merged
+        WHERE NOT del AND k % 7 = 3),
+      changes AS (
+        SELECT CAST(1 AS BIGINT) AS _commit_version, ct AS _change_type,
+          k, bal FROM c1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), ct, k, bal FROM c2)
+      SELECT _commit_version, _change_type, count(*) AS rows,
+        CAST(sum(CAST(round(bal * 1e6) AS BIGINT)) AS BIGINT) AS bal_micro,
+        min(k) AS min_k, max(k) AS max_k
+      FROM changes GROUP BY _commit_version, _change_type
+      ORDER BY _commit_version, _change_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin, q141DeltaPrunedRead,
     q148DeltaPartitioned, q149DeltaMerge, q150DeltaCdc, q158DeltaDeleteDv,
-    q161DeltaUpdateDv,
+    q161DeltaUpdateDv, q163DeltaLifecycle, q164DeltaCdfFeed,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q79bMergePartitioned,
     q80LatestPerKey, q102VersionChanges, q103IncrementalAgg,
     q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,
