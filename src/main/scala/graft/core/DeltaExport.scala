@@ -391,7 +391,7 @@ object DeltaExport {
   def appendDeltaTablePartitioned(spark: SparkSession, df: DataFrame,
       dir: String): Long = {
     val v = latestVersion(dir) + 1
-    val meta = snapshotState(spark, dir, None).meta
+    val meta = snapshotState(spark, dir, None, keepStats = false).meta
     val pcols = partitionColumnsOf(meta)
     require(pcols.nonEmpty,
       "table is not partitioned — use appendDeltaTable")
@@ -652,7 +652,7 @@ object DeltaExport {
     // columns would silently drop or null the mismatch at read time —
     // refuse loudly instead (schema evolution is a deliberate metaData
     // commit, not an accidental append)
-    val appendMeta = snapshotState(spark, dir, None).meta
+    val appendMeta = snapshotState(spark, dir, None, keepStats = false).meta
     require(partitionColumnsOf(appendMeta).isEmpty,
       "table is partitioned — use appendDeltaTablePartitioned (a flat " +
         "append would write files the partition-aware reader cannot place)")
@@ -687,7 +687,7 @@ object DeltaExport {
     * reclaim them. Returns the new version number. */
   def overwriteDeltaTable(spark: SparkSession, df: DataFrame, dir: String): Long = {
     val v = latestVersion(dir) + 1
-    val snap = snapshotState(spark, dir, None)
+    val snap = snapshotState(spark, dir, None, keepStats = false)
     require(partitionColumnsOf(snap.meta).isEmpty,
       "table is partitioned — a flat overwrite would drop the partition " +
         "layout the reader re-attaches columns from; re-create the table " +
@@ -758,8 +758,8 @@ object DeltaExport {
     require(keyCols.nonEmpty, "deltaChangesBetween needs key column(s)")
     require(fromVersion < toVersion,
       s"fromVersion $fromVersion must precede toVersion $toVersion")
-    val stFrom = snapshotState(spark, dir, Some(fromVersion))
-    val stTo = snapshotState(spark, dir, Some(toVersion))
+    val stFrom = snapshotState(spark, dir, Some(fromVersion), keepStats = false)
+    val stTo = snapshotState(spark, dir, Some(toVersion), keepStats = false)
     // a file live in BOTH versions counts as changed when its deletion
     // vector differs — its rows changed without the file moving, so its
     // pre-image scans DV-filtered at v1 and its post-image at v2 (a
@@ -913,7 +913,7 @@ object DeltaExport {
     require(missing.isEmpty,
       s"commit(s) ${missing.mkString(",")} in the requested range have " +
         "been expired — their change data is no longer attributable")
-    val st = snapshotState(spark, dir, Some(until))
+    val st = snapshotState(spark, dir, Some(until), keepStats = false)
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(st.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -984,7 +984,7 @@ object DeltaExport {
     * through checkpoints). None when the app never committed. */
   def lastTxnVersion(spark: SparkSession, dir: String,
       appId: String): Option[Long] =
-    snapshotState(spark, dir, None).txns.get(appId)
+    snapshotState(spark, dir, None, keepStats = false).txns.get(appId)
 
   /** IDEMPOTENT append — the protocol's exactly-once writer contract:
     * the commit carries a `txn` action (appId, txnVersion), and a
@@ -1002,7 +1002,7 @@ object DeltaExport {
     * txnVersion <= last rule. */
   def appendDeltaTableIdempotent(spark: SparkSession, df: DataFrame,
       dir: String, appId: String, txnVersion: Long): (Long, Boolean) = {
-    val snap = snapshotState(spark, dir, None)
+    val snap = snapshotState(spark, dir, None, keepStats = false)
     val last = snap.txns.get(appId)
     if (last.exists(txnVersion <= _))
       return (latestVersion(dir), false)
@@ -1059,7 +1059,7 @@ object DeltaExport {
     // the then-snapshot and the then-metaData (mapping config included)
     // is re-asserted when it drifted; no display-named file is written
     val v = latestVersion(dir) + 1
-    val now = snapshotState(spark, dir, None)
+    val now = snapshotState(spark, dir, None, keepStats = false)
     val then_ = snapshotState(spark, dir, Some(versionAsOf))
     enforceWriterObligations(now.meta, "RESTORE", removesData = true, None)
     val gone = then_.live.toSeq
@@ -1125,7 +1125,7 @@ object DeltaExport {
   def evolveDeltaTableSchema(spark: SparkSession, dir: String,
       newSchema: org.apache.spark.sql.types.StructType): Long = {
     val v = latestVersion(dir) + 1
-    val snap = snapshotState(spark, dir, None)
+    val snap = snapshotState(spark, dir, None, keepStats = false)
     requireNoColumnMapping(snap.meta, "ADD COLUMNS")
     val old = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
@@ -1195,7 +1195,7 @@ object DeltaExport {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "keyCols is empty")
     val v = latestVersion(dir) + 1
-    val snap = snapshotState(spark, dir, None)
+    val snap = snapshotState(spark, dir, None, keepStats = false)
     val pcols = partitionColumnsOf(snap.meta)
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
@@ -1400,7 +1400,7 @@ object DeltaExport {
       predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions._
     val v = latestVersion(dir) + 1
-    val snap = snapshotState(spark, dir, None)
+    val snap = snapshotState(spark, dir, None, keepStats = false)
     val cdf = cdfEnabled(snap.meta)
     enforceWriterObligations(snap.meta, "DELETE", removesData = true, None,
       emitsChangeData = cdf)
@@ -1748,7 +1748,7 @@ object DeltaExport {
       c.isLetterOrDigit || c == '_'),
       s"constraint name must be alphanumeric/underscore: '$name'")
     val v = latestVersion(dir) + 1
-    val snap = snapshotState(spark, dir, None)
+    val snap = snapshotState(spark, dir, None, keepStats = false)
     // constraints are pure configuration surgery expressed over
     // LOGICAL names — mapped tables take them natively (the standing
     // scan and every writer's enforcement both run on logical frames)
@@ -1777,7 +1777,7 @@ object DeltaExport {
   def dropCheckConstraintDeltaTable(spark: SparkSession, dir: String,
       name: String): Long = {
     val v = latestVersion(dir) + 1
-    val snap = snapshotState(spark, dir, None)
+    val snap = snapshotState(spark, dir, None, keepStats = false)
     val existing = checkConstraintsOf(snap.meta)
     require(existing.contains(name),
       s"no CHECK constraint named '$name' — have: " +
@@ -2063,7 +2063,7 @@ object DeltaExport {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val v = latestVersion(dir) + 1
-    val snap = snapshotState(spark, dir, None)
+    val snap = snapshotState(spark, dir, None, keepStats = false)
     require(snap.dvs.nonEmpty,
       "no live file carries a deletion vector — nothing to purge")
     val pcols = partitionColumnsOf(snap.meta)
@@ -2187,7 +2187,7 @@ object DeltaExport {
       targetFiles: Int = 1, zorderBy: Seq[String] = Nil): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val v = latestVersion(dir) + 1
-    val snap = snapshotState(spark, dir, None)
+    val snap = snapshotState(spark, dir, None, keepStats = false)
     require(partitionColumnsOf(snap.meta).isEmpty,
       "table is partitioned — use optimizeDeltaTablePartitioned, which " +
         "compacts within partitions and re-emits partitionValues; a flat " +
@@ -2243,7 +2243,7 @@ object DeltaExport {
       zorderBy: Seq[String] = Nil): Long = {
     require(targetFilesPerPartition >= 1, "targetFilesPerPartition must be >= 1")
     val v = latestVersion(dir) + 1
-    val snap = snapshotState(spark, dir, None)
+    val snap = snapshotState(spark, dir, None, keepStats = false)
     val pcols = partitionColumnsOf(snap.meta)
     require(pcols.nonEmpty,
       "table is not partitioned — use optimizeDeltaTable")
@@ -2366,7 +2366,7 @@ object DeltaExport {
 
   private def vacuumDeltaTableImpl(spark: SparkSession, dir: String,
       retentionMs: Long): Seq[String] = {
-    val st = snapshotState(spark, dir, None)
+    val st = snapshotState(spark, dir, None, keepStats = false)
     val live = st.live.toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     // tombstone clocks come from ONE incremental replay of the
@@ -2440,9 +2440,12 @@ object DeltaExport {
     val versions = logVersions(dir)
     val (st, tail) = lastCheckpoint(dir) match {
       case Some(p) =>
-        (loadCheckpoint(spark, dir, p.version, p.parts),
+        (loadCheckpoint(spark, dir, p.version, p.parts, keepStats = false),
           versions.filter(_ > p.version))
-      case None => (new ReplayState, versions)
+      case None =>
+        val s0 = new ReplayState
+        s0.keepStats = false
+        (s0, versions)
     }
     val dtRe = """"deletionTimestamp":(\d+)""".r
     val tomb = scala.collection.mutable.Map.empty[String, Long]
@@ -2498,18 +2501,19 @@ object DeltaExport {
     * the Delta protocol. Every protocol action encountered must be one
     * this reader supports (minReaderVersion 1). */
   def liveFilesAt(dir: String, versionAsOf: Option[Long]): (String, Seq[String]) = {
-    val st = replayedState(dir, versionAsOf)
+    val st = replayedState(dir, versionAsOf, keepStats = false)
     (st.meta, st.live.toSeq)
   }
 
   private def replayedState(dir: String,
-      versionAsOf: Option[Long]): ReplayState = {
+      versionAsOf: Option[Long], keepStats: Boolean = true): ReplayState = {
     val versions = logVersions(dir)
     require(versions.headOption.contains(0L), s"log does not start at 0: $versions")
     val cut = versionAsOf.getOrElse(versions.max)
     require(versions.contains(cut),
       s"version $cut not in log (have ${versions.mkString(",")})")
     val st = new ReplayState
+    st.keepStats = keepStats
     versions.takeWhile(_ <= cut).foreach(v => applyCommit(dir, v, st))
     require(st.meta != null, "no metaData action in the replayed log")
     st
@@ -2517,6 +2521,12 @@ object DeltaExport {
 
   private final class ReplayState {
     var meta: String = null
+    // whether per-file stats JSON is RETAINED during replay. Stats are
+    // the driver-memory hog of a snapshot (~0.5-1 KB of string per
+    // file — ~1 GB at a 10⁶-file table); consumers that never prune
+    // (full scans, DML target scans, vacuum, CDC) opt out and hold
+    // only paths + partitionValues + DV descriptors.
+    var keepStats: Boolean = true
     // last protocol action seen — what a feature-adding writer must
     // MERGE with, never replace (clobbering would undeclare features
     // like timestampNtz for every later reader)
@@ -2618,8 +2628,9 @@ object DeltaExport {
         st.live += p
         st.pvals(p) = partitionValuesOf(l)
         statsRe.findFirstMatchIn(l) match {
-          case Some(m) => st.stats(p) = unescapeJson(m.group(1))
-          case None => st.stats -= p // a re-add without stats supersedes
+          case Some(m) if st.keepStats =>
+            st.stats(p) = unescapeJson(m.group(1))
+          case _ => st.stats -= p // a re-add without stats supersedes
         }
         DeletionVectors.descriptorOf(l) match {
           case Some(d) => st.dvs(p) = d
@@ -2856,7 +2867,7 @@ object DeltaExport {
     * commits). */
   def readDeltaTable(spark: SparkSession, dir: String,
       versionAsOf: Option[Long] = None): DataFrame = {
-    val st = snapshotState(spark, dir, versionAsOf)
+    val st = snapshotState(spark, dir, versionAsOf, keepStats = false)
     require(st.live.nonEmpty,
       s"no live files at version ${versionAsOf.getOrElse("latest")}")
     scanFiles(spark, dir, st.meta, st.live.toSeq, versionAsOf,
@@ -2992,7 +3003,7 @@ object DeltaExport {
       filters: Map[String, String],
       versionAsOf: Option[Long] = None): (DataFrame, Int, Int) = {
     require(filters.nonEmpty, "no partition filters — use readDeltaTable")
-    val st = snapshotState(spark, dir, versionAsOf)
+    val st = snapshotState(spark, dir, versionAsOf, keepStats = false)
     val pcols = partitionColumnsOf(st.meta)
     val bad = filters.keys.filterNot(pcols.contains)
     require(bad.isEmpty,
@@ -3077,7 +3088,7 @@ object DeltaExport {
         }
       }
     }
-    val st = snapshotState(spark, dir, Some(until))
+    val st = snapshotState(spark, dir, Some(until), keepStats = false)
     // st.pvals retains entries for files a dataChange=false rewrite
     // removed, so partitioned appends in range still scan with their
     // partition columns attached
@@ -3103,26 +3114,33 @@ object DeltaExport {
     * (result, candidateFiles, liveFiles). */
   def readDeltaTablePruned(spark: SparkSession, dir: String,
       bandCol: String, lo: Double, hi: Double,
-      versionAsOf: Option[Long] = None): (DataFrame, Int, Int) = {
+      versionAsOf: Option[Long] = None): (DataFrame, Int, Int) =
+    lastCheckpoint(dir) match {
+      // checkpointed tables prune DISTRIBUTED: the checkpoint is
+      // already parquet, so the stats filter runs as a Spark job over
+      // it and the driver holds only the CANDIDATE set — never the
+      // O(live-files) stats strings (~1 GB at a 10⁶-file table)
+      case Some(cp) if versionAsOf.forall(_ >= cp.version) =>
+        readDeltaTablePrunedCheckpointed(spark, dir, cp, bandCol, lo, hi,
+          versionAsOf)
+      case _ =>
+        readDeltaTablePrunedReplayed(spark, dir, bandCol, lo, hi,
+          versionAsOf)
+    }
+
+  /** `s` parsed + keep decision over (stats, s) columns — the ONE
+    * prune policy both the replayed and the checkpointed form apply: a
+    * file is skipped only on positive evidence (parseable stats whose
+    * [min,max] misses the band, or a provably all-NULL column);
+    * anything malformed or absent stays must-read. */
+  private def statsParsedSchema: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DataType.fromDDL(
+      "numRecords BIGINT, minValues MAP<STRING,STRING>, " +
+        "maxValues MAP<STRING,STRING>, nullCount MAP<STRING,STRING>")
+
+  private def pruneKeepExpr(statsKey: String, lo: Double,
+      hi: Double): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val st = snapshotState(spark, dir, versionAsOf)
-    val files = st.live.toSeq
-    require(files.nonEmpty,
-      s"no live files at version ${versionAsOf.getOrElse("latest")}")
-    import spark.implicits._
-    val parsed = files.map(f => (f, st.stats.get(f).orNull))
-      .toDF("path", "stats")
-      .withColumn("s", from_json(col("stats"),
-        org.apache.spark.sql.types.DataType.fromDDL(
-          "numRecords BIGINT, minValues MAP<STRING,STRING>, " +
-            "maxValues MAP<STRING,STRING>, nullCount MAP<STRING,STRING>")))
-    // under column mapping the stats maps are keyed by PHYSICAL names
-    // (the protocol rule) — look the band column up by its physical
-    // name or the prune silently degrades to must-read on every file
-    val statsKey = physicalNames(
-      org.apache.spark.sql.types.DataType.fromJson(schemaStringOf(st.meta))
-        .asInstanceOf[org.apache.spark.sql.types.StructType],
-      columnMappingMode(st.meta)).getOrElse(bandCol, bandCol)
     val mn = element_at(col("s.minValues"), statsKey).cast("double")
     val mx = element_at(col("s.maxValues"), statsKey).cast("double")
     val nc = element_at(col("s.nullCount"), statsKey).cast("bigint")
@@ -3131,7 +3149,33 @@ object DeltaExport {
     val mustRead = col("stats").isNull || col("s").isNull ||
       mn.isNull || mx.isNull
     val bandHit = mn <= lit(hi) && mx >= lit(lo)
-    val keep = when(allNull, lit(false)).otherwise(mustRead || bandHit)
+    when(allNull, lit(false)).otherwise(mustRead || bandHit)
+  }
+
+  /** The band column's stats key: under column mapping the stats maps
+    * are keyed by PHYSICAL names (the protocol rule) — look it up by
+    * physical name or the prune silently degrades to must-read. */
+  private def pruneStatsKey(meta: String, bandCol: String): String =
+    physicalNames(
+      org.apache.spark.sql.types.DataType.fromJson(schemaStringOf(meta))
+        .asInstanceOf[org.apache.spark.sql.types.StructType],
+      columnMappingMode(meta)).getOrElse(bandCol, bandCol)
+
+  /** Pruned read via full JSON replay — the non-checkpointed fallback
+    * (young tables, or time travel to before the checkpoint). */
+  private def readDeltaTablePrunedReplayed(spark: SparkSession,
+      dir: String, bandCol: String, lo: Double, hi: Double,
+      versionAsOf: Option[Long]): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val st = snapshotState(spark, dir, versionAsOf)
+    val files = st.live.toSeq
+    require(files.nonEmpty,
+      s"no live files at version ${versionAsOf.getOrElse("latest")}")
+    import spark.implicits._
+    val parsed = files.map(f => (f, st.stats.get(f).orNull))
+      .toDF("path", "stats")
+      .withColumn("s", from_json(col("stats"), statsParsedSchema))
+    val keep = pruneKeepExpr(pruneStatsKey(st.meta, bandCol), lo, hi)
     // bounded collect: one file NAME per candidate — log-scale metadata
     val candidates = parsed.filter(keep).select(col("path"))
       .collect().map(_.getString(0)).toSeq.sorted
@@ -3140,6 +3184,115 @@ object DeltaExport {
       st.dvs.toMap)
       .filter(col(bandCol).between(lit(lo), lit(hi)))
     (out, candidates.size, files.size)
+  }
+
+  /** Pruned read via the CHECKPOINT — the 100 TB shape: the snapshot
+    * base state is NEVER materialized on the driver. The checkpoint
+    * parquet filters distributed (one Spark job applies the stats
+    * band), only candidate rows (path + partitionValues + DV
+    * descriptor) collect, and the JSON tail after the checkpoint —
+    * bounded by the checkpoint cadence — replays driver-side as
+    * usual. Files the tail touched (re-added with a DV, removed,
+    * compacted) defer to the tail's word over the checkpoint's. */
+  private def readDeltaTablePrunedCheckpointed(spark: SparkSession,
+      dir: String, cp: CheckpointPointer, bandCol: String, lo: Double,
+      hi: Double, versionAsOf: Option[Long]): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cpV = cp.version
+    val versions = logVersions(dir)
+    val cut = versionAsOf.getOrElse((cpV +: versions).max)
+    val missing = ((cpV + 1) to cut).filterNot(versions.contains)
+    require(missing.isEmpty,
+      s"commits after checkpoint v$cpV are missing: ${missing.mkString(",")}")
+    // the tail window: driver-side, O(commits since checkpoint)
+    val tail = new ReplayState
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    ((cpV + 1) to cut).foreach { v =>
+      val lines = new String(
+        Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(v))),
+        StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+      lines.foreach { l =>
+        if (l.startsWith("""{"add"""")) touched += pathOf(l, "add")
+        else if (l.startsWith("""{"remove""""))
+          touched += pathOf(l, "remove")
+      }
+      applyCommit(dir, v, tail)
+    }
+    val paths = checkpointPaths(dir, cpV, cp.parts)
+    val gone = paths.filterNot(Files.isRegularFile(_))
+    require(gone.isEmpty,
+      s"_last_checkpoint names v$cpV but checkpoint file(s) " +
+        s"${gone.map(_.getFileName).mkString(", ")} are missing")
+    val cpBase = spark.read.parquet(paths.map(_.toString): _*)
+    // protocol + metaData: an O(1) filtered collect — the only head
+    // rows a reader needs from the whole checkpoint
+    var cpMeta: String = null
+    cpBase.filter(col("protocol").isNotNull || col("metaData").isNotNull)
+      .collect().foreach { r =>
+        structField(r, "protocol").foreach { pr =>
+          checkReaderProtocol(protocolLineOfRow(pr), s"in checkpoint v$cpV")
+        }
+        structField(r, "metaData").foreach(m => cpMeta = metaLineOfRow(m))
+      }
+    val meta = Option(tail.meta).getOrElse(cpMeta)
+    require(meta != null, s"checkpoint v$cpV carries no metaData")
+    val statsKey = pruneStatsKey(meta, bandCol)
+    val keep = pruneKeepExpr(statsKey, lo, hi)
+    val addT = cpBase.schema.fields.find(_.name == "add")
+      .map(_.dataType.asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(new org.apache.spark.sql.types.StructType())
+    def addCol(name: String, tpe: String) =
+      if (addT.fieldNames.contains(name)) col(s"add.$name")
+      else lit(null).cast(tpe)
+    val touchedDf = touched.toSeq.toDF("path")
+    val cpAdds = cpBase.filter(col("add").isNotNull)
+      .select(col("add.path").as("path"),
+        addCol("stats", "string").as("stats"),
+        addCol("partitionValues", "map<string,string>").as("pv"),
+        addCol("deletionVector",
+          "struct<storageType:string,pathOrInlineDv:string," +
+            "offset:bigint,sizeInBytes:bigint,cardinality:bigint>")
+          .as("dv"))
+      // tail supersedes checkpoint: a path the tail added (DV re-add,
+      // rewrite) or removed defers to the tail's state
+      .join(broadcast(touchedDf), Seq("path"), "left_anti")
+    val liveCp = cpAdds.count()
+    // THE bounded collect: candidate rows only
+    val cpCands = cpAdds
+      .withColumn("s", from_json(col("stats"), statsParsedSchema))
+      .filter(keep)
+      .select(col("path"), col("pv"), col("dv"))
+      .collect()
+    // tail candidates: the small recent window, pruned driver-side
+    val tailFiles = tail.live.toSeq
+    val tailCands =
+      if (tailFiles.isEmpty) Seq.empty[String]
+      else tailFiles.map(f => (f, tail.stats.get(f).orNull))
+        .toDF("path", "stats")
+        .withColumn("s", from_json(col("stats"), statsParsedSchema))
+        .filter(keep).select(col("path"))
+        .collect().map(_.getString(0)).toSeq
+    val candidates =
+      (cpCands.map(_.getString(0)).toSeq ++ tailCands).sorted
+    require(liveCp + tailFiles.size > 0,
+      s"no live files at version ${versionAsOf.getOrElse("latest")}")
+    val pvals: Map[String, Map[String, String]] =
+      cpCands.flatMap { r =>
+        val i = r.schema.fieldNames.indexOf("pv")
+        if (r.isNullAt(i)) None
+        else Some(r.getString(0) -> r.getMap[String, String](i).toMap)
+      }.toMap ++ tail.pvals
+    val dvs: Map[String, DeletionVectors.Descriptor] =
+      cpCands.flatMap { r =>
+        val i = r.schema.fieldNames.indexOf("dv")
+        if (r.isNullAt(i)) None
+        else Some(r.getString(0) -> dvDescriptorOfRow(r.getStruct(i)))
+      }.toMap ++ tail.dvs
+    val out = scanFiles(spark, dir, meta, candidates, versionAsOf,
+        pvals, dvs)
+      .filter(col(bandCol).between(lit(lo), lit(hi)))
+    (out, candidates.size, (liveCp + tailFiles.size).toInt)
   }
 
   /** Checkpoint-aware snapshot reconstruction — the real consumer entry
@@ -3152,12 +3305,12 @@ object DeltaExport {
     * a checkpoint take the pure JSON replay of [[liveFilesAt]]. */
   def snapshotAt(spark: SparkSession, dir: String,
       versionAsOf: Option[Long]): (String, Seq[String]) = {
-    val st = snapshotState(spark, dir, versionAsOf)
+    val st = snapshotState(spark, dir, versionAsOf, keepStats = false)
     (st.meta, st.live.toSeq)
   }
 
   private def snapshotState(spark: SparkSession, dir: String,
-      versionAsOf: Option[Long]): ReplayState =
+      versionAsOf: Option[Long], keepStats: Boolean = true): ReplayState =
     lastCheckpoint(dir) match {
       case Some(cp) if versionAsOf.forall(_ >= cp.version) =>
         val cpV = cp.version
@@ -3166,7 +3319,7 @@ object DeltaExport {
         val missing = ((cpV + 1) to cut).filterNot(versions.contains)
         require(missing.isEmpty,
           s"commits after checkpoint v$cpV are missing: ${missing.mkString(",")}")
-        val st = loadCheckpoint(spark, dir, cpV, cp.parts)
+        val st = loadCheckpoint(spark, dir, cpV, cp.parts, keepStats)
         ((cpV + 1) to cut).foreach(v => applyCommit(dir, v, st))
         require(st.meta != null, s"checkpoint v$cpV carries no metaData")
         st
@@ -3178,8 +3331,8 @@ object DeltaExport {
           s"version $cut precedes checkpoint v$cpV and JSON commit(s) " +
             s"${missing.mkString(",")} have been expired — snapshot is " +
             "no longer reconstructible")
-        replayedState(dir, versionAsOf)
-      case None => replayedState(dir, versionAsOf)
+        replayedState(dir, versionAsOf, keepStats)
+      case None => replayedState(dir, versionAsOf, keepStats)
     }
 
   /** The live snapshot's deletion-vector descriptors at `versionAsOf`
@@ -3189,7 +3342,7 @@ object DeltaExport {
   def deletionVectorsAt(spark: SparkSession, dir: String,
       versionAsOf: Option[Long] = None)
       : Map[String, DeletionVectors.Descriptor] =
-    snapshotState(spark, dir, versionAsOf).dvs.toMap
+    snapshotState(spark, dir, versionAsOf, keepStats = false).dvs.toMap
 
   /** The per-file `stats` JSON of the live snapshot at `versionAsOf`
     * (latest when None): path -> unescaped stats text. Files whose add
@@ -3369,68 +3522,44 @@ object DeltaExport {
     * checkpoint holds O(live files) metadata rows — the same
     * driver-side cost every Delta reader pays to load a snapshot. */
   private def loadCheckpoint(spark: SparkSession, dir: String,
-      v: Long, parts: Option[Int]): ReplayState = {
+      v: Long, parts: Option[Int], keepStats: Boolean = true): ReplayState = {
+    import org.apache.spark.sql.functions.{col, lit}
     val paths = checkpointPaths(dir, v, parts)
     val gone = paths.filterNot(Files.isRegularFile(_))
     require(gone.isEmpty,
       s"_last_checkpoint names v$v${parts.map(n => s" ($n parts)").getOrElse("")} " +
         s"but checkpoint file(s) ${gone.map(_.getFileName).mkString(", ")} are missing")
-    val rows = spark.read.parquet(paths.map(_.toString): _*).collect()
+    val df0 = spark.read.parquet(paths.map(_.toString): _*)
+    // when the consumer never prunes, NULL the stats out on the
+    // EXECUTOR side before the collect — the driver then holds only
+    // paths/partitionValues/DV descriptors instead of ~1 KB of stats
+    // string per live file (the 10⁶-file driver-memory hazard)
+    val hasAddStats = df0.schema.fields.find(_.name == "add").exists(
+      _.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fieldNames.contains("stats")
+        case _ => false
+      })
+    val df =
+      if (keepStats || !hasAddStats) df0
+      else df0.withColumn("add",
+        col("add").withField("stats",
+          lit(null).cast(org.apache.spark.sql.types.StringType)))
+    val rows = df.collect()
     val st = new ReplayState
+    st.keepStats = keepStats
     rows.foreach { r =>
-      def struct(name: String): Option[org.apache.spark.sql.Row] = {
-        val i = r.schema.fieldNames.indexOf(name)
-        if (i >= 0 && !r.isNullAt(i)) Some(r.getStruct(i)) else None
-      }
-      struct("protocol").foreach { p =>
+      structField(r, "protocol").foreach { p =>
+        val line = protocolLineOfRow(p)
         // same gate as the JSON replay: v1 native, v3 accepted iff
         // every reader feature is implemented, everything else refused
         // BY NAME. The row is re-rendered as a protocol line so one
         // checker owns the policy.
-        val rfIdx = p.schema.fieldNames.indexOf("readerFeatures")
-        val rf =
-          if (rfIdx >= 0 && !p.isNullAt(rfIdx))
-            p.getSeq[String](rfIdx).map(f => s""""${esc(f)}"""")
-              .mkString(""","readerFeatures":[""", ",", "]")
-          else ""
-        val wfIdx = p.schema.fieldNames.indexOf("writerFeatures")
-        val wf =
-          if (wfIdx >= 0 && !p.isNullAt(wfIdx))
-            p.getSeq[String](wfIdx).map(f => s""""${esc(f)}"""")
-              .mkString(""","writerFeatures":[""", ",", "]")
-          else ""
-        val mwvIdx = p.schema.fieldNames.indexOf("minWriterVersion")
-        val mwv = if (mwvIdx >= 0 && !p.isNullAt(mwvIdx)) p.getInt(mwvIdx) else 2
-        val line =
-          s"""{"protocol":{"minReaderVersion":${p.getAs[Int]("minReaderVersion")},"minWriterVersion":$mwv$rf$wf}}"""
         checkReaderProtocol(line, s"in checkpoint v$v")
         st.protocol = line
       }
-      struct("metaData").foreach { m =>
-        def str(f: String) = m.getAs[String](f)
-        val ctIdx = m.schema.fieldNames.indexOf("createdTime")
-        val ct = if (ctIdx >= 0 && !m.isNullAt(ctIdx)) m.getLong(ctIdx) else 0L
-        val pcIdx = m.schema.fieldNames.indexOf("partitionColumns")
-        val pcols =
-          if (pcIdx >= 0 && !m.isNullAt(pcIdx))
-            m.getSeq[String](pcIdx).map(c => s""""${esc(c)}"""")
-              .mkString(",")
-          else ""
-        // the configuration map carries semantics (CHECK constraints,
-        // column-mapping mode, table properties) — re-render it so
-        // post-expiry readers keep enforcing/translating
-        val cfIdx = m.schema.fieldNames.indexOf("configuration")
-        val conf =
-          if (cfIdx >= 0 && !m.isNullAt(cfIdx))
-            m.getMap[String, String](cfIdx).toSeq.sortBy(_._1)
-              .map { case (k, value) =>
-                s""""${esc(k)}":"${esc(value)}"""" }
-              .mkString(",")
-          else ""
-        st.meta = s"""{"metaData":{"id":"${esc(str("id"))}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
-            str("schemaString"))}","partitionColumns":[$pcols],"configuration":{$conf},"createdTime":$ct}}"""
-      }
-      struct("add").foreach { a =>
+      structField(r, "metaData").foreach(m => st.meta = metaLineOfRow(m))
+      structField(r, "add").foreach { a =>
         val p = a.getAs[String]("path")
         st.live += p
         val pvIdx = a.schema.fieldNames.indexOf("partitionValues")
@@ -3442,30 +3571,89 @@ object DeltaExport {
         // structs — parse them into the same descriptor the JSON
         // replay produces, so a checkpointed DV table reads correctly
         val dvIdx = a.schema.fieldNames.indexOf("deletionVector")
-        if (dvIdx >= 0 && !a.isNullAt(dvIdx)) {
-          val d = a.getStruct(dvIdx)
-          def optLong(f: String): Option[Long] = {
-            val i = d.schema.fieldNames.indexOf(f)
-            if (i >= 0 && !d.isNullAt(i)) Some(d.getAs[Number](i).longValue)
-            else None
-          }
-          st.dvs(p) = DeletionVectors.Descriptor(
-            d.getAs[String]("storageType"),
-            d.getAs[String]("pathOrInlineDv"),
-            optLong("offset"),
-            optLong("sizeInBytes").getOrElse(-1L),
-            optLong("cardinality").getOrElse(-1L))
-        }
+        if (dvIdx >= 0 && !a.isNullAt(dvIdx))
+          st.dvs(p) = dvDescriptorOfRow(a.getStruct(dvIdx))
       }
-      struct("txn").foreach { t =>
+      structField(r, "txn").foreach { t =>
         val app = t.getAs[String]("appId")
         val ver = t.getAs[Long]("version")
         st.txns(app) = math.max(st.txns.getOrElse(app, Long.MinValue), ver)
       }
       // remove rows in a checkpoint are expired tombstones, never live
-      struct("remove").foreach(rm => st.live -= rm.getAs[String]("path"))
+      structField(r, "remove").foreach(rm => st.live -= rm.getAs[String]("path"))
     }
     st
+  }
+
+  /** Non-null struct field of a checkpoint row, by name. */
+  private def structField(r: org.apache.spark.sql.Row,
+      name: String): Option[org.apache.spark.sql.Row] = {
+    val i = r.schema.fieldNames.indexOf(name)
+    if (i >= 0 && !r.isNullAt(i)) Some(r.getStruct(i)) else None
+  }
+
+  /** Re-render a checkpoint protocol struct as the JSON action line —
+    * one renderer so [[checkReaderProtocol]] owns the gate policy for
+    * both log and checkpoint spellings. */
+  private def protocolLineOfRow(p: org.apache.spark.sql.Row): String = {
+    val rfIdx = p.schema.fieldNames.indexOf("readerFeatures")
+    val rf =
+      if (rfIdx >= 0 && !p.isNullAt(rfIdx))
+        p.getSeq[String](rfIdx).map(f => s""""${esc(f)}"""")
+          .mkString(""","readerFeatures":[""", ",", "]")
+      else ""
+    val wfIdx = p.schema.fieldNames.indexOf("writerFeatures")
+    val wf =
+      if (wfIdx >= 0 && !p.isNullAt(wfIdx))
+        p.getSeq[String](wfIdx).map(f => s""""${esc(f)}"""")
+          .mkString(""","writerFeatures":[""", ",", "]")
+      else ""
+    val mwvIdx = p.schema.fieldNames.indexOf("minWriterVersion")
+    val mwv = if (mwvIdx >= 0 && !p.isNullAt(mwvIdx)) p.getInt(mwvIdx) else 2
+    s"""{"protocol":{"minReaderVersion":${p.getAs[Int]("minReaderVersion")},"minWriterVersion":$mwv$rf$wf}}"""
+  }
+
+  /** Re-render a checkpoint metaData struct as the JSON action line.
+    * The configuration map carries semantics (CHECK constraints,
+    * column-mapping mode, table properties) — re-rendered so
+    * post-expiry readers keep enforcing/translating. */
+  private def metaLineOfRow(m: org.apache.spark.sql.Row): String = {
+    def str(f: String) = m.getAs[String](f)
+    val ctIdx = m.schema.fieldNames.indexOf("createdTime")
+    val ct = if (ctIdx >= 0 && !m.isNullAt(ctIdx)) m.getLong(ctIdx) else 0L
+    val pcIdx = m.schema.fieldNames.indexOf("partitionColumns")
+    val pcols =
+      if (pcIdx >= 0 && !m.isNullAt(pcIdx))
+        m.getSeq[String](pcIdx).map(c => s""""${esc(c)}"""")
+          .mkString(",")
+      else ""
+    val cfIdx = m.schema.fieldNames.indexOf("configuration")
+    val conf =
+      if (cfIdx >= 0 && !m.isNullAt(cfIdx))
+        m.getMap[String, String](cfIdx).toSeq.sortBy(_._1)
+          .map { case (k, value) =>
+            s""""${esc(k)}":"${esc(value)}"""" }
+          .mkString(",")
+      else ""
+    s"""{"metaData":{"id":"${esc(str("id"))}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
+        str("schemaString"))}","partitionColumns":[$pcols],"configuration":{$conf},"createdTime":$ct}}"""
+  }
+
+  /** A checkpoint add's deletionVector struct as the replay
+    * descriptor. */
+  private def dvDescriptorOfRow(
+      d: org.apache.spark.sql.Row): DeletionVectors.Descriptor = {
+    def optLong(f: String): Option[Long] = {
+      val i = d.schema.fieldNames.indexOf(f)
+      if (i >= 0 && !d.isNullAt(i)) Some(d.getAs[Number](i).longValue)
+      else None
+    }
+    DeletionVectors.Descriptor(
+      d.getAs[String]("storageType"),
+      d.getAs[String]("pathOrInlineDv"),
+      optLong("offset"),
+      optLong("sizeInBytes").getOrElse(-1L),
+      optLong("cardinality").getOrElse(-1L))
   }
 
   /** Extract the schemaString from the metaData action (JSON-unescaped)

@@ -61,17 +61,30 @@ class DeltaObligationsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
-  test("delta.enableChangeDataFeed: appends pass, partial-file rewrites refuse by name") {
+  test("delta.enableChangeDataFeed: appends pass, the DML triad emits change data, non-emitting writers refuse by name") {
     val dir = newTable(""""delta.enableChangeDataFeed":"true"""")
     DeltaExport.appendDeltaTable(spark,
       Seq((3L, 30.0)).toDF("id", "bal"), dir)
+    // since r18 the obligation is HONORED, not refused: the DML triad
+    // writes _change_data + cdc actions (contract ≡ CDC derivation,
+    // DeltaCdfSpec); only non-emitting writers still refuse
+    val vDel = DeltaExport.deleteFromDeltaTable(spark, dir,
+      col("id") === 1L)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "_change_data")))
+    assert(DeltaExport.readDeltaCdf(spark, dir, vDel - 1, Some(vDel))
+      .select("_change_type").collect().map(_.getString(0)).toSeq ===
+      Seq("delete"))
+    val vUpd = DeltaExport.updateDeltaTableDv(spark, dir,
+      col("id") === 2L, Map("bal" -> lit(1.0)))
+    assert(DeltaExport.readDeltaCdf(spark, dir, vUpd - 1, Some(vUpd))
+      .select("_change_type").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq ===
+      Seq("update_postimage", "update_preimage"))
     val e = intercept[IllegalArgumentException](
-      DeltaExport.deleteFromDeltaTable(spark, dir, col("id") === 1L))
+      DeltaExport.overwriteDeltaTable(spark,
+        Seq((9L, 9.0)).toDF("id", "bal"), dir))
     assert(e.getMessage.contains("CHANGE DATA FEED"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException](
-      DeltaExport.updateDeltaTableDv(spark, dir, col("id") === 1L,
-        Map("bal" -> lit(1.0))))
-    assert(e2.getMessage.contains("CHANGE DATA FEED"), e2.getMessage)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 

@@ -2214,6 +2214,157 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("checkpointed pruned read: distributed checkpoint prune matches the replayed prune, tail supersedes") {
+    import graft.core.DeltaExport
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_cppr").toString
+    // 4 range-clustered files → tight per-file id stats
+    DeltaExport.writeDeltaTable(spark,
+      spark.range(1000).select(col("id"), (col("id") % 7).as("x"))
+        .repartitionByRange(4, col("id")), dir)
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    // TAIL commits after the checkpoint: an append inside the band and
+    // a DV delete that re-adds one checkpoint file with a vector (the
+    // tail's word must supersede the checkpoint row for that file)
+    DeltaExport.appendDeltaTable(spark,
+      spark.range(2000, 2010).select(col("id"), (col("id") % 7).as("x"))
+        .coalesce(1), dir)
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") === 100L)
+    val (out, cand, live) = DeltaExport.readDeltaTablePruned(
+      spark, dir, "id", 0.0, 300.0)
+    // band 0-300 hits ~2 of the 4 clustered files, not the 2000s append
+    assert(cand < live, s"cand=$cand live=$live")
+    val expected = DeltaExport.readDeltaTable(spark, dir)
+      .filter(col("id").between(0L, 300L))
+    assert(out.exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(out).count() === 0L)
+    // the DV re-added in the tail is applied: id 100 is gone
+    assert(out.filter(col("id") === 100L).count() === 0L)
+    // a second band catching the tail append delivers it
+    val (out2, _, _) = DeltaExport.readDeltaTablePruned(
+      spark, dir, "id", 1999.0, 3000.0)
+    assert(out2.count() === 10L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("checkpointed pruned read at a SYNTHETIC 100k-file log: candidates stay bounded, driver never holds the stats") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_100k").toString
+    // two REAL files at the band edges; 99,998 phantom adds with
+    // disjoint stats bands (never candidates, so never opened)
+    spark.range(0, 50).select(col("id")).coalesce(1)
+      .write.parquet(s"$dir/real")
+    val reals = new java.io.File(s"$dir/real").listFiles()
+      .map(f => s"real/${f.getName}").filter(_.endsWith(".parquet"))
+    assert(reals.length === 1)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_delta_log"))
+    val schemaJson =
+      spark.range(1).select(col("id")).schema.json
+    def statsJson(mn: Long, mx: Long) =
+      s"""{\\"numRecords\\":50,\\"minValues\\":{\\"id\\":$mn},\\"maxValues\\":{\\"id\\":$mx},\\"nullCount\\":{\\"id\\":0}}"""
+    def addLine(path: String, mn: Long, mx: Long) =
+      s"""{"add":{"path":"$path","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true,"stats":"${statsJson(mn, mx)}"}}"""
+    val esc = schemaJson.replace("\\", "\\\\").replace("\"", "\\\"")
+    val header = Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"33333333-2222-3333-4444-555555555555","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{},"createdTime":1}}""")
+    // v0: real file + 100k phantoms, written via Spark as the
+    // CHECKPOINT (the JSON form of 100k adds is what the checkpoint
+    // replaces); the tiny v0 json carries just the header + real add
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000000.json"),
+      (header :+ addLine(reals.head, 0L, 49L))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val phantoms = spark.range(1, 100000).select(
+      concat(lit("phantom-"), col("id"), lit(".parquet")).as("path"),
+      (col("id") * 1000L + 10000L).as("mn"),
+      (col("id") * 1000L + 10999L).as("mx"))
+    val cpRows = phantoms.select(
+      lit(null).cast("struct<minReaderVersion:int,minWriterVersion:int>")
+        .as("protocol"),
+      lit(null).cast(
+        "struct<id:string,schemaString:string,partitionColumns:array<string>,createdTime:bigint,configuration:map<string,string>>")
+        .as("metaData"),
+      struct(col("path"),
+        map().cast("map<string,string>").as("partitionValues"),
+        lit(10L).as("size"), lit(1L).as("modificationTime"),
+        lit(false).as("dataChange"),
+        concat(lit("""{"numRecords":50,"minValues":{"id":"""), col("mn"),
+          lit("""},"maxValues":{"id":"""), col("mx"),
+          lit("""},"nullCount":{"id":0}}""")).as("stats")).as("add"))
+    val protoRow = spark.sql(
+      """SELECT named_struct('minReaderVersion', 1, 'minWriterVersion', 2) AS protocol,
+        CAST(NULL AS struct<id:string,schemaString:string,partitionColumns:array<string>,createdTime:bigint,configuration:map<string,string>>) AS metaData,
+        CAST(NULL AS struct<path:string,partitionValues:map<string,string>,size:bigint,modificationTime:bigint,dataChange:boolean,stats:string>) AS add""")
+    val metaRow = spark.range(1).select(
+      lit(null).cast("struct<minReaderVersion:int,minWriterVersion:int>")
+        .as("protocol"),
+      struct(lit("33333333-2222-3333-4444-555555555555").as("id"),
+        lit(schemaJson).as("schemaString"),
+        array().cast("array<string>").as("partitionColumns"),
+        lit(1L).as("createdTime"),
+        map().cast("map<string,string>").as("configuration")).as("metaData"),
+      lit(null).cast(
+        "struct<path:string,partitionValues:map<string,string>,size:bigint,modificationTime:bigint,dataChange:boolean,stats:string>")
+        .as("add"))
+    val realAdd = spark.range(1).select(
+      lit(null).cast("struct<minReaderVersion:int,minWriterVersion:int>")
+        .as("protocol"),
+      lit(null).cast(
+        "struct<id:string,schemaString:string,partitionColumns:array<string>,createdTime:bigint,configuration:map<string,string>>")
+        .as("metaData"),
+      struct(lit(reals.head).as("path"),
+        map().cast("map<string,string>").as("partitionValues"),
+        lit(10L).as("size"), lit(1L).as("modificationTime"),
+        lit(false).as("dataChange"),
+        lit("""{"numRecords":50,"minValues":{"id":0},"maxValues":{"id":49},"nullCount":{"id":0}}""").as("stats")).as("add"))
+    val tmpCp = java.nio.file.Files
+      .createTempDirectory("graft_100k_cp").toString
+    protoRow.unionByName(metaRow).unionByName(realAdd)
+      .unionByName(cpRows).coalesce(1)
+      .write.mode("overwrite").parquet(tmpCp)
+    val cpFile = new java.io.File(tmpCp).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(tmpCp, cpFile),
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000000.checkpoint.parquet"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":0,"size":100001}""".getBytes("UTF-8"))
+    // the prune: band 0-49 → ONLY the real file survives the
+    // distributed filter; 99,999 phantom stats never reach the driver
+    val t0 = System.nanoTime()
+    val (out, cand, live) = DeltaExport.readDeltaTablePruned(
+      spark, dir, "id", 0.0, 49.0)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(live === 100000, s"live=$live")
+    assert(cand === 1, s"cand=$cand")
+    assert(out.count() === 50L)
+    info(f"100k-file checkpointed prune planned+read in $ms%.0f ms")
+    // the probe the prune avoids: FULL driver materialization of the
+    // same snapshot (statsAt keeps stats — the pre-r18 shape of every
+    // read). Indicative only (GC noise), recorded in BASELINE.md.
+    def used(): Long = {
+      System.gc(); System.gc()
+      Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+    }
+    val m0 = used()
+    val full = graft.core.DeltaExport.statsAt(spark, dir)
+    val m1 = used()
+    val bytes = full.map { case (k, v) => k.length + v.length }.sum
+    info(s"full materialization holds ${full.size} stats strings " +
+      s"(${bytes / 1024} KB of path+stats chars; JVM delta ~" +
+      s"${math.max(0L, m1 - m0) / 1024} KB) vs 1 candidate row")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpCp))
+  }
+
   test("Vacuum leaves a FRESH commit staging file for a live writer, reclaims an aged one") {
     import graft.core.DeltaExport
     import spark.implicits._
