@@ -874,7 +874,20 @@ object DeltaExport {
     if (pcols.isEmpty) phys.write.mode("append").parquet(cdcRoot)
     else phys.write.partitionBy(pcols.map(ctx.phys): _*)
       .mode("append").parquet(cdcRoot)
-    val fresh = (cdcFilesRelative(dir) -- before).toSeq.sorted
+    var fresh = (cdcFilesRelative(dir) -- before).toSeq.sorted
+    if (fresh.isEmpty) {
+      // a DML whose change set is EMPTY (an idempotent merge whose
+      // matches are all identical carry-overs) must STILL commit a cdc
+      // action — a dataChange remove without one reads as a broken
+      // writer and poisons every later CDF read of the range. The
+      // dynamic-partition writer emits no file for empty output, so
+      // land one schema-only flat file explicitly.
+      phys.limit(0).repartition(1).write.mode("append").parquet(cdcRoot)
+      fresh = (cdcFilesRelative(dir) -- before).toSeq.sorted
+      require(fresh.nonEmpty,
+        "empty change-data write produced no file — the commit would " +
+          "carry removes without cdc actions")
+    }
     fresh.map { rel =>
       val pv = hivePartitionValues(rel).toSeq.sortBy(_._1)
         .map { case (k, value) =>
@@ -974,9 +987,18 @@ object DeltaExport {
           .select(outCols.map(col): _*)
       }
     }.filter(_ != null)
-    require(perCommit.nonEmpty,
-      s"no change in commits (${fromVersion}, ${until}]")
-    perCommit.reduce(_.unionByName(_))
+    if (perCommit.isEmpty) {
+      // only maintenance commits (OPTIMIZE / PURGE / CHECKPOINT) in
+      // range — an EMPTY feed, not an error: a quiet poll cycle is the
+      // incremental consumer's normal case
+      val fields = schema.fields ++ Seq(
+        ctCol,
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(fields))
+    } else perCommit.reduce(_.unionByName(_))
   }
 
   /** Highest committed writer-transaction version for `appId` — the
@@ -2366,15 +2388,17 @@ object DeltaExport {
 
   private def vacuumDeltaTableImpl(spark: SparkSession, dir: String,
       retentionMs: Long): Seq[String] = {
-    val st = snapshotState(spark, dir, None, keepStats = false)
+    // tombstone clocks and the latest snapshot come from ONE
+    // incremental replay of the surviving log (retention 0 skips the
+    // clock bookkeeping entirely — every dead file reclaims
+    // unconditionally, the pre-existing behavior)
+    val (tombstones, dvDeadSince, st) =
+      if (retentionMs == 0L)
+        (Map.empty[String, Long], Map.empty[String, Long],
+          snapshotState(spark, dir, None, keepStats = false))
+      else removeTombstones(spark, dir)
     val live = st.live.toSet
     val cutoff = System.currentTimeMillis() - retentionMs
-    // tombstone clocks come from ONE incremental replay of the
-    // surviving log (skipped entirely at retention 0, where every dead
-    // file reclaims unconditionally — the pre-existing behavior)
-    val (tombstones, dvDeadSince) =
-      if (retentionMs == 0L) (Map.empty[String, Long], Map.empty[String, Long])
-      else removeTombstones(spark, dir)
     def mtimeOk(rel: String): Boolean =
       try Files.getLastModifiedTime(Paths.get(dir, rel)).toMillis <= cutoff
       catch { case _: java.io.IOException => false }
@@ -2396,6 +2420,16 @@ object DeltaExport {
       retentionMs == 0L || dvDeadSince.get(rel).map(_ <= cutoff)
         .getOrElse(mtimeOk(rel)))
     staleDvs.foreach(rel => Files.delete(Paths.get(dir, rel)))
+    // CDF change files: reclaimable once NO surviving commit's cdc
+    // action references them (the actions expired with the log, or a
+    // failed write orphaned the file) and the clock passed. The mtime
+    // IS the clock — a change file is written exactly once, at its
+    // commit's time, and is never re-referenced later.
+    val cdcRef = cdcReferencedPaths(dir)
+    val staleCdc = cdcFilesRelative(dir).toSeq.sorted
+      .filterNot(cdcRef)
+      .filter(rel => retentionMs == 0L || mtimeOk(rel))
+    staleCdc.foreach(rel => Files.delete(Paths.get(dir, rel)))
     // crash leftovers from atomic-commit staging (.tmp_commit_* files a
     // dying JVM never linked or unlinked): logVersions ignores them, so
     // the only cost is litter — vacuum is the reclaim entry point. Only
@@ -2418,9 +2452,21 @@ object DeltaExport {
           .toSeq
       } finally tmpList.close()
     staleTmps.foreach(Files.deleteIfExists(_))
-    stale ++ staleDvs ++
+    stale ++ staleDvs ++ staleCdc ++
       staleTmps.map(p => s"_delta_log/${p.getFileName.toString}")
   }
+
+  /** `_change_data` paths referenced by any SURVIVING commit's cdc
+    * actions — the reachability set vacuum must preserve (a CDF read
+    * of those commits scans exactly these files). */
+  private def cdcReferencedPaths(dir: String): Set[String] =
+    logVersions(dir).flatMap { v =>
+      new String(
+        Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(v))),
+        StandardCharsets.UTF_8).split("\n").toSeq
+        .filter(_.startsWith("""{"cdc""""))
+        .map(pathOf(_, "cdc"))
+    }.toSet
 
   /** Tombstone clocks for the TIMED vacuum, from one incremental
     * replay of the surviving log: (data-file dead-since, DV-bin
@@ -2436,23 +2482,18 @@ object DeltaExport {
     * the caller falls back to file mtime, Delta's untracked-file
     * rule. */
   private def removeTombstones(spark: SparkSession,
-      dir: String): (Map[String, Long], Map[String, Long]) = {
+      dir: String): (Map[String, Long], Map[String, Long], ReplayState) = {
     val versions = logVersions(dir)
-    val (st, tail) = lastCheckpoint(dir) match {
-      case Some(p) =>
-        (loadCheckpoint(spark, dir, p.version, p.parts, keepStats = false),
-          versions.filter(_ > p.version))
-      case None =>
-        val s0 = new ReplayState
-        s0.keepStats = false
-        (s0, versions)
-    }
     val dtRe = """"deletionTimestamp":(\d+)""".r
     val tomb = scala.collection.mutable.Map.empty[String, Long]
     val dvDead = scala.collection.mutable.Map.empty[String, Long]
-    var prevRef = st.dvs.values
-      .flatMap(DeletionVectors.referencedRelPath).toSet
-    tail.foreach { v =>
+    // tombstone clocks come from EVERY surviving JSON commit — a
+    // checkpoint carries no remove tombstones, and JSON at or before
+    // the checkpoint routinely SURVIVES (expiry is a separate op), so
+    // skipping it would drop the deletionTimestamp of every
+    // pre-checkpoint remove and let the mtime fallback (file CREATION
+    // time) reclaim within-window files
+    def scanTombstones(v: Long): Unit = {
       val ts = commitTimestamp(dir, v)
       val lines = new String(
         Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(v))),
@@ -2466,6 +2507,27 @@ object DeltaExport {
         } else if (l.startsWith("""{"add""""))
           tomb -= pathOf(l, "add")
       }
+    }
+    // DV transitions need ordered REPLAY: when the full JSON history
+    // survives, replay it from scratch (exact clocks everywhere); once
+    // early history has expired, seed from the checkpoint — surviving
+    // JSON at or before it still contributes tombstones above, but a
+    // bin un-referenced before the checkpoint falls back to mtime
+    val (st, dvTail) = lastCheckpoint(dir) match {
+      case Some(p) if !versions.headOption.contains(0L) =>
+        versions.filter(_ <= p.version).foreach(scanTombstones)
+        (loadCheckpoint(spark, dir, p.version, p.parts, keepStats = false),
+          versions.filter(_ > p.version))
+      case _ =>
+        val s0 = new ReplayState
+        s0.keepStats = false
+        (s0, versions)
+    }
+    var prevRef = st.dvs.values
+      .flatMap(DeletionVectors.referencedRelPath).toSet
+    dvTail.foreach { v =>
+      val ts = commitTimestamp(dir, v)
+      scanTombstones(v)
       applyCommit(dir, v, st)
       val ref = st.dvs.values
         .flatMap(DeletionVectors.referencedRelPath).toSet
@@ -2473,7 +2535,8 @@ object DeltaExport {
       (ref -- prevRef).foreach(dvDead -= _)
       prevRef = ref
     }
-    (tomb.toMap, dvDead.toMap)
+    require(st.meta != null, "no metaData action in the replayed log")
+    (tomb.toMap, dvDead.toMap, st)
   }
 
   /** All `deletion_vector_*.bin` files under `dir` as table-relative
@@ -3257,13 +3320,17 @@ object DeltaExport {
       // tail supersedes checkpoint: a path the tail added (DV re-add,
       // rewrite) or removed defers to the tail's state
       .join(broadcast(touchedDf), Seq("path"), "left_anti")
-    val liveCp = cpAdds.count()
-    // THE bounded collect: candidate rows only
-    val cpCands = cpAdds
+    // ONE job over the checkpoint: the live total aggregates beside
+    // the candidate rows (collect_list skips the null non-candidates),
+    // so the checkpoint parquet is scanned once, not twice
+    val cpAgg = cpAdds
       .withColumn("s", from_json(col("stats"), statsParsedSchema))
-      .filter(keep)
-      .select(col("path"), col("pv"), col("dv"))
-      .collect()
+      .agg(count(lit(1)).as("n"),
+        collect_list(when(keep,
+          struct(col("path"), col("pv"), col("dv")))).as("cands"))
+      .collect().head
+    val liveCp = cpAgg.getLong(0)
+    val cpCands = cpAgg.getSeq[org.apache.spark.sql.Row](1)
     // tail candidates: the small recent window, pruned driver-side
     val tailFiles = tail.live.toSeq
     val tailCands =

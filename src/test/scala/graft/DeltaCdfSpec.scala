@@ -156,6 +156,44 @@ class DeltaCdfSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("an idempotent merge (all carry-overs) still commits a cdc action; maintenance-only ranges read as an EMPTY feed") {
+    val dir = newCdfTable(10)
+    // merge the table's own rows back: every match is an identical
+    // carry-over — files rewrite (removes land) but the change set is
+    // EMPTY. The commit must still carry a cdc action, or every later
+    // CDF read of the range refuses.
+    val vM = DeltaExport.mergeDeltaTable(spark,
+      spark.range(5).select(col("id"), (col("id") * 10).as("bal")),
+      dir, Seq("id"))
+    val cdfM = DeltaExport.readDeltaCdf(spark, dir, vM - 1, Some(vM))
+    assert(cdfM.count() === 0L, "identical carry-overs are non-changes")
+    // a maintenance-only range is an empty feed with the right schema,
+    // not an error (the quiet poll cycle)
+    val vO = DeltaExport.optimizeDeltaTable(spark, dir, targetFiles = 1)
+    val quiet = DeltaExport.readDeltaCdf(spark, dir, vO - 1, Some(vO))
+    assert(quiet.count() === 0L)
+    assert(quiet.schema.fieldNames.toSeq ===
+      Seq("id", "bal", "_change_type", "_commit_version"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("vacuum reclaims _change_data only after its cdc actions expire with the log") {
+    val dir = newCdfTable(10)
+    val v = DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") === 2L)
+    assert(DeltaExport.readDeltaCdf(spark, dir, v - 1, Some(v)).count() === 1L)
+    // while the cdc action survives, the file is reachable — kept
+    assert(!DeltaExport.vacuumDeltaTable(spark, dir)
+      .exists(_.startsWith("_change_data/")))
+    // checkpoint + expiry discard the cdc action → the file is
+    // unreachable litter and retention-0 vacuum reclaims it
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    DeltaExport.expireLogBefore(dir)
+    val reclaimed = DeltaExport.vacuumDeltaTable(spark, dir)
+    assert(reclaimed.exists(_.startsWith("_change_data/")), reclaimed.toString)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 9L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("OVERWRITE and RESTORE still refuse CDF tables by name — they emit no change data") {
     val dir = newCdfTable(5)
     val e = intercept[IllegalArgumentException](

@@ -2173,6 +2173,26 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("Timed vacuum after a checkpoint still honors PRE-checkpoint tombstones from surviving JSON") {
+    import graft.core.DeltaExport
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_tvac_cp").toString
+    DeltaExport.writeDeltaTable(spark,
+      spark.range(50).select(col("id"), (col("id") * 2).as("x")), dir)
+    DeltaExport.overwriteDeltaTable(spark,
+      spark.range(50, 90).select(col("id"), (col("id") * 2).as("x")), dir)
+    // checkpoint AFTER the remove — its JSON survives (no expiry), so
+    // the remove tombstone must still gate the clock: a replay that
+    // started at the checkpoint would lose it and fall back to the
+    // files' CREATION mtime, reclaiming within-window history
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    assert(DeltaExport.vacuumDeltaTable(spark, dir, 168.0, force = false)
+      === Seq.empty)
+    // v0 time travel still reads — its JSON and files both survive
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(0L)).count() === 50L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Timed vacuum: a superseded DV bin survives the window, reclaims once its un-referencing commit ages out") {
     import graft.core.DeltaExport
     val dir = java.nio.file.Files
