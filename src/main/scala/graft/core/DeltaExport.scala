@@ -1148,7 +1148,6 @@ object DeltaExport {
       newSchema: org.apache.spark.sql.types.StructType): Long = {
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
-    requireNoColumnMapping(snap.meta, "ADD COLUMNS")
     val old = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -1170,6 +1169,39 @@ object DeltaExport {
       s"added column(s) ${notNullable.mkString(", ")} are non-nullable — " +
         "existing files do not carry them, so reads would violate the " +
         "contract; add them nullable")
+    // COLUMN-MAPPED tables evolve natively (r18): each appended column
+    // ALLOCATES a fresh field id (maxColumnId + 1, …) and a uuid
+    // physical name — the protocol's rule, and what lets the new
+    // column later RENAME for free. Existing fields keep their LOGGED
+    // metadata verbatim (never the caller's copy — a caller-supplied
+    // prefix without the physicalName/id metadata would strip the
+    // mapping off every standing column).
+    val cmMode = columnMappingMode(snap.meta)
+    var conf = configurationOf(snap.meta)
+    val finalSchema =
+      if (cmMode == "none")
+        org.apache.spark.sql.types.StructType(old.fields ++ appended)
+      else {
+        val existingIds = old.fields
+          .filter(_.metadata.contains("delta.columnMapping.id"))
+          .map(_.metadata.getLong("delta.columnMapping.id"))
+        val confMax = conf.get("delta.columnMapping.maxColumnId")
+          .flatMap(_.toLongOption).getOrElse(0L)
+        var nextId = math.max(confMax,
+          if (existingIds.isEmpty) 0L else existingIds.max)
+        val mapped = appended.map { f =>
+          nextId += 1
+          f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("delta.columnMapping.id", nextId)
+              .putString("delta.columnMapping.physicalName",
+                s"col-${java.util.UUID.randomUUID()}")
+              .build())
+        }
+        conf = conf + ("delta.columnMapping.maxColumnId" -> nextId.toString)
+        org.apache.spark.sql.types.StructType(old.fields ++ mapped)
+      }
     val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
     val id = idRe.findFirstMatchIn(snap.meta)
       .map(m => unescapeJson(m.group(1)))
@@ -1179,9 +1211,169 @@ object DeltaExport {
     val now = System.currentTimeMillis()
     writeCommit(dir, v, Seq(
       s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
-          newSchema.json)}","partitionColumns":[$pcolsJson],"configuration":{${renderConfiguration(
-          configurationOf(snap.meta))}},"createdTime":$now}}"""),
+          finalSchema.json)}","partitionColumns":[$pcolsJson],"configuration":{${renderConfiguration(
+          conf)}},"createdTime":$now}}"""),
       "ADD COLUMNS")
+    v
+  }
+
+  /** Upgrade an UNMAPPED table to column mapping, mode 'name' —
+    * Delta's `ALTER TABLE … SET TBLPROPERTIES (delta.columnMapping
+    * .mode = 'name')`: every existing column's physical name becomes
+    * its CURRENT display name (the standing files already carry those
+    * columns, so reads keep resolving byte-for-byte) and gets a field
+    * id 1…n; the configuration records the mode and maxColumnId; the
+    * protocol upgrades to reader 2 / writer 5 (the legacy mapping
+    * levels) or — when the table already speaks table features —
+    * merges `columnMapping` into BOTH feature lists. Pure metaData
+    * surgery: no file moves, time travel before the upgrade keeps the
+    * unmapped schema. After the upgrade, renames are metadata-only
+    * ([[renameDeltaTableColumn]]) and ADD COLUMNS allocates ids.
+    * Returns the new version. */
+  def upgradeToColumnMapping(spark: SparkSession, dir: String): Long = {
+    val v = latestVersion(dir) + 1
+    val snap = snapshotState(spark, dir, None, keepStats = false)
+    val mode = columnMappingMode(snap.meta)
+    require(mode == "none",
+      s"table already column-mapped (mode '$mode')")
+    val old = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(snap.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val mapped = org.apache.spark.sql.types.StructType(
+      old.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", (i + 1).toLong)
+            .putString("delta.columnMapping.physicalName", f.name)
+            .build())
+      })
+    val conf = configurationOf(snap.meta) +
+      ("delta.columnMapping.mode" -> "name") +
+      ("delta.columnMapping.maxColumnId" -> old.length.toString)
+    val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
+    val id = idRe.findFirstMatchIn(snap.meta)
+      .map(m => unescapeJson(m.group(1)))
+      .getOrElse(throw new IllegalStateException("metaData carries no id"))
+    val pcolsJson = partitionColumnsOf(snap.meta)
+      .map(c => s""""${esc(c)}"""").mkString(",")
+    val now = System.currentTimeMillis()
+    writeCommit(dir, v,
+      columnMappingUpgradedProtocol(snap).toSeq :+
+        s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
+            mapped.json)}","partitionColumns":[$pcolsJson],"configuration":{${renderConfiguration(
+            conf)}},"createdTime":$now}}""",
+      "UPGRADE COLUMN MAPPING")
+    v
+  }
+
+  /** The protocol action a column-mapping upgrade needs, if any:
+    * legacy protocols rise to reader 2 / writer 5 (mapping's legacy
+    * levels); a table-features protocol merges `columnMapping` into
+    * BOTH lists (the dvUpgradedProtocol never-clobber rule). None when
+    * already sufficient. */
+  private def columnMappingUpgradedProtocol(
+      st: ReplayState): Option[String] = {
+    val cur = Option(st.protocol).getOrElse(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val mrvRe = """"minReaderVersion":(\d+)""".r
+    val mwvRe = """"minWriterVersion":(\d+)""".r
+    val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
+    val wfRe = """"writerFeatures":\[([^\]]*)\]""".r
+    val mrv = mrvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(1)
+    val mwv = mwvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(2)
+    def feats(re: scala.util.matching.Regex): Option[Set[String]] =
+      re.findFirstMatchIn(cur).map(m => jsonStrRe.findAllMatchIn(m.group(1))
+        .map(e => unescapeJson(e.group(1))).toSet)
+    (feats(rfRe), feats(wfRe)) match {
+      case (Some(rf), Some(wf))
+          if rf.contains("columnMapping") && wf.contains("columnMapping") =>
+        None
+      case (rfo, wfo) if mrv >= 3 || mwv >= 7 || rfo.isDefined || wfo.isDefined =>
+        val rf0 = rfo.getOrElse(Set.empty[String])
+        val wf0 = wfo.getOrElse(legacyWriterFeatures(mwv))
+        def render(fs: Set[String]) = (fs + "columnMapping").toSeq.sorted
+          .map(f => s""""${esc(f)}"""").mkString(",")
+        Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[${render(
+            rf0)}],"writerFeatures":[${render(wf0)}]}}""")
+      case _ if mrv >= 2 && mwv >= 5 => None
+      case _ =>
+        Some(s"""{"protocol":{"minReaderVersion":${math.max(mrv, 2)},"minWriterVersion":${math.max(mwv, 5)}}}""")
+    }
+  }
+
+  /** ALTER TABLE RENAME COLUMN — the operation column mapping EXISTS
+    * for: on a mapped table the display name is log metadata, so the
+    * rename is ONE metaData commit (the physical name — and with it
+    * every standing parquet byte, stats key and partitionValues key —
+    * never changes; reads, prunes, appends and DML all keep resolving
+    * through the unchanged physical layer). Unmapped tables refuse:
+    * there the file columns ARE the display names, so a rename would
+    * strand every standing file (Delta refuses the same way — it
+    * demands the mapping upgrade first, [[upgradeToColumnMapping]]).
+    * A column referenced by a CHECK constraint, a legacy invariant, or
+    * a generation expression refuses by name — those expressions bind
+    * the LOGICAL name and would silently stop matching (Delta's
+    * dependency check). partitionColumns rename with the column (they
+    * are logical names; the Hive directories and partitionValues keys
+    * are physical and stay put). Returns the new version. */
+  def renameDeltaTableColumn(spark: SparkSession, dir: String,
+      oldName: String, newName: String): Long = {
+    require(newName.nonEmpty && oldName != newName,
+      s"bad rename: '$oldName' -> '$newName'")
+    val v = latestVersion(dir) + 1
+    val snap = snapshotState(spark, dir, None, keepStats = false)
+    val mode = columnMappingMode(snap.meta)
+    require(mode == "name" || mode == "id",
+      "RENAME COLUMN requires column mapping — on an unmapped table " +
+        "the parquet columns ARE the display names, so a rename would " +
+        "strand every standing file; run upgradeToColumnMapping first")
+    val old = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(snap.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(old.fieldNames.contains(oldName),
+      s"no column '$oldName' — have ${old.fieldNames.mkString(", ")}")
+    require(!old.fieldNames.contains(newName),
+      s"column '$newName' already exists")
+    // dependency check: expressions bind LOGICAL names — a rename
+    // would silently unbind them (word-boundary match, so 'bal' does
+    // not false-positive on 'balance')
+    val word = ("""(?<![A-Za-z0-9_`])""" + java.util.regex.Pattern.quote(
+      oldName) + """(?![A-Za-z0-9_])""").r
+    val boundConstraints = checkConstraintsOf(snap.meta).collect {
+      case (n, e) if word.findFirstIn(e).isDefined => n
+    }
+    require(boundConstraints.isEmpty,
+      s"column '$oldName' is referenced by CHECK constraint(s) " +
+        s"${boundConstraints.mkString(", ")} — drop them first (their " +
+        "expressions bind the logical name)")
+    val boundFields = old.fields.filter { f =>
+      (f.metadata.contains("delta.invariants") &&
+        word.findFirstIn(f.metadata.getString("delta.invariants")).isDefined) ||
+      (f.metadata.contains("delta.generationExpression") &&
+        word.findFirstIn(
+          f.metadata.getString("delta.generationExpression")).isDefined)
+    }.map(_.name)
+    require(boundFields.isEmpty,
+      s"column '$oldName' is referenced by invariant/generation " +
+        s"expression(s) on ${boundFields.mkString(", ")} — renames " +
+        "would silently unbind them")
+    val renamed = org.apache.spark.sql.types.StructType(
+      old.fields.map(f => if (f.name == oldName) f.copy(name = newName)
+                          else f))
+    val pcolsJson = partitionColumnsOf(snap.meta)
+      .map(c => if (c == oldName) newName else c)
+      .map(c => s""""${esc(c)}"""").mkString(",")
+    val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
+    val id = idRe.findFirstMatchIn(snap.meta)
+      .map(m => unescapeJson(m.group(1)))
+      .getOrElse(throw new IllegalStateException("metaData carries no id"))
+    val now = System.currentTimeMillis()
+    writeCommit(dir, v, Seq(
+      s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
+          renamed.json)}","partitionColumns":[$pcolsJson],"configuration":{${renderConfiguration(
+          configurationOf(snap.meta))}},"createdTime":$now}}"""),
+      "RENAME COLUMN")
     v
   }
 
@@ -2818,12 +3010,11 @@ object DeltaExport {
     if (inv.isEmpty) pv else pv.map { case (k, v) => inv.getOrElse(k, k) -> v }
   }
 
-  /** Refuse an operation this layer still cannot express on a
-    * column-mapped table (schema evolution — new columns need
-    * physicalName/id ALLOCATION against maxColumnId, a writer contract
-    * graft does not implement). Data writers no longer come here:
-    * appends, overwrites, DML, OPTIMIZE, PURGE and CHECKPOINT write
-    * PHYSICAL column names (+ parquet field ids) via
+  /** Refuse the ONE operation this layer still cannot express on a
+    * column-mapped table: a schema-CHANGING overwrite (it replaces the
+    * whole schema wholesale — adding columns is [[evolveDeltaTableSchema]],
+    * which allocates ids, and renames are [[renameDeltaTableColumn]]).
+    * Every data writer handles mapped tables natively via
     * [[toPhysicalFrame]]. */
   private def requireNoColumnMapping(meta: String, op: String): Unit = {
     val m = columnMappingMode(meta)

@@ -14,8 +14,11 @@ import graft.core.DeltaExport
   * hand-built protocol-shaped logs, the DeletionVectorSpec posture.
   * Since r18 the WRITERS work too: appends, overwrite, DML, OPTIMIZE,
   * PURGE and CHECKPOINT land PHYSICAL column names + field ids
-  * (toPhysicalFrame); only schema evolution still refuses by name —
-  * it would allocate new physical names/ids. */
+  * (toPhysicalFrame); ADD COLUMNS allocates fresh ids/physical names
+  * against maxColumnId; upgradeToColumnMapping converts an unmapped
+  * table and renameDeltaTableColumn is the metadata-only rename the
+  * mapping exists for. Only a schema-CHANGING overwrite still refuses
+  * by name. */
 class ColumnMappingSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -102,11 +105,104 @@ class ColumnMappingSpec extends SparkTestBase {
       Seq((7L, "q")).toDF("id", "s"), dir)
     assert(DeltaExport.readDeltaTable(spark, dir)
       .as[(Long, String)].collect().toSeq === Seq((7L, "q")))
-    // schema EVOLUTION still refuses by name — it would allocate new
-    // physical names / field ids
-    val e = intercept[Exception](DeltaExport.evolveDeltaTableSchema(spark,
-      dir, schema.add(StructField("extra", LongType, nullable = true))))
-    assert(e.getMessage.contains("COLUMN-MAPPED"), e.getMessage)
+    // schema EVOLUTION allocates a fresh id + uuid physical name for
+    // the appended column (maxColumnId rule)
+    DeltaExport.evolveDeltaTableSchema(spark, dir,
+      schema.add(StructField("extra", LongType, nullable = true)))
+    val evolved = org.apache.spark.sql.types.DataType
+      .fromJson(DeltaExport.schemaStringOf(
+        DeltaExport.snapshotAt(spark, dir, None)._1))
+      .asInstanceOf[StructType]
+    val extraF = evolved("extra")
+    // the fixture's configuration pins maxColumnId=9 — allocation must
+    // respect IT, not the max existing field id
+    assert(extraF.metadata.getLong("delta.columnMapping.id") === 10L)
+    assert(extraF.metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"))
+    // standing file reads NULL in the new column; an append carrying
+    // it lands under the allocated PHYSICAL name
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .filter(col("extra").isNull).count() === 1L)
+    DeltaExport.appendDeltaTable(spark,
+      Seq((8L, "y", Option(80L))).toDF("id", "s", "extra"), dir)
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .filter(col("extra") === 80L).count() === 1L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("upgrade to column mapping, then RENAME COLUMN as pure metadata — standing files, stats and prunes keep resolving") {
+    import graft.core.DeltaExport
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_upgrade").toString
+    DeltaExport.writeDeltaTable(spark,
+      spark.range(100).select(col("id"), (col("id") * 2).as("bal"))
+        .repartitionByRange(2, col("id")), dir)
+    // unmapped tables refuse the rename by name — the parquet columns
+    // ARE the display names there
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.renameDeltaTableColumn(spark, dir, "bal", "balance"))
+    assert(e.getMessage.contains("upgradeToColumnMapping"), e.getMessage)
+    DeltaExport.upgradeToColumnMapping(spark, dir)
+    // reads unchanged; protocol upgraded to the mapping levels
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 100L)
+    val meta1 = DeltaExport.snapshotAt(spark, dir, None)._1
+    assert(meta1.contains(""""delta.columnMapping.mode":"name""""))
+    assert(meta1.contains(""""delta.columnMapping.maxColumnId":"2""""))
+    // the rename: ONE metaData commit; old files resolve through the
+    // unchanged physical name, stats keys keep pruning
+    DeltaExport.renameDeltaTableColumn(spark, dir, "bal", "balance")
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "balance"))
+    assert(back.agg(sum(col("balance"))).head().getLong(0) === 9900L)
+    val (_, cand, live) = DeltaExport.readDeltaTablePruned(
+      spark, dir, "id", 0.0, 10.0)
+    assert(live === 2 && cand === 1, s"cand=$cand live=$live")
+    // appends and DV DML keep working under the NEW logical name
+    DeltaExport.appendDeltaTable(spark,
+      spark.range(100, 110).select(col("id"), (col("id") * 2).as("balance")),
+      dir)
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("balance") === 0L)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 109L)
+    // time travel BEFORE the upgrade replays the unmapped schema
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(0L))
+      .schema.fieldNames.toSeq === Seq("id", "bal"))
+    // a rename bound by a CHECK constraint refuses by name; an
+    // UNRELATED column with a prefix-sharing name does not block it
+    DeltaExport.addCheckConstraintDeltaTable(spark, dir, "bpos",
+      "balance >= 0")
+    val e2 = intercept[IllegalArgumentException](
+      DeltaExport.renameDeltaTableColumn(spark, dir, "balance", "b2"))
+    assert(e2.getMessage.contains("bpos"), e2.getMessage)
+    DeltaExport.renameDeltaTableColumn(spark, dir, "id", "key")
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .schema.fieldNames.toSeq === Seq("key", "balance"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("rename of a partition column updates partitionColumns; physical Hive dirs and prunes survive") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_renpart").toString
+    DeltaExport.writeDeltaTablePartitioned(spark,
+      Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("id", "lang"),
+      dir, Seq("lang"))
+    DeltaExport.upgradeToColumnMapping(spark, dir)
+    DeltaExport.renameDeltaTableColumn(spark, dir, "lang", "language")
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "language"))
+    // the LOGICAL prune binds the new name; directories stay physical
+    val (pruned, cand, live) = DeltaExport.readDeltaTablePartitionPruned(
+      spark, dir, Map("language" -> "fr"))
+    assert(cand === 1 && cand < live, s"cand=$cand live=$live")
+    assert(pruned.select("id").as[Long].collect().toSeq === Seq(3L))
+    // appends route by the new logical name into the OLD physical dir
+    DeltaExport.appendDeltaTablePartitioned(spark,
+      Seq((4L, "fr")).toDF("id", "language"), dir)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "lang=fr")))
+    assert(DeltaExport.readDeltaTablePartitionPruned(
+      spark, dir, Map("language" -> "fr"))._1.count() === 2L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
