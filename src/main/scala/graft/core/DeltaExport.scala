@@ -692,10 +692,6 @@ object DeltaExport {
       "table is partitioned — a flat overwrite would drop the partition " +
         "layout the reader re-attaches columns from; re-create the table " +
         "with writeDeltaTablePartitioned instead")
-    enforceCheckConstraints(snap.meta, df, "OVERWRITE")
-    enforceWriterObligations(snap.meta, "OVERWRITE", removesData = true,
-      Some(df))
-    val live = snap.live.toSet
     // an overwrite MAY change the schema — but then the commit must
     // carry a superseding metaData action (same table id, new
     // schemaString), or readers keep scanning the new files with the
@@ -704,6 +700,16 @@ object DeltaExport {
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val sameSchema = schemaFits(df.schema, tableSchema)
+    // a schema-KEEPING overwrite honors the CDF obligation (every old
+    // row feeds as a delete, every new one as an insert — O(table)
+    // change data, which IS what an overwrite logically is); a
+    // schema-CHANGING one cannot express its feed in one schema and
+    // refuses through the obligation by name
+    val cdf = cdfEnabled(snap.meta) && sameSchema
+    enforceCheckConstraints(snap.meta, df, "OVERWRITE")
+    enforceWriterObligations(snap.meta, "OVERWRITE", removesData = true,
+      Some(df), emitsChangeData = cdf)
+    val live = snap.live.toSet
     // a schema-KEEPING overwrite of a mapped table writes physically,
     // like the appends; a schema-CHANGING one would allocate new
     // physical names / field ids — still refused by name
@@ -714,6 +720,17 @@ object DeltaExport {
      else df).write.mode("append").parquet(dir)
     val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
     require(fresh.nonEmpty, "overwrite produced no data files")
+    val cdcActions =
+      if (!cdf) Seq.empty[String]
+      else {
+        import org.apache.spark.sql.functions.lit
+        val oldRows = scanFiles(spark, dir, snap.meta, live.toSeq.sorted,
+            None, snap.pvals.toMap, snap.dvs.toMap)
+          .withColumn("_change_type", lit("delete"))
+        writeCdcFiles(spark, dir, snap.meta,
+          oldRows.unionByName(
+            df.withColumn("_change_type", lit("insert"))))
+      }
     val now = System.currentTimeMillis()
     val metaActions =
       if (sameSchema) Seq.empty[String]
@@ -729,7 +746,8 @@ object DeltaExport {
     val removes = live.toSeq.sorted.map(p =>
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
     writeCommit(dir, v,
-      metaActions ++ removes ++ addActions(spark, fresh, now), "OVERWRITE")
+      metaActions ++ removes ++ addActions(spark, fresh, now) ++ cdcActions,
+      "OVERWRITE")
     v
   }
 
@@ -1374,6 +1392,76 @@ object DeltaExport {
           renamed.json)}","partitionColumns":[$pcolsJson],"configuration":{${renderConfiguration(
           configurationOf(snap.meta))}},"createdTime":$now}}"""),
       "RENAME COLUMN")
+    v
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only under column mapping:
+    * the field leaves the schemaString; the standing parquet bytes
+    * stay where they are but become unreachable (the reader's
+    * pinned-schema scan never requests them), appends take the
+    * narrower schema from here on, and a LATER re-add of the same
+    * logical name allocates a FRESH id + physical name, so the old
+    * data provably never resurrects — exactly Delta's DROP COLUMN
+    * semantics, and exactly why it demands the mapping (on an
+    * unmapped table the name alone binds the data, so a re-added
+    * column would silently resurrect every old value). Same
+    * dependency guards as RENAME (CHECK constraints, invariants,
+    * generation expressions refuse by name); partition columns and
+    * the last remaining column refuse. Time travel before the drop
+    * still reads the column. Returns the new version. */
+  def dropDeltaTableColumn(spark: SparkSession, dir: String,
+      name: String): Long = {
+    val v = latestVersion(dir) + 1
+    val snap = snapshotState(spark, dir, None, keepStats = false)
+    val mode = columnMappingMode(snap.meta)
+    require(mode == "name" || mode == "id",
+      "DROP COLUMN requires column mapping — on an unmapped table the " +
+        "name alone binds the data, so re-adding the column later would " +
+        "silently resurrect the old values; run upgradeToColumnMapping " +
+        "first")
+    val old = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(snap.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(old.fieldNames.contains(name),
+      s"no column '$name' — have ${old.fieldNames.mkString(", ")}")
+    require(old.length > 1,
+      s"'$name' is the table's only column — a zero-column table is " +
+        "unreadable")
+    require(!partitionColumnsOf(snap.meta).contains(name),
+      s"'$name' is a partition column — the layout is the contract; " +
+        "dropping it rewrites the table (overwrite)")
+    val word = ("""(?<![A-Za-z0-9_`])""" + java.util.regex.Pattern.quote(
+      name) + """(?![A-Za-z0-9_])""").r
+    val boundConstraints = checkConstraintsOf(snap.meta).collect {
+      case (n, e) if word.findFirstIn(e).isDefined => n
+    }
+    require(boundConstraints.isEmpty,
+      s"column '$name' is referenced by CHECK constraint(s) " +
+        s"${boundConstraints.mkString(", ")} — drop them first")
+    val boundFields = old.fields.filter { f =>
+      (f.metadata.contains("delta.invariants") &&
+        word.findFirstIn(f.metadata.getString("delta.invariants")).isDefined) ||
+      (f.metadata.contains("delta.generationExpression") &&
+        word.findFirstIn(
+          f.metadata.getString("delta.generationExpression")).isDefined)
+    }.map(_.name)
+    require(boundFields.isEmpty,
+      s"column '$name' is referenced by invariant/generation " +
+        s"expression(s) on ${boundFields.mkString(", ")}")
+    val dropped = org.apache.spark.sql.types.StructType(
+      old.fields.filterNot(_.name == name))
+    val pcolsJson = partitionColumnsOf(snap.meta)
+      .map(c => s""""${esc(c)}"""").mkString(",")
+    val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
+    val id = idRe.findFirstMatchIn(snap.meta)
+      .map(m => unescapeJson(m.group(1)))
+      .getOrElse(throw new IllegalStateException("metaData carries no id"))
+    val now = System.currentTimeMillis()
+    writeCommit(dir, v, Seq(
+      s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
+          dropped.json)}","partitionColumns":[$pcolsJson],"configuration":{${renderConfiguration(
+          configurationOf(snap.meta))}},"createdTime":$now}}"""),
+      "DROP COLUMN")
     v
   }
 

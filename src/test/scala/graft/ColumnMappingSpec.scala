@@ -179,6 +179,45 @@ class ColumnMappingSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("DROP COLUMN is metadata-only under mapping; a re-added namesake never resurrects the old data") {
+    import graft.core.DeltaExport
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_drop").toString
+    DeltaExport.writeDeltaTable(spark,
+      spark.range(10).select(col("id"), (col("id") * 2).as("bal")), dir)
+    // unmapped tables refuse — a later namesake would resurrect data
+    val e0 = intercept[IllegalArgumentException](
+      DeltaExport.dropDeltaTableColumn(spark, dir, "bal"))
+    assert(e0.getMessage.contains("upgradeToColumnMapping"), e0.getMessage)
+    DeltaExport.upgradeToColumnMapping(spark, dir)
+    val vDrop = DeltaExport.dropDeltaTableColumn(spark, dir, "bal")
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.schema.fieldNames.toSeq === Seq("id"))
+    // pre-drop time travel still reads the column
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(vDrop - 1))
+      .schema.fieldNames.toSeq === Seq("id", "bal"))
+    // re-add a NAMESAKE: it allocates a fresh id + physical name, so
+    // every standing row reads NULL — the old bytes never resurrect
+    DeltaExport.evolveDeltaTableSchema(spark, dir,
+      org.apache.spark.sql.types.StructType(back.schema.fields :+
+        StructField("bal", LongType, nullable = true)))
+    val again = DeltaExport.readDeltaTable(spark, dir)
+    assert(again.filter(col("bal").isNotNull).count() === 0L,
+      "re-added namesake must NOT resurrect dropped data")
+    // appends under the new schema land and read back
+    DeltaExport.appendDeltaTable(spark,
+      Seq((100L, Option(7L))).toDF("id", "bal"), dir)
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .filter(col("bal") === 7L).count() === 1L)
+    // guards: last column, partition column, constraint-bound column
+    val e1 = intercept[IllegalArgumentException](
+      DeltaExport.dropDeltaTableColumn(spark, dir, "bal") match {
+        case _ => DeltaExport.dropDeltaTableColumn(spark, dir, "id")
+      })
+    assert(e1.getMessage.contains("only column"), e1.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("rename of a partition column updates partitionColumns; physical Hive dirs and prunes survive") {
     import graft.core.DeltaExport
     import spark.implicits._

@@ -194,12 +194,26 @@ class DeltaCdfSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
-  test("OVERWRITE and RESTORE still refuse CDF tables by name — they emit no change data") {
+  test("schema-keeping OVERWRITE on a CDF table feeds full deletes + inserts; schema-changing and RESTORE refuse") {
     val dir = newCdfTable(5)
+    val v = DeltaExport.overwriteDeltaTable(spark,
+      spark.range(100, 103).select(col("id"), (col("id") * 10).as("bal")),
+      dir)
+    val cdf = DeltaExport.readDeltaCdf(spark, dir, v - 1, Some(v))
+    assert(changeSet(cdf) === (
+      (0L until 5L).map(i => (i, i * 10, "delete") -> 1L) ++
+        (100L until 103L).map(i => (i, i * 10, "insert") -> 1L)).toMap)
+    assert(changeSet(cdf) === changeSet(
+      DeltaExport.deltaChangesBetween(spark, dir, v - 1, v, Seq("id"))))
+    // a SCHEMA-CHANGING overwrite cannot express its feed — refused
+    // through the obligation by name
     val e = intercept[IllegalArgumentException](
       DeltaExport.overwriteDeltaTable(spark,
-        Seq((1L, 1L)).toDF("id", "bal"), dir))
+        Seq((1L, "x")).toDF("id", "s"), dir))
     assert(e.getMessage.contains("CHANGE DATA FEED"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaExport.restoreDeltaTable(spark, dir, 0L))
+    assert(e2.getMessage.contains("CHANGE DATA FEED"), e2.getMessage)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
