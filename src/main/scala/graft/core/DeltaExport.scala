@@ -3343,7 +3343,23 @@ object DeltaExport {
     * Returns (result, candidateFiles, liveFiles). */
   def readDeltaTablePartitionPruned(spark: SparkSession, dir: String,
       filters: Map[String, String],
-      versionAsOf: Option[Long] = None): (DataFrame, Int, Int) = {
+      versionAsOf: Option[Long] = None): (DataFrame, Int, Int) =
+    lastCheckpoint(dir) match {
+      // checkpointed tables prune DISTRIBUTED (the stats-band rule
+      // applied to partitionValues): the equality filters run as a
+      // Spark job over the checkpoint parquet and only matching rows
+      // reach the driver
+      case Some(cp) if versionAsOf.forall(_ >= cp.version) =>
+        readDeltaTablePartitionPrunedCheckpointed(spark, dir, cp,
+          filters, versionAsOf)
+      case _ =>
+        readDeltaTablePartitionPrunedReplayed(spark, dir, filters,
+          versionAsOf)
+    }
+
+  private def readDeltaTablePartitionPrunedReplayed(spark: SparkSession,
+      dir: String, filters: Map[String, String],
+      versionAsOf: Option[Long]): (DataFrame, Int, Int) = {
     require(filters.nonEmpty, "no partition filters — use readDeltaTable")
     val st = snapshotState(spark, dir, versionAsOf, keepStats = false)
     val pcols = partitionColumnsOf(st.meta)
@@ -3365,6 +3381,114 @@ object DeltaExport {
     (scanFiles(spark, dir, st.meta, keep, versionAsOf, st.pvals.toMap,
       st.dvs.toMap),
       keep.size, files.size)
+  }
+
+  /** Partition prune via the CHECKPOINT — the readDeltaTablePruned
+    * shape applied to partitionValues: checkpoint add rows filter
+    * distributed on the (physical-keyed) partition map, only matches
+    * collect, the JSON tail replays driver-side and supersedes touched
+    * paths. */
+  private def readDeltaTablePartitionPrunedCheckpointed(
+      spark: SparkSession, dir: String, cp: CheckpointPointer,
+      filters: Map[String, String],
+      versionAsOf: Option[Long]): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    require(filters.nonEmpty, "no partition filters — use readDeltaTable")
+    val cpV = cp.version
+    val versions = logVersions(dir)
+    val cut = versionAsOf.getOrElse((cpV +: versions).max)
+    val missing = ((cpV + 1) to cut).filterNot(versions.contains)
+    require(missing.isEmpty,
+      s"commits after checkpoint v$cpV are missing: ${missing.mkString(",")}")
+    val tail = new ReplayState
+    tail.keepStats = false
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    ((cpV + 1) to cut).foreach { v =>
+      val lines = new String(
+        Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(v))),
+        StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+      lines.foreach { l =>
+        if (l.startsWith("""{"add"""")) touched += pathOf(l, "add")
+        else if (l.startsWith("""{"remove""""))
+          touched += pathOf(l, "remove")
+      }
+      applyCommit(dir, v, tail)
+    }
+    val paths = checkpointPaths(dir, cpV, cp.parts)
+    val gone = paths.filterNot(Files.isRegularFile(_))
+    require(gone.isEmpty,
+      s"_last_checkpoint names v$cpV but checkpoint file(s) " +
+        s"${gone.map(_.getFileName).mkString(", ")} are missing")
+    val cpBase = spark.read.parquet(paths.map(_.toString): _*)
+    var cpMeta: String = null
+    cpBase.filter(col("protocol").isNotNull || col("metaData").isNotNull)
+      .collect().foreach { r =>
+        structField(r, "protocol").foreach { pr =>
+          checkReaderProtocol(protocolLineOfRow(pr), s"in checkpoint v$cpV")
+        }
+        structField(r, "metaData").foreach(m => cpMeta = metaLineOfRow(m))
+      }
+    val meta = Option(tail.meta).getOrElse(cpMeta)
+    require(meta != null, s"checkpoint v$cpV carries no metaData")
+    val pcols = partitionColumnsOf(meta)
+    val bad = filters.keys.filterNot(pcols.contains)
+    require(bad.isEmpty,
+      s"filter column(s) ${bad.mkString(", ")} are not partition columns " +
+        s"(${pcols.mkString(", ")}) — a partition prune on a data column " +
+        "would scan nothing it should")
+    val cmPhys = physicalNames(
+      org.apache.spark.sql.types.DataType.fromJson(schemaStringOf(meta))
+        .asInstanceOf[org.apache.spark.sql.types.StructType],
+      columnMappingMode(meta))
+    val addT = cpBase.schema.fields.find(_.name == "add")
+      .map(_.dataType.asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(new org.apache.spark.sql.types.StructType())
+    def addCol(name: String, tpe: String) =
+      if (addT.fieldNames.contains(name)) col(s"add.$name")
+      else lit(null).cast(tpe)
+    val touchedDf = touched.toSeq.toDF("path")
+    val cpAdds = cpBase.filter(col("add").isNotNull)
+      .select(col("add.path").as("path"),
+        addCol("partitionValues", "map<string,string>").as("pv"),
+        addCol("deletionVector",
+          "struct<storageType:string,pathOrInlineDv:string," +
+            "offset:bigint,sizeInBytes:bigint,cardinality:bigint>")
+          .as("dv"))
+      .join(broadcast(touchedDf), Seq("path"), "left_anti")
+    // the match expression binds PHYSICAL keys (the logged spelling);
+    // null filter values match null partitions via the null-safe <=>
+    val matchExpr = filters.map { case (k, v) =>
+      val pk = cmPhys.getOrElse(k, k)
+      element_at(col("pv"), pk) <=> lit(v)
+    }.reduce(_ && _)
+    val cpAgg = cpAdds
+      .agg(count(lit(1)).as("n"),
+        collect_list(when(matchExpr,
+          struct(col("path"), col("pv"), col("dv")))).as("cands"))
+      .collect().head
+    val liveCp = cpAgg.getLong(0)
+    val cpCands = cpAgg.getSeq[org.apache.spark.sql.Row](1)
+    val tailKeep = tail.live.toSeq.filter { f =>
+      val pv = logicalPvals(
+        tail.pvals.getOrElse(f, hivePartitionValues(f)), cmPhys)
+      filters.forall { case (k, v) => pv.contains(k) && pv(k) == v }
+    }
+    val candidates = (cpCands.map(_.getString(0)).toSeq ++ tailKeep).sorted
+    val pvals: Map[String, Map[String, String]] =
+      cpCands.flatMap { r =>
+        val i = r.schema.fieldNames.indexOf("pv")
+        if (r.isNullAt(i)) None
+        else Some(r.getString(0) -> r.getMap[String, String](i).toMap)
+      }.toMap ++ tail.pvals
+    val dvs: Map[String, DeletionVectors.Descriptor] =
+      cpCands.flatMap { r =>
+        val i = r.schema.fieldNames.indexOf("dv")
+        if (r.isNullAt(i)) None
+        else Some(r.getString(0) -> dvDescriptorOfRow(r.getStruct(i)))
+      }.toMap ++ tail.dvs
+    (scanFiles(spark, dir, meta, candidates, versionAsOf, pvals, dvs),
+      candidates.size, (liveCp + tail.live.size).toInt)
   }
 
   /** Incremental (streaming-source) consumption of a Delta table: the

@@ -1832,10 +1832,81 @@ object Relational {
       FROM changes GROUP BY _commit_version, _change_type
       ORDER BY _commit_version, _change_type"""))
 
+  /** The COLUMN-MAPPING lifecycle composition, oracle-EXACT — the
+    * q163 discipline applied to the mapping family: write → UPGRADE to
+    * column mapping → RENAME (bal→balance, pure metadata) → EVOLVE
+    * (allocate id/physical name for `segment`) → APPEND under the new
+    * schema → DV DELETE through the renamed column's table → read.
+    * The invariants ride the hash gate: pre-upgrade time travel keeps
+    * the ORIGINAL schema (`pre_upgrade_schema`), the final schema
+    * carries the renamed + evolved names (`renamed_resolves`), and a
+    * stats-band read over the RENAMED column still answers exactly
+    * (`band_rows` — the physical stats key resolves through the
+    * rename). The oracle replays the append + delete relationally;
+    * renames change no values, which is the point. */
+  val q165MappingLifecycle = GraftQuery(
+    "q165_mapping_lifecycle", { (s, dir) =>
+      import s.implicits._
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q165_delta").toString
+      try {
+        val D = graft.core.DeltaExport
+        D.writeDeltaTable(s, base.repartitionByRange(4, col("k")), tmp)
+        D.upgradeToColumnMapping(s, tmp)
+        D.renameDeltaTableColumn(s, tmp, "bal", "balance")
+        val renamed = org.apache.spark.sql.types.DataType
+          .fromJson(D.schemaStringOf(D.snapshotAt(s, tmp, None)._1))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        D.evolveDeltaTableSchema(s, tmp, renamed.add(
+          org.apache.spark.sql.types.StructField("segment",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+        D.appendDeltaTable(s,
+          base.filter(col("k") % 10 === 1)
+            .select((col("k") + 10000000L).as("k"),
+              col("bal").as("balance"), (col("k") % 5).as("segment")),
+          tmp)
+        D.deleteFromDeltaTableDv(s, tmp, col("k") % 7 === 3)
+        val preUpgrade = D.readDeltaTable(s, tmp, Some(0L))
+          .schema.fieldNames.toSeq == Seq("k", "bal")
+        val renamedResolves = D.readDeltaTable(s, tmp)
+          .schema.fieldNames.toSeq == Seq("k", "balance", "segment")
+        val bandRows = D.readDeltaTablePruned(s, tmp, "balance",
+          0.0, 500.0)._1.count()
+        D.readDeltaTable(s, tmp)
+          .agg(count(lit(1)).as("rows_after"),
+            sum(round(col("balance") * 1e2).cast("long")).as("bal_cents"),
+            count(col("segment")).as("segmented"),
+            min(col("k")).as("min_k"))
+          .withColumn("pre_upgrade_schema", lit(preUpgrade))
+          .withColumn("renamed_resolves", lit(renamedResolves))
+          .withColumn("band_rows", lit(bandRows))
+          .localCheckpoint(eager = true)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    },
+    Some("""WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+      appended AS (
+        SELECT k, bal, CAST(NULL AS BIGINT) AS segment FROM base
+        UNION ALL
+        SELECT k + 10000000, bal, k % 5 FROM base WHERE k % 10 = 1),
+      live AS (SELECT * FROM appended WHERE k % 7 <> 3)
+      SELECT count(*) AS rows_after,
+        CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+        count(segment) AS segmented,
+        min(k) AS min_k,
+        TRUE AS pre_upgrade_schema,
+        TRUE AS renamed_resolves,
+        (SELECT count(*) FROM live WHERE bal BETWEEN 0 AND 500)
+          AS band_rows
+      FROM live"""))
+
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin, q141DeltaPrunedRead,
     q148DeltaPartitioned, q149DeltaMerge, q150DeltaCdc, q158DeltaDeleteDv,
     q161DeltaUpdateDv, q163DeltaLifecycle, q164DeltaCdfFeed,
+    q165MappingLifecycle,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q79bMergePartitioned,
     q80LatestPerKey, q102VersionChanges, q103IncrementalAgg,
     q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,

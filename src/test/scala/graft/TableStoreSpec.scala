@@ -2267,6 +2267,37 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("checkpointed PARTITION prune matches the replayed prune; the tail supersedes") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_cpppr").toString
+    DeltaExport.writeDeltaTablePartitioned(spark,
+      Seq((1L, "en"), (2L, "en"), (3L, "fr"), (4L, "de"))
+        .toDF("id", "lang").repartition(1), dir, Seq("lang"))
+    // the REPLAYED prune result is the contract the checkpointed one
+    // must match
+    val (r0, c0, l0) = DeltaExport.readDeltaTablePartitionPruned(
+      spark, dir, Map("lang" -> "en"))
+    val expect = r0.orderBy("id").collect().toSeq
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    // tail: one more en row + a DV delete inside en
+    DeltaExport.appendDeltaTablePartitioned(spark,
+      Seq((5L, "en")).toDF("id", "lang"), dir)
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") === 2L)
+    val (r1, c1, l1) = DeltaExport.readDeltaTablePartitionPruned(
+      spark, dir, Map("lang" -> "en"))
+    assert(r1.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 5L))
+    assert(c1 < l1, s"cand=$c1 live=$l1")
+    // data-column filters refuse identically on the checkpointed path
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.readDeltaTablePartitionPruned(spark, dir,
+        Map("id" -> "1")))
+    assert(e.getMessage.contains("not partition columns"), e.getMessage)
+    assert(expect.map(_.getLong(0)).toSeq === Seq(1L, 2L) && c0 <= l0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("checkpointed pruned read at a SYNTHETIC 100k-file log: candidates stay bounded, driver never holds the stats") {
     import graft.core.DeltaExport
     import spark.implicits._
