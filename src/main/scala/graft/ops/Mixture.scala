@@ -55,4 +55,47 @@ object Mixture {
           least(lit(1000000L), col("epochs_micro")))
           .otherwise(lit(null).cast("long")))
   }
+
+  /** TEMPERATURE mixture at T = 2 — the multilingual up-sampling
+    * recipe (sample source i with probability ∝ nᵢ^(1/T); mT5/mBERT's
+    * exponential smoothing): big sources damp toward each other, small
+    * sources up-weight, without any hand-set weights. T = 2 is the
+    * implemented point on the curve because its exponent is a SQUARE
+    * ROOT — an IEEE-exact operation both engines compute bit-identically
+    * on identical operands — where a general pow() is libm-dependent
+    * and breaks the hash-oracle discipline; other temperatures
+    * quantize their weights externally and take [[tokenBudgetPlan]].
+    *
+    * Exactness: per-source token counts are exact longs; each source
+    * takes ONE shared sqrt, quantized to micros; the normalizer is a
+    * SUM OF LONGS (order-free); share/target/epochs/rate are exact
+    * 64-bit floor divisions. The target routes through share_micro
+    * (≤ 1e6), so the overflow bound is budget ≤ 9.2e12 tokens
+    * REGARDLESS of corpus size (budget·share_micro < 2⁶³). Scale
+    * shape: one row per source, broadcast-sized; the corpus itself
+    * never shuffles. */
+  def temperatureMixturePlan(sources: DataFrame,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    val scored = sources.select(
+      col("source"), col("available_tokens"),
+      when(col("available_tokens") > 0,
+        round(sqrt(col("available_tokens").cast("double")) * 1e6)
+          .cast("long")).otherwise(lit(0L)).as("sqrt_micro"))
+    val total = scored.agg(sum(col("sqrt_micro")).as("den"))
+    scored.crossJoin(total)
+      .withColumn("share_micro",
+        expr("(sqrt_micro * 1000000) div den"))
+      .withColumn("target_tokens",
+        expr(s"($budgetTokens * share_micro) div 1000000"))
+      .withColumn("epochs_micro",
+        when(col("available_tokens") > 0,
+          expr("(target_tokens * 1000000) div available_tokens"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("rate_micro",
+        when(col("available_tokens") > 0,
+          least(lit(1000000L), col("epochs_micro")))
+          .otherwise(lit(null).cast("long")))
+      .drop("den")
+  }
 }

@@ -1441,6 +1441,53 @@ object CurationQueries {
           END AS rate_micro
       FROM plan ORDER BY source"""))
 
+  /** TEMPERATURE mixture at T = 2 ([[graft.ops.Mixture
+    * .temperatureMixturePlan]], oracle-EXACT): per-source sampling
+    * shares ∝ √(available tokens) — the mT5-style exponential
+    * smoothing that up-weights small sources without hand-set weights.
+    * T = 2 is the implemented curve point because sqrt is IEEE-exact
+    * in both engines (a general pow() is libm-dependent and would
+    * flake the hash gate); each source takes ONE shared sqrt quantized
+    * to micros, the normalizer is a sum of LONGS, and every
+    * share/target/epoch/rate is a 64-bit floor division DuckDB
+    * replays bit-for-bit. */
+  val q166TemperatureMixture = GraftQuery(
+    "q166_temperature_mixture", { (s, dir) =>
+      val avail = docs(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text")))
+          .as("available_tokens"))
+      graft.ops.Mixture.temperatureMixturePlan(avail,
+          budgetTokens = 2500000L)
+        .orderBy(col("source"))
+    },
+    Some("""WITH avail AS (
+        SELECT source,
+          CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0))) AS BIGINT) AS available_tokens
+        FROM documents GROUP BY source),
+      sc AS (SELECT source, available_tokens,
+          CASE WHEN available_tokens > 0
+            THEN CAST(round(sqrt(CAST(available_tokens AS DOUBLE)) * 1e6)
+              AS BIGINT)
+            ELSE 0 END AS sqrt_micro
+        FROM avail),
+      tot AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS den FROM sc),
+      plan AS (SELECT source, available_tokens, sqrt_micro,
+          (sqrt_micro * 1000000) // den AS share_micro
+        FROM sc, tot),
+      tgt AS (SELECT *,
+          (2500000 * share_micro) // 1000000 AS target_tokens FROM plan)
+      SELECT source, available_tokens, sqrt_micro, share_micro,
+        target_tokens,
+        CASE WHEN available_tokens > 0
+          THEN (target_tokens * 1000000) // available_tokens END
+          AS epochs_micro,
+        CASE WHEN available_tokens > 0
+          THEN least(1000000, (target_tokens * 1000000) // available_tokens)
+          END AS rate_micro
+      FROM tgt ORDER BY source"""))
+
   /** Preference-pair mining ([[graft.ops.Preference.minePairs]],
     * oracle-EXACT): within each (source:lang) group, the
     * highest-token-density document pairs as `chosen` against the
@@ -1594,7 +1641,7 @@ object CurationQueries {
       ORDER BY b.grp"""))
 
   val all: Seq[GraftQuery] = Seq(
-    q159TokenBudgetMixture, q160PreferencePairs,
+    q159TokenBudgetMixture, q166TemperatureMixture, q160PreferencePairs,
     q162MixturePreferencePipeline,
     q55HashSplit, q56SourceMixing, q57SequencePacking, q58Posexplode,
     q60RepetitionFilters, q61PiiRedaction, q142GopherRules,

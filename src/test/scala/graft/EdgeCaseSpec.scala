@@ -512,6 +512,34 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(loose.map(_.getString(0)).toSeq === Seq("g1", "g3"))
   }
 
+  test("temperature mixture: sqrt smoothing up-weights small sources; empty sources carry NULL epochs") {
+    import spark.implicits._
+    val avail = Seq(
+      ("big", 1000000L), ("small", 10000L), ("void", 0L))
+      .toDF("source", "available_tokens")
+    val plan = graft.ops.Mixture
+      .temperatureMixturePlan(avail, budgetTokens = 1000000L)
+      .orderBy("source").collect()
+    val big = plan(0); val small = plan(1); val void = plan(2)
+    // raw shares are 99:1; sqrt smooths to 10:1 — the small source's
+    // SHARE is ~10x its raw proportion while the big one damps
+    assert(small.getAs[Long]("share_micro") > 85000L &&
+      small.getAs[Long]("share_micro") < 95000L,
+      small.toString)
+    assert(big.getAs[Long]("share_micro") > 900000L)
+    // the small source over-samples (epochs > 1e6 micros = repetition)
+    // while the big one keeps a sub-1 rate
+    assert(small.getAs[Long]("epochs_micro") > 1000000L)
+    assert(small.getAs[Long]("rate_micro") === 1000000L)
+    assert(big.getAs[Long]("rate_micro") < 1000000L)
+    // a zero-token source has NO epoch factor or rate — NULL, not 0/0
+    assert(void.isNullAt(void.fieldIndex("epochs_micro")))
+    assert(void.isNullAt(void.fieldIndex("rate_micro")))
+    assert(void.getAs[Long]("share_micro") === 0L)
+    intercept[IllegalArgumentException](
+      graft.ops.Mixture.temperatureMixturePlan(avail, budgetTokens = 0L))
+  }
+
   test("preference pairs: Long.MinValue id cannot overflow the descending tie-break") {
     import spark.implicits._
     // two tied rows; chosen must tie-break to the LOWEST id — with a
