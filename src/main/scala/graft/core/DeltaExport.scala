@@ -727,9 +727,14 @@ object DeltaExport {
         val oldRows = scanFiles(spark, dir, snap.meta, live.toSeq.sorted,
             None, snap.pvals.toMap, snap.dvs.toMap)
           .withColumn("_change_type", lit("delete"))
-        writeCdcFiles(spark, dir, snap.meta,
-          oldRows.unionByName(
-            df.withColumn("_change_type", lit("insert"))))
+        // the insert feed reads back the WRITTEN files, never `df`
+        // itself — re-evaluating a non-deterministic batch (sample,
+        // rand) would land one row set in the table and record a
+        // DIFFERENT one in the feed
+        val newRows = scanFiles(spark, dir, snap.meta,
+            fresh.map(_.getFileName.toString), None)
+          .withColumn("_change_type", lit("insert"))
+        writeCdcFiles(spark, dir, snap.meta, oldRows.unionByName(newRows))
       }
     val now = System.currentTimeMillis()
     val metaActions =
@@ -1196,9 +1201,15 @@ object DeltaExport {
     // mapping off every standing column).
     val cmMode = columnMappingMode(snap.meta)
     var conf = configurationOf(snap.meta)
+    // existing fields: LOGGED metadata (mapping info) + the caller's
+    // permitted nullability WIDENING — the drift check deliberately
+    // allows non-nullable -> nullable, so the commit must honor it
+    val prefixFinal = old.fields.zip(prefix).map { case (o, n) =>
+      o.copy(nullable = o.nullable || n.nullable)
+    }
     val finalSchema =
       if (cmMode == "none")
-        org.apache.spark.sql.types.StructType(old.fields ++ appended)
+        org.apache.spark.sql.types.StructType(prefixFinal ++ appended)
       else {
         val existingIds = old.fields
           .filter(_.metadata.contains("delta.columnMapping.id"))
@@ -1218,7 +1229,7 @@ object DeltaExport {
               .build())
         }
         conf = conf + ("delta.columnMapping.maxColumnId" -> nextId.toString)
-        org.apache.spark.sql.types.StructType(old.fields ++ mapped)
+        org.apache.spark.sql.types.StructType(prefixFinal ++ mapped)
       }
     val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
     val id = idRe.findFirstMatchIn(snap.meta)
@@ -1320,6 +1331,17 @@ object DeltaExport {
     }
   }
 
+  /** Whether-an-expression-binds-this-column regex: the bare word with
+    * identifier-character boundaries, OR the backtick-quoted spelling —
+    * Spark SQL's standard identifier quoting, which a plain
+    * word-boundary class that excluded backticks would silently miss
+    * (`bal` >= 0 must block a rename of bal). */
+  private def exprBindsRe(name: String): scala.util.matching.Regex = {
+    val q = java.util.regex.Pattern.quote(name)
+    ("""(?<![A-Za-z0-9_])""" + q + """(?![A-Za-z0-9_])""" +
+      """|`""" + q + """`""").r
+  }
+
   /** ALTER TABLE RENAME COLUMN — the operation column mapping EXISTS
     * for: on a mapped table the display name is log metadata, so the
     * rename is ONE metaData commit (the physical name — and with it
@@ -1355,9 +1377,9 @@ object DeltaExport {
       s"column '$newName' already exists")
     // dependency check: expressions bind LOGICAL names — a rename
     // would silently unbind them (word-boundary match, so 'bal' does
-    // not false-positive on 'balance')
-    val word = ("""(?<![A-Za-z0-9_`])""" + java.util.regex.Pattern.quote(
-      oldName) + """(?![A-Za-z0-9_])""").r
+    // not false-positive on 'balance'; backtick-QUOTED spellings
+    // `bal` must still bind, so the boundary admits backticks)
+    val word = exprBindsRe(oldName)
     val boundConstraints = checkConstraintsOf(snap.meta).collect {
       case (n, e) if word.findFirstIn(e).isDefined => n
     }
@@ -1430,8 +1452,7 @@ object DeltaExport {
     require(!partitionColumnsOf(snap.meta).contains(name),
       s"'$name' is a partition column — the layout is the contract; " +
         "dropping it rewrites the table (overwrite)")
-    val word = ("""(?<![A-Za-z0-9_`])""" + java.util.regex.Pattern.quote(
-      name) + """(?![A-Za-z0-9_])""").r
+    val word = exprBindsRe(name)
     val boundConstraints = checkConstraintsOf(snap.meta).collect {
       case (n, e) if word.findFirstIn(e).isDefined => n
     }
@@ -2668,15 +2689,16 @@ object DeltaExport {
 
   private def vacuumDeltaTableImpl(spark: SparkSession, dir: String,
       retentionMs: Long): Seq[String] = {
-    // tombstone clocks and the latest snapshot come from ONE
-    // incremental replay of the surviving log (retention 0 skips the
-    // clock bookkeeping entirely — every dead file reclaims
+    // tombstone clocks, cdc reachability and the latest snapshot come
+    // from ONE incremental replay of the surviving log (retention 0
+    // skips the clock bookkeeping entirely — every dead file reclaims
     // unconditionally, the pre-existing behavior)
-    val (tombstones, dvDeadSince, st) =
+    val scan =
       if (retentionMs == 0L)
-        (Map.empty[String, Long], Map.empty[String, Long],
+        TombstoneScan(Map.empty, Map.empty, cdcReferencedPaths(dir), None,
           snapshotState(spark, dir, None, keepStats = false))
       else removeTombstones(spark, dir)
+    val (tombstones, dvDeadSince, st) = (scan.tomb, scan.dvDead, scan.st)
     val live = st.live.toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     def mtimeOk(rel: String): Boolean =
@@ -2696,16 +2718,27 @@ object DeltaExport {
     // data file
     val referenced = st.dvs.values
       .flatMap(DeletionVectors.referencedRelPath).toSet
+    // a bin with no tracked death takes the unknown-death clock when
+    // the replay was checkpoint-seeded: its death certainly precedes
+    // the checkpoint write, so max(own mtime, checkpoint mtime) past
+    // the cutoff is safe — and keeps a FRESH orphan alive
+    def dvClockOk(rel: String): Boolean = scan.dvUnknownClock match {
+      case Some(cp) =>
+        val own = try Files.getLastModifiedTime(Paths.get(dir, rel))
+          .toMillis catch { case _: java.io.IOException => Long.MaxValue }
+        math.max(own, cp) <= cutoff
+      case None => mtimeOk(rel)
+    }
     val staleDvs = dvFilesRelative(dir).filterNot(referenced).filter(rel =>
       retentionMs == 0L || dvDeadSince.get(rel).map(_ <= cutoff)
-        .getOrElse(mtimeOk(rel)))
+        .getOrElse(dvClockOk(rel)))
     staleDvs.foreach(rel => Files.delete(Paths.get(dir, rel)))
     // CDF change files: reclaimable once NO surviving commit's cdc
     // action references them (the actions expired with the log, or a
     // failed write orphaned the file) and the clock passed. The mtime
     // IS the clock — a change file is written exactly once, at its
     // commit's time, and is never re-referenced later.
-    val cdcRef = cdcReferencedPaths(dir)
+    val cdcRef = scan.cdcRefs
     val staleCdc = cdcFilesRelative(dir).toSeq.sorted
       .filterNot(cdcRef)
       .filter(rel => retentionMs == 0L || mtimeOk(rel))
@@ -2761,18 +2794,29 @@ object DeltaExport {
     * the bin back. Entries expired with the log are simply absent —
     * the caller falls back to file mtime, Delta's untracked-file
     * rule. */
+  /** One pass over the surviving log for the timed vacuum: remove
+    * tombstones, DV dead-since clocks, the cdc reachability set, the
+    * unknown-death fallback clock for checkpoint-seeded replays, and
+    * the final snapshot. */
+  private final case class TombstoneScan(
+      tomb: Map[String, Long], dvDead: Map[String, Long],
+      cdcRefs: Set[String], dvUnknownClock: Option[Long],
+      st: ReplayState)
+
   private def removeTombstones(spark: SparkSession,
-      dir: String): (Map[String, Long], Map[String, Long], ReplayState) = {
+      dir: String): TombstoneScan = {
     val versions = logVersions(dir)
     val dtRe = """"deletionTimestamp":(\d+)""".r
     val tomb = scala.collection.mutable.Map.empty[String, Long]
     val dvDead = scala.collection.mutable.Map.empty[String, Long]
+    val cdcRefs = scala.collection.mutable.Set.empty[String]
     // tombstone clocks come from EVERY surviving JSON commit — a
     // checkpoint carries no remove tombstones, and JSON at or before
     // the checkpoint routinely SURVIVES (expiry is a separate op), so
     // skipping it would drop the deletionTimestamp of every
     // pre-checkpoint remove and let the mtime fallback (file CREATION
-    // time) reclaim within-window files
+    // time) reclaim within-window files. cdc references ride the same
+    // scan (ONE pass over the log, as documented).
     def scanTombstones(v: Long): Unit = {
       val ts = commitTimestamp(dir, v)
       val lines = new String(
@@ -2786,22 +2830,37 @@ object DeltaExport {
           tomb(p) = math.max(tomb.getOrElse(p, Long.MinValue), t)
         } else if (l.startsWith("""{"add""""))
           tomb -= pathOf(l, "add")
+        else if (l.startsWith("""{"cdc""""))
+          cdcRefs += pathOf(l, "cdc")
       }
     }
     // DV transitions need ordered REPLAY: when the full JSON history
     // survives, replay it from scratch (exact clocks everywhere); once
     // early history has expired, seed from the checkpoint — surviving
-    // JSON at or before it still contributes tombstones above, but a
-    // bin un-referenced before the checkpoint falls back to mtime
-    val (st, dvTail) = lastCheckpoint(dir) match {
+    // JSON at or before it still contributes tombstones above, and a
+    // bin whose death predates the seed takes the UNKNOWN-DEATH clock:
+    // its death certainly happened before the checkpoint was WRITTEN,
+    // so the checkpoint file's mtime is a safe upper bound (paired
+    // with the bin's own mtime for fresh orphans — max of the two
+    // never reclaims a within-window death)
+    val (st, dvTail, unknownClock) = lastCheckpoint(dir) match {
       case Some(p) if !versions.headOption.contains(0L) =>
         versions.filter(_ <= p.version).foreach(scanTombstones)
+        val cpClock = checkpointPaths(dir, p.version, p.parts)
+          .headOption.filter(Files.isRegularFile(_))
+          .map(f => Files.getLastModifiedTime(f).toMillis)
         (loadCheckpoint(spark, dir, p.version, p.parts, keepStats = false),
-          versions.filter(_ > p.version))
+          versions.filter(_ > p.version), cpClock)
       case _ =>
+        // no checkpoint seed: the replay below starts from EMPTY state,
+        // which is only the true snapshot when the FULL history
+        // survives — a partial log would yield a partial live set and
+        // let vacuum destroy still-live files as "orphans"
+        require(versions.headOption.contains(0L),
+          s"log does not start at 0: $versions")
         val s0 = new ReplayState
         s0.keepStats = false
-        (s0, versions)
+        (s0, versions, None)
     }
     var prevRef = st.dvs.values
       .flatMap(DeletionVectors.referencedRelPath).toSet
@@ -2816,7 +2875,7 @@ object DeltaExport {
       prevRef = ref
     }
     require(st.meta != null, "no metaData action in the replayed log")
-    (tomb.toMap, dvDead.toMap, st)
+    TombstoneScan(tomb.toMap, dvDead.toMap, cdcRefs.toSet, unknownClock, st)
   }
 
   /** All `deletion_vector_*.bin` files under `dir` as table-relative

@@ -37,24 +37,29 @@ object Mixture {
     require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
     val joined = sources.join(weights, Seq("source"))
     val total = joined.agg(sum(col("weight")).as("wsum"))
-    joined.crossJoin(total)
+    withEpochAndRate(joined.crossJoin(total)
       .select(
         col("source"),
         col("available_tokens"),
         col("weight"),
-        expr(s"($budgetTokens * weight) div wsum").as("target_tokens"))
+        expr(s"($budgetTokens * weight) div wsum").as("target_tokens")))
+  }
+
+  /** The epoch/keep-rate tail both planners share: epochs_micro =
+    * target over available (> 1e6 means repetition), rate_micro capped
+    * at 1. least() skips NULLs in both engines, so an ungated form
+    * would hand a source with NOTHING available a 100% keep rate — an
+    * empty source has no rate, same as it has no epoch factor. */
+  private def withEpochAndRate(plan: DataFrame): DataFrame =
+    plan
       .withColumn("epochs_micro",
         when(col("available_tokens") > 0,
           expr("(target_tokens * 1000000) div available_tokens"))
           .otherwise(lit(null).cast("long")))
       .withColumn("rate_micro",
-        // least() skips NULLs in both engines, so an ungated form
-        // would hand a source with NOTHING available a 100% keep rate;
-        // an empty source has no rate, same as it has no epoch factor
         when(col("available_tokens") > 0,
           least(lit(1000000L), col("epochs_micro")))
           .otherwise(lit(null).cast("long")))
-  }
 
   /** TEMPERATURE mixture at T = 2 — the multilingual up-sampling
     * recipe (sample source i with probability ∝ nᵢ^(1/T); mT5/mBERT's
@@ -67,35 +72,29 @@ object Mixture {
     * quantize their weights externally and take [[tokenBudgetPlan]].
     *
     * Exactness: per-source token counts are exact longs; each source
-    * takes ONE shared sqrt, quantized to micros; the normalizer is a
-    * SUM OF LONGS (order-free); share/target/epochs/rate are exact
-    * 64-bit floor divisions. The target routes through share_micro
-    * (≤ 1e6), so the overflow bound is budget ≤ 9.2e12 tokens
-    * REGARDLESS of corpus size (budget·share_micro < 2⁶³). Scale
-    * shape: one row per source, broadcast-sized; the corpus itself
-    * never shuffles. */
+    * takes ONE shared sqrt, quantized to MILLIS (sqrt_milli ≤ 3e13
+    * even at a 10²⁰-token source, so the share numerator
+    * sqrt_milli·10⁶ can never overflow a long — a micro quantization
+    * would wrap at ~8.5e13 tokens per source, silently); the
+    * normalizer is a SUM OF LONGS (order-free); share/target/epochs/
+    * rate are exact 64-bit floor divisions. The target routes through
+    * share_micro (≤ 1e6), so the budget bound is 9.2e12 tokens
+    * regardless of corpus size. Scale shape: one row per source,
+    * broadcast-sized; the corpus itself never shuffles. */
   def temperatureMixturePlan(sources: DataFrame,
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
     val scored = sources.select(
       col("source"), col("available_tokens"),
       when(col("available_tokens") > 0,
-        round(sqrt(col("available_tokens").cast("double")) * 1e6)
-          .cast("long")).otherwise(lit(0L)).as("sqrt_micro"))
-    val total = scored.agg(sum(col("sqrt_micro")).as("den"))
-    scored.crossJoin(total)
+        round(sqrt(col("available_tokens").cast("double")) * 1e3)
+          .cast("long")).otherwise(lit(0L)).as("sqrt_milli"))
+    val total = scored.agg(sum(col("sqrt_milli")).as("den"))
+    withEpochAndRate(scored.crossJoin(total)
       .withColumn("share_micro",
-        expr("(sqrt_micro * 1000000) div den"))
+        expr("(sqrt_milli * 1000000) div den"))
       .withColumn("target_tokens",
         expr(s"($budgetTokens * share_micro) div 1000000"))
-      .withColumn("epochs_micro",
-        when(col("available_tokens") > 0,
-          expr("(target_tokens * 1000000) div available_tokens"))
-          .otherwise(lit(null).cast("long")))
-      .withColumn("rate_micro",
-        when(col("available_tokens") > 0,
-          least(lit(1000000L), col("epochs_micro")))
-          .otherwise(lit(null).cast("long")))
-      .drop("den")
+      .drop("den"))
   }
 }

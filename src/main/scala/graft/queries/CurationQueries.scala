@@ -1468,17 +1468,17 @@ object CurationQueries {
         FROM documents GROUP BY source),
       sc AS (SELECT source, available_tokens,
           CASE WHEN available_tokens > 0
-            THEN CAST(round(sqrt(CAST(available_tokens AS DOUBLE)) * 1e6)
+            THEN CAST(round(sqrt(CAST(available_tokens AS DOUBLE)) * 1e3)
               AS BIGINT)
-            ELSE 0 END AS sqrt_micro
+            ELSE 0 END AS sqrt_milli
         FROM avail),
-      tot AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS den FROM sc),
-      plan AS (SELECT source, available_tokens, sqrt_micro,
-          (sqrt_micro * 1000000) // den AS share_micro
+      tot AS (SELECT CAST(sum(sqrt_milli) AS BIGINT) AS den FROM sc),
+      plan AS (SELECT source, available_tokens, sqrt_milli,
+          (sqrt_milli * 1000000) // den AS share_micro
         FROM sc, tot),
       tgt AS (SELECT *,
           (2500000 * share_micro) // 1000000 AS target_tokens FROM plan)
-      SELECT source, available_tokens, sqrt_micro, share_micro,
+      SELECT source, available_tokens, sqrt_milli, share_micro,
         target_tokens,
         CASE WHEN available_tokens > 0
           THEN (target_tokens * 1000000) // available_tokens END

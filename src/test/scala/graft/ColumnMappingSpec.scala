@@ -176,6 +176,14 @@ class ColumnMappingSpec extends SparkTestBase {
     DeltaExport.renameDeltaTableColumn(spark, dir, "id", "key")
     assert(DeltaExport.readDeltaTable(spark, dir)
       .schema.fieldNames.toSeq === Seq("key", "balance"))
+    // a BACKTICK-quoted reference (Spark SQL's identifier quoting)
+    // must bind the dependency guard exactly like the bare spelling
+    DeltaExport.dropCheckConstraintDeltaTable(spark, dir, "bpos")
+    DeltaExport.addCheckConstraintDeltaTable(spark, dir, "bq",
+      "`balance` >= 0")
+    val e3 = intercept[IllegalArgumentException](
+      DeltaExport.renameDeltaTableColumn(spark, dir, "balance", "b3"))
+    assert(e3.getMessage.contains("bq"), e3.getMessage)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 

@@ -538,6 +538,17 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(void.getAs[Long]("share_micro") === 0L)
     intercept[IllegalArgumentException](
       graft.ops.Mixture.temperatureMixturePlan(avail, budgetTokens = 0L))
+    // frontier-scale source: a MICRO-quantized sqrt would overflow the
+    // share numerator at ~8.5e13 tokens and wrap negative; the milli
+    // quantization stays exact
+    val huge = Seq(("giant", 100000000000000L), ("tiny", 1000000L))
+      .toDF("source", "available_tokens")
+    val hp = graft.ops.Mixture
+      .temperatureMixturePlan(huge, budgetTokens = 1000000L)
+      .orderBy("source").collect()
+    assert(hp.forall(_.getAs[Long]("share_micro") >= 0L), hp.mkString)
+    assert(hp.map(_.getAs[Long]("share_micro")).sum > 990000L,
+      "shares must still sum to ~1e6 at frontier corpus sizes")
   }
 
   test("preference pairs: Long.MinValue id cannot overflow the descending tie-break") {

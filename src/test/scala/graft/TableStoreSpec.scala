@@ -2416,6 +2416,52 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpCp))
   }
 
+  test("Timed vacuum REFUSES a partial log with no checkpoint — a fresh-state replay there would orphan live files") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_tvac_partial").toString
+    DeltaExport.writeDeltaTable(spark, Seq((1L, "a")).toDF("id", "s"), dir)
+    DeltaExport.appendDeltaTable(spark, Seq((2L, "b")).toDF("id", "s"), dir)
+    // v0 expires WITHOUT a checkpoint (a broken table — or a lost
+    // _last_checkpoint): replaying v1 alone from empty state would
+    // miss v0's files and reclaim them as "orphans"
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir,
+      "_delta_log", "00000000000000000000.json"))
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.vacuumDeltaTable(spark, dir, 0.0, force = true))
+    assert(e.getMessage.contains("does not start at 0"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("evolve honors the permitted nullability WIDENING on existing columns") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_widen").toString
+    // spark.range produces a NON-nullable id
+    DeltaExport.writeDeltaTable(spark,
+      spark.range(3).select(col("id")), dir)
+    val widened = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    DeltaExport.evolveDeltaTableSchema(spark, dir, widened)
+    val after = org.apache.spark.sql.types.DataType
+      .fromJson(DeltaExport.schemaStringOf(
+        DeltaExport.snapshotAt(spark, dir, None)._1))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(after("id").nullable, "the widening must survive the commit")
+    // and an append carrying a NULL id (legal under the widened
+    // contract) lands
+    DeltaExport.appendDeltaTable(spark,
+      Seq((Option.empty[Long], Option("x"))).toDF("id", "tag"), dir)
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .filter(col("id").isNull).count() === 1L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Vacuum leaves a FRESH commit staging file for a live writer, reclaims an aged one") {
     import graft.core.DeltaExport
     import spark.implicits._
