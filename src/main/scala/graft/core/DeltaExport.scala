@@ -1932,10 +1932,14 @@ object DeltaExport {
     *    (OVERWRITE, RESTORE) are refused by name (appends are exempt —
     *    CDF readers synthesize inserts from dataChange=true adds
     *    alone).
-    *  - GENERATED / IDENTITY columns (schema metadata
-    *    delta.generationExpression / delta.identity.*) oblige the
-    *    writer to compute column values; graft does not, so
-    *    row-adding writes are refused naming the columns.
+    *  - GENERATED columns (schema metadata delta.generationExpression)
+    *    are VALIDATED: graft's writers always provide the full schema,
+    *    and the protocol's rule for provided values is equality with
+    *    the generation expression — enforced null-safe per batch, the
+    *    invariant discipline. IDENTITY columns accept explicit values
+    *    when delta.identity.allowExplicitInsert=true (GENERATED BY
+    *    DEFAULT); the ALWAYS form still refuses by name (no
+    *    high-watermark allocation here).
     *  - legacy column INVARIANTS (schema metadata `delta.invariants`,
     *    writer protocol v2) are ENFORCED on every added batch, same
     *    FALSE-and-NULL rule as CHECK constraints.
@@ -1975,21 +1979,39 @@ object DeltaExport {
       val schema = org.apache.spark.sql.types.DataType
         .fromJson(schemaStringOf(meta))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
-      val gen = schema.fields
+      // GENERATED columns: graft's writers take the FULL table schema,
+      // so the batch always PROVIDES the column — the protocol's rule
+      // for explicitly-provided values is that they must EQUAL the
+      // generation expression (null-safe), which is enforceable here
+      // exactly like an invariant. A mismatching batch refuses naming
+      // the column; nothing is ever silently recomputed.
+      schema.fields
         .filter(_.metadata.contains("delta.generationExpression"))
-        .map(_.name)
-      require(gen.isEmpty,
-        s"$op on a table with GENERATED column(s) ${gen.mkString(", ")} " +
-          "is not supported — this writer does not compute generation " +
-          "expressions, so the column contract cannot be guaranteed")
+        .sortBy(_.name).foreach { f =>
+          val e = f.metadata.getString("delta.generationExpression")
+          firstViolation(rows, s"`${f.name}` <=> ($e)").foreach(bad =>
+            throw new IllegalArgumentException(
+              s"requirement failed: GENERATED column '${f.name}' must " +
+                s"equal its generation expression ($e); row $bad " +
+                s"provides a different value — $op refused"))
+        }
+      // IDENTITY columns: a table that ALLOWS explicit inserts
+      // (delta.identity.allowExplicitInsert=true) takes the batch's
+      // own values — Delta's GENERATED BY DEFAULT form; the ALWAYS
+      // form (no explicit inserts) still refuses by name, because
+      // this writer does not allocate from the high watermark.
       val ident = schema.fields.filter(f =>
-          f.metadata.contains("delta.identity.start") ||
-          f.metadata.contains("delta.identity.allowExplicitInsert"))
+          (f.metadata.contains("delta.identity.start") ||
+            f.metadata.contains("delta.identity.allowExplicitInsert")) &&
+          !(f.metadata.contains("delta.identity.allowExplicitInsert") &&
+            f.metadata.getBoolean("delta.identity.allowExplicitInsert")))
         .map(_.name)
       require(ident.isEmpty,
-        s"$op on a table with IDENTITY column(s) ${ident.mkString(", ")} " +
-          "is not supported — this writer does not allocate identity " +
-          "values")
+        s"$op on a table with GENERATED ALWAYS identity column(s) " +
+          s"${ident.mkString(", ")} is not supported — this writer " +
+          "does not allocate identity values from the high watermark; " +
+          "tables with delta.identity.allowExplicitInsert=true accept " +
+          "explicit values")
       val exprRe = """"expression"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       schema.fields.filter(_.metadata.contains("delta.invariants"))
         .sortBy(_.name).foreach { f =>

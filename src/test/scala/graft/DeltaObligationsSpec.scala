@@ -111,20 +111,35 @@ class DeltaObligationsSpec extends SparkTestBase {
           s""""schemaString":"$escd"""")).getBytes("UTF-8"))
       dir
     }
+    // GENERATED columns VALIDATE since r18: a batch whose provided
+    // value EQUALS the generation expression lands; a mismatch refuses
+    // naming the column (the protocol's explicit-values rule)
     val gen = fixture(new MetadataBuilder()
       .putString("delta.generationExpression", "id * 2").build())
+    DeltaExport.appendDeltaTable(spark,
+      Seq((2L, 4.0)).toDF("id", "bal"), gen)
+    assert(DeltaExport.readDeltaTable(spark, gen).count() === 2L)
     val e = intercept[IllegalArgumentException](
       DeltaExport.appendDeltaTable(spark,
-        Seq((2L, 4.0)).toDF("id", "bal"), gen))
+        Seq((3L, 5.0)).toDF("id", "bal"), gen))
     assert(e.getMessage.contains("GENERATED") &&
       e.getMessage.contains("bal"), e.getMessage)
+    // IDENTITY: the ALWAYS form (no explicit inserts) still refuses by
+    // name; GENERATED BY DEFAULT (allowExplicitInsert=true) accepts
+    // the batch's own values
     val ident = fixture(new MetadataBuilder()
       .putLong("delta.identity.start", 1L).build())
     val e2 = intercept[IllegalArgumentException](
       DeltaExport.appendDeltaTable(spark,
         Seq((2L, 4.0)).toDF("id", "bal"), ident))
-    assert(e2.getMessage.contains("IDENTITY"), e2.getMessage)
-    Seq(gen, ident).foreach(d =>
+    assert(e2.getMessage.contains("identity"), e2.getMessage)
+    val identByDefault = fixture(new MetadataBuilder()
+      .putLong("delta.identity.start", 1L)
+      .putBoolean("delta.identity.allowExplicitInsert", true).build())
+    DeltaExport.appendDeltaTable(spark,
+      Seq((2L, 4.0)).toDF("id", "bal"), identByDefault)
+    assert(DeltaExport.readDeltaTable(spark, identByDefault).count() === 2L)
+    Seq(gen, ident, identByDefault).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     ()
   }
