@@ -710,14 +710,47 @@ object DeltaExport {
     enforceWriterObligations(snap.meta, "OVERWRITE", removesData = true,
       Some(df), emitsChangeData = cdf)
     val live = snap.live.toSet
-    // a schema-KEEPING overwrite of a mapped table writes physically,
-    // like the appends; a schema-CHANGING one would allocate new
-    // physical names / field ids — still refused by name
-    if (!sameSchema) requireNoColumnMapping(snap.meta, "schema-changing OVERWRITE")
     val cmCtx = mappingCtx(spark, snap.meta, tableSchema)
+    var conf = configurationOf(snap.meta)
+    // the schema a schema-CHANGING overwrite commits: on a MAPPED
+    // table, columns surviving by (name, type) KEEP their logged
+    // identity (id + physical name — a renamed-later column must stay
+    // renameable, and time travel across the overwrite must resolve
+    // both sides), while genuinely new columns ALLOCATE fresh ids +
+    // uuid physical names against maxColumnId, the evolve rule
+    val overwriteSchema: org.apache.spark.sql.types.StructType =
+      if (sameSchema) tableSchema
+      else if (cmCtx.mode == "none") df.schema
+      else {
+        val existingIds = tableSchema.fields
+          .filter(_.metadata.contains("delta.columnMapping.id"))
+          .map(_.metadata.getLong("delta.columnMapping.id"))
+        val confMax = conf.get("delta.columnMapping.maxColumnId")
+          .flatMap(_.toLongOption).getOrElse(0L)
+        var nextId = math.max(confMax,
+          if (existingIds.isEmpty) 0L else existingIds.max)
+        val fields = df.schema.fields.map { f =>
+          tableSchema.fields.find(o =>
+              o.name == f.name && o.dataType == f.dataType) match {
+            case Some(o) => o.copy(nullable = o.nullable || f.nullable)
+            case None =>
+              nextId += 1
+              f.copy(metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putLong("delta.columnMapping.id", nextId)
+                  .putString("delta.columnMapping.physicalName",
+                    s"col-${java.util.UUID.randomUUID()}")
+                  .build())
+          }
+        }
+        if (nextId > confMax)
+          conf = conf + ("delta.columnMapping.maxColumnId" -> nextId.toString)
+        org.apache.spark.sql.types.StructType(fields)
+      }
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
-    (if (sameSchema) toPhysicalFrame(df, tableSchema.fields.toSeq, cmCtx.mode)
-     else df).write.mode("append").parquet(dir)
+    toPhysicalFrame(df, overwriteSchema.fields.toSeq, cmCtx.mode)
+      .write.mode("append").parquet(dir)
     val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
     require(fresh.nonEmpty, "overwrite produced no data files")
     val cdcActions =
@@ -745,8 +778,8 @@ object DeltaExport {
           .map(m => unescapeJson(m.group(1)))
           .getOrElse(throw new IllegalStateException("metaData carries no id"))
         Seq(s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
-            df.schema.json)}","partitionColumns":[],"configuration":{${renderConfiguration(
-            configurationOf(snap.meta))}},"createdTime":$now}}""")
+            overwriteSchema.json)}","partitionColumns":[],"configuration":{${renderConfiguration(
+            conf)}},"createdTime":$now}}""")
       }
     val removes = live.toSeq.sorted.map(p =>
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
@@ -3177,20 +3210,6 @@ object DeltaExport {
       phys: Map[String, String]): Map[String, String] = {
     val inv = phys.collect { case (l, p) if l != p => p -> l }
     if (inv.isEmpty) pv else pv.map { case (k, v) => inv.getOrElse(k, k) -> v }
-  }
-
-  /** Refuse the ONE operation this layer still cannot express on a
-    * column-mapped table: a schema-CHANGING overwrite (it replaces the
-    * whole schema wholesale — adding columns is [[evolveDeltaTableSchema]],
-    * which allocates ids, and renames are [[renameDeltaTableColumn]]).
-    * Every data writer handles mapped tables natively via
-    * [[toPhysicalFrame]]. */
-  private def requireNoColumnMapping(meta: String, op: String): Unit = {
-    val m = columnMappingMode(meta)
-    require(m == "none",
-      s"$op on a COLUMN-MAPPED table (mode '$m') is not supported — " +
-        "it would allocate new physical names / field ids, a schema-" +
-        "evolution contract this writer does not implement")
   }
 
   /** The per-table mapping context every mapped scan and write shares:

@@ -187,6 +187,44 @@ class ColumnMappingSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("schema-changing OVERWRITE on a mapped table: surviving columns keep their identity, new ones allocate") {
+    import graft.core.DeltaExport
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_swow").toString
+    DeltaExport.writeDeltaTable(spark,
+      spark.range(10).select(col("id"), (col("id") * 2).as("bal")), dir)
+    DeltaExport.upgradeToColumnMapping(spark, dir)
+    // overwrite with a DIFFERENT schema: id survives (same name+type),
+    // bal is gone, note is new
+    DeltaExport.overwriteDeltaTable(spark,
+      spark.range(3).select(col("id"),
+        concat(lit("n"), col("id")).as("note")), dir)
+    val after = org.apache.spark.sql.types.DataType
+      .fromJson(DeltaExport.schemaStringOf(
+        DeltaExport.snapshotAt(spark, dir, None)._1))
+      .asInstanceOf[StructType]
+    // the SURVIVOR keeps its logged identity (id 1, physical "id");
+    // the newcomer allocated id 3 (maxColumnId was 2) + a uuid name
+    assert(after("id").metadata.getLong("delta.columnMapping.id") === 1L)
+    assert(after("id").metadata
+      .getString("delta.columnMapping.physicalName") === "id")
+    assert(after("note").metadata.getLong("delta.columnMapping.id") === 3L)
+    assert(after("note").metadata
+      .getString("delta.columnMapping.physicalName").startsWith("col-"))
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((0L, "n0"), (1L, "n1"), (2L, "n2")))
+    // pre-overwrite time travel keeps the OLD schema and values
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(1L))
+      .schema.fieldNames.toSeq === Seq("id", "bal"))
+    // the new column is immediately renameable — it carries mapping
+    DeltaExport.renameDeltaTableColumn(spark, dir, "note", "label")
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .schema.fieldNames.toSeq === Seq("id", "label"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("DROP COLUMN is metadata-only under mapping; a re-added namesake never resurrects the old data") {
     import graft.core.DeltaExport
     val dir = java.nio.file.Files
