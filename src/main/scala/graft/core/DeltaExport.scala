@@ -388,8 +388,9 @@ object DeltaExport {
     * would corrupt every pruned read), the new files land in their
     * Hive directories, and each add carries its partitionValues.
     * Same schema gate as [[appendDeltaTable]]. Returns the version. */
-  def appendDeltaTablePartitioned(spark: SparkSession, df: DataFrame,
+  def appendDeltaTablePartitioned(spark: SparkSession, df0: DataFrame,
       dir: String): Long = {
+    val df = pinNonDeterministic(df0)
     val v = latestVersion(dir) + 1
     val meta = snapshotState(spark, dir, None, keepStats = false).meta
     val pcols = partitionColumnsOf(meta)
@@ -645,7 +646,8 @@ object DeltaExport {
     * driver-side METADATA (file names only), the same O(new files)
     * bookkeeping every Delta writer performs when it collects the
     * task-level write results into add actions. */
-  def appendDeltaTable(spark: SparkSession, df: DataFrame, dir: String): Long = {
+  def appendDeltaTable(spark: SparkSession, df0: DataFrame, dir: String): Long = {
+    val df = pinNonDeterministic(df0)
     val v = latestVersion(dir) + 1
     // schema gate (same posture as TableStore's sinks): the reader scans
     // with the LOG's schemaString, so appending a frame with different
@@ -685,7 +687,8 @@ object DeltaExport {
     * files stay on disk — that is what makes time travel
     * ([[readDeltaTable]] with `versionAsOf`) work; only a vacuum may
     * reclaim them. Returns the new version number. */
-  def overwriteDeltaTable(spark: SparkSession, df: DataFrame, dir: String): Long = {
+  def overwriteDeltaTable(spark: SparkSession, df0: DataFrame, dir: String): Long = {
+    val df = pinNonDeterministic(df0)
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
     require(partitionColumnsOf(snap.meta).isEmpty,
@@ -722,31 +725,19 @@ object DeltaExport {
       if (sameSchema) tableSchema
       else if (cmCtx.mode == "none") df.schema
       else {
-        val existingIds = tableSchema.fields
-          .filter(_.metadata.contains("delta.columnMapping.id"))
-          .map(_.metadata.getLong("delta.columnMapping.id"))
-        val confMax = conf.get("delta.columnMapping.maxColumnId")
-          .flatMap(_.toLongOption).getOrElse(0L)
-        var nextId = math.max(confMax,
-          if (existingIds.isEmpty) 0L else existingIds.max)
-        val fields = df.schema.fields.map { f =>
-          tableSchema.fields.find(o =>
-              o.name == f.name && o.dataType == f.dataType) match {
-            case Some(o) => o.copy(nullable = o.nullable || f.nullable)
-            case None =>
-              nextId += 1
-              f.copy(metadata =
-                new org.apache.spark.sql.types.MetadataBuilder()
-                  .withMetadata(f.metadata)
-                  .putLong("delta.columnMapping.id", nextId)
-                  .putString("delta.columnMapping.physicalName",
-                    s"col-${java.util.UUID.randomUUID()}")
-                  .build())
-          }
-        }
-        if (nextId > confMax)
-          conf = conf + ("delta.columnMapping.maxColumnId" -> nextId.toString)
-        org.apache.spark.sql.types.StructType(fields)
+        val (survivors, fresh) = df.schema.fields.partition(f =>
+          tableSchema.fields.exists(o =>
+            o.name == f.name && o.dataType == f.dataType))
+        val kept = survivors.map { f =>
+          val o = tableSchema.fields.find(x =>
+            x.name == f.name && x.dataType == f.dataType).get
+          f.name -> o.copy(nullable = o.nullable || f.nullable)
+        }.toMap
+        val (alloc, newConf) = allocateMappedFields(fresh, tableSchema, conf)
+        conf = newConf
+        val allocByName = alloc.map(f => f.name -> f).toMap
+        org.apache.spark.sql.types.StructType(df.schema.fields.map(f =>
+          kept.getOrElse(f.name, allocByName(f.name))))
       }
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
     toPhysicalFrame(df, overwriteSchema.fields.toSeq, cmCtx.mode)
@@ -1078,8 +1069,9 @@ object DeltaExport {
     * must increase per appId; a REGRESSION (replaying an older batch
     * id than committed) is also skipped, matching Delta's
     * txnVersion <= last rule. */
-  def appendDeltaTableIdempotent(spark: SparkSession, df: DataFrame,
+  def appendDeltaTableIdempotent(spark: SparkSession, df0: DataFrame,
       dir: String, appId: String, txnVersion: Long): (Long, Boolean) = {
+    val df = pinNonDeterministic(df0)
     val snap = snapshotState(spark, dir, None, keepStats = false)
     val last = snap.txns.get(appId)
     if (last.exists(txnVersion <= _))
@@ -1244,24 +1236,8 @@ object DeltaExport {
       if (cmMode == "none")
         org.apache.spark.sql.types.StructType(prefixFinal ++ appended)
       else {
-        val existingIds = old.fields
-          .filter(_.metadata.contains("delta.columnMapping.id"))
-          .map(_.metadata.getLong("delta.columnMapping.id"))
-        val confMax = conf.get("delta.columnMapping.maxColumnId")
-          .flatMap(_.toLongOption).getOrElse(0L)
-        var nextId = math.max(confMax,
-          if (existingIds.isEmpty) 0L else existingIds.max)
-        val mapped = appended.map { f =>
-          nextId += 1
-          f.copy(metadata =
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-              .putLong("delta.columnMapping.id", nextId)
-              .putString("delta.columnMapping.physicalName",
-                s"col-${java.util.UUID.randomUUID()}")
-              .build())
-        }
-        conf = conf + ("delta.columnMapping.maxColumnId" -> nextId.toString)
+        val (mapped, newConf) = allocateMappedFields(appended, old, conf)
+        conf = newConf
         org.apache.spark.sql.types.StructType(prefixFinal ++ mapped)
       }
     val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
@@ -1371,7 +1347,11 @@ object DeltaExport {
     * (`bal` >= 0 must block a rename of bal). */
   private def exprBindsRe(name: String): scala.util.matching.Regex = {
     val q = java.util.regex.Pattern.quote(name)
-    ("""(?<![A-Za-z0-9_])""" + q + """(?![A-Za-z0-9_])""" +
+    // bare spelling: full identifier-boundary INCLUDING backticks, so
+    // 'bal' neither false-positives as a prefix inside a DIFFERENT
+    // quoted identifier (`bal-2`) nor matches a suffix; the quoted
+    // spelling is its own exact alternative
+    ("""(?<![A-Za-z0-9_`])""" + q + """(?![A-Za-z0-9_`])""" +
       """|`""" + q + """`""").r
   }
 
@@ -1546,10 +1526,11 @@ object DeltaExport {
     * partition column simply lands the row in its new partition (the
     * old copy's file is touched and rewritten without it). Returns the
     * new version. */
-  def mergeDeltaTable(spark: SparkSession, batch: DataFrame, dir: String,
+  def mergeDeltaTable(spark: SparkSession, batch0: DataFrame, dir: String,
       keyCols: Seq[String], deleteCol: Option[String] = None): Long = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "keyCols is empty")
+    val batch = pinNonDeterministic(batch0)
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
     val pcols = partitionColumnsOf(snap.meta)
@@ -1773,6 +1754,7 @@ object DeltaExport {
     // touched DV file's rewrite materializes its deletes
     val target = liveTargetWithFile(spark, dir, snap, withPos = false,
       applyDvs = true)
+    requireDeterministicPredicate(target.filter(predicate), "DELETE")
     // bounded collect: the DISTINCT file names containing a match
     val touchedUris = target.filter(predicate)
       .select(col("__file")).distinct()
@@ -1934,6 +1916,43 @@ object DeltaExport {
         k.stripPrefix("delta.constraints.") -> v
     }
 
+  /** Whether `df`'s ANALYZED plan carries a non-deterministic
+    * expression (rand, uuid, shuffle, …) anywhere. */
+  private def hasNonDeterministic(df: DataFrame): Boolean =
+    df.queryExecution.analyzed
+      .find(p => p.expressions.exists(
+        _.find(!_.deterministic).isDefined))
+      .isDefined
+
+  /** `df` pinned to ONE evaluation per partition when its plan is
+    * non-deterministic: batch-level validation, the data-file write
+    * and the CDF feed all re-execute the plan, and a rand()/uuid
+    * batch would land one row set while the validators approved — and
+    * the feed recorded — ANOTHER. A lazy localCheckpoint caches each
+    * partition at its first computation, so every later consumer sees
+    * the same rows; deterministic plans pass through untouched. */
+  private def pinNonDeterministic(df: DataFrame): DataFrame =
+    if (hasNonDeterministic(df)) df.localCheckpoint(eager = false) else df
+
+  /** Refuse a non-deterministic DML predicate BY NAME — Delta's own
+    * rule: the predicate evaluates in more than one job (touched-file
+    * detection, the rewrite's survivor filter, the CDF feed), and a
+    * rand() predicate would select DIFFERENT rows in each. `filtered`
+    * is the target with the predicate applied; only the TOP Filter's
+    * condition is inspected — the scan underneath legitimately carries
+    * non-deterministic tags (input_file_name). */
+  private def requireDeterministicPredicate(filtered: DataFrame,
+      op: String): Unit = {
+    val topFilter = filtered.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    val nd = topFilter.exists(_.condition.find(!_.deterministic).isDefined)
+    require(!nd,
+      s"non-deterministic $op predicate — it evaluates in multiple " +
+        "jobs (match detection, rewrite, change feed) and would select " +
+        "different rows in each; Delta refuses the same way")
+  }
+
   /** Enforce every logged CHECK constraint over `rows` (the incoming
     * batch / merged relation / updated images — never the standing
     * table): a row where the expression is FALSE or NULL violates,
@@ -1943,8 +1962,8 @@ object DeltaExport {
   private def enforceCheckConstraints(meta: String, rows: DataFrame,
       op: String): Unit =
     checkConstraintsOf(meta).toSeq.sortBy(_._1).foreach { case (name, e) =>
-      firstViolation(rows, e).foreach(bad => throw
-        new IllegalArgumentException(
+      firstViolation(rows, e, s"CHECK constraint '$name'").foreach(bad =>
+        throw new IllegalArgumentException(
           s"requirement failed: CHECK constraint '$name' ($e) violated " +
             s"by row $bad — $op refused (the protocol counts FALSE and " +
             "NULL both as violations)"))
@@ -2018,11 +2037,17 @@ object DeltaExport {
       // generation expression (null-safe), which is enforceable here
       // exactly like an invariant. A mismatching batch refuses naming
       // the column; nothing is ever silently recomputed.
+      // column obligations bind only columns the batch CARRIES — a
+      // schema-changing overwrite that drops the column drops its
+      // metadata with it (the committed schema no longer has it)
+      val batchCols = rows.schema.fieldNames.toSet
       schema.fields
-        .filter(_.metadata.contains("delta.generationExpression"))
+        .filter(f => batchCols.contains(f.name) &&
+          f.metadata.contains("delta.generationExpression"))
         .sortBy(_.name).foreach { f =>
           val e = f.metadata.getString("delta.generationExpression")
-          firstViolation(rows, s"`${f.name}` <=> ($e)").foreach(bad =>
+          firstViolation(rows, s"`${f.name}` <=> ($e)",
+              s"GENERATED column '${f.name}' rule").foreach(bad =>
             throw new IllegalArgumentException(
               s"requirement failed: GENERATED column '${f.name}' must " +
                 s"equal its generation expression ($e); row $bad " +
@@ -2034,6 +2059,7 @@ object DeltaExport {
       // form (no explicit inserts) still refuses by name, because
       // this writer does not allocate from the high watermark.
       val ident = schema.fields.filter(f =>
+          batchCols.contains(f.name) &&
           (f.metadata.contains("delta.identity.start") ||
             f.metadata.contains("delta.identity.allowExplicitInsert")) &&
           !(f.metadata.contains("delta.identity.allowExplicitInsert") &&
@@ -2046,14 +2072,16 @@ object DeltaExport {
           "tables with delta.identity.allowExplicitInsert=true accept " +
           "explicit values")
       val exprRe = """"expression"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-      schema.fields.filter(_.metadata.contains("delta.invariants"))
+      schema.fields.filter(f => batchCols.contains(f.name) &&
+          f.metadata.contains("delta.invariants"))
         .sortBy(_.name).foreach { f =>
           val raw = f.metadata.getString("delta.invariants")
           val e = exprRe.findFirstMatchIn(raw)
             .map(m => unescapeJson(m.group(1)))
             .getOrElse(throw new IllegalStateException(
               s"unparseable delta.invariants on '${f.name}': $raw"))
-          firstViolation(rows, e).foreach(bad => throw
+          firstViolation(rows, e, s"column INVARIANT on '${f.name}'")
+            .foreach(bad => throw
             new IllegalArgumentException(
               s"requirement failed: column INVARIANT on '${f.name}' " +
                 s"($e) violated by row $bad — $op refused (FALSE and " +
@@ -2065,12 +2093,23 @@ object DeltaExport {
   /** The one violation probe both constraint kinds share: the first
     * row (if any) where `e` evaluates FALSE or NULL — the protocol
     * counts both as violations for CHECK constraints, and graft
-    * applies the same rule to legacy invariants. */
-  private def firstViolation(rows: DataFrame,
-      e: String): Option[org.apache.spark.sql.Row] = {
+    * applies the same rule to legacy invariants. An expression that
+    * cannot RESOLVE against the batch (a schema-changing overwrite
+    * dropped a column it references) refuses BY NAME instead of dying
+    * with a bare AnalysisException mid-write. */
+  private def firstViolation(rows: DataFrame, e: String,
+      label: String): Option[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-    rows.filter(not(coalesce(expr(e), lit(false)))).limit(1)
+    try rows.filter(not(coalesce(expr(e), lit(false)))).limit(1)
       .collect().headOption
+    catch {
+      case ae: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"requirement failed: $label ($e) cannot be evaluated " +
+            s"against this batch — ${ae.getMessage.linesIterator.next()} " +
+            "— a write whose schema drops a referenced column must " +
+            "drop the constraint/column metadata first")
+    }
   }
 
   /** The protocol action an ADD CONSTRAINT needs, if any: legacy
@@ -2229,6 +2268,7 @@ object DeltaExport {
     val live = snap.live.toSeq
     require(live.nonEmpty, "no live files to delete from")
     val target = liveTargetWithFile(spark, dir, snap, withPos = true)
+    requireDeterministicPredicate(target.filter(predicate), "DELETE")
     val matched = target.filter(predicate)
       .select(col("__file"), col("__pos"))
       .collect()
@@ -2343,6 +2383,7 @@ object DeltaExport {
     require(live.nonEmpty, "no live files to update")
     val target = liveTargetWithFile(spark, dir, snap, withPos = true)
       .localCheckpoint(eager = false)
+    requireDeterministicPredicate(target.filter(predicate), "UPDATE")
     val matchedPos = target.filter(predicate)
       .select(col("__file"), col("__pos"))
       .collect()
@@ -2375,9 +2416,9 @@ object DeltaExport {
     // UPDATE semantics — a sequential withColumn fold would let
     // Map("a" -> col("b"), "b" -> col("a")) half-apply the swap, in
     // whatever order the Map iterates)
-    val updated = target
+    val updated = pinNonDeterministic(target
       .join(freshKeys, Seq("__file", "__pos"), "left_semi")
-      .select(cols.map(c => set.getOrElse(c, col(c)).as(c)): _*)
+      .select(cols.map(c => set.getOrElse(c, col(c)).as(c)): _*))
     enforceCheckConstraints(snap.meta, updated, "UPDATE")
     // batch-level obligations only — the removesData leg already fired
     enforceWriterObligations(snap.meta, "UPDATE (deletion vectors)",
@@ -2748,11 +2789,7 @@ object DeltaExport {
     // from ONE incremental replay of the surviving log (retention 0
     // skips the clock bookkeeping entirely — every dead file reclaims
     // unconditionally, the pre-existing behavior)
-    val scan =
-      if (retentionMs == 0L)
-        TombstoneScan(Map.empty, Map.empty, cdcReferencedPaths(dir), None,
-          snapshotState(spark, dir, None, keepStats = false))
-      else removeTombstones(spark, dir)
+    val scan = removeTombstones(spark, dir)
     val (tombstones, dvDeadSince, st) = (scan.tomb, scan.dvDead, scan.st)
     val live = st.live.toSet
     val cutoff = System.currentTimeMillis() - retentionMs
@@ -2824,18 +2861,6 @@ object DeltaExport {
       staleTmps.map(p => s"_delta_log/${p.getFileName.toString}")
   }
 
-  /** `_change_data` paths referenced by any SURVIVING commit's cdc
-    * actions — the reachability set vacuum must preserve (a CDF read
-    * of those commits scans exactly these files). */
-  private def cdcReferencedPaths(dir: String): Set[String] =
-    logVersions(dir).flatMap { v =>
-      new String(
-        Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(v))),
-        StandardCharsets.UTF_8).split("\n").toSeq
-        .filter(_.startsWith("""{"cdc""""))
-        .map(pathOf(_, "cdc"))
-    }.toSet
-
   /** Tombstone clocks for the TIMED vacuum, from one incremental
     * replay of the surviving log: (data-file dead-since, DV-bin
     * dead-since), both table-relative path -> epoch millis.
@@ -2900,6 +2925,14 @@ object DeltaExport {
     // never reclaims a within-window death)
     val (st, dvTail, unknownClock) = lastCheckpoint(dir) match {
       case Some(p) if !versions.headOption.contains(0L) =>
+        // a GAP in the tail means the replayed live set is partial —
+        // the same data-loss hazard the no-checkpoint branch refuses
+        // (snapshotState's rule, applied to the vacuum's own replay)
+        val latest = (p.version +: versions).max
+        val gap = ((p.version + 1) to latest).filterNot(versions.contains)
+        require(gap.isEmpty,
+          s"commits after checkpoint v${p.version} are missing: " +
+            gap.mkString(","))
         versions.filter(_ <= p.version).foreach(scanTombstones)
         val cpClock = checkpointPaths(dir, p.version, p.parts)
           .headOption.filter(Files.isRegularFile(_))
@@ -3265,6 +3298,39 @@ object DeltaExport {
       }
     MappingCtx(mode, physicalNames(schema, mode),
       fieldIds(schema, mode), session)
+  }
+
+  /** Allocate column-mapping identity for `fresh` fields: each gets a
+    * field id above BOTH the configuration's maxColumnId and every id
+    * the standing schema carries, plus a uuid physical name — the
+    * protocol's ADD COLUMNS rule, shared by schema evolution and the
+    * schema-changing overwrite. Returns (mapped fields, configuration
+    * with maxColumnId advanced). */
+  private def allocateMappedFields(
+      fresh: Seq[org.apache.spark.sql.types.StructField],
+      standing: org.apache.spark.sql.types.StructType,
+      conf: Map[String, String])
+      : (Seq[org.apache.spark.sql.types.StructField], Map[String, String]) = {
+    val existingIds = standing.fields
+      .filter(_.metadata.contains("delta.columnMapping.id"))
+      .map(_.metadata.getLong("delta.columnMapping.id"))
+    val confMax = conf.get("delta.columnMapping.maxColumnId")
+      .flatMap(_.toLongOption).getOrElse(0L)
+    var nextId = math.max(confMax,
+      if (existingIds.isEmpty) 0L else existingIds.max)
+    val mapped = fresh.map { f =>
+      nextId += 1
+      f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", nextId)
+          .putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.randomUUID()}")
+          .build())
+    }
+    (mapped,
+      if (mapped.isEmpty) conf
+      else conf + ("delta.columnMapping.maxColumnId" -> nextId.toString))
   }
 
   /** The physical-layout twin of a logical frame — what a mapped

@@ -1448,7 +1448,8 @@ object CurationQueries {
     * T = 2 is the implemented curve point because sqrt is IEEE-exact
     * in both engines (a general pow() is libm-dependent and would
     * flake the hash gate); each source takes ONE shared sqrt quantized
-    * to micros, the normalizer is a sum of LONGS, and every
+    * to MILLIS (micros would overflow the share numerator at frontier
+    * corpus sizes), the normalizer is a sum of LONGS, and every
     * share/target/epoch/rate is a 64-bit floor division DuckDB
     * replays bit-for-bit. */
   val q166TemperatureMixture = GraftQuery(

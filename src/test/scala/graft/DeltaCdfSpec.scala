@@ -194,6 +194,40 @@ class DeltaCdfSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("non-deterministic DML predicates refuse by name; a non-deterministic batch pins so feed == table") {
+    val dir = newCdfTable(10)
+    // rand() predicates select different rows in every job — refused
+    // (Delta's rule) for both DELETE shapes and UPDATE
+    for ((nm, op) <- Seq[(String, () => Any)](
+        ("dv delete", () => DeltaExport.deleteFromDeltaTableDv(spark, dir,
+          rand() < 0.5)),
+        ("cow delete", () => DeltaExport.deleteFromDeltaTable(spark, dir,
+          rand() < 0.5)),
+        ("dv update", () => DeltaExport.updateDeltaTableDv(spark, dir,
+          rand() < 0.5, Map("bal" -> lit(0L)))))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("non-deterministic"), s"$nm: ${e.getMessage}")
+    }
+    // a merge batch with RANDOM values: validation, the data write and
+    // the CDF feed all re-execute the plan — the pin makes every
+    // consumer see ONE row set, so the feed's post-images must equal
+    // the table's landed rows exactly
+    // coalesce keeps the column NON-nullable (the logged schema's
+    // contract) while staying non-deterministic
+    val batch = spark.range(5).select(col("id"),
+      coalesce((rand() * 1000).cast("long"), lit(0L)).as("bal"))
+    val v = DeltaExport.mergeDeltaTable(spark, batch, dir, Seq("id"))
+    val landed = DeltaExport.readDeltaTable(spark, dir)
+      .filter(col("id") < 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fed = DeltaExport.readDeltaCdf(spark, dir, v - 1, Some(v))
+      .filter(col("_change_type") === "update_postimage").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fed === landed,
+      s"feed/table divergence: fed=$fed landed=$landed")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("schema-keeping OVERWRITE on a CDF table feeds full deletes + inserts; schema-changing and RESTORE refuse") {
     val dir = newCdfTable(5)
     val v = DeltaExport.overwriteDeltaTable(spark,
