@@ -392,31 +392,35 @@ object DeltaExport {
       dir: String): Long = {
     val df = pinNonDeterministic(df0)
     val v = latestVersion(dir) + 1
-    val meta = snapshotState(spark, dir, None, keepStats = false).meta
+    val st = snapshotState(spark, dir, None, keepStats = false)
+    val meta = st.meta
     val pcols = partitionColumnsOf(meta)
     require(pcols.nonEmpty,
       "table is not partitioned — use appendDeltaTable")
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    require(schemaFits(df.schema, tableSchema),
-      s"append schema ${df.schema.catalogString} does not match the " +
+    val (batch, idActions) = applyIdentity(spark, st, tableSchema, df,
+      "APPEND")
+    require(schemaFits(batch.schema, tableSchema),
+      s"append schema ${batch.schema.catalogString} does not match the " +
         s"table's logged schema ${tableSchema.catalogString} — a Delta " +
         "append never evolves the schema implicitly")
     val cmCtx = mappingCtx(spark, meta, tableSchema)
-    enforceCheckConstraints(meta, df, "APPEND")
+    enforceCheckConstraints(meta, batch, "APPEND")
     enforceWriterObligations(meta, "APPEND", removesData = false, Some(df))
     val before = dataFilesRelative(dir).toSet
     // under mapping the Hive directories (and therefore the adds'
     // partitionValues keys) carry PHYSICAL names — the protocol rule
     // the pruned reader translates back through logicalPvals
-    toPhysicalFrame(df, tableSchema.fields.toSeq, cmCtx.mode)
+    toPhysicalFrame(batch, tableSchema.fields.toSeq, cmCtx.mode)
       .write.partitionBy(pcols.map(cmCtx.phys): _*)
       .mode("append").parquet(dir)
     val fresh = dataFilesRelative(dir).filterNot(before)
     require(fresh.nonEmpty, "append produced no data files")
     writeCommit(dir, v,
-      addActionsRelative(spark, dir, fresh, System.currentTimeMillis()),
+      idActions ++
+        addActionsRelative(spark, dir, fresh, System.currentTimeMillis()),
       "APPEND")
     v
   }
@@ -654,31 +658,40 @@ object DeltaExport {
     // columns would silently drop or null the mismatch at read time —
     // refuse loudly instead (schema evolution is a deliberate metaData
     // commit, not an accidental append)
-    val appendMeta = snapshotState(spark, dir, None, keepStats = false).meta
+    val st = snapshotState(spark, dir, None, keepStats = false)
+    val appendMeta = st.meta
     require(partitionColumnsOf(appendMeta).isEmpty,
       "table is partitioned — use appendDeltaTablePartitioned (a flat " +
         "append would write files the partition-aware reader cannot place)")
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(appendMeta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    require(schemaFits(df.schema, tableSchema),
-      s"append schema ${df.schema.catalogString} does not match the " +
+    // identity columns the batch omits are ALLOCATED here (watermark
+    // grid values; the commit then carries the advanced watermark)
+    val (batch, idActions) = applyIdentity(spark, st, tableSchema, df,
+      "APPEND")
+    require(schemaFits(batch.schema, tableSchema),
+      s"append schema ${batch.schema.catalogString} does not match the " +
         s"table's logged schema ${tableSchema.catalogString} — a Delta " +
         "append never evolves the schema implicitly")
     // mapped tables append natively: the batch lands under PHYSICAL
     // column names + field ids (the ctx construction also vets the
     // mapping — nested mapping and id-less id-mode fields refuse)
     val cmCtx = mappingCtx(spark, appendMeta, tableSchema)
-    enforceCheckConstraints(appendMeta, df, "APPEND")
+    enforceCheckConstraints(appendMeta, batch, "APPEND")
+    // obligations validate the USER batch: a provided GENERATED ALWAYS
+    // identity column must refuse, but the writer's own allocation is
+    // not an explicit insert
     enforceWriterObligations(appendMeta, "APPEND", removesData = false,
       Some(df))
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
-    toPhysicalFrame(df, tableSchema.fields.toSeq, cmCtx.mode)
+    toPhysicalFrame(batch, tableSchema.fields.toSeq, cmCtx.mode)
       .write.mode("append").parquet(dir)
     val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
     require(fresh.nonEmpty, "append produced no data files")
     val now = System.currentTimeMillis()
-    writeCommit(dir, v, addActions(spark, fresh, now), "APPEND")
+    writeCommit(dir, v, idActions ++ addActions(spark, fresh, now),
+      "APPEND")
     v
   }
 
@@ -1086,17 +1099,19 @@ object DeltaExport {
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    require(schemaFits(df.schema, tableSchema),
-      s"append schema ${df.schema.catalogString} does not match the " +
+    val (batch, idActions) = applyIdentity(spark, snap, tableSchema, df,
+      "APPEND")
+    require(schemaFits(batch.schema, tableSchema),
+      s"append schema ${batch.schema.catalogString} does not match the " +
         s"table's logged schema ${tableSchema.catalogString}")
     val cmCtx = mappingCtx(spark, snap.meta, tableSchema)
-    enforceCheckConstraints(snap.meta, df, "APPEND")
+    enforceCheckConstraints(snap.meta, batch, "APPEND")
     enforceWriterObligations(snap.meta, "APPEND", removesData = false,
       Some(df))
     // partitioned tables take the Hive-layout write and relative-path
     // adds; flat tables the top-level form — the txn line is the same
     val before = dataFilesRelative(dir).toSet
-    val physDf = toPhysicalFrame(df, tableSchema.fields.toSeq, cmCtx.mode)
+    val physDf = toPhysicalFrame(batch, tableSchema.fields.toSeq, cmCtx.mode)
     if (pcols.isEmpty) physDf.write.mode("append").parquet(dir)
     else physDf.write.partitionBy(pcols.map(cmCtx.phys): _*)
       .mode("append").parquet(dir)
@@ -1105,7 +1120,7 @@ object DeltaExport {
     val now = System.currentTimeMillis()
     writeCommit(dir, v,
       s"""{"txn":{"appId":"${esc(appId)}","version":$txnVersion}}""" +:
-        addActionsRelative(spark, dir, fresh, now),
+        (idActions ++ addActionsRelative(spark, dir, fresh, now)),
       "APPEND")
     (v, true)
   }
@@ -1121,6 +1136,17 @@ object DeltaExport {
     * restore itself is just another commit a later restore can undo.
     * Refuses when a needed old file has been vacuumed — a restore that
     * silently resurrects a partial snapshot would be data loss.
+    *
+    * CHANGE DATA FEED (r18): on a `delta.enableChangeDataFeed` table
+    * whose schema did not drift across the range, the restore emits
+    * its row-level feed — rows of files LEAVING the table feed as
+    * deletes (under the current vectors), rows of files RETURNING feed
+    * as inserts (under the then-vectors), and a file whose deletion
+    * vector CHANGED feeds exactly its position DIFF (masked-then ∖
+    * masked-now rows leave, masked-now ∖ masked-then rows return) —
+    * O(changed files + vector cardinality), never a table diff. A
+    * schema-drift restore still refuses through the obligation by
+    * name: its feed is not expressible in one schema.
     * Returns the new version. */
   def restoreDeltaTable(spark: SparkSession, dir: String,
       versionAsOf: Long): Long = {
@@ -1131,7 +1157,11 @@ object DeltaExport {
     val v = latestVersion(dir) + 1
     val now = snapshotState(spark, dir, None, keepStats = false)
     val then_ = snapshotState(spark, dir, Some(versionAsOf))
-    enforceWriterObligations(now.meta, "RESTORE", removesData = true, None)
+    val cdf = cdfEnabled(now.meta) &&
+      schemaStringOf(now.meta) == schemaStringOf(then_.meta) &&
+      partitionColumnsOf(now.meta) == partitionColumnsOf(then_.meta)
+    enforceWriterObligations(now.meta, "RESTORE", removesData = true, None,
+      emitsChangeData = cdf)
     val gone = then_.live.toSeq
       .filterNot(f => Files.isRegularFile(Paths.get(dir, f)))
     require(gone.isEmpty,
@@ -1157,6 +1187,60 @@ object DeltaExport {
       now.meta != then_.meta,
       s"restore to v$versionAsOf is a no-op — the snapshot is identical")
     val ts = System.currentTimeMillis()
+    // the restore's row-level feed, BEFORE the commit (the DML-triad
+    // order: change files land, then the commit references them)
+    val cdcActions =
+      if (!cdf || (removes.isEmpty && readds.isEmpty)) Seq.empty[String]
+      else {
+        import org.apache.spark.sql.functions.lit
+        val readdsOnly = (then_.live -- now.live).toSeq.sorted
+        val dels =
+          if (removes.isEmpty) Nil
+          else Seq(scanFiles(spark, dir, now.meta, removes, None,
+              now.pvals.toMap, now.dvs.toMap)
+            .withColumn("_change_type", lit("delete")))
+        val ins =
+          if (readdsOnly.isEmpty) Nil
+          else Seq(scanFiles(spark, dir, now.meta, readdsOnly,
+              Some(versionAsOf), then_.pvals.toMap, then_.dvs.toMap)
+            .withColumn("_change_type", lit("insert")))
+        val dvParts = dvChanged.toSeq.sorted.flatMap { f =>
+          val thenPos = then_.dvs.get(f)
+            .map(d => DeletionVectors.positions(dir, d).toSet)
+            .getOrElse(Set.empty[Long])
+          val nowPos = now.dvs.get(f)
+            .map(d => DeletionVectors.positions(dir, d).toSet)
+            .getOrElse(Set.empty[Long])
+          val delPos = (thenPos -- nowPos).toSeq.sorted
+          val insPos = (nowPos -- thenPos).toSeq.sorted
+          (if (delPos.isEmpty) Nil
+           else Seq(scanFileAtPositions(spark, dir, now.meta, f,
+               now.pvals.toMap, delPos)
+             .withColumn("_change_type", lit("delete")))) ++
+          (if (insPos.isEmpty) Nil
+           else Seq(scanFileAtPositions(spark, dir, now.meta, f,
+               now.pvals.toMap, insPos)
+             .withColumn("_change_type", lit("insert"))))
+        }
+        val parts = dels ++ dvParts ++ ins
+        val changes =
+          if (parts.nonEmpty) parts.reduce(_.unionByName(_))
+          else {
+            // data files moved but every row-level diff is empty (a
+            // descriptor swap masking identical positions): the commit
+            // still needs its cdc action — writeCdcFiles lands the
+            // schema-only file
+            val schema = org.apache.spark.sql.types.DataType
+              .fromJson(schemaStringOf(now.meta))
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(schema.fields :+
+                org.apache.spark.sql.types.StructField("_change_type",
+                  org.apache.spark.sql.types.StringType)))
+          }
+        writeCdcFiles(spark, dir, now.meta, changes)
+      }
     val metaActions =
       if (now.meta == then_.meta) Seq.empty[String] else Seq(then_.meta)
     val removeActions = (removes ++ dvChanged.toSeq.sorted).map(p =>
@@ -1175,7 +1259,8 @@ object DeltaExport {
       s"""{"add":{"path":"${esc(p)}","partitionValues":{$pv},"size":${Files
           .size(Paths.get(dir, p))},"modificationTime":$ts,"dataChange":true$statsField$dvField}}"""
     }
-    writeCommit(dir, v, metaActions ++ removeActions ++ addActions,
+    writeCommit(dir, v,
+      metaActions ++ removeActions ++ addActions ++ cdcActions,
       "RESTORE")
     v
   }
@@ -1979,19 +2064,21 @@ object DeltaExport {
     *    PURGE, CHECKPOINT) and plain appends stay allowed.
     *  - `delta.enableChangeDataFeed=true` obliges a writer committing
     *    a partial-file rewrite to emit `_change_data` files; the DML
-    *    triad (DELETE COW+DV, DV UPDATE, MERGE) DOES since r18 and
-    *    passes `emitsChangeData=true`; writers that still cannot
-    *    (OVERWRITE, RESTORE) are refused by name (appends are exempt —
-    *    CDF readers synthesize inserts from dataChange=true adds
-    *    alone).
+    *    triad (DELETE COW+DV, DV UPDATE, MERGE), schema-keeping
+    *    OVERWRITE, and same-schema RESTORE all DO since r18 and pass
+    *    `emitsChangeData=true`; only the schema-CHANGING forms still
+    *    refuse by name — their feed is not expressible in one schema
+    *    (appends are exempt — CDF readers synthesize inserts from
+    *    dataChange=true adds alone).
     *  - GENERATED columns (schema metadata delta.generationExpression)
     *    are VALIDATED: graft's writers always provide the full schema,
     *    and the protocol's rule for provided values is equality with
     *    the generation expression — enforced null-safe per batch, the
     *    invariant discipline. IDENTITY columns accept explicit values
     *    when delta.identity.allowExplicitInsert=true (GENERATED BY
-    *    DEFAULT); the ALWAYS form still refuses by name (no
-    *    high-watermark allocation here).
+    *    DEFAULT); the ALWAYS form refuses an EXPLICIT value by name —
+    *    a batch that OMITS the column gets it allocated from the high
+    *    watermark instead ([[applyIdentity]], the r18 feature).
     *  - legacy column INVARIANTS (schema metadata `delta.invariants`,
     *    writer protocol v2) are ENFORCED on every added batch, same
     *    FALSE-and-NULL rule as CHECK constraints.
@@ -2066,11 +2153,12 @@ object DeltaExport {
             f.metadata.getBoolean("delta.identity.allowExplicitInsert")))
         .map(_.name)
       require(ident.isEmpty,
-        s"$op on a table with GENERATED ALWAYS identity column(s) " +
-          s"${ident.mkString(", ")} is not supported — this writer " +
-          "does not allocate identity values from the high watermark; " +
-          "tables with delta.identity.allowExplicitInsert=true accept " +
-          "explicit values")
+        s"$op providing explicit value(s) for GENERATED ALWAYS " +
+          s"identity column(s) ${ident.mkString(", ")} is refused — " +
+          "the ALWAYS form accepts no explicit inserts; OMIT the " +
+          "column and the writer allocates from the high watermark, " +
+          "or use delta.identity.allowExplicitInsert=true (GENERATED " +
+          "BY DEFAULT)")
       val exprRe = """"expression"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       schema.fields.filter(f => batchCols.contains(f.name) &&
           f.metadata.contains("delta.invariants"))
@@ -2110,6 +2198,315 @@ object DeltaExport {
             "— a write whose schema drops a referenced column must " +
             "drop the constraint/column metadata first")
     }
+  }
+
+  // ---- GENERATED … AS IDENTITY (delta.identity.* schema metadata) ----
+
+  /** Whether `f` is an IDENTITY column — any delta.identity.* schema
+    * metadata key marks it (Delta writes start/step always, and
+    * allowExplicitInsert for the BY DEFAULT form). */
+  private def isIdentityField(
+      f: org.apache.spark.sql.types.StructField): Boolean =
+    f.metadata.contains("delta.identity.start") ||
+      f.metadata.contains("delta.identity.step") ||
+      f.metadata.contains("delta.identity.allowExplicitInsert")
+
+  /** GENERATED BY DEFAULT AS IDENTITY — explicit inserts allowed. */
+  private def identityAllowsExplicit(
+      f: org.apache.spark.sql.types.StructField): Boolean =
+    f.metadata.contains("delta.identity.allowExplicitInsert") &&
+      f.metadata.getBoolean("delta.identity.allowExplicitInsert")
+
+  private def identityStart(
+      f: org.apache.spark.sql.types.StructField): Long =
+    if (f.metadata.contains("delta.identity.start"))
+      f.metadata.getLong("delta.identity.start") else 1L
+
+  private def identityStep(
+      f: org.apache.spark.sql.types.StructField): Long = {
+    val s = if (f.metadata.contains("delta.identity.step"))
+      f.metadata.getLong("delta.identity.step") else 1L
+    require(s != 0L, s"identity column '${f.name}' declares step 0 — " +
+      "the allocation grid is degenerate")
+    s
+  }
+
+  /** First grid value `start + k·step` (k ≥ 0) STRICTLY beyond `hwm`
+    * in the step's direction. BigInt floor math: an off-grid watermark
+    * (explicit BY DEFAULT inserts) still yields an on-grid next value,
+    * and a watermark near Long.MinValue/MaxValue cannot
+    * overflow-invert the comparison (the ADVICE r17 negate() lesson
+    * applied to allocation). */
+  private def identityGridNext(hwm: Long, start: Long, step: Long): Long = {
+    val pastStart = if (step > 0) hwm >= start else hwm <= start
+    if (!pastStart) start
+    else {
+      // numerator and step share sign here, so BigInt's
+      // truncate-toward-zero IS floor and k ≥ 1
+      val k = (BigInt(hwm) - BigInt(start)) / BigInt(step) + 1
+      val next = BigInt(start) + k * BigInt(step)
+      require(next.isValidLong,
+        s"identity allocation overflows Long (watermark $hwm, start " +
+          s"$start, step $step)")
+      next.toLong
+    }
+  }
+
+  /** The metaData action that replaces the table's schemaString and
+    * keeps id / partitionColumns / configuration verbatim — the
+    * watermark-advance and SYNC IDENTITY commits' one mutation. */
+  private def metaActionReplacingSchema(meta: String,
+      newSchema: org.apache.spark.sql.types.StructType): String = {
+    val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
+    val id = idRe.findFirstMatchIn(meta)
+      .map(m => unescapeJson(m.group(1)))
+      .getOrElse(throw new IllegalStateException("metaData carries no id"))
+    val pcolsJson = partitionColumnsOf(meta)
+      .map(c => s""""${esc(c)}"""").mkString(",")
+    s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
+        newSchema.json)}","partitionColumns":[$pcolsJson],"configuration":{${renderConfiguration(
+        configurationOf(meta))}},"createdTime":${System.currentTimeMillis()}}}"""
+  }
+
+  /** The protocol action an identity ALLOCATION needs, if any: legacy
+    * writers rise to 6 (identityColumns' legacy level — what Delta
+    * itself stamps on identity tables), a table-features protocol
+    * MERGES `identityColumns` into writerFeatures (never clobbering,
+    * the dvUpgradedProtocol rule). None when already declared. */
+  private def identityColumnsProtocol(st: ReplayState): Option[String] = {
+    val cur = Option(st.protocol).getOrElse(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val mrvRe = """"minReaderVersion":(\d+)""".r
+    val mwvRe = """"minWriterVersion":(\d+)""".r
+    val wfRe = """"writerFeatures":\[([^\]]*)\]""".r
+    val mrv = mrvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(1)
+    val mwv = mwvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(2)
+    wfRe.findFirstMatchIn(cur) match {
+      case Some(m) =>
+        val wf = jsonStrRe.findAllMatchIn(m.group(1))
+          .map(e => unescapeJson(e.group(1))).toSet
+        if (wf.contains("identityColumns")) None
+        else {
+          // readerFeatures renders only when the current protocol
+          // declared it (the checkConstraintProtocol {1,7} rule)
+          val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
+          val rfPart = rfRe.findFirstMatchIn(cur)
+            .map(m2 => s""","readerFeatures":[${m2.group(1)}]""")
+            .getOrElse("")
+          val merged = (wf + "identityColumns").toSeq.sorted
+            .map(f => s""""${esc(f)}"""").mkString(",")
+          Some(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7$rfPart,"writerFeatures":[$merged]}}""")
+        }
+      case None if mwv >= 6 => None
+      case None =>
+        Some(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":6}}""")
+    }
+  }
+
+  /** Identity handling for an appending batch — the r18 turn of the
+    * GENERATED ALWAYS refusal into the feature:
+    *
+    *  - identity columns the batch OMITS are ALLOCATED: values on the
+    *    column's grid (`start + k·step`), strictly past the recorded
+    *    `delta.identity.highWaterMark`, assigned distributively — one
+    *    narrow per-partition count job, then a mapPartitionsWithIndex
+    *    fill; nothing but the O(#partitions) count vector touches the
+    *    driver, so the shape survives a 10⁹-row batch
+    *  - identity columns a BY DEFAULT batch PROVIDES advance the
+    *    watermark past the batch's extremum (one aggregate job over
+    *    the provided columns), Delta's tracking rule — a later
+    *    allocation can never collide with an explicit insert
+    *  - a non-empty table with NO recorded watermark refuses by name
+    *    toward [[syncDeltaIdentity]]: allocating blind could re-issue
+    *    values already present (creation-time rows predate tracking)
+    *
+    * Returns the batch ready to write (identity columns filled, table
+    * column order) and the protocol/metaData actions the commit must
+    * carry (watermark advance; identityColumns protocol declaration on
+    * first allocation). `(df, Nil)` when the table has no identity
+    * columns or nothing advanced. */
+  private def applyIdentity(spark: SparkSession, st: ReplayState,
+      schema: org.apache.spark.sql.types.StructType, df: DataFrame,
+      op: String): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val idFields = schema.fields.toSeq.filter(isIdentityField)
+    if (idFields.isEmpty) return (df, Nil)
+    val batchCols = df.schema.fieldNames.toSet
+    val missing = idFields.filterNot(f => batchCols.contains(f.name))
+    // watermark tracking binds only PROTOCOL-shaped (bigint) identity
+    // columns — a foreign fixture with loose typing keeps its old
+    // accept-explicit behavior, untracked
+    val providedByDefault = idFields.filter(f =>
+      batchCols.contains(f.name) && identityAllowsExplicit(f) &&
+        f.dataType == LongType)
+    // ALWAYS + provided falls through untouched — the writer
+    // obligations refuse it by name downstream, exactly as before
+    if (missing.isEmpty && providedByDefault.isEmpty) return (df, Nil)
+    missing.foreach(f =>
+      require(f.dataType == LongType,
+        s"identity column '${f.name}' is ${f.dataType.simpleString} — " +
+          "the protocol defines identity over bigint only, so this " +
+          "writer cannot allocate its values; provide them explicitly"))
+    val pcolsSet = partitionColumnsOf(st.meta).toSet
+    val badPart = missing.map(_.name).filter(pcolsSet)
+    require(badPart.isEmpty,
+      s"identity column(s) ${badPart.mkString(", ")} are PARTITION " +
+        "columns — allocating a fresh value per row would explode the " +
+        s"partition layout; provide them explicitly or re-layout — $op " +
+        "refused")
+    def hwmOf(f: org.apache.spark.sql.types.StructField): Option[Long] =
+      if (f.metadata.contains("delta.identity.highWaterMark"))
+        Some(f.metadata.getLong("delta.identity.highWaterMark"))
+      else None
+    var advanced = Map.empty[String, Long]
+    // ---- allocation for omitted columns ----
+    val filled: DataFrame =
+      if (missing.isEmpty) df
+      else {
+        missing.foreach(f => require(hwmOf(f).isDefined || st.live.isEmpty,
+          s"table has data but identity column '${f.name}' records no " +
+            "high watermark — its rows predate tracking, so a blind " +
+            "allocation could collide; run syncDeltaIdentity first " +
+            s"(Delta's ALTER TABLE … SYNC IDENTITY) — $op refused"))
+        // the user batch must be the table schema MINUS the omitted
+        // identity columns, in table order — same gate the plain
+        // append runs, stated against the right shape
+        val expected = StructType(
+          schema.fields.filterNot(f => missing.exists(_.name == f.name)))
+        require(schemaFits(df.schema, expected),
+          s"append schema ${df.schema.catalogString} does not match " +
+            s"the table's logged schema minus its generated identity " +
+            s"column(s) ${expected.catalogString} — $op refused")
+        val rdd = df.rdd
+        val counts = rdd.mapPartitionsWithIndex((i, it) =>
+            Iterator((i, it.size.toLong)))
+          .collect().sortBy(_._1).map(_._2)
+        val offsets = counts.scanLeft(0L)(_ + _)
+        val total = offsets.last
+        val allocs = missing.map { f =>
+          val start = identityStart(f)
+          val step = identityStep(f)
+          val next = hwmOf(f).map(identityGridNext(_, start, step))
+            .getOrElse(start)
+          if (total > 0) {
+            val last = BigInt(next) + BigInt(total - 1) * BigInt(step)
+            require(last.isValidLong,
+              s"allocating $total identity value(s) for '${f.name}' " +
+                s"from $next by $step overflows Long")
+            advanced += f.name -> last.toLong
+          }
+          (schema.fieldNames.indexOf(f.name), next, step)
+        }.sortBy(_._1)
+        val filledRdd = rdd.mapPartitionsWithIndex { (pi, it) =>
+          val base = offsets(pi)
+          var k = 0L
+          it.map { row =>
+            val vals = scala.collection.mutable.ArrayBuffer(row.toSeq: _*)
+            // ascending final positions: earlier inserts complete the
+            // prefix below each later position
+            allocs.foreach { case (pos, next, step) =>
+              vals.insert(pos, next + (base + k) * step)
+            }
+            k += 1L
+            org.apache.spark.sql.Row.fromSeq(vals.toSeq)
+          }
+        }
+        spark.createDataFrame(filledRdd, schema)
+      }
+    // ---- watermark tracking for provided BY DEFAULT columns ----
+    if (providedByDefault.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, max, min}
+      val aggs = providedByDefault.map(f =>
+        if (identityStep(f) > 0) max(col(f.name)).as(f.name)
+        else min(col(f.name)).as(f.name))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      providedByDefault.zipWithIndex.foreach { case (f, i) =>
+        if (!row.isNullAt(i)) {
+          val observed = row.getLong(i)
+          val step = identityStep(f)
+          val beyond = hwmOf(f).forall(h =>
+            if (step > 0) observed > h else observed < h)
+          if (beyond) advanced += f.name -> observed
+        }
+      }
+    }
+    if (advanced.isEmpty) (filled, Nil)
+    else {
+      val newSchema = StructType(schema.fields.map(f =>
+        advanced.get(f.name) match {
+          case Some(h) => f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("delta.identity.highWaterMark", h)
+              .build())
+          case None => f
+        }))
+      (filled, identityColumnsProtocol(st).toSeq :+
+        metaActionReplacingSchema(st.meta, newSchema))
+    }
+  }
+
+  /** ALTER TABLE … SYNC IDENTITY — recompute every identity column's
+    * high watermark from the CURRENT data (one aggregate over the
+    * live snapshot: max for ascending steps, min for descending) and
+    * commit it as a metaData action. This is the recovery move the
+    * allocation refusal points at: a table whose identity rows predate
+    * watermark tracking (creation batch, foreign writer) becomes
+    * allocatable without a collision. No-op (current version returned,
+    * no commit) when no watermark moves. */
+  def syncDeltaIdentity(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val v = latestVersion(dir) + 1
+    val st = snapshotState(spark, dir, None, keepStats = false)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(st.meta))
+      .asInstanceOf[StructType]
+    val idFields = schema.fields.toSeq.filter(isIdentityField)
+    require(idFields.nonEmpty,
+      "table declares no identity columns — SYNC IDENTITY has nothing " +
+        "to recompute")
+    idFields.foreach(f => require(f.dataType == LongType,
+      s"identity column '${f.name}' is ${f.dataType.simpleString} — " +
+        "the protocol defines identity over bigint only"))
+    require(st.live.nonEmpty,
+      "table has no live data — there is no observed extremum to sync " +
+        "the watermark to (a fresh table allocates from start already)")
+    val table = scanFiles(spark, dir, st.meta, st.live.toSeq.sorted, None,
+      st.pvals.toMap, st.dvs.toMap)
+    val aggs = idFields.map(f =>
+      if (identityStep(f) > 0) max(col(f.name)).as(f.name)
+      else min(col(f.name)).as(f.name))
+    val row = table.agg(aggs.head, aggs.tail: _*).head()
+    def hwmOf(f: org.apache.spark.sql.types.StructField): Option[Long] =
+      if (f.metadata.contains("delta.identity.highWaterMark"))
+        Some(f.metadata.getLong("delta.identity.highWaterMark"))
+      else None
+    var advanced = Map.empty[String, Long]
+    idFields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) {
+        val observed = row.getLong(i)
+        val step = identityStep(f)
+        val beyond = hwmOf(f).forall(h =>
+          if (step > 0) observed > h else observed < h)
+        if (beyond) advanced += f.name -> observed
+      }
+    }
+    if (advanced.isEmpty) return v - 1
+    val newSchema = StructType(schema.fields.map(f =>
+      advanced.get(f.name) match {
+        case Some(h) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.identity.highWaterMark", h)
+            .build())
+        case None => f
+      }))
+    writeCommit(dir, v,
+      identityColumnsProtocol(st).toSeq :+
+        metaActionReplacingSchema(st.meta, newSchema),
+      "SYNC IDENTITY")
+    v
   }
 
   /** The protocol action an ADD CONSTRAINT needs, if any: legacy
@@ -3398,6 +3795,39 @@ object DeltaExport {
       .withColumn("__dv_pos", col("_metadata.row_index"))
       .join(deleted, Seq("__dv_pos"), "left_anti")
       .select(outCols.map(col): _*)
+  }
+
+  /** The inverse of [[dvAntiJoin]]: ONE file's rows at exactly the
+    * given parquet positions (semi-join on the row index), in logged
+    * column order with partition columns re-attached — what the
+    * RESTORE change feed uses to express a deletion-vector DIFF as
+    * row-level changes. `keep` is bounded by the larger vector's
+    * cardinality, the DV writer's own driver bound. */
+  private def scanFileAtPositions(spark: SparkSession, dir: String,
+      meta: String, file: String,
+      pvals: Map[String, Map[String, String]],
+      keep: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val pcols = partitionColumnsOf(meta)
+    val ctx = mappingCtx(spark, meta, schema)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(f => pcols.contains(f.name)))
+    val rs = ctx.physSchema(dataSchema)
+    val keepDf = keep.toDF("__dv_pos")
+    val base = ctx.session.read.schema(rs).parquet(s"$dir/$file")
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+      .join(keepDf, Seq("__dv_pos"), "left_semi")
+      .select(rs.fieldNames.toSeq.map(col): _*)
+    val logical = ctx.toLogical(base, dataSchema)
+    val pv = logicalPvals(
+      pvals.getOrElse(file, hivePartitionValues(file)), ctx.phys)
+    pcols.foldLeft(logical) { case (d, c) =>
+      d.withColumn(c, lit(pv.getOrElse(c, null)).cast(schema(c).dataType))
+    }.select(schema.fieldNames.map(col): _*)
   }
 
   /** Scan exactly `files` with the logged schema. For a PARTITIONED

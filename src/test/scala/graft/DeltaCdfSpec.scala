@@ -228,7 +228,7 @@ class DeltaCdfSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
-  test("schema-keeping OVERWRITE on a CDF table feeds full deletes + inserts; schema-changing and RESTORE refuse") {
+  test("schema-keeping OVERWRITE on a CDF table feeds full deletes + inserts; schema-changing forms refuse") {
     val dir = newCdfTable(5)
     val v = DeltaExport.overwriteDeltaTable(spark,
       spark.range(100, 103).select(col("id"), (col("id") * 10).as("bal")),
@@ -245,9 +245,56 @@ class DeltaCdfSpec extends SparkTestBase {
       DeltaExport.overwriteDeltaTable(spark,
         Seq((1L, "x")).toDF("id", "s"), dir))
     assert(e.getMessage.contains("CHANGE DATA FEED"), e.getMessage)
+    // same-schema RESTORE emits its feed since r18: the overwrite's
+    // rows leave as deletes, the overwritten rows return as inserts
+    val vR = DeltaExport.restoreDeltaTable(spark, dir, 0L)
+    val cdfR = DeltaExport.readDeltaCdf(spark, dir, vR - 1, Some(vR))
+    assert(changeSet(cdfR) === (
+      (100L until 103L).map(i => (i, i * 10, "delete") -> 1L) ++
+        (0L until 5L).map(i => (i, i * 10, "insert") -> 1L)).toMap)
+    assert(changeSet(cdfR) === changeSet(
+      DeltaExport.deltaChangesBetween(spark, dir, vR - 1, vR, Seq("id"))))
+    // a restore ACROSS a schema change still refuses by name — its
+    // feed is not expressible in one schema
+    val vE = DeltaExport.evolveDeltaTableSchema(spark, dir,
+      org.apache.spark.sql.types.StructType(
+        DeltaExport.readDeltaTable(spark, dir).schema.fields :+
+          org.apache.spark.sql.types.StructField("note",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+    assert(vE === vR + 1)
     val e2 = intercept[IllegalArgumentException](
-      DeltaExport.restoreDeltaTable(spark, dir, 0L))
+      DeltaExport.restoreDeltaTable(spark, dir, vR))
     assert(e2.getMessage.contains("CHANGE DATA FEED"), e2.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("RESTORE across deletion-vector commits feeds exactly the position diff, both directions") {
+    val dir = newCdfTable(20)
+    val v1 = DeltaExport.deleteFromDeltaTableDv(spark, dir,
+      col("id") % 5 === 0) // masks 0, 5, 10, 15
+    val v2 = DeltaExport.deleteFromDeltaTableDv(spark, dir,
+      col("id") === 1L) // masks 1 on top
+    // back to v1: only the freshly-masked row returns — the rows the
+    // v1 vector already masked must NOT re-feed
+    val vR = DeltaExport.restoreDeltaTable(spark, dir, v1)
+    val cdfR = DeltaExport.readDeltaCdf(spark, dir, vR - 1, Some(vR))
+    assert(changeSet(cdfR) === Map((1L, 10L, "insert") -> 1L))
+    assert(changeSet(cdfR) === changeSet(
+      DeltaExport.deltaChangesBetween(spark, dir, vR - 1, vR, Seq("id"))))
+    // back to v0: the v1 vector's four rows return
+    val vR2 = DeltaExport.restoreDeltaTable(spark, dir, 0L)
+    val cdfR2 = DeltaExport.readDeltaCdf(spark, dir, vR2 - 1, Some(vR2))
+    assert(changeSet(cdfR2) ===
+      Seq(0L, 5L, 10L, 15L).map(i => (i, i * 10, "insert") -> 1L).toMap)
+    // forward again to the v2 state: the DELETE direction of the diff
+    val vR3 = DeltaExport.restoreDeltaTable(spark, dir, v2)
+    val cdfR3 = DeltaExport.readDeltaCdf(spark, dir, vR3 - 1, Some(vR3))
+    assert(changeSet(cdfR3) ===
+      Seq(0L, 1L, 5L, 10L, 15L).map(i => (i, i * 10, "delete") -> 1L).toMap)
+    assert(changeSet(cdfR3) === changeSet(
+      DeltaExport.deltaChangesBetween(spark, dir, vR3 - 1, vR3, Seq("id"))))
+    // the table itself reads as the v2 snapshot
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 15L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
