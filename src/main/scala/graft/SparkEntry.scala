@@ -112,6 +112,11 @@ object SparkEntry {
     // wedge join + close), which no other row exercises — a wedge-join
     // regression now shows per round instead of only in Wave probes
     "q151d_triangle_census_winnowed",
+    // round-18: HyperBall neighborhood function — the graph family's
+    // iterative SKETCH plan (per-round edge join + HLL register-union
+    // aggregate), a shape no other timed row exercises; the exact BFS
+    // twin q167 is the oracle anchor, not the timed row
+    "q167b_neighborhood_hyperball",
     // round-17: the second end-to-end composition (mixture plan → ppm
     // gate → NB fit on survivors → preference mining) — the q122
     // sibling; times the vocabulary-keyed NB shuffle pair plus the

@@ -323,4 +323,79 @@ object Graph {
           round(col("triangles") * 2.0 * 1e6 /
             (col("degree") * (col("degree") - 1))).cast("long")))
   }
+
+  /** Symmetric closure of an UNDIRECTED edge list (u, v) — both
+    * directions, lineage-truncated (the neighborhood ops replay it
+    * every round). */
+  private def symmetric(edges: DataFrame): DataFrame =
+    edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = false)
+
+  /** EXACT neighborhood function by frontier BFS: (d, new_pairs) for
+    * d = 0..maxD, new_pairs = #(src, dst) pairs whose shortest
+    * distance IS d (d = 0 counts every node against itself). Each
+    * round expands only the pairs discovered last round and anti-joins
+    * the reached set — round work O(frontier · avg degree), the
+    * distributed-BFS shape — so d is min-distance by construction.
+    * N(d) = Σ_{d' ≤ d} new_pairs. Scale boundary: the reached relation
+    * is O(Σ|C|²) over component sizes (q100's closure bound); the
+    * linear-cost path is [[hyperBall]]. */
+  def neighborhoodFunction(edges: DataFrame, maxD: Int): DataFrame = {
+    require(maxD >= 0, s"maxD $maxD must be >= 0")
+    val sym = symmetric(edges)
+    val nodes = sym.select(col("u").as("node")).distinct()
+    var reached = nodes
+      .select(col("node").as("src"), col("node").as("dst"), lit(0).as("d"))
+      .localCheckpoint(eager = false)
+    var frontier = reached
+    for (t <- 1 to maxD) {
+      val nxt = frontier.select(col("src"), col("dst").as("u"))
+        .join(sym, Seq("u"))
+        .select(col("src"), col("v").as("dst"))
+        .distinct()
+        .join(reached.select(col("src"), col("dst")),
+          Seq("src", "dst"), "left_anti")
+        .withColumn("d", lit(t))
+        .localCheckpoint(eager = false)
+      reached = reached.unionByName(nxt).localCheckpoint(eager = false)
+      frontier = nxt
+    }
+    reached.groupBy(col("d")).agg(count(lit(1)).as("new_pairs"))
+  }
+
+  /** HyperBall (Boldi–Rosa–Vigna 2011): neighborhood-function
+    * ESTIMATES from per-node mergeable HLL sketches of the
+    * distance-≤ d ball — one edge join + one register-union aggregate
+    * per round, O(m) independent of ball sizes, which is what makes
+    * effective-diameter telemetry payable on a web-scale graph where
+    * the exact pair relation is quadratic in component size. Returns
+    * (d, nf_est) for d = 0..maxD with nf_est = Σ_v |ball_d(v)|
+    * estimated; at small ball cardinalities the DataSketches HLL is
+    * still in exact coupon mode, so estimates are exact there (the
+    * q167c contract's lever). */
+  def hyperBall(edges: DataFrame, maxD: Int, lgK: Int = 12): DataFrame = {
+    require(maxD >= 0, s"maxD $maxD must be >= 0")
+    val sym = symmetric(edges)
+    val nodes = sym.select(col("u").as("node")).distinct()
+    var ball = nodes.groupBy(col("node"))
+      .agg(hll_sketch_agg(col("node"), lit(lgK)).as("sk"))
+      .localCheckpoint(eager = false)
+    def estimate(b: DataFrame, t: Int): DataFrame =
+      b.agg(sum(hll_sketch_estimate(col("sk"))).as("nf_est"))
+        .select(lit(t).as("d"), col("nf_est"))
+    val rounds = Seq.newBuilder[DataFrame]
+    rounds += estimate(ball, 0)
+    for (t <- 1 to maxD) {
+      val contrib = ball.select(col("node").as("u"), col("sk"))
+        .join(sym, Seq("u"))
+        .select(col("v").as("node"), col("sk"))
+      ball = ball.unionByName(contrib)
+        .groupBy(col("node"))
+        .agg(hll_union_agg(col("sk")).as("sk"))
+        .localCheckpoint(eager = false)
+      rounds += estimate(ball, t)
+    }
+    rounds.result().reduce(_.unionByName(_))
+  }
 }

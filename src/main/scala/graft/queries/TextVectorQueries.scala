@@ -4941,7 +4941,123 @@ object TextVectorQueries {
       CAST(NULL AS BIGINT) AS k, CAST(NULL AS BIGINT) AS node
       WHERE 1 = 0"""))
 
+  // ---- neighborhood function (q167 family) ----
+
+  private val nfMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** EXACT neighborhood function of the near-dup graph
+    * ([[graft.ops.Graph.neighborhoodFunction]], maxD = 4) with the
+    * cumulative N(d) attached — memoized like the edge relation
+    * itself, since both q167 and the q167c contract consume it. */
+  private def neighborhoodExact(s: SparkSession, dir: String): DataFrame =
+    memoized(nfMemo, s, dir) {
+      val nf = Graph.neighborhoodFunction(exactShingleEdges(s, dir),
+        maxD = 4)
+      // 5-row window — the orderBy-without-partition warning is
+      // harmless at this cardinality
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nf.withColumn("reachable_pairs", sum(col("new_pairs")).over(w))
+        .localCheckpoint(eager = false)
+    }
+
+  private val ballMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** HyperBall estimates of the same neighborhood function
+    * ([[graft.ops.Graph.hyperBall]], maxD = 4, lgK = 12), memoized —
+    * q167b and the q167c contract both consume it. */
+  private def hyperballEstimates(s: SparkSession, dir: String): DataFrame =
+    memoized(ballMemo, s, dir) {
+      Graph.hyperBall(exactShingleEdges(s, dir), maxD = 4, lgK = 12)
+        .localCheckpoint(eager = false)
+    }
+
+  /** Exact neighborhood function N(d) + 90%-effective-diameter flags
+    * (oracle-exact): one row per distance d = 0..4 with the pairs
+    * first discovered at d, the cumulative reachable pairs, the
+    * reach fraction in integer micros (one shared IEEE round), and
+    * whether d reaches 90 % of the horizon's mass (the first true row
+    * IS the effective diameter, Palmer/HyperANF's statistic). The
+    * DuckDB oracle recomputes via a depth-bounded recursive walk with
+    * min-distance dedup — depth 4 is the query's own horizon, the
+    * same bound the Spark loop runs, not a convergence guess. */
+  val q167NeighborhoodFunction = GraftQuery(
+    "q167_neighborhood_function", { (s, dir) =>
+      val cum = neighborhoodExact(s, dir)
+      val tot = cum.agg(max(col("reachable_pairs")).as("total"))
+      cum.crossJoin(tot).select(
+          col("d"), col("new_pairs"), col("reachable_pairs"),
+          expr("CAST(round(reachable_pairs * 1e6 / total) AS BIGINT)")
+            .as("frac_micro"),
+          (col("reachable_pairs") * 10 >= col("total") * 9)
+            .as("reaches_90pct"))
+        .orderBy(col("d"))
+    },
+    Some(s"""WITH RECURSIVE $shingleEdgesSql,
+      sym AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+      nodes AS (SELECT DISTINCT u AS node FROM sym),
+      walk(src, dst, d) AS (
+        SELECT node, node, 0 FROM nodes
+        UNION ALL
+        SELECT DISTINCT w.src, s.v, w.d + 1
+        FROM walk w JOIN sym s ON s.u = w.dst
+        WHERE w.d < 4),
+      dist AS (SELECT src, dst, min(d) AS d FROM walk GROUP BY 1, 2),
+      nf AS (SELECT d, count(*) AS new_pairs FROM dist GROUP BY d),
+      cum AS (SELECT d, new_pairs,
+        sum(new_pairs) OVER (ORDER BY d) AS reachable_pairs FROM nf),
+      tot AS (SELECT max(reachable_pairs) AS total FROM cum)
+      SELECT d, new_pairs,
+        CAST(reachable_pairs AS BIGINT) AS reachable_pairs,
+        CAST(round(reachable_pairs * 1e6 / total) AS BIGINT) AS frac_micro,
+        reachable_pairs * 10 >= total * 9 AS reaches_90pct
+      FROM cum, tot ORDER BY d"""))
+
+  /** HyperBall neighborhood-function estimates (rows-only; contract
+    * q167c): the linear-cost scale path for graph distance telemetry —
+    * per-node mergeable HLL balls, one join + one union-agg per round,
+    * no pair relation ever materialized. This is how effective
+    * diameter / average distance get measured on a 100 TB web-scale
+    * graph where the exact BFS is unpayable. */
+  val q167bNeighborhoodHyperball = GraftQuery(
+    "q167b_neighborhood_hyperball", { (s, dir) =>
+      hyperballEstimates(s, dir).orderBy(col("d"))
+    },
+    None)
+
+  /** HyperBall accuracy contract (violations vs the empty relation):
+    * per distance d, the sketch estimate must sit within
+    * max(2, 5 % · exact) of the exact N(d). At fixture ball sizes the
+    * lgK=12 sketches are still in exact coupon mode, so the tolerance
+    * carries ~∞ headroom locally while staying meaningful at scales
+    * where the dense-mode error envelope (~1.6 %) takes over. */
+  val q167cHyperballContract = GraftQuery(
+    "q167c_hyperball_contract", { (s, dir) =>
+      val est = hyperballEstimates(s, dir)
+      // N(d) is CUMULATIVE: past the last discovery distance the exact
+      // function saturates, while HyperBall still reports every round —
+      // densify the exact side as max over d' <= d (5×5 rows)
+      val exact = neighborhoodExact(s, dir)
+        .select(col("d").as("de"), col("reachable_pairs").as("rp"))
+      val exactAt = est.select(col("d"))
+        .join(exact, col("de") <= col("d"))
+        .groupBy(col("d")).agg(max(col("rp")).as("reachable_pairs"))
+      exactAt.join(est, Seq("d"), "full_outer")
+        .filter(col("reachable_pairs").isNull || col("nf_est").isNull ||
+          abs(col("nf_est") - col("reachable_pairs")) >
+            greatest(lit(2.0), col("reachable_pairs") * 0.05))
+        .select(col("d"), col("reachable_pairs"), col("nf_est"))
+        .orderBy(col("d"))
+    },
+    Some("""SELECT CAST(NULL AS INT) AS d,
+      CAST(NULL AS BIGINT) AS reachable_pairs,
+      CAST(NULL AS BIGINT) AS nf_est WHERE 1 = 0"""))
+
   val all: Seq[GraftQuery] = Seq(
+    q167NeighborhoodFunction, q167bNeighborhoodHyperball,
+    q167cHyperballContract,
     q144FrameDedup, q145ImageNearDup, q145bImageNearDupRecall,
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q28bLangIdTrained, q29Fingerprint, q29bWinnowContract,

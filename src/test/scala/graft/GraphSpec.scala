@@ -210,4 +210,28 @@ class GraphSpec extends SparkTestBase {
       Graph.pageRankPersonalized(edges, Seq(99L).toDF("node"), iters = 1))
     assert(e.getMessage.contains("not a graph node"))
   }
+
+  test("neighborhood function on a path graph is the hand-computed N(d); HyperBall agrees exactly in coupon mode") {
+    // P4: 1-2-3-4. new pairs (ordered, both directions): d=0 → 4
+    // self-pairs; d=1 → 6; d=2 → 4; d=3 → 2; N(3) = 16 = n².
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val nf = Graph.neighborhoodFunction(edges, maxD = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(nf === Map(0 -> 4L, 1 -> 6L, 2 -> 4L, 3 -> 2L))
+    // a horizon past the diameter adds no rows (frontier drains)
+    val nf5 = Graph.neighborhoodFunction(edges, maxD = 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(nf5 === nf)
+    // HyperBall: ball sizes ≤ 4 keep the lgK=12 sketches in exact
+    // coupon mode, so estimates equal the cumulative N(d) exactly —
+    // and they are monotone in d by construction (register max only
+    // grows)
+    val hb = Graph.hyperBall(edges, maxD = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hb === Map(0 -> 4L, 1 -> 10L, 2 -> 14L, 3 -> 16L))
+    // effective diameter at the 90% rule: first d with N(d) ≥ 0.9·16
+    // = 14.4 is d = 3 (the true diameter)
+    val eff = (0 to 3).find(d => hb(d) * 10 >= 16L * 9).get
+    assert(eff === 3)
+  }
 }
