@@ -321,21 +321,24 @@ object Bench {
       .map { case (r, c) => s"""{"round":$r,"changed":$c}""" }
       .mkString("[", ",", "]")
 
-    // Z-order file-skipping ratio on real parquet footers (same probe
-    // WriterSpec asserts as a >=2x boolean): linear-candidates /
-    // z-candidates for the quadrant-interior band predicate, tracked per
-    // round like latency.
-    val zratio: Double =
+    // Z-order + Hilbert file-skipping ratios on real parquet footers
+    // (same probe WriterSpec asserts as >=2x booleans):
+    // linear-candidates / curve-candidates for the quadrant-interior
+    // band predicate, tracked per round like latency. One probe writes
+    // all three layouts, so the two ratios share the same band window.
+    val (zratio, hratio): (Double, Double) =
       try {
         val li = graft.core.Tables.load(spark, sfDir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
         val p = graft.core.Zorder.skipProbe(
           li, Seq("l_quantity", "l_extendedprice"), "l_extendedprice",
           loFrac = 0.32, hiFrac = 0.42, bits = 8, files = 8)
-        if (p.zorderCandidates > 0) p.linearCandidates.toDouble / p.zorderCandidates
-        else -1.0
+        (if (p.zorderCandidates > 0)
+          p.linearCandidates.toDouble / p.zorderCandidates else -1.0,
+         if (p.hilbertCandidates > 0)
+          p.linearCandidates.toDouble / p.hilbertCandidates else -1.0)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] zorder: ${e.getMessage}"); -1.0
+        System.err.println(s"[bench] zorder: ${e.getMessage}"); (-1.0, -1.0)
       }
 
     // ---- machine-readable environmental control (VERDICT r9 #1) ----
@@ -374,7 +377,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val extJson = passExt.map(v => f"$v%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"ext_cpu_passes":$extJson,"loaded":$loaded,"control":"$controlName","control_sec":$controlSec%.3f,"control_band_mid":$controlBandMid%.2f,"control_ratio":$controlRatio%.3f,"control2":"$control2Name","control2_sec":$control2Sec%.3f,"control2_band_mid":$control2BandMid%.2f,"control2_ratio":$control2Ratio%.3f,"recall":$recallJson,"sink_batches":$sinkJson,"sink_control_sec":$sinkControlSec%.3f,"sink_vet_median_norm":${sinkVetMedianNorm(controlSec)}%.3f,"propagation_rounds":$propJson,"zorder_skip_ratio":$zratio%.2f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"ext_cpu_passes":$extJson,"loaded":$loaded,"control":"$controlName","control_sec":$controlSec%.3f,"control_band_mid":$controlBandMid%.2f,"control_ratio":$controlRatio%.3f,"control2":"$control2Name","control2_sec":$control2Sec%.3f,"control2_band_mid":$control2BandMid%.2f,"control2_ratio":$control2Ratio%.3f,"recall":$recallJson,"sink_batches":$sinkJson,"sink_control_sec":$sinkControlSec%.3f,"sink_vet_median_norm":${sinkVetMedianNorm(controlSec)}%.3f,"propagation_rounds":$propJson,"zorder_skip_ratio":$zratio%.2f,"hilbert_skip_ratio":$hratio%.2f}""")
     spark.stop()
   }
 }

@@ -3000,7 +3000,8 @@ object DeltaExport {
     * writing the compacted files beside them is not a self-overwrite.
     * Returns the new version. */
   def optimizeDeltaTable(spark: SparkSession, dir: String,
-      targetFiles: Int = 1, zorderBy: Seq[String] = Nil): Long = {
+      targetFiles: Int = 1, zorderBy: Seq[String] = Nil,
+      curve: String = "morton"): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
@@ -3022,10 +3023,22 @@ object DeltaExport {
       snap.pvals.toMap, snap.dvs.toMap)
     val shaped =
       if (zorderBy.isEmpty) df.repartition(targetFiles)
-      else Zorder.withKey(df, zorderBy)
-        .repartitionByRange(targetFiles, org.apache.spark.sql.functions.col("__z"))
-        .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
-        .drop("__z")
+      else {
+        // curve picks the multi-column layout: "morton" is Delta's
+        // OPTIMIZE ZORDER BY; "hilbert" is the liquid-clustering walk
+        // (unit steps — tighter per-file hyper-rectangles, measured by
+        // Zorder.skipProbe / hilbert_skip_ratio)
+        val keyed = curve match {
+          case "morton" => Zorder.withKey(df, zorderBy)
+          case "hilbert" => Zorder.withHilbertKey(df, zorderBy)
+          case other => throw new IllegalArgumentException(
+            s"unknown clustering curve '$other' — morton or hilbert")
+        }
+        keyed
+          .repartitionByRange(targetFiles, org.apache.spark.sql.functions.col("__z"))
+          .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+          .drop("__z")
+      }
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
     toPhysicalFrame(shaped, optSchema.fields.toSeq, cmCtx.mode)
       .write.mode("append").parquet(dir)

@@ -22,19 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Zorder {
 
-  /** Add a z-order key column interleaving `cols` at `bits` bits each
-    * (cols.size * bits must fit a signed long). Columns are mapped to
-    * [0, 2^bits) cells by equal-width bucketing between their own
-    * min/max; constant columns and NULL values collapse to cell 0. */
-  def withKey(
-      df: DataFrame, cols: Seq[String], bits: Int = 8,
-      keyName: String = "__z"): DataFrame = {
+  /** Per-column cell codes shared by BOTH curves: `df` cross-joined
+    * with its broadcast 1-row min/max aggregate, plus one [0, 2^bits)
+    * equal-width bucket expression per clustered column. */
+  private def cellCodes(df: DataFrame, cols: Seq[String],
+      bits: Int): (DataFrame, Seq[Column]) = {
     // <= 62, not 63: cells = 1L << bits must itself stay positive;
     // bits >= 1 because a 0- or negative-bit shift wraps mod 64 and
     // yields garbage cells
     require(cols.nonEmpty && bits >= 1 && cols.size * bits <= 62,
       s"${cols.size} cols x $bits bits must each be >= 1 bit and fit a signed long")
-    val k = cols.size
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c)).cast("double").as(s"__mn$i"),
         max(col(c)).cast("double").as(s"__mx$i"))
@@ -53,38 +50,76 @@ object Zorder {
           lit(cells - 1)))
         .otherwise(lit(0L))
     }
+    (withStats, codes)
+  }
+
+  private def dropStats(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.drop(cols.indices.flatMap(i => Seq(s"__mn$i", s"__mx$i")): _*)
+
+  /** Add a z-order key column interleaving `cols` at `bits` bits each
+    * (cols.size * bits must fit a signed long). Columns are mapped to
+    * [0, 2^bits) cells by equal-width bucketing between their own
+    * min/max; constant columns and NULL values collapse to cell 0. */
+  def withKey(
+      df: DataFrame, cols: Seq[String], bits: Int = 8,
+      keyName: String = "__z"): DataFrame = {
+    val (withStats, codes) = cellCodes(df, cols, bits)
+    val k = cols.size
     val zkey = (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
       codes.indices.foldLeft(acc) { (a, i) =>
         a.bitwiseOR(shiftleft(
           shiftright(codes(i), j).bitwiseAND(lit(1L)), j * k + i))
       }
     }
-    withStats
-      .withColumn(keyName, zkey)
-      .drop(cols.indices.flatMap(i => Seq(s"__mn$i", s"__mx$i")): _*)
+    dropStats(withStats.withColumn(keyName, zkey), cols)
   }
 
-  /** Write `df` as parquet clustered on the z-order of `cols`: range
-    * partition on the key (each output file owns a contiguous z-range =
-    * a hyper-rectangle of the column space) and sort within partitions
+  /** Add a HILBERT key column over the same cell codes — the
+    * locality-preserving upgrade of [[withKey]] (Databricks ships it
+    * as liquid clustering's layout): consecutive key values are grid
+    * NEIGHBORS, never Morton's plate-crossing jumps, so equal-size key
+    * ranges are tighter hyper-rectangles and footer min/max stats skip
+    * more. The coordinate→index transform is a compiled expression
+    * ([[graft.functions.Hilbert]]) because its per-bit state machine
+    * cannot fold into static shift/mask columns. */
+  def withHilbertKey(
+      df: DataFrame, cols: Seq[String], bits: Int = 8,
+      keyName: String = "__z"): DataFrame = {
+    val (withStats, codes) = cellCodes(df, cols, bits)
+    dropStats(withStats.withColumn(keyName,
+      graft.functions.Hilbert.hilbertIndex(array(codes: _*), bits)), cols)
+  }
+
+  /** Write `df` as parquet clustered on the space-filling-curve key of
+    * `cols` (`curve` = "morton" | "hilbert"): range partition on the
+    * key (each output file owns a contiguous curve range = a
+    * hyper-rectangle of the column space) and sort within partitions
     * so row groups inside a file stay tight too. */
   def clusteredWrite(
       df: DataFrame, path: String, cols: Seq[String], bits: Int = 8,
-      files: Int = 8): Unit =
-    withKey(df, cols, bits)
+      files: Int = 8, curve: String = "morton"): Unit = {
+    val keyed = curve match {
+      case "morton" => withKey(df, cols, bits)
+      case "hilbert" => withHilbertKey(df, cols, bits)
+      case other => throw new IllegalArgumentException(
+        s"unknown clustering curve '$other' — morton or hilbert")
+    }
+    keyed
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Outcome of [[skipProbe]]: candidate-file counts for the same band
-    * predicate under the two layouts, plus the z-layout's row count so
-    * callers can assert the clustering rewrite lost nothing. The probe
-    * dirs themselves are deleted before returning — Bench runs this
-    * every round on the sf lineitem, and two full table copies per run
-    * would accumulate in /tmp (ADVICE r8). */
+    * predicate under the three layouts, plus the z-layout's row count
+    * so callers can assert the clustering rewrite lost nothing. The
+    * probe dirs themselves are deleted before returning — Bench runs
+    * this every round on the sf lineitem, and full table copies per
+    * run would accumulate in /tmp (ADVICE r8). */
   final case class SkipProbe(
-      linearCandidates: Long, zorderCandidates: Long, zorderRows: Long)
+      linearCandidates: Long, zorderCandidates: Long, zorderRows: Long,
+      hilbertCandidates: Long)
 
   /** Measure file-skipping on REAL parquet footers instead of trusting
     * the Morton-curve theory: write `df` twice — linear range-sort on
@@ -103,10 +138,12 @@ object Zorder {
     val spark = df.sparkSession
     val linDir = java.nio.file.Files.createTempDirectory("graft_linear").toString
     val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val hDir = java.nio.file.Files.createTempDirectory("graft_hilbert").toString
     df.repartitionByRange(files, col(cols.head))
       .sortWithinPartitions(col(cols.head))
       .write.mode("overwrite").parquet(linDir)
     clusteredWrite(df, zDir, cols, bits, files)
+    clusteredWrite(df, hDir, cols, bits, files, curve = "hilbert")
     val bounds = df.agg(
       min(col(probeCol)).cast("double").as("lo"),
       max(col(probeCol)).cast("double").as("hi")).head()
@@ -120,8 +157,8 @@ object Zorder {
         .filter(col("mx") >= qLo && col("mn") <= qHi)
         .count()
     val probe = SkipProbe(candidates(linDir), candidates(zDir),
-      spark.read.parquet(zDir).count())
-    Seq(linDir, zDir).foreach { d =>
+      spark.read.parquet(zDir).count(), candidates(hDir))
+    Seq(linDir, zDir, hDir).foreach { d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
     }
     probe

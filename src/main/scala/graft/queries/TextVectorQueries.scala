@@ -5023,7 +5023,13 @@ object TextVectorQueries {
     * graph where the exact BFS is unpayable. */
   val q167bNeighborhoodHyperball = GraftQuery(
     "q167b_neighborhood_hyperball", { (s, dir) =>
-      hyperballEstimates(s, dir).orderBy(col("d"))
+      // deliberately UN-memoized (unlike the q167c contract's copy):
+      // this is the timed headline row, and it must time the ball
+      // iteration itself — a memoized replay would time a 5-row
+      // checkpoint read. Only the edge relation is shared (its cost is
+      // controlled by the q51 bands).
+      Graph.hyperBall(exactShingleEdges(s, dir), maxD = 4, lgK = 12)
+        .orderBy(col("d"))
     },
     None)
 
