@@ -1157,8 +1157,24 @@ object DeltaExport {
     val v = latestVersion(dir) + 1
     val now = snapshotState(spark, dir, None, keepStats = false)
     val then_ = snapshotState(spark, dir, Some(versionAsOf))
+    // schema equality up to the identity WATERMARK: the watermark
+    // advances with every allocation, so it is snapshot STATE, not
+    // shape — two snapshots differing only in it still share one feed
+    // schema. Everything else (names, types, mapping ids/physical
+    // names) must match verbatim: the restore's change files write
+    // under the CURRENT mapping and read under the RESTORED one.
+    def feedShape(meta: String): org.apache.spark.sql.types.StructType = {
+      val st = org.apache.spark.sql.types.DataType
+        .fromJson(schemaStringOf(meta))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      org.apache.spark.sql.types.StructType(st.fields.map(f =>
+        f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .remove("delta.identity.highWaterMark").build())))
+    }
     val cdf = cdfEnabled(now.meta) &&
-      schemaStringOf(now.meta) == schemaStringOf(then_.meta) &&
+      feedShape(now.meta) == feedShape(then_.meta) &&
       partitionColumnsOf(now.meta) == partitionColumnsOf(then_.meta)
     enforceWriterObligations(now.meta, "RESTORE", removesData = true, None,
       emitsChangeData = cdf)

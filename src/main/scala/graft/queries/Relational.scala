@@ -1902,11 +1902,113 @@ object Relational {
           AS band_rows
       FROM live"""))
 
+  /** The IDENTITY × RESTORE × CDF lifecycle, oracle-EXACT — the r18
+    * writer features composed where their interactions hide:
+    * a GENERATED ALWAYS identity table (start 10, step 10, watermark
+    * seeded at 10) takes two ALLOCATING appends around a DV DELETE,
+    * then RESTOREs across both — and the restore must (a) emit its
+    * change feed (batch-2's rows leave as deletes, the DV-masked rows
+    * return as inserts — the position-diff path), and (b) ROLL BACK
+    * the identity watermark with the re-asserted metaData, so the
+    * post-restore append REUSES batch-2's first id (Delta's restore
+    * semantics: metadata travels with the snapshot; the rows that held
+    * those ids are gone, so reuse is correct, and `ids_reused` pins
+    * it through the hash gate). Allocation order is deterministic
+    * because each batch is sorted and single-partition, which is what
+    * lets DuckDB replay the ids as 10 + 10·row_number(). */
+  val q168IdentityRestoreCdf = GraftQuery(
+    "q168_identity_restore_cdf", { (s, dir) =>
+      import s.implicits._
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q168_delta").toString
+      try {
+        val D = graft.core.DeltaExport
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.identity.start", 10L)
+          .putLong("delta.identity.step", 10L)
+          .putLong("delta.identity.highWaterMark", 10L)
+          .build()
+        // nullable columns, explicitly — the appended batches read from
+        // parquet (nullable), and schemaFits never lets nullability widen
+        val seedSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = true, md),
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("bal",
+            org.apache.spark.sql.types.DoubleType, nullable = true)))
+        val seed = s.createDataFrame(
+          s.sparkContext.parallelize(
+            Seq(org.apache.spark.sql.Row(10L, -1L, 0.0)), 1), seedSchema)
+        D.writeDeltaTable(s, seed, tmp)                             // v0
+        val p0 = java.nio.file.Paths.get(tmp, "_delta_log",
+          "00000000000000000000.json")
+        val raw = new String(java.nio.file.Files.readAllBytes(p0), "UTF-8")
+        java.nio.file.Files.write(p0,
+          raw.replace(""""configuration":{}""",
+            """"configuration":{"delta.enableChangeDataFeed":"true"}""")
+            .getBytes("UTF-8"))
+        def batch(parity: Int) = base.filter(col("k") % 2 === parity)
+          .select(col("k"), col("bal")).orderBy(col("k")).coalesce(1)
+        D.appendDeltaTable(s, batch(0), tmp)                        // v1
+        D.deleteFromDeltaTableDv(s, tmp, col("k") % 5 === 1)        // v2
+        D.appendDeltaTable(s, batch(1), tmp)                        // v3
+        val b2First = D.readDeltaTable(s, tmp)
+          .filter(col("k") % 2 === 1)
+          .agg(min(col("id"))).head().getLong(0)
+        D.restoreDeltaTable(s, tmp, 1L)                             // v4
+        val feedAgg = D.readDeltaCdf(s, tmp, 3L, Some(4L)).agg(
+          count(when(col("_change_type") === "delete", 1))
+            .as("feed_deletes"),
+          coalesce(sum(when(col("_change_type") === "delete", col("id"))),
+            lit(0L)).as("feed_delete_id_sum"),
+          count(when(col("_change_type") === "insert", 1))
+            .as("feed_inserts"),
+          coalesce(sum(when(col("_change_type") === "insert", col("id"))),
+            lit(0L)).as("feed_insert_id_sum"))
+        D.appendDeltaTable(s,
+          Seq((-2L, 1.0)).toDF("k", "bal"), tmp)                    // v5
+        val b3Id = D.readDeltaTable(s, tmp).filter(col("k") === -2L)
+          .agg(min(col("id"))).head().getLong(0)
+        D.readDeltaTable(s, tmp)
+          .agg(count(lit(1)).as("rows_after"),
+            sum(col("id")).as("id_sum"),
+            sum(col("k")).as("k_sum"))
+          .crossJoin(feedAgg)
+          .withColumn("ids_reused", lit(b3Id == b2First))
+          .localCheckpoint(eager = true)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    },
+    Some("""WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+      b1 AS (SELECT k, 10 + 10 * row_number() OVER (ORDER BY k) AS id
+             FROM base WHERE k % 2 = 0),
+      n1 AS (SELECT count(*) AS n FROM b1),
+      b2 AS (SELECT k,
+               10 + 10 * ((SELECT n FROM n1) + row_number() OVER (ORDER BY k)) AS id
+             FROM base WHERE k % 2 = 1),
+      fin AS (SELECT CAST(10 AS BIGINT) AS id, CAST(-1 AS BIGINT) AS k
+              UNION ALL SELECT id, k FROM b1
+              UNION ALL SELECT 10 * ((SELECT n FROM n1) + 2), -2)
+      SELECT count(*) AS rows_after,
+        CAST(sum(id) AS BIGINT) AS id_sum,
+        CAST(sum(k) AS BIGINT) AS k_sum,
+        (SELECT count(*) FROM b2) AS feed_deletes,
+        (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) FROM b2)
+          AS feed_delete_id_sum,
+        (SELECT count(*) FROM b1 WHERE k % 10 = 6) AS feed_inserts,
+        (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) FROM b1 WHERE k % 10 = 6)
+          AS feed_insert_id_sum,
+        TRUE AS ids_reused
+      FROM fin"""))
+
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin, q141DeltaPrunedRead,
     q148DeltaPartitioned, q149DeltaMerge, q150DeltaCdc, q158DeltaDeleteDv,
     q161DeltaUpdateDv, q163DeltaLifecycle, q164DeltaCdfFeed,
-    q165MappingLifecycle,
+    q165MappingLifecycle, q168IdentityRestoreCdf,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q79bMergePartitioned,
     q80LatestPerKey, q102VersionChanges, q103IncrementalAgg,
     q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,
