@@ -449,9 +449,37 @@ object DeltaExport {
     * free-form provenance record, and what anchors TIMESTAMP time
     * travel ([[versionAtTimestamp]]): a reader resolves `timestampAsOf`
     * against these, falling back to commit-file mtimes for foreign logs
-    * that omit them (Delta's own fallback). */
-  private def commitInfoLine(now: Long, op: String): String =
-    s"""{"commitInfo":{"timestamp":$now,"operation":"${esc(op)}"}}"""
+    * that omit them (Delta's own fallback). `ict` is the IN-COMMIT
+    * TIMESTAMP (the writer feature that makes commit time part of the
+    * atomic commit content instead of trusting file mtimes a copy or
+    * restore can scramble) — present on every commit of an enabled
+    * table, strictly greater than its predecessor's. */
+  private def commitInfoLine(now: Long, op: String,
+      ict: Option[Long] = None): String = {
+    val ictField = ict.map(t => s""""inCommitTimestamp":$t,""").getOrElse("")
+    s"""{"commitInfo":{"timestamp":$now,$ictField"operation":"${esc(op)}"}}"""
+  }
+
+  private val ciIctRe = """"inCommitTimestamp":(\d+)""".r
+
+  /** The in-commit timestamp of surviving commit `v`, if its
+    * commitInfo carries one (top-level only — the
+    * [[commitInfoTopLevel]] nesting rule). Streams lines lazily:
+    * every writeCommit peeks its predecessor, and commitInfo is the
+    * first line of any commit this writer produced — a full read of a
+    * many-thousand-add append commit would tax every later commit. */
+  private def ictOf(dir: String, v: Long): Option[Long] = {
+    val p = Paths.get(dir, "_delta_log", commitFile(v))
+    if (!Files.isRegularFile(p)) return None
+    val lines = Files.lines(p, StandardCharsets.UTF_8)
+    try {
+      import scala.jdk.CollectionConverters._
+      lines.iterator().asScala
+        .find(_.startsWith("""{"commitInfo""""))
+        .flatMap(l => ciIctRe.findFirstMatchIn(commitInfoTopLevel(l))
+          .map(_.group(1).toLong))
+    } finally lines.close()
+  }
 
   /** PUT-IF-ABSENT commit — the Delta protocol's one concurrency
     * primitive: version N commits atomically or not at all, and a
@@ -473,9 +501,20 @@ object DeltaExport {
     * snapshot AND blocks every retry of that version). An object store
     * deployment swaps this for its conditional put. */
   private[core] def writeCommit(dir: String, v: Long, actions: Seq[String],
-      op: String): Unit = {
+      op: String, firstIct: Option[Long] = None): Unit = {
     val logDir = Paths.get(dir, "_delta_log")
     val target = logDir.resolve(commitFile(v))
+    // IN-COMMIT TIMESTAMP chain: once any predecessor carries one
+    // (the enablement commit seeds it via `firstIct`), every later
+    // commit continues it STRICTLY monotone — max(clock, prev + 1), so
+    // a regressed wall clock can never reorder timestamp travel. The
+    // predecessor is v-1, the newest surviving JSON commit by
+    // construction (expireLogBefore retains the checkpoint-version
+    // commit on ICT tables precisely so this chain never breaks).
+    val ict: Option[Long] = firstIct.orElse(
+      if (v == 0L) None
+      else ictOf(dir, v - 1)
+        .map(prev => math.max(System.currentTimeMillis(), prev + 1L)))
     // Files.createFile (unlike createTempFile's forced 0600) creates
     // with the default mode filtered by the PROCESS UMASK — the same
     // permissions the old direct write published, so a umask-0022 host
@@ -501,7 +540,7 @@ object DeltaExport {
         java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
       try {
         ch.write(java.nio.ByteBuffer.wrap(
-          ((commitInfoLine(System.currentTimeMillis(), op) +: actions)
+          ((commitInfoLine(System.currentTimeMillis(), op, ict) +: actions)
             .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)))
         ch.force(true)
       } finally ch.close()
@@ -558,17 +597,22 @@ object DeltaExport {
     sb.toString
   }
 
-  /** Commit timestamp of a surviving JSON commit: its commitInfo
-    * object's own top-level timestamp when present (nested objects a
-    * foreign writer serializes first are elided — see
-    * [[commitInfoTopLevel]]), else the commit file's modification
-    * time. */
+  /** Commit timestamp of a surviving JSON commit, in the protocol's
+    * preference order: the commitInfo's IN-COMMIT timestamp when
+    * present (it is part of the atomic commit content, immune to the
+    * mtime scrambling a log copy or filesystem migration causes), else
+    * its top-level `timestamp` (nested objects a foreign writer
+    * serializes first are elided — see [[commitInfoTopLevel]]), else
+    * the commit file's modification time. */
   private def commitTimestamp(dir: String, v: Long): Long = {
     val p = Paths.get(dir, "_delta_log", commitFile(v))
     val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     txt.split("\n").find(_.startsWith("""{"commitInfo""""))
-      .flatMap(l => ciTsRe.findFirstMatchIn(commitInfoTopLevel(l))
-        .map(_.group(1).toLong))
+      .flatMap { l =>
+        val top = commitInfoTopLevel(l)
+        ciIctRe.findFirstMatchIn(top).orElse(ciTsRe.findFirstMatchIn(top))
+          .map(_.group(1).toLong)
+      }
       .getOrElse(Files.getLastModifiedTime(p).toMillis)
   }
 
@@ -2525,6 +2569,69 @@ object DeltaExport {
     v
   }
 
+  // ---- in-commit timestamps (writer feature `inCommitTimestamp`) ----
+
+  /** The protocol action ICT enablement needs, if any: the feature has
+    * NO legacy writer level, so a legacy protocol upgrades straight to
+    * table features (minWriterVersion 7, legacy features re-declared —
+    * the upgrade rule) with `inCommitTimestamp` merged into
+    * writerFeatures; readerFeatures renders only when already declared
+    * (the checkConstraintProtocol {1,7} rule — ICT never raises the
+    * reader version). None when already declared. */
+  private def ictProtocol(st: ReplayState): Option[String] = {
+    val cur = Option(st.protocol).getOrElse(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val mrvRe = """"minReaderVersion":(\d+)""".r
+    val mwvRe = """"minWriterVersion":(\d+)""".r
+    val wfRe = """"writerFeatures":\[([^\]]*)\]""".r
+    val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
+    val mrv = mrvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(1)
+    val mwv = mwvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(2)
+    val wf0 = wfRe.findFirstMatchIn(cur)
+      .map(m => jsonStrRe.findAllMatchIn(m.group(1))
+        .map(e => unescapeJson(e.group(1))).toSet)
+      .getOrElse(legacyWriterFeatures(mwv))
+    if (wf0.contains("inCommitTimestamp")) None
+    else {
+      val rfPart = rfRe.findFirstMatchIn(cur)
+        .map(m => s""","readerFeatures":[${m.group(1)}]""")
+        .getOrElse("")
+      val merged = (wf0 + "inCommitTimestamp").toSeq.sorted
+        .map(f => s""""${esc(f)}"""").mkString(",")
+      Some(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7$rfPart,"writerFeatures":[$merged]}}""")
+    }
+  }
+
+  /** Enable IN-COMMIT TIMESTAMPS — Delta's
+    * `delta.enableInCommitTimestamps`: from this commit on, every
+    * commit's effective time is a field INSIDE the atomic commit
+    * content, strictly greater than its predecessor's
+    * ([[writeCommit]]'s chain), and timestamp travel resolves against
+    * it instead of file mtimes — so a log copied with fresh mtimes, a
+    * filesystem migration, or a regressed wall clock can no longer
+    * reorder history. The enablement commit carries the property, the
+    * protocol's `inCommitTimestamp` writer feature, the spec's
+    * enablementVersion/Timestamp markers (readers know the mixed
+    * pre/post boundary), and the FIRST in-commit timestamp.
+    * Returns the new version. */
+  def enableInCommitTimestamps(spark: SparkSession, dir: String): Long = {
+    val v = latestVersion(dir) + 1
+    val st = snapshotState(spark, dir, None, keepStats = false)
+    val conf0 = configurationOf(st.meta)
+    require(!conf0.get("delta.enableInCommitTimestamps")
+        .exists(_.equalsIgnoreCase("true")),
+      "in-commit timestamps already enabled")
+    val now = System.currentTimeMillis()
+    val conf = conf0 +
+      ("delta.enableInCommitTimestamps" -> "true") +
+      ("delta.inCommitTimestampEnablementVersion" -> v.toString) +
+      ("delta.inCommitTimestampEnablementTimestamp" -> now.toString)
+    writeCommit(dir, v,
+      ictProtocol(st).toSeq :+ withConfiguration(st.meta, conf),
+      "SET TBLPROPERTIES", firstIct = Some(now))
+    v
+  }
+
   /** The protocol action an ADD CONSTRAINT needs, if any: legacy
     * minWriterVersion upgraded to 3 (checkConstraints' legacy level),
     * or — when the table already speaks table features — the
@@ -3085,7 +3192,7 @@ object DeltaExport {
     * Returns the new version. */
   def optimizeDeltaTablePartitioned(spark: SparkSession, dir: String,
       targetFilesPerPartition: Int = 1, where: Map[String, String] = Map.empty,
-      zorderBy: Seq[String] = Nil): Long = {
+      zorderBy: Seq[String] = Nil, curve: String = "morton"): Long = {
     require(targetFilesPerPartition >= 1, "targetFilesPerPartition must be >= 1")
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
@@ -3146,11 +3253,19 @@ object DeltaExport {
       val df = cmCtx.toLogical(parts.reduce(_.unionByName(_)), dataSchema)
       val shaped =
         if (zorderBy.isEmpty) df.repartition(targetFilesPerPartition)
-        else Zorder.withKey(df, zorderBy)
-          .repartitionByRange(targetFilesPerPartition,
-            org.apache.spark.sql.functions.col("__z"))
-          .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
-          .drop("__z")
+        else {
+          val keyed = curve match {
+            case "morton" => Zorder.withKey(df, zorderBy)
+            case "hilbert" => Zorder.withHilbertKey(df, zorderBy)
+            case other => throw new IllegalArgumentException(
+              s"unknown clustering curve '$other' — morton or hilbert")
+          }
+          keyed
+            .repartitionByRange(targetFilesPerPartition,
+              org.apache.spark.sql.functions.col("__z"))
+            .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+            .drop("__z")
+        }
       toPhysicalFrame(shaped, dataSchema.fields.toSeq, cmCtx.mode)
         .write.mode("append").parquet(s"$dir/$partDir")
     }
@@ -4603,7 +4718,20 @@ object DeltaExport {
       s"_last_checkpoint names v${cp.version} but checkpoint file(s) " +
         s"${gone.map(_.getFileName).mkString(", ")} are missing — " +
         "expiring JSON commits would orphan the table")
-    val victims = logVersions(dir).filter(_ <= cp.version)
+    val allJson = logVersions(dir)
+    val victims0 = allJson.filter(_ <= cp.version)
+    // an ICT table keeps its NEWEST JSON commit even when the
+    // checkpoint supersedes it: the next writer continues the
+    // strictly-monotone in-commit-timestamp chain from v-1's value,
+    // and deleting every predecessor would force it to guess (a
+    // retained extra JSON commit is always protocol-legal). Moot when
+    // commits newer than the checkpoint survive anyway.
+    val victims = victims0 match {
+      case vs if vs.nonEmpty && vs.max == allJson.max &&
+          ictOf(dir, vs.max).isDefined =>
+        vs.filterNot(_ == vs.max)
+      case vs => vs
+    }
     victims.map { v =>
       Files.delete(Paths.get(dir, "_delta_log", commitFile(v)))
       commitFile(v)

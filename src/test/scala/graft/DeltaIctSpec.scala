@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.DeltaExport
+
+/** IN-COMMIT TIMESTAMPS (writer feature `inCommitTimestamp`): commit
+  * time becomes a field inside the atomic commit content — strictly
+  * monotone across commits — and timestamp travel resolves against it
+  * instead of commit-file mtimes, which a log copy, filesystem
+  * migration, or regressed wall clock can scramble. */
+class DeltaIctSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def newTable(): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ict").toString
+    DeltaExport.writeDeltaTable(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal").repartition(1), dir)
+    dir
+  }
+
+  private def commitLine(dir: String, v: Long): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json")), "UTF-8")
+      .split("\n").head
+
+  private def ictIn(line: String): Option[Long] =
+    """"inCommitTimestamp":(\d+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toLong)
+
+  test("enablement seeds the chain; every later commit carries a STRICTLY greater in-commit timestamp") {
+    val dir = newTable()
+    // pre-enablement commits carry no ICT field
+    DeltaExport.appendDeltaTable(spark, Seq((3L, 30.0)).toDF("id", "bal"), dir)
+    assert(ictIn(commitLine(dir, 1L)).isEmpty)
+    val vE = DeltaExport.enableInCommitTimestamps(spark, dir)
+    assert(vE === 2L)
+    assert(ictIn(commitLine(dir, 2L)).isDefined)
+    // a burst of commits inside one millisecond still yields a
+    // STRICTLY increasing chain (the prev+1 leg of the max)
+    val versions = (0 until 4).map { i =>
+      DeltaExport.appendDeltaTable(spark,
+        Seq((100L + i, 1.0)).toDF("id", "bal"), dir)
+    }
+    val icts = (vE +: versions).map(v => ictIn(commitLine(dir, v)).get)
+    assert(icts === icts.sorted && icts.distinct === icts,
+      s"not strictly monotone: $icts")
+    // enablement markers + the protocol feature recorded (the mixed
+    // pre/post boundary) — these ride on LATER lines of the commit
+    val full = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000002.json")), "UTF-8")
+    assert(full.contains("delta.inCommitTimestampEnablementVersion"))
+    assert(full.contains(""""delta.enableInCommitTimestamps":"true""""))
+    assert(full.contains(""""minWriterVersion":7"""), full)
+    assert(full.contains(""""inCommitTimestamp""""), full)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("timestamp travel resolves against the in-commit timestamp, not the file mtime") {
+    val dir = newTable()
+    DeltaExport.enableInCommitTimestamps(spark, dir) // v1
+    DeltaExport.appendDeltaTable(spark, Seq((3L, 30.0)).toDF("id", "bal"), dir) // v2
+    DeltaExport.appendDeltaTable(spark, Seq((4L, 40.0)).toDF("id", "bal"), dir) // v3
+    // push v3's ICT far into the future INSIDE the commit content —
+    // the file's mtime stays now, so an mtime-based resolver would
+    // still pick v3
+    val p3 = java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000003.json")
+    val raw = new String(java.nio.file.Files.readAllBytes(p3), "UTF-8")
+    val future = System.currentTimeMillis() + 3600L * 1000L
+    java.nio.file.Files.write(p3, raw.replaceFirst(
+      """"inCommitTimestamp":\d+""",
+      s""""inCommitTimestamp":$future""").getBytes("UTF-8"))
+    val nowTs = System.currentTimeMillis() + 60L * 1000L
+    assert(DeltaExport.versionAtTimestamp(dir, nowTs) === 2L)
+    assert(DeltaExport.readDeltaTableAsOfTimestamp(spark, dir, nowTs)
+      .count() === 3L)
+    // at/after the future ICT, v3 resolves again
+    assert(DeltaExport.versionAtTimestamp(dir, future + 1) === 3L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("log expiry keeps the newest commit on an ICT table so the chain survives; plain tables expire fully") {
+    val dir = newTable()
+    DeltaExport.enableInCommitTimestamps(spark, dir) // v1
+    DeltaExport.appendDeltaTable(spark, Seq((3L, 30.0)).toDF("id", "bal"), dir) // v2
+    val ict2 = ictIn(commitLine(dir, 2L)).get
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    val deleted = DeltaExport.expireLogBefore(dir)
+    // v0 and v1 expired; v2 retained for the chain
+    assert(deleted.toSet ===
+      Set("00000000000000000000.json", "00000000000000000001.json"))
+    assert(DeltaExport.logVersions(dir) === Seq(2L))
+    val v3 = DeltaExport.appendDeltaTable(spark,
+      Seq((4L, 40.0)).toDF("id", "bal"), dir)
+    assert(v3 === 3L)
+    assert(ictIn(commitLine(dir, 3L)).get > ict2)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 4L)
+
+    // a PLAIN table keeps the old behavior: every superseded commit goes
+    val dir2 = newTable()
+    DeltaExport.appendDeltaTable(spark, Seq((3L, 30.0)).toDF("id", "bal"), dir2)
+    DeltaExport.checkpointDeltaTable(spark, dir2)
+    DeltaExport.expireLogBefore(dir2)
+    assert(DeltaExport.logVersions(dir2).isEmpty)
+    Seq(dir, dir2).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    ()
+  }
+
+  test("double enablement refuses; non-ICT tables never gain the field") {
+    val dir = newTable()
+    DeltaExport.enableInCommitTimestamps(spark, dir)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.enableInCommitTimestamps(spark, dir))
+    assert(e.getMessage.contains("already enabled"))
+    val dir2 = newTable()
+    DeltaExport.appendDeltaTable(spark, Seq((9L, 9.0)).toDF("id", "bal"), dir2)
+    assert(ictIn(commitLine(dir2, 1L)).isEmpty)
+    Seq(dir, dir2).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    ()
+  }
+}
