@@ -1223,7 +1223,8 @@ object DeltaExport {
     enforceWriterObligations(now.meta, "RESTORE", removesData = true, None,
       emitsChangeData = cdf)
     val gone = then_.live.toSeq
-      .filterNot(f => Files.isRegularFile(Paths.get(dir, f)))
+      .filterNot(f => Files.isRegularFile(
+        Paths.get(resolveDataPath(dir, f))))
     require(gone.isEmpty,
       s"cannot restore to v$versionAsOf — file(s) ${gone.mkString(", ")} " +
         "have been vacuumed; the snapshot is no longer reconstructible")
@@ -1317,7 +1318,7 @@ object DeltaExport {
               .getOrElse("null")}"""
         }.mkString(",")
       s"""{"add":{"path":"${esc(p)}","partitionValues":{$pv},"size":${Files
-          .size(Paths.get(dir, p))},"modificationTime":$ts,"dataChange":true$statsField$dvField}}"""
+          .size(Paths.get(resolveDataPath(dir, p)))},"modificationTime":$ts,"dataChange":true$statsField$dvField}}"""
     }
     writeCommit(dir, v,
       metaActions ++ removeActions ++ addActions ++ cdcActions,
@@ -1678,6 +1679,7 @@ object DeltaExport {
     val batch = pinNonDeterministic(batch0)
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
+    requireNoAbsoluteLivePaths(snap, "MERGE")
     val pcols = partitionColumnsOf(snap.meta)
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
@@ -1883,6 +1885,7 @@ object DeltaExport {
     import org.apache.spark.sql.functions._
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
+    requireNoAbsoluteLivePaths(snap, "DELETE")
     val cdf = cdfEnabled(snap.meta)
     enforceWriterObligations(snap.meta, "DELETE", removesData = true, None,
       emitsChangeData = cdf)
@@ -2778,6 +2781,7 @@ object DeltaExport {
     import org.apache.spark.sql.functions._
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
+    requireNoAbsoluteLivePaths(snap, "DELETE (DV)")
     // mapped tables DV-delete natively: the scan resolves physical
     // columns, and the re-issued adds carry partitionValues/stats
     // VERBATIM from the snapshot (already physical-keyed) — no
@@ -2880,6 +2884,7 @@ object DeltaExport {
     require(set.nonEmpty, "no SET expressions — nothing to update")
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
+    requireNoAbsoluteLivePaths(snap, "UPDATE (DV)")
     // property refusals (append-only, CDF) need no batch — fire BEFORE
     // the live-table scan and driver-side position collect, like the
     // DELETE twins; the batch-level obligations run later on `updated`
@@ -3003,6 +3008,7 @@ object DeltaExport {
     import spark.implicits._
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
+    requireNoAbsoluteLivePaths(snap, "PURGE")
     require(snap.dvs.nonEmpty,
       "no live file carries a deletion vector — nothing to purge")
     val pcols = partitionColumnsOf(snap.meta)
@@ -3132,6 +3138,7 @@ object DeltaExport {
       "table is partitioned — use optimizeDeltaTablePartitioned, which " +
         "compacts within partitions and re-emits partitionValues; a flat " +
         "compaction would destroy the layout")
+    requireNoAbsoluteLivePaths(snap, "OPTIMIZE")
     val live = snap.live.toSeq
     require(live.nonEmpty, "nothing to optimize — no live files")
     val optSchema = org.apache.spark.sql.types.DataType
@@ -3196,6 +3203,7 @@ object DeltaExport {
     require(targetFilesPerPartition >= 1, "targetFilesPerPartition must be >= 1")
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
+    requireNoAbsoluteLivePaths(snap, "OPTIMIZE")
     val pcols = partitionColumnsOf(snap.meta)
     require(pcols.nonEmpty,
       "table is not partitioned — use optimizeDeltaTable")
@@ -3923,6 +3931,99 @@ object DeltaExport {
       st.pvals.toMap, st.dvs.toMap)
   }
 
+  /** Whether a logged data path is ABSOLUTE (a shallow clone's
+    * reference into its source table) rather than table-root-relative
+    * — the protocol allows both ("path: relative path … or absolute
+    * path"). */
+  private[core] def isAbsoluteDataPath(p: String): Boolean =
+    p.startsWith("/") || p.startsWith("file:")
+
+  /** Resolve a logged data path against the table root: relative
+    * paths join under `dir`; absolute paths — plain or file: URI, the
+    * two forms foreign shallow clones write — resolve to themselves. */
+  private[core] def resolveDataPath(dir: String, p: String): String =
+    if (p.startsWith("file:"))
+      Paths.get(java.net.URI.create(p)).toString
+    else if (p.startsWith("/")) p
+    else s"$dir/$p"
+
+  /** Refuse BY NAME the operations a shallow-clone target cannot take
+    * yet: every rewrite/reclaim assumes the live files are the
+    * table's own to replace or delete, and a clone's absolute-path
+    * adds are the SOURCE's files. Reads, time travel, appends, and
+    * metadata commits (constraints, schema evolution, renames) all
+    * work — the r17 column-mapping posture applied to clones. */
+  private def requireNoAbsoluteLivePaths(st: ReplayState,
+      op: String): Unit = {
+    val abs = st.live.iterator.filter(isAbsoluteDataPath).take(1).toSeq
+    require(abs.isEmpty,
+      s"$op on a table whose live set references ABSOLUTE paths " +
+        s"(shallow clone — e.g. ${abs.headOption.getOrElse("")}) is " +
+        "not supported: the rewrite/reclaim would touch files owned " +
+        "by the SOURCE table; reads, appends and metadata commits " +
+        "work")
+  }
+
+  /** SHALLOW CLONE — Delta's zero-copy `CREATE TABLE … SHALLOW CLONE`:
+    * one v0 commit at `targetDir` whose adds reference the source's
+    * live files by ABSOLUTE path (bytes never move — clone is instant
+    * at any size), carrying the source's stats, partitionValues and
+    * deletion vectors verbatim (relative DV descriptors rewrite to
+    * absolute 'p' storage, which [[DeletionVectors.referencedRelPath]]
+    * deliberately excludes from the TARGET's vacuum surface — the
+    * source's files are never the clone's to reclaim). The target
+    * takes a FRESH table id and the source's schema / configuration /
+    * protocol, and evolves independently from here: appends land
+    * relative beside the absolute references, OVERWRITE and RESTORE
+    * are log surgery and work, VACUUM is safe by construction (an
+    * absolute path never matches the target's local listing, and
+    * absolute DV descriptors are outside its reclaim surface), while
+    * the file-REWRITE family (DML, OPTIMIZE, PURGE, CHECKPOINT)
+    * refuses by name ([[requireNoAbsoluteLivePaths]]). The source is
+    * never written — a concurrent source VACUUM remains the
+    * documented shallow-clone hazard, exactly as in Delta.
+    * Returns version 0. */
+  def cloneDeltaTableShallow(spark: SparkSession, sourceDir: String,
+      targetDir: String): Long = {
+    require(!Files.exists(Paths.get(targetDir, "_delta_log")),
+      s"$targetDir already holds a Delta log — clone refuses to clobber")
+    val st = snapshotState(spark, sourceDir, None)
+    require(st.live.nonEmpty, "source has no live files — nothing to clone")
+    val now = System.currentTimeMillis()
+    // fresh table id (Delta's clone rule): the FIRST "id" key of the
+    // metaData line is the table id — schemaString's own id keys are
+    // escaped inside the JSON string and cannot match here
+    val newId = java.util.UUID.nameUUIDFromBytes(
+      targetDir.getBytes(StandardCharsets.UTF_8)).toString
+    val meta = """"id":"((?:[^"\\]|\\.)+)"""".r.replaceFirstIn(st.meta,
+      java.util.regex.Matcher.quoteReplacement(s""""id":"${esc(newId)}""""))
+    val protocol = Option(st.protocol).getOrElse(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val adds = st.live.toSeq.sorted.map { p =>
+      val abs = resolveDataPath(sourceDir, p)
+      val statsField = st.stats.get(p)
+        .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
+      val dvField = st.dvs.get(p).map { d =>
+        val absDv = DeletionVectors.referencedRelPath(d) match {
+          case Some(rel) =>
+            d.copy(storageType = "p", pathOrInlineDv = s"$sourceDir/$rel")
+          case None => d // inline, or already absolute
+        }
+        s""","deletionVector":${DeletionVectors.descriptorJson(absDv)}"""
+      }.getOrElse("")
+      val pv = st.pvals.getOrElse(p, Map.empty).toSeq.sortBy(_._1)
+        .map { case (k, value) =>
+          s""""${esc(k)}":${Option(value).map(x => s""""${esc(x)}"""")
+              .getOrElse("null")}"""
+        }.mkString(",")
+      s"""{"add":{"path":"${esc(abs)}","partitionValues":{$pv},"size":${Files
+          .size(Paths.get(abs))},"modificationTime":$now,"dataChange":true$statsField$dvField}}"""
+    }
+    Files.createDirectories(Paths.get(targetDir).resolve("_delta_log"))
+    writeCommit(targetDir, 0L, protocol +: meta +: adds, "CLONE")
+    0L
+  }
+
   /** Anti-join a single file's scan against its deletion vector's
     * positions (attached via the parquet row index) — the one DV
     * application primitive, shared by [[scanFiles]] and the DV-aware
@@ -3962,7 +4063,8 @@ object DeltaExport {
       schema.fields.filterNot(f => pcols.contains(f.name)))
     val rs = ctx.physSchema(dataSchema)
     val keepDf = keep.toDF("__dv_pos")
-    val base = ctx.session.read.schema(rs).parquet(s"$dir/$file")
+    val base = ctx.session.read.schema(rs)
+      .parquet(resolveDataPath(dir, file))
       .withColumn("__dv_pos", col("_metadata.row_index"))
       .join(keepDf, Seq("__dv_pos"), "left_semi")
       .select(rs.fieldNames.toSeq.map(col): _*)
@@ -3991,7 +4093,7 @@ object DeltaExport {
       .fromJson(schemaStringOf(meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val gone = files.filterNot(f =>
-      Files.isRegularFile(Paths.get(dir, f)))
+      Files.isRegularFile(Paths.get(resolveDataPath(dir, f))))
     require(gone.isEmpty,
       s"snapshot at version ${versionAsOf.getOrElse("latest")} is no longer " +
         s"reconstructible — add-listed file(s) vacuumed or missing: " +
@@ -4035,10 +4137,11 @@ object DeltaExport {
       val rs = physSchema(schema)
       val parts =
         (if (plain.nonEmpty)
-          Seq(scanSession.read.schema(rs).parquet(plain.map(f => s"$dir/$f"): _*))
+          Seq(scanSession.read.schema(rs)
+            .parquet(plain.map(f => resolveDataPath(dir, f)): _*))
         else Nil) ++
         dvFiles.sorted.map(f => dvFilter(
-          scanSession.read.schema(rs).parquet(s"$dir/$f"), f,
+          scanSession.read.schema(rs).parquet(resolveDataPath(dir, f)), f,
           rs.fieldNames.toSeq))
       toLogical(parts.reduce(_.unionByName(_)), schema)
     } else {
@@ -4057,11 +4160,11 @@ object DeltaExport {
           val parts =
             (if (plain.nonEmpty)
               Seq(scanSession.read.schema(rs)
-                .parquet(plain.sorted.map(f => s"$dir/$f"): _*))
+                .parquet(plain.sorted.map(f => resolveDataPath(dir, f)): _*))
             else Nil) ++
             dvFiles.sorted.map(f => dvFilter(
-              scanSession.read.schema(rs).parquet(s"$dir/$f"), f,
-              rs.fieldNames.toSeq))
+              scanSession.read.schema(rs).parquet(resolveDataPath(dir, f)),
+              f, rs.fieldNames.toSeq))
           val base = toLogical(parts.reduce(_.unionByName(_)), dataSchema)
           pcols.zip(vals).foldLeft(base) { case (d, (c, v)) =>
             d.withColumn(c, lit(v).cast(schema(c).dataType))
@@ -4616,6 +4719,7 @@ object DeltaExport {
     require(parts >= 1, "parts must be >= 1")
     val v = latestVersion(dir)
     val snap = snapshotState(spark, dir, None)
+    requireNoAbsoluteLivePaths(snap, "CHECKPOINT")
     // mapped tables checkpoint natively — pure log surgery: the
     // schemaString (mapping metadata included), configuration (mode),
     // and physical-keyed partitionValues/stats all carry VERBATIM
