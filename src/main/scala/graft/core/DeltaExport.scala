@@ -513,8 +513,20 @@ object DeltaExport {
     // commit on ICT tables precisely so this chain never breaks).
     val ict: Option[Long] = firstIct.orElse(
       if (v == 0L) None
-      else ictOf(dir, v - 1)
-        .map(prev => math.max(System.currentTimeMillis(), prev + 1L)))
+      else {
+        // v-1 normally; after a FOREIGN log cleanup (which, unlike
+        // graft's own expiry, may delete every pre-checkpoint JSON)
+        // the newest SURVIVING predecessor carries the chain. A log
+        // with no surviving predecessor JSON at all loses it —
+        // documented residual, unreachable through this writer's own
+        // expiry (it retains the newest commit on ICT tables).
+        val prev =
+          if (Files.isRegularFile(
+              logDir.resolve(commitFile(v - 1)))) Some(v - 1)
+          else logVersions(dir).filter(_ < v).lastOption
+        prev.flatMap(ictOf(dir, _))
+          .map(p => math.max(System.currentTimeMillis(), p + 1L))
+      })
     // Files.createFile (unlike createTempFile's forced 0600) creates
     // with the default mode filtered by the PROCESS UMASK — the same
     // permissions the old direct write published, so a umask-0022 host
@@ -818,15 +830,32 @@ object DeltaExport {
         writeCdcFiles(spark, dir, snap.meta, oldRows.unionByName(newRows))
       }
     val now = System.currentTimeMillis()
-    val metaActions =
-      if (sameSchema) Seq.empty[String]
+    // explicit identity values in the replacement rows advance the
+    // watermark (one commit carries at most ONE metaData action, so
+    // the schema-changing branch folds the watermark into its own)
+    val idAdvance = {
+      import org.apache.spark.sql.types.LongType
+      if (!snap.meta.contains("delta.identity.")) Map.empty[String, Long]
       else {
+        val fields = overwriteSchema.fields.toSeq.filter(f =>
+          isIdentityField(f) && df.columns.contains(f.name) &&
+            f.dataType == LongType)
+        if (fields.isEmpty) Map.empty[String, Long]
+        else advancedWatermarks(fields, identityExtrema(df, fields))
+      }
+    }
+    val metaActions =
+      if (sameSchema) {
+        if (idAdvance.isEmpty) Seq.empty[String]
+        else Seq(metaActionReplacingSchema(snap.meta,
+          withWatermarks(tableSchema, idAdvance)))
+      } else {
         val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
         val id = idRe.findFirstMatchIn(snap.meta)
           .map(m => unescapeJson(m.group(1)))
           .getOrElse(throw new IllegalStateException("metaData carries no id"))
         Seq(s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
-            overwriteSchema.json)}","partitionColumns":[],"configuration":{${renderConfiguration(
+            withWatermarks(overwriteSchema, idAdvance).json)}","partitionColumns":[],"configuration":{${renderConfiguration(
             conf)}},"createdTime":$now}}""")
       }
     val removes = live.toSeq.sorted.map(p =>
@@ -1790,8 +1819,12 @@ object DeltaExport {
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
     require(removes.nonEmpty || fresh.nonEmpty,
       "merge is a no-op — no matched files and no inserts")
+    // explicit identity values in the batch advance the watermark, so
+    // a later omitted-column append can never re-allocate them
+    val idActions = trackProvidedIdentity(snap.meta, tableSchema, batch)
     writeCommit(dir, v,
-      removes ++ addActionsRelative(spark, dir, fresh, now) ++ cdcActions,
+      idActions ++ removes ++ addActionsRelative(spark, dir, fresh, now) ++
+        cdcActions,
       "MERGE")
     v
   }
@@ -1959,6 +1992,48 @@ object DeltaExport {
       5 -> Set("columnMapping"),
       6 -> Set("identityColumns"))
       .filter(_._1 <= mwv).flatMap(_._2).toSet
+
+  /** The protocol action that declares WRITER feature `feature`, if
+    * any — the one upgrade rule check constraints, identity columns
+    * and in-commit timestamps share: a table-features protocol MERGES
+    * the feature into writerFeatures (readerFeatures renders only when
+    * already declared — a foreign {1,7} writerFeatures-only table must
+    * NOT gain an empty readerFeatures list, or spec-strict clients
+    * reject it); a legacy protocol rises to the feature's legacy
+    * writer level when it has one, or straight to table features with
+    * the legacy features RE-DECLARED (dropping one would stop later
+    * writers enforcing it) when the feature is features-only. None
+    * when already declared. */
+  private def writerFeatureProtocol(st: ReplayState, feature: String,
+      legacyLevel: Option[Int]): Option[String] = {
+    val cur = Option(st.protocol).getOrElse(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val mrvRe = """"minReaderVersion":(\d+)""".r
+    val mwvRe = """"minWriterVersion":(\d+)""".r
+    val wfRe = """"writerFeatures":\[([^\]]*)\]""".r
+    val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
+    val mrv = mrvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(1)
+    val mwv = mwvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(2)
+    def featuresLine(wf: Set[String]): String = {
+      val rfPart = rfRe.findFirstMatchIn(cur)
+        .map(m => s""","readerFeatures":[${m.group(1)}]""").getOrElse("")
+      val merged = (wf + feature).toSeq.sorted
+        .map(f => s""""${esc(f)}"""").mkString(",")
+      s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7$rfPart,"writerFeatures":[$merged]}}"""
+    }
+    wfRe.findFirstMatchIn(cur) match {
+      case Some(m) =>
+        val wf = jsonStrRe.findAllMatchIn(m.group(1))
+          .map(e => unescapeJson(e.group(1))).toSet
+        if (wf.contains(feature)) None else Some(featuresLine(wf))
+      case None if legacyLevel.exists(mwv >= _) => None
+      case None => legacyLevel match {
+        case Some(lvl) => Some(
+          s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":$lvl}}""")
+        case None => Some(featuresLine(legacyWriterFeatures(mwv)))
+      }
+    }
+  }
 
   /** The protocol action a DV write leads with: the table's CURRENT
     * protocol upgraded to table features with deletionVectors ADDED —
@@ -2315,56 +2390,101 @@ object DeltaExport {
     }
   }
 
-  /** The metaData action that replaces the table's schemaString and
-    * keeps id / partitionColumns / configuration verbatim — the
-    * watermark-advance and SYNC IDENTITY commits' one mutation. */
+  /** The metaData action with ONLY its schemaString replaced —
+    * in-place surgery, so everything else a (possibly foreign) writer
+    * logged — name, description, format options, createdTime —
+    * survives verbatim. The watermark-advance and SYNC IDENTITY
+    * commits' one mutation. */
   private def metaActionReplacingSchema(meta: String,
       newSchema: org.apache.spark.sql.types.StructType): String = {
-    val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
-    val id = idRe.findFirstMatchIn(meta)
-      .map(m => unescapeJson(m.group(1)))
-      .getOrElse(throw new IllegalStateException("metaData carries no id"))
-    val pcolsJson = partitionColumnsOf(meta)
-      .map(c => s""""${esc(c)}"""").mkString(",")
-    s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
-        newSchema.json)}","partitionColumns":[$pcolsJson],"configuration":{${renderConfiguration(
-        configurationOf(meta))}},"createdTime":${System.currentTimeMillis()}}}"""
+    val re = """"schemaString":"((?:[^"\\]|\\.)*)"""".r
+    require(re.findFirstIn(meta).isDefined,
+      "metaData carries no schemaString")
+    re.replaceFirstIn(meta, java.util.regex.Matcher.quoteReplacement(
+      s""""schemaString":"${esc(newSchema.json)}""""))
   }
 
-  /** The protocol action an identity ALLOCATION needs, if any: legacy
-    * writers rise to 6 (identityColumns' legacy level — what Delta
-    * itself stamps on identity tables), a table-features protocol
-    * MERGES `identityColumns` into writerFeatures (never clobbering,
-    * the dvUpgradedProtocol rule). None when already declared. */
-  private def identityColumnsProtocol(st: ReplayState): Option[String] = {
-    val cur = Option(st.protocol).getOrElse(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
-    val mrvRe = """"minReaderVersion":(\d+)""".r
-    val mwvRe = """"minWriterVersion":(\d+)""".r
-    val wfRe = """"writerFeatures":\[([^\]]*)\]""".r
-    val mrv = mrvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(1)
-    val mwv = mwvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(2)
-    wfRe.findFirstMatchIn(cur) match {
-      case Some(m) =>
-        val wf = jsonStrRe.findAllMatchIn(m.group(1))
-          .map(e => unescapeJson(e.group(1))).toSet
-        if (wf.contains("identityColumns")) None
-        else {
-          // readerFeatures renders only when the current protocol
-          // declared it (the checkConstraintProtocol {1,7} rule)
-          val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
-          val rfPart = rfRe.findFirstMatchIn(cur)
-            .map(m2 => s""","readerFeatures":[${m2.group(1)}]""")
-            .getOrElse("")
-          val merged = (wf + "identityColumns").toSeq.sorted
-            .map(f => s""""${esc(f)}"""").mkString(",")
-          Some(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7$rfPart,"writerFeatures":[$merged]}}""")
-        }
-      case None if mwv >= 6 => None
-      case None =>
-        Some(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":6}}""")
-    }
+  /** One aggregate row of per-field identity extrema over `rows` —
+    * max for ascending steps, min for descending. */
+  private def identityExtrema(rows: DataFrame,
+      fields: Seq[org.apache.spark.sql.types.StructField])
+      : org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val aggs = fields.map(f =>
+      if (identityStep(f) > 0) max(col(f.name)).as(f.name)
+      else min(col(f.name)).as(f.name))
+    rows.agg(aggs.head, aggs.tail: _*).head()
   }
+
+  private def identityHwmOf(
+      f: org.apache.spark.sql.types.StructField): Option[Long] =
+    if (f.metadata.contains("delta.identity.highWaterMark"))
+      Some(f.metadata.getLong("delta.identity.highWaterMark"))
+    else None
+
+  /** Which watermarks `row`'s extrema ADVANCE (strictly beyond the
+    * recorded value, in the step's direction) — the one comparison
+    * rule allocation, explicit-insert tracking, and SYNC IDENTITY all
+    * share. `row` column i is field i's extremum. */
+  private def advancedWatermarks(
+      fields: Seq[org.apache.spark.sql.types.StructField],
+      row: org.apache.spark.sql.Row): Map[String, Long] = {
+    var advanced = Map.empty[String, Long]
+    fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) {
+        val observed = row.getLong(i)
+        val step = identityStep(f)
+        val beyond = identityHwmOf(f).forall(h =>
+          if (step > 0) observed > h else observed < h)
+        if (beyond) advanced += f.name -> observed
+      }
+    }
+    advanced
+  }
+
+  /** `schema` with the advanced watermarks stamped into the identity
+    * fields' metadata. */
+  private def withWatermarks(
+      schema: org.apache.spark.sql.types.StructType,
+      advanced: Map[String, Long]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      advanced.get(f.name) match {
+        case Some(h) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.identity.highWaterMark", h)
+            .build())
+        case None => f
+      }))
+
+  /** Watermark tracking for writers that land EXPLICIT identity values
+    * OUTSIDE the append path (BY DEFAULT overwrites, merge batches, DV
+    * updates): the metaData action the commit must carry when `rows`
+    * pushes any identity column's extremum past its recorded watermark
+    * — without it, a later omitted-column append would re-allocate
+    * values these rows already hold. Nil when the schema carries no
+    * (bigint) identity columns present in `rows`, or nothing advanced.
+    * Cost: one tiny aggregate, and only on identity tables (the
+    * raw-string probe). */
+  private def trackProvidedIdentity(meta: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.types.LongType
+    if (!meta.contains("delta.identity.")) return Nil
+    val rowCols = rows.columns.toSet
+    val fields = schema.fields.toSeq.filter(f => isIdentityField(f) &&
+      rowCols.contains(f.name) && f.dataType == LongType)
+    if (fields.isEmpty) return Nil
+    val adv = advancedWatermarks(fields, identityExtrema(rows, fields))
+    if (adv.isEmpty) Nil
+    else Seq(metaActionReplacingSchema(meta, withWatermarks(schema, adv)))
+  }
+
+  /** The protocol action an identity ALLOCATION needs, if any —
+    * legacy level 6, what Delta itself stamps on identity tables
+    * ([[writerFeatureProtocol]]). */
+  private def identityColumnsProtocol(st: ReplayState): Option[String] =
+    writerFeatureProtocol(st, "identityColumns", legacyLevel = Some(6))
 
   /** Identity handling for an appending batch — the r18 turn of the
     * GENERATED ALWAYS refusal into the feature:
@@ -2417,16 +2537,13 @@ object DeltaExport {
         "columns — allocating a fresh value per row would explode the " +
         s"partition layout; provide them explicitly or re-layout — $op " +
         "refused")
-    def hwmOf(f: org.apache.spark.sql.types.StructField): Option[Long] =
-      if (f.metadata.contains("delta.identity.highWaterMark"))
-        Some(f.metadata.getLong("delta.identity.highWaterMark"))
-      else None
     var advanced = Map.empty[String, Long]
     // ---- allocation for omitted columns ----
     val filled: DataFrame =
       if (missing.isEmpty) df
       else {
-        missing.foreach(f => require(hwmOf(f).isDefined || st.live.isEmpty,
+        missing.foreach(f =>
+          require(identityHwmOf(f).isDefined || st.live.isEmpty,
           s"table has data but identity column '${f.name}' records no " +
             "high watermark — its rows predate tracking, so a blind " +
             "allocation could collide; run syncDeltaIdentity first " +
@@ -2449,7 +2566,7 @@ object DeltaExport {
         val allocs = missing.map { f =>
           val start = identityStart(f)
           val step = identityStep(f)
-          val next = hwmOf(f).map(identityGridNext(_, start, step))
+          val next = identityHwmOf(f).map(identityGridNext(_, start, step))
             .getOrElse(start)
           if (total > 0) {
             val last = BigInt(next) + BigInt(total - 1) * BigInt(step)
@@ -2474,39 +2591,21 @@ object DeltaExport {
             org.apache.spark.sql.Row.fromSeq(vals.toSeq)
           }
         }
+        // PIN the filled frame (lazy localCheckpoint): constraint
+        // validation, the obligations probe and the parquet write all
+        // re-evaluate it, and a shuffle-fed batch could pair rows with
+        // DIFFERENT ids across evaluations — the validated pairing
+        // must be the written pairing
         spark.createDataFrame(filledRdd, schema)
+          .localCheckpoint(eager = false)
       }
     // ---- watermark tracking for provided BY DEFAULT columns ----
-    if (providedByDefault.nonEmpty) {
-      import org.apache.spark.sql.functions.{col, max, min}
-      val aggs = providedByDefault.map(f =>
-        if (identityStep(f) > 0) max(col(f.name)).as(f.name)
-        else min(col(f.name)).as(f.name))
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
-      providedByDefault.zipWithIndex.foreach { case (f, i) =>
-        if (!row.isNullAt(i)) {
-          val observed = row.getLong(i)
-          val step = identityStep(f)
-          val beyond = hwmOf(f).forall(h =>
-            if (step > 0) observed > h else observed < h)
-          if (beyond) advanced += f.name -> observed
-        }
-      }
-    }
+    if (providedByDefault.nonEmpty)
+      advanced ++= advancedWatermarks(providedByDefault,
+        identityExtrema(df, providedByDefault))
     if (advanced.isEmpty) (filled, Nil)
-    else {
-      val newSchema = StructType(schema.fields.map(f =>
-        advanced.get(f.name) match {
-          case Some(h) => f.copy(metadata =
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-              .putLong("delta.identity.highWaterMark", h)
-              .build())
-          case None => f
-        }))
-      (filled, identityColumnsProtocol(st).toSeq :+
-        metaActionReplacingSchema(st.meta, newSchema))
-    }
+    else (filled, identityColumnsProtocol(st).toSeq :+
+      metaActionReplacingSchema(st.meta, withWatermarks(schema, advanced)))
   }
 
   /** ALTER TABLE … SYNC IDENTITY — recompute every identity column's
@@ -2518,7 +2617,6 @@ object DeltaExport {
     * allocatable without a collision. No-op (current version returned,
     * no commit) when no watermark moves. */
   def syncDeltaIdentity(spark: SparkSession, dir: String): Long = {
-    import org.apache.spark.sql.functions.{col, max, min}
     import org.apache.spark.sql.types.{LongType, StructType}
     val v = latestVersion(dir) + 1
     val st = snapshotState(spark, dir, None, keepStats = false)
@@ -2537,73 +2635,22 @@ object DeltaExport {
         "the watermark to (a fresh table allocates from start already)")
     val table = scanFiles(spark, dir, st.meta, st.live.toSeq.sorted, None,
       st.pvals.toMap, st.dvs.toMap)
-    val aggs = idFields.map(f =>
-      if (identityStep(f) > 0) max(col(f.name)).as(f.name)
-      else min(col(f.name)).as(f.name))
-    val row = table.agg(aggs.head, aggs.tail: _*).head()
-    def hwmOf(f: org.apache.spark.sql.types.StructField): Option[Long] =
-      if (f.metadata.contains("delta.identity.highWaterMark"))
-        Some(f.metadata.getLong("delta.identity.highWaterMark"))
-      else None
-    var advanced = Map.empty[String, Long]
-    idFields.zipWithIndex.foreach { case (f, i) =>
-      if (!row.isNullAt(i)) {
-        val observed = row.getLong(i)
-        val step = identityStep(f)
-        val beyond = hwmOf(f).forall(h =>
-          if (step > 0) observed > h else observed < h)
-        if (beyond) advanced += f.name -> observed
-      }
-    }
+    val advanced = advancedWatermarks(idFields,
+      identityExtrema(table, idFields))
     if (advanced.isEmpty) return v - 1
-    val newSchema = StructType(schema.fields.map(f =>
-      advanced.get(f.name) match {
-        case Some(h) => f.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putLong("delta.identity.highWaterMark", h)
-            .build())
-        case None => f
-      }))
     writeCommit(dir, v,
       identityColumnsProtocol(st).toSeq :+
-        metaActionReplacingSchema(st.meta, newSchema),
+        metaActionReplacingSchema(st.meta, withWatermarks(schema, advanced)),
       "SYNC IDENTITY")
     v
   }
 
   // ---- in-commit timestamps (writer feature `inCommitTimestamp`) ----
 
-  /** The protocol action ICT enablement needs, if any: the feature has
-    * NO legacy writer level, so a legacy protocol upgrades straight to
-    * table features (minWriterVersion 7, legacy features re-declared —
-    * the upgrade rule) with `inCommitTimestamp` merged into
-    * writerFeatures; readerFeatures renders only when already declared
-    * (the checkConstraintProtocol {1,7} rule — ICT never raises the
-    * reader version). None when already declared. */
-  private def ictProtocol(st: ReplayState): Option[String] = {
-    val cur = Option(st.protocol).getOrElse(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
-    val mrvRe = """"minReaderVersion":(\d+)""".r
-    val mwvRe = """"minWriterVersion":(\d+)""".r
-    val wfRe = """"writerFeatures":\[([^\]]*)\]""".r
-    val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
-    val mrv = mrvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(1)
-    val mwv = mwvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(2)
-    val wf0 = wfRe.findFirstMatchIn(cur)
-      .map(m => jsonStrRe.findAllMatchIn(m.group(1))
-        .map(e => unescapeJson(e.group(1))).toSet)
-      .getOrElse(legacyWriterFeatures(mwv))
-    if (wf0.contains("inCommitTimestamp")) None
-    else {
-      val rfPart = rfRe.findFirstMatchIn(cur)
-        .map(m => s""","readerFeatures":[${m.group(1)}]""")
-        .getOrElse("")
-      val merged = (wf0 + "inCommitTimestamp").toSeq.sorted
-        .map(f => s""""${esc(f)}"""").mkString(",")
-      Some(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7$rfPart,"writerFeatures":[$merged]}}""")
-    }
-  }
+  /** The protocol action ICT enablement needs, if any — the feature
+    * has NO legacy writer level ([[writerFeatureProtocol]]). */
+  private def ictProtocol(st: ReplayState): Option[String] =
+    writerFeatureProtocol(st, "inCommitTimestamp", legacyLevel = None)
 
   /** Enable IN-COMMIT TIMESTAMPS — Delta's
     * `delta.enableInCommitTimestamps`: from this commit on, every
@@ -2635,43 +2682,10 @@ object DeltaExport {
     v
   }
 
-  /** The protocol action an ADD CONSTRAINT needs, if any: legacy
-    * minWriterVersion upgraded to 3 (checkConstraints' legacy level),
-    * or — when the table already speaks table features — the
-    * `checkConstraints` writer feature MERGED in (never clobbering
-    * declared features, the dvUpgradedProtocol rule). */
-  private def checkConstraintProtocol(st: ReplayState): Option[String] = {
-    val cur = Option(st.protocol).getOrElse(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
-    val mrvRe = """"minReaderVersion":(\d+)""".r
-    val mwvRe = """"minWriterVersion":(\d+)""".r
-    val wfRe = """"writerFeatures":\[([^\]]*)\]""".r
-    val mrv = mrvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(1)
-    val mwv = mwvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(2)
-    wfRe.findFirstMatchIn(cur) match {
-      case Some(m) =>
-        val wf = jsonStrRe.findAllMatchIn(m.group(1))
-          .map(e => unescapeJson(e.group(1))).toSet
-        if (wf.contains("checkConstraints")) None
-        else {
-          // readerFeatures is only legal at minReaderVersion 3 — a
-          // foreign {1,7} table (writerFeatures only) must NOT gain an
-          // empty readerFeatures list, or spec-strict clients reject
-          // the table after ADD CONSTRAINT; render it only when the
-          // current protocol declared it
-          val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
-          val rfPart = rfRe.findFirstMatchIn(cur)
-            .map(m => s""","readerFeatures":[${m.group(1)}]""")
-            .getOrElse("")
-          val merged = (wf + "checkConstraints").toSeq.sorted
-            .map(f => s""""${esc(f)}"""").mkString(",")
-          Some(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7$rfPart,"writerFeatures":[$merged]}}""")
-        }
-      case None if mwv >= 3 => None
-      case None =>
-        Some(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":3}}""")
-    }
-  }
+  /** The protocol action an ADD CONSTRAINT needs, if any — legacy
+    * level 3, checkConstraints' level ([[writerFeatureProtocol]]). */
+  private def checkConstraintProtocol(st: ReplayState): Option[String] =
+    writerFeatureProtocol(st, "checkConstraints", legacyLevel = Some(3))
 
   /** ALTER TABLE ADD CONSTRAINT — the row-level data contract beside
     * the schema gate: a named SQL predicate every CURRENT row must
@@ -2974,8 +2988,11 @@ object DeltaExport {
         (priorByRel.getOrElse(rel, Set.empty).toSeq ++ pos).distinct.sorted,
         now)
     }
+    // a SET that writes explicit identity values advances the
+    // watermark (tracked over the post-images)
+    val idActions = trackProvidedIdentity(snap.meta, updSchema, updated)
     writeCommit(dir, v,
-      dvUpgradedProtocol(snap).toSeq ++
+      dvUpgradedProtocol(snap).toSeq ++ idActions ++
         (dvActions ++ addActionsRelative(spark, dir, fresh, now)) ++
         cdcActions,
       "UPDATE")
@@ -3151,24 +3168,13 @@ object DeltaExport {
     // the DV purge, and the orphaned .bin files become vacuumable
     val df = scanFiles(spark, dir, snap.meta, live, None,
       snap.pvals.toMap, snap.dvs.toMap)
+    // curve picks the multi-column layout: "morton" is Delta's
+    // OPTIMIZE ZORDER BY; "hilbert" is the liquid-clustering walk
+    // (unit steps — tighter per-file hyper-rectangles, measured by
+    // Zorder.skipProbe / hilbert_skip_ratio)
     val shaped =
       if (zorderBy.isEmpty) df.repartition(targetFiles)
-      else {
-        // curve picks the multi-column layout: "morton" is Delta's
-        // OPTIMIZE ZORDER BY; "hilbert" is the liquid-clustering walk
-        // (unit steps — tighter per-file hyper-rectangles, measured by
-        // Zorder.skipProbe / hilbert_skip_ratio)
-        val keyed = curve match {
-          case "morton" => Zorder.withKey(df, zorderBy)
-          case "hilbert" => Zorder.withHilbertKey(df, zorderBy)
-          case other => throw new IllegalArgumentException(
-            s"unknown clustering curve '$other' — morton or hilbert")
-        }
-        keyed
-          .repartitionByRange(targetFiles, org.apache.spark.sql.functions.col("__z"))
-          .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
-          .drop("__z")
-      }
+      else Zorder.curveShaped(df, zorderBy, bits = 8, targetFiles, curve)
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
     toPhysicalFrame(shaped, optSchema.fields.toSeq, cmCtx.mode)
       .write.mode("append").parquet(dir)
@@ -3261,19 +3267,8 @@ object DeltaExport {
       val df = cmCtx.toLogical(parts.reduce(_.unionByName(_)), dataSchema)
       val shaped =
         if (zorderBy.isEmpty) df.repartition(targetFilesPerPartition)
-        else {
-          val keyed = curve match {
-            case "morton" => Zorder.withKey(df, zorderBy)
-            case "hilbert" => Zorder.withHilbertKey(df, zorderBy)
-            case other => throw new IllegalArgumentException(
-              s"unknown clustering curve '$other' — morton or hilbert")
-          }
-          keyed
-            .repartitionByRange(targetFilesPerPartition,
-              org.apache.spark.sql.functions.col("__z"))
-            .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
-            .drop("__z")
-        }
+        else Zorder.curveShaped(df, zorderBy, bits = 8,
+          targetFilesPerPartition, curve)
       toPhysicalFrame(shaped, dataSchema.fields.toSeq, cmCtx.mode)
         .write.mode("append").parquet(s"$dir/$partDir")
     }
@@ -3987,6 +3982,9 @@ object DeltaExport {
       targetDir: String): Long = {
     require(!Files.exists(Paths.get(targetDir, "_delta_log")),
       s"$targetDir already holds a Delta log — clone refuses to clobber")
+    // a RELATIVE source root would make the absolute references
+    // resolve against the TARGET at read time — anchor it first
+    val srcRoot = Paths.get(sourceDir).toAbsolutePath.normalize.toString
     val st = snapshotState(spark, sourceDir, None)
     require(st.live.nonEmpty, "source has no live files — nothing to clone")
     val now = System.currentTimeMillis()
@@ -3995,18 +3993,31 @@ object DeltaExport {
     // escaped inside the JSON string and cannot match here
     val newId = java.util.UUID.nameUUIDFromBytes(
       targetDir.getBytes(StandardCharsets.UTF_8)).toString
-    val meta = """"id":"((?:[^"\\]|\\.)+)"""".r.replaceFirstIn(st.meta,
+    val withId = """"id":"((?:[^"\\]|\\.)+)"""".r.replaceFirstIn(st.meta,
       java.util.regex.Matcher.quoteReplacement(s""""id":"${esc(newId)}""""))
+    // an ICT-enabled source seeds the TARGET's own chain: the clone's
+    // history starts at ITS v0, so the enablement markers re-anchor
+    // there and the first in-commit timestamp rides this commit —
+    // copying the source's markers verbatim would point at versions
+    // the target's log never had
+    val conf = configurationOf(st.meta)
+    val ictEnabled = conf.get("delta.enableInCommitTimestamps")
+      .exists(_.equalsIgnoreCase("true"))
+    val meta =
+      if (!ictEnabled) withId
+      else withConfiguration(withId, conf +
+        ("delta.inCommitTimestampEnablementVersion" -> "0") +
+        ("delta.inCommitTimestampEnablementTimestamp" -> now.toString))
     val protocol = Option(st.protocol).getOrElse(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
     val adds = st.live.toSeq.sorted.map { p =>
-      val abs = resolveDataPath(sourceDir, p)
+      val abs = resolveDataPath(srcRoot, p)
       val statsField = st.stats.get(p)
         .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
       val dvField = st.dvs.get(p).map { d =>
         val absDv = DeletionVectors.referencedRelPath(d) match {
           case Some(rel) =>
-            d.copy(storageType = "p", pathOrInlineDv = s"$sourceDir/$rel")
+            d.copy(storageType = "p", pathOrInlineDv = s"$srcRoot/$rel")
           case None => d // inline, or already absolute
         }
         s""","deletionVector":${DeletionVectors.descriptorJson(absDv)}"""
@@ -4020,7 +4031,8 @@ object DeltaExport {
           .size(Paths.get(abs))},"modificationTime":$now,"dataChange":true$statsField$dvField}}"""
     }
     Files.createDirectories(Paths.get(targetDir).resolve("_delta_log"))
-    writeCommit(targetDir, 0L, protocol +: meta +: adds, "CLONE")
+    writeCommit(targetDir, 0L, protocol +: meta +: adds, "CLONE",
+      firstIct = if (ictEnabled) Some(now) else None)
     0L
   }
 

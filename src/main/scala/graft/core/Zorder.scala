@@ -95,9 +95,12 @@ object Zorder {
     * key (each output file owns a contiguous curve range = a
     * hyper-rectangle of the column space) and sort within partitions
     * so row groups inside a file stay tight too. */
-  def clusteredWrite(
-      df: DataFrame, path: String, cols: Seq[String], bits: Int = 8,
-      files: Int = 8, curve: String = "morton"): Unit = {
+  /** `df` shaped for a clustered write: curve key on `cols` ("morton"
+    * | "hilbert"), range-partitioned into `files`, sorted within
+    * partitions, key dropped — the one dispatch [[clusteredWrite]] and
+    * both OPTIMIZE forms share. */
+  def curveShaped(df: DataFrame, cols: Seq[String], bits: Int,
+      files: Int, curve: String): DataFrame = {
     val keyed = curve match {
       case "morton" => withKey(df, cols, bits)
       case "hilbert" => withHilbertKey(df, cols, bits)
@@ -108,8 +111,13 @@ object Zorder {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
+
+  def clusteredWrite(
+      df: DataFrame, path: String, cols: Seq[String], bits: Int = 8,
+      files: Int = 8, curve: String = "morton"): Unit =
+    curveShaped(df, cols, bits, files, curve)
+      .write.mode("overwrite").parquet(path)
 
   /** Outcome of [[skipProbe]]: candidate-file counts for the same band
     * predicate under the three layouts, plus the z-layout's row count

@@ -175,6 +175,42 @@ class DeltaIdentitySpec extends SparkTestBase {
     ()
   }
 
+  test("explicit inserts through MERGE and OVERWRITE advance the watermark too — no path can set up a collision") {
+    // MERGE leg: a batch whose inserts carry ids far past the watermark
+    val dirM = identityTable(start = 1L, step = 1L, allowExplicit = true,
+      seedWatermark = 1L)
+    DeltaExport.mergeDeltaTable(spark,
+      Seq((50L, 5.0), (60L, 6.0)).toDF("id", "v"), dirM, Seq("id"))
+    DeltaExport.appendDeltaTable(spark, Seq(7.0).toDF("v"), dirM)
+    val gotM = DeltaExport.readDeltaTable(spark, dirM)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(gotM === Seq(1L, 50L, 60L, 61L))
+
+    // OVERWRITE leg: the replacement rows' ids must not be re-issued
+    val dirO = identityTable(start = 1L, step = 1L, allowExplicit = true,
+      seedWatermark = 1L)
+    DeltaExport.overwriteDeltaTable(spark,
+      Seq((200L, 2.0)).toDF("id", "v"), dirO)
+    DeltaExport.appendDeltaTable(spark, Seq(3.0).toDF("v"), dirO)
+    val gotO = DeltaExport.readDeltaTable(spark, dirO)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(gotO === Seq(200L, 201L))
+
+    // DV UPDATE leg: a SET that raises the identity value advances it
+    val dirU = identityTable(start = 1L, step = 1L, allowExplicit = true,
+      seedWatermark = 1L)
+    DeltaExport.updateDeltaTableDv(spark, dirU,
+      org.apache.spark.sql.functions.col("id") === 1L,
+      Map("id" -> org.apache.spark.sql.functions.lit(500L)))
+    DeltaExport.appendDeltaTable(spark, Seq(9.0).toDF("v"), dirU)
+    val gotU = DeltaExport.readDeltaTable(spark, dirU)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(gotU === Seq(500L, 501L))
+    Seq(dirM, dirO, dirU).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    ()
+  }
+
   test("allocation survives checkpoint + log expiry, and time travel keeps pre-allocation reads") {
     val dir = identityTable(start = 1L, step = 1L,
       seedWatermark = 1L)
