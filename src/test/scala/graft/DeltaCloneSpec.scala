@@ -121,6 +121,37 @@ class DeltaCloneSpec extends SparkTestBase {
     rm(src, dst)
   }
 
+  test("cloning an ICT source seeds the target's own timestamp chain with re-anchored enablement markers") {
+    val src = tmp("graft_clone_ict_src")
+    val dst = tmp("graft_clone_ict_dst"); rm(dst)
+    DeltaExport.writeDeltaTable(spark,
+      spark.range(10).toDF("id").repartition(1), src)
+    DeltaExport.enableInCommitTimestamps(spark, src)
+    DeltaExport.appendDeltaTable(spark, Seq(100L).toDF("id"), src)
+    DeltaExport.cloneDeltaTableShallow(spark, src, dst)
+    def line0(dir: String, v: Long): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json")),
+        "UTF-8").split("\n").head
+    def ictIn(l: String): Option[Long] =
+      """"inCommitTimestamp":(\d+)""".r.findFirstMatchIn(l)
+        .map(_.group(1).toLong)
+    // the CLONE commit itself carries the target's first ICT …
+    val ict0 = ictIn(line0(dst, 0L))
+    assert(ict0.isDefined)
+    // … the enablement markers re-anchor at the target's v0 (the
+    // source's marker points at a version the target's log never had)
+    val full0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dst, "_delta_log",
+        "00000000000000000000.json")), "UTF-8")
+    assert(full0.contains(
+      """"delta.inCommitTimestampEnablementVersion":"0""""), full0)
+    // … and later commits continue the chain strictly
+    DeltaExport.appendDeltaTable(spark, Seq(200L).toDF("id"), dst)
+    assert(ictIn(line0(dst, 1L)).get > ict0.get)
+    rm(src, dst)
+  }
+
   test("clone of a clone stays zero-copy; cloning onto an existing log refuses") {
     val src = tmp("graft_clone2_src")
     val mid = tmp("graft_clone2_mid"); rm(mid)

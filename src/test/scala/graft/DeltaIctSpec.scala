@@ -110,6 +110,59 @@ class DeltaIctSpec extends SparkTestBase {
     ()
   }
 
+  test("the chain survives a FOREIGN cleanup that deletes v-1 but leaves an older ICT commit") {
+    val dir = newTable()
+    DeltaExport.enableInCommitTimestamps(spark, dir) // v1
+    DeltaExport.appendDeltaTable(spark, Seq((3L, 30.0)).toDF("id", "bal"), dir) // v2
+    val ict1 = ictIn(commitLine(dir, 1L)).get
+    // checkpoint at v2, then a foreign cleanup deletes v2's JSON but
+    // leaves v0/v1 (graft's own expiry would never produce this shape
+    // — it keeps the NEWEST commit; the fallback reads the newest
+    // SURVIVING predecessor instead of silently dropping the chain)
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir,
+      "_delta_log", "00000000000000000002.json"))
+    val v3 = DeltaExport.appendDeltaTable(spark,
+      Seq((4L, 40.0)).toDF("id", "bal"), dir)
+    assert(v3 === 3L)
+    assert(ictIn(commitLine(dir, 3L)).get > ict1)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("a watermark-advance metaData keeps a foreign writer's name/description/createdTime verbatim") {
+    // identity table whose v0 metaData carries a description — the
+    // foreign-writer posture; the allocating append's metaData commit
+    // must preserve it (in-place schemaString surgery, not a rebuild)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ict_meta").toString
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("delta.identity.start", 1L)
+      .putLong("delta.identity.step", 1L)
+      .putLong("delta.identity.highWaterMark", 1L).build()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false, md),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    DeltaExport.writeDeltaTable(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, 0.5)), 1), schema), dir)
+    val p0 = java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000000.json")
+    val raw = new String(java.nio.file.Files.readAllBytes(p0), "UTF-8")
+    java.nio.file.Files.write(p0, raw.replaceFirst(
+      """"format":""",
+      """"name":"ledger","description":"the billing ledger","format":""")
+      .getBytes("UTF-8"))
+    DeltaExport.appendDeltaTable(spark, Seq(2.0).toDF("v"), dir)
+    val c1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000001.json")), "UTF-8")
+    assert(c1.contains(""""description":"the billing ledger""""), c1)
+    assert(c1.contains("delta.identity.highWaterMark"), c1)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("double enablement refuses; non-ICT tables never gain the field") {
     val dir = newTable()
     DeltaExport.enableInCommitTimestamps(spark, dir)
