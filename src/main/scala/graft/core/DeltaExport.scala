@@ -516,10 +516,12 @@ object DeltaExport {
       else {
         // v-1 normally; after a FOREIGN log cleanup (which, unlike
         // graft's own expiry, may delete every pre-checkpoint JSON)
-        // the newest SURVIVING predecessor carries the chain. A log
-        // with no surviving predecessor JSON at all loses it —
-        // documented residual, unreachable through this writer's own
-        // expiry (it retains the newest commit on ICT tables).
+        // the newest SURVIVING predecessor carries the chain. Residual,
+        // documented: a log whose surviving predecessors all PREDATE
+        // enablement (or has none) loses the chain — unreachable
+        // through this writer's own expiry (it retains the newest
+        // commit on ICT tables), and age-ordered foreign cleanups
+        // delete oldest-first, so the surviving tail is the newest.
         val prev =
           if (Files.isRegularFile(
               logDir.resolve(commitFile(v - 1)))) Some(v - 1)
@@ -792,9 +794,15 @@ object DeltaExport {
     // uuid physical names against maxColumnId, the evolve rule
     val overwriteSchema: org.apache.spark.sql.types.StructType =
       if (sameSchema) tableSchema
-      else if (cmCtx.mode == "none") df.schema
       else {
-        val (survivors, fresh) = df.schema.fields.partition(f =>
+        // BOTH mapping modes: columns surviving by (name, type) keep
+        // their LOGGED field metadata — mapping identity where mapped,
+        // and identity/invariant/generation metadata everywhere (an
+        // unmapped overwrite that silently dropped delta.identity.*
+        // would de-identity the table as a side effect); genuinely
+        // new columns allocate mapping identity when mapped, or pass
+        // through verbatim when not
+        val (survivors, freshFields) = df.schema.fields.partition(f =>
           tableSchema.fields.exists(o =>
             o.name == f.name && o.dataType == f.dataType))
         val kept = survivors.map { f =>
@@ -802,11 +810,17 @@ object DeltaExport {
             x.name == f.name && x.dataType == f.dataType).get
           f.name -> o.copy(nullable = o.nullable || f.nullable)
         }.toMap
-        val (alloc, newConf) = allocateMappedFields(fresh, tableSchema, conf)
-        conf = newConf
-        val allocByName = alloc.map(f => f.name -> f).toMap
+        val freshByName =
+          if (cmCtx.mode == "none")
+            freshFields.map(f => f.name -> f).toMap
+          else {
+            val (alloc, newConf) =
+              allocateMappedFields(freshFields, tableSchema, conf)
+            conf = newConf
+            alloc.map(f => f.name -> f).toMap
+          }
         org.apache.spark.sql.types.StructType(df.schema.fields.map(f =>
-          kept.getOrElse(f.name, allocByName(f.name))))
+          kept.getOrElse(f.name, freshByName(f.name))))
       }
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
     toPhysicalFrame(df, overwriteSchema.fields.toSeq, cmCtx.mode)
@@ -831,8 +845,10 @@ object DeltaExport {
       }
     val now = System.currentTimeMillis()
     // explicit identity values in the replacement rows advance the
-    // watermark (one commit carries at most ONE metaData action, so
-    // the schema-changing branch folds the watermark into its own)
+    // watermark — an overwrite REPLACES the row set, so bootstrapping
+    // an untracked column is safe. One commit carries at most ONE
+    // metaData action, so the schema-changing branch folds the
+    // watermark into its own.
     val idAdvance = {
       import org.apache.spark.sql.types.LongType
       if (!snap.meta.contains("delta.identity.")) Map.empty[String, Long]
@@ -844,19 +860,25 @@ object DeltaExport {
         else advancedWatermarks(fields, identityExtrema(df, fields))
       }
     }
+    // a watermark-bearing metaData declares the identityColumns
+    // protocol like every other watermark commit
+    val idProtocol =
+      if (idAdvance.isEmpty) Seq.empty[String]
+      else identityColumnsProtocol(snap).toSeq
     val metaActions =
       if (sameSchema) {
         if (idAdvance.isEmpty) Seq.empty[String]
-        else Seq(metaActionReplacingSchema(snap.meta,
-          withWatermarks(tableSchema, idAdvance)))
+        else idProtocol :+ metaActionReplacingSchema(snap.meta,
+          withWatermarks(tableSchema, idAdvance))
       } else {
-        val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
-        val id = idRe.findFirstMatchIn(snap.meta)
-          .map(m => unescapeJson(m.group(1)))
-          .getOrElse(throw new IllegalStateException("metaData carries no id"))
-        Seq(s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
-            withWatermarks(overwriteSchema, idAdvance).json)}","partitionColumns":[],"configuration":{${renderConfiguration(
-            conf)}},"createdTime":$now}}""")
+        // in-place surgery on the logged metaData — schemaString and
+        // configuration replaced, a foreign writer's name/description/
+        // createdTime kept verbatim (the metaActionReplacingSchema
+        // invariant; flat tables keep partitionColumns [] either way)
+        idProtocol :+ withConfiguration(
+          metaActionReplacingSchema(snap.meta,
+            withWatermarks(overwriteSchema, idAdvance)),
+          conf)
       }
     val removes = live.toSeq.sorted.map(p =>
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
@@ -1820,8 +1842,10 @@ object DeltaExport {
     require(removes.nonEmpty || fresh.nonEmpty,
       "merge is a no-op — no matched files and no inserts")
     // explicit identity values in the batch advance the watermark, so
-    // a later omitted-column append can never re-allocate them
-    val idActions = trackProvidedIdentity(snap.meta, tableSchema, batch)
+    // a later omitted-column append can never re-allocate them (a
+    // merge batch is a partial slice — bootstrap only on empty tables)
+    val idActions = trackProvidedIdentity(snap, tableSchema, batch,
+      allowBootstrap = snap.live.isEmpty)
     writeCommit(dir, v,
       idActions ++ removes ++ addActionsRelative(spark, dir, fresh, now) ++
         cdcActions,
@@ -2459,25 +2483,34 @@ object DeltaExport {
 
   /** Watermark tracking for writers that land EXPLICIT identity values
     * OUTSIDE the append path (BY DEFAULT overwrites, merge batches, DV
-    * updates): the metaData action the commit must carry when `rows`
-    * pushes any identity column's extremum past its recorded watermark
-    * — without it, a later omitted-column append would re-allocate
-    * values these rows already hold. Nil when the schema carries no
-    * (bigint) identity columns present in `rows`, or nothing advanced.
-    * Cost: one tiny aggregate, and only on identity tables (the
-    * raw-string probe). */
-  private def trackProvidedIdentity(meta: String,
+    * updates): the protocol declaration + metaData action the commit
+    * must carry when `rows` pushes any identity column's extremum past
+    * its recorded watermark — without it, a later omitted-column
+    * append would re-allocate values these rows already hold.
+    *
+    * A column with NO recorded watermark is tracked only when
+    * `allowBootstrap` (the writer replaces or creates the whole row
+    * set — OVERWRITE, or any writer on a previously-empty table):
+    * bootstrapping from a PARTIAL slice (a MERGE batch, DV-UPDATE
+    * images) would record an extremum the untouched rows exceed,
+    * defeating the syncDeltaIdentity refusal and re-enabling exactly
+    * the collision it prevents. Nil when nothing qualifies or nothing
+    * advanced. Cost: one tiny aggregate, and only on identity tables
+    * (the raw-string probe). */
+  private def trackProvidedIdentity(st: ReplayState,
       schema: org.apache.spark.sql.types.StructType,
-      rows: DataFrame): Seq[String] = {
+      rows: DataFrame, allowBootstrap: Boolean): Seq[String] = {
     import org.apache.spark.sql.types.LongType
-    if (!meta.contains("delta.identity.")) return Nil
+    if (!st.meta.contains("delta.identity.")) return Nil
     val rowCols = rows.columns.toSet
     val fields = schema.fields.toSeq.filter(f => isIdentityField(f) &&
-      rowCols.contains(f.name) && f.dataType == LongType)
+      rowCols.contains(f.name) && f.dataType == LongType &&
+      (allowBootstrap || identityHwmOf(f).isDefined))
     if (fields.isEmpty) return Nil
     val adv = advancedWatermarks(fields, identityExtrema(rows, fields))
     if (adv.isEmpty) Nil
-    else Seq(metaActionReplacingSchema(meta, withWatermarks(schema, adv)))
+    else identityColumnsProtocol(st).toSeq :+
+      metaActionReplacingSchema(st.meta, withWatermarks(schema, adv))
   }
 
   /** The protocol action an identity ALLOCATION needs, if any —
@@ -2518,10 +2551,15 @@ object DeltaExport {
     val missing = idFields.filterNot(f => batchCols.contains(f.name))
     // watermark tracking binds only PROTOCOL-shaped (bigint) identity
     // columns — a foreign fixture with loose typing keeps its old
-    // accept-explicit behavior, untracked
+    // accept-explicit behavior, untracked. An UNTRACKED column on a
+    // non-empty table is skipped too (the trackProvidedIdentity
+    // bootstrap rule): an append batch is a partial slice, and
+    // recording ITS extremum as the watermark would let a later
+    // allocation collide with the untracked standing rows.
     val providedByDefault = idFields.filter(f =>
       batchCols.contains(f.name) && identityAllowsExplicit(f) &&
-        f.dataType == LongType)
+        f.dataType == LongType &&
+        (identityHwmOf(f).isDefined || st.live.isEmpty))
     // ALWAYS + provided falls through untouched — the writer
     // obligations refuse it by name downstream, exactly as before
     if (missing.isEmpty && providedByDefault.isEmpty) return (df, Nil)
@@ -2989,8 +3027,10 @@ object DeltaExport {
         now)
     }
     // a SET that writes explicit identity values advances the
-    // watermark (tracked over the post-images)
-    val idActions = trackProvidedIdentity(snap.meta, updSchema, updated)
+    // watermark (tracked over the post-images — a partial slice, so
+    // never a bootstrap)
+    val idActions = trackProvidedIdentity(snap, updSchema, updated,
+      allowBootstrap = false)
     writeCommit(dir, v,
       dvUpgradedProtocol(snap).toSeq ++ idActions ++
         (dvActions ++ addActionsRelative(spark, dir, fresh, now)) ++

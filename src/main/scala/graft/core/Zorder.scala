@@ -90,15 +90,12 @@ object Zorder {
       graft.functions.Hilbert.hilbertIndex(array(codes: _*), bits)), cols)
   }
 
-  /** Write `df` as parquet clustered on the space-filling-curve key of
-    * `cols` (`curve` = "morton" | "hilbert"): range partition on the
-    * key (each output file owns a contiguous curve range = a
-    * hyper-rectangle of the column space) and sort within partitions
-    * so row groups inside a file stay tight too. */
   /** `df` shaped for a clustered write: curve key on `cols` ("morton"
-    * | "hilbert"), range-partitioned into `files`, sorted within
-    * partitions, key dropped — the one dispatch [[clusteredWrite]] and
-    * both OPTIMIZE forms share. */
+    * | "hilbert"), range-partitioned into `files` (each output file
+    * owns a contiguous curve range = a hyper-rectangle of the column
+    * space), sorted within partitions so row groups stay tight too,
+    * key dropped — the one dispatch [[clusteredWrite]] and both
+    * OPTIMIZE forms share. */
   def curveShaped(df: DataFrame, cols: Seq[String], bits: Int,
       files: Int, curve: String): DataFrame = {
     val keyed = curve match {
@@ -113,6 +110,8 @@ object Zorder {
       .drop("__z")
   }
 
+  /** Write `df` as parquet clustered on the space-filling-curve key
+    * of `cols` — [[curveShaped]] to disk. */
   def clusteredWrite(
       df: DataFrame, path: String, cols: Seq[String], bits: Int = 8,
       files: Int = 8, curve: String = "morton"): Unit =

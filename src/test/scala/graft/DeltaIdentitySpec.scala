@@ -211,6 +211,58 @@ class DeltaIdentitySpec extends SparkTestBase {
     ()
   }
 
+  test("a partial slice never BOOTSTRAPS a watermark on an untracked table — the sync refusal survives DML") {
+    // BY DEFAULT identity table with rows 1..8 and NO recorded
+    // watermark (creation predates tracking)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_identity_boot").toString
+    val md = new MetadataBuilder()
+      .putLong("delta.identity.start", 1L)
+      .putLong("delta.identity.step", 1L)
+      .putBoolean("delta.identity.allowExplicitInsert", true).build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false, md),
+      StructField("v", DoubleType, nullable = true)))
+    DeltaExport.writeDeltaTable(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1L to 8L).map(i => org.apache.spark.sql.Row(i, i * 0.5)), 1),
+      schema), dir)
+    // a MERGE touching only id=5 sees extremum 5 — recording it as the
+    // watermark would let a later allocation collide with rows 6..8
+    DeltaExport.mergeDeltaTable(spark,
+      Seq((5L, 9.9)).toDF("id", "v"), dir, Seq("id"))
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.appendDeltaTable(spark, Seq(1.0).toDF("v"), dir))
+    assert(e.getMessage.contains("syncDeltaIdentity"), e.getMessage)
+    // sync observes the TRUE extremum; allocation then continues at 9
+    DeltaExport.syncDeltaIdentity(spark, dir)
+    DeltaExport.appendDeltaTable(spark, Seq(2.0).toDF("v"), dir)
+    val got = DeltaExport.readDeltaTable(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === (1L to 9L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("allocation works on a COLUMN-MAPPED table: physical-named files, watermark in the mapped schema") {
+    val dir = identityTable(start = 1L, step = 1L, seedWatermark = 1L)
+    DeltaExport.upgradeToColumnMapping(spark, dir)
+    DeltaExport.renameDeltaTableColumn(spark, dir, "v", "value")
+    // omitted append allocates THROUGH the mapping: the batch fills
+    // under logical names, lands under physical ones
+    DeltaExport.appendDeltaTable(spark, Seq(2.0).toDF("value"), dir)
+    val got = DeltaExport.readDeltaTable(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 2L))
+    // the advanced watermark rides the MAPPED schema — mapping keys
+    // survive the metadata surgery, so a second allocation continues
+    DeltaExport.appendDeltaTable(spark, Seq(3.0).toDF("value"), dir)
+    val got2 = DeltaExport.readDeltaTable(spark, dir)
+      .select("id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(got2 === Seq((1L, 0.0), (2L, 2.0), (3L, 3.0)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("allocation survives checkpoint + log expiry, and time travel keeps pre-allocation reads") {
     val dir = identityTable(start = 1L, step = 1L,
       seedWatermark = 1L)
