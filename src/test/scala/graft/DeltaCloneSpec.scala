@@ -121,6 +121,30 @@ class DeltaCloneSpec extends SparkTestBase {
     rm(src, dst)
   }
 
+  test("cloning a COLUMN-MAPPED source keeps the mapping: reads resolve physically, appends land physically") {
+    val src = tmp("graft_clone_cm_src")
+    val dst = tmp("graft_clone_cm_dst"); rm(dst)
+    DeltaExport.writeDeltaTable(spark,
+      spark.range(30).select(col("id"), (col("id") * 2).as("v"))
+        .repartition(1), src)
+    DeltaExport.upgradeToColumnMapping(spark, src)
+    DeltaExport.renameDeltaTableColumn(spark, src, "v", "value")
+    DeltaExport.cloneDeltaTableShallow(spark, src, dst)
+    // the clone reads under the RENAMED logical schema through the
+    // source's physical bytes
+    assert(DeltaExport.readDeltaTable(spark, dst).columns.toSeq ===
+      Seq("id", "value"))
+    assert(DeltaExport.readDeltaTable(spark, dst)
+      .agg(sum(col("value"))).head().getLong(0) ===
+      (0L until 30L).map(_ * 2).sum)
+    // an append lands physical-named columns beside the absolute refs
+    DeltaExport.appendDeltaTable(spark,
+      Seq((100L, 7L)).toDF("id", "value"), dst)
+    assert(DeltaExport.readDeltaTable(spark, dst).count() === 31L)
+    assert(DeltaExport.readDeltaTable(spark, src).count() === 30L)
+    rm(src, dst)
+  }
+
   test("cloning an ICT source seeds the target's own timestamp chain with re-anchored enablement markers") {
     val src = tmp("graft_clone_ict_src")
     val dst = tmp("graft_clone_ict_dst"); rm(dst)
