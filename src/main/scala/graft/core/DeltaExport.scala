@@ -421,7 +421,7 @@ object DeltaExport {
     writeCommit(dir, v,
       idActions ++
         addActionsRelative(spark, dir, fresh, System.currentTimeMillis()),
-      "APPEND")
+      "APPEND", tableMeta = Some(meta))
     v
   }
 
@@ -501,7 +501,8 @@ object DeltaExport {
     * snapshot AND blocks every retry of that version). An object store
     * deployment swaps this for its conditional put. */
   private[core] def writeCommit(dir: String, v: Long, actions: Seq[String],
-      op: String, firstIct: Option[Long] = None): Unit = {
+      op: String, firstIct: Option[Long] = None,
+      tableMeta: Option[String] = None): Unit = {
     val logDir = Paths.get(dir, "_delta_log")
     val target = logDir.resolve(commitFile(v))
     // IN-COMMIT TIMESTAMP chain: once any predecessor carries one
@@ -516,18 +517,45 @@ object DeltaExport {
       else {
         // v-1 normally; after a FOREIGN log cleanup (which, unlike
         // graft's own expiry, may delete every pre-checkpoint JSON)
-        // the newest SURVIVING predecessor carries the chain. Residual,
-        // documented: a log whose surviving predecessors all PREDATE
-        // enablement (or has none) loses the chain — unreachable
-        // through this writer's own expiry (it retains the newest
-        // commit on ICT tables), and age-ordered foreign cleanups
-        // delete oldest-first, so the surviving tail is the newest.
+        // the newest SURVIVING predecessor carries the chain.
         val prev =
           if (Files.isRegularFile(
               logDir.resolve(commitFile(v - 1)))) Some(v - 1)
           else logVersions(dir).filter(_ < v).lastOption
         prev.flatMap(ictOf(dir, _))
           .map(p => math.max(System.currentTimeMillis(), p + 1L))
+          .orElse {
+            // ENABLEMENT-MARKER fallback (ADVICE r18): the chain can
+            // still break on an ICT-enabled table — a foreign cleanup
+            // that deletes every JSON commit covered by a checkpoint,
+            // or a spec-violating foreign writer committing v-1
+            // without the field. Silently dropping the chain would be
+            // a spec violation of OUR OWN (every later commit omits
+            // inCommitTimestamp while the enablement markers still
+            // claim it, degrading timestamp travel to mtimes) — so
+            // when the governing configuration (the caller's snapshot
+            // meta, or a metaData action riding THIS commit) says
+            // delta.enableInCommitTimestamps=true, the chain restarts
+            // from the deepest surviving predecessor's ICT and the
+            // enablement timestamp, strictly above both. The deep
+            // walk runs ONLY here — the common non-ICT table never
+            // pays it, and an intact chain answered at v-1 above.
+            val evidence = tableMeta.orElse(
+              actions.find(_.startsWith("""{"metaData"""")))
+            evidence.map(configurationOf)
+              .filter(_.get("delta.enableInCommitTimestamps")
+                .exists(_.equalsIgnoreCase("true")))
+              .map { conf =>
+                val enableTs = conf
+                  .get("delta.inCommitTimestampEnablementTimestamp")
+                  .flatMap(_.toLongOption).getOrElse(0L)
+                val deepest = logVersions(dir).filter(_ < v)
+                  .reverseIterator.flatMap(ictOf(dir, _))
+                  .nextOption().getOrElse(0L)
+                math.max(System.currentTimeMillis(),
+                  math.max(enableTs, deepest) + 1L)
+              }
+          }
       })
     // Files.createFile (unlike createTempFile's forced 0600) creates
     // with the default mode filtered by the PROCESS UMASK — the same
@@ -749,7 +777,7 @@ object DeltaExport {
     require(fresh.nonEmpty, "append produced no data files")
     val now = System.currentTimeMillis()
     writeCommit(dir, v, idActions ++ addActions(spark, fresh, now),
-      "APPEND")
+      "APPEND", tableMeta = Some(appendMeta))
     v
   }
 
@@ -884,7 +912,7 @@ object DeltaExport {
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
     writeCommit(dir, v,
       metaActions ++ removes ++ addActions(spark, fresh, now) ++ cdcActions,
-      "OVERWRITE")
+      "OVERWRITE", tableMeta = Some(snap.meta))
     v
   }
 
@@ -1216,7 +1244,7 @@ object DeltaExport {
     writeCommit(dir, v,
       s"""{"txn":{"appId":"${esc(appId)}","version":$txnVersion}}""" +:
         (idActions ++ addActionsRelative(spark, dir, fresh, now)),
-      "APPEND")
+      "APPEND", tableMeta = Some(snap.meta))
     (v, true)
   }
 
@@ -1373,7 +1401,7 @@ object DeltaExport {
     }
     writeCommit(dir, v,
       metaActions ++ removeActions ++ addActions ++ cdcActions,
-      "RESTORE")
+      "RESTORE", tableMeta = Some(now.meta))
     v
   }
 
@@ -1849,7 +1877,7 @@ object DeltaExport {
     writeCommit(dir, v,
       idActions ++ removes ++ addActionsRelative(spark, dir, fresh, now) ++
         cdcActions,
-      "MERGE")
+      "MERGE", tableMeta = Some(snap.meta))
     v
   }
 
@@ -2001,7 +2029,7 @@ object DeltaExport {
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":true}}""")
     writeCommit(dir, v,
       removes ++ addActionsRelative(spark, dir, fresh, now) ++ cdcActions,
-      "DELETE")
+      "DELETE", tableMeta = Some(snap.meta))
     v
   }
 
@@ -2595,7 +2623,18 @@ object DeltaExport {
           s"append schema ${df.schema.catalogString} does not match " +
             s"the table's logged schema minus its generated identity " +
             s"column(s) ${expected.catalogString} — $op refused")
-        val rdd = df.rdd
+        // PIN the SOURCE first (lazy localCheckpoint, materialized by
+        // the count job): the offsets computed below are only valid
+        // against the exact partition row distribution they counted,
+        // and a plan whose distribution can change between evaluations
+        // (limit without ordering, an external source mutated
+        // mid-write) would otherwise pair rows with stale offsets —
+        // duplicate or skipped identity values (ADVICE r18). Both the
+        // count and the fill below read this one materialization, and
+        // every downstream re-evaluation (constraint probe, obligation
+        // probe, parquet write) replays a deterministic narrow map
+        // over the same pinned partitions — no second pin needed.
+        val rdd = df.localCheckpoint(eager = false).rdd
         val counts = rdd.mapPartitionsWithIndex((i, it) =>
             Iterator((i, it.size.toLong)))
           .collect().sortBy(_._1).map(_._2)
@@ -2629,13 +2668,10 @@ object DeltaExport {
             org.apache.spark.sql.Row.fromSeq(vals.toSeq)
           }
         }
-        // PIN the filled frame (lazy localCheckpoint): constraint
-        // validation, the obligations probe and the parquet write all
-        // re-evaluate it, and a shuffle-fed batch could pair rows with
-        // DIFFERENT ids across evaluations — the validated pairing
-        // must be the written pairing
+        // the fill is a deterministic narrow map over the pinned
+        // source partitions, so the validated pairing IS the written
+        // pairing without a second full materialization
         spark.createDataFrame(filledRdd, schema)
-          .localCheckpoint(eager = false)
       }
     // ---- watermark tracking for provided BY DEFAULT columns ----
     if (providedByDefault.nonEmpty)
@@ -2907,7 +2943,8 @@ object DeltaExport {
       dvRewriteActions(dir, snap, rel, (prior ++ pos).distinct.sorted, now)
     }
     writeCommit(dir, v,
-      dvUpgradedProtocol(snap).toSeq ++ actions ++ cdcActions, "DELETE")
+      dvUpgradedProtocol(snap).toSeq ++ actions ++ cdcActions, "DELETE",
+      tableMeta = Some(snap.meta))
     v
   }
 
@@ -3035,7 +3072,7 @@ object DeltaExport {
       dvUpgradedProtocol(snap).toSeq ++ idActions ++
         (dvActions ++ addActionsRelative(spark, dir, fresh, now)) ++
         cdcActions,
-      "UPDATE")
+      "UPDATE", tableMeta = Some(snap.meta))
     v
   }
 
@@ -3126,7 +3163,8 @@ object DeltaExport {
             .size(Paths.get(dir, f))},"modificationTime":$now,"dataChange":false$statsField}}"""
       }
     }
-    writeCommit(dir, v, removes ++ adds, "PURGE")
+    writeCommit(dir, v, removes ++ adds, "PURGE",
+      tableMeta = Some(snap.meta))
     v
   }
 
@@ -3225,7 +3263,7 @@ object DeltaExport {
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":false}}""")
     writeCommit(dir, v,
       removes ++ addActions(spark, fresh, now, dataChange = false),
-      "OPTIMIZE")
+      "OPTIMIZE", tableMeta = Some(snap.meta))
     v
   }
 
@@ -3319,7 +3357,7 @@ object DeltaExport {
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":false}}""")
     writeCommit(dir, v,
       removes ++ addActionsRelative(spark, dir, fresh, now,
-        dataChange = false), "OPTIMIZE")
+        dataChange = false), "OPTIMIZE", tableMeta = Some(snap.meta))
     v
   }
 
@@ -3966,20 +4004,31 @@ object DeltaExport {
       st.pvals.toMap, st.dvs.toMap)
   }
 
+  // RFC 3986 scheme: ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ) ":" —
+  // any scheme-qualified URI (s3://, hdfs://, abfss://, file:) a
+  // foreign shallow clone may log is absolute, not just the two local
+  // forms; mangling s3://… into "$dir/s3://…" would surface as a
+  // misleading "vacuumed or missing" error instead of the
+  // clone-specific handling (ADVICE r18)
+  private val uriSchemeRe = """^[a-zA-Z][a-zA-Z0-9+.\-]*:""".r
+
   /** Whether a logged data path is ABSOLUTE (a shallow clone's
     * reference into its source table) rather than table-root-relative
     * — the protocol allows both ("path: relative path … or absolute
-    * path"). */
+    * path"), and absolute paths may be plain or scheme-qualified
+    * URIs. */
   private[core] def isAbsoluteDataPath(p: String): Boolean =
-    p.startsWith("/") || p.startsWith("file:")
+    p.startsWith("/") || uriSchemeRe.findFirstIn(p).isDefined
 
   /** Resolve a logged data path against the table root: relative
-    * paths join under `dir`; absolute paths — plain or file: URI, the
-    * two forms foreign shallow clones write — resolve to themselves. */
+    * paths join under `dir`; absolute paths resolve to themselves —
+    * file: URIs to their local path, other scheme-qualified URIs
+    * (s3://, hdfs://) verbatim, so a scan attempt fails with the
+    * filesystem's own error naming the real location. */
   private[core] def resolveDataPath(dir: String, p: String): String =
     if (p.startsWith("file:"))
       Paths.get(java.net.URI.create(p)).toString
-    else if (p.startsWith("/")) p
+    else if (p.startsWith("/") || uriSchemeRe.findFirstIn(p).isDefined) p
     else s"$dir/$p"
 
   /** Refuse BY NAME the operations a shallow-clone target cannot take

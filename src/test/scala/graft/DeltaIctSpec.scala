@@ -129,6 +129,39 @@ class DeltaIctSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("the chain RESTARTS from the enablement markers when NO surviving predecessor carries an ICT") {
+    val dir = newTable()
+    DeltaExport.enableInCommitTimestamps(spark, dir) // v1
+    DeltaExport.appendDeltaTable(spark, Seq((3L, 30.0)).toDF("id", "bal"), dir) // v2
+    val enableTs =
+      """"delta\.inCommitTimestampEnablementTimestamp":"(\d+)"""".r
+        .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "_delta_log",
+            "00000000000000000001.json")), "UTF-8")).get.group(1).toLong
+    // checkpoint at v2, then a protocol-legal FOREIGN cleanup deletes
+    // EVERY JSON commit the checkpoint covers — no surviving
+    // predecessor carries an ICT, so the v-1 probe AND the deep walk
+    // both come up empty. The ADVICE-r18 failure mode was a silent
+    // chain drop (every later commit omits the field while the
+    // enablement markers still claim ICT); the fallback must restart
+    // the chain above the enablement timestamp instead.
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    Seq(0L, 1L, 2L).foreach(v => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json")))
+    val v3 = DeltaExport.appendDeltaTable(spark,
+      Seq((4L, 40.0)).toDF("id", "bal"), dir)
+    assert(v3 === 3L)
+    val restarted = ictIn(commitLine(dir, 3L))
+    assert(restarted.isDefined, "chain silently dropped — commit v3 " +
+      "carries no inCommitTimestamp on an ICT-enabled table")
+    assert(restarted.get > enableTs)
+    // and the restarted chain continues strictly monotone
+    val v4 = DeltaExport.appendDeltaTable(spark,
+      Seq((5L, 50.0)).toDF("id", "bal"), dir)
+    assert(ictIn(commitLine(dir, v4)).get > restarted.get)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("a watermark-advance metaData keeps a foreign writer's name/description/createdTime verbatim") {
     // identity table whose v0 metaData carries a description — the
     // foreign-writer posture; the allocating append's metaData commit

@@ -11,6 +11,30 @@ package graft.core
   * document). */
 class CommitGuardSpec extends graft.SparkTestBase {
 
+  test("logged data paths: scheme-qualified URIs are absolute and resolve verbatim, relative paths join the root") {
+    // a foreign shallow clone may log s3://, hdfs://, abfss:// or
+    // file: adds — all absolute per RFC 3986; mangling one into
+    // "$dir/s3://…" surfaced as a misleading 'vacuumed or missing'
+    // error instead of the clone-specific handling (ADVICE r18)
+    for (p <- Seq("/abs/part.parquet", "file:///abs/part.parquet",
+        "s3://bucket/t/part.parquet", "hdfs://nn:8020/t/part.parquet",
+        "abfss://c@a.dfs.core.windows.net/t/part.parquet"))
+      assert(DeltaExport.isAbsoluteDataPath(p), p)
+    for (p <- Seq("part.parquet", "dt=2024-01-01/part.parquet",
+        "year=2024/month=07/part.parquet"))
+      assert(!DeltaExport.isAbsoluteDataPath(p), p)
+    assert(DeltaExport.resolveDataPath("/root/t",
+      "s3://bucket/t/part.parquet") === "s3://bucket/t/part.parquet")
+    assert(DeltaExport.resolveDataPath("/root/t",
+      "hdfs://nn:8020/t/p.parquet") === "hdfs://nn:8020/t/p.parquet")
+    assert(DeltaExport.resolveDataPath("/root/t", "/abs/p.parquet")
+      === "/abs/p.parquet")
+    assert(DeltaExport.resolveDataPath("/root/t", "file:///abs/p.parquet")
+      === "/abs/p.parquet")
+    assert(DeltaExport.resolveDataPath("/root/t", "dt=1/p.parquet")
+      === "/root/t/dt=1/p.parquet")
+  }
+
   test("writeCommit is put-if-absent: a lost race throws by name and never clobbers the winner") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_commit_guard").toString
