@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DataType
 
 /** Best-effort Delta Lake interchange: write a dataset as a
   * STRUCTURALLY VALID Delta table — a parquet directory plus a
@@ -168,15 +169,62 @@ object DeltaExport {
     * `table`: same columns (name + type, in order), and every nullable
     * written field maps to a nullable table field (writing non-null
     * data into a nullable column is always fine; the reverse could put
-    * NULLs under a non-null contract). */
+    * NULLs under a non-null contract). Types compare STRUCTURALLY,
+    * ignoring field metadata at every depth — the logged schema of a
+    * mapped table carries delta.columnMapping.* metadata on nested
+    * struct fields that a caller's plain frame cannot (and must not
+    * need to) replicate. */
   private def schemaFits(
       writing: org.apache.spark.sql.types.StructType,
       table: org.apache.spark.sql.types.StructType): Boolean =
     writing.length == table.length &&
       writing.fields.zip(table.fields).forall { case (w, t) =>
-        w.name == t.name && w.dataType == t.dataType &&
+        w.name == t.name && fitsType(w.dataType, t.dataType) &&
           (!w.nullable || t.nullable)
       }
+
+  /** [[schemaFits]]'s per-type rule, recursive: equal names and types
+    * ignoring metadata; nullability may only be EQUAL-OR-TIGHTER on
+    * the writing side at every depth. */
+  private def fitsType(w: DataType, t: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (w, t) match {
+      case (ws: StructType, ts: StructType) =>
+        ws.length == ts.length &&
+          ws.fields.zip(ts.fields).forall { case (wf, tf) =>
+            wf.name == tf.name && fitsType(wf.dataType, tf.dataType) &&
+              (!wf.nullable || tf.nullable)
+          }
+      case (wa: ArrayType, ta: ArrayType) =>
+        fitsType(wa.elementType, ta.elementType) &&
+          (!wa.containsNull || ta.containsNull)
+      case (wm: MapType, tm: MapType) =>
+        fitsType(wm.keyType, tm.keyType) &&
+          fitsType(wm.valueType, tm.valueType) &&
+          (!wm.valueContainsNull || tm.valueContainsNull)
+      case _ => w == t
+    }
+  }
+
+  /** Same SHAPE: equal names and types recursively, ignoring both
+    * metadata and nullability — the survivor-identity rule schema
+    * evolution and the schema-changing overwrite match columns by. */
+  private def sameShape(a: DataType, b: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (as: StructType, bs: StructType) =>
+        as.length == bs.length &&
+          as.fields.zip(bs.fields).forall { case (af, bf) =>
+            af.name == bf.name && sameShape(af.dataType, bf.dataType)
+          }
+      case (aa: ArrayType, ba: ArrayType) =>
+        sameShape(aa.elementType, ba.elementType)
+      case (am: MapType, bm: MapType) =>
+        sameShape(am.keyType, bm.keyType) &&
+          sameShape(am.valueType, bm.valueType)
+      case _ => a == b
+    }
+  }
 
   // ---- per-file column statistics (the protocol's `add.stats` field) ----
 
@@ -832,10 +880,10 @@ object DeltaExport {
         // through verbatim when not
         val (survivors, freshFields) = df.schema.fields.partition(f =>
           tableSchema.fields.exists(o =>
-            o.name == f.name && o.dataType == f.dataType))
+            o.name == f.name && sameShape(o.dataType, f.dataType)))
         val kept = survivors.map { f =>
           val o = tableSchema.fields.find(x =>
-            x.name == f.name && x.dataType == f.dataType).get
+            x.name == f.name && sameShape(x.dataType, f.dataType)).get
           f.name -> o.copy(nullable = o.nullable || f.nullable)
         }.toMap
         val freshByName =
@@ -1430,7 +1478,8 @@ object DeltaExport {
         "rewrite data and belong to overwrite")
     val prefix = newSchema.fields.take(old.length)
     val drift = prefix.zip(old.fields).collect {
-      case (n, o) if n.name != o.name || n.dataType != o.dataType ||
+      case (n, o) if n.name != o.name ||
+          !sameShape(n.dataType, o.dataType) ||
           (o.nullable && !n.nullable) => s"${o.name} -> ${n.name}"
     }
     require(drift.isEmpty,
@@ -1502,18 +1551,39 @@ object DeltaExport {
     val old = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // EVERY field gets mapping identity, nested struct fields included
+    // (r19 — Databricks' upgrade rule): physical name = the CURRENT
+    // display name at every depth (the standing files already carry
+    // those columns under those names, so reads keep resolving
+    // byte-for-byte), ids in depth-first pre-order.
+    var nAssigned = 0L
+    def upgradeField(f: org.apache.spark.sql.types.StructField)
+        : org.apache.spark.sql.types.StructField = {
+      nAssigned += 1
+      val id = nAssigned
+      f.copy(
+        dataType = upgradeType(f.dataType),
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong(cmIdKey, id)
+          .putString(cmPhysKey, f.name)
+          .build())
+    }
+    def upgradeType(dt: DataType): DataType = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case st: StructType => StructType(st.fields.map(upgradeField))
+        case a: ArrayType => a.copy(elementType = upgradeType(a.elementType))
+        case m: MapType => m.copy(keyType = upgradeType(m.keyType),
+          valueType = upgradeType(m.valueType))
+        case other => other
+      }
+    }
     val mapped = org.apache.spark.sql.types.StructType(
-      old.fields.zipWithIndex.map { case (f, i) =>
-        f.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putLong("delta.columnMapping.id", (i + 1).toLong)
-            .putString("delta.columnMapping.physicalName", f.name)
-            .build())
-      })
+      old.fields.map(upgradeField))
     val conf = configurationOf(snap.meta) +
       ("delta.columnMapping.mode" -> "name") +
-      ("delta.columnMapping.maxColumnId" -> old.length.toString)
+      ("delta.columnMapping.maxColumnId" -> nAssigned.toString)
     val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
     val id = idRe.findFirstMatchIn(snap.meta)
       .map(m => unescapeJson(m.group(1)))
@@ -3814,49 +3884,87 @@ object DeltaExport {
   private def columnMappingMode(meta: String): String =
     cmModeRe.findFirstMatchIn(meta).map(_.group(1)).getOrElse("none")
 
-  /** logical field name -> physical parquet name, from the
-    * schemaString's per-field `delta.columnMapping.physicalName`
-    * metadata (a field without one keeps its display name — the
-    * protocol's pre-upgrade columns). NESTED mapped fields are
-    * refused by name: graft maps top-level columns; silently ignoring
-    * a nested physicalName would read the wrong nested data. */
+  private val cmPhysKey = "delta.columnMapping.physicalName"
+  private val cmIdKey = "delta.columnMapping.id"
+
+  /** logical field name -> physical parquet name for the TOP-LEVEL
+    * fields, from the schemaString's per-field
+    * `delta.columnMapping.physicalName` metadata (a field without one
+    * keeps its display name — the protocol's pre-upgrade columns).
+    * Used for the layers that are top-level by construction —
+    * partitionValues keys, Hive directory names, stats keys. NESTED
+    * mapped fields (r19) are handled by the recursive
+    * [[physDataType]] transform the scan/write schemas run through. */
   private def physicalNames(
       schema: org.apache.spark.sql.types.StructType,
       mode: String): Map[String, String] = {
-    import org.apache.spark.sql.types._
-    val key = "delta.columnMapping.physicalName"
     if (mode == "none") return schema.fieldNames.map(n => n -> n).toMap
-    def nestedMapped(dt: DataType): Boolean = dt match {
-      case st: StructType => st.fields.exists(f =>
-        f.metadata.contains(key) || nestedMapped(f.dataType))
-      case a: ArrayType => nestedMapped(a.elementType)
-      case m: MapType => nestedMapped(m.keyType) || nestedMapped(m.valueType)
-      case _ => false
-    }
     schema.fields.map { f =>
-      require(!nestedMapped(f.dataType),
-        s"NESTED COLUMN MAPPING inside field '${f.name}' is not " +
-          "supported — only top-level physical names are mapped")
-      f.name -> (if (f.metadata.contains(key)) f.metadata.getString(key)
+      f.name -> (if (f.metadata.contains(cmPhysKey))
+                   f.metadata.getString(cmPhysKey)
                  else f.name)
     }.toMap
   }
 
-  /** logical field name -> parquet field id, from the schemaString's
-    * per-field `delta.columnMapping.id` metadata — the resolution key
-    * of 'id' mode. Every field must carry one there (the protocol
-    * assigns ids to all columns when mapping is enabled); a field
-    * without one is a malformed table, refused by name. */
-  private def fieldIds(
-      schema: org.apache.spark.sql.types.StructType,
-      mode: String): Map[String, Long] =
-    if (mode != "id") Map.empty
-    else schema.fields.map { f =>
-      require(f.metadata.contains("delta.columnMapping.id"),
-        s"id-mode COLUMN MAPPING field '${f.name}' carries no " +
-          "delta.columnMapping.id — cannot resolve it by parquet field id")
-      f.name -> f.metadata.getLong("delta.columnMapping.id")
-    }.toMap
+  /** The PHYSICAL twin of a logical data type, recursively: every
+    * struct field AT ANY DEPTH renamed to its
+    * `delta.columnMapping.physicalName` (when `rename`) and stamped
+    * with its `delta.columnMapping.id` as `parquet.field.id` (when
+    * `stampIds`) — Databricks' mapping upgrade assigns physical
+    * names/ids to EVERY field including nested ones, so a mapped
+    * table with a struct column must resolve nested fields through
+    * the same layer. A field without mapping metadata keeps its
+    * display name (pre-upgrade columns). Identity for atomic types. */
+  private def physDataType(dt: DataType, rename: Boolean,
+      stampIds: Boolean): DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val name =
+          if (rename && f.metadata.contains(cmPhysKey))
+            f.metadata.getString(cmPhysKey)
+          else f.name
+        val md =
+          if (stampIds && f.metadata.contains(cmIdKey))
+            new MetadataBuilder().withMetadata(f.metadata)
+              .putLong("parquet.field.id", f.metadata.getLong(cmIdKey))
+              .build()
+          else f.metadata
+        f.copy(name = name,
+          dataType = physDataType(f.dataType, rename, stampIds),
+          metadata = md)
+      })
+      case a: ArrayType =>
+        a.copy(elementType = physDataType(a.elementType, rename, stampIds))
+      case m: MapType =>
+        m.copy(keyType = physDataType(m.keyType, rename, stampIds),
+          valueType = physDataType(m.valueType, rename, stampIds))
+      case other => other
+    }
+  }
+
+  /** 'id'-mode resolution needs a `delta.columnMapping.id` on every
+    * field AT EVERY DEPTH (the protocol assigns ids to all columns
+    * when mapping is enabled); a field without one is a malformed
+    * table, refused by name with its path. */
+  private def requireFieldIds(
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    def walk(dt: DataType, path: String): Unit = dt match {
+      case st: StructType => st.fields.foreach { f =>
+        val p = if (path.isEmpty) f.name else s"$path.${f.name}"
+        require(f.metadata.contains(cmIdKey),
+          s"id-mode COLUMN MAPPING field '$p' carries no " +
+            "delta.columnMapping.id — cannot resolve it by parquet " +
+            "field id")
+        walk(f.dataType, p)
+      }
+      case a: ArrayType => walk(a.elementType, path)
+      case m: MapType => walk(m.keyType, path); walk(m.valueType, path)
+      case _ => ()
+    }
+    walk(schema, "")
+  }
 
   /** Translate an add action's partitionValues (keyed by PHYSICAL
     * names under column mapping, per the protocol) back to logical
@@ -3873,35 +3981,44 @@ object DeltaExport {
     * id, enabled on a CHILD session so the caller's conf is never
     * mutated — scan-time conf resolves from the relation's session). */
   private final case class MappingCtx(mode: String,
-      phys: Map[String, String], fids: Map[String, Long],
-      session: SparkSession) {
+      phys: Map[String, String], session: SparkSession) {
     /** The schema to REQUEST from parquet: physical names in name
-      * mode; logical names stamped with parquet.field.id in id mode
-      * (Spark's field-id reader then matches footer ids, names
-      * irrelevant); identity when unmapped. */
+      * mode (recursively — nested struct fields rename through their
+      * own physicalName metadata, r19); logical names stamped with
+      * parquet.field.id at every depth in id mode (Spark's field-id
+      * reader then matches footer ids, names irrelevant, nested
+      * included); identity when unmapped. */
     def physSchema(s: org.apache.spark.sql.types.StructType)
         : org.apache.spark.sql.types.StructType = mode match {
-      case "name" => org.apache.spark.sql.types.StructType(
-        s.fields.map(f => f.copy(name = phys(f.name))))
-      case "id" => org.apache.spark.sql.types.StructType(
-        s.fields.map(f => f.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putLong("parquet.field.id", fids(f.name)).build())))
+      case "name" =>
+        physDataType(s, rename = true, stampIds = false)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      case "id" =>
+        physDataType(s, rename = false, stampIds = true)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
       case _ => s
     }
     /** Rename a physically-scanned frame back to logical names,
       * carrying `extras` (scan tags like __file/__pos) through. Only
       * name mode renames — id mode already scanned under logical
-      * names. */
+      * names. A column whose TYPE holds nested physical names casts
+      * back to the logical struct type: struct casts resolve
+      * POSITIONALLY in Spark, and the physical twin is a pure
+      * per-field rename of the logical shape, so the cast is exactly
+      * the nested rename and nothing else. */
     def toLogical(df: DataFrame,
         s: org.apache.spark.sql.types.StructType,
         extras: Seq[String] = Nil): DataFrame =
       if (mode != "name") df
       else {
         import org.apache.spark.sql.functions.col
-        df.select((s.fieldNames.map(n => col(phys(n)).as(n)) ++
-          extras.map(col)).toIndexedSeq: _*)
+        df.select((s.fields.map { f =>
+          val physDt = physDataType(f.dataType, rename = true,
+            stampIds = false)
+          val c = col(phys(f.name))
+          (if (physDt == f.dataType) c else c.cast(f.dataType))
+            .as(f.name)
+        } ++ extras.map(col)).toIndexedSeq: _*)
       }
   }
 
@@ -3911,6 +4028,7 @@ object DeltaExport {
     require(mode == "none" || mode == "name" || mode == "id",
       s"unsupported COLUMN MAPPING mode '$mode' — only 'name' and " +
         "'id' (and none) are implemented")
+    if (mode == "id") requireFieldIds(schema)
     val session =
       if (mode != "id") spark
       else {
@@ -3918,38 +4036,64 @@ object DeltaExport {
         s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         s2
       }
-    MappingCtx(mode, physicalNames(schema, mode),
-      fieldIds(schema, mode), session)
+    MappingCtx(mode, physicalNames(schema, mode), session)
   }
 
-  /** Allocate column-mapping identity for `fresh` fields: each gets a
+  /** Every `delta.columnMapping.id` a data type carries, at any
+    * nesting depth — the standing-id scan the allocators advance
+    * past. */
+  private def mappedIdsIn(dt: DataType): Seq[Long] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => st.fields.toSeq.flatMap(f =>
+        (if (f.metadata.contains(cmIdKey))
+           Seq(f.metadata.getLong(cmIdKey))
+         else Nil) ++ mappedIdsIn(f.dataType))
+      case a: ArrayType => mappedIdsIn(a.elementType)
+      case m: MapType => mappedIdsIn(m.keyType) ++ mappedIdsIn(m.valueType)
+      case _ => Nil
+    }
+  }
+
+  /** Allocate column-mapping identity for `fresh` fields AND every
+    * nested struct field inside them (r19 — the protocol assigns
+    * ids/physical names to all fields, nested included): each gets a
     * field id above BOTH the configuration's maxColumnId and every id
-    * the standing schema carries, plus a uuid physical name — the
-    * protocol's ADD COLUMNS rule, shared by schema evolution and the
-    * schema-changing overwrite. Returns (mapped fields, configuration
-    * with maxColumnId advanced). */
+    * the standing schema carries anywhere, plus a uuid physical name
+    * — the ADD COLUMNS rule, shared by schema evolution and the
+    * schema-changing overwrite. Ids assign in depth-first pre-order
+    * (parent before children), Delta's traversal. Returns (mapped
+    * fields, configuration with maxColumnId advanced). */
   private def allocateMappedFields(
       fresh: Seq[org.apache.spark.sql.types.StructField],
       standing: org.apache.spark.sql.types.StructType,
       conf: Map[String, String])
       : (Seq[org.apache.spark.sql.types.StructField], Map[String, String]) = {
-    val existingIds = standing.fields
-      .filter(_.metadata.contains("delta.columnMapping.id"))
-      .map(_.metadata.getLong("delta.columnMapping.id"))
+    import org.apache.spark.sql.types._
+    val existingIds = mappedIdsIn(standing)
     val confMax = conf.get("delta.columnMapping.maxColumnId")
       .flatMap(_.toLongOption).getOrElse(0L)
     var nextId = math.max(confMax,
       if (existingIds.isEmpty) 0L else existingIds.max)
-    val mapped = fresh.map { f =>
+    def mapField(f: StructField): StructField = {
       nextId += 1
-      f.copy(metadata =
-        new org.apache.spark.sql.types.MetadataBuilder()
+      val id = nextId
+      f.copy(
+        dataType = mapType(f.dataType),
+        metadata = new MetadataBuilder()
           .withMetadata(f.metadata)
-          .putLong("delta.columnMapping.id", nextId)
-          .putString("delta.columnMapping.physicalName",
-            s"col-${java.util.UUID.randomUUID()}")
+          .putLong(cmIdKey, id)
+          .putString(cmPhysKey, s"col-${java.util.UUID.randomUUID()}")
           .build())
     }
+    def mapType(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(mapField))
+      case a: ArrayType => a.copy(elementType = mapType(a.elementType))
+      case m: MapType => m.copy(keyType = mapType(m.keyType),
+        valueType = mapType(m.valueType))
+      case other => other
+    }
+    val mapped = fresh.map(mapField)
     (mapped,
       if (mapped.isEmpty) conf
       else conf + ("delta.columnMapping.maxColumnId" -> nextId.toString))
@@ -3971,15 +4115,21 @@ object DeltaExport {
       mode: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (mode == "none") return df
-    val key = "delta.columnMapping.physicalName"
     df.select(fields.map { f =>
-      val p = if (f.metadata.contains(key)) f.metadata.getString(key)
+      val p = if (f.metadata.contains(cmPhysKey))
+                f.metadata.getString(cmPhysKey)
               else f.name
       val md = new org.apache.spark.sql.types.MetadataBuilder()
-      if (f.metadata.contains("delta.columnMapping.id"))
-        md.putLong("parquet.field.id",
-          f.metadata.getLong("delta.columnMapping.id"))
-      col(f.name).as(p, md.build())
+      if (f.metadata.contains(cmIdKey))
+        md.putLong("parquet.field.id", f.metadata.getLong(cmIdKey))
+      // NESTED mapped fields (r19): cast to the recursive physical
+      // twin — a pure positional rename that also stamps each nested
+      // field's parquet.field.id into the cast's target type, which
+      // Spark's parquet writer emits as footer ids at every depth
+      val physDt = physDataType(f.dataType, rename = true,
+        stampIds = true)
+      val c = col(f.name)
+      (if (physDt == f.dataType) c else c.cast(physDt)).as(p, md.build())
     }.toIndexedSeq: _*)
   }
 

@@ -2004,11 +2004,104 @@ object Relational {
         TRUE AS ids_reused
       FROM fin"""))
 
+  /** The NESTED-STRUCT column-mapping lifecycle, oracle-EXACT (r19 —
+    * the q165 discipline applied to the reference's own data model:
+    * `Pharma_Ingestion_Cleaning.py:66-72` pulls six fields out of two
+    * structs, so a mapped table with struct columns is the shape a
+    * real user hits first): write a table whose row type nests a
+    * struct → UPGRADE to column mapping (ids + physical names assigned
+    * at EVERY depth) → RENAME the struct's parent (pure metadata; the
+    * nested physical layer never moves) → EVOLVE with a fresh struct
+    * column (nested ids/uuid physical names allocate) → APPEND under
+    * the evolved schema (nested physical names + footer ids land on
+    * disk) → DV DELETE through the renamed column's table → read. The
+    * hash gate carries the invariants: pre-upgrade time travel keeps
+    * the original schema and rows (`pre_upgrade_reads`), the final
+    * schema resolves the renamed parent and both nested levels
+    * (`nested_resolves`), and every aggregate is computed THROUGH the
+    * nested fields (record.bal, record.seg, extra.cat) of the mapped
+    * physical layout. The oracle replays the append + delete
+    * relationally over flattened columns — renames and mapping change
+    * no values, which is the point. */
+  val q169NestedMappingLifecycle = GraftQuery(
+    "q169_nested_mapping_lifecycle", { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      def shaped(renameTo: String) = cust.select(
+        col("c_custkey").as("k"),
+        struct(col("c_acctbal").as("bal"),
+          (col("c_custkey") % 5).as("seg")).as(renameTo))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q169_delta").toString
+      try {
+        val D = graft.core.DeltaExport
+        D.writeDeltaTable(s,
+          shaped("obj").repartitionByRange(4, col("k")), tmp)
+        val baseRows = cust.count()
+        D.upgradeToColumnMapping(s, tmp)
+        D.renameDeltaTableColumn(s, tmp, "obj", "record")
+        val renamed = org.apache.spark.sql.types.DataType
+          .fromJson(D.schemaStringOf(D.snapshotAt(s, tmp, None)._1))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        D.evolveDeltaTableSchema(s, tmp, renamed.add(
+          org.apache.spark.sql.types.StructField("extra",
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("cat",
+                org.apache.spark.sql.types.LongType, nullable = true))),
+            nullable = true)))
+        D.appendDeltaTable(s,
+          cust.filter(col("c_custkey") % 10 === 1).select(
+            (col("c_custkey") + 10000000L).as("k"),
+            struct(col("c_acctbal").as("bal"),
+              (col("c_custkey") % 5).as("seg")).as("record"),
+            struct((col("c_custkey") % 3).as("cat")).as("extra")),
+          tmp)
+        D.deleteFromDeltaTableDv(s, tmp, col("k") % 7 === 3)
+        val pre = D.readDeltaTable(s, tmp, Some(0L))
+        val preUpgrade = pre.schema.fieldNames.toSeq == Seq("k", "obj") &&
+          pre.count() == baseRows
+        val fin = D.readDeltaTable(s, tmp)
+        val nestedResolves =
+          fin.schema.fieldNames.toSeq == Seq("k", "record", "extra") &&
+            fin.schema("record").dataType
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+              .fieldNames.toSeq == Seq("bal", "seg")
+        fin.agg(
+            count(lit(1)).as("rows_after"),
+            sum(round(col("record.bal") * 100).cast("long"))
+              .as("bal_cents"),
+            sum(col("record.seg")).as("seg_sum"),
+            count(col("extra.cat")).as("cat_rows"),
+            coalesce(sum(col("extra.cat")), lit(0L)).as("cat_sum"),
+            min(col("k")).as("min_k"))
+          .withColumn("pre_upgrade_reads", lit(preUpgrade))
+          .withColumn("nested_resolves", lit(nestedResolves))
+          .localCheckpoint(eager = true)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    },
+    Some("""WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal,
+        c_custkey % 5 AS seg FROM customer),
+      appended AS (
+        SELECT k, bal, seg, CAST(NULL AS BIGINT) AS cat FROM base
+        UNION ALL
+        SELECT k + 10000000, bal, seg, k % 3 FROM base WHERE k % 10 = 1),
+      live AS (SELECT * FROM appended WHERE k % 7 <> 3)
+      SELECT count(*) AS rows_after,
+        CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+        CAST(sum(seg) AS BIGINT) AS seg_sum,
+        count(cat) AS cat_rows,
+        CAST(coalesce(sum(cat), 0) AS BIGINT) AS cat_sum,
+        min(k) AS min_k,
+        TRUE AS pre_upgrade_reads,
+        TRUE AS nested_resolves
+      FROM live"""))
+
   val all: Seq[GraftQuery] = Seq(
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin, q141DeltaPrunedRead,
     q148DeltaPartitioned, q149DeltaMerge, q150DeltaCdc, q158DeltaDeleteDv,
     q161DeltaUpdateDv, q163DeltaLifecycle, q164DeltaCdfFeed,
     q165MappingLifecycle, q168IdentityRestoreCdf,
+    q169NestedMappingLifecycle,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q79bMergePartitioned,
     q80LatestPerKey, q102VersionChanges, q103IncrementalAgg,
     q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,

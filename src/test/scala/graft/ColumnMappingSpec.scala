@@ -509,31 +509,217 @@ class ColumnMappingSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
-  test("nested mapping refuses by name") {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_cm_refuse").toString
-    Seq((1L, "a")).toDF("col-a1", "col-b2")
-      .repartition(1).write.mode("overwrite").parquet(dir)
-    val file = new java.io.File(dir).listFiles()
+  // ---- nested-struct column mapping (r19) ----
+
+  /** Logical schema every nested fixture shares: k bigint, obj
+    * struct<a bigint, b string> — with physical names that differ
+    * from the display names AT EVERY DEPTH, so a passing read proves
+    * the nested layer resolves (a reader that matched nested fields
+    * by display name would find nothing). */
+  private def nestedLogical: StructType = StructType(Seq(
+    physField("k", LongType, "col-k1", 1L),
+    StructField("obj", StructType(Seq(
+        physField("a", LongType, "col-a3", 3L),
+        physField("b", StringType, "col-b4", 4L))), nullable = true,
+      new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", "col-obj2")
+        .putLong("delta.columnMapping.id", 2L).build())))
+
+  /** One parquet fixture file whose columns carry the PHYSICAL names
+    * of [[nestedLogical]] (col-k1, col-obj2<col-a3, col-b4>) AND
+    * footer field ids 1/2/3/4 at the matching depths — what a
+    * Databricks writer lands for that mapped table. Returns the file
+    * name. */
+  private def writeNestedFixture(dir: String): String = {
+    val fileSchema = StructType(Seq(
+      StructField("col-k1", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("col-obj2", StructType(Seq(
+          StructField("col-a3", LongType, nullable = true,
+            new MetadataBuilder().putLong("parquet.field.id", 3L).build()),
+          StructField("col-b4", StringType, nullable = true,
+            new MetadataBuilder().putLong("parquet.field.id", 4L).build()))),
+        nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row(10L, "x")),
+      org.apache.spark.sql.Row(2L, org.apache.spark.sql.Row(20L, "y")),
+      org.apache.spark.sql.Row(3L, org.apache.spark.sql.Row(30L, "z")))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), fileSchema)
+      .write.mode("overwrite").parquet(dir)
+    new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.endsWith(".parquet")).head
-    def addLine: String =
-      s"""{"add":{"path":"$file","partitionValues":{},"size":${new java.io.File(dir, file).length},"modificationTime":1,"dataChange":true}}"""
-    // a nested struct whose inner field carries a physicalName — in
-    // EITHER mode, silently ignoring it would read wrong nested data
-    val nested = StructType(Seq(
-      physField("id", LongType, "col-a1", 1L),
-      StructField("obj", StructType(Seq(
-        physField("inner", StringType, "col-x7", 4L))), nullable = true)))
+  }
+
+  test("nested mapping resolves in BOTH modes: physical names at every depth (name), footer ids at every depth (id)") {
     for (mode <- Seq("name", "id")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_cm_nested_$mode").toString
+      val file = writeNestedFixture(dir)
       writeLog(dir, 0L, Seq(
         """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
         """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-        metaWithMode(nested, mode), addLine))
-      val nst = intercept[IllegalArgumentException](
-        DeltaExport.readDeltaTable(spark, dir).collect())
-      assert(nst.getMessage.contains("NESTED COLUMN MAPPING"),
-        s"$mode: ${nst.getMessage}")
+        metaWithMode(nestedLogical, mode),
+        s"""{"add":{"path":"$file","partitionValues":{},"size":${new java.io.File(dir, file).length},"modificationTime":1,"dataChange":true}}"""))
+      val back = DeltaExport.readDeltaTable(spark, dir)
+      assert(back.schema.fieldNames.toSeq === Seq("k", "obj"))
+      assert(back.schema("obj").dataType
+        .asInstanceOf[StructType].fieldNames.toSeq === Seq("a", "b"),
+        s"$mode: nested display names")
+      val got = back.orderBy("k")
+        .select(col("k"), col("obj.a"), col("obj.b"))
+        .as[(Long, Long, String)].collect().toSeq
+      assert(got === Seq((1L, 10L, "x"), (2L, 20L, "y"), (3L, 30L, "z")),
+        s"$mode: $got")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+  }
+
+  test("id-mode refusal walks NESTED fields: a nested field without an id refuses by path, never name-matches") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_nested_noid").toString
+    val file = writeNestedFixture(dir)
+    val noNestedId = StructType(Seq(
+      physField("k", LongType, "col-k1", 1L),
+      StructField("obj", StructType(Seq(
+          physField("a", LongType, "col-a3", 3L),
+          StructField("b", StringType, nullable = true))), nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-obj2")
+          .putLong("delta.columnMapping.id", 2L).build())))
+    writeLog(dir, 0L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaWithMode(noNestedId, "id"),
+      s"""{"add":{"path":"$file","partitionValues":{},"size":${new java.io.File(dir, file).length},"modificationTime":1,"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.readDeltaTable(spark, dir).collect())
+    assert(e.getMessage.contains("obj.b") &&
+      e.getMessage.contains("delta.columnMapping.id"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("id-mode nested round trip: rename the struct's parent, append, DV delete, pruned band read") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_nested_id_rt").toString
+    val file = writeNestedFixture(dir)
+    writeLog(dir, 0L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaWithMode(nestedLogical, "id"),
+      s"""{"add":{"path":"$file","partitionValues":{},"size":${new java.io.File(dir, file).length},"modificationTime":1,"dataChange":true}}"""))
+    // rename the struct column — metadata-only; nested ids untouched
+    DeltaExport.renameDeltaTableColumn(spark, dir, "obj", "record")
+    // append a PLAIN frame (no mapping metadata anywhere) — the
+    // physical write must land col-obj2<col-a3,col-b4> + footer ids
+    val batchSchema = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("record", StructType(Seq(
+        StructField("a", LongType, nullable = true),
+        StructField("b", StringType, nullable = true))), nullable = true)))
+    DeltaExport.appendDeltaTable(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(4L, org.apache.spark.sql.Row(40L, "w"))), 1),
+      batchSchema), dir)
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("k") === 2L)
+    val back = DeltaExport.readDeltaTable(spark, dir).orderBy("k")
+      .select(col("k"), col("record.a"), col("record.b"))
+      .as[(Long, Long, String)].collect().toSeq
+    assert(back === Seq((1L, 10L, "x"), (3L, 30L, "z"), (4L, 40L, "w")),
+      back.toString)
+    // the appended add's stats prune on the top-level band; the
+    // stats-less fixture file stays must-read
+    val (_, cand, liveN) = DeltaExport.readDeltaTablePruned(
+      spark, dir, "k", 100.0, 200.0)
+    assert(liveN === 2 && cand === 1, s"cand=$cand live=$liveN")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("name-mode nested lifecycle: upgrade assigns ids/names at every depth; rename parent, evolve a struct, append, DV delete, band read") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_nested_life").toString
+    val baseSchema = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("obj", StructType(Seq(
+        StructField("a", LongType, nullable = true),
+        StructField("b", StringType, nullable = true))), nullable = true),
+      StructField("tags", ArrayType(StructType(Seq(
+        StructField("t", LongType, nullable = true)))), nullable = true)))
+    def row(k: Long, a: Long, b: String, t: Long) =
+      org.apache.spark.sql.Row(k, org.apache.spark.sql.Row(a, b),
+        Seq(org.apache.spark.sql.Row(t)))
+    DeltaExport.writeDeltaTable(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(row(1L, 10L, "x", 7L), row(2L, 20L, "y", 8L)), 1),
+      baseSchema), dir)
+    DeltaExport.upgradeToColumnMapping(spark, dir)
+    // EVERY field got identity — k, obj, obj.a, obj.b, tags, tags.t
+    val metaTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000001.json")), "UTF-8")
+    assert(metaTxt.contains(""""delta.columnMapping.maxColumnId":"6""""),
+      metaTxt)
+    // rename the struct's PARENT — the reference's lab/class shape
+    DeltaExport.renameDeltaTableColumn(spark, dir, "obj", "record")
+    // evolve: a fresh STRUCT column allocates nested ids/uuid names
+    val renamed = org.apache.spark.sql.types.DataType
+      .fromJson(DeltaExport.schemaStringOf(
+        DeltaExport.snapshotAt(spark, dir, None)._1))
+      .asInstanceOf[StructType]
+    DeltaExport.evolveDeltaTableSchema(spark, dir, renamed.add(
+      StructField("meta", StructType(Seq(
+        StructField("src", StringType, nullable = true))),
+        nullable = true)))
+    val evolved = org.apache.spark.sql.types.DataType
+      .fromJson(DeltaExport.schemaStringOf(
+        DeltaExport.snapshotAt(spark, dir, None)._1))
+      .asInstanceOf[StructType]
+    val metaField = evolved("meta")
+    val srcField = metaField.dataType.asInstanceOf[StructType]("src")
+    assert(metaField.metadata.getLong("delta.columnMapping.id") === 7L)
+    assert(srcField.metadata.getLong("delta.columnMapping.id") === 8L)
+    assert(srcField.metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"), "nested uuid physical name")
+    // append under the evolved schema: nested uuid physical names land
+    val batchSchema = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("record", StructType(Seq(
+        StructField("a", LongType, nullable = true),
+        StructField("b", StringType, nullable = true))), nullable = true),
+      StructField("tags", ArrayType(StructType(Seq(
+        StructField("t", LongType, nullable = true)))), nullable = true),
+      StructField("meta", StructType(Seq(
+        StructField("src", StringType, nullable = true))),
+        nullable = true)))
+    DeltaExport.appendDeltaTable(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(3L, org.apache.spark.sql.Row(30L, "z"),
+          Seq(org.apache.spark.sql.Row(9L)),
+          org.apache.spark.sql.Row("crawl"))), 1),
+      batchSchema), dir)
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("k") === 1L)
+    val back = DeltaExport.readDeltaTable(spark, dir).orderBy("k")
+      .select(col("k"), col("record.a"), col("record.b"),
+        expr("tags[0].t"), col("meta.src"))
+      .as[(Long, Long, String, Long, Option[String])].collect().toSeq
+    // pre-evolution rows read meta as NULL; the DV-masked row is gone
+    assert(back === Seq((2L, 20L, "y", 8L, None),
+      (3L, 30L, "z", 9L, Some("crawl"))), back.toString)
+    // the physical FILE columns are the physical names, not display
+    val physCols = spark.read.parquet(
+        new java.io.File(dir).listFiles()
+          .filter(f => f.getName.endsWith(".parquet"))
+          .sortBy(_.getName).last.toString)
+      .schema.fieldNames.toSet
+    assert(!physCols.contains("record") && !physCols.contains("meta"),
+      physCols.toString)
+    // stats-band read over the top-level column still prunes
+    val (bandDf, _, _) = DeltaExport.readDeltaTablePruned(
+      spark, dir, "k", 3.0, 3.0)
+    assert(bandDf.filter(col("k") === 3L).count() === 1L)
+    // time travel to v0 keeps the UNMAPPED schema + original rows
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(0L)).count() === 2L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
