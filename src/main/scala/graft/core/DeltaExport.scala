@@ -134,6 +134,16 @@ object DeltaExport {
       if (p == null) u else p
     } catch { case _: java.net.URISyntaxException => u }
 
+  /** Whether scanned-file path `uriPath` (input_file_name, decoded) is
+    * logged live path `f`: relative adds match by root-relative
+    * suffix; ABSOLUTE adds (a shallow clone's references into its
+    * source) by their resolved absolute path — the suffix rule would
+    * never fire for them (uriPath never contains "//"). */
+  private def uriMatchesLogged(dir: String, uriPath: String,
+      f: String): Boolean =
+    if (isAbsoluteDataPath(f)) uriPath == resolveDataPath(dir, f)
+    else uriPath.endsWith("/" + f)
+
   /** Partition values a Hive-style relative path encodes, in directory
     * order: `lang=en/year=2024/part-….parquet` →
     * (lang -> en, year -> 2024). Directory names are Hive-ESCAPED on
@@ -1828,7 +1838,6 @@ object DeltaExport {
     val batch = pinNonDeterministic(batch0)
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
-    requireNoAbsoluteLivePaths(snap, "MERGE")
     val pcols = partitionColumnsOf(snap.meta)
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
@@ -1866,7 +1875,8 @@ object DeltaExport {
     // encoding differs from its disk name, leaving the old file live and
     // silently duplicating its rows after the rewrite
     val touchedPaths = touchedUris.map(uriToPath)
-    val touched = live.filter(f => touchedPaths.exists(_.endsWith("/" + f)))
+    val touched = live.filter(f =>
+      touchedPaths.exists(uriMatchesLogged(dir, _, f)))
     val del = deleteCol.map(c => col(c) === true).getOrElse(lit(false))
     val bKeyed = batch.select(
       keyCols.map(col) :+ struct(cols.map(col): _*).as("__b")
@@ -1989,7 +1999,7 @@ object DeltaExport {
     def masked(rs: org.apache.spark.sql.types.StructType,
         f: String): DataFrame =
       dvAntiJoin(spark, dir,
-        tag(ctx.session.read.schema(rs).parquet(s"$dir/$f")),
+        tag(ctx.session.read.schema(rs).parquet(resolveDataPath(dir, f))),
         snap.dvs(f), rs.fieldNames.toSeq ++ tagCols)
     def scanGroup(schema: org.apache.spark.sql.types.StructType,
         fs: Seq[String]): DataFrame = {
@@ -2000,7 +2010,7 @@ object DeltaExport {
       val parts =
         (if (plain.nonEmpty)
           Seq(tag(ctx.session.read.schema(rs)
-            .parquet(plain.map(f => s"$dir/$f"): _*)))
+            .parquet(plain.map(f => resolveDataPath(dir, f)): _*)))
         else Nil) ++ dvFs.map(masked(rs, _))
       ctx.toLogical(parts.reduce(_.unionByName(_)), schema, tagCols)
     }
@@ -2040,7 +2050,6 @@ object DeltaExport {
     import org.apache.spark.sql.functions._
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
-    requireNoAbsoluteLivePaths(snap, "DELETE")
     val cdf = cdfEnabled(snap.meta)
     enforceWriterObligations(snap.meta, "DELETE", removesData = true, None,
       emitsChangeData = cdf)
@@ -2065,7 +2074,8 @@ object DeltaExport {
     require(touchedUris.nonEmpty,
       "DELETE matched no rows — refusing a no-op commit")
     val touchedPaths = touchedUris.map(uriToPath)
-    val touched = live.filter(f => touchedPaths.exists(_.endsWith("/" + f)))
+    val touched = live.filter(f =>
+      touchedPaths.exists(uriMatchesLogged(dir, _, f)))
     // NULL-predicate rows are NOT matches (SQL DELETE deletes only
     // where TRUE) — a bare !predicate is null there too and would drop
     // them from the rewrite: silent row loss, not a delete
@@ -2214,7 +2224,7 @@ object DeltaExport {
     Seq(
       s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":$now,"dataChange":true}}""",
       s"""{"add":{"path":"${esc(rel)}","partitionValues":{$pv},"size":${Files
-          .size(Paths.get(dir, rel))},"modificationTime":$now,"dataChange":true$statsField,"deletionVector":${DeletionVectors
+          .size(Paths.get(resolveDataPath(dir, rel)))},"modificationTime":$now,"dataChange":true$statsField,"deletionVector":${DeletionVectors
           .descriptorJson(desc)}}}""")
   }
 
@@ -2939,7 +2949,6 @@ object DeltaExport {
     import org.apache.spark.sql.functions._
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
-    requireNoAbsoluteLivePaths(snap, "DELETE (DV)")
     // mapped tables DV-delete natively: the scan resolves physical
     // columns, and the re-issued adds carry partitionValues/stats
     // VERBATIM from the snapshot (already physical-keyed) — no
@@ -2961,7 +2970,7 @@ object DeltaExport {
     // live list per matched ROW, an O(matched x files) driver stall
     val uriToRelD = matched.map(_.getString(0)).distinct.map { u =>
       val p = uriToPath(u)
-      u -> live.find(f => p.endsWith("/" + f)).getOrElse(
+      u -> live.find(f => uriMatchesLogged(dir, p, f)).getOrElse(
         throw new IllegalStateException(
           s"matched file $p is not in the live set"))
     }.toMap
@@ -3043,7 +3052,6 @@ object DeltaExport {
     require(set.nonEmpty, "no SET expressions — nothing to update")
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None)
-    requireNoAbsoluteLivePaths(snap, "UPDATE (DV)")
     // property refusals (append-only, CDF) need no batch — fire BEFORE
     // the live-table scan and driver-side position collect, like the
     // DELETE twins; the batch-level obligations run later on `updated`
@@ -3075,7 +3083,7 @@ object DeltaExport {
       "UPDATE matched no rows — refusing a no-op commit")
     val uriToRel = matchedPos.map(_.getString(0)).distinct.map { u =>
       val p = uriToPath(u)
-      u -> live.find(f => p.endsWith("/" + f)).getOrElse(
+      u -> live.find(f => uriMatchesLogged(dir, p, f)).getOrElse(
         throw new IllegalStateException(
           s"matched file $p is not in the live set"))
     }.toMap
@@ -3172,7 +3180,6 @@ object DeltaExport {
     import spark.implicits._
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
-    requireNoAbsoluteLivePaths(snap, "PURGE")
     require(snap.dvs.nonEmpty,
       "no live file carries a deletion vector — nothing to purge")
     val pcols = partitionColumnsOf(snap.meta)
@@ -3197,16 +3204,29 @@ object DeltaExport {
       val survivors = toPhysicalFrame(
         cmCtx.toLogical(
           dvAntiJoin(spark, dir,
-            cmCtx.session.read.schema(rs).parquet(s"$dir/$rel"),
+            cmCtx.session.read.schema(rs).parquet(resolveDataPath(dir, rel)),
             snap.dvs(rel), rs.fieldNames.toSeq),
           dataSchema),
         dataSchema.fields.toSeq, cmCtx.mode)
       // fully-masked file → nothing survives → no empty rewrite
       if (survivors.limit(1).collect().nonEmpty) {
-        val target = rel.lastIndexOf('/') match {
-          case -1 => dir
-          case i  => s"$dir/${rel.substring(0, i)}"
-        }
+        // LOCALIZE-ON-WRITE for a clone's absolute add: the rewrite
+        // lands in the TARGET's own Hive directory, rebuilt from the
+        // add's logged (physical-keyed) partitionValues — the source
+        // path's directories belong to the source
+        val target =
+          if (isAbsoluteDataPath(rel)) {
+            val pv = snap.pvals.getOrElse(rel, Map.empty)
+            val segs = pcols.map(cmCtx.phys).map { c =>
+              val value = Option(pv.getOrElse(c, null)).map(escapePathName)
+                .getOrElse("__HIVE_DEFAULT_PARTITION__")
+              s"${escapePathName(c)}=$value"
+            }
+            (dir +: segs).mkString("/")
+          } else rel.lastIndexOf('/') match {
+            case -1 => dir
+            case i  => s"$dir/${rel.substring(0, i)}"
+          }
         // one output file per source file — a purge reshapes nothing
         survivors.coalesce(1).write.mode("append").parquet(target)
       }
@@ -3303,7 +3323,6 @@ object DeltaExport {
       "table is partitioned — use optimizeDeltaTablePartitioned, which " +
         "compacts within partitions and re-emits partitionValues; a flat " +
         "compaction would destroy the layout")
-    requireNoAbsoluteLivePaths(snap, "OPTIMIZE")
     val live = snap.live.toSeq
     require(live.nonEmpty, "nothing to optimize — no live files")
     val optSchema = org.apache.spark.sql.types.DataType
@@ -3357,7 +3376,6 @@ object DeltaExport {
     require(targetFilesPerPartition >= 1, "targetFilesPerPartition must be >= 1")
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
-    requireNoAbsoluteLivePaths(snap, "OPTIMIZE")
     val pcols = partitionColumnsOf(snap.meta)
     require(pcols.nonEmpty,
       "table is not partitioned — use optimizeDeltaTable")
@@ -3407,10 +3425,10 @@ object DeltaExport {
       val parts =
         (if (plainFs.nonEmpty)
           Seq(cmCtx.session.read.schema(rs)
-            .parquet(plainFs.map(f => s"$dir/$f"): _*))
+            .parquet(plainFs.map(f => resolveDataPath(dir, f)): _*))
         else Nil) ++
         dvFs.map(f => dvAntiJoin(spark, dir,
-          cmCtx.session.read.schema(rs).parquet(s"$dir/$f"),
+          cmCtx.session.read.schema(rs).parquet(resolveDataPath(dir, f)),
           snap.dvs(f), rs.fieldNames.toSeq))
       val df = cmCtx.toLogical(parts.reduce(_.unionByName(_)), dataSchema)
       val shaped =
@@ -4181,23 +4199,6 @@ object DeltaExport {
     else if (p.startsWith("/") || uriSchemeRe.findFirstIn(p).isDefined) p
     else s"$dir/$p"
 
-  /** Refuse BY NAME the operations a shallow-clone target cannot take
-    * yet: every rewrite/reclaim assumes the live files are the
-    * table's own to replace or delete, and a clone's absolute-path
-    * adds are the SOURCE's files. Reads, time travel, appends, and
-    * metadata commits (constraints, schema evolution, renames) all
-    * work — the r17 column-mapping posture applied to clones. */
-  private def requireNoAbsoluteLivePaths(st: ReplayState,
-      op: String): Unit = {
-    val abs = st.live.iterator.filter(isAbsoluteDataPath).take(1).toSeq
-    require(abs.isEmpty,
-      s"$op on a table whose live set references ABSOLUTE paths " +
-        s"(shallow clone — e.g. ${abs.headOption.getOrElse("")}) is " +
-        "not supported: the rewrite/reclaim would touch files owned " +
-        "by the SOURCE table; reads, appends and metadata commits " +
-        "work")
-  }
-
   /** SHALLOW CLONE — Delta's zero-copy `CREATE TABLE … SHALLOW CLONE`:
     * one v0 commit at `targetDir` whose adds reference the source's
     * live files by ABSOLUTE path (bytes never move — clone is instant
@@ -4211,9 +4212,17 @@ object DeltaExport {
     * relative beside the absolute references, OVERWRITE and RESTORE
     * are log surgery and work, VACUUM is safe by construction (an
     * absolute path never matches the target's local listing, and
-    * absolute DV descriptors are outside its reclaim surface), while
-    * the file-REWRITE family (DML, OPTIMIZE, PURGE, CHECKPOINT)
-    * refuses by name ([[requireNoAbsoluteLivePaths]]). The source is
+    * absolute DV descriptors are outside its reclaim surface). The
+    * file-REWRITE family takes the clone natively via
+    * LOCALIZE-ON-WRITE (r19): when MERGE / DELETE / UPDATE / OPTIMIZE
+    * / PURGE must rewrite a source-absolute file, the survivors write
+    * to a TARGET-local file and the absolute add is removed from the
+    * target's log only — the source's own log still lists the file
+    * live, so the source is untouched and the clone gradually
+    * localizes as it is edited (full localization = one OPTIMIZE).
+    * DV DML masks rows with target-local vectors against the absolute
+    * add, moving zero bytes; CHECKPOINT materializes absolute adds
+    * verbatim (the protocol permits absolute paths). The source is
     * never written — a concurrent source VACUUM remains the
     * documented shallow-clone hazard, exactly as in Delta.
     * Returns version 0. */
@@ -4345,10 +4354,20 @@ object DeltaExport {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val gone = files.filterNot(f =>
       Files.isRegularFile(Paths.get(resolveDataPath(dir, f))))
-    require(gone.isEmpty,
+    // a foreign clone of a REMOTE table logs scheme-qualified adds
+    // this local-filesystem reader cannot open — its own refusal, not
+    // the vacuumed-history one
+    val (remote, missing) = gone.partition(f =>
+      isAbsoluteDataPath(f) && !f.startsWith("/") &&
+        !f.startsWith("file:"))
+    require(remote.isEmpty,
+      s"live file(s) reference remote URI(s) this local-filesystem " +
+        s"reader cannot open: ${remote.mkString(", ")} — a shallow " +
+        "clone of a remote table needs that filesystem")
+    require(missing.isEmpty,
       s"snapshot at version ${versionAsOf.getOrElse("latest")} is no longer " +
         s"reconstructible — add-listed file(s) vacuumed or missing: " +
-        gone.mkString(", "))
+        missing.mkString(", "))
     val pcols = partitionColumnsOf(meta)
     // column mapping: in 'name' mode parquet stores columns under the
     // schemaString's per-field physical names — read physically,
@@ -4970,7 +4989,6 @@ object DeltaExport {
     require(parts >= 1, "parts must be >= 1")
     val v = latestVersion(dir)
     val snap = snapshotState(spark, dir, None)
-    requireNoAbsoluteLivePaths(snap, "CHECKPOINT")
     // mapped tables checkpoint natively — pure log surgery: the
     // schemaString (mapping metadata included), configuration (mode),
     // and physical-keyed partitionValues/stats all carry VERBATIM
@@ -5013,7 +5031,10 @@ object DeltaExport {
         CpRow(None, None, None, Some(CpTxn(app, ver)))
       }) ++
       files.sorted.map { f =>
-        val p = Paths.get(dir, f)
+        // a clone's absolute add checkpoints VERBATIM (the protocol
+        // permits absolute paths); size/mtime read from its resolved
+        // location
+        val p = Paths.get(resolveDataPath(dir, f))
         // live deletion vectors checkpoint as the protocol's per-add
         // deletionVector struct — the reader side already restores them
         CpRow(None, None, Some(CpAdd(f,

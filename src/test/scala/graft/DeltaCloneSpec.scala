@@ -85,27 +85,114 @@ class DeltaCloneSpec extends SparkTestBase {
     rm(src, dst)
   }
 
-  test("the rewrite family refuses by name on a clone; overwrite and vacuum stay safe") {
+  /** Bytes of every data file + log commit under a table root, for
+    * byte-identity assertions on the SOURCE after clone DML. */
+  private def contentSig(dir: String): Map[String, Long] = {
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .map(p => p.toString -> {
+          val b = java.nio.file.Files.readAllBytes(p)
+          java.util.Arrays.hashCode(b).toLong * 31 + b.length
+        }).toMap
+    } finally walk.close()
+  }
+
+  test("DML on a clone LOCALIZES: rewrites land target-local, the source stays byte-identical, vacuum reclaims only local files") {
+    val src = tmp("graft_clone_dml_src")
+    val dst = tmp("graft_clone_dml_dst"); rm(dst)
+    DeltaExport.writeDeltaTable(spark,
+      spark.range(50).select(col("id"), (col("id") * 2).as("v"))
+        .repartition(2), src)
+    DeltaExport.cloneDeltaTableShallow(spark, src, dst)
+    val srcBefore = contentSig(src)
+    // MERGE: update one row, insert one — touched source-absolute
+    // files rewrite into TARGET-local files
+    DeltaExport.mergeDeltaTable(spark,
+      Seq((1L, 999L), (500L, 1L)).toDF("id", "v"), dst, Seq("id"))
+    val afterMerge = DeltaExport.readDeltaTable(spark, dst)
+    assert(afterMerge.count() === 51L)
+    assert(afterMerge.filter(col("id") === 1L)
+      .select("v").head().getLong(0) === 999L)
+    // COW DELETE localizes the touched file too
+    DeltaExport.deleteFromDeltaTable(spark, dst, col("id") === 2L)
+    assert(DeltaExport.readDeltaTable(spark, dst).count() === 50L)
+    // DV DELETE masks rows of a still-absolute add with a TARGET-local
+    // vector — zero bytes moved
+    DeltaExport.deleteFromDeltaTableDv(spark, dst, col("id") === 3L)
+    assert(DeltaExport.readDeltaTable(spark, dst).count() === 49L)
+    // DV UPDATE composes
+    DeltaExport.updateDeltaTableDv(spark, dst,
+      col("id") === 4L, Map("v" -> lit(0L)))
+    assert(DeltaExport.readDeltaTable(spark, dst)
+      .filter(col("id") === 4L).select("v").head().getLong(0) === 0L)
+    // CHECKPOINT materializes absolute adds verbatim and replays
+    DeltaExport.checkpointDeltaTable(spark, dst)
+    assert(DeltaExport.readDeltaTable(spark, dst).count() === 49L)
+    // OPTIMIZE fully localizes the clone: no live absolute refs remain
+    DeltaExport.optimizeDeltaTable(spark, dst)
+    val (_, liveAfter) = DeltaExport.snapshotAt(spark, dst, None)
+    assert(liveAfter.forall(f => !f.startsWith("/") &&
+      !f.contains(":")), liveAfter.mkString(", "))
+    val expect = DeltaExport.readDeltaTable(spark, dst)
+      .agg(sum(col("v"))).head().getLong(0)
+    // vacuum reclaims only TARGET-local files; the source is
+    // byte-identical through the whole DML run
+    DeltaExport.vacuumDeltaTable(spark, dst)
+    assert(DeltaExport.readDeltaTable(spark, dst)
+      .agg(sum(col("v"))).head().getLong(0) === expect)
+    assert(contentSig(src) === srcBefore, "source bytes changed")
+    assert(DeltaExport.readDeltaTable(spark, src).count() === 50L)
+    // values survived the full localize chain
+    val vals = DeltaExport.readDeltaTable(spark, dst)
+      .orderBy("id").filter(col("id") <= 5L)
+      .select("id", "v").as[(Long, Long)].collect().toSeq
+    assert(vals === Seq((0L, 0L), (1L, 999L), (4L, 0L), (5L, 10L)), vals)
+    rm(src, dst)
+  }
+
+  test("partitioned clone: DV delete then PURGE localizes rewrites into the TARGET's Hive directories; prunes keep planning") {
+    val src = tmp("graft_clone_part_src")
+    val dst = tmp("graft_clone_part_dst"); rm(dst)
+    DeltaExport.writeDeltaTablePartitioned(spark,
+      spark.range(200).select(col("id"),
+        (col("id") % 4).cast("string").as("p"),
+        (col("id") * 3).as("v")), src, Seq("p"))
+    DeltaExport.cloneDeltaTableShallow(spark, src, dst)
+    val srcBefore = contentSig(src)
+    // DV delete masks rows of the absolute adds with target-local bins
+    DeltaExport.deleteFromDeltaTableDv(spark, dst, col("id") % 10 === 7)
+    assert(DeltaExport.readDeltaTable(spark, dst).count() === 180L)
+    // PURGE rewrites each DV-carrying absolute add into the TARGET's
+    // own Hive directory (rebuilt from the add's partitionValues)
+    DeltaExport.purgeDeletionVectors(spark, dst)
+    assert(DeltaExport.readDeltaTable(spark, dst).count() === 180L)
+    // the fresh files live under $dst/p=X/ and parse their partition
+    // values off the local Hive path
+    val (_, liveAfter) = DeltaExport.snapshotAt(spark, dst, None)
+    val localized = liveAfter.filterNot(_.startsWith("/"))
+    assert(localized.nonEmpty && localized.forall(_.startsWith("p=")),
+      localized.mkString(", "))
+    // prune on the clone still plans from ITS log; values correct
+    val (pruned, scanned, total) = DeltaExport
+      .readDeltaTablePartitionPruned(spark, dst, Map("p" -> "2"))
+    assert(scanned < total)
+    assert(pruned.agg(sum(col("v"))).head().getLong(0) ===
+      (0L until 200L).filter(i => i % 4 == 2 && i % 10 != 7)
+        .map(_ * 3).sum)
+    assert(contentSig(src) === srcBefore, "source bytes changed")
+    rm(src, dst)
+  }
+
+  test("overwrite and vacuum stay safe on a fresh clone; time travel resolves via source bytes") {
     val src = tmp("graft_clone_grd_src")
     val dst = tmp("graft_clone_grd_dst"); rm(dst)
     DeltaExport.writeDeltaTable(spark,
       spark.range(50).select(col("id"), (col("id") * 2).as("v"))
         .repartition(2), src)
     DeltaExport.cloneDeltaTableShallow(spark, src, dst)
-    for ((name, op) <- Seq[(String, () => Any)](
-        ("optimize", () => DeltaExport.optimizeDeltaTable(spark, dst)),
-        ("delete", () => DeltaExport.deleteFromDeltaTable(spark, dst,
-          col("id") === 1L)),
-        ("deleteDv", () => DeltaExport.deleteFromDeltaTableDv(spark, dst,
-          col("id") === 1L)),
-        ("updateDv", () => DeltaExport.updateDeltaTableDv(spark, dst,
-          col("id") === 1L, Map("v" -> lit(0L)))),
-        ("merge", () => DeltaExport.mergeDeltaTable(spark,
-          Seq((1L, 9L)).toDF("id", "v"), dst, Seq("id"))),
-        ("checkpoint", () => DeltaExport.checkpointDeltaTable(spark, dst)))) {
-      val e = intercept[IllegalArgumentException](op())
-      assert(e.getMessage.contains("ABSOLUTE"), s"$name: ${e.getMessage}")
-    }
     // OVERWRITE is log surgery — works, and the SOURCE keeps its rows
     DeltaExport.overwriteDeltaTable(spark,
       Seq((7L, 7L)).toDF("id", "v"), dst)
