@@ -860,12 +860,13 @@ object DeltaExport {
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val sameSchema = schemaFits(df.schema, tableSchema)
-    // a schema-KEEPING overwrite honors the CDF obligation (every old
-    // row feeds as a delete, every new one as an insert — O(table)
-    // change data, which IS what an overwrite logically is); a
-    // schema-CHANGING one cannot express its feed in one schema and
-    // refuses through the obligation by name
-    val cdf = cdfEnabled(snap.meta) && sameSchema
+    // EVERY overwrite honors the CDF obligation (r19): every old row
+    // feeds as a delete, every new one as an insert — O(table) change
+    // data, which IS what an overwrite logically is. A schema-CHANGING
+    // overwrite emits its feed in its OWN commit's schema (the
+    // committed metaData), old rows ALIGNED into it by mapping id /
+    // name — the per-commit schema rule the CDF reader resolves by.
+    val cdf = cdfEnabled(snap.meta)
     enforceCheckConstraints(snap.meta, df, "OVERWRITE")
     enforceWriterObligations(snap.meta, "OVERWRITE", removesData = true,
       Some(df), emitsChangeData = cdf)
@@ -917,17 +918,27 @@ object DeltaExport {
       if (!cdf) Seq.empty[String]
       else {
         import org.apache.spark.sql.functions.lit
-        val oldRows = scanFiles(spark, dir, snap.meta, live.toSeq.sorted,
-            None, snap.pvals.toMap, snap.dvs.toMap)
-          .withColumn("_change_type", lit("delete"))
+        // the feed's schema is THIS commit's schema; a schema-changing
+        // overwrite aligns the old rows into it (survivors keep their
+        // mapping identity, dropped columns leave, fresh columns read
+        // NULL on the delete side)
+        val cdfMeta =
+          if (sameSchema) snap.meta
+          else withConfiguration(
+            metaActionReplacingSchema(snap.meta, overwriteSchema), conf)
+        val oldRows = alignToSchema(
+          scanFiles(spark, dir, snap.meta, live.toSeq.sorted,
+              None, snap.pvals.toMap, snap.dvs.toMap)
+            .withColumn("_change_type", lit("delete")),
+          tableSchema, overwriteSchema, Seq("_change_type"))
         // the insert feed reads back the WRITTEN files, never `df`
         // itself — re-evaluating a non-deterministic batch (sample,
         // rand) would land one row set in the table and record a
         // DIFFERENT one in the feed
-        val newRows = scanFiles(spark, dir, snap.meta,
+        val newRows = scanFiles(spark, dir, cdfMeta,
             fresh.map(_.getFileName.toString), None)
           .withColumn("_change_type", lit("insert"))
-        writeCdcFiles(spark, dir, snap.meta, oldRows.unionByName(newRows))
+        writeCdcFiles(spark, dir, cdfMeta, oldRows.unionByName(newRows))
       }
     val now = System.currentTimeMillis()
     // explicit identity values in the replacement rows advance the
@@ -1154,6 +1165,37 @@ object DeltaExport {
     * the mis-derivation the obligation exists to prevent. Cost:
     * O(commits in range) log metadata + a scan of exactly the change
     * and fresh files. */
+  /** Align a frame shaped `from` into target schema `to`, carrying
+    * `extras` through: fields match by column-mapping id when both
+    * sides carry one (survives renames — the id IS the identity),
+    * else by name + same shape; unmatched target fields read NULL —
+    * the protocol's read-schema rule for a feed range spanning schema
+    * changes (r19). */
+  private def alignToSchema(df: DataFrame,
+      from: org.apache.spark.sql.types.StructType,
+      to: org.apache.spark.sql.types.StructType,
+      extras: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def key(f: org.apache.spark.sql.types.StructField): Option[Long] =
+      if (f.metadata.contains(cmIdKey)) Some(f.metadata.getLong(cmIdKey))
+      else None
+    val cols = to.fields.map { tf =>
+      val hit = from.fields.find { ff =>
+        (key(ff), key(tf)) match {
+          case (Some(a), Some(b)) => a == b
+          case _ => ff.name == tf.name && sameShape(ff.dataType, tf.dataType)
+        }
+      }
+      hit match {
+        case Some(ff) if sameShape(ff.dataType, tf.dataType) =>
+          col(ff.name).as(tf.name)
+        case Some(ff) => col(ff.name).cast(tf.dataType).as(tf.name)
+        case None => lit(null).cast(tf.dataType).as(tf.name)
+      }
+    } ++ extras.map(col)
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   def readDeltaCdf(spark: SparkSession, dir: String,
       fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -1168,71 +1210,96 @@ object DeltaExport {
       s"commit(s) ${missing.mkString(",")} in the requested range have " +
         "been expired — their change data is no longer attributable")
     val st = snapshotState(spark, dir, Some(until), keepStats = false)
-    val schema = org.apache.spark.sql.types.DataType
+    val untilSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(st.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val pcols = partitionColumnsOf(st.meta)
-    val ctx = mappingCtx(spark, st.meta, schema)
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      schema.fields.filterNot(f => pcols.contains(f.name)))
     val ctCol = org.apache.spark.sql.types.StructField(
       "_change_type", org.apache.spark.sql.types.StringType)
     val dcRe = """"dataChange":(true|false)""".r
-    val outCols = schema.fieldNames.toSeq ++
+    val outCols = untilSchema.fieldNames.toSeq ++
       Seq("_change_type", "_commit_version")
+    // PER-COMMIT schema resolution (r19): each commit's change files
+    // were written at THAT commit's schema (the metaData governing at
+    // v), not the until-schema — a range spanning ADD COLUMNS or a
+    // schema-changing overwrite must read each commit at its own
+    // schema and ALIGN the rows into the until-schema (by mapping id
+    // where mapped — renames keep identity — else by name, NULL-padded
+    // both ways). The governing meta walks forward with the range:
+    // seeded from the snapshot at fromVersion, replaced by each
+    // commit's own metaData action.
+    var currentMeta: String =
+      if (fromVersion < 0) null
+      else snapshotState(spark, dir, Some(fromVersion),
+        keepStats = false).meta
     val perCommit = range.map { v =>
       val lines = new String(
         Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(v))),
         StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+      lines.find(_.startsWith("""{"metaData""""))
+        .foreach(m => currentMeta = m)
+      require(currentMeta != null,
+        s"no metaData governs commit v$v — the log is malformed")
+      val meta = currentMeta
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(schemaStringOf(meta))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val pcols = partitionColumnsOf(meta)
+      val ctx = mappingCtx(spark, meta, schema)
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(f => pcols.contains(f.name)))
       def dataChange(l: String) =
         dcRe.findFirstMatchIn(l).forall(_.group(1) == "true")
       val cdcLines = lines.filter(_.startsWith("""{"cdc""""))
-      if (cdcLines.nonEmpty) {
-        // the protocol's exclusive rule: cdc actions ARE this commit's
-        // change set; its adds/removes describe storage, not changes
-        val groups = cdcLines.map { l =>
-          (pathOf(l, "cdc"), logicalPvals(partitionValuesOf(l), ctx.phys))
-        }.groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
-          .sortBy(_._1.toSeq.sortBy(_._1).mkString("/"))
-        val rs = org.apache.spark.sql.types.StructType(
-          ctx.physSchema(dataSchema).fields :+ ctCol)
-        groups.map { case (pv, files) =>
-          val base = ctx.toLogical(
-            ctx.session.read.schema(rs)
-              .parquet(files.sorted.map(f => s"$dir/$f"): _*),
-            dataSchema, Seq("_change_type"))
-          pcols.foldLeft(base) { case (d, c) =>
-            d.withColumn(c, lit(pv.getOrElse(c, null))
-              .cast(schema(c).dataType))
+      val atCommitSchema: DataFrame =
+        if (cdcLines.nonEmpty) {
+          // the protocol's exclusive rule: cdc actions ARE this
+          // commit's change set; its adds/removes describe storage
+          val groups = cdcLines.map { l =>
+            (pathOf(l, "cdc"), logicalPvals(partitionValuesOf(l), ctx.phys))
+          }.groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
+            .sortBy(_._1.toSeq.sortBy(_._1).mkString("/"))
+          val rs = org.apache.spark.sql.types.StructType(
+            ctx.physSchema(dataSchema).fields :+ ctCol)
+          groups.map { case (pv, files) =>
+            val base = ctx.toLogical(
+              ctx.session.read.schema(rs)
+                .parquet(files.sorted.map(f => s"$dir/$f"): _*),
+              dataSchema, Seq("_change_type"))
+            pcols.foldLeft(base) { case (d, c) =>
+              d.withColumn(c, lit(pv.getOrElse(c, null))
+                .cast(schema(c).dataType))
+            }
+          }.reduce(_.unionByName(_))
+            .select((schema.fieldNames.toSeq :+ "_change_type")
+              .map(col): _*)
+        } else {
+          val isChangeCommit = lines.exists(l =>
+            l.startsWith("""{"remove"""") && dataChange(l))
+          if (isChangeCommit) throw new IllegalStateException(
+            s"commit v$v changes existing data but carries no cdc " +
+              "actions — its writer predates the CHANGE DATA FEED " +
+              "obligation (or broke it); the row-level changes are not " +
+              "attributable. Use tableChanges (CDC derivation) instead")
+          val newFiles = lines.collect {
+            case l if l.startsWith("""{"add"""") && dataChange(l) =>
+              pathOf(l, "add")
           }
-        }.reduce(_.unionByName(_))
-          .withColumn("_commit_version", lit(v))
-          .select(outCols.map(col): _*)
-      } else {
-        val isChangeCommit = lines.exists(l =>
-          l.startsWith("""{"remove"""") && dataChange(l))
-        if (isChangeCommit) throw new IllegalStateException(
-          s"commit v$v changes existing data but carries no cdc " +
-            "actions — its writer predates the CHANGE DATA FEED " +
-            "obligation (or broke it); the row-level changes are not " +
-            "attributable. Use tableChanges (CDC derivation) instead")
-        val newFiles = lines.collect {
-          case l if l.startsWith("""{"add"""") && dataChange(l) =>
-            pathOf(l, "add")
+          if (newFiles.isEmpty) null
+          else scanFiles(spark, dir, meta, newFiles, Some(v),
+              st.pvals.toMap)
+            .withColumn("_change_type", lit("insert"))
         }
-        if (newFiles.isEmpty) null
-        else scanFiles(spark, dir, st.meta, newFiles, Some(until),
-            st.pvals.toMap)
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(v))
-          .select(outCols.map(col): _*)
-      }
+      if (atCommitSchema == null) null
+      else alignToSchema(atCommitSchema, schema, untilSchema,
+          Seq("_change_type"))
+        .withColumn("_commit_version", lit(v))
+        .select(outCols.map(col): _*)
     }.filter(_ != null)
     if (perCommit.isEmpty) {
       // only maintenance commits (OPTIMIZE / PURGE / CHECKPOINT) in
       // range — an EMPTY feed, not an error: a quiet poll cycle is the
       // incremental consumer's normal case
-      val fields = schema.fields ++ Seq(
+      val fields = untilSchema.fields ++ Seq(
         ctCol,
         org.apache.spark.sql.types.StructField("_commit_version",
           org.apache.spark.sql.types.LongType, nullable = false))
@@ -1338,25 +1405,13 @@ object DeltaExport {
     val v = latestVersion(dir) + 1
     val now = snapshotState(spark, dir, None, keepStats = false)
     val then_ = snapshotState(spark, dir, Some(versionAsOf))
-    // schema equality up to the identity WATERMARK: the watermark
-    // advances with every allocation, so it is snapshot STATE, not
-    // shape — two snapshots differing only in it still share one feed
-    // schema. Everything else (names, types, mapping ids/physical
-    // names) must match verbatim: the restore's change files write
-    // under the CURRENT mapping and read under the RESTORED one.
-    def feedShape(meta: String): org.apache.spark.sql.types.StructType = {
-      val st = org.apache.spark.sql.types.DataType
-        .fromJson(schemaStringOf(meta))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      org.apache.spark.sql.types.StructType(st.fields.map(f =>
-        f.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .remove("delta.identity.highWaterMark").build())))
-    }
-    val cdf = cdfEnabled(now.meta) &&
-      feedShape(now.meta) == feedShape(then_.meta) &&
-      partitionColumnsOf(now.meta) == partitionColumnsOf(then_.meta)
+    // the restore's feed emits in the RESTORED commit's schema (r19):
+    // the commit re-asserts then-metaData as governing, so its change
+    // files write under the then-mapping and the per-commit CDF reader
+    // resolves them at exactly that schema — a schema-CHANGING restore
+    // aligns the departing now-rows into the then-schema by mapping
+    // id / name, the same rule the overwrite feed follows.
+    val cdf = cdfEnabled(now.meta)
     enforceWriterObligations(now.meta, "RESTORE", removesData = true, None,
       emitsChangeData = cdf)
     val gone = then_.live.toSeq
@@ -1391,15 +1446,26 @@ object DeltaExport {
       if (!cdf || (removes.isEmpty && readds.isEmpty)) Seq.empty[String]
       else {
         import org.apache.spark.sql.functions.lit
+        val nowSchema = org.apache.spark.sql.types.DataType
+          .fromJson(schemaStringOf(now.meta))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val thenSchema = org.apache.spark.sql.types.DataType
+          .fromJson(schemaStringOf(then_.meta))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
         val readdsOnly = (then_.live -- now.live).toSeq.sorted
+        // departing rows scan at the NOW schema (theirs) and ALIGN
+        // into the restored schema; returning rows and dv diffs scan
+        // at the then-schema directly (the files carry then-columns)
         val dels =
           if (removes.isEmpty) Nil
-          else Seq(scanFiles(spark, dir, now.meta, removes, None,
-              now.pvals.toMap, now.dvs.toMap)
-            .withColumn("_change_type", lit("delete")))
+          else Seq(alignToSchema(
+            scanFiles(spark, dir, now.meta, removes, None,
+                now.pvals.toMap, now.dvs.toMap)
+              .withColumn("_change_type", lit("delete")),
+            nowSchema, thenSchema, Seq("_change_type")))
         val ins =
           if (readdsOnly.isEmpty) Nil
-          else Seq(scanFiles(spark, dir, now.meta, readdsOnly,
+          else Seq(scanFiles(spark, dir, then_.meta, readdsOnly,
               Some(versionAsOf), then_.pvals.toMap, then_.dvs.toMap)
             .withColumn("_change_type", lit("insert")))
         val dvParts = dvChanged.toSeq.sorted.flatMap { f =>
@@ -1412,12 +1478,12 @@ object DeltaExport {
           val delPos = (thenPos -- nowPos).toSeq.sorted
           val insPos = (nowPos -- thenPos).toSeq.sorted
           (if (delPos.isEmpty) Nil
-           else Seq(scanFileAtPositions(spark, dir, now.meta, f,
-               now.pvals.toMap, delPos)
+           else Seq(scanFileAtPositions(spark, dir, then_.meta, f,
+               then_.pvals.toMap, delPos)
              .withColumn("_change_type", lit("delete")))) ++
           (if (insPos.isEmpty) Nil
-           else Seq(scanFileAtPositions(spark, dir, now.meta, f,
-               now.pvals.toMap, insPos)
+           else Seq(scanFileAtPositions(spark, dir, then_.meta, f,
+               then_.pvals.toMap, insPos)
              .withColumn("_change_type", lit("insert"))))
         }
         val parts = dels ++ dvParts ++ ins
@@ -1428,16 +1494,13 @@ object DeltaExport {
             // descriptor swap masking identical positions): the commit
             // still needs its cdc action — writeCdcFiles lands the
             // schema-only file
-            val schema = org.apache.spark.sql.types.DataType
-              .fromJson(schemaStringOf(now.meta))
-              .asInstanceOf[org.apache.spark.sql.types.StructType]
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(schema.fields :+
+              org.apache.spark.sql.types.StructType(thenSchema.fields :+
                 org.apache.spark.sql.types.StructField("_change_type",
                   org.apache.spark.sql.types.StringType)))
           }
-        writeCdcFiles(spark, dir, now.meta, changes)
+        writeCdcFiles(spark, dir, then_.meta, changes)
       }
     val metaActions =
       if (now.meta == then_.meta) Seq.empty[String] else Seq(then_.meta)
@@ -2334,12 +2397,13 @@ object DeltaExport {
     *    PURGE, CHECKPOINT) and plain appends stay allowed.
     *  - `delta.enableChangeDataFeed=true` obliges a writer committing
     *    a partial-file rewrite to emit `_change_data` files; the DML
-    *    triad (DELETE COW+DV, DV UPDATE, MERGE), schema-keeping
-    *    OVERWRITE, and same-schema RESTORE all DO since r18 and pass
-    *    `emitsChangeData=true`; only the schema-CHANGING forms still
-    *    refuse by name — their feed is not expressible in one schema
-    *    (appends are exempt — CDF readers synthesize inserts from
-    *    dataChange=true adds alone).
+    *    triad (DELETE COW+DV, DV UPDATE, MERGE), OVERWRITE, and
+    *    RESTORE all DO (schema-CHANGING forms included since r19 —
+    *    each emits its feed in its OWN commit's schema, which the
+    *    per-commit CDF reader resolves) and pass `emitsChangeData=
+    *    true`; the refusal below remains for any writer that truly
+    *    emits nothing (appends are exempt — CDF readers synthesize
+    *    inserts from dataChange=true adds alone).
     *  - GENERATED columns (schema metadata delta.generationExpression)
     *    are VALIDATED: graft's writers always provide the full schema,
     *    and the protocol's rule for provided values is equality with

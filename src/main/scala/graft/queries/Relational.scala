@@ -1832,6 +1832,78 @@ object Relational {
       FROM changes GROUP BY _commit_version, _change_type
       ORDER BY _commit_version, _change_type"""))
 
+  /** CDF feed SPANNING SCHEMA CHANGES, oracle-EXACT (r19): a range
+    * crossing ADD COLUMNS and a schema-CHANGING OVERWRITE reads each
+    * commit's change files at THAT commit's schema and aligns them
+    * into the until-schema (NULL-padded both ways) — the per-commit
+    * resolution rule. v1 ADD COLUMNS contributes nothing; v2's append
+    * synthesizes inserts under the evolved schema; v3's DV delete
+    * feeds deletes with the evolved columns; v4's schema-changing
+    * overwrite feeds every departing row aligned into ITS new schema
+    * (bal/seg leave, cat reads NULL on the delete side) plus the
+    * replacement inserts. The oracle replays the whole feed
+    * relationally — alignment changes no values, only shape. */
+  val q164bDeltaCdfSchemaSpan = GraftQuery(
+    "q164b_delta_cdf_schema_span", { (s, dir) =>
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q164b_delta").toString
+      try {
+        val D = graft.core.DeltaExport
+        D.writeDeltaTable(s, base.repartitionByRange(4, col("k")), tmp)
+        val p0 = java.nio.file.Paths.get(tmp, "_delta_log",
+          "00000000000000000000.json")
+        val raw = new String(java.nio.file.Files.readAllBytes(p0), "UTF-8")
+        java.nio.file.Files.write(p0,
+          raw.replace(""""configuration":{}""",
+            """"configuration":{"delta.enableChangeDataFeed":"true"}""")
+            .getBytes("UTF-8"))
+        val evolved = org.apache.spark.sql.types.DataType
+          .fromJson(D.schemaStringOf(D.snapshotAt(s, tmp, None)._1))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .add(org.apache.spark.sql.types.StructField("seg",
+            org.apache.spark.sql.types.LongType, nullable = true))
+        D.evolveDeltaTableSchema(s, tmp, evolved)                   // v1
+        D.appendDeltaTable(s,
+          base.filter(col("k") % 10 === 1).select(
+            (col("k") + 10000000L).as("k"), col("bal"),
+            (col("k") % 5).as("seg")), tmp)                         // v2
+        D.deleteFromDeltaTableDv(s, tmp, col("k") % 20 === 5)       // v3
+        D.overwriteDeltaTable(s,
+          base.filter(col("k") % 10 === 2)
+            .select(col("k"), (col("k") % 3).as("cat")), tmp)       // v4
+        D.readDeltaCdf(s, tmp, 0L, Some(4L))
+          .groupBy(col("_commit_version"), col("_change_type"))
+          .agg(count(lit(1)).as("rows"),
+            sum(col("k")).as("k_sum"),
+            count(col("cat")).as("cat_rows"),
+            coalesce(sum(col("cat")), lit(0L)).as("cat_sum"))
+          .orderBy(col("_commit_version"), col("_change_type"))
+          .localCheckpoint(eager = true)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    },
+    Some("""WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+      app AS (SELECT k + 10000000 AS k, bal, k % 5 AS seg FROM base
+              WHERE k % 10 = 1),
+      t2 AS (SELECT k, bal, CAST(NULL AS BIGINT) AS seg FROM base
+             UNION ALL SELECT k, bal, seg FROM app),
+      del3 AS (SELECT * FROM t2 WHERE k % 20 = 5),
+      t3 AS (SELECT * FROM t2 WHERE k % 20 <> 5),
+      ins4 AS (SELECT k, k % 3 AS cat FROM base WHERE k % 10 = 2),
+      changes AS (
+        SELECT CAST(2 AS BIGINT) AS v, 'insert' AS ct, k,
+          CAST(NULL AS BIGINT) AS cat FROM app
+        UNION ALL SELECT 3, 'delete', k, NULL FROM del3
+        UNION ALL SELECT 4, 'delete', k, NULL FROM t3
+        UNION ALL SELECT 4, 'insert', k, cat FROM ins4)
+      SELECT v AS _commit_version, ct AS _change_type,
+        count(*) AS rows, CAST(sum(k) AS BIGINT) AS k_sum,
+        count(cat) AS cat_rows,
+        CAST(coalesce(sum(cat), 0) AS BIGINT) AS cat_sum
+      FROM changes GROUP BY v, ct ORDER BY v, ct"""))
+
   /** The COLUMN-MAPPING lifecycle composition, oracle-EXACT — the
     * q163 discipline applied to the mapping family: write → UPGRADE to
     * column mapping → RENAME (bal→balance, pure metadata) → EVOLVE
@@ -2101,7 +2173,7 @@ object Relational {
     q148DeltaPartitioned, q149DeltaMerge, q150DeltaCdc, q158DeltaDeleteDv,
     q161DeltaUpdateDv, q163DeltaLifecycle, q164DeltaCdfFeed,
     q165MappingLifecycle, q168IdentityRestoreCdf,
-    q169NestedMappingLifecycle,
+    q169NestedMappingLifecycle, q164bDeltaCdfSchemaSpan,
     q77PercentOfParent, q78ArrayAgg, q79MergeUpsert, q79bMergePartitioned,
     q80LatestPerKey, q102VersionChanges, q103IncrementalAgg,
     q81ArgMax, q82RankTies, q83CorrelatedExists, q84Cube, q95LateralTopK,

@@ -228,43 +228,86 @@ class DeltaCdfSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
-  test("schema-keeping OVERWRITE on a CDF table feeds full deletes + inserts; schema-changing forms refuse") {
+  test("OVERWRITE feeds full deletes + inserts; schema-CHANGING overwrite and restore feed in their own commit's schema") {
     val dir = newCdfTable(5)
-    val v = DeltaExport.overwriteDeltaTable(spark,
+    val v1 = DeltaExport.overwriteDeltaTable(spark,
       spark.range(100, 103).select(col("id"), (col("id") * 10).as("bal")),
       dir)
-    val cdf = DeltaExport.readDeltaCdf(spark, dir, v - 1, Some(v))
+    val cdf = DeltaExport.readDeltaCdf(spark, dir, v1 - 1, Some(v1))
     assert(changeSet(cdf) === (
       (0L until 5L).map(i => (i, i * 10, "delete") -> 1L) ++
         (100L until 103L).map(i => (i, i * 10, "insert") -> 1L)).toMap)
     assert(changeSet(cdf) === changeSet(
-      DeltaExport.deltaChangesBetween(spark, dir, v - 1, v, Seq("id"))))
-    // a SCHEMA-CHANGING overwrite cannot express its feed — refused
-    // through the obligation by name
-    val e = intercept[IllegalArgumentException](
-      DeltaExport.overwriteDeltaTable(spark,
-        Seq((1L, "x")).toDF("id", "s"), dir))
-    assert(e.getMessage.contains("CHANGE DATA FEED"), e.getMessage)
-    // same-schema RESTORE emits its feed since r18: the overwrite's
-    // rows leave as deletes, the overwritten rows return as inserts
-    val vR = DeltaExport.restoreDeltaTable(spark, dir, 0L)
+      DeltaExport.deltaChangesBetween(spark, dir, v1 - 1, v1, Seq("id"))))
+    // a SCHEMA-CHANGING overwrite (r19) feeds in ITS OWN commit's
+    // schema: departing rows align into it (id survives by name, bal
+    // leaves, s reads NULL on the delete side)
+    val v2 = DeltaExport.overwriteDeltaTable(spark,
+      Seq((1L, "x")).toDF("id", "s"), dir)
+    def idsTypes(df: org.apache.spark.sql.DataFrame)
+        : Map[(Long, Option[String], String), Long] =
+      df.select(col("id"), col("s"), col("_change_type")).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cdf2 = DeltaExport.readDeltaCdf(spark, dir, v2 - 1, Some(v2))
+    assert(cdf2.schema.fieldNames.toSeq ===
+      Seq("id", "s", "_change_type", "_commit_version"))
+    assert(idsTypes(cdf2) === (
+      (100L until 103L).map(i => (i, None: Option[String], "delete") -> 1L)
+        :+ ((1L, Some("x"), "insert") -> 1L)).toMap)
+    // a range SPANNING the schema change reads each commit at ITS
+    // schema and aligns into the until-schema (bal drops, s pads)
+    val span = DeltaExport.readDeltaCdf(spark, dir, 0L, Some(v2))
+    assert(span.schema.fieldNames.toSeq ===
+      Seq("id", "s", "_change_type", "_commit_version"))
+    assert(span.count() === 12L) // v1: 5 del + 3 ins; v2: 3 del + 1 ins
+    assert(span.filter(col("_commit_version") === v1 &&
+      col("s").isNotNull).count() === 0L)
+    // RESTORE ACROSS the schema change (r19): the feed emits in the
+    // RESTORED schema — the departing (id, s) row aligns into
+    // (id, bal) with bal NULL; the returning rows carry their values
+    val vR = DeltaExport.restoreDeltaTable(spark, dir, v1)
     val cdfR = DeltaExport.readDeltaCdf(spark, dir, vR - 1, Some(vR))
-    assert(changeSet(cdfR) === (
-      (100L until 103L).map(i => (i, i * 10, "delete") -> 1L) ++
-        (0L until 5L).map(i => (i, i * 10, "insert") -> 1L)).toMap)
-    assert(changeSet(cdfR) === changeSet(
-      DeltaExport.deltaChangesBetween(spark, dir, vR - 1, vR, Seq("id"))))
-    // a restore ACROSS a schema change still refuses by name — its
-    // feed is not expressible in one schema
-    val vE = DeltaExport.evolveDeltaTableSchema(spark, dir,
+    assert(cdfR.schema.fieldNames.toSeq ===
+      Seq("id", "bal", "_change_type", "_commit_version"))
+    val got = cdfR.select(col("id"),
+        coalesce(col("bal"), lit(-1L)), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((1L, -1L, "delete"), (100L, 1000L, "insert"),
+      (101L, 1010L, "insert"), (102L, 1020L, "insert")), got.toString)
+    // and the restored table reads as v1's snapshot
+    assert(changeSet(DeltaExport.readDeltaTable(spark, dir)
+        .withColumn("_change_type", lit("live"))) ===
+      (100L until 103L).map(i => (i, i * 10, "live") -> 1L).toMap)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("a feed range spanning ADD COLUMNS reads old change files at their own schema, NULL-padded into the until-schema") {
+    val dir = newCdfTable(6)
+    // v1: DV delete under the ORIGINAL schema — change files (id, bal)
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") % 3 === 1L)
+    // v2: ADD COLUMNS note (metadata-only; contributes nothing)
+    DeltaExport.evolveDeltaTableSchema(spark, dir,
       org.apache.spark.sql.types.StructType(
-        DeltaExport.readDeltaTable(spark, dir).schema.fields :+
+        org.apache.spark.sql.types.DataType.fromJson(
+          DeltaExport.schemaStringOf(
+            DeltaExport.snapshotAt(spark, dir, None)._1))
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fields :+
           org.apache.spark.sql.types.StructField("note",
             org.apache.spark.sql.types.StringType, nullable = true)))
-    assert(vE === vR + 1)
-    val e2 = intercept[IllegalArgumentException](
-      DeltaExport.restoreDeltaTable(spark, dir, vR))
-    assert(e2.getMessage.contains("CHANGE DATA FEED"), e2.getMessage)
+    // v3: append under the evolved schema
+    DeltaExport.appendDeltaTable(spark,
+      Seq((50L, 500L, "n")).toDF("id", "bal", "note"), dir)
+    val span = DeltaExport.readDeltaCdf(spark, dir, 0L, Some(3L))
+    assert(span.schema.fieldNames.toSeq ===
+      Seq("id", "bal", "note", "_change_type", "_commit_version"))
+    val rows = span.select(col("_commit_version"), col("id"),
+        col("bal"), col("note"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), r.getString(4))).toSet
+    assert(rows === Set(
+      (1L, 1L, 10L, None, "delete"), (1L, 4L, 40L, None, "delete"),
+      (3L, 50L, 500L, Some("n"), "insert")), rows.toString)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
