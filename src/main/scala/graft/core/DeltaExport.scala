@@ -754,10 +754,20 @@ object DeltaExport {
     * across parts carries no semantics, a path is either live or a
     * tombstone, never both). */
   final case class CheckpointPointer(version: Long, size: Long,
-      parts: Option[Int])
+      parts: Option[Int], v2Manifest: Option[String] = None)
+
+  // V2 (UUID-named) checkpoint manifest: <v>.checkpoint.<uuid>.parquet
+  // — the table-features form (reader feature `v2Checkpoint`); file
+  // actions live in _sidecars/ parquet files the manifest references.
+  private def v2ManifestRe(v: Long) =
+    (java.util.regex.Pattern.quote(f"$v%020d.checkpoint.") +
+      """[0-9a-fA-F-]{36}\.(parquet|json)""").r
 
   /** Last-checkpoint pointer parsed from `_delta_log/_last_checkpoint`,
-    * None when the table has never been checkpointed. */
+    * None when the table has never been checkpointed. When the pointer
+    * names a version whose CLASSIC file(s) are absent, the UUID-named
+    * V2 manifest for that version is discovered by listing (the spec's
+    * own discovery rule — the pointer file does not carry the uuid). */
   def lastCheckpoint(dir: String): Option[CheckpointPointer] = {
     val p = Paths.get(dir, "_delta_log", "_last_checkpoint")
     if (!Files.isRegularFile(p)) None
@@ -772,8 +782,45 @@ object DeltaExport {
       val parts = pRe.findFirstMatchIn(txt).map(_.group(1).toInt)
       require(parts.forall(_ >= 1),
         s"malformed _last_checkpoint (parts must be >= 1): $txt")
-      Some(CheckpointPointer(v,
-        sRe.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L), parts))
+      val size = sRe.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
+      val classicExists = checkpointPaths(dir, v, parts)
+        .forall(Files.isRegularFile(_))
+      val v2 =
+        if (classicExists || parts.isDefined) None
+        else {
+          val logDir = Paths.get(dir, "_delta_log")
+          val re = v2ManifestRe(v)
+          val walk = Files.list(logDir)
+          val hit = try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.map(_.getFileName.toString)
+              .filter(n => re.pattern.matcher(n).matches()).toSeq.sorted
+              .lastOption
+          } finally walk.close()
+          hit.foreach(n => require(n.endsWith(".parquet"),
+            s"V2 checkpoint manifest $n is JSON — this consumer reads " +
+              "the parquet manifest form only"))
+          hit
+        }
+      Some(CheckpointPointer(v, size, parts, v2))
+    }
+  }
+
+  /** Sidecar parquet files a V2 manifest references, resolved under
+    * `_delta_log/_sidecars/` (relative file names, per the spec) or
+    * verbatim when absolute. Bounded driver metadata — one row per
+    * sidecar. */
+  private def sidecarPathsOf(spark: SparkSession, dir: String,
+      manifestPath: String): Seq[String] = {
+    val mdf = spark.read.parquet(manifestPath)
+    if (!mdf.schema.fieldNames.contains("sidecar")) Nil
+    else {
+      import org.apache.spark.sql.functions.col
+      mdf.filter(col("sidecar").isNotNull)
+        .select(col("sidecar.path")).collect().map(_.getString(0))
+        .toSeq.sorted
+        .map(n => if (isAbsoluteDataPath(n)) resolveDataPath(dir, n)
+                  else s"$dir/_delta_log/_sidecars/$n")
     }
   }
 
@@ -3708,10 +3755,10 @@ object DeltaExport {
           s"commits after checkpoint v${p.version} are missing: " +
             gap.mkString(","))
         versions.filter(_ <= p.version).foreach(scanTombstones)
-        val cpClock = checkpointPaths(dir, p.version, p.parts)
+        val cpClock = checkpointScanPaths(spark, dir, p)
           .headOption.filter(Files.isRegularFile(_))
           .map(f => Files.getLastModifiedTime(f).toMillis)
-        (loadCheckpoint(spark, dir, p.version, p.parts, keepStats = false),
+        (loadCheckpoint(spark, dir, p, keepStats = false),
           versions.filter(_ > p.version), cpClock)
       case _ =>
         // no checkpoint seed: the replay below starts from EMPTY state,
@@ -3941,13 +3988,16 @@ object DeltaExport {
           // itself: schemaString's timestamp_ntz parses natively
           // (Spark's TimestampNTZType) and parquet scans it directly —
           // the feature flag exists because OLDER readers would
-          // misread the column as instant-semantics timestamps
+          // misread the column as instant-semantics timestamps.
+          // v2Checkpoint is consumed natively since r19 (UUID-named
+          // manifest + _sidecars parquet -> the same ReplayState).
           (feats -- Set("deletionVectors", "columnMapping",
-            "timestampNtz")).toSeq.sorted
+            "timestampNtz", "v2Checkpoint")).toSeq.sorted
         if (unsupported.nonEmpty) throw new IllegalArgumentException(
           s"unsupported reader feature(s) $where: " +
             s"${unsupported.mkString(", ")} — this reader implements " +
-            "only deletionVectors, columnMapping and timestampNtz")
+            "only deletionVectors, columnMapping, timestampNtz and " +
+            "v2Checkpoint")
       case other => throw new IllegalArgumentException(
         s"unsupported reader protocol $where: minReaderVersion $other")
     }
@@ -4592,12 +4642,13 @@ object DeltaExport {
       }
       applyCommit(dir, v, tail)
     }
-    val paths = checkpointPaths(dir, cpV, cp.parts)
+    val paths = checkpointScanPaths(spark, dir, cp)
     val gone = paths.filterNot(Files.isRegularFile(_))
     require(gone.isEmpty,
       s"_last_checkpoint names v$cpV but checkpoint file(s) " +
         s"${gone.map(_.getFileName).mkString(", ")} are missing")
-    val cpBase = spark.read.parquet(paths.map(_.toString): _*)
+    val cpBase = spark.read.option("mergeSchema", "true")
+      .parquet(paths.map(_.toString): _*)
     var cpMeta: String = null
     cpBase.filter(col("protocol").isNotNull || col("metaData").isNotNull)
       .collect().foreach { r =>
@@ -4862,12 +4913,13 @@ object DeltaExport {
       }
       applyCommit(dir, v, tail)
     }
-    val paths = checkpointPaths(dir, cpV, cp.parts)
+    val paths = checkpointScanPaths(spark, dir, cp)
     val gone = paths.filterNot(Files.isRegularFile(_))
     require(gone.isEmpty,
       s"_last_checkpoint names v$cpV but checkpoint file(s) " +
         s"${gone.map(_.getFileName).mkString(", ")} are missing")
-    val cpBase = spark.read.parquet(paths.map(_.toString): _*)
+    val cpBase = spark.read.option("mergeSchema", "true")
+      .parquet(paths.map(_.toString): _*)
     // protocol + metaData: an O(1) filtered collect — the only head
     // rows a reader needs from the whole checkpoint
     var cpMeta: String = null
@@ -4966,11 +5018,11 @@ object DeltaExport {
         val missing = ((cpV + 1) to cut).filterNot(versions.contains)
         require(missing.isEmpty,
           s"commits after checkpoint v$cpV are missing: ${missing.mkString(",")}")
-        val st = loadCheckpoint(spark, dir, cpV, cp.parts, keepStats)
+        val st = loadCheckpoint(spark, dir, cp, keepStats)
         ((cpV + 1) to cut).foreach(v => applyCommit(dir, v, st))
         require(st.meta != null, s"checkpoint v$cpV carries no metaData")
         st
-      case Some(CheckpointPointer(cpV, _, _)) =>
+      case Some(CheckpointPointer(cpV, _, _, _)) =>
         val versions = logVersions(dir)
         val cut = versionAsOf.get
         val missing = (0L to cut).filterNot(versions.contains)
@@ -5037,6 +5089,23 @@ object DeltaExport {
         (1 to n).map(i => logDir.resolve(checkpointPartFile(v, i, n)))
     }
   }
+
+  /** All parquet files whose ROWS make up checkpoint `cp` — the
+    * classic file / multi-part siblings, or (V2) the UUID-named
+    * manifest plus every sidecar it references. The distributed
+    * checkpoint consumers (partition/stats pruned reads) scan these
+    * with mergeSchema: the V2 manifest and its sidecars carry
+    * different column sets by design. */
+  private def checkpointScanPaths(spark: SparkSession, dir: String,
+      cp: CheckpointPointer): Seq[java.nio.file.Path] =
+    cp.v2Manifest match {
+      case Some(m) =>
+        val mp = Paths.get(dir, "_delta_log", m)
+        if (!Files.isRegularFile(mp)) Seq(mp)
+        else mp +: sidecarPathsOf(spark, dir, mp.toString)
+          .map(Paths.get(_))
+      case None => checkpointPaths(dir, cp.version, cp.parts)
+    }
 
   /** Write a checkpoint of the LATEST snapshot + `_last_checkpoint`:
     * the compaction that lets a reader skip — and a retention job
@@ -5152,8 +5221,11 @@ object DeltaExport {
     val cp = lastCheckpoint(dir)
       .getOrElse(throw new IllegalStateException(
         "no checkpoint — expiring JSON commits would orphan the table"))
-    val gone = checkpointPaths(dir, cp.version, cp.parts)
-      .filterNot(Files.isRegularFile(_))
+    val cpFiles = cp.v2Manifest match {
+      case Some(m) => Seq(Paths.get(dir, "_delta_log", m))
+      case None => checkpointPaths(dir, cp.version, cp.parts)
+    }
+    val gone = cpFiles.filterNot(Files.isRegularFile(_))
     if (gone.nonEmpty) throw new IllegalStateException(
       s"_last_checkpoint names v${cp.version} but checkpoint file(s) " +
         s"${gone.map(_.getFileName).mkString(", ")} are missing — " +
@@ -5185,14 +5257,49 @@ object DeltaExport {
     * checkpoint holds O(live files) metadata rows — the same
     * driver-side cost every Delta reader pays to load a snapshot. */
   private def loadCheckpoint(spark: SparkSession, dir: String,
-      v: Long, parts: Option[Int], keepStats: Boolean = true): ReplayState = {
+      cp: CheckpointPointer, keepStats: Boolean = true): ReplayState = {
     import org.apache.spark.sql.functions.{col, lit}
-    val paths = checkpointPaths(dir, v, parts)
-    val gone = paths.filterNot(Files.isRegularFile(_))
-    require(gone.isEmpty,
-      s"_last_checkpoint names v$v${parts.map(n => s" ($n parts)").getOrElse("")} " +
-        s"but checkpoint file(s) ${gone.map(_.getFileName).mkString(", ")} are missing")
-    val df0 = spark.read.parquet(paths.map(_.toString): _*)
+    val v = cp.version
+    val parts = cp.parts
+    // V2 (UUID-named) checkpoint: the manifest parquet carries the
+    // non-file actions (protocol, metaData, txn, checkpointMetadata)
+    // plus `sidecar` references; the add/remove rows live in the
+    // _sidecars parquet files (and/or the manifest itself — the spec
+    // allows both). Everything funnels into the SAME row loop the
+    // classic form uses — the loader reads by field name, so the two
+    // layouts differ only in which files contribute which columns.
+    val paths: Seq[java.nio.file.Path] = cp.v2Manifest match {
+      case Some(m) =>
+        val mp = Paths.get(dir, "_delta_log", m)
+        require(Files.isRegularFile(mp),
+          s"_last_checkpoint names v$v but V2 manifest $m is missing")
+        val sidecars = sidecarPathsOf(spark, dir, mp.toString)
+          .map(Paths.get(_))
+        val goneSc = sidecars.filterNot(Files.isRegularFile(_))
+        require(goneSc.isEmpty,
+          s"V2 checkpoint v$v names sidecar file(s) that are missing: " +
+            goneSc.map(_.getFileName).mkString(", "))
+        // verify the manifest's checkpointMetadata names THIS version
+        val mdf = spark.read.parquet(mp.toString)
+        if (mdf.schema.fieldNames.contains("checkpointMetadata")) {
+          val vs = mdf.filter(col("checkpointMetadata").isNotNull)
+            .select(col("checkpointMetadata.version")).collect()
+            .map(_.getLong(0)).toSeq
+          require(vs.forall(_ == v),
+            s"V2 manifest $m carries checkpointMetadata for version(s) " +
+              s"${vs.distinct.mkString(",")}, expected $v")
+        }
+        mp +: sidecars
+      case None =>
+        val cls = checkpointPaths(dir, v, parts)
+        val gone = cls.filterNot(Files.isRegularFile(_))
+        require(gone.isEmpty,
+          s"_last_checkpoint names v$v${parts.map(n => s" ($n parts)").getOrElse("")} " +
+            s"but checkpoint file(s) ${gone.map(_.getFileName).mkString(", ")} are missing")
+        cls
+    }
+    val df0 = spark.read.option("mergeSchema", "true")
+      .parquet(paths.map(_.toString): _*)
     // when the consumer never prunes, NULL the stats out on the
     // EXECUTOR side before the collect — the driver then holds only
     // paths/partitionValues/DV descriptors instead of ~1 KB of stats

@@ -540,12 +540,13 @@ class DeletionVectorSpec extends SparkTestBase {
     writeCommit(1, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""))
     assert(DeltaExport.readDeltaTable(spark, dir).count() === 2L)
-    // v3 with a feature beyond deletionVectors — named
+    // v3 with a feature beyond the implemented set — named
+    // (v2Checkpoint itself is CONSUMED since r19 — TableStoreSpec)
     writeCommit(1, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","typeWidening"]}}"""))
     val vf = intercept[IllegalArgumentException](
       DeltaExport.readDeltaTable(spark, dir))
-    assert(vf.getMessage.contains("v2Checkpoint"), vf.getMessage)
+    assert(vf.getMessage.contains("typeWidening"), vf.getMessage)
     // a DV table: reads fine, every mutator refuses naming the feature
     val file = new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.endsWith(".parquet")).head

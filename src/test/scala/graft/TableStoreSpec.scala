@@ -1087,6 +1087,142 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("V2 checkpoint (UUID manifest + _sidecars): reads, DV masking, time travel, pruned reads and expiry all consume it") {
+    import graft.core.DeltaExport
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_v2cp").toString
+    DeltaExport.writeDeltaTable(spark,
+      spark.range(100).select(col("id"), (col("id") * 2).as("v"))
+        .repartition(3), dir)
+    DeltaExport.appendDeltaTable(spark,
+      spark.range(100, 120).select(col("id"), (col("id") * 2).as("v")),
+      dir)                                                        // v1
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") % 10 === 3) // v2
+    val (meta, live) = DeltaExport.snapshotAt(spark, dir, None)
+    val stats = DeltaExport.statsAt(spark, dir)
+    val dvs = DeltaExport.deletionVectorsAt(spark, dir)
+    assert(dvs.nonEmpty, "fixture needs a live deletion vector")
+    val tableId = """"metaData":\{"id":"([^"]+)"""".r
+      .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_delta_log",
+          "00000000000000000000.json")), "UTF-8")).get.group(1)
+    // ---- hand-build the V2 checkpoint at v2 ----
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir.resolve("_sidecars"))
+    def writeOne(df: org.apache.spark.sql.DataFrame,
+        dest: java.nio.file.Path): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_v2cp_w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType), StructField("pathOrInlineDv", StringType),
+      StructField("offset", LongType), StructField("sizeInBytes", LongType),
+      StructField("cardinality", LongType)))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType), StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType), StructField("stats", StringType),
+      StructField("deletionVector", dvType)))
+    def addRow(f: String): Row = {
+      val dv = dvs.get(f).map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Long.box).orNull, d.sizeInBytes, d.cardinality)).orNull
+      Row(Row(f, Map.empty[String, String],
+        java.nio.file.Files.size(java.nio.file.Paths.get(dir, f)),
+        1L, false, stats.get(f).orNull, dv))
+    }
+    val (liveA, liveB) = live.sorted.splitAt(live.size / 2)
+    val scSchema = StructType(Seq(StructField("add", addType)))
+    val scNames = Seq("a", "b").map(x =>
+      s"${java.util.UUID.randomUUID()}.parquet")
+    Seq(liveA, liveB).zip(scNames).foreach { case (fs, n) =>
+      writeOne(spark.createDataFrame(
+        spark.sparkContext.parallelize(fs.map(addRow), 1), scSchema),
+        logDir.resolve("_sidecars").resolve(n))
+    }
+    val manifestSchema = StructType(Seq(
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType), StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("createdTime", LongType),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType), StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType))))))
+    val feats = Seq("deletionVectors", "v2Checkpoint")
+    val manifestRows = Seq(
+      Row(Row(2L), null, null, null),
+      Row(null, Row(3, 7, feats, feats), null, null),
+      Row(null, null, Row(tableId, DeltaExport.schemaStringOf(meta),
+        Seq.empty[String], 1L, Map.empty[String, String]), null)) ++
+      scNames.map(n => Row(null, null, null, Row(n,
+        java.nio.file.Files.size(logDir.resolve("_sidecars").resolve(n)),
+        1L)))
+    val manifestName =
+      f"${2L}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
+    writeOne(spark.createDataFrame(
+      spark.sparkContext.parallelize(manifestRows, 1), manifestSchema),
+      logDir.resolve(manifestName))
+    java.nio.file.Files.write(logDir.resolve("_last_checkpoint"),
+      s"""{"version":2,"size":${manifestRows.size}}"""
+        .getBytes("UTF-8"))
+    assert(DeltaExport.lastCheckpoint(dir)
+      .flatMap(_.v2Manifest) === Some(manifestName))
+    // expiry trusts the manifest's existence and drops every JSON
+    assert(DeltaExport.expireLogBefore(dir).size === 3)
+    assert(DeltaExport.logVersions(dir).isEmpty)
+    // latest read replays FROM the manifest + sidecars, DV honored
+    val expect = (0L until 120L).filterNot(_ % 10 == 3)
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .orderBy("id").select("id").as[Long].collect().toSeq === expect)
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .filter(col("id") % 10 === 3).count() === 0L)
+    // time travel AT the checkpoint version works
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(2L)).count() ===
+      expect.size.toLong)
+    // a post-checkpoint append replays on top
+    DeltaExport.appendDeltaTable(spark,
+      Seq((500L, 1000L)).toDF("id", "v"), dir)                    // v3
+    assert(DeltaExport.readDeltaTable(spark, dir).count() ===
+      expect.size.toLong + 1L)
+    // the stats-pruned read runs its band DISTRIBUTED over the
+    // manifest + sidecars (the checkpointed path) and still prunes
+    val (bandDf, cand, liveN) = DeltaExport.readDeltaTablePruned(
+      spark, dir, "id", 500.0, 500.0)
+    assert(liveN > cand, s"cand=$cand live=$liveN")
+    assert(bandDf.filter(col("id") === 500L).count() === 1L)
+    // an unknown reader feature BESIDE v2Checkpoint still refuses by
+    // name through the same gate
+    val badFeats = Seq("v2Checkpoint", "futureMagic")
+    val badRows = manifestRows.map {
+      case r if r.get(1) != null =>
+        Row(null, Row(3, 7, badFeats, badFeats), null, null)
+      case r => r
+    }
+    writeOne(spark.createDataFrame(
+      spark.sparkContext.parallelize(badRows, 1), manifestSchema),
+      logDir.resolve(manifestName))
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.readDeltaTable(spark, dir, Some(2L)).collect())
+    assert(e.getMessage.contains("futureMagic"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Delta checkpoint refuses to expire logs without a covering checkpoint") {
     import graft.core.DeltaExport
     val dir = java.nio.file.Files
