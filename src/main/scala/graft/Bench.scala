@@ -358,26 +358,92 @@ object Bench {
     val controlBandMid = 0.52
     val controlSec = results.toMap.getOrElse(controlName, -1.0)
     val controlRatio = if (controlSec > 0) controlSec / controlBandMid else -1.0
-    // Second control (VERDICT r11 item 2): q51_dedup_clusters — the
-    // connected-components fixpoint loop, plan unchanged since r8 — is
-    // the repo's most noise-sensitive headline (flagged r3, r9, r11 and
-    // reconciled each time as host noise by fresh-JVM BenchOne). Where
-    // q12 controls for raw scan/join/shuffle throughput, q51 controls
-    // for DRIVER-side analysis/codegen latency across an iterative
-    // multi-job loop — a q51 ratio that moves while q12's holds
-    // indicates driver-loop slowdown (analysis, codegen, scheduling),
-    // not data-path slowdown. Band mid 2.85 s = the r11-judge-probed
-    // steady band 2.6–3.1 s (BASELINE.md §round-12 note).
-    val control2Name = "q51_dedup_clusters"
-    val control2BandMid = 2.85
+    // Second control (re-picked r19 per VERDICT r18 task 5): q51 was
+    // both a banded headline row AND the normalizer, which conflated
+    // signal with discount — its r18 excursion read as a control2
+    // disagreement of its own making. The second control is now
+    // q104_duplicated_spans: a mid-weight scan+window row untouched
+    // since r10, NOT itself noise-adjudicated, with a four-round
+    // steady control-normalized record of 1.64–1.74 (BASELINE.md
+    // §round-19 control protocol) → band mid 1.70. q51 stays timed
+    // and BANDED below — excursions on it now adjudicate like any
+    // other banded row instead of poisoning the normalizer.
+    val control2Name = "q104_duplicated_spans"
+    val control2BandMid = 1.70
     val control2Sec = results.toMap.getOrElse(control2Name, -1.0)
     val control2Ratio = if (control2Sec > 0) control2Sec / control2BandMid else -1.0
+
+    // ---- self-adjudicating bands (VERDICT r18 task 5) ----
+    // The judge's reading rule, executed IN-SESSION: each banded row's
+    // control-normalized value (raw ÷ control_ratio, i.e. ×0.52/
+    // control_sec) must sit inside its BASELINE.md band. When a row
+    // reads out of band, or the two controls disagree by >25% (a mixed
+    // host window), the bench re-runs the BenchOne pair itself —
+    // target and control interleaved, 3 reps, min-taken, in ONE tight
+    // window — and emits the adjudication beside the reading, so the
+    // four-rounds-running post-hoc drill-down happens before the
+    // artifact lands. Bands restate HERE and in BASELINE.md together.
+    val bands: Seq[(String, Double, Double)] = Seq(
+      ("q51_dedup_clusters", 2.1, 3.4),
+      ("q51c_dedup_clusters_winnowed", 2.3, 3.4),
+      ("q51e_dedup_clusters_lsh", 2.1, 3.2),
+      ("q101b_semantic_dedup_blocked", 0.85, 1.25),
+      ("q104_duplicated_spans", 1.55, 1.85),
+      ("q104b_duplicated_spans_winnowed", 0.50, 0.95),
+      ("q134_ngram_diversity", 0.55, 0.95),
+      ("q136_embedding_coherence", 0.40, 0.65),
+      ("q151d_triangle_census_winnowed", 0.40, 1.00),
+      ("q162_mixture_preference_pipeline", 1.4, 2.1),
+      ("q122_curation_pipeline", 3.0, 3.3),
+      ("q167b_neighborhood_hyperball", 1.3, 2.3))
+    def normOf(sec: Double): Double =
+      if (controlRatio > 0 && sec > 0) sec / controlRatio else -1.0
+    val resMap = results.toMap
+    val bandReads = bands.flatMap { case (n, lo, hi) =>
+      resMap.get(n).filter(_ > 0).map(sec => (n, normOf(sec), lo, hi)) }
+    val outOfBand = bandReads.filter { case (_, nv, lo, hi) =>
+      nv > 0 && (nv > hi || nv < lo) }
+    val controlsDisagree = controlRatio > 0 && control2Ratio > 0 &&
+      (controlRatio / control2Ratio > 1.25 ||
+        control2Ratio / controlRatio > 1.25)
+    // worst 3 by relative band excess + the second control when the
+    // two controls split (its pair vs control-1 separates host window
+    // from real movement)
+    val toAdjudicate = (outOfBand
+      .sortBy { case (_, nv, lo, hi) =>
+        -math.max(nv / hi, lo / math.max(nv, 1e-9)) }
+      .take(3).map(_._1) ++
+      (if (controlsDisagree) Seq(control2Name) else Nil)).distinct
+    val adjudications = toAdjudicate.map { q =>
+      val reps = (1 to 3).map(_ => (timeOnce(q), timeOnce(controlName)))
+      val tMin = reps.map(_._1).filter(_ >= 0)
+        .minOption.getOrElse(-1.0)
+      val cMin = reps.map(_._2).filter(_ >= 0)
+        .minOption.getOrElse(-1.0)
+      val pairRatio = if (tMin > 0 && cMin > 0) tMin / cMin else -1.0
+      val pairNorm = if (pairRatio > 0) pairRatio * 0.52 else -1.0
+      val verdict = bands.find(_._1 == q) match {
+        case Some((_, lo, hi)) if pairNorm > 0 =>
+          if (pairNorm >= lo * 0.9 && pairNorm <= hi * 1.1)
+            "load_excursion_pair_in_band"
+          else if (pairNorm > hi * 1.25) "confirmed_above_band"
+          else if (pairNorm < lo * 0.75) "confirmed_below_band"
+          else "borderline"
+        case _ if pairNorm > 0 => "recorded_no_band"
+        case _ => "pair_errored"
+      }
+      f"""{"query":"$q","pair_target_min":$tMin%.3f,"pair_control_min":$cMin%.3f,"pair_ratio":$pairRatio%.3f,"pair_norm":$pairNorm%.3f,"verdict":"$verdict"}"""
+    }
+    val bandFlagsJson = outOfBand.map { case (n, nv, lo, hi) =>
+      f"""{"query":"$n","norm":$nv%.3f,"band_lo":$lo%.2f,"band_hi":$hi%.2f}""" }
+      .mkString("[", ",", "]")
+    val adjudicationJson = adjudications.mkString("[", ",", "]")
 
     val recallJson = (annRecalls ++ pairRecalls ++ semanticRecall)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val extJson = passExt.map(v => f"$v%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"ext_cpu_passes":$extJson,"loaded":$loaded,"control":"$controlName","control_sec":$controlSec%.3f,"control_band_mid":$controlBandMid%.2f,"control_ratio":$controlRatio%.3f,"control2":"$control2Name","control2_sec":$control2Sec%.3f,"control2_band_mid":$control2BandMid%.2f,"control2_ratio":$control2Ratio%.3f,"recall":$recallJson,"sink_batches":$sinkJson,"sink_control_sec":$sinkControlSec%.3f,"sink_vet_median_norm":${sinkVetMedianNorm(controlSec)}%.3f,"propagation_rounds":$propJson,"zorder_skip_ratio":$zratio%.2f,"hilbert_skip_ratio":$hratio%.2f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"ext_cpu_passes":$extJson,"loaded":$loaded,"control":"$controlName","control_sec":$controlSec%.3f,"control_band_mid":$controlBandMid%.2f,"control_ratio":$controlRatio%.3f,"control2":"$control2Name","control2_sec":$control2Sec%.3f,"control2_band_mid":$control2BandMid%.2f,"control2_ratio":$control2Ratio%.3f,"band_flags":$bandFlagsJson,"adjudication":$adjudicationJson,"recall":$recallJson,"sink_batches":$sinkJson,"sink_control_sec":$sinkControlSec%.3f,"sink_vet_median_norm":${sinkVetMedianNorm(controlSec)}%.3f,"propagation_rounds":$propJson,"zorder_skip_ratio":$zratio%.2f,"hilbert_skip_ratio":$hratio%.2f}""")
     spark.stop()
   }
 }
