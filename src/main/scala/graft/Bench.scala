@@ -395,7 +395,8 @@ object Bench {
       ("q151d_triangle_census_winnowed", 0.40, 1.00),
       ("q162_mixture_preference_pipeline", 1.4, 2.1),
       ("q122_curation_pipeline", 3.0, 3.3),
-      ("q167b_neighborhood_hyperball", 1.3, 2.3))
+      ("q167b_neighborhood_hyperball", 1.3, 2.3),
+      ("q167d_hyperball_collapsed", 1.2, 2.6))
     def normOf(sec: Double): Double =
       if (controlRatio > 0 && sec > 0) sec / controlRatio else -1.0
     val resMap = results.toMap

@@ -117,6 +117,11 @@ object SparkEntry {
     // aggregate), a shape no other timed row exercises; the exact BFS
     // twin q167 is the oracle anchor, not the timed row
     "q167b_neighborhood_hyperball",
+    // round-19: HyperBall over the representative-COLLAPSED graph —
+    // the q167b iteration composed with the q151b collapse; times the
+    // quotient-graph ball rounds (effective diameter / avg distance
+    // telemetry over genuinely-distinct survivors)
+    "q167d_hyperball_collapsed",
     // round-17: the second end-to-end composition (mixture plan → ppm
     // gate → NB fit on survivors → preference mining) — the q122
     // sibling; times the vocabulary-keyed NB shuffle pair plus the

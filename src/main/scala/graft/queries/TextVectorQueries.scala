@@ -5061,9 +5061,86 @@ object TextVectorQueries {
       CAST(NULL AS BIGINT) AS reachable_pairs,
       CAST(NULL AS BIGINT) AS nf_est WHERE 1 = 0"""))
 
+  /** HyperBall over the representative-COLLAPSED near-dup graph
+    * (rows-only; q167b's composition with the q151b collapse): the
+    * corpus-relatedness telemetry a curation deployment actually wants
+    * — template families collapse to one node each, so the effective
+    * diameter and average distance measure genuine TOPIC distance
+    * instead of the zero-distance noise of intra-cluster cliques. One
+    * row per d = 0..4 with the estimated cumulative reachable pairs,
+    * the reach fraction, the 90%%-effective-diameter flag (first true
+    * row IS the effective diameter) and the horizon-bounded mean
+    * distance (Σ d·ΔN(d) / N(4), micros). Per round the cost is ONE
+    * edge join + one HLL register-union per distance over the
+    * collapsed (smaller) graph — O(m_collapsed), the payable path at
+    * 100 TB where the exact pair relation is quadratic in component
+    * size. Deliberately UN-memoized like q167b: this is a timed
+    * headline row and must time the ball iteration itself (the
+    * collapse inputs are memoized and controlled by the q51/q151
+    * bands). */
+  val q167dHyperballCollapsed = GraftQuery(
+    "q167d_hyperball_collapsed", { (s, dir) =>
+      val est = Graph.hyperBall(collapsedRepEdges(s, dir),
+        maxD = 4, lgK = 12)
+      val w = Window.orderBy(col("d"))
+      val delta = est.withColumn("new_mass",
+        col("nf_est") - coalesce(lag(col("nf_est"), 1).over(w), lit(0.0)))
+      val scalars = delta.agg(
+        max(col("nf_est")).as("total"),
+        (sum(col("d") * col("new_mass")) / max(col("nf_est")))
+          .as("avg_d"))
+      delta.crossJoin(scalars).select(
+          col("d"),
+          col("nf_est"),
+          expr("CAST(round(nf_est * 1e6 / total) AS BIGINT)")
+            .as("frac_micro"),
+          (col("nf_est") * 10 >= col("total") * 9).as("reaches_90pct"),
+          expr("CAST(round(avg_d * 1e6) AS BIGINT)")
+            .as("avg_distance_micro"))
+        .orderBy(col("d"))
+    },
+    None)
+
+  /** Collapse-restriction contract for the NEIGHBORHOOD FUNCTION
+    * (oracle-checked, the q151c/q153d discipline applied to q167d's
+    * statistic): on [[halfCollapseRef]]'s guard-free reference the
+    * collapsed graph is exactly the full graph restricted to
+    * representative nodes, and RESTRICTION can only remove nodes and
+    * lengthen paths — so the exact cumulative N(d) of the collapsed
+    * side must sit at or below the full half-corpus graph's N(d) at
+    * EVERY distance d = 0..4. Violations (collapsed > full, or a
+    * missing grid row) emit against the empty relation. This pins the
+    * q167d composition's semantics: a collapse that INVENTED
+    * reachability — an id-mapping or restriction bug — cannot pass. */
+  val q167eCollapsedNfContract = GraftQuery(
+    "q167e_collapsed_nf_contract", { (s, dir) =>
+      val (sub, _) = halfCollapseRef(s, dir)
+      val fullHalf = DedupCluster.sharedShingleEdges(
+        nearDupCorpus(s, dir).filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", shingleK = 3, minShared = 3,
+        maxDf = Int.MaxValue)
+      def cumAt(e: DataFrame, side: String): DataFrame = {
+        val nf = Graph.neighborhoodFunction(e, maxD = 4)
+        s.range(0, 5).select(col("id").cast("int").as("d"))
+          .join(nf.select(col("d").as("dn"), col("new_pairs")),
+            col("dn") <= col("d"), "left")
+          .groupBy(col("d"))
+          .agg(coalesce(sum(col("new_pairs")), lit(0L)).as(side))
+      }
+      cumAt(sub, "collapsed_rp")
+        .join(cumAt(fullHalf, "full_rp"), Seq("d"), "full_outer")
+        .filter(col("collapsed_rp").isNull || col("full_rp").isNull ||
+          col("collapsed_rp") > col("full_rp"))
+        .orderBy(col("d"))
+    },
+    Some("""SELECT CAST(NULL AS INT) AS d,
+      CAST(NULL AS BIGINT) AS collapsed_rp,
+      CAST(NULL AS BIGINT) AS full_rp WHERE 1 = 0"""))
+
   val all: Seq[GraftQuery] = Seq(
     q167NeighborhoodFunction, q167bNeighborhoodHyperball,
-    q167cHyperballContract,
+    q167cHyperballContract, q167dHyperballCollapsed,
+    q167eCollapsedNfContract,
     q144FrameDedup, q145ImageNearDup, q145bImageNearDupRecall,
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q28bLangIdTrained, q29Fingerprint, q29bWinnowContract,
