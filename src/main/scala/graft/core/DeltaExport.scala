@@ -1770,6 +1770,38 @@ object DeltaExport {
       """|`""" + q + """`""").r
   }
 
+  /** Apply `leafOp` to the struct CONTAINING the dotted path's leaf —
+    * the shared walk nested RENAME/DROP use (r19). Segments address
+    * STRUCT fields only (a segment landing on an array/map/atomic
+    * refuses by name); the leaf's existence is the caller's leafOp's
+    * concern. Returns the rebuilt root. */
+  private def transformAtParent(
+      root: org.apache.spark.sql.types.StructType, path: Seq[String],
+      leafOp: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def walk(st: StructType, segs: Seq[String],
+        at: String): StructType = segs match {
+      case Seq(_) => leafOp(st)
+      case head +: rest =>
+        require(st.fieldNames.contains(head),
+          s"no field '$at$head' — have ${st.fieldNames.mkString(", ")}")
+        StructType(st.fields.map { f =>
+          if (f.name != head) f
+          else f.dataType match {
+            case inner: StructType =>
+              f.copy(dataType = walk(inner, rest, s"$at$head."))
+            case other => throw new IllegalArgumentException(
+              s"path segment '$at$head' is ${other.simpleString} — " +
+                "nested column paths address STRUCT fields only")
+          }
+        })
+      case _ => throw new IllegalArgumentException("empty column path")
+    }
+    walk(root, path, "")
+  }
+
   /** ALTER TABLE RENAME COLUMN — the operation column mapping EXISTS
     * for: on a mapped table the display name is log metadata, so the
     * rename is ONE metaData commit (the physical name — and with it
@@ -1799,14 +1831,27 @@ object DeltaExport {
     val old = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    require(old.fieldNames.contains(oldName),
-      s"no column '$oldName' — have ${old.fieldNames.mkString(", ")}")
-    require(!old.fieldNames.contains(newName),
-      s"column '$newName' already exists")
+    // NESTED rename (r19): a dotted oldName addresses a struct field
+    // at any depth (`record.a` -> `record.x`, Databricks' RENAME
+    // COLUMN on nested fields); newName is the bare new LEAF name.
+    // Same metadata-only property — the nested physicalName/id (and
+    // therefore every standing byte) never moves.
+    val nested = oldName.contains(".")
+    val segs = oldName.split('.').toSeq
+    require(!newName.contains("."),
+      s"new name '$newName' must be a bare field name — the rename " +
+        "stays inside its parent struct")
+    if (!nested) {
+      require(old.fieldNames.contains(oldName),
+        s"no column '$oldName' — have ${old.fieldNames.mkString(", ")}")
+      require(!old.fieldNames.contains(newName),
+        s"column '$newName' already exists")
+    }
     // dependency check: expressions bind LOGICAL names — a rename
     // would silently unbind them (word-boundary match, so 'bal' does
     // not false-positive on 'balance'; backtick-QUOTED spellings
-    // `bal` must still bind, so the boundary admits backticks)
+    // `bal` must still bind, so the boundary admits backticks; a
+    // dotted path quotes whole, so 'record.a' binds as a unit)
     val word = exprBindsRe(oldName)
     val boundConstraints = checkConstraintsOf(snap.meta).collect {
       case (n, e) if word.findFirstIn(e).isDefined => n
@@ -1826,11 +1871,22 @@ object DeltaExport {
       s"column '$oldName' is referenced by invariant/generation " +
         s"expression(s) on ${boundFields.mkString(", ")} — renames " +
         "would silently unbind them")
-    val renamed = org.apache.spark.sql.types.StructType(
-      old.fields.map(f => if (f.name == oldName) f.copy(name = newName)
-                          else f))
+    val renamed =
+      if (!nested) org.apache.spark.sql.types.StructType(
+        old.fields.map(f => if (f.name == oldName) f.copy(name = newName)
+                            else f))
+      else transformAtParent(old, segs, { parent =>
+        val leaf = segs.last
+        require(parent.fieldNames.contains(leaf),
+          s"no field '$oldName' — parent has " +
+            parent.fieldNames.mkString(", "))
+        require(!parent.fieldNames.contains(newName),
+          s"field '$newName' already exists beside '$oldName'")
+        org.apache.spark.sql.types.StructType(parent.fields.map(f =>
+          if (f.name == leaf) f.copy(name = newName) else f))
+      })
     val pcolsJson = partitionColumnsOf(snap.meta)
-      .map(c => if (c == oldName) newName else c)
+      .map(c => if (!nested && c == oldName) newName else c)
       .map(c => s""""${esc(c)}"""").mkString(",")
     val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
     val id = idRe.findFirstMatchIn(snap.meta)
@@ -1872,11 +1928,18 @@ object DeltaExport {
     val old = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    require(old.fieldNames.contains(name),
-      s"no column '$name' — have ${old.fieldNames.mkString(", ")}")
-    require(old.length > 1,
-      s"'$name' is the table's only column — a zero-column table is " +
-        "unreadable")
+    // NESTED drop (r19): a dotted name drops a struct field at any
+    // depth — same metadata-only semantics, same fresh-id rule for a
+    // later re-added namesake
+    val nestedDrop = name.contains(".")
+    val dropSegs = name.split('.').toSeq
+    if (!nestedDrop) {
+      require(old.fieldNames.contains(name),
+        s"no column '$name' — have ${old.fieldNames.mkString(", ")}")
+      require(old.length > 1,
+        s"'$name' is the table's only column — a zero-column table is " +
+          "unreadable")
+    }
     require(!partitionColumnsOf(snap.meta).contains(name),
       s"'$name' is a partition column — the layout is the contract; " +
         "dropping it rewrites the table (overwrite)")
@@ -1897,8 +1960,20 @@ object DeltaExport {
     require(boundFields.isEmpty,
       s"column '$name' is referenced by invariant/generation " +
         s"expression(s) on ${boundFields.mkString(", ")}")
-    val dropped = org.apache.spark.sql.types.StructType(
-      old.fields.filterNot(_.name == name))
+    val dropped =
+      if (!nestedDrop) org.apache.spark.sql.types.StructType(
+        old.fields.filterNot(_.name == name))
+      else transformAtParent(old, dropSegs, { parent =>
+        val leaf = dropSegs.last
+        require(parent.fieldNames.contains(leaf),
+          s"no field '$name' — parent has " +
+            parent.fieldNames.mkString(", "))
+        require(parent.length > 1,
+          s"'$name' is its struct's only field — an empty struct " +
+            "column is unreadable; drop the parent column instead")
+        org.apache.spark.sql.types.StructType(
+          parent.fields.filterNot(_.name == leaf))
+      })
     val pcolsJson = partitionColumnsOf(snap.meta)
       .map(c => s""""${esc(c)}"""").mkString(",")
     val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r

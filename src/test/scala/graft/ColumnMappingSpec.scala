@@ -636,6 +636,87 @@ class ColumnMappingSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("NESTED field rename/drop are metadata-only: display names move, the physical layer and standing bytes never do") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_nested_ren").toString
+    val baseSchema = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("obj", StructType(Seq(
+        StructField("a", LongType, nullable = true),
+        StructField("b", StringType, nullable = true))), nullable = true),
+      StructField("arr", ArrayType(LongType), nullable = true)))
+    def row(k: Long, a: Long, b: String) =
+      org.apache.spark.sql.Row(k, org.apache.spark.sql.Row(a, b), Seq(k))
+    DeltaExport.writeDeltaTable(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row(1L, 10L, "x"),
+        row(2L, 20L, "y")), 1), baseSchema), dir)
+    DeltaExport.upgradeToColumnMapping(spark, dir)
+    val filesBefore = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f =>
+        f.getName -> f.lastModified).toMap
+    // rename the NESTED field obj.a -> alpha: one metaData commit
+    DeltaExport.renameDeltaTableColumn(spark, dir, "obj.a", "alpha")
+    assert(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f =>
+        f.getName -> f.lastModified).toMap === filesBefore,
+      "nested rename touched data files")
+    val back = DeltaExport.readDeltaTable(spark, dir).orderBy("k")
+      .select(col("k"), col("obj.alpha"), col("obj.b"))
+      .as[(Long, Long, String)].collect().toSeq
+    assert(back === Seq((1L, 10L, "x"), (2L, 20L, "y")), back.toString)
+    // append under the NEW display name lands the SAME physical column
+    val newSchema = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("obj", StructType(Seq(
+        StructField("alpha", LongType, nullable = true),
+        StructField("b", StringType, nullable = true))), nullable = true),
+      StructField("arr", ArrayType(LongType), nullable = true)))
+    DeltaExport.appendDeltaTable(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(3L,
+          org.apache.spark.sql.Row(30L, "z"), Seq(3L))), 1),
+      newSchema), dir)
+    assert(DeltaExport.readDeltaTable(spark, dir)
+      .agg(sum(col("obj.alpha"))).head().getLong(0) === 60L)
+    // a CHECK constraint binding obj.b blocks BOTH its rename and its
+    // drop — and blocks renaming the PARENT too (the dotted spelling
+    // contains it)
+    DeltaExport.addCheckConstraintDeltaTable(spark, dir, "b_set",
+      "obj.b IS NOT NULL")
+    for ((what, op) <- Seq[(String, () => Any)](
+        ("rename leaf", () => DeltaExport
+          .renameDeltaTableColumn(spark, dir, "obj.b", "beta")),
+        ("drop leaf", () => DeltaExport
+          .dropDeltaTableColumn(spark, dir, "obj.b")),
+        ("rename parent", () => DeltaExport
+          .renameDeltaTableColumn(spark, dir, "obj", "rec")))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("b_set"), s"$what: ${e.getMessage}")
+    }
+    DeltaExport.dropCheckConstraintDeltaTable(spark, dir, "b_set")
+    // nested DROP: metadata-only; pre-drop time travel keeps the field
+    val vDrop = DeltaExport.dropDeltaTableColumn(spark, dir, "obj.b")
+    val after = DeltaExport.readDeltaTable(spark, dir)
+    assert(after.schema("obj").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("alpha"))
+    assert(after.agg(sum(col("obj.alpha"))).head().getLong(0) === 60L)
+    assert(DeltaExport.readDeltaTable(spark, dir, Some(vDrop - 1))
+      .select(col("obj.b")).as[String].collect().sorted.toSeq ===
+      Seq("x", "y", "z"))
+    // guards: the struct's ONLY field refuses; a path through an
+    // array refuses by name; a bad leaf refuses naming the parent set
+    val e1 = intercept[IllegalArgumentException](
+      DeltaExport.dropDeltaTableColumn(spark, dir, "obj.alpha"))
+    assert(e1.getMessage.contains("only field"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaExport.renameDeltaTableColumn(spark, dir, "arr.x", "y"))
+    assert(e2.getMessage.contains("STRUCT"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      DeltaExport.renameDeltaTableColumn(spark, dir, "obj.zzz", "y"))
+    assert(e3.getMessage.contains("obj.zzz"), e3.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("name-mode nested lifecycle: upgrade assigns ids/names at every depth; rename parent, evolve a struct, append, DV delete, band read") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_cm_nested_life").toString

@@ -81,13 +81,17 @@ class DeltaObligationsSpec extends SparkTestBase {
       .select("_change_type").distinct().collect()
       .map(_.getString(0)).sorted.toSeq ===
       Seq("update_postimage", "update_preimage"))
-    // a SCHEMA-CHANGING overwrite cannot express its feed in one
-    // schema — still refused by name (the same-schema form emits the
-    // full delete+insert feed, DeltaCdfSpec)
-    val e = intercept[IllegalArgumentException](
-      DeltaExport.overwriteDeltaTable(spark,
-        Seq((9L, "nine")).toDF("id", "label"), dir))
-    assert(e.getMessage.contains("CHANGE DATA FEED"), e.getMessage)
+    // a SCHEMA-CHANGING overwrite honors the obligation too since
+    // r19: its feed emits in its OWN commit's schema (departing rows
+    // aligned into it — DeltaCdfSpec holds the value-level coverage)
+    val vOw = DeltaExport.overwriteDeltaTable(spark,
+      Seq((9L, "nine")).toDF("id", "label"), dir)
+    val feed = DeltaExport.readDeltaCdf(spark, dir, vOw - 1, Some(vOw))
+    assert(feed.schema.fieldNames.toSeq ===
+      Seq("id", "label", "_change_type", "_commit_version"))
+    assert(feed.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("delete" -> 2L, "insert" -> 1L))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
