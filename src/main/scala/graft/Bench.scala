@@ -430,7 +430,8 @@ object Bench {
           else if (pairNorm > hi * 1.25) "confirmed_above_band"
           else if (pairNorm < lo * 0.75) "confirmed_below_band"
           else "borderline"
-        case _ if pairNorm > 0 => "recorded_no_band"
+        // every adjudicated name comes from the band table (worst
+        // out-of-band rows + control2, which has its own band row)
         case _ => "pair_errored"
       }
       f"""{"query":"$q","pair_target_min":$tMin%.3f,"pair_control_min":$cMin%.3f,"pair_ratio":$pairRatio%.3f,"pair_norm":$pairNorm%.3f,"verdict":"$verdict"}"""

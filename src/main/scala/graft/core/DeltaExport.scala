@@ -187,15 +187,12 @@ object DeltaExport {
   private def schemaFits(
       writing: org.apache.spark.sql.types.StructType,
       table: org.apache.spark.sql.types.StructType): Boolean =
-    writing.length == table.length &&
-      writing.fields.zip(table.fields).forall { case (w, t) =>
-        w.name == t.name && fitsType(w.dataType, t.dataType) &&
-          (!w.nullable || t.nullable)
-      }
+    fitsType(writing, table)
 
-  /** [[schemaFits]]'s per-type rule, recursive: equal names and types
-    * ignoring metadata; nullability may only be EQUAL-OR-TIGHTER on
-    * the writing side at every depth. */
+  /** [[schemaFits]]'s rule, recursive (the top level IS the struct
+    * case — one copy, so the top and nested levels can never drift):
+    * equal names and types ignoring metadata; nullability may only be
+    * EQUAL-OR-TIGHTER on the writing side at every depth. */
   private def fitsType(w: DataType, t: DataType): Boolean = {
     import org.apache.spark.sql.types._
     (w, t) match {
@@ -791,12 +788,15 @@ object DeltaExport {
           val logDir = Paths.get(dir, "_delta_log")
           val re = v2ManifestRe(v)
           val walk = Files.list(logDir)
-          val hit = try {
+          val cands = try {
             import scala.jdk.CollectionConverters._
             walk.iterator().asScala.map(_.getFileName.toString)
               .filter(n => re.pattern.matcher(n).matches()).toSeq.sorted
-              .lastOption
           } finally walk.close()
+          // prefer a parquet manifest — a coexisting JSON one (another
+          // writer's checkpoint of the same version) must not shadow it
+          val hit = cands.filter(_.endsWith(".parquet")).lastOption
+            .orElse(cands.lastOption)
           hit.foreach(n => require(n.endsWith(".parquet"),
             s"V2 checkpoint manifest $n is JSON — this consumer reads " +
               "the parquet manifest form only"))
@@ -1212,35 +1212,115 @@ object DeltaExport {
     * the mis-derivation the obligation exists to prevent. Cost:
     * O(commits in range) log metadata + a scan of exactly the change
     * and fresh files. */
+  /** Whether source field `ff` IS target field `tf` across a schema
+    * change: by column-mapping id when both carry one (survives
+    * renames — the id IS the identity); when only the TARGET is
+    * mapped, by the target's physicalName equalling the source's
+    * display name — the upgrade rule sets physicalName = the
+    * then-display name, so PRE-UPGRADE history stays bound to a
+    * later-renamed column through its physical identity; else by
+    * display name. */
+  private def sameFieldIdentity(
+      ff: org.apache.spark.sql.types.StructField,
+      tf: org.apache.spark.sql.types.StructField): Boolean = {
+    def key(f: org.apache.spark.sql.types.StructField): Option[Long] =
+      if (f.metadata.contains(cmIdKey)) Some(f.metadata.getLong(cmIdKey))
+      else None
+    (key(ff), key(tf)) match {
+      case (Some(a), Some(b)) => a == b
+      case (None, Some(_)) if tf.metadata.contains(cmPhysKey) =>
+        tf.metadata.getString(cmPhysKey) == ff.name
+      case _ => ff.name == tf.name
+    }
+  }
+
+  /** One column of `from`-typed data reshaped as `toT` — the
+    * recursive leg of [[alignToSchema]]: structs align FIELD BY FIELD
+    * (matched by [[sameFieldIdentity]]; unmatched target fields read
+    * NULL — a bare struct cast would demand equal field counts and
+    * crash any feed spanning a nested DROP/ADD), arrays/maps align
+    * their elements, atomic mismatches cast, and kind mismatches
+    * (struct vs atomic) read NULL. A NULL source struct stays NULL —
+    * never a struct of NULLs. */
+  private def alignCol(src: org.apache.spark.sql.Column,
+      fromT: DataType, toT: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    (fromT, toT) match {
+      case (f, t) if sameShape(f, t) => src
+      case (fs: StructType, ts: StructType) =>
+        val children = ts.fields.map { tf =>
+          fs.fields.find(ff => sameFieldIdentity(ff, tf)) match {
+            case Some(ff) =>
+              alignCol(src.getField(ff.name), ff.dataType, tf.dataType)
+                .as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }
+        when(src.isNull, lit(null).cast(ts))
+          .otherwise(struct(children.toIndexedSeq: _*)).cast(ts)
+      case (fa: ArrayType, ta: ArrayType) =>
+        transform(src, x => alignCol(x, fa.elementType, ta.elementType))
+          .cast(ta)
+      case (fm: MapType, tm: MapType)
+          if sameShape(fm.keyType, tm.keyType) =>
+        transform_values(src,
+          (_, v) => alignCol(v, fm.valueType, tm.valueType)).cast(tm)
+      case (_: StructType, _) | (_, _: StructType) |
+           (_: ArrayType, _) | (_, _: ArrayType) |
+           (_: MapType, _) | (_, _: MapType) =>
+        lit(null).cast(toT)
+      case _ => src.cast(toT)
+    }
+  }
+
   /** Align a frame shaped `from` into target schema `to`, carrying
-    * `extras` through: fields match by column-mapping id when both
-    * sides carry one (survives renames — the id IS the identity),
-    * else by name + same shape; unmatched target fields read NULL —
-    * the protocol's read-schema rule for a feed range spanning schema
-    * changes (r19). */
+    * `extras` through: fields match by [[sameFieldIdentity]] (mapping
+    * id, physical-name bridge for pre-upgrade history, display name)
+    * and reshape recursively through [[alignCol]]; unmatched target
+    * fields read NULL — the protocol's read-schema rule for a feed
+    * range spanning schema changes (r19). */
   private def alignToSchema(df: DataFrame,
       from: org.apache.spark.sql.types.StructType,
       to: org.apache.spark.sql.types.StructType,
       extras: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    def key(f: org.apache.spark.sql.types.StructField): Option[Long] =
-      if (f.metadata.contains(cmIdKey)) Some(f.metadata.getLong(cmIdKey))
-      else None
     val cols = to.fields.map { tf =>
-      val hit = from.fields.find { ff =>
-        (key(ff), key(tf)) match {
-          case (Some(a), Some(b)) => a == b
-          case _ => ff.name == tf.name && sameShape(ff.dataType, tf.dataType)
-        }
-      }
-      hit match {
-        case Some(ff) if sameShape(ff.dataType, tf.dataType) =>
-          col(ff.name).as(tf.name)
-        case Some(ff) => col(ff.name).cast(tf.dataType).as(tf.name)
+      from.fields.find(ff => sameFieldIdentity(ff, tf)) match {
+        case Some(ff) =>
+          alignCol(col(ff.name), ff.dataType, tf.dataType).as(tf.name)
         case None => lit(null).cast(tf.dataType).as(tf.name)
       }
     } ++ extras.map(col)
     df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** The metaData action governing AT version `v` — the newest one at
+    * or before it: scanned off the surviving JSON commits newest-first
+    * (each read is one file, no replay state built), falling back to
+    * the checkpoint's metaData when no governing JSON survives. A JSON
+    * metaData found at or before a covering checkpoint is NOT trusted
+    * over the checkpoint's own (a foreign partial cleanup can leave
+    * stale early commits while the real schema change was expired into
+    * the checkpoint). */
+  private def governingMetaAt(spark: SparkSession, dir: String,
+      v: Long): String = {
+    val cp = lastCheckpoint(dir).filter(_.version <= v)
+    val floor = cp.map(_.version).getOrElse(-1L)
+    logVersions(dir).filter(u => u <= v && u > floor)
+      .reverseIterator
+      .flatMap { u =>
+        new String(
+          Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(u))),
+          StandardCharsets.UTF_8).split("\n")
+          .find(_.startsWith("""{"metaData""""))
+      }
+      .nextOption()
+      .orElse(cp.map(c => loadCheckpoint(spark, dir, c,
+        keepStats = false).meta).filter(_ != null))
+      .getOrElse(
+        // no checkpoint at/below v: the JSON chain to v must carry one
+        snapshotState(spark, dir, Some(v), keepStats = false).meta)
   }
 
   def readDeltaCdf(spark: SparkSession, dir: String,
@@ -1276,8 +1356,7 @@ object DeltaExport {
     // commit's own metaData action.
     var currentMeta: String =
       if (fromVersion < 0) null
-      else snapshotState(spark, dir, Some(fromVersion),
-        keepStats = false).meta
+      else governingMetaAt(spark, dir, fromVersion)
     val perCommit = range.map { v =>
       val lines = new String(
         Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(v))),
@@ -5292,12 +5371,25 @@ object DeltaExport {
     * the JSON chain on the pointer's word alone would orphan the table
     * despite this function's stated guarantee. Returns the deleted
     * commit file names. */
-  def expireLogBefore(dir: String): Seq[String] = {
+  def expireLogBefore(dir: String,
+      spark: Option[SparkSession] = None): Seq[String] = {
     val cp = lastCheckpoint(dir)
       .getOrElse(throw new IllegalStateException(
         "no checkpoint — expiring JSON commits would orphan the table"))
     val cpFiles = cp.v2Manifest match {
-      case Some(m) => Seq(Paths.get(dir, "_delta_log", m))
+      case Some(m) =>
+        // the SIDECARS are part of the covering checkpoint: deleting
+        // the JSON chain on the manifest's word alone would orphan the
+        // table if a sidecar was lost (the classic branch verifies
+        // every part for exactly this reason). Reading their names
+        // needs a parquet read — a session.
+        val sess = spark.getOrElse(throw new IllegalStateException(
+          "expiring a V2-checkpointed log requires a SparkSession to " +
+            "verify the manifest's sidecar files exist — " +
+            "expireLogBefore(dir, Some(spark))"))
+        Paths.get(dir, "_delta_log", m) +:
+          sidecarPathsOf(sess, dir, s"$dir/_delta_log/$m")
+            .map(Paths.get(_))
       case None => checkpointPaths(dir, cp.version, cp.parts)
     }
     val gone = cpFiles.filterNot(Files.isRegularFile(_))
@@ -5343,54 +5435,63 @@ object DeltaExport {
     // allows both). Everything funnels into the SAME row loop the
     // classic form uses — the loader reads by field name, so the two
     // layouts differ only in which files contribute which columns.
-    val paths: Seq[java.nio.file.Path] = cp.v2Manifest match {
+    // the executor-side stats NULLing a no-prune consumer wants — the
+    // driver then holds only paths/partitionValues/DV descriptors
+    // instead of ~1 KB of stats string per live file (the 10⁶-file
+    // driver-memory hazard)
+    def collectRows(df0: DataFrame): Array[org.apache.spark.sql.Row] = {
+      val hasAddStats = df0.schema.fields.find(_.name == "add").exists(
+        _.dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fieldNames.contains("stats")
+          case _ => false
+        })
+      (if (keepStats || !hasAddStats) df0
+       else df0.withColumn("add",
+         col("add").withField("stats",
+           lit(null).cast(org.apache.spark.sql.types.StringType))))
+        .collect()
+    }
+    val rows: Array[org.apache.spark.sql.Row] = cp.v2Manifest match {
       case Some(m) =>
         val mp = Paths.get(dir, "_delta_log", m)
         require(Files.isRegularFile(mp),
           s"_last_checkpoint names v$v but V2 manifest $m is missing")
-        val sidecars = sidecarPathsOf(spark, dir, mp.toString)
+        // ONE read of the (few-row) manifest: sidecar references,
+        // checkpointMetadata verification and the non-file action rows
+        // all come from the same collect
+        val manifestRows = spark.read.parquet(mp.toString).collect()
+        def optStruct(r: org.apache.spark.sql.Row, f: String) =
+          structField(r, f)
+        val badV = manifestRows
+          .flatMap(optStruct(_, "checkpointMetadata"))
+          .map(_.getAs[Long]("version")).filter(_ != v)
+        require(badV.isEmpty,
+          s"V2 manifest $m carries checkpointMetadata for version(s) " +
+            s"${badV.distinct.mkString(",")}, expected $v")
+        val sidecars = manifestRows.flatMap(optStruct(_, "sidecar"))
+          .map(_.getAs[String]("path")).toSeq.sorted
+          .map(n => if (isAbsoluteDataPath(n)) resolveDataPath(dir, n)
+                    else s"$dir/_delta_log/_sidecars/$n")
           .map(Paths.get(_))
         val goneSc = sidecars.filterNot(Files.isRegularFile(_))
         require(goneSc.isEmpty,
           s"V2 checkpoint v$v names sidecar file(s) that are missing: " +
             goneSc.map(_.getFileName).mkString(", "))
-        // verify the manifest's checkpointMetadata names THIS version
-        val mdf = spark.read.parquet(mp.toString)
-        if (mdf.schema.fieldNames.contains("checkpointMetadata")) {
-          val vs = mdf.filter(col("checkpointMetadata").isNotNull)
-            .select(col("checkpointMetadata.version")).collect()
-            .map(_.getLong(0)).toSeq
-          require(vs.forall(_ == v),
-            s"V2 manifest $m carries checkpointMetadata for version(s) " +
-              s"${vs.distinct.mkString(",")}, expected $v")
-        }
-        mp +: sidecars
+        // the manifest's own rows join the loop (the spec allows file
+        // actions in the manifest too); sidecar rows read in one scan
+        manifestRows ++ (if (sidecars.isEmpty) Array
+          .empty[org.apache.spark.sql.Row]
+        else collectRows(spark.read.option("mergeSchema", "true")
+          .parquet(sidecars.map(_.toString): _*)))
       case None =>
         val cls = checkpointPaths(dir, v, parts)
         val gone = cls.filterNot(Files.isRegularFile(_))
         require(gone.isEmpty,
           s"_last_checkpoint names v$v${parts.map(n => s" ($n parts)").getOrElse("")} " +
             s"but checkpoint file(s) ${gone.map(_.getFileName).mkString(", ")} are missing")
-        cls
+        collectRows(spark.read.parquet(cls.map(_.toString): _*))
     }
-    val df0 = spark.read.option("mergeSchema", "true")
-      .parquet(paths.map(_.toString): _*)
-    // when the consumer never prunes, NULL the stats out on the
-    // EXECUTOR side before the collect — the driver then holds only
-    // paths/partitionValues/DV descriptors instead of ~1 KB of stats
-    // string per live file (the 10⁶-file driver-memory hazard)
-    val hasAddStats = df0.schema.fields.find(_.name == "add").exists(
-      _.dataType match {
-        case st: org.apache.spark.sql.types.StructType =>
-          st.fieldNames.contains("stats")
-        case _ => false
-      })
-    val df =
-      if (keepStats || !hasAddStats) df0
-      else df0.withColumn("add",
-        col("add").withField("stats",
-          lit(null).cast(org.apache.spark.sql.types.StringType)))
-    val rows = df.collect()
     val st = new ReplayState
     st.keepStats = keepStats
     rows.foreach { r =>

@@ -311,6 +311,76 @@ class DeltaCdfSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("feed ranges spanning a mapping upgrade + rename keep pre-upgrade history bound through the PHYSICAL identity") {
+    // pre-upgrade change files carry no mapping ids; the upgrade sets
+    // physicalName = the then-display name, so a later-renamed column
+    // must keep binding its pre-upgrade history (matching by display
+    // name alone would silently NULL it — the r19 review finding)
+    val dir = newCdfTable(6)
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") % 3 === 1) // v1
+    DeltaExport.upgradeToColumnMapping(spark, dir)                      // v2
+    DeltaExport.renameDeltaTableColumn(spark, dir, "bal", "balance")    // v3
+    val span = DeltaExport.readDeltaCdf(spark, dir, 0L, Some(3L))
+    assert(span.schema.fieldNames.toSeq ===
+      Seq("id", "balance", "_change_type", "_commit_version"))
+    val dels = span.filter(col("_change_type") === "delete")
+      .select(col("id"), col("balance")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dels === Set((1L, 10L), (4L, 40L)), dels.toString)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("feed ranges spanning a NESTED drop align struct fields one by one — never a field-count cast crash") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cdf_nested").toString
+    val baseSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("obj", StructType(Seq(
+        StructField("a", LongType, nullable = true),
+        StructField("b", StringType, nullable = true))), nullable = true)))
+    def row(id: Long) =
+      org.apache.spark.sql.Row(id, org.apache.spark.sql.Row(id * 10, s"s$id"))
+    DeltaExport.writeDeltaTable(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize((1L to 4L).map(row), 1),
+      baseSchema), dir)
+    val p0 = java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000000.json")
+    val raw = new String(java.nio.file.Files.readAllBytes(p0), "UTF-8")
+    java.nio.file.Files.write(p0, raw.replace(""""configuration":{}""",
+      """"configuration":{"delta.enableChangeDataFeed":"true"}""")
+      .getBytes("UTF-8"))
+    DeltaExport.upgradeToColumnMapping(spark, dir)                     // v1
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") === 2L)   // v2
+    DeltaExport.dropDeltaTableColumn(spark, dir, "obj.b")              // v3
+    // spanning read: v2's change files carry obj{a,b}; the until
+    // schema is obj{a} — field-by-field alignment, b just leaves
+    val span = DeltaExport.readDeltaCdf(spark, dir, 0L, Some(3L))
+    val del = span.filter(col("_change_type") === "delete")
+      .select(col("id"), col("obj.a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(del === Set((2L, 20L)), del.toString)
+    // RESTORE back across the mapping upgrade itself: the feed emits
+    // in the RESTORED (unmapped obj{a,b}) schema — the DV-masked row
+    // returns as an insert with BOTH nested fields populated
+    val vR = DeltaExport.restoreDeltaTable(spark, dir, 0L)             // v4
+    val feedR = DeltaExport.readDeltaCdf(spark, dir, vR - 1, Some(vR))
+    assert(feedR.schema("obj").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("a", "b"))
+    val ins = feedR.filter(col("_change_type") === "insert")
+      .select(col("id"), col("obj.a"), col("obj.b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(ins === Set((2L, 20L, "s2")), ins.toString)
+    // and the spanning read ACROSS the restore re-reads v2's change
+    // files at their own schema — the dropped-then-restored nested
+    // field keeps its REAL value (it was always in the change file)
+    val span2 = DeltaExport.readDeltaCdf(spark, dir, 1L, Some(vR))
+    assert(span2.filter(col("_commit_version") === 2L &&
+      col("_change_type") === "delete")
+      .select(col("obj.b")).head().getString(0) === "s2")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("RESTORE across deletion-vector commits feeds exactly the position diff, both directions") {
     val dir = newCdfTable(20)
     val v1 = DeltaExport.deleteFromDeltaTableDv(spark, dir,

@@ -1183,8 +1183,20 @@ class TableStoreSpec extends SparkTestBase {
         .getBytes("UTF-8"))
     assert(DeltaExport.lastCheckpoint(dir)
       .flatMap(_.v2Manifest) === Some(manifestName))
-    // expiry trusts the manifest's existence and drops every JSON
-    assert(DeltaExport.expireLogBefore(dir).size === 3)
+    // expiry verifies manifest AND sidecars, then drops every JSON
+    assert(DeltaExport.expireLogBefore(dir, Some(spark)).size === 3)
+    // without a session a V2 expiry refuses by name — it cannot read
+    // the manifest to verify the sidecar files exist
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000002.json"),
+      "{\"commitInfo\":{\"timestamp\":1,\"operation\":\"NOOP\"}}\n"
+        .getBytes("UTF-8"))
+    val eNoS = intercept[IllegalStateException](
+      DeltaExport.expireLogBefore(dir))
+    assert(eNoS.getMessage.contains("SparkSession"), eNoS.getMessage)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir,
+      "_delta_log", "00000000000000000002.json"))
     assert(DeltaExport.logVersions(dir).isEmpty)
     // latest read replays FROM the manifest + sidecars, DV honored
     val expect = (0L until 120L).filterNot(_ % 10 == 3)
