@@ -430,8 +430,10 @@ object Bench {
           else if (pairNorm > hi * 1.25) "confirmed_above_band"
           else if (pairNorm < lo * 0.75) "confirmed_below_band"
           else "borderline"
-        // every adjudicated name comes from the band table (worst
-        // out-of-band rows + control2, which has its own band row)
+        // currently unreachable (every adjudicated name comes from
+        // the band table), but a future control2 without a band row
+        // must report its successful pair, not a phantom error
+        case None if pairNorm > 0 => "recorded_no_band"
         case _ => "pair_errored"
       }
       f"""{"query":"$q","pair_target_min":$tMin%.3f,"pair_control_min":$cMin%.3f,"pair_ratio":$pairRatio%.3f,"pair_norm":$pairNorm%.3f,"verdict":"$verdict"}"""

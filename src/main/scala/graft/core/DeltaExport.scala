@@ -810,6 +810,13 @@ object DeltaExport {
     * `_delta_log/_sidecars/` (relative file names, per the spec) or
     * verbatim when absolute. Bounded driver metadata — one row per
     * sidecar. */
+  /** A sidecar reference resolves under `_delta_log/_sidecars/`
+    * (relative file names, per the spec) or verbatim when absolute —
+    * ONE rule shared by the loader and the pointer helpers. */
+  private def resolveSidecarPath(dir: String, n: String): String =
+    if (isAbsoluteDataPath(n)) resolveDataPath(dir, n)
+    else s"$dir/_delta_log/_sidecars/$n"
+
   private def sidecarPathsOf(spark: SparkSession, dir: String,
       manifestPath: String): Seq[String] = {
     val mdf = spark.read.parquet(manifestPath)
@@ -818,9 +825,7 @@ object DeltaExport {
       import org.apache.spark.sql.functions.col
       mdf.filter(col("sidecar").isNotNull)
         .select(col("sidecar.path")).collect().map(_.getString(0))
-        .toSeq.sorted
-        .map(n => if (isAbsoluteDataPath(n)) resolveDataPath(dir, n)
-                  else s"$dir/_delta_log/_sidecars/$n")
+        .toSeq.sorted.map(resolveSidecarPath(dir, _))
     }
   }
 
@@ -1230,6 +1235,11 @@ object DeltaExport {
       case (Some(a), Some(b)) => a == b
       case (None, Some(_)) if tf.metadata.contains(cmPhysKey) =>
         tf.metadata.getString(cmPhysKey) == ff.name
+      // the mirror direction — a RESTORE back across the mapping
+      // upgrade aligns a mapped source into the unmapped then-schema;
+      // the source's physicalName IS the then-display name
+      case (Some(_), None) if ff.metadata.contains(cmPhysKey) =>
+        ff.metadata.getString(cmPhysKey) == tf.name
       case _ => ff.name == tf.name
     }
   }
@@ -1242,12 +1252,36 @@ object DeltaExport {
     * their elements, atomic mismatches cast, and kind mismatches
     * (struct vs atomic) read NULL. A NULL source struct stays NULL —
     * never a struct of NULLs. */
+  /** Whether two types are identical THROUGH the field-identity
+    * layer — same names/types at every depth AND every nested field
+    * pair shares one identity ([[sameFieldIdentity]]). The passthrough
+    * gate of [[alignCol]]: a dropped-then-re-added nested namesake has
+    * the same SHAPE but a fresh id, and its old values must read NULL,
+    * not flow into the new field. */
+  private def identicalThroughIdentity(f: DataType, t: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (f, t) match {
+      case (fs: StructType, ts: StructType) =>
+        fs.length == ts.length &&
+          fs.fields.zip(ts.fields).forall { case (a, b) =>
+            a.name == b.name && sameFieldIdentity(a, b) &&
+              identicalThroughIdentity(a.dataType, b.dataType)
+          }
+      case (fa: ArrayType, ta: ArrayType) =>
+        identicalThroughIdentity(fa.elementType, ta.elementType)
+      case (fm: MapType, tm: MapType) =>
+        identicalThroughIdentity(fm.keyType, tm.keyType) &&
+          identicalThroughIdentity(fm.valueType, tm.valueType)
+      case _ => f == t
+    }
+  }
+
   private def alignCol(src: org.apache.spark.sql.Column,
       fromT: DataType, toT: DataType): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     (fromT, toT) match {
-      case (f, t) if sameShape(f, t) => src
+      case (f, t) if identicalThroughIdentity(f, t) => src
       case (fs: StructType, ts: StructType) =>
         val children = ts.fields.map { tf =>
           fs.fields.find(ff => sameFieldIdentity(ff, tf)) match {
@@ -1263,9 +1297,22 @@ object DeltaExport {
         transform(src, x => alignCol(x, fa.elementType, ta.elementType))
           .cast(ta)
       case (fm: MapType, tm: MapType)
-          if sameShape(fm.keyType, tm.keyType) =>
+          if identicalThroughIdentity(fm.keyType, tm.keyType) =>
         transform_values(src,
           (_, v) => alignCol(v, fm.valueType, tm.valueType)).cast(tm)
+      case (fm: MapType, tm: MapType)
+          if !fm.keyType.isInstanceOf[StructType] &&
+            !fm.keyType.isInstanceOf[ArrayType] &&
+            !fm.keyType.isInstanceOf[MapType] &&
+            !tm.keyType.isInstanceOf[StructType] &&
+            !tm.keyType.isInstanceOf[ArrayType] &&
+            !tm.keyType.isInstanceOf[MapType] =>
+        // atomic key retype (a foreign writer's widening): cast keys,
+        // align values — never NULL the whole map
+        map_from_arrays(
+          transform(map_keys(src), k => k.cast(tm.keyType)),
+          transform(map_values(src),
+            v => alignCol(v, fm.valueType, tm.valueType))).cast(tm)
       case (_: StructType, _) | (_, _: StructType) |
            (_: ArrayType, _) | (_, _: ArrayType) |
            (_: MapType, _) | (_, _: MapType) =>
@@ -1307,7 +1354,16 @@ object DeltaExport {
       v: Long): String = {
     val cp = lastCheckpoint(dir).filter(_.version <= v)
     val floor = cp.map(_.version).getOrElse(-1L)
-    logVersions(dir).filter(u => u <= v && u > floor)
+    val versions = logVersions(dir)
+    // the seed region must be CONTIGUOUS above the checkpoint — a
+    // foreign partial cleanup that deleted a mid-chain commit (which
+    // may have carried the governing metaData) would otherwise seed a
+    // silently stale schema (the old snapshotState seed threw here)
+    val gap = ((floor + 1) to v).filterNot(versions.contains)
+    require(gap.isEmpty,
+      s"commit(s) ${gap.mkString(",")} at or before v$v are missing — " +
+        "the governing schema there is no longer attributable")
+    versions.filter(u => u <= v && u > floor)
       .reverseIterator
       .flatMap { u =>
         new String(
@@ -5471,9 +5527,7 @@ object DeltaExport {
             s"${badV.distinct.mkString(",")}, expected $v")
         val sidecars = manifestRows.flatMap(optStruct(_, "sidecar"))
           .map(_.getAs[String]("path")).toSeq.sorted
-          .map(n => if (isAbsoluteDataPath(n)) resolveDataPath(dir, n)
-                    else s"$dir/_delta_log/_sidecars/$n")
-          .map(Paths.get(_))
+          .map(n => Paths.get(resolveSidecarPath(dir, n)))
         val goneSc = sidecars.filterNot(Files.isRegularFile(_))
         require(goneSc.isEmpty,
           s"V2 checkpoint v$v names sidecar file(s) that are missing: " +
@@ -5490,7 +5544,10 @@ object DeltaExport {
         require(gone.isEmpty,
           s"_last_checkpoint names v$v${parts.map(n => s" ($n parts)").getOrElse("")} " +
             s"but checkpoint file(s) ${gone.map(_.getFileName).mkString(", ")} are missing")
-        collectRows(spark.read.parquet(cls.map(_.toString): _*))
+        // mergeSchema: a foreign MULTI-PART checkpoint may split
+        // action kinds across parts with heterogeneous file schemas
+        collectRows(spark.read.option("mergeSchema", "true")
+          .parquet(cls.map(_.toString): _*))
     }
     val st = new ReplayState
     st.keepStats = keepStats
@@ -5512,7 +5569,10 @@ object DeltaExport {
         if (pvIdx >= 0 && !a.isNullAt(pvIdx))
           st.pvals(p) = a.getMap[String, String](pvIdx).toMap
         val si = a.schema.fieldNames.indexOf("stats")
-        if (si >= 0 && !a.isNullAt(si)) st.stats(p) = a.getString(si)
+        // keepStats gate here too: manifest-resident add rows (V2)
+        // reach this loop without the executor-side NULLing
+        if (st.keepStats && si >= 0 && !a.isNullAt(si))
+          st.stats(p) = a.getString(si)
         // a foreign checkpoint may carry per-file deletionVector
         // structs — parse them into the same descriptor the JSON
         // replay produces, so a checkpointed DV table reads correctly

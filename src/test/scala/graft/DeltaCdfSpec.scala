@@ -327,6 +327,23 @@ class DeltaCdfSpec extends SparkTestBase {
       .select(col("id"), col("balance")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dels === Set((1L, 10L), (4L, 40L)), dels.toString)
+    // the MIRROR direction: restoring back to the UNMAPPED v0 aligns
+    // the renamed now-schema (balance, phys 'bal') into the unmapped
+    // then-schema (bal) — the departing appended row must carry its
+    // value through the source's physicalName, never NULL
+    DeltaExport.appendDeltaTable(spark,
+      Seq((50L, 500L)).toDF("id", "balance"), dir)                    // v4
+    val vR = DeltaExport.restoreDeltaTable(spark, dir, 0L)            // v5
+    val feedR = DeltaExport.readDeltaCdf(spark, dir, vR - 1, Some(vR))
+    assert(feedR.schema.fieldNames.toSeq ===
+      Seq("id", "bal", "_change_type", "_commit_version"))
+    assert(feedR.filter(col("_change_type") === "delete" &&
+        col("id") === 50L)
+      .select(col("bal")).head().getLong(0) === 500L)
+    // the DV-masked rows return as inserts with their then-values
+    assert(feedR.filter(col("_change_type") === "insert")
+      .select(col("id")).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 4L))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
