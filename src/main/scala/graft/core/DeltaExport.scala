@@ -233,6 +233,56 @@ object DeltaExport {
     }
   }
 
+  /** Recursively widen nullability from `writing` into the LOGGED type
+    * `logged` (same shape assumed — call only after [[sameShape]]):
+    * names, atomic types and field metadata come from the logged side;
+    * nullability at every depth is the OR of both. The schema-changing
+    * overwrite keeps a survivor's logged identity, but retaining a
+    * non-null NESTED contract over incoming NULLs would corrupt the
+    * table — the top-level merge must recurse (ADVICE r19). */
+  private def mergeNullability(logged: DataType, writing: DataType): DataType = {
+    import org.apache.spark.sql.types._
+    (logged, writing) match {
+      case (ls: StructType, ws: StructType) =>
+        StructType(ls.fields.zip(ws.fields).map { case (lf, wf) =>
+          lf.copy(dataType = mergeNullability(lf.dataType, wf.dataType),
+            nullable = lf.nullable || wf.nullable)
+        })
+      case (la: ArrayType, wa: ArrayType) =>
+        ArrayType(mergeNullability(la.elementType, wa.elementType),
+          la.containsNull || wa.containsNull)
+      case (lm: MapType, wm: MapType) =>
+        MapType(mergeNullability(lm.keyType, wm.keyType),
+          mergeNullability(lm.valueType, wm.valueType),
+          lm.valueContainsNull || wm.valueContainsNull)
+      case _ => logged
+    }
+  }
+
+  /** True when `n` TIGHTENS nullability anywhere under `o` (same shape
+    * assumed): some old nullable position maps to a non-nullable new
+    * twin. Standing data files may carry NULLs there, so schema
+    * evolution must refuse — at every depth, not just the top level
+    * (ADVICE r19). */
+  private def tightensNullability(o: DataType, n: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (o, n) match {
+      case (os: StructType, ns: StructType) =>
+        os.fields.zip(ns.fields).exists { case (of, nf) =>
+          (of.nullable && !nf.nullable) ||
+            tightensNullability(of.dataType, nf.dataType)
+        }
+      case (oa: ArrayType, na: ArrayType) =>
+        (oa.containsNull && !na.containsNull) ||
+          tightensNullability(oa.elementType, na.elementType)
+      case (om: MapType, nm: MapType) =>
+        (om.valueContainsNull && !nm.valueContainsNull) ||
+          tightensNullability(om.keyType, nm.keyType) ||
+          tightensNullability(om.valueType, nm.valueType)
+      case _ => false
+    }
+  }
+
   // ---- per-file column statistics (the protocol's `add.stats` field) ----
 
   /** Columns eligible for min/max/nullCount stats: flat atomic types a
@@ -588,15 +638,20 @@ object DeltaExport {
             // a spec violation of OUR OWN (every later commit omits
             // inCommitTimestamp while the enablement markers still
             // claim it, degrading timestamp travel to mtimes) — so
-            // when the governing configuration (the caller's snapshot
-            // meta, or a metaData action riding THIS commit) says
+            // when the governing configuration says
             // delta.enableInCommitTimestamps=true, the chain restarts
             // from the deepest surviving predecessor's ICT and the
             // enablement timestamp, strictly above both. The deep
             // walk runs ONLY here — the common non-ICT table never
             // pays it, and an intact chain answered at v-1 above.
-            val evidence = tableMeta.orElse(
-              actions.find(_.startsWith("""{"metaData"""")))
+            // A metaData action riding THIS commit outranks the
+            // caller's PRE-commit snapshot meta: a commit that itself
+            // re-enables ICT (e.g. RESTORE back across an ICT-disabled
+            // stretch to an ICT-enabled version) must stamp per its
+            // OWN committed configuration (ADVICE r19).
+            val evidence = actions
+              .find(_.startsWith("""{"metaData""""))
+              .orElse(tableMeta)
             evidence.map(configurationOf)
               .filter(_.get("delta.enableInCommitTimestamps")
                 .exists(_.equalsIgnoreCase("true")))
@@ -947,7 +1002,12 @@ object DeltaExport {
         val kept = survivors.map { f =>
           val o = tableSchema.fields.find(x =>
             x.name == f.name && sameShape(x.dataType, f.dataType)).get
-          f.name -> o.copy(nullable = o.nullable || f.nullable)
+          // nullability merges RECURSIVELY — keeping the logged nested
+          // non-null contract over an incoming nullable twin would
+          // land NULL data under it (ADVICE r19)
+          f.name -> o.copy(
+            dataType = mergeNullability(o.dataType, f.dataType),
+            nullable = o.nullable || f.nullable)
         }.toMap
         val freshByName =
           if (cmCtx.mode == "none")
@@ -1355,28 +1415,46 @@ object DeltaExport {
     val cp = lastCheckpoint(dir).filter(_.version <= v)
     val floor = cp.map(_.version).getOrElse(-1L)
     val versions = logVersions(dir)
-    // the seed region must be CONTIGUOUS above the checkpoint — a
-    // foreign partial cleanup that deleted a mid-chain commit (which
-    // may have carried the governing metaData) would otherwise seed a
-    // silently stale schema (the old snapshotState seed threw here)
-    val gap = ((floor + 1) to v).filterNot(versions.contains)
-    require(gap.isEmpty,
-      s"commit(s) ${gap.mkString(",")} at or before v$v are missing — " +
-        "the governing schema there is no longer attributable")
-    versions.filter(u => u <= v && u > floor)
+    // contiguity is required only ABOVE the newest surviving
+    // metaData-bearing commit: a missing commit there could have
+    // carried a newer (governing) metaData, so attribution breaks;
+    // a missing commit BELOW it is superseded by the survivor and
+    // harmless. Demanding the full floor..v chain refused feeds a
+    // foreign partial cleanup had left perfectly attributable
+    // (ADVICE r19).
+    val found = versions.filter(u => u <= v && u > floor)
       .reverseIterator
       .flatMap { u =>
         new String(
           Files.readAllBytes(Paths.get(dir, "_delta_log", commitFile(u))),
           StandardCharsets.UTF_8).split("\n")
           .find(_.startsWith("""{"metaData""""))
+          .map(m => (u, m))
       }
       .nextOption()
-      .orElse(cp.map(c => loadCheckpoint(spark, dir, c,
-        keepStats = false).meta).filter(_ != null))
-      .getOrElse(
-        // no checkpoint at/below v: the JSON chain to v must carry one
-        snapshotState(spark, dir, Some(v), keepStats = false).meta)
+    found match {
+      case Some((u, m)) =>
+        val gapAbove = ((u + 1) to v).filterNot(versions.contains)
+        require(gapAbove.isEmpty,
+          s"commit(s) ${gapAbove.mkString(",")} after the newest " +
+            s"surviving metaData (v$u) and at or before v$v are " +
+            "missing — a schema change there is no longer attributable")
+        m
+      case None =>
+        // no surviving metaData in (floor, v]: EVERY commit there must
+        // survive, or a missing one might have carried the governing
+        // schema over the checkpoint's copy
+        val gap = ((floor + 1) to v).filterNot(versions.contains)
+        require(gap.isEmpty,
+          s"commit(s) ${gap.mkString(",")} at or before v$v are " +
+            "missing — the governing schema there is no longer " +
+            "attributable")
+        cp.map(c => loadCheckpoint(spark, dir, c,
+            keepStats = false).meta).filter(_ != null)
+          .getOrElse(
+            // no checkpoint at/below v: the chain to v must carry one
+            snapshotState(spark, dir, Some(v), keepStats = false).meta)
+    }
   }
 
   def readDeltaCdf(spark: SparkSession, dir: String,
@@ -1735,7 +1813,11 @@ object DeltaExport {
     val drift = prefix.zip(old.fields).collect {
       case (n, o) if n.name != o.name ||
           !sameShape(n.dataType, o.dataType) ||
-          (o.nullable && !n.nullable) => s"${o.name} -> ${n.name}"
+          (o.nullable && !n.nullable) ||
+          // tightening must be refused at EVERY depth — standing files
+          // may carry NULLs under a nested position too (ADVICE r19)
+          tightensNullability(o.dataType, n.dataType) =>
+        s"${o.name} -> ${n.name}"
     }
     require(drift.isEmpty,
       s"existing column(s) changed (${drift.mkString(", ")}) — ADD " +
@@ -1759,7 +1841,8 @@ object DeltaExport {
     // permitted nullability WIDENING — the drift check deliberately
     // allows non-nullable -> nullable, so the commit must honor it
     val prefixFinal = old.fields.zip(prefix).map { case (o, n) =>
-      o.copy(nullable = o.nullable || n.nullable)
+      o.copy(dataType = mergeNullability(o.dataType, n.dataType),
+        nullable = o.nullable || n.nullable)
     }
     val finalSchema =
       if (cmMode == "none")

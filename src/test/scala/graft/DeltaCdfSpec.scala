@@ -427,4 +427,46 @@ class DeltaCdfSpec extends SparkTestBase {
     assert(DeltaExport.readDeltaTable(spark, dir).count() === 15L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("the governing meta tolerates a gap BELOW the newest surviving metaData; a gap ABOVE it still refuses (ADVICE r19)") {
+    val dir = newCdfTable(4)
+    // v1: append under the original schema (no metaData action)
+    DeltaExport.appendDeltaTable(spark,
+      Seq((100L, 1000L)).toDF("id", "bal"), dir)
+    // v2: ADD COLUMNS — the metaData-bearing commit a later feed's
+    // governing-schema walk lands on
+    DeltaExport.evolveDeltaTableSchema(spark, dir,
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.DataType.fromJson(
+          DeltaExport.schemaStringOf(
+            DeltaExport.snapshotAt(spark, dir, None)._1))
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fields :+
+          org.apache.spark.sql.types.StructField("note",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+    // v3: append under the evolved schema — the commit the feed reads
+    DeltaExport.appendDeltaTable(spark,
+      Seq((200L, 2000L, "n")).toDF("id", "bal", "note"), dir)
+    // checkpoint at v3 so the until-snapshot stays reconstructible
+    // after the cleanup below
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    // FOREIGN partial cleanup deletes v1 — a commit BELOW the newest
+    // surviving metaData (v2), which supersedes whatever v1 carried.
+    // The old full-contiguity rule refused this perfectly attributable
+    // feed (ADVICE r19).
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir,
+      "_delta_log", "00000000000000000001.json"))
+    val feed = DeltaExport.readDeltaCdf(spark, dir, 2L, Some(3L))
+    assert(feed.select(col("id"), col("note"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet === Set((200L, "n", "insert")))
+    // now delete v2 too: the newest surviving metaData at or before
+    // fromVersion drops to v0, and the gap ABOVE it (v1, v2) could
+    // have carried a governing schema change — must refuse loudly
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir,
+      "_delta_log", "00000000000000000002.json"))
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.readDeltaCdf(spark, dir, 2L, Some(3L)).collect())
+    assert(e.getMessage.contains("missing"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

@@ -162,6 +162,41 @@ class DeltaIctSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("a RESTORE that re-enables ICT stamps per its OWN committed metaData, not the pre-commit snapshot (ADVICE r19)") {
+    val dir = newTable()
+    DeltaExport.enableInCommitTimestamps(spark, dir) // v1
+    DeltaExport.appendDeltaTable(spark,
+      Seq((3L, 30.0)).toDF("id", "bal"), dir)        // v2 (ICT stamped)
+    val ict2 = ictIn(commitLine(dir, 2L)).get
+    // FOREIGN disable at v3: a metaData-only commit flipping the
+    // enablement off, carrying no inCommitTimestamp of its own
+    val enabledMeta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000001.json")), "UTF-8")
+      .split("\n").find(_.startsWith("""{"metaData"""")).get
+    val disabledMeta = enabledMeta.replace(
+      """"delta.enableInCommitTimestamps":"true"""",
+      """"delta.enableInCommitTimestamps":"false"""")
+    assert(disabledMeta != enabledMeta)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000003.json"), (disabledMeta + "\n").getBytes("UTF-8"))
+    // RESTORE back across the disabled stretch to the ICT-enabled v2:
+    // the commit re-asserts the enabled metaData as governing, so it
+    // must carry an inCommitTimestamp per its OWN configuration — the
+    // pre-commit snapshot (disabled) must not veto the stamp
+    val v4 = DeltaExport.restoreDeltaTable(spark, dir, 2L)
+    assert(v4 === 4L)
+    val restamped = ictIn(commitLine(dir, 4L))
+    assert(restamped.isDefined, "restore re-enabling ICT silently " +
+      "dropped the chain — no inCommitTimestamp on v4")
+    assert(restamped.get > ict2)
+    // and the chain continues strictly monotone after the restore
+    val v5 = DeltaExport.appendDeltaTable(spark,
+      Seq((4L, 40.0)).toDF("id", "bal"), dir)
+    assert(ictIn(commitLine(dir, v5)).get > restamped.get)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("a watermark-advance metaData keeps a foreign writer's name/description/createdTime verbatim") {
     // identity table whose v0 metaData carries a description — the
     // foreign-writer posture; the allocating append's metaData commit

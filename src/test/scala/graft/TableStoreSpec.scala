@@ -2610,6 +2610,96 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("Schema-changing overwrite widens NESTED nullability on survivors — no non-null nested contract over NULL data (ADVICE r19)") {
+    import graft.core.DeltaExport
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_nestnull").toString
+    // table: info.a is NON-nullable at depth 1
+    val tight = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("info", StructType(Seq(
+        StructField("a", LongType, nullable = false),
+        StructField("b", StringType))), nullable = true)))
+    DeltaExport.writeDeltaTable(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Row(10L, "x")), Row(2L, Row(20L, "y")))), tight), dir)
+    // overwrite with the nested-NULLABLE twin, carrying an actual NULL
+    // under info.a — same shape, so the survivor match keeps the
+    // logged identity; the kept field must WIDEN its nested
+    // nullability, not retain the non-null contract over NULL data
+    val loose = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("info", StructType(Seq(
+        StructField("a", LongType, nullable = true),
+        StructField("b", StringType))), nullable = true)))
+    assert(DeltaExport.overwriteDeltaTable(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(3L, Row(null, "z")), Row(4L, Row(40L, "w")))), loose),
+      dir) === 1L)
+    val after = DataType.fromJson(DeltaExport.schemaStringOf(
+        DeltaExport.snapshotAt(spark, dir, None)._1))
+      .asInstanceOf[StructType]
+    assert(after("info").dataType.asInstanceOf[StructType]("a").nullable,
+      "nested nullability must merge recursively into the kept field")
+    val back = DeltaExport.readDeltaTable(spark, dir)
+    assert(back.count() === 2L)
+    assert(back.filter(col("info.a").isNull).count() === 1L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("ADD COLUMNS refuses NESTED nullability tightening and honors nested widening (ADVICE r19)") {
+    import graft.core.DeltaExport
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_nesttighten").toString
+    // table: info.a is NULLABLE at depth 1 and the data exercises it
+    val base = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("info", StructType(Seq(
+        StructField("a", LongType, nullable = true))), nullable = true)))
+    DeltaExport.writeDeltaTable(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Row(null)), Row(2L, Row(20L)))), base), dir)
+    // tightening info.a to non-nullable under an appended column must
+    // refuse — the standing file carries a NULL there
+    val tightened = StructType(Seq(
+      base.fields(0),
+      StructField("info", StructType(Seq(
+        StructField("a", LongType, nullable = false))), nullable = true),
+      StructField("extra", StringType)))
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.evolveDeltaTableSchema(spark, dir, tightened))
+    assert(e.getMessage.contains("tighten"))
+    assert(DeltaExport.logVersions(dir) === Seq(0L),
+      "refused evolution must not commit")
+    // the reverse (nested WIDENING) is legal and must survive into the
+    // committed schema: rebuild with a non-nullable nested field first
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_delta_nestwiden").toString
+    val strict = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("info", StructType(Seq(
+        StructField("a", LongType, nullable = false))), nullable = true)))
+    DeltaExport.writeDeltaTable(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, Row(10L)))), strict), dir2)
+    val widened = StructType(Seq(
+      strict.fields(0),
+      StructField("info", StructType(Seq(
+        StructField("a", LongType, nullable = true))), nullable = true),
+      StructField("extra", StringType)))
+    DeltaExport.evolveDeltaTableSchema(spark, dir2, widened)
+    val after = DataType.fromJson(DeltaExport.schemaStringOf(
+        DeltaExport.snapshotAt(spark, dir2, None)._1))
+      .asInstanceOf[StructType]
+    assert(after("info").dataType.asInstanceOf[StructType]("a").nullable,
+      "nested widening must survive the commit")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+  }
+
   test("Vacuum leaves a FRESH commit staging file for a live writer, reclaims an aged one") {
     import graft.core.DeltaExport
     import spark.implicits._
