@@ -2168,7 +2168,97 @@ object Relational {
         TRUE AS nested_resolves
       FROM live"""))
 
+  /** STREAMING CDF SOURCE end-to-end, oracle-EXACT (r20): a CDF-enabled
+    * table takes an append, a DV delete, a DV update and an OPTIMIZE;
+    * [[graft.streaming.CdfStream]] tails the feed micro-batch by
+    * micro-batch (one table version per batch) into the incremental
+    * aggregate fold. The run then exercises the full streaming
+    * contract IN the query: more DML lands, the LAST commit marker is
+    * deleted (a simulated crash between handler and marker), and a
+    * restarted tailer must REPLAY exactly that batch and deliver only
+    * the new commits — exactly-once state via the versioned-snapshot
+    * fold, OPTIMIZE invisible (its batch feeds zero rows). The oracle
+    * replays the DML relationally and aggregates the final state; a
+    * double-applied replay, a lost commit, or a maintenance commit
+    * leaking rows all hash-fail. Money rides as integer cents so the
+    * incremental signed-sum is exact under any batch order. */
+  val q170CdfStreamIncremental = GraftQuery(
+    "q170_cdf_stream_incremental", { (s, dir) =>
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nat"),
+          round(col("c_acctbal") * 1e2).cast("long").as("bal_c"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q170_delta").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q170_ckpt").toString
+      try {
+        val D = graft.core.DeltaExport
+        val CS = graft.streaming.CdfStream
+        D.writeDeltaTable(s, base.repartitionByRange(4, col("k")), tmp)
+        val p0 = java.nio.file.Paths.get(tmp, "_delta_log",
+          "00000000000000000000.json")
+        val raw = new String(java.nio.file.Files.readAllBytes(p0), "UTF-8")
+        java.nio.file.Files.write(p0,
+          raw.replace(""""configuration":{}""",
+            """"configuration":{"delta.enableChangeDataFeed":"true"}""")
+            .getBytes("UTF-8"))
+        D.appendDeltaTable(s, base.filter(col("k") % 10 === 1)
+          .select((col("k") + 10000000L).as("k"), col("nat"),
+            col("bal_c")), tmp)                                      // v1
+        D.deleteFromDeltaTableDv(s, tmp, col("k") % 7 === 3)         // v2
+        D.updateDeltaTableDv(s, tmp, col("k") % 9 === 4,
+          Map("bal_c" -> (col("bal_c") + 5000L)))                    // v3
+        D.optimizeDeltaTable(s, tmp, targetFiles = 2)                // v4
+        val run1 = CS.runIncrementalAggregate(s, tmp, ckpt,
+          Seq("nat"), Seq("bal_c"), maxVersionsPerBatch = 1)
+        // quiet poll: nothing pending, zero batches
+        val quiet = CS.runIncrementalAggregate(s, tmp, ckpt,
+          Seq("nat"), Seq("bal_c"), maxVersionsPerBatch = 1)
+        // more DML lands; a crash loses the LAST commit marker
+        D.deleteFromDeltaTableDv(s, tmp, col("k") % 11 === 6)        // v5
+        java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt,
+          "commits", (run1.last.batchId).toString))
+        val run2 = CS.runIncrementalAggregate(s, tmp, ckpt,
+          Seq("nat"), Seq("bal_c"), maxVersionsPerBatch = 1)
+        CS.currentAggregate(s, ckpt).get
+          .select(col("nat"), col("__cnt").as("cnt"),
+            col("sum_bal_c").cast("long").as("bal_cents"))
+          .withColumn("batches_first", lit(run1.length))
+          .withColumn("quiet_poll_empty", lit(quiet.isEmpty))
+          .withColumn("batches_second", lit(run2.length))
+          .withColumn("replayed_second",
+            lit(run2.count(_.replayed)))
+          .orderBy(col("nat"))
+          .localCheckpoint(eager = true)
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(ckpt))
+      }
+    },
+    Some("""WITH base AS (
+        SELECT c_custkey AS k, c_nationkey AS nat,
+          CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer),
+      appended AS (
+        SELECT k, nat, bal_c FROM base
+        UNION ALL
+        SELECT k + 10000000, nat, bal_c FROM base WHERE k % 10 = 1),
+      afterdel AS (SELECT * FROM appended WHERE k % 7 <> 3),
+      afterupd AS (
+        SELECT k, nat,
+          CASE WHEN k % 9 = 4 THEN bal_c + 5000 ELSE bal_c END AS bal_c
+        FROM afterdel),
+      final AS (SELECT * FROM afterupd WHERE k % 11 <> 6)
+      SELECT nat, count(*) AS cnt,
+        CAST(sum(bal_c) AS BIGINT) AS bal_cents,
+        5 AS batches_first, TRUE AS quiet_poll_empty,
+        2 AS batches_second, 1 AS replayed_second
+      FROM final GROUP BY nat ORDER BY nat"""))
+
   val all: Seq[GraftQuery] = Seq(
+    q170CdfStreamIncremental,
     q71Unpivot, q04cGroupedApproxPercentile, q72FuzzyJoin, q141DeltaPrunedRead,
     q148DeltaPartitioned, q149DeltaMerge, q150DeltaCdc, q158DeltaDeleteDv,
     q161DeltaUpdateDv, q163DeltaLifecycle, q164DeltaCdfFeed,

@@ -1590,4 +1590,98 @@ class StreamingSpec extends SparkTestBase {
       }
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("CDF stream: each commit delivered exactly once across a kill-restart; OPTIMIZE invisible; fold equals a direct recompute") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.core.DeltaExport
+    import graft.streaming.CdfStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cdfstream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cdfstream_ckpt").toString
+    try {
+      DeltaExport.writeDeltaTable(spark,
+        (0L until 20L).map(i => (i, i % 4, i * 10L)).toDF("id", "g", "v")
+          .repartition(2), dir)
+      val p0 = java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000000.json")
+      java.nio.file.Files.write(p0, new String(
+        java.nio.file.Files.readAllBytes(p0), "UTF-8")
+        .replace(""""configuration":{}""",
+          """"configuration":{"delta.enableChangeDataFeed":"true"}""")
+        .getBytes("UTF-8"))
+      DeltaExport.appendDeltaTable(spark,
+        Seq((100L, 0L, 7L), (101L, 1L, 9L)).toDF("id", "g", "v"), dir) // v1
+      DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") % 5 === 2) // v2
+      // run 1: one version per micro-batch, ranges recorded
+      val seen = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Boolean, Long)]
+      def tail(): Seq[CdfStream.CdfBatch] =
+        CdfStream.processAllAvailable(spark, dir, ckpt,
+          maxVersionsPerBatch = 1) { (feed, b) =>
+          seen += ((b.batchId, b.fromVersion, b.toVersion, b.replayed,
+            feed.count()))
+        }
+      val run1 = tail()
+      assert(run1.map(b => (b.fromVersion, b.toVersion)) ===
+        Seq((-1L, 0L), (0L, 1L), (1L, 2L)))
+      assert(run1.forall(!_.replayed))
+      // quiet poll: nothing new, nothing delivered
+      assert(tail().isEmpty)
+      // OPTIMIZE is a maintenance commit: its batch advances the
+      // watermark but feeds ZERO rows
+      DeltaExport.optimizeDeltaTable(spark, dir, targetFiles = 1)       // v3
+      val runO = tail()
+      assert(runO.map(b => (b.fromVersion, b.toVersion)) === Seq((2L, 3L)))
+      assert(seen.last._5 === 0L, "OPTIMIZE must be invisible to the feed")
+      // kill-restart mid-batch: v4 lands, the next run CRASHES inside
+      // the handler (offsets written, no commit marker) …
+      DeltaExport.updateDeltaTableDv(spark, dir, col("id") === 0L,
+        Map("v" -> lit(999L)))                                          // v4
+      intercept[RuntimeException] {
+        CdfStream.processAllAvailable(spark, dir, ckpt,
+          maxVersionsPerBatch = 1) { (_, _) =>
+          throw new RuntimeException("simulated crash")
+        }
+      }
+      // … and the restarted tailer REPLAYS exactly that range once
+      val run2 = tail()
+      assert(run2.map(b => (b.fromVersion, b.toVersion, b.replayed)) ===
+        Seq((3L, 4L, true)))
+      // every version delivered exactly once across the whole history
+      // (the crashed attempt delivered nothing — its handler died)
+      val ranges = seen.toSeq.map(s => (s._2, s._3))
+      assert(ranges === ranges.distinct)
+      assert(ranges.map(_._2).toSet === (0L to 4L).toSet)
+      // exactly-once STATE: the incremental-aggregate fold over the same
+      // feed — with a lost commit marker forcing a replay — equals a
+      // direct recompute of the aggregate over the final table
+      val ckpt2 = java.nio.file.Files
+        .createTempDirectory("graft_cdfstream_ckpt2").toString
+      try {
+        val r1 = CdfStream.runIncrementalAggregate(spark, dir, ckpt2,
+          Seq("g"), Seq("v"), maxVersionsPerBatch = 1)
+        java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt2,
+          "commits", r1.last.batchId.toString))
+        val r2 = CdfStream.runIncrementalAggregate(spark, dir, ckpt2,
+          Seq("g"), Seq("v"), maxVersionsPerBatch = 1)
+        assert(r2.map(_.replayed) === Seq(true))
+        val got = CdfStream.currentAggregate(spark, ckpt2).get
+          .select(col("g"), col("__cnt"), col("sum_v").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        val want = graft.ops.Incremental.baseAggregate(
+            DeltaExport.readDeltaTable(spark, dir), Seq("g"), Seq("v"))
+          .select(col("g"), col("__cnt"), col("sum_v").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        assert(got === want, "replayed fold must equal a direct recompute")
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(ckpt2))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
 }
