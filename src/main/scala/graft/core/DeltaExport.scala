@@ -1182,6 +1182,185 @@ object DeltaExport {
       .select(cols.map(c => col(s"__r.$c").as(c)) :+ col("_change_type"): _*)
   }
 
+  // ---- ROW TRACKING (table feature `rowTracking`) ----
+
+  /** Scan `files` of an UNPARTITIONED table with stable row identity
+    * attached: `_row_id` / `_row_commit_version`, resolved per the
+    * public Delta protocol's Row Tracking rules — a row's id is the
+    * file's materialized row-id column value when present (how
+    * rewrites like OPTIMIZE preserve ids across position changes),
+    * else the add's `baseRowId` + the row's parquet position; the
+    * commit version resolves materialized-else-`defaultRowCommitVersion`
+    * the same way. The materialized column names come from the
+    * table's `delta.rowTracking.materialized*ColumnName` properties;
+    * they are hidden physical columns absent from the logical schema,
+    * and a file that lacks them reads NULL under the explicit request
+    * schema — which IS the fall-back signal. Per-file identity info is
+    * bounded driver metadata (one row per file, broadcast), the same
+    * planning state every Delta reader holds. */
+  private def scanFilesWithRowIds(spark: SparkSession, dir: String,
+      meta: String, files: Seq[String],
+      dvs: Map[String, DeletionVectors.Descriptor],
+      rowIds: Map[String, (Option[Long], Option[Long])]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(meta)).asInstanceOf[StructType]
+    require(partitionColumnsOf(meta).isEmpty,
+      "row-id scan supports unpartitioned tables only — partition-" +
+        "column re-attachment with row identity is not implemented")
+    val outFields = schema.fields ++ Seq(
+      StructField("_row_id", LongType),
+      StructField("_row_commit_version", LongType))
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(outFields))
+    val ctx = mappingCtx(spark, meta, schema)
+    val rs = ctx.physSchema(schema)
+    val conf = configurationOf(meta)
+    val matId = conf.get("delta.rowTracking.materializedRowIdColumnName")
+    val matRcv =
+      conf.get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    val readSchema = StructType(rs.fields ++
+      (matId.toSeq ++ matRcv.toSeq).distinct.map(n =>
+        StructField(n, LongType)))
+    def attach(df: DataFrame): DataFrame =
+      df.withColumn("__pos", col("_metadata.row_index"))
+        .withColumn("__file",
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    val (dvFiles, plain) = files.partition(dvs.contains)
+    val parts =
+      (if (plain.nonEmpty)
+        Seq(attach(ctx.session.read.schema(readSchema)
+          .parquet(plain.map(f => resolveDataPath(dir, f)): _*)))
+      else Nil) ++
+      dvFiles.sorted.map { f =>
+        import ctx.session.implicits._
+        val deleted = DeletionVectors.positions(dir, dvs(f)).toSeq
+          .toDF("__pos")
+        attach(ctx.session.read.schema(readSchema)
+            .parquet(resolveDataPath(dir, f)))
+          .join(deleted, Seq("__pos"), "left_anti")
+      }
+    val scanned = parts.reduce(_.unionByName(_))
+    import spark.implicits._
+    val infoDf = files.map { f =>
+      val (br, dr) = rowIds.getOrElse(f,
+        (Option.empty[Long], Option.empty[Long]))
+      (Paths.get(resolveDataPath(dir, f)).toAbsolutePath.normalize.toString,
+        br, dr)
+    }.toDF("__file", "__base", "__drcv")
+    val joined = scanned.join(broadcast(infoDf), Seq("__file"), "left")
+    val ridFallback = col("__base") + col("__pos")
+    val rid = matId.map(n => coalesce(col(n), ridFallback))
+      .getOrElse(ridFallback)
+    val rcv = matRcv.map(n => coalesce(col(n), col("__drcv")))
+      .getOrElse(col("__drcv"))
+    ctx.toLogical(
+      joined
+        .withColumn("_row_id", rid.cast(LongType))
+        .withColumn("_row_commit_version", rcv.cast(LongType))
+        .select((rs.fieldNames.toSeq ++
+          Seq("_row_id", "_row_commit_version")).map(col): _*),
+      schema, Seq("_row_id", "_row_commit_version"))
+  }
+
+  /** The live snapshot with `_row_id` / `_row_commit_version` attached
+    * — the `_metadata.row_id`-style stable-identity read over a
+    * row-tracked table (ids survive OPTIMIZE through materialization;
+    * appends carry fresh ids above the high watermark). Files written
+    * before tracking was enabled (no baseRowId, no materialized
+    * column) surface NULL ids — honest absence, never an invented
+    * identity. */
+  def readDeltaTableWithRowIds(spark: SparkSession, dir: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val st = snapshotState(spark, dir, versionAsOf, keepStats = false)
+    scanFilesWithRowIds(spark, dir, st.meta, st.live.toSeq.sorted,
+      st.dvs.toMap, st.rowIds.toMap)
+  }
+
+  /** [[deltaChangesBetween]] keyed by INTRINSIC row identity instead
+    * of user key columns — what row tracking buys CDC: change identity
+    * survives OPTIMIZE (carry-over rows keep their materialized ids
+    * and drop as non-changes) and needs no uniqueness assumption
+    * beyond the protocol's own. Same O(changes) shape: only files
+    * removed/added/DV-changed between the versions are read. Output:
+    * the post-schema columns + `_row_id` + `_change_type`. Refuses
+    * when a scanned slice carries a NULL `_row_id` (a pre-enablement
+    * file in the diff) — classification by identity is impossible
+    * there; use the key-column form instead. */
+  def deltaChangesByRowId(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion < toVersion,
+      s"fromVersion $fromVersion must precede toVersion $toVersion")
+    val stFrom = snapshotState(spark, dir, Some(fromVersion),
+      keepStats = false)
+    val stTo = snapshotState(spark, dir, Some(toVersion), keepStats = false)
+    val dvChanged = stFrom.live.toSet.intersect(stTo.live.toSet)
+      .filter(f => stFrom.dvs.get(f) != stTo.dvs.get(f))
+    val removed = (stFrom.live -- stTo.live ++ dvChanged).toSeq
+    val added = (stTo.live -- stFrom.live ++ dvChanged).toSeq
+    val toSchema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(stTo.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val fromSchema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaStringOf(stFrom.meta))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val extinct = fromSchema.fieldNames
+      .filterNot(toSchema.fieldNames.contains)
+    require(extinct.isEmpty,
+      s"columns ${extinct.mkString(",")} of v$fromVersion are gone in " +
+        s"v$toVersion — a snapshot diff cannot represent a dropped column")
+    val pre0 = scanFilesWithRowIds(spark, dir, stFrom.meta, removed,
+      stFrom.dvs.toMap, stFrom.rowIds.toMap)
+    val post = scanFilesWithRowIds(spark, dir, stTo.meta, added,
+      stTo.dvs.toMap, stTo.rowIds.toMap)
+    val pre = toSchema.fields
+      .filterNot(f => fromSchema.fieldNames.contains(f.name))
+      .foldLeft(pre0)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    Seq(fromVersion -> pre, toVersion -> post).foreach { case (v, df) =>
+      require(df.filter(col("_row_id").isNull).limit(1).collect().isEmpty,
+        s"changed file(s) of v$v hold rows WITHOUT a row id (written " +
+          "before tracking was enabled) — identity-keyed CDC is not " +
+          "derivable; use deltaChangesBetween with key columns")
+      val dup = df.groupBy(col("_row_id"))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1)
+        .collect()
+      require(dup.isEmpty,
+        s"changed files of v$v hold duplicate _row_id " +
+          s"${dup.head.getLong(0)} — the log violates row tracking's " +
+          "unique-id invariant")
+    }
+    // the image deliberately EXCLUDES _row_commit_version: a rewrite
+    // that preserves a row's id and values but re-stamps its default
+    // commit version (an OPTIMIZE without materialized versions) is a
+    // storage move, not a row change
+    val cols = toSchema.fieldNames.toSeq
+    def image(df: DataFrame, side: String) = df.select(
+      Seq(col("_row_id"), struct(cols.map(col): _*).as(s"__$side")): _*)
+    val joined = image(pre, "pre").join(image(post, "post"),
+      Seq("_row_id"), "full_outer")
+    val inserts = joined.filter(col("__pre").isNull)
+      .select(col("_row_id"), col("__post").as("__r"))
+      .withColumn("_change_type", lit("insert"))
+    val deletes = joined.filter(col("__post").isNull)
+      .select(col("_row_id"), col("__pre").as("__r"))
+      .withColumn("_change_type", lit("delete"))
+    val updated = joined
+      .filter(col("__pre").isNotNull && col("__post").isNotNull &&
+        !(col("__pre") <=> col("__post")))
+    val prims = updated.select(col("_row_id"), col("__pre").as("__r"))
+      .withColumn("_change_type", lit("update_preimage"))
+    val posts = updated.select(col("_row_id"), col("__post").as("__r"))
+      .withColumn("_change_type", lit("update_postimage"))
+    inserts.unionByName(deletes).unionByName(prims).unionByName(posts)
+      .select(cols.map(c => col(s"__r.$c").as(c)) ++
+        Seq(col("_row_id"), col("_change_type")): _*)
+  }
+
   // ---- CHANGE DATA FEED (writer feature `changeDataFeed`) ----
 
   /** Whether the table binds the CDF writer obligation. */
@@ -2767,6 +2946,15 @@ object DeltaExport {
     // (Boolean.parseBoolean) — "True"/"TRUE" bind the same obligation
     def boolProp(key: String): Boolean =
       conf.get(key).exists(_.equalsIgnoreCase("true"))
+    if (boolProp("delta.enableRowTracking"))
+      throw new IllegalArgumentException(
+        s"$op on a ROW-TRACKED table (delta.enableRowTracking=true) is " +
+          "refused — this writer does not allocate baseRowId from the " +
+          "row-id high watermark or materialize ids on rewrite, so the " +
+          "commit would break the table's stable-row-id invariant. " +
+          "Reads (readDeltaTable / readDeltaTableWithRowIds / " +
+          "deltaChangesByRowId) and id-preserving maintenance " +
+          "(CHECKPOINT / VACUUM) remain supported")
     if (removesData && boolProp("delta.appendOnly"))
       throw new IllegalArgumentException(
         s"$op on an APPEND-ONLY table (delta.appendOnly=true) is " +
@@ -4156,11 +4344,23 @@ object DeltaExport {
     // deletes), exactly like stats.
     val dvs = scala.collection.mutable
       .Map.empty[String, DeletionVectors.Descriptor]
+    // path -> (baseRowId, defaultRowCommitVersion) off the add action
+    // (table feature `rowTracking`): the file's rows carry stable row
+    // ids baseRowId + position unless a materialized row-id column in
+    // the file overrides them (how rewrites like OPTIMIZE preserve
+    // ids across position changes, per the public Delta protocol's
+    // Row Tracking section). Either field may ride alone.
+    val rowIds = scala.collection.mutable
+      .Map.empty[String, (Option[Long], Option[Long])]
   }
 
   // the stats field is a JSON STRING inside the add action (escaped);
   // key-order-tolerant like the other extractors
   private val statsRe = """"stats":"((?:[^"\\]|\\.)*)"""".r
+
+  // row tracking's per-add fields (both plain JSON numbers)
+  private val baseRowIdRe = """"baseRowId":(\d+)""".r
+  private val defaultRcvRe = """"defaultRowCommitVersion":(\d+)""".r
 
   // one `"key":"value"` or `"key":null` entry of the partitionValues
   // object (values are JSON strings or null)
@@ -4240,11 +4440,16 @@ object DeltaExport {
           case Some(d) => st.dvs(p) = d
           case None => st.dvs -= p // a re-add without a DV supersedes
         }
+        val br = baseRowIdRe.findFirstMatchIn(l).map(_.group(1).toLong)
+        val dr = defaultRcvRe.findFirstMatchIn(l).map(_.group(1).toLong)
+        if (br.isDefined || dr.isDefined) st.rowIds(p) = (br, dr)
+        else st.rowIds -= p // a re-add without tracking supersedes
       } else if (l.startsWith("""{"remove"""")) {
         val p = pathOf(l, "remove")
         st.live -= p
         st.stats -= p
         st.dvs -= p
+        st.rowIds -= p
       }
     }
   }
@@ -4284,13 +4489,21 @@ object DeltaExport {
           // misread the column as instant-semantics timestamps.
           // v2Checkpoint is consumed natively since r19 (UUID-named
           // manifest + _sidecars parquet -> the same ReplayState).
+          // rowTracking is consumed natively since r20 (per-add
+          // baseRowId/defaultRowCommitVersion + materialized-column
+          // override -> readDeltaTableWithRowIds / deltaChangesByRowId);
+          // it is formally a writer feature, but some writers mirror it
+          // into readerFeatures — accepted either way. domainMetadata
+          // needs no reader machinery: domains configure writers, and a
+          // reader ignoring an unknown domain is the spec'd behavior.
           (feats -- Set("deletionVectors", "columnMapping",
-            "timestampNtz", "v2Checkpoint")).toSeq.sorted
+            "timestampNtz", "v2Checkpoint", "rowTracking",
+            "domainMetadata")).toSeq.sorted
         if (unsupported.nonEmpty) throw new IllegalArgumentException(
           s"unsupported reader feature(s) $where: " +
             s"${unsupported.mkString(", ")} — this reader implements " +
-            "only deletionVectors, columnMapping, timestampNtz and " +
-            "v2Checkpoint")
+            "only deletionVectors, columnMapping, timestampNtz, " +
+            "v2Checkpoint, rowTracking and domainMetadata")
       case other => throw new IllegalArgumentException(
         s"unsupported reader protocol $where: minReaderVersion $other")
     }
@@ -5358,7 +5571,9 @@ object DeltaExport {
       offset: Option[Long], sizeInBytes: Long, cardinality: Long)
   final case class CpAdd(path: String, partitionValues: Map[String, String],
       size: Long, modificationTime: Long, dataChange: Boolean,
-      stats: Option[String], deletionVector: Option[CpDv] = None)
+      stats: Option[String], deletionVector: Option[CpDv] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
   final case class CpTxn(appId: String, version: Long)
   final case class CpRow(protocol: Option[CpProtocol],
       metaData: Option[CpMetaData], add: Option[CpAdd],
@@ -5469,7 +5684,9 @@ object DeltaExport {
           stats = snap.stats.get(f),
           deletionVector = snap.dvs.get(f).map(d =>
             CpDv(d.storageType, d.pathOrInlineDv, d.offset,
-              d.sizeInBytes, d.cardinality)))))
+              d.sizeInBytes, d.cardinality)),
+          baseRowId = snap.rowIds.get(f).flatMap(_._1),
+          defaultRowCommitVersion = snap.rowIds.get(f).flatMap(_._2))))
       }
     require(rows.size >= parts,
       s"cannot split ${rows.size} checkpoint action(s) into $parts parts")
@@ -5499,6 +5716,165 @@ object DeltaExport {
     Files.write(logDir.resolve("_last_checkpoint"),
       s"""{"version":$v,"size":${rows.size}$partsField"""
         .concat("}").getBytes(StandardCharsets.UTF_8))
+    v
+  }
+
+  // V2 checkpoint writer structs: sidecar files carry file actions
+  // only; the manifest carries the non-file actions + sidecar refs
+  final case class CpCheckpointMetadata(version: Long)
+  final case class CpSidecarRef(path: String, sizeInBytes: Long,
+      modificationTime: Long)
+  final case class V2ManifestRow(
+      checkpointMetadata: Option[CpCheckpointMetadata],
+      protocol: Option[CpProtocol], metaData: Option[CpMetaData],
+      txn: Option[CpTxn], sidecar: Option[CpSidecarRef])
+  final case class V2SidecarRow(add: Option[CpAdd])
+
+  /** Enable the `v2Checkpoint` table feature: a protocol-only commit
+    * merging the feature into BOTH feature lists (the spec requires a
+    * reader feature — pre-feature readers cannot discover UUID-named
+    * manifests). Idempotent-refusing like the other enablers. */
+  def enableV2Checkpoints(spark: SparkSession, dir: String): Long = {
+    val v = latestVersion(dir) + 1
+    val snap = snapshotState(spark, dir, None, keepStats = false)
+    val cur = Option(snap.protocol).getOrElse(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val mrvRe = """"minReaderVersion":(\d+)""".r
+    val mwvRe = """"minWriterVersion":(\d+)""".r
+    val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
+    val wfRe = """"writerFeatures":\[([^\]]*)\]""".r
+    def feats(re: scala.util.matching.Regex): Option[Set[String]] =
+      re.findFirstMatchIn(cur).map(m => jsonStrRe.findAllMatchIn(m.group(1))
+        .map(e => unescapeJson(e.group(1))).toSet)
+    val mrv = mrvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(1)
+    val mwv = mwvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(2)
+    val rf0 = feats(rfRe).getOrElse(
+      if (mrv >= 2) Set("columnMapping") else Set.empty[String])
+    val wf0 = feats(wfRe).getOrElse(legacyWriterFeatures(mwv))
+    require(!(rf0.contains("v2Checkpoint") && wf0.contains("v2Checkpoint")),
+      "v2Checkpoint is already enabled")
+    def render(fs: Set[String]) = (fs + "v2Checkpoint").toSeq.sorted
+      .map(f => s""""${esc(f)}"""").mkString(",")
+    writeCommit(dir, v, Seq(
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[${render(
+          rf0)}],"writerFeatures":[${render(wf0)}]}}"""),
+      "UPGRADE PROTOCOL", tableMeta = Some(snap.meta))
+    v
+  }
+
+  /** Write a V2 (UUID-named) checkpoint of the LATEST snapshot: file
+    * actions land in `sidecars` parquet file(s) under
+    * `_delta_log/_sidecars/`, the manifest
+    * (`<v>.checkpoint.<uuid>.parquet`) carries checkpointMetadata +
+    * protocol + metaData + txn rows and one `sidecar` reference per
+    * sidecar file, and `_last_checkpoint` points at the version — the
+    * consumer (classic-absent ⇒ UUID discovery, [[lastCheckpoint]])
+    * reads it back into the same ReplayState the classic form yields,
+    * DV structs and row-tracking fields included. The CLASSIC writer
+    * stays the default ([[checkpointDeltaTable]]) — which form a
+    * deployment writes is a protocol choice, not a fork. Requires the
+    * `v2Checkpoint` feature enabled ([[enableV2Checkpoints]]): a
+    * pre-feature reader must be told it cannot replay this log past
+    * the pointer. Returns the checkpointed version. */
+  def checkpointDeltaTableV2(spark: SparkSession, dir: String,
+      sidecars: Int = 1): Long = {
+    require(sidecars >= 1, "sidecars must be >= 1")
+    val v = latestVersion(dir)
+    val snap = snapshotState(spark, dir, None)
+    val curP = Option(snap.protocol).getOrElse("")
+    require(curP.contains(""""v2Checkpoint""""),
+      "the v2Checkpoint table feature is not enabled — a pre-feature " +
+        "reader could not discover the UUID-named manifest; run " +
+        "enableV2Checkpoints first (or write a classic checkpoint)")
+    val files = snap.live.toSeq.sorted
+    require(files.size >= sidecars || sidecars == 1,
+      s"cannot split ${files.size} file action(s) into $sidecars sidecars")
+    val meta = snap.meta
+    val idRe = """"id":"((?:[^"\\]|\\.)+)"""".r
+    val ctRe = """"createdTime":(\d+)""".r
+    val id = idRe.findFirstMatchIn(meta)
+      .map(m => unescapeJson(m.group(1)))
+      .getOrElse(throw new IllegalStateException("metaData carries no id"))
+    val createdTime = ctRe.findFirstMatchIn(meta)
+      .map(_.group(1).toLong).getOrElse(0L)
+    val mrvRe = """"minReaderVersion":(\d+)""".r
+    val mwvRe = """"minWriterVersion":(\d+)""".r
+    def featsOf(key: String): Option[Seq[String]] = {
+      val re = (s""""$key":\\[([^\\]]*)\\]""").r
+      re.findFirstMatchIn(curP).map(m =>
+        jsonStrRe.findAllMatchIn(m.group(1))
+          .map(e => unescapeJson(e.group(1))).toSeq)
+    }
+    val cpProtocol = CpProtocol(
+      mrvRe.findFirstMatchIn(curP).map(_.group(1).toInt).getOrElse(3),
+      mwvRe.findFirstMatchIn(curP).map(_.group(1).toInt).getOrElse(7),
+      featsOf("readerFeatures"), featsOf("writerFeatures"))
+    def addOf(f: String): CpAdd = {
+      val p = Paths.get(resolveDataPath(dir, f))
+      CpAdd(f, snap.pvals.getOrElse(f, Map.empty), Files.size(p),
+        Files.getLastModifiedTime(p).toMillis, dataChange = false,
+        stats = snap.stats.get(f),
+        deletionVector = snap.dvs.get(f).map(d =>
+          CpDv(d.storageType, d.pathOrInlineDv, d.offset,
+            d.sizeInBytes, d.cardinality)),
+        baseRowId = snap.rowIds.get(f).flatMap(_._1),
+        defaultRowCommitVersion = snap.rowIds.get(f).flatMap(_._2))
+    }
+    val logDir = Paths.get(dir, "_delta_log")
+    val scDir = logDir.resolve("_sidecars")
+    Files.createDirectories(scDir)
+    import spark.implicits._
+    // write one parquet under a temp dir, move its single part into
+    // place — the same publish discipline as the classic writer
+    def writeOne(rows: Seq[V2SidecarRow], dest: java.nio.file.Path): Unit = {
+      val tmp = Files.createTempDirectory("graft_v2cp_sc")
+      try {
+        spark.createDataset(rows).coalesce(1).write
+          .mode("overwrite").parquet(tmp.toString)
+        val part = dataFiles(tmp.toString).head
+        Files.move(part, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(tmp.toFile)
+    }
+    // round-robin split (like the classic multi-part form); drop empty
+    // groups so a small table never writes an empty sidecar
+    val groups = (0 until sidecars)
+      .map(i => files.zipWithIndex.collect {
+        case (f, j) if j % sidecars == i => f
+      })
+      .filter(_.nonEmpty)
+    val scRefs = groups.map { fs =>
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      val dest = scDir.resolve(name)
+      writeOne(fs.map(f => V2SidecarRow(Some(addOf(f)))), dest)
+      CpSidecarRef(name, Files.size(dest),
+        Files.getLastModifiedTime(dest).toMillis)
+    }
+    val manifestRows: Seq[V2ManifestRow] =
+      Seq(
+        V2ManifestRow(Some(CpCheckpointMetadata(v)), None, None, None, None),
+        V2ManifestRow(None, Some(cpProtocol), None, None, None),
+        V2ManifestRow(None, None, Some(CpMetaData(id, schemaStringOf(meta),
+          partitionColumnsOf(meta), createdTime, configurationOf(meta))),
+          None, None)) ++
+      snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
+        V2ManifestRow(None, None, None, Some(CpTxn(app, ver)), None)
+      } ++
+      scRefs.map(r => V2ManifestRow(None, None, None, None, Some(r)))
+    val manifestName =
+      f"$v%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
+    val tmpM = Files.createTempDirectory("graft_v2cp_m")
+    try {
+      spark.createDataset(manifestRows).coalesce(1).write
+        .mode("overwrite").parquet(tmpM.toString)
+      Files.move(dataFiles(tmpM.toString).head,
+        logDir.resolve(manifestName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpM.toFile)
+    Files.write(logDir.resolve("_last_checkpoint"),
+      s"""{"version":$v,"size":${manifestRows.size}}"""
+        .getBytes(StandardCharsets.UTF_8))
     v
   }
 
@@ -5662,6 +6038,15 @@ object DeltaExport {
         val dvIdx = a.schema.fieldNames.indexOf("deletionVector")
         if (dvIdx >= 0 && !a.isNullAt(dvIdx))
           st.dvs(p) = dvDescriptorOfRow(a.getStruct(dvIdx))
+        // row tracking survives log expiry through the checkpoint,
+        // like stats and DV descriptors
+        val brIdx = a.schema.fieldNames.indexOf("baseRowId")
+        val drIdx = a.schema.fieldNames.indexOf("defaultRowCommitVersion")
+        val br = if (brIdx >= 0 && !a.isNullAt(brIdx))
+          Some(a.getLong(brIdx)) else None
+        val dr = if (drIdx >= 0 && !a.isNullAt(drIdx))
+          Some(a.getLong(drIdx)) else None
+        if (br.isDefined || dr.isDefined) st.rowIds(p) = (br, dr)
       }
       structField(r, "txn").foreach { t =>
         val app = t.getAs[String]("appId")

@@ -2700,6 +2700,153 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
   }
 
+  test("Row tracking consumer: ids stable across OPTIMIZE, fresh ids on append, CDC by row id, checkpoint round-trip, writer refusal (r20)") {
+    import graft.core.DeltaExport
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_rowtrack").toString
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rt_w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    // data invariant: _row_id == id for every row, so stability is
+    // checkable by value. f0: ids 0-4 (baseRowId 0), f1: ids 5-9
+    // (baseRowId 5), f2 appends ids 10-11 (fresh baseRowId 10 above
+    // the watermark), f3 compacts ALL rows scrambled with MATERIALIZED
+    // id/version columns (how OPTIMIZE preserves identity).
+    writeOne((0L to 4L).map(i => (i, i * 100)).toDF("id", "v"), "f0.parquet")
+    writeOne((5L to 9L).map(i => (i, i * 100)).toDF("id", "v"), "f1.parquet")
+    writeOne((10L to 11L).map(i => (i, i * 100)).toDF("id", "v"), "f2.parquet")
+    writeOne((0L to 11L).sortBy(i => -i)
+      .map(i => (i, i * 100, i, if (i < 10) 0L else 1L))
+      .toDF("id", "v", "_tracked_row_id", "_tracked_rcv"), "f3.parquet")
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+      .json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val protocol = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["rowTracking","domainMetadata"],"writerFeatures":["rowTracking","domainMetadata"]}}"""
+    val meta = s"""{"metaData":{"id":"rt-test","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.enableRowTracking":"true","delta.rowTracking.materializedRowIdColumnName":"_tracked_row_id","delta.rowTracking.materializedRowCommitVersionColumnName":"_tracked_rcv"},"createdTime":1}}"""
+    def add(f: String, base: Long, drcv: Long, dc: Boolean) =
+      s"""{"add":{"path":"$f","partitionValues":{},"size":${java.nio.file.Files
+        .size(java.nio.file.Paths.get(dir, f))},"modificationTime":1,"dataChange":$dc,"baseRowId":$base,"defaultRowCommitVersion":$drcv}}"""
+    def rm(f: String) =
+      s"""{"remove":{"path":"$f","deletionTimestamp":2,"dataChange":false}}"""
+    def commit(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(logDir.resolve(f"$v%020d.json"),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    commit(0L, Seq(protocol, meta,
+      add("f0.parquet", 0L, 0L, dc = true),
+      add("f1.parquet", 5L, 0L, dc = true)))
+    commit(1L, Seq(add("f2.parquet", 10L, 1L, dc = true)))
+    commit(2L, Seq(
+      """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":11}","removed":false}}""",
+      rm("f0.parquet"), rm("f1.parquet"), rm("f2.parquet"),
+      add("f3.parquet", 12L, 2L, dc = false)))
+    def idMap(v: Option[Long]): Map[Long, (Long, Long)] =
+      DeltaExport.readDeltaTableWithRowIds(spark, dir, v)
+        .select(col("id"), col("_row_id"), col("_row_commit_version"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    // pre-OPTIMIZE: ids computed as baseRowId + position, versions off
+    // the add's default
+    val at1 = idMap(Some(1L))
+    assert(at1 === (0L to 11L).map(i =>
+      i -> (i, if (i < 10) 0L else 1L)).toMap)
+    // post-OPTIMIZE: positions scrambled, ids STABLE through the
+    // materialized columns (the fresh baseRowId 12 must NOT win)
+    val at2 = idMap(None)
+    assert(at2 === at1, "row ids must survive OPTIMIZE unchanged")
+    // CDC by intrinsic identity: the append is inserts-only …
+    val c01 = DeltaExport.deltaChangesByRowId(spark, dir, 0L, 1L)
+      .select(col("_row_id"), col("id"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(c01 === Set((10L, 10L, "insert"), (11L, 11L, "insert")))
+    // … and the OPTIMIZE diffs to NOTHING: every carry-over keeps its
+    // id and values, so identity-keyed CDC drops it as a non-change
+    assert(DeltaExport.deltaChangesByRowId(spark, dir, 1L, 2L)
+      .count() === 0L)
+    // checkpoint round-trip: baseRowId/defaultRowCommitVersion survive
+    // log expiry through the checkpoint's add rows
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    assert(DeltaExport.expireLogBefore(dir).nonEmpty)
+    assert(idMap(None) === at1, "ids must survive checkpoint + expiry")
+    // writers refuse BY NAME — this writer cannot maintain the
+    // stable-id invariant
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.appendDeltaTable(spark,
+        Seq((99L, 0L)).toDF("id", "v"), dir))
+    assert(e.getMessage.contains("ROW-TRACKED"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("V2 checkpoint WRITER round-trips against the consumer: write, expire, read parity with the classic form incl. DV structs (r20)") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    // two identical twin tables: one checkpoints classic, one V2 —
+    // after expiry both must reconstruct the same snapshot
+    def build(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_delta_v2w").toString
+      DeltaExport.writeDeltaTable(spark,
+        spark.range(60).select(col("id"), (col("id") * 3).as("v"))
+          .repartition(3), dir)
+      DeltaExport.appendDeltaTable(spark,
+        spark.range(60, 80).select(col("id"), (col("id") * 3).as("v")),
+        dir)                                                       // v1
+      DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") % 9 === 4) // v2
+      DeltaExport.appendDeltaTableIdempotent(spark,
+        spark.range(80, 85).select(col("id"), (col("id") * 3).as("v")),
+        dir, "twin-app", 7L)                                       // v3
+      dir
+    }
+    val classic = build()
+    val v2 = build()
+    DeltaExport.checkpointDeltaTable(spark, classic)
+    // the V2 writer refuses without the feature — a pre-feature reader
+    // could not discover the UUID manifest
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.checkpointDeltaTableV2(spark, v2))
+    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+    DeltaExport.enableV2Checkpoints(spark, v2)                     // v4
+    val cpV = DeltaExport.checkpointDeltaTableV2(spark, v2, sidecars = 2)
+    assert(cpV === 4L)
+    assert(DeltaExport.lastCheckpoint(v2).flatMap(_.v2Manifest).isDefined,
+      "the pointer must discover the UUID-named manifest")
+    // expire BOTH logs; each table must reconstruct from its own form
+    assert(DeltaExport.expireLogBefore(classic).nonEmpty)
+    assert(DeltaExport.expireLogBefore(v2, Some(spark)).nonEmpty)
+    def snap(dir: String): Set[(Long, Long)] =
+      DeltaExport.readDeltaTable(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snap(v2) === snap(classic), "V2 and classic must replay " +
+      "the same snapshot after expiry")
+    assert(snap(v2).size === 76, "60 + 20 + 5 rows minus 9 DV-masked")
+    // DV masking survives the V2 round-trip (id % 9 == 4 rows absent)
+    assert(!snap(v2).exists(_._1 % 9 === 4))
+    // the idempotence watermark survives the manifest's txn rows: a
+    // replay of the same (appId, txnVersion) lands nothing
+    val (_, landed) = DeltaExport.appendDeltaTableIdempotent(spark,
+      spark.range(80, 85).select(col("id"), (col("id") * 3).as("v")),
+      v2, "twin-app", 7L)
+    assert(!landed, "txn watermark must survive the V2 checkpoint")
+    // post-checkpoint writes continue the log normally
+    DeltaExport.appendDeltaTable(spark,
+      Seq((999L, 0L)).toDF("id", "v"), v2)
+    assert(DeltaExport.readDeltaTable(spark, v2).count() === 77L)
+    Seq(classic, v2).foreach(d => org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(d)))
+    ()
+  }
+
   test("Vacuum leaves a FRESH commit staging file for a live writer, reclaims an aged one") {
     import graft.core.DeltaExport
     import spark.implicits._
