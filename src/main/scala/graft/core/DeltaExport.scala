@@ -4496,14 +4496,23 @@ object DeltaExport {
           // into readerFeatures — accepted either way. domainMetadata
           // needs no reader machinery: domains configure writers, and a
           // reader ignoring an unknown domain is the spec'd behavior.
+          // typeWidening is consumed natively since r20: the logged
+          // (post-widening) schema is requested from parquet and the
+          // reader's widening promotions (SPARK-40876) upcast each
+          // pre-widening file's narrow physical type; time travel to a
+          // pre-widening version pins that version's narrow schema, and
+          // the CDF reader's alignCol casts across the boundary. The
+          // delta.typeChanges field metadata needs no interpretation on
+          // this path — it records history the request schema already
+          // reflects.
           (feats -- Set("deletionVectors", "columnMapping",
             "timestampNtz", "v2Checkpoint", "rowTracking",
-            "domainMetadata")).toSeq.sorted
+            "domainMetadata", "typeWidening")).toSeq.sorted
         if (unsupported.nonEmpty) throw new IllegalArgumentException(
           s"unsupported reader feature(s) $where: " +
             s"${unsupported.mkString(", ")} — this reader implements " +
             "only deletionVectors, columnMapping, timestampNtz, " +
-            "v2Checkpoint, rowTracking and domainMetadata")
+            "v2Checkpoint, rowTracking, domainMetadata and typeWidening")
       case other => throw new IllegalArgumentException(
         s"unsupported reader protocol $where: minReaderVersion $other")
     }

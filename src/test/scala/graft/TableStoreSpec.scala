@@ -2847,6 +2847,80 @@ class TableStoreSpec extends SparkTestBase {
     ()
   }
 
+  test("Type widening consumer: pre-widening files upcast under the wide logged schema; time travel pins the narrow one (r20)") {
+    import graft.core.DeltaExport
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_typewiden").toString
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tw_w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    // f0: NARROW physical types (int32 / float) — written pre-widening
+    writeOne(Seq((1, 1.5f), (2, 2.5f)).toDF("k", "amt"), "f0.parquet")
+    // f1: WIDE physical types — written post-widening
+    writeOne(Seq((100L, 9.5d)).toDF("k", "amt"), "f1.parquet")
+    def metaLine(schema: StructType) =
+      s"""{"metaData":{"id":"tw-test","format":{"provider":"parquet","options":{}},"schemaString":"${schema.json
+        .replace("\\", "\\\\").replace("\"", "\\\"")}","partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    def add(f: String) =
+      s"""{"add":{"path":"$f","partitionValues":{},"size":${java.nio.file.Files
+        .size(java.nio.file.Paths.get(dir, f))},"modificationTime":1,"dataChange":true}}"""
+    def commit(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(logDir.resolve(f"$v%020d.json"),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val narrow = StructType(Seq(
+      StructField("k", IntegerType), StructField("amt", FloatType)))
+    // the widened schema records its history in delta.typeChanges, the
+    // protocol's field-metadata form
+    def widened(from: String, to: String, dt: DataType, name: String) =
+      StructField(name, dt, nullable = true,
+        new MetadataBuilder().putMetadataArray("delta.typeChanges",
+          Array(new MetadataBuilder().putString("fromType", from)
+            .putString("toType", to).build())).build())
+    val wide = StructType(Seq(
+      widened("integer", "long", LongType, "k"),
+      widened("float", "double", DoubleType, "amt")))
+    commit(0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(narrow), add("f0.parquet")))
+    commit(1L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      metaLine(wide)))
+    commit(2L, Seq(add("f1.parquet")))
+    // latest: BOTH vintages read under the wide schema — the narrow
+    // file's int32/float upcast in the scan
+    val now = DeltaExport.readDeltaTable(spark, dir)
+    assert(now.schema("k").dataType === LongType)
+    assert(now.schema("amt").dataType === DoubleType)
+    assert(now.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ===
+      Set((1L, 1.5), (2L, 2.5), (100L, 9.5)))
+    // time travel BEFORE the widening pins the narrow schema
+    val old = DeltaExport.readDeltaTable(spark, dir, Some(0L))
+    assert(old.schema("k").dataType === IntegerType)
+    assert(old.schema("amt").dataType === FloatType)
+    assert(old.collect().map(r => (r.getInt(0), r.getFloat(1))).toSet ===
+      Set((1, 1.5f), (2, 2.5f)))
+    // the incremental reader crosses the boundary at the wide schema
+    assert(DeltaExport.readDeltaAppendsSince(spark, dir, 1L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ===
+      Set((100L, 9.5)))
+    // appends at the wide schema flow normally
+    DeltaExport.appendDeltaTable(spark,
+      Seq((200L, 1.25d)).toDF("k", "amt"), dir)
+    assert(DeltaExport.readDeltaTable(spark, dir).count() === 4L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Vacuum leaves a FRESH commit staging file for a live writer, reclaims an aged one") {
     import graft.core.DeltaExport
     import spark.implicits._
