@@ -394,7 +394,10 @@ object Bench {
       ("q136_embedding_coherence", 0.40, 0.65),
       ("q151d_triangle_census_winnowed", 0.40, 1.00),
       ("q162_mixture_preference_pipeline", 1.4, 2.1),
-      ("q122_curation_pipeline", 3.0, 3.3),
+      // restated r20 from NEUTRAL-window evidence (VERDICT r19 item 5):
+      // judge's calm reading 2.89, in-session pair 3.03 — the old 3.0
+      // floor was set from loaded-window readings and read too high
+      ("q122_curation_pipeline", 2.8, 3.4),
       ("q167b_neighborhood_hyperball", 1.3, 2.3),
       ("q167d_hyperball_collapsed", 1.2, 2.6))
     def normOf(sec: Double): Double =
@@ -407,13 +410,16 @@ object Bench {
     val controlsDisagree = controlRatio > 0 && control2Ratio > 0 &&
       (controlRatio / control2Ratio > 1.25 ||
         control2Ratio / controlRatio > 1.25)
-    // worst 3 by relative band excess + the second control when the
-    // two controls split (its pair vs control-1 separates host window
-    // from real movement)
+    // ALL flagged rows adjudicate, worst-first, capped at 6 (r20 —
+    // VERDICT r19 item 5: a 3-slot cap spent itself on the biggest
+    // excursions, which in a loaded window are exactly the load
+    // artifacts, leaving real movement unadjudicated) + the second
+    // control when the two controls split (its pair vs control-1
+    // separates host window from real movement)
     val toAdjudicate = (outOfBand
       .sortBy { case (_, nv, lo, hi) =>
         -math.max(nv / hi, lo / math.max(nv, 1e-9)) }
-      .take(3).map(_._1) ++
+      .take(6).map(_._1) ++
       (if (controlsDisagree) Seq(control2Name) else Nil)).distinct
     val adjudications = toAdjudicate.map { q =>
       val reps = (1 to 3).map(_ => (timeOnce(q), timeOnce(controlName)))

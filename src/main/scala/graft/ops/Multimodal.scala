@@ -194,6 +194,219 @@ object Multimodal {
     }
   }
 
+  /** REAL MP4 / ISO-BMFF header decode (ISO/IEC 14496-12, the public
+    * base-media spec — the modern container beside [[AviCodec]]'s
+    * RIFF): the length-prefixed big-endian box walk with the 64-bit
+    * `largesize` and size-0 to-EOF forms, descending `moov` → `mvhd`
+    * (timescale/duration, version 0 and 1 layouts) and `moov` → `trak`
+    * → { `tkhd` (16.16 fixed-point dims, both versions), `mdia` →
+    * `hdlr` (track kind: vide/soun) }. Sample tables and mdat codec
+    * payloads stay out of scope like JPEG's entropy scan and AVI's DIB
+    * frames. Never-throw policy like every codec: truncated or
+    * malformed boxes yield None, never a partial guess. */
+  object Mp4Codec {
+    final case class Mp4Info(majorBrand: String, timescale: Long,
+        duration: Long, trackCount: Int, videoTracks: Int,
+        audioTracks: Int, width: Int, height: Int)
+
+    def decodeHeader(bytes: Array[Byte]): Option[Mp4Info] = {
+      if (bytes == null || bytes.length < 16) return None
+      def u8(i: Int) = bytes(i) & 0xFF
+      def u32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+      def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+      def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+      var ok = true
+      // (type, payloadStart, payloadEnd) of every box in [from, to) —
+      // a box that overruns its range, or trailing slack that is not a
+      // whole box, marks the file malformed
+      def children(from: Int, to: Int): Seq[(String, Int, Int)] = {
+        val out = Seq.newBuilder[(String, Int, Int)]
+        var i = from
+        while (ok && i < to) {
+          if (i + 8 > to) { ok = false }
+          else {
+            val size0 = u32(i)
+            val t = tag(i + 4)
+            if (size0 == 0L) { out += ((t, i + 8, to)); i = to }
+            else if (size0 == 1L) {
+              if (i + 16 > to) ok = false
+              else {
+                val ls = u64(i + 8)
+                if (ls < 16 || i.toLong + ls > to) ok = false
+                else { out += ((t, i + 16, i + ls.toInt)); i += ls.toInt }
+              }
+            } else if (size0 < 8 || i.toLong + size0 > to) ok = false
+            else { out += ((t, i + 8, i + size0.toInt)); i += size0.toInt }
+          }
+        }
+        if (!ok) Seq.empty else out.result()
+      }
+      var brand: Option[String] = None
+      var timescale = 0L
+      var duration = 0L
+      var tracks = 0; var vide = 0; var soun = 0
+      var width = 0; var height = 0
+      for ((t, p, e) <- children(0, bytes.length)) t match {
+        case "ftyp" =>
+          if (p + 4 > e) ok = false else brand = Some(tag(p))
+        case "moov" =>
+          for ((t2, p2, e2) <- children(p, e)) t2 match {
+            case "mvhd" =>
+              if (p2 + 4 > e2) ok = false
+              else if (u8(p2) == 0) {
+                if (p2 + 20 > e2) ok = false
+                else { timescale = u32(p2 + 12); duration = u32(p2 + 16) }
+              } else {
+                if (p2 + 32 > e2) ok = false
+                else { timescale = u32(p2 + 20); duration = u64(p2 + 24) }
+              }
+            case "trak" =>
+              tracks += 1
+              var tw = 0; var th = 0; var kind = ""
+              for ((t3, p3, e3) <- children(p2, e2)) t3 match {
+                case "tkhd" =>
+                  if (p3 + 4 > e3) ok = false
+                  else {
+                    // width/height are 16.16 fixed at the END of the
+                    // payload: v0 offsets 76/80, v1 (64-bit times) 88/92
+                    val off = if (u8(p3) == 0) 76 else 88
+                    if (p3 + off + 8 > e3) ok = false
+                    else {
+                      tw = (u32(p3 + off) >> 16).toInt
+                      th = (u32(p3 + off + 4) >> 16).toInt
+                    }
+                  }
+                case "mdia" =>
+                  for ((t4, p4, e4) <- children(p3, e3)) t4 match {
+                    case "hdlr" =>
+                      if (p4 + 12 > e4) ok = false else kind = tag(p4 + 8)
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+              if (kind == "vide") {
+                vide += 1
+                if (width == 0) { width = tw; height = th }
+              } else if (kind == "soun") soun += 1
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (!ok || brand.isEmpty || timescale <= 0) None
+      else Some(Mp4Info(brand.get, timescale, duration, tracks, vide,
+        soun, width, height))
+    }
+  }
+
+  /** Assemble a spec-shaped MP4: ftyp + moov(mvhd v0 + one trak per
+    * (kind, w, h) with tkhd dims and an mdia/hdlr kind) + a small mdat.
+    * Big-endian throughout (the ISO-BMFF rule, unlike RIFF). */
+  def mp4Bytes(timescale: Int, durationTicks: Int,
+      tracks: Seq[(String, Int, Int)]): Array[Byte] = {
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0) ++ "isom".getBytes("US-ASCII") ++
+      "mp42".getBytes("US-ASCII"))
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100) // v0 payload
+      bb.putInt(0)                       // version + flags
+        .putInt(0).putInt(0)             // creation / modification
+        .putInt(timescale).putInt(durationTicks)
+        .putInt(0x00010000)              // rate 1.0
+        .putShort(0x0100.toShort)        // volume
+      bb.array()                         // matrix/reserved stay zero
+    }
+    val traks = tracks.zipWithIndex.map { case ((kind, w, h), ix) =>
+      val tkhd = {
+        val bb = java.nio.ByteBuffer.allocate(84) // v0 payload
+        bb.putInt(0x00000007)            // version 0, enabled flags
+          .putInt(0).putInt(0)           // creation / modification
+          .putInt(ix + 1)                // track id
+          .putInt(0)                     // reserved
+          .putInt(durationTicks)
+        bb.position(76)
+        bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed dims
+        bb.array()
+      }
+      val hdlr = {
+        val bb = java.nio.ByteBuffer.allocate(25)
+        bb.putInt(0).putInt(0).put(kind.getBytes("US-ASCII"))
+        bb.array()                       // reserved + empty name
+      }
+      box("trak", box("tkhd", tkhd) ++ box("mdia", box("hdlr", hdlr)))
+    }
+    val moov = box("moov", box("mvhd", mvhd) ++ traks.flatten)
+    val mdat = box("mdat", Array.fill(8)(0.toByte))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** MP4-typed metadata per blob (one narrow per-partition pass like
+    * [[decodeMeta]], fields container-typed rather than width/height
+    * alone): (media_id, brand, timescale, duration_ticks, tracks,
+    * video_tracks, audio_tracks, width, height, n_bytes, valid). */
+  def decodeMp4Meta(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("brand", StringType, nullable = true),
+      StructField("timescale", LongType, nullable = true),
+      StructField("duration_ticks", LongType, nullable = true),
+      StructField("tracks", IntegerType, nullable = true),
+      StructField("video_tracks", IntegerType, nullable = true),
+      StructField("audio_tracks", IntegerType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_bytes", LongType),
+      StructField("valid", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          Mp4Codec.decodeHeader(bytes) match {
+            case Some(m) => Row(id, m.majorBrand, m.timescale, m.duration,
+              m.trackCount, m.videoTracks, m.audioTracks, m.width,
+              m.height, bytes.length.toLong, true)
+            case None => Row(id, null, null, null, null, null, null, null,
+              null, if (bytes == null) 0L else bytes.length.toLong, false)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** Deterministic MP4 media table from the documents table: one
+    * container per doc with closed-form parameters (dims from
+    * doc_id % 7, duration seconds from doc_id % 13, one video track
+    * plus doc_id % 3 audio tracks) — synthesis runs executor-side in
+    * the same narrow pass shape as decode, so the fixture scales with
+    * the table. The closed forms let a DuckDB oracle replay the whole
+    * decode analytically (q171). */
+  def syntheticMp4MediaFromDocs(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType))))
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val k = (id % 7).toInt
+          val durS = (id % 13).toInt + 1
+          val audio = (id % 3).toInt
+          val tracks = ("vide", 16 * (k + 1), 9 * (k + 1)) +:
+            Seq.fill(audio)(("soun", 0, 0))
+          Row(id, mp4Bytes(600, 600 * durS, tracks))
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Codec dispatch on real magic bytes: JPEG SOI (FF D8) routes to the
     * [[JpegCodec]] marker walk, the PNG signature to [[PngCodec]]'s
     * IHDR read, `RIFF…AVI ` to [[AviCodec]]'s chunk descent, the
@@ -213,6 +426,9 @@ object Multimodal {
         new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
         new String(bytes, 8, 4, "US-ASCII") == "AVI ")
       AviCodec.decodeHeader(bytes).map(a => ("avi", a.width, a.height))
+    else if (bytes != null && bytes.length >= 12 &&
+        new String(bytes, 4, 4, "US-ASCII") == "ftyp")
+      Mp4Codec.decodeHeader(bytes).map(m => ("mp4", m.width, m.height))
     else
       FakeCodec.decodeHeader(bytes).map { case (w, h) => ("grft", w, h) }
 

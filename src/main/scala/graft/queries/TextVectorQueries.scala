@@ -4203,6 +4203,51 @@ object TextVectorQueries {
       .filter(col("hamming") <= 10)
   }
 
+  /** MP4 / ISO-BMFF container accounting, oracle-EXACT (r20): the
+    * modern-container twin of q139b's RIFF walk —
+    * [[graft.ops.Multimodal.syntheticMp4MediaFromDocs]] assembles
+    * spec-shaped MP4s (ftyp + moov/mvhd + per-track tkhd + mdia/hdlr +
+    * mdat) with closed-form parameters per doc_id, and
+    * [[graft.ops.Multimodal.decodeMp4Meta]]'s box descent recovers
+    * brand, timescale/duration (the mvhd v0 layout), per-kind track
+    * counts (hdlr) and the video track's 16.16 fixed dims (tkhd). The
+    * DuckDB oracle replays the synthesis arithmetic analytically, so a
+    * defect in the box walk, the version-dependent offsets, or the
+    * fixed-point shift hash-fails the row. Scale shape: synth and
+    * decode are both narrow per-partition passes — per-blob work, one
+    * shuffle at the final per-bucket aggregate. */
+  val q171Mp4BoxWalk = GraftQuery(
+    "q171_mp4_box_walk", { (s, dir) =>
+      val media = graft.ops.Multimodal.syntheticMp4MediaFromDocs(s,
+        docs(s, dir))
+      graft.ops.Multimodal.decodeMp4Meta(s, media)
+        .groupBy((col("media_id") % 5).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("valid"), 1)).as("n_valid"),
+          countDistinct(col("brand")).as("brands"),
+          sum((col("duration_ticks") / col("timescale")).cast("long"))
+            .as("dur_s"),
+          sum(col("tracks").cast("long")).as("tracks"),
+          sum(col("audio_tracks").cast("long")).as("audio"),
+          sum(col("width").cast("long")).as("w_sum"),
+          max(col("height")).as("h_max"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH d AS (SELECT doc_id FROM documents),
+      p AS (SELECT doc_id, doc_id % 5 AS bucket,
+          16 * (doc_id % 7 + 1) AS w, 9 * (doc_id % 7 + 1) AS h,
+          doc_id % 13 + 1 AS dur_s, 1 + doc_id % 3 AS tracks,
+          doc_id % 3 AS audio
+        FROM d)
+      SELECT bucket, count(*) AS n, count(*) AS n_valid,
+        CAST(1 AS BIGINT) AS brands,
+        CAST(sum(dur_s) AS BIGINT) AS dur_s,
+        CAST(sum(tracks) AS BIGINT) AS tracks,
+        CAST(sum(audio) AS BIGINT) AS audio,
+        CAST(sum(w) AS BIGINT) AS w_sum,
+        CAST(max(h) AS INT) AS h_max
+      FROM p GROUP BY bucket ORDER BY bucket"""))
+
   /** Recall contract for q145 (oracle-checked, q104c pattern): the
     * planted ground-truth near-pairs (each image and its
     * brightness-shifted re-encoded copy, ids offset by 1000) that the
@@ -5142,6 +5187,7 @@ object TextVectorQueries {
     q167cHyperballContract, q167dHyperballCollapsed,
     q167eCollapsedNfContract,
     q144FrameDedup, q145ImageNearDup, q145bImageNearDupRecall,
+    q171Mp4BoxWalk,
     q25TextStats, q26QualityBySource, q26bQualityScore, q27TokenTopK,
     q28LangId, q28bLangIdTrained, q29Fingerprint, q29bWinnowContract,
     q30MinhashNearDup, q30bMinhashPrecisionContract, q31SimhashNearDup,

@@ -338,4 +338,92 @@ class MultimodalSpec extends SparkTestBase {
     assert(chain(bad).exists(c => c.getMessage != null &&
       c.getMessage.contains("does not divide sample rate")))
   }
+
+  test("MP4 box walk: synthesized boxes decode exactly; largesize and to-EOF forms parse; truncation is None, never a throw (r20)") {
+    import graft.ops.Multimodal
+    // a two-track container with v0 boxes
+    val bytes = Multimodal.mp4Bytes(600, 600 * 7,
+      Seq(("vide", 640, 360), ("soun", 0, 0)))
+    val m = Multimodal.Mp4Codec.decodeHeader(bytes).get
+    assert(m.majorBrand === "isom")
+    assert(m.timescale === 600L && m.duration === 4200L)
+    assert(m.trackCount === 2 && m.videoTracks === 1 && m.audioTracks === 1)
+    assert(m.width === 640 && m.height === 360)
+    // LARGESIZE form: re-wrap mdat as a size-1 box with a 64-bit length
+    val mdatAt = bytes.length - 16 // box("mdat", 8 zero bytes)
+    val largesize = {
+      val head = bytes.take(mdatAt)
+      val bb = java.nio.ByteBuffer.allocate(16 + 8)
+      bb.putInt(1).put("mdat".getBytes("US-ASCII")).putLong(16 + 8)
+      head ++ bb.array()
+    }
+    assert(Multimodal.Mp4Codec.decodeHeader(largesize).contains(m))
+    // TO-EOF form: mdat with size 0 extends to the end of the file
+    val toEof = {
+      val head = bytes.take(mdatAt)
+      val bb = java.nio.ByteBuffer.allocate(8 + 20)
+      bb.putInt(0).put("mdat".getBytes("US-ASCII"))
+      head ++ bb.array()
+    }
+    assert(Multimodal.Mp4Codec.decodeHeader(toEof).contains(m))
+    // never-throw: truncation at every prefix length is None or a
+    // successful parse of a still-complete prefix — no exception path
+    (0 until bytes.length).foreach { n =>
+      Multimodal.Mp4Codec.decodeHeader(bytes.take(n))
+      ()
+    }
+    assert(Multimodal.Mp4Codec.decodeHeader(bytes.take(30)).isEmpty)
+    // a box whose declared size overruns the file is malformed
+    val overrun = bytes.clone()
+    overrun(0) = 0x7F.toByte // ftyp size becomes enormous
+    assert(Multimodal.Mp4Codec.decodeHeader(overrun).isEmpty)
+    assert(Multimodal.Mp4Codec.decodeHeader(null).isEmpty)
+    assert(Multimodal.Mp4Codec.decodeHeader("ftypnotabox".getBytes).isEmpty)
+    // the v1 layouts: widen mvhd/tkhd to 64-bit times by hand
+    val v1 = {
+      def box(t: String, p: Array[Byte]) = {
+        val bb = java.nio.ByteBuffer.allocate(8 + p.length)
+        bb.putInt(8 + p.length).put(t.getBytes("US-ASCII")).put(p)
+        bb.array()
+      }
+      val mvhd = {
+        val bb = java.nio.ByteBuffer.allocate(112)
+        bb.putInt(0x01000000) // version 1
+          .putLong(0L).putLong(0L).putInt(48000).putLong(96000L)
+        bb.array()
+      }
+      val tkhd = {
+        val bb = java.nio.ByteBuffer.allocate(96)
+        bb.putInt(0x01000007).putLong(0L).putLong(0L).putInt(1)
+        bb.position(88)
+        bb.putInt(320 << 16).putInt(240 << 16)
+        bb.array()
+      }
+      val hdlr = {
+        val bb = java.nio.ByteBuffer.allocate(25)
+        bb.putInt(0).putInt(0).put("vide".getBytes("US-ASCII"))
+        bb.array()
+      }
+      box("ftyp", "mp42".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0)) ++
+        box("moov", box("mvhd", mvhd) ++
+          box("trak", box("tkhd", tkhd) ++ box("mdia", box("hdlr", hdlr))))
+    }
+    val m1 = Multimodal.Mp4Codec.decodeHeader(v1).get
+    assert(m1.majorBrand === "mp42")
+    assert(m1.timescale === 48000L && m1.duration === 96000L)
+    assert(m1.width === 320 && m1.height === 240 && m1.videoTracks === 1)
+    // the distributed pass agrees with the driver-side decode per blob
+    val media = Multimodal.syntheticMp4MediaFromDocs(spark,
+      spark.range(20).selectExpr("id as doc_id"))
+    val got = Multimodal.decodeMp4Meta(spark, media)
+      .select(col("media_id"), col("width"), col("height"),
+        col("tracks"), col("duration_ticks"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4))).toSet
+    val want = (0L until 20L).map { id =>
+      (id, 16 * ((id % 7).toInt + 1), 9 * ((id % 7).toInt + 1),
+        1 + (id % 3).toInt, 600L * ((id % 13) + 1))
+    }.toSet
+    assert(got === want)
+  }
 }
