@@ -528,6 +528,92 @@ object StreamingQueries {
     Some("""SELECT CAST(NULL AS BIGINT) AS id,
       CAST(NULL AS VARCHAR) AS kind WHERE 1 = 0"""))
 
+  /** CDF-DRIVEN incremental dedup contract (oracle-checked, q101i
+    * pattern; r20): the full "crawl updates flow to a clean corpus
+    * without rescans" loop — three crawl commits land in a Delta
+    * source table, [[graft.streaming.CdfStream.runIncrementalDedup]]
+    * tails the table's own change feed one version per micro-batch,
+    * vets each batch against the Delta-backed kept corpus through the
+    * frozen centroid index, and appends survivors with the batch id as
+    * the txn watermark. The query then EXERCISES the crash path
+    * (deletes the last commit marker, re-runs — the replayed batch must
+    * land nothing twice) and diffs the streamed corpus against a MANUAL
+    * sequential fold of the identical vet over the same commits:
+    * multiset-identical or the row hash-fails against the empty
+    * relation. Engine-level drift — a double-applied replay, a skipped
+    * commit, a vet reading a stale kept snapshot — fails CORRECTNESS,
+    * not just a locally-run suite. */
+  val q172CdfDedupContract = GraftQuery(
+    "q172_cdf_dedup_contract", { (s, dir) =>
+      import graft.ops.{Dedup, Similarity}
+      import graft.streaming.CdfStream
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val seed = e.filter(col("vec_id") % 5 =!= 0)
+      val crawl = e.filter(col("vec_id") % 5 === 0)
+      val cents = Similarity.servedCentroids(s, e, "embedding", "vec_id",
+        k = Similarity.cellCountFor(e.count()), iters = 2,
+        table = "default.semdedup_centroids")
+        .localCheckpoint(eager = true)
+      val keptSeed = seed.join(
+        Dedup.semanticDedupBlocked(seed, "embedding", "vec_id", 0.45,
+          cents, probes = 2)
+          .filter(col("kept")).select(col("id")),
+        seed("vec_id") === col("id"))
+        .select(seed.columns.map(seed(_)).toIndexedSeq: _*)
+        .localCheckpoint(eager = true)
+      val splits = (0 until 3).map(i =>
+        crawl.filter(col("vec_id") % 3 === i).localCheckpoint(eager = true))
+      val src = java.nio.file.Files
+        .createTempDirectory("graft_q172_src").toString
+      val keptS = java.nio.file.Files
+        .createTempDirectory("graft_q172_stream").toString
+      val keptF = java.nio.file.Files
+        .createTempDirectory("graft_q172_fold").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q172_ckpt").toString
+      try {
+        val D = graft.core.DeltaExport
+        // three crawl commits: v0 create + two appends (pure inserts —
+        // the CDF reader synthesizes their feed without cdc actions)
+        D.writeDeltaTable(s, splits(0), src)
+        D.appendDeltaTable(s, splits(1), src)
+        D.appendDeltaTable(s, splits(2), src)
+        Seq(keptS, keptF).foreach { d =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+          D.writeDeltaTable(s, keptSeed, d)
+        }
+        val run1 = CdfStream.runIncrementalDedup(s, src, ckpt, keptS,
+          "embedding", "vec_id", 0.45, cents, probes = 2,
+          maxVersionsPerBatch = 1)
+        // crash path: lose the LAST commit marker, re-run — the replay
+        // must not double-land its batch
+        java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt,
+          "commits", run1.last.batchId.toString))
+        CdfStream.runIncrementalDedup(s, src, ckpt, keptS,
+          "embedding", "vec_id", 0.45, cents, probes = 2,
+          maxVersionsPerBatch = 1)
+        // the manual sequential fold of the IDENTICAL vet
+        splits.zipWithIndex.foreach { case (b, i) =>
+          val surv = CdfStream.vetArrivals(s, keptF, b, "embedding",
+            "vec_id", 0.45, cents, probes = 2)
+          if (!surv.isEmpty) {
+            D.appendDeltaTableIdempotent(s, surv, keptF, "fold", i.toLong)
+            ()
+          }
+        }
+        TextVectorQueries.symmetricDiffViolations(
+            D.readDeltaTable(s, keptS).select(col("vec_id").as("id")),
+            D.readDeltaTable(s, keptF).select(col("vec_id").as("id")),
+            "stream_only", "fold_only", Seq("id"))
+          .orderBy(col("kind"), col("id"))
+          .localCheckpoint(eager = true)
+      } finally Seq(src, keptS, keptF, ckpt).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    },
+    Some("""SELECT CAST(NULL AS BIGINT) AS id,
+      CAST(NULL AS VARCHAR) AS kind WHERE 1 = 0"""))
+
   /** Streaming mergeable-statistics contract (oracle-checked, q101d
     * pattern): the token-count accumulator sink
     * ([[graft.streaming.CurationStream.runTokenCountSink]] — per-batch
@@ -598,6 +684,7 @@ object StreamingQueries {
     q86StreamSliding, q87StreamUpsertSink, q87bStreamUpsertPartitioned,
     q87cStreamUpsertVersioned, q98StreamDecontaminate,
     q101gStreamSemanticDedup, q101iStreamFoldContract,
+    q172CdfDedupContract,
     q120bStreamDriftContract, q123cStreamSketchContract,
     q132StreamTrending)
 }

@@ -194,4 +194,63 @@ object CdfStream {
       next.write.mode("overwrite")
         .parquet(stateDir(checkpointDir, batch.batchId).toString)
     }
+
+  // ---- CDF stream → incremental semantic dedup (the clean-corpus loop) ----
+
+  /** Vet one batch of arrivals against the kept Delta corpus AS IT
+    * STANDS — the per-batch transform of [[runIncrementalDedup]], split
+    * out so a sequential fold in a contract query runs the IDENTICAL
+    * plan ([[graft.streaming.CurationStream.vetBatch]]'s discipline,
+    * Delta-backed). Returns the surviving arrival rows, eagerly
+    * snapshotted (the caller appends them to the very table the plan
+    * reads). A missing kept table seeds EMPTY — the first batch
+    * deduplicates against itself alone. */
+  def vetArrivals(
+      spark: SparkSession, keptDir: String, arrivals: DataFrame,
+      vecCol: String, idCol: String, threshold: Double,
+      centroidRel: DataFrame, probes: Int): DataFrame = {
+    if (!Files.isDirectory(Paths.get(keptDir, "_delta_log")))
+      DeltaExport.writeDeltaTable(spark, arrivals.filter(lit(false)),
+        keptDir)
+    val existing = DeltaExport.readDeltaTable(spark, keptDir)
+    val keptIds = graft.ops.Dedup.semanticDedupIncrementalBlocked(
+        existing, arrivals, vecCol, idCol, threshold, centroidRel, probes)
+      .filter(col("kept")).select(col("id"))
+    arrivals.join(keptIds, arrivals(idCol) === col("id"))
+      .select(arrivals.columns.map(arrivals(_)).toIndexedSeq: _*)
+      .localCheckpoint(eager = true)
+  }
+
+  /** CDF stream → incremental semantic dedup into a Delta-backed kept
+    * corpus — "crawl updates flow to a clean corpus without rescans",
+    * driven end to end by the source table's own change feed. Each
+    * batch's INSERT rows are vetted against the kept corpus as of the
+    * previous batch ([[graft.ops.Dedup.semanticDedupIncrementalBlocked]]
+    * — O(batch × probed-cell members) through the frozen centroid
+    * index, never a corpus rescan) and the survivors land through
+    * [[DeltaExport.appendDeltaTableIdempotent]] with the batch id as
+    * the txn watermark: a replayed batch is DOUBLY safe — its rows now
+    * meet their own representatives at cosine 1 AND the kept table's
+    * txn state skips the append — so delivery is exactly-once without
+    * a versioned snapshot. Deletes in the source do not retract kept
+    * documents (a curation corpus only grows; retraction is a
+    * compliance pass, not dedup). Returns this call's batches. */
+  def runIncrementalDedup(
+      spark: SparkSession, sourceDir: String, checkpointDir: String,
+      keptDir: String, vecCol: String, idCol: String, threshold: Double,
+      centroidRel: DataFrame, probes: Int = 2,
+      startingVersion: Long = 0L,
+      maxVersionsPerBatch: Int = Int.MaxValue): Seq[CdfBatch] =
+    processAllAvailable(spark, sourceDir, checkpointDir, startingVersion,
+      maxVersionsPerBatch) { (feed, batch) =>
+      val arrivals = feed.filter(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version")
+      val survivors = vetArrivals(spark, keptDir, arrivals, vecCol,
+        idCol, threshold, centroidRel, probes)
+      if (!survivors.isEmpty) {
+        DeltaExport.appendDeltaTableIdempotent(spark, survivors, keptDir,
+          "graft-cdf-dedup", batch.batchId)
+        ()
+      }
+    }
 }
