@@ -934,14 +934,24 @@ object DeltaExport {
     // identity column must refuse, but the writer's own allocation is
     // not an explicit insert
     enforceWriterObligations(appendMeta, "APPEND", removesData = false,
-      Some(df))
+      Some(df), rowTrackingCapable = true)
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
     toPhysicalFrame(batch, tableSchema.fields.toSeq, cmCtx.mode)
       .write.mode("append").parquet(dir)
     val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
     require(fresh.nonEmpty, "append produced no data files")
     val now = System.currentTimeMillis()
-    writeCommit(dir, v, idActions ++ addActions(spark, fresh, now),
+    // row-tracked appends allocate fresh baseRowIds above the high
+    // watermark and advance the rowTracking domain in the same commit
+    val (adds, tailActions) =
+      if (!rowTrackingEnabled(appendMeta))
+        (addActions(spark, fresh, now), Seq.empty[String])
+      else {
+        val (a, hwm) = rowTrackedAddActions(spark, fresh, now, v,
+          st.rowIdHwm, dataChange = true)
+        (a, Seq(rowTrackingDomainAction(hwm)))
+      }
+    writeCommit(dir, v, idActions ++ adds ++ tailActions,
       "APPEND", tableMeta = Some(appendMeta))
     v
   }
@@ -1359,6 +1369,127 @@ object DeltaExport {
     inserts.unionByName(deletes).unionByName(prims).unionByName(posts)
       .select(cols.map(c => col(s"__r.$c").as(c)) ++
         Seq(col("_row_id"), col("_change_type")): _*)
+  }
+
+  /** Whether the table binds the row-tracking writer obligation. */
+  private def rowTrackingEnabled(meta: String): Boolean =
+    configurationOf(meta).get("delta.enableRowTracking")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** The rowTracking domain's watermark-advance action. */
+  private def rowTrackingDomainAction(hwm: Long): String =
+    s"""{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\\"rowIdHighWaterMark\\":$hwm}","removed":false}}"""
+
+  /** Add actions for a row-tracked commit: contiguous `baseRowId`
+    * ranges allocated above `hwm0` in file-name order (sizes from the
+    * same one-pass stats scan every add already runs), each add
+    * stamped with `defaultRowCommitVersion` = this commit. Returns
+    * (actions, new high watermark) — the commit must also carry
+    * [[rowTrackingDomainAction]] for the returned watermark. */
+  private def rowTrackedAddActions(spark: SparkSession,
+      fresh: Seq[java.nio.file.Path], now: Long, v: Long, hwm0: Long,
+      dataChange: Boolean): (Seq[String], Long) = {
+    val stats = fileStatsFor(spark, fresh)
+    var base = hwm0 + 1
+    val adds = fresh.sortBy(_.getFileName.toString).map { p =>
+      val st = stats.get(p.getFileName.toString)
+      val n = st.flatMap(s => statsNumRecordsRe.findFirstMatchIn(s))
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"no numRecords for fresh file $p — cannot allocate row ids"))
+      val b = base
+      base += n
+      val statsField = st.map(s => s""","stats":"${esc(s)}"""")
+        .getOrElse("")
+      s"""{"add":{"path":"${esc(p.getFileName.toString)}","partitionValues":{},"size":${Files
+          .size(p)},"modificationTime":$now,"dataChange":$dataChange$statsField,"baseRowId":$b,"defaultRowCommitVersion":$v}}"""
+    }
+    (adds, base - 1)
+  }
+
+  /** Enable ROW TRACKING (writer features `rowTracking` +
+    * `domainMetadata`) on an existing unpartitioned table — Delta's
+    * `ALTER TABLE … SET TBLPROPERTIES (delta.enableRowTracking=true)`
+    * with the spec's BACKFILL: every live file is re-added verbatim
+    * (dataChange=false; stats/DV carried) with a fresh contiguous
+    * `baseRowId` range, the metaData gains the property + generated
+    * materialized-column names, the protocol merges the two writer
+    * features, and the rowTracking domain records the high watermark.
+    * From this commit on, appends allocate above the watermark, DV
+    * deletes stay id-safe by construction, and OPTIMIZE preserves ids
+    * by materializing them ([[optimizeDeltaTable]]); row-REWRITING DML
+    * still refuses by name. Returns the new version. */
+  def enableRowTracking(spark: SparkSession, dir: String): Long = {
+    val v = latestVersion(dir) + 1
+    // keepStats: the backfill re-adds re-render each add's stats
+    // verbatim, and numRecords comes from them
+    val snap = snapshotState(spark, dir, None)
+    val conf0 = configurationOf(snap.meta)
+    require(!conf0.get("delta.enableRowTracking")
+        .exists(_.equalsIgnoreCase("true")),
+      "row tracking is already enabled")
+    require(partitionColumnsOf(snap.meta).isEmpty,
+      "row tracking here supports unpartitioned tables only — the " +
+        "row-id scan does not re-attach partition columns")
+    val live = snap.live.toSeq.sorted
+    def numRecords(f: String): Long =
+      snap.stats.get(f)
+        .flatMap(s => statsNumRecordsRe.findFirstMatchIn(s)
+          .map(_.group(1).toLong))
+        // stats-less foreign add: one bounded footer-read job
+        .getOrElse(spark.read.parquet(resolveDataPath(dir, f)).count())
+    val now = System.currentTimeMillis()
+    var base = 0L
+    val reAdds = live.map { f =>
+      val b = base
+      base += numRecords(f)
+      val pv = snap.pvals.getOrElse(f, Map.empty).toSeq.sortBy(_._1)
+        .map { case (k, value) =>
+          s""""${esc(k)}":${Option(value).map(x => s""""${esc(x)}"""")
+              .getOrElse("null")}"""
+        }.mkString(",")
+      val statsField = snap.stats.get(f)
+        .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
+      val dvField = snap.dvs.get(f)
+        .map(d => s""","deletionVector":${DeletionVectors.descriptorJson(d)}""")
+        .getOrElse("")
+      s"""{"add":{"path":"${esc(f)}","partitionValues":{$pv},"size":${Files
+          .size(Paths.get(resolveDataPath(dir, f)))},"modificationTime":$now,"dataChange":false$statsField$dvField,"baseRowId":$b,"defaultRowCommitVersion":$v}}"""
+    }
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val conf = conf0 ++ Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.rowTracking.materializedRowIdColumnName" ->
+        s"_row_id_col_$suffix",
+      "delta.rowTracking.materializedRowCommitVersionColumnName" ->
+        s"_rcv_col_$suffix")
+    // protocol: merge the two writer features; minReaderVersion is
+    // untouched (rowTracking is writer-only — old readers still read)
+    val cur = Option(snap.protocol).getOrElse(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val mrvRe = """"minReaderVersion":(\d+)""".r
+    val mwvRe = """"minWriterVersion":(\d+)""".r
+    val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
+    val wfRe = """"writerFeatures":\[([^\]]*)\]""".r
+    def feats(re: scala.util.matching.Regex): Option[Set[String]] =
+      re.findFirstMatchIn(cur).map(m => jsonStrRe.findAllMatchIn(m.group(1))
+        .map(e => unescapeJson(e.group(1))).toSet)
+    val mrv = mrvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(1)
+    val mwv = mwvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(2)
+    val wf0 = feats(wfRe).getOrElse(legacyWriterFeatures(mwv))
+    def render(fs: Set[String]) =
+      fs.toSeq.sorted.map(f => s""""${esc(f)}"""").mkString(",")
+    val rfField = feats(rfRe)
+      .map(rf => s""","readerFeatures":[${render(rf)}]""")
+      .getOrElse(if (mrv >= 3) s""","readerFeatures":[]""" else "")
+    val protoAction =
+      s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7$rfField,"writerFeatures":[${render(
+          wf0 ++ Set("rowTracking", "domainMetadata"))}]}}"""
+    writeCommit(dir, v,
+      Seq(protoAction, withConfiguration(snap.meta, conf)) ++ reAdds ++
+        Seq(rowTrackingDomainAction(base - 1)),
+      "ENABLE ROW TRACKING", tableMeta = Some(snap.meta))
+    v
   }
 
   // ---- CHANGE DATA FEED (writer feature `changeDataFeed`) ----
@@ -1793,8 +1924,11 @@ object DeltaExport {
         s"table's logged schema ${tableSchema.catalogString}")
     val cmCtx = mappingCtx(spark, snap.meta, tableSchema)
     enforceCheckConstraints(snap.meta, batch, "APPEND")
+    // a FLAT idempotent append allocates row ids like the plain form;
+    // a partitioned row-tracked table (foreign — our enable is
+    // flat-only) still refuses by name
     enforceWriterObligations(snap.meta, "APPEND", removesData = false,
-      Some(df))
+      Some(df), rowTrackingCapable = pcols.isEmpty)
     // partitioned tables take the Hive-layout write and relative-path
     // adds; flat tables the top-level form — the txn line is the same
     val before = dataFilesRelative(dir).toSet
@@ -1805,9 +1939,18 @@ object DeltaExport {
     val fresh = dataFilesRelative(dir).filterNot(before)
     require(fresh.nonEmpty, "append produced no data files")
     val now = System.currentTimeMillis()
+    val (adds, tailActions) =
+      if (!rowTrackingEnabled(snap.meta))
+        (addActionsRelative(spark, dir, fresh, now), Seq.empty[String])
+      else {
+        val (a, hwm) = rowTrackedAddActions(spark,
+          fresh.map(f => Paths.get(dir, f)), now, v, snap.rowIdHwm,
+          dataChange = true)
+        (a, Seq(rowTrackingDomainAction(hwm)))
+      }
     writeCommit(dir, v,
       s"""{"txn":{"appId":"${esc(appId)}","version":$txnVersion}}""" +:
-        (idActions ++ addActionsRelative(spark, dir, fresh, now)),
+        (idActions ++ adds ++ tailActions),
       "APPEND", tableMeta = Some(snap.meta))
     (v, true)
   }
@@ -2803,10 +2946,17 @@ object DeltaExport {
       }.mkString(",")
     val statsField = snap.stats.get(rel)
       .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
+    // a row-tracked file's identity fields carry VERBATIM — the mask
+    // moves no rows, so baseRowId + position stays the id rule and a
+    // re-add without the fields would silently un-track the file
+    val rtField = snap.rowIds.get(rel).map { case (b, d) =>
+      b.map(x => s""","baseRowId":$x""").getOrElse("") +
+        d.map(x => s""","defaultRowCommitVersion":$x""").getOrElse("")
+    }.getOrElse("")
     Seq(
       s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":$now,"dataChange":true}}""",
       s"""{"add":{"path":"${esc(rel)}","partitionValues":{$pv},"size":${Files
-          .size(Paths.get(resolveDataPath(dir, rel)))},"modificationTime":$now,"dataChange":true$statsField,"deletionVector":${DeletionVectors
+          .size(Paths.get(resolveDataPath(dir, rel)))},"modificationTime":$now,"dataChange":true$statsField$rtField,"deletionVector":${DeletionVectors
           .descriptorJson(desc)}}}""")
   }
 
@@ -2940,21 +3090,27 @@ object DeltaExport {
     * deletion vectors; `batch` = the rows the operation adds, if any. */
   private def enforceWriterObligations(meta: String, op: String,
       removesData: Boolean, batch: Option[DataFrame],
-      emitsChangeData: Boolean = false): Unit = {
+      emitsChangeData: Boolean = false,
+      rowTrackingCapable: Boolean = false): Unit = {
     val conf = configurationOf(meta)
     // Delta parses boolean properties case-insensitively
     // (Boolean.parseBoolean) — "True"/"TRUE" bind the same obligation
     def boolProp(key: String): Boolean =
       conf.get(key).exists(_.equalsIgnoreCase("true"))
-    if (boolProp("delta.enableRowTracking"))
+    // row tracking binds every writer: the ops that ALLOCATE fresh
+    // baseRowIds (appends), stay id-safe by construction (pure-mask DV
+    // deletes), or MATERIALIZE ids on rewrite (flat OPTIMIZE) pass
+    // rowTrackingCapable = true; every row-REWRITING op that would
+    // break the stable-id invariant refuses by name
+    if (boolProp("delta.enableRowTracking") && !rowTrackingCapable)
       throw new IllegalArgumentException(
         s"$op on a ROW-TRACKED table (delta.enableRowTracking=true) is " +
-          "refused — this writer does not allocate baseRowId from the " +
-          "row-id high watermark or materialize ids on rewrite, so the " +
-          "commit would break the table's stable-row-id invariant. " +
-          "Reads (readDeltaTable / readDeltaTableWithRowIds / " +
-          "deltaChangesByRowId) and id-preserving maintenance " +
-          "(CHECKPOINT / VACUUM) remain supported")
+          "refused — this op rewrites rows without preserving their " +
+          "ids, breaking the stable-row-id invariant. Supported on " +
+          "row-tracked tables: reads (readDeltaTable / " +
+          "readDeltaTableWithRowIds / deltaChangesByRowId), APPEND " +
+          "(allocates above the watermark), DV DELETE (pure mask), " +
+          "OPTIMIZE (materializes ids), CHECKPOINT and VACUUM")
     if (removesData && boolProp("delta.appendOnly"))
       throw new IllegalArgumentException(
         s"$op on an APPEND-ONLY table (delta.appendOnly=true) is " +
@@ -3546,8 +3702,12 @@ object DeltaExport {
     // VERBATIM from the snapshot (already physical-keyed) — no
     // display-named byte is written
     val cdf = cdfEnabled(snap.meta)
+    // a pure-mask DV delete is row-tracking-safe by construction: no
+    // row moves, positions keep meaning, and the re-add carries the
+    // identity fields verbatim (dvRewriteActions)
     enforceWriterObligations(snap.meta, "DELETE (deletion vectors)",
-      removesData = true, None, emitsChangeData = cdf)
+      removesData = true, None, emitsChangeData = cdf,
+      rowTrackingCapable = true)
     val live = snap.live.toSeq
     require(live.nonEmpty, "no live files to delete from")
     val target = liveTargetWithFile(spark, dir, snap, withPos = true)
@@ -3772,6 +3932,10 @@ object DeltaExport {
     import spark.implicits._
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
+    require(!rowTrackingEnabled(snap.meta),
+      "PURGE on a ROW-TRACKED table is refused — the rewrite scrambles " +
+        "positions without materializing ids; OPTIMIZE (which " +
+        "materializes and also purges vectors) is the supported move")
     require(snap.dvs.nonEmpty,
       "no live file carries a deletion vector — nothing to purge")
     val pcols = partitionColumnsOf(snap.meta)
@@ -3921,12 +4085,41 @@ object DeltaExport {
       .fromJson(schemaStringOf(snap.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val cmCtx = mappingCtx(spark, snap.meta, optSchema)
+    // ROW TRACKING (r20): a compaction scrambles positions, so the
+    // rewrite must MATERIALIZE each surviving row's id and commit
+    // version into the configured hidden columns — the protocol's
+    // preservation rule; the fresh adds still allocate their own
+    // baseRowId range above the watermark (the spec's always-assign
+    // rule; the materialized columns override on read)
+    val rowTracked = rowTrackingEnabled(snap.meta)
+    val conf = configurationOf(snap.meta)
+    val matCols: Seq[(String, String)] =
+      if (!rowTracked) Nil
+      else Seq(
+        "_row_id" ->
+          conf.getOrElse("delta.rowTracking.materializedRowIdColumnName",
+            throw new IllegalStateException(
+              "row tracking enabled without a materialized row-id " +
+                "column name — cannot preserve ids across OPTIMIZE")),
+        "_row_commit_version" ->
+          conf.getOrElse(
+            "delta.rowTracking.materializedRowCommitVersionColumnName",
+            throw new IllegalStateException(
+              "row tracking enabled without a materialized commit-" +
+                "version column name")))
     // DV-aware (real Delta's OPTIMIZE): the compaction scan APPLIES
     // each file's deletion vector, so the rewrite materializes the
     // deletes and the re-adds carry no vectors — compaction doubles as
     // the DV purge, and the orphaned .bin files become vacuumable
-    val df = scanFiles(spark, dir, snap.meta, live, None,
-      snap.pvals.toMap, snap.dvs.toMap)
+    val df =
+      if (!rowTracked)
+        scanFiles(spark, dir, snap.meta, live, None,
+          snap.pvals.toMap, snap.dvs.toMap)
+      else matCols.foldLeft(scanFilesWithRowIds(spark, dir, snap.meta,
+          live, snap.dvs.toMap, snap.rowIds.toMap)) {
+        case (d, (logical, physical)) => d.withColumnRenamed(logical,
+          physical)
+      }
     // curve picks the multi-column layout: "morton" is Delta's
     // OPTIMIZE ZORDER BY; "hilbert" is the liquid-clustering walk
     // (unit steps — tighter per-file hyper-rectangles, measured by
@@ -3935,15 +4128,27 @@ object DeltaExport {
       if (zorderBy.isEmpty) df.repartition(targetFiles)
       else Zorder.curveShaped(df, zorderBy, bits = 8, targetFiles, curve)
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
-    toPhysicalFrame(shaped, optSchema.fields.toSeq, cmCtx.mode)
+    val writeFields = optSchema.fields.toSeq ++ matCols.map { case (_, p) =>
+      org.apache.spark.sql.types.StructField(p,
+        org.apache.spark.sql.types.LongType)
+    }
+    toPhysicalFrame(shaped, writeFields, cmCtx.mode)
       .write.mode("append").parquet(dir)
     val fresh = dataFiles(dir).filterNot(p => before(p.getFileName.toString))
     require(fresh.nonEmpty, "optimize produced no data files")
     val now = System.currentTimeMillis()
     val removes = live.sorted.map(p =>
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":false}}""")
-    writeCommit(dir, v,
-      removes ++ addActions(spark, fresh, now, dataChange = false),
+    val (adds, tailActions) =
+      if (!rowTracked)
+        (addActions(spark, fresh, now, dataChange = false),
+          Seq.empty[String])
+      else {
+        val (a, hwm) = rowTrackedAddActions(spark, fresh, now, v,
+          snap.rowIdHwm, dataChange = false)
+        (a, Seq(rowTrackingDomainAction(hwm)))
+      }
+    writeCommit(dir, v, removes ++ adds ++ tailActions,
       "OPTIMIZE", tableMeta = Some(snap.meta))
     v
   }
@@ -3968,6 +4173,10 @@ object DeltaExport {
     require(targetFilesPerPartition >= 1, "targetFilesPerPartition must be >= 1")
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
+    require(!rowTrackingEnabled(snap.meta),
+      "partitioned OPTIMIZE on a ROW-TRACKED table is refused — the " +
+        "row-id scan does not re-attach partition columns, so the " +
+        "rewrite cannot materialize ids")
     val pcols = partitionColumnsOf(snap.meta)
     require(pcols.nonEmpty,
       "table is not partitioned — use optimizeDeltaTable")
@@ -4352,7 +4561,39 @@ object DeltaExport {
     // Row Tracking section). Either field may ride alone.
     val rowIds = scala.collection.mutable
       .Map.empty[String, (Option[Long], Option[Long])]
+    // domain -> (configuration JSON text UNESCAPED, removed) — the
+    // protocol's domainMetadata actions (writer feature
+    // `domainMetadata`): latest action per domain wins; ALL domains
+    // are retained and checkpointed verbatim, ours or foreign (a
+    // checkpoint that dropped a foreign domain would silently strip
+    // that writer's state at expiry)
+    val domains = scala.collection.mutable
+      .Map.empty[String, (String, Boolean)]
+    /** Row-id high watermark: the rowTracking domain's recorded value,
+      * defensively maxed with every live add's baseRowId + numRecords
+      * - 1 (a spec-conformant writer maintains the domain; the fold
+      * protects against one that forgot). -1 = untracked table. */
+    var rowIdHwmAdds: Long = -1L
+    def rowIdHwm: Long = {
+      val domain = domains.get("delta.rowTracking")
+        .filterNot(_._2)
+        .flatMap(d => rowIdHwmRe.findFirstMatchIn(d._1)
+          .map(_.group(1).toLong))
+        .getOrElse(-1L)
+      math.max(domain, rowIdHwmAdds)
+    }
   }
+
+  // rowIdHighWaterMark inside the rowTracking domain's configuration —
+  // matched on both the ESCAPED (JSON commit line) and unescaped
+  // (checkpoint struct) spellings
+  private val rowIdHwmRe = """rowIdHighWaterMark\\?":(-?\d+)""".r
+  // numRecords inside an add's (escaped) stats string
+  private val statsNumRecordsRe = """numRecords\\?":(\d+)""".r
+  private val domainNameRe = """"domain":"((?:[^"\\]|\\.)+)"""".r
+  private val domainConfRe =
+    """"configuration":"((?:[^"\\]|\\.)*)"""".r
+  private val domainRemovedRe = """"removed":(true|false)""".r
 
   // the stats field is a JSON STRING inside the add action (escaped);
   // key-order-tolerant like the other extractors
@@ -4444,6 +4685,17 @@ object DeltaExport {
         val dr = defaultRcvRe.findFirstMatchIn(l).map(_.group(1).toLong)
         if (br.isDefined || dr.isDefined) st.rowIds(p) = (br, dr)
         else st.rowIds -= p // a re-add without tracking supersedes
+        for (b <- br; m <- statsNumRecordsRe.findFirstMatchIn(l))
+          st.rowIdHwmAdds =
+            math.max(st.rowIdHwmAdds, b + m.group(1).toLong - 1)
+      } else if (l.startsWith("""{"domainMetadata"""")) {
+        for (d <- domainNameRe.findFirstMatchIn(l)) {
+          val conf = domainConfRe.findFirstMatchIn(l)
+            .map(m => unescapeJson(m.group(1))).getOrElse("")
+          val removed = domainRemovedRe.findFirstMatchIn(l)
+            .exists(_.group(1) == "true")
+          st.domains(unescapeJson(d.group(1))) = (conf, removed)
+        }
       } else if (l.startsWith("""{"remove"""")) {
         val p = pathOf(l, "remove")
         st.live -= p
@@ -4904,12 +5156,27 @@ object DeltaExport {
           s""""${esc(k)}":${Option(value).map(x => s""""${esc(x)}"""")
               .getOrElse("null")}"""
         }.mkString(",")
+      // row-tracking identity carries VERBATIM (r20): the clone
+      // references the same bytes, so the same ids govern — dropping
+      // the fields would silently un-track every cloned file while the
+      // cloned configuration still claims tracking
+      val rtField = st.rowIds.get(p).map { case (b, d) =>
+        b.map(x => s""","baseRowId":$x""").getOrElse("") +
+          d.map(x => s""","defaultRowCommitVersion":$x""").getOrElse("")
+      }.getOrElse("")
       s"""{"add":{"path":"${esc(abs)}","partitionValues":{$pv},"size":${Files
-          .size(Paths.get(abs))},"modificationTime":$now,"dataChange":true$statsField$dvField}}"""
+          .size(Paths.get(abs))},"modificationTime":$now,"dataChange":true$statsField$dvField$rtField}}"""
+    }
+    // the rowTracking watermark domain rides along so the clone's own
+    // appends allocate above the source's ids
+    val domainActions = st.domains.toSeq.sortBy(_._1).map {
+      case (d, (conf, rm)) =>
+        s"""{"domainMetadata":{"domain":"${esc(d)}","configuration":"${esc(
+            conf)}","removed":$rm}}"""
     }
     Files.createDirectories(Paths.get(targetDir).resolve("_delta_log"))
-    writeCommit(targetDir, 0L, protocol +: meta +: adds, "CLONE",
-      firstIct = if (ictEnabled) Some(now) else None)
+    writeCommit(targetDir, 0L, protocol +: meta +: (adds ++ domainActions),
+      "CLONE", firstIct = if (ictEnabled) Some(now) else None)
     0L
   }
 
@@ -5584,9 +5851,12 @@ object DeltaExport {
       baseRowId: Option[Long] = None,
       defaultRowCommitVersion: Option[Long] = None)
   final case class CpTxn(appId: String, version: Long)
+  final case class CpDomainMetadata(domain: String, configuration: String,
+      removed: Boolean)
   final case class CpRow(protocol: Option[CpProtocol],
       metaData: Option[CpMetaData], add: Option[CpAdd],
-      txn: Option[CpTxn] = None)
+      txn: Option[CpTxn] = None,
+      domainMetadata: Option[CpDomainMetadata] = None)
 
   private def checkpointFile(v: Long): String = f"$v%020d.checkpoint.parquet"
 
@@ -5669,16 +5939,24 @@ object DeltaExport {
       mwvRe.findFirstMatchIn(curP).map(_.group(1).toInt).getOrElse(2),
       featsOf("readerFeatures"), featsOf("writerFeatures"))
     val rows: Seq[CpRow] =
-      (CpRow(Some(cpProtocol), None, None) +:
-      CpRow(None,
-        Some(CpMetaData(id, schemaStringOf(meta),
-          partitionColumnsOf(meta), createdTime,
-          configurationOf(meta))),
-        None) +:
+      (Seq(
+        CpRow(Some(cpProtocol), None, None),
+        CpRow(None,
+          Some(CpMetaData(id, schemaStringOf(meta),
+            partitionColumnsOf(meta), createdTime,
+            configurationOf(meta))),
+          None)) ++
       // one txn row per writer app — the idempotence watermark must
       // survive the JSON commits its carrier expired with
       snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
         CpRow(None, None, None, Some(CpTxn(app, ver)))
+      } ++
+      // domainMetadata rows, ours or foreign, verbatim — dropping one
+      // at expiry would strip that writer's state (rowIdHighWaterMark
+      // among them)
+      snap.domains.toSeq.sortBy(_._1).map { case (d, (conf, rm)) =>
+        CpRow(None, None, None, None,
+          Some(CpDomainMetadata(d, conf, rm)))
       }) ++
       files.sorted.map { f =>
         // a clone's absolute add checkpoints VERBATIM (the protocol
@@ -5736,7 +6014,8 @@ object DeltaExport {
   final case class V2ManifestRow(
       checkpointMetadata: Option[CpCheckpointMetadata],
       protocol: Option[CpProtocol], metaData: Option[CpMetaData],
-      txn: Option[CpTxn], sidecar: Option[CpSidecarRef])
+      txn: Option[CpTxn], sidecar: Option[CpSidecarRef],
+      domainMetadata: Option[CpDomainMetadata] = None)
   final case class V2SidecarRow(add: Option[CpAdd])
 
   /** Enable the `v2Checkpoint` table feature: a protocol-only commit
@@ -5869,6 +6148,10 @@ object DeltaExport {
           None, None)) ++
       snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
         V2ManifestRow(None, None, None, Some(CpTxn(app, ver)), None)
+      } ++
+      snap.domains.toSeq.sortBy(_._1).map { case (d, (conf, rm)) =>
+        V2ManifestRow(None, None, None, None, None,
+          Some(CpDomainMetadata(d, conf, rm)))
       } ++
       scRefs.map(r => V2ManifestRow(None, None, None, None, Some(r)))
     val manifestName =
@@ -6056,11 +6339,23 @@ object DeltaExport {
         val dr = if (drIdx >= 0 && !a.isNullAt(drIdx))
           Some(a.getLong(drIdx)) else None
         if (br.isDefined || dr.isDefined) st.rowIds(p) = (br, dr)
+        // defensive HWM fold (the domain row is authoritative); stats
+        // may be NULLed under keepStats=false — the fold then rests on
+        // the checkpointed domain alone
+        for (b <- br if si >= 0 && !a.isNullAt(si);
+             m <- statsNumRecordsRe.findFirstMatchIn(a.getString(si)))
+          st.rowIdHwmAdds =
+            math.max(st.rowIdHwmAdds, b + m.group(1).toLong - 1)
       }
       structField(r, "txn").foreach { t =>
         val app = t.getAs[String]("appId")
         val ver = t.getAs[Long]("version")
         st.txns(app) = math.max(st.txns.getOrElse(app, Long.MinValue), ver)
+      }
+      structField(r, "domainMetadata").foreach { d =>
+        st.domains(d.getAs[String]("domain")) = (
+          Option(d.getAs[String]("configuration")).getOrElse(""),
+          d.getAs[Boolean]("removed"))
       }
       // remove rows in a checkpoint are expired tombstones, never live
       structField(r, "remove").foreach(rm => st.live -= rm.getAs[String]("path"))

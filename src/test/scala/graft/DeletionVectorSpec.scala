@@ -541,12 +541,14 @@ class DeletionVectorSpec extends SparkTestBase {
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""))
     assert(DeltaExport.readDeltaTable(spark, dir).count() === 2L)
     // v3 with a feature beyond the implemented set — named
-    // (v2Checkpoint itself is CONSUMED since r19 — TableStoreSpec)
+    // (v2Checkpoint is consumed since r19; rowTracking/domainMetadata/
+    // typeWidening since r20 — so the probe uses a genuinely-unknown
+    // feature)
     writeCommit(1, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","typeWidening"]}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","collations"]}}"""))
     val vf = intercept[IllegalArgumentException](
       DeltaExport.readDeltaTable(spark, dir))
-    assert(vf.getMessage.contains("typeWidening"), vf.getMessage)
+    assert(vf.getMessage.contains("collations"), vf.getMessage)
     // a DV table: reads fine, every mutator refuses naming the feature
     val file = new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.endsWith(".parquet")).head

@@ -2746,8 +2746,11 @@ class TableStoreSpec extends SparkTestBase {
       add("f0.parquet", 0L, 0L, dc = true),
       add("f1.parquet", 5L, 0L, dc = true)))
     commit(1L, Seq(add("f2.parquet", 10L, 1L, dc = true)))
+    // the compaction allocates fresh base 12 over 12 rows, so the
+    // spec-correct watermark after v2 is 23 (a conformant writer
+    // advances the domain past every base it hands out)
     commit(2L, Seq(
-      """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":11}","removed":false}}""",
+      """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":23}","removed":false}}""",
       rm("f0.parquet"), rm("f1.parquet"), rm("f2.parquet"),
       add("f3.parquet", 12L, 2L, dc = false)))
     def idMap(v: Option[Long]): Map[Long, (Long, Long)] =
@@ -2779,10 +2782,16 @@ class TableStoreSpec extends SparkTestBase {
     DeltaExport.checkpointDeltaTable(spark, dir)
     assert(DeltaExport.expireLogBefore(dir).nonEmpty)
     assert(idMap(None) === at1, "ids must survive checkpoint + expiry")
-    // writers refuse BY NAME — this writer cannot maintain the
-    // stable-id invariant
+    // APPEND is a first-class writer since the r20 allocation work:
+    // fresh ids land strictly above everything ever allocated (f3's
+    // fresh baseRowId 12 over 12 rows pushed the effective watermark
+    // to 23); a row-REWRITING op still refuses by name
+    DeltaExport.appendDeltaTable(spark, Seq((99L, 0L)).toDF("id", "v"), dir)
+    val after = idMap(None)
+    assert(after.filter(_._1 != 99L) === at1)
+    assert(after(99L)._1 > 23L, after.toString)
     val e = intercept[IllegalArgumentException](
-      DeltaExport.appendDeltaTable(spark,
+      DeltaExport.overwriteDeltaTable(spark,
         Seq((99L, 0L)).toDF("id", "v"), dir))
     assert(e.getMessage.contains("ROW-TRACKED"), e.getMessage)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
@@ -2919,6 +2928,96 @@ class TableStoreSpec extends SparkTestBase {
       Seq((200L, 1.25d)).toDF("k", "amt"), dir)
     assert(DeltaExport.readDeltaTable(spark, dir).count() === 4L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("Row tracking WRITER: enable backfills ids, appends allocate above the watermark, DV delete is id-safe, OPTIMIZE materializes, rewriting DML refuses (r20)") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_rtwriter").toString
+    DeltaExport.writeDeltaTable(spark,
+      (0L until 20L).map(i => (i, i * 10)).toDF("id", "v")
+        .repartition(3), dir)
+    val vE = DeltaExport.enableRowTracking(spark, dir)          // v1
+    assert(vE === 1L)
+    def idMap(): Map[Long, Long] =
+      DeltaExport.readDeltaTableWithRowIds(spark, dir)
+        .select(col("id"), col("_row_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // backfill: every row has an id; ids are 0..19 (contiguous ranges
+    // per file); rcv = the enablement commit for every row
+    val at1 = idMap()
+    assert(at1.values.toSeq.sorted === (0L until 20L))
+    assert(DeltaExport.readDeltaTableWithRowIds(spark, dir)
+      .select(col("_row_commit_version")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // append allocates ABOVE the watermark with this commit's version
+    DeltaExport.appendDeltaTable(spark,
+      Seq((100L, 0L), (101L, 0L)).toDF("id", "v"), dir)         // v2
+    val at2 = idMap()
+    assert(at2.filter(_._1 < 100L) === at1,
+      "standing ids must not move on append")
+    assert(at2(100L) >= 20L && at2(101L) >= 20L &&
+      at2(100L) != at2(101L))
+    // DV delete: survivors keep their ids; masked ids disappear
+    DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") % 5 === 3) // v3
+    val at3 = idMap()
+    assert(at3 === at2.filter { case (id, _) => id % 5 != 3 })
+    // OPTIMIZE materializes: ids stable across the compaction, the
+    // vectors purge, and identity CDC across it diffs to NOTHING
+    DeltaExport.optimizeDeltaTable(spark, dir, targetFiles = 2,
+      zorderBy = Seq("v"))                                      // v4
+    assert(idMap() === at3, "ids must survive OPTIMIZE via the " +
+      "materialized columns")
+    assert(DeltaExport.deletionVectorsAt(spark, dir, None).isEmpty)
+    assert(DeltaExport.deltaChangesByRowId(spark, dir, 3L, 4L)
+      .count() === 0L)
+    // watermark survives checkpoint + expiry: the next append cannot
+    // collide with any id ever allocated (OPTIMIZE burned fresh bases)
+    DeltaExport.checkpointDeltaTable(spark, dir)
+    DeltaExport.expireLogBefore(dir)
+    DeltaExport.appendDeltaTable(spark, Seq((200L, 0L)).toDF("id", "v"),
+      dir)                                                      // v5
+    val at5 = idMap()
+    assert(at5.values.toSeq.distinct.size === at5.size,
+      "row ids must stay unique after checkpoint + expiry + append")
+    assert(at5(200L) > at3.values.max)
+    // a shallow clone carries identity + watermark: reads agree, and a
+    // clone-side append allocates above the SOURCE's ids
+    val cl = java.nio.file.Files
+      .createTempDirectory("graft_delta_rtclone").toString
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cl))
+    DeltaExport.cloneDeltaTableShallow(spark, dir, cl)
+    assert(DeltaExport.readDeltaTableWithRowIds(spark, cl)
+      .select(col("id"), col("_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === at5)
+    DeltaExport.appendDeltaTable(spark, Seq((300L, 0L)).toDF("id", "v"), cl)
+    val clIds = DeltaExport.readDeltaTableWithRowIds(spark, cl)
+      .select(col("id"), col("_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clIds(300L) > at5.values.max)
+    // row-REWRITING ops refuse by name; the id-safe family worked above
+    def refuses(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("ROW-TRACKED"), e.getMessage)
+    }
+    refuses(DeltaExport.updateDeltaTableDv(spark, dir,
+      col("id") === 0L, Map("v" -> lit(1L))))
+    refuses(DeltaExport.overwriteDeltaTable(spark,
+      Seq((1L, 1L)).toDF("id", "v"), dir))
+    refuses(DeltaExport.deleteFromDeltaTable(spark, dir, col("id") === 0L))
+    refuses(DeltaExport.mergeDeltaTable(spark,
+      Seq((0L, 5L)).toDF("id", "v"), dir, Seq("id")))
+    val eP = intercept[IllegalArgumentException](
+      DeltaExport.purgeDeletionVectors(spark, dir))
+    assert(eP.getMessage.contains("ROW-TRACKED"), eP.getMessage)
+    // double enablement refuses
+    assert(intercept[IllegalArgumentException](
+      DeltaExport.enableRowTracking(spark, dir))
+      .getMessage.contains("already enabled"))
+    Seq(dir, cl).foreach(d => org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(d)))
+    ()
   }
 
   test("Vacuum leaves a FRESH commit staging file for a live writer, reclaims an aged one") {
