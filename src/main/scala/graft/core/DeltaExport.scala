@@ -1235,32 +1235,39 @@ object DeltaExport {
     val readSchema = StructType(rs.fields ++
       (matId.toSeq ++ matRcv.toSeq).distinct.map(n =>
         StructField(n, LongType)))
+    // files join by BASENAME (the fileStatsFor discipline): the
+    // _metadata.file_path URI percent-encodes directory names, so a
+    // full-path key would silently miss on any encoded table path and
+    // NULL every id; part-file basenames carry a uuid and stay unique
+    // across clone-mixed file sets
     def attach(df: DataFrame): DataFrame =
       df.withColumn("__pos", col("_metadata.row_index"))
         .withColumn("__file",
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+    val tagCols = readSchema.fieldNames.toSeq ++ Seq("__pos", "__file")
     val (dvFiles, plain) = files.partition(dvs.contains)
     val parts =
       (if (plain.nonEmpty)
         Seq(attach(ctx.session.read.schema(readSchema)
           .parquet(plain.map(f => resolveDataPath(dir, f)): _*)))
       else Nil) ++
-      dvFiles.sorted.map { f =>
-        import ctx.session.implicits._
-        val deleted = DeletionVectors.positions(dir, dvs(f)).toSeq
-          .toDF("__pos")
+      // DV masking through the shared primitive — one implementation
+      dvFiles.sorted.map(f => dvAntiJoin(spark, dir,
         attach(ctx.session.read.schema(readSchema)
-            .parquet(resolveDataPath(dir, f)))
-          .join(deleted, Seq("__pos"), "left_anti")
-      }
+          .parquet(resolveDataPath(dir, f))), dvs(f), tagCols))
     val scanned = parts.reduce(_.unionByName(_))
     import spark.implicits._
-    val infoDf = files.map { f =>
+    val info = files.map { f =>
       val (br, dr) = rowIds.getOrElse(f,
         (Option.empty[Long], Option.empty[Long]))
-      (Paths.get(resolveDataPath(dir, f)).toAbsolutePath.normalize.toString,
-        br, dr)
-    }.toDF("__file", "__base", "__drcv")
+      (Paths.get(resolveDataPath(dir, f)).getFileName.toString, br, dr)
+    }
+    // basename collisions would fan every matching row out to BOTH
+    // info rows — refuse loudly rather than silently duplicate
+    require(info.map(_._1).distinct.size == info.size,
+      "row-id scan found files sharing a basename — the basename join " +
+        "key is ambiguous for this file set")
+    val infoDf = info.toDF("__file", "__base", "__drcv")
     val joined = scanned.join(broadcast(infoDf), Seq("__file"), "left")
     val ridFallback = col("__base") + col("__pos")
     val rid = matId.map(n => coalesce(col(n), ridFallback))
@@ -1318,8 +1325,13 @@ object DeltaExport {
     val fromSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(stFrom.meta))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val extinct = fromSchema.fieldNames
-      .filterNot(toSchema.fieldNames.contains)
+    // field survival checks by IDENTITY (mapping id / physical bridge /
+    // name), so a mapped-table rename between the versions is a match,
+    // not a false "dropped column"
+    val extinct = fromSchema.fields
+      .filterNot(ff => toSchema.fields.exists(tf =>
+        sameFieldIdentity(ff, tf)))
+      .map(_.name)
     require(extinct.isEmpty,
       s"columns ${extinct.mkString(",")} of v$fromVersion are gone in " +
         s"v$toVersion — a snapshot diff cannot represent a dropped column")
@@ -1327,22 +1339,30 @@ object DeltaExport {
       stFrom.dvs.toMap, stFrom.rowIds.toMap)
     val post = scanFilesWithRowIds(spark, dir, stTo.meta, added,
       stTo.dvs.toMap, stTo.rowIds.toMap)
-    val pre = toSchema.fields
-      .filterNot(f => fromSchema.fieldNames.contains(f.name))
-      .foldLeft(pre0)((d, f) =>
-        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    // the pre side ALIGNS into the to-schema through the CDF reader's
+    // machinery: renames resolve by identity, widened types cast, new
+    // columns read NULL — without this, a typeWidening or rename
+    // between the versions would break the image comparison
+    val pre = alignToSchema(pre0, fromSchema, toSchema,
+      Seq("_row_id", "_row_commit_version"))
     Seq(fromVersion -> pre, toVersion -> post).foreach { case (v, df) =>
-      require(df.filter(col("_row_id").isNull).limit(1).collect().isEmpty,
-        s"changed file(s) of v$v hold rows WITHOUT a row id (written " +
-          "before tracking was enabled) — identity-keyed CDC is not " +
-          "derivable; use deltaChangesBetween with key columns")
-      val dup = df.groupBy(col("_row_id"))
-        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1)
-        .collect()
-      require(dup.isEmpty,
-        s"changed files of v$v hold duplicate _row_id " +
-          s"${dup.head.getLong(0)} — the log violates row tracking's " +
-          "unique-id invariant")
+      // ONE guard job per side: group by id, then fold null-id row
+      // count and the max group size out of one aggregate
+      val g = df.groupBy(col("_row_id")).agg(count(lit(1)).as("__c"))
+        .agg(
+          sum(when(col("_row_id").isNull, col("__c")).otherwise(lit(0L)))
+            .as("__nulls"),
+          max(when(col("_row_id").isNotNull, col("__c"))).as("__maxc"))
+        .collect().head
+      val nulls = if (g.isNullAt(0)) 0L else g.getLong(0)
+      val maxc = if (g.isNullAt(1)) 0L else g.getLong(1)
+      require(nulls == 0L,
+        s"changed file(s) of v$v hold $nulls row(s) WITHOUT a row id " +
+          "(written before tracking was enabled) — identity-keyed CDC " +
+          "is not derivable; use deltaChangesBetween with key columns")
+      require(maxc <= 1L,
+        s"changed files of v$v hold a duplicate _row_id — the log " +
+          "violates row tracking's unique-id invariant")
     }
     // the image deliberately EXCLUDES _row_commit_version: a rewrite
     // that preserves a row's id and values but re-stamps its default
@@ -4092,6 +4112,20 @@ object DeltaExport {
     // baseRowId range above the watermark (the spec's always-assign
     // rule; the materialized columns override on read)
     val rowTracked = rowTrackingEnabled(snap.meta)
+    // every live file must carry a baseRowId, or the compaction would
+    // materialize NULL for its rows and the fresh file's baseRowId
+    // would INVENT identities on the next read — refuse by name
+    // (driver-side, no extra job; the spec obliges baseRowId on every
+    // add of a tracked table anyway)
+    if (rowTracked) {
+      val untracked = snap.live.toSeq
+        .filterNot(f => snap.rowIds.get(f).exists(_._1.isDefined))
+        .sorted
+      require(untracked.isEmpty,
+        s"OPTIMIZE on a ROW-TRACKED table with baseRowId-less live " +
+          s"file(s) ${untracked.mkString(", ")} — their rows have no " +
+          "identity to preserve; a compaction would invent ids")
+    }
     val conf = configurationOf(snap.meta)
     val matCols: Seq[(String, String)] =
       if (!rowTracked) Nil

@@ -127,7 +127,15 @@ object CdfStream {
     }
     var more = true
     while (more) {
-      val latest = DeltaExport.logVersions(tableDir).max
+      // a fully-expired log (checkpoint only, every JSON commit
+      // reclaimed) still answers the quiet poll: the checkpoint
+      // version bounds what could exist
+      val latest = (DeltaExport.lastCheckpoint(tableDir)
+        .map(_.version).toSeq ++ DeltaExport.logVersions(tableDir)) match {
+        case Seq() => throw new IllegalStateException(
+          s"$tableDir has neither JSON commits nor a checkpoint")
+        case vs => vs.max
+      }
       if (latest <= watermark) more = false
       else {
         val to = math.min(latest, watermark + maxVersionsPerBatch)
@@ -137,6 +145,13 @@ object CdfStream {
         handler(DeltaExport.readDeltaCdf(spark, tableDir, watermark,
           Some(to)), batch)
         writeAtomic(commitsDir(checkpointDir).resolve(nextId.toString), "{}")
+        // bounded checkpoint: only the LAST (offsets, commits) pair is
+        // ever consulted on restart — older entries are dead weight a
+        // long-lived stream would otherwise accumulate without bound
+        // (one extra pair kept for forensics)
+        Seq(offsetsDir(checkpointDir), commitsDir(checkpointDir))
+          .foreach(d => batchIdsIn(d).filter(_ < nextId - 1)
+            .foreach(b => Files.deleteIfExists(d.resolve(b.toString))))
         delivered += batch
         watermark = to
         nextId += 1
@@ -193,6 +208,15 @@ object CdfStream {
       // different, already-committed directory and stays untouched
       next.write.mode("overwrite")
         .parquet(stateDir(checkpointDir, batch.batchId).toString)
+      // bounded state: batch b's handler runs only after b-1 committed,
+      // so snapshots older than b-1 are unreachable by any replay —
+      // prune them or a long-lived stream holds every aggregate ever
+      // (batch b-1 itself stays: it is THIS batch's replay pre-state)
+      val stateRoot = Paths.get(checkpointDir, "state")
+      batchIdsIn(stateRoot).filter(_ < batch.batchId - 1).foreach { b =>
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          stateDir(checkpointDir, b).toFile)
+      }
     }
 
   // ---- CDF stream → incremental semantic dedup (the clean-corpus loop) ----
@@ -213,10 +237,13 @@ object CdfStream {
       DeltaExport.writeDeltaTable(spark, arrivals.filter(lit(false)),
         keptDir)
     val existing = DeltaExport.readDeltaTable(spark, keptDir)
+    // the survivor list joins under a reserved alias — a bare "id"
+    // would be ambiguous whenever the arrivals frame itself carries a
+    // column of that name
     val keptIds = graft.ops.Dedup.semanticDedupIncrementalBlocked(
         existing, arrivals, vecCol, idCol, threshold, centroidRel, probes)
-      .filter(col("kept")).select(col("id"))
-    arrivals.join(keptIds, arrivals(idCol) === col("id"))
+      .filter(col("kept")).select(col("id").as("__kept_id"))
+    arrivals.join(keptIds, arrivals(idCol) === col("__kept_id"))
       .select(arrivals.columns.map(arrivals(_)).toIndexedSeq: _*)
       .localCheckpoint(eager = true)
   }

@@ -3020,6 +3020,33 @@ class TableStoreSpec extends SparkTestBase {
     ()
   }
 
+  test("Row tracking survives a URI-encoded table path: ids resolve and OPTIMIZE preserves them under a directory with a space (r20 review)") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    // _metadata.file_path percent-encodes this directory name; a
+    // full-path join key would miss every file, NULL the ids, and the
+    // OPTIMIZE would then materialize NULL — silently re-identifying
+    // every row (the review-wave finding)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_delta_rt enc").toString
+    val dir = java.nio.file.Paths.get(root, "my table").toString
+    DeltaExport.writeDeltaTable(spark,
+      (0L until 10L).map(i => (i, i)).toDF("id", "v").repartition(2), dir)
+    DeltaExport.enableRowTracking(spark, dir)
+    def idMap(): Map[Long, Long] =
+      DeltaExport.readDeltaTableWithRowIds(spark, dir)
+        .select(col("id"), col("_row_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at1 = idMap()
+    assert(at1.size === 10 && !at1.values.exists(_ < 0),
+      s"ids must resolve under an encoded path: $at1")
+    assert(at1.values.toSeq.sorted === (0L until 10L))
+    DeltaExport.optimizeDeltaTable(spark, dir, targetFiles = 1)
+    assert(idMap() === at1, "ids must survive OPTIMIZE under an " +
+      "encoded path")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("Vacuum leaves a FRESH commit staging file for a live writer, reclaims an aged one") {
     import graft.core.DeltaExport
     import spark.implicits._
