@@ -3047,6 +3047,45 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("CDF x row tracking on one table: the DV delete feeds change data AND keeps ids; both readers agree (r20)") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_cdfrt").toString
+    DeltaExport.writeDeltaTable(spark,
+      (0L until 12L).map(i => (i, i * 10)).toDF("id", "v")
+        .repartition(2), dir)
+    val p0 = java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000000.json")
+    java.nio.file.Files.write(p0, new String(
+      java.nio.file.Files.readAllBytes(p0), "UTF-8")
+      .replace(""""configuration":{}""",
+        """"configuration":{"delta.enableChangeDataFeed":"true"}""")
+      .getBytes("UTF-8"))
+    DeltaExport.enableRowTracking(spark, dir)                     // v1
+    val before = DeltaExport.readDeltaTableWithRowIds(spark, dir)
+      .select(col("id"), col("_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vD = DeltaExport.deleteFromDeltaTableDv(spark, dir,
+      col("id") % 4 === 1)                                        // v2
+    // the CDF feed carries the deletes …
+    val feed = DeltaExport.readDeltaCdf(spark, dir, vD - 1, Some(vD))
+      .select(col("id"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((1L, "delete"), (5L, "delete"), (9L, "delete")))
+    // … and the survivors keep their ids (the id-safe mask); the
+    // identity CDC agrees with the feed on which rows left
+    val after = DeltaExport.readDeltaTableWithRowIds(spark, dir)
+      .select(col("id"), col("_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === before.filter { case (id, _) => id % 4 != 1 })
+    val byId = DeltaExport.deltaChangesByRowId(spark, dir, vD - 1, vD)
+      .select(col("id"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(byId === feed)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Vacuum leaves a FRESH commit staging file for a live writer, reclaims an aged one") {
     import graft.core.DeltaExport
     import spark.implicits._
