@@ -513,7 +513,8 @@ object DeltaExport {
         "append never evolves the schema implicitly")
     val cmCtx = mappingCtx(spark, meta, tableSchema)
     enforceCheckConstraints(meta, batch, "APPEND")
-    enforceWriterObligations(meta, "APPEND", removesData = false, Some(df))
+    enforceWriterObligations(meta, "APPEND", removesData = false, Some(df),
+      protocol = st.protocol)
     val before = dataFilesRelative(dir).toSet
     // under mapping the Hive directories (and therefore the adds'
     // partitionValues keys) carry PHYSICAL names — the protocol rule
@@ -934,7 +935,7 @@ object DeltaExport {
     // identity column must refuse, but the writer's own allocation is
     // not an explicit insert
     enforceWriterObligations(appendMeta, "APPEND", removesData = false,
-      Some(df), rowTrackingCapable = true)
+      Some(df), rowTrackingCapable = true, protocol = st.protocol)
     val before = dataFiles(dir).map(_.getFileName.toString).toSet
     toPhysicalFrame(batch, tableSchema.fields.toSeq, cmCtx.mode)
       .write.mode("append").parquet(dir)
@@ -943,8 +944,12 @@ object DeltaExport {
     val now = System.currentTimeMillis()
     // row-tracked appends allocate fresh baseRowIds above the high
     // watermark and advance the rowTracking domain in the same commit
+    // — in BOTH phases: a supported-but-not-yet-enabled table (feature
+    // declared, property off) still obliges every add to carry an id,
+    // or a later enablement could never identify these rows
     val (adds, tailActions) =
-      if (!rowTrackingEnabled(appendMeta))
+      if (!rowTrackingEnabled(appendMeta) &&
+          !rowTrackingDeclared(st.protocol))
         (addActions(spark, fresh, now), Seq.empty[String])
       else {
         val (a, hwm) = rowTrackedAddActions(spark, fresh, now, v,
@@ -986,7 +991,7 @@ object DeltaExport {
     val cdf = cdfEnabled(snap.meta)
     enforceCheckConstraints(snap.meta, df, "OVERWRITE")
     enforceWriterObligations(snap.meta, "OVERWRITE", removesData = true,
-      Some(df), emitsChangeData = cdf)
+      Some(df), emitsChangeData = cdf, protocol = snap.protocol)
     val live = snap.live.toSet
     val cmCtx = mappingCtx(spark, snap.meta, tableSchema)
     var conf = configurationOf(snap.meta)
@@ -1239,11 +1244,17 @@ object DeltaExport {
     // _metadata.file_path URI percent-encodes directory names, so a
     // full-path key would silently miss on any encoded table path and
     // NULL every id; part-file basenames carry a uuid and stay unique
-    // across clone-mixed file sets
+    // across clone-mixed file sets. The basename SEGMENT is encoded by
+    // the same URI rule, so the driver-side key below encodes each
+    // logged name identically — a foreign 'my file.parquet' add reads
+    // back as 'my%20file.parquet' on both sides of the join.
     def attach(df: DataFrame): DataFrame =
       df.withColumn("__pos", col("_metadata.row_index"))
         .withColumn("__file",
           element_at(split(col("_metadata.file_path"), "/"), -1))
+    def encSeg(name: String): String =
+      new java.net.URI(null, null, "/" + name, null)
+        .getRawPath.stripPrefix("/")
     val tagCols = readSchema.fieldNames.toSeq ++ Seq("__pos", "__file")
     val (dvFiles, plain) = files.partition(dvs.contains)
     val parts =
@@ -1260,7 +1271,8 @@ object DeltaExport {
     val info = files.map { f =>
       val (br, dr) = rowIds.getOrElse(f,
         (Option.empty[Long], Option.empty[Long]))
-      (Paths.get(resolveDataPath(dir, f)).getFileName.toString, br, dr)
+      (encSeg(Paths.get(resolveDataPath(dir, f)).getFileName.toString),
+        br, dr)
     }
     // basename collisions would fan every matching row out to BOTH
     // info rows — refuse loudly rather than silently duplicate
@@ -1342,10 +1354,15 @@ object DeltaExport {
     // the pre side ALIGNS into the to-schema through the CDF reader's
     // machinery: renames resolve by identity, widened types cast, new
     // columns read NULL — without this, a typeWidening or rename
-    // between the versions would break the image comparison
+    // between the versions would break the image comparison.
+    // Both slices snapshot eagerly: the guard aggregates below would
+    // otherwise re-read every changed file a second time before the
+    // classification join does — 4 scans of the change set instead of 2
     val pre = alignToSchema(pre0, fromSchema, toSchema,
       Seq("_row_id", "_row_commit_version"))
-    Seq(fromVersion -> pre, toVersion -> post).foreach { case (v, df) =>
+      .localCheckpoint(eager = true)
+    val postS = post.localCheckpoint(eager = true)
+    Seq(fromVersion -> pre, toVersion -> postS).foreach { case (v, df) =>
       // ONE guard job per side: group by id, then fold null-id row
       // count and the max group size out of one aggregate
       val g = df.groupBy(col("_row_id")).agg(count(lit(1)).as("__c"))
@@ -1371,7 +1388,7 @@ object DeltaExport {
     val cols = toSchema.fieldNames.toSeq
     def image(df: DataFrame, side: String) = df.select(
       Seq(col("_row_id"), struct(cols.map(col): _*).as(s"__$side")): _*)
-    val joined = image(pre, "pre").join(image(post, "post"),
+    val joined = image(pre, "pre").join(image(postS, "post"),
       Seq("_row_id"), "full_outer")
     val inserts = joined.filter(col("__pre").isNull)
       .select(col("_row_id"), col("__post").as("__r"))
@@ -1391,10 +1408,19 @@ object DeltaExport {
         Seq(col("_row_id"), col("_change_type")): _*)
   }
 
-  /** Whether the table binds the row-tracking writer obligation. */
+  /** Whether the table binds the row-tracking STABILITY obligation
+    * (ids must be preserved across rewrites). */
   private def rowTrackingEnabled(meta: String): Boolean =
     configurationOf(meta).get("delta.enableRowTracking")
       .exists(_.equalsIgnoreCase("true"))
+
+  /** Whether the protocol DECLARES rowTracking in writerFeatures — the
+    * spec's "supported" phase: every new add must carry a baseRowId
+    * even before delta.enableRowTracking flips stability on (a later
+    * enablement does not backfill), but rewrites need not preserve
+    * ids yet. */
+  private def rowTrackingDeclared(protocol: String): Boolean =
+    Option(protocol).exists(_.contains(""""rowTracking""""))
 
   /** The rowTracking domain's watermark-advance action. */
   private def rowTrackingDomainAction(hwm: Long): String =
@@ -1448,6 +1474,16 @@ object DeltaExport {
     require(!conf0.get("delta.enableRowTracking")
         .exists(_.equalsIgnoreCase("true")),
       "row tracking is already enabled")
+    // a foreign table in the SUPPORTED phase already carries baseRowIds
+    // and a watermark the spec says an enablement must preserve — this
+    // backfill assigns from 0 and would RE-IDENTIFY every row, so it
+    // upgrades genuinely untracked tables only
+    require(snap.rowIds.isEmpty &&
+        !snap.domains.contains("delta.rowTracking"),
+      "table already carries row-tracking state (baseRowIds or a " +
+        "rowIdHighWaterMark domain) — enabling over partial foreign " +
+        "state would re-identify rows; this enabler upgrades untracked " +
+        "tables only")
     require(partitionColumnsOf(snap.meta).isEmpty,
       "row tracking here supports unpartitioned tables only — the " +
         "row-id scan does not re-attach partition columns")
@@ -1487,20 +1523,11 @@ object DeltaExport {
     // untouched (rowTracking is writer-only — old readers still read)
     val cur = Option(snap.protocol).getOrElse(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
-    val mrvRe = """"minReaderVersion":(\d+)""".r
-    val mwvRe = """"minWriterVersion":(\d+)""".r
-    val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
-    val wfRe = """"writerFeatures":\[([^\]]*)\]""".r
-    def feats(re: scala.util.matching.Regex): Option[Set[String]] =
-      re.findFirstMatchIn(cur).map(m => jsonStrRe.findAllMatchIn(m.group(1))
-        .map(e => unescapeJson(e.group(1))).toSet)
-    val mrv = mrvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(1)
-    val mwv = mwvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(2)
-    val wf0 = feats(wfRe).getOrElse(legacyWriterFeatures(mwv))
+    val (mrv, _, rf, wf0) = parseProtocolLine(cur)
     def render(fs: Set[String]) =
       fs.toSeq.sorted.map(f => s""""${esc(f)}"""").mkString(",")
-    val rfField = feats(rfRe)
-      .map(rf => s""","readerFeatures":[${render(rf)}]""")
+    val rfField = rf
+      .map(r => s""","readerFeatures":[${render(r)}]""")
       .getOrElse(if (mrv >= 3) s""","readerFeatures":[]""" else "")
     val protoAction =
       s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7$rfField,"writerFeatures":[${render(
@@ -1948,7 +1975,8 @@ object DeltaExport {
     // a partitioned row-tracked table (foreign — our enable is
     // flat-only) still refuses by name
     enforceWriterObligations(snap.meta, "APPEND", removesData = false,
-      Some(df), rowTrackingCapable = pcols.isEmpty)
+      Some(df), rowTrackingCapable = pcols.isEmpty,
+      protocol = snap.protocol)
     // partitioned tables take the Hive-layout write and relative-path
     // adds; flat tables the top-level form — the txn line is the same
     val before = dataFilesRelative(dir).toSet
@@ -1960,7 +1988,8 @@ object DeltaExport {
     require(fresh.nonEmpty, "append produced no data files")
     val now = System.currentTimeMillis()
     val (adds, tailActions) =
-      if (!rowTrackingEnabled(snap.meta))
+      if (!rowTrackingEnabled(snap.meta) &&
+          !rowTrackingDeclared(snap.protocol))
         (addActionsRelative(spark, dir, fresh, now), Seq.empty[String])
       else {
         val (a, hwm) = rowTrackedAddActions(spark,
@@ -2015,7 +2044,7 @@ object DeltaExport {
     // id / name, the same rule the overwrite feed follows.
     val cdf = cdfEnabled(now.meta)
     enforceWriterObligations(now.meta, "RESTORE", removesData = true, None,
-      emitsChangeData = cdf)
+      emitsChangeData = cdf, protocol = now.protocol)
     val gone = then_.live.toSeq
       .filterNot(f => Files.isRegularFile(
         Paths.get(resolveDataPath(dir, f))))
@@ -2644,7 +2673,8 @@ object DeltaExport {
     // change set is emitted below
     val cdf = cdfEnabled(snap.meta)
     enforceWriterObligations(snap.meta, "MERGE",
-      removesData = touched.nonEmpty, Some(merged), emitsChangeData = cdf)
+      removesData = touched.nonEmpty, Some(merged), emitsChangeData = cdf,
+      protocol = snap.protocol)
     val before = dataFilesRelative(dir).toSet
     val freshNeeded = merged.limit(1).collect().nonEmpty
     if (freshNeeded) {
@@ -2797,7 +2827,7 @@ object DeltaExport {
     val snap = snapshotState(spark, dir, None, keepStats = false)
     val cdf = cdfEnabled(snap.meta)
     enforceWriterObligations(snap.meta, "DELETE", removesData = true, None,
-      emitsChangeData = cdf)
+      emitsChangeData = cdf, protocol = snap.protocol)
     val pcols = partitionColumnsOf(snap.meta)
     val live = snap.live.toSeq
     require(live.nonEmpty, "no live files to delete from")
@@ -2869,6 +2899,27 @@ object DeltaExport {
       5 -> Set("columnMapping"),
       6 -> Set("identityColumns"))
       .filter(_._1 <= mwv).flatMap(_._2).toSet
+
+  /** One protocol-line parse for the feature-adding upgraders:
+    * (minReaderVersion, minWriterVersion, readerFeatures-as-declared,
+    * effective writerFeatures — the declared list, or the legacy
+    * implication of minWriterVersion when the table predates table
+    * features). readerFeatures stays an Option so a writerFeatures-only
+    * {1,7} table is distinguishable from a declared-empty list. */
+  private def parseProtocolLine(cur: String)
+      : (Int, Int, Option[Set[String]], Set[String]) = {
+    val mrvRe = """"minReaderVersion":(\d+)""".r
+    val mwvRe = """"minWriterVersion":(\d+)""".r
+    val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
+    val wfRe = """"writerFeatures":\[([^\]]*)\]""".r
+    def feats(re: scala.util.matching.Regex): Option[Set[String]] =
+      re.findFirstMatchIn(cur).map(m => jsonStrRe.findAllMatchIn(m.group(1))
+        .map(e => unescapeJson(e.group(1))).toSet)
+    val mrv = mrvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(1)
+    val mwv = mwvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(2)
+    (mrv, mwv, feats(rfRe),
+      feats(wfRe).getOrElse(legacyWriterFeatures(mwv)))
+  }
 
   /** The protocol action that declares WRITER feature `feature`, if
     * any — the one upgrade rule check constraints, identity columns
@@ -3111,18 +3162,23 @@ object DeltaExport {
   private def enforceWriterObligations(meta: String, op: String,
       removesData: Boolean, batch: Option[DataFrame],
       emitsChangeData: Boolean = false,
-      rowTrackingCapable: Boolean = false): Unit = {
+      rowTrackingCapable: Boolean = false,
+      protocol: String = null): Unit = {
     val conf = configurationOf(meta)
     // Delta parses boolean properties case-insensitively
     // (Boolean.parseBoolean) — "True"/"TRUE" bind the same obligation
     def boolProp(key: String): Boolean =
       conf.get(key).exists(_.equalsIgnoreCase("true"))
-    // row tracking binds every writer: the ops that ALLOCATE fresh
-    // baseRowIds (appends), stay id-safe by construction (pure-mask DV
-    // deletes), or MATERIALIZE ids on rewrite (flat OPTIMIZE) pass
-    // rowTrackingCapable = true; every row-REWRITING op that would
-    // break the stable-id invariant refuses by name
-    if (boolProp("delta.enableRowTracking") && !rowTrackingCapable)
+    // row tracking binds every writer — in BOTH phases: once the
+    // protocol declares the feature ("supported"), every new add must
+    // carry a baseRowId; once the property flips ("enabled"), ids must
+    // additionally be preserved across rewrites. The ops that ALLOCATE
+    // fresh baseRowIds (appends), stay id-safe by construction
+    // (pure-mask DV deletes), or MATERIALIZE ids on rewrite (flat
+    // OPTIMIZE) pass rowTrackingCapable = true; every other
+    // file-writing op refuses by name
+    if ((boolProp("delta.enableRowTracking") ||
+        rowTrackingDeclared(protocol)) && !rowTrackingCapable)
       throw new IllegalArgumentException(
         s"$op on a ROW-TRACKED table (delta.enableRowTracking=true) is " +
           "refused — this op rewrites rows without preserving their " +
@@ -3727,7 +3783,7 @@ object DeltaExport {
     // identity fields verbatim (dvRewriteActions)
     enforceWriterObligations(snap.meta, "DELETE (deletion vectors)",
       removesData = true, None, emitsChangeData = cdf,
-      rowTrackingCapable = true)
+      rowTrackingCapable = true, protocol = snap.protocol)
     val live = snap.live.toSeq
     require(live.nonEmpty, "no live files to delete from")
     val target = liveTargetWithFile(spark, dir, snap, withPos = true)
@@ -3829,7 +3885,8 @@ object DeltaExport {
     // DELETE twins; the batch-level obligations run later on `updated`
     val cdf = cdfEnabled(snap.meta)
     enforceWriterObligations(snap.meta, "UPDATE (deletion vectors)",
-      removesData = true, None, emitsChangeData = cdf)
+      removesData = true, None, emitsChangeData = cdf,
+      protocol = snap.protocol)
     val pcols = partitionColumnsOf(snap.meta)
     val updSchema = org.apache.spark.sql.types.DataType
       .fromJson(schemaStringOf(snap.meta))
@@ -3886,7 +3943,7 @@ object DeltaExport {
     enforceCheckConstraints(snap.meta, updated, "UPDATE")
     // batch-level obligations only — the removesData leg already fired
     enforceWriterObligations(snap.meta, "UPDATE (deletion vectors)",
-      removesData = false, Some(updated))
+      removesData = false, Some(updated), protocol = snap.protocol)
     val before = dataFilesRelative(dir).toSet
     val physUpd = toPhysicalFrame(updated, updSchema.fields.toSeq, cmCtx.mode)
     if (pcols.isEmpty) physUpd.write.mode("append").parquet(dir)
@@ -3952,7 +4009,8 @@ object DeltaExport {
     import spark.implicits._
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
-    require(!rowTrackingEnabled(snap.meta),
+    require(!rowTrackingEnabled(snap.meta) &&
+        !rowTrackingDeclared(snap.protocol),
       "PURGE on a ROW-TRACKED table is refused — the rewrite scrambles " +
         "positions without materializing ids; OPTIMIZE (which " +
         "materializes and also purges vectors) is the supported move")
@@ -4111,7 +4169,12 @@ object DeltaExport {
     // preservation rule; the fresh adds still allocate their own
     // baseRowId range above the watermark (the spec's always-assign
     // rule; the materialized columns override on read)
+    // ENABLED: materialize ids into the hidden columns (stability).
+    // SUPPORTED-only (feature declared, property off): adds must still
+    // carry fresh baseRowIds, but stability is not yet promised — the
+    // compaction allocates without materializing, the spec's rule.
     val rowTracked = rowTrackingEnabled(snap.meta)
+    val rtDeclared = rowTrackingDeclared(snap.protocol)
     // every live file must carry a baseRowId, or the compaction would
     // materialize NULL for its rows and the fresh file's baseRowId
     // would INVENT identities on the next read — refuse by name
@@ -4174,7 +4237,7 @@ object DeltaExport {
     val removes = live.sorted.map(p =>
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":$now,"dataChange":false}}""")
     val (adds, tailActions) =
-      if (!rowTracked)
+      if (!rowTracked && !rtDeclared)
         (addActions(spark, fresh, now, dataChange = false),
           Seq.empty[String])
       else {
@@ -4207,7 +4270,8 @@ object DeltaExport {
     require(targetFilesPerPartition >= 1, "targetFilesPerPartition must be >= 1")
     val v = latestVersion(dir) + 1
     val snap = snapshotState(spark, dir, None, keepStats = false)
-    require(!rowTrackingEnabled(snap.meta),
+    require(!rowTrackingEnabled(snap.meta) &&
+        !rowTrackingDeclared(snap.protocol),
       "partitioned OPTIMIZE on a ROW-TRACKED table is refused — the " +
         "row-id scan does not re-attach partition columns, so the " +
         "rewrite cannot materialize ids")
@@ -6061,18 +6125,11 @@ object DeltaExport {
     val snap = snapshotState(spark, dir, None, keepStats = false)
     val cur = Option(snap.protocol).getOrElse(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
-    val mrvRe = """"minReaderVersion":(\d+)""".r
-    val mwvRe = """"minWriterVersion":(\d+)""".r
-    val rfRe = """"readerFeatures":\[([^\]]*)\]""".r
-    val wfRe = """"writerFeatures":\[([^\]]*)\]""".r
-    def feats(re: scala.util.matching.Regex): Option[Set[String]] =
-      re.findFirstMatchIn(cur).map(m => jsonStrRe.findAllMatchIn(m.group(1))
-        .map(e => unescapeJson(e.group(1))).toSet)
-    val mrv = mrvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(1)
-    val mwv = mwvRe.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(2)
-    val rf0 = feats(rfRe).getOrElse(
+    val (mrv, _, rf, wf0) = parseProtocolLine(cur)
+    // a legacy reader-v2 table implies columnMapping (the one legacy
+    // READER feature) when no explicit list exists
+    val rf0 = rf.getOrElse(
       if (mrv >= 2) Set("columnMapping") else Set.empty[String])
-    val wf0 = feats(wfRe).getOrElse(legacyWriterFeatures(mwv))
     require(!(rf0.contains("v2Checkpoint") && wf0.contains("v2Checkpoint")),
       "v2Checkpoint is already enabled")
     def render(fs: Set[String]) = (fs + "v2Checkpoint").toSeq.sorted
@@ -6147,12 +6204,12 @@ object DeltaExport {
     Files.createDirectories(scDir)
     import spark.implicits._
     // write one parquet under a temp dir, move its single part into
-    // place — the same publish discipline as the classic writer
-    def writeOne(rows: Seq[V2SidecarRow], dest: java.nio.file.Path): Unit = {
-      val tmp = Files.createTempDirectory("graft_v2cp_sc")
+    // place — ONE publish discipline for sidecars and manifest alike
+    // (the classic writer's rule)
+    def writeOne(df: DataFrame, dest: java.nio.file.Path): Unit = {
+      val tmp = Files.createTempDirectory("graft_v2cp_w")
       try {
-        spark.createDataset(rows).coalesce(1).write
-          .mode("overwrite").parquet(tmp.toString)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = dataFiles(tmp.toString).head
         Files.move(part, dest,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -6169,7 +6226,8 @@ object DeltaExport {
     val scRefs = groups.map { fs =>
       val name = s"${java.util.UUID.randomUUID()}.parquet"
       val dest = scDir.resolve(name)
-      writeOne(fs.map(f => V2SidecarRow(Some(addOf(f)))), dest)
+      writeOne(spark.createDataset(
+        fs.map(f => V2SidecarRow(Some(addOf(f))))).toDF(), dest)
       CpSidecarRef(name, Files.size(dest),
         Files.getLastModifiedTime(dest).toMillis)
     }
@@ -6190,14 +6248,8 @@ object DeltaExport {
       scRefs.map(r => V2ManifestRow(None, None, None, None, Some(r)))
     val manifestName =
       f"$v%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
-    val tmpM = Files.createTempDirectory("graft_v2cp_m")
-    try {
-      spark.createDataset(manifestRows).coalesce(1).write
-        .mode("overwrite").parquet(tmpM.toString)
-      Files.move(dataFiles(tmpM.toString).head,
-        logDir.resolve(manifestName),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmpM.toFile)
+    writeOne(spark.createDataset(manifestRows).toDF(),
+      logDir.resolve(manifestName))
     Files.write(logDir.resolve("_last_checkpoint"),
       s"""{"version":$v,"size":${manifestRows.size}}"""
         .getBytes(StandardCharsets.UTF_8))

@@ -276,8 +276,27 @@ object CdfStream {
         idCol, threshold, centroidRel, probes)
       if (!survivors.isEmpty) {
         DeltaExport.appendDeltaTableIdempotent(spark, survivors, keptDir,
-          "graft-cdf-dedup", batch.batchId)
+          s"graft-cdf-dedup:${streamId(checkpointDir)}", batch.batchId)
         ()
       }
     }
+
+  /** Stable per-stream identity, minted once into the checkpoint — the
+    * txn appId key (Structured Streaming's queryId discipline). A
+    * HARDCODED appId would make two streams feeding the same kept
+    * table, or one stream after a checkpoint reset, skip each other's
+    * batch ids as "already applied" and silently drop survivors. */
+  private def streamId(checkpointDir: String): String = {
+    val p = Paths.get(checkpointDir, "stream_id")
+    if (!Files.isRegularFile(p)) {
+      Files.createDirectories(p.getParent)
+      try writeAtomic(p, java.util.UUID.randomUUID().toString)
+      catch {
+        // a concurrent open of the same checkpoint minted it first —
+        // theirs wins (ATOMIC_MOVE onto an existing name may refuse)
+        case _: java.nio.file.FileSystemException => ()
+      }
+    }
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
+  }
 }

@@ -3086,6 +3086,60 @@ class TableStoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("Row tracking SUPPORTED phase: declared-but-not-enabled tables still get ids on every new add; rewrites refuse; enable refuses over partial state (r20 review)") {
+    import graft.core.DeltaExport
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_rtsupported").toString
+    DeltaExport.writeDeltaTable(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v").repartition(1), dir)
+    // foreign upgrade: the protocol DECLARES rowTracking (supported
+    // phase) but delta.enableRowTracking stays off — per the spec,
+    // every new add must carry a baseRowId from now on, or a later
+    // enablement could never identify these rows
+    val p0 = java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000000.json")
+    java.nio.file.Files.write(p0, new String(
+      java.nio.file.Files.readAllBytes(p0), "UTF-8")
+      .replace("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","domainMetadata","invariants","rowTracking"]}}""")
+      .getBytes("UTF-8"))
+    DeltaExport.appendDeltaTable(spark,
+      Seq((3L, 30L)).toDF("id", "v"), dir)                        // v1
+    val c1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000001.json")), "UTF-8")
+    assert(c1.contains(""""baseRowId":0"""), c1)
+    assert(c1.contains("rowIdHighWaterMark"), c1)
+    // reads surface the split honestly: pre-declaration rows have no
+    // identity, the new add does
+    val ids = DeltaExport.readDeltaTableWithRowIds(spark, dir)
+      .select(col("id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(ids(1L).isEmpty && ids(2L).isEmpty && ids(3L).contains(0L))
+    // rewriting DML refuses in the supported phase too (this writer
+    // cannot stamp ids on a rewrite's adds outside OPTIMIZE)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.updateDeltaTableDv(spark, dir, col("id") === 1L,
+        Map("v" -> lit(0L))))
+    assert(e.getMessage.contains("ROW-TRACKED"), e.getMessage)
+    // OPTIMIZE allocates fresh ids (stability is not promised yet,
+    // materialization needs no column names) — afterwards EVERY row
+    // carries an id and a later enablement could flip stability on
+    DeltaExport.optimizeDeltaTable(spark, dir, targetFiles = 1)    // v2
+    val after = DeltaExport.readDeltaTableWithRowIds(spark, dir)
+      .select(col("_row_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(after.size === 3 && after.distinct.size === 3 &&
+      after.forall(_ > 0L), after.toString)
+    // our enabler refuses over this partial foreign state — its
+    // from-zero backfill would re-identify rows
+    val eEn = intercept[IllegalArgumentException](
+      DeltaExport.enableRowTracking(spark, dir))
+    assert(eEn.getMessage.contains("partial"), eEn.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Vacuum leaves a FRESH commit staging file for a live writer, reclaims an aged one") {
     import graft.core.DeltaExport
     import spark.implicits._
