@@ -1591,6 +1591,59 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("CDF stream: a MULTI-version batch replays its exact recorded range after a crash; the fold still equals a direct recompute") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.core.DeltaExport
+    import graft.streaming.CdfStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cdfstream_mv").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cdfstream_mv_ckpt").toString
+    try {
+      DeltaExport.writeDeltaTable(spark,
+        (0L until 10L).map(i => (i, i % 3, i)).toDF("id", "g", "v"), dir)
+      val p0 = java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000000.json")
+      java.nio.file.Files.write(p0, new String(
+        java.nio.file.Files.readAllBytes(p0), "UTF-8")
+        .replace(""""configuration":{}""",
+          """"configuration":{"delta.enableChangeDataFeed":"true"}""")
+        .getBytes("UTF-8"))
+      DeltaExport.appendDeltaTable(spark,
+        Seq((100L, 0L, 7L)).toDF("id", "g", "v"), dir)             // v1
+      DeltaExport.deleteFromDeltaTableDv(spark, dir, col("id") === 3L) // v2
+      DeltaExport.appendDeltaTable(spark,
+        Seq((101L, 1L, 9L)).toDF("id", "g", "v"), dir)             // v3
+      // DEFAULT batching: one batch spans the whole backlog (-1, 3]
+      val r1 = CdfStream.runIncrementalAggregate(spark, dir, ckpt,
+        Seq("g"), Seq("v"))
+      assert(r1.map(b => (b.fromVersion, b.toVersion)) === Seq((-1L, 3L)))
+      // crash after the handler, before the marker: replay must cover
+      // the SAME multi-version range once, and the fold must not
+      // double-apply
+      java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt,
+        "commits", r1.head.batchId.toString))
+      val r2 = CdfStream.runIncrementalAggregate(spark, dir, ckpt,
+        Seq("g"), Seq("v"))
+      assert(r2.map(b => (b.fromVersion, b.toVersion, b.replayed)) ===
+        Seq((-1L, 3L, true)))
+      val got = CdfStream.currentAggregate(spark, ckpt).get
+        .select(col("g"), col("__cnt"), col("sum_v").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = graft.ops.Incremental.baseAggregate(
+          DeltaExport.readDeltaTable(spark, dir), Seq("g"), Seq("v"))
+        .select(col("g"), col("__cnt"), col("sum_v").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got === want)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("CDF stream: each commit delivered exactly once across a kill-restart; OPTIMIZE invisible; fold equals a direct recompute") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
