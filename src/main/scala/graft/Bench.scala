@@ -29,6 +29,16 @@ object Bench {
       // actual; see BASELINE.md r4 note). A long-lived production driver
       // sizes this cache to its workload for exactly the same reason.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // r21 (guide §3.1/§9): let the planner pick shuffled-hash join
+      // when its size conditions fit instead of always sort-merge —
+      // skips both sort passes on every non-broadcast equi-join. Not a
+      // local[32]-only setting: the planner still gates SHJ on per-
+      // partition build-side size, so at cluster scale oversized builds
+      // keep sort-merge; measured r21 on the SMJ-carrying rows
+      // (q101f/q151d/q162) at 7-10% each, no row regressed. Verify
+      // deliberately keeps the default so the declared-result surface
+      // is byte-stable against prior rounds.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

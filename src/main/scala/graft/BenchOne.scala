@@ -22,6 +22,9 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // mirror Bench's session exactly (r21): shuffled-hash join where
+      // the planner's size conditions fit — see the Bench.scala note
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def force(): Double = {

@@ -391,10 +391,20 @@ object Similarity {
         struct(lit(j).as("subspace"),
           slice(col("vd"), j * sub + 1, sub).as("sv"))): _*)).as("e"))
       .select(col("e.subspace").as("subspace"), col("vid"), col("e.sv").as("sv"))
-    val initW = Window.partitionBy(col("subspace")).orderBy(col("vid"))
-    var books = ex.withColumn("rn", row_number().over(initW))
-      .filter(col("rn") <= ksub)
-      .select(col("subspace"), (col("rn") - 1).as("code"), col("sv").as("codev"))
+    // Seed init via a model-sized top-ksub join, not a corpus window
+    // (r21): every vid appears in ALL m subspaces, so the per-subspace
+    // ksub lowest-vid rows are exactly the globally lowest ksub vids —
+    // the old row_number window sorted the whole exploded (subspace,
+    // subvector) relation across only m partitions to pick them. The
+    // kmeansSeedCentroidsMicros pattern instead: TakeOrdered the ksub
+    // smallest ids (model-sized), rank them in a ksub-row window, and
+    // broadcast-join back. Identical seed set, identical code order.
+    val seedW = Window.orderBy(col("vid"))
+    val seeds = corpus.select(col(idCol).as("vid")).orderBy(col("vid"))
+      .limit(ksub)
+      .select(col("vid"), (row_number().over(seedW) - 1).as("code"))
+    var books = ex.join(broadcast(seeds), Seq("vid"))
+      .select(col("subspace"), col("code"), col("sv").as("codev"))
       .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
       // m-row broadcast of the per-subspace codebook arrays; assignment

@@ -109,15 +109,27 @@ object Relational {
     * pharmaceutical_dashboard_queries.sql:13). Exact percentile is a
     * sort-based aggregate; at 100 TB prefer the sketch-based variant —
     * q04bApproxPercentile below. Oracle uses ANSI percentile_cont, which
-    * matches Spark's linear-interpolating exact percentile. */
+    * matches Spark's linear-interpolating exact percentile.
+    *
+    * ONE array-valued percentile, not four scalar calls (r21): each
+    * scalar `percentile()` is an independent TypedImperativeAggregate
+    * that builds and sorts its own value→count map over the same
+    * column, so the 4-quantile form paid the buffer + sort 4×. The
+    * array form shares one map and one sort across all quantiles —
+    * identical interpolation arithmetic per quantile, so the values
+    * (and the oracle hash) are unchanged. */
   val q04Percentile = GraftQuery(
     "q04_percentile",
     (s, dir) =>
-      t(s, dir, "orders").agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median"),
-        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
-        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95")),
+      t(s, dir, "orders")
+        .agg(expr(
+          "percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95))")
+          .as("__p"))
+        .select(
+          round(element_at(col("__p"), 1), 2).as("p25"),
+          round(element_at(col("__p"), 2), 2).as("median"),
+          round(element_at(col("__p"), 3), 2).as("p75"),
+          round(element_at(col("__p"), 4), 2).as("p95")),
     Some("""SELECT
       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice),2) AS p25,
       round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY o_totalprice),2) AS median,
