@@ -395,7 +395,11 @@ object Bench {
     // artifact lands. Bands restate HERE and in BASELINE.md together.
     val bands: Seq[(String, Double, Double)] = Seq(
       ("q51_dedup_clusters", 2.1, 3.4),
-      ("q51c_dedup_clusters_winnowed", 2.3, 3.4),
+      // floor restated r21 from neutral-window evidence (VERDICT r20
+      // item 4): the r20 judge's calm reading was 2.13 and this
+      // round's baseline run 2.128 — the old 2.30 floor was set from
+      // pre-r15-codegen loaded windows and flagged genuinely fast runs
+      ("q51c_dedup_clusters_winnowed", 2.0, 3.4),
       ("q51e_dedup_clusters_lsh", 2.1, 3.2),
       ("q101b_semantic_dedup_blocked", 0.85, 1.25),
       ("q104_duplicated_spans", 1.55, 1.85),
@@ -408,8 +412,12 @@ object Bench {
       // judge's calm reading 2.89, in-session pair 3.03 — the old 3.0
       // floor was set from loaded-window readings and read too high
       ("q122_curation_pipeline", 2.8, 3.4),
-      ("q167b_neighborhood_hyperball", 1.3, 2.3),
-      ("q167d_hyperball_collapsed", 1.2, 2.6))
+      // restated r21 after the Graph.symmetric pre-partition halved
+      // the per-round ball cost (OPTIMIZATION_r21.md change 4:
+      // reversed-order A/B 2.69-2.84 s -> 1.32-1.44 s per hyperBall
+      // call); old bands were 1.3-2.3 / 1.2-2.6
+      ("q167b_neighborhood_hyperball", 0.8, 1.8),
+      ("q167d_hyperball_collapsed", 0.9, 2.1))
     def normOf(sec: Double): Double =
       if (controlRatio > 0 && sec > 0) sec / controlRatio else -1.0
     val resMap = results.toMap

@@ -380,8 +380,19 @@ object Similarity {
     * count. Returns (subspace, code, codev: array<double>). */
   def pqCodebooks(
       corpus: DataFrame, vecCol: String, idCol: String,
-      m: Int, ksub: Int, iters: Int = 4): DataFrame = {
-    val d = corpus.select(size(col(vecCol))).head().getInt(0)
+      m: Int, ksub: Int, iters: Int = 4): DataFrame =
+    pqCodebooksKnownD(corpus, vecCol, idCol, m, ksub, iters,
+      corpus.select(size(col(vecCol))).head().getInt(0))
+
+  /** [[pqCodebooks]] with the vector dimension already known — the
+    * internal build path (r21): every one-row `head()` probe is a full
+    * Spark job, and the fused build+serve compositions ([[pqTopK]],
+    * [[ivfPqTopK]]) were paying 4-5 of them per call for shape facts
+    * they already hold. The self-describing probes stay on the PUBLIC
+    * serving entry points, where the index arrives from storage. */
+  private def pqCodebooksKnownD(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int, ksub: Int, iters: Int, d: Int): DataFrame = {
     require(d % m == 0, s"dimension $d not divisible by $m subspaces")
     val sub = d / m
     val ex = corpus
@@ -460,15 +471,20 @@ object Similarity {
     * codes[j] = the subspace-j codeword position. The compressed
     * representation an ANN serving layer stores instead of vectors. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-      codebooks: DataFrame, m: Int): DataFrame = {
-    val sub = codebooks.select(size(col("codev"))).head().getInt(0)
+      codebooks: DataFrame, m: Int): DataFrame =
+    pqEncodeKnown(corpus, idCol, vecCol, codebooks, m,
+      codebooks.select(size(col("codev"))).head().getInt(0))
+
+  /** [[pqEncode]] with the subspace width already known (the
+    * pqCodebooksKnownD rationale). */
+  private def pqEncodeKnown(corpus: DataFrame, idCol: String,
+      vecCol: String, codebooks: DataFrame, m: Int, sub: Int): DataFrame =
     withPqCodes(
       corpus.select(col(idCol),
           transform(col(vecCol), _.cast("double")).as("__vd"))
         .crossJoin(broadcast(pqOneRow(codebooks))),
       "__vd", m, sub)
       .select(col(idCol), col("codes"))
-  }
 
   /** PQ approximate top-k: train codebooks, encode the corpus, score
     * every candidate in the compressed domain (m table lookups per
@@ -495,10 +511,16 @@ object Similarity {
       queryId: String, queryVec: String,
       k: Int, m: Int = 16, ksub: Int = 32, iters: Int = 2,
       rerank: Int = 100): DataFrame = {
-    val books = pqCodebooks(corpus, corpusVec, corpusId, m, ksub, iters)
-    val encoded = pqEncode(corpus, corpusId, corpusVec, books, m)
-    pqTopKEncoded(encoded, books, corpus, queries,
-      corpusId, corpusId, corpusVec, queryId, queryVec, k, rerank)
+    // ONE dimension probe for the whole build+serve composition (r21):
+    // the codebook trainer, the encoder and the serving scan all derive
+    // their shape from (m, d) — probing each stage independently cost
+    // 4 extra one-row jobs per call
+    val d = corpus.select(size(col(corpusVec))).head().getInt(0)
+    val books = pqCodebooksKnownD(corpus, corpusVec, corpusId,
+      m, ksub, iters, d)
+    val encoded = pqEncodeKnown(corpus, corpusId, corpusVec, books, m, d / m)
+    pqTopKEncodedKnown(encoded, books, corpus, queries,
+      corpusId, corpusId, corpusVec, queryId, queryVec, k, rerank, m, d / m)
   }
 
   /** The SERVING phase of PQ top-k, against a PRE-BUILT index: score an
@@ -526,6 +548,21 @@ object Similarity {
     val m = codebooks.select(max(col("subspace"))).head().getInt(0) + 1
     val sub = codebooks.select(size(col("codev"))).head().getInt(0)
     requireCodesMatch(encoded, m)
+    pqTopKEncodedKnown(encoded, codebooks, corpus, queries, encId,
+      corpusId, corpusVec, queryId, queryVec, k, rerank, m, sub)
+  }
+
+  /** [[pqTopKEncoded]] with the index shape already known and
+    * guaranteed consistent (the internally-built [[pqTopK]] path —
+    * the pqCodebooksKnownD rationale; the mismatch guard only protects
+    * externally-supplied indexes). */
+  private def pqTopKEncodedKnown(
+      encoded: DataFrame, codebooks: DataFrame,
+      corpus: DataFrame, queries: DataFrame,
+      encId: String,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int, rerank: Int, m: Int, sub: Int): DataFrame = {
     val one = broadcast(pqOneRow(codebooks))
     // reconstructed squared norm from the codes alone — the serving scan
     // never needs a vector payload
@@ -633,10 +670,15 @@ object Similarity {
       m: Int = 16, ksub: Int = 32, iters: Int = 2,
       rerank: Int = 100): DataFrame = {
     val cents = kmeansCentroids(corpus, corpusVec, corpusId, cells, iters)
-    val books = pqCodebooks(corpus, corpusVec, corpusId, m, ksub, iters)
-    val sub = books.select(size(col("codev"))).head().getInt(0)
+    // one dimension probe for the whole composition (the pqTopK r21
+    // rationale) — trainer, encoder and index build share (m, d)
+    val d = corpus.select(size(col(corpusVec))).head().getInt(0)
+    val books = pqCodebooksKnownD(corpus, corpusVec, corpusId,
+      m, ksub, iters, d)
+    val sub = d / m
     val one = broadcast(pqOneRow(books))
-    val assigned = ivfPqIndex(corpus, corpusId, corpusVec, cents, books)
+    val assigned = ivfPqIndexKnown(corpus, corpusId, corpusVec, cents,
+      books, m, sub)
     val qrel = queries.select(col(queryId).cast("long").as("query_id"),
       col(queryVec).as("qv"))
     val probes = ivfPqProbes(qrel, cents, nprobe)
@@ -662,9 +704,17 @@ object Similarity {
     * planning-time partition pruning. */
   def ivfPqIndex(
       corpus: DataFrame, corpusId: String, corpusVec: String,
-      centroids: DataFrame, codebooks: DataFrame): DataFrame = {
-    val m = codebooks.select(max(col("subspace"))).head().getInt(0) + 1
-    val sub = codebooks.select(size(col("codev"))).head().getInt(0)
+      centroids: DataFrame, codebooks: DataFrame): DataFrame =
+    ivfPqIndexKnown(corpus, corpusId, corpusVec, centroids, codebooks,
+      codebooks.select(max(col("subspace"))).head().getInt(0) + 1,
+      codebooks.select(size(col("codev"))).head().getInt(0))
+
+  /** [[ivfPqIndex]] with the codebook shape already known (the
+    * pqCodebooksKnownD rationale). */
+  private def ivfPqIndexKnown(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      centroids: DataFrame, codebooks: DataFrame,
+      m: Int, sub: Int): DataFrame = {
     val c = corpus.select(col(corpusId), col(corpusVec).as("__cv"))
     withPqCodes(
         assignToCentroids(c, "__cv", centroids, byCosine = true)
