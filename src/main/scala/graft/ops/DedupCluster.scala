@@ -236,12 +236,23 @@ object DedupCluster {
     * path is unchanged (the fused pair is a no-op once the edge set is a
     * star forest).
     *
-    * Fixpoint detection is two-tier to keep the driver loop cheap: a
-    * one-pass (count, xor-hash) signature per materialization — one
-    * aggregate job, which is also the action that materializes the lazy
-    * checkpoint — and only when the signature repeats, ONE exact
-    * set-equality confirm (empty `except`). The signature alone would be
-    * a collision gamble; the single confirm makes termination exact.
+    * Fixpoint detection is STRUCTURAL (r22): the fixpoints of the
+    * alternating star rounds are exactly the star forests rooted at
+    * component minima (Kiveris et al. §3 — largeStar only relinks
+    * toward neighborhood minima, smallStar flattens what remains, and a
+    * star forest is invariant under both: every member's sole neighbor
+    * IS its component minimum, so `m(a) = root` on both sides and each
+    * round re-emits the same (root, member) edges). A canonical edge
+    * set (u < v, distinct) is a star forest iff no node appears both as
+    * a parent `u` and a child `v`, which one role-bitmask aggregate per
+    * materialization tests exactly — the same single action that
+    * materializes the lazy checkpoint. Versus the previous two-tier
+    * (count, xor-hash) signature + `except` confirm, the structural
+    * test needs no collision argument AND detects convergence one full
+    * iteration earlier: set-equality can only see the fixpoint by
+    * running one more (no-op) large∘small∘large∘small pass over it —
+    * a third of the loop's jobs at sf0.1 — where the role test reads
+    * the forest property off the converged relation itself.
     *
     * At 100 TB: swap `localCheckpoint` for reliable `checkpoint(dir)` —
     * the local variant stores blocks in executor memory/disk, so an
@@ -262,35 +273,37 @@ object DedupCluster {
         val t0 = System.nanoTime(); val r = f
         println(f"[cc] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
       }
-    def signature(df: DataFrame): (Long, Long) = {
-      // xor-fold, not sum: order-independent over the set and cannot
-      // overflow under ANSI arithmetic
-      val r = df.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // Star-forest test on a canonical (u < v, distinct) edge set: no
+    // node in both the parent (u) and child (v) role. One exchange by
+    // node (partial bit_or per partition first), then take(1) — and the
+    // action doubles as the checkpoint materialization.
+    def isStarForest(df: DataFrame): Boolean =
+      df.select(explode(array(
+          struct(col("u").as("n"), lit(1).as("r")),
+          struct(col("v").as("n"), lit(2).as("r")))).as("p"))
+        .groupBy(col("p.n"))
+        .agg(expr("bit_or(p.r)").as("roles"))
+        .filter(col("roles") === 3)
+        .isEmpty
     var e = edges
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(eager = false)
-    var sig = traced("init-sig") { signature(e) }
-    var converged = false
+    var converged = traced("init-check") { isStarForest(e) }
     var i = 0
     while (!converged && i < maxIter) {
       // Each star PAIR is lazily checkpointed so the analyzed plan per
       // pair stays constant-size (composing both pairs into one plan
       // squares the leaf-duplication factor — measured as seconds of
       // driver-side analysis per iteration at sf0.1); the single
-      // signature job per iteration still materializes both checkpoints
+      // role-test job per iteration still materializes both checkpoints
       // in one pass, so fusion keeps its halved job/driver-round count.
       val mid = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val next = smallStar(largeStar(mid)).localCheckpoint(eager = false)
-      val nextSig = traced(s"iter$i-sig") { signature(next) }
-      converged = nextSig == sig && traced(s"iter$i-except") { next.except(e).isEmpty }
+      converged = traced(s"iter$i-check") { isStarForest(next) }
       e = next
-      sig = nextSig
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
