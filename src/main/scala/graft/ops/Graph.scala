@@ -77,6 +77,18 @@ object Graph {
 
   private def propagate(nodes: DataFrame, edges: DataFrame, iters: Int,
       trackChanges: Boolean): (DataFrame, Seq[(Int, Long)]) = {
+    // NOT pre-hashed by the round join key (measured r21 edge-side and
+    // r22 both-sides, neutral at 3.03 → 3.14 s on q114b): a
+    // `localCheckpoint` comes back as a bare `Scan ExistingRDD` with no
+    // outputPartitioning, so EnsureRequirements re-inserts the
+    // hash(dst) exchange above it EVERY round regardless of how the
+    // checkpointed rows were distributed (plan-verified r22 — see
+    // OPTIMIZATION_r22.md). A pre-repartition therefore only pays an
+    // extra build exchange; the per-round exchange it targets cannot be
+    // removed through a checkpoint boundary. (Graph.symmetric keeps its
+    // repartition on its own r21 reversed-order 2x measurement — the
+    // effect there is the checkpoint's physical layout, not exchange
+    // elimination.)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
     val seeds = nodes.select(col("node"), col("seed_label"))
       .localCheckpoint(eager = false)
@@ -184,6 +196,12 @@ object Graph {
       .localCheckpoint(eager = false)
     var rounds = 0
     var done = false
+    // The previous round's edge count rides a driver variable (r22,
+    // guide §5): this round's `cur` IS last round's `next`, so its
+    // count was already measured by last round's materializing action —
+    // re-counting the materialized checkpoint was one extra blocking
+    // driver job per peel round.
+    var curCount = cur.count()
     while (!done && rounds < maxRounds) {
       val deg = cur.select(col("a").as("node"))
         .unionAll(cur.select(col("b").as("node")))
@@ -196,10 +214,13 @@ object Graph {
         .select(col("a"), col("b"))
         .localCheckpoint(eager = false)
       rounds += 1
-      // fixpoint when the peel removed no edge (bounded count, one
-      // long per round — the same convergence telemetry labelProp emits)
-      done = next.count() == cur.count()
+      // fixpoint when the peel removed no edge (every dropped node had
+      // degree >= 1, so "no node dropped" ⟺ "edge count unchanged");
+      // the count is also the action that materializes the checkpoint
+      val nextCount = next.count()
+      done = nextCount == curCount
       cur = next
+      curCount = nextCount
     }
     val finalDeg = cur.select(col("a").as("node"))
       .unionAll(cur.select(col("b").as("node")))
