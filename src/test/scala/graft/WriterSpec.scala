@@ -205,4 +205,28 @@ class WriterSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(target))
   }
+
+  test("sharded JSONL export: the size-gated shard clustering branch is content-identical") {
+    import graft.core.Tables
+    import graft.ops.Export
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val schema = "doc_id LONG, text STRING, source STRING, shard INT"
+    // threshold 0 forces the cluster-scale branch (repartition by shard
+    // before the partitioned write); Long.MaxValue pins the small-input
+    // single-pass branch — the sf-default path the bench times
+    val clustered = Export.readShardedJsonl(spark,
+      Export.shardedJsonl(d, "doc_id", "text",
+        Seq("doc_id", "text", "source"), targetChars = 4096L,
+        clusterThresholdBytes = 0L), schema)
+    val direct = Export.readShardedJsonl(spark,
+      Export.shardedJsonl(d, "doc_id", "text",
+        Seq("doc_id", "text", "source"), targetChars = 4096L,
+        clusterThresholdBytes = Long.MaxValue), schema)
+    // identical multiset of (row, shard) — clustering only moves rows
+    // between write tasks, never between shards
+    assert(clustered.exceptAll(direct).count() === 0L)
+    assert(direct.exceptAll(clustered).count() === 0L)
+    assert(clustered.count() === d.count())
+  }
 }
