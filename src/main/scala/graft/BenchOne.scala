@@ -14,19 +14,8 @@ object BenchOne {
     val name = args(0)
     val reps = if (args.length > 1) args(1).toInt else 5
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // mirror Bench's session exactly (r21): shuffled-hash join where
-      // the planner's size conditions fit — see the Bench.scala note
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Bench's exact session, by construction (shared builder)
+    val spark = BenchSession.build()
     def force(): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)

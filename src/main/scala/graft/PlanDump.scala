@@ -15,24 +15,24 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    // hard arity check (ADVICE r21): a silently mis-invoked dump that
+    // exits 0 looks like evidence when it produced nothing
+    if (args.length < 3) {
+      System.err.println(
+        "usage: runMain graft.PlanDump <outDir> <tag> <query>[,<query>...]")
+      sys.exit(2)
+    }
     val outDir = args(0)
     val tag = args(1)
     val names: Seq[String] =
       if (args(2) == "headline") SparkEntry.headline
       else args(2).split(",").toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Bench's exact session, by construction (shared builder) — the
+    // captured plan IS the timed plan
+    val spark = BenchSession.build()
     Files.createDirectories(Paths.get(outDir))
+    var failed = 0
     names.foreach { n =>
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
@@ -42,10 +42,15 @@ object PlanDump {
           plan.getBytes("UTF-8"))
         println(s"[plandump] wrote $n")
       } catch {
-        case e: Throwable =>
+        // NonFatal only (ADVICE r21): an OOM/fatal error must crash the
+        // dump, not be swallowed into a fake-complete run
+        case scala.util.control.NonFatal(e) =>
+          failed += 1
           System.err.println(s"[plandump] $n failed: ${e.getMessage}")
       }
     }
     spark.stop()
+    // a partial dump must not look like success to the caller
+    if (failed > 0) sys.exit(1)
   }
 }

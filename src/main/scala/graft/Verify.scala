@@ -12,12 +12,20 @@ object Verify {
     val only: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(",").toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // r22 (VERDICT r21 item 2): GRAFT_VERIFY_BENCH_JOINS=1 adds the
+    // bench session's preferSortMergeJoin=false, so the shuffled-hash
+    // plan family the bench TIMES can be run through the DuckDB oracle
+    // — the certification that the timed plans compute the declared
+    // results. Unset (the driver's path) the session is byte-identical
+    // to every prior round.
+    val spark = (if (sys.env.contains("GRAFT_VERIFY_BENCH_JOINS"))
+        builder.config("spark.sql.join.preferSortMergeJoin", "false")
+      else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val matched = SparkEntry.queries.filter { case (name, _) =>

@@ -377,7 +377,16 @@ object Similarity {
     * `code` values are POSITIONS in the code-ascending collapse (the
     * contract [[pqEncode]] and the ADC lookups share). The one `head()`
     * (dimension probe) is index-BUILD cost, like the IVF trainers'
-    * count. Returns (subspace, code, codev: array<double>). */
+    * count. Returns (subspace, code, codev: array<double>).
+    *
+    * CONTRACT (ADVICE r21): `idCol` must be unique and non-null — the
+    * invariant every vector-corpus id in this library already carries
+    * (and the same assumption [[kmeansSeedCentroidsMicros]]' seed rank
+    * and the served-index fingerprints make). The r21 seed init (top-ksub
+    * ids broadcast-joined back) maps duplicate ids to duplicate seed
+    * codes and drops null ids from the equi-join, where the pre-r21
+    * corpus window would have ranked them — both inputs are malformed
+    * corpora, but the failure shape differs. */
   def pqCodebooks(
       corpus: DataFrame, vecCol: String, idCol: String,
       m: Int, ksub: Int, iters: Int = 4): DataFrame =
