@@ -370,13 +370,17 @@ object Bench {
     // four-rounds-running post-hoc drill-down happens before the
     // artifact lands. Bands restate HERE and in BASELINE.md together.
     val bands: Seq[(String, Double, Double)] = Seq(
-      ("q51_dedup_clusters", 2.1, 3.4),
-      // floor restated r21 from neutral-window evidence (VERDICT r20
-      // item 4): the r20 judge's calm reading was 2.13 and this
-      // round's baseline run 2.128 — the old 2.30 floor was set from
-      // pre-r15-codegen loaded windows and flagged genuinely fast runs
-      ("q51c_dedup_clusters_winnowed", 2.0, 3.4),
-      ("q51e_dedup_clusters_lsh", 2.1, 3.2),
+      // q51 trio restated r22 after the connectedComponents structural
+      // convergence change (OPTIMIZATION_r22.md change 1: the fixpoint
+      // is now certified on the converged relation itself — one full
+      // no-op star iteration plus the except confirm removed, cc-loop
+      // 44 → 24 jobs). Same-window A/B: q51 4.100 → 3.216, q51c
+      // 3.512 → 2.531, q51e 3.652 → 2.615; control-normalized
+      // full-bench readings 2.64 / 2.41 / 2.26. Old bands were
+      // 2.1–3.4 / 2.0–3.4 / 2.1–3.2.
+      ("q51_dedup_clusters", 2.0, 3.2),
+      ("q51c_dedup_clusters_winnowed", 1.8, 3.0),
+      ("q51e_dedup_clusters_lsh", 1.7, 2.9),
       ("q101b_semantic_dedup_blocked", 0.85, 1.25),
       ("q104_duplicated_spans", 1.55, 1.85),
       ("q104b_duplicated_spans_winnowed", 0.50, 0.95),

@@ -229,12 +229,13 @@ object DedupCluster {
     * Alternates large-star/small-star until the edge set reaches its
     * fixpoint (a forest of stars centered at component minima) — O(log²)
     * star rounds, each a constant number of hash shuffles over the edge
-    * list. TWO large∘small pairs run FUSED per materialization:
-    * `localCheckpoint` + the driver-side plan analysis it truncates are a
-    * constant per-materialization cost (~37 % of q51's wall time in r3),
-    * so halving the materializations halves that overhead while the data
-    * path is unchanged (the fused pair is a no-op once the edge set is a
-    * star forest).
+    * list. ONE large∘small pair per materialization, checkpointed so
+    * `localCheckpoint` + the driver-side plan analysis it truncates stay
+    * a constant per-pair cost (composing pairs squares leaf duplication
+    * in the analyzed plan — the r3 finding), with the convergence test
+    * riding each pair's materializing action (r22; the r21 two-pair
+    * fusion checked only every second pair and so always ran one full
+    * no-op pair past an odd-count fixpoint).
     *
     * Fixpoint detection is STRUCTURAL (r22): the fixpoints of the
     * alternating star rounds are exactly the star forests rooted at
@@ -293,20 +294,25 @@ object DedupCluster {
       .localCheckpoint(eager = false)
     var converged = traced("init-check") { isStarForest(e) }
     var i = 0
-    while (!converged && i < maxIter) {
-      // Each star PAIR is lazily checkpointed so the analyzed plan per
-      // pair stays constant-size (composing both pairs into one plan
-      // squares the leaf-duplication factor — measured as seconds of
-      // driver-side analysis per iteration at sf0.1); the single
-      // role-test job per iteration still materializes both checkpoints
-      // in one pass, so fusion keeps its halved job/driver-round count.
-      val mid = smallStar(largeStar(e)).localCheckpoint(eager = false)
-      val next = smallStar(largeStar(mid)).localCheckpoint(eager = false)
-      converged = traced(s"iter$i-check") { isStarForest(next) }
-      e = next
+    // One large∘small PAIR per check (r22): each pair is lazily
+    // checkpointed so the analyzed plan stays constant-size (composing
+    // pairs into one plan squares the leaf-duplication factor —
+    // measured as seconds of driver-side analysis per iteration at
+    // sf0.1), and the role-test rides the pair's materializing action.
+    // Checking every pair (the r21 two-pair fusion checked every
+    // second) costs one model-sized aggregate job per pair but skips
+    // the ENTIRE second pair — ~7 of an iteration's 16 jobs — whenever
+    // the forest forms at an odd pair count, which shallow near-dup
+    // components (stars, short chains) reach after ONE pair. The pair
+    // budget stays 2·maxIter, the same total work bound the fused loop
+    // had.
+    while (!converged && i < 2 * maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      converged = traced(s"pair$i-check") { isStarForest(e) }
       i += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    require(converged,
+      s"connectedComponents did not converge in ${2 * maxIter} star pairs")
     // At the fixpoint every edge is (component-min, member): u IS the root.
     e.select(col("v").as("node"), col("u").as("root"))
       .union(e.select(col("u").as("node"), col("u").as("root")).distinct())
