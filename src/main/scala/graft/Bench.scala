@@ -374,7 +374,8 @@ object Bench {
       // convergence change (OPTIMIZATION_r22.md change 1: the fixpoint
       // is now certified on the converged relation itself — one full
       // no-op star iteration plus the except confirm removed, cc-loop
-      // 44 → 24 jobs). Same-window A/B: q51 4.100 → 3.216, q51c
+      // 44 → 24 jobs, then 17 once the per-pair check landed). Same-
+      // window A/B: q51 4.100 → 3.216, q51c
       // 3.512 → 2.531, q51e 3.652 → 2.615; control-normalized
       // full-bench readings 2.64 / 2.41 / 2.26. Old bands were
       // 2.1–3.4 / 2.0–3.4 / 2.1–3.2.
